@@ -1,0 +1,27 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One driver-checkable query: a Spark plan plus (when SQL-expressible)
+  * an equivalent ANSI SQL oracle run by DuckDB over the same parquet
+  * tables. `headline = true` marks the queries timed by [[graft.Bench]].
+  */
+final case class GQuery(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    headline: Boolean = false)
+
+object Registry {
+  /** Full inventory, assembled from the per-module query sets. */
+  def all: Seq[GQuery] =
+    RelationalQueries.queries ++
+      WindowQueries.queries ++
+      ReshapeQueries.queries ++
+      StatsQueries.queries ++
+      TextQueries.queries ++
+      DedupQueries.queries ++
+      SimilarityQueries.queries
+
+  def byName: Map[String, GQuery] = all.map(q => q.name -> q).toMap
+}

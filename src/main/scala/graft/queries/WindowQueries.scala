@@ -1,0 +1,180 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Exact._
+import graft.core.Tables._
+
+/** Window-function surface (SURVEY §2.5 W1–W7, §2.6): lead/lag gaps,
+  * keep-first dedupe, first-non-null, mode-by-frequency, grouped
+  * "random" sample, and the 1-minute GPS downsample (§2.10).
+  *
+  * All windows partition by a key with bounded cardinality per group, so
+  * they scale: one hash exchange per distinct partitioning, no global
+  * sorts.
+  */
+object WindowQueries {
+
+  /** W1/W6: gap-to-next-event per user in seconds (lead over user/time
+    * window; the reference's trip-gap validator,
+    * `R/validate-pds-trips.R:41-49`). Timestamps are truncated to whole
+    * seconds so µs-vs-ns file precision cannot skew parity. */
+  val q11 = GQuery(
+    "q11_window_lead_gap",
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      events(s, d)
+        .withColumn("next_ts", lead(col("ts"), 1).over(w))
+        .withColumn("gap_s",
+          unix_timestamp(date_trunc("second", col("next_ts"))) -
+            unix_timestamp(date_trunc("second", col("ts"))))
+        .groupBy(col("user_id"))
+        .agg(
+          lcount(col("gap_s")).as("n_gaps"),
+          max(col("gap_s")).as("max_gap_s"),
+          min(col("gap_s")).as("min_gap_s"),
+          dsum(col("gap_s")).as("sum_gap_s"))
+    },
+    Some(s"""WITH g AS (
+      |  SELECT user_id,
+      |    CAST(epoch(date_trunc('second', lead(ts) OVER w)) AS BIGINT)
+      |      - CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS gap_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT user_id, COUNT(gap_s) AS n_gaps, MAX(gap_s) AS max_gap_s,
+      |MIN(gap_s) AS min_gap_s, ${sqlDsum("gap_s")} AS sum_gap_s
+      |FROM g GROUP BY user_id""".stripMargin),
+    headline = true)
+
+  /** W3: keep-first-row-per-group dedupe (`row_number()==1`,
+    * `R/calculate-weights.R:129-131`), rolled up for a stable compare. */
+  val q12 = GQuery(
+    "q12_dedupe_keep_first",
+    (s, d) => {
+      val w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+      events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy(col("event_type"))
+        .agg(
+          lcount(lit(1)).as("n_first"),
+          dsum(col("value")).as("sum_first_value"))
+    },
+    Some(s"""WITH f AS (
+      |  SELECT event_type, value,
+      |    row_number() OVER (PARTITION BY user_id, event_type
+      |                       ORDER BY ts, event_id) AS rn
+      |  FROM events)
+      |SELECT event_type, COUNT(*) AS n_first,
+      |${sqlDsum("value")} AS sum_first_value
+      |FROM f WHERE rn = 1 GROUP BY event_type""".stripMargin))
+
+  /** W4: first non-null per group with explicit ordering
+    * (`dplyr::first(na.omit(x))`, `R/estimate-catch.R:283-289`); nulls
+    * simulated by masking 'error' events. */
+  val q13 = GQuery(
+    "q13_first_nonnull",
+    (s, d) => {
+      val masked = events(s, d)
+        .withColumn("v", when(col("event_type") === "error", lit(null)).otherwise(col("value")))
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      masked
+        .withColumn("rn", row_number().over(w))
+        .withColumn("first_v", first(col("v"), ignoreNulls = true)
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("first_v"))
+    },
+    Some("""WITH m AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+      |  FROM events),
+      |nn AS (
+      |  SELECT user_id, v,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |  FROM m WHERE v IS NOT NULL)
+      |SELECT u.user_id, f.v AS first_v
+      |FROM (SELECT DISTINCT user_id FROM m) u
+      |LEFT JOIN (SELECT user_id, v FROM nn WHERE rn = 1) f USING (user_id)""".stripMargin))
+
+  /** A16: mode-by-frequency (most frequent event_type per user, ties
+    * broken lexicographically; the municipality-mode fill,
+    * `R/estimate-catch.R:561-573`). */
+  val q14 = GQuery(
+    "q14_mode_by_group",
+    (s, d) => {
+      val counts = events(s, d).groupBy("user_id", "event_type").agg(lcount(lit(1)).as("n"))
+      val w = Window.partitionBy("user_id").orderBy(col("n").desc, col("event_type").asc)
+      counts
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type").as("mode_type"), col("n"))
+    },
+    Some("""WITH c AS (
+      |  SELECT user_id, event_type, COUNT(*) AS n
+      |  FROM events GROUP BY user_id, event_type),
+      |r AS (
+      |  SELECT user_id, event_type, n,
+      |    row_number() OVER (PARTITION BY user_id
+      |                       ORDER BY n DESC, event_type ASC) AS rn
+      |  FROM c)
+      |SELECT user_id, event_type AS mode_type, n FROM r WHERE rn = 1""".stripMargin))
+
+  /** A17: grouped deterministic "random" sample — 1 row per (user, day)
+    * ordered by a content hash (`sample_n(1)` with a fixed seed,
+    * `R/merge-trips.R:110-113`; md5 replaces R's RNG so the oracle can
+    * reproduce the draw). */
+  val q15 = GQuery(
+    "q15_grouped_sample",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"), date_trunc("day", col("ts")))
+        .orderBy(md5(col("event_id").cast("string")))
+      events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy(col("event_type"))
+        .agg(lcount(lit(1)).as("n_sampled"), dsum(col("value")).as("sum_value"))
+    },
+    Some(s"""WITH r AS (
+      |  SELECT event_type, value,
+      |    row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+      |                       ORDER BY md5(CAST(event_id AS VARCHAR))) AS rn
+      |  FROM events)
+      |SELECT event_type, COUNT(*) AS n_sampled,
+      |${sqlDsum("value")} AS sum_value
+      |FROM r WHERE rn = 1 GROUP BY event_type""".stripMargin))
+
+  /** §2.10: 1-minute tumbling-window downsample of the event stream
+    * (1 Hz GPS → 1-min track export, `R/merge-trips.R:135-151`): per
+    * (user, minute) the value of the lowest event_id plus mean/count.
+    * Streaming-ready: the same aggregation runs under `readStream` with
+    * a watermark (see graft.streaming.Downsample). */
+  val q16 = GQuery(
+    "q16_window_downsample",
+    (s, d) =>
+      events(s, d)
+        .groupBy(col("user_id"), date_trunc("minute", col("ts")).as("minute"))
+        .agg(
+          min_by(col("value"), col("event_id")).as("first_value"),
+          davg(col("value")).as("mean_value"),
+          lcount(lit(1)).as("n"))
+        .groupBy(col("user_id"))
+        .agg(
+          lcount(lit(1)).as("n_minutes"),
+          dsum(col("first_value")).as("sum_first"),
+          dsum(col("mean_value")).as("sum_mean"),
+          max(col("n")).as("max_per_minute")),
+    Some(s"""WITH m AS (
+      |  SELECT user_id, date_trunc('minute', ts) AS minute,
+      |    arg_min(value, event_id) AS first_value,
+      |    ${sqlDavg("value")} AS mean_value,
+      |    COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2)
+      |SELECT user_id, COUNT(*) AS n_minutes,
+      |${sqlDsum("first_value")} AS sum_first,
+      |${sqlDsum("mean_value")} AS sum_mean,
+      |MAX(n) AS max_per_minute
+      |FROM m GROUP BY user_id""".stripMargin))
+
+  def queries: Seq[GQuery] = Seq(q11, q12, q13, q14, q15, q16)
+}
