@@ -1,5 +1,366 @@
 package graft.queries
 
+import org.apache.spark.sql.functions._
+import graft.core.Exact._
+import graft.core.Tables._
+import graft.functions.Geo
+import graft.stats.{Interpolate, Outliers, Regression}
+
+/** Statistical operator tail (SURVEY §2.9 ST1–ST10 + A7): exact
+  * percentiles, MAD/LocScaleB outlier bounds, Cook's-distance
+  * regression, relational weight-estimation shape, linear
+  * interpolation, empirical estimation, geodesic track descriptors and
+  * suffix-registry resolution.
+  *
+  * Transcendental functions (ln/exp/pow/trig) can differ from the
+  * oracle's libm in the last ULP, so outputs that pass through them are
+  * rounded to 6 (or 3) decimals on both sides; integer counts and
+  * decimal-routed sums stay exact.
+  */
 object StatsQueries {
-  def queries: Seq[GQuery] = Seq()
+
+  /** A7: exact percentiles (R type-7 linear interpolation — Spark
+    * `percentile` == DuckDB `quantile_cont`), the reference's
+    * `quantile(w, p)` weight estimate (`R/calculate-weights.R:568`). */
+  val q23 = GQuery(
+    "q23_percentile_exact",
+    (s, d) =>
+      lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(percentile(col("l_extendedprice"), lit(0.25)), 6).as("p25"),
+          round(percentile(col("l_extendedprice"), lit(0.5)), 6).as("p50"),
+          round(percentile(col("l_extendedprice"), lit(0.75)), 6).as("p75"),
+          lcount(lit(1)).as("n")),
+    Some("""SELECT l_returnflag,
+      |round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+      |round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+      |round(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
+      |COUNT(*) AS n
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin),
+    headline = true)
+
+  /** ST1/A10: LocScaleB MAD bounds on the log1p scale with exp(b)−1
+    * back-transform and outside-bounds flag counts
+    * (`R/validation-functions.R:243-280`, k=2.5 as for catch params,
+    * `inst/conf.yml` catch k). */
+  val q24 = GQuery(
+    "q24_mad_bounds",
+    (s, d) => {
+      val k = 2.5
+      val flagged = Outliers.flagOutliers(
+        lineitem(s, d).select(col("l_returnflag"), col("l_extendedprice")),
+        keys = Seq("l_returnflag"), x = "l_extendedprice", k = k)
+      flagged
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(first(col("lower")), 6).as("lower"),
+          round(first(col("upper")), 6).as("upper"),
+          count(when(col("is_outlier"), lit(1))).as("n_outliers"),
+          lcount(lit(1)).as("n"))
+    },
+    Some("""WITH base AS (
+      |  SELECT l_returnflag AS g, l_extendedprice AS x,
+      |         ln(1.0 + l_extendedprice) AS xl
+      |  FROM lineitem),
+      |med AS (SELECT g, quantile_cont(xl, 0.5) AS m FROM base GROUP BY g),
+      |mad AS (
+      |  SELECT b.g, m.m,
+      |    quantile_cont(abs(b.xl - m.m), 0.5) * 1.4826 AS s
+      |  FROM base b JOIN med m ON b.g = m.g GROUP BY b.g, m.m),
+      |bounds AS (
+      |  SELECT g, exp(m - 2.5 * s) - 1.0 AS lo, exp(m + 2.5 * s) - 1.0 AS hi
+      |  FROM mad)
+      |SELECT b.g AS l_returnflag,
+      |round(MIN(bo.lo), 6) AS lower, round(MIN(bo.hi), 6) AS upper,
+      |COUNT(CASE WHEN b.x < bo.lo OR b.x > bo.hi THEN 1 END) AS n_outliers,
+      |COUNT(*) AS n
+      |FROM base b JOIN bounds bo ON b.g = bo.g
+      |GROUP BY b.g""".stripMargin))
+
+  /** ST2: per-group OLS log1p(price)~log1p(qty) + Cook's distance flags,
+    * closed-form from exact sufficient statistics
+    * (`R/validation-functions.R:405-449`, flag D_i > 4/n). */
+  val q25 = GQuery(
+    "q25_cooks_distance",
+    (s, d) => {
+      val li = lineitem(s, d).select(
+        col("l_returnflag"),
+        log(lit(1.0) + col("l_quantity")).as("x"),
+        log(lit(1.0) + col("l_extendedprice")).as("y"))
+      Regression.cooksDistance(li, Seq("l_returnflag"), "x", "y")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(first(col("slope")), 6).as("slope"),
+          round(first(col("intercept")), 6).as("intercept"),
+          count(when(col("cooksd") > lit(4.0) / col("n"), lit(1))).as("n_influential"),
+          lcount(lit(1)).as("n"))
+    },
+    Some(s"""WITH base AS (
+      |  SELECT l_returnflag AS g,
+      |    ln(1.0 + l_quantity) AS x, ln(1.0 + l_extendedprice) AS y
+      |  FROM lineitem),
+      |stats AS (
+      |  SELECT g, CAST(COUNT(*) AS DOUBLE) AS n,
+      |    ${sqlDsum("x")} AS sx, ${sqlDsum("y")} AS sy,
+      |    ${sqlDsum("x * x")} AS sxx, ${sqlDsum("x * y")} AS sxy
+      |  FROM base GROUP BY g),
+      |coef AS (
+      |  SELECT *,
+      |    (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope
+      |  FROM stats),
+      |coef2 AS (SELECT *, (sy - slope * sx) / n AS intercept FROM coef),
+      |resid AS (
+      |  SELECT b.g, b.x, b.y, c.n, c.sx, c.sxx, c.slope, c.intercept,
+      |    b.y - (c.intercept + c.slope * b.x) AS r
+      |  FROM base b JOIN coef2 c ON b.g = c.g),
+      |sse AS (SELECT g, ${sqlDsum("r * r")} AS sse FROM resid GROUP BY g),
+      |cook AS (
+      |  SELECT r.g, r.n, r.slope, r.intercept,
+      |    r.r * r.r / (2.0 * (s.sse / (r.n - 2.0))) *
+      |    ((1.0 / r.n + (r.x - r.sx / r.n) * (r.x - r.sx / r.n) /
+      |        (r.sxx - r.sx * r.sx / r.n)) /
+      |     ((1.0 - (1.0 / r.n + (r.x - r.sx / r.n) * (r.x - r.sx / r.n) /
+      |        (r.sxx - r.sx * r.sx / r.n))) *
+      |      (1.0 - (1.0 / r.n + (r.x - r.sx / r.n) * (r.x - r.sx / r.n) /
+      |        (r.sxx - r.sx * r.sx / r.n))))) AS cooksd
+      |  FROM resid r JOIN sse s ON r.g = s.g)
+      |SELECT g AS l_returnflag,
+      |round(MIN(slope), 6) AS slope, round(MIN(intercept), 6) AS intercept,
+      |COUNT(CASE WHEN cooksd > 4.0 / n THEN 1 END) AS n_influential,
+      |COUNT(*) AS n
+      |FROM cook GROUP BY g""".stripMargin))
+
+  /** ST3 shape: the relational weight-estimation rewrite — fact rows
+    * join a morphometric-style dim, candidate weights a·L^b are computed
+    * per row, and a per-group exact quantile picks the estimate
+    * (`R/calculate-weights.R:511-569`; replaces the reference's rowwise
+    * loop, its #1 scalability fix). */
+  val q26 = GQuery(
+    "q26_weight_estimate",
+    (s, d) =>
+      lineitem(s, d)
+        .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
+        .withColumn("w", col("p_retailprice") * pow(col("l_quantity"), lit(1.5)))
+        .groupBy(col("p_brand"))
+        .agg(
+          round(percentile(col("w"), lit(0.75)), 6).as("w_p75"),
+          round(percentile(col("w"), lit(0.9)), 6).as("w_p90"),
+          lcount(lit(1)).as("n_candidates")),
+    Some("""WITH c AS (
+      |  SELECT p_brand, p_retailprice * pow(l_quantity, 1.5) AS w
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey)
+      |SELECT p_brand,
+      |round(quantile_cont(w, 0.75), 6) AS w_p75,
+      |round(quantile_cont(w, 0.9), 6) AS w_p90,
+      |COUNT(*) AS n_candidates
+      |FROM c GROUP BY p_brand""".stripMargin))
+
+  /** ST6: `na.approx(rule=2)` linear interpolation — daily mean event
+    * value with every 3rd day masked, interior gaps interpolated,
+    * endpoints carried (`R/estimate-catch.R:364-399`). */
+  val q27 = GQuery(
+    "q27_linear_interpolation",
+    (s, d) => {
+      val daily = events(s, d)
+        .groupBy(col("event_type"),
+          (unix_timestamp(date_trunc("day", col("ts"))) / 86400L).cast("long").as("day_idx"))
+        .agg(davg(col("value")).as("v0"))
+        .withColumn("v", when(col("day_idx") % 3 === 0, lit(null)).otherwise(col("v0")))
+      Interpolate.linear(daily, Seq("event_type"), "day_idx", "v")
+        .withColumn("was_missing", col("v").isNull)
+        .select(col("event_type"), col("day_idx"),
+          round(col("v_filled"), 6).as("v_filled"), col("was_missing"))
+    },
+    Some(s"""WITH daily AS (
+      |  SELECT event_type,
+      |    CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 AS day_idx,
+      |    ${sqlDavg("value")} AS v0
+      |  FROM events GROUP BY 1, 2),
+      |masked AS (
+      |  SELECT event_type, day_idx,
+      |    CASE WHEN day_idx % 3 = 0 THEN NULL ELSE v0 END AS v
+      |  FROM daily),
+      |w AS (
+      |  SELECT event_type, day_idx, v,
+      |    last_value(v IGNORE NULLS) OVER wb AS pv,
+      |    last_value(CASE WHEN v IS NOT NULL THEN day_idx END IGNORE NULLS) OVER wb AS pi,
+      |    first_value(v IGNORE NULLS) OVER wf AS nv,
+      |    first_value(CASE WHEN v IS NOT NULL THEN day_idx END IGNORE NULLS) OVER wf AS ni
+      |  FROM masked
+      |  WINDOW
+      |    wb AS (PARTITION BY event_type ORDER BY day_idx
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |    wf AS (PARTITION BY event_type ORDER BY day_idx
+      |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      |SELECT event_type, day_idx,
+      |round(CASE WHEN v IS NOT NULL THEN v
+      |      WHEN pv IS NULL THEN nv
+      |      WHEN nv IS NULL THEN pv
+      |      ELSE pv + (nv - pv) * CAST(day_idx - pi AS DOUBLE)
+      |                          / CAST(ni - pi AS DOUBLE) END, 6) AS v_filled,
+      |v IS NULL AS was_missing
+      |FROM w""".stripMargin))
+
+  /** ST5: empirical estimation with small-sample augmentation — per
+    * (group, day) mean of per-user daily values; groups with <3 observed
+    * users mix in 5 copies of the overall day mean (the reference's ×5
+    * replication, `R/estimate-catch.R:62-106`), scaled up by the group's
+    * registered-user count. */
+  val q28 = GQuery(
+    "q28_empirical_estimate",
+    (s, d) => {
+      val ev = events(s, d)
+      val userDay = ev
+        .groupBy((col("user_id") % 20).as("grp"), col("user_id"),
+          date_trunc("day", col("ts")).as("day"))
+        .agg(dsum(col("value")).as("uv"))
+      val groupDay = userDay.groupBy(col("grp"), col("day"))
+        .agg(dsum(col("uv")).as("sum_obs"), lcount(lit(1)).as("n_obs"))
+      val dayMean = userDay.groupBy(col("day"))
+        .agg(davg(col("uv")).as("day_mean"))
+      val nUsers = ev.groupBy((col("user_id") % 20).as("grp"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+      groupDay
+        .join(broadcast(dayMean), Seq("day"))
+        .join(broadcast(nUsers), Seq("grp"))
+        .withColumn("aug_mean",
+          when(col("n_obs") < 3,
+            (col("sum_obs") + lit(5.0) * col("day_mean")) / (col("n_obs") + lit(5.0)))
+            .otherwise(col("sum_obs") / col("n_obs")))
+        .select(col("grp"), col("day"),
+          round(col("aug_mean") * col("n_users"), 6).as("estimate"),
+          col("n_obs"))
+    },
+    Some(s"""WITH ud AS (
+      |  SELECT user_id % 20 AS grp, user_id, date_trunc('day', ts) AS day,
+      |    ${sqlDsum("value")} AS uv
+      |  FROM events GROUP BY 1, 2, 3),
+      |gd AS (
+      |  SELECT grp, day, ${sqlDsum("uv")} AS sum_obs, COUNT(*) AS n_obs
+      |  FROM ud GROUP BY grp, day),
+      |dm AS (SELECT day, ${sqlDavg("uv")} AS day_mean FROM ud GROUP BY day),
+      |nu AS (SELECT user_id % 20 AS grp, COUNT(DISTINCT user_id) AS n_users
+      |       FROM events GROUP BY 1)
+      |SELECT gd.grp, gd.day,
+      |round(CASE WHEN gd.n_obs < 3
+      |  THEN (gd.sum_obs + 5.0 * dm.day_mean) / (gd.n_obs + 5.0)
+      |  ELSE gd.sum_obs / gd.n_obs END * nu.n_users, 6) AS estimate,
+      |gd.n_obs
+      |FROM gd JOIN dm ON gd.day = dm.day JOIN nu ON gd.grp = nu.grp""".stripMargin))
+
+  /** ST9 + §2.8 geo: per-(user, day) start↔end haversine distance over
+    * synthesized coordinates — the track-descriptor aggregation that
+    * replaces the reference's one-file-at-a-time loop
+    * (`R/preprocess-pds-trips.R:101-145`). Distances round to 3 decimals
+    * before the exact sum (trig ULP guard). */
+  val q29 = GQuery(
+    "q29_track_distance",
+    (s, d) => {
+      val pts = events(s, d)
+        .withColumn("lat", ((col("event_id") % 180) - 90).cast("double") * lit(0.5))
+        .withColumn("lng", ((col("event_id") % 360) - 180).cast("double") * lit(0.25))
+      val trips = pts
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .agg(
+          min_by(col("lat"), col("event_id")).as("lat1"),
+          min_by(col("lng"), col("event_id")).as("lng1"),
+          max_by(col("lat"), col("event_id")).as("lat2"),
+          max_by(col("lng"), col("event_id")).as("lng2"))
+      trips
+        .withColumn("dist_km",
+          round(Geo.haversineKm(col("lat1"), col("lng1"), col("lat2"), col("lng2")), 3))
+        .groupBy(col("user_id"))
+        .agg(
+          lcount(lit(1)).as("n_trips"),
+          dsum(col("dist_km")).as("total_km"),
+          max(col("dist_km")).as("max_km"))
+    },
+    Some(s"""WITH pts AS (
+      |  SELECT user_id, date_trunc('day', ts) AS day, event_id,
+      |    CAST((event_id % 180) - 90 AS DOUBLE) * 0.5 AS lat,
+      |    CAST((event_id % 360) - 180 AS DOUBLE) * 0.25 AS lng
+      |  FROM events),
+      |trips AS (
+      |  SELECT user_id, day,
+      |    arg_min(lat, event_id) AS lat1, arg_min(lng, event_id) AS lng1,
+      |    arg_max(lat, event_id) AS lat2, arg_max(lng, event_id) AS lng2
+      |  FROM pts GROUP BY user_id, day),
+      |dist AS (
+      |  SELECT user_id,
+      |    round(2.0 * 6371.0088 * asin(sqrt(
+      |      sin(radians(lat2 - lat1) / 2.0) * sin(radians(lat2 - lat1) / 2.0) +
+      |      cos(radians(lat1)) * cos(radians(lat2)) *
+      |      sin(radians(lng2 - lng1) / 2.0) * sin(radians(lng2 - lng1) / 2.0))), 3) AS dist_km
+      |  FROM trips)
+      |SELECT user_id, COUNT(*) AS n_trips,
+      |${sqlDsum("dist_km")} AS total_km, MAX(dist_km) AS max_km
+      |FROM dist GROUP BY user_id""".stripMargin))
+
+  /** ST10: suffix-registry resolution — a short partial code matched as
+    * a suffix against a broadcast device registry, with the reference's
+    * alert ladder: too-short partial → 1, multiple matches → 2, none →
+    * 3, exactly one → resolved (`R/validation-functions.R:12-48`). */
+  val q30 = GQuery(
+    "q30_suffix_resolve",
+    (s, d) => {
+      val partials = customer(s, d)
+        .select(col("c_custkey"), (col("c_custkey") % 100).cast("string").as("partial"))
+      val registry = supplier(s, d)
+        .select((col("s_suppkey") * 37 + 100000).cast("string").as("imei"))
+      val matched = partials
+        .join(broadcast(registry), col("imei").endsWith(col("partial")), "left")
+        .groupBy(col("c_custkey"), col("partial"))
+        .agg(count(col("imei")).as("n_matches"), min(col("imei")).as("resolved"))
+        .withColumn("alert",
+          when(col("partial").cast("long") < 10, lit(1))
+            .when(col("n_matches") > 1, lit(2))
+            .when(col("n_matches") === 0, lit(3))
+            .otherwise(lit(null).cast("int")))
+      matched
+        .groupBy(col("alert"))
+        .agg(
+          lcount(lit(1)).as("n_customers"),
+          countDistinct(when(col("alert").isNull, col("resolved"))).as("n_resolved_devices"))
+    },
+    Some("""WITH partials AS (
+      |  SELECT c_custkey, CAST(c_custkey % 100 AS VARCHAR) AS partial FROM customer),
+      |registry AS (
+      |  SELECT CAST(s_suppkey * 37 + 100000 AS VARCHAR) AS imei FROM supplier),
+      |matched AS (
+      |  SELECT p.c_custkey, p.partial,
+      |    COUNT(r.imei) AS n_matches, MIN(r.imei) AS resolved
+      |  FROM partials p LEFT JOIN registry r ON ends_with(r.imei, p.partial)
+      |  GROUP BY p.c_custkey, p.partial),
+      |alerts AS (
+      |  SELECT *,
+      |    CASE WHEN CAST(partial AS BIGINT) < 10 THEN 1
+      |         WHEN n_matches > 1 THEN 2
+      |         WHEN n_matches = 0 THEN 3 END AS alert
+      |  FROM matched)
+      |SELECT alert, COUNT(*) AS n_customers,
+      |COUNT(DISTINCT CASE WHEN alert IS NULL THEN resolved END) AS n_resolved_devices
+      |FROM alerts GROUP BY alert""".stripMargin))
+
+  /** S2-flavor: JSON field extraction from a string column (the Kobo
+    * JSON flattening path, `R/retrieve-survey-data.R:236-282`, done
+    * natively instead of wide-column round-trips). */
+  val q31 = GQuery(
+    "q31_json_extract",
+    (s, d) =>
+      events(s, d)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy(col("event_type"))
+        .agg(
+          sum(col("k")).as("sum_k"),
+          lcount(col("k")).as("n_k"),
+          max(col("k")).as("max_k")),
+    Some("""SELECT event_type,
+      |CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k,
+      |MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      |FROM events GROUP BY event_type""".stripMargin))
+
+  def queries: Seq[GQuery] =
+    Seq(q23, q24, q25, q26, q27, q28, q29, q30, q31)
 }

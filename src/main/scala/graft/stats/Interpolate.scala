@@ -1,0 +1,42 @@
+package graft.stats
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Gap-filling linear interpolation over an ordered integer index — the
+  * reference's Amelia fallback `zoo::na.approx(rule = 2)`
+  * (`/root/reference/R/estimate-catch.R:364-399`): interior gaps are
+  * linearly interpolated between the nearest non-null neighbours;
+  * leading/trailing gaps carry the nearest value (rule = 2 endpoint
+  * extension).
+  *
+  * Pure window arithmetic: `last(_, ignoreNulls)` looking back and
+  * `first(_, ignoreNulls)` looking forward over the per-key ordered
+  * frame — one exchange on the keys, no iteration, no driver state.
+  */
+object Interpolate {
+
+  /** Adds `<valueCol>_filled`. `idxCol` must be an integer-like spine
+    * position (e.g. epoch days), dense or not. */
+  def linear(df: DataFrame, keys: Seq[String], idxCol: String, valueCol: String): DataFrame = {
+    val back = Window.partitionBy(keys.map(col): _*).orderBy(col(idxCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy(keys.map(col): _*).orderBy(col(idxCol))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val v = col(valueCol)
+    df.withColumn("__pv", last(v, ignoreNulls = true).over(back))
+      .withColumn("__pi", last(when(v.isNotNull, col(idxCol)), ignoreNulls = true).over(back))
+      .withColumn("__nv", first(v, ignoreNulls = true).over(fwd))
+      .withColumn("__ni", first(when(v.isNotNull, col(idxCol)), ignoreNulls = true).over(fwd))
+      .withColumn(s"${valueCol}_filled",
+        when(v.isNotNull, v)
+          .when(col("__pv").isNull, col("__nv"))
+          .when(col("__nv").isNull, col("__pv"))
+          .otherwise(
+            col("__pv") + (col("__nv") - col("__pv")) *
+              (col(idxCol) - col("__pi")).cast("double") /
+              (col("__ni") - col("__pi")).cast("double")))
+      .drop("__pv", "__pi", "__nv", "__ni")
+  }
+}

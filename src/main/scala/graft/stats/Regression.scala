@@ -1,0 +1,54 @@
+package graft.stats
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.core.Exact._
+
+/** Closed-form simple linear regression with Cook's distance — the
+  * reference fits `lm(log(price+1) ~ log(kg+1))` and flags influential
+  * points via `broom::augment`'s `.cooksd`
+  * (`/root/reference/R/validation-functions.R:405-449`).
+  *
+  * Instead of a driver-side model fit, the slope/intercept come from
+  * sufficient statistics (n, Σx, Σy, Σxx, Σxy) computed as exact
+  * decimal-routed sums, and per-row leverage/residual/Cook's distance
+  * are pure column arithmetic — fully distributed, two passes, no UDF.
+  * For simple regression: h_i = 1/n + (x_i − x̄)²/Sxx,
+  * D_i = r_i²/(p·s²) · h_i/(1−h_i)², p = 2.
+  */
+object Regression {
+
+  /** Per-key sufficient statistics and fitted coefficients. */
+  def fit(df: DataFrame, keys: Seq[String], x: String, y: String): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        dsum(col(x)).as("sx"),
+        dsum(col(y)).as("sy"),
+        dsum(col(x) * col(x)).as("sxx"),
+        dsum(col(x) * col(y)).as("sxy"))
+      .withColumn("slope",
+        (col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")))
+      .withColumn("intercept", (col("sy") - col("slope") * col("sx")) / col("n"))
+
+  /** Rows with residual, leverage and Cook's distance attached.
+    * Requires a second pass for s² (mean squared residual, df = n−2). */
+  def cooksDistance(df: DataFrame, keys: Seq[String], x: String, y: String): DataFrame = {
+    val coef = fit(df, keys, x, y)
+    val withResid = df.join(broadcast(coef), keys)
+      .withColumn("resid", col(y) - (col("intercept") + col("slope") * col(x)))
+    val s2 = withResid.groupBy(keys.map(col): _*)
+      .agg(dsum(col("resid") * col("resid")).as("sse"))
+    withResid.join(broadcast(s2), keys)
+      .withColumn("s2", col("sse") / (col("n") - 2.0))
+      .withColumn("xbar", col("sx") / col("n"))
+      .withColumn("sxx_c", col("sxx") - col("sx") * col("sx") / col("n"))
+      .withColumn("leverage",
+        lit(1.0) / col("n") +
+          (col(x) - col("xbar")) * (col(x) - col("xbar")) / col("sxx_c"))
+      .withColumn("cooksd",
+        col("resid") * col("resid") / (lit(2.0) * col("s2")) *
+          (col("leverage") / ((lit(1.0) - col("leverage")) * (lit(1.0) - col("leverage")))))
+  }
+}
