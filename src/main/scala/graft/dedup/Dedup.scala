@@ -1,0 +1,167 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.text.TextFunctions
+
+/** Deduplication suite for training-data pipelines: exact (hash),
+  * n-gram Jaccard (inverted-index pair generation), MinHash+LSH
+  * (band-bucket candidate join + exact verify), and SimHash (banded
+  * Hamming search).
+  *
+  * Scale design: nothing is all-pairs. Exact dedup is one hash
+  * aggregation; Jaccard pairs come from an inverted-index join on
+  * shingles (optionally dropping stop-shingles above a document-
+  * frequency cutoff); MinHash compares only band-collision candidates;
+  * SimHash compares only band-collision candidates (pigeonhole-exact
+  * for Hamming ≤ bands−1). All hashing is md5-derived so any engine can
+  * reproduce it bit-for-bit.
+  */
+object Dedup {
+
+  /** Exact dedup on a key: keeps the row with the minimal (tieCol) per
+    * key, annotating group size. One shuffle. */
+  def exact(df: DataFrame, keyCol: Column, tieCol: String): DataFrame =
+    df.withColumn("__key", keyCol)
+      .groupBy(col("__key"))
+      .agg(
+        min(col(tieCol)).as("keep_id"),
+        count(lit(1)).as("n_copies"))
+      .withColumnRenamed("__key", "content_key")
+
+  /** Distinct (id, shingle) pairs — the inverted-index input.
+    * `maxDocFreq` drops shingles present in more than that many
+    * documents (stop-shingle cutoff; 0 = keep all). */
+  def shingleIndex(df: DataFrame, idCol: String, textCol: String, k: Int,
+                   maxDocFreq: Long = 0L): DataFrame = {
+    val sh = df.select(col(idCol).as("doc"),
+        explode(TextFunctions.shingles(TextFunctions.wsTokens(col(textCol)), k)).as("shingle"))
+    if (maxDocFreq <= 0) sh
+    else {
+      val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDocFreq).select("shingle")
+      sh.join(rare, Seq("shingle"), "left_semi")
+    }
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs ≥ threshold, via the inverted
+    * index: pairs sharing ≥1 shingle → common counts → |A∪B| from
+    * per-doc sizes. Output: (da, db, common, na, nb, jaccard). */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        k: Int, threshold: Double): DataFrame = {
+    val idx = shingleIndex(df, idCol, textCol, k).cache()
+    val sizes = idx.groupBy(col("doc")).agg(count(lit(1)).as("n_shingles"))
+    val a = idx.withColumnRenamed("doc", "da")
+    val b = idx.withColumnRenamed("doc", "db")
+    val common = a.join(b, Seq("shingle")).filter(col("da") < col("db"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.withColumnRenamed("doc", "da").withColumnRenamed("n_shingles", "na"), Seq("da"))
+      .join(sizes.withColumnRenamed("doc", "db").withColumnRenamed("n_shingles", "nb"), Seq("db"))
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("na") + col("nb") - col("common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("da", "db", "common", "na", "nb", "jaccard")
+  }
+
+  /** md5-derived 60-bit hash of a string under permutation seed `p`
+    * (first 15 hex chars parsed base-16 — reproducible anywhere). */
+  def md5Hash60(p: Column, s: Column): Column =
+    conv(substring(md5(concat(p.cast("string"), lit(":"), s)), 1, 15), 16, 10).cast("long")
+
+  /** MinHash signatures: one row per (doc, perm) with the min hash. */
+  def minhashSignatures(idx: DataFrame, numPerms: Int): DataFrame = {
+    val perms = explode(sequence(lit(0), lit(numPerms - 1))).as("p")
+    idx.select(col("doc"), col("shingle"), perms)
+      .withColumn("h", md5Hash60(col("p"), col("shingle")))
+      .groupBy(col("doc"), col("p"))
+      .agg(min(col("h")).as("minh"))
+  }
+
+  /** LSH band keys: md5 of the '-'-joined signature slice per band. */
+  def lshBandKeys(sig: DataFrame, rowsPerBand: Int): DataFrame =
+    sig.withColumn("band", expr(s"p div $rowsPerBand"))
+      .groupBy(col("doc"), col("band"))
+      .agg(md5(concat_ws("-",
+        transform(array_sort(collect_list(struct(col("p"), col("minh")))),
+          s => s.getField("minh").cast("string")))).as("bkey"))
+
+  /** MinHash+LSH near-dup pairs: band-collision candidates, verified
+    * with exact Jaccard ≥ threshold. Also reports the signature-level
+    * estimate (fraction of agreeing permutations). */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      k: Int, numPerms: Int, rowsPerBand: Int,
+                      threshold: Double): DataFrame = {
+    val idx = shingleIndex(df, idCol, textCol, k).cache()
+    val sig = minhashSignatures(idx, numPerms).cache()
+    val bands = lshBandKeys(sig, rowsPerBand)
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc") < col("y.doc"))
+      .select(col("x.doc").as("da"), col("y.doc").as("db")).distinct()
+    // signature agreement estimate
+    val est = cand
+      .join(sig.select(col("doc").as("da"), col("p"), col("minh").as("ha")), Seq("da"))
+      .join(sig.select(col("doc").as("db"), col("p"), col("minh").as("hb")), Seq("db", "p"))
+      .groupBy(col("da"), col("db"))
+      .agg((count(when(col("ha") === col("hb"), lit(1))).cast("double") / numPerms).as("est_jaccard"))
+    // exact verify on the candidate set only
+    val sizes = idx.groupBy(col("doc")).agg(count(lit(1)).as("n_shingles"))
+    val common = idx.select(col("doc").as("da"), col("shingle"))
+      .join(idx.select(col("doc").as("db"), col("shingle")), Seq("shingle"))
+      .join(cand, Seq("da", "db"), "left_semi")
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("common"))
+    est.join(common, Seq("da", "db"), "left")
+      .join(sizes.withColumnRenamed("doc", "da").withColumnRenamed("n_shingles", "na"), Seq("da"))
+      .join(sizes.withColumnRenamed("doc", "db").withColumnRenamed("n_shingles", "nb"), Seq("db"))
+      .withColumn("jaccard",
+        coalesce(col("common"), lit(0L)).cast("double") /
+          (col("na") + col("nb") - coalesce(col("common"), lit(0L))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("da", "db", "jaccard", "est_jaccard")
+  }
+
+  /** 60-bit SimHash per document from whitespace-token term frequencies:
+    * bit b of md5(token) votes ±tf; the sign of the vote sum sets bit b.
+    * Output: (doc, simhash). */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = df.select(col(idCol).as("doc"),
+        explode(TextFunctions.wsTokens(col(textCol))).as("tok"))
+      .groupBy(col("doc"), col("tok")).agg(count(lit(1)).as("tf"))
+      .withColumn("hex", md5(col("tok")))
+    tf.select(col("doc"), col("tf"), col("hex"),
+        explode(sequence(lit(0), lit(59))).as("b"))
+      .withColumn("dv",
+        instr(lit("0123456789abcdef"),
+          substring(col("hex"), (col("b") / 4).cast("int") + lit(1), lit(1))) - 1)
+      .withColumn("bit", expr("(dv >> CAST(b % 4 AS INT)) & 1"))
+      .withColumn("vote", col("tf") * (lit(2) * col("bit") - lit(1)))
+      .groupBy(col("doc"), col("b"))
+      .agg(sum(col("vote")).as("s"))
+      .withColumn("bitval", when(col("s") > 0, lit(1L)).otherwise(lit(0L)))
+      .groupBy(col("doc"))
+      .agg(sum(expr("shiftleft(bitval, CAST(b AS INT))")).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with Hamming ≤ maxHamming, found via
+    * `numBands` 15-bit band collisions. Exact (pigeonhole) as long as
+    * maxHamming < numBands. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3, numBands: Int = 4): DataFrame = {
+    require(maxHamming < numBands, "banded search is only exact for hamming < bands")
+    val sh = simhash(df, idCol, textCol).cache()
+    val width = 60 / numBands
+    val banded = sh.select(col("doc"), col("simhash"),
+      explode(sequence(lit(0), lit(numBands - 1))).as("band"))
+      .withColumn("bkey", expr(s"(simhash >> CAST(band * $width AS INT)) % ${1L << width}"))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc") < col("y.doc"))
+      .select(col("x.doc").as("da"), col("y.doc").as("db"),
+        col("x.simhash").as("sa"), col("y.simhash").as("sb"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(sa ^ sb)"))
+      .filter(col("hamming") <= maxHamming)
+      .select("da", "db", "hamming")
+  }
+}

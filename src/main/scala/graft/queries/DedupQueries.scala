@@ -1,5 +1,146 @@
 package graft.queries
 
+import org.apache.spark.sql.functions._
+import graft.core.Exact._
+import graft.core.Tables._
+import graft.dedup.Dedup
+
+/** Near-duplicate detection suite over `documents`: exact hash dedup,
+  * inverted-index n-gram Jaccard, MinHash+LSH with exact verification,
+  * and banded SimHash. Hashing is md5-derived throughout, so every
+  * pipeline is replicated 1:1 in the SQL oracle.
+  */
 object DedupQueries {
-  def queries: Seq[GQuery] = Seq()
+
+  private val wsSql = "string_split_regex(trim(text), '\\s+')"
+  /** Distinct word 5-shingles per doc (SQL mirror of
+    * TextFunctions.shingles(k=5)). */
+  private val shingleSql =
+    s"""sh AS (
+       |  SELECT DISTINCT doc_id AS doc,
+       |    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] AS shingle
+       |  FROM (SELECT doc_id, $wsSql AS ws FROM documents) t,
+       |    UNNEST(generate_series(1, greatest(len(ws) - 4, 0))) AS u(i)),
+       |sizes AS (SELECT doc, COUNT(*) AS n_shingles FROM sh GROUP BY doc)""".stripMargin
+
+  /** Exact dedup over two overlapping "crawls": md5(text) content key,
+    * keep-min-id policy, dupe-group census. */
+  val q36 = GQuery(
+    "q36_dedup_exact",
+    (s, d) => {
+      val docs = documents(s, d)
+      val union = docs.unionByName(docs.filter(col("doc_id") % 3 === 0)
+        .withColumn("doc_id", col("doc_id") + 10000))
+      Dedup.exact(union, md5(col("text")), "doc_id")
+        .agg(
+          lcount(lit(1)).as("n_keys"),
+          sum(col("n_copies")).as("n_rows"),
+          count(when(col("n_copies") > 1, lit(1))).as("n_dup_keys"),
+          min(col("keep_id")).as("min_keep"),
+          max(col("keep_id")).as("max_keep"))
+    },
+    Some("""WITH u AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 3 = 0),
+      |k AS (
+      |  SELECT md5(text) AS key, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+      |  FROM u GROUP BY 1)
+      |SELECT COUNT(*) AS n_keys, CAST(SUM(n_copies) AS BIGINT) AS n_rows,
+      |COUNT(CASE WHEN n_copies > 1 THEN 1 END) AS n_dup_keys,
+      |MIN(keep_id) AS min_keep, MAX(keep_id) AS max_keep
+      |FROM k""".stripMargin))
+
+  /** Exact n-gram Jaccard near-dup pairs (word 5-shingles, inverted-
+    * index pair generation, threshold 0.6). */
+  val q37 = GQuery(
+    "q37_ngram_jaccard",
+    (s, d) =>
+      Dedup.ngramJaccardPairs(documents(s, d), "doc_id", "text", k = 5, threshold = 0.6)
+        .select(col("da"), col("db"), col("common"), col("na"), col("nb"),
+          round(col("jaccard"), 6).as("jaccard")),
+    Some(s"""WITH $shingleSql,
+      |pairs AS (
+      |  SELECT a.doc AS da, b.doc AS db, COUNT(*) AS common
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+      |  GROUP BY 1, 2)
+      |SELECT p.da, p.db, p.common, sa.n_shingles AS na, sb.n_shingles AS nb,
+      |round(CAST(p.common AS DOUBLE)
+      |  / CAST(sa.n_shingles + sb.n_shingles - p.common AS DOUBLE), 6) AS jaccard
+      |FROM pairs p
+      |JOIN sizes sa ON p.da = sa.doc JOIN sizes sb ON p.db = sb.doc
+      |WHERE CAST(p.common AS DOUBLE)
+      |  / CAST(sa.n_shingles + sb.n_shingles - p.common AS DOUBLE) >= 0.6""".stripMargin),
+    headline = true)
+
+  /** MinHash(16 perms) + LSH(4 bands × 4 rows) near-dup pairs with
+    * exact-Jaccard verification ≥ 0.6 and the signature estimate. */
+  val q38 = GQuery(
+    "q38_minhash_lsh",
+    (s, d) =>
+      Dedup.minhashLshPairs(documents(s, d), "doc_id", "text",
+        k = 5, numPerms = 16, rowsPerBand = 4, threshold = 0.6)
+        .select(col("da"), col("db"),
+          round(col("jaccard"), 6).as("jaccard"),
+          round(col("est_jaccard"), 6).as("est_jaccard")),
+    Some(s"""WITH $shingleSql,
+      |h AS (
+      |  SELECT doc, p, CAST(('0x' || substr(md5(CAST(p AS VARCHAR) || ':' || shingle), 1, 15)) AS BIGINT) AS hv
+      |  FROM sh, UNNEST(generate_series(0, 15)) AS up(p)),
+      |sig AS (SELECT doc, p, MIN(hv) AS minh FROM h GROUP BY doc, p),
+      |bands AS (
+      |  SELECT doc, p // 4 AS band,
+      |    md5(string_agg(CAST(minh AS VARCHAR), '-' ORDER BY p)) AS bkey
+      |  FROM sig GROUP BY doc, p // 4),
+      |cand AS (
+      |  SELECT DISTINCT x.doc AS da, y.doc AS db
+      |  FROM bands x JOIN bands y
+      |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc < y.doc),
+      |est AS (
+      |  SELECT c.da, c.db,
+      |    CAST(COUNT(CASE WHEN sa.minh = sb.minh THEN 1 END) AS DOUBLE) / 16 AS est_jaccard
+      |  FROM cand c
+      |  JOIN sig sa ON sa.doc = c.da JOIN sig sb ON sb.doc = c.db AND sa.p = sb.p
+      |  GROUP BY c.da, c.db),
+      |common AS (
+      |  SELECT a.doc AS da, b.doc AS db, COUNT(*) AS common
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+      |  JOIN cand c ON c.da = a.doc AND c.db = b.doc
+      |  GROUP BY 1, 2)
+      |SELECT e.da, e.db,
+      |round(CAST(COALESCE(cm.common, 0) AS DOUBLE)
+      |  / CAST(sa.n_shingles + sb.n_shingles - COALESCE(cm.common, 0) AS DOUBLE), 6) AS jaccard,
+      |round(e.est_jaccard, 6) AS est_jaccard
+      |FROM est e
+      |LEFT JOIN common cm ON e.da = cm.da AND e.db = cm.db
+      |JOIN sizes sa ON e.da = sa.doc JOIN sizes sb ON e.db = sb.doc
+      |WHERE CAST(COALESCE(cm.common, 0) AS DOUBLE)
+      |  / CAST(sa.n_shingles + sb.n_shingles - COALESCE(cm.common, 0) AS DOUBLE) >= 0.6""".stripMargin))
+
+  /** SimHash near-dups: 60-bit md5-vote fingerprints, banded Hamming ≤ 3
+    * search (pigeonhole-exact for 4 bands); oracle checks all pairs. */
+  val q39 = GQuery(
+    "q39_simhash",
+    (s, d) =>
+      Dedup.simhashPairs(documents(s, d), "doc_id", "text", maxHamming = 3, numBands = 4),
+    Some("""WITH tf AS (
+      |  SELECT doc_id AS doc, tok, COUNT(*) AS tf, md5(tok) AS hex
+      |  FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+      |        FROM documents) t
+      |  GROUP BY doc_id, tok),
+      |bits AS (
+      |  SELECT doc, b,
+      |    SUM(tf * (2 * ((strpos('0123456789abcdef', substr(hex, b // 4 + 1, 1)) - 1 >> (b % 4)) & 1) - 1)) AS s
+      |  FROM tf, UNNEST(generate_series(0, 59)) AS u(b)
+      |  GROUP BY doc, b),
+      |simh AS (
+      |  SELECT doc,
+      |    CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS BIGINT) AS simhash
+      |  FROM bits GROUP BY doc)
+      |SELECT a.doc AS da, b.doc AS db,
+      |CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+      |FROM simh a JOIN simh b ON a.doc < b.doc
+      |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin))
+
+  def queries: Seq[GQuery] = Seq(q36, q37, q38, q39)
 }

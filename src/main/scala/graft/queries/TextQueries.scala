@@ -1,5 +1,124 @@
 package graft.queries
 
+import org.apache.spark.sql.functions._
+import graft.core.Exact._
+import graft.core.Tables._
+import graft.dedup.Dedup
+import graft.text.TextFunctions._
+
+/** Text-analysis surface for training-data pipelines: token counting,
+  * quality scoring, language ID and fingerprint dedup over the
+  * `documents` table. All heuristics are engine-portable (token
+  * equality + md5), so each query carries a full SQL oracle.
+  */
 object TextQueries {
-  def queries: Seq[GQuery] = Seq()
+
+  private val bpeSql = s"len(regexp_extract_all(text, '$BpeishPattern'))"
+  private val wsSql = "string_split_regex(trim(text), '\\s+')"
+
+  /** Token counting: whitespace tokens + BPE-ish lexer tokens per
+    * language. */
+  val q32 = GQuery(
+    "q32_token_stats",
+    (s, d) => {
+      val t = documents(s, d).withColumn("ws", wsTokens(col("text")))
+      t.groupBy(col("lang"))
+        .agg(
+          lcount(lit(1)).as("n_docs"),
+          sum(size(col("ws")).cast("long")).as("ws_tokens"),
+          sum(bpeishCount(col("text"))).as("bpeish_tokens"),
+          max(size(col("ws")).cast("long")).as("max_ws_tokens"),
+          sum(col("n_chars")).as("sum_chars"))
+    },
+    Some(s"""SELECT lang, COUNT(*) AS n_docs,
+      |CAST(SUM(len($wsSql)) AS BIGINT) AS ws_tokens,
+      |CAST(SUM($bpeSql) AS BIGINT) AS bpeish_tokens,
+      |CAST(MAX(len($wsSql)) AS BIGINT) AS max_ws_tokens,
+      |CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents GROUP BY lang""".stripMargin),
+    headline = true)
+
+  /** Quality scoring: fixed-weight blend of stopword ratio, mean token
+    * length and digit ratio; per-source mean score + low-quality count. */
+  val q33 = GQuery(
+    "q33_quality_score",
+    (s, d) => {
+      val t = documents(s, d).withColumn("ws", wsTokens(col("text")))
+        .withColumn("score", qualityScore(col("text"), col("ws")))
+      t.groupBy(col("source"))
+        .agg(
+          round(davg(col("score")), 6).as("mean_score"),
+          count(when(col("score") < 0.5, lit(1))).as("n_low_quality"),
+          lcount(lit(1)).as("n_docs"))
+    },
+    Some(s"""WITH f AS (
+      |  SELECT source,
+      |    0.4 * LEAST((CAST(len(list_filter($wsSql,
+      |        t -> t IN ('the','a','and','of','to','in'))) AS DOUBLE)
+      |      / CAST(len($wsSql) AS DOUBLE)) * 4.0, 1.0)
+      |    + 0.4 * LEAST((CAST(list_sum(list_transform($wsSql, t -> length(t))) AS DOUBLE)
+      |      / CAST(len($wsSql) AS DOUBLE)) / 8.0, 1.0)
+      |    + 0.2 * (1.0 - LEAST((CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+      |      / CAST(length(text) AS DOUBLE)) * 10.0, 1.0)) AS score
+      |  FROM documents)
+      |SELECT source, round(${sqlDsum("score")} / COUNT(score), 6) AS mean_score,
+      |COUNT(CASE WHEN score < 0.5 THEN 1 END) AS n_low_quality,
+      |COUNT(*) AS n_docs
+      |FROM f GROUP BY source""".stripMargin))
+
+  /** Language ID: stopword-marker argmax (deterministic tie-break on
+    * language code) vs the labelled language — confusion counts. */
+  val q34 = GQuery(
+    "q34_langid_confusion",
+    (s, d) =>
+      documents(s, d)
+        .withColumn("predicted", predictLang(wsTokens(col("text"))))
+        .groupBy(col("lang"), col("predicted"))
+        .agg(lcount(lit(1)).as("n")),
+    Some(s"""WITH sc AS (
+      |  SELECT lang,
+      |    len(list_filter($wsSql, t -> t IN ('der','und','die','nicht'))) AS s_de,
+      |    len(list_filter($wsSql, t -> t IN ('the','a','and','of'))) AS s_en,
+      |    len(list_filter($wsSql, t -> t IN ('el','la','de','que'))) AS s_es,
+      |    len(list_filter($wsSql, t -> t IN ('le','et','les','une'))) AS s_fr
+      |  FROM documents),
+      |p AS (
+      |  SELECT lang,
+      |    CASE WHEN s_de = greatest(s_de, s_en, s_es, s_fr) AND s_de > 0 THEN 'de'
+      |         WHEN s_en = greatest(s_de, s_en, s_es, s_fr) AND s_en > 0 THEN 'en'
+      |         WHEN s_es = greatest(s_de, s_en, s_es, s_fr) AND s_es > 0 THEN 'es'
+      |         WHEN s_fr = greatest(s_de, s_en, s_es, s_fr) AND s_fr > 0 THEN 'fr'
+      |         ELSE 'und' END AS predicted
+      |  FROM sc)
+      |SELECT lang, predicted, COUNT(*) AS n FROM p GROUP BY lang, predicted""".stripMargin))
+
+  /** Fingerprint dedup: normalized-content md5 over a corpus built from
+    * two overlapping "crawls" (documents ∪ first half re-crawled) —
+    * per-language total/unique/dupe counts. */
+  val q35 = GQuery(
+    "q35_fingerprint_dedup",
+    (s, d) => {
+      val docs = documents(s, d)
+      val crawl2 = docs.filter(col("doc_id") < 250)
+        .withColumn("source", lit("crawl2"))
+      docs.unionByName(crawl2)
+        .withColumn("fp", fingerprint(col("text")))
+        .groupBy(col("lang"))
+        .agg(
+          lcount(lit(1)).as("n_rows"),
+          countDistinct(col("fp")).as("n_unique"),
+          (lcount(lit(1)) - countDistinct(col("fp"))).as("n_dupes"))
+    },
+    Some("""WITH u AS (
+      |  SELECT lang, text FROM documents
+      |  UNION ALL
+      |  SELECT lang, text FROM documents WHERE doc_id < 250),
+      |fp AS (
+      |  SELECT lang, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+      |  FROM u)
+      |SELECT lang, COUNT(*) AS n_rows, COUNT(DISTINCT fp) AS n_unique,
+      |COUNT(*) - COUNT(DISTINCT fp) AS n_dupes
+      |FROM fp GROUP BY lang""".stripMargin))
+
+  def queries: Seq[GQuery] = Seq(q32, q33, q34, q35)
 }

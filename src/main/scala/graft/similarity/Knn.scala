@@ -1,0 +1,130 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Approximate-nearest-neighbour search over an embedding column
+  * (`array<float>`): brute-force cosine top-k as the exact baseline and
+  * a random-hyperplane LSH bucketed variant as the scale path.
+  *
+  * Numeric determinism: float summation is order-dependent, so dot
+  * products and norms are computed in DECIMAL — each float element is
+  * cast to DECIMAL(18,9) (deterministic), products are exact decimals,
+  * and Spark's decimal SUM aggregate is exact and associative. Only the
+  * final cosine division happens in doubles (sqrt is IEEE correctly-
+  * rounded), so results are bit-identical at any parallelism and
+  * reproducible by any engine. (A lambda-`aggregate` fold is avoided:
+  * decimal `+` inside a lambda grows precision past 38 and silently
+  * truncates scale.)
+  */
+object Knn {
+  private val ElemDec = DecimalType(18, 9)
+  private val AccDec = DecimalType(38, 18)
+
+  /** (id, i, e): one row per vector element, decimal-cast. */
+  def elements(df: DataFrame, idCol: String, vecCol: String,
+               idAs: String, eAs: String): DataFrame =
+    df.select(col(idCol).as(idAs), posexplode(col(vecCol)).as(Seq("i", "__e")))
+      .select(col(idAs), col("i"), col("__e").cast(ElemDec).as(eAs))
+
+  /** Exact squared L2 norms per id, as double. */
+  def norms(el: DataFrame, idAs: String, eAs: String, normAs: String): DataFrame =
+    el.groupBy(col(idAs)).agg(sum(col(eAs) * col(eAs)).cast(DoubleType).as(normAs))
+
+  /** Brute-force cosine top-k: each query row (small side, broadcast as
+    * an element table) against the full corpus. One shuffle for the
+    * (qid, nid) partial-aggregated dot products; corpus norms computed
+    * once. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, k: Int): DataFrame = {
+    val ce = elements(corpus, idCol, vecCol, "nid", "ce")
+    val qe = elements(queries, idCol, vecCol, "qid", "qe")
+    val cn = norms(ce, "nid", "ce", "nn2")
+    val qn = norms(qe, "qid", "qe", "qn2")
+    val dot = ce.join(broadcast(qe), Seq("i"))
+      .filter(col("qid") =!= col("nid"))
+      .groupBy(col("qid"), col("nid"))
+      .agg(sum(col("qe") * col("ce")).cast(DoubleType).as("dot"))
+    val scored = dot
+      .join(broadcast(qn), Seq("qid"))
+      .join(cn, Seq("nid"))
+      .withColumn("cos", col("dot") / (sqrt(col("qn2")) * sqrt(col("nn2"))))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), col("cos"))
+  }
+
+  /** All near-dup pairs with cosine ≥ threshold within `df` (optionally
+    * pre-filtered). All-pairs on the dot side — use LSH buckets first at
+    * scale. */
+  def cosinePairs(df: DataFrame, idCol: String, vecCol: String,
+                  threshold: Double): DataFrame = {
+    val ae = elements(df, idCol, vecCol, "va", "ea")
+    val be = elements(df, idCol, vecCol, "vb", "eb")
+    val an = norms(ae, "va", "ea", "na2")
+    val bn = norms(be, "vb", "eb", "nb2")
+    val dot = ae.join(be, Seq("i"))
+      .filter(col("va") < col("vb"))
+      .groupBy(col("va"), col("vb"))
+      .agg(sum(col("ea") * col("eb")).cast(DoubleType).as("dot"))
+    dot.join(broadcast(an), Seq("va"))
+      .join(broadcast(bn), Seq("vb"))
+      .withColumn("cos", col("dot") / (sqrt(col("na2")) * sqrt(col("nb2"))))
+      .filter(col("cos") >= threshold)
+      .select(col("va"), col("vb"), col("cos"))
+  }
+
+  /** Deterministic ±1 hyperplane component for (plane, dim): parity of
+    * the first md5 hex digit of "p:i". */
+  private def signComponent(p: Column, i: Column): Column = {
+    val d = instr(lit("0123456789abcdef"),
+      substring(md5(concat(p.cast("string"), lit(":"), i.cast("string"))), 1, 1)) - 1
+    when(d % 2 === 1, lit(1.0)).otherwise(lit(-1.0))
+  }
+
+  /** Random-hyperplane LSH bucket id per row: `numPlanes` sign bits of
+    * the projection onto md5-derived ±1 hyperplanes. Rows landing in the
+    * same bucket are candidate neighbours — at scale the subsequent
+    * join is bucket-local instead of all-pairs. */
+  def hyperplaneBuckets(df: DataFrame, idCol: String, vecCol: String,
+                        numPlanes: Int): DataFrame =
+    df.select(col(idCol).as("id"), posexplode(col(vecCol)).as(Seq("i", "e")))
+      .select(col("id"), col("i"), col("e").cast("double").as("e"),
+        explode(sequence(lit(0), lit(numPlanes - 1))).as("p"))
+      .withColumn("contrib", (col("e") * signComponent(col("p"), col("i"))).cast(AccDec))
+      .groupBy(col("id"), col("p"))
+      .agg(sum(col("contrib")).as("proj"))
+      .withColumn("bit", when(col("proj") > 0, lit(1L)).otherwise(lit(0L)))
+      .groupBy(col("id"))
+      .agg(sum(expr("shiftleft(bit, CAST(p AS INT))")).as("bucket"))
+
+  /** LSH-bucketed ANN: top-k among same-bucket candidates only. Same
+    * schema as [[bruteForceTopK]]; recall < 1 by construction (measured
+    * in tests against the brute-force baseline). */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, numPlanes: Int): DataFrame = {
+    val cb = hyperplaneBuckets(corpus, idCol, vecCol, numPlanes)
+    val qb = hyperplaneBuckets(queries, idCol, vecCol, numPlanes)
+    val ce = elements(corpus, idCol, vecCol, "nid", "ce")
+      .join(cb.withColumnRenamed("id", "nid"), Seq("nid"))
+    val qe = elements(queries, idCol, vecCol, "qid", "qe")
+      .join(qb.withColumnRenamed("id", "qid"), Seq("qid"))
+    val cn = norms(ce, "nid", "ce", "nn2")
+    val qn = norms(qe, "qid", "qe", "qn2")
+    val dot = ce.join(broadcast(qe), Seq("bucket", "i"))
+      .filter(col("qid") =!= col("nid"))
+      .groupBy(col("qid"), col("nid"))
+      .agg(sum(col("qe") * col("ce")).cast(DoubleType).as("dot"))
+    val scored = dot
+      .join(broadcast(qn), Seq("qid"))
+      .join(cn, Seq("nid"))
+      .withColumn("cos", col("dot") / (sqrt(col("qn2")) * sqrt(col("nn2"))))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), col("cos"))
+  }
+}
