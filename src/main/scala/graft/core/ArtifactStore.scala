@@ -1,0 +1,46 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Versioned artifact store — the reference's load-bearing convention:
+  * every stage output is named `prefix__<yyyyMMddHHmmss>_<sha7>__` and
+  * read back with `version = "latest"` or an exact version
+  * (`/root/reference/R/utils.R:29-51`, `R/cloud-storage.R:170-214`).
+  *
+  * Spark mapping (SURVEY §1.4): each artifact is a Parquet directory
+  * `<root>/<prefix>/v=<ts>_<sha>/`; "latest" resolves to the
+  * lexicographically greatest `v=` partition (timestamp-prefixed, so
+  * lexical == chronological). Readers hit exactly one version directory
+  * — no cross-version scans — and any historical run is reproducible
+  * from its version string.
+  */
+final class ArtifactStore(spark: SparkSession, root: String) {
+  private val fs = org.apache.hadoop.fs.FileSystem.get(
+    new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+
+  def versionString(ts: java.time.LocalDateTime, sha: String): String =
+    f"${ts.format(java.time.format.DateTimeFormatter.ofPattern("yyyyMMddHHmmss"))}_${sha.take(7)}"
+
+  def write(df: DataFrame, prefix: String, version: String): String = {
+    val path = s"$root/$prefix/v=$version"
+    df.write.mode("overwrite").parquet(path)
+    path
+  }
+
+  def versions(prefix: String): Seq[String] = {
+    val dir = new org.apache.hadoop.fs.Path(s"$root/$prefix")
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq
+      .map(_.getPath.getName)
+      .filter(_.startsWith("v="))
+      .map(_.stripPrefix("v="))
+      .sorted
+  }
+
+  /** Read an exact version, or the latest when `version` is None. */
+  def read(prefix: String, version: Option[String] = None): DataFrame = {
+    val v = version.orElse(versions(prefix).lastOption)
+      .getOrElse(sys.error(s"no versions of $prefix under $root"))
+    spark.read.parquet(s"$root/$prefix/v=$v")
+  }
+}

@@ -1,0 +1,91 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: image/audio/video payloads are opaque
+  * `binary` columns with typed metadata structs, processed in batched
+  * per-partition passes (the Scala analogue of `mapInPandas`: one
+  * iterator pass per partition, vectorizable batch shape, no per-row
+  * driver round-trips).
+  *
+  * The actual media decode is STUBBED — codec libraries are not
+  * available in this environment — behind [[Decoder]]: `FakeDecoder`
+  * produces deterministic metadata/features from the bytes' md5, so the
+  * Spark-side plumbing (schema, partitioning, batch iteration, feature
+  * shapes) is real and testable, and a codec-backed `Decoder` can be
+  * dropped in without touching any plan.
+  */
+object Multimodal {
+
+  val MediaMetaType: StructType = StructType(Seq(
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("format", StringType),
+    StructField("n_bytes", LongType)))
+
+  /** Pluggable decode stage. Implementations must be deterministic pure
+    * functions of the payload bytes. */
+  trait Decoder extends Serializable {
+    def meta(bytes: Array[Byte]): (Int, Int, Int, String)
+    /** Fixed-size feature vector (e.g. a pooled embedding). */
+    def features(bytes: Array[Byte], dim: Int): Array[Float]
+  }
+
+  /** STUB: md5-derived deterministic fake standing in for a real codec. */
+  object FakeDecoder extends Decoder {
+    private def digest(bytes: Array[Byte]): Array[Byte] =
+      java.security.MessageDigest.getInstance("MD5").digest(bytes)
+    def meta(bytes: Array[Byte]): (Int, Int, Int, String) = {
+      val d = digest(bytes)
+      (64 + (d(0) & 0x7f), 64 + (d(1) & 0x7f), 1 + (d(2) & 0x03), "fake")
+    }
+    def features(bytes: Array[Byte], dim: Int): Array[Float] = {
+      val d = digest(bytes)
+      Array.tabulate(dim)(i => ((d(i % d.length) & 0xff) - 128) / 128.0f)
+    }
+  }
+
+  /** Attach a metadata struct for each binary payload. Runs as one
+    * per-partition pass; the schema is declared up front so downstream
+    * pruning/pushdown still work. */
+  def withMeta(df: DataFrame, binCol: String, as: String,
+               decoder: Decoder = FakeDecoder): DataFrame = {
+    val schema = StructType(df.schema.fields :+ StructField(as, MediaMetaType))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]](binCol)
+        val (w, h, c, f) =
+          if (bytes == null) (0, 0, 0, null) else decoder.meta(bytes)
+        Row.fromSeq(r.toSeq :+ Row(w, h, c, f,
+          if (bytes == null) 0L else bytes.length.toLong))
+      }
+    }(enc)
+  }
+
+  /** Batched feature extraction: (idCol, features array<float>) per
+    * payload. Batch shape mirrors mapInPandas — partition-local
+    * iteration, constant memory per batch. */
+  def extractFeatures(df: DataFrame, idCol: String, binCol: String, dim: Int,
+                      decoder: Decoder = FakeDecoder): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        (id, if (bytes == null) Array.empty[Float] else decoder.features(bytes, dim))
+      })
+      .toDF(idCol, "features")
+  }
+
+  /** Deterministic frame sampling plan for video-like payloads: every
+    * `stride`-th frame index below `nFrames` — the plan (which frames to
+    * decode) is relational; the decode itself is the stubbed stage. */
+  def frameSampleIndexes(df: DataFrame, idCol: String, nFramesCol: String,
+                         stride: Int): DataFrame =
+    df.select(col(idCol), explode(
+      sequence(lit(0), greatest(col(nFramesCol) - 1, lit(0)), lit(stride))).as("frame_idx"))
+}

@@ -68,17 +68,18 @@ object SimilarityQueries {
       |  FROM dot d JOIN n2 na ON d.va = na.vec_id JOIN n2 nb ON d.vb = nb.vec_id)
       |SELECT va, vb, round(cos, 4) AS cos FROM scored WHERE cos >= 0.25""".stripMargin))
 
-  /** Hyperplane-LSH ANN (8 planes): the 100-TB-scale path where the
-    * candidate join is bucket-local. Approximate by construction, so no
-    * SQL oracle — the driver records rows>0 and KnnSpec measures recall
-    * against q40's exact baseline. */
+  /** Hyperplane-LSH ANN (4 tables × 6 planes, AND-OR): the 100-TB-scale
+    * path where the candidate join is bucket-local. Approximate by
+    * construction, so no SQL oracle — the driver records rows>0 and
+    * KnnSpec measures recall against q40's exact baseline. */
   val q42 = GQuery(
     "q42_lsh_ann",
     (s, d) => {
       val emb = embeddings(s, d)
       Knn.lshTopK(
         corpus = emb, queries = emb.filter(col("vec_id") < 10),
-        idCol = "vec_id", vecCol = "embedding", k = 5, numPlanes = 8)
+        idCol = "vec_id", vecCol = "embedding", k = 5,
+        numPlanes = 6, numTables = 4)
         .select(col("qid"), col("rank"), col("nid"), round(col("cos"), 4).as("cos"))
     },
     None)

@@ -77,45 +77,55 @@ object Knn {
       .select(col("va"), col("vb"), col("cos"))
   }
 
-  /** Deterministic ±1 hyperplane component for (plane, dim): parity of
-    * the first md5 hex digit of "p:i". */
-  private def signComponent(p: Column, i: Column): Column = {
+  /** Deterministic ±1 hyperplane component for (table, plane, dim):
+    * parity of the first md5 hex digit of "t:p:i". */
+  private def signComponent(t: Column, p: Column, i: Column): Column = {
     val d = instr(lit("0123456789abcdef"),
-      substring(md5(concat(p.cast("string"), lit(":"), i.cast("string"))), 1, 1)) - 1
+      substring(md5(concat(t.cast("string"), lit(":"),
+        p.cast("string"), lit(":"), i.cast("string"))), 1, 1)) - 1
     when(d % 2 === 1, lit(1.0)).otherwise(lit(-1.0))
   }
 
-  /** Random-hyperplane LSH bucket id per row: `numPlanes` sign bits of
-    * the projection onto md5-derived ±1 hyperplanes. Rows landing in the
-    * same bucket are candidate neighbours — at scale the subsequent
-    * join is bucket-local instead of all-pairs. */
+  /** Random-hyperplane LSH buckets, AND-OR construction: `numTables`
+    * independent hash tables of `numPlanes` sign bits each. Output one
+    * row per (id, table) with the table-local bucket. Rows sharing a
+    * (table, bucket) are candidate neighbours — at scale the candidate
+    * join is bucket-local instead of all-pairs, and more tables trade
+    * compute for recall. */
   def hyperplaneBuckets(df: DataFrame, idCol: String, vecCol: String,
-                        numPlanes: Int): DataFrame =
+                        numPlanes: Int, numTables: Int): DataFrame =
     df.select(col(idCol).as("id"), posexplode(col(vecCol)).as(Seq("i", "e")))
       .select(col("id"), col("i"), col("e").cast("double").as("e"),
+        explode(sequence(lit(0), lit(numTables - 1))).as("t"),
         explode(sequence(lit(0), lit(numPlanes - 1))).as("p"))
-      .withColumn("contrib", (col("e") * signComponent(col("p"), col("i"))).cast(AccDec))
-      .groupBy(col("id"), col("p"))
+      .withColumn("contrib",
+        (col("e") * signComponent(col("t"), col("p"), col("i"))).cast(AccDec))
+      .groupBy(col("id"), col("t"), col("p"))
       .agg(sum(col("contrib")).as("proj"))
       .withColumn("bit", when(col("proj") > 0, lit(1L)).otherwise(lit(0L)))
-      .groupBy(col("id"))
+      .groupBy(col("id"), col("t"))
       .agg(sum(expr("shiftleft(bit, CAST(p AS INT))")).as("bucket"))
 
-  /** LSH-bucketed ANN: top-k among same-bucket candidates only. Same
-    * schema as [[bruteForceTopK]]; recall < 1 by construction (measured
-    * in tests against the brute-force baseline). */
+  /** LSH-bucketed ANN: top-k among candidates that share a bucket with
+    * the query in ANY table. Same schema as [[bruteForceTopK]]; recall
+    * < 1 by construction (measured in tests against the brute-force
+    * baseline). */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, k: Int, numPlanes: Int): DataFrame = {
-    val cb = hyperplaneBuckets(corpus, idCol, vecCol, numPlanes)
-    val qb = hyperplaneBuckets(queries, idCol, vecCol, numPlanes)
+              vecCol: String, k: Int, numPlanes: Int, numTables: Int = 4): DataFrame = {
+    val cb = hyperplaneBuckets(corpus, idCol, vecCol, numPlanes, numTables)
+      .withColumnRenamed("id", "nid")
+    val qb = hyperplaneBuckets(queries, idCol, vecCol, numPlanes, numTables)
+      .withColumnRenamed("id", "qid")
+    val cand = cb.join(broadcast(qb), Seq("t", "bucket"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid")).distinct()
     val ce = elements(corpus, idCol, vecCol, "nid", "ce")
-      .join(cb.withColumnRenamed("id", "nid"), Seq("nid"))
+      .join(cand, Seq("nid"), "left_semi")
     val qe = elements(queries, idCol, vecCol, "qid", "qe")
-      .join(qb.withColumnRenamed("id", "qid"), Seq("qid"))
     val cn = norms(ce, "nid", "ce", "nn2")
     val qn = norms(qe, "qid", "qe", "qn2")
-    val dot = ce.join(broadcast(qe), Seq("bucket", "i"))
-      .filter(col("qid") =!= col("nid"))
+    val dot = ce.join(broadcast(qe), Seq("i"))
+      .join(cand, Seq("qid", "nid"), "left_semi")
       .groupBy(col("qid"), col("nid"))
       .agg(sum(col("qe") * col("ce")).cast(DoubleType).as("dot"))
     val scored = dot

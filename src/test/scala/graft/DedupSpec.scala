@@ -1,0 +1,62 @@
+package graft
+
+import graft.dedup.Dedup
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    (1L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"), // near-dup of 0
+    (2L, "one two three four five six seven eight nine ten"),
+    (3L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"), // exact dup of 0
+    (4L, "totally different words with no overlap whatsoever at all ok")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical content, keeps min id") {
+    val out = Dedup.exact(corpus, md5($"text"), "doc_id")
+    assert(out.count() == 4)
+    val dup = out.filter($"n_copies" === 2).head()
+    assert(dup.getAs[Long]("keep_id") == 0L)
+  }
+
+  test("ngram Jaccard finds the near-dup and exact-dup pairs only") {
+    val pairs = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", k = 3, threshold = 0.5)
+      .select($"da", $"db").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L), (0L, 3L), (1L, 3L)))
+  }
+
+  test("minhash LSH finds the same pairs as exact Jaccard at high threshold") {
+    val exact = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", k = 3, threshold = 0.6)
+      .select($"da", $"db").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashLshPairs(corpus, "doc_id", "text",
+      k = 3, numPerms = 16, rowsPerBand = 4, threshold = 0.6)
+      .select($"da", $"db").as[(Long, Long)].collect().toSet
+    assert(lsh == exact)
+    // exact dups must agree on the full signature
+    val full = Dedup.minhashLshPairs(corpus, "doc_id", "text",
+      k = 3, numPerms = 16, rowsPerBand = 4, threshold = 0.6)
+      .filter($"da" === 0 && $"db" === 3).head()
+    assert(full.getAs[Double]("est_jaccard") == 1.0)
+    assert(full.getAs[Double]("jaccard") == 1.0)
+  }
+
+  test("simhash: identical docs collide at hamming 0; unrelated docs don't pair") {
+    val pairs = Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = 3, numBands = 4)
+      .collect().map(r => (r.getAs[Long]("da"), r.getAs[Long]("db"), r.getAs[Int]("hamming")))
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 3L && p._3 == 0))
+    assert(!pairs.exists(p => p._2 == 4L || p._1 == 4L))
+  }
+
+  test("shingleIndex stop-shingle cutoff drops high-document-frequency shingles") {
+    val many = spark.range(0, 50).selectExpr("id AS doc_id",
+      "'common shingle text here okay' AS text")
+      .unionByName(Seq((100L, "rare unique words appear once here")).toDF("doc_id", "text"))
+    val full = Dedup.shingleIndex(many, "doc_id", "text", 3)
+    val cut = Dedup.shingleIndex(many, "doc_id", "text", 3, maxDocFreq = 5)
+    assert(full.count() > cut.count())
+    assert(cut.filter($"doc" === 100L).count() == 4) // rare doc untouched (6 tokens → 4 3-shingles)
+    assert(cut.filter($"doc" =!= 100L).count() == 0) // stop-shingles gone
+  }
+}

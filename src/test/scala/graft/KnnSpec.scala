@@ -1,0 +1,47 @@
+package graft
+
+import graft.core.Tables
+import graft.similarity.Knn
+import org.apache.spark.sql.functions._
+
+class KnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("brute-force top-k ranks by cosine with id tie-break") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),  // closest to 0
+      (2L, Array(0.0f, 1.0f, 0.0f)),  // orthogonal
+      (3L, Array(1.0f, 0.0f, 0.0f))   // identical to 0
+    ).toDF("vec_id", "embedding")
+    val top = Knn.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0), "vec_id", "embedding", 3)
+      .orderBy("rank").select($"nid").as[Long].collect().toSeq
+    assert(top == Seq(3L, 1L, 2L)) // identical first, then near, then orthogonal
+  }
+
+  test("LSH ANN achieves reasonable recall@5 against brute force on real embeddings") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter($"vec_id" < 20)
+    val exact = Knn.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select($"qid", $"nid").as[(Long, Long)].collect().toSet
+    val approx = Knn.lshTopK(emb, queries, "vec_id", "embedding", 5,
+      numPlanes = 4, numTables = 8)
+      .select($"qid", $"nid").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    // 8 tables × 4 planes: each table's buckets cover ~1/16 of the
+    // corpus; the OR over tables should recover most true neighbours.
+    assert(recall > 0.5, s"recall $recall suspiciously low")
+    assert(approx.subsetOf(exact.union(approx)), "sanity")
+  }
+
+  test("cosinePairs is symmetric-free (va<vb) and respects the threshold") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(1.0f, 0.01f)),
+      (2L, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Knn.cosinePairs(vecs, "vec_id", "embedding", 0.9)
+      .select($"va", $"vb").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+}

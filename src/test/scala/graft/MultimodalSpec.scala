@@ -1,0 +1,46 @@
+package graft
+
+import graft.multimodal.Multimodal
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def payloads = Seq(
+    (1L, "fake-image-bytes-aaaa"),
+    (2L, "fake-image-bytes-bbbb"),
+    (3L, null: String)
+  ).toDF("id", "s").withColumn("payload", $"s".cast("binary")).drop("s")
+
+  test("withMeta attaches a typed metadata struct per payload (null-safe)") {
+    val out = Multimodal.withMeta(payloads, "payload", "meta")
+    assert(out.schema("meta").dataType == Multimodal.MediaMetaType)
+    val rows = out.select($"id", $"meta.width", $"meta.n_bytes").collect()
+    val byId = rows.map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    assert(byId(1L)._1 >= 64 && byId(1L)._2 == 21L)
+    assert(byId(3L) == (0, 0L))
+  }
+
+  test("withMeta is deterministic (same bytes → same fake decode)") {
+    val a = Multimodal.withMeta(payloads, "payload", "meta")
+      .select($"id", $"meta").collect().toSet
+    val b = Multimodal.withMeta(payloads, "payload", "meta")
+      .select($"id", $"meta").collect().toSet
+    assert(a == b)
+  }
+
+  test("extractFeatures yields fixed-dim vectors in batch-iterated partitions") {
+    val out = Multimodal.extractFeatures(payloads.filter($"id" < 3), "id", "payload", dim = 8)
+    val feats = out.as[(Long, Array[Float])].collect().toMap
+    assert(feats(1L).length == 8 && feats(2L).length == 8)
+    assert(feats(1L).toSeq != feats(2L).toSeq)
+    assert(feats.values.flatten.forall(f => f >= -1.0f && f <= 1.0f))
+  }
+
+  test("frameSampleIndexes plans every stride-th frame") {
+    val df = Seq((1L, 10), (2L, 1)).toDF("id", "n_frames")
+    val idx = Multimodal.frameSampleIndexes(df, "id", "n_frames", stride = 4)
+      .as[(Long, Int)].collect().toSet
+    assert(idx == Set((1L, 0), (1L, 4), (1L, 8), (2L, 0)))
+  }
+}
