@@ -34,8 +34,12 @@ object Dedup {
     * documents (stop-shingle cutoff; 0 = keep all). */
   def shingleIndex(df: DataFrame, idCol: String, textCol: String, k: Int,
                    maxDocFreq: Long = 0L): DataFrame = {
+    // materialize the token array first: element_at inside the shingle
+    // lambda would otherwise re-evaluate split() per referenced element
     val sh = df.select(col(idCol).as("doc"),
-        explode(TextFunctions.shingles(TextFunctions.wsTokens(col(textCol)), k)).as("shingle"))
+        TextFunctions.wsTokens(col(textCol)).as("__ws"))
+      .select(col("doc"),
+        explode(TextFunctions.shingles(col("__ws"), k)).as("shingle"))
     if (maxDocFreq <= 0) sh
     else {
       val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
@@ -64,16 +68,25 @@ object Dedup {
       .select("da", "db", "common", "na", "nb", "jaccard")
   }
 
-  /** md5-derived 60-bit hash of a string under permutation seed `p`
-    * (first 15 hex chars parsed base-16 — reproducible anywhere). */
-  def md5Hash60(p: Column, s: Column): Column =
-    conv(substring(md5(concat(p.cast("string"), lit(":"), s)), 1, 15), 16, 10).cast("long")
+  /** md5-derived 28-bit base hash of a string (first 7 hex chars parsed
+    * base-16 — reproducible anywhere). */
+  def md5Hash28(s: Column): Column =
+    conv(substring(md5(s), 1, 7), 16, 10).cast("long")
+
+  /** Affine permutation of the base hash: one md5 per shingle, then
+    * `numPerms` cheap universal-hash variants
+    * h_p = (a_p·h0 + p) mod (2³¹−1) with a_p = (2654435761·(p+1)) mod
+    * (2³¹−1). a_p < 2³¹ and h0 < 2²⁸ keep the product well inside a
+    * signed 64-bit, so any engine reproduces it exactly. */
+  def permHash(p: Column, h0: Column): Column =
+    ((lit(2654435761L) * (p + 1) % 2147483647L) * h0 + p) % 2147483647L
 
   /** MinHash signatures: one row per (doc, perm) with the min hash. */
   def minhashSignatures(idx: DataFrame, numPerms: Int): DataFrame = {
     val perms = explode(sequence(lit(0), lit(numPerms - 1))).as("p")
-    idx.select(col("doc"), col("shingle"), perms)
-      .withColumn("h", md5Hash60(col("p"), col("shingle")))
+    idx.select(col("doc"), md5Hash28(col("shingle")).as("h0"))
+      .select(col("doc"), col("h0"), perms)
+      .withColumn("h", permHash(col("p"), col("h0")))
       .groupBy(col("doc"), col("p"))
       .agg(min(col("h")).as("minh"))
   }
@@ -154,14 +167,16 @@ object Dedup {
     val banded = sh.select(col("doc"), col("simhash"),
       explode(sequence(lit(0), lit(numBands - 1))).as("band"))
       .withColumn("bkey", expr(s"(simhash >> CAST(band * $width AS INT)) % ${1L << width}"))
+    // hamming-filter BEFORE distinct: band buckets can collide heavily
+    // (skewed corpora), and distinct-ing tens of millions of candidate
+    // pairs is the bottleneck — filtered pairs are few, so the distinct
+    // shuffle stays tiny.
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc") < col("y.doc"))
       .select(col("x.doc").as("da"), col("y.doc").as("db"),
-        col("x.simhash").as("sa"), col("y.simhash").as("sb"))
-      .distinct()
-      .withColumn("hamming", expr("bit_count(sa ^ sb)"))
+        expr("CAST(bit_count(x.simhash ^ y.simhash) AS INT)").as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .select("da", "db", "hamming")
+      .distinct()
   }
 }

@@ -85,7 +85,9 @@ object DedupQueries {
           round(col("est_jaccard"), 6).as("est_jaccard")),
     Some(s"""WITH $shingleSql,
       |h AS (
-      |  SELECT doc, p, CAST(('0x' || substr(md5(CAST(p AS VARCHAR) || ':' || shingle), 1, 15)) AS BIGINT) AS hv
+      |  SELECT doc, p,
+      |    ((2654435761 * (p + 1) % 2147483647)
+      |      * CAST(('0x' || substr(md5(shingle), 1, 7)) AS BIGINT) + p) % 2147483647 AS hv
       |  FROM sh, UNNEST(generate_series(0, 15)) AS up(p)),
       |sig AS (SELECT doc, p, MIN(hv) AS minh FROM h GROUP BY doc, p),
       |bands AS (

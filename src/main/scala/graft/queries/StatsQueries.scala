@@ -25,13 +25,18 @@ object StatsQueries {
   val q23 = GQuery(
     "q23_percentile_exact",
     (s, d) =>
+      // one percentile aggregate with an array of percentages: separate
+      // calls would each buffer the full column per group
       lineitem(s, d)
         .groupBy(col("l_returnflag"))
         .agg(
-          round(percentile(col("l_extendedprice"), lit(0.25)), 6).as("p25"),
-          round(percentile(col("l_extendedprice"), lit(0.5)), 6).as("p50"),
-          round(percentile(col("l_extendedprice"), lit(0.75)), 6).as("p75"),
-          lcount(lit(1)).as("n")),
+          percentile(col("l_extendedprice"), array(lit(0.25), lit(0.5), lit(0.75))).as("ps"),
+          lcount(lit(1)).as("n"))
+        .select(col("l_returnflag"),
+          round(element_at(col("ps"), 1), 6).as("p25"),
+          round(element_at(col("ps"), 2), 6).as("p50"),
+          round(element_at(col("ps"), 3), 6).as("p75"),
+          col("n")),
     Some("""SELECT l_returnflag,
       |round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
       |round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
@@ -48,9 +53,12 @@ object StatsQueries {
     "q24_mad_bounds",
     (s, d) => {
       val k = 2.5
+      // the bounds computation makes three passes; cache the 2-column
+      // projection instead of rescanning parquet each pass
+      val base = lineitem(s, d)
+        .select(col("l_returnflag"), col("l_extendedprice")).cache()
       val flagged = Outliers.flagOutliers(
-        lineitem(s, d).select(col("l_returnflag"), col("l_extendedprice")),
-        keys = Seq("l_returnflag"), x = "l_extendedprice", k = k)
+        base, keys = Seq("l_returnflag"), x = "l_extendedprice", k = k)
       flagged
         .groupBy(col("l_returnflag"))
         .agg(
@@ -84,10 +92,12 @@ object StatsQueries {
   val q25 = GQuery(
     "q25_cooks_distance",
     (s, d) => {
+      // three regression passes (fit, SSE, flags): cache the projected
+      // log-transformed base rather than recomputing scan+ln each pass
       val li = lineitem(s, d).select(
         col("l_returnflag"),
         log(lit(1.0) + col("l_quantity")).as("x"),
-        log(lit(1.0) + col("l_extendedprice")).as("y"))
+        log(lit(1.0) + col("l_extendedprice")).as("y")).cache()
       Regression.cooksDistance(li, Seq("l_returnflag"), "x", "y")
         .groupBy(col("l_returnflag"))
         .agg(

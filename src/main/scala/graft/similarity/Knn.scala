@@ -86,6 +86,17 @@ object Knn {
     when(d % 2 === 1, lit(1.0)).otherwise(lit(-1.0))
   }
 
+  /** The (table, plane, dim) → ±1 hyperplane matrix as a broadcastable
+    * frame: tables×planes×dims rows, md5 evaluated once per entry here
+    * instead of once per data-element — the hash cost is O(matrix), not
+    * O(data × matrix). */
+  def signMatrix(spark: org.apache.spark.sql.SparkSession,
+                 numPlanes: Int, numTables: Int, dim: Int): DataFrame =
+    spark.range(numTables).select(col("id").cast("int").as("t"))
+      .crossJoin(spark.range(numPlanes).select(col("id").cast("int").as("p")))
+      .crossJoin(spark.range(dim).select(col("id").cast("int").as("i")))
+      .withColumn("sign", signComponent(col("t"), col("p"), col("i")))
+
   /** Random-hyperplane LSH buckets, AND-OR construction: `numTables`
     * independent hash tables of `numPlanes` sign bits each. Output one
     * row per (id, table) with the table-local bucket. Rows sharing a
@@ -93,18 +104,19 @@ object Knn {
     * join is bucket-local instead of all-pairs, and more tables trade
     * compute for recall. */
   def hyperplaneBuckets(df: DataFrame, idCol: String, vecCol: String,
-                        numPlanes: Int, numTables: Int): DataFrame =
+                        numPlanes: Int, numTables: Int): DataFrame = {
+    val spark = df.sparkSession
+    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    val m = broadcast(signMatrix(spark, numPlanes, numTables, dim))
     df.select(col(idCol).as("id"), posexplode(col(vecCol)).as(Seq("i", "e")))
-      .select(col("id"), col("i"), col("e").cast("double").as("e"),
-        explode(sequence(lit(0), lit(numTables - 1))).as("t"),
-        explode(sequence(lit(0), lit(numPlanes - 1))).as("p"))
-      .withColumn("contrib",
-        (col("e") * signComponent(col("t"), col("p"), col("i"))).cast(AccDec))
+      .join(m, Seq("i"))
+      .withColumn("contrib", (col("e").cast("double") * col("sign")).cast(AccDec))
       .groupBy(col("id"), col("t"), col("p"))
       .agg(sum(col("contrib")).as("proj"))
       .withColumn("bit", when(col("proj") > 0, lit(1L)).otherwise(lit(0L)))
       .groupBy(col("id"), col("t"))
       .agg(sum(expr("shiftleft(bit, CAST(p AS INT))")).as("bucket"))
+  }
 
   /** LSH-bucketed ANN: top-k among candidates that share a bucket with
     * the query in ANY table. Same schema as [[bruteForceTopK]]; recall

@@ -27,19 +27,30 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((0L, 1L), (0L, 3L), (1L, 3L)))
   }
 
-  test("minhash LSH finds the same pairs as exact Jaccard at high threshold") {
+  test("minhash LSH: identical docs always collide; reported pairs are exact-verified") {
     val exact = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", k = 3, threshold = 0.6)
       .select($"da", $"db").as[(Long, Long)].collect().toSet
-    val lsh = Dedup.minhashLshPairs(corpus, "doc_id", "text",
+    val lshPairs = Dedup.minhashLshPairs(corpus, "doc_id", "text",
       k = 3, numPerms = 16, rowsPerBand = 4, threshold = 0.6)
-      .select($"da", $"db").as[(Long, Long)].collect().toSet
-    assert(lsh == exact)
-    // exact dups must agree on the full signature
-    val full = Dedup.minhashLshPairs(corpus, "doc_id", "text",
-      k = 3, numPerms = 16, rowsPerBand = 4, threshold = 0.6)
-      .filter($"da" === 0 && $"db" === 3).head()
+    val lsh = lshPairs.select($"da", $"db").as[(Long, Long)].collect().toSet
+    // LSH candidates are a subset of the exact pairs after verification
+    assert(lsh.subsetOf(exact))
+    // identical shingle sets → identical signatures → every band
+    // collides: the exact-dup pair is guaranteed, with est == exact == 1
+    val full = lshPairs.filter($"da" === 0 && $"db" === 3).head()
     assert(full.getAs[Double]("est_jaccard") == 1.0)
     assert(full.getAs[Double]("jaccard") == 1.0)
+  }
+
+  test("minhash LSH recall on the real corpus' planted near-dups (j ≥ 0.9)") {
+    val docs = graft.core.Tables.documents(spark, sf)
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 5, threshold = 0.9)
+      .select($"da", $"db").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      k = 5, numPerms = 16, rowsPerBand = 4, threshold = 0.9)
+      .select($"da", $"db").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    assert(lsh == exact, s"missed ${exact -- lsh}, spurious ${lsh -- exact}")
   }
 
   test("simhash: identical docs collide at hamming 0; unrelated docs don't pair") {
