@@ -21,7 +21,8 @@ object Registry {
       StatsQueries.queries ++
       TextQueries.queries ++
       DedupQueries.queries ++
-      SimilarityQueries.queries
+      SimilarityQueries.queries ++
+      TemporalQueries.queries
 
   def byName: Map[String, GQuery] = all.map(q => q.name -> q).toMap
 }

@@ -1,0 +1,91 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Exact._
+import graft.core.Tables._
+import graft.functions.Dates
+import graft.operators.Chain
+
+/** Temporal semantics from the reference's rollup/validation layer:
+  * Sunday-start week binning with open-period proration (W5 + §2.8) and
+  * consecutive-event chaining (W2 + A1).
+  */
+object TemporalQueries {
+
+  /** A3/W5: weekly rollup on the Sunday-start week floor, with the
+    * still-open final week prorated to a full-week equivalent
+    * (`R/format-public-data.R:366-372,470-499`). */
+  val q43 = GQuery(
+    "q43_week_proration",
+    (s, d) => {
+      val o = orders(s, d)
+      val weekly = o
+        .groupBy(Dates.floorWeekSunday(col("o_orderdate")).as("week"))
+        .agg(lcount(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      val mx = o.agg(max(to_date(col("o_orderdate"))).as("maxd"))
+      weekly.crossJoin(broadcast(mx))
+        .withColumn("frac",
+          least(greatest((datediff(col("maxd"), col("week")) + 1).cast("double") / 7.0,
+            lit(0.0)), lit(1.0)))
+        .select(col("week"), col("n"), col("total"),
+          round(col("frac"), 6).as("frac"),
+          round(col("total") / col("frac"), 6).as("prorated_total"))
+    },
+    Some(s"""WITH weekly AS (
+      |  SELECT CAST(o_orderdate AS DATE) - CAST(dayofweek(o_orderdate) AS INT) AS week,
+      |    COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS total
+      |  FROM orders GROUP BY 1),
+      |mx AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS maxd FROM orders),
+      |f AS (
+      |  SELECT w.week, w.n, w.total,
+      |    LEAST(GREATEST(CAST(datediff('day', w.week, m.maxd) + 1 AS DOUBLE) / 7.0,
+      |      0.0), 1.0) AS frac
+      |  FROM weekly w CROSS JOIN mx m)
+      |SELECT week, n, total, round(frac, 6) AS frac,
+      |round(total / frac, 6) AS prorated_total
+      |FROM f""".stripMargin))
+
+  /** W2 + A1: pair-chaining of consecutive events (≤180 s apart) per
+    * user, collapsed per chain head — the GPS consecutive-trip merge
+    * (`R/validate-pds-trips.R:253-294`). Events are points (start=end). */
+  val q44 = GQuery(
+    "q44_consecutive_chain",
+    (s, d) => {
+      val ev = events(s, d).select(
+        col("user_id"), col("event_id"),
+        date_trunc("second", col("ts")).as("t"))
+      val chained = Chain.consecutive(ev, "user_id", "t", "t", "event_id",
+        maxGapSeconds = 180L)
+      Chain.collapse(chained, "user_id", "t", "t")
+        .groupBy(col("user_id"))
+        .agg(
+          lcount(lit(1)).as("n_chains"),
+          max(col("n_members")).as("max_members"),
+          sum(when(col("n_members") > 1,
+            unix_timestamp(col("chain_end")) - unix_timestamp(col("chain_start")))
+            .otherwise(lit(0L))).as("chained_seconds"))
+    },
+    Some("""WITH ev AS (
+      |  SELECT user_id, event_id, date_trunc('second', ts) AS t FROM events),
+      |ch AS (
+      |  SELECT user_id, event_id, t,
+      |    lag(t) OVER w AS prev_t, lag(event_id) OVER w AS prev_id
+      |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+      |assoc AS (
+      |  SELECT user_id, event_id, t,
+      |    CASE WHEN prev_t IS NOT NULL
+      |           AND CAST(epoch(t) AS BIGINT) - CAST(epoch(prev_t) AS BIGINT) <= 180
+      |         THEN prev_id ELSE event_id END AS associated_to
+      |  FROM ch),
+      |coll AS (
+      |  SELECT user_id, associated_to,
+      |    MIN(t) AS chain_start, MAX(t) AS chain_end, COUNT(*) AS n_members
+      |  FROM assoc GROUP BY user_id, associated_to)
+      |SELECT user_id, COUNT(*) AS n_chains, MAX(n_members) AS max_members,
+      |CAST(SUM(CASE WHEN n_members > 1
+      |  THEN CAST(epoch(chain_end) AS BIGINT) - CAST(epoch(chain_start) AS BIGINT)
+      |  ELSE 0 END) AS BIGINT) AS chained_seconds
+      |FROM coll GROUP BY user_id""".stripMargin))
+
+  def queries: Seq[GQuery] = Seq(q43, q44)
+}

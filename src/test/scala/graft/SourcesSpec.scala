@@ -1,0 +1,82 @@
+package graft
+
+import graft.functions.Dates
+import graft.sources.Sources
+import org.apache.spark.sql.functions._
+
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp() = java.nio.file.Files.createTempDirectory("graft-src").toString
+
+  test("allStringCsv reads every column as string (S3 semantics)") {
+    val dir = tmp() + "/csv"
+    Seq((1, 2.5, "x"), (2, 3.5, "y")).toDF("a", "b", "c")
+      .coalesce(1).write.option("header", "true").csv(dir)
+    val back = Sources.allStringCsv(spark, dir)
+    assert(back.schema.fields.forall(_.dataType.typeName == "string"))
+    assert(back.count() == 2)
+    assert(back.filter($"a" === "1").head().getAs[String]("b") == "2.5")
+  }
+
+  test("pdsTripsCsv parses the typed schema incl. the UTC Last Seen format (S4)") {
+    val dir = tmp()
+    val csv = Seq(
+      "Trip,Started,Ended,Boat,Boat Name,Boat Gear,Community,Duration (Seconds),Range (Meters),Distance (Meters),IMEI,Device Id,Last Seen",
+      "7,2024-03-01T01:00:00.000Z,2024-03-01T03:00:00.000Z,12,Bo,GN,Com,7200,100,2500,123456789012345,dev1,Fri Mar 01 04:05:06 UTC 2024"
+    ).mkString("\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "t.csv"), csv)
+    val df = Sources.pdsTripsCsv(spark, dir)
+    val r = df.head()
+    assert(r.getAs[Int]("Trip") == 7)
+    assert(r.getAs[java.sql.Timestamp]("Last Seen").toInstant.toString
+      == "2024-03-01T04:05:06Z")
+    assert(r.getAs[Double]("Distance (Meters)") == 2500.0)
+  }
+
+  test("TSV sink writes a single tab-separated file with header (S13)") {
+    val dir = tmp() + "/out"
+    Sources.writeTsv(Seq((1, "a"), (2, "b")).toDF("id", "v"), dir)
+    val files = new java.io.File(dir).listFiles.filter(_.getName.endsWith(".csv"))
+    assert(files.length == 1)
+    val lines = scala.io.Source.fromFile(files.head).getLines().toSeq
+    assert(lines.head == "id\tv" && lines.length == 3)
+  }
+
+  test("JSON-lines sink emits one document per row (S14)") {
+    val dir = tmp() + "/json"
+    Sources.writeJsonLines(Seq((1, "a")).toDF("id", "v"), dir)
+    val files = new java.io.File(dir).listFiles.filter(_.getName.endsWith(".txt"))
+    val line = scala.io.Source.fromFile(files.head).getLines().next()
+    assert(line == """{"id":1,"v":"a"}""")
+  }
+
+  test("zip bundle packs exported files (S16)") {
+    val dir = tmp()
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "a.csv"), "x")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "b.csv"), "y")
+    val zip = dir + "/bundle.zip"
+    Sources.zipDirectory(dir, zip)
+    val zf = new java.util.zip.ZipFile(zip)
+    try assert(zf.size() == 2) finally zf.close()
+  }
+
+  test("floorWeekSunday: every output is a Sunday on or before the input") {
+    val df = Seq("2024-03-03", "2024-03-04", "2024-03-09", "2024-03-10")
+      .toDF("d").select($"d", Dates.floorWeekSunday($"d").as("w"))
+    val got = df.as[(String, String)].collect().toMap
+    assert(got == Map(
+      "2024-03-03" -> "2024-03-03", // Sunday maps to itself
+      "2024-03-04" -> "2024-03-03",
+      "2024-03-09" -> "2024-03-03",
+      "2024-03-10" -> "2024-03-10"))
+  }
+
+  test("uniteCodes skips nulls with '-' separator (alert codes)") {
+    val df = Seq((Some(4), None: Option[Int], Some(17)), (None, None, None))
+      .toDF("a", "b", "c")
+    val got = df.select(Dates.uniteCodes(Seq($"a", $"b", $"c")).as("u"))
+      .as[String].collect().toSeq
+    assert(got == Seq("4-17", ""))
+  }
+}
