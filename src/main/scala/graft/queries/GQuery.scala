@@ -22,7 +22,8 @@ object Registry {
       TextQueries.queries ++
       DedupQueries.queries ++
       SimilarityQueries.queries ++
-      TemporalQueries.queries
+      TemporalQueries.queries ++
+      MiscQueries.queries
 
   def byName: Map[String, GQuery] = all.map(q => q.name -> q).toMap
 }

@@ -1,0 +1,82 @@
+package graft
+
+import graft.operators.{Nest, Salting}
+import graft.stats.Outliers
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property tests (SURVEY §5 plan): nest/unnest round-trip identity,
+  * MAD-bound monotonicity in k, salted-aggregation equivalence, and
+  * version-string ordering. Raw ScalaCheck generators with fixed seeds
+  * (the scalatest bridge isn't available offline); Spark round-trips
+  * run a handful of generated cases — each case is a real plan. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic samples from a generator. */
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).map(i => g.pureApply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val rowsGen: Gen[List[(Int, Int, String)]] =
+    Gen.chooseNum(1, 25).flatMap { n =>
+      Gen.listOfN(n, for {
+        k <- Gen.chooseNum(0, 4)
+        ord <- Gen.chooseNum(0, 1000)
+        v <- Gen.alphaStr.map(_.take(6))
+      } yield (k, ord, v))
+    }
+
+  test("property: nest → unnest is the identity on row multisets") {
+    samples(rowsGen, 5).filter(_.nonEmpty).foreach { rows =>
+      val df = rows.toDF("k", "ord", "v")
+      val back = Nest.unnest(
+        Nest.nest(df, Seq("k"), Seq("ord", "v"), "ord", "items"), "items")
+      val a = df.select("k", "ord", "v").as[(Int, Int, String)].collect().sorted.toSeq
+      val b = back.select("k", "ord", "v").as[(Int, Int, String)].collect().sorted.toSeq
+      assert(a == b)
+    }
+  }
+
+  test("property: MAD bounds widen monotonically in k") {
+    val df = Seq.tabulate(40)(i => ("g", 5.0 + (i % 13) * 1.7)).toDF("g", "x")
+    val bounds = Seq(1.0, 2.0, 3.0, 5.0).map { k =>
+      val r = Outliers.madBoundsLog1p(df, Seq("g"), "x", k).head()
+      (r.getAs[Double]("lower"), r.getAs[Double]("upper"))
+    }
+    bounds.sliding(2).foreach { case Seq((lo1, hi1), (lo2, hi2)) =>
+      assert(lo2 <= lo1 && hi2 >= hi1, s"bounds must widen with k: $bounds")
+    }
+  }
+
+  test("property: salted aggregation equals direct aggregation") {
+    val df = graft.core.Tables.lineitem(spark, sf)
+      .select($"l_returnflag", $"l_quantity", $"l_orderkey")
+    val direct = df.groupBy($"l_returnflag")
+      .agg(sum($"l_quantity").as("s"), count(lit(1)).as("c"),
+        min($"l_orderkey").as("mn"), max($"l_orderkey").as("mx"))
+    val salted = Salting.saltedAggregate(df, Seq("l_returnflag"),
+      Map("s" -> ("sum", col("l_quantity")), "c" -> ("count", lit(1)),
+        "mn" -> ("min", col("l_orderkey")), "mx" -> ("max", col("l_orderkey"))),
+      numSalts = 8)
+    val a = direct.orderBy("l_returnflag")
+      .as[(String, Double, Long, Long, Long)].collect().toSeq
+    val b = salted.select($"l_returnflag", $"s", $"c", $"mn", $"mx")
+      .orderBy("l_returnflag")
+      .as[(String, Double, Long, Long, Long)].collect().toSeq
+    assert(a == b)
+  }
+
+  test("property: version strings order chronologically (lexical == temporal)") {
+    val store = new graft.core.ArtifactStore(spark, "/tmp/unused")
+    val dateGen = for {
+      y <- Gen.choose(2020, 2030); m <- Gen.choose(1, 12); d <- Gen.choose(1, 28)
+    } yield java.time.LocalDateTime.of(y, m, d, 0, 0)
+    val pairs = samples(Gen.zip(dateGen, dateGen), 50)
+    pairs.foreach { case (t1, t2) =>
+      val v1 = store.versionString(t1, "aaaaaaa")
+      val v2 = store.versionString(t2, "aaaaaaa")
+      assert((v1 < v2) == t1.isBefore(t2) || v1 == v2)
+    }
+  }
+}
