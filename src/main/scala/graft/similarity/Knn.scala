@@ -78,44 +78,40 @@ object Knn {
   }
 
   /** Deterministic ±1 hyperplane component for (table, plane, dim):
-    * parity of the first md5 hex digit of "t:p:i". */
-  private def signComponent(t: Column, p: Column, i: Column): Column = {
-    val d = instr(lit("0123456789abcdef"),
-      substring(md5(concat(t.cast("string"), lit(":"),
-        p.cast("string"), lit(":"), i.cast("string"))), 1, 1)) - 1
-    when(d % 2 === 1, lit(1.0)).otherwise(lit(-1.0))
+    * parity of the first md5 hex digit of "t:p:i". Computed driver-side
+    * — the matrix is tables×planes×dims literals, schema-sized. */
+  private def signComponent(t: Int, p: Int, i: Int): Double = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$t:$p:$i".getBytes("UTF-8"))
+    if (((d(0) >> 4) & 0xf) % 2 == 1) 1.0 else -1.0
   }
-
-  /** The (table, plane, dim) → ±1 hyperplane matrix as a broadcastable
-    * frame: tables×planes×dims rows, md5 evaluated once per entry here
-    * instead of once per data-element — the hash cost is O(matrix), not
-    * O(data × matrix). */
-  def signMatrix(spark: org.apache.spark.sql.SparkSession,
-                 numPlanes: Int, numTables: Int, dim: Int): DataFrame =
-    spark.range(numTables).select(col("id").cast("int").as("t"))
-      .crossJoin(spark.range(numPlanes).select(col("id").cast("int").as("p")))
-      .crossJoin(spark.range(dim).select(col("id").cast("int").as("i")))
-      .withColumn("sign", signComponent(col("t"), col("p"), col("i")))
 
   /** Random-hyperplane LSH buckets, AND-OR construction: `numTables`
     * independent hash tables of `numPlanes` sign bits each. Output one
-    * row per (id, table) with the table-local bucket. Rows sharing a
-    * (table, bucket) are candidate neighbours — at scale the candidate
-    * join is bucket-local instead of all-pairs, and more tables trade
-    * compute for recall. */
+    * row per (id, table) with the table-local bucket.
+    *
+    * Shuffle-free: the hyperplanes are literal ±1 arrays baked into the
+    * plan, each projection is a per-row `zip_with`+`aggregate` fold, and
+    * the bucket bits assemble inline — no explode, no exchange, full
+    * codegen. Rows sharing a (table, bucket) are candidate neighbours;
+    * more tables trade compute for recall. */
   def hyperplaneBuckets(df: DataFrame, idCol: String, vecCol: String,
                         numPlanes: Int, numTables: Int): DataFrame = {
-    val spark = df.sparkSession
     val dim = df.select(size(col(vecCol))).head().getInt(0)
-    val m = broadcast(signMatrix(spark, numPlanes, numTables, dim))
-    df.select(col(idCol).as("id"), posexplode(col(vecCol)).as(Seq("i", "e")))
-      .join(m, Seq("i"))
-      .withColumn("contrib", (col("e").cast("double") * col("sign")).cast(AccDec))
-      .groupBy(col("id"), col("t"), col("p"))
-      .agg(sum(col("contrib")).as("proj"))
-      .withColumn("bit", when(col("proj") > 0, lit(1L)).otherwise(lit(0L)))
-      .groupBy(col("id"), col("t"))
-      .agg(sum(expr("shiftleft(bit, CAST(p AS INT))")).as("bucket"))
+    def proj(t: Int, p: Int): Column = {
+      val signs = array((0 until dim).map(i => lit(signComponent(t, p, i))): _*)
+      aggregate(
+        zip_with(col(vecCol), signs, (x, s) => x.cast("double") * s),
+        lit(0.0), (acc, x) => acc + x)
+    }
+    def bucket(t: Int): Column =
+      (0 until numPlanes).map { p =>
+        when(proj(t, p) > 0, lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    val tables = explode(array((0 until numTables).map(t =>
+      struct(lit(t).as("t"), bucket(t).as("bucket"))): _*))
+    df.select(col(idCol).as("id"), tables.as("tb"))
+      .select(col("id"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
   }
 
   /** LSH-bucketed ANN: top-k among candidates that share a bucket with
