@@ -84,5 +84,21 @@ object SimilarityQueries {
     },
     None)
 
-  def queries: Seq[GQuery] = Seq(q40, q41, q42)
+  /** IVF ANN: Voronoi-cell partitioned search (4 lists, 2 probes) — the
+    * bucketed-by-cell scale path where probes become partition-pruned
+    * scans. Approximate; recall + exact-score parity covered by IvfSpec,
+    * driver records rows>0. */
+  val q48 = GQuery(
+    "q48_ivf_ann",
+    (s, d) => {
+      val emb = embeddings(s, d)
+      graft.similarity.Ivf.topK(
+        corpus = emb, queries = emb.filter(col("vec_id") < 10),
+        idCol = "vec_id", vecCol = "embedding", k = 5,
+        nLists = 4, nProbe = 2, iters = 1)
+        .select(col("qid"), col("rank"), col("nid"), round(col("cos"), 4).as("cos"))
+    },
+    None)
+
+  def queries: Seq[GQuery] = Seq(q40, q41, q42, q48)
 }

@@ -1,0 +1,106 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest neighbour — the second
+  * scale path next to [[Knn.lshTopK]]: vectors are partitioned into
+  * `nLists` Voronoi cells around centroids, and a query scans only its
+  * `nProbe` closest cells instead of the corpus.
+  *
+  * Everything is relational and deterministic: seed centroids are the
+  * `nLists` corpus vectors with the smallest md5(id) (a reproducible
+  * pseudo-random sample), refined with Lloyd iterations where the
+  * assignment step is a per-row fold over centroid literal arrays
+  * (schema-sized, shuffle-free — same trick as the LSH sign matrix) and
+  * the update step is one grouped average. Cell membership is a plain
+  * column, so at 100 TB the corpus can be written bucketed by cell and
+  * probes become partition-pruned scans.
+  */
+object Ivf {
+
+  /** Centroids as driver-side arrays (nLists × dim). Deterministic:
+    * md5-ranked seeds + `iters` Lloyd refinements. */
+  def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                     nLists: Int, iters: Int = 2): Array[Array[Double]] = {
+    val seeds = corpus
+      .withColumn("__r", md5(col(idCol).cast("string")))
+      .orderBy(col("__r"))
+      .limit(nLists)
+      .select(col(vecCol))
+      .collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    (0 until iters).foldLeft(seeds) { (cents, _) =>
+      val assigned = assignCells(corpus, vecCol, cents)
+        .select(col("__cell"), posexplode(col(vecCol)).as(Seq("i", "e")))
+        .groupBy(col("__cell"), col("i"))
+        .agg(avg(col("e").cast("double")).as("m"))
+        .collect()
+      val next = cents.map(_.clone())
+      assigned.foreach { r =>
+        next(r.getAs[Int]("__cell"))(r.getAs[Int]("i")) = r.getAs[Double]("m")
+      }
+      next
+    }
+  }
+
+  /** Squared L2 distance to a centroid literal, as a per-row fold. */
+  private def dist2(vecCol: String, c: Array[Double]): Column = {
+    val lits = array(c.map(lit): _*)
+    aggregate(
+      zip_with(col(vecCol), lits, (x, m) => {
+        val d = x.cast("double") - m; d * d
+      }),
+      lit(0.0), (acc, x) => acc + x)
+  }
+
+  /** Adds `__cell`: index of the nearest centroid (deterministic
+    * lowest-index tie-break), computed without any shuffle. */
+  def assignCells(df: DataFrame, vecCol: String,
+                  centroids: Array[Array[Double]]): DataFrame = {
+    val best = centroids.zipWithIndex.map { case (c, i) =>
+      struct(dist2(vecCol, c).as("d"), lit(i).as("i"))
+    }.reduce((a, b) => when(b.getField("d") < a.getField("d"), b).otherwise(a))
+    df.withColumn("__cell", best.getField("i"))
+  }
+
+  /** `nProbe` nearest cells per row (for the query side). */
+  def probeCells(df: DataFrame, vecCol: String,
+                 centroids: Array[Array[Double]], nProbe: Int): DataFrame = {
+    val ranked = array_sort(array(centroids.zipWithIndex.map { case (c, i) =>
+      struct(dist2(vecCol, c).as("d"), lit(i).as("i"))
+    }: _*))
+    df.withColumn("__probe",
+      explode(slice(transform(ranked, s => s.getField("i")), 1, nProbe)))
+  }
+
+  /** IVF top-k: exact cosine within the probed cells only. Same output
+    * schema as [[Knn.bruteForceTopK]]. */
+  def topK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+           k: Int, nLists: Int, nProbe: Int, iters: Int = 2): DataFrame = {
+    val cents = trainCentroids(corpus, idCol, vecCol, nLists, iters)
+    val corpusCells = assignCells(corpus, vecCol, cents)
+    val queryProbes = probeCells(queries, vecCol, cents, nProbe)
+    val ce = Knn.elements(corpusCells, idCol, vecCol, "nid", "ce")
+      .join(corpusCells.select(col(idCol).as("nid"), col("__cell")), Seq("nid"))
+    val qe = Knn.elements(queryProbes, idCol, vecCol, "qid", "qe")
+      .join(queryProbes.select(col(idCol).as("qid"), col("__probe").as("__cell")), Seq("qid"))
+      .distinct()
+    val cn = Knn.norms(ce.select(col("nid"), col("i"), col("ce")).distinct(), "nid", "ce", "nn2")
+    val qn = Knn.norms(
+      Knn.elements(queries, idCol, vecCol, "qid", "qe"), "qid", "qe", "qn2")
+    val dot = ce.join(broadcast(qe), Seq("__cell", "i"))
+      .filter(col("qid") =!= col("nid"))
+      .groupBy(col("qid"), col("nid"))
+      .agg(sum(col("qe") * col("ce")).cast("double").as("dot"))
+    val scored = dot
+      .join(broadcast(qn), Seq("qid"))
+      .join(cn, Seq("nid"))
+      .withColumn("cos", col("dot") / (sqrt(col("qn2")) * sqrt(col("nn2"))))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), col("cos"))
+  }
+}
