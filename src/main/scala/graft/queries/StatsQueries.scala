@@ -113,28 +113,31 @@ object StatsQueries {
       |stats AS (
       |  SELECT g, CAST(COUNT(*) AS DOUBLE) AS n,
       |    ${sqlDsum("x")} AS sx, ${sqlDsum("y")} AS sy,
-      |    ${sqlDsum("x * x")} AS sxx, ${sqlDsum("x * y")} AS sxy
+      |    ${sqlDsum("x * x")} AS sxx, ${sqlDsum("x * y")} AS sxy,
+      |    ${sqlDsum("y * y")} AS syy
       |  FROM base GROUP BY g),
       |coef AS (
       |  SELECT *,
       |    (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope
       |  FROM stats),
       |coef2 AS (SELECT *, (sy - slope * sx) / n AS intercept FROM coef),
-      |resid AS (
-      |  SELECT b.g, b.x, b.y, c.n, c.sx, c.sxx, c.slope, c.intercept,
-      |    b.y - (c.intercept + c.slope * b.x) AS r
-      |  FROM base b JOIN coef2 c ON b.g = c.g),
-      |sse AS (SELECT g, ${sqlDsum("r * r")} AS sse FROM resid GROUP BY g),
+      |coef3 AS (
+      |  SELECT *,
+      |    syy + n * intercept * intercept + slope * slope * sxx
+      |      - 2.0 * intercept * sy - 2.0 * slope * sxy
+      |      + 2.0 * intercept * slope * sx AS sse
+      |  FROM coef2),
       |cook AS (
-      |  SELECT r.g, r.n, r.slope, r.intercept,
-      |    r.r * r.r / (2.0 * (s.sse / (r.n - 2.0))) *
-      |    ((1.0 / r.n + (r.x - r.sx / r.n) * (r.x - r.sx / r.n) /
-      |        (r.sxx - r.sx * r.sx / r.n)) /
-      |     ((1.0 - (1.0 / r.n + (r.x - r.sx / r.n) * (r.x - r.sx / r.n) /
-      |        (r.sxx - r.sx * r.sx / r.n))) *
-      |      (1.0 - (1.0 / r.n + (r.x - r.sx / r.n) * (r.x - r.sx / r.n) /
-      |        (r.sxx - r.sx * r.sx / r.n))))) AS cooksd
-      |  FROM resid r JOIN sse s ON r.g = s.g)
+      |  SELECT c.g, c.n, c.slope, c.intercept,
+      |    (b.y - (c.intercept + c.slope * b.x)) * (b.y - (c.intercept + c.slope * b.x))
+      |      / (2.0 * (c.sse / (c.n - 2.0))) *
+      |    ((1.0 / c.n + (b.x - c.sx / c.n) * (b.x - c.sx / c.n) /
+      |        (c.sxx - c.sx * c.sx / c.n)) /
+      |     ((1.0 - (1.0 / c.n + (b.x - c.sx / c.n) * (b.x - c.sx / c.n) /
+      |        (c.sxx - c.sx * c.sx / c.n))) *
+      |      (1.0 - (1.0 / c.n + (b.x - c.sx / c.n) * (b.x - c.sx / c.n) /
+      |        (c.sxx - c.sx * c.sx / c.n))))) AS cooksd
+      |  FROM base b JOIN coef3 c ON b.g = c.g)
       |SELECT g AS l_returnflag,
       |round(MIN(slope), 6) AS slope, round(MIN(intercept), 6) AS intercept,
       |COUNT(CASE WHEN cooksd > 4.0 / n THEN 1 END) AS n_influential,

@@ -18,7 +18,9 @@ import graft.core.Exact._
   */
 object Regression {
 
-  /** Per-key sufficient statistics and fitted coefficients. */
+  /** Per-key sufficient statistics and fitted coefficients. SSE comes
+    * from the same statistics in closed form (Σ(y−a−bx)² expanded), so
+    * the whole fit is a single pass. */
   def fit(df: DataFrame, keys: Seq[String], x: String, y: String): DataFrame =
     df.groupBy(keys.map(col): _*)
       .agg(
@@ -26,21 +28,25 @@ object Regression {
         dsum(col(x)).as("sx"),
         dsum(col(y)).as("sy"),
         dsum(col(x) * col(x)).as("sxx"),
-        dsum(col(x) * col(y)).as("sxy"))
+        dsum(col(x) * col(y)).as("sxy"),
+        dsum(col(y) * col(y)).as("syy"))
       .withColumn("slope",
         (col("n") * col("sxy") - col("sx") * col("sy")) /
           (col("n") * col("sxx") - col("sx") * col("sx")))
       .withColumn("intercept", (col("sy") - col("slope") * col("sx")) / col("n"))
+      .withColumn("sse",
+        col("syy") + col("n") * col("intercept") * col("intercept") +
+          col("slope") * col("slope") * col("sxx") -
+          lit(2.0) * col("intercept") * col("sy") -
+          lit(2.0) * col("slope") * col("sxy") +
+          lit(2.0) * col("intercept") * col("slope") * col("sx"))
 
-  /** Rows with residual, leverage and Cook's distance attached.
-    * Requires a second pass for s² (mean squared residual, df = n−2). */
+  /** Rows with residual, leverage and Cook's distance attached — one
+    * data pass plus one broadcast join (SSE is closed-form in [[fit]]). */
   def cooksDistance(df: DataFrame, keys: Seq[String], x: String, y: String): DataFrame = {
     val coef = fit(df, keys, x, y)
-    val withResid = df.join(broadcast(coef), keys)
+    df.join(broadcast(coef), keys)
       .withColumn("resid", col(y) - (col("intercept") + col("slope") * col(x)))
-    val s2 = withResid.groupBy(keys.map(col): _*)
-      .agg(dsum(col("resid") * col("resid")).as("sse"))
-    withResid.join(broadcast(s2), keys)
       .withColumn("s2", col("sse") / (col("n") - 2.0))
       .withColumn("xbar", col("sx") / col("n"))
       .withColumn("sxx_c", col("sxx") - col("sx") * col("sx") / col("n"))
