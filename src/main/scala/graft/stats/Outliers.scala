@@ -19,17 +19,28 @@ object Outliers {
   val MadScale = 1.4826
 
   /** Per-key LocScaleB bounds of `x` on the log1p scale.
-    * Output: keys ++ (median_log, mad_log, lower, upper). */
-  def madBoundsLog1p(df: DataFrame, keys: Seq[String], x: String, k: Double): DataFrame = {
+    * Output: keys ++ (median_log, mad_log, lower, upper).
+    *
+    * `exact = true` (default) uses exact `percentile` — R-type-7 parity
+    * for the oracle. At very large group sizes switch to `exact =
+    * false`: `percentile_approx` (accuracy 10⁴) keeps memory constant
+    * per group where the exact aggregate buffers every value; MAD
+    * bounds are already a robustness heuristic, so the ±1e-4-quantile
+    * wobble doesn't change which points are outliers in practice. */
+  def madBoundsLog1p(df: DataFrame, keys: Seq[String], x: String, k: Double,
+                     exact: Boolean = true): DataFrame = {
     val xl = log(lit(1.0) + col(x))
+    def pct(c: Column): Column =
+      if (exact) percentile(c, lit(0.5))
+      else percentile_approx(c, lit(0.5), lit(10000))
     val med = df.groupBy(keys.map(col): _*)
-      .agg(percentile(xl, lit(0.5)).as("median_log"))
+      .agg(pct(xl).as("median_log"))
     val withMed = df.join(broadcast(med), keys)
     withMed
       .groupBy(keys.map(col): _*)
       .agg(
         first(col("median_log")).as("median_log"),
-        (percentile(abs(xl - col("median_log")), lit(0.5)) * lit(MadScale)).as("mad_log"),
+        (pct(abs(xl - col("median_log"))) * lit(MadScale)).as("mad_log"),
         count(when(col(x).isNotNull && col(x) =!= 0.0, lit(1))).as("__n_nonzero"))
       .withColumn("lower",
         when(col("__n_nonzero") > 0 && col("mad_log") > 0.0,
