@@ -44,6 +44,10 @@ object Bench {
     // warmup otherwise absorbs one-time GC/cleanup cost from the warmup
     // pass and reads artificially high
     val pass1 = names.map(n => n -> materialize(n, sfDir)).toMap
+    // drop pass-1 caches before re-measuring: accumulated cached
+    // projections otherwise raise old-gen occupancy and GC noise
+    spark.catalog.clearCache()
+    System.gc()
     val pass2 = names.map(n => n -> materialize(n, sfDir)).toMap
     val results = names.map { n =>
       val (a, b) = (pass1(n), pass2(n))

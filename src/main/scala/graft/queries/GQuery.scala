@@ -4,7 +4,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** One driver-checkable query: a Spark plan plus (when SQL-expressible)
   * an equivalent ANSI SQL oracle run by DuckDB over the same parquet
-  * tables. `headline = true` marks the queries timed by [[graft.Bench]].
+  * tables. [[graft.Bench]] times every registered query; `headline =
+  * true` additionally tags the representative plan shapes worth
+  * eyeballing first in a bench report (it changes no behavior).
   */
 final case class GQuery(
     name: String,

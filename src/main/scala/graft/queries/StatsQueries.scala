@@ -74,10 +74,13 @@ object StatsQueries {
       |med AS (SELECT g, quantile_cont(xl, 0.5) AS m FROM base GROUP BY g),
       |mad AS (
       |  SELECT b.g, m.m,
-      |    quantile_cont(abs(b.xl - m.m), 0.5) * 1.4826 AS s
+      |    quantile_cont(abs(b.xl - m.m), 0.5) * 1.4826 AS s,
+      |    COUNT(CASE WHEN b.x IS NOT NULL AND b.x <> 0.0 THEN 1 END) AS nz
       |  FROM base b JOIN med m ON b.g = m.g GROUP BY b.g, m.m),
       |bounds AS (
-      |  SELECT g, exp(m - 2.5 * s) - 1.0 AS lo, exp(m + 2.5 * s) - 1.0 AS hi
+      |  SELECT g,
+      |    CASE WHEN s > 0 AND nz > 0 THEN exp(m - 2.5 * s) - 1.0 END AS lo,
+      |    CASE WHEN s > 0 AND nz > 0 THEN exp(m + 2.5 * s) - 1.0 END AS hi
       |  FROM mad)
       |SELECT b.g AS l_returnflag,
       |round(MIN(bo.lo), 6) AS lower, round(MIN(bo.hi), 6) AS upper,

@@ -77,6 +77,14 @@ object Knn {
       .select(col("va"), col("vb"), col("cos"))
   }
 
+  /** Uniform vector length of `vecCol`, from the first row; explicit
+    * error on an empty frame (head() would throw NoSuchElementException). */
+  def inferDim(df: DataFrame, vecCol: String): Int =
+    df.select(size(col(vecCol))).limit(1).collect().headOption
+      .map(_.getInt(0))
+      .getOrElse(throw new IllegalArgumentException(
+        s"cannot infer vector dim of '$vecCol' from an empty DataFrame; pass dim explicitly"))
+
   /** Deterministic ±1 hyperplane component for (table, plane, dim):
     * parity of the first md5 hex digit of "t:p:i". Computed driver-side
     * — the matrix is tables×planes×dims literals, schema-sized. */
@@ -96,10 +104,12 @@ object Knn {
     * codegen. Rows sharing a (table, bucket) are candidate neighbours;
     * more tables trade compute for recall. */
   def hyperplaneBuckets(df: DataFrame, idCol: String, vecCol: String,
-                        numPlanes: Int, numTables: Int): DataFrame = {
-    val dim = df.select(size(col(vecCol))).head().getInt(0)
+                        numPlanes: Int, numTables: Int,
+                        dim: Option[Int] = None): DataFrame = {
+    // vectors must share one length; pass `dim` to skip the probe job
+    val d = dim.getOrElse(inferDim(df, vecCol))
     def proj(t: Int, p: Int): Column = {
-      val signs = array((0 until dim).map(i => lit(signComponent(t, p, i))): _*)
+      val signs = array((0 until d).map(i => lit(signComponent(t, p, i))): _*)
       aggregate(
         zip_with(col(vecCol), signs, (x, s) => x.cast("double") * s),
         lit(0.0), (acc, x) => acc + x)
@@ -120,9 +130,10 @@ object Knn {
     * baseline). */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, numPlanes: Int, numTables: Int = 4): DataFrame = {
-    val cb = hyperplaneBuckets(corpus, idCol, vecCol, numPlanes, numTables)
+    val dim = Some(inferDim(corpus, vecCol)) // one probe job for both sides
+    val cb = hyperplaneBuckets(corpus, idCol, vecCol, numPlanes, numTables, dim)
       .withColumnRenamed("id", "nid")
-    val qb = hyperplaneBuckets(queries, idCol, vecCol, numPlanes, numTables)
+    val qb = hyperplaneBuckets(queries, idCol, vecCol, numPlanes, numTables, dim)
       .withColumnRenamed("id", "qid")
     val cand = cb.join(broadcast(qb), Seq("t", "bucket"))
       .filter(col("qid") =!= col("nid"))

@@ -20,11 +20,19 @@ object Incremental {
     * rows when the sink is absent/empty). */
   def aboveHighWaterMark(spark: SparkSession, source: DataFrame,
                          sinkPath: String, idCol: String): DataFrame = {
+    // Only a missing/empty sink means "ingest everything". Transient I/O
+    // or corruption errors must propagate — swallowing them would
+    // silently re-ingest the full source and break process-once.
     val hwm: Option[Long] =
       try {
-        val r = spark.read.parquet(sinkPath).agg(max(col(idCol))).head()
+        val r = spark.read.parquet(sinkPath)
+          .agg(max(col(idCol).cast("long"))).head()
         if (r.isNullAt(0)) None else Some(r.getLong(0))
-      } catch { case _: Exception => None }
+      } catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition == "PATH_NOT_FOUND" ||
+               e.getCondition == "UNABLE_TO_INFER_SCHEMA" => None
+      }
     hwm.fold(source)(m => source.filter(col(idCol) > m))
   }
 

@@ -58,7 +58,12 @@ object Sessionize {
       if (streaming) {
         open.foreach { s =>
           state.update(s)
-          state.setTimeoutTimestamp(s.lastMs + gapMs)
+          // a timeout at/behind the current watermark is rejected by the
+          // state store (late-but-admitted events, or gap < watermark
+          // delay) — clamp to strictly after the watermark so the session
+          // times out on the next batch instead of crashing the query
+          state.setTimeoutTimestamp(
+            math.max(s.lastMs + gapMs, state.getCurrentWatermarkMs() + 1))
         }
         closed.result().iterator
       } else {
