@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import graft.core.Exact._
 import graft.core.Tables._
 import graft.functions.Geo
-import graft.stats.{Interpolate, Outliers, Regression}
+import graft.stats.{Interpolate, Outliers, Regression, SortPercentile}
 
 /** Statistical operator tail (SURVEY §2.9 ST1–ST10 + A7): exact
   * percentiles, MAD/LocScaleB outlier bounds, Cook's-distance
@@ -25,17 +25,17 @@ object StatsQueries {
   val q23 = GQuery(
     "q23_percentile_exact",
     (s, d) =>
-      // one percentile aggregate with an array of percentages: separate
-      // calls would each buffer the full column per group
-      lineitem(s, d)
-        .groupBy(col("l_returnflag"))
-        .agg(
-          percentile(col("l_extendedprice"), array(lit(0.25), lit(0.5), lit(0.75))).as("ps"),
-          lcount(lit(1)).as("n"))
+      // sort-based exact percentiles: the histogram+window plan keeps
+      // memory bounded per task where the `percentile` aggregate buffers
+      // every distinct group value in one task (see SortPercentile)
+      SortPercentile.percentiles(
+        lineitem(s, d).select(col("l_returnflag"), col("l_extendedprice")),
+        Seq("l_returnflag"), col("l_extendedprice"),
+        Seq(0.25, 0.5, 0.75), Seq("p25", "p50", "p75"), countAs = Some("n"))
         .select(col("l_returnflag"),
-          round(element_at(col("ps"), 1), 6).as("p25"),
-          round(element_at(col("ps"), 2), 6).as("p50"),
-          round(element_at(col("ps"), 3), 6).as("p75"),
+          round(col("p25"), 6).as("p25"),
+          round(col("p50"), 6).as("p50"),
+          round(col("p75"), 6).as("p75"),
           col("n")),
     Some("""SELECT l_returnflag,
       |round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,

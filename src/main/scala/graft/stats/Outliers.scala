@@ -21,27 +21,52 @@ object Outliers {
   /** Per-key LocScaleB bounds of `x` on the log1p scale.
     * Output: keys ++ (median_log, mad_log, lower, upper).
     *
-    * `exact = true` (default) uses exact `percentile` — R-type-7 parity
-    * for the oracle. At very large group sizes switch to `exact =
-    * false`: `percentile_approx` (accuracy 10⁴) keeps memory constant
-    * per group where the exact aggregate buffers every value; MAD
-    * bounds are already a robustness heuristic, so the ±1e-4-quantile
-    * wobble doesn't change which points are outliers in practice. */
+    * `exact = true` (default) computes both medians via
+    * [[SortPercentile]] over a (value, count) histogram: ONE pass over
+    * the data builds the histogram, the MAD median then folds
+    * |value − median| on the histogram itself (monotone ln keeps value
+    * order, abs merges mirrored values by summing weights) — no second
+    * data pass and no per-group memory buffer, so a skewed 100 TB group
+    * sorts/spills instead of OOMing. `exact = false` swaps in
+    * `percentile_approx` (accuracy 10⁴, constant memory): MAD bounds
+    * are a robustness heuristic, so the ±1e-4-quantile wobble doesn't
+    * change which points are flagged in practice. */
   def madBoundsLog1p(df: DataFrame, keys: Seq[String], x: String, k: Double,
                      exact: Boolean = true): DataFrame = {
-    val xl = log(lit(1.0) + col(x))
-    def pct(c: Column): Column =
-      if (exact) percentile(c, lit(0.5))
-      else percentile_approx(c, lit(0.5), lit(10000))
-    val med = df.groupBy(keys.map(col): _*)
-      .agg(pct(xl).as("median_log"))
-    val withMed = df.join(broadcast(med), keys)
-    withMed
-      .groupBy(keys.map(col): _*)
-      .agg(
-        first(col("median_log")).as("median_log"),
-        (pct(abs(xl - col("median_log"))) * lit(MadScale)).as("mad_log"),
-        count(when(col(x).isNotNull && col(x) =!= 0.0, lit(1))).as("__n_nonzero"))
+    val bounds0 =
+      if (exact) {
+        val kc = keys.map(col)
+        val hist = df
+          .groupBy(kc :+ col(x).as("__v"): _*)
+          .agg(count(lit(1)).as("__c"))
+          .withColumn("__vl", log(lit(1.0) + col("__v")))
+        val med = SortPercentile.fromCounts(
+          hist, keys, "__vl", "__c", Seq(0.5), Seq("median_log"))
+        val nz = hist.groupBy(kc: _*)
+          .agg(sum(when(col("__v").isNotNull && col("__v") =!= 0.0, col("__c"))
+            .otherwise(lit(0L))).as("__n_nonzero"))
+        val absHist = hist.join(broadcast(med), keys)
+          .groupBy(kc :+ abs(col("__vl") - col("median_log")).as("__a"): _*)
+          .agg(sum(col("__c")).as("__c"))
+        val mad = SortPercentile.fromCounts(
+          absHist, keys, "__a", "__c", Seq(0.5), Seq("__mad_raw"))
+        med.join(mad, keys).join(nz, keys)
+          .withColumn("mad_log", col("__mad_raw") * lit(MadScale))
+          .drop("__mad_raw")
+      } else {
+        val xl = log(lit(1.0) + col(x))
+        def pct(c: Column): Column = percentile_approx(c, lit(0.5), lit(10000))
+        val med = df.groupBy(keys.map(col): _*)
+          .agg(pct(xl).as("median_log"))
+        df.join(broadcast(med), keys)
+          .groupBy(keys.map(col): _*)
+          .agg(
+            first(col("median_log")).as("median_log"),
+            (pct(abs(xl - col("median_log"))) * lit(MadScale)).as("mad_log"),
+            sum(when(col(x).isNotNull && col(x) =!= 0.0, lit(1L))
+              .otherwise(lit(0L))).as("__n_nonzero"))
+      }
+    bounds0
       .withColumn("lower",
         when(col("__n_nonzero") > 0 && col("mad_log") > 0.0,
           exp(col("median_log") - lit(k) * col("mad_log")) - lit(1.0)))
@@ -49,6 +74,8 @@ object Outliers {
         when(col("__n_nonzero") > 0 && col("mad_log") > 0.0,
           exp(col("median_log") + lit(k) * col("mad_log")) - lit(1.0)))
       .drop("__n_nonzero")
+      .select((keys.map(col) ++ Seq(col("median_log"), col("mad_log"),
+        col("lower"), col("upper"))): _*)
   }
 
   /** Join bounds back and flag rows outside them (null bounds ⇒ never
