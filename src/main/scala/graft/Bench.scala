@@ -36,7 +36,12 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // local-iteration hook: SPARK_GRAFT_BENCH_ONLY=q23,q24 times a
+    // comma-separated prefix-matched subset (driver leaves it unset)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.exists(n.startsWith)))
     names.foreach(materialize(_, "/root/testdata/sf0.001")) // JIT warmup
     spark.catalog.clearCache()
     System.gc()

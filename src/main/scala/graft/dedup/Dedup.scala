@@ -53,7 +53,7 @@ object Dedup {
     * per-doc sizes. Output: (da, db, common, na, nb, jaccard). */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         k: Int, threshold: Double): DataFrame = {
-    val idx = shingleIndex(df, idCol, textCol, k).cache()
+    val idx = shingleIndex(df, idCol, textCol, k)
     val sizes = idx.groupBy(col("doc")).agg(count(lit(1)).as("n_shingles"))
     val a = idx.withColumnRenamed("doc", "da")
     val b = idx.withColumnRenamed("doc", "db")
@@ -105,8 +105,11 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       k: Int, numPerms: Int, rowsPerBand: Int,
                       threshold: Double): DataFrame = {
-    val idx = shingleIndex(df, idCol, textCol, k).cache()
-    val sig = minhashSignatures(idx, numPerms).cache()
+    // deliberately uncached: the shared subtrees dedupe via
+    // ReuseExchange, and recomputing the stateless shingle projection is
+    // cheaper than the cache's block-manager pressure at scale
+    val idx = shingleIndex(df, idCol, textCol, k)
+    val sig = minhashSignatures(idx, numPerms)
     val bands = lshBandKeys(sig, rowsPerBand)
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
@@ -142,18 +145,22 @@ object Dedup {
         explode(TextFunctions.wsTokens(col(textCol))).as("tok"))
       .groupBy(col("doc"), col("tok")).agg(count(lit(1)).as("tf"))
       .withColumn("hex", md5(col("tok")))
-    tf.select(col("doc"), col("tf"), col("hex"),
-        explode(sequence(lit(0), lit(59))).as("b"))
-      .withColumn("dv",
-        instr(lit("0123456789abcdef"),
-          substring(col("hex"), (col("b") / 4).cast("int") + lit(1), lit(1))) - 1)
-      .withColumn("bit", expr("(dv >> CAST(b % 4 AS INT)) & 1"))
-      .withColumn("vote", col("tf") * (lit(2) * col("bit") - lit(1)))
-      .groupBy(col("doc"), col("b"))
-      .agg(sum(col("vote")).as("s"))
-      .withColumn("bitval", when(col("s") > 0, lit(1L)).otherwise(lit(0L)))
-      .groupBy(col("doc"))
-      .agg(sum(expr("shiftleft(bitval, CAST(b AS INT))")).as("simhash"))
+    // 60 per-bit vote sums as columns of ONE aggregation instead of a
+    // 60-way row explode: the bit extraction stays inside whole-stage
+    // codegen and the only shuffle carries 5k doc groups × 60 ints with
+    // map-side partial aggregation — not |docs|·|tokens|·60 rows
+    val votes = (0 until 60).map { b =>
+      val nib = instr(lit("0123456789abcdef"),
+        substring(col("hex"), b / 4 + 1, 1)) - 1
+      val bit = shiftright(nib, b % 4).bitwiseAND(lit(1))
+      sum(col("tf") * (bit * lit(2) - lit(1))).as(s"__s$b")
+    }
+    val hash = (0 until 60).map { b =>
+      when(col(s"__s$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    tf.groupBy(col("doc"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc"), hash.as("simhash"))
   }
 
   /** SimHash near-dup pairs with Hamming ≤ maxHamming, found via
@@ -162,7 +169,7 @@ object Dedup {
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3, numBands: Int = 4): DataFrame = {
     require(maxHamming < numBands, "banded search is only exact for hamming < bands")
-    val sh = simhash(df, idCol, textCol).cache()
+    val sh = simhash(df, idCol, textCol)
     val width = 60 / numBands
     val banded = sh.select(col("doc"), col("simhash"),
       explode(sequence(lit(0), lit(numBands - 1))).as("band"))

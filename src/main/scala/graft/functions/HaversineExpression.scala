@@ -83,7 +83,10 @@ object HaversineKm {
   * engine's native functions into every session derived from the
   * builder. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((FunctionIdentifier("haversine_km"),
       HaversineKm.info, HaversineKm.builder))
+    e.injectFunction((FunctionIdentifier("mean_digit_runs"),
+      MeanDigitRuns.info, MeanDigitRuns.builder))
+  }
 }

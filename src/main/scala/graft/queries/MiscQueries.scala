@@ -18,15 +18,20 @@ object MiscQueries {
     * holds. */
   val q45 = GQuery(
     "q45_regex_mean",
-    (s, d) =>
+    (s, d) => {
+      // native MeanDigitRuns expression: the composed regexp+lambda form
+      // is CodegenFallback (interpreted per row); this stays inside
+      // whole-stage codegen
+      graft.functions.MeanDigitRuns.register(s)
       lineitem(s, d)
         .select(col("l_returnflag"),
           concat(lit("no_individuals_"),
             col("l_quantity").cast("int").cast("string"), lit("_"),
             (col("l_quantity").cast("int") + 5).cast("string")).as("name"))
-        .withColumn("mean_len", WideNest.meanOfNumbersInName(col("name")))
+        .withColumn("mean_len", call_function("mean_digit_runs", col("name")))
         .groupBy(col("l_returnflag"))
-        .agg(dsum(col("mean_len")).as("sum_mean_len"), lcount(lit(1)).as("n")),
+        .agg(dsum(col("mean_len")).as("sum_mean_len"), lcount(lit(1)).as("n"))
+    },
     Some(s"""WITH named AS (
       |  SELECT l_returnflag,
       |    'no_individuals_' || CAST(CAST(l_quantity AS INT) AS VARCHAR)

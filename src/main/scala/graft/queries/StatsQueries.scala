@@ -53,10 +53,11 @@ object StatsQueries {
     "q24_mad_bounds",
     (s, d) => {
       val k = 2.5
-      // the bounds computation makes three passes; cache the 2-column
-      // projection instead of rescanning parquet each pass
+      // no cache: the repeated subtrees are identical exchanges, which
+      // ReuseExchange dedupes; cached blocks only added eviction/GC
+      // pressure and run-to-run variance in full-suite runs
       val base = lineitem(s, d)
-        .select(col("l_returnflag"), col("l_extendedprice")).cache()
+        .select(col("l_returnflag"), col("l_extendedprice"))
       val flagged = Outliers.flagOutliers(
         base, keys = Seq("l_returnflag"), x = "l_extendedprice", k = k)
       flagged
@@ -95,12 +96,13 @@ object StatsQueries {
   val q25 = GQuery(
     "q25_cooks_distance",
     (s, d) => {
-      // three regression passes (fit, SSE, flags): cache the projected
-      // log-transformed base rather than recomputing scan+ln each pass
+      // no cache: the fit aggregate and the join-back probe share one
+      // scan via ReuseExchange, and a 2-column parquet re-scan is
+      // cheaper than the cache's GC/eviction noise
       val li = lineitem(s, d).select(
         col("l_returnflag"),
         log(lit(1.0) + col("l_quantity")).as("x"),
-        log(lit(1.0) + col("l_extendedprice")).as("y")).cache()
+        log(lit(1.0) + col("l_extendedprice")).as("y"))
       Regression.cooksDistance(li, Seq("l_returnflag"), "x", "y")
         .groupBy(col("l_returnflag"))
         .agg(
