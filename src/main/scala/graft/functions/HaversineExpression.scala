@@ -88,5 +88,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       HaversineKm.info, HaversineKm.builder))
     e.injectFunction((FunctionIdentifier("mean_digit_runs"),
       MeanDigitRuns.info, MeanDigitRuns.builder))
+    e.injectFunction((FunctionIdentifier("point_in_ring"),
+      PointInRing.info, PointInRing.builder))
   }
 }

@@ -88,5 +88,58 @@ object MiscQueries {
       |FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
       |GROUP BY o_orderstatus""".stripMargin))
 
-  def queries: Seq[GQuery] = Seq(q45, q46, q47)
+  /** CCW convex pentagon for q49, in the (lng, lat) plane of the q29
+    * synthetic points. Two-decimal vertices + quarter-degree grid points
+    * keep every point a safe rational distance from every edge, so the
+    * ray-cast (Spark) and cross-product-sign (oracle) classifications
+    * cannot disagree through float rounding. */
+  val q49Ring: Seq[(Double, Double)] = Seq(
+    (-20.13, -25.37), (18.71, -20.11), (27.43, 8.59),
+    (0.17, 24.91), (-24.59, 5.23))
+
+  /** §2.8 geo: point-in-polygon zone assignment (`sf::st_within`,
+    * `R/ingest-pds-data.R:742-747`) via the native [[graft.functions.PointInRing]]
+    * ray-casting expression — a pure projection, no geometry library.
+    * The oracle re-derives membership as the all-edges-left sign test,
+    * valid because the ring is convex and CCW (asserted in GeoSpec). */
+  val q49 = GQuery(
+    "q49_point_in_polygon",
+    (s, d) => {
+      graft.functions.PointInRing.register(s)
+      val pts = events(s, d)
+        .withColumn("lat", ((col("event_id") % 180) - 90).cast("double") * lit(0.5))
+        .withColumn("lng", ((col("event_id") % 360) - 180).cast("double") * lit(0.25))
+      val ring = array(q49Ring.flatMap { case (x, y) => Seq(lit(x), lit(y)) }: _*)
+      pts
+        .withColumn("inside",
+          call_function("point_in_ring", col("lng"), col("lat"), ring))
+        .groupBy(col("event_type"))
+        .agg(
+          count(when(col("inside"), lit(1))).as("n_inside"),
+          lcount(lit(1)).as("n"),
+          dsum(when(col("inside"), col("value"))).as("sum_inside_value"))
+    },
+    Some {
+      val edges = q49Ring.indices.map { i =>
+        val (xi, yi) = q49Ring(i)
+        val (xj, yj) = q49Ring((i + 1) % q49Ring.length)
+        s"(($xj - $xi) * (lat - $yi) - ($yj - $yi) * (lng - $xi)) > 0"
+      }.mkString("\n      AND ")
+      s"""WITH pts AS (
+         |  SELECT event_type, value,
+         |    CAST((event_id % 180) - 90 AS DOUBLE) * 0.5 AS lat,
+         |    CAST((event_id % 360) - 180 AS DOUBLE) * 0.25 AS lng
+         |  FROM events),
+         |flagged AS (
+         |  SELECT event_type, value,
+         |    ($edges) AS inside
+         |  FROM pts)
+         |SELECT event_type,
+         |COUNT(CASE WHEN inside THEN 1 END) AS n_inside,
+         |COUNT(*) AS n,
+         |${sqlDsum("CASE WHEN inside THEN value END")} AS sum_inside_value
+         |FROM flagged GROUP BY event_type""".stripMargin
+    })
+
+  def queries: Seq[GQuery] = Seq(q45, q46, q47, q49)
 }
