@@ -181,5 +181,27 @@ object ReshapeQueries {
       |SELECT grp, COUNT(*) AS n_expanded, ${sqlDavg("o_totalprice")} AS mean_price
       |FROM e GROUP BY grp""".stripMargin))
 
-  def queries: Seq[GQuery] = Seq(q17, q18, q19, q20, q21, q22)
+  /** A13 dynamic pivot_wider: labels collected from the data at plan
+    * time (Spark's two-job `pivot(col)` — a distinct on the label column
+    * feeds the pivot list; labels are small by definition or the wide
+    * result would be unusable). The reference's `pivot_wider` never
+    * declares its label set (`R/pt_nest_species.R:49`); q17 is the
+    * static-labels fast path, this is the label-discovery path. */
+  val q50 = GQuery(
+    "q50_dynamic_pivot",
+    (s, d) =>
+      orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .pivot("o_orderpriority") // no value list: labels discovered
+        .agg(count(lit(1)))
+        .na.fill(0),
+    Some("""SELECT o_orderstatus,
+      |COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS "1-URGENT",
+      |COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS "2-HIGH",
+      |COUNT(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS "3-MEDIUM",
+      |COUNT(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS "4-NOT SPECIFIED",
+      |COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS "5-LOW"
+      |FROM orders GROUP BY o_orderstatus""".stripMargin))
+
+  def queries: Seq[GQuery] = Seq(q17, q18, q19, q20, q21, q22, q50)
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import graft.core.Exact._
 import graft.core.Tables._
 import graft.functions.Geo
-import graft.stats.{Interpolate, Outliers, Regression, SortPercentile}
+import graft.stats.{Impute, Interpolate, Outliers, Regression, SortPercentile}
 
 /** Statistical operator tail (SURVEY §2.9 ST1–ST10 + A7): exact
   * percentiles, MAD/LocScaleB outlier bounds, Cook's-distance
@@ -379,6 +379,74 @@ object StatsQueries {
       |MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
       |FROM events GROUP BY event_type""".stripMargin))
 
+  /** ST7: predictive-mean-matching imputation (`mice` PMM,
+    * `R/model-catch.R:466-516`), deterministic nearest-donor variant —
+    * prices masked on every 10th order are refilled with the observed
+    * price of the nearest-predicted-mean donor within the group (see
+    * [[graft.stats.Impute]]). The window sort key is mirrored exactly in
+    * the oracle so donor choice is engine-independent. */
+  val q51 = GQuery(
+    "q51_pmm_impute",
+    (s, d) => {
+      val base = lineitem(s, d).select(
+        col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_quantity").as("x"),
+        col("l_extendedprice").as("y0"),
+        when(col("l_orderkey") % 10 === 0, lit(null).cast("double"))
+          .otherwise(col("l_extendedprice")).as("y"))
+      Impute.pmm(base, Seq("l_returnflag"), "x", "y",
+        tiebreak = Seq("l_orderkey", "l_linenumber", "l_partkey", "y0"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(when(col("y").isNull, lit(1))).as("n_missing"),
+          dsum(when(col("y").isNull, col("y_imputed"))).as("sum_imputed"),
+          dsum(col("y_imputed")).as("sum_filled"),
+          lcount(lit(1)).as("n"))
+    },
+    Some(s"""WITH base AS (
+      |  SELECT l_returnflag AS g, l_orderkey, l_linenumber, l_partkey,
+      |    l_quantity AS x, l_extendedprice AS y0,
+      |    CASE WHEN l_orderkey % 10 = 0 THEN NULL ELSE l_extendedprice END AS y
+      |  FROM lineitem),
+      |stats AS (
+      |  SELECT g, CAST(COUNT(*) AS DOUBLE) AS n,
+      |    ${sqlDsum("x")} AS sx, ${sqlDsum("y")} AS sy,
+      |    ${sqlDsum("x * x")} AS sxx, ${sqlDsum("x * y")} AS sxy
+      |  FROM base WHERE y IS NOT NULL GROUP BY g),
+      |coef AS (
+      |  SELECT g, (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+      |    (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS intercept
+      |  FROM stats),
+      |scored AS (
+      |  SELECT b.*, c.intercept + c.slope * b.x AS yhat
+      |  FROM base b LEFT JOIN coef c ON b.g = c.g),
+      |w AS (
+      |  SELECT *,
+      |    last_value(CASE WHEN y IS NOT NULL THEN y END IGNORE NULLS) OVER wb AS py,
+      |    last_value(CASE WHEN y IS NOT NULL THEN yhat END IGNORE NULLS) OVER wb AS ph,
+      |    first_value(CASE WHEN y IS NOT NULL THEN y END IGNORE NULLS) OVER wa AS ny,
+      |    first_value(CASE WHEN y IS NOT NULL THEN yhat END IGNORE NULLS) OVER wa AS nh
+      |  FROM scored
+      |  WINDOW
+      |    wb AS (PARTITION BY g ORDER BY yhat, l_orderkey, l_linenumber, l_partkey, y0
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |    wa AS (PARTITION BY g ORDER BY yhat, l_orderkey, l_linenumber, l_partkey, y0
+      |           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)),
+      |imp AS (
+      |  SELECT g, y,
+      |    CASE WHEN y IS NOT NULL THEN y
+      |         WHEN py IS NULL THEN ny
+      |         WHEN ny IS NULL THEN py
+      |         WHEN yhat - ph <= nh - yhat THEN py
+      |         ELSE ny END AS y_imputed
+      |  FROM w)
+      |SELECT g AS l_returnflag,
+      |COUNT(CASE WHEN y IS NULL THEN 1 END) AS n_missing,
+      |${sqlDsum("CASE WHEN y IS NULL THEN y_imputed END")} AS sum_imputed,
+      |${sqlDsum("y_imputed")} AS sum_filled,
+      |COUNT(*) AS n
+      |FROM imp GROUP BY g""".stripMargin))
+
   def queries: Seq[GQuery] =
-    Seq(q23, q24, q25, q26, q27, q28, q29, q30, q31)
+    Seq(q23, q24, q25, q26, q27, q28, q29, q30, q31, q51)
 }

@@ -30,9 +30,13 @@ object Regression {
         dsum(col(x) * col(x)).as("sxx"),
         dsum(col(x) * col(y)).as("sxy"),
         dsum(col(y) * col(y)).as("syy"))
-      .withColumn("slope",
-        (col("n") * col("sxy") - col("sx") * col("sy")) /
-          (col("n") * col("sxx") - col("sx") * col("sx")))
+      .withColumn("slope", {
+        // degenerate groups (single point / constant x) have no defined
+        // fit: null coefficients instead of an ANSI divide-by-zero
+        val denom = col("n") * col("sxx") - col("sx") * col("sx")
+        when(denom =!= 0.0,
+          (col("n") * col("sxy") - col("sx") * col("sy")) / denom)
+      })
       .withColumn("intercept", (col("sy") - col("slope") * col("sx")) / col("n"))
       .withColumn("sse",
         col("syy") + col("n") * col("intercept") * col("intercept") +
