@@ -35,14 +35,21 @@ object Impute {
     val order = col("yhat") +: tiebreak.map(col)
     val before = Window.partitionBy(keys.map(col): _*)
       .orderBy(order: _*).rowsBetween(Window.unboundedPreceding, -1)
+    // nearest FOLLOWING observed row, found with a running frame over the
+    // REVERSED ordering: an UnboundedFollowing frame would make Spark's
+    // WindowExec recompute the aggregate per row (O(n²) per group —
+    // UnboundedFollowingWindowFunctionFrame), while the growing
+    // UnboundedPreceding frame is incremental; same row set because the
+    // (ŷ, tiebreak) key is total
+    val revOrder = col("yhat").desc +: tiebreak.map(col(_).desc)
     val after = Window.partitionBy(keys.map(col): _*)
-      .orderBy(order: _*).rowsBetween(1, Window.unboundedFollowing)
+      .orderBy(revOrder: _*).rowsBetween(Window.unboundedPreceding, -1)
     def obs(c: Column): Column = when(col(y).isNotNull, c)
     scored
       .withColumn("__py", last(obs(col(y)), ignoreNulls = true).over(before))
       .withColumn("__ph", last(obs(col("yhat")), ignoreNulls = true).over(before))
-      .withColumn("__ny", first(obs(col(y)), ignoreNulls = true).over(after))
-      .withColumn("__nh", first(obs(col("yhat")), ignoreNulls = true).over(after))
+      .withColumn("__ny", last(obs(col(y)), ignoreNulls = true).over(after))
+      .withColumn("__nh", last(obs(col("yhat")), ignoreNulls = true).over(after))
       .withColumn("y_imputed",
         when(col(y).isNotNull, col(y))
           .when(col("__py").isNull, col("__ny"))

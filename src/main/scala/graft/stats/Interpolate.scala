@@ -18,17 +18,23 @@ import org.apache.spark.sql.functions._
 object Interpolate {
 
   /** Adds `<valueCol>_filled`. `idxCol` must be an integer-like spine
-    * position (e.g. epoch days), dense or not. */
+    * position (e.g. epoch days), dense or not, unique within its key
+    * group (it is the interpolation abscissa). */
   def linear(df: DataFrame, keys: Seq[String], idxCol: String, valueCol: String): DataFrame = {
     val back = Window.partitionBy(keys.map(col): _*).orderBy(col(idxCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val fwd = Window.partitionBy(keys.map(col): _*).orderBy(col(idxCol))
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // the forward look runs over the REVERSED ordering with a growing
+    // frame: Spark evaluates UnboundedFollowing frames by recomputing
+    // per row (O(n²) per group), while UnboundedPreceding frames are
+    // incremental. The frame excludes the current row, which only
+    // matters for null-v rows (non-null rows short-circuit below).
+    val fwd = Window.partitionBy(keys.map(col): _*).orderBy(col(idxCol).desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
     val v = col(valueCol)
     df.withColumn("__pv", last(v, ignoreNulls = true).over(back))
       .withColumn("__pi", last(when(v.isNotNull, col(idxCol)), ignoreNulls = true).over(back))
-      .withColumn("__nv", first(v, ignoreNulls = true).over(fwd))
-      .withColumn("__ni", first(when(v.isNotNull, col(idxCol)), ignoreNulls = true).over(fwd))
+      .withColumn("__nv", last(v, ignoreNulls = true).over(fwd))
+      .withColumn("__ni", last(when(v.isNotNull, col(idxCol)), ignoreNulls = true).over(fwd))
       .withColumn(s"${valueCol}_filled",
         when(v.isNotNull, v)
           .when(col("__pv").isNull, col("__nv"))
