@@ -30,4 +30,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // are comfortably sized for it, and a tight heap (8g) showed multi-
   // second GC pauses in full 48-query bench runs on this 128 GiB box
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // whole-stage codegen emits fresh classes per query; a 50-query
+  // suite overflows the default 240m code cache, silently disabling
+  // the JIT mid-run (queries late in the run went 3-4x slower)
+  "-XX:ReservedCodeCacheSize=1g",
+  "-XX:+UseCodeCacheFlushing",
 )
