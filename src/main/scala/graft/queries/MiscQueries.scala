@@ -141,5 +141,46 @@ object MiscQueries {
          |FROM flagged GROUP BY event_type""".stripMargin
     })
 
-  def queries: Seq[GQuery] = Seq(q45, q46, q47, q49)
+  /** As-of join: every click event picks up the latest earlier view of
+    * the same user (`operators/AsOfJoin.backward` — union + one window
+    * sort, no pair blow-up; the reference's time-proximity matching,
+    * `R/merge-trips.R:35-69`). The oracle is DuckDB's native ASOF LEFT
+    * JOIN, an independent implementation of the same semantics. */
+  val q52 = GQuery(
+    "q52_asof_join",
+    (s, d) => {
+      val ev = events(s, d)
+      // right side unique per (user, ts) so tie-handling is unambiguous
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("view_value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("value"))
+      graft.operators.AsOfJoin.backward(
+        clicks, views, keys = Seq("user_id"), tsCol = "ts",
+        payload = Seq("view_value"))
+        .groupBy(col("user_id"))
+        .agg(
+          lcount(lit(1)).as("n_clicks"),
+          lcount(col("view_value")).as("n_matched"),
+          dsum(col("view_value")).as("sum_view_value"),
+          dsum(col("value")).as("sum_click_value"))
+    },
+    Some(s"""WITH r AS (
+      |  SELECT user_id, ts, MAX(value) AS view_value
+      |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+      |l AS (
+      |  SELECT user_id, ts, value
+      |  FROM events WHERE event_type = 'click'),
+      |j AS (
+      |  SELECT l.user_id, l.value, r.view_value
+      |  FROM l ASOF LEFT JOIN r
+      |    ON l.user_id = r.user_id AND l.ts >= r.ts)
+      |SELECT user_id, COUNT(*) AS n_clicks,
+      |COUNT(view_value) AS n_matched,
+      |${sqlDsum("view_value")} AS sum_view_value,
+      |${sqlDsum("value")} AS sum_click_value
+      |FROM j GROUP BY user_id""".stripMargin))
+
+  def queries: Seq[GQuery] = Seq(q45, q46, q47, q49, q52)
 }
