@@ -90,5 +90,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       MeanDigitRuns.info, MeanDigitRuns.builder))
     e.injectFunction((FunctionIdentifier("point_in_ring"),
       PointInRing.info, PointInRing.builder))
+    // derive pushable bounding-box conjuncts from point_in_ring filters
+    e.injectOptimizerRule(_ => graft.plans.PointInRingBBox)
   }
 }
