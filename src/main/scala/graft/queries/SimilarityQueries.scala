@@ -100,5 +100,23 @@ object SimilarityQueries {
     },
     None)
 
-  def queries: Seq[GQuery] = Seq(q40, q41, q42, q48)
+  /** Per-label exact mean embedding ([[Knn.centroids]]): the centroid/
+    * profile aggregation behind IVF training and per-class embedding
+    * QA. Decimal-routed per-dimension means, rounded at the edge. */
+  val q53 = GQuery(
+    "q53_embedding_centroids",
+    (s, d) =>
+      Knn.centroids(embeddings(s, d), "label", "embedding")
+        // posexplode is 0-based, generate_subscripts 1-based
+        .select(col("grp").as("label"), (col("i") + 1).cast("long").as("i"),
+          round(col("mean_e"), 6).as("mean_e")),
+    Some("""WITH el AS (
+      |  SELECT label, generate_subscripts(embedding, 1) AS i,
+      |    CAST(unnest(embedding) AS DECIMAL(18,9)) AS e
+      |  FROM embeddings)
+      |SELECT label, i,
+      |round(CAST(SUM(e) AS DOUBLE) / COUNT(e), 6) AS mean_e
+      |FROM el GROUP BY label, i""".stripMargin))
+
+  def queries: Seq[GQuery] = Seq(q40, q41, q42, q48, q53)
 }

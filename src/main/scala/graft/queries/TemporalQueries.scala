@@ -87,5 +87,34 @@ object TemporalQueries {
       |  ELSE 0 END) AS BIGINT) AS chained_seconds
       |FROM coll GROUP BY user_id""".stripMargin))
 
-  def queries: Seq[GQuery] = Seq(q43, q44)
+  /** W-family: trailing time-RANGE window — each event's 1-hour trailing
+    * exact sum per user, rolled up to the user's peak hour (the burst-
+    * rate validation a tracker ingest needs). RANGE frames bound by the
+    * event-time axis (unlike ROWS frames) so density spikes are measured
+    * in wall-clock terms; both engines window on epoch microseconds to
+    * avoid second-floor truncation mismatches. */
+  val q56 = GQuery(
+    "q56_trailing_range_window",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts")))
+        .rangeBetween(-3600L * 1000000L, 0L)
+      events(s, d)
+        .withColumn("trail", dsumOver(col("value"), w))
+        .groupBy(col("user_id"))
+        .agg(
+          max(col("trail")).as("peak_hour_sum"),
+          lcount(lit(1)).as("n_events"))
+    },
+    Some("""WITH t AS (
+      |  SELECT user_id,
+      |    CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER (
+      |      PARTITION BY user_id ORDER BY epoch_us(ts)
+      |      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trail
+      |  FROM events)
+      |SELECT user_id, MAX(trail) AS peak_hour_sum, COUNT(*) AS n_events
+      |FROM t GROUP BY user_id""".stripMargin))
+
+  def queries: Seq[GQuery] = Seq(q43, q44, q56)
 }

@@ -77,6 +77,18 @@ object Knn {
       .select(col("va"), col("vb"), col("cos"))
   }
 
+  /** Exact per-group mean embedding as (group, i, mean_e) rows — the
+    * centroid computation IVF training and label-profile analyses need.
+    * Decimal-summed per dimension, so centroids are bit-identical at any
+    * parallelism; one shuffle on (group, i), map-side combined. Row form
+    * (not array) keeps the shuffle rows tiny and lets callers pivot or
+    * re-assemble as needed. */
+  def centroids(df: DataFrame, groupCol: String, vecCol: String): DataFrame =
+    df.select(col(groupCol).as("grp"), posexplode(col(vecCol)).as(Seq("i", "__e")))
+      .select(col("grp"), col("i"), col("__e").cast(ElemDec).as("e"))
+      .groupBy(col("grp"), col("i"))
+      .agg((sum(col("e")).cast(DoubleType) / count(col("e"))).as("mean_e"))
+
   /** Uniform vector length of `vecCol`, from the first row; explicit
     * error on an empty frame (head() would throw NoSuchElementException). */
   def inferDim(df: DataFrame, vecCol: String): Int =
