@@ -1,0 +1,79 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over a near-duplicate pair set — the clustering
+  * step that turns pairwise matches (n-gram Jaccard, MinHash, SimHash,
+  * embedding cosine) into dedup groups with one canonical survivor per
+  * component. The reference dedups only on exact keys
+  * (`/root/reference/R/preprocess-landings.R:267-271`); transitive
+  * near-dup grouping is the training-data extension of that step.
+  *
+  * Algorithm: alternating large-star / small-star (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC'14) — each
+  * round is two self-joins + aggregations, fully distributed, and the
+  * round count is O(log n) on real graphs. No vertex ever holds its
+  * whole component in memory, unlike label-propagation-to-fixpoint
+  * variants that ship full neighbour lists.
+  *
+  * Driver involvement is one convergence check per round (a count of
+  * changed edges) — bounded work, no data on the driver.
+  */
+object Components {
+
+  /** Map each node of the undirected edge set `(src, dst)` to its
+    * component's minimum node id. Output: (node, component).
+    * Nodes must be a numeric/comparable type; isolated nodes (absent
+    * from `edges`) are absent from the output — union them in as
+    * singletons if needed. */
+  def connected(edges: DataFrame, src: String, dst: String,
+                maxRounds: Int = 50): DataFrame = {
+    val spark = edges.sparkSession
+    // canonical directed edge list u -> v (u != v), deduped
+    var e = edges.select(col(src).as("u"), col(dst).as("v"))
+      .filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+      .distinct()
+
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      // large-star: every neighbour v of u with v > u links to u's
+      // current minimum neighbour (or u itself)
+      val nbrs = e.select(col("u"), col("v"))
+        .union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = nbrs.groupBy(col("u"))
+        .agg(least(min(col("v")), col("u")).as("m"))
+      val large = nbrs.join(mins, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(least(col("v"), col("m")).as("nu"), greatest(col("v"), col("m")).as("nv"))
+        .filter(col("nu") =!= col("nv"))
+        .select(col("nu").as("u"), col("nv").as("v"))
+        .distinct()
+      // small-star: each node u links its smaller neighbours AND itself
+      // to the minimum of those neighbours
+      val nbrs2 = large.select(col("u"), col("v"))
+        .union(large.select(col("v").as("u"), col("u").as("v")))
+        .filter(col("v") < col("u"))
+      val mins2 = nbrs2.groupBy(col("u"))
+        .agg(min(col("v")).as("m"))
+      val small = nbrs2.join(mins2, Seq("u"))
+        .select(col("v").as("x"), col("m"))
+        .union(mins2.select(col("u").as("x"), col("m")))
+        .filter(col("x") =!= col("m")) // x >= m by construction
+        .select(col("m").as("u"), col("x").as("v"))
+        .distinct()
+      val next = small.localCheckpoint(eager = true) // cut the growing lineage
+      // converged when the edge set reaches the star form u = min(component)
+      val changed = next.exceptAll(e).limit(1).count()
+      converged = changed == 0 && next.count() == e.count()
+      e = next
+      round += 1
+    }
+    // star edges: v's representative is u; add representatives themselves
+    e.select(col("v").as("node"), col("u").as("component"))
+      .union(e.select(col("u").as("node"), col("u").as("component")))
+      .groupBy(col("node")).agg(min(col("component")).as("component"))
+  }
+}

@@ -144,5 +144,42 @@ object DedupQueries {
       |FROM simh a JOIN simh b ON a.doc < b.doc
       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin))
 
-  def queries: Seq[GQuery] = Seq(q36, q37, q38, q39)
+  /** Near-dup clustering: Jaccard ≥ 0.2 pairs → connected components
+    * (alternating large-star/small-star, `dedup/Components`) → cluster
+    * census keyed by the component's minimum doc id. The oracle derives
+    * the same components with a recursive transitive-closure CTE —
+    * an independent algorithm agreeing on the partition. */
+  val q57 = GQuery(
+    "q57_neardup_clusters",
+    (s, d) => {
+      val pairs = Dedup.ngramJaccardPairs(
+        documents(s, d), "doc_id", "text", k = 5, threshold = 0.2)
+        .select(col("da"), col("db"))
+      graft.dedup.Components.connected(pairs, "da", "db")
+        .groupBy(col("component"))
+        .agg(lcount(lit(1)).as("n_docs"))
+    },
+    Some(s"""WITH RECURSIVE $shingleSql,
+      |pairs AS (
+      |  SELECT a.doc AS da, b.doc AS db, COUNT(*) AS common
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+      |  GROUP BY 1, 2),
+      |jp AS (
+      |  SELECT p.da, p.db FROM pairs p
+      |  JOIN sizes sa ON p.da = sa.doc JOIN sizes sb ON p.db = sb.doc
+      |  WHERE CAST(p.common AS DOUBLE)
+      |    / CAST(sa.n_shingles + sb.n_shingles - p.common AS DOUBLE) >= 0.2),
+      |edges AS (
+      |  SELECT da AS u, db AS v FROM jp
+      |  UNION SELECT db AS u, da AS v FROM jp),
+      |nodes AS (SELECT DISTINCT u AS n FROM edges),
+      |reach(n, l) AS (
+      |  SELECT n, n FROM nodes
+      |  UNION
+      |  SELECT e.v, r.l FROM reach r JOIN edges e ON e.u = r.n),
+      |comp AS (SELECT n AS node, MIN(l) AS component FROM reach GROUP BY n)
+      |SELECT component, COUNT(*) AS n_docs
+      |FROM comp GROUP BY component""".stripMargin))
+
+  def queries: Seq[GQuery] = Seq(q36, q37, q38, q39, q57)
 }
