@@ -182,5 +182,43 @@ object MiscQueries {
       |${sqlDsum("value")} AS sum_click_value
       |FROM j GROUP BY user_id""".stripMargin))
 
-  def queries: Seq[GQuery] = Seq(q45, q46, q47, q49, q52)
+  /** Range join: clicks assigned to each user's daily [first,last] view
+    * window via `operators/RangeJoin.pointInInterval` (hour-binned
+    * equi-join + exact BETWEEN trim — never |points|·|intervals|).
+    * Oracle states the plain BETWEEN join; same row multiset. */
+  val q59 = GQuery(
+    "q59_range_join",
+    (s, d) => {
+      val ev = events(s, d)
+      val intervals = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .agg(min(col("ts")).as("win_start"), max(col("ts")).as("win_end"))
+      val points = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("value"))
+      graft.operators.RangeJoin.pointInInterval(
+        points, intervals, keys = Seq("user_id"),
+        tsCol = "ts", startCol = "win_start", endCol = "win_end",
+        binSeconds = 3600L)
+        .groupBy(col("user_id"))
+        .agg(
+          lcount(lit(1)).as("n_matched"),
+          dsum(col("value")).as("sum_matched_value"),
+          countDistinct(col("day")).as("n_days_active"))
+    },
+    Some(s"""WITH iv AS (
+      |  SELECT user_id, date_trunc('day', ts) AS day,
+      |    MIN(ts) AS s, MAX(ts) AS e
+      |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+      |pts AS (
+      |  SELECT user_id, ts, value FROM events WHERE event_type = 'click'),
+      |m AS (
+      |  SELECT p.user_id, p.value, iv.day
+      |  FROM pts p JOIN iv ON p.user_id = iv.user_id
+      |    AND p.ts BETWEEN iv.s AND iv.e)
+      |SELECT user_id, COUNT(*) AS n_matched,
+      |${sqlDsum("value")} AS sum_matched_value,
+      |COUNT(DISTINCT day) AS n_days_active
+      |FROM m GROUP BY user_id""".stripMargin))
+
+  def queries: Seq[GQuery] = Seq(q45, q46, q47, q49, q52, q59)
 }

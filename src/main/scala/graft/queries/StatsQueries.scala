@@ -447,6 +447,35 @@ object StatsQueries {
       |COUNT(*) AS n
       |FROM imp GROUP BY g""".stripMargin))
 
+  /** Weighted exact percentiles: quantity-weighted price quantiles per
+    * flag through [[SortPercentile.fromCounts]] — the histogram is the
+    * native input, so integer weights cost nothing extra (the
+    * reference's frequency-by-length-class quantile shape,
+    * `R/calculate-weights.R:540-569`). The oracle materializes the
+    * equivalent replicated multiset and runs quantile_cont on it. */
+  val q58 = GQuery(
+    "q58_weighted_percentile",
+    (s, d) => {
+      val hist = lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_extendedprice").as("v"))
+        .agg(sum(col("l_quantity").cast("long")).as("w"))
+      SortPercentile.fromCounts(
+        hist, Seq("l_returnflag"), "v", "w",
+        Seq(0.5, 0.9), Seq("wp50", "wp90"), countAs = Some("total_weight"))
+        .select(col("l_returnflag"),
+          round(col("wp50"), 6).as("wp50"),
+          round(col("wp90"), 6).as("wp90"),
+          col("total_weight"))
+    },
+    Some("""WITH expanded AS (
+      |  SELECT l_returnflag, l_extendedprice
+      |  FROM lineitem, UNNEST(generate_series(1, CAST(l_quantity AS BIGINT))) AS r(i))
+      |SELECT l_returnflag,
+      |round(quantile_cont(l_extendedprice, 0.5), 6) AS wp50,
+      |round(quantile_cont(l_extendedprice, 0.9), 6) AS wp90,
+      |COUNT(*) AS total_weight
+      |FROM expanded GROUP BY l_returnflag""".stripMargin))
+
   def queries: Seq[GQuery] =
-    Seq(q23, q24, q25, q26, q27, q28, q29, q30, q31, q51)
+    Seq(q23, q24, q25, q26, q27, q28, q29, q30, q31, q51, q58)
 }
