@@ -35,6 +35,8 @@ object Components {
       .filter(col("u") =!= col("v"))
       .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
       .distinct()
+      .localCheckpoint(eager = true)
+    var eCount = e.count()
 
     var round = 0
     var converged = false
@@ -65,10 +67,13 @@ object Components {
         .select(col("m").as("u"), col("x").as("v"))
         .distinct()
       val next = small.localCheckpoint(eager = true) // cut the growing lineage
-      // converged when the edge set reaches the star form u = min(component)
-      val changed = next.exceptAll(e).limit(1).count()
-      converged = changed == 0 && next.count() == e.count()
+      // converged when the edge multiset is the fixpoint star form;
+      // the count short-circuit skips the diff job on shrinking rounds
+      val nextCount = next.count()
+      converged = nextCount == eCount &&
+        next.exceptAll(e).limit(1).count() == 0
       e = next
+      eCount = nextCount
       round += 1
     }
     // star edges: v's representative is u; add representatives themselves
