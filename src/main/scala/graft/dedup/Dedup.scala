@@ -137,6 +137,39 @@ object Dedup {
       .select("da", "db", "jaccard", "est_jaccard")
   }
 
+  /** Winnowed rolling-hash fingerprints (Schleimer et al., "Winnowing:
+    * Local Algorithms for Document Fingerprinting", SIGMOD'03) at token
+    * granularity: token k-gram hashes (Horner-combined md5 bases, all
+    * integer arithmetic mod 2³¹−1 — any engine reproduces them), then
+    * the minimum over every sliding window of `w` consecutive k-grams
+    * is kept. Any shared token run of length ≥ w + k − 1 between two
+    * documents is guaranteed to surface as a shared fingerprint, at
+    * ~1/w the density of the full k-gram set.
+    * Output: distinct (doc, fp). One explode + two windows per doc
+    * ordering — no all-pairs anything. */
+  def winnowedFingerprints(df: DataFrame, idCol: String, textCol: String,
+                           k: Int = 3, w: Int = 4): DataFrame = {
+    val B = 1000003L
+    val M = 2147483647L
+    val toks = df.select(col(idCol).as("doc"),
+        posexplode(TextFunctions.wsTokens(col(textCol))).as(Seq("i", "tok")))
+      .withColumn("h", md5Hash28(col("tok")))
+    val order = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc")).orderBy(col("i"))
+    // Horner chain over the k leads keeps every intermediate < 2^52
+    val kh = (1 until k).foldLeft(col("h")) { (acc, j) =>
+      (acc * B + lead(col("h"), j).over(order)) % M
+    }
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc")).orderBy(col("i"))
+      .rowsBetween(0, w - 1)
+    toks
+      .withColumn("kh", kh)
+      .filter(col("kh").isNotNull) // trailing positions lack a full k-gram
+      .withColumn("fp", min(col("kh")).over(win))
+      .select(col("doc"), col("fp")).distinct()
+  }
+
   /** 60-bit SimHash per document from whitespace-token term frequencies:
     * bit b of md5(token) votes ±tf; the sign of the vote sum sets bit b.
     * Output: (doc, simhash). */

@@ -181,5 +181,50 @@ object DedupQueries {
       |SELECT component, COUNT(*) AS n_docs
       |FROM comp GROUP BY component""".stripMargin))
 
-  def queries: Seq[GQuery] = Seq(q36, q37, q38, q39, q57)
+  /** Winnowed rolling-hash fingerprints (`Dedup.winnowedFingerprints`,
+    * k=3 token-grams, window w=4) with a per-doc census and the count
+    * of fingerprints shared by more than one document — the winnowing
+    * selectivity + collision profile. Integer arithmetic end-to-end. */
+  val q61 = GQuery(
+    "q61_winnow_fingerprint",
+    (s, d) => {
+      val fps = Dedup.winnowedFingerprints(documents(s, d), "doc_id", "text")
+      val perDoc = fps.groupBy(col("doc")).agg(lcount(lit(1)).as("n_fps"))
+      val shared = fps.groupBy(col("fp")).agg(lcount(lit(1)).as("n_docs"))
+      perDoc.agg(
+        lcount(lit(1)).as("n_docs_fingerprinted"),
+        sum(col("n_fps")).cast("long").as("n_doc_fps"),
+        min(col("n_fps")).as("min_fps"),
+        max(col("n_fps")).as("max_fps"))
+        .crossJoin(shared.agg(
+          lcount(lit(1)).as("n_distinct_fps"),
+          count(when(col("n_docs") > 1, lit(1))).as("n_shared_fps")))
+    },
+    Some(s"""WITH toks AS (
+      |  SELECT doc_id AS doc, i,
+      |    CAST(('0x' || substr(md5(ws[i]), 1, 7)) AS BIGINT) AS h
+      |  FROM (SELECT doc_id, $wsSql AS ws FROM documents) t,
+      |    UNNEST(generate_series(1, len(ws))) AS u(i)),
+      |kg AS (
+      |  SELECT doc, i,
+      |    ((h * 1000003 + lead(h, 1) OVER wd) % 2147483647
+      |      * 1000003 + lead(h, 2) OVER wd) % 2147483647 AS kh
+      |  FROM toks
+      |  WINDOW wd AS (PARTITION BY doc ORDER BY i)),
+      |fps AS (
+      |  SELECT DISTINCT doc,
+      |    MIN(kh) OVER (PARTITION BY doc ORDER BY i
+      |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+      |  FROM kg WHERE kh IS NOT NULL),
+      |per_doc AS (SELECT doc, COUNT(*) AS n_fps FROM fps GROUP BY doc),
+      |shared AS (SELECT fp, COUNT(*) AS n_docs FROM fps GROUP BY fp)
+      |SELECT
+      |  (SELECT COUNT(*) FROM per_doc) AS n_docs_fingerprinted,
+      |  (SELECT CAST(SUM(n_fps) AS BIGINT) FROM per_doc) AS n_doc_fps,
+      |  (SELECT MIN(n_fps) FROM per_doc) AS min_fps,
+      |  (SELECT MAX(n_fps) FROM per_doc) AS max_fps,
+      |  (SELECT COUNT(*) FROM shared) AS n_distinct_fps,
+      |  (SELECT COUNT(CASE WHEN n_docs > 1 THEN 1 END) FROM shared) AS n_shared_fps""".stripMargin))
+
+  def queries: Seq[GQuery] = Seq(q36, q37, q38, q39, q57, q61)
 }

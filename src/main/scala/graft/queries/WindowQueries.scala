@@ -176,5 +176,52 @@ object WindowQueries {
       |MAX(n) AS max_per_minute
       |FROM m GROUP BY user_id""".stripMargin))
 
-  def queries: Seq[GQuery] = Seq(q11, q12, q13, q14, q15, q16)
+  /** Gap-based sessionization, batch face: the same
+    * [[graft.streaming.Sessionize]] kernel that runs under
+    * `flatMapGroupsWithState` in streaming, here checked against a
+    * windowed SQL derivation (gap flag → cumulative session id).
+    * Output stays in exact integer/timestamp arithmetic (counts,
+    * second durations) so no float ordering can bite. */
+  val q60 = GQuery(
+    "q60_sessionize_batch",
+    (s, d) => {
+      import s.implicits._
+      val ev = events(s, d)
+        .select(col("user_id"), col("ts"), col("value"))
+        .as[graft.streaming.Sessionize.Event]
+      graft.streaming.Sessionize.sessions(ev, gapSeconds = 1800, streaming = false)
+        .groupBy(col("user_id"))
+        .agg(
+          lcount(lit(1)).as("n_sessions"),
+          sum(col("n_events")).cast("long").as("n_events"),
+          max(col("n_events")).as("max_session_events"),
+          sum(unix_timestamp(col("session_end")) - unix_timestamp(col("session_start")))
+            .cast("long").as("total_session_secs"))
+    },
+    Some("""WITH e AS (
+      |  -- millisecond floor mirrors the engine's Timestamp.getTime basis
+      |  SELECT user_id, epoch_ms(ts) AS ms, value FROM events),
+      |o AS (
+      |  SELECT user_id, ms,
+      |    CASE WHEN ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms, value)
+      |              > 1800000
+      |         OR lag(ms) OVER (PARTITION BY user_id ORDER BY ms, value) IS NULL
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM e),
+      |sess AS (
+      |  SELECT user_id, ms,
+      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ms
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM o),
+      |agg AS (
+      |  SELECT user_id, sid, COUNT(*) AS n_events,
+      |    MAX(ms) // 1000 - MIN(ms) // 1000 AS dur
+      |  FROM sess GROUP BY user_id, sid)
+      |SELECT user_id, COUNT(*) AS n_sessions,
+      |CAST(SUM(n_events) AS BIGINT) AS n_events,
+      |MAX(n_events) AS max_session_events,
+      |CAST(SUM(dur) AS BIGINT) AS total_session_secs
+      |FROM agg GROUP BY user_id""".stripMargin))
+
+  def queries: Seq[GQuery] = Seq(q11, q12, q13, q14, q15, q16, q60)
 }
