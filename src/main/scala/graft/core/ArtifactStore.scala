@@ -27,6 +27,20 @@ final class ArtifactStore(spark: SparkSession, root: String) {
     path
   }
 
+  /** Versioned write hive-partitioned by `partitionCols` (e.g. month,
+    * region): readers filtering on those columns scan only the matching
+    * directories — at 100 TB the partition-pruned scan IS the query
+    * plan's first optimization, before any pushed filter runs.
+    * Pick columns of bounded cardinality (time bins, regions); never
+    * high-cardinality keys, which would shatter the table into tiny
+    * files. */
+  def writePartitioned(df: DataFrame, prefix: String, version: String,
+                       partitionCols: Seq[String]): String = {
+    val path = s"$root/$prefix/v=$version"
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+    path
+  }
+
   def versions(prefix: String): Seq[String] = {
     val dir = new org.apache.hadoop.fs.Path(s"$root/$prefix")
     if (!fs.exists(dir)) Seq.empty

@@ -1,0 +1,45 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Stream-stream interval join — the streaming face of the engine's
+  * time-proximity matching ([[graft.operators.RangeJoin]] /
+  * [[graft.operators.AsOfJoin]] in batch): an unbounded stream of
+  * events enriched with recent rows of a second unbounded stream.
+  *
+  * Structured Streaming requires (1) watermarks on both sides and (2) a
+  * time-interval condition bounding how far apart matching rows can be
+  * — together they bound the join state: each side buffers only rows
+  * younger than watermark + interval, so state is O(rate × window), not
+  * O(stream). This is the 100 TB-scale join shape; an unbounded-state
+  * stream join is rejected by the planner by design.
+  */
+object StreamJoin {
+
+  /** Left rows paired with right rows of the same key whose event time
+    * lies in [left.ts − lookbackSeconds, left.ts] — "enrich each event
+    * with everything the key did in the preceding window". Works on
+    * batch frames identically (the condition is an ordinary range
+    * predicate there).
+    *
+    * Column names of the two sides must be disjoint apart from the key
+    * (rename upstream); `leftTs`/`rightTs` name each side's event-time
+    * column. Inner join: unmatched left rows drop (use the batch
+    * operators for left-outer semantics). */
+  def recentWindowJoin(left: DataFrame, right: DataFrame, key: String,
+                       leftTs: String, rightTs: String,
+                       lookbackSeconds: Long,
+                       watermark: String = "1 minute"): DataFrame = {
+    val (l, r) =
+      if (left.isStreaming || right.isStreaming)
+        (left.withWatermark(leftTs, watermark),
+          right.withWatermark(rightTs, watermark))
+      else (left, right)
+    l.join(r,
+      l(key) === r(key) &&
+        col(rightTs) >= col(leftTs) - expr(s"interval $lookbackSeconds seconds") &&
+        col(rightTs) <= col(leftTs))
+      .drop(r(key))
+  }
+}
