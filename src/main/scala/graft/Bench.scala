@@ -18,12 +18,23 @@ object Bench {
         SparkSession.builder()
           .master(s"local[$cpus]")
           .appName("graft-bench")
-          .config("spark.ui.enabled", "false"),
+          .config("spark.ui.enabled", "false")
+          // shuffle files / broadcast blocks are only released when the
+          // ContextCleaner sees their refs collected — without GC
+          // pressure a 59-query run accumulates them until queries late
+          // in the suite slow 3-8x (q40: 1.8s alone vs 13s in-suite)
+          .config("spark.cleaner.periodicGC.interval", "30s"),
         parallelism = cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    var sinceGc = 0
     def materialize(name: String, dir: String): Double = {
+      // drop prior queries' shuffle/broadcast refs OUTSIDE the timed
+      // window every few queries, so accumulated state from earlier
+      // queries doesn't bill later ones
+      sinceGc += 1
+      if (sinceGc >= 10) { System.gc(); sinceGc = 0 }
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()
