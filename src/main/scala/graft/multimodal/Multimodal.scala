@@ -81,6 +81,30 @@ object Multimodal {
       .toDF(idCol, "features")
   }
 
+  /** Batched feature extraction, `mapInPandas` batch shape: payloads
+    * are processed `batchSize` at a time per partition, so a
+    * vectorizing decoder (SIMD image ops, a GPU model) sees whole
+    * arrays, while memory stays bounded at batch × payload size
+    * regardless of partition size. Semantics identical to
+    * [[extractFeatures]]. */
+  def extractFeaturesBatched(df: DataFrame, idCol: String, binCol: String,
+                             dim: Int, batchSize: Int = 64,
+                             decoder: Decoder = FakeDecoder): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(batchSize).flatMap { batch =>
+        // one call-site per batch: a real decoder would process the
+        // whole Array[Array[Byte]] at once
+        val payloads = batch.map(_._2).toArray
+        val feats = payloads.map(b =>
+          if (b == null) Array.empty[Float] else decoder.features(b, dim))
+        batch.iterator.zip(feats.iterator).map { case ((id, _), f) => (id, f) }
+      })
+      .toDF(idCol, "features")
+  }
+
   /** Deterministic frame sampling plan for video-like payloads: every
     * `stride`-th frame index below `nFrames` — the plan (which frames to
     * decode) is relational; the decode itself is the stubbed stage. */

@@ -43,4 +43,17 @@ class MultimodalSpec extends SparkSpec {
       .as[(Long, Int)].collect().toSet
     assert(idx == Set((1L, 0), (1L, 4), (1L, 8), (2L, 0)))
   }
+  test("extractFeaturesBatched == extractFeatures (batch boundaries invisible)") {
+    val many = (1L to 100L).map(i => (i, s"payload-$i")).toDF("id", "s")
+      .withColumn("payload", $"s".cast("binary")).drop("s")
+      .repartition(3)
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toVector).toMap
+    val plain = toMap(Multimodal.extractFeatures(many, "id", "payload", dim = 8))
+    val batched = toMap(Multimodal.extractFeaturesBatched(
+      many, "id", "payload", dim = 8, batchSize = 7))
+    assert(plain == batched)
+    assert(plain(1L).length == 8)
+  }
+
 }
