@@ -220,5 +220,31 @@ object MiscQueries {
       |COUNT(DISTINCT day) AS n_days_active
       |FROM m GROUP BY user_id""".stripMargin))
 
-  def queries: Seq[GQuery] = Seq(q45, q46, q47, q49, q52, q59)
+  /** Hot-key salting (`operators/Salting`): the 3-value l_returnflag is
+    * the worst-case skew — every row lands on one of three reducers in
+    * a direct groupBy; the salted plan splits each key over 16 partial
+    * groups (balanced shuffle) and recombines. Decimal-routed sums keep
+    * the result bit-identical to the unsalted plan and the oracle
+    * (decimal addition is associative; the salt only reorders it). */
+  val q62 = GQuery(
+    "q62_salted_hotkey_agg",
+    (s, d) => {
+      val out = graft.operators.Salting.saltedAggregate(
+        lineitem(s, d), keys = Seq("l_returnflag"),
+        aggs = Map(
+          "sum_price_dec" -> (("sum", col("l_extendedprice").cast(graft.core.Exact.Dec))),
+          "n" -> (("count", lit(1))),
+          "max_qty" -> (("max", col("l_quantity")))),
+        numSalts = 16)
+      out.select(col("l_returnflag"),
+        col("sum_price_dec").cast("double").as("sum_price"),
+        col("n").cast("long").as("n"),
+        col("max_qty"))
+    },
+    Some(s"""SELECT l_returnflag,
+      |${sqlDsum("l_extendedprice")} AS sum_price,
+      |COUNT(*) AS n, MAX(l_quantity) AS max_qty
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin))
+
+  def queries: Seq[GQuery] = Seq(q45, q46, q47, q49, q52, q59, q62)
 }
