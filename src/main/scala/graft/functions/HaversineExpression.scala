@@ -92,5 +92,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       PointInRing.info, PointInRing.builder))
     // derive pushable bounding-box conjuncts from point_in_ring filters
     e.injectOptimizerRule(_ => graft.plans.PointInRingBBox)
+    // rewrite filter(row_number <= k) into the heap-based top-k operator
+    e.injectOptimizerRule(_ => graft.plans.RewriteRankFilterToTopK)
+    e.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
   }
 }
