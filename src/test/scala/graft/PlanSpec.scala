@@ -53,4 +53,17 @@ class PlanSpec extends SparkSpec {
     // reuse that partitioning instead of re-shuffling
     assert(exchanges <= 1, s"window + groupBy should share one exchange, saw $exchanges:\n$p")
   }
+
+  test("q01: aggregation is map-side partial before the exchange") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("partial_"),
+      s"no partial aggregation (map-side combine missing):\n$p")
+  }
+
+  test("q52: as-of join never degenerates into a pair join") {
+    val p = plan("q52_asof_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"as-of join fell back to a pair join:\n$p")
+    assert(p.contains("Window"), "union-sort as-of plan should use a window")
+  }
 }
