@@ -69,9 +69,13 @@ object SimilarityQueries {
       |SELECT va, vb, round(cos, 4) AS cos FROM scored WHERE cos >= 0.25""".stripMargin))
 
   /** Hyperplane-LSH ANN (4 tables × 6 planes, AND-OR): the 100-TB-scale
-    * path where the candidate join is bucket-local. Approximate by
-    * construction, so no SQL oracle — the driver records rows>0 and
-    * KnnSpec measures recall against q40's exact baseline. */
+    * path where the candidate join is bucket-local. Approximate w.r.t.
+    * exact KNN, but fully deterministic: the md5-derived sign matrix and
+    * the engine's sequential double fold are both reproducible, so the
+    * oracle re-derives the same buckets with `list_reduce` (also a
+    * left-to-right fold — bit-identical projections), the same candidate
+    * pairs, and the same decimal-exact cosines. KnnSpec additionally
+    * measures recall against q40's exact baseline. */
   val q42 = GQuery(
     "q42_lsh_ann",
     (s, d) => {
@@ -82,12 +86,52 @@ object SimilarityQueries {
         numPlanes = 6, numTables = 4)
         .select(col("qid"), col("rank"), col("nid"), round(col("cos"), 4).as("cos"))
     },
-    None)
+    Some(s"""WITH $elSql,
+      |planes AS (
+      |  SELECT t, p
+      |  FROM (SELECT unnest(generate_series(0, 3)) AS t),
+      |       (SELECT unnest(generate_series(0, 5)) AS p)),
+      |b AS (
+      |  SELECT v.vec_id, pl.t,
+      |    CAST(SUM(CASE WHEN
+      |      list_reduce(
+      |        list_transform(generate_series(1, len(v.embedding)),
+      |          i -> CAST(v.embedding[i] AS DOUBLE) *
+      |            (CASE WHEN (strpos('0123456789abcdef',
+      |                substr(md5(pl.t || ':' || pl.p || ':' || CAST(i - 1 AS VARCHAR)), 1, 1)) - 1) % 2 = 1
+      |              THEN 1.0 ELSE -1.0 END)),
+      |        (a, x) -> a + x) > 0
+      |      THEN CAST(1 AS BIGINT) << pl.p ELSE 0 END) AS BIGINT) AS bucket
+      |  FROM embeddings v, planes pl
+      |  GROUP BY v.vec_id, pl.t),
+      |cand AS (
+      |  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid
+      |  FROM b q JOIN b c ON q.t = c.t AND q.bucket = c.bucket
+      |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+      |dot AS (
+      |  SELECT ca.qid, ca.nid, CAST(SUM(q.e * c.e) AS DOUBLE) AS dot
+      |  FROM cand ca
+      |  JOIN el q ON q.vec_id = ca.qid
+      |  JOIN el c ON c.vec_id = ca.nid AND q.i = c.i
+      |  GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT d.qid, d.nid, d.dot / (sqrt(nq.n2) * sqrt(nc.n2)) AS cos
+      |  FROM dot d JOIN n2 nq ON d.qid = nq.vec_id JOIN n2 nc ON d.nid = nc.vec_id),
+      |ranked AS (
+      |  SELECT qid, nid, cos,
+      |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank
+      |  FROM scored)
+      |SELECT qid, CAST(rank AS INT) AS rank, nid, round(cos, 4) AS cos
+      |FROM ranked WHERE rank <= 5""".stripMargin))
 
   /** IVF ANN: Voronoi-cell partitioned search (4 lists, 2 probes) — the
     * bucketed-by-cell scale path where probes become partition-pruned
-    * scans. Approximate; recall + exact-score parity covered by IvfSpec,
-    * driver records rows>0. */
+    * scans. Approximate w.r.t. exact KNN but fully deterministic
+    * (md5-ranked seeds, decimal-routed Lloyd means, sequential distance
+    * folds), so the oracle replays the whole training: seed selection,
+    * one unrolled Lloyd iteration, cell assignment, 2-probe search and
+    * decimal-exact cosines — bit-for-bit. IvfSpec adds recall/score
+    * parity against the exact baseline. */
   val q48 = GQuery(
     "q48_ivf_ann",
     (s, d) => {
@@ -98,7 +142,72 @@ object SimilarityQueries {
         nLists = 4, nProbe = 2, iters = 1)
         .select(col("qid"), col("rank"), col("nid"), round(col("cos"), 4).as("cos"))
     },
-    None)
+    Some(s"""WITH $elSql,
+      |el12 AS (
+      |  SELECT vec_id, CAST(unnest(embedding) AS DECIMAL(38,12)) AS e,
+      |    generate_subscripts(embedding, 1) AS i
+      |  FROM embeddings),
+      |dim AS (SELECT MAX(len(embedding)) AS d FROM embeddings),
+      |seeds AS (
+      |  SELECT cell, embedding FROM (
+      |    SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cell,
+      |           embedding
+      |    FROM embeddings) WHERE cell < 4),
+      |seedlist AS (
+      |  SELECT cell, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c FROM seeds),
+      |d0 AS (
+      |  SELECT v.vec_id, s.cell,
+      |    list_reduce(list_transform(generate_series(1, len(v.embedding)),
+      |      i -> (CAST(v.embedding[i] AS DOUBLE) - s.c[i]) * (CAST(v.embedding[i] AS DOUBLE) - s.c[i])),
+      |      (a, b) -> a + b) AS d
+      |  FROM embeddings v, seedlist s),
+      |a0 AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+      |    FROM d0) WHERE rn = 1),
+      |m1 AS (
+      |  SELECT a0.cell, el12.i, CAST(SUM(el12.e) AS DOUBLE) / COUNT(el12.e) AS m
+      |  FROM a0 JOIN el12 ON el12.vec_id = a0.vec_id
+      |  GROUP BY a0.cell, el12.i),
+      |c1 AS (
+      |  SELECT s.cell, list(COALESCE(m1.m, s.c[ser.i]) ORDER BY ser.i) AS c
+      |  FROM seedlist s
+      |  CROSS JOIN (SELECT unnest(generate_series(1, (SELECT d FROM dim))) AS i) ser
+      |  LEFT JOIN m1 ON m1.cell = s.cell AND m1.i = ser.i
+      |  GROUP BY s.cell),
+      |d1 AS (
+      |  SELECT v.vec_id, s.cell,
+      |    list_reduce(list_transform(generate_series(1, len(v.embedding)),
+      |      i -> (CAST(v.embedding[i] AS DOUBLE) - s.c[i]) * (CAST(v.embedding[i] AS DOUBLE) - s.c[i])),
+      |      (a, b) -> a + b) AS d
+      |  FROM embeddings v, c1 s),
+      |a1 AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+      |    FROM d1) WHERE rn = 1),
+      |probes AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+      |    FROM d1 WHERE vec_id < 10) WHERE rn <= 2),
+      |cand AS (
+      |  SELECT DISTINCT p.vec_id AS qid, a1.vec_id AS nid
+      |  FROM probes p JOIN a1 ON a1.cell = p.cell
+      |  WHERE a1.vec_id <> p.vec_id),
+      |dot AS (
+      |  SELECT ca.qid, ca.nid, CAST(SUM(q.e * c.e) AS DOUBLE) AS dot
+      |  FROM cand ca
+      |  JOIN el q ON q.vec_id = ca.qid
+      |  JOIN el c ON c.vec_id = ca.nid AND q.i = c.i
+      |  GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT d.qid, d.nid, d.dot / (sqrt(nq.n2) * sqrt(nc.n2)) AS cos
+      |  FROM dot d JOIN n2 nq ON d.qid = nq.vec_id JOIN n2 nc ON d.nid = nc.vec_id),
+      |ranked AS (
+      |  SELECT qid, nid, cos,
+      |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank
+      |  FROM scored)
+      |SELECT qid, CAST(rank AS INT) AS rank, nid, round(cos, 4) AS cos
+      |FROM ranked WHERE rank <= 5""".stripMargin))
 
   /** Per-label exact mean embedding ([[Knn.centroids]]): the centroid/
     * profile aggregation behind IVF training and per-class embedding

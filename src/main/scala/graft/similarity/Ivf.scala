@@ -35,7 +35,11 @@ object Ivf {
       val assigned = assignCells(corpus, vecCol, cents)
         .select(col("__cell"), posexplode(col(vecCol)).as(Seq("i", "e")))
         .groupBy(col("__cell"), col("i"))
-        .agg(avg(col("e").cast("double")).as("m"))
+        // decimal-routed mean: a plain double avg is partition-order
+        // dependent, which would make the trained centroids (and with
+        // them cell membership) vary run to run
+        .agg((sum(col("e").cast("decimal(38,12)")).cast("double") /
+          count(col("e"))).as("m"))
         .collect()
       val next = cents.map(_.clone())
       assigned.foreach { r =>
