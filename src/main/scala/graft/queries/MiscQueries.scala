@@ -246,5 +246,55 @@ object MiscQueries {
       |COUNT(*) AS n, MAX(l_quantity) AS max_qty
       |FROM lineitem GROUP BY l_returnflag""".stripMargin))
 
-  def queries: Seq[GQuery] = Seq(q45, q46, q47, q49, q52, q59, q62)
+  /** Convex CCW zones for q63 (convexity asserted in PointInRingSpec):
+    * the q49 pentagon plus a square and a triangle elsewhere in the
+    * synthetic coordinate space. */
+  val q63Zones: Seq[(String, Seq[(Double, Double)])] = Seq(
+    "zoneA" -> q49Ring,
+    "zoneB" -> Seq((30.17, -40.23), (44.63, -40.23), (44.63, -25.37), (30.17, -25.37)),
+    "zoneC" -> Seq((-44.61, 20.13), (-20.39, 25.17), (-30.25, 42.89)))
+
+  /** Spatial join: points against the zone TABLE via
+    * `operators/SpatialJoin` (bbox-grid equi-join + exact ray cast —
+    * never |points|·|zones|). The oracle re-derives membership per zone
+    * with convex sign tests, generated from the same vertex lists. */
+  val q63 = GQuery(
+    "q63_spatial_join",
+    (s, d) => {
+      import s.implicits._
+      // 179 is coprime to 360, so (lat, lng) sweep the full 2D grid
+      // instead of a correlated 1D curve
+      val pts = events(s, d)
+        .withColumn("lat", ((col("event_id") % 179) - 89).cast("double") * lit(0.5))
+        .withColumn("lng", ((col("event_id") % 360) - 180).cast("double") * lit(0.25))
+      val polys = q63Zones.map { case (z, vs) =>
+        (z, vs.flatMap { case (x, y) => Seq(x, y) })
+      }.toDF("zone", "ring")
+      graft.operators.SpatialJoin.pointInPolygonJoin(
+        pts, polys, xCol = "lng", yCol = "lat", ringCol = "ring", cellSize = 10.0)
+        .groupBy(col("zone"))
+        .agg(lcount(lit(1)).as("n_points"), dsum(col("value")).as("sum_value"))
+    },
+    Some {
+      def test(vs: Seq[(Double, Double)]): String =
+        vs.indices.map { i =>
+          val (xi, yi) = vs(i)
+          val (xj, yj) = vs((i + 1) % vs.length)
+          s"(($xj - $xi) * (lat - $yi) - ($yj - $yi) * (lng - $xi)) > 0"
+        }.mkString("(", "\n      AND ", ")")
+      val unions = q63Zones.map { case (z, vs) =>
+        s"SELECT '$z' AS zone, value FROM pts WHERE ${test(vs)}"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH pts AS (
+         |  SELECT value,
+         |    CAST((event_id % 179) - 89 AS DOUBLE) * 0.5 AS lat,
+         |    CAST((event_id % 360) - 180 AS DOUBLE) * 0.25 AS lng
+         |  FROM events),
+         |m AS (
+         |  $unions)
+         |SELECT zone, COUNT(*) AS n_points, ${sqlDsum("value")} AS sum_value
+         |FROM m GROUP BY zone""".stripMargin
+    })
+
+  def queries: Seq[GQuery] = Seq(q45, q46, q47, q49, q52, q59, q62, q63)
 }

@@ -10,14 +10,16 @@ class PointInRingSpec extends SparkSpec {
   private def ringCol(vs: Seq[(Double, Double)]) =
     array(vs.flatMap { case (x, y) => Seq(lit(x), lit(y)) }: _*)
 
-  test("q49 ring is convex and counter-clockwise (oracle precondition)") {
-    val vs = MiscQueries.q49Ring
-    vs.indices.foreach { i =>
-      val (xi, yi) = vs(i)
-      val (xj, yj) = vs((i + 1) % vs.length)
-      val (xk, yk) = vs((i + 2) % vs.length)
-      val cross = (xj - xi) * (yk - yi) - (yj - yi) * (xk - xi)
-      assert(cross > 0, s"turn at vertex $i is not a left turn: $cross")
+  test("q49/q63 rings are convex and counter-clockwise (oracle precondition)") {
+    val rings = ("q49" -> MiscQueries.q49Ring) +: MiscQueries.q63Zones
+    rings.foreach { case (name, vs) =>
+      vs.indices.foreach { i =>
+        val (xi, yi) = vs(i)
+        val (xj, yj) = vs((i + 1) % vs.length)
+        val (xk, yk) = vs((i + 2) % vs.length)
+        val cross = (xj - xi) * (yk - yi) - (yj - yi) * (xk - xi)
+        assert(cross > 0, s"$name: turn at vertex $i is not a left turn: $cross")
+      }
     }
   }
 
