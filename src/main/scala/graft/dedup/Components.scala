@@ -32,7 +32,7 @@ object Components {
     val spark = edges.sparkSession
     // canonical directed edge list u -> v (u != v), deduped
     var e = edges.select(col(src).as("u"), col(dst).as("v"))
-      .filter(col("u") =!= col("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
       .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
       .distinct()
       .localCheckpoint(eager = true)

@@ -36,6 +36,10 @@ object AsOfJoin {
                tsCol: String, payload: Seq[String],
                tolerance: Long = -1L): DataFrame = {
     val leftCols = left.columns
+    val clash = payload.toSet.intersect(leftCols.toSet) ++
+      (if (leftCols.contains("asof_ts")) Seq("asof_ts") else Nil)
+    require(clash.isEmpty,
+      s"as-of payload/result columns collide with the left side: ${clash.mkString(", ")} — rename upstream")
     // stack: right rows sort before left rows at the same timestamp so
     // an exact-timestamp right row is visible to the left row
     val l = left.withColumn("__side", lit(1))

@@ -29,10 +29,15 @@ object RangeJoin {
                       tsCol: String, startCol: String, endCol: String,
                       binSeconds: Long): DataFrame = {
     val binMicros = binSeconds * 1000000L
-    val iv = intervals.withColumn("__bin",
-      explode(sequence(
-        (unix_micros(col(startCol)) / binMicros).cast("long"),
-        (unix_micros(col(endCol)) / binMicros).cast("long"))))
+    // inverted/null intervals can never contain a point, and sequence()
+    // rejects a descending range — drop them before binning
+    val iv = intervals
+      .filter(col(startCol).isNotNull && col(endCol).isNotNull &&
+        col(startCol) <= col(endCol))
+      .withColumn("__bin",
+        explode(sequence(
+          (unix_micros(col(startCol)) / binMicros).cast("long"),
+          (unix_micros(col(endCol)) / binMicros).cast("long"))))
     val pt = points.withColumn("__bin",
       (unix_micros(col(tsCol)) / binMicros).cast("long"))
     pt.join(iv, keys :+ "__bin")

@@ -42,4 +42,11 @@ class AsOfJoinSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
+  test("payload name collisions are rejected with a clear error") {
+    val left = Seq(("a", 9L, "x")).toDF("k", "ts", "tag")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.backward(left, right, Seq("k"), "ts", Seq("tag"))
+    }
+    assert(e.getMessage.contains("collide"))
+  }
 }

@@ -42,4 +42,14 @@ class RangeJoinSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
   }
+  test("inverted and null intervals are ignored, not errors") {
+    val intervals = Seq(
+      ("a", ts("2024-01-01 12:00:00"), ts("2024-01-01 10:00:00")), // inverted
+      ("a", null.asInstanceOf[java.sql.Timestamp], ts("2024-01-01 10:00:00")),
+      ("a", ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00")))
+      .toDF("k", "s", "e")
+    val points = Seq(("a", ts("2024-01-01 10:30:00"))).toDF("k", "ts")
+    val got = RangeJoin.pointInInterval(points, intervals, Seq("k"), "ts", "s", "e", 3600L)
+    assert(got.count() == 1)
+  }
 }
