@@ -90,6 +90,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       MeanDigitRuns.info, MeanDigitRuns.builder))
     e.injectFunction((FunctionIdentifier("point_in_ring"),
       PointInRing.info, PointInRing.builder))
+    e.injectFunction((FunctionIdentifier("top_k_min"),
+      TopKMin.info, TopKMin.builder))
     // derive pushable bounding-box conjuncts from point_in_ring filters
     e.injectOptimizerRule(_ => graft.plans.PointInRingBBox)
     // rewrite filter(row_number <= k) into the heap-based top-k operator

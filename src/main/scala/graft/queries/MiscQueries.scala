@@ -296,5 +296,28 @@ object MiscQueries {
          |FROM m GROUP BY zone""".stripMargin
     })
 
-  def queries: Seq[GQuery] = Seq(q45, q46, q47, q49, q52, q59, q62, q63)
+  /** Custom aggregate function: `top_k_min` (TypedImperativeAggregate,
+    * bounded k-element heap buffer — constant memory per group with
+    * map-side partials, where collect_list+sort+slice buffers whole
+    * groups). The oracle states the same semantics with a sorted-list
+    * slice. */
+  val q64 = GQuery(
+    "q64_topk_aggregate",
+    (s, d) => {
+      graft.functions.TopKMin.register(s)
+      lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(call_function("top_k_min", col("l_extendedprice"), lit(5)).as("tops"))
+        .select(col("l_returnflag"), posexplode(col("tops")).as(Seq("pos", "price")))
+        .select(col("l_returnflag"), (col("pos") + 1).cast("long").as("pos"), col("price"))
+    },
+    Some("""WITH t AS (
+      |  SELECT l_returnflag,
+      |    array_agg(l_extendedprice ORDER BY l_extendedprice)[1:5] AS tops
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l_returnflag, CAST(generate_subscripts(tops, 1) AS BIGINT) AS pos,
+      |unnest(tops) AS price
+      |FROM t""".stripMargin))
+
+  def queries: Seq[GQuery] = Seq(q45, q46, q47, q49, q52, q59, q62, q63, q64)
 }
