@@ -229,5 +229,49 @@ object RelationalQueries {
       |${sqlDsum("value")} AS sum_value
       |FROM j GROUP BY 1""".stripMargin))
 
-  def queries: Seq[GQuery] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10)
+  /** Full schema-drift harmonization chain (J14 + §2.2 recode,
+    * `R/clean-raw-data.R:45-176,237-253`): a second "survey version"
+    * with renamed columns is mapped onto the canonical vocabulary
+    * (renameAll), its drifted price column folded in (coalesceInto),
+    * both versions unioned by name and the status codes recoded through
+    * the dictionary when-chain with unmatched → null. */
+  val q65 = GQuery(
+    "q65_harmonize_recode",
+    (s, d) => {
+      val o = orders(s, d)
+      val v1 = o.select(col("o_orderkey").as("key"),
+        col("o_orderstatus").as("status_raw"), col("o_totalprice").as("price"))
+        .withColumn("version", lit(1))
+      val v2raw = o.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey").as("id"), col("o_orderstatus").as("st"),
+          col("o_totalprice").as("total"))
+      val v2 = Harmonize.coalesceInto(
+        Harmonize.renameAll(v2raw, Map("id" -> "key", "st" -> "status_raw",
+          "total" -> "price2")),
+        target = "price", sources = Seq("price", "price2"))
+        .withColumn("version", lit(2))
+      Harmonize.unionByNameAll(Seq(v1, v2))
+        .withColumn("status", Harmonize.recode(col("status_raw"),
+          Map("F" -> "finished", "O" -> "open", "P" -> "pending"),
+          keepUnmatched = false))
+        .groupBy(col("status"))
+        .agg(lcount(lit(1)).as("n"),
+          dsum(col("price")).as("sum_price"),
+          countDistinct(col("version")).as("n_versions"))
+    },
+    Some(s"""WITH u AS (
+      |  SELECT o_orderkey AS key, o_orderstatus AS status_raw,
+      |    o_totalprice AS price, 1 AS version
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice, 2
+      |  FROM orders WHERE o_orderkey % 3 = 0)
+      |SELECT CASE status_raw WHEN 'F' THEN 'finished' WHEN 'O' THEN 'open'
+      |  WHEN 'P' THEN 'pending' END AS status,
+      |COUNT(*) AS n, ${sqlDsum("price")} AS sum_price,
+      |COUNT(DISTINCT version) AS n_versions
+      |FROM u GROUP BY 1""".stripMargin))
+
+  def queries: Seq[GQuery] =
+    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q65)
 }
