@@ -42,4 +42,25 @@ object StreamJoin {
         col(rightTs) <= col(leftTs))
       .drop(r(key))
   }
+
+  /** Streaming as-of: each left event paired with the LATEST right row
+    * of its key within the lookback — [[recentWindowJoin]] reduced by a
+    * max-of-struct aggregation (chained stateful operators: the join's
+    * watermark bounds its state, the aggregation closes a left event
+    * once the watermark passes it). `max(struct(rightTs, payload…))`
+    * stands in for max_by, which streaming aggregations do not allow;
+    * struct ordering is lexicographic, so the first field (event time)
+    * decides. `leftCols` must uniquely identify a left event. */
+  def asOfWithin(left: DataFrame, right: DataFrame, key: String,
+                 leftTs: String, rightTs: String,
+                 rightPayload: Seq[String], lookbackSeconds: Long,
+                 watermark: String = "1 minute"): DataFrame = {
+    val joined = recentWindowJoin(left, right, key, leftTs, rightTs,
+      lookbackSeconds, watermark)
+    val leftCols = left.columns.toSeq
+    joined
+      .groupBy(leftCols.map(col): _*)
+      .agg(max(struct((rightTs +: rightPayload).map(col): _*)).as("__best"))
+      .select(leftCols.map(col) :+ col("__best.*"): _*)
+  }
 }

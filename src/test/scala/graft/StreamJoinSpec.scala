@@ -47,4 +47,35 @@ class StreamJoinSpec extends SparkSpec {
       .select($"view_v").collect().map(_.getDouble(0)).toSet
     assert(got == Set(10.0))
   }
+
+  test("streaming as-of keeps only the latest preceding view per click") {
+    implicit val sql = spark.sqlContext
+    val clicks = MemoryStream[Click]
+    val views = MemoryStream[View]
+    val joined = StreamJoin.asOfWithin(
+      clicks.toDF(), views.toDF(), key = "user",
+      leftTs = "click_ts", rightTs = "view_ts",
+      rightPayload = Seq("view_v"), lookbackSeconds = 600,
+      watermark = "0 seconds")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("sjasof").start()
+    try {
+      views.addData(
+        View(1L, ts("2024-01-01 09:58:00"), 20.0),
+        View(1L, ts("2024-01-01 10:00:00"), 10.0)) // later -> wins
+      clicks.addData(Click(1L, ts("2024-01-01 10:05:00"), 1.0))
+      q.processAllAvailable()
+      // advance both watermarks past the click so the aggregate closes
+      views.addData(View(1L, ts("2024-01-01 11:00:00"), 99.0))
+      clicks.addData(Click(1L, ts("2024-01-01 11:30:00"), 2.0))
+      q.processAllAvailable()
+      views.addData(View(1L, ts("2024-01-01 12:30:00"), 98.0))
+      clicks.addData(Click(1L, ts("2024-01-01 13:00:00"), 3.0))
+      q.processAllAvailable()
+      val got = spark.table("sjasof")
+        .select($"click_ts", $"view_v").collect()
+        .map(r => (r.getTimestamp(0), r.getDouble(1))).toMap
+      assert(got.get(ts("2024-01-01 10:05:00")).contains(10.0), got.toString)
+    } finally q.stop()
+  }
 }
