@@ -53,20 +53,16 @@ object StatsQueries {
     "q24_mad_bounds",
     (s, d) => {
       val k = 2.5
-      // no cache: the repeated subtrees are identical exchanges, which
-      // ReuseExchange dedupes; cached blocks only added eviction/GC
-      // pressure and run-to-run variance in full-suite runs
+      // boundsCensus answers the per-group census from the same
+      // histogram the medians use — one pass over the data, no flag join
       val base = lineitem(s, d)
         .select(col("l_returnflag"), col("l_extendedprice"))
-      val flagged = Outliers.flagOutliers(
+      Outliers.boundsCensus(
         base, keys = Seq("l_returnflag"), x = "l_extendedprice", k = k)
-      flagged
-        .groupBy(col("l_returnflag"))
-        .agg(
-          round(first(col("lower")), 6).as("lower"),
-          round(first(col("upper")), 6).as("upper"),
-          count(when(col("is_outlier"), lit(1))).as("n_outliers"),
-          lcount(lit(1)).as("n"))
+        .select(col("l_returnflag"),
+          round(col("lower"), 6).as("lower"),
+          round(col("upper"), 6).as("upper"),
+          col("n_outliers"), col("n").cast("long").as("n"))
     },
     Some("""WITH base AS (
       |  SELECT l_returnflag AS g, l_extendedprice AS x,

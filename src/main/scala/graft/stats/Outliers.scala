@@ -31,28 +31,67 @@ object Outliers {
     * `percentile_approx` (accuracy 10⁴, constant memory): MAD bounds
     * are a robustness heuristic, so the ±1e-4-quantile wobble doesn't
     * change which points are flagged in practice. */
+  /** The shared exact-path machinery: the (value,count) histogram and
+    * the guarded bounds derived from it. */
+  private def histAndBounds(df: DataFrame, keys: Seq[String], x: String,
+                            k: Double): (DataFrame, DataFrame) = {
+    val kc = keys.map(col)
+    val hist = df
+      .groupBy(kc :+ col(x).as("__v"): _*)
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__vl", log(lit(1.0) + col("__v")))
+    val med = SortPercentile.fromCounts(
+      hist, keys, "__vl", "__c", Seq(0.5), Seq("median_log"))
+    val nz = hist.groupBy(kc: _*)
+      .agg(sum(when(col("__v").isNotNull && col("__v") =!= 0.0, col("__c"))
+        .otherwise(lit(0L))).as("__n_nonzero"))
+    val absHist = hist.join(broadcast(med), keys)
+      .groupBy(kc :+ abs(col("__vl") - col("median_log")).as("__a"): _*)
+      .agg(sum(col("__c")).as("__c"))
+    val mad = SortPercentile.fromCounts(
+      absHist, keys, "__a", "__c", Seq(0.5), Seq("__mad_raw"))
+    val bounds = med.join(mad, keys).join(nz, keys)
+      .withColumn("mad_log", col("__mad_raw") * lit(MadScale))
+      .drop("__mad_raw")
+    (hist, bounds)
+  }
+
+  /** Bounds plus per-key outlier census in ONE pass over the data: the
+    * same histogram that feeds the medians answers "how many rows fall
+    * outside" — no second scan, no flag join. Output: keys ++
+    * (median_log, mad_log, lower, upper, n_outliers, n). */
+  def boundsCensus(df: DataFrame, keys: Seq[String], x: String,
+                   k: Double): DataFrame = {
+    val (hist, bounds0) = histAndBounds(df, keys, x, k)
+    val bounds = guard(bounds0, k)
+    hist.join(broadcast(bounds), keys)
+      .groupBy(keys.map(col): _*)
+      .agg(
+        first(col("median_log")).as("median_log"),
+        first(col("mad_log")).as("mad_log"),
+        first(col("lower")).as("lower"),
+        first(col("upper")).as("upper"),
+        sum(when(col("lower").isNotNull &&
+          (col("__v") < col("lower") || col("__v") > col("upper")), col("__c"))
+          .otherwise(lit(0L))).as("n_outliers"),
+        sum(col("__c")).as("n"))
+  }
+
+  private def guard(bounds0: DataFrame, k: Double): DataFrame =
+    bounds0
+      .withColumn("lower",
+        when(col("__n_nonzero") > 0 && col("mad_log") > 0.0,
+          exp(col("median_log") - lit(k) * col("mad_log")) - lit(1.0)))
+      .withColumn("upper",
+        when(col("__n_nonzero") > 0 && col("mad_log") > 0.0,
+          exp(col("median_log") + lit(k) * col("mad_log")) - lit(1.0)))
+      .drop("__n_nonzero")
+
   def madBoundsLog1p(df: DataFrame, keys: Seq[String], x: String, k: Double,
                      exact: Boolean = true): DataFrame = {
     val bounds0 =
       if (exact) {
-        val kc = keys.map(col)
-        val hist = df
-          .groupBy(kc :+ col(x).as("__v"): _*)
-          .agg(count(lit(1)).as("__c"))
-          .withColumn("__vl", log(lit(1.0) + col("__v")))
-        val med = SortPercentile.fromCounts(
-          hist, keys, "__vl", "__c", Seq(0.5), Seq("median_log"))
-        val nz = hist.groupBy(kc: _*)
-          .agg(sum(when(col("__v").isNotNull && col("__v") =!= 0.0, col("__c"))
-            .otherwise(lit(0L))).as("__n_nonzero"))
-        val absHist = hist.join(broadcast(med), keys)
-          .groupBy(kc :+ abs(col("__vl") - col("median_log")).as("__a"): _*)
-          .agg(sum(col("__c")).as("__c"))
-        val mad = SortPercentile.fromCounts(
-          absHist, keys, "__a", "__c", Seq(0.5), Seq("__mad_raw"))
-        med.join(mad, keys).join(nz, keys)
-          .withColumn("mad_log", col("__mad_raw") * lit(MadScale))
-          .drop("__mad_raw")
+        histAndBounds(df, keys, x, k)._2
       } else {
         val xl = log(lit(1.0) + col(x))
         def pct(c: Column): Column = percentile_approx(c, lit(0.5), lit(10000))
@@ -66,14 +105,7 @@ object Outliers {
             sum(when(col(x).isNotNull && col(x) =!= 0.0, lit(1L))
               .otherwise(lit(0L))).as("__n_nonzero"))
       }
-    bounds0
-      .withColumn("lower",
-        when(col("__n_nonzero") > 0 && col("mad_log") > 0.0,
-          exp(col("median_log") - lit(k) * col("mad_log")) - lit(1.0)))
-      .withColumn("upper",
-        when(col("__n_nonzero") > 0 && col("mad_log") > 0.0,
-          exp(col("median_log") + lit(k) * col("mad_log")) - lit(1.0)))
-      .drop("__n_nonzero")
+    guard(bounds0, k)
       .select((keys.map(col) ++ Seq(col("median_log"), col("mad_log"),
         col("lower"), col("upper"))): _*)
   }
