@@ -79,4 +79,13 @@ class PropertySpec extends SparkSpec {
       assert((v1 < v2) == t1.isBefore(t2) || v1 == v2)
     }
   }
+  test("registry integrity: unique names, every oracle belongs to a query") {
+    val names = graft.queries.Registry.all.map(_.name)
+    assert(names.distinct.size == names.size,
+      s"duplicate query names would shadow in the driver map: ${names.diff(names.distinct)}")
+    assert(SparkEntry.queries.keySet == names.toSet)
+    assert(SparkEntry.oracleSql.keySet.subsetOf(names.toSet))
+    // the driver smoke-checks entry(): keep it pointing at a live query
+    assert(names.contains("q05_multiway_join"))
+  }
 }
