@@ -76,6 +76,12 @@ object Components {
       eCount = nextCount
       round += 1
     }
+    // an unconverged mapping silently over/under-merges clusters — fail
+    // loudly instead (alternating stars converge in O(log n) rounds, so
+    // hitting the cap means maxRounds is set far too low for the graph)
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge within $maxRounds rounds")
     // star edges: v's representative is u; add representatives themselves
     e.select(col("v").as("node"), col("u").as("component"))
       .union(e.select(col("u").as("node"), col("u").as("component")))

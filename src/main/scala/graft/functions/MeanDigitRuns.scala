@@ -54,25 +54,41 @@ case class MeanDigitRuns(child: Expression) extends UnaryExpression {
 }
 
 object MeanDigitRuns {
-  /** Mean of all maximal ASCII-digit runs, NaN when none. */
+  /** Mean of all maximal ASCII-digit runs, NaN when none. Runs of ≤18
+    * digits accumulate exactly in a long (the composed regexp form's
+    * arithmetic); longer runs — where a long would silently wrap — and
+    * long-sum overflow degrade to double accumulation instead. */
   def compute(s: UTF8String): Double = {
     val bytes = s.getBytes
     var i = 0
-    var sum = 0L
+    var sumL = 0L
+    var sumD = 0.0
+    var exact = true
     var runs = 0L
     while (i < bytes.length) {
       val b = bytes(i)
       if (b >= '0' && b <= '9') {
         var v = 0L
+        var vd = 0.0
+        var digits = 0
         while (i < bytes.length && bytes(i) >= '0' && bytes(i) <= '9') {
-          v = v * 10L + (bytes(i) - '0')
+          val d = bytes(i) - '0'
+          if (digits < 18) v = v * 10L + d
+          vd = vd * 10.0 + d
+          digits += 1
           i += 1
         }
-        sum += v
+        if (digits <= 18 && exact) {
+          try sumL = Math.addExact(sumL, v)
+          catch { case _: ArithmeticException => exact = false }
+        } else exact = false
+        sumD += (if (digits <= 18) v.toDouble else vd)
         runs += 1L
       } else i += 1
     }
-    if (runs == 0L) Double.NaN else sum.toDouble / runs.toDouble
+    if (runs == 0L) Double.NaN
+    else if (exact) sumL.toDouble / runs.toDouble
+    else sumD / runs.toDouble
   }
 
   val info: ExpressionInfo = new ExpressionInfo(

@@ -40,13 +40,19 @@ case class PointInRing(first: Expression, second: Expression, third: Expression)
   override def dataType: DataType = BooleanType
   override def prettyName: String = "point_in_ring"
 
-  override protected def nullSafeEval(x: Any, y: Any, ring: Any): Any =
-    PointInRing.contains(
+  override protected def nullSafeEval(x: Any, y: Any, ring: Any): Any = {
+    val r = PointInRing.containsCoded(
       x.asInstanceOf[Double], y.asInstanceOf[Double], ring.asInstanceOf[ArrayData])
+    if (r < 0) null else r == 1
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (x, y, r) =>
-      s"graft.functions.PointInRing.contains($x, $y, $r)")
+    nullSafeCodeGen(ctx, ev, (x, y, r) =>
+      s"""
+         |byte ${ev.value}_r = graft.functions.PointInRing.containsCoded($x, $y, $r);
+         |if (${ev.value}_r < 0) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ${ev.value}_r == 1; }
+       """.stripMargin)
 
   override protected def withNewChildrenInternal(
       newFirst: Expression, newSecond: Expression, newThird: Expression): PointInRing =
@@ -54,12 +60,19 @@ case class PointInRing(first: Expression, second: Expression, third: Expression)
 }
 
 object PointInRing {
-  /** Even-odd crossing count over the implicit closed ring. */
-  def contains(x: Double, y: Double, ring: ArrayData): Boolean = {
-    val n = ring.numElements() / 2
+  /** Even-odd crossing count over the implicit closed ring.
+    * Returns 1 = inside, 0 = outside, -1 = malformed ring (odd length,
+    * fewer than 3 vertices, or a null vertex — the SQL result is null
+    * rather than a classification against garbage coordinates). */
+  def containsCoded(x: Double, y: Double, ring: ArrayData): Byte = {
+    val m = ring.numElements()
+    if (m < 6 || m % 2 != 0) return -1
+    var i = 0
+    while (i < m) { if (ring.isNullAt(i)) return -1; i += 1 }
+    val n = m / 2
     var inside = false
     var j = n - 1
-    var i = 0
+    i = 0
     while (i < n) {
       val xi = ring.getDouble(2 * i); val yi = ring.getDouble(2 * i + 1)
       val xj = ring.getDouble(2 * j); val yj = ring.getDouble(2 * j + 1)
@@ -68,7 +81,7 @@ object PointInRing {
       j = i
       i += 1
     }
-    inside
+    if (inside) 1 else 0
   }
 
   val info: ExpressionInfo = new ExpressionInfo(

@@ -62,9 +62,13 @@ case class TopKMin(child: Expression, kExpr: Expression,
   }
 
   override def eval(buf: java.util.PriorityQueue[java.lang.Double]): Any = {
+    // non-destructive: window aggregation evaluates the SAME live buffer
+    // once per row, so draining it here would corrupt every later frame
     val arr = new Array[Double](buf.size)
-    var i = arr.length - 1
-    while (i >= 0) { arr(i) = buf.poll(); i -= 1 } // heap pops worst-first
+    val it = buf.iterator()
+    var i = 0
+    while (it.hasNext) { arr(i) = it.next(); i += 1 }
+    java.util.Arrays.sort(arr)
     new GenericArrayData(arr)
   }
 

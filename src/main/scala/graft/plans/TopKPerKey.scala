@@ -19,13 +19,14 @@ import org.apache.spark.sql.types.IntegerType
   * optimizes it (InferWindowGroupLimit → sort-based
   * `WindowGroupLimitExec` partial/final around the exchange), so this
   * operator is NOT filling a gap — it is the heap-based alternative
-  * physical strategy: a bounded k-element heap per key replaces both
-  * full partition Sorts (O(n log k) selection, no sort buffers, memory
-  * bounded by k·keys), the map side emits ≤ k rows per (partition, key)
-  * before the exchange, the reduce side merges heaps, assigns ranks,
-  * and subsumes the WindowExec+Filter entirely. The rewrite strips the
-  * logical WindowGroupLimit the stock optimizer has already inserted —
-  * otherwise both limiters would run stacked.
+  * physical strategy: the map side selects each local key's best k with
+  * bounded heaps instead of a full partition sort (O(n log k), flushing
+  * past a key-count cap so memory stays bounded at any cardinality) and
+  * emits the reduced winners before the exchange; the reduce side sorts
+  * only those reduced rows (Spark's spillable SortExec) and streams
+  * ranks with O(1) state, subsuming the WindowExec+Filter entirely. The
+  * rewrite strips the logical WindowGroupLimit the stock optimizer has
+  * already inserted — otherwise both limiters would run stacked.
   *
   * The complete custom-operator ladder, registered via
   * [[graft.functions.GraftExtensions]]:
@@ -80,79 +81,105 @@ object TopKPerKeyStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   }
 }
 
-/** Shared bounded-heap pass: group the partition's rows by key, keep the
-  * k order-smallest per key (the heap holds the current best k with the
-  * worst at its head), emit each key's survivors in rank order. */
-private[plans] trait TopKHeapLike { self: UnaryExecNode =>
-  def partitionExprs: Seq[Expression]
-  def order: Seq[SortOrder]
-  def k: Int
-
-  protected def topKGroups(iter: Iterator[InternalRow])
-      : Iterator[Array[InternalRow]] = {
-    val schema = child.output
-    val keyProj = UnsafeProjection.create(partitionExprs, schema)
-    val ord = RowOrdering.create(order, schema)
-    val worstFirst = new java.util.Comparator[InternalRow] {
-      override def compare(a: InternalRow, b: InternalRow): Int = ord.compare(b, a)
-    }
-    val heaps = new java.util.LinkedHashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]
-    iter.foreach { row =>
-      val key = keyProj(row)
-      var h = heaps.get(key)
-      if (h == null) {
-        h = new java.util.PriorityQueue[InternalRow](k + 1, worstFirst)
-        heaps.put(key.copy(), h)
-      }
-      if (h.size < k) h.add(row.copy())
-      else if (ord.compare(row, h.peek()) < 0) { h.poll(); h.add(row.copy()) }
-    }
-    heaps.values().iterator().asScala.map { h =>
-      val arr = h.toArray(new Array[InternalRow](h.size))
-      java.util.Arrays.sort(arr, ord)
-      arr
-    }
-  }
-}
-
 /** Map-side partial top-k: no distribution requirement, runs before the
-  * exchange and shrinks each partition to ≤ k rows per local key. */
+  * exchange and shrinks each partition to ≤ k rows per local key.
+  *
+  * Memory safety at unbounded key cardinality: the per-key heaps live
+  * in one hash map, so when the map passes [[TopKLocalExec.FlushKeys]]
+  * distinct keys the accumulated winners are FLUSHED downstream and the
+  * map restarts. A flushed partition emits more than k rows for keys
+  * seen in several flush epochs — still a correct partial reduction
+  * (every true top-k row survives), and the final pass re-selects.
+  * Bounded memory, no spill machinery needed. */
 case class TopKLocalExec(partitionExprs: Seq[Expression], order: Seq[SortOrder],
                          k: Int, child: SparkPlan)
-    extends UnaryExecNode with TopKHeapLike {
+    extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning: Partitioning = child.outputPartitioning
-  override protected def doExecute(): RDD[InternalRow] =
-    child.execute().mapPartitions(it => topKGroups(it).flatMap(_.iterator),
-      preservesPartitioning = true)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val schema = child.output
+    child.execute().mapPartitions({ it =>
+      val keyProj = UnsafeProjection.create(partitionExprs, schema)
+      val ord = RowOrdering.create(order, schema)
+      val worstFirst = new java.util.Comparator[InternalRow] {
+        override def compare(a: InternalRow, b: InternalRow): Int = ord.compare(b, a)
+      }
+      var heaps = new java.util.LinkedHashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]
+      def drain(): Iterator[InternalRow] = {
+        val done = heaps
+        heaps = new java.util.LinkedHashMap
+        done.values().iterator().asScala.flatMap(_.iterator().asScala)
+      }
+      new Iterator[InternalRow] {
+        private var out: Iterator[InternalRow] = Iterator.empty
+        private def refill(): Unit = {
+          while (!out.hasNext && it.hasNext) {
+            val row = it.next()
+            val key = keyProj(row)
+            var h = heaps.get(key)
+            if (h == null) {
+              if (heaps.size >= TopKLocalExec.FlushKeys) out = drain()
+              h = new java.util.PriorityQueue[InternalRow](k + 1, worstFirst)
+              heaps.put(key.copy(), h)
+            }
+            if (h.size < k) h.add(row.copy())
+            else if (ord.compare(row, h.peek()) < 0) { h.poll(); h.add(row.copy()) }
+          }
+          if (!out.hasNext && !it.hasNext && !heaps.isEmpty) out = drain()
+        }
+        override def hasNext: Boolean = { refill(); out.hasNext }
+        override def next(): InternalRow = { refill(); out.next() }
+      }
+    }, preservesPartitioning = true)
+  }
   override protected def withNewChildInternal(newChild: SparkPlan): TopKLocalExec =
     copy(child = newChild)
 }
 
-/** Reduce-side merge: requires clustering on the keys (the planner
-  * inserts the exchange), merges the partial winners and appends the
-  * 1-based rank column. */
+object TopKLocalExec {
+  /** Max distinct keys buffered per task before a flush (heap memory ≈
+    * FlushKeys × k × row size; 100k keys × small rows ≈ tens of MB). */
+  val FlushKeys: Int = 100000
+}
+
+/** Reduce-side pass: requires clustering on the keys AND a (keys, order)
+  * sort — the sort runs on the locally-reduced rows (≤ k per partition
+  * per key epoch) and is Spark's spillable SortExec, so this operator
+  * itself streams with O(k) state: rows of a key arrive rank-ordered,
+  * emit the first k with their rank and drop the rest. */
 case class TopKFinalExec(partitionExprs: Seq[Expression], order: Seq[SortOrder],
                          k: Int, rankAttr: Attribute, child: SparkPlan)
-    extends UnaryExecNode with TopKHeapLike {
+    extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output :+ rankAttr
   override def outputPartitioning: Partitioning = child.outputPartitioning
   override def requiredChildDistribution: Seq[Distribution] =
     if (partitionExprs.isEmpty) UnspecifiedDistribution :: Nil
     else ClusteredDistribution(partitionExprs) :: Nil
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    Seq(partitionExprs.map(SortOrder(_, Ascending)) ++ order)
 
   override protected def doExecute(): RDD[InternalRow] = {
     val out = output
     val childOut = child.output
     child.execute().mapPartitions({ it =>
       val proj = UnsafeProjection.create(out, childOut :+ rankAttr)
+      val keyProj = UnsafeProjection.create(partitionExprs, childOut)
       val joined = new JoinedRow
       val rankRow = new GenericInternalRow(1)
-      topKGroups(it).flatMap { arr =>
-        arr.iterator.zipWithIndex.map { case (row, i) =>
-          rankRow.update(0, i + 1)
-          proj(joined(row, rankRow))
+      var currentKey: UnsafeRow = null
+      var rank = 0
+      it.flatMap { row =>
+        val key = keyProj(row)
+        if (currentKey == null || key != currentKey) {
+          currentKey = key.copy()
+          rank = 0
         }
+        rank += 1
+        if (rank <= k) {
+          rankRow.update(0, rank)
+          Iterator.single(proj(joined(row, rankRow)))
+        } else Iterator.empty
       }
     }, preservesPartitioning = true)
   }

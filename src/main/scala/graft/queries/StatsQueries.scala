@@ -457,7 +457,8 @@ object StatsQueries {
         .agg(sum(col("l_quantity").cast("long")).as("w"))
       SortPercentile.fromCounts(
         hist, Seq("l_returnflag"), "v", "w",
-        Seq(0.5, 0.9), Seq("wp50", "wp90"), countAs = Some("total_weight"))
+        Seq(0.5, 0.9), Seq("wp50", "wp90"), countAs = Some("total_weight"),
+        assumeUnique = true) // hist built by groupBy(flag, price)
         .select(col("l_returnflag"),
           round(col("wp50"), 6).as("wp50"),
           round(col("wp90"), 6).as("wp90"),

@@ -41,7 +41,8 @@ object Outliers {
       .agg(count(lit(1)).as("__c"))
       .withColumn("__vl", log(lit(1.0) + col("__v")))
     val med = SortPercentile.fromCounts(
-      hist, keys, "__vl", "__c", Seq(0.5), Seq("median_log"))
+      hist, keys, "__vl", "__c", Seq(0.5), Seq("median_log"),
+      assumeUnique = true) // hist is one row per (keys, value); ln is injective
     val nz = hist.groupBy(kc: _*)
       .agg(sum(when(col("__v").isNotNull && col("__v") =!= 0.0, col("__c"))
         .otherwise(lit(0L))).as("__n_nonzero"))
@@ -49,7 +50,8 @@ object Outliers {
       .groupBy(kc :+ abs(col("__vl") - col("median_log")).as("__a"): _*)
       .agg(sum(col("__c")).as("__c"))
     val mad = SortPercentile.fromCounts(
-      absHist, keys, "__a", "__c", Seq(0.5), Seq("__mad_raw"))
+      absHist, keys, "__a", "__c", Seq(0.5), Seq("__mad_raw"),
+      assumeUnique = true) // absHist re-grouped on the folded value
     val bounds = med.join(mad, keys).join(nz, keys)
       .withColumn("mad_log", col("__mad_raw") * lit(MadScale))
       .drop("__mad_raw")

@@ -39,17 +39,25 @@ object SortPercentile {
     val counts = df
       .groupBy(keys.map(col) :+ x.as("__v"): _*)
       .agg(count(lit(1)).as("__c"))
-    fromCounts(counts, keys, "__v", "__c", ps, names, countAs)
+    fromCounts(counts, keys, "__v", "__c", ps, names, countAs, assumeUnique = true)
   }
 
   /** Percentiles over a pre-aggregated (value, weight) histogram.
     * Null values contribute to `countAs` but never to a percentile
     * (quantile_cont semantics). */
-  def fromCounts(counts: DataFrame, keys: Seq[String], v: String, c: String,
+  /** @param assumeUnique skip the defensive (keys, value) re-aggregation
+    *   when the caller guarantees one row per (keys, value) — duplicate
+    *   rows would otherwise give overlapping cumulative ranges and
+    *   wrong/null percentiles */
+  def fromCounts(counts0: DataFrame, keys: Seq[String], v: String, c: String,
                  ps: Seq[Double], names: Seq[String],
-                 countAs: Option[String] = None): DataFrame = {
+                 countAs: Option[String] = None,
+                 assumeUnique: Boolean = false): DataFrame = {
     require(ps.length == names.length, "one output name per percentage")
     val kc = keys.map(col)
+    val counts =
+      if (assumeUnique) counts0
+      else counts0.groupBy(kc :+ col(v): _*).agg(sum(col(c)).as(c))
     // cumulative count in value order and per-key total, same hash
     // partitioning for both windows — one exchange, two sorts max
     val wRun = Window.partitionBy(kc: _*).orderBy(col(v).asc_nulls_first)

@@ -22,18 +22,19 @@ object Incremental {
                          sinkPath: String, idCol: String): DataFrame = {
     // Only a missing/empty sink means "ingest everything". Transient I/O
     // or corruption errors must propagate — swallowing them would
-    // silently re-ingest the full source and break process-once.
-    val hwm: Option[Long] =
+    // silently re-ingest the full source and break process-once. The
+    // mark compares in the column's OWN type: casting to long would
+    // truncate fractional/timestamp marks and re-ingest the boundary row.
+    val hwm: Option[Any] =
       try {
-        val r = spark.read.parquet(sinkPath)
-          .agg(max(col(idCol).cast("long"))).head()
-        if (r.isNullAt(0)) None else Some(r.getLong(0))
+        val r = spark.read.parquet(sinkPath).agg(max(col(idCol))).head()
+        if (r.isNullAt(0)) None else Some(r.get(0))
       } catch {
         case e: org.apache.spark.sql.AnalysisException
             if e.getCondition == "PATH_NOT_FOUND" ||
                e.getCondition == "UNABLE_TO_INFER_SCHEMA" => None
       }
-    hwm.fold(source)(m => source.filter(col(idCol) > m))
+    hwm.fold(source)(m => source.filter(col(idCol) > lit(m)))
   }
 
   /** Process-once: drop source rows whose key already exists in the

@@ -31,6 +31,11 @@ object StreamJoin {
                        leftTs: String, rightTs: String,
                        lookbackSeconds: Long,
                        watermark: String = "1 minute"): DataFrame = {
+    // shared non-key names would make the interval predicate ambiguous
+    // (or, under lenient self-join resolution, silently tautological)
+    val shared = left.columns.toSet.intersect(right.columns.toSet) - key
+    require(shared.isEmpty,
+      s"stream join sides share non-key columns: ${shared.mkString(", ")} — rename upstream")
     val (l, r) =
       if (left.isStreaming || right.isStreaming)
         (left.withWatermark(leftTs, watermark),

@@ -29,7 +29,12 @@ class TopKPerKeySpec extends SparkSpec {
     assert(plan.contains("TopKFinal"), plan)
     assert(plan.contains("TopKLocal"), plan)
     assert(!plan.contains("WindowExec") && !plan.contains("WindowGroupLimit"), plan)
-    assert(!plan.contains("Sort "), plan) // no full partition sorts remain
+    // the only Sort left is the final pass over locally-reduced rows —
+    // it must sit between the exchange and TopKFinal, not below TopKLocal
+    val lines = plan.linesIterator.toSeq
+    val localIdx = lines.indexWhere(_.contains("TopKLocal"))
+    assert(!lines.drop(localIdx + 1).exists(_.contains("Sort ")),
+      s"map side must not sort full partitions:\n$plan")
   }
 
   test("row-identical to the window pipeline, ranks 1..k") {
