@@ -38,6 +38,10 @@ case class PointInRing(first: Expression, second: Expression, third: Expression)
   }
 
   override def dataType: DataType = BooleanType
+  // nullable even when every input is: malformed rings yield null, and
+  // inheriting children-based nullability would make codegen hard-wire
+  // the result as non-null and silently drop that null
+  override def nullable: Boolean = true
   override def prettyName: String = "point_in_ring"
 
   override protected def nullSafeEval(x: Any, y: Any, ring: Any): Any = {

@@ -68,4 +68,18 @@ class PointInRingSpec extends SparkSpec {
     assert(codegen, df.queryExecution.executedPlan.toString)
     assert(df.filter($"in").count() > 0)
   }
+  test("malformed rings yield null, not a garbage classification") {
+    PointInRing.register(spark)
+    val out = Seq((5.0, 5.0)).toDF("x", "y")
+      .select(
+        call_function("point_in_ring", $"x", $"y",
+          array(lit(0.0), lit(0.0), lit(null).cast("double"), lit(10.0),
+            lit(10.0), lit(10.0))).as("null_vertex"),
+        call_function("point_in_ring", $"x", $"y",
+          array(lit(0.0), lit(0.0), lit(10.0))).as("odd_len"),
+        call_function("point_in_ring", $"x", $"y",
+          array(lit(0.0), lit(0.0), lit(10.0), lit(0.0))).as("two_vertices"))
+      .head()
+    assert(out.isNullAt(0) && out.isNullAt(1) && out.isNullAt(2))
+  }
 }
