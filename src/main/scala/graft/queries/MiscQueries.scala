@@ -319,5 +319,115 @@ object MiscQueries {
       |unnest(tops) AS price
       |FROM t""".stripMargin))
 
-  def queries: Seq[GQuery] = Seq(q45, q46, q47, q49, q52, q59, q62, q63, q64)
+  /** Cardinality sketch, exactly checkable: a KMV (k-minimum-values)
+    * distinct estimate per group. Unlike HLL (whose register layout is
+    * engine-specific), KMV over a portable hash is bit-reproducible:
+    * both engines md5 the key, map the first 8 hex chars to a fraction
+    * of 2^32, and estimate distinct = (k−1)/h_(k) from the k-th smallest
+    * distinct hash — so the oracle hash-matches while the operator stays
+    * a genuine sublinear sketch (at scale only k values per group
+    * survive the per-group sort; groups under k fall back to exact).
+    * All arithmetic is exact in doubles (integers < 2^53, one /2^32). */
+  val q67 = GQuery(
+    "q67_kmv_distinct",
+    (s, d) => {
+      val k = 64
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("frac"))
+      val wAll = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+      events(s, d)
+        .select(col("event_type"), md5(col("user_id").cast("string")).as("h"))
+        .distinct()
+        .withColumn("frac",
+          conv(substring(col("h"), 1, 8), 16, 10).cast("double") / lit(4294967296.0))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("nd", count(lit(1)).over(wAll))
+        .filter(col("rn") <= k)
+        .groupBy(col("event_type"))
+        .agg(
+          max(col("nd")).as("n_distinct_exact"),
+          max(when(col("rn") === k, col("frac"))).as("kth"))
+        .select(col("event_type"),
+          round(
+            when(col("n_distinct_exact") >= k, lit(k - 1.0) / col("kth"))
+              .otherwise(col("n_distinct_exact").cast("double")), 6).as("est_distinct"),
+          col("n_distinct_exact"))
+    },
+    Some("""WITH hashes AS (
+      |  SELECT DISTINCT event_type, md5(CAST(user_id AS VARCHAR)) AS h FROM events),
+      |frac AS (
+      |  SELECT event_type, (
+      |    (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 268435456.0 +
+      |    (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 16777216.0 +
+      |    (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 1048576.0 +
+      |    (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) * 65536.0 +
+      |    (strpos('0123456789abcdef', substr(h, 5, 1)) - 1) * 4096.0 +
+      |    (strpos('0123456789abcdef', substr(h, 6, 1)) - 1) * 256.0 +
+      |    (strpos('0123456789abcdef', substr(h, 7, 1)) - 1) * 16.0 +
+      |    (strpos('0123456789abcdef', substr(h, 8, 1)) - 1) * 1.0
+      |  ) / 4294967296.0 AS frac
+      |  FROM hashes),
+      |w AS (
+      |  SELECT event_type, frac,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY frac) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS nd
+      |  FROM frac)
+      |SELECT event_type,
+      |round(CASE WHEN MAX(nd) >= 64 THEN 63.0 / MAX(CASE WHEN rn = 64 THEN frac END)
+      |      ELSE CAST(MAX(nd) AS DOUBLE) END, 6) AS est_distinct,
+      |CAST(MAX(nd) AS BIGINT) AS n_distinct_exact
+      |FROM w WHERE rn <= 64 GROUP BY event_type""".stripMargin))
+
+  /** Data-layout clustering: Z-order (Morton) keys over a 256×256 geo
+    * grid, rolled up per 1024-cell z-range tile. Writing a 100 TB geo
+    * table sorted by [[Geo.zorderKey]] makes every parquet row group a
+    * compact 2-D tile, so lat AND lng range predicates both prune via
+    * min/max zone maps — the layout half of the spatial story
+    * ([[graft.operators.SpatialJoin]] being the join half). The oracle
+    * replays the bit interleave with the same shift/mask arithmetic. */
+  val q69 = GQuery(
+    "q69_zorder_cluster",
+    (s, d) => {
+      val pts = events(s, d).select(
+        (((col("event_id") % 180) - 90).cast("double") * lit(0.5)).as("lat"),
+        (((col("event_id") % 360) - 180).cast("double") * lit(0.25)).as("lng"),
+        col("value"))
+      val grid = pts.select(
+        Geo.gridCell(col("lat"), -90.0, 90.0, 8).as("gx"),
+        Geo.gridCell(col("lng"), -180.0, 180.0, 8).as("gy"),
+        col("value"))
+      grid
+        .withColumn("zkey", Geo.zorderKey(col("gx"), col("gy"), 8))
+        .groupBy(shiftright(col("zkey"), 10).as("tile"))
+        .agg(
+          lcount(lit(1)).as("n"),
+          countDistinct(col("zkey")).as("n_cells"),
+          min(col("zkey")).as("zmin"),
+          max(col("zkey")).as("zmax"),
+          round(dsum(col("value")), 6).as("total"))
+    },
+    Some {
+      val terms = (0 until 8).map { i =>
+        s"(((gx >> $i) & 1) * ${1L << (2 * i + 1)}) + (((gy >> $i) & 1) * ${1L << (2 * i)})"
+      }.mkString(" + ")
+      s"""WITH pts AS (
+      |  SELECT CAST((event_id % 180) - 90 AS DOUBLE) * 0.5 AS lat,
+      |    CAST((event_id % 360) - 180 AS DOUBLE) * 0.25 AS lng, value
+      |  FROM events),
+      |grid AS (
+      |  SELECT LEAST(GREATEST(CAST(floor((lat + 90.0) / 180.0 * 256.0) AS BIGINT), 0), 255) AS gx,
+      |    LEAST(GREATEST(CAST(floor((lng + 180.0) / 360.0 * 256.0) AS BIGINT), 0), 255) AS gy,
+      |    value
+      |  FROM pts),
+      |z AS (SELECT ($terms) AS zkey, value FROM grid)
+      |SELECT zkey >> 10 AS tile, COUNT(*) AS n,
+      |CAST(COUNT(DISTINCT zkey) AS BIGINT) AS n_cells,
+      |MIN(zkey) AS zmin, MAX(zkey) AS zmax,
+      |round(${sqlDsum("value")}, 6) AS total
+      |FROM z GROUP BY 1""".stripMargin
+    })
+
+  def queries: Seq[GQuery] =
+    Seq(q45, q46, q47, q49, q52, q59, q62, q63, q64, q67, q69)
 }

@@ -116,5 +116,50 @@ object TemporalQueries {
       |SELECT user_id, MAX(trail) AS peak_hour_sum, COUNT(*) AS n_events
       |FROM t GROUP BY user_id""".stripMargin))
 
-  def queries: Seq[GQuery] = Seq(q43, q44, q56)
+  /** A3 at scale: the reference computes its day/week/month/year rollups
+    * as four separate passes over the merged-trips table
+    * (`R/format-public-data.R:363-457`, one `summarise_trips` call per
+    * grain). GROUPING SETS folds all four grains into ONE scan and one
+    * expand+aggregate — at 100 TB that is 1 shuffle instead of 4 full
+    * reads. `grouping()` labels which set each output row came from. */
+  val q70 = GQuery(
+    "q70_grouping_sets",
+    (s, d) => {
+      val b = events(s, d).select(
+        date_trunc("day", col("ts")).as("day"),
+        date_trunc("week", col("ts")).as("week"),
+        date_trunc("month", col("ts")).as("month"),
+        date_trunc("year", col("ts")).as("year"),
+        col("value"), col("user_id"))
+      b.groupingSets(
+          Seq(Seq(col("day")), Seq(col("week")), Seq(col("month")), Seq(col("year"))),
+          col("day"), col("week"), col("month"), col("year"))
+        .agg(
+          when(grouping(col("day")) === 0, lit("day"))
+            .when(grouping(col("week")) === 0, lit("week"))
+            .when(grouping(col("month")) === 0, lit("month"))
+            .otherwise(lit("year")).as("grain"),
+          lcount(lit(1)).as("n"),
+          dsum(col("value")).as("total"),
+          countDistinct(col("user_id")).as("n_users"))
+        .select(
+          col("grain"),
+          coalesce(col("day"), col("week"), col("month"), col("year")).as("bucket"),
+          col("n"), round(col("total"), 6).as("total"), col("n_users"))
+    },
+    Some(s"""WITH b AS (
+      |  SELECT date_trunc('day', ts) AS day, date_trunc('week', ts) AS week,
+      |    date_trunc('month', ts) AS month, date_trunc('year', ts) AS year,
+      |    value, user_id
+      |  FROM events)
+      |SELECT CASE WHEN GROUPING(day) = 0 THEN 'day'
+      |            WHEN GROUPING(week) = 0 THEN 'week'
+      |            WHEN GROUPING(month) = 0 THEN 'month'
+      |            ELSE 'year' END AS grain,
+      |COALESCE(day, week, month, year) AS bucket,
+      |COUNT(*) AS n, round(${sqlDsum("value")}, 6) AS total,
+      |CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM b GROUP BY GROUPING SETS ((day), (week), (month), (year))""".stripMargin))
+
+  def queries: Seq[GQuery] = Seq(q43, q44, q56, q70)
 }

@@ -120,5 +120,53 @@ object TextQueries {
       |COUNT(*) - COUNT(DISTINCT fp) AS n_dupes
       |FROM fp GROUP BY lang""".stripMargin))
 
-  def queries: Seq[GQuery] = Seq(q32, q33, q34, q35)
+  /** Keyword extraction for training-data curation: per-document top-3
+    * terms by TF-IDF (smoothed idf = ln((N+1)/(df+1))). The plan is the
+    * inverted-index shape — explode to postings, hash-agg to (doc, term)
+    * term frequencies, a term-keyed join for document frequencies — so
+    * it scales as two shuffles regardless of corpus size (the df side is
+    * vocabulary-sized: NOT broadcast, AQE may still choose to). Ranking
+    * uses the integer surrogate (tf desc, df asc, term) — the same order
+    * tfidf induces for fixed N except at float ties — so rank never
+    * depends on a transcendental's last ULP; tfidf itself is reported
+    * rounded. */
+  val q66 = GQuery(
+    "q66_tfidf_topterms",
+    (s, d) => {
+      val docs = documents(s, d)
+      val toks = docs
+        .select(col("doc_id"), explode(split(lower(col("text")), "[^a-z]+")).as("term"))
+        .filter(length(col("term")) >= 3)
+      val tf = toks.groupBy(col("doc_id"), col("term")).agg(lcount(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("term")).agg(lcount(lit(1)).as("df"))
+      val n = docs.agg(lcount(lit(1)).as("n_docs"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+        .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+      tf.join(dfreq, Seq("term"))
+        .crossJoin(broadcast(n))
+        .withColumn("term_rank", row_number().over(w))
+        .filter(col("term_rank") <= 3)
+        .withColumn("tfidf",
+          col("tf") * log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))))
+        .select(col("doc_id"), col("term_rank").cast("long").as("term_rank"),
+          col("term"), round(col("tfidf"), 6).as("tfidf"))
+    },
+    Some("""WITH toks AS (
+      |  SELECT doc_id, t.term
+      |  FROM documents, UNNEST(string_split_regex(lower(text), '[^a-z]+')) AS t(term)
+      |  WHERE length(t.term) >= 3),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+      |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |ranked AS (
+      |  SELECT tf.doc_id, tf.term, tf.tf, df.df, n.n_docs,
+      |    row_number() OVER (PARTITION BY tf.doc_id
+      |                       ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS term_rank
+      |  FROM tf JOIN df USING (term) CROSS JOIN n)
+      |SELECT doc_id, CAST(term_rank AS BIGINT) AS term_rank, term,
+      |round(tf * ln((n_docs + 1.0) / (df + 1.0)), 6) AS tfidf
+      |FROM ranked WHERE term_rank <= 3""".stripMargin))
+
+  def queries: Seq[GQuery] = Seq(q32, q33, q34, q35, q66)
 }

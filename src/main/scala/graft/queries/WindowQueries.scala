@@ -223,5 +223,34 @@ object WindowQueries {
       |CAST(SUM(dur) AS BIGINT) AS total_session_secs
       |FROM agg GROUP BY user_id""".stripMargin))
 
-  def queries: Seq[GQuery] = Seq(q11, q12, q13, q14, q15, q16, q60)
+  /** Ranking-family window (ntile): per-flag price deciles with an
+    * explicit unique tiebreak (price, orderkey, linenumber) so bucket
+    * assignment is deterministic in both engines, rolled up to one row
+    * per decile. The shuffle partitions by flag only — decile bounds
+    * never need a global sort. */
+  val q68 = GQuery(
+    "q68_ntile_deciles",
+    (s, d) => {
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      lineitem(s, d)
+        .withColumn("decile", ntile(10).over(w).cast("long"))
+        .groupBy(col("l_returnflag"), col("decile"))
+        .agg(
+          lcount(lit(1)).as("n"),
+          round(dsum(col("l_extendedprice")), 6).as("sum_price"),
+          min(col("l_extendedprice")).as("min_price"),
+          max(col("l_extendedprice")).as("max_price"))
+    },
+    Some(s"""WITH t AS (
+      |  SELECT l_returnflag, l_extendedprice,
+      |    ntile(10) OVER (PARTITION BY l_returnflag
+      |      ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS decile
+      |  FROM lineitem)
+      |SELECT l_returnflag, CAST(decile AS BIGINT) AS decile, COUNT(*) AS n,
+      |round(${sqlDsum("l_extendedprice")}, 6) AS sum_price,
+      |MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price
+      |FROM t GROUP BY 1, 2""".stripMargin))
+
+  def queries: Seq[GQuery] = Seq(q11, q12, q13, q14, q15, q16, q60, q68)
 }

@@ -88,4 +88,32 @@ class PropertySpec extends SparkSpec {
     // the driver smoke-checks entry(): keep it pointing at a live query
     assert(names.contains("q05_multiway_join"))
   }
+
+  test("property: z-order key bit-interleave round-trips to its grid cell") {
+    import graft.functions.Geo
+    val cells = samples(Gen.zip(Gen.chooseNum(0L, 255L), Gen.chooseNum(0L, 255L)), 40)
+    val df = cells.toDF("gx", "gy")
+      .withColumn("zkey", Geo.zorderKey(col("gx"), col("gy"), 8))
+    // decode: gx bits live at odd positions, gy bits at even positions
+    val decoded = df.select(col("gx"), col("gy"),
+      (0 until 8).map(i =>
+        shiftright(col("zkey"), 2 * i + 1).bitwiseAND(lit(1L)) * lit(1L << i))
+        .reduce(_ + _).as("gx2"),
+      (0 until 8).map(i =>
+        shiftright(col("zkey"), 2 * i).bitwiseAND(lit(1L)) * lit(1L << i))
+        .reduce(_ + _).as("gy2"))
+      .as[(Long, Long, Long, Long)].collect()
+    decoded.foreach { case (gx, gy, gx2, gy2) =>
+      assert(gx == gx2 && gy == gy2, s"($gx,$gy) decoded to ($gx2,$gy2)")
+    }
+    // locality: keys of a 2x2 neighborhood differ from the base key only
+    // below bit 2 (the defining z-order property for tile pruning)
+    val z00 = cells.head
+    val base = Geo.zorderKey(lit(z00._1 & 0xFEL), lit(z00._2 & 0xFEL), 8)
+    val probe = spark.range(1).select(
+      base.as("b"),
+      Geo.zorderKey(lit((z00._1 & 0xFEL) + 1), lit((z00._2 & 0xFEL) + 1), 8).as("c"))
+      .as[(Long, Long)].head()
+    assert((probe._2 - probe._1) == 3L)
+  }
 }
