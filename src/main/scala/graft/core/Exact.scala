@@ -34,9 +34,39 @@ object Exact {
   /** Long count cast, for parity with BIGINT oracles. */
   def lcount(c: Column): Column = count(c).cast(LongType)
 
+  /** Exact order-independent sum at integer-add speed: each double is
+    * scaled to micros with pure IEEE arithmetic (`floor(x·1e6 + 0.5)` —
+    * identical in any IEEE-754 engine, unlike decimal/round casts whose
+    * per-row `BigDecimal.valueOf` string round-trip costs ~10× the add)
+    * and summed as int64, which is associative, so the result is
+    * bit-identical at any parallelism. A conservative overflow guard
+    * (count · max|scaled| < 9.0e18) nulls the result instead of wrapping
+    * — the guard is deterministic, so an oracle mirroring the same
+    * formula (see [[sqlLsum6]]) still hash-matches.
+    *
+    * Choose [[lsum6]] when |x|·1e6 · rows stays well under 2^63 (true
+    * for log-scale features, rates, km-scale distances at any row
+    * count that matters); choose [[dsum]] when magnitudes are unbounded
+    * — same determinism, decimal-add cost. */
+  def lsum6(c: Column): Column = {
+    val scaled = floor(c * lit(1e6) + lit(0.5)).cast(LongType)
+    when(count(c).cast(DoubleType) * max(abs(scaled)).cast(DoubleType) < lit(9.0e18),
+      sum(scaled).cast(DoubleType) / lit(1e6))
+  }
+
+  /** Exact mean on the scaled-long fast path. */
+  def lavg6(c: Column): Column = lsum6(c) / count(c)
+
   // --- matching ANSI SQL snippets for oracle strings ---
   def sqlDsum(expr: String): String =
     s"CAST(SUM(CAST(($expr) AS DECIMAL(38,6))) AS DOUBLE)"
   def sqlDavg(expr: String): String =
     s"(${sqlDsum(expr)} / COUNT($expr))"
+  def sqlLsum6(expr: String): String =
+    s"""CASE WHEN CAST(COUNT($expr) AS DOUBLE) *
+       | CAST(MAX(abs(CAST(floor(($expr) * 1000000.0 + 0.5) AS BIGINT))) AS DOUBLE) < 9.0e18
+       | THEN CAST(SUM(CAST(floor(($expr) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0
+       | END""".stripMargin.replace("\n", "")
+  def sqlLavg6(expr: String): String =
+    s"(${sqlLsum6(expr)} / COUNT($expr))"
 }

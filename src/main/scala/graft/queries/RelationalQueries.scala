@@ -24,17 +24,19 @@ object RelationalQueries {
         .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          dsum(col("l_quantity")).as("sum_qty"),
-          dsum(col("l_extendedprice")).as("sum_base_price"),
-          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
-          davg(col("l_quantity")).as("avg_qty"),
+          // scaled-long exact path: price ~1e5 → |Σ scaled| ≲ 1e17 even
+          // at 100× this row count, well inside the int64 guard
+          lsum6(col("l_quantity")).as("sum_qty"),
+          lsum6(col("l_extendedprice")).as("sum_base_price"),
+          lsum6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          lavg6(col("l_quantity")).as("avg_qty"),
           lcount(lit(1)).as("count_order"))
     },
     Some(s"""SELECT l_returnflag, l_linestatus,
-      |${sqlDsum("l_quantity")} AS sum_qty,
-      |${sqlDsum("l_extendedprice")} AS sum_base_price,
-      |${sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
-      |${sqlDavg("l_quantity")} AS avg_qty,
+      |${sqlLsum6("l_quantity")} AS sum_qty,
+      |${sqlLsum6("l_extendedprice")} AS sum_base_price,
+      |${sqlLsum6("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+      |${sqlLavg6("l_quantity")} AS avg_qty,
       |COUNT(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'

@@ -113,9 +113,9 @@ object StatsQueries {
       |  FROM lineitem),
       |stats AS (
       |  SELECT g, CAST(COUNT(*) AS DOUBLE) AS n,
-      |    ${sqlDsum("x")} AS sx, ${sqlDsum("y")} AS sy,
-      |    ${sqlDsum("x * x")} AS sxx, ${sqlDsum("x * y")} AS sxy,
-      |    ${sqlDsum("y * y")} AS syy
+      |    ${sqlLsum6("x")} AS sx, ${sqlLsum6("y")} AS sy,
+      |    ${sqlLsum6("x * x")} AS sxx, ${sqlLsum6("x * y")} AS sxy,
+      |    ${sqlLsum6("y * y")} AS syy
       |  FROM base GROUP BY g),
       |coef AS (
       |  SELECT *,
@@ -395,8 +395,8 @@ object StatsQueries {
         .groupBy(col("l_returnflag"))
         .agg(
           count(when(col("y").isNull, lit(1))).as("n_missing"),
-          dsum(when(col("y").isNull, col("y_imputed"))).as("sum_imputed"),
-          dsum(col("y_imputed")).as("sum_filled"),
+          lsum6(when(col("y").isNull, col("y_imputed"))).as("sum_imputed"),
+          lsum6(col("y_imputed")).as("sum_filled"),
           lcount(lit(1)).as("n"))
     },
     Some(s"""WITH base AS (
@@ -406,8 +406,8 @@ object StatsQueries {
       |  FROM lineitem),
       |stats AS (
       |  SELECT g, CAST(COUNT(*) AS DOUBLE) AS n,
-      |    ${sqlDsum("x")} AS sx, ${sqlDsum("y")} AS sy,
-      |    ${sqlDsum("x * x")} AS sxx, ${sqlDsum("x * y")} AS sxy
+      |    ${sqlLsum6("x")} AS sx, ${sqlLsum6("y")} AS sy,
+      |    ${sqlLsum6("x * x")} AS sxx, ${sqlLsum6("x * y")} AS sxy
       |  FROM base WHERE y IS NOT NULL GROUP BY g),
       |coef AS (
       |  SELECT g, (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
@@ -438,8 +438,8 @@ object StatsQueries {
       |  FROM w)
       |SELECT g AS l_returnflag,
       |COUNT(CASE WHEN y IS NULL THEN 1 END) AS n_missing,
-      |${sqlDsum("CASE WHEN y IS NULL THEN y_imputed END")} AS sum_imputed,
-      |${sqlDsum("y_imputed")} AS sum_filled,
+      |${sqlLsum6("CASE WHEN y IS NULL THEN y_imputed END")} AS sum_imputed,
+      |${sqlLsum6("y_imputed")} AS sum_filled,
       |COUNT(*) AS n
       |FROM imp GROUP BY g""".stripMargin))
 
