@@ -9,18 +9,23 @@ import graft.similarity.Knn
   * search (embedding near-dup), and hyperplane-LSH ANN (the scale
   * path, recall-tested against the baseline rather than oracle-checked).
   *
-  * Cosines are computed on DECIMAL-cast elements so the result is
-  * order-independent and engine-reproducible (see graft.similarity.Knn).
+  * Cosines are computed on SCALED-LONG elements (floor(x·1e7 + 0.5),
+  * int64 products/sums, one final /1e14) so the result is
+  * order-independent and engine-reproducible at integer-add speed (see
+  * graft.similarity.Knn). The oracle keeps its element-table join shape
+  * — integer sums are associative, so the fold shape is free to differ.
   */
 object SimilarityQueries {
 
-  /** Shared SQL mirror of the decimal-exact cosine machinery. */
+  /** Shared SQL mirror of the scaled-long cosine machinery. */
   private val elSql =
     """el AS (
-      |  SELECT vec_id, CAST(unnest(embedding) AS DECIMAL(18,9)) AS e,
+      |  SELECT vec_id,
+      |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000000.0 + 0.5) AS BIGINT) AS e,
       |    generate_subscripts(embedding, 1) AS i
       |  FROM embeddings),
-      |n2 AS (SELECT vec_id, CAST(SUM(e * e) AS DOUBLE) AS n2 FROM el GROUP BY vec_id)""".stripMargin
+      |n2 AS (SELECT vec_id, CAST(SUM(e * e) AS DOUBLE) / 100000000000000.0 AS n2
+      |       FROM el GROUP BY vec_id)""".stripMargin
 
   /** Brute-force cosine top-5 for the first 10 vectors as queries. */
   val q40 = GQuery(
@@ -34,7 +39,7 @@ object SimilarityQueries {
     },
     Some(s"""WITH $elSql,
       |dot AS (
-      |  SELECT q.vec_id AS qid, c.vec_id AS nid, CAST(SUM(q.e * c.e) AS DOUBLE) AS dot
+      |  SELECT q.vec_id AS qid, c.vec_id AS nid, CAST(SUM(q.e * c.e) AS DOUBLE) / 100000000000000.0 AS dot
       |  FROM el q JOIN el c ON q.i = c.i AND q.vec_id < 10 AND q.vec_id <> c.vec_id
       |  GROUP BY 1, 2),
       |scored AS (
@@ -59,7 +64,7 @@ object SimilarityQueries {
         .select(col("va"), col("vb"), round(col("cos"), 4).as("cos")),
     Some(s"""WITH $elSql,
       |dot AS (
-      |  SELECT a.vec_id AS va, b.vec_id AS vb, CAST(SUM(a.e * b.e) AS DOUBLE) AS dot
+      |  SELECT a.vec_id AS va, b.vec_id AS vb, CAST(SUM(a.e * b.e) AS DOUBLE) / 100000000000000.0 AS dot
       |  FROM el a JOIN el b ON a.i = b.i AND a.vec_id < b.vec_id
       |  WHERE a.vec_id < 100 AND b.vec_id < 100
       |  GROUP BY 1, 2),
@@ -74,7 +79,7 @@ object SimilarityQueries {
     * the engine's sequential double fold are both reproducible, so the
     * oracle re-derives the same buckets with `list_reduce` (also a
     * left-to-right fold — bit-identical projections), the same candidate
-    * pairs, and the same decimal-exact cosines. KnnSpec additionally
+    * pairs, and the same scaled-long exact cosines. KnnSpec additionally
     * measures recall against q40's exact baseline. */
   val q42 = GQuery(
     "q42_lsh_ann",
@@ -109,7 +114,7 @@ object SimilarityQueries {
       |  FROM b q JOIN b c ON q.t = c.t AND q.bucket = c.bucket
       |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
       |dot AS (
-      |  SELECT ca.qid, ca.nid, CAST(SUM(q.e * c.e) AS DOUBLE) AS dot
+      |  SELECT ca.qid, ca.nid, CAST(SUM(q.e * c.e) AS DOUBLE) / 100000000000000.0 AS dot
       |  FROM cand ca
       |  JOIN el q ON q.vec_id = ca.qid
       |  JOIN el c ON c.vec_id = ca.nid AND q.i = c.i
@@ -127,10 +132,10 @@ object SimilarityQueries {
   /** IVF ANN: Voronoi-cell partitioned search (4 lists, 2 probes) — the
     * bucketed-by-cell scale path where probes become partition-pruned
     * scans. Approximate w.r.t. exact KNN but fully deterministic
-    * (md5-ranked seeds, decimal-routed Lloyd means, sequential distance
+    * (md5-ranked seeds, scaled-long Lloyd means, sequential distance
     * folds), so the oracle replays the whole training: seed selection,
     * one unrolled Lloyd iteration, cell assignment, 2-probe search and
-    * decimal-exact cosines — bit-for-bit. IvfSpec adds recall/score
+    * scaled-long exact cosines — bit-for-bit. IvfSpec adds recall/score
     * parity against the exact baseline. */
   val q48 = GQuery(
     "q48_ivf_ann",
@@ -143,10 +148,6 @@ object SimilarityQueries {
         .select(col("qid"), col("rank"), col("nid"), round(col("cos"), 4).as("cos"))
     },
     Some(s"""WITH $elSql,
-      |el12 AS (
-      |  SELECT vec_id, CAST(unnest(embedding) AS DECIMAL(38,12)) AS e,
-      |    generate_subscripts(embedding, 1) AS i
-      |  FROM embeddings),
       |dim AS (SELECT MAX(len(embedding)) AS d FROM embeddings),
       |seeds AS (
       |  SELECT cell, embedding FROM (
@@ -166,9 +167,9 @@ object SimilarityQueries {
       |    SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
       |    FROM d0) WHERE rn = 1),
       |m1 AS (
-      |  SELECT a0.cell, el12.i, CAST(SUM(el12.e) AS DOUBLE) / COUNT(el12.e) AS m
-      |  FROM a0 JOIN el12 ON el12.vec_id = a0.vec_id
-      |  GROUP BY a0.cell, el12.i),
+      |  SELECT a0.cell, el.i, CAST(SUM(el.e) AS DOUBLE) / 10000000.0 / COUNT(el.e) AS m
+      |  FROM a0 JOIN el ON el.vec_id = a0.vec_id
+      |  GROUP BY a0.cell, el.i),
       |c1 AS (
       |  SELECT s.cell, list(COALESCE(m1.m, s.c[ser.i]) ORDER BY ser.i) AS c
       |  FROM seedlist s
@@ -194,7 +195,7 @@ object SimilarityQueries {
       |  FROM probes p JOIN a1 ON a1.cell = p.cell
       |  WHERE a1.vec_id <> p.vec_id),
       |dot AS (
-      |  SELECT ca.qid, ca.nid, CAST(SUM(q.e * c.e) AS DOUBLE) AS dot
+      |  SELECT ca.qid, ca.nid, CAST(SUM(q.e * c.e) AS DOUBLE) / 100000000000000.0 AS dot
       |  FROM cand ca
       |  JOIN el q ON q.vec_id = ca.qid
       |  JOIN el c ON c.vec_id = ca.nid AND q.i = c.i
@@ -211,7 +212,7 @@ object SimilarityQueries {
 
   /** Per-label exact mean embedding ([[Knn.centroids]]): the centroid/
     * profile aggregation behind IVF training and per-class embedding
-    * QA. Decimal-routed per-dimension means, rounded at the edge. */
+    * QA. Scaled-long per-dimension means, rounded at the edge. */
   val q53 = GQuery(
     "q53_embedding_centroids",
     (s, d) =>
@@ -221,10 +222,10 @@ object SimilarityQueries {
           round(col("mean_e"), 6).as("mean_e")),
     Some("""WITH el AS (
       |  SELECT label, generate_subscripts(embedding, 1) AS i,
-      |    CAST(unnest(embedding) AS DECIMAL(18,9)) AS e
+      |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000000.0 + 0.5) AS BIGINT) AS e
       |  FROM embeddings)
       |SELECT label, i,
-      |round(CAST(SUM(e) AS DOUBLE) / COUNT(e), 6) AS mean_e
+      |round(CAST(SUM(e) AS DOUBLE) / 10000000.0 / COUNT(e), 6) AS mean_e
       |FROM el GROUP BY label, i""".stripMargin))
 
   def queries: Seq[GQuery] = Seq(q40, q41, q42, q48, q53)

@@ -33,12 +33,13 @@ object Ivf {
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     (0 until iters).foldLeft(seeds) { (cents, _) =>
       val assigned = assignCells(corpus, vecCol, cents)
-        .select(col("__cell"), posexplode(col(vecCol)).as(Seq("i", "e")))
+        .select(col("__cell"), posexplode(Knn.scaledVec(col(vecCol))).as(Seq("i", "e")))
         .groupBy(col("__cell"), col("i"))
-        // decimal-routed mean: a plain double avg is partition-order
+        // scaled-long exact mean: a plain double avg is partition-order
         // dependent, which would make the trained centroids (and with
-        // them cell membership) vary run to run
-        .agg((sum(col("e").cast("decimal(38,12)")).cast("double") /
+        // them cell membership) vary run to run; int64 sums are exact
+        // and associative at integer-add cost (see Knn.scaledVec)
+        .agg((sum(col("e")).cast("double") / lit(Knn.Scale) /
           count(col("e"))).as("m"))
         .collect()
       val next = cents.map(_.clone())
@@ -80,27 +81,25 @@ object Ivf {
   }
 
   /** IVF top-k: exact cosine within the probed cells only. Same output
-    * schema as [[Knn.bruteForceTopK]]. */
+    * schema as [[Knn.bruteForceTopK]]. A corpus vector lives in exactly
+    * one cell, so the probe equi-join yields each (qid, nid) pair at
+    * most once — no dedup needed — and the dot is a per-pair scaled-long
+    * fold on the joined rows (no element-row explosion). At 100 TB the
+    * corpus is written bucketed by `__cell`, making each probe a
+    * partition-pruned scan. */
   def topK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
            k: Int, nLists: Int, nProbe: Int, iters: Int = 2): DataFrame = {
     val cents = trainCentroids(corpus, idCol, vecCol, nLists, iters)
-    val corpusCells = assignCells(corpus, vecCol, cents)
-    val queryProbes = probeCells(queries, vecCol, cents, nProbe)
-    val ce = Knn.elements(corpusCells, idCol, vecCol, "nid", "ce")
-      .join(corpusCells.select(col(idCol).as("nid"), col("__cell")), Seq("nid"))
-    val qe = Knn.elements(queryProbes, idCol, vecCol, "qid", "qe")
-      .join(queryProbes.select(col(idCol).as("qid"), col("__probe").as("__cell")), Seq("qid"))
-      .distinct()
-    val cn = Knn.norms(ce.select(col("nid"), col("i"), col("ce")).distinct(), "nid", "ce", "nn2")
-    val qn = Knn.norms(
-      Knn.elements(queries, idCol, vecCol, "qid", "qe"), "qid", "qe", "qn2")
-    val dot = ce.join(broadcast(qe), Seq("__cell", "i"))
+    val c = assignCells(corpus, vecCol, cents)
+      .select(col(idCol).as("nid"), col("__cell"), Knn.scaledVec(col(vecCol)).as("__cv"))
+      .withColumn("nn2", Knn.norm2Scaled(col("__cv")))
+    val q = probeCells(queries, vecCol, cents, nProbe)
+      .select(col(idCol).as("qid"), col("__probe").as("__cell"),
+        Knn.scaledVec(col(vecCol)).as("__qv"))
+      .withColumn("qn2", Knn.norm2Scaled(col("__qv")))
+    val scored = c.join(broadcast(q), Seq("__cell"))
       .filter(col("qid") =!= col("nid"))
-      .groupBy(col("qid"), col("nid"))
-      .agg(sum(col("qe") * col("ce")).cast("double").as("dot"))
-    val scored = dot
-      .join(broadcast(qn), Seq("qid"))
-      .join(cn, Seq("nid"))
+      .withColumn("dot", Knn.dotScaled(col("__qv"), col("__cv")))
       .withColumn("cos", col("dot") / (sqrt(col("qn2")) * sqrt(col("nn2"))))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
     scored.withColumn("rank", row_number().over(w))
