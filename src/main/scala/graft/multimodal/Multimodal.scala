@@ -48,6 +48,26 @@ object Multimodal {
     }
   }
 
+  /** STUB variant whose digest is replayable in ANSI SQL: the payload is
+    * first rendered as UPPERCASE hex (SQL `upper(hex(blob))`) and the
+    * md5 is taken of that string — so an oracle without a binary md5
+    * can re-derive identical metadata. Same metadata formulas as
+    * [[FakeDecoder]]; also a demo that `Decoder` is a drop-in seam. */
+  object HexFakeDecoder extends Decoder {
+    private def digest(bytes: Array[Byte]): Array[Byte] = {
+      val hex = bytes.map("%02X".format(_)).mkString
+      java.security.MessageDigest.getInstance("MD5").digest(hex.getBytes("UTF-8"))
+    }
+    def meta(bytes: Array[Byte]): (Int, Int, Int, String) = {
+      val d = digest(bytes)
+      (64 + (d(0) & 0x7f), 64 + (d(1) & 0x7f), 1 + (d(2) & 0x03), "fake")
+    }
+    def features(bytes: Array[Byte], dim: Int): Array[Float] = {
+      val d = digest(bytes)
+      Array.tabulate(dim)(i => ((d(i % d.length) & 0xff) - 128) / 128.0f)
+    }
+  }
+
   /** Attach a metadata struct for each binary payload. Runs as one
     * per-partition pass; the schema is declared up front so downstream
     * pruning/pushdown still work. */

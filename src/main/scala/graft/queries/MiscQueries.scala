@@ -30,7 +30,7 @@ object MiscQueries {
             (col("l_quantity").cast("int") + 5).cast("string")).as("name"))
         .withColumn("mean_len", call_function("mean_digit_runs", col("name")))
         .groupBy(col("l_returnflag"))
-        .agg(dsum(col("mean_len")).as("sum_mean_len"), lcount(lit(1)).as("n"))
+        .agg(lsum6(col("mean_len")).as("sum_mean_len"), lcount(lit(1)).as("n"))
     },
     Some(s"""WITH named AS (
       |  SELECT l_returnflag,
@@ -43,7 +43,7 @@ object MiscQueries {
       |      x -> CAST(x AS BIGINT))) AS DOUBLE)
       |    / CAST(len(regexp_extract_all(name, '[0-9]+')) AS DOUBLE) AS mean_len
       |  FROM named)
-      |SELECT l_returnflag, ${sqlDsum("mean_len")} AS sum_mean_len,
+      |SELECT l_returnflag, ${sqlLsum6("mean_len")} AS sum_mean_len,
       |COUNT(*) AS n
       |FROM m GROUP BY l_returnflag""".stripMargin))
 
@@ -55,10 +55,10 @@ object MiscQueries {
       events(s, d)
         .withColumn("bin", Geo.gridBin(col("value"), origin = 0.0, step = 5.0))
         .groupBy(col("event_type"), col("bin"))
-        .agg(lcount(lit(1)).as("n"), dsum(col("value")).as("sum_value")),
+        .agg(lcount(lit(1)).as("n"), lsum6(col("value")).as("sum_value")),
     Some(s"""SELECT event_type,
       |CAST(floor((value - 0.0) / 5.0) AS BIGINT) + 1 AS bin,
-      |COUNT(*) AS n, ${sqlDsum("value")} AS sum_value
+      |COUNT(*) AS n, ${sqlLsum6("value")} AS sum_value
       |FROM events GROUP BY 1, 2""".stripMargin))
 
   /** A15 keep_empty: orders with no lineitems survive the outer unnest
@@ -80,11 +80,11 @@ object MiscQueries {
         .agg(
           lcount(lit(1)).as("n_rows"),
           count(when(col("l_linenumber").isNull, lit(1))).as("n_childless"),
-          dsum(col("l_quantity")).as("sum_qty"))
+          lsum6(col("l_quantity")).as("sum_qty"))
     },
     Some(s"""SELECT o_orderstatus, COUNT(*) AS n_rows,
       |COUNT(CASE WHEN l_linenumber IS NULL THEN 1 END) AS n_childless,
-      |${sqlDsum("l_quantity")} AS sum_qty
+      |${sqlLsum6("l_quantity")} AS sum_qty
       |FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
       |GROUP BY o_orderstatus""".stripMargin))
 
@@ -117,7 +117,7 @@ object MiscQueries {
         .agg(
           count(when(col("inside"), lit(1))).as("n_inside"),
           lcount(lit(1)).as("n"),
-          dsum(when(col("inside"), col("value"))).as("sum_inside_value"))
+          lsum6(when(col("inside"), col("value"))).as("sum_inside_value"))
     },
     Some {
       val edges = q49Ring.indices.map { i =>
@@ -137,7 +137,7 @@ object MiscQueries {
          |SELECT event_type,
          |COUNT(CASE WHEN inside THEN 1 END) AS n_inside,
          |COUNT(*) AS n,
-         |${sqlDsum("CASE WHEN inside THEN value END")} AS sum_inside_value
+         |${sqlLsum6("CASE WHEN inside THEN value END")} AS sum_inside_value
          |FROM flagged GROUP BY event_type""".stripMargin
     })
 
@@ -163,8 +163,8 @@ object MiscQueries {
         .agg(
           lcount(lit(1)).as("n_clicks"),
           lcount(col("view_value")).as("n_matched"),
-          dsum(col("view_value")).as("sum_view_value"),
-          dsum(col("value")).as("sum_click_value"))
+          lsum6(col("view_value")).as("sum_view_value"),
+          lsum6(col("value")).as("sum_click_value"))
     },
     Some(s"""WITH r AS (
       |  SELECT user_id, ts, MAX(value) AS view_value
@@ -178,8 +178,8 @@ object MiscQueries {
       |    ON l.user_id = r.user_id AND l.ts >= r.ts)
       |SELECT user_id, COUNT(*) AS n_clicks,
       |COUNT(view_value) AS n_matched,
-      |${sqlDsum("view_value")} AS sum_view_value,
-      |${sqlDsum("value")} AS sum_click_value
+      |${sqlLsum6("view_value")} AS sum_view_value,
+      |${sqlLsum6("value")} AS sum_click_value
       |FROM j GROUP BY user_id""".stripMargin))
 
   /** Range join: clicks assigned to each user's daily [first,last] view
@@ -202,7 +202,7 @@ object MiscQueries {
         .groupBy(col("user_id"))
         .agg(
           lcount(lit(1)).as("n_matched"),
-          dsum(col("value")).as("sum_matched_value"),
+          lsum6(col("value")).as("sum_matched_value"),
           countDistinct(col("day")).as("n_days_active"))
     },
     Some(s"""WITH iv AS (
@@ -216,33 +216,34 @@ object MiscQueries {
       |  FROM pts p JOIN iv ON p.user_id = iv.user_id
       |    AND p.ts BETWEEN iv.s AND iv.e)
       |SELECT user_id, COUNT(*) AS n_matched,
-      |${sqlDsum("value")} AS sum_matched_value,
+      |${sqlLsum6("value")} AS sum_matched_value,
       |COUNT(DISTINCT day) AS n_days_active
       |FROM m GROUP BY user_id""".stripMargin))
 
   /** Hot-key salting (`operators/Salting`): the 3-value l_returnflag is
     * the worst-case skew — every row lands on one of three reducers in
     * a direct groupBy; the salted plan splits each key over 16 partial
-    * groups (balanced shuffle) and recombines. Decimal-routed sums keep
+    * groups (balanced shuffle) and recombines. Scaled-long sums keep
     * the result bit-identical to the unsalted plan and the oracle
-    * (decimal addition is associative; the salt only reorders it). */
+    * (int64 addition is associative; the salt only reorders it). */
   val q62 = GQuery(
     "q62_salted_hotkey_agg",
     (s, d) => {
       val out = graft.operators.Salting.saltedAggregate(
         lineitem(s, d), keys = Seq("l_returnflag"),
         aggs = Map(
-          "sum_price_dec" -> (("sum", col("l_extendedprice").cast(graft.core.Exact.Dec))),
+          "sum_price_scaled" -> (("sum",
+            floor(col("l_extendedprice") * lit(1e6) + lit(0.5)).cast("long"))),
           "n" -> (("count", lit(1))),
           "max_qty" -> (("max", col("l_quantity")))),
         numSalts = 16)
       out.select(col("l_returnflag"),
-        col("sum_price_dec").cast("double").as("sum_price"),
+        (col("sum_price_scaled").cast("double") / lit(1e6)).as("sum_price"),
         col("n").cast("long").as("n"),
         col("max_qty"))
     },
     Some(s"""SELECT l_returnflag,
-      |${sqlDsum("l_extendedprice")} AS sum_price,
+      |${sqlLsum6("l_extendedprice")} AS sum_price,
       |COUNT(*) AS n, MAX(l_quantity) AS max_qty
       |FROM lineitem GROUP BY l_returnflag""".stripMargin))
 
@@ -273,7 +274,7 @@ object MiscQueries {
       graft.operators.SpatialJoin.pointInPolygonJoin(
         pts, polys, xCol = "lng", yCol = "lat", ringCol = "ring", cellSize = 10.0)
         .groupBy(col("zone"))
-        .agg(lcount(lit(1)).as("n_points"), dsum(col("value")).as("sum_value"))
+        .agg(lcount(lit(1)).as("n_points"), lsum6(col("value")).as("sum_value"))
     },
     Some {
       def test(vs: Seq[(Double, Double)]): String =
@@ -292,7 +293,7 @@ object MiscQueries {
          |  FROM events),
          |m AS (
          |  $unions)
-         |SELECT zone, COUNT(*) AS n_points, ${sqlDsum("value")} AS sum_value
+         |SELECT zone, COUNT(*) AS n_points, ${sqlLsum6("value")} AS sum_value
          |FROM m GROUP BY zone""".stripMargin
     })
 
@@ -405,7 +406,7 @@ object MiscQueries {
           countDistinct(col("zkey")).as("n_cells"),
           min(col("zkey")).as("zmin"),
           max(col("zkey")).as("zmax"),
-          round(dsum(col("value")), 6).as("total"))
+          round(lsum6(col("value")), 6).as("total"))
     },
     Some {
       val terms = (0 until 8).map { i =>
@@ -424,10 +425,58 @@ object MiscQueries {
       |SELECT zkey >> 10 AS tile, COUNT(*) AS n,
       |CAST(COUNT(DISTINCT zkey) AS BIGINT) AS n_cells,
       |MIN(zkey) AS zmin, MAX(zkey) AS zmax,
-      |round(${sqlDsum("value")}, 6) AS total
+      |round(${sqlLsum6("value")}, 6) AS total
       |FROM z GROUP BY 1""".stripMargin
     })
 
+  /** Multimodal binary-column plumbing under the hash gate: documents
+    * synthesize variable-length binary payloads (1–8 md5-prefix bytes),
+    * [[graft.multimodal.Multimodal.withMeta]] runs the batched
+    * per-partition decode pass (the mapInPandas-shaped stage) with the
+    * SQL-replayable [[graft.multimodal.Multimodal.HexFakeDecoder]] stub,
+    * and the metadata rolls up per (lang, channels). The oracle
+    * re-derives width/height/channels from `md5(upper(hex(payload)))`
+    * byte-for-byte — so the whole binary pipeline, not just its schema,
+    * is correctness-checked. */
+  val q71 = GQuery(
+    "q71_multimodal_meta",
+    (s, d) => {
+      val payloads = documents(s, d).select(
+        col("doc_id"), col("lang"),
+        expr("unhex(substring(md5(text), 1, cast(2 * (1 + n_chars % 8) as int)))")
+          .as("payload"))
+      graft.multimodal.Multimodal.withMeta(payloads, "payload", "meta",
+          graft.multimodal.Multimodal.HexFakeDecoder)
+        .groupBy(col("lang"), col("meta.channels").as("channels"))
+        .agg(
+          lcount(lit(1)).as("n"),
+          sum(col("meta.width")).cast("long").as("sum_width"),
+          sum(col("meta.height")).cast("long").as("sum_height"),
+          sum(col("meta.n_bytes")).as("sum_bytes"))
+    },
+    Some("""WITH p AS (
+      |  SELECT doc_id, lang,
+      |    unhex(substr(md5(text), 1, CAST(2 * (1 + n_chars % 8) AS INT))) AS payload
+      |  FROM documents),
+      |m AS (
+      |  SELECT lang, octet_length(payload) AS n_bytes,
+      |    md5(upper(hex(payload))) AS h
+      |  FROM p),
+      |b AS (
+      |  SELECT lang, n_bytes,
+      |    (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 +
+      |    (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) AS b0,
+      |    (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16 +
+      |    (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) AS b1,
+      |    (strpos('0123456789abcdef', substr(h, 5, 1)) - 1) * 16 +
+      |    (strpos('0123456789abcdef', substr(h, 6, 1)) - 1) AS b2
+      |  FROM m)
+      |SELECT lang, CAST(1 + (b2 % 4) AS INT) AS channels, COUNT(*) AS n,
+      |CAST(SUM(64 + (b0 % 128)) AS BIGINT) AS sum_width,
+      |CAST(SUM(64 + (b1 % 128)) AS BIGINT) AS sum_height,
+      |CAST(SUM(n_bytes) AS BIGINT) AS sum_bytes
+      |FROM b GROUP BY 1, 2""".stripMargin))
+
   def queries: Seq[GQuery] =
-    Seq(q45, q46, q47, q49, q52, q59, q62, q63, q64, q67, q69)
+    Seq(q45, q46, q47, q49, q52, q59, q62, q63, q64, q67, q69, q71)
 }

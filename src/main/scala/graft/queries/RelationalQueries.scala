@@ -74,11 +74,11 @@ object RelationalQueries {
         .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_brand"))
         .agg(
-          dsum(col("l_extendedprice")).as("revenue"),
-          dsum(col("l_quantity")).as("qty"),
+          lsum6(col("l_extendedprice")).as("revenue"),
+          lsum6(col("l_quantity")).as("qty"),
           lcount(lit(1)).as("n_items")),
-    Some(s"""SELECT p_brand, ${sqlDsum("l_extendedprice")} AS revenue,
-      |${sqlDsum("l_quantity")} AS qty, COUNT(*) AS n_items
+    Some(s"""SELECT p_brand, ${sqlLsum6("l_extendedprice")} AS revenue,
+      |${sqlLsum6("l_quantity")} AS qty, COUNT(*) AS n_items
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |GROUP BY p_brand""".stripMargin),
     headline = true)
@@ -97,10 +97,10 @@ object RelationalQueries {
         .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"))
         .agg(
-          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+          lsum6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
           lcount(lit(1)).as("n_items")),
     Some(s"""SELECT r_name,
-      |${sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+      |${sqlLsum6("l_extendedprice * (1.0 - l_discount)")} AS revenue,
       |COUNT(*) AS n_items
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
@@ -120,9 +120,9 @@ object RelationalQueries {
         .groupBy(coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"))
         .agg(
           lcount(lit(1)).as("n_orders"),
-          dsum(col("o_totalprice")).as("total")),
+          lsum6(col("o_totalprice")).as("total")),
     Some(s"""SELECT COALESCE(c_mktsegment, 'UNKNOWN') AS segment,
-      |COUNT(*) AS n_orders, ${sqlDsum("o_totalprice")} AS total
+      |COUNT(*) AS n_orders, ${sqlLsum6("o_totalprice")} AS total
       |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
       |GROUP BY 1""".stripMargin))
 
@@ -169,7 +169,7 @@ object RelationalQueries {
           lcount(lit(1)).as("n"),
           lcount(col("o_totalprice")).as("n_price"),
           lcount(col("o_orderstatus")).as("n_status"),
-          dsum(col("o_totalprice")).as("total"))
+          lsum6(col("o_totalprice")).as("total"))
     },
     Some(s"""WITH u AS (
       |  SELECT o_orderkey, o_totalprice, NULL AS o_orderstatus
@@ -178,7 +178,7 @@ object RelationalQueries {
       |  SELECT o_orderkey, NULL AS o_totalprice, o_orderstatus
       |  FROM orders WHERE o_orderkey % 2 = 1)
       |SELECT COUNT(*) AS n, COUNT(o_totalprice) AS n_price,
-      |COUNT(o_orderstatus) AS n_status, ${sqlDsum("o_totalprice")} AS total
+      |COUNT(o_orderstatus) AS n_status, ${sqlLsum6("o_totalprice")} AS total
       |FROM u""".stripMargin))
 
   /** J8: the reference's central merge — full-outer join of rows unique
@@ -202,8 +202,8 @@ object RelationalQueries {
             .otherwise("right_only").as("match_type"))
         .agg(
           lcount(lit(1)).as("n"),
-          dsum(col("o_totalprice")).as("sum_price"),
-          dsum(col("value")).as("sum_value"))
+          lsum6(col("o_totalprice")).as("sum_price"),
+          lsum6(col("value")).as("sum_value"))
     },
     Some(s"""WITH l AS (
       |  SELECT o_custkey AS entity_id, date_trunc('day', o_orderdate) AS day,
@@ -227,8 +227,8 @@ object RelationalQueries {
       |SELECT CASE WHEN o_orderkey IS NOT NULL AND event_id IS NOT NULL THEN 'both'
       |            WHEN o_orderkey IS NOT NULL THEN 'left_only'
       |            ELSE 'right_only' END AS match_type,
-      |COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS sum_price,
-      |${sqlDsum("value")} AS sum_value
+      |COUNT(*) AS n, ${sqlLsum6("o_totalprice")} AS sum_price,
+      |${sqlLsum6("value")} AS sum_value
       |FROM j GROUP BY 1""".stripMargin))
 
   /** Full schema-drift harmonization chain (J14 + §2.2 recode,
@@ -258,7 +258,7 @@ object RelationalQueries {
           keepUnmatched = false))
         .groupBy(col("status"))
         .agg(lcount(lit(1)).as("n"),
-          dsum(col("price")).as("sum_price"),
+          lsum6(col("price")).as("sum_price"),
           countDistinct(col("version")).as("n_versions"))
     },
     Some(s"""WITH u AS (
@@ -270,7 +270,7 @@ object RelationalQueries {
       |  FROM orders WHERE o_orderkey % 3 = 0)
       |SELECT CASE status_raw WHEN 'F' THEN 'finished' WHEN 'O' THEN 'open'
       |  WHEN 'P' THEN 'pending' END AS status,
-      |COUNT(*) AS n, ${sqlDsum("price")} AS sum_price,
+      |COUNT(*) AS n, ${sqlLsum6("price")} AS sum_price,
       |COUNT(DISTINCT version) AS n_versions
       |FROM u GROUP BY 1""".stripMargin))
 

@@ -44,13 +44,13 @@ object ReshapeQueries {
             |'discount', l_discount,
             |'tax', l_tax) AS (metric, value)""".stripMargin))
         .groupBy(col("metric"))
-        .agg(dsum(col("value")).as("sum_value"), lcount(col("value")).as("n")),
+        .agg(lsum6(col("value")).as("sum_value"), lcount(col("value")).as("n")),
     Some(s"""WITH m AS (
       |  SELECT 'quantity' AS metric, l_quantity AS value FROM lineitem
       |  UNION ALL SELECT 'extendedprice', l_extendedprice FROM lineitem
       |  UNION ALL SELECT 'discount', l_discount FROM lineitem
       |  UNION ALL SELECT 'tax', l_tax FROM lineitem)
-      |SELECT metric, ${sqlDsum("value")} AS sum_value, COUNT(value) AS n
+      |SELECT metric, ${sqlLsum6("value")} AS sum_value, COUNT(value) AS n
       |FROM m GROUP BY metric""".stripMargin))
 
   /** A14/A15: the nest → unnest round trip. Lineitems are nested per
@@ -77,7 +77,7 @@ object ReshapeQueries {
           explode(col("items")).as("item"))
       exploded
         .groupBy(col("l_orderkey"), col("n_items"), col("first_part"))
-        .agg(dsum(col("item.l_quantity")).as("total_qty"))
+        .agg(lsum6(col("item.l_quantity")).as("total_qty"))
     },
     Some(s"""WITH f AS (
       |  SELECT l_orderkey, l_partkey, l_quantity,
@@ -86,7 +86,7 @@ object ReshapeQueries {
       |  FROM lineitem)
       |SELECT l_orderkey, COUNT(*) AS n_items,
       |MAX(CASE WHEN rn = 1 THEN l_partkey END) AS first_part,
-      |${sqlDsum("l_quantity")} AS total_qty
+      |${sqlLsum6("l_quantity")} AS total_qty
       |FROM f GROUP BY l_orderkey""".stripMargin),
     headline = true)
 
@@ -98,7 +98,7 @@ object ReshapeQueries {
     (s, d) => {
       val o = orders(s, d).withColumn("month", date_trunc("month", col("o_orderdate")))
       val monthly = o.groupBy(col("month"), col("o_orderstatus"))
-        .agg(lcount(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .agg(lcount(lit(1)).as("n"), lsum6(col("o_totalprice")).as("total"))
       val spine = o.agg(min(col("month")).as("lo"), max(col("month")).as("hi"))
         .select(explode(sequence(col("lo"), col("hi"), expr("interval 1 month"))).as("month"))
       val statuses = o.select(col("o_orderstatus")).distinct()
@@ -110,7 +110,7 @@ object ReshapeQueries {
       |  SELECT date_trunc('month', o_orderdate) AS month, o_orderstatus, o_totalprice
       |  FROM orders),
       |monthly AS (
-      |  SELECT month, o_orderstatus, COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS total
+      |  SELECT month, o_orderstatus, COUNT(*) AS n, ${sqlLsum6("o_totalprice")} AS total
       |  FROM o GROUP BY 1, 2),
       |spine AS (
       |  SELECT unnest(generate_series(
@@ -169,7 +169,7 @@ object ReshapeQueries {
         .groupBy(col("grp"))
         .agg(
           lcount(lit(1)).as("n_expanded"),
-          davg(col("o_totalprice")).as("mean_price"))
+          lavg6(col("o_totalprice")).as("mean_price"))
     },
     Some(s"""WITH o AS (SELECT o_custkey % 100 AS grp, o_totalprice FROM orders),
       |n AS (SELECT grp, COUNT(*) AS n_rows FROM o GROUP BY grp),
@@ -178,7 +178,7 @@ object ReshapeQueries {
       |  FROM o JOIN n USING (grp)
       |  CROSS JOIN (SELECT unnest(range(5)) AS i) r
       |  WHERE r.i < CASE WHEN n.n_rows < 3 THEN 5 ELSE 1 END)
-      |SELECT grp, COUNT(*) AS n_expanded, ${sqlDavg("o_totalprice")} AS mean_price
+      |SELECT grp, COUNT(*) AS n_expanded, ${sqlLavg6("o_totalprice")} AS mean_price
       |FROM e GROUP BY grp""".stripMargin))
 
   /** A13 dynamic pivot_wider: labels collected from the data at plan

@@ -76,12 +76,13 @@ object StatsQueries {
       |  FROM base b JOIN med m ON b.g = m.g GROUP BY b.g, m.m),
       |bounds AS (
       |  SELECT g,
-      |    CASE WHEN s > 0 AND nz > 0 THEN exp(m - 2.5 * s) - 1.0 END AS lo,
-      |    CASE WHEN s > 0 AND nz > 0 THEN exp(m + 2.5 * s) - 1.0 END AS hi
+      |    CASE WHEN s > 0 AND nz > 0 THEN m - 2.5 * s END AS lo_log,
+      |    CASE WHEN s > 0 AND nz > 0 THEN m + 2.5 * s END AS hi_log
       |  FROM mad)
       |SELECT b.g AS l_returnflag,
-      |round(MIN(bo.lo), 6) AS lower, round(MIN(bo.hi), 6) AS upper,
-      |COUNT(CASE WHEN b.x < bo.lo OR b.x > bo.hi THEN 1 END) AS n_outliers,
+      |round(MIN(exp(bo.lo_log) - 1.0), 6) AS lower,
+      |round(MIN(exp(bo.hi_log) - 1.0), 6) AS upper,
+      |COUNT(CASE WHEN b.xl < bo.lo_log OR b.xl > bo.hi_log THEN 1 END) AS n_outliers,
       |COUNT(*) AS n
       |FROM base b JOIN bounds bo ON b.g = bo.g
       |GROUP BY b.g""".stripMargin))
@@ -179,7 +180,7 @@ object StatsQueries {
       val daily = events(s, d)
         .groupBy(col("event_type"),
           (unix_timestamp(date_trunc("day", col("ts"))) / 86400L).cast("long").as("day_idx"))
-        .agg(davg(col("value")).as("v0"))
+        .agg(lavg6(col("value")).as("v0"))
         .withColumn("v", when(col("day_idx") % 3 === 0, lit(null)).otherwise(col("v0")))
       Interpolate.linear(daily, Seq("event_type"), "day_idx", "v")
         .withColumn("was_missing", col("v").isNull)
@@ -189,7 +190,7 @@ object StatsQueries {
     Some(s"""WITH daily AS (
       |  SELECT event_type,
       |    CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 AS day_idx,
-      |    ${sqlDavg("value")} AS v0
+      |    ${sqlLavg6("value")} AS v0
       |  FROM events GROUP BY 1, 2),
       |masked AS (
       |  SELECT event_type, day_idx,
@@ -228,11 +229,11 @@ object StatsQueries {
       val userDay = ev
         .groupBy((col("user_id") % 20).as("grp"), col("user_id"),
           date_trunc("day", col("ts")).as("day"))
-        .agg(dsum(col("value")).as("uv"))
+        .agg(lsum6(col("value")).as("uv"))
       val groupDay = userDay.groupBy(col("grp"), col("day"))
-        .agg(dsum(col("uv")).as("sum_obs"), lcount(lit(1)).as("n_obs"))
+        .agg(lsum6(col("uv")).as("sum_obs"), lcount(lit(1)).as("n_obs"))
       val dayMean = userDay.groupBy(col("day"))
-        .agg(davg(col("uv")).as("day_mean"))
+        .agg(lavg6(col("uv")).as("day_mean"))
       val nUsers = ev.groupBy((col("user_id") % 20).as("grp"))
         .agg(countDistinct(col("user_id")).as("n_users"))
       groupDay
@@ -248,12 +249,12 @@ object StatsQueries {
     },
     Some(s"""WITH ud AS (
       |  SELECT user_id % 20 AS grp, user_id, date_trunc('day', ts) AS day,
-      |    ${sqlDsum("value")} AS uv
+      |    ${sqlLsum6("value")} AS uv
       |  FROM events GROUP BY 1, 2, 3),
       |gd AS (
-      |  SELECT grp, day, ${sqlDsum("uv")} AS sum_obs, COUNT(*) AS n_obs
+      |  SELECT grp, day, ${sqlLsum6("uv")} AS sum_obs, COUNT(*) AS n_obs
       |  FROM ud GROUP BY grp, day),
-      |dm AS (SELECT day, ${sqlDavg("uv")} AS day_mean FROM ud GROUP BY day),
+      |dm AS (SELECT day, ${sqlLavg6("uv")} AS day_mean FROM ud GROUP BY day),
       |nu AS (SELECT user_id % 20 AS grp, COUNT(DISTINCT user_id) AS n_users
       |       FROM events GROUP BY 1)
       |SELECT gd.grp, gd.day,
@@ -287,7 +288,7 @@ object StatsQueries {
         .groupBy(col("user_id"))
         .agg(
           lcount(lit(1)).as("n_trips"),
-          dsum(col("dist_km")).as("total_km"),
+          lsum6(col("dist_km")).as("total_km"),
           max(col("dist_km")).as("max_km"))
     },
     Some(s"""WITH pts AS (
@@ -308,7 +309,7 @@ object StatsQueries {
       |      sin(radians(lng2 - lng1) / 2.0) * sin(radians(lng2 - lng1) / 2.0))), 3) AS dist_km
       |  FROM trips)
       |SELECT user_id, COUNT(*) AS n_trips,
-      |${sqlDsum("dist_km")} AS total_km, MAX(dist_km) AS max_km
+      |${sqlLsum6("dist_km")} AS total_km, MAX(dist_km) AS max_km
       |FROM dist GROUP BY user_id""".stripMargin))
 
   /** ST10: suffix-registry resolution — a short partial code matched as

@@ -21,7 +21,7 @@ object TemporalQueries {
       val o = orders(s, d)
       val weekly = o
         .groupBy(Dates.floorWeekSunday(col("o_orderdate")).as("week"))
-        .agg(lcount(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .agg(lcount(lit(1)).as("n"), lsum6(col("o_totalprice")).as("total"))
       val mx = o.agg(max(to_date(col("o_orderdate"))).as("maxd"))
       weekly.crossJoin(broadcast(mx))
         .withColumn("frac",
@@ -33,7 +33,7 @@ object TemporalQueries {
     },
     Some(s"""WITH weekly AS (
       |  SELECT CAST(o_orderdate AS DATE) - CAST(dayofweek(o_orderdate) AS INT) AS week,
-      |    COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS total
+      |    COUNT(*) AS n, ${sqlLsum6("o_totalprice")} AS total
       |  FROM orders GROUP BY 1),
       |mx AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS maxd FROM orders),
       |f AS (
@@ -140,7 +140,7 @@ object TemporalQueries {
             .when(grouping(col("month")) === 0, lit("month"))
             .otherwise(lit("year")).as("grain"),
           lcount(lit(1)).as("n"),
-          dsum(col("value")).as("total"),
+          lsum6(col("value")).as("total"),
           countDistinct(col("user_id")).as("n_users"))
         .select(
           col("grain"),
@@ -157,7 +157,7 @@ object TemporalQueries {
       |            WHEN GROUPING(month) = 0 THEN 'month'
       |            ELSE 'year' END AS grain,
       |COALESCE(day, week, month, year) AS bucket,
-      |COUNT(*) AS n, round(${sqlDsum("value")}, 6) AS total,
+      |COUNT(*) AS n, round(${sqlLsum6("value")}, 6) AS total,
       |CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
       |FROM b GROUP BY GROUPING SETS ((day), (week), (month), (year))""".stripMargin))
 

@@ -47,7 +47,7 @@ object TextQueries {
         .withColumn("score", qualityScore(col("text"), col("ws")))
       t.groupBy(col("source"))
         .agg(
-          round(davg(col("score")), 6).as("mean_score"),
+          round(lavg6(col("score")), 6).as("mean_score"),
           count(when(col("score") < 0.5, lit(1))).as("n_low_quality"),
           lcount(lit(1)).as("n_docs"))
     },
@@ -61,7 +61,7 @@ object TextQueries {
       |    + 0.2 * (1.0 - LEAST((CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
       |      / CAST(length(text) AS DOUBLE)) * 10.0, 1.0)) AS score
       |  FROM documents)
-      |SELECT source, round(${sqlDsum("score")} / COUNT(score), 6) AS mean_score,
+      |SELECT source, round(${sqlLsum6("score")} / COUNT(score), 6) AS mean_score,
       |COUNT(CASE WHEN score < 0.5 THEN 1 END) AS n_low_quality,
       |COUNT(*) AS n_docs
       |FROM f GROUP BY source""".stripMargin))

@@ -33,7 +33,7 @@ object WindowQueries {
           lcount(col("gap_s")).as("n_gaps"),
           max(col("gap_s")).as("max_gap_s"),
           min(col("gap_s")).as("min_gap_s"),
-          dsum(col("gap_s")).as("sum_gap_s"))
+          lsum6(col("gap_s")).as("sum_gap_s"))
     },
     Some(s"""WITH g AS (
       |  SELECT user_id,
@@ -42,7 +42,7 @@ object WindowQueries {
       |  FROM events
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
       |SELECT user_id, COUNT(gap_s) AS n_gaps, MAX(gap_s) AS max_gap_s,
-      |MIN(gap_s) AS min_gap_s, ${sqlDsum("gap_s")} AS sum_gap_s
+      |MIN(gap_s) AS min_gap_s, ${sqlLsum6("gap_s")} AS sum_gap_s
       |FROM g GROUP BY user_id""".stripMargin),
     headline = true)
 
@@ -58,7 +58,7 @@ object WindowQueries {
         .groupBy(col("event_type"))
         .agg(
           lcount(lit(1)).as("n_first"),
-          dsum(col("value")).as("sum_first_value"))
+          lsum6(col("value")).as("sum_first_value"))
     },
     Some(s"""WITH f AS (
       |  SELECT event_type, value,
@@ -66,7 +66,7 @@ object WindowQueries {
       |                       ORDER BY ts, event_id) AS rn
       |  FROM events)
       |SELECT event_type, COUNT(*) AS n_first,
-      |${sqlDsum("value")} AS sum_first_value
+      |${sqlLsum6("value")} AS sum_first_value
       |FROM f WHERE rn = 1 GROUP BY event_type""".stripMargin))
 
   /** W4: first non-null per group with explicit ordering
@@ -133,7 +133,7 @@ object WindowQueries {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .groupBy(col("event_type"))
-        .agg(lcount(lit(1)).as("n_sampled"), dsum(col("value")).as("sum_value"))
+        .agg(lcount(lit(1)).as("n_sampled"), lsum6(col("value")).as("sum_value"))
     },
     Some(s"""WITH r AS (
       |  SELECT event_type, value,
@@ -141,7 +141,7 @@ object WindowQueries {
       |                       ORDER BY md5(CAST(event_id AS VARCHAR))) AS rn
       |  FROM events)
       |SELECT event_type, COUNT(*) AS n_sampled,
-      |${sqlDsum("value")} AS sum_value
+      |${sqlLsum6("value")} AS sum_value
       |FROM r WHERE rn = 1 GROUP BY event_type""".stripMargin))
 
   /** §2.10: 1-minute tumbling-window downsample of the event stream
@@ -156,23 +156,23 @@ object WindowQueries {
         .groupBy(col("user_id"), date_trunc("minute", col("ts")).as("minute"))
         .agg(
           min_by(col("value"), col("event_id")).as("first_value"),
-          davg(col("value")).as("mean_value"),
+          lavg6(col("value")).as("mean_value"),
           lcount(lit(1)).as("n"))
         .groupBy(col("user_id"))
         .agg(
           lcount(lit(1)).as("n_minutes"),
-          dsum(col("first_value")).as("sum_first"),
-          dsum(col("mean_value")).as("sum_mean"),
+          lsum6(col("first_value")).as("sum_first"),
+          lsum6(col("mean_value")).as("sum_mean"),
           max(col("n")).as("max_per_minute")),
     Some(s"""WITH m AS (
       |  SELECT user_id, date_trunc('minute', ts) AS minute,
       |    arg_min(value, event_id) AS first_value,
-      |    ${sqlDavg("value")} AS mean_value,
+      |    ${sqlLavg6("value")} AS mean_value,
       |    COUNT(*) AS n
       |  FROM events GROUP BY 1, 2)
       |SELECT user_id, COUNT(*) AS n_minutes,
-      |${sqlDsum("first_value")} AS sum_first,
-      |${sqlDsum("mean_value")} AS sum_mean,
+      |${sqlLsum6("first_value")} AS sum_first,
+      |${sqlLsum6("mean_value")} AS sum_mean,
       |MAX(n) AS max_per_minute
       |FROM m GROUP BY user_id""".stripMargin))
 
@@ -238,7 +238,7 @@ object WindowQueries {
         .groupBy(col("l_returnflag"), col("decile"))
         .agg(
           lcount(lit(1)).as("n"),
-          round(dsum(col("l_extendedprice")), 6).as("sum_price"),
+          round(lsum6(col("l_extendedprice")), 6).as("sum_price"),
           min(col("l_extendedprice")).as("min_price"),
           max(col("l_extendedprice")).as("max_price"))
     },
@@ -248,7 +248,7 @@ object WindowQueries {
       |      ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS decile
       |  FROM lineitem)
       |SELECT l_returnflag, CAST(decile AS BIGINT) AS decile, COUNT(*) AS n,
-      |round(${sqlDsum("l_extendedprice")}, 6) AS sum_price,
+      |round(${sqlLsum6("l_extendedprice")}, 6) AS sum_price,
       |MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price
       |FROM t GROUP BY 1, 2""".stripMargin))
 
