@@ -81,27 +81,39 @@ object Dedup {
   def permHash(p: Column, h0: Column): Column =
     ((lit(2654435761L) * (p + 1) % 2147483647L) * h0 + p) % 2147483647L
 
-  /** MinHash signatures: one row per (doc, perm) with the min hash. */
-  def minhashSignatures(idx: DataFrame, numPerms: Int): DataFrame = {
-    val perms = explode(sequence(lit(0), lit(numPerms - 1))).as("p")
+  /** MinHash signatures in WIDE form: one row per doc with columns
+    * `m0..m{numPerms−1}`. All permutations evaluate inside ONE hash
+    * aggregation over the inverted index — `numPerms` cheap arithmetic
+    * variants of the single md5 per shingle, each under its own `min` —
+    * instead of exploding the index ×numPerms and shuffling (doc, perm)
+    * rows. One shuffle on doc, map-side combined, codegen throughout. */
+  def minhashSignaturesWide(idx: DataFrame, numPerms: Int): DataFrame = {
+    val mins = (0 until numPerms).map(p =>
+      min(permHash(lit(p), col("h0"))).as(s"m$p"))
     idx.select(col("doc"), md5Hash28(col("shingle")).as("h0"))
-      .select(col("doc"), col("h0"), perms)
-      .withColumn("h", permHash(col("p"), col("h0")))
-      .groupBy(col("doc"), col("p"))
-      .agg(min(col("h")).as("minh"))
+      .groupBy(col("doc"))
+      .agg(mins.head, mins.tail: _*)
   }
 
-  /** LSH band keys: md5 of the '-'-joined signature slice per band. */
-  def lshBandKeys(sig: DataFrame, rowsPerBand: Int): DataFrame =
-    sig.withColumn("band", expr(s"p div $rowsPerBand"))
-      .groupBy(col("doc"), col("band"))
-      .agg(md5(concat_ws("-",
-        transform(array_sort(collect_list(struct(col("p"), col("minh")))),
-          s => s.getField("minh").cast("string")))).as("bkey"))
+  /** LSH band keys from the wide signature: md5 of the '-'-joined
+    * signature slice per band, assembled per-row (no aggregation), then
+    * unpacked to (doc, band, bkey) rows for the collision self-join. */
+  def lshBandKeysWide(sigW: DataFrame, numPerms: Int, rowsPerBand: Int): DataFrame = {
+    val nBands = numPerms / rowsPerBand
+    val bandStructs = array((0 until nBands).map { b =>
+      val slice = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(p => col(s"m$p").cast("string"))
+      struct(lit(b).as("band"), md5(concat_ws("-", slice: _*)).as("bkey"))
+    }: _*)
+    sigW.select(col("doc"), explode(bandStructs).as("bb"))
+      .select(col("doc"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+  }
 
   /** MinHash+LSH near-dup pairs: band-collision candidates, verified
     * with exact Jaccard ≥ threshold. Also reports the signature-level
-    * estimate (fraction of agreeing permutations). */
+    * estimate (fraction of agreeing permutations), computed as a per-row
+    * column comparison of the two wide signatures — no per-permutation
+    * join. */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       k: Int, numPerms: Int, rowsPerBand: Int,
                       threshold: Double): DataFrame = {
@@ -109,18 +121,23 @@ object Dedup {
     // ReuseExchange, and recomputing the stateless shingle projection is
     // cheaper than the cache's block-manager pressure at scale
     val idx = shingleIndex(df, idCol, textCol, k)
-    val sig = minhashSignatures(idx, numPerms)
-    val bands = lshBandKeys(sig, rowsPerBand)
+    val sigW = minhashSignaturesWide(idx, numPerms)
+    val bands = lshBandKeysWide(sigW, numPerms, rowsPerBand)
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc") < col("y.doc"))
       .select(col("x.doc").as("da"), col("y.doc").as("db")).distinct()
-    // signature agreement estimate
-    val est = cand
-      .join(sig.select(col("doc").as("da"), col("p"), col("minh").as("ha")), Seq("da"))
-      .join(sig.select(col("doc").as("db"), col("p"), col("minh").as("hb")), Seq("db", "p"))
-      .groupBy(col("da"), col("db"))
-      .agg((count(when(col("ha") === col("hb"), lit(1))).cast("double") / numPerms).as("est_jaccard"))
+    // signature agreement estimate: compare the wide rows column-wise
+    val agree = (0 until numPerms)
+      .map(p => when(col(s"__a_m$p") === col(s"__b_m$p"), 1).otherwise(0))
+      .reduce(_ + _)
+    val sigA = sigW.select(col("doc").as("da") +:
+      (0 until numPerms).map(p => col(s"m$p").as(s"__a_m$p")): _*)
+    val sigB = sigW.select(col("doc").as("db") +:
+      (0 until numPerms).map(p => col(s"m$p").as(s"__b_m$p")): _*)
+    val est = cand.join(sigA, Seq("da")).join(sigB, Seq("db"))
+      .select(col("da"), col("db"),
+        (agree.cast("double") / numPerms).as("est_jaccard"))
     // exact verify on the candidate set only
     val sizes = idx.groupBy(col("doc")).agg(count(lit(1)).as("n_shingles"))
     val common = idx.select(col("doc").as("da"), col("shingle"))
