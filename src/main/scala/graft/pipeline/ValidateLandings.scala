@@ -6,17 +6,40 @@ import graft.functions.Dates
 import graft.stats.Outliers
 
 /** The validate-landings entry point (SURVEY §3.1,
-  * `/root/reference/R/validate-landings.R:21-338`): a set of
-  * per-dimension validators, each producing (submission_id, alert_k),
-  * folded back onto the landings by submission_id, with the non-null
-  * alert codes united into one '-'-separated string.
+  * `/root/reference/R/validate-landings.R:21-338`): 15 per-dimension
+  * validators, each a small dataflow producing
+  * `(submission_id, cleanedValue…, alert_k)`, folded back onto the
+  * landings by submission_id (J10), with the non-null alert codes
+  * united into one '-'-separated string (empty → "0").
   *
-  * Input contract (FIXTURES.md F2, flattened trip grain):
-  * submission_id, landing_date (date), submission_time (timestamp),
-  * imei (string partial), gear_code, duration_hrs, total_catch_value,
-  * weight_kg. Each validator is one small dataflow; the whole function
-  * is a single lazy plan — validators share the scan and fold with
-  * co-partitioned left joins on submission_id.
+  * Input contract (flat trip grain — SURVEY §4 keeps data exploded
+  * through validation and nests once at the end):
+  *   trips: submission_id, landing_date (date), submission_date (date),
+  *     imei (string partial), duration_hrs, total_catch_value,
+  *     boat_code, has_boat, gear_code, station_code, fisher_child,
+  *     fisher_man, fisher_woman, habitat_code, mesh_size (string,
+  *     inches), mesh_other (string), n_gleaners, fuel,
+  *     conservation_code, happiness
+  *   catchRows (exploded species×length grain): submission_id, line_no,
+  *     species, n_individuals, weight_g
+  *
+  * Faithfulness notes (all verified against the reference source):
+  *  - `validate_vessel_type` / `validate_gear_type`
+  *    (`R/validation-functions.R:509-554`) guard their alerts with
+  *    `isTRUE(vector)`, which is FALSE for any vector of length > 1 —
+  *    so alerts 12/13/14/15 never fire on real data. We replicate that
+  *    behavior (alert columns are literal nulls) and carry the joined
+  *    vessel_type / gear_type columns, which is the part with effect.
+  *  - `validate_fuel` (`:679-702`) third arm (`fuel > 0 & isFALSE(has_boat)`)
+  *    is dead for the same reason; the negative-fuel and MAD-outlier
+  *    arms are live. The MAD is computed over fuel ≥ 0 (the reference
+  *    feeds negatives into log1p producing NaNs that R's quantiles
+  *    ignore; engines disagree on ln(0), so we exclude them — the
+  *    flagged set is identical because negative rows already carry 23).
+  *  - The flags-sheet `unite` (`R/validate-landings.R:211-229`) covers
+  *    imei, dates, duration, price-weight, vessel, gear, sites,
+  *    n_fishers, habitat, mesh, gleaners — NOT fuel/conservation/
+  *    happiness (fuel is cleaned but unflagged in the sheet).
   */
 object ValidateLandings {
 
@@ -25,7 +48,20 @@ object ValidateLandings {
       maxDelayDays: Int = 28,
       priceKgMin: Double = 0.25,
       priceKgMax: Double = 30.0,
-      madK: Double = 2.5)
+      madK: Double = 2.5,
+      priceCap: Double = 1500.0,
+      meshLimitMm: Double = 500.0,
+      kInd: Double = 2.5,
+      kFishers: Double = 2.5,
+      kGleaners: Double = 2.5,
+      kFuel: Double = 2.5,
+      /** Registry must be broadcast-sized; the suffix match is a
+        * theta-join that degrades to a nested loop if it is not. */
+      maxRegistryRows: Long = 100000L)
+
+  // ------------------------------------------------------------------
+  // Compact 5-validator demo fold (round-2 surface, kept for specs)
+  // ------------------------------------------------------------------
 
   /** Alert 4/2: non-positive or over-cap duration; late submission. */
   def validateTemporal(df: DataFrame, cfg: Config): DataFrame =
@@ -74,9 +110,7 @@ object ValidateLandings {
       .select(col("submission_id"),
         when(col("__known").isNull, lit(9)).as("alert_gear"))
 
-  /** The J10 fold: left-join every validator output on submission_id,
-    * unite alert codes, null out values carrying alerts (the
-    * reference's cleaned columns + `alert_number` sheet column). */
+  /** The compact J10 fold over the 5 demo validators. */
   def apply(landings: DataFrame, deviceRegistry: DataFrame, gearDim: DataFrame,
             cfg: Config = Config()): DataFrame = {
     val validators = Seq(
@@ -98,5 +132,340 @@ object ValidateLandings {
       .withColumn("total_catch_value",
         when(col("alert_price").isNotNull, lit(null)).otherwise(col("total_catch_value")))
       .drop(alertCols: _*)
+  }
+
+  // ------------------------------------------------------------------
+  // Full 15-validator suite (reference parity)
+  // ------------------------------------------------------------------
+
+  /** One-row global LocScaleB bounds of `x`, flagged back onto rows.
+    * `flagLower=false` replicates `alert_if_larger`-only calls. */
+  private def withGlobalFlag(df: DataFrame, x: String, k: Double,
+                             flagCol: String, flagLower: Boolean): DataFrame = {
+    val keyed = df.withColumn("__g", lit(1))
+    val b = Outliers.madBoundsLog1p(keyed, Seq("__g"), x, k)
+      .select(col("__g"), col("lower").as("__lo"), col("upper").as("__hi"))
+    keyed.join(broadcast(b), Seq("__g"))
+      .withColumn(flagCol,
+        col("__hi").isNotNull &&
+          (col(x) > col("__hi") ||
+            (lit(flagLower) && col(x) < col("__lo"))))
+      .drop("__g", "__lo", "__hi")
+  }
+
+  /** Alert 1/2/3 IMEI ladder (`validate_this_imei`,
+    * `R/validation-functions.R:12-48`): null/"0" → nothing to validate;
+    * negative → abs (typo); < 9999 → too short (1); suffix-match count
+    * against the registry: 1 → resolved, >1 → ambiguous (2), 0 → no
+    * match (3). Output: (submission_id, imei_resolved, alert_imei). */
+  def imeiLadder(trips: DataFrame, registry: DataFrame,
+                 cfg: Config = Config()): DataFrame = {
+    val nReg = registry.limit((cfg.maxRegistryRows + 1).toInt).count()
+    require(nReg <= cfg.maxRegistryRows,
+      s"device registry has > ${cfg.maxRegistryRows} rows; the suffix " +
+        "theta-join is broadcast-only — shard or pre-resolve it first")
+    val base = trips.select(col("submission_id"),
+      when(col("imei").isNull || col("imei") === "0", lit(null).cast("long"))
+        .otherwise(abs(col("imei").cast("long"))).as("imei_num"))
+    val matched = base
+      .filter(col("imei_num").isNotNull && col("imei_num") >= 9999)
+      .join(broadcast(registry),
+        col("device_imei").endsWith(col("imei_num").cast("string")), "left")
+      .groupBy(col("submission_id"))
+      .agg(count(col("device_imei")).as("__n"), min(col("device_imei")).as("__res"))
+    base.join(matched, Seq("submission_id"), "left")
+      .select(col("submission_id"),
+        when(col("__n") === 1, col("__res")).as("imei_resolved"),
+        when(col("imei_num").isNull, lit(null).cast("int"))
+          .when(col("imei_num") < 9999, lit(1))
+          .when(col("__n") === 1, lit(null).cast("int"))
+          .when(col("__n") > 1, lit(2))
+          .otherwise(lit(3)).as("alert_imei"))
+  }
+
+  /** Alert 4/10 (`validate_surveys_time` dates,
+    * `R/validation-functions.R:74-94`): landing date after submission →
+    * 4; more than `maxDelayDays` before submission → 10. */
+  def dateAlerts(trips: DataFrame, cfg: Config): DataFrame =
+    trips.select(col("submission_id"), col("landing_date"),
+      when(col("landing_date") > col("submission_date"), lit(4))
+        .when(col("landing_date") <
+          date_sub(col("submission_date"), cfg.maxDelayDays), lit(10))
+        .as("alert_date"))
+
+  /** Alert 5 (`validate_surveys_time` duration, `:95-111`): |duration|
+    * over the cap or under 1 h → 5, trip_length nulled. */
+  def durationAlerts(trips: DataFrame, cfg: Config): DataFrame = {
+    val dur = abs(col("duration_hrs"))
+    trips.select(col("submission_id"),
+      when(dur > cfg.maxTripHours || dur < 1.0, lit(null).cast("double"))
+        .otherwise(dur).as("trip_length"),
+      when(dur > cfg.maxTripHours || dur < 1.0, lit(5)).as("alert_duration"))
+  }
+
+  /** Alert 22 (`validate_landing_regularity`, `:115-184`): per
+    * submission, first species (catch order), |total value|, summed
+    * |n_individuals|; flags the six inconsistency clauses verbatim. */
+  def regularityAlerts(catchRows: DataFrame, trips: DataFrame): DataFrame = {
+    val per = catchRows.groupBy(col("submission_id"))
+      .agg(
+        min_by(col("species"), col("line_no")).as("__sp"),
+        sum(abs(col("n_individuals"))).as("__n"))
+    per.join(
+      trips.select(col("submission_id"),
+        abs(col("total_catch_value")).as("__v")),
+      Seq("submission_id"))
+      .select(col("submission_id"),
+        when(
+          (col("__sp") === "0" && col("__n") > 0) ||
+            (col("__sp") === "0" && col("__v") > 0) ||
+            (col("__sp") =!= "0" && col("__n") <= 0) ||
+            (col("__sp") =!= "0" && col("__v") <= 0) ||
+            (col("__v") <= 0 && col("__n") > 0) ||
+            (col("__v") > 0 && col("__n") <= 0), lit(22))
+          .as("alert_regularity"))
+  }
+
+  /** Alert 6 (`validate_catch_price`, `:207-231`): on regular
+    * submissions only, total value above the cap. */
+  def priceCapAlerts(trips: DataFrame, regularity: DataFrame, cfg: Config): DataFrame =
+    trips.join(regularity, Seq("submission_id"), "left")
+      .filter(col("alert_regularity").isNull)
+      .select(col("submission_id"),
+        when(col("total_catch_value") > cfg.priceCap, lit(6)).as("alert_price6"))
+
+  /** Alert 11 row flags (`validate_catch_params`, `:303-382`): per
+    * (gear, species) LocScaleB on n_individuals (larger-only), over
+    * regular submissions. Null gear keys are coalesced to a sentinel so
+    * the bounds join back (R keeps the NA group; SQL joins drop null
+    * keys). Returns catch rows + `row_alert11`. */
+  def catchParamRowFlags(catchRows: DataFrame, trips: DataFrame,
+                         regularity: DataFrame, cfg: Config): DataFrame = {
+    val regular = regularity.filter(col("alert_regularity").isNull)
+      .select("submission_id")
+    val rows = catchRows
+      .join(regular, Seq("submission_id"), "left_semi")
+      .join(trips.select(col("submission_id"),
+        coalesce(col("gear_code"), lit(-1L)).as("__gear")),
+        Seq("submission_id"))
+    val bounds = Outliers.madBoundsLog1p(
+      rows, Seq("__gear", "species"), "n_individuals", cfg.kInd)
+      .select(col("__gear"), col("species"), col("upper").as("__hi11"))
+    rows.join(broadcast(bounds), Seq("__gear", "species"), "left")
+      .withColumn("row_alert11",
+        col("__hi11").isNotNull && col("n_individuals") > col("__hi11"))
+      .drop("__gear", "__hi11")
+  }
+
+  /** Alert 17 + the price-weight precedence ladder
+    * (`validate_price_weight`, `:405-506`): per regular, un-capped
+    * submission, total weight over rows that survived row-level
+    * validation (not 11-flagged, n≠0, weight≠0); pk = value / kg out of
+    * band → 17. Final per-submission alert = 17 → 22 → 6 → 11 (the
+    * full-join + coalesce of the reference collapses to this ladder). */
+  def priceWeightLadder(trips: DataFrame, regularity: DataFrame,
+                        price6: DataFrame, catchFlagged: DataFrame,
+                        cfg: Config): DataFrame = {
+    val c11 = catchFlagged.groupBy(col("submission_id"))
+      .agg(max(when(col("row_alert11"), lit(11))).as("alert_c11"))
+    val eligible = catchFlagged
+      .filter(!col("row_alert11") && col("n_individuals") =!= 0 && col("weight_g") =!= 0)
+      .groupBy(col("submission_id"))
+      // weight_g is 2-decimal; decimal-route the sum for bit parity
+      .agg(graft.core.Exact.dsum(col("weight_g")).as("__w_g"))
+    val pk = trips.select(col("submission_id"), col("total_catch_value"))
+      .join(price6.filter(col("alert_price6").isNull).select("submission_id"),
+        Seq("submission_id"), "left_semi")
+      .join(eligible, Seq("submission_id"))
+      .select(col("submission_id"),
+        when(col("total_catch_value") / (col("__w_g") / 1000.0) < cfg.priceKgMin ||
+          col("total_catch_value") / (col("__w_g") / 1000.0) > cfg.priceKgMax, lit(17))
+          .as("alert_pw17"))
+    trips.select(col("submission_id"), col("total_catch_value"))
+      .join(pk, Seq("submission_id"), "left")
+      .join(regularity, Seq("submission_id"), "left")
+      .join(price6, Seq("submission_id"), "left")
+      .join(c11, Seq("submission_id"), "left")
+      .select(col("submission_id"),
+        coalesce(col("alert_pw17"), col("alert_regularity"),
+          col("alert_price6"), col("alert_c11")).as("alert_pw"),
+        when(coalesce(col("alert_pw17"), col("alert_regularity"),
+          col("alert_price6"), col("alert_c11")).isNull,
+          col("total_catch_value")).as("catch_price"))
+  }
+
+  /** Vessel / gear joins (`:509-554`). The reference's alerts 12/13/14/15
+    * are dead code (`isTRUE` on a vector — see object doc); replicated
+    * as literal nulls. Carries vessel_type / gear_type. */
+  def vesselTypes(trips: DataFrame, vesselDim: DataFrame): DataFrame =
+    trips.select(col("submission_id"), col("boat_code"))
+      .join(broadcast(vesselDim), Seq("boat_code"), "left")
+      .select(col("submission_id"), col("boat_type").as("vessel_type"),
+        lit(null).cast("int").as("alert_vessel"))
+
+  def gearTypes(trips: DataFrame, gearDim: DataFrame): DataFrame =
+    trips.select(col("submission_id"), col("gear_code"))
+      .join(broadcast(gearDim), Seq("gear_code"), "left")
+      .select(col("submission_id"), col("gear_id").as("gear_type"),
+        lit(null).cast("int").as("alert_gear"))
+
+  /** Alert 16 (`validate_sites`, `:556-576`): stations × reporting
+    * units (inner), trimmed names; unknown station or missing region →
+    * 16. */
+  def siteAlerts(trips: DataFrame, stations: DataFrame,
+                 reportingUnits: DataFrame): DataFrame = {
+    val sites = stations
+      .filter(col("station_code").isNotNull)
+      .join(broadcast(reportingUnits), Seq("reporting_unit"))
+      .select(col("station_code").cast("string").as("station_code"),
+        trim(col("station_name")).as("station_name"),
+        col("reporting_unit").as("reporting_region"))
+      .distinct()
+    trips.select(col("submission_id"),
+      col("station_code").cast("string").as("station_code"))
+      .join(broadcast(sites), Seq("station_code"), "left")
+      .select(col("submission_id"), col("station_name"), col("reporting_region"),
+        when(col("station_name").isNull || col("reporting_region").isNull, lit(16))
+          .as("alert_site"))
+  }
+
+  /** Alert 18 (`validate_n_fishers`, `:579-594`): three global
+    * LocScaleB columns (child/man/woman), both sides → 18, coalesced;
+    * all three counts nulled when any fires. */
+  def fisherAlerts(trips: DataFrame, cfg: Config): DataFrame = {
+    val base = trips.select(col("submission_id"),
+      col("fisher_child").cast("double").as("fisher_child"),
+      col("fisher_man").cast("double").as("fisher_man"),
+      col("fisher_woman").cast("double").as("fisher_woman"))
+    val flagged = Seq("fisher_child", "fisher_man", "fisher_woman")
+      .foldLeft(base) { (acc, c) =>
+        withGlobalFlag(acc, c, cfg.kFishers, s"__f_$c", flagLower = true)
+      }
+    val alert = when(col("__f_fisher_child") || col("__f_fisher_man") ||
+      col("__f_fisher_woman"), lit(18))
+    flagged.select(col("submission_id"),
+      when(alert.isNull, col("fisher_child")).as("fisher_child"),
+      when(alert.isNull, col("fisher_man")).as("fisher_man"),
+      when(alert.isNull, col("fisher_woman")).as("fisher_woman"),
+      alert.as("alert_fishers"))
+  }
+
+  /** Alert 19 (`validate_habitat`, `:597-628`): non-null habitat code
+    * outside the dimension → 19; decoded habitat_type nulled on alert. */
+  def habitatAlerts(trips: DataFrame, habitatDim: DataFrame): DataFrame = {
+    val decoded = trips.select(col("submission_id"), col("habitat_code"))
+      .withColumn("__ht",
+        when(col("habitat_code") === 1, "Reef")
+          .when(col("habitat_code") === 2, "FAD")
+          .when(col("habitat_code") === 3, "Deep")
+          .when(col("habitat_code") === 4, "Beach")
+          .when(col("habitat_code") === 5, "Traditional FAD")
+          .when(col("habitat_code") === 6, "Mangrove")
+          .when(col("habitat_code") === 7, "Seagrass"))
+    decoded
+      .join(broadcast(habitatDim.withColumn("__known", lit(1))),
+        Seq("habitat_code"), "left")
+      .select(col("submission_id"),
+        when(col("habitat_code").isNotNull && col("__known").isNull, lit(19))
+          .as("alert_habitat"),
+        when(col("habitat_code").isNull || col("__known").isNotNull, col("__ht"))
+          .as("habitat_type"))
+  }
+
+  /** Alert 20 (`validate_mesh`, `:630-655`): "seluk" → null, coalesce
+    * with the free-text column, ×25.4 to mm; out of [0, limit] → 20. */
+  def meshAlerts(trips: DataFrame, cfg: Config): DataFrame = {
+    val mm = coalesce(
+      when(col("mesh_size") === "seluk", lit(null)).otherwise(col("mesh_size")),
+      col("mesh_other")).cast("double") * lit(25.4)
+    trips.select(col("submission_id"), mm.as("__mm"))
+      .select(col("submission_id"),
+        when(col("__mm") < 0 || col("__mm") > cfg.meshLimitMm, lit(20))
+          .as("alert_mesh"),
+        when(col("__mm") >= 0 && col("__mm") <= cfg.meshLimitMm, col("__mm"))
+          .as("mesh_size_mm"))
+  }
+
+  /** Alert 21 (`validate_gleaners`, `:658-677`): |n| global LocScaleB,
+    * larger-only → 21. */
+  def gleanerAlerts(trips: DataFrame, cfg: Config): DataFrame =
+    withGlobalFlag(
+      trips.select(col("submission_id"),
+        abs(col("n_gleaners").cast("double")).as("n_gleaners")),
+      "n_gleaners", cfg.kGleaners, "__fg", flagLower = false)
+      .select(col("submission_id"),
+        when(!col("__fg"), col("n_gleaners")).as("n_gleaners"),
+        when(col("__fg"), lit(21)).as("alert_gleaners"))
+
+  /** Alert 23 (`validate_fuel`, `:679-702`): negative → 23; global
+    * LocScaleB (larger-only, over fuel ≥ 0 — see object doc) → 23; the
+    * has_boat arm is dead code in the reference. */
+  def fuelAlerts(trips: DataFrame, cfg: Config): DataFrame = {
+    val base = trips.select(col("submission_id"),
+      col("fuel").cast("double").as("fuel"))
+    val bounds = withGlobalFlag(
+      base.filter(col("fuel") >= 0), "fuel", cfg.kFuel, "__fo", flagLower = false)
+      .select(col("submission_id"), col("__fo"))
+    base.join(bounds, Seq("submission_id"), "left")
+      .select(col("submission_id"),
+        when(col("fuel") < 0, lit(23))
+          .when(col("__fo"), lit(23)).as("alert_fuel"),
+        when(col("fuel") >= 0 && !col("__fo"), col("fuel")).as("fuel"))
+  }
+
+  /** `validate_conservation` / `validate_happiness` (`:704-729`): pure
+    * carries, alert always null. */
+  def conservationJoin(trips: DataFrame, conservationDim: DataFrame): DataFrame =
+    trips.select(col("submission_id"), col("conservation_code"))
+      .join(broadcast(conservationDim), Seq("conservation_code"), "left")
+      .select(col("submission_id"), col("conservation_place"))
+
+  def happinessCarry(trips: DataFrame): DataFrame =
+    trips.select(col("submission_id"), col("happiness").cast("int").as("happiness"))
+
+  /** Columns united into the flags-sheet alert string, in the
+    * reference's frame order (`R/validate-landings.R:211-229`). */
+  val uniteOrder: Seq[String] = Seq(
+    "alert_imei", "alert_date", "alert_duration", "alert_pw",
+    "alert_vessel", "alert_gear", "alert_site", "alert_fishers",
+    "alert_habitat", "alert_mesh", "alert_gleaners")
+
+  /** The full 15-validator fold: every validator left-joined on
+    * submission_id, alert codes united ('' → "0"), cleaned columns
+    * carried. One lazy Catalyst plan; every join is keyed on
+    * submission_id (co-partitioned at scale) or a broadcast dim. */
+  def full(trips: DataFrame, catchRows: DataFrame,
+           deviceRegistry: DataFrame, vesselDim: DataFrame,
+           gearDim: DataFrame, stations: DataFrame,
+           reportingUnits: DataFrame, habitatDim: DataFrame,
+           conservationDim: DataFrame,
+           cfg: Config = Config()): DataFrame = {
+    val regularity = regularityAlerts(catchRows, trips)
+    val price6 = priceCapAlerts(trips, regularity, cfg)
+    val catchFlagged = catchParamRowFlags(catchRows, trips, regularity, cfg)
+    val validators = Seq(
+      imeiLadder(trips, deviceRegistry, cfg),
+      dateAlerts(trips, cfg),
+      durationAlerts(trips, cfg),
+      priceWeightLadder(trips, regularity, price6, catchFlagged, cfg),
+      vesselTypes(trips, vesselDim),
+      gearTypes(trips, gearDim),
+      siteAlerts(trips, stations, reportingUnits),
+      fisherAlerts(trips, cfg),
+      habitatAlerts(trips, habitatDim),
+      meshAlerts(trips, cfg),
+      gleanerAlerts(trips, cfg),
+      fuelAlerts(trips, cfg),
+      conservationJoin(trips, conservationDim),
+      happinessCarry(trips))
+    val folded = validators.foldLeft(trips.select(col("submission_id"))) {
+      (acc, v) => acc.join(v, Seq("submission_id"), "left")
+    }
+    folded
+      .withColumn("alert", {
+        val united = Dates.uniteCodes(uniteOrder.map(col))
+        when(united === "", lit("0")).otherwise(united)
+      })
+      .drop(uniteOrder: _*)
   }
 }

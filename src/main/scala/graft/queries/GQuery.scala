@@ -25,7 +25,8 @@ object Registry {
       DedupQueries.queries ++
       SimilarityQueries.queries ++
       TemporalQueries.queries ++
-      MiscQueries.queries
+      MiscQueries.queries ++
+      ValidateQueries.queries
 
   def byName: Map[String, GQuery] = all.map(q => q.name -> q).toMap
 }
