@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.Dates
 import graft.stats.Outliers
@@ -138,19 +138,69 @@ object ValidateLandings {
   // Full 15-validator suite (reference parity)
   // ------------------------------------------------------------------
 
-  /** One-row global LocScaleB bounds of `x`, flagged back onto rows.
-    * `flagLower=false` replicates `alert_if_larger`-only calls. */
-  private def withGlobalFlag(df: DataFrame, x: String, k: Double,
-                             flagCol: String, flagLower: Boolean): DataFrame = {
-    val keyed = df.withColumn("__g", lit(1))
-    val b = Outliers.madBoundsLog1p(keyed, Seq("__g"), x, k)
-      .select(col("__g"), col("lower").as("__lo"), col("upper").as("__hi"))
-    keyed.join(broadcast(b), Seq("__g"))
-      .withColumn(flagCol,
-        col("__hi").isNotNull &&
-          (col(x) > col("__hi") ||
-            (lit(flagLower) && col(x) < col("__lo"))))
-      .drop("__g", "__lo", "__hi")
+  /** The five global-LocScaleB columns (fishers ×3 → 18, gleaners →
+    * 21, fuel → 23) bounded in ONE stacked histogram pass: the columns
+    * (with their per-validator transforms) are exploded into
+    * `(__col, __x)` rows and one grouped-by-name MAD computed — five
+    * separate passes each pay a full scan plus ~10 small stages, and a
+    * nested per-column fold multiplies plan subtrees combinatorially
+    * (measured 40 s vs 2 s at sf0.1 for the fishers alone).
+    *
+    * `madBoundsLog1p` is called with k = 1 and each validator's k is
+    * applied afterwards on the log scale (bounds = exp(med ± k·mad) − 1);
+    * the MAD>0 / nonzero guard — encoded by `lower IS NOT NULL` — does
+    * not depend on k, so the bounds are exactly the per-column calls'. */
+  private def stackedGlobalBounds(trips: DataFrame,
+                                  xs: Seq[(String, Column)]): DataFrame = {
+    val stacked = trips.select(
+      explode(map(xs.flatMap { case (n, c) =>
+        Seq(lit(n), c.cast("double"))
+      }: _*)).as(Seq("__col", "__x")))
+    val bounds = Outliers.madBoundsLog1p(stacked, Seq("__col"), "__x", 1.0)
+    val aggs = xs.flatMap { case (n, _) => Seq(
+      max(when(col("__col") === n, col("median_log"))).as(s"__med_$n"),
+      max(when(col("__col") === n, col("mad_log"))).as(s"__mad_$n"),
+      max(when(col("__col") === n && col("lower").isNotNull, lit(1))).as(s"__ok_$n"))
+    }
+    bounds.groupBy().agg(aggs.head, aggs.tail: _*)
+  }
+
+  private def loOf(n: String, k: Double): Column =
+    when(col(s"__ok_$n") === 1, exp(col(s"__med_$n") - lit(k) * col(s"__mad_$n")) - lit(1.0))
+  private def hiOf(n: String, k: Double): Column =
+    when(col(s"__ok_$n") === 1, exp(col(s"__med_$n") + lit(k) * col(s"__mad_$n")) - lit(1.0))
+
+  /** Alerts 18/21/23 from the one stacked bounds pass. Output:
+    * (submission_id, fisher_child, fisher_man, fisher_woman,
+    * alert_fishers, n_gleaners, alert_gleaners, alert_fuel, fuel) with
+    * each validator's nulling semantics applied. */
+  def globalOutlierAlerts(trips: DataFrame, cfg: Config): DataFrame = {
+    val fisherCols = Seq("fisher_child", "fisher_man", "fisher_woman")
+    val base = trips.select(col("submission_id") +:
+      (fisherCols.map(c => col(c).cast("double").as(c)) ++ Seq(
+        abs(col("n_gleaners").cast("double")).as("n_gleaners"),
+        col("fuel").cast("double").as("fuel"))): _*)
+    val wide = stackedGlobalBounds(base,
+      fisherCols.map(c => c -> col(c)) ++ Seq(
+        "n_gleaners" -> col("n_gleaners"),
+        // the fuel MAD is computed over fuel >= 0 (see object doc)
+        "fuel" -> when(col("fuel") >= 0, col("fuel"))))
+    def outsideBoth(c: String) = hiOf(c, cfg.kFishers).isNotNull &&
+      (col(c) < loOf(c, cfg.kFishers) || col(c) > hiOf(c, cfg.kFishers))
+    val fisherAlert = when(fisherCols.map(outsideBoth).reduce(_ || _), lit(18))
+    val gleanerFlag = hiOf("n_gleaners", cfg.kGleaners).isNotNull &&
+      col("n_gleaners") > hiOf("n_gleaners", cfg.kGleaners)
+    val fuelFlag = hiOf("fuel", cfg.kFuel).isNotNull &&
+      col("fuel") > hiOf("fuel", cfg.kFuel)
+    base.crossJoin(broadcast(wide))
+      .select(col("submission_id") +:
+        (fisherCols.map(c => when(fisherAlert.isNull, col(c)).as(c)) ++ Seq(
+          fisherAlert.as("alert_fishers"),
+          when(!gleanerFlag, col("n_gleaners")).as("n_gleaners"),
+          when(gleanerFlag, lit(21)).as("alert_gleaners"),
+          when(col("fuel") < 0, lit(23))
+            .when(fuelFlag, lit(23)).as("alert_fuel"),
+          when(col("fuel") >= 0 && !fuelFlag, col("fuel")).as("fuel"))): _*)
   }
 
   /** Alert 1/2/3 IMEI ladder (`validate_this_imei`,
@@ -158,30 +208,53 @@ object ValidateLandings {
     * negative → abs (typo); < 9999 → too short (1); suffix-match count
     * against the registry: 1 → resolved, >1 → ambiguous (2), 0 → no
     * match (3). Output: (submission_id, imei_resolved, alert_imei). */
-  def imeiLadder(trips: DataFrame, registry: DataFrame,
-                 cfg: Config = Config()): DataFrame = {
+  /** The device registry exploded into its ≥ 4-char suffixes and
+    * pre-aggregated per suffix: `device ends with s` ⟺ `one of device's
+    * suffixes equals s`, and aggregating match count + unique device on
+    * the REGISTRY side makes the whole suffix match a broadcast hash
+    * join with no shuffle of the trip table at all — the theta
+    * `endsWith` form is a nested-loop |trips| × |registry| scan, and a
+    * trip-side groupBy would shuffle the big table. */
+  private def suffixCounts(registry: DataFrame, cfg: Config): DataFrame = {
     val nReg = registry.limit((cfg.maxRegistryRows + 1).toInt).count()
     require(nReg <= cfg.maxRegistryRows,
       s"device registry has > ${cfg.maxRegistryRows} rows; the suffix " +
-        "theta-join is broadcast-only — shard or pre-resolve it first")
-    val base = trips.select(col("submission_id"),
-      when(col("imei").isNull || col("imei") === "0", lit(null).cast("long"))
-        .otherwise(abs(col("imei").cast("long"))).as("imei_num"))
-    val matched = base
-      .filter(col("imei_num").isNotNull && col("imei_num") >= 9999)
-      .join(broadcast(registry),
-        col("device_imei").endsWith(col("imei_num").cast("string")), "left")
-      .groupBy(col("submission_id"))
+        "registry is broadcast-only — shard or pre-resolve it first")
+    registry
+      .select(col("device_imei"),
+        explode(sequence(lit(4), length(col("device_imei")))).as("__len"))
+      .select(col("device_imei"),
+        col("device_imei")
+          .substr(length(col("device_imei")) - col("__len") + 1, col("__len"))
+          .as("__suffix"))
+      .groupBy(col("__suffix"))
       .agg(count(col("device_imei")).as("__n"), min(col("device_imei")).as("__res"))
-    base.join(matched, Seq("submission_id"), "left")
+  }
+
+  private def imeiNumExpr: Column =
+    when(col("imei").isNull || col("imei") === "0", lit(null).cast("long"))
+      .otherwise(abs(col("imei").cast("long")))
+
+  /** Ladder over the joined suffix counts: too short → 1, ambiguous →
+    * 2, no match (null `__n` from the left-join miss) → 3. */
+  private def imeiAlertExpr: Column =
+    when(col("__imei_num").isNull, lit(null).cast("int"))
+      .when(col("__imei_num") < 9999, lit(1))
+      .when(col("__n") === 1, lit(null).cast("int"))
+      .when(col("__n") > 1, lit(2))
+      .otherwise(lit(3))
+
+  def imeiLadder(trips: DataFrame, registry: DataFrame,
+                 cfg: Config = Config()): DataFrame =
+    trips.select(col("submission_id"), imeiNumExpr.as("__imei_num"))
+      // ineligible rows (null/"0"/too-short) get a null join key — null
+      // keys never match, so no pre-filter + join-back is needed
+      .withColumn("__suffix",
+        when(col("__imei_num") >= 9999, col("__imei_num").cast("string")))
+      .join(broadcast(suffixCounts(registry, cfg)), Seq("__suffix"), "left")
       .select(col("submission_id"),
         when(col("__n") === 1, col("__res")).as("imei_resolved"),
-        when(col("imei_num").isNull, lit(null).cast("int"))
-          .when(col("imei_num") < 9999, lit(1))
-          .when(col("__n") === 1, lit(null).cast("int"))
-          .when(col("__n") > 1, lit(2))
-          .otherwise(lit(3)).as("alert_imei"))
-  }
+        imeiAlertExpr.as("alert_imei"))
 
   /** Alert 4/10 (`validate_surveys_time` dates,
     * `R/validation-functions.R:74-94`): landing date after submission →
@@ -243,11 +316,17 @@ object ValidateLandings {
                          regularity: DataFrame, cfg: Config): DataFrame = {
     val regular = regularity.filter(col("alert_regularity").isNull)
       .select("submission_id")
+    // The joined catch-row frame feeds four consumers (the histogram's
+    // median / nonzero / MAD reads plus the flagged output); persist +
+    // materialize it once — recomputing the two sid-joins per consumer
+    // dominates the whole validation fold otherwise.
     val rows = catchRows
       .join(regular, Seq("submission_id"), "left_semi")
       .join(trips.select(col("submission_id"),
         coalesce(col("gear_code"), lit(-1L)).as("__gear")),
         Seq("submission_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    rows.count()
     val bounds = Outliers.madBoundsLog1p(
       rows, Seq("__gear", "species"), "n_individuals", cfg.kInd)
       .select(col("__gear"), col("species"), col("upper").as("__hi11"))
@@ -266,17 +345,23 @@ object ValidateLandings {
   def priceWeightLadder(trips: DataFrame, regularity: DataFrame,
                         price6: DataFrame, catchFlagged: DataFrame,
                         cfg: Config): DataFrame = {
-    val c11 = catchFlagged.groupBy(col("submission_id"))
-      .agg(max(when(col("row_alert11"), lit(11))).as("alert_c11"))
-    val eligible = catchFlagged
-      .filter(!col("row_alert11") && col("n_individuals") =!= 0 && col("weight_g") =!= 0)
-      .groupBy(col("submission_id"))
-      // weight_g is 2-decimal; decimal-route the sum for bit parity
-      .agg(graft.core.Exact.dsum(col("weight_g")).as("__w_g"))
+    // ONE aggregation over catchFlagged for both the 11-census and the
+    // eligible-weight sum: two separate groupBys would evaluate the
+    // (bounds-joined) catchFlagged subtree twice — identical subtrees
+    // also let ReuseExchange collapse the two downstream uses.
+    val per = catchFlagged.groupBy(col("submission_id"))
+      .agg(
+        max(when(col("row_alert11"), lit(11))).as("alert_c11"),
+        // weight_g is 2-decimal; decimal-route the sum for bit parity
+        // (a null-when filter inside the sum ≡ the reference's row filter)
+        graft.core.Exact.dsum(when(!col("row_alert11") &&
+          col("n_individuals") =!= 0 && col("weight_g") =!= 0,
+          col("weight_g"))).as("__w_g"))
+    val c11 = per.select(col("submission_id"), col("alert_c11"))
     val pk = trips.select(col("submission_id"), col("total_catch_value"))
       .join(price6.filter(col("alert_price6").isNull).select("submission_id"),
         Seq("submission_id"), "left_semi")
-      .join(eligible, Seq("submission_id"))
+      .join(per.filter(col("__w_g").isNotNull), Seq("submission_id"))
       .select(col("submission_id"),
         when(col("total_catch_value") / (col("__w_g") / 1000.0) < cfg.priceKgMin ||
           col("total_catch_value") / (col("__w_g") / 1000.0) > cfg.priceKgMax, lit(17))
@@ -331,24 +416,12 @@ object ValidateLandings {
 
   /** Alert 18 (`validate_n_fishers`, `:579-594`): three global
     * LocScaleB columns (child/man/woman), both sides → 18, coalesced;
-    * all three counts nulled when any fires. */
-  def fisherAlerts(trips: DataFrame, cfg: Config): DataFrame = {
-    val base = trips.select(col("submission_id"),
-      col("fisher_child").cast("double").as("fisher_child"),
-      col("fisher_man").cast("double").as("fisher_man"),
-      col("fisher_woman").cast("double").as("fisher_woman"))
-    val flagged = Seq("fisher_child", "fisher_man", "fisher_woman")
-      .foldLeft(base) { (acc, c) =>
-        withGlobalFlag(acc, c, cfg.kFishers, s"__f_$c", flagLower = true)
-      }
-    val alert = when(col("__f_fisher_child") || col("__f_fisher_man") ||
-      col("__f_fisher_woman"), lit(18))
-    flagged.select(col("submission_id"),
-      when(alert.isNull, col("fisher_child")).as("fisher_child"),
-      when(alert.isNull, col("fisher_man")).as("fisher_man"),
-      when(alert.isNull, col("fisher_woman")).as("fisher_woman"),
-      alert.as("alert_fishers"))
-  }
+    * all three counts nulled when any fires. Thin view over
+    * [[globalOutlierAlerts]] (one stacked pass). */
+  def fisherAlerts(trips: DataFrame, cfg: Config): DataFrame =
+    globalOutlierAlerts(trips, cfg).select(col("submission_id"),
+      col("fisher_child"), col("fisher_man"), col("fisher_woman"),
+      col("alert_fishers"))
 
   /** Alert 19 (`validate_habitat`, `:597-628`): non-null habitat code
     * outside the dimension → 19; decoded habitat_type nulled on alert. */
@@ -387,31 +460,18 @@ object ValidateLandings {
   }
 
   /** Alert 21 (`validate_gleaners`, `:658-677`): |n| global LocScaleB,
-    * larger-only → 21. */
+    * larger-only → 21. Thin view over [[globalOutlierAlerts]]. */
   def gleanerAlerts(trips: DataFrame, cfg: Config): DataFrame =
-    withGlobalFlag(
-      trips.select(col("submission_id"),
-        abs(col("n_gleaners").cast("double")).as("n_gleaners")),
-      "n_gleaners", cfg.kGleaners, "__fg", flagLower = false)
-      .select(col("submission_id"),
-        when(!col("__fg"), col("n_gleaners")).as("n_gleaners"),
-        when(col("__fg"), lit(21)).as("alert_gleaners"))
+    globalOutlierAlerts(trips, cfg).select(col("submission_id"),
+      col("n_gleaners"), col("alert_gleaners"))
 
   /** Alert 23 (`validate_fuel`, `:679-702`): negative → 23; global
     * LocScaleB (larger-only, over fuel ≥ 0 — see object doc) → 23; the
-    * has_boat arm is dead code in the reference. */
-  def fuelAlerts(trips: DataFrame, cfg: Config): DataFrame = {
-    val base = trips.select(col("submission_id"),
-      col("fuel").cast("double").as("fuel"))
-    val bounds = withGlobalFlag(
-      base.filter(col("fuel") >= 0), "fuel", cfg.kFuel, "__fo", flagLower = false)
-      .select(col("submission_id"), col("__fo"))
-    base.join(bounds, Seq("submission_id"), "left")
-      .select(col("submission_id"),
-        when(col("fuel") < 0, lit(23))
-          .when(col("__fo"), lit(23)).as("alert_fuel"),
-        when(col("fuel") >= 0 && !col("__fo"), col("fuel")).as("fuel"))
-  }
+    * has_boat arm is dead code in the reference. Thin view over
+    * [[globalOutlierAlerts]]. */
+  def fuelAlerts(trips: DataFrame, cfg: Config): DataFrame =
+    globalOutlierAlerts(trips, cfg).select(col("submission_id"),
+      col("alert_fuel"), col("fuel"))
 
   /** `validate_conservation` / `validate_happiness` (`:704-729`): pure
     * carries, alert always null. */
@@ -430,42 +490,133 @@ object ValidateLandings {
     "alert_vessel", "alert_gear", "alert_site", "alert_fishers",
     "alert_habitat", "alert_mesh", "alert_gleaners")
 
-  /** The full 15-validator fold: every validator left-joined on
-    * submission_id, alert codes united ('' → "0"), cleaned columns
-    * carried. One lazy Catalyst plan; every join is keyed on
-    * submission_id (co-partitioned at scale) or a broadcast dim. */
-  def full(trips: DataFrame, catchRows: DataFrame,
+  /** The full 15-validator fold, re-expressed for Spark's execution
+    * model: every trip-local validator (imei ladder, dates, duration,
+    * dims, sites, mesh, habitat, the three global-MAD outlier checks)
+    * is a COLUMN EXPRESSION after a broadcast join — not a
+    * sid-keyed join — so the trip table flows through ONE wide
+    * whole-stage-codegen projection and is shuffled exactly once, to
+    * meet the catch-side per-submission aggregates (the price-weight
+    * ladder, the only genuinely catch-grain computation). Alert codes
+    * are united in the reference's frame order ('' → "0"); cleaned
+    * columns carried with each validator's nulling semantics.
+    *
+    * The standalone per-validator methods above remain the documented /
+    * spec-tested unit surface; this composition inlines the same
+    * expressions (same reference lines) and is gated end-to-end by
+    * q72 + ValidateFullSpec. */
+  def full(trips0: DataFrame, catchRows0: DataFrame,
            deviceRegistry: DataFrame, vesselDim: DataFrame,
            gearDim: DataFrame, stations: DataFrame,
            reportingUnits: DataFrame, habitatDim: DataFrame,
            conservationDim: DataFrame,
            cfg: Config = Config()): DataFrame = {
+    // Entry-point contract: inputs are persisted and materialized
+    // EAGERLY — the catch-side aggregates and the stacked-bounds pass
+    // are independent stages the scheduler runs concurrently, and a
+    // lazy cache gets raced (each stage recomputes partitions before
+    // any are registered; measured 2x on the whole fold).
+    val trips = trips0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val catchRows = catchRows0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    trips.count(); catchRows.count()
+    // regularity feeds three consumers with different column pruning —
+    // the pruned exchanges are canonically distinct, so ReuseExchange
+    // can NOT collapse them; persist the shared submission-grain frame.
     val regularity = regularityAlerts(catchRows, trips)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val price6 = priceCapAlerts(trips, regularity, cfg)
     val catchFlagged = catchParamRowFlags(catchRows, trips, regularity, cfg)
-    val validators = Seq(
-      imeiLadder(trips, deviceRegistry, cfg),
-      dateAlerts(trips, cfg),
-      durationAlerts(trips, cfg),
-      priceWeightLadder(trips, regularity, price6, catchFlagged, cfg),
-      vesselTypes(trips, vesselDim),
-      gearTypes(trips, gearDim),
-      siteAlerts(trips, stations, reportingUnits),
-      fisherAlerts(trips, cfg),
-      habitatAlerts(trips, habitatDim),
-      meshAlerts(trips, cfg),
-      gleanerAlerts(trips, cfg),
-      fuelAlerts(trips, cfg),
-      conservationJoin(trips, conservationDim),
-      happinessCarry(trips))
-    val folded = validators.foldLeft(trips.select(col("submission_id"))) {
-      (acc, v) => acc.join(v, Seq("submission_id"), "left")
-    }
-    folded
-      .withColumn("alert", {
-        val united = Dates.uniteCodes(uniteOrder.map(col))
-        when(united === "", lit("0")).otherwise(united)
-      })
-      .drop(uniteOrder: _*)
+    // (sid, alert_pw, catch_price) — the one sid-keyed join below
+    val pw = priceWeightLadder(trips, regularity, price6, catchFlagged, cfg)
+
+    // broadcast sides
+    val suffixAgg = suffixCounts(deviceRegistry, cfg)
+    val sites = stations
+      .filter(col("station_code").isNotNull)
+      .join(broadcast(reportingUnits), Seq("reporting_unit"))
+      .select(col("station_code").cast("string").as("__scode"),
+        trim(col("station_name")).as("station_name"),
+        col("reporting_unit").as("reporting_region"))
+      .distinct()
+    val fisherCols = Seq("fisher_child", "fisher_man", "fisher_woman")
+    val wide = stackedGlobalBounds(trips,
+      fisherCols.map(c => c -> col(c).cast("double")) ++ Seq(
+        "n_gleaners" -> abs(col("n_gleaners").cast("double")),
+        // the fuel MAD is computed over fuel >= 0 (see object doc)
+        "fuel" -> when(col("fuel").cast("double") >= 0, col("fuel").cast("double"))))
+
+    // trip-local expressions (reference lines cited on the standalone methods)
+    val dur = abs(col("duration_hrs"))
+    val durBad = dur > cfg.maxTripHours || dur < 1.0
+    val aDate = when(col("landing_date") > col("submission_date"), lit(4))
+      .when(col("landing_date") < date_sub(col("submission_date"), cfg.maxDelayDays), lit(10))
+    val mm = coalesce(
+      when(col("mesh_size") === "seluk", lit(null)).otherwise(col("mesh_size")),
+      col("mesh_other")).cast("double") * lit(25.4)
+    val ht = when(col("habitat_code") === 1, "Reef")
+      .when(col("habitat_code") === 2, "FAD")
+      .when(col("habitat_code") === 3, "Deep")
+      .when(col("habitat_code") === 4, "Beach")
+      .when(col("habitat_code") === 5, "Traditional FAD")
+      .when(col("habitat_code") === 6, "Mangrove")
+      .when(col("habitat_code") === 7, "Seagrass")
+    def fisherC(c: String) = col(c).cast("double")
+    def outsideBoth(c: String) = hiOf(c, cfg.kFishers).isNotNull &&
+      (fisherC(c) < loOf(c, cfg.kFishers) || fisherC(c) > hiOf(c, cfg.kFishers))
+    val aFishers = when(fisherCols.map(outsideBoth).reduce(_ || _), lit(18))
+    val gle = abs(col("n_gleaners").cast("double"))
+    val gleanerFlag = hiOf("n_gleaners", cfg.kGleaners).isNotNull &&
+      gle > hiOf("n_gleaners", cfg.kGleaners)
+    val fuelD = col("fuel").cast("double")
+    val fuelFlag = hiOf("fuel", cfg.kFuel).isNotNull && fuelD > hiOf("fuel", cfg.kFuel)
+
+    val alerts = Map[String, Column](
+      "alert_imei" -> imeiAlertExpr,
+      "alert_date" -> aDate,
+      "alert_duration" -> when(durBad, lit(5)),
+      "alert_pw" -> col("alert_pw"),
+      "alert_vessel" -> lit(null).cast("int"), // dead code in the reference (isTRUE on a vector)
+      "alert_gear" -> lit(null).cast("int"),
+      "alert_site" -> when(col("station_name").isNull || col("reporting_region").isNull, lit(16)),
+      "alert_fishers" -> aFishers,
+      "alert_habitat" -> when(col("habitat_code").isNotNull && col("__known").isNull, lit(19)),
+      "alert_mesh" -> when(mm < 0 || mm > cfg.meshLimitMm, lit(20)),
+      "alert_gleaners" -> when(gleanerFlag, lit(21)))
+    val united = Dates.uniteCodes(uniteOrder.map(alerts))
+
+    trips
+      .withColumn("__imei_num", imeiNumExpr)
+      .withColumn("__suffix",
+        when(col("__imei_num") >= 9999, col("__imei_num").cast("string")))
+      .withColumn("__scode", col("station_code").cast("string"))
+      .join(broadcast(suffixAgg), Seq("__suffix"), "left")
+      .join(broadcast(vesselDim), Seq("boat_code"), "left")
+      .join(broadcast(gearDim), Seq("gear_code"), "left")
+      .join(broadcast(sites), Seq("__scode"), "left")
+      .join(broadcast(habitatDim.withColumn("__known", lit(1))),
+        Seq("habitat_code"), "left")
+      .join(broadcast(conservationDim), Seq("conservation_code"), "left")
+      .crossJoin(broadcast(wide))
+      .join(pw, Seq("submission_id"), "left")
+      .select(
+        col("submission_id"),
+        when(col("__n") === 1, col("__res")).as("imei_resolved"),
+        col("landing_date"),
+        when(durBad, lit(null).cast("double")).otherwise(dur).as("trip_length"),
+        col("catch_price"),
+        col("boat_type").as("vessel_type"),
+        col("gear_id").as("gear_type"),
+        col("station_name"), col("reporting_region"),
+        when(aFishers.isNull, fisherC("fisher_child")).as("fisher_child"),
+        when(aFishers.isNull, fisherC("fisher_man")).as("fisher_man"),
+        when(aFishers.isNull, fisherC("fisher_woman")).as("fisher_woman"),
+        when(alerts("alert_habitat").isNull, ht).as("habitat_type"),
+        when(mm >= 0 && mm <= cfg.meshLimitMm, mm).as("mesh_size_mm"),
+        when(!gleanerFlag, gle).as("n_gleaners"),
+        when(fuelD < 0, lit(23)).when(fuelFlag, lit(23)).as("alert_fuel"),
+        when(fuelD >= 0 && !fuelFlag, fuelD).as("fuel"),
+        col("conservation_place"),
+        col("happiness").cast("int").as("happiness"),
+        when(united === "", lit("0")).otherwise(united).as("alert"))
   }
 }
