@@ -27,6 +27,28 @@ object SimilarityQueries {
       |n2 AS (SELECT vec_id, CAST(SUM(e * e) AS DOUBLE) / 100000000000000.0 AS n2
       |       FROM el GROUP BY vec_id)""".stripMargin
 
+  /** SQL mirror of [[Knn.hyperplaneBuckets]] (4 tables × 6 planes):
+    * the md5-derived sign matrix and a left-to-right `list_reduce`
+    * fold — bit-identical to the engine's sequential double fold. */
+  private def bucketSql(where: String): String =
+    s"""planes AS (
+      |  SELECT t, p
+      |  FROM (SELECT unnest(generate_series(0, 3)) AS t),
+      |       (SELECT unnest(generate_series(0, 5)) AS p)),
+      |b AS (
+      |  SELECT v.vec_id, pl.t,
+      |    CAST(SUM(CASE WHEN
+      |      list_reduce(
+      |        list_transform(generate_series(1, len(v.embedding)),
+      |          i -> CAST(v.embedding[i] AS DOUBLE) *
+      |            (CASE WHEN (strpos('0123456789abcdef',
+      |                substr(md5(pl.t || ':' || pl.p || ':' || CAST(i - 1 AS VARCHAR)), 1, 1)) - 1) % 2 = 1
+      |              THEN 1.0 ELSE -1.0 END)),
+      |        (a, x) -> a + x) > 0
+      |      THEN CAST(1 AS BIGINT) << pl.p ELSE 0 END) AS BIGINT) AS bucket
+      |  FROM embeddings v, planes pl $where
+      |  GROUP BY v.vec_id, pl.t)""".stripMargin
+
   /** Brute-force cosine top-5 for the first 10 vectors as queries. */
   val q40 = GQuery(
     "q40_knn_bruteforce",
@@ -53,20 +75,29 @@ object SimilarityQueries {
       |FROM ranked WHERE rank <= 5""".stripMargin),
     headline = true)
 
-  /** Embedding near-dup pairs: cosine ≥ 0.25 within the first 100
-    * vectors (the data's cross-pair cosines top out ≈0.38, so the
-    * threshold exercises a non-empty but selective band). */
+  /** Embedding near-dup pairs: cosine ≥ 0.25 among LSH-bucket
+    * candidates within the first 100 vectors (the data's cross-pair
+    * cosines top out ≈0.38, so the threshold exercises a non-empty but
+    * selective band). The pair join is bucket-local (never n²); the
+    * oracle replays the identical buckets, candidates and scaled-long
+    * cosines — recall loss w.r.t. all-pairs is by construction and
+    * measured in KnnSpec against [[Knn.cosinePairsExact]]. */
   val q41 = GQuery(
     "q41_embedding_neardup",
     (s, d) =>
       Knn.cosinePairs(embeddings(s, d).filter(col("vec_id") < 100),
-          "vec_id", "embedding", threshold = 0.25)
+          "vec_id", "embedding", threshold = 0.25, numPlanes = 6, numTables = 4)
         .select(col("va"), col("vb"), round(col("cos"), 4).as("cos")),
     Some(s"""WITH $elSql,
+      |${bucketSql("WHERE v.vec_id < 100")},
+      |cand AS (
+      |  SELECT DISTINCT x.vec_id AS va, y.vec_id AS vb
+      |  FROM b x JOIN b y ON x.t = y.t AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
       |dot AS (
-      |  SELECT a.vec_id AS va, b.vec_id AS vb, CAST(SUM(a.e * b.e) AS DOUBLE) / 100000000000000.0 AS dot
-      |  FROM el a JOIN el b ON a.i = b.i AND a.vec_id < b.vec_id
-      |  WHERE a.vec_id < 100 AND b.vec_id < 100
+      |  SELECT ca.va, ca.vb, CAST(SUM(a.e * b2.e) AS DOUBLE) / 100000000000000.0 AS dot
+      |  FROM cand ca
+      |  JOIN el a ON a.vec_id = ca.va
+      |  JOIN el b2 ON b2.vec_id = ca.vb AND a.i = b2.i
       |  GROUP BY 1, 2),
       |scored AS (
       |  SELECT d.va, d.vb, d.dot / (sqrt(na.n2) * sqrt(nb.n2)) AS cos
@@ -92,23 +123,7 @@ object SimilarityQueries {
         .select(col("qid"), col("rank"), col("nid"), round(col("cos"), 4).as("cos"))
     },
     Some(s"""WITH $elSql,
-      |planes AS (
-      |  SELECT t, p
-      |  FROM (SELECT unnest(generate_series(0, 3)) AS t),
-      |       (SELECT unnest(generate_series(0, 5)) AS p)),
-      |b AS (
-      |  SELECT v.vec_id, pl.t,
-      |    CAST(SUM(CASE WHEN
-      |      list_reduce(
-      |        list_transform(generate_series(1, len(v.embedding)),
-      |          i -> CAST(v.embedding[i] AS DOUBLE) *
-      |            (CASE WHEN (strpos('0123456789abcdef',
-      |                substr(md5(pl.t || ':' || pl.p || ':' || CAST(i - 1 AS VARCHAR)), 1, 1)) - 1) % 2 = 1
-      |              THEN 1.0 ELSE -1.0 END)),
-      |        (a, x) -> a + x) > 0
-      |      THEN CAST(1 AS BIGINT) << pl.p ELSE 0 END) AS BIGINT) AS bucket
-      |  FROM embeddings v, planes pl
-      |  GROUP BY v.vec_id, pl.t),
+      |${bucketSql("")},
       |cand AS (
       |  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid
       |  FROM b q JOIN b c ON q.t = c.t AND q.bucket = c.bucket

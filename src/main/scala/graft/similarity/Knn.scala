@@ -64,11 +64,45 @@ object Knn {
       .select(col("qid"), col("rank"), col("nid"), col("cos"))
   }
 
-  /** All near-dup pairs with cosine ≥ threshold within `df` (optionally
-    * pre-filtered). All-pairs on the candidate side — use LSH buckets
-    * first at scale. */
+  /** Near-dup pairs with cosine ≥ threshold within `df`: candidate
+    * pairs come from the random-hyperplane LSH buckets (AND-OR,
+    * `numTables` × `numPlanes` — see [[hyperplaneBuckets]]), then exact
+    * scaled-long verification on candidates only. The pair join is
+    * bucket-local — work scales with co-bucketed rows, never |df|², and
+    * nothing is broadcast except the literal sign matrix. Recall < 1 by
+    * construction (raise `numTables` to trade compute for recall; at
+    * near-dup thresholds the collision probability per table is
+    * (1−θ/π)^planes ≈ 1), but fully deterministic: any engine replaying
+    * the same md5-derived hyperplanes derives the same buckets,
+    * candidates, and cosines. [[cosinePairsExact]] is the all-pairs
+    * reference for specs and small frames. */
   def cosinePairs(df: DataFrame, idCol: String, vecCol: String,
-                  threshold: Double): DataFrame = {
+                  threshold: Double, numPlanes: Int = 6, numTables: Int = 4,
+                  dim: Option[Int] = None): DataFrame = {
+    val b = hyperplaneBuckets(df, idCol, vecCol, numPlanes, numTables, dim)
+    val cand = b.select(col("id").as("va"), col("t"), col("bucket"))
+      .join(b.select(col("id").as("vb"), col("t"), col("bucket")),
+        Seq("t", "bucket"))
+      .filter(col("va") < col("vb"))
+      .select(col("va"), col("vb")).distinct()
+    val v = df.select(col(idCol).as("__vid"), scaledVec(col(vecCol)).as("__v"))
+      .withColumn("__n2", norm2Scaled(col("__v")))
+    cand
+      .join(v.select(col("__vid").as("va"), col("__v").as("__av"), col("__n2").as("na2")),
+        Seq("va"))
+      .join(v.select(col("__vid").as("vb"), col("__v").as("__bv"), col("__n2").as("nb2")),
+        Seq("vb"))
+      .withColumn("cos",
+        dotScaled(col("__av"), col("__bv")) / (sqrt(col("na2")) * sqrt(col("nb2"))))
+      .filter(col("cos") >= threshold)
+      .select(col("va"), col("vb"), col("cos"))
+  }
+
+  /** All-pairs cosine ≥ threshold — O(n²) compare AND a broadcast of
+    * the whole frame: the exact reference for specs and genuinely small
+    * frames ONLY. The production path is [[cosinePairs]]. */
+  def cosinePairsExact(df: DataFrame, idCol: String, vecCol: String,
+                       threshold: Double): DataFrame = {
     val a = df.select(col(idCol).as("va"), scaledVec(col(vecCol)).as("__av"))
       .withColumn("na2", norm2Scaled(col("__av")))
     val b = df.select(col(idCol).as("vb"), scaledVec(col(vecCol)).as("__bv"))

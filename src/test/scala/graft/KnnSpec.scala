@@ -40,8 +40,37 @@ class KnnSpec extends SparkSpec {
       (1L, Array(1.0f, 0.01f)),
       (2L, Array(0.0f, 1.0f))
     ).toDF("vec_id", "embedding")
+    // near-identical vectors collide in every table, so the bucketed
+    // path finds the pair regardless of the plane draw
     val pairs = Knn.cosinePairs(vecs, "vec_id", "embedding", 0.9)
       .select($"va", $"vb").as[(Long, Long)].collect().toSet
     assert(pairs == Set((0L, 1L)))
+    val exact = Knn.cosinePairsExact(vecs, "vec_id", "embedding", 0.9)
+      .select($"va", $"vb").as[(Long, Long)].collect().toSet
+    assert(exact == Set((0L, 1L)))
+  }
+
+  test("cosinePairs candidates are bucket-local: subset of exact, matching cosines, no n² join") {
+    val emb = Tables.embeddings(spark, sf).filter($"vec_id" < 80)
+    val bucketed = Knn.cosinePairs(emb, "vec_id", "embedding", 0.2)
+      .select($"va", $"vb", round($"cos", 6).as("cos"))
+      .as[(Long, Long, Double)].collect().toMap2
+    val exact = Knn.cosinePairsExact(emb, "vec_id", "embedding", 0.2)
+      .select($"va", $"vb", round($"cos", 6).as("cos"))
+      .as[(Long, Long, Double)].collect().toMap2
+    assert(bucketed.nonEmpty, "bucketed pair set should be non-empty on real embeddings")
+    assert(bucketed.keySet.subsetOf(exact.keySet), "bucket candidates must verify exactly")
+    bucketed.foreach { case (k, c) => assert(exact(k) == c, s"cosine mismatch at $k") }
+    // the candidate join must be a hash/merge join on (t, bucket) —
+    // never a nested-loop/cartesian over the corpus
+    val plan = Knn.cosinePairs(emb, "vec_id", "embedding", 0.2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"cosinePairs must not plan an all-pairs join:\n$plan")
+  }
+
+  private implicit class Pairs(rows: Array[(Long, Long, Double)]) {
+    def toMap2: Map[(Long, Long), Double] =
+      rows.map { case (a, b, c) => (a, b) -> c }.toMap
   }
 }
