@@ -26,7 +26,8 @@ object Registry {
       SimilarityQueries.queries ++
       TemporalQueries.queries ++
       MiscQueries.queries ++
-      ValidateQueries.queries
+      ValidateQueries.queries ++
+      NutrientQueries.queries
 
   def byName: Map[String, GQuery] = all.map(q => q.name -> q).toMap
 }
