@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.core.Exact._
 import graft.functions.Dates
@@ -51,4 +51,141 @@ object PublicData {
   /** Tinytest gate 4: anonymized trip_id unique. */
   def gate(publicTrips: DataFrame): Boolean =
     publicTrips.groupBy(col("trip_id")).count().filter(col("count") > 1).isEmpty
+
+  // ------------------------------------------------------------------
+  // Estimation rollups (summarise_estimations,
+  // `R/format-public-data.R:459-595`)
+  // ------------------------------------------------------------------
+
+  /** Model-estimation rollup with current-period proration: monthly
+    * predictions completed over a month spine (floor-year(min) →
+    * ceiling-year(max)), the month containing `today` scaled by
+    * elapsed/period-length (the reference presents only
+    * estimates-to-date for the running month), future months dropped,
+    * then floored to `binUnit` and aggregated (means of the per-landing
+    * columns, sums of the totals; `price_kg` mean only in the
+    * ungrouped/national variant). Sub-month bins return an EMPTY frame
+    * — the reference `sample_n(0)`s them (`:585-592`).
+    *
+    * Divergence note (documented): the reference computes
+    * `current_period` / `period_length` via row-order `lead()` on the
+    * completed frame — well-defined only for the strictly-monthly
+    * national frame. We derive both from the calendar
+    * (`add_months(date, 1)`), which is identical there and also
+    * well-defined for taxa/municipal frames where several rows share a
+    * month. `today` is an explicit parameter — a pipeline that reads
+    * the wall clock inside the engine is untestable and non-replayable.
+    *
+    * Input: (landing_period [month-grain date], [taxaCol], landing_catch_price,
+    * landing_catch, n_landings_per_boat, catch_price, catch, [price_kg]). */
+  def summariseEstimations(predictions: DataFrame, binUnit: String,
+                           today: String,
+                           taxaCol: Option[String] = None): DataFrame = {
+    val preds = predictions.withColumnRenamed("landing_period", "date_bin_start")
+    val spine = preds
+      .agg(min(col("date_bin_start")).as("__mn"), max(col("date_bin_start")).as("__mx"))
+      .select(explode(sequence(
+        trunc(col("__mn"), "year"),
+        when(col("__mx") === trunc(col("__mx"), "year"), col("__mx"))
+          .otherwise(add_months(trunc(col("__mx"), "year"), 12)),
+        expr("interval 1 month"))).as("date_bin_start"))
+    val td = to_date(lit(today))
+    val monthEnd = add_months(col("date_bin_start"), 1)
+    val current = td >= col("date_bin_start") && td < monthEnd
+    val elapsed = (datediff(td, col("date_bin_start")) + 1).cast("double")
+    val periodLen = datediff(monthEnd, col("date_bin_start")).cast("double")
+    def prorate(c: String) = when(current, col(c) * elapsed / periodLen)
+      .otherwise(col(c)).as(c)
+    val standardized = spine
+      .join(preds, Seq("date_bin_start"), "left")
+      .withColumn("__elapsed", elapsed)
+      .withColumn("n_landings_per_boat", prorate("n_landings_per_boat"))
+      .withColumn("catch_price", prorate("catch_price"))
+      .withColumn("catch", prorate("catch"))
+      .filter(col("__elapsed") > 0)
+      .withColumn("date_bin_start",
+        binUnit match {
+          case "week" => Dates.floorWeekSunday(col("date_bin_start"))
+          case u      => to_date(date_trunc(u, col("date_bin_start")))
+        })
+    val keys = "date_bin_start" +: taxaCol.toSeq
+    val keyed = taxaCol.foldLeft(standardized) { (df, t) => df.filter(col(t).isNotNull) }
+    val base = Seq(
+      davg(col("landing_catch_price")).as("landing_catch_price"),
+      davg(col("landing_catch")).as("landing_catch"),
+      // R sum(na.rm=TRUE) of an all-NA group is 0, not NA
+      coalesce(dsum(col("n_landings_per_boat")), lit(0.0)).as("n_landings_per_boat"),
+      coalesce(dsum(col("catch_price")), lit(0.0)).as("catch_price"),
+      coalesce(dsum(col("catch")), lit(0.0)).as("catch"))
+    val aggs = if (taxaCol.isEmpty) base :+ davg(col("price_kg")).as("price_kg") else base
+    val binned = keyed.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    if (Seq("day", "week").contains(binUnit)) binned.limit(0) else binned
+  }
+
+  // ------------------------------------------------------------------
+  // Municipal splits (`R/format-public-data.R:64-159`)
+  // ------------------------------------------------------------------
+
+  /** Recorded (not modelled) municipal monthly activity
+    * (`:81-127`): per landing — first municipality/month/price/fuel and
+    * summed catch; per (municipality, month) — summed price, summed
+    * catch in tonnes, mean fuel; zeros nulled (a month with no recorded
+    * price/catch/fuel shows as missing, not 0). */
+  def municipalRecorded(landings: DataFrame, catchRows: DataFrame): DataFrame = {
+    val perLanding = landings
+      .select(col("landing_id"), col("municipality"),
+        to_date(date_trunc("month", col("landing_date"))).as("date_bin_start"),
+        col("catch_price"), col("fuel"))
+      .join(catchRows.groupBy(col("landing_id"))
+          .agg(coalesce(dsum(col("catch")), lit(0.0)).as("__catch")),
+        Seq("landing_id"), "left")
+    val zeroNull = (c: Column) => when(c === 0.0, lit(null)).otherwise(c)
+    perLanding
+      .groupBy(col("municipality"), col("date_bin_start"))
+      .agg(
+        coalesce(dsum(col("catch_price")), lit(0.0)).as("__rp"),
+        (coalesce(dsum(col("__catch")), lit(0.0)) / 1000.0).as("__rc"),
+        davg(col("fuel")).as("__fuel"))
+      .select(col("municipality"), col("date_bin_start"),
+        zeroNull(col("__rp")).as("recorded_catch_price"),
+        zeroNull(col("__rc")).as("recorded_catch"),
+        zeroNull(col("__fuel")).as("fuel"))
+  }
+
+  /** Municipal model estimates joined with recorded activity
+    * (`:128-133`): the models' monthly frame (one row per municipality
+    * × month) left-joined to [[municipalRecorded]]. */
+  def municipalAggregated(municipalModels: DataFrame,
+                          recorded: DataFrame): DataFrame =
+    municipalModels
+      .withColumnRenamed("landing_period", "date_bin_start")
+      .join(recorded, Seq("municipality", "date_bin_start"), "left")
+
+  // ------------------------------------------------------------------
+  // JSON series shape (jsonify_indicators, `:1094-1138`)
+  // ------------------------------------------------------------------
+
+  /** The dashboard series export: (habitat, gear) groups with > `minN`
+    * rows, the selected metric's mean rounded to 3, gears ordered by
+    * value inside each habitat and habitats ordered by their summed
+    * values — emitted as one (name, data) JSON row per habitat, `data`
+    * a [{x: gear, y: value}] array. A DataFrame of JSON rows keeps the
+    * export writable by any sink (the reference materializes nested R
+    * lists; the series shape is identical). */
+  def jsonifyIndicators(df: DataFrame, valueCol: String, minN: Long = 50): DataFrame = {
+    val grouped = df
+      .groupBy(col("habitat"), col("gear"))
+      .agg(round(davg(col(valueCol)), 3).as("y"), count(lit(1)).as("n"))
+      .filter(col("n") > minN)
+    val habitatRank = grouped.groupBy(col("habitat"))
+      .agg(dsum(col("y")).as("__hsum"))
+    grouped.join(habitatRank, Seq("habitat"))
+      .withColumn("__pair", struct(col("y"), col("gear")))
+      .groupBy(col("habitat"), col("__hsum"))
+      .agg(sort_array(collect_list(col("__pair")), asc = false).as("__pairs"))
+      .select(col("habitat").as("name"), col("__hsum"),
+        to_json(expr("transform(__pairs, p -> struct(p.gear as x, p.y as y))")).as("data"))
+      .orderBy(col("__hsum").desc, col("name"))
+      .drop("__hsum")
+  }
 }

@@ -27,7 +27,8 @@ object Registry {
       TemporalQueries.queries ++
       MiscQueries.queries ++
       ValidateQueries.queries ++
-      NutrientQueries.queries
+      NutrientQueries.queries ++
+      PublicDataQueries.queries
 
   def byName: Map[String, GQuery] = all.map(q => q.name -> q).toMap
 }

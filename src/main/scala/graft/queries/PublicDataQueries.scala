@@ -1,0 +1,201 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Exact._
+import graft.core.Tables._
+import graft.pipeline.PublicData
+
+/** The format-public-data composition under the oracle (SURVEY §3.3
+  * tail): q75 gates the municipal split (model frame ⋈ recorded
+  * activity with zero-nulling, `R/format-public-data.R:64-159`); q76
+  * gates the estimation rollups with current-period proration
+  * (`:459-595`) at the month and year grains in one stacked frame.
+  *
+  * All means/sums are decimal-routed (davg/dsum ≡ the SQL decimal
+  * mirror) and outputs floor-scaled fixed-point — see NutrientQueries
+  * for why engine round() is avoided at the edge. */
+object PublicDataQueries {
+
+  private val dsumSql = (x: String) => s"CAST(SUM(CAST(($x) AS DECIMAL(38,6))) AS DOUBLE)"
+  private val davgSql = (x: String) => s"(${dsumSql(x)} / COUNT($x))"
+
+  /** Landing-grain municipal fixture from `orders`: municipality M0–M4
+    * by customer; M4's prices are all zero (exercises the zero→NA
+    * nulling at the group level); fuel nulls sprinkled. */
+  def fixtureLandings(s: SparkSession, d: String): DataFrame = {
+    val k = col("o_orderkey")
+    orders(s, d).select(
+      k.as("landing_id"),
+      concat(lit("M"), (col("o_custkey") % 5).cast("string")).as("municipality"),
+      to_date(col("o_orderdate")).as("landing_date"),
+      when(col("o_custkey") % 5 === 4, lit(0.0))
+        .otherwise((k % 300).cast("double") * 0.5).as("catch_price"),
+      when(k % 3 === 0, lit(null).cast("double"))
+        .otherwise((k % 20).cast("double")).as("fuel"))
+  }
+
+  def fixtureCatchRows(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d).select(
+      col("l_orderkey").as("landing_id"),
+      (col("l_quantity") * 10.0).as("catch"))
+
+  /** Municipal model estimates: one row per (municipality, month). */
+  def fixtureMunicipalModels(s: SparkSession, d: String): DataFrame = {
+    val k = col("o_orderkey")
+    orders(s, d).groupBy(
+        concat(lit("M"), (col("o_custkey") % 5).cast("string")).as("municipality"),
+        to_date(date_trunc("month", col("o_orderdate"))).as("landing_period"))
+      .agg(
+        dsum((k % 1000).cast("double") * 0.125).as("catch"),
+        dsum((k % 700).cast("double") * 0.25).as("catch_price"))
+  }
+
+  val q75 = GQuery(
+    "q75_municipal_split",
+    (s, d) => {
+      val out = PublicData.municipalAggregated(
+        fixtureMunicipalModels(s, d),
+        PublicData.municipalRecorded(fixtureLandings(s, d), fixtureCatchRows(s, d)))
+      out.select(col("municipality"), col("date_bin_start"),
+        floor(col("catch") * 100.0 + 0.5).cast("long").as("catch_e2"),
+        floor(col("catch_price") * 100.0 + 0.5).cast("long").as("model_price_e2"),
+        floor(col("recorded_catch_price") * 100.0 + 0.5).cast("long").as("rec_price_e2"),
+        floor(col("recorded_catch") * 1e6 + 0.5).cast("long").as("rec_catch_e6"),
+        floor(col("fuel") * 1e6 + 0.5).cast("long").as("fuel_e6"))
+    },
+    Some(s"""WITH landing AS (
+      |  SELECT o_orderkey AS lid,
+      |    'M' || CAST(o_custkey % 5 AS VARCHAR) AS municipality,
+      |    CAST(date_trunc('month', o_orderdate) AS DATE) AS dbs,
+      |    CASE WHEN o_custkey % 5 = 4 THEN 0.0
+      |         ELSE CAST(o_orderkey % 300 AS DOUBLE) * 0.5 END AS catch_price,
+      |    CASE WHEN o_orderkey % 3 = 0 THEN NULL
+      |         ELSE CAST(o_orderkey % 20 AS DOUBLE) END AS fuel
+      |  FROM orders),
+      |lcatch AS (
+      |  SELECT l_orderkey AS lid,
+      |    COALESCE(${dsumSql("l_quantity * 10.0")}, 0.0) AS c
+      |  FROM lineitem GROUP BY l_orderkey),
+      |per AS (
+      |  SELECT l.*, lc.c FROM landing l LEFT JOIN lcatch lc ON l.lid = lc.lid),
+      |rec AS (
+      |  SELECT municipality, dbs,
+      |    COALESCE(${dsumSql("catch_price")}, 0.0) AS rp,
+      |    COALESCE(${dsumSql("c")}, 0.0) / 1000.0 AS rc,
+      |    ${davgSql("fuel")} AS fu
+      |  FROM per GROUP BY municipality, dbs),
+      |rec2 AS (
+      |  SELECT municipality, dbs,
+      |    CASE WHEN rp = 0.0 THEN NULL ELSE rp END AS recorded_catch_price,
+      |    CASE WHEN rc = 0.0 THEN NULL ELSE rc END AS recorded_catch,
+      |    CASE WHEN fu = 0.0 THEN NULL ELSE fu END AS fuel
+      |  FROM rec),
+      |model AS (
+      |  SELECT 'M' || CAST(o_custkey % 5 AS VARCHAR) AS municipality,
+      |    CAST(date_trunc('month', o_orderdate) AS DATE) AS dbs,
+      |    ${dsumSql("CAST(o_orderkey % 1000 AS DOUBLE) * 0.125")} AS catch,
+      |    ${dsumSql("CAST(o_orderkey % 700 AS DOUBLE) * 0.25")} AS catch_price
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT m.municipality, m.dbs AS date_bin_start,
+      |  CAST(floor(m.catch * 100.0 + 0.5) AS BIGINT) AS catch_e2,
+      |  CAST(floor(m.catch_price * 100.0 + 0.5) AS BIGINT) AS model_price_e2,
+      |  CAST(floor(r.recorded_catch_price * 100.0 + 0.5) AS BIGINT) AS rec_price_e2,
+      |  CAST(floor(r.recorded_catch * 1e6 + 0.5) AS BIGINT) AS rec_catch_e6,
+      |  CAST(floor(r.fuel * 1e6 + 0.5) AS BIGINT) AS fuel_e6
+      |FROM model m LEFT JOIN rec2 r
+      |  ON m.municipality = r.municipality AND m.dbs = r.dbs""".stripMargin))
+
+  /** National monthly predictions fixture (exact-fraction constants). */
+  def fixturePredictions(s: SparkSession, d: String): DataFrame = {
+    val k = col("o_orderkey")
+    orders(s, d).groupBy(
+        to_date(date_trunc("month", col("o_orderdate"))).as("landing_period"))
+      .agg(
+        davg((k % 200).cast("double") * 0.25).as("landing_catch_price"),
+        davg((k % 500).cast("double") * 0.5).as("landing_catch"),
+        (count(lit(1)).cast("double") / 8.0).as("n_landings_per_boat"),
+        dsum((k % 80).cast("double") * 0.25).as("catch_price"),
+        dsum((k % 100).cast("double") * 0.5).as("catch"),
+        davg((k % 60).cast("double") * 0.125).as("price_kg"))
+  }
+
+  /** `today` mid-data so one month is prorated and later months drop. */
+  val Today = "1996-06-16"
+
+  val q76 = GQuery(
+    "q76_estimation_rollup",
+    (s, d) => {
+      val p = fixturePredictions(s, d)
+      Seq("month", "year").map { g =>
+        PublicData.summariseEstimations(p, g, Today)
+          .withColumn("grain", lit(g))
+      }.reduce(_.unionByName(_))
+        .select(col("grain"), col("date_bin_start"),
+          floor(col("landing_catch_price") * 1e6 + 0.5).cast("long").as("lcp_e6"),
+          floor(col("landing_catch") * 1e6 + 0.5).cast("long").as("lc_e6"),
+          floor(col("n_landings_per_boat") * 1e6 + 0.5).cast("long").as("nlb_e6"),
+          floor(col("catch_price") * 100.0 + 0.5).cast("long").as("cp_e2"),
+          floor(col("catch") * 100.0 + 0.5).cast("long").as("c_e2"),
+          floor(col("price_kg") * 1e6 + 0.5).cast("long").as("pk_e6"))
+    },
+    Some {
+      val predsSql =
+        s"""preds AS (
+           |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS dbs,
+           |    ${davgSql("CAST(o_orderkey % 200 AS DOUBLE) * 0.25")} AS landing_catch_price,
+           |    ${davgSql("CAST(o_orderkey % 500 AS DOUBLE) * 0.5")} AS landing_catch,
+           |    CAST(COUNT(*) AS DOUBLE) / 8.0 AS n_landings_per_boat,
+           |    ${dsumSql("CAST(o_orderkey % 80 AS DOUBLE) * 0.25")} AS catch_price,
+           |    ${dsumSql("CAST(o_orderkey % 100 AS DOUBLE) * 0.5")} AS catch,
+           |    ${davgSql("CAST(o_orderkey % 60 AS DOUBLE) * 0.125")} AS price_kg
+           |  FROM orders GROUP BY 1)""".stripMargin
+      def grainSql(g: String) =
+        s"""SELECT '$g' AS grain,
+           |  CAST(date_trunc('$g', dbs) AS DATE) AS date_bin_start,
+           |  ${davgSql("landing_catch_price")} AS lcp,
+           |  ${davgSql("landing_catch")} AS lc,
+           |  COALESCE(${dsumSql("nlb2")}, 0.0) AS nlb,
+           |  COALESCE(${dsumSql("cp2")}, 0.0) AS cp,
+           |  COALESCE(${dsumSql("c2")}, 0.0) AS c,
+           |  ${davgSql("price_kg")} AS pk
+           |FROM prorated GROUP BY 1, 2""".stripMargin
+      s"""WITH $predsSql,
+         |bounds AS (
+         |  SELECT date_trunc('year', MIN(dbs)) AS mn,
+         |    CASE WHEN MAX(dbs) = date_trunc('year', MAX(dbs)) THEN MAX(dbs)
+         |         ELSE CAST(date_trunc('year', MAX(dbs)) + INTERVAL 12 MONTH AS DATE)
+         |    END AS mx
+         |  FROM preds),
+         |spine AS (
+         |  SELECT CAST(unnest(generate_series(CAST(mn AS DATE), CAST(mx AS DATE),
+         |    INTERVAL 1 MONTH)) AS DATE) AS dbs FROM bounds),
+         |completed AS (
+         |  SELECT s.dbs, p.landing_catch_price, p.landing_catch,
+         |    p.n_landings_per_boat, p.catch_price, p.catch, p.price_kg
+         |  FROM spine s LEFT JOIN preds p ON s.dbs = p.dbs),
+         |prorated AS (
+         |  SELECT dbs, landing_catch_price, landing_catch, price_kg,
+         |    CASE WHEN cur THEN n_landings_per_boat * el / pl ELSE n_landings_per_boat END AS nlb2,
+         |    CASE WHEN cur THEN catch_price * el / pl ELSE catch_price END AS cp2,
+         |    CASE WHEN cur THEN catch * el / pl ELSE catch END AS c2
+         |  FROM (
+         |    SELECT *,
+         |      DATE '$Today' >= dbs AND DATE '$Today' < (dbs + INTERVAL 1 MONTH) AS cur,
+         |      CAST(date_diff('day', dbs, DATE '$Today') + 1 AS DOUBLE) AS el,
+         |      CAST(date_diff('day', dbs, CAST(dbs + INTERVAL 1 MONTH AS DATE)) AS DOUBLE) AS pl
+         |    FROM completed)
+         |  WHERE el > 0),
+         |rolled AS (${grainSql("month")} UNION ALL ${grainSql("year")})
+         |SELECT grain, date_bin_start,
+         |  CAST(floor(lcp * 1e6 + 0.5) AS BIGINT) AS lcp_e6,
+         |  CAST(floor(lc * 1e6 + 0.5) AS BIGINT) AS lc_e6,
+         |  CAST(floor(nlb * 1e6 + 0.5) AS BIGINT) AS nlb_e6,
+         |  CAST(floor(cp * 100.0 + 0.5) AS BIGINT) AS cp_e2,
+         |  CAST(floor(c * 100.0 + 0.5) AS BIGINT) AS c_e2,
+         |  CAST(floor(pk * 1e6 + 0.5) AS BIGINT) AS pk_e6
+         |FROM rolled""".stripMargin
+    })
+
+  def queries: Seq[GQuery] = Seq(q75, q76)
+}

@@ -92,4 +92,67 @@ class PipelineSpec extends SparkSpec {
     assert(yr.getAs[Double]("catch_kg") == 20.0)
     assert(yr.getAs[Long]("n_trips") == 2L)
   }
+
+  test("estimation rollup: current month prorated, future months dropped, sub-month grains empty") {
+    val preds = Seq(
+      ("2024-01-01", 10.0, 100.0, 30.0, 300.0, 3000.0, 5.0),
+      ("2024-02-01", 20.0, 200.0, 29.0, 290.0, 2900.0, 6.0), // current (today Feb 15)
+      ("2024-03-01", 30.0, 300.0, 31.0, 310.0, 3100.0, 7.0)  // future -> dropped
+    ).toDF("landing_period", "landing_catch_price", "landing_catch",
+        "n_landings_per_boat", "catch_price", "catch", "price_kg")
+      .withColumn("landing_period", to_date($"landing_period"))
+    val today = "2024-02-15"
+    val m = PublicData.summariseEstimations(preds, "month", today).cache()
+    // Jan + the 13 completed spine months with elapsed > 0 (Feb); future months gone
+    assert(m.filter($"date_bin_start" === "2024-03-01").count() == 0)
+    val feb = m.filter($"date_bin_start" === "2024-02-01").head()
+    // Feb proration: elapsed 15 days of 29 (2024 is a leap year)
+    assert(math.abs(feb.getAs[Double]("catch") - 2900.0 * 15 / 29) < 1e-9)
+    assert(math.abs(feb.getAs[Double]("n_landings_per_boat") - 29.0 * 15 / 29) < 1e-9)
+    // per-landing means are NOT prorated
+    assert(feb.getAs[Double]("landing_catch") == 200.0)
+    val yr = PublicData.summariseEstimations(preds, "year", today)
+      .filter($"date_bin_start" === "2024-01-01").head()
+    assert(math.abs(yr.getAs[Double]("catch") - (3000.0 + 2900.0 * 15 / 29)) < 1e-9)
+    assert(PublicData.summariseEstimations(preds, "week", today).count() == 0)
+    assert(PublicData.summariseEstimations(preds, "day", today).count() == 0)
+  }
+
+  test("municipal split: recorded zeros become nulls, model rows survive the join") {
+    val landings = Seq(
+      (1L, "Dili", "2024-01-03", 10.0, 2.0),
+      (2L, "Dili", "2024-01-20", 20.0, 0.0),
+      (3L, "Baucau", "2024-01-05", 0.0, 0.0) // all-zero group -> nulls
+    ).toDF("landing_id", "municipality", "landing_date", "catch_price", "fuel")
+      .withColumn("landing_date", to_date($"landing_date"))
+    val catchRows = Seq((1L, 500.0), (2L, 1500.0)).toDF("landing_id", "catch")
+    val models = Seq(
+      ("Dili", "2024-01-01", 7.0), ("Baucau", "2024-01-01", 8.0),
+      ("Viqueque", "2024-01-01", 9.0) // no recorded rows -> nulls carried
+    ).toDF("municipality", "landing_period", "catch")
+      .withColumn("landing_period", to_date($"landing_period"))
+    val out = PublicData.municipalAggregated(models,
+      PublicData.municipalRecorded(landings, catchRows)).cache()
+    assert(out.count() == 3)
+    val dili = out.filter($"municipality" === "Dili").head()
+    assert(dili.getAs[Double]("recorded_catch_price") == 30.0)
+    assert(dili.getAs[Double]("recorded_catch") == 2.0) // 2000 g -> tonnes
+    assert(dili.getAs[Double]("fuel") == 1.0)           // mean(2, 0)
+    val baucau = out.filter($"municipality" === "Baucau").head()
+    assert(baucau.getAs[Any]("recorded_catch_price") == null) // 0 -> NA
+    assert(baucau.getAs[Any]("recorded_catch") == null)
+    assert(baucau.getAs[Any]("fuel") == null)
+    assert(out.filter($"municipality" === "Viqueque").head().getAs[Any]("fuel") == null)
+  }
+
+  test("jsonify indicators: per-habitat series ordered by summed value") {
+    val rows = (1 to 60).flatMap { i => Seq(
+      ("reef", "net", 10.0), ("reef", "line", 30.0), ("fad", "net", 5.0)
+    )} ++ Seq(("deep", "rare", 99.0)) // n=1 -> filtered by minN
+    val df = rows.toDF("habitat", "gear", "cpe")
+    val out = PublicData.jsonifyIndicators(df, "cpe", minN = 50).collect()
+    assert(out.map(_.getAs[String]("name")).toSeq == Seq("reef", "fad"))
+    val reef = out.head.getAs[String]("data")
+    assert(reef.contains("\"x\":\"line\"") && reef.indexOf("line") < reef.indexOf("net"))
+  }
 }
