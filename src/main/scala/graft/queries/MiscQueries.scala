@@ -325,33 +325,32 @@ object MiscQueries {
     * engine-specific), KMV over a portable hash is bit-reproducible:
     * both engines md5 the key, map the first 8 hex chars to a fraction
     * of 2^32, and estimate distinct = (k−1)/h_(k) from the k-th smallest
-    * distinct hash — so the oracle hash-matches while the operator stays
-    * a genuine sublinear sketch (at scale only k values per group
-    * survive the per-group sort; groups under k fall back to exact).
-    * All arithmetic is exact in doubles (integers < 2^53, one /2^32). */
+    * distinct hash — so the oracle hash-matches while the operator is a
+    * GENUINE bounded sketch: [[graft.functions.KMinHashes]] keeps the k
+    * smallest distinct hashes inside a constant-size aggregation buffer
+    * (map-side partials, set-merge on combine) — no global distinct
+    * pre-pass, no per-group window sort, one shuffle of k-element
+    * states. Hex md5 order ≡ numeric hash order, so the k-th element's
+    * 8-char prefix is exactly the window form's rn=k frac (prefix ties
+    * are distinct full hashes and keep multiplicity). The exact count
+    * column rides the same aggregate as count(distinct). */
   val q67 = GQuery(
     "q67_kmv_distinct",
     (s, d) => {
       val k = 64
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("event_type")).orderBy(col("frac"))
-      val wAll = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("event_type"))
+      graft.functions.KMinHashes.register(s)
       events(s, d)
         .select(col("event_type"), md5(col("user_id").cast("string")).as("h"))
-        .distinct()
-        .withColumn("frac",
-          conv(substring(col("h"), 1, 8), 16, 10).cast("double") / lit(4294967296.0))
-        .withColumn("rn", row_number().over(w))
-        .withColumn("nd", count(lit(1)).over(wAll))
-        .filter(col("rn") <= k)
         .groupBy(col("event_type"))
         .agg(
-          max(col("nd")).as("n_distinct_exact"),
-          max(when(col("rn") === k, col("frac"))).as("kth"))
+          call_function("k_min_hashes", col("h"), lit(k)).as("tops"),
+          countDistinct(col("h")).as("n_distinct_exact"))
         .select(col("event_type"),
           round(
-            when(col("n_distinct_exact") >= k, lit(k - 1.0) / col("kth"))
+            when(col("n_distinct_exact") >= k,
+              lit(k - 1.0) /
+                (conv(substring(element_at(col("tops"), k), 1, 8), 16, 10)
+                  .cast("double") / lit(4294967296.0)))
               .otherwise(col("n_distinct_exact").cast("double")), 6).as("est_distinct"),
           col("n_distinct_exact"))
     },

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** `k_min_hashes` — the bounded KMV state aggregate. */
+class KMinHashesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("keeps the k smallest DISTINCT hashes, ascending, dedup inside the buffer") {
+    graft.functions.KMinHashes.register(spark)
+    val df = Seq("c", "a", "b", "a", "a", "d", "b").toDF("h")
+    val out = df.agg(call_function("k_min_hashes", $"h", lit(3)).as("tops"))
+      .select($"tops").as[Seq[String]].head()
+    assert(out == Seq("a", "b", "c")) // duplicates collapse, "d" evicted
+  }
+
+  test("nulls ignored; groups smaller than k return all distinct values") {
+    graft.functions.KMinHashes.register(spark)
+    val df = Seq(Some("b"), None, Some("a"), Some("b")).toDF("h")
+    val out = df.agg(call_function("k_min_hashes", $"h", lit(10)).as("tops"))
+      .select($"tops").as[Seq[String]].head()
+    assert(out == Seq("a", "b"))
+  }
+
+  test("q67 plan is sketch-shaped: no window sort, no distinct pre-exchange of full keys") {
+    val plan = graft.queries.Registry.byName("q67_kmv_distinct")
+      .run(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"q67 must not window-sort full key sets:\n$plan")
+  }
+
+  test("matches the unbounded sort on random-ish data (property)") {
+    graft.functions.KMinHashes.register(spark)
+    val hashes = (1 to 500).map(i =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes).map("%02x".format(_)).mkString)
+    val dup = hashes ++ hashes.take(100) // duplicates must not shift the order stats
+    val got = dup.toDF("h").repartition(7)
+      .agg(call_function("k_min_hashes", $"h", lit(16)).as("tops"))
+      .select($"tops").as[Seq[String]].head()
+    assert(got == hashes.distinct.sorted.take(16))
+  }
+}
