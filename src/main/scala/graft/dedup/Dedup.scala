@@ -50,10 +50,26 @@ object Dedup {
 
   /** Exact n-gram Jaccard near-dup pairs ≥ threshold, via the inverted
     * index: pairs sharing ≥1 shingle → common counts → |A∪B| from
-    * per-doc sizes. Output: (da, db, common, na, nb, jaccard). */
+    * per-doc sizes.
+    *
+    * Plan-shape notes (both alternatives measured WORSE at sf0.1):
+    *  - posting-list pair generation (collect_list per shingle +
+    *    double explode) hit 29 s vs 1.9 s — exploding a |D|-doc posting
+    *    row materializes |D| copies of the |D|-element array, where the
+    *    self-join STREAMS the same |D|² pairs through fused
+    *    join+filter+partial-agg codegen; collect_list is additionally
+    *    non-deterministic in Catalyst, which disables ReuseExchange on
+    *    anything above it;
+    *  - computing sizes as a per-row `size(shingles(...))` expression
+    *    made the frame broadcast-eligible and the broadcast build ran
+    *    the whole tokenize+shingle pipeline on one thread (28 s).
+    * At scale, bound hot shingles with `maxDocFreq` — a stop-shingle
+    * connects documents that merely share boilerplate, and its |D|²
+    * lands on one reducer. Output: (da, db, common, na, nb, jaccard). */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        k: Int, threshold: Double): DataFrame = {
-    val idx = shingleIndex(df, idCol, textCol, k)
+                        k: Int, threshold: Double,
+                        maxDocFreq: Long = 0L): DataFrame = {
+    val idx = shingleIndex(df, idCol, textCol, k, maxDocFreq)
     val sizes = idx.groupBy(col("doc")).agg(count(lit(1)).as("n_shingles"))
     val a = idx.withColumnRenamed("doc", "da")
     val b = idx.withColumnRenamed("doc", "db")
