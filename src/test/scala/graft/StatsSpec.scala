@@ -56,4 +56,23 @@ class StatsSpec extends SparkSpec {
       .orderBy("i").select($"v_filled").as[Double].collect().toSeq
     assert(out == Seq(10.0, 10.0, 20.0, 40.0, 40.0))
   }
+
+  test("boundsCensusAuto: approx census matches the exact flag census; switch respects the threshold") {
+    val base = graft.core.Tables.lineitem(spark, "/root/testdata/sf0.01")
+      .select($"l_returnflag", $"l_extendedprice")
+    def census(df: org.apache.spark.sql.DataFrame): Map[String, (Long, Long)] =
+      df.select($"l_returnflag", $"n_outliers", $"n")
+        .collect().map(r => r.getString(0) -> (r.getAs[Long]("n_outliers"), r.getAs[Long]("n"))).toMap
+    val exact = census(Outliers.boundsCensus(base, Seq("l_returnflag"), "l_extendedprice", 2.5))
+    val approx = census(Outliers.boundsCensusApprox(base, Seq("l_returnflag"), "l_extendedprice", 2.5))
+    assert(exact == approx, s"approx census must not move any flags: $exact vs $approx")
+    // the auto switch: tiny threshold -> approx plan (no per-group histogram sort)
+    val autoApprox = Outliers.boundsCensusAuto(base, Seq("l_returnflag"), "l_extendedprice", 2.5,
+      maxExactRows = 100L)
+    assert(!autoApprox.queryExecution.executedPlan.toString.contains("SortPercentile") &&
+      census(autoApprox) == exact)
+    // generous threshold -> the exact path (oracle semantics at sf0.01)
+    val autoExact = Outliers.boundsCensusAuto(base, Seq("l_returnflag"), "l_extendedprice", 2.5)
+    assert(census(autoExact) == exact)
+  }
 }
