@@ -79,4 +79,43 @@ class SourcesSpec extends SparkSpec {
       .as[String].collect().toSeq
     assert(got == Seq("4-17", ""))
   }
+
+  test("fetcher: paginates a fake endpoint to the landing zone, HWM resume lands only new ids") {
+    import graft.sources.{Fetcher, FilePagedEndpoint}
+    val root = java.nio.file.Files.createTempDirectory("fetcher").toString
+    val pagesDir = s"$root/pages"; val landing = s"$root/landing"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(pagesDir))
+    def writePage(n: Int, ids: Seq[Long]): Unit =
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(pagesDir, f"page_$n%05d.jsonl"),
+        ids.map(i => s"""{"id": $i, "v": "r$i"}""").mkString("", "\n", "\n").getBytes)
+    val idOf = (line: String) => """"id":\s*(\d+)""".r.findFirstMatchIn(line).get.group(1).toLong
+
+    writePage(0, Seq(1L, 2L)); writePage(1, Seq(3L)); writePage(2, Seq(4L, 5L))
+    val r1 = Fetcher.fetchToLandingZone(spark, new FilePagedEndpoint(pagesDir), landing, "run1", idOf)
+    assert(r1.pages == 3 && r1.landed == 5 && r1.highWaterMark.contains(5L))
+
+    // second generation: page 0 repeats old ids (an endpoint ignoring
+    // since_id), later pages add new ones
+    writePage(0, Seq(4L, 5L, 6L)); writePage(1, Seq(7L)); writePage(2, Seq.empty)
+    val r2 = Fetcher.fetchToLandingZone(spark, new FilePagedEndpoint(pagesDir), landing, "run2", idOf)
+    assert(r2.landed == 2 && r2.highWaterMark.contains(7L), s"resume must land only ids above 5: $r2")
+
+    // the landing zone is the Spark-readable contract: ids unique, all present
+    val landed = spark.read.json(landing)
+    assert(landed.count() == 7)
+    assert(landed.select("id").distinct().count() == 7)
+    assert(Fetcher.landedHighWaterMark(spark, landing, idOf).contains(7L))
+    assert(Fetcher.landedHighWaterMark(spark, s"$root/nope", idOf).isEmpty)
+  }
+
+  test("kobo page parser: results as raw records, next as cursor, null next ends") {
+    import graft.sources.Connectors
+    val p1 = Connectors.parseKoboPage(
+      """{"count": 3, "next": "https://x/api?start=2", "results": [{"_id": 1}, {"_id": 2}]}""")
+    assert(p1.records == Seq("""{"_id":1}""", """{"_id":2}"""))
+    assert(p1.nextCursor.contains("https://x/api?start=2"))
+    val p2 = Connectors.parseKoboPage("""{"count": 3, "next": null, "results": [{"_id": 3}]}""")
+    assert(p2.records == Seq("""{"_id":3}""") && p2.nextCursor.isEmpty)
+  }
 }
