@@ -25,6 +25,38 @@ object MergeTrips {
     UniqueKeyFullJoin(l, r, Seq("landing_date", "imei"))
   }
 
+  /** The catch composition inside merge_trips
+    * (`R/merge-trips.R:104-116`): rows with individuals > 0 pass
+    * through; for "no catch" rows (catch_taxon "0") exactly ONE row per
+    * landing is kept. The reference's `sample_n(1)` is a random draw —
+    * replicated as the md5-minimal row over (landing_id, rowKey), the
+    * pipeline's ST8 deterministic-draw policy (same distribution-free
+    * purpose, replayable by any engine). */
+  def composeCatch(tripsUnnested: DataFrame, rowKey: String): DataFrame = {
+    val cols = tripsUnnested.columns.toSeq
+    val catches = tripsUnnested.filter(col("individuals") > 0)
+    val noCatch = tripsUnnested.filter(col("catch_taxon") === "0")
+      .groupBy(col("landing_id"))
+      .agg(min_by(struct(cols.map(col): _*),
+        md5(concat_ws(" ", col("landing_id"), col(rowKey)))).as("__r"))
+      .select(col("__r.*"))
+    catches.unionByName(noCatch)
+  }
+
+  /** 1-minute track downsample (`R/merge-trips.R:135-151`): floor the
+    * point time to the minute; per (trip, minute) keep firsts in time
+    * order (min_by on the raw timestamp, value tie-break — R's `first`
+    * is frame order) and the mean speed. One shuffle, map-side
+    * combined; the kernel q16 gates. Expects (trip, time, lat, lng,
+    * speed) plus optional carried columns in `firsts`. */
+  def downsampleTracks(tracks: DataFrame, firsts: Seq[String] = Seq("lat", "lng")): DataFrame = {
+    def f(c: String) = min_by(col(c), struct(col("time"), col(c))).as(c)
+    tracks
+      .groupBy(col("trip"), date_trunc("minute", col("time")).as("time_min"))
+      .agg(f(firsts.head), (firsts.tail.map(f) :+
+        graft.core.Exact.davg(col("speed")).as("speed")): _*)
+  }
+
   /** Tinytest gate 3 (`inst/tinytest/test_merged_trips.R`): both ids
     * must stay unique after the merge. Returns (is_ok, duplicated ids
     * count) as a tiny frame for the pipeline's quality gate. */

@@ -28,7 +28,8 @@ object Registry {
       MiscQueries.queries ++
       ValidateQueries.queries ++
       NutrientQueries.queries ++
-      PublicDataQueries.queries
+      PublicDataQueries.queries ++
+      EstimationQueries.queries
 
   def byName: Map[String, GQuery] = all.map(q => q.name -> q).toMap
 }
