@@ -48,10 +48,16 @@ object Exact {
     * for log-scale features, rates, km-scale distances at any row
     * count that matters); choose [[dsum]] when magnitudes are unbounded
     * — same determinism, decimal-add cost. */
-  def lsum6(c: Column): Column = {
-    val scaled = floor(c * lit(1e6) + lit(0.5)).cast(LongType)
+  def lsum6(c: Column): Column = lsumAt(c, 1e6)
+
+  /** [[lsum6]] at a caller-chosen power-of-ten scale: small-magnitude
+    * sums (e.g. nutrient masses ~ 1e-7 · catch) need finer fixed-point
+    * resolution than micros, and the overflow guard makes any scale
+    * safe to try — too fine a scale nulls out rather than wrapping. */
+  def lsumAt(c: Column, scale: Double): Column = {
+    val scaled = floor(c * lit(scale) + lit(0.5)).cast(LongType)
     when(count(c).cast(DoubleType) * max(abs(scaled)).cast(DoubleType) < lit(9.0e18),
-      sum(scaled).cast(DoubleType) / lit(1e6))
+      sum(scaled).cast(DoubleType) / lit(scale))
   }
 
   /** Exact mean on the scaled-long fast path. */
@@ -62,10 +68,14 @@ object Exact {
     s"CAST(SUM(CAST(($expr) AS DECIMAL(38,6))) AS DOUBLE)"
   def sqlDavg(expr: String): String =
     s"(${sqlDsum(expr)} / COUNT($expr))"
-  def sqlLsum6(expr: String): String =
+  def sqlLsum6(expr: String): String = sqlLsumAt(expr, "1000000.0")
+
+  /** ANSI mirror of [[lsumAt]]; `scale` is the literal text (e.g.
+    * "1e12") so both engines parse the identical double. */
+  def sqlLsumAt(expr: String, scale: String): String =
     s"""CASE WHEN CAST(COUNT($expr) AS DOUBLE) *
-       | CAST(MAX(abs(CAST(floor(($expr) * 1000000.0 + 0.5) AS BIGINT))) AS DOUBLE) < 9.0e18
-       | THEN CAST(SUM(CAST(floor(($expr) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0
+       | CAST(MAX(abs(CAST(floor(($expr) * $scale + 0.5) AS BIGINT))) AS DOUBLE) < 9.0e18
+       | THEN CAST(SUM(CAST(floor(($expr) * $scale + 0.5) AS BIGINT)) AS DOUBLE) / $scale
        | END""".stripMargin.replace("\n", "")
   def sqlLavg6(expr: String): String =
     s"(${sqlLsum6(expr)} / COUNT($expr))"

@@ -2,6 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.core.Exact
 
 /** Nutrient conversion surface (SURVEY §3.4's estimation tail):
   * per-taxon nutritional values and catch→nutrient-mass→RDI scaling,
@@ -130,4 +131,48 @@ object Nutrients {
       explode(map(Table.flatMap { case (_, name, _) =>
         Seq(lit(name), col(name).cast("double"))
       }: _*)).as(Seq("nutrient", "nut_supply")): _*)
+
+  /** `get_nutrients_proportions` (`format-public-data.R:613-626`): the
+    * median over rows of each nutrient's percentage of the row's catch.
+    * One single-row aggregate (the estimates frame is month × taxa
+    * grain — always tiny next to the fact tables it derives from). */
+  def nutrientProportions(estimates: DataFrame): DataFrame = {
+    def share(n: String) = percentile(col(n) / col("catch") * 100.0, lit(0.5)).as(n)
+    estimates.agg(share(Table.head._2), Table.tail.map { case (_, n, _) => share(n) }: _*)
+  }
+
+  /** `fill_missing_group` (`format-public-data.R:627-685`): the
+    * catch-all `taxa` bucket (MZZ in the reference — no usable FishBase
+    * nutrient row) gets its nutrient columns recomputed as catch ×
+    * median-proportion for date bins at/after `since`; all other rows
+    * pass through. The proportions frame is ONE row — broadcast
+    * cross join, no shuffle, no per-row lookup. */
+  def fillMissingGroup(estimates: DataFrame, proportions: DataFrame,
+                       taxa: String = "MZZ", since: String = "2018-04-01"): DataFrame = {
+    val p = broadcast(proportions.select(Table.map { case (_, n, _) =>
+      col(n).as(s"__p_$n") }: _*))
+    val backfilled = col("grouped_taxa") === taxa &&
+      col("date_bin_start") >= to_date(lit(since))
+    estimates.crossJoin(p)
+      .select(estimates.columns.toSeq.map {
+        case n if Table.exists(_._2 == n) =>
+          when(backfilled, col("catch") * col(s"__p_$n") / 100.0)
+            .otherwise(col(n)).as(n)
+        case c => col(c)
+      }: _*)
+  }
+
+  /** `aggregate_nutrients` (`format-public-data.R:686-698`): na.rm sums
+    * of the 7 nutrient columns per date bin (an all-null group is 0,
+    * as in R), unpivoted long. Sums ride the scaled-long exact path at
+    * 1e12 resolution — nutrient masses sit orders of magnitude below
+    * the micros scale the fact-side sums use, and the overflow guard
+    * keeps the finer scale safe. */
+  val AggScale = 1e12
+  def aggregateNutrients(filled: DataFrame): DataFrame = {
+    def s(n: String) = coalesce(Exact.lsumAt(col(n), AggScale), lit(0.0)).as(n)
+    val agg = filled.groupBy(col("date_bin_start"))
+      .agg(s(Table.head._2), Table.tail.map { case (_, n, _) => s(n) }: _*)
+    toLong(agg, Seq("date_bin_start"))
+  }
 }

@@ -52,6 +52,55 @@ object PublicData {
   def gate(publicTrips: DataFrame): Boolean =
     publicTrips.groupBy(col("trip_id")).count().filter(col("count") > 1).isEmpty
 
+  /** `add_calculated_fields` (`R/format-public-data.R:289-327`): the
+    * reference rowwise-maps two R closures over each trip's NESTED
+    * catch frame — n_taxa = distinct non-null taxa excluding the
+    * no-catch marker, taxa = sorted non-null taxa pasted with " ".
+    * Here both are higher-order array expressions (transform / filter /
+    * array_distinct / array_sort / array_join): no explode, row count
+    * unchanged, fully codegen'd — the Spark shape of "purrr::map over a
+    * nested column". A null nested array yields null fields (R's NULL →
+    * NA branch). */
+  def addCalculatedFields(nested: DataFrame, itemsCol: String,
+                          taxonField: String, noCatch: String = "0"): DataFrame = {
+    val taxa = expr(s"transform(`$itemsCol`, x -> x.`$taxonField`)")
+    nested
+      .withColumn("n_taxa",
+        when(col(itemsCol).isNull, lit(null))
+          .otherwise(size(array_distinct(filter(taxa,
+            t => t.isNotNull && t =!= lit(noCatch)))).cast("long")))
+      .withColumn("taxa",
+        when(col(itemsCol).isNull, lit(null))
+          .otherwise(array_join(array_sort(filter(taxa, _.isNotNull)), " ")))
+  }
+
+  /** The CPUE block of `get_summary_data` (`R/format-public-data.R:
+    * 862-900`): per-landing firsts + summed catch (g→kg), cpue =
+    * (catch_kg / trip_length) / n_fishers, exact median per
+    * (municipality, gear), na.omit. R guards `is.infinite(cpue)` → NA
+    * after dividing; expressed algebraically as a zero-denominator
+    * predicate instead, because double division by zero is engine-
+    * defined (Spark nulls, IEEE engines yield ±Inf) — same rows null
+    * out (0/0's NaN is removed by R's na.rm just like our null).
+    * Two shuffles: to the landing grain (firsts and the sum share one
+    * exchange), then to the reporting pair. `ordCol` pins R's
+    * frame-order `first` to an explicit total order. */
+  def cpueMedians(rows: DataFrame, ordCol: String): DataFrame = {
+    def fst(c: String) = min_by(col(c), col(ordCol)).as(c)
+    val perLanding = rows
+      .filter(col("landing_id").isNotNull && col("catch").isNotNull)
+      .groupBy(col("landing_id"))
+      .agg(fst("municipality"), fst("gear"), fst("trip_length"), fst("n_fishers"),
+        dsum(col("catch")).as("landing_catch"))
+    val cpue = (col("landing_catch") / 1000.0 / col("trip_length")) / col("n_fishers")
+    perLanding
+      .withColumn("cpue",
+        when(col("trip_length") =!= 0.0 && col("n_fishers") =!= 0.0, cpue))
+      .groupBy(col("municipality"), col("gear"))
+      .agg(percentile(col("cpue"), lit(0.5)).as("cpue"))
+      .na.drop()
+  }
+
   // ------------------------------------------------------------------
   // Estimation rollups (summarise_estimations,
   // `R/format-public-data.R:459-595`)

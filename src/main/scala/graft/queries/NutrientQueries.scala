@@ -80,24 +80,10 @@ object NutrientQueries {
         codeOf(col("l_partkey")).as("grouped_taxa"))
       .agg((lsum6(col("l_quantity")) / 100.0).as("catch"))
 
-  val q74 = GQuery(
-    "q74_nutrient_rdi",
-    (s, d) => {
-      val nt = Nutrients.nutrientsTable(fixtureFish(s, d), fixtureFao(s, d), "ord")
-      val wide = Nutrients.summariseNutrients(fixtureTaxaEstimations(s, d), nt)
-      val long = Nutrients.toLong(wide,
-        Seq("date_bin_start", "grouped_taxa", "catch"))
-      // floor-scaled fixed-point at the edge: engine round() impls
-      // disagree on just-off-half doubles (DuckDB's multiply-based
-      // round vs Spark's BigDecimal HALF_UP), while floor(x·1eN + 0.5)
-      // is pure IEEE — bit-identical wherever the doubles are
-      Nutrients.periodRdi(long, unitDays = 30.0)
-        .select(col("date_bin_start"), col("grouped_taxa"), col("nutrient"),
-          floor(col("catch") * 100.0 + 0.5).cast("long").as("catch_e2"),
-          floor(col("nut_supply") * 1e10 + 0.5).cast("long").as("supply_e10"),
-          floor(col("nut_rdi") * 1e6 + 0.5).cast("long").as("rdi_e6"))
-    },
-    Some(s"""WITH fish AS (
+  /** Shared oracle prefix: fixture frames → nutrient table → wide
+    * per-(month, taxon) nutrient masses. q74 chains RDI scaling onto
+    * it; q81 chains the proportions/backfill/aggregate tail. */
+  private val wideSql = s"""fish AS (
       |  SELECT ${codeSql.format("p_partkey")} AS interagency_code,
       |    p_partkey % 5 AS spec,
       |    CAST((p_partkey % 97) + 0.5 AS DOUBLE) AS se, CAST((p_partkey % 23) * 0.5 AS DOUBLE) AS zn,
@@ -189,7 +175,26 @@ object NutrientQueries {
       |    n.Calcium_mu * (t.catch * 1000.0) / 1000.0 AS calcium,
       |    n.Iron_mu * (t.catch * 1000.0) / 1000.0 AS iron,
       |    n.Vitamin_A_mu * (t.catch * 1000.0) / 1000.0 AS vitaminA
-      |  FROM taxa t LEFT JOIN nt n ON t.grouped_taxa = n.interagency_code),
+      |  FROM taxa t LEFT JOIN nt n ON t.grouped_taxa = n.interagency_code)""".stripMargin
+
+  val q74 = GQuery(
+    "q74_nutrient_rdi",
+    (s, d) => {
+      val nt = Nutrients.nutrientsTable(fixtureFish(s, d), fixtureFao(s, d), "ord")
+      val wide = Nutrients.summariseNutrients(fixtureTaxaEstimations(s, d), nt)
+      val long = Nutrients.toLong(wide,
+        Seq("date_bin_start", "grouped_taxa", "catch"))
+      // floor-scaled fixed-point at the edge: engine round() impls
+      // disagree on just-off-half doubles (DuckDB's multiply-based
+      // round vs Spark's BigDecimal HALF_UP), while floor(x·1eN + 0.5)
+      // is pure IEEE — bit-identical wherever the doubles are
+      Nutrients.periodRdi(long, unitDays = 30.0)
+        .select(col("date_bin_start"), col("grouped_taxa"), col("nutrient"),
+          floor(col("catch") * 100.0 + 0.5).cast("long").as("catch_e2"),
+          floor(col("nut_supply") * 1e10 + 0.5).cast("long").as("supply_e10"),
+          floor(col("nut_rdi") * 1e6 + 0.5).cast("long").as("rdi_e6"))
+    },
+    Some(s"""WITH $wideSql,
       |lng AS (
       |  SELECT date_bin_start, grouped_taxa, catch, 'selenium' AS nutrient,
       |    selenium AS nut_supply FROM wide
@@ -212,5 +217,55 @@ object NutrientQueries {
       |  CAST(floor(nut_rdi * 1e6 + 0.5) AS BIGINT) AS rdi_e6
       |FROM rdi""".stripMargin))
 
-  def queries: Seq[GQuery] = Seq(q74)
+  /** The nutrient backfill tail (`R/format-public-data.R:613-698`):
+    * median nutrient-per-catch proportions → the catch-all taxon's
+    * nutrients recomputed from its catch for bins at/after the cutoff
+    * ('IC7' / 1995-01-01 play MZZ / 2018-04-01) → na.rm sums per date
+    * bin, long. Sums at 1e12 fixed-point (nutrient masses are far
+    * below the micros scale). */
+  val q81 = GQuery(
+    "q81_nutrient_backfill",
+    (s, d) => {
+      val nt = Nutrients.nutrientsTable(fixtureFish(s, d), fixtureFao(s, d), "ord")
+      val wide = Nutrients.summariseNutrients(fixtureTaxaEstimations(s, d), nt)
+      val props = Nutrients.nutrientProportions(wide)
+      val filled = Nutrients.fillMissingGroup(wide, props,
+        taxa = "IC7", since = "1995-01-01")
+      Nutrients.aggregateNutrients(filled)
+        .select(col("date_bin_start"), col("nutrient"),
+          floor(col("nut_supply") * 1e9 + 0.5).cast("long").as("supply_e9"))
+    },
+    Some {
+      val scale = "1000000000000.0"
+      def lsumSql(c: String) =
+        s"""CASE WHEN CAST(COUNT($c) AS DOUBLE) *
+           | CAST(MAX(abs(CAST(floor(($c) * $scale + 0.5) AS BIGINT))) AS DOUBLE) < 9.0e18
+           | THEN CAST(SUM(CAST(floor(($c) * $scale + 0.5) AS BIGINT)) AS DOUBLE) / $scale
+           | END""".stripMargin.replace("\n", "")
+      val nuts = Seq("selenium", "zinc", "protein", "omega3", "calcium", "iron", "vitaminA")
+      s"""WITH $wideSql,
+        |props AS (
+        |  SELECT ${nuts.map(n => s"quantile_cont($n / catch * 100.0, 0.5) AS p_$n").mkString(", ")}
+        |  FROM wide),
+        |filled AS (
+        |  SELECT w.date_bin_start,
+        |    ${nuts.map(n =>
+             s"""CASE WHEN w.grouped_taxa = 'IC7' AND w.date_bin_start >= DATE '1995-01-01'
+                | THEN w.catch * p.p_$n / 100.0 ELSE w.$n END AS $n""".stripMargin.replace("\n", ""))
+             .mkString(", ")}
+        |  FROM wide w, props p),
+        |ag AS (
+        |  SELECT date_bin_start,
+        |    ${nuts.map(n => s"COALESCE(${lsumSql(n)}, 0.0) AS $n").mkString(", ")}
+        |  FROM filled GROUP BY date_bin_start),
+        |lng AS (
+        |  ${nuts.map(n =>
+             s"SELECT date_bin_start, '$n' AS nutrient, $n AS nut_supply FROM ag")
+             .mkString(" UNION ALL ")})
+        |SELECT date_bin_start, nutrient,
+        |  CAST(floor(nut_supply * 1e9 + 0.5) AS BIGINT) AS supply_e9
+        |FROM lng""".stripMargin
+    })
+
+  def queries: Seq[GQuery] = Seq(q74, q81)
 }

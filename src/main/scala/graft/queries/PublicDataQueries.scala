@@ -197,5 +197,81 @@ object PublicDataQueries {
          |FROM rolled""".stripMargin
     })
 
-  def queries: Seq[GQuery] = Seq(q75, q76)
+  /** `add_calculated_fields` (`R/format-public-data.R:289-327`) over a
+    * nested catch column: the rowwise purrr::map closures become
+    * higher-order array expressions — no explode, one shuffle (the
+    * nest), codegen'd field math. 'N' plays the no-catch marker "0". */
+  val q79 = GQuery(
+    "q79_calculated_fields",
+    (s, d) => {
+      val nested = graft.operators.Nest.nest(
+        lineitem(s, d),
+        keys = Seq("l_orderkey"),
+        payload = Seq("l_linenumber", "l_returnflag"),
+        orderField = "l_linenumber",
+        as = "items")
+      PublicData.addCalculatedFields(nested, "items", "l_returnflag", noCatch = "N")
+        .select(col("l_orderkey"), col("n_taxa"), col("taxa"))
+    },
+    Some("""SELECT l_orderkey,
+      |  CAST(COUNT(DISTINCT l_returnflag) FILTER (WHERE l_returnflag <> 'N') AS BIGINT) AS n_taxa,
+      |  COALESCE(string_agg(l_returnflag, ' ' ORDER BY l_returnflag), '') AS taxa
+      |FROM lineitem GROUP BY l_orderkey""".stripMargin))
+
+  /** The CPUE block of `get_summary_data` (`R/format-public-data.R:
+    * 862-900`): per-landing composition → guarded ratio → exact median
+    * per (municipality, gear). trip_length ≡ 0 for orderkey % 7 == 0
+    * landings exercises the is.infinite→NA guard; the all-M4-zero
+    * fisher count exercises na.omit dropping a whole group. */
+  val q80 = GQuery(
+    "q80_cpue_median",
+    (s, d) => {
+      val o = orders(s, d)
+      val rows = lineitem(s, d)
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(
+          col("l_orderkey").as("landing_id"),
+          concat(lit("M"), (col("o_custkey") % 5).cast("string")).as("municipality"),
+          col("o_orderstatus").as("gear"),
+          (col("o_orderkey") % 7).cast("double").as("trip_length"),
+          when(col("o_custkey") % 5 === 4, lit(0.0))
+            .otherwise((col("o_custkey") % 4 + 1).cast("double")).as("n_fishers"),
+          col("l_quantity").as("catch"),
+          col("l_linenumber").as("ord"))
+      PublicData.cpueMedians(rows, "ord")
+        .select(col("municipality"), col("gear"),
+          floor(col("cpue") * 1e9 + 0.5).cast("long").as("cpue_e9"))
+    },
+    Some(s"""WITH rows_ AS (
+      |  SELECT l_orderkey AS landing_id,
+      |    'M' || CAST(o_custkey % 5 AS VARCHAR) AS municipality,
+      |    o_orderstatus AS gear,
+      |    CAST(o_orderkey % 7 AS DOUBLE) AS trip_length,
+      |    CASE WHEN o_custkey % 5 = 4 THEN 0.0
+      |         ELSE CAST(o_custkey % 4 + 1 AS DOUBLE) END AS n_fishers,
+      |    l_quantity AS catch, l_linenumber AS ord
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |per AS (
+      |  SELECT landing_id,
+      |    arg_min(municipality, ord) AS municipality,
+      |    arg_min(gear, ord) AS gear,
+      |    arg_min(trip_length, ord) AS trip_length,
+      |    arg_min(n_fishers, ord) AS n_fishers,
+      |    ${dsumSql("catch")} AS landing_catch
+      |  FROM rows_
+      |  WHERE landing_id IS NOT NULL AND catch IS NOT NULL
+      |  GROUP BY landing_id),
+      |cp AS (
+      |  SELECT municipality, gear,
+      |    CASE WHEN trip_length <> 0.0 AND n_fishers <> 0.0
+      |         THEN (landing_catch / 1000.0 / trip_length) / n_fishers END AS cpue
+      |  FROM per),
+      |med AS (
+      |  SELECT municipality, gear, quantile_cont(cpue, 0.5) AS cpue
+      |  FROM cp GROUP BY municipality, gear)
+      |SELECT municipality, gear,
+      |  CAST(floor(cpue * 1e9 + 0.5) AS BIGINT) AS cpue_e9
+      |FROM med WHERE cpue IS NOT NULL""".stripMargin))
+
+  def queries: Seq[GQuery] = Seq(q75, q76, q79, q80)
 }

@@ -99,9 +99,12 @@ object ReshapeQueries {
       val o = orders(s, d).withColumn("month", date_trunc("month", col("o_orderdate")))
       val monthly = o.groupBy(col("month"), col("o_orderstatus"))
         .agg(lcount(lit(1)).as("n"), lsum6(col("o_totalprice")).as("total"))
-      val spine = o.agg(min(col("month")).as("lo"), max(col("month")).as("hi"))
+      // spine bounds and the status domain come from the ALREADY-AGGREGATED
+      // frame (every month/status of o appears in monthly), so orders is
+      // scanned once, not three times — r1→r2 regression chased in VERDICT §7
+      val spine = monthly.agg(min(col("month")).as("lo"), max(col("month")).as("hi"))
         .select(explode(sequence(col("lo"), col("hi"), expr("interval 1 month"))).as("month"))
-      val statuses = o.select(col("o_orderstatus")).distinct()
+      val statuses = monthly.select(col("o_orderstatus")).distinct()
       Complete.complete(monthly, spine.crossJoin(statuses), Seq("month", "o_orderstatus"))
         .na.fill(0, Seq("n"))
         .na.fill(0.0, Seq("total"))
