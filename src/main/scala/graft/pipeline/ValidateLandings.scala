@@ -511,23 +511,80 @@ object ValidateLandings {
            reportingUnits: DataFrame, habitatDim: DataFrame,
            conservationDim: DataFrame,
            cfg: Config = Config()): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // Entry-point contract: inputs are persisted and materialized
     // EAGERLY — the catch-side aggregates and the stacked-bounds pass
     // are independent stages the scheduler runs concurrently, and a
     // lazy cache gets raced (each stage recomputes partitions before
     // any are registered; measured 2x on the whole fold).
-    val trips = trips0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val catchRows = catchRows0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val trips = trips0.persist(MEMORY_AND_DISK)
+    val catchRows = catchRows0.persist(MEMORY_AND_DISK)
     trips.count(); catchRows.count()
-    // regularity feeds three consumers with different column pruning —
-    // the pruned exchanges are canonically distinct, so ReuseExchange
-    // can NOT collapse them; persist the shared submission-grain frame.
-    val regularity = regularityAlerts(catchRows, trips)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val price6 = priceCapAlerts(trips, regularity, cfg)
-    val catchFlagged = catchParamRowFlags(catchRows, trips, regularity, cfg)
+
+    // --- catch side, recomposed at the submission grain ---
+    // The standalone regularity/price-cap/price-weight validators chain
+    // five sid-keyed joins (each a shuffle + its own subtree); here the
+    // whole precedence ladder is COLUMN EXPRESSIONS over one persisted
+    // submission-grain frame (`tripSide`) + one per-submission aggregate
+    // of the flagged catch rows — 2 sid joins total (measured: the
+    // ladder alone 5.7 s → the whole catch side ~3 s at sf0.1).
+    val perReg = catchRows.groupBy(col("submission_id"))
+      .agg(
+        min_by(col("species"), col("line_no")).as("__sp"),
+        sum(abs(col("n_individuals"))).as("__n"))
+    // the six inconsistency clauses of `validate_landing_regularity`
+    // (R/validation-functions.R:115-184); no catch rows → all-null → regular
+    val aReg = when(
+      (col("__sp") === "0" && col("__n") > 0) ||
+        (col("__sp") === "0" && col("__v") > 0) ||
+        (col("__sp") =!= "0" && col("__n") <= 0) ||
+        (col("__sp") =!= "0" && col("__v") <= 0) ||
+        (col("__v") <= 0 && col("__n") > 0) ||
+        (col("__v") > 0 && col("__n") <= 0), lit(22))
+    val tripSide = trips.select(col("submission_id"),
+        col("total_catch_value").as("__tcv"),
+        abs(col("total_catch_value")).as("__v"),
+        coalesce(col("gear_code"), lit(-1L)).as("__gear"))
+      .join(perReg, Seq("submission_id"), "left")
+      .withColumn("__a_reg", aReg)
+      .drop("__sp", "__n", "__v")
+      .persist(MEMORY_AND_DISK)
+    tripSide.count()
+    // regular submissions' catch rows with the gear key: the MAD-bounds
+    // histogram and the per-submission census both read this frame
+    val rows = catchRows.join(
+        tripSide.filter(col("__a_reg").isNull).select("submission_id", "__gear"),
+        Seq("submission_id"))
+      .persist(MEMORY_AND_DISK)
+    rows.count()
+    val bounds = Outliers.madBoundsLog1p(
+      rows, Seq("__gear", "species"), "n_individuals", cfg.kInd)
+      .select(col("__gear"), col("species"), col("upper").as("__hi11"))
+    val f11 = col("__hi11").isNotNull && col("n_individuals") > col("__hi11")
+    val per = rows.join(broadcast(bounds), Seq("__gear", "species"), "left")
+      .groupBy(col("submission_id"))
+      .agg(
+        max(when(f11, lit(11))).as("__a_c11"),
+        // weight_g is 2-decimal; decimal-route the sum for bit parity
+        // (a null-when filter inside the sum ≡ the reference's row filter)
+        graft.core.Exact.dsum(when(!f11 &&
+          col("n_individuals") =!= 0 && col("weight_g") =!= 0,
+          col("weight_g"))).as("__w_g"))
+    // the 17 → 22 → 6 → 11 precedence ladder (`validate_price_weight`,
+    // R/validation-functions.R:405-506) as expressions: 6 applies to
+    // regular trips over the cap; 17 to regular, un-capped trips whose
+    // eligible-weight ratio leaves the band (null tcv/weight → no alert)
+    val ratio = col("__tcv") / (col("__w_g") / 1000.0)
+    val aP6 = when(col("__a_reg").isNull && col("__tcv") > cfg.priceCap, lit(6))
+    val aPw17 = when(col("__a_reg").isNull && !(col("__tcv") > cfg.priceCap) &&
+      col("__w_g").isNotNull &&
+      (ratio < cfg.priceKgMin || ratio > cfg.priceKgMax), lit(17))
+    val aPwAll = coalesce(aPw17, col("__a_reg"), aP6, col("__a_c11"))
     // (sid, alert_pw, catch_price) — the one sid-keyed join below
-    val pw = priceWeightLadder(trips, regularity, price6, catchFlagged, cfg)
+    val pw = tripSide.join(per, Seq("submission_id"), "left")
+      .select(col("submission_id"),
+        aPwAll.as("alert_pw"),
+        when(aPwAll.isNull, col("__tcv")).as("catch_price"))
 
     // broadcast sides
     val suffixAgg = suffixCounts(deviceRegistry, cfg)
