@@ -393,5 +393,102 @@ object ValidateQueries {
       |  COUNT(DISTINCT alert) AS n_alert_values
       |FROM appended GROUP BY 1, 2, 3""".stripMargin))
 
-  def queries: Seq[GQuery] = Seq(q72, q73)
+  /** PDS points fixture from `events`: trip = (user, day), epoch-second
+    * times, q29's deterministic lat/lng, `value` as speed (m/s). */
+  def fixturePdsPoints(s: SparkSession, d: String): DataFrame =
+    events(s, d).select(
+      concat(col("user_id"), lit("-"), dayofmonth(col("ts"))).as("trip"),
+      unix_timestamp(col("ts")).as("tsec"),
+      (((col("event_id") % 180) - 90).cast("double") * 0.5).as("lat"),
+      (((col("event_id") % 360) - 180).cast("double") * 0.25).as("lng"),
+      col("value").as("speed_ms"),
+      col("event_id").as("ord"))
+
+  /** q82: the PDS-side validation — one-pass track descriptors (exact
+    * closed-form time-trace sd, speed-outlier %, start↔end haversine)
+    * composed into `validate_pds_data`'s alert/cleaning ladder; census
+    * per alert triple. Cut points sit mid-data so every arm fires. */
+  val q82 = GQuery(
+    "q82_pds_validate",
+    (s, d) => {
+      import graft.pipeline.ValidatePdsTrips
+      val pts = fixturePdsPoints(s, d)
+      val desc = ValidatePdsTrips.trackDescriptors(pts, "ord")
+      val tripAgg = pts.groupBy(col("trip"))
+        .agg(
+          (max(col("tsec")) - min(col("tsec"))).cast("double").as("duration_s"),
+          timestamp_seconds(min(col("tsec"))).as("started"),
+          timestamp_seconds(max(col("tsec"))).as("ended"),
+          (dsum(col("speed_ms")) * 50.0).as("distance_m"))
+      val trips = tripAgg.join(desc, Seq("trip"))
+      val v = ValidatePdsTrips.validated(trips,
+        ValidatePdsTrips.Config(maxHrs = 12.0, minHrs = 0.5, km = 8.0,
+          outl = 40.0, timet = 3600.0))
+      v.join(trips.select(col("trip").as("tracker_trip_id"),
+          col("outliers_proportion"),
+          col("timetrace_dispersion"),
+          round(col("start_end_distance") / 1000.0, 3).as("se_km3")),
+        Seq("tracker_trip_id"))
+        .groupBy(col("alert_duration"), col("alert_distance"), col("alert_quality"))
+        .agg(
+          lcount(lit(1)).as("n_trips"),
+          lsum6(col("tracker_trip_duration")).as("sum_duration"),
+          dsum(col("tracker_trip_distance")).as("sum_distance"),
+          lcount(col("tracker_trip_start")).as("n_start"),
+          lsum6(col("outliers_proportion")).as("sum_outlier_pct"),
+          lsum6(col("timetrace_dispersion")).as("sum_dispersion"),
+          lsum6(col("se_km3")).as("sum_se_km"))
+    },
+    Some(s"""WITH pts AS (
+      |  SELECT CAST(user_id AS VARCHAR) || '-' || CAST(day(ts) AS VARCHAR) AS trip,
+      |    CAST(floor(date_part('epoch', ts)) AS BIGINT) AS tsec,
+      |    CAST((event_id % 180) - 90 AS DOUBLE) * 0.5 AS lat,
+      |    CAST((event_id % 360) - 180 AS DOUBLE) * 0.25 AS lng,
+      |    value AS speed_ms, event_id AS ord
+      |  FROM events),
+      |dd AS (
+      |  SELECT *, tsec - lag(tsec) OVER (PARTITION BY trip ORDER BY ord) AS d
+      |  FROM pts),
+      |des AS (
+      |  SELECT trip,
+      |    arg_min(lat, ord) AS lat1, arg_min(lng, ord) AS lng1,
+      |    arg_max(lat, ord) AS lat2, arg_max(lng, ord) AS lng2,
+      |    SUM(CASE WHEN speed_ms > 30.0 THEN 1 ELSE 0 END) * 100.0 / COUNT(*) AS outp,
+      |    SUM(d) AS s1, SUM(d * d) AS s2, COUNT(d) AS n
+      |  FROM dd GROUP BY trip),
+      |des2 AS (
+      |  SELECT trip, outp,
+      |    CASE WHEN n > 1 THEN sqrt((CAST(s2 AS DOUBLE) -
+      |      CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1)) END AS disp,
+      |    round(2.0 * 6371.0088 * asin(sqrt(
+      |      sin(radians(lat2 - lat1) / 2.0) * sin(radians(lat2 - lat1) / 2.0) +
+      |      cos(radians(lat1)) * cos(radians(lat2)) *
+      |      sin(radians(lng2 - lng1) / 2.0) * sin(radians(lng2 - lng1) / 2.0))), 3) AS se_km3
+      |  FROM des),
+      |tripagg AS (
+      |  SELECT trip, CAST(MAX(tsec) - MIN(tsec) AS DOUBLE) AS duration_s,
+      |    ${dsumSqlV("speed_ms")} * 50.0 AS distance_m
+      |  FROM pts GROUP BY trip),
+      |v AS (
+      |  SELECT t.trip,
+      |    CASE WHEN t.duration_s > 12.0 * 3600.0 OR t.duration_s < 0.5 * 3600.0
+      |      THEN 8 END AS alert_duration,
+      |    CASE WHEN t.distance_m > 8.0 * 1000.0 THEN 9 END AS alert_distance,
+      |    CASE WHEN d.outp > 40.0 OR d.disp > 3600.0 THEN 13 END AS alert_quality,
+      |    t.duration_s, t.distance_m, d.outp, d.disp, d.se_km3
+      |  FROM tripagg t JOIN des2 d ON t.trip = d.trip)
+      |SELECT alert_duration, alert_distance, alert_quality,
+      |  COUNT(*) AS n_trips,
+      |  ${sqlLsum6("CASE WHEN alert_duration IS NULL THEN duration_s END")} AS sum_duration,
+      |  CAST(SUM(CAST((CASE WHEN alert_distance IS NULL THEN distance_m END) AS DECIMAL(38,6))) AS DOUBLE) AS sum_distance,
+      |  COUNT(CASE WHEN alert_duration IS NULL THEN 1 END) AS n_start,
+      |  ${sqlLsum6("outp")} AS sum_outlier_pct,
+      |  ${sqlLsum6("disp")} AS sum_dispersion,
+      |  ${sqlLsum6("se_km3")} AS sum_se_km
+      |FROM v GROUP BY 1, 2, 3""".stripMargin))
+
+  private def dsumSqlV(x: String) =
+    s"CAST(SUM(CAST(($x) AS DECIMAL(38,6))) AS DOUBLE)"
+
+  def queries: Seq[GQuery] = Seq(q72, q73, q82)
 }
