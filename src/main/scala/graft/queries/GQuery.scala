@@ -29,7 +29,8 @@ object Registry {
       ValidateQueries.queries ++
       NutrientQueries.queries ++
       PublicDataQueries.queries ++
-      EstimationQueries.queries
+      EstimationQueries.queries ++
+      SummaryQueries.queries
 
   def byName: Map[String, GQuery] = all.map(q => q.name -> q).toMap
 }

@@ -1,0 +1,149 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Exact._
+import graft.core.Tables._
+import graft.pipeline.{Export, SummaryData}
+
+/** The portal summary/export compositions under the oracle
+  * (`R/format-public-data.R:783-960`, `R/export.R:93-248`): q83 the
+  * fish-group catch composition with the sub-1 % "Other" bucket, q84
+  * the conservation complete-grid percentages, q85 the ontology
+  * renames + period labels. */
+object SummaryQueries {
+
+  private val dsumSql = (x: String) => s"CAST(SUM(CAST(($x) AS DECIMAL(38,6))) AS DOUBLE)"
+
+  /** 18 taxa codes covering every fish-group arm plus two unknowns;
+    * the first three codes' catches are scaled down so their groups
+    * land under 1 % and re-bucket to "Other". */
+  private val TaxaCodes = Seq(
+    "COZ", "PEZ", "MZZ", "SLV", "OCZ", "SKH", "SNA", "GPX", "CGX",
+    "TUN", "YDX", "SPI", "RAX", "CLP", "FLY", "XXX", "YYY", "SUR")
+
+  def fixtureTaxaCatch(s: SparkSession, d: String): DataFrame = {
+    val idx = (col("l_partkey") % 18).cast("int")
+    lineitem(s, d).select(
+      element_at(array(TaxaCodes.map(lit): _*), idx + 1).as("catch_taxon"),
+      (col("l_quantity") * 100.0 *
+        when(idx < 3, lit(0.02)).otherwise(lit(1.0))).as("catch"))
+  }
+
+  private val taxaCaseSql = {
+    val arms = TaxaCodes.zipWithIndex
+      .map { case (c, i) => s"WHEN $i THEN '$c'" }.mkString(" ")
+    s"CASE l_partkey % 18 $arms END"
+  }
+
+  /** fish_group mapping as SQL (same arm order as
+    * [[SummaryData.fishGroupOf]]). */
+  private val groupCaseSql =
+    """CASE WHEN catch_taxon IN ('COZ') THEN 'Molluscs'
+      | WHEN catch_taxon IN ('PEZ') THEN 'Shrimps'
+      | WHEN catch_taxon IN ('MZZ') THEN 'Unknown'
+      | WHEN catch_taxon IN ('SLV','CRA') THEN 'Crustaceans'
+      | WHEN catch_taxon IN ('OCZ','IAX') THEN 'Cephalopods'
+      | WHEN catch_taxon IN ('SKH','SRX') THEN 'Sharks and rays'
+      | WHEN catch_taxon IN ('SNA','GPX','PWT','SUR','GRX','MUI','BGX') THEN 'Large demersals'
+      | WHEN catch_taxon IN ('CGX','TUN','BEN','LWX','BAR','SFA','CBA','DOX','ECN','DOS') THEN 'Large pelagics'
+      | WHEN catch_taxon IN ('YDX','SPI','EMP','TRI','MOJ','WRA','MOO','BWH','LGE','MOB','MHL','GOX','THO','IHX','APO','PUX','DRZ') THEN 'Small demersals'
+      | WHEN catch_taxon IN ('RAX','SDX','CJX','CLP','GZP','FLY','KYX','MUL','DSF','MIL','THF') THEN 'Small pelagics'
+      | END""".stripMargin.replace("\n", "")
+
+  val q83 = GQuery(
+    "q83_groups_comp",
+    (s, d) => SummaryData.groupsComposition(fixtureTaxaCatch(s, d)),
+    Some(s"""WITH rows_ AS (
+      |  SELECT $taxaCaseSql AS catch_taxon,
+      |    l_quantity * 100.0 *
+      |      (CASE WHEN l_partkey % 18 < 3 THEN 0.02 ELSE 1.0 END) AS catch
+      |  FROM lineitem),
+      |labelled AS (
+      |  SELECT $groupCaseSql AS fish_group, catch
+      |  FROM rows_ WHERE $groupCaseSql IS NOT NULL),
+      |tot AS (SELECT COALESCE(${dsumSql("catch")}, 0.0) AS t FROM labelled),
+      |per AS (
+      |  SELECT fish_group, COALESCE(${dsumSql("catch")}, 0.0) AS c
+      |  FROM labelled GROUP BY fish_group),
+      |bucketed AS (
+      |  SELECT CASE WHEN c / t.t * 100.0 < 1.0 THEN 'Other' ELSE fish_group END AS fish_group, c
+      |  FROM per, tot t WHERE c / t.t * 100.0 <> 0.0)
+      |SELECT fish_group,
+      |  CAST(floor(COALESCE(${dsumSql("c")}, 0.0) / 1000000.0) AS BIGINT) AS catch
+      |FROM bucketed GROUP BY fish_group""".stripMargin))
+
+  def fixtureConservation(s: SparkSession, d: String): DataFrame = {
+    val k = col("o_orderkey")
+    val m = concat(lit("M"), (col("o_custkey") % 5).cast("string"))
+    orders(s, d).select(
+      m.as("municipality"),
+      when(k % 31 === 0, lit(null).cast("string"))
+        .when(col("o_custkey") % 5 === 4 && k % 4 === 3, lit("P0"))
+        .otherwise(concat(lit("P"), (k % 4).cast("string"))).as("catch_preservation"))
+  }
+
+  val q84 = GQuery(
+    "q84_conservation_complete",
+    (s, d) =>
+      SummaryData.conservationShares(fixtureConservation(s, d))
+        .select(col("municipality"), col("catch_preservation"), col("count"),
+          floor(col("perc") * 1e6 + 0.5).cast("long").as("perc_e6")),
+    Some("""WITH t AS (
+      |  SELECT 'M' || CAST(o_custkey % 5 AS VARCHAR) AS municipality,
+      |    CASE WHEN o_orderkey % 31 = 0 THEN NULL
+      |         WHEN o_custkey % 5 = 4 AND o_orderkey % 4 = 3 THEN 'P0'
+      |         ELSE 'P' || CAST(o_orderkey % 4 AS VARCHAR) END AS catch_preservation
+      |  FROM orders),
+      |obs AS (SELECT * FROM t WHERE catch_preservation IS NOT NULL),
+      |counts AS (
+      |  SELECT municipality, catch_preservation, COUNT(*) AS count
+      |  FROM obs GROUP BY 1, 2),
+      |nobs AS (SELECT municipality, COUNT(*) AS n FROM obs GROUP BY 1),
+      |withperc AS (
+      |  SELECT c.municipality, c.catch_preservation, c.count,
+      |    c.count * 1.0 / n.n * 100.0 AS perc
+      |  FROM counts c JOIN nobs n ON c.municipality = n.municipality),
+      |grid AS (
+      |  SELECT m.municipality, p.catch_preservation
+      |  FROM (SELECT DISTINCT municipality FROM obs) m
+      |  CROSS JOIN (SELECT DISTINCT catch_preservation FROM obs) p)
+      |SELECT g.municipality, g.catch_preservation,
+      |  COALESCE(w.count, 0) AS count,
+      |  CAST(floor(COALESCE(w.perc, 0.0) * 1e6 + 0.5) AS BIGINT) AS perc_e6
+      |FROM grid g LEFT JOIN withperc w
+      |  ON g.municipality = w.municipality
+      | AND g.catch_preservation = w.catch_preservation""".stripMargin))
+
+  def fixtureMonthly(s: SparkSession, d: String): DataFrame =
+    orders(s, d).groupBy(
+        concat(lit("M"), (col("o_custkey") % 5).cast("string")).as("municipality"),
+        to_date(date_trunc("month", col("o_orderdate"))).as("date_bin_start"))
+      .agg(
+        dsum(col("o_totalprice") * 0.25).as("catch_price"),
+        dsum(col("o_totalprice") * 0.5).as("landing_catch"),
+        min(col("o_orderpriority")).as("catch_preservation"),
+        min(col("o_orderstatus")).as("propulsion_gear"))
+
+  val q85 = GQuery(
+    "q85_export_labels",
+    (s, d) => {
+      val out = Export.aggregatedLabels(
+        Export.renameOntology(fixtureMonthly(s, d)), "month", nBoats = Some(777L))
+      out.select(col("region"), col("month"), col("year"), col("n_boats"),
+        floor(col("revenue") * 100.0 + 0.5).cast("long").as("revenue_e2"),
+        floor(col("landing_weight") * 100.0 + 0.5).cast("long").as("weight_e2"),
+        col("conservation_place"), col("propulsion_gear_type"))
+    },
+    Some("""SELECT 'M' || CAST(o_custkey % 5 AS VARCHAR) AS region,
+      |  strftime(date_trunc('month', o_orderdate), '%B %Y') AS month,
+      |  strftime(date_trunc('month', o_orderdate), '%Y') AS year,
+      |  CAST(777 AS BIGINT) AS n_boats,
+      |  CAST(floor(CAST(SUM(CAST((o_totalprice * 0.25) AS DECIMAL(38,6))) AS DOUBLE) * 100.0 + 0.5) AS BIGINT) AS revenue_e2,
+      |  CAST(floor(CAST(SUM(CAST((o_totalprice * 0.5) AS DECIMAL(38,6))) AS DOUBLE) * 100.0 + 0.5) AS BIGINT) AS weight_e2,
+      |  MIN(o_orderpriority) AS conservation_place,
+      |  MIN(o_orderstatus) AS propulsion_gear_type
+      |FROM orders GROUP BY 1, 2, 3""".stripMargin))
+
+  def queries: Seq[GQuery] = Seq(q83, q84, q85)
+}
