@@ -512,14 +512,14 @@ object ValidateLandings {
            conservationDim: DataFrame,
            cfg: Config = Config()): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    // Entry-point contract: inputs are persisted and materialized
-    // EAGERLY — the catch-side aggregates and the stacked-bounds pass
-    // are independent stages the scheduler runs concurrently, and a
-    // lazy cache gets raced (each stage recomputes partitions before
-    // any are registered; measured 2x on the whole fold).
-    val trips = trips0.persist(MEMORY_AND_DISK)
-    val catchRows = catchRows0.persist(MEMORY_AND_DISK)
-    trips.count(); catchRows.count()
+    // The raw inputs are NOT persisted: each is a pruned projection
+    // over columnar source scans, and re-scanning (2× catch, 3× trips)
+    // costs less than a persist + eager-count barrier per input — every
+    // barrier is a sequential job on the entry point's critical path
+    // (measured: dropping both input persists cut ~2 s of the fold's
+    // wall time at sf0.1 while total scan work stayed trivial).
+    val trips = trips0
+    val catchRows = catchRows0
 
     // --- catch side, recomposed at the submission grain ---
     // The standalone regularity/price-cap/price-weight validators chain
@@ -548,10 +548,14 @@ object ValidateLandings {
       .join(perReg, Seq("submission_id"), "left")
       .withColumn("__a_reg", aReg)
       .drop("__sp", "__n", "__v")
+      // LAZY persist is safe here: tripSide's two consumers (the rows
+      // materialization below and the pw checkpoint) run as SEQUENTIAL
+      // jobs, so the first one populates the cache with no race
       .persist(MEMORY_AND_DISK)
-    tripSide.count()
     // regular submissions' catch rows with the gear key: the MAD-bounds
-    // histogram and the per-submission census both read this frame
+    // histogram and the per-submission census read this frame as
+    // CONCURRENT stages of the pw job — this one stays an eager barrier
+    // (a lazy cache gets raced and each stage recomputes partitions)
     val rows = catchRows.join(
         tripSide.filter(col("__a_reg").isNull).select("submission_id", "__gear"),
         Seq("submission_id"))
@@ -580,11 +584,19 @@ object ValidateLandings {
       col("__w_g").isNotNull &&
       (ratio < cfg.priceKgMin || ratio > cfg.priceKgMax), lit(17))
     val aPwAll = coalesce(aPw17, col("__a_reg"), aP6, col("__a_c11"))
-    // (sid, alert_pw, catch_price) — the one sid-keyed join below
+    // (sid, alert_pw, catch_price) — the one sid-keyed join below.
+    // localCheckpoint (submission grain, small) so every persisted
+    // intermediate can be RELEASED before returning: a lazy entry point
+    // that leaks 4 persisted frames per call starves a long-running
+    // session's block store (measured: q72 5.2 s alone, 10.6 s late in
+    // the bench suite). Truncated lineage on executor loss is the
+    // documented localCheckpoint trade — acceptable for a frame this
+    // size (recompute = re-run the entry point).
     val pw = tripSide.join(per, Seq("submission_id"), "left")
       .select(col("submission_id"),
         aPwAll.as("alert_pw"),
         when(aPwAll.isNull, col("__tcv")).as("catch_price"))
+      .localCheckpoint(true)
 
     // broadcast sides
     val suffixAgg = suffixCounts(deviceRegistry, cfg)
@@ -596,11 +608,20 @@ object ValidateLandings {
         col("reporting_unit").as("reporting_region"))
       .distinct()
     val fisherCols = Seq("fisher_child", "fisher_man", "fisher_woman")
+    // one-row bounds frame, checkpointed eagerly so the final plan no
+    // longer depends on the cached trips (released below)
     val wide = stackedGlobalBounds(trips,
       fisherCols.map(c => c -> col(c).cast("double")) ++ Seq(
         "n_gleaners" -> abs(col("n_gleaners").cast("double")),
         // the fuel MAD is computed over fuel >= 0 (see object doc)
         "fuel" -> when(col("fuel").cast("double") >= 0, col("fuel").cast("double"))))
+      .localCheckpoint(true)
+
+    // every consumer of the persisted intermediates has materialized;
+    // release them so the entry point leaks NO cached blocks. The final
+    // projection below re-reads `trips` from source — one scan, and the
+    // source scan column-prunes where the cache would not.
+    Seq(rows, tripSide).foreach(_.unpersist(false))
 
     // trip-local expressions (reference lines cited on the standalone methods)
     val dur = abs(col("duration_hrs"))
