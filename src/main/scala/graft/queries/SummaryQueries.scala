@@ -145,5 +145,96 @@ object SummaryQueries {
       |  MIN(o_orderstatus) AS propulsion_gear_type
       |FROM orders GROUP BY 1, 2, 3""".stripMargin))
 
-  def queries: Seq[GQuery] = Seq(q83, q84, q85)
+  /** Three Kobo survey generations with drifted columns (fuel under
+    * two names, habitat under three, the no-fishing reason as coded +
+    * free-text) — the merge-landings fixture. */
+  def fixtureGenerations(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
+    val k = col("o_orderkey")
+    val v1 = orders(s, d).filter(k % 3 === 0).select(
+      k.as("submission_id"),
+      (k % 40).cast("double").as("trip_group/fuel_used_L"),
+      concat(lit("H"), (k % 5).cast("string")).as("trip_group/Habitat_no_boat"),
+      when(k % 7 === 0, lit("seluk__hakerek"))
+        .otherwise(concat(lit("r"), (k % 4).cast("string")))
+        .as("Tanba_sa_la_iha_ro_o_peskador_"),
+      when(k % 7 === 0, lit("free text")).as("Seluk_hakerek_manualmente"),
+      lit(null).cast("string").as("_bamboo_dataset_id"))
+    val v2 = orders(s, d).filter(k % 3 === 1).select(
+      k.as("submission_id"),
+      (k % 50).cast("double").as("trip_group/Total_litru_mina_hir_e_ebe_gastu_ba_peska"),
+      concat(lit("G"), (k % 5).cast("string")).as("trip_group/habitat_no_boat"),
+      when(k % 11 === 0, (k % 2).cast("string")).as("reason_for_zero_boats"))
+    val v3 = orders(s, d).filter(k % 3 === 2).select(
+      k.as("submission_id"),
+      (k % 60).cast("double").as("trip_group/Total_litru_mina_hir_e_ebe_gastu_ba_peska"),
+      concat(lit("B"), (k % 5).cast("string")).as("trip_group/habitat_boat"))
+    (v1, v2, v3)
+  }
+
+  /** q86: merge_landings — version tag + union-by-name (missing→null)
+    * + the cross-generation column unification. Census per version over
+    * the unified columns. */
+  val q86 = GQuery(
+    "q86_merge_versions",
+    (s, d) => {
+      val (v1, v2, v3) = fixtureGenerations(s, d)
+      graft.pipeline.MergeLandings
+        .mergeVersions(graft.pipeline.MergeLandings.tagAndUnion(v1, v2, v3))
+        .groupBy(col("survey_version"))
+        .agg(
+          lcount(lit(1)).as("n_rows"),
+          dsum(col("fuel_L")).as("sum_fuel"),
+          countDistinct(col("`trip_group/habitat`")).as("n_habitats"),
+          lcount(col("reason_no_activity")).as("n_reasons"),
+          countDistinct(col("reason_no_activity")).as("n_reason_values"))
+    },
+    Some(s"""WITH v1 AS (
+      |  SELECT o_orderkey AS sid, 'v1' AS survey_version,
+      |    CAST(o_orderkey % 40 AS DOUBLE) AS fuel_old,
+      |    CAST(NULL AS DOUBLE) AS fuel_new,
+      |    CAST(NULL AS VARCHAR) AS hab_boat,
+      |    CAST(NULL AS VARCHAR) AS hab_nb_lower,
+      |    'H' || CAST(o_orderkey % 5 AS VARCHAR) AS hab_nb_upper,
+      |    CASE WHEN o_orderkey % 7 = 0 THEN 'seluk__hakerek'
+      |         ELSE 'r' || CAST(o_orderkey % 4 AS VARCHAR) END AS tanba,
+      |    CASE WHEN o_orderkey % 7 = 0 THEN 'free text' END AS seluk,
+      |    CAST(NULL AS VARCHAR) AS zero_boats
+      |  FROM orders WHERE o_orderkey % 3 = 0),
+      |v2 AS (
+      |  SELECT o_orderkey AS sid, 'v2' AS survey_version,
+      |    CAST(NULL AS DOUBLE) AS fuel_old,
+      |    CAST(o_orderkey % 50 AS DOUBLE) AS fuel_new,
+      |    CAST(NULL AS VARCHAR) AS hab_boat,
+      |    'G' || CAST(o_orderkey % 5 AS VARCHAR) AS hab_nb_lower,
+      |    CAST(NULL AS VARCHAR) AS hab_nb_upper,
+      |    CAST(NULL AS VARCHAR) AS tanba, CAST(NULL AS VARCHAR) AS seluk,
+      |    CASE WHEN o_orderkey % 11 = 0 THEN CAST(o_orderkey % 2 AS VARCHAR) END AS zero_boats
+      |  FROM orders WHERE o_orderkey % 3 = 1),
+      |v3 AS (
+      |  SELECT o_orderkey AS sid, 'v3' AS survey_version,
+      |    CAST(NULL AS DOUBLE) AS fuel_old,
+      |    CAST(o_orderkey % 60 AS DOUBLE) AS fuel_new,
+      |    'B' || CAST(o_orderkey % 5 AS VARCHAR) AS hab_boat,
+      |    CAST(NULL AS VARCHAR) AS hab_nb_lower,
+      |    CAST(NULL AS VARCHAR) AS hab_nb_upper,
+      |    CAST(NULL AS VARCHAR) AS tanba, CAST(NULL AS VARCHAR) AS seluk,
+      |    CAST(NULL AS VARCHAR) AS zero_boats
+      |  FROM orders WHERE o_orderkey % 3 = 2),
+      |unioned AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2 UNION ALL SELECT * FROM v3),
+      |merged AS (
+      |  SELECT survey_version,
+      |    COALESCE(fuel_new, fuel_old) AS fuel_L,
+      |    COALESCE(hab_boat,
+      |      substr(COALESCE(hab_nb_lower, hab_nb_upper), 1, 1)) AS habitat,
+      |    COALESCE(zero_boats,
+      |      CASE WHEN tanba = 'seluk__hakerek' THEN seluk ELSE tanba END) AS reason_no_activity
+      |  FROM unioned)
+      |SELECT survey_version, COUNT(*) AS n_rows,
+      |  ${dsumSql("fuel_L")} AS sum_fuel,
+      |  COUNT(DISTINCT habitat) AS n_habitats,
+      |  COUNT(reason_no_activity) AS n_reasons,
+      |  COUNT(DISTINCT reason_no_activity) AS n_reason_values
+      |FROM merged GROUP BY 1""".stripMargin))
+
+  def queries: Seq[GQuery] = Seq(q83, q84, q85, q86)
 }
