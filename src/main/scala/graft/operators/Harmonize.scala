@@ -40,4 +40,30 @@ object Harmonize {
     * (`bind_rows`, `R/merge-landings.R:102-105`). */
   def unionByNameAll(dfs: Seq[DataFrame]): DataFrame =
     dfs.reduce(_.unionByName(_, allowMissingColumns = true))
+
+  /** `clean_catches`' prefix-family merge (`R/clean-raw-data.R:36-90`):
+    * the same logical column arrives under several form-version
+    * prefixes ("Spp.", "Species.", "Species/", …); for every suffix
+    * present under any prefix, the per-prefix columns are coalesced IN
+    * PREFIX-LIST ORDER into one column named by the suffix (the
+    * reference's column-wise `coalesce(!!!prefix_list)`). Non-prefixed
+    * columns pass through. Name resolution is driver-side over
+    * `df.columns` (schema-sized); the result is one wide projection. */
+  def coalescePrefixFamilies(df: DataFrame, prefixes: Seq[String]): DataFrame = {
+    def raw(c: String): Column = col(s"`$c`")
+    val matched = for {
+      c <- df.columns.toSeq
+      p <- prefixes.find(c.startsWith).toSeq
+    } yield (c.stripPrefix(p), p, c)
+    val families: Seq[(String, Seq[String])] = matched
+      .groupBy(_._1).view
+      .mapValues(hits => hits.sortBy { case (_, p, _) => prefixes.indexOf(p) }
+        .map(_._3)).toSeq
+      .sortBy(_._1)
+    val passthrough = df.columns.toSeq
+      .filterNot(c => prefixes.exists(c.startsWith)).map(raw)
+    df.select(passthrough ++ families.map { case (suffix, sources) =>
+      coalesce(sources.map(raw): _*).as(suffix)
+    }: _*)
+  }
 }

@@ -236,5 +236,60 @@ object SummaryQueries {
       |  COUNT(DISTINCT reason_no_activity) AS n_reason_values
       |FROM merged GROUP BY 1""".stripMargin))
 
-  def queries: Seq[GQuery] = Seq(q83, q84, q85, q86)
+  /** q87: clean_catches' schema normalization — three form-version
+    * prefix families coalesced column-wise in prefix order, plus the
+    * food-or-sale recode (`nain_rua` → "both"). The fixture puts each
+    * submission's values under exactly one version's prefix (as real
+    * form revisions do) with overlapping nulls exercising the coalesce
+    * order. */
+  val q87 = GQuery(
+    "q87_prefix_families",
+    (s, d) => {
+      val k = col("o_orderkey")
+      def vcase(version: Int, c: org.apache.spark.sql.Column) =
+        when(k % 3 === version, c)
+      val wide = orders(s, d).select(
+        k.as("submission_id"),
+        vcase(0, (k % 40).cast("string")).as("Spp.species"),
+        vcase(0, when(k % 5 === 0, lit("nain_rua")).otherwise(lit("food")))
+          .as("Spp.food_or_sale"),
+        vcase(1, (k % 41).cast("string")).as("Species.species"),
+        vcase(1, lit("sale")).as("Species.food_or_sale"),
+        vcase(2, (k % 42).cast("string")).as("Species/species"),
+        vcase(2, when(k % 7 === 0, lit("nain_rua")).otherwise(lit("food")))
+          .as("Species/food_or_sale"))
+      val merged = graft.operators.Harmonize.coalescePrefixFamilies(
+        wide, Seq("Spp.", "Species.", "Species/"))
+      merged
+        .withColumn("food_or_sale",
+          graft.operators.Harmonize.recode(col("food_or_sale"),
+            Map("nain_rua" -> "both")))
+        .groupBy(col("food_or_sale"))
+        .agg(
+          lcount(lit(1)).as("n_rows"),
+          countDistinct(col("species")).as("n_species"),
+          lcount(col("species")).as("n_species_rows"))
+    },
+    Some("""WITH wide AS (
+      |  SELECT o_orderkey AS sid,
+      |    CASE WHEN o_orderkey % 3 = 0 THEN CAST(o_orderkey % 40 AS VARCHAR) END AS sp0,
+      |    CASE WHEN o_orderkey % 3 = 0 THEN
+      |      (CASE WHEN o_orderkey % 5 = 0 THEN 'nain_rua' ELSE 'food' END) END AS fs0,
+      |    CASE WHEN o_orderkey % 3 = 1 THEN CAST(o_orderkey % 41 AS VARCHAR) END AS sp1,
+      |    CASE WHEN o_orderkey % 3 = 1 THEN 'sale' END AS fs1,
+      |    CASE WHEN o_orderkey % 3 = 2 THEN CAST(o_orderkey % 42 AS VARCHAR) END AS sp2,
+      |    CASE WHEN o_orderkey % 3 = 2 THEN
+      |      (CASE WHEN o_orderkey % 7 = 0 THEN 'nain_rua' ELSE 'food' END) END AS fs2
+      |  FROM orders),
+      |merged AS (
+      |  SELECT sid, COALESCE(sp0, sp1, sp2) AS species,
+      |    CASE WHEN COALESCE(fs0, fs1, fs2) = 'nain_rua' THEN 'both'
+      |         ELSE COALESCE(fs0, fs1, fs2) END AS food_or_sale
+      |  FROM wide)
+      |SELECT food_or_sale, COUNT(*) AS n_rows,
+      |  COUNT(DISTINCT species) AS n_species,
+      |  COUNT(species) AS n_species_rows
+      |FROM merged GROUP BY 1""".stripMargin))
+
+  def queries: Seq[GQuery] = Seq(q83, q84, q85, q86, q87)
 }
