@@ -66,11 +66,19 @@ object SummaryData {
     val labelled = rows
       .withColumn("fish_group", fishGroupOf(col("catch_taxon")))
       .filter(col("fish_group").isNotNull)
-    val tot = labelled.agg(coalesce(dsum(col("catch")), lit(0.0)).as("__tot"))
-    val perGroup = labelled
+    val grouped = labelled
       .groupBy(col("fish_group"))
-      .agg(coalesce(dsum(col("catch")), lit(0.0)).as("__c"))
-      .crossJoin(broadcast(tot))
+      .agg(sum(col("catch").cast(graft.core.Exact.Dec)).as("__cd"))
+    // the grand total folds the per-group DECIMAL sums inside a window
+    // over the GROUPED frame (≤ the taxonomy's group count at any data
+    // scale): exact and associative, so bit-equal to summing the rows —
+    // and the fact table is scanned exactly once
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    val perGroup = grouped
+      .withColumn("__tot", sum(col("__cd")).over(w).cast("double"))
+      .withColumn("__c", coalesce(col("__cd").cast("double"), lit(0.0)))
+      .drop("__cd")
       .withColumn("__contr", col("__c") / col("__tot") * 100.0)
       .filter(col("__contr") =!= 0.0)
       .withColumn("fish_group",
