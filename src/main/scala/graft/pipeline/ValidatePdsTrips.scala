@@ -105,14 +105,17 @@ object ValidatePdsTrips {
     * as diagnostic columns.
     *
     * `trips`: (trip, duration_s, distance_m, started, ended,
-    * outliers_proportion, timetrace_dispersion, …). */
-  def validated(trips: DataFrame, cfg: Config = Config()): DataFrame = {
+    * outliers_proportion, timetrace_dispersion, …). `carry` names
+    * input columns appended unchanged — one projection instead of a
+    * join-back when the caller also wants diagnostics. */
+  def validated(trips: DataFrame, cfg: Config = Config(),
+                carry: Seq[String] = Nil): DataFrame = {
     val a8 = when(col("duration_s") > cfg.maxHrs * 3600.0 ||
       col("duration_s") < cfg.minHrs * 3600.0, lit(8))
     val a9 = when(col("distance_m") > cfg.km * 1000.0, lit(9))
     val a13 = when(col("outliers_proportion") > cfg.outl ||
       col("timetrace_dispersion") > cfg.timet, lit(13))
-    trips.select(
+    trips.select(Seq(
       col("trip").as("tracker_trip_id"),
       a8.as("alert_duration"),
       a9.as("alert_distance"),
@@ -121,6 +124,7 @@ object ValidatePdsTrips {
       when(a8.isNull, col("duration_s")).as("tracker_trip_duration"),
       when(a8.isNull, col("started")).as("tracker_trip_start"),
       when(a8.isNull, col("ended")).as("tracker_trip_end"),
-      when(a9.isNull, col("distance_m")).as("tracker_trip_distance"))
+      when(a9.isNull, col("distance_m")).as("tracker_trip_distance")) ++
+      carry.map(col): _*)
   }
 }

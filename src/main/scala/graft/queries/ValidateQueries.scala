@@ -421,14 +421,13 @@ object ValidateQueries {
           timestamp_seconds(max(col("tsec"))).as("ended"),
           (dsum(col("speed_ms")) * 50.0).as("distance_m"))
       val trips = tripAgg.join(desc, Seq("trip"))
-      val v = ValidatePdsTrips.validated(trips,
-        ValidatePdsTrips.Config(maxHrs = 12.0, minHrs = 0.5, km = 8.0,
-          outl = 40.0, timet = 3600.0))
-      v.join(trips.select(col("trip").as("tracker_trip_id"),
-          col("outliers_proportion"),
-          col("timetrace_dispersion"),
-          round(col("start_end_distance") / 1000.0, 3).as("se_km3")),
-        Seq("tracker_trip_id"))
+        .withColumn("se_km3", round(col("start_end_distance") / 1000.0, 3))
+      // diagnostics ride the validated projection (carry) — a join-back
+      // would evaluate the whole trips subtree twice
+      ValidatePdsTrips.validated(trips,
+          ValidatePdsTrips.Config(maxHrs = 12.0, minHrs = 0.5, km = 8.0,
+            outl = 40.0, timet = 3600.0),
+          carry = Seq("outliers_proportion", "timetrace_dispersion", "se_km3"))
         .groupBy(col("alert_duration"), col("alert_distance"), col("alert_quality"))
         .agg(
           lcount(lit(1)).as("n_trips"),
