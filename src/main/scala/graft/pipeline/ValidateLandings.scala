@@ -592,11 +592,10 @@ object ValidateLandings {
     // the bench suite). Truncated lineage on executor loss is the
     // documented localCheckpoint trade — acceptable for a frame this
     // size (recompute = re-run the entry point).
-    val pw = tripSide.join(per, Seq("submission_id"), "left")
+    val pwPlan = tripSide.join(per, Seq("submission_id"), "left")
       .select(col("submission_id"),
         aPwAll.as("alert_pw"),
         when(aPwAll.isNull, col("__tcv")).as("catch_price"))
-      .localCheckpoint(true)
 
     // broadcast sides
     val suffixAgg = suffixCounts(deviceRegistry, cfg)
@@ -610,12 +609,21 @@ object ValidateLandings {
     val fisherCols = Seq("fisher_child", "fisher_man", "fisher_woman")
     // one-row bounds frame, checkpointed eagerly so the final plan no
     // longer depends on the cached trips (released below)
-    val wide = stackedGlobalBounds(trips,
+    val widePlan = stackedGlobalBounds(trips,
       fisherCols.map(c => c -> col(c).cast("double")) ++ Seq(
         "n_gleaners" -> abs(col("n_gleaners").cast("double")),
         // the fuel MAD is computed over fuel >= 0 (see object doc)
         "fuel" -> when(col("fuel").cast("double") >= 0, col("fuel").cast("double"))))
-      .localCheckpoint(true)
+
+    // the two eager materializations are INDEPENDENT (catch-side ladder
+    // vs trip-side stacked bounds) — submit them as concurrent Spark
+    // jobs instead of serializing two barriers on the critical path
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val (pw, wide) = Await.result(
+      Future(pwPlan.localCheckpoint(true)).zip(
+        Future(widePlan.localCheckpoint(true))), Duration.Inf)
 
     // every consumer of the persisted intermediates has materialized;
     // release them so the entry point leaks NO cached blocks. The final
