@@ -66,6 +66,52 @@ final class HttpJsonEndpoint(
   }
 }
 
+/** The reference's retry discipline (`purrr::insistently` with
+  * exponential backoff, at most 10 tries, pauses capped at 5 minutes —
+  * `R/ingest-pds-data.R:226-235`) as an endpoint decorator. `sleep` is
+  * injected so specs run instantly and the policy itself is the unit
+  * under test; after the last attempt the failure propagates. */
+final class RetryingEndpoint(
+    inner: PagedEndpoint,
+    maxTries: Int = 10,
+    pauseBaseMs: Long = 1000L,
+    pauseCapMs: Long = 5 * 60 * 1000L,
+    sleep: Long => Unit = Thread.sleep) extends PagedEndpoint {
+  override def fetch(cursor: Option[String], sinceId: Option[Long]): Page = {
+    var attempt = 1
+    var out: Option[Page] = None
+    while (out.isEmpty) {
+      try out = Some(inner.fetch(cursor, sinceId))
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          if (attempt >= maxTries) throw e
+          sleep(math.min(pauseBaseMs << (attempt - 1), pauseCapMs))
+          attempt += 1
+      }
+    }
+    out.get
+  }
+}
+
+/** Airtable's client-side throttle (the API ceiling is 5 req/s; the
+  * reference paces at 4/s — `R/airtable.R:53-55`): a minimum gap
+  * between consecutive fetches. Clock and sleep are injected for
+  * testability; the fetch loop is single-threaded driver code. */
+final class ThrottledEndpoint(
+    inner: PagedEndpoint,
+    minGapMs: Long = 250L,
+    nowMs: () => Long = System.currentTimeMillis _,
+    sleep: Long => Unit = Thread.sleep) extends PagedEndpoint {
+  private var lastMs: Long = Long.MinValue
+  override def fetch(cursor: Option[String], sinceId: Option[Long]): Page = {
+    val now = nowMs()
+    if (lastMs != Long.MinValue && now - lastMs < minGapMs)
+      sleep(minGapMs - (now - lastMs))
+    lastMs = nowMs()
+    inner.fetch(cursor, sinceId)
+  }
+}
+
 /** Concrete endpoint wirings for the reference's services — public API
   * shapes only, transport owned by [[HttpJsonEndpoint]], pagination +
   * resume owned by [[Fetcher]]. Like the transport, these are not

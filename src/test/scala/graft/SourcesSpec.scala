@@ -109,6 +109,48 @@ class SourcesSpec extends SparkSpec {
     assert(Fetcher.landedHighWaterMark(spark, s"$root/nope", idOf).isEmpty)
   }
 
+  test("retrying endpoint: exponential backoff with cap, failure after max tries") {
+    import graft.sources.{Page, PagedEndpoint, RetryingEndpoint}
+    class Flaky(failures: Int) extends PagedEndpoint {
+      var calls = 0
+      override def fetch(c: Option[String], s: Option[Long]): Page = {
+        calls += 1
+        if (calls <= failures) throw new java.io.IOException(s"boom $calls")
+        Page(Seq("ok"), None)
+      }
+    }
+    val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val flaky = new Flaky(failures = 4)
+    val out = new RetryingEndpoint(flaky, maxTries = 10, pauseBaseMs = 1000,
+      pauseCapMs = 4000, sleep = sleeps += _).fetch(None, None)
+    assert(out.records == Seq("ok") && flaky.calls == 5)
+    // 1s, 2s, 4s, then capped at 4s
+    assert(sleeps.toSeq == Seq(1000L, 2000L, 4000L, 4000L))
+
+    val dead = new Flaky(failures = 99)
+    val e = intercept[java.io.IOException] {
+      new RetryingEndpoint(dead, maxTries = 3, sleep = _ => ()).fetch(None, None)
+    }
+    assert(e.getMessage == "boom 3" && dead.calls == 3)
+  }
+
+  test("throttled endpoint: enforces the minimum gap between fetches") {
+    import graft.sources.{Page, PagedEndpoint, ThrottledEndpoint}
+    val inner = new PagedEndpoint {
+      override def fetch(c: Option[String], s: Option[Long]) = Page(Seq("r"), None)
+    }
+    var clock = 0L
+    val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val t = new ThrottledEndpoint(inner, minGapMs = 250,
+      nowMs = () => clock, sleep = d => { sleeps += d; clock += d })
+    t.fetch(None, None)          // first call: no gap to honor
+    clock += 100                 // 100 ms later
+    t.fetch(None, None)          // must sleep the remaining 150 ms
+    clock += 300                 // beyond the gap
+    t.fetch(None, None)          // no sleep
+    assert(sleeps.toSeq == Seq(150L))
+  }
+
   test("kobo page parser: results as raw records, next as cursor, null next ends") {
     import graft.sources.Connectors
     val p1 = Connectors.parseKoboPage(
