@@ -157,4 +157,14 @@ class ValidateFullSpec extends SparkSpec {
     val r3 = merged.filter($"submission_id" === 3L).head()
     assert(!r3.getAs[Boolean]("validated"))              // new flag appended as-is
   }
+
+  test("full leaks no cached blocks (entry-point lifecycle contract)") {
+    spark.sharedState.cacheManager.clearCache()
+    val fresh = ValidateLandings.full(trips, catchRows, registry,
+      vesselDim, gearDim, stations, reportingUnits, habitatDim,
+      conservationDim)
+    fresh.count()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "full() must unpersist every intermediate before returning")
+  }
 }
