@@ -252,4 +252,67 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  // ------------------------------------------------------------------
+  // Incremental near-dup: process-once (§2.10) × MinHash LSH
+  // ------------------------------------------------------------------
+
+  /** The landed dedup index for a corpus: the shingle inverted index
+    * and the LSH band-bucket table, written ONCE per corpus generation.
+    * At scale both land as bucketed tables (bands by (band, bkey),
+    * index by shingle) so incremental probes partition-prune. */
+  final case class DedupIndex(idx: DataFrame, bands: DataFrame)
+
+  def buildIndex(df: DataFrame, idCol: String, textCol: String, k: Int,
+                 numPerms: Int, rowsPerBand: Int): DedupIndex = {
+    val idx = shingleIndex(df, idCol, textCol, k)
+    DedupIndex(idx,
+      lshBandKeysWide(minhashSignaturesWide(idx, numPerms), numPerms, rowsPerBand))
+  }
+
+  /** Near-dups of a NEW batch against an already-landed corpus without
+    * touching corpus-side signatures: the batch computes its own bands,
+    * probes the stored bucket table for collision candidates (plus
+    * batch-internal collisions), and exact-verifies ONLY candidate
+    * pairs — work scales with the batch and its collisions, never with
+    * the corpus. Corpus-internal pairs are deliberately NOT re-reported
+    * (they were found when their docs were new — process-once).
+    *
+    * Returns (da, db, jaccard): `da` always a new doc; `db` a corpus
+    * doc, or a new doc when the pair is batch-internal. */
+  def incrementalNearDups(newDocs: DataFrame, corpus: DedupIndex,
+                          idCol: String, textCol: String, k: Int,
+                          numPerms: Int, rowsPerBand: Int,
+                          threshold: Double): DataFrame = {
+    val idxNew = shingleIndex(newDocs, idCol, textCol, k)
+    val bandsNew = lshBandKeysWide(
+      minhashSignaturesWide(idxNew, numPerms), numPerms, rowsPerBand)
+    val candCorpus = bandsNew.as("x").join(corpus.bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc") =!= col("y.doc"))
+      .select(col("x.doc").as("da"), col("y.doc").as("db"))
+    val candBatch = bandsNew.as("x").join(bandsNew.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc") < col("y.doc"))
+      .select(col("x.doc").as("da"), col("y.doc").as("db"))
+    val cand = candCorpus.unionByName(candBatch).distinct()
+    // exact verify over the union index, restricted to involved docs
+    val idxAll = idxNew.unionByName(
+      corpus.idx.join(cand.select(col("db").as("doc")).distinct(), Seq("doc"), "left_semi"))
+    val sizes = idxAll.groupBy(col("doc")).agg(count(lit(1)).as("n_shingles"))
+    val common = idxAll.select(col("doc").as("da"), col("shingle"))
+      .join(idxAll.select(col("doc").as("db"), col("shingle")), Seq("shingle"))
+      .join(cand, Seq("da", "db"), "left_semi")
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("common"))
+    cand.join(common, Seq("da", "db"), "left")
+      .join(sizes.withColumnRenamed("doc", "da")
+        .withColumnRenamed("n_shingles", "na"), Seq("da"))
+      .join(sizes.withColumnRenamed("doc", "db")
+        .withColumnRenamed("n_shingles", "nb"), Seq("db"))
+      .withColumn("jaccard",
+        coalesce(col("common"), lit(0L)).cast("double") /
+          (col("na") + col("nb") - coalesce(col("common"), lit(0L))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("da", "db", "jaccard")
+  }
 }

@@ -226,5 +226,54 @@ object DedupQueries {
       |  (SELECT COUNT(*) FROM shared) AS n_distinct_fps,
       |  (SELECT COUNT(CASE WHEN n_docs > 1 THEN 1 END) FROM shared) AS n_shared_fps""".stripMargin))
 
-  def queries: Seq[GQuery] = Seq(q36, q37, q38, q39, q57, q61)
+  /** q88: incremental near-dup — the batch (doc_id % 3 = 0) probes the
+    * LANDED corpus index (everything else) for band collisions plus its
+    * own internal collisions; only candidate pairs are verified and
+    * corpus-internal pairs are never re-reported (process-once). Same
+    * MinHash parameters as q38. */
+  val q88 = GQuery(
+    "q88_incremental_neardup",
+    (s, d) => {
+      val docs = documents(s, d)
+      val corpus = Dedup.buildIndex(docs.filter(col("doc_id") % 3 =!= 0),
+        "doc_id", "text", k = 5, numPerms = 16, rowsPerBand = 4)
+      Dedup.incrementalNearDups(docs.filter(col("doc_id") % 3 === 0), corpus,
+          "doc_id", "text", k = 5, numPerms = 16, rowsPerBand = 4, threshold = 0.6)
+        .select(col("da"), col("db"), round(col("jaccard"), 6).as("jaccard"))
+    },
+    Some(s"""WITH $shingleSql,
+      |h AS (
+      |  SELECT doc, p,
+      |    ((2654435761 * (p + 1) % 2147483647)
+      |      * CAST(('0x' || substr(md5(shingle), 1, 7)) AS BIGINT) + p) % 2147483647 AS hv
+      |  FROM sh, UNNEST(generate_series(0, 15)) AS up(p)),
+      |sig AS (SELECT doc, p, MIN(hv) AS minh FROM h GROUP BY doc, p),
+      |bands AS (
+      |  SELECT doc, p // 4 AS band,
+      |    md5(string_agg(CAST(minh AS VARCHAR), '-' ORDER BY p)) AS bkey
+      |  FROM sig GROUP BY doc, p // 4),
+      |bn AS (SELECT * FROM bands WHERE doc % 3 = 0),
+      |bc AS (SELECT * FROM bands WHERE doc % 3 <> 0),
+      |cand AS (
+      |  SELECT DISTINCT da, db FROM (
+      |    SELECT x.doc AS da, y.doc AS db FROM bn x JOIN bc y
+      |      ON x.band = y.band AND x.bkey = y.bkey AND x.doc <> y.doc
+      |    UNION ALL
+      |    SELECT x.doc AS da, y.doc AS db FROM bn x JOIN bn y
+      |      ON x.band = y.band AND x.bkey = y.bkey AND x.doc < y.doc)),
+      |common AS (
+      |  SELECT c.da, c.db, COUNT(*) AS common
+      |  FROM cand c JOIN sh a ON a.doc = c.da JOIN sh b
+      |    ON b.doc = c.db AND a.shingle = b.shingle
+      |  GROUP BY 1, 2)
+      |SELECT c.da, c.db,
+      |  round(CAST(COALESCE(cm.common, 0) AS DOUBLE)
+      |    / CAST(sa.n_shingles + sb.n_shingles - COALESCE(cm.common, 0) AS DOUBLE), 6) AS jaccard
+      |FROM cand c
+      |LEFT JOIN common cm ON c.da = cm.da AND c.db = cm.db
+      |JOIN sizes sa ON c.da = sa.doc JOIN sizes sb ON c.db = sb.doc
+      |WHERE CAST(COALESCE(cm.common, 0) AS DOUBLE)
+      |  / CAST(sa.n_shingles + sb.n_shingles - COALESCE(cm.common, 0) AS DOUBLE) >= 0.6""".stripMargin))
+
+  def queries: Seq[GQuery] = Seq(q36, q37, q38, q39, q57, q61, q88)
 }

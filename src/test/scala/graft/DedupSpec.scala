@@ -70,4 +70,28 @@ class DedupSpec extends SparkSpec {
     assert(cut.filter($"doc" === 100L).count() == 4) // rare doc untouched (6 tokens → 4 3-shingles)
     assert(cut.filter($"doc" =!= 100L).count() == 0) // stop-shingles gone
   }
+
+  test("incremental near-dup: batch-vs-corpus and batch-internal pairs only") {
+    val corpusDocs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again tonight"), // near-dup of 1
+      (3L, "completely different content about deep sea fishing vessels here")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again today"),  // dup of 1 (and near 2)
+      (11L, "unrelated brand new text that matches nothing in the corpus at all"),
+      (12L, "unrelated brand new text that matches nothing in the corpus at all!") // near-dup of 11
+    ).toDF("doc_id", "text")
+    val idx = Dedup.buildIndex(corpusDocs, "doc_id", "text", k = 3,
+      numPerms = 16, rowsPerBand = 4)
+    val pairs = Dedup.incrementalNearDups(batch, idx, "doc_id", "text",
+        k = 3, numPerms = 16, rowsPerBand = 4, threshold = 0.5)
+      .select($"da", $"db").as[(Long, Long)].collect().toSet
+    // every reported pair involves a NEW doc on the da side
+    assert(pairs.forall { case (da, _) => da >= 10L }, s"got $pairs")
+    // the corpus-internal near-dup (1, 2) is NOT re-reported
+    assert(!pairs.contains((1L, 2L)) && !pairs.contains((2L, 1L)))
+    assert(pairs.contains((10L, 1L)))   // batch vs corpus
+    assert(pairs.contains((11L, 12L)))  // batch-internal
+  }
 }
