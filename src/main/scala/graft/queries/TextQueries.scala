@@ -168,5 +168,43 @@ object TextQueries {
       |round(tf * ln((n_docs + 1.0) / (df + 1.0)), 6) AS tfidf
       |FROM ranked WHERE term_rank <= 3""".stripMargin))
 
-  def queries: Seq[GQuery] = Seq(q32, q33, q34, q35, q66)
+  /** q89: bigram language-model quality scoring — the batch
+    * (doc_id % 3 = 0) scored by mean add-one bigram log-probability
+    * under a model counted from the rest of the corpus. Scores are
+    * floor-scaled e6 (ln values agree across engines well past that —
+    * the existing MAD/log suite banks on the same parity). */
+  val q89 = GQuery(
+    "q89_bigram_logprob",
+    (s, d) => {
+      import graft.text.LangModel
+      val docs = documents(s, d)
+      val model = LangModel.train(docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text")
+      LangModel.score(docs.filter(col("doc_id") % 3 === 0), model, "doc_id", "text")
+        .select(col("doc").as("doc_id"), col("n_bigrams"),
+          floor(col("logprob") * 1e6 + 0.5).cast("long").as("logprob_e6"))
+    },
+    Some(s"""WITH bg AS (
+      |  SELECT doc_id AS doc, ws[i] AS w1, ws[i+1] AS w2
+      |  FROM (SELECT doc_id, $wsSql AS ws FROM documents) t,
+      |    UNNEST(generate_series(1, greatest(len(ws) - 1, 0))) AS u(i)),
+      |cbg AS (
+      |  SELECT w1, w2, COUNT(*) AS c2 FROM bg WHERE doc % 3 <> 0 GROUP BY 1, 2),
+      |toks AS (
+      |  SELECT unnest($wsSql) AS w FROM documents WHERE doc_id % 3 <> 0),
+      |cuni AS (SELECT w AS w1, COUNT(*) AS c1 FROM toks GROUP BY 1),
+      |voc AS (SELECT COUNT(DISTINCT w) AS v FROM toks),
+      |scored AS (
+      |  SELECT b.doc,
+      |    ln(CAST(COALESCE(g.c2, 0) + 1 AS DOUBLE) /
+      |       CAST(COALESCE(u.c1, 0) + voc.v AS DOUBLE)) AS lp
+      |  FROM bg b
+      |  LEFT JOIN cbg g ON b.w1 = g.w1 AND b.w2 = g.w2
+      |  LEFT JOIN cuni u ON b.w1 = u.w1
+      |  CROSS JOIN voc
+      |  WHERE b.doc % 3 = 0)
+      |SELECT doc AS doc_id, COUNT(*) AS n_bigrams,
+      |  CAST(floor((${graft.core.Exact.sqlLsumAt("lp", "1000000000.0")} / COUNT(*)) * 1e6 + 0.5) AS BIGINT) AS logprob_e6
+      |FROM scored GROUP BY doc""".stripMargin))
+
+  def queries: Seq[GQuery] = Seq(q32, q33, q34, q35, q66, q89)
 }
