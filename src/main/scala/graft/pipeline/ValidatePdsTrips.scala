@@ -83,6 +83,8 @@ object ValidatePdsTrips {
         (sum(when(col("speed_ms") > 30.0, lit(1L)).otherwise(lit(0L))) * lit(100.0) /
           count(lit(1))).as("outliers_proportion"),
         sum(col("__d")).as("__s1"),
+        // int64 bound: Σd² overflows only past ~10⁴ points with year-long
+        // gaps inside ONE trip — far outside any tracker's physical range
         sum(col("__d") * col("__d")).as("__s2"),
         count(col("__d")).as("__n"))
       .withColumn("timetrace_dispersion",
