@@ -116,4 +116,50 @@ class PropertySpec extends SparkSpec {
       .as[(Long, Long)].head()
     assert((probe._2 - probe._1) == 3L)
   }
+
+  test("property: groups_comp preserves the labelled total through the Other bucket") {
+    import graft.pipeline.SummaryData
+    val rows = Seq(
+      ("TUN", 5e6), ("TUN", 3e6), ("RAX", 4e6), ("SNA", 2e6),
+      ("COZ", 1e4), ("PEZ", 2e4), // sub-1% groups -> Other
+      ("ZZZ", 9e9)                // unlisted taxon: excluded from the total
+    ).toDF("catch_taxon", "catch")
+    val out = SummaryData.groupsComposition(rows)
+      .as[(String, Long)].collect().toMap
+    // truncation loses < 1 unit per group; totals agree within group count
+    val labelledTotal = ((5e6 + 3e6 + 4e6 + 2e6 + 1e4 + 2e4) / 1e6).toLong
+    assert(math.abs(out.values.sum - labelledTotal) <= out.size)
+    assert(out.contains("Other") && out("Other") == 0L) // 3e4 truncates to 0 millions
+    assert(!out.keySet.exists(_ == "ZZZ"))
+  }
+
+  test("property: coalescePrefixFamilies keeps exactly one column per family + passthrough") {
+    import graft.operators.Harmonize
+    val df = Seq((1L, "a", "b", "c", "x"))
+      .toDF("id", "P1.f", "P2.f", "P1.g", "other")
+    val out = Harmonize.coalescePrefixFamilies(df, Seq("P1.", "P2."))
+    assert(out.columns.sorted.toSeq == Seq("f", "g", "id", "other"))
+    val r = out.head()
+    assert(r.getAs[String]("f") == "a") // P1 wins the coalesce order
+    assert(r.getAs[String]("g") == "c")
+  }
+
+  test("property: LM scores are non-positive and rank corpus text above gibberish") {
+    import graft.text.LangModel
+    val corpus = Seq(
+      (1L, "the boat landed fresh fish at the market today"),
+      (2L, "the boat landed fresh fish at the port yesterday"),
+      (3L, "fresh fish at the market sell quickly every day")
+    ).toDF("doc_id", "text")
+    val model = LangModel.train(corpus, "doc_id", "text")
+    val batch = Seq(
+      (10L, "the boat landed fresh fish at the market today"), // in-distribution
+      (11L, "zxq wvut plok mnab qrst uvxy zabc defg hijk")     // gibberish
+    ).toDF("doc_id", "text")
+    val scores = LangModel.score(batch, model, "doc_id", "text")
+      .select($"doc", $"logprob").as[(Long, Double)].collect().toMap
+    assert(scores.values.forall(_ <= 0.0))
+    assert(scores(10L) > scores(11L),
+      s"in-distribution text must outscore gibberish: $scores")
+  }
 }
