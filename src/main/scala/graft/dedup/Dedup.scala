@@ -315,4 +315,38 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("da", "db", "jaccard")
   }
+
+  /** Benchmark decontamination: drop training documents that
+    * near-duplicate ANY document of a protected (eval) corpus — the
+    * incremental probe with the match set removed instead of reported.
+    * The protected index is built once ([[buildIndex]]); cost scales
+    * with the training batch and its collisions. Batch-internal pairs
+    * are irrelevant here, so only eval-side collisions are probed. */
+  def decontaminate(train: DataFrame, protectedIdx: DedupIndex,
+                    idCol: String, textCol: String, k: Int,
+                    numPerms: Int, rowsPerBand: Int,
+                    threshold: Double): DataFrame = {
+    val idxNew = shingleIndex(train, idCol, textCol, k)
+    val bandsNew = lshBandKeysWide(
+      minhashSignaturesWide(idxNew, numPerms), numPerms, rowsPerBand)
+    val cand = bandsNew.as("x").join(protectedIdx.bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey"))
+      .select(col("x.doc").as("da"), col("y.doc").as("db")).distinct()
+    val idxEval = protectedIdx.idx.join(
+      cand.select(col("db").as("doc")).distinct(), Seq("doc"), "left_semi")
+    val sizesNew = idxNew.groupBy(col("doc")).agg(count(lit(1)).as("na"))
+    val sizesEval = idxEval.groupBy(col("doc")).agg(count(lit(1)).as("nb"))
+    val common = idxNew.select(col("doc").as("da"), col("shingle"))
+      .join(idxEval.select(col("doc").as("db"), col("shingle")), Seq("shingle"))
+      .join(cand, Seq("da", "db"), "left_semi")
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("common"))
+    val contaminated = cand.join(common, Seq("da", "db"), "left")
+      .join(sizesNew.withColumnRenamed("doc", "da"), Seq("da"))
+      .join(sizesEval.withColumnRenamed("doc", "db"), Seq("db"))
+      .filter(coalesce(col("common"), lit(0L)).cast("double") /
+        (col("na") + col("nb") - coalesce(col("common"), lit(0L))).cast("double")
+        >= threshold)
+      .select(col("da").as(idCol)).distinct()
+    train.join(contaminated, Seq(idCol), "left_anti")
+  }
 }

@@ -275,5 +275,56 @@ object DedupQueries {
       |WHERE CAST(COALESCE(cm.common, 0) AS DOUBLE)
       |  / CAST(sa.n_shingles + sb.n_shingles - COALESCE(cm.common, 0) AS DOUBLE) >= 0.6""".stripMargin))
 
-  def queries: Seq[GQuery] = Seq(q36, q37, q38, q39, q57, q61, q88)
+  /** q90: decontamination — training docs (doc_id % 3 = 0) that
+    * near-dup the protected set (the rest) are REMOVED; census of the
+    * survivors. Same LSH parameters as q38/q88. */
+  val q90 = GQuery(
+    "q90_decontaminate",
+    (s, d) => {
+      val docs = documents(s, d)
+      val protIdx = Dedup.buildIndex(docs.filter(col("doc_id") % 3 =!= 0),
+        "doc_id", "text", k = 5, numPerms = 16, rowsPerBand = 4)
+      Dedup.decontaminate(docs.filter(col("doc_id") % 3 === 0), protIdx,
+          "doc_id", "text", k = 5, numPerms = 16, rowsPerBand = 4, threshold = 0.6)
+        .agg(
+          lcount(lit(1)).as("n_survivors"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"))
+    },
+    Some(s"""WITH $shingleSql,
+      |h AS (
+      |  SELECT doc, p,
+      |    ((2654435761 * (p + 1) % 2147483647)
+      |      * CAST(('0x' || substr(md5(shingle), 1, 7)) AS BIGINT) + p) % 2147483647 AS hv
+      |  FROM sh, UNNEST(generate_series(0, 15)) AS up(p)),
+      |sig AS (SELECT doc, p, MIN(hv) AS minh FROM h GROUP BY doc, p),
+      |bands AS (
+      |  SELECT doc, p // 4 AS band,
+      |    md5(string_agg(CAST(minh AS VARCHAR), '-' ORDER BY p)) AS bkey
+      |  FROM sig GROUP BY doc, p // 4),
+      |cand AS (
+      |  SELECT DISTINCT x.doc AS da, y.doc AS db
+      |  FROM bands x JOIN bands y
+      |    ON x.band = y.band AND x.bkey = y.bkey
+      |  WHERE x.doc % 3 = 0 AND y.doc % 3 <> 0),
+      |common AS (
+      |  SELECT c.da, c.db, COUNT(*) AS common
+      |  FROM cand c JOIN sh a ON a.doc = c.da JOIN sh b
+      |    ON b.doc = c.db AND a.shingle = b.shingle
+      |  GROUP BY 1, 2),
+      |contaminated AS (
+      |  SELECT DISTINCT c.da
+      |  FROM cand c
+      |  LEFT JOIN common cm ON c.da = cm.da AND c.db = cm.db
+      |  JOIN sizes sa ON c.da = sa.doc JOIN sizes sb ON c.db = sb.doc
+      |  WHERE CAST(COALESCE(cm.common, 0) AS DOUBLE)
+      |    / CAST(sa.n_shingles + sb.n_shingles - COALESCE(cm.common, 0) AS DOUBLE) >= 0.6)
+      |SELECT COUNT(*) AS n_survivors, SUM(n_chars) AS sum_chars,
+      |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+      |FROM documents
+      |WHERE doc_id % 3 = 0
+      |  AND doc_id NOT IN (SELECT da FROM contaminated)""".stripMargin))
+
+  def queries: Seq[GQuery] = Seq(q36, q37, q38, q39, q57, q61, q88, q90)
 }

@@ -94,4 +94,22 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((10L, 1L)))   // batch vs corpus
     assert(pairs.contains((11L, 12L)))  // batch-internal
   }
+
+  test("decontamination: eval-matching training docs removed, the rest survive") {
+    val evalSet = Seq(
+      (1L, "what is the capital of timor leste answer dili of course"),
+      (2L, "completely unrelated benchmark question about ocean currents")
+    ).toDF("doc_id", "text")
+    val train = Seq(
+      (10L, "what is the capital of timor leste answer dili of course"), // leak
+      (11L, "an innocuous training document about fishing boats and nets"),
+      (12L, "another clean training document with plenty of fresh words")
+    ).toDF("doc_id", "text")
+    val idx = Dedup.buildIndex(evalSet, "doc_id", "text", k = 3,
+      numPerms = 16, rowsPerBand = 4)
+    val survivors = Dedup.decontaminate(train, idx, "doc_id", "text",
+        k = 3, numPerms = 16, rowsPerBand = 4, threshold = 0.5)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(survivors == Set(11L, 12L), s"got $survivors")
+  }
 }
