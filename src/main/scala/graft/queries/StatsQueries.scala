@@ -48,7 +48,13 @@ object StatsQueries {
   /** ST1/A10: LocScaleB MAD bounds on the log1p scale with exp(b)−1
     * back-transform and outside-bounds flag counts
     * (`R/validation-functions.R:243-280`, k=2.5 as for catch params,
-    * `inst/conf.yml` catch k). */
+    * `inst/conf.yml` catch k).
+    *
+    * KNOWN SCALE BEHAVIOR: boundsCensusAuto flips to percentile_approx
+    * above 200k input rows, so this query hash-matches the exact oracle
+    * at the sf0.01 gate but diverges in the last quantile digits at
+    * sf0.1+ (measured: 4 of 15 727 flags move, 0.03 %) — the documented
+    * accuracy/scale trade the bounds heuristic is designed for. */
   val q24 = GQuery(
     "q24_mad_bounds",
     (s, d) => {
