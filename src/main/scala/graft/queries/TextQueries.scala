@@ -206,5 +206,33 @@ object TextQueries {
       |  CAST(floor((${graft.core.Exact.sqlLsumAt("lp", "1000000000.0")} / COUNT(*)) * 1e6 + 0.5) AS BIGINT) AS logprob_e6
       |FROM scored GROUP BY doc""".stripMargin))
 
-  def queries: Seq[GQuery] = Seq(q32, q33, q34, q35, q66, q89)
+  /** q91: sequence packing — documents laid into 2048-token bins by
+    * shard-local contiguous fill (concat-and-chunk); per-bin census. */
+  val q91 = GQuery(
+    "q91_sequence_pack",
+    (s, d) => {
+      import graft.text.Packing
+      val docs = documents(s, d)
+        .withColumn("n_tok", bpeishCount(col("text")))
+      val packed = Packing.pack(docs, "doc_id", "n_tok",
+        capacity = 2048L, nShards = 8)
+      Packing.binStats(packed, 2048L)
+        .select(col("shard"), col("bin"), col("n_docs"), col("n_tokens"),
+          floor(col("fill_ratio") * 1e6 + 0.5).cast("long").as("fill_e6"))
+    },
+    Some(s"""WITH docs AS (
+      |  SELECT doc_id, CAST($bpeSql AS BIGINT) AS t,
+      |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) % 8 AS shard
+      |  FROM documents),
+      |packed AS (
+      |  SELECT doc_id, shard, t,
+      |    SUM(t) OVER (PARTITION BY shard ORDER BY doc_id
+      |      ROWS UNBOUNDED PRECEDING) - t AS start_pos
+      |  FROM docs)
+      |SELECT shard, start_pos // 2048 AS bin,
+      |  COUNT(*) AS n_docs, SUM(t) AS n_tokens,
+      |  CAST(floor((CAST(SUM(t) AS DOUBLE) / 2048) * 1e6 + 0.5) AS BIGINT) AS fill_e6
+      |FROM packed GROUP BY 1, 2""".stripMargin))
+
+  def queries: Seq[GQuery] = Seq(q32, q33, q34, q35, q66, q89, q91)
 }

@@ -144,6 +144,22 @@ class PropertySpec extends SparkSpec {
     assert(r.getAs[String]("g") == "c")
   }
 
+  test("property: packing conserves tokens, offsets stay under capacity, stradlers flagged") {
+    import graft.text.Packing
+    val docs = Seq((1L, 1000L), (2L, 1500L), (3L, 600L), (4L, 3000L), (5L, 10L))
+      .toDF("doc_id", "n_tok")
+    val packed = Packing.pack(docs, "doc_id", "n_tok", capacity = 2048L, nShards = 2)
+    val rows = packed.collect()
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum == 6110L)
+    assert(rows.forall(r => r.getAs[Long]("offset") >= 0 &&
+      r.getAs[Long]("offset") < 2048L))
+    // a doc is flagged iff its span crosses its bin's end
+    rows.foreach { r =>
+      val crosses = r.getAs[Long]("offset") + r.getAs[Long]("n_tokens") > 2048L
+      assert(r.getAs[Boolean]("spans_bins") == crosses)
+    }
+  }
+
   test("property: LM scores are non-positive and rank corpus text above gibberish") {
     import graft.text.LangModel
     val corpus = Seq(
