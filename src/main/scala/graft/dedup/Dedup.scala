@@ -279,7 +279,14 @@ object Dedup {
     * (they were found when their docs were new — process-once).
     *
     * Returns (da, db, jaccard): `da` always a new doc; `db` a corpus
-    * doc, or a new doc when the pair is batch-internal. */
+    * doc, or a new doc when the pair is batch-internal.
+    *
+    * PRECONDITION: doc ids must be globally unique across the corpus
+    * and every batch (e.g. content hashes or a global sequence). A
+    * batch doc reusing a corpus id would be dropped from cross pairs
+    * by the `x.doc =!= y.doc` guard, and the union index below would
+    * merge both docs' shingles, inflating jaccard for surviving
+    * pairs. Callers minting per-batch id sequences must offset them. */
   def incrementalNearDups(newDocs: DataFrame, corpus: DedupIndex,
                           idCol: String, textCol: String, k: Int,
                           numPerms: Int, rowsPerBand: Int,

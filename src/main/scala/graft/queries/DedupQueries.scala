@@ -320,7 +320,7 @@ object DedupQueries {
       |  JOIN sizes sa ON c.da = sa.doc JOIN sizes sb ON c.db = sb.doc
       |  WHERE CAST(COALESCE(cm.common, 0) AS DOUBLE)
       |    / CAST(sa.n_shingles + sb.n_shingles - COALESCE(cm.common, 0) AS DOUBLE) >= 0.6)
-      |SELECT COUNT(*) AS n_survivors, SUM(n_chars) AS sum_chars,
+      |SELECT COUNT(*) AS n_survivors, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
       |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
       |FROM documents
       |WHERE doc_id % 3 = 0

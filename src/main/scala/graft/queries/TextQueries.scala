@@ -229,8 +229,8 @@ object TextQueries {
       |    SUM(t) OVER (PARTITION BY shard ORDER BY doc_id
       |      ROWS UNBOUNDED PRECEDING) - t AS start_pos
       |  FROM docs)
-      |SELECT shard, start_pos // 2048 AS bin,
-      |  COUNT(*) AS n_docs, SUM(t) AS n_tokens,
+      |SELECT shard, CAST(start_pos // 2048 AS BIGINT) AS bin,
+      |  COUNT(*) AS n_docs, CAST(SUM(t) AS BIGINT) AS n_tokens,
       |  CAST(floor((CAST(SUM(t) AS DOUBLE) / 2048) * 1e6 + 0.5) AS BIGINT) AS fill_e6
       |FROM packed GROUP BY 1, 2""".stripMargin))
 

@@ -1,12 +1,18 @@
-package graft.tmp
+package graft.tools
+
 import org.apache.spark.sql.SparkSession
+
+/** Dev-only plan dumper (test source set — not shipped in the artifact).
+  * Usage: Test / runMain graft.tools.Explain <sfDir> <query>...
+  */
 object Explain {
   def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: Explain <sfDir> <query>...")
+    val d = args.head
     val spark = graft.core.GraftSession.configure(
       SparkSession.builder().master("local[4]").config("spark.ui.enabled", "false"), 4).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val d = "/root/testdata/sf0.001"
-    for (n <- args) {
+    for (n <- args.tail) {
       println(s"===== $n =====")
       val plan = graft.queries.Registry.byName(n).run(spark, d)
         .queryExecution.executedPlan.toString
