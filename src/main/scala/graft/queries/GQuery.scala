@@ -30,7 +30,8 @@ object Registry {
       NutrientQueries.queries ++
       PublicDataQueries.queries ++
       EstimationQueries.queries ++
-      SummaryQueries.queries
+      SummaryQueries.queries ++
+      WeightsQueries.queries
 
   def byName: Map[String, GQuery] = all.map(q => q.name -> q).toMap
 }
