@@ -234,5 +234,55 @@ object TextQueries {
       |  CAST(floor((CAST(SUM(t) AS DOUBLE) / 2048) * 1e6 + 0.5) AS BIGINT) AS fill_e6
       |FROM packed GROUP BY 1, 2""".stripMargin))
 
-  def queries: Seq[GQuery] = Seq(q32, q33, q34, q35, q66, q89, q91)
+  /** q94: no-straddle sequence packing (first-fit) — same sharded
+    * layout as q91 but a document never crosses a bin boundary
+    * ([[graft.text.Packing.packFirstFit]]). The oracle replays the
+    * per-shard sequential fill as a recursive CTE (the fold is
+    * non-associative, so SQL needs recursion where the engine uses a
+    * per-shard scan); the per-shard aggregate pins every bin assignment
+    * via the bin-weighted token sum and the offset sum. */
+  val q94 = GQuery(
+    "q94_sequence_pack_firstfit",
+    (s, d) => {
+      import graft.text.Packing
+      val docs = documents(s, d)
+        .withColumn("n_tok", bpeishCount(col("text")))
+      Packing.packFirstFit(docs, "doc_id", "n_tok",
+        capacity = 96L, nShards = 8)
+        .groupBy(col("shard"))
+        .agg(
+          lcount(lit(1)).as("n_docs"),
+          (max(col("bin")) + 1).as("n_bins"),
+          sum(col("n_tokens")).as("sum_tokens"),
+          sum(col("bin") * col("n_tokens")).as("sum_binw"),
+          sum(col("offset")).as("sum_offset"),
+          count(when(col("oversize"), 1)).as("n_oversize"))
+    },
+    Some(s"""WITH RECURSIVE docs AS (
+      |  SELECT doc_id, CAST($bpeSql AS BIGINT) AS t,
+      |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) % 8 AS shard
+      |  FROM documents),
+      |ord AS (
+      |  SELECT doc_id, t, shard,
+      |    row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+      |  FROM docs),
+      |fit AS (
+      |  SELECT shard, rn, t,
+      |    CAST(0 AS BIGINT) AS bin, CAST(0 AS BIGINT) AS off, t AS fill
+      |  FROM ord WHERE rn = 1
+      |  UNION ALL
+      |  SELECT o.shard, o.rn, o.t,
+      |    CASE WHEN f.fill > 0 AND f.fill + o.t > 96 THEN f.bin + 1 ELSE f.bin END,
+      |    CASE WHEN f.fill > 0 AND f.fill + o.t > 96 THEN CAST(0 AS BIGINT) ELSE f.fill END,
+      |    CASE WHEN f.fill > 0 AND f.fill + o.t > 96 THEN o.t ELSE f.fill + o.t END
+      |  FROM fit f JOIN ord o ON o.shard = f.shard AND o.rn = f.rn + 1)
+      |SELECT shard, COUNT(*) AS n_docs,
+      |  CAST(MAX(bin) + 1 AS BIGINT) AS n_bins,
+      |  CAST(SUM(t) AS BIGINT) AS sum_tokens,
+      |  CAST(SUM(bin * t) AS BIGINT) AS sum_binw,
+      |  CAST(SUM(off) AS BIGINT) AS sum_offset,
+      |  COUNT(CASE WHEN t > 96 THEN 1 END) AS n_oversize
+      |FROM fit GROUP BY shard""".stripMargin))
+
+  def queries: Seq[GQuery] = Seq(q32, q33, q34, q35, q66, q89, q91, q94)
 }

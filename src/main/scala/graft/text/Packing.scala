@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{BooleanType, LongType, StructField, StructType}
@@ -22,11 +22,36 @@ import org.apache.spark.sql.types.{BooleanType, LongType, StructField, StructTyp
   * packs independently with a running token total (one window — or one
   * sequential scan — per shard, no global sort, no driver loop).
   * Utilization loss vs global packing is bounded by one partial bin per
-  * shard — negligible at any shard count worth running. All arithmetic
-  * is integer, so bin assignments are bit-reproducible at any
+  * shard — negligible at any shard count worth running. All bin/offset
+  * arithmetic is integer (the cumulative sum, the floor-div `div`, and
+  * `%` all stay in int64), so assignments are bit-reproducible at any
   * parallelism.
+  *
+  * Input contract (both disciplines): the token-count column must be a
+  * non-negative integer per document. A null, negative, or non-numeric
+  * (string that casts to null) count raises a task error naming the
+  * offending document — silently coalescing to 0 would fake token
+  * conservation, and a null inside the running sum would corrupt every
+  * later offset in the shard.
   */
 object Packing {
+
+  /** Token counts cast to long with the fail-fast contract above. The
+    * guard lives inside the materialized column, so it cannot be pruned
+    * away from the plan. */
+  private def checkedTokens(idCol: String, tokensCol: String): Column = {
+    val t = col(tokensCol).cast("long")
+    when(t.isNull || t < 0,
+      raise_error(concat(
+        lit(s"Packing: '$tokensCol' must be a non-negative integer, got '"),
+        coalesce(col(tokensCol).cast("string"), lit("null")),
+        lit(s"' for $idCol="), col(idCol).cast("string"))).cast("long"))
+      .otherwise(t)
+  }
+
+  private def shardExpr(idCol: String, nShards: Int): Column =
+    (conv(substring(md5(col(idCol).cast("string")), 1, 7), 16, 10)
+      .cast("long") % nShards).as("shard")
 
   /** Assign each document a (shard, bin, offset) under contiguous fill:
     * shard = `hash mod nShards` (md5-derived — engine-portable), bin =
@@ -39,19 +64,22 @@ object Packing {
     * straddle. */
   def pack(docs: DataFrame, idCol: String, tokensCol: String,
            capacity: Long, nShards: Int): DataFrame = {
-    val shard = (conv(substring(md5(col(idCol).cast("string")), 1, 7), 16, 10)
-      .cast("long") % nShards).as("shard")
+    require(capacity > 0, s"capacity must be positive, got $capacity")
     val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs.select(col(idCol), col(tokensCol).cast("long").as("__t"), shard)
+    docs.select(col(idCol), checkedTokens(idCol, tokensCol).as("__t"),
+        shardExpr(idCol, nShards))
       .withColumn("__cum", sum(col("__t")).over(w))
+      .withColumn("__prev", col("__cum") - col("__t"))
       .select(
         col(idCol),
         col("shard"),
-        ((col("__cum") - col("__t")) / capacity).cast("long").as("bin"),
-        ((col("__cum") - col("__t")) % capacity).cast("long").as("offset"),
+        // int64 floor-div (`div`), NOT `/`: Divide is double division
+        // and loses exactness past 2^53 cumulative tokens per shard
+        expr(s"__prev div CAST($capacity AS BIGINT)").as("bin"),
+        (col("__prev") % capacity).as("offset"),
         col("__t").as("n_tokens"),
-        (((col("__cum") - col("__t")) % capacity) + col("__t") > capacity)
+        ((col("__prev") % capacity) + col("__t") > capacity)
           .as("spans_bins"))
   }
 
@@ -64,17 +92,23 @@ object Packing {
     *
     * The fill state (bin, running tokens) is a non-associative fold, so
     * this is a per-shard sequential scan rather than a window: shards
-    * hash-partition, rows sort (shard, id) within partitions, and one
-    * pass assigns bins. Work per task is one shard's documents — the
-    * same shard-local scalability contract as [[pack]]. */
+    * range-partition (one shard per task up to `nShards` distinct
+    * partitions — hash-partitioning nShards keys into nShards buckets
+    * leaves ~1/e of the tasks empty under collisions; range boundaries
+    * on the shard value alone never split a shard, because rows with
+    * equal keys always land on the same side of a boundary), rows sort
+    * (shard, id) within partitions, and one pass assigns bins. Bin
+    * assignment depends only on the per-shard (id-sorted) sequence, so
+    * it is identical under any input partitioning. Work per task is one
+    * shard's documents — the same shard-local scalability contract as
+    * [[pack]]. */
   def packFirstFit(docs: DataFrame, idCol: String, tokensCol: String,
                    capacity: Long, nShards: Int): DataFrame = {
     require(capacity > 0, s"capacity must be positive, got $capacity")
-    val shard = (conv(substring(md5(col(idCol).cast("string")), 1, 7), 16, 10)
-      .cast("long") % nShards).as("shard")
     val prepared = docs
-      .select(col(idCol), col(tokensCol).cast("long").as("__t"), shard)
-      .repartition(nShards, col("shard"))
+      .select(col(idCol), checkedTokens(idCol, tokensCol).as("__t"),
+        shardExpr(idCol, nShards))
+      .repartitionByRange(nShards, col("shard"))
       .sortWithinPartitions(col("shard"), col(idCol))
     val outSchema = StructType(Seq(
       prepared.schema.fields(0),
@@ -90,7 +124,7 @@ object Packing {
       var fill = 0L
       it.map { r =>
         val s = r.getLong(2)
-        val t = r.getLong(1)
+        val t = r.getLong(1) // non-null by the checkedTokens guard
         if (s != curShard) { curShard = s; bin = 0L; fill = 0L }
         if (fill > 0L && fill + t > capacity) { bin += 1L; fill = 0L }
         val offset = fill

@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.Packing
+
+/** Sequence-packing invariants for both disciplines (Packing.pack /
+  * packFirstFit): token conservation, capacity bounds, oversize
+  * isolation, bin density, determinism under repartitioning, and the
+  * fail-fast token contract. */
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val capacity = 50L
+  // deterministic pseudo-random fixture: tokens 1..60 (some > capacity),
+  // token column as STRING to exercise the cast path
+  private def docs = (0 until 200).map { i =>
+    (i.toLong, ((i * 2654435761L) % 60 + 1).toString)
+  }.toDF("doc_id", "n_tok")
+
+  private def packed = Packing.packFirstFit(docs, "doc_id", "n_tok", capacity, nShards = 8)
+
+  test("packFirstFit: rows and tokens are conserved") {
+    val rows = packed.collect()
+    assert(rows.length == 200)
+    assert(rows.map(_.getAs[Long]("doc_id")).toSet == (0L until 200L).toSet)
+    val wantTokens = (0 until 200).map(i => (i * 2654435761L) % 60 + 1).sum
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum == wantTokens)
+  }
+
+  test("packFirstFit: offset + n_tokens <= capacity except oversize; oversize at offset 0") {
+    val rows = packed.collect()
+    rows.foreach { r =>
+      val (off, t, over) = (r.getAs[Long]("offset"), r.getAs[Long]("n_tokens"),
+        r.getAs[Boolean]("oversize"))
+      assert(over == (t > capacity), s"oversize flag wrong for $r")
+      if (!over) assert(off + t <= capacity, s"bin overfilled: $r")
+      else assert(off == 0L, s"oversize doc not at bin start: $r")
+    }
+  }
+
+  test("packFirstFit: oversize docs sit alone in their bin; other bins within capacity") {
+    val byBin = packed.collect()
+      .groupBy(r => (r.getAs[Long]("shard"), r.getAs[Long]("bin")))
+    byBin.foreach { case (key, rs) =>
+      if (rs.exists(_.getAs[Boolean]("oversize")))
+        assert(rs.length == 1, s"oversize doc shares bin $key")
+      else
+        assert(rs.map(_.getAs[Long]("n_tokens")).sum <= capacity,
+          s"bin $key over capacity")
+    }
+  }
+
+  test("packFirstFit: bins are dense (0..max, none skipped) per shard") {
+    packed.collect().groupBy(_.getAs[Long]("shard")).foreach { case (s, rs) =>
+      val bins = rs.map(_.getAs[Long]("bin")).toSet
+      assert(bins == (0L to bins.max).toSet, s"shard $s has skipped bins")
+    }
+  }
+
+  test("packFirstFit: assignment identical under any input partitioning") {
+    def run(parts: Int) =
+      Packing.packFirstFit(docs.repartition(parts), "doc_id", "n_tok", capacity, 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+    assert(run(3) == run(7))
+    assert(run(1) == run(7))
+  }
+
+  test("both disciplines fail fast on null and negative token counts") {
+    val bad1 = Seq((1L, Some("10")), (2L, None)).toDF("doc_id", "n_tok")
+    val bad2 = Seq((1L, "10"), (2L, "-3")).toDF("doc_id", "n_tok")
+    val bad3 = Seq((1L, "10"), (2L, "oops")).toDF("doc_id", "n_tok") // casts to null
+    for (bad <- Seq(bad1, bad2, bad3); fn <- Seq(
+      () => Packing.packFirstFit(bad, "doc_id", "n_tok", 50L, 2).collect(),
+      () => Packing.pack(bad, "doc_id", "n_tok", 50L, 2).collect())) {
+      val e = intercept[Exception](fn())
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("Packing")), s"unexpected error: $e")
+    }
+  }
+
+  test("pack: bin/offset equal the contiguous-fill prefix sums; spans_bins exact") {
+    val out = Packing.pack(docs, "doc_id", "n_tok", capacity, nShards = 8).collect()
+    out.groupBy(_.getAs[Long]("shard")).foreach { case (_, rs) =>
+      var cum = 0L
+      rs.sortBy(_.getAs[Long]("doc_id")).foreach { r =>
+        val t = r.getAs[Long]("n_tokens")
+        assert(r.getAs[Long]("bin") == cum / capacity, s"bin mismatch: $r")
+        assert(r.getAs[Long]("offset") == cum % capacity, s"offset mismatch: $r")
+        assert(r.getAs[Boolean]("spans_bins") == (cum % capacity + t > capacity))
+        cum += t
+      }
+    }
+  }
+
+  test("pack: bin arithmetic stays exact past 2^53 cumulative tokens") {
+    // prev-cumulative 2^53+3: double division by 2 yields ...498 (the
+    // sum rounds to 2^53+4 as a double); integer div yields ...497
+    val big = (1L << 53) + 3
+    val d = Seq((1L, big), (2L, 1L)).toDF("doc_id", "n_tok")
+    val out = Packing.pack(d, "doc_id", "n_tok", capacity = 2L, nShards = 1)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("bin")).toMap
+    assert(out(1L) == 0L)
+    assert(out(2L) == big / 2L) // 4503599627370497, not the double-rounded 498
+  }
+}
