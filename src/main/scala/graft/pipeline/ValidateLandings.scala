@@ -149,26 +149,36 @@ object ValidateLandings {
     * `madBoundsLog1p` is called with k = 1 and each validator's k is
     * applied afterwards on the log scale (bounds = exp(med ± k·mad) − 1);
     * the MAD>0 / nonzero guard — encoded by `lower IS NOT NULL` — does
-    * not depend on k, so the bounds are exactly the per-column calls'. */
+    * not depend on k, so the bounds are exactly the per-column calls'.
+    *
+    * Output: ONE row with `__lo_<name>` / `__hi_<name>` per column,
+    * already back-transformed (null when the no-op guard fired). The
+    * exp() back-transform happens HERE, on one row, NOT per trip row:
+    * leaving `exp(med ± k·mad)` to the consumers put ~24 exp calls into
+    * the 600k-row final projection, which dominated its runtime. */
   private def stackedGlobalBounds(trips: DataFrame,
-                                  xs: Seq[(String, Column)]): DataFrame = {
+                                  xs: Seq[(String, Column, Double)]): DataFrame = {
     val stacked = trips.select(
-      explode(map(xs.flatMap { case (n, c) =>
+      explode(map(xs.flatMap { case (n, c, _) =>
         Seq(lit(n), c.cast("double"))
       }: _*)).as(Seq("__col", "__x")))
     val bounds = Outliers.madBoundsLog1p(stacked, Seq("__col"), "__x", 1.0)
-    val aggs = xs.flatMap { case (n, _) => Seq(
+    val aggs = xs.flatMap { case (n, _, _) => Seq(
       max(when(col("__col") === n, col("median_log"))).as(s"__med_$n"),
       max(when(col("__col") === n, col("mad_log"))).as(s"__mad_$n"),
       max(when(col("__col") === n && col("lower").isNotNull, lit(1))).as(s"__ok_$n"))
     }
     bounds.groupBy().agg(aggs.head, aggs.tail: _*)
+      .select(xs.flatMap { case (n, _, k) => Seq(
+        when(col(s"__ok_$n") === 1,
+          exp(col(s"__med_$n") - lit(k) * col(s"__mad_$n")) - lit(1.0)).as(s"__lo_$n"),
+        when(col(s"__ok_$n") === 1,
+          exp(col(s"__med_$n") + lit(k) * col(s"__mad_$n")) - lit(1.0)).as(s"__hi_$n"))
+      }: _*)
   }
 
-  private def loOf(n: String, k: Double): Column =
-    when(col(s"__ok_$n") === 1, exp(col(s"__med_$n") - lit(k) * col(s"__mad_$n")) - lit(1.0))
-  private def hiOf(n: String, k: Double): Column =
-    when(col(s"__ok_$n") === 1, exp(col(s"__med_$n") + lit(k) * col(s"__mad_$n")) - lit(1.0))
+  private def loOf(n: String): Column = col(s"__lo_$n")
+  private def hiOf(n: String): Column = col(s"__hi_$n")
 
   /** Alerts 18/21/23 from the one stacked bounds pass. Output:
     * (submission_id, fisher_child, fisher_man, fisher_woman,
@@ -181,17 +191,16 @@ object ValidateLandings {
         abs(col("n_gleaners").cast("double")).as("n_gleaners"),
         col("fuel").cast("double").as("fuel"))): _*)
     val wide = stackedGlobalBounds(base,
-      fisherCols.map(c => c -> col(c)) ++ Seq(
-        "n_gleaners" -> col("n_gleaners"),
+      fisherCols.map(c => (c, col(c), cfg.kFishers)) ++ Seq(
+        ("n_gleaners", col("n_gleaners"), cfg.kGleaners),
         // the fuel MAD is computed over fuel >= 0 (see object doc)
-        "fuel" -> when(col("fuel") >= 0, col("fuel"))))
-    def outsideBoth(c: String) = hiOf(c, cfg.kFishers).isNotNull &&
-      (col(c) < loOf(c, cfg.kFishers) || col(c) > hiOf(c, cfg.kFishers))
+        ("fuel", when(col("fuel") >= 0, col("fuel")), cfg.kFuel)))
+    def outsideBoth(c: String) = hiOf(c).isNotNull &&
+      (col(c) < loOf(c) || col(c) > hiOf(c))
     val fisherAlert = when(fisherCols.map(outsideBoth).reduce(_ || _), lit(18))
-    val gleanerFlag = hiOf("n_gleaners", cfg.kGleaners).isNotNull &&
-      col("n_gleaners") > hiOf("n_gleaners", cfg.kGleaners)
-    val fuelFlag = hiOf("fuel", cfg.kFuel).isNotNull &&
-      col("fuel") > hiOf("fuel", cfg.kFuel)
+    val gleanerFlag = hiOf("n_gleaners").isNotNull &&
+      col("n_gleaners") > hiOf("n_gleaners")
+    val fuelFlag = hiOf("fuel").isNotNull && col("fuel") > hiOf("fuel")
     base.crossJoin(broadcast(wide))
       .select(col("submission_id") +:
         (fisherCols.map(c => when(fisherAlert.isNull, col(c)).as(c)) ++ Seq(
@@ -511,15 +520,26 @@ object ValidateLandings {
            reportingUnits: DataFrame, habitatDim: DataFrame,
            conservationDim: DataFrame,
            cfg: Config = Config()): DataFrame = {
-    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // The raw inputs are NOT persisted: each is a pruned projection
     // over columnar source scans, and re-scanning (2× catch, 3× trips)
     // costs less than a persist + eager-count barrier per input — every
     // barrier is a sequential job on the entry point's critical path
     // (measured: dropping both input persists cut ~2 s of the fold's
     // wall time at sf0.1 while total scan work stayed trivial).
-    val trips = trips0
-    val catchRows = catchRows0
+    //
+    // Scan parallelism is BYTE-sized (spark.sql.files.maxPartitionBytes),
+    // so a compact input (one small parquet file) plans as ONE task and
+    // the CPU-dense validator stages — the stacked-bounds explode and
+    // the final 15-validator projection — inherit that single task
+    // (measured: the final projection ran 3-10 s on one core at sf0.1).
+    // Widen under-split inputs once up front; with production inputs
+    // arriving in many splits this is a no-op.
+    def widen(df: DataFrame): DataFrame = {
+      val p = df.sparkSession.sparkContext.defaultParallelism
+      if (df.rdd.getNumPartitions < math.max(2, p / 2)) df.repartition(p) else df
+    }
+    val trips = widen(trips0)
+    val catchRows = widen(catchRows0)
 
     // --- catch side, recomposed at the submission grain ---
     // The standalone regularity/price-cap/price-weight validators chain
@@ -548,19 +568,15 @@ object ValidateLandings {
       .join(perReg, Seq("submission_id"), "left")
       .withColumn("__a_reg", aReg)
       .drop("__sp", "__n", "__v")
-      // LAZY persist is safe here: tripSide's two consumers (the rows
-      // materialization below and the pw checkpoint) run as SEQUENTIAL
-      // jobs, so the first one populates the cache with no race
-      .persist(MEMORY_AND_DISK)
-    // regular submissions' catch rows with the gear key: the MAD-bounds
-    // histogram and the per-submission census read this frame as
-    // CONCURRENT stages of the pw job — this one stays an eager barrier
-    // (a lazy cache gets raced and each stage recomputes partitions)
+    // regular submissions' catch rows with the gear key, read by the
+    // MAD-bounds histogram and the per-submission census. NOT persisted:
+    // both consumers sit in the ONE final query below, where the
+    // identical subtrees (the sid exchange of catchRows and of trips)
+    // deduplicate via ReuseExchange — a cache would only add block-store
+    // traffic, and a localCheckpoint a lineage-truncating memcopy.
     val rows = catchRows.join(
         tripSide.filter(col("__a_reg").isNull).select("submission_id", "__gear"),
         Seq("submission_id"))
-      .persist(MEMORY_AND_DISK)
-    rows.count()
     val bounds = Outliers.madBoundsLog1p(
       rows, Seq("__gear", "species"), "n_individuals", cfg.kInd)
       .select(col("__gear"), col("species"), col("upper").as("__hi11"))
@@ -584,15 +600,8 @@ object ValidateLandings {
       col("__w_g").isNotNull &&
       (ratio < cfg.priceKgMin || ratio > cfg.priceKgMax), lit(17))
     val aPwAll = coalesce(aPw17, col("__a_reg"), aP6, col("__a_c11"))
-    // (sid, alert_pw, catch_price) — the one sid-keyed join below.
-    // localCheckpoint (submission grain, small) so every persisted
-    // intermediate can be RELEASED before returning: a lazy entry point
-    // that leaks 4 persisted frames per call starves a long-running
-    // session's block store (measured: q72 5.2 s alone, 10.6 s late in
-    // the bench suite). Truncated lineage on executor loss is the
-    // documented localCheckpoint trade — acceptable for a frame this
-    // size (recompute = re-run the entry point).
-    val pwPlan = tripSide.join(per, Seq("submission_id"), "left")
+    // (sid, alert_pw, catch_price) — the one sid-keyed join below
+    val pw = tripSide.join(per, Seq("submission_id"), "left")
       .select(col("submission_id"),
         aPwAll.as("alert_pw"),
         when(aPwAll.isNull, col("__tcv")).as("catch_price"))
@@ -607,29 +616,24 @@ object ValidateLandings {
         col("reporting_unit").as("reporting_region"))
       .distinct()
     val fisherCols = Seq("fisher_child", "fisher_man", "fisher_woman")
-    // one-row bounds frame, checkpointed eagerly so the final plan no
-    // longer depends on the cached trips (released below)
-    val widePlan = stackedGlobalBounds(trips,
-      fisherCols.map(c => c -> col(c).cast("double")) ++ Seq(
-        "n_gleaners" -> abs(col("n_gleaners").cast("double")),
+    // one-row lo/hi bounds frame (exp back-transform already applied —
+    // see stackedGlobalBounds), cross-broadcast into the projection
+    val wide = stackedGlobalBounds(trips,
+      fisherCols.map(c => (c, col(c).cast("double"), cfg.kFishers)) ++ Seq(
+        ("n_gleaners", abs(col("n_gleaners").cast("double")), cfg.kGleaners),
         // the fuel MAD is computed over fuel >= 0 (see object doc)
-        "fuel" -> when(col("fuel").cast("double") >= 0, col("fuel").cast("double"))))
+        ("fuel", when(col("fuel").cast("double") >= 0, col("fuel").cast("double")),
+          cfg.kFuel)))
 
-    // the two eager materializations are INDEPENDENT (catch-side ladder
-    // vs trip-side stacked bounds) — submit them as concurrent Spark
-    // jobs instead of serializing two barriers on the critical path
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
-    val (pw, wide) = Await.result(
-      Future(pwPlan.localCheckpoint(true)).zip(
-        Future(widePlan.localCheckpoint(true))), Duration.Inf)
-
-    // every consumer of the persisted intermediates has materialized;
-    // release them so the entry point leaks NO cached blocks. The final
-    // projection below re-reads `trips` from source — one scan, and the
-    // source scan column-prunes where the cache would not.
-    Seq(rows, tripSide).foreach(_.unpersist(false))
+    // Everything above stays LAZY: the whole 15-validator fold is ONE
+    // Spark query. Earlier rounds persisted tripSide/rows and drove the
+    // catch-side ladder and the stacked bounds as concurrent jobs with
+    // localCheckpoint barriers — measured at sf0.1, AQE schedules the
+    // same independent stages of the single lazy plan concurrently on
+    // its own, ReuseExchange deduplicates the shared sid exchanges the
+    // cache existed for, and dropping the barrier jobs (eager count,
+    // two checkpoints, block-store writes) cut the entry point's wall
+    // time by ~40 % while leaking zero cached blocks.
 
     // trip-local expressions (reference lines cited on the standalone methods)
     val dur = abs(col("duration_hrs"))
@@ -647,14 +651,13 @@ object ValidateLandings {
       .when(col("habitat_code") === 6, "Mangrove")
       .when(col("habitat_code") === 7, "Seagrass")
     def fisherC(c: String) = col(c).cast("double")
-    def outsideBoth(c: String) = hiOf(c, cfg.kFishers).isNotNull &&
-      (fisherC(c) < loOf(c, cfg.kFishers) || fisherC(c) > hiOf(c, cfg.kFishers))
+    def outsideBoth(c: String) = hiOf(c).isNotNull &&
+      (fisherC(c) < loOf(c) || fisherC(c) > hiOf(c))
     val aFishers = when(fisherCols.map(outsideBoth).reduce(_ || _), lit(18))
     val gle = abs(col("n_gleaners").cast("double"))
-    val gleanerFlag = hiOf("n_gleaners", cfg.kGleaners).isNotNull &&
-      gle > hiOf("n_gleaners", cfg.kGleaners)
+    val gleanerFlag = hiOf("n_gleaners").isNotNull && gle > hiOf("n_gleaners")
     val fuelD = col("fuel").cast("double")
-    val fuelFlag = hiOf("fuel", cfg.kFuel).isNotNull && fuelD > hiOf("fuel", cfg.kFuel)
+    val fuelFlag = hiOf("fuel").isNotNull && fuelD > hiOf("fuel")
 
     val alerts = Map[String, Column](
       "alert_imei" -> imeiAlertExpr,
