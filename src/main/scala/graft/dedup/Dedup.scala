@@ -31,20 +31,33 @@ object Dedup {
 
   /** Distinct (id, shingle) pairs — the inverted-index input.
     * `maxDocFreq` drops shingles present in more than that many
-    * documents (stop-shingle cutoff; 0 = keep all). */
+    * documents (stop-shingle cutoff; 0 = keep all).
+    *
+    * The document-frequency cutoff is ONE pass over the index: a count
+    * window over the shingle partitioning (not a groupBy + semi-join
+    * back, which re-derives the tokenize+shingle subtree and pays a
+    * second shuffle). The window's hash partitioning on `shingle` is
+    * exactly what every downstream consumer (the posting self-join)
+    * needs, so the exchange is reused, not repeated. */
   def shingleIndex(df: DataFrame, idCol: String, textCol: String, k: Int,
                    maxDocFreq: Long = 0L): DataFrame = {
     // materialize the token array first: element_at inside the shingle
-    // lambda would otherwise re-evaluate split() per referenced element
-    val sh = df.select(col(idCol).as("doc"),
+    // lambda would otherwise re-evaluate split() per referenced element.
+    // Widen first: tokenize+shingle is the CPU-dense stage of every
+    // dedup pipeline, and a one-file corpus otherwise runs it on a
+    // single task per consumer subtree (measured: 4 × 0.5 s sequential
+    // single-task scans in the Jaccard plan at sf0.1).
+    val sh = graft.core.Widen.widen(df)
+      .select(col(idCol).as("doc"),
         TextFunctions.wsTokens(col(textCol)).as("__ws"))
       .select(col("doc"),
         explode(TextFunctions.shingles(col("__ws"), k)).as("shingle"))
     if (maxDocFreq <= 0) sh
     else {
-      val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= maxDocFreq).select("shingle")
-      sh.join(rare, Seq("shingle"), "left_semi")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))
+      sh.withColumn("__df", count(lit(1)).over(w))
+        .filter(col("__df") <= maxDocFreq)
+        .drop("__df")
     }
   }
 

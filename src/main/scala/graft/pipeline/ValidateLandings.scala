@@ -527,19 +527,14 @@ object ValidateLandings {
     // (measured: dropping both input persists cut ~2 s of the fold's
     // wall time at sf0.1 while total scan work stayed trivial).
     //
-    // Scan parallelism is BYTE-sized (spark.sql.files.maxPartitionBytes),
-    // so a compact input (one small parquet file) plans as ONE task and
-    // the CPU-dense validator stages — the stacked-bounds explode and
-    // the final 15-validator projection — inherit that single task
-    // (measured: the final projection ran 3-10 s on one core at sf0.1).
-    // Widen under-split inputs once up front; with production inputs
-    // arriving in many splits this is a no-op.
-    def widen(df: DataFrame): DataFrame = {
-      val p = df.sparkSession.sparkContext.defaultParallelism
-      if (df.rdd.getNumPartitions < math.max(2, p / 2)) df.repartition(p) else df
-    }
-    val trips = widen(trips0)
-    val catchRows = widen(catchRows0)
+    // Widen under-split inputs once up front (graft.core.Widen): the
+    // CPU-dense validator stages — the stacked-bounds explode and the
+    // final 15-validator projection — otherwise inherit a one-file
+    // input's single task (measured: the final projection ran 3-10 s on
+    // one core at sf0.1). With production inputs arriving in many
+    // splits this is a no-op.
+    val trips = graft.core.Widen.widen(trips0)
+    val catchRows = graft.core.Widen.widen(catchRows0)
 
     // --- catch side, recomposed at the submission grain ---
     // The standalone regularity/price-cap/price-weight validators chain

@@ -1,0 +1,50 @@
+package graft.tools
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+import scala.collection.mutable
+
+/** Scratch: job/stage timing of one registered query at sf0.1. */
+object ProfQ {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val spark = graft.core.GraftSession.configure(
+        SparkSession.builder().master("local[32]")
+          .appName("profq").config("spark.ui.enabled", "false"),
+        parallelism = 32)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val starts = mutable.Map[Int, Long]()
+    val lines = mutable.ArrayBuffer[String]()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit =
+        starts(j.jobId) = System.nanoTime()
+      override def onJobEnd(j: SparkListenerJobEnd): Unit =
+        lines += f"job ${j.jobId}%3d ${(System.nanoTime() - starts(j.jobId)) / 1e9}%6.2fs"
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+        val i = s.stageInfo
+        val cpu = i.taskMetrics.executorRunTime / 1e3
+        lines += f"  stage ${i.stageId}%3d tasks=${i.numTasks}%3d taskTime=$cpu%7.2fs"
+      }
+    })
+    val q = graft.queries.Registry.byName(name)
+    q.run(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
+    lines.clear()
+    val t0 = System.nanoTime()
+    val df = q.run(spark, "/root/testdata/sf0.1")
+    df.write.format("noop").mode("overwrite").save()
+    val total = (System.nanoTime() - t0) / 1e9
+    Thread.sleep(500)
+    lines.foreach(println)
+    println(f"TOTAL $total%.2f s")
+    val plan = df.queryExecution.executedPlan.toString
+    println("FileScans=" + "FileScan".r.findAllIn(plan).length +
+      " ReusedExchange=" + "ReusedExchange".r.findAllIn(plan).length +
+      " ReusedStage=" + "ReusedQueryStage".r.findAllIn(plan).length +
+      " Window=" + "Window".r.findAllIn(plan).length)
+    println(plan.linesIterator.filter(l => l.contains("Exchange") || l.contains("FileScan")
+      || l.contains("Window") || l.contains("Join") || l.contains("Aggregate")).take(40)
+      .map(_.take(150)).mkString("\n"))
+    spark.stop()
+  }
+}
