@@ -36,6 +36,18 @@ object Harmonize {
     dict.foldLeft(base) { case (acc, (from, to)) => when(c === lit(from), lit(to)).otherwise(acc) }
   }
 
+  /** Ordered, FIRST-match-wins recode — `case_when` semantics for
+    * dictionaries where a key appears under more than one arm (the
+    * reference's species map lists code 116 under both "11" and "31";
+    * the earlier arm wins, `R/clean-raw-data.R:130,151`). Targets may be
+    * None (recode to null, e.g. landing site "LOR",
+    * `R/clean-raw-data.R:393-397`). Unmatched values pass through. */
+  def recodeOrdered(c: Column, entries: Seq[(String, Option[String])]): Column =
+    entries.foldLeft(when(lit(false), lit(null).cast("string"))) {
+      case (acc, (from, to)) =>
+        acc.when(c === lit(from), to.map(lit).getOrElse(lit(null).cast("string")))
+    }.otherwise(c)
+
   /** Union N frames by column name, null-filling columns a frame lacks
     * (`bind_rows`, `R/merge-landings.R:102-105`). */
   def unionByNameAll(dfs: Seq[DataFrame]): DataFrame =

@@ -31,7 +31,8 @@ object Registry {
       PublicDataQueries.queries ++
       EstimationQueries.queries ++
       SummaryQueries.queries ++
-      WeightsQueries.queries
+      WeightsQueries.queries ++
+      RecodeQueries.queries
 
   def byName: Map[String, GQuery] = all.map(q => q.name -> q).toMap
 }
