@@ -27,6 +27,22 @@ object Nest {
       .agg(array_sort(collect_list(st)).as(as))
   }
 
+  /** Nest children ONTO a parent frame — the `pt_nest_attachments`
+    * composition (`R/pt_nest_attachments.R:40-72`): children nest per
+    * key, left-join onto the parent, and a parent with NO children
+    * keeps an EMPTY array — not a null array, and the row is not
+    * dropped (`:61-67`: the reference empties the nested frame for
+    * no-attachment submissions rather than dropping or null-ing it).
+    * The empty-vs-null distinction survives a parquet round-trip and
+    * drives `unnest(keepEmpty)` behavior downstream. */
+  def nestOnto(parent: DataFrame, children: DataFrame, keys: Seq[String],
+               payload: Seq[String], orderField: String, as: String): DataFrame = {
+    val nested = nest(children, keys, payload, orderField, as)
+    val emptyArr = array().cast(nested.schema(as).dataType)
+    parent.join(nested, keys, "left")
+      .withColumn(as, coalesce(col(as), emptyArr))
+  }
+
   /** unnest: explode the array-of-struct back to child rows, promoting
     * struct fields to top-level columns. `keepEmpty = true` ⇒
     * `explode_outer` (parents with null/empty arrays survive with null

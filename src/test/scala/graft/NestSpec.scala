@@ -65,4 +65,27 @@ class NestSpec extends SparkSpec {
     val got = df.as[Option[Double]].collect().toSeq
     assert(got == Seq(Some(7.5), Some(60.0), None))
   }
+
+  test("nestOnto: no-attachment parents keep an EMPTY array (not null, row kept), surviving parquet") {
+    // pt_nest_attachments edge (`R/pt_nest_attachments.R:61-67`): the
+    // nested frame is EMPTIED for parents without children
+    val parents = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("_id", "payload")
+    val children = Seq((1L, 0, "u0"), (1L, 1, "u1")).toDF("_id", "n", "url")
+    val nested = Nest.nestOnto(parents, children, Seq("_id"),
+      Seq("n", "url"), "n", "_attachments")
+    val dir = java.nio.file.Files.createTempDirectory("nestonto").toString
+    nested.write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 3, "parents without children must not drop")
+    val byId = back.collect().map(r =>
+      r.getAs[Long]("_id") -> r.getSeq[Row](r.fieldIndex("_attachments"))).toMap
+    assert(byId(1L).map(_.getAs[String]("url")) == Seq("u0", "u1"))
+    // empty, NOT null — the distinction the reference encodes
+    assert(byId(2L) != null && byId(2L).isEmpty)
+    assert(byId(3L) != null && byId(3L).isEmpty)
+    assert(back.filter(col("_attachments").isNull).count() == 0)
+    // keep_empty unnest downstream: empty-array parents survive
+    assert(Nest.unnest(back, "_attachments", keepEmpty = true).count() == 4)
+    assert(Nest.unnest(back, "_attachments", keepEmpty = false).count() == 2)
+  }
 }
