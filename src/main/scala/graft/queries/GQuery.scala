@@ -32,7 +32,8 @@ object Registry {
       EstimationQueries.queries ++
       SummaryQueries.queries ++
       WeightsQueries.queries ++
-      RecodeQueries.queries
+      RecodeQueries.queries ++
+      EndToEndQueries.queries
 
   def byName: Map[String, GQuery] = all.map(q => q.name -> q).toMap
 }
