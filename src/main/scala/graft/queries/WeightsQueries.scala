@@ -60,15 +60,11 @@ object WeightsQueries {
         .join(broadcast(part(s, d).select(col("p_partkey"), col("p_brand"))),
           col("l_partkey") === col("p_partkey"))
         .select(
-          // (orderkey, linenumber) is NOT unique in the synthetic
-          // lineitem — the full four-column key is (TESTDATA.md seed 42)
-          col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
           when(col("l_partkey") % 50 === 0, "0").otherwise(col("p_brand")).as("code"),
           col("l_quantity").as("length"),
           when(col("l_linenumber") % 2 === 0, "TL").otherwise("FL").as("length_type"),
           (col("l_linenumber") - 1).cast("double").as("n_individuals"))
       val est = Weights.estimateWeights(catchRows, lw, ll,
-        Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
         brandQuantiles, defaultQ = 0.9)
       val lwStats = lw.groupBy(col("interagency_code").as("code"))
         .agg(lcount(lit(1)).as("n_lw"),
@@ -122,36 +118,33 @@ object WeightsQueries {
       |    SELECT code, species, length1, length2, al, bl FROM raw)
       |  WHERE al IS NOT NULL),
       |catch AS (
-      |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
-      |    CASE WHEN l_partkey % 50 = 0 THEN '0' ELSE p_brand END AS code,
+      |  SELECT CASE WHEN l_partkey % 50 = 0 THEN '0' ELSE p_brand END AS code,
       |    l_quantity AS length,
       |    CASE WHEN l_linenumber % 2 = 0 THEN 'TL' ELSE 'FL' END AS length_type,
       |    CAST(l_linenumber - 1 AS DOUBLE) AS n_individuals
       |  FROM lineitem JOIN part ON l_partkey = p_partkey),
-      |eligible AS (
-      |  SELECT * FROM catch
+      |combos AS (
+      |  SELECT DISTINCT code, length, length_type FROM catch
       |  WHERE code IS NOT NULL AND code <> '0' AND length IS NOT NULL
-      |    AND length_type IS NOT NULL AND n_individuals IS NOT NULL
-      |    AND n_individuals <> 0),
+      |    AND length_type IS NOT NULL),
       |spx AS (SELECT DISTINCT code, species FROM lw),
       |cand AS (
-      |  SELECT e.l_orderkey, e.l_linenumber, e.l_partkey, e.l_suppkey, e.code,
-      |    s.species, e.length_type AS type, e.length AS len, e.n_individuals
-      |  FROM eligible e JOIN spx s ON e.code = s.code
+      |  SELECT c.code, c.length, c.length_type,
+      |    s.species, c.length_type AS type, c.length AS len
+      |  FROM combos c JOIN spx s ON c.code = s.code
       |  UNION ALL
-      |  SELECT e.l_orderkey, e.l_linenumber, e.l_partkey, e.l_suppkey, e.code,
-      |    l.species, l.length1 AS type, l.al + e.length * l.bl AS len, e.n_individuals
-      |  FROM eligible e JOIN ll l ON e.code = l.code AND l.length2 = e.length_type),
+      |  SELECT c.code, c.length, c.length_type,
+      |    l.species, l.length1 AS type, l.al + c.length * l.bl AS len
+      |  FROM combos c JOIN ll l ON c.code = l.code AND l.length2 = c.length_type),
       |w AS (
-      |  SELECT c.l_orderkey, c.l_linenumber, c.l_partkey, c.l_suppkey, c.code,
-      |    c.n_individuals, lw.a * pow(c.len, lw.b) AS w
+      |  SELECT c.code, c.length, c.length_type, lw.a * pow(c.len, lw.b) AS w
       |  FROM cand c JOIN lw
       |    ON c.code = lw.code AND c.species = lw.species AND c.type = lw.type),
       |ps AS (
-      |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, code,
+      |  SELECT code, length, length_type,
       |    quantile_cont(w, 0.7) AS q70, quantile_cont(w, 0.75) AS q75,
       |    quantile_cont(w, 0.9) AS q90
-      |  FROM w GROUP BY 1, 2, 3, 4, 5),
+      |  FROM w GROUP BY 1, 2, 3),
       |est AS (
       |  SELECT c.code,
       |    CASE WHEN c.code IS NULL OR c.code = '0' OR c.length IS NULL
@@ -161,8 +154,8 @@ object WeightsQueries {
       |                    WHEN c.code IN ('Brand#12', 'Brand#21') THEN p.q75
       |                    ELSE p.q90 END) * c.n_individuals END AS weight_est
       |  FROM catch c LEFT JOIN ps p
-      |    ON c.l_orderkey = p.l_orderkey AND c.l_linenumber = p.l_linenumber
-      |    AND c.l_partkey = p.l_partkey AND c.l_suppkey = p.l_suppkey),
+      |    ON c.code = p.code AND c.length = p.length
+      |    AND c.length_type = p.length_type),
       |lws AS (SELECT code, COUNT(*) AS n_lw, ${sqlLsum6("a")} AS sum_a,
       |  ${sqlLsum6("b")} AS sum_b FROM lw GROUP BY code),
       |lls AS (SELECT code, COUNT(*) AS n_ll, ${sqlLsum6("al")} AS sum_al,

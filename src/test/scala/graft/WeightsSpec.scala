@@ -83,7 +83,7 @@ class WeightsSpec extends SparkSpec {
       .toDF("rid", "code", "length", "length_type", "n_individuals")
       .withColumn("length",
         when(isnan(col("length")), lit(null).cast("double")).otherwise(col("length")))
-    val est = Weights.estimateWeights(catchRows, lw, ll, Seq("rid"),
+    val est = Weights.estimateWeights(catchRows, lw, ll,
       quantiles = Map.empty, defaultQ = 0.9)
       .select("rid", "weight_est").as[(Long, Option[Double])]
       .collect().toMap
@@ -107,7 +107,7 @@ class WeightsSpec extends SparkSpec {
       .withColumn("length", lit(5.0))
       .withColumn("length_type", lit("TL"))
       .withColumn("n_individuals", lit(1.0))
-    val est = Weights.estimateWeights(catchRows, lw, ll, Seq("rid"),
+    val est = Weights.estimateWeights(catchRows, lw, ll,
       quantiles = Map("A" -> 0.5), defaultQ = 0.9)
       .select("rid", "weight_est").as[(Long, Double)].collect().toMap
     // a·L^0 = a, so candidate weights are exactly {1, 2, 3}
