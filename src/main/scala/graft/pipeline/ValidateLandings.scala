@@ -572,9 +572,40 @@ object ValidateLandings {
     val rows = catchRows.join(
         tripSide.filter(col("__a_reg").isNull).select("submission_id", "__gear"),
         Seq("submission_id"))
-    val bounds = Outliers.madBoundsLog1p(
-      rows, Seq("__gear", "species"), "n_individuals", cfg.kInd)
-      .select(col("__gear"), col("species"), col("upper").as("__hi11"))
+
+    // ONE MAD histogram pass for BOTH the per-(gear, species) catch
+    // bounds (alert 11) and the five global trip columns (alerts
+    // 18/21/23): the group keys are disjoint ("g:<gear>" vs "c:<col>"
+    // prefixes), so the union'd histogram computes identical per-group
+    // results while the suite runs one percentile chain instead of two
+    // concurrent ones — half the small sequential stages the exact
+    // median/MAD machinery costs.
+    val fisherCols = Seq("fisher_child", "fisher_man", "fisher_woman")
+    val globalCols: Seq[(String, Column, Double)] =
+      fisherCols.map(c => (c, col(c).cast("double"), cfg.kFishers)) ++ Seq(
+        ("n_gleaners", abs(col("n_gleaners").cast("double")), cfg.kGleaners),
+        // the fuel MAD is computed over fuel >= 0 (see object doc)
+        ("fuel", when(col("fuel").cast("double") >= 0, col("fuel").cast("double")),
+          cfg.kFuel))
+    val catchStack = rows.select(
+      concat(lit("g:"), col("__gear")).as("__g1"),
+      col("species").cast("string").as("__g2"),
+      col("n_individuals").cast("double").as("__x"))
+    val tripStack = trips.select(
+        explode(map(globalCols.flatMap { case (n, c, _) =>
+          Seq(lit(s"c:$n"), c.cast("double"))
+        }: _*)).as(Seq("__g1", "__x")))
+      .select(col("__g1"), lit("").as("__g2"), col("__x"))
+    val uni = Outliers.madBoundsLog1p(
+      catchStack.unionByName(tripStack), Seq("__g1", "__g2"), "__x", 1.0)
+    // catch-side (gear × species) upper bound at kInd; the k=1 guard
+    // (`lower IS NOT NULL` ⟺ nonzero ∧ mad>0) is k-independent
+    val bounds = uni.filter(col("__g1").startsWith("g:"))
+      .select(expr("CAST(substring(__g1, 3) AS BIGINT)").as("__gear"),
+        col("__g2").as("species"),
+        when(col("lower").isNotNull,
+          exp(col("median_log") + lit(cfg.kInd) * col("mad_log")) - lit(1.0))
+          .as("__hi11"))
     val f11 = col("__hi11").isNotNull && col("n_individuals") > col("__hi11")
     val per = rows.join(broadcast(bounds), Seq("__gear", "species"), "left")
       .groupBy(col("submission_id"))
@@ -610,15 +641,22 @@ object ValidateLandings {
         trim(col("station_name")).as("station_name"),
         col("reporting_unit").as("reporting_region"))
       .distinct()
-    val fisherCols = Seq("fisher_child", "fisher_man", "fisher_woman")
-    // one-row lo/hi bounds frame (exp back-transform already applied —
-    // see stackedGlobalBounds), cross-broadcast into the projection
-    val wide = stackedGlobalBounds(trips,
-      fisherCols.map(c => (c, col(c).cast("double"), cfg.kFishers)) ++ Seq(
-        ("n_gleaners", abs(col("n_gleaners").cast("double")), cfg.kGleaners),
-        // the fuel MAD is computed over fuel >= 0 (see object doc)
-        ("fuel", when(col("fuel").cast("double") >= 0, col("fuel").cast("double")),
-          cfg.kFuel)))
+    // one-row lo/hi bounds frame for the global columns, pivoted out of
+    // the same unified histogram (exp back-transform applied on the one
+    // row, NOT per trip row), cross-broadcast into the projection
+    val wideAggs = globalCols.flatMap { case (n, _, _) => Seq(
+      max(when(col("__g1") === s"c:$n", col("median_log"))).as(s"__med_$n"),
+      max(when(col("__g1") === s"c:$n", col("mad_log"))).as(s"__mad_$n"),
+      max(when(col("__g1") === s"c:$n" && col("lower").isNotNull, lit(1))).as(s"__ok_$n"))
+    }
+    val wide = uni.filter(col("__g1").startsWith("c:"))
+      .groupBy().agg(wideAggs.head, wideAggs.tail: _*)
+      .select(globalCols.flatMap { case (n, _, k) => Seq(
+        when(col(s"__ok_$n") === 1,
+          exp(col(s"__med_$n") - lit(k) * col(s"__mad_$n")) - lit(1.0)).as(s"__lo_$n"),
+        when(col(s"__ok_$n") === 1,
+          exp(col(s"__med_$n") + lit(k) * col(s"__mad_$n")) - lit(1.0)).as(s"__hi_$n"))
+      }: _*)
 
     // Everything above stays LAZY: the whole 15-validator fold is ONE
     // Spark query. Earlier rounds persisted tripSide/rows and drove the
