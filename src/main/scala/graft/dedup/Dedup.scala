@@ -197,7 +197,8 @@ object Dedup {
                            k: Int = 3, w: Int = 4): DataFrame = {
     val B = 1000003L
     val M = 2147483647L
-    val toks = df.select(col(idCol).as("doc"),
+    val toks = graft.core.Widen.widen(df)
+      .select(col(idCol).as("doc"),
         posexplode(TextFunctions.wsTokens(col(textCol))).as(Seq("i", "tok")))
       .withColumn("h", md5Hash28(col("tok")))
     val order = org.apache.spark.sql.expressions.Window
@@ -220,7 +221,8 @@ object Dedup {
     * bit b of md5(token) votes ±tf; the sign of the vote sum sets bit b.
     * Output: (doc, simhash). */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tf = df.select(col(idCol).as("doc"),
+    val tf = graft.core.Widen.widen(df)
+      .select(col(idCol).as("doc"),
         explode(TextFunctions.wsTokens(col(textCol))).as("tok"))
       .groupBy(col("doc"), col("tok")).agg(count(lit(1)).as("tf"))
       .withColumn("hex", md5(col("tok")))
