@@ -284,5 +284,60 @@ object TextQueries {
       |  COUNT(CASE WHEN t > 96 THEN 1 END) AS n_oversize
       |FROM fit GROUP BY shard""".stripMargin))
 
-  def queries: Seq[GQuery] = Seq(q32, q33, q34, q35, q66, q89, q91, q94)
+  /** q96: within-document repetition quality filters
+    * ([[graft.text.QualityFilters]]) — top-bigram fraction, duplicated
+    * trigram fraction, distinct-token ratio — rolled up per language
+    * with a flag census at thresholds that split the corpus. */
+  val q96 = GQuery(
+    "q96_repetition_quality",
+    (s, d) => {
+      import graft.text.QualityFilters
+      val st = QualityFilters.repetitionStats(documents(s, d), "doc_id", "text")
+      documents(s, d).select(col("doc_id").as("doc"), col("lang"))
+        .join(st, Seq("doc"))
+        .groupBy(col("lang"))
+        .agg(
+          lcount(lit(1)).as("n_docs"),
+          lavg6(col("distinct_token_ratio")).as("avg_dtr"),
+          lavg6(col("top_ngram_frac")).as("avg_top"),
+          lavg6(col("dup_ngram_frac")).as("avg_dup"),
+          count(when(col("top_ngram_frac") > 0.04 ||
+            col("dup_ngram_frac") > 0.05 ||
+            col("distinct_token_ratio") < 0.35, 1)).as("n_flagged"))
+    },
+    Some(s"""WITH t AS (
+      |  SELECT doc_id, lang, $wsSql AS ws FROM documents),
+      |tok AS (
+      |  SELECT doc_id, lang, len(ws) AS n_tokens,
+      |    CASE WHEN len(ws) > 0 THEN
+      |      CAST(len(list_distinct(ws)) AS DOUBLE) / CAST(len(ws) AS DOUBLE)
+      |    END AS dtr
+      |  FROM t),
+      |g2 AS (
+      |  SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g
+      |  FROM t, UNNEST(generate_series(1, greatest(len(ws) - 1, 0))) u(i)),
+      |c2 AS (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY 1, 2),
+      |top2 AS (
+      |  SELECT doc_id, CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS topf
+      |  FROM c2 GROUP BY doc_id),
+      |g3 AS (
+      |  SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+      |  FROM t, UNNEST(generate_series(1, greatest(len(ws) - 2, 0))) u(i)),
+      |c3 AS (SELECT doc_id, g, COUNT(*) AS c FROM g3 GROUP BY 1, 2),
+      |dup3 AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
+      |      / CAST(SUM(c) AS DOUBLE) AS dupf
+      |  FROM c3 GROUP BY doc_id),
+      |j AS (
+      |  SELECT tok.lang, tok.dtr, top2.topf, dup3.dupf
+      |  FROM tok LEFT JOIN top2 USING (doc_id) LEFT JOIN dup3 USING (doc_id))
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  ${sqlLavg6("dtr")} AS avg_dtr,
+      |  ${sqlLavg6("topf")} AS avg_top,
+      |  ${sqlLavg6("dupf")} AS avg_dup,
+      |  COUNT(CASE WHEN topf > 0.04 OR dupf > 0.05 OR dtr < 0.35 THEN 1 END) AS n_flagged
+      |FROM j GROUP BY lang""".stripMargin))
+
+  def queries: Seq[GQuery] = Seq(q32, q33, q34, q35, q66, q89, q91, q94, q96)
 }

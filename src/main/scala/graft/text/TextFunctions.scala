@@ -34,6 +34,17 @@ object TextFunctions {
 
   /** Distinct word k-shingles ("w1 w2 … wk"), the unit for Jaccard /
     * MinHash dedup. Empty array when the document is shorter than k. */
+  /** Token n-grams WITH multiplicity (no distinct) — repetition
+    * statistics need frequencies, where [[shingles]] dedupes for set
+    * semantics. */
+  def ngrams(tokens: Column, k: Int): Column = {
+    val n = size(tokens)
+    when(n >= k,
+      transform(sequence(lit(1), n - (k - 1)), i =>
+        concat_ws(" ", (0 until k).map(j => element_at(tokens, i + lit(j))): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
   def shingles(tokens: Column, k: Int): Column = {
     val n = size(tokens)
     when(n >= k,
