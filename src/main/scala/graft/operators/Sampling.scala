@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic stratified sampling / data mixing for training-data
+  * pipelines (builder mandate): downsample or cap each stratum (e.g.
+  * language × source) toward a target mixture, reproducibly on any
+  * engine and at any parallelism.
+  *
+  * All draws are md5-derived (the pipeline's ST8 seeded-determinism
+  * policy): a document's fate depends only on its id and the salt,
+  * never on partitioning, row order, or an engine RNG — so byte-
+  * identical corpora come out of every rerun, and the DuckDB oracle
+  * reproduces the sample exactly.
+  *
+  * Scale shapes: [[sampleByRate]] is a pure filter (no shuffle, no
+  * state — the 100 TB default); [[takePerStratum]] caps strata by
+  * hash-rank, one window per stratum (shuffle on the strata keys;
+  * rank, not global sort).
+  */
+object Sampling {
+
+  /** md5-derived uniform draw in [0, 1): first 7 hex chars → 28-bit
+    * int / 2²⁸. Salt decorrelates successive sampling stages (the same
+    * doc keeps or drops independently across stages). */
+  def hashUnit(id: Column, salt: String): Column =
+    conv(substring(md5(concat_ws("-", lit(salt), id.cast("string"))), 1, 7), 16, 10)
+      .cast("double") / lit(268435456.0)
+
+  /** Keep each row of stratum s with its configured rate (strata with
+    * no configured rate keep `defaultRate`). Pure per-row filter. */
+  def sampleByRate(df: DataFrame, stratumCol: Column, idCol: Column,
+                   rates: Map[String, Double], defaultRate: Double = 1.0,
+                   salt: String = "mix"): DataFrame = {
+    require((rates.values.toSeq :+ defaultRate).forall(r => r >= 0 && r <= 1),
+      "rates must be in [0, 1]")
+    val rate = rates.foldLeft(when(lit(false), lit(defaultRate))) {
+      case (acc, (k, r)) => acc.when(stratumCol === k, lit(r))
+    }.otherwise(lit(defaultRate))
+    df.filter(hashUnit(idCol, salt) < rate)
+  }
+
+  /** [[sampleByRate]] with rates from a PLAN frame (e.g.
+    * [[mixturePlan]] output) instead of a static map: rates broadcast-
+    * join onto the rows; strata missing from the plan drop (rate 0). */
+  def sampleByPlan(df: DataFrame, stratumCol: String, idCol: Column,
+                   plan: DataFrame, salt: String = "mix"): DataFrame =
+    df.join(broadcast(plan.select(col(stratumCol), col("rate"))),
+        Seq(stratumCol), "left")
+      .filter(hashUnit(idCol, salt) < coalesce(col("rate"), lit(0.0)))
+      .drop("rate")
+
+  /** Cap each stratum at `n` rows, keeping the hash-minimal ones — a
+    * deterministic "reservoir" whose membership is stable under any
+    * partitioning and ONLY changes at the margin when the stratum
+    * grows. One rank window per stratum. */
+  def takePerStratum(df: DataFrame, strata: Seq[String], idCol: Column,
+                     n: Int, salt: String = "cap"): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strata.map(col): _*)
+      .orderBy(hashUnit(idCol, salt), idCol) // id tiebreak: total order
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__rn")
+  }
+
+  /** Mixture planning: given the observed per-stratum weight (e.g.
+    * token counts) and target mixture proportions, the per-stratum
+    * sampling rates that realize the target with NO upsampling — the
+    * binding stratum (smallest observed/target ratio) keeps rate 1 and
+    * everything else downsamples to match. Input: (stratum, observed);
+    * output: (stratum, observed, target_share, rate). Strata absent
+    * from `targets` get rate 0 (excluded from the mix). Runs as one
+    * tiny aggregate + projection — call it on a per-stratum rollup,
+    * not raw rows. */
+  def mixturePlan(observed: DataFrame, stratumCol: String, weightCol: String,
+                  targets: Map[String, Double]): DataFrame = {
+    require(targets.values.forall(_ > 0), "target shares must be positive")
+    val total = targets.values.sum
+    val share = targets.foldLeft(when(lit(false), lit(0.0))) {
+      case (acc, (k, s)) => acc.when(col(stratumCol) === k, lit(s / total))
+    }.otherwise(lit(0.0))
+    val base = observed.select(col(stratumCol), col(weightCol).cast("double")
+      .as("observed"))
+      .withColumn("target_share", share)
+    // scale chosen so the binding stratum is fully used: the achievable
+    // mixture total = min over strata of observed/share
+    val scale = base.filter(col("target_share") > 0)
+      .agg(min(col("observed") / col("target_share")).as("__scale"))
+    base.crossJoin(broadcast(scale))
+      .withColumn("rate",
+        when(col("target_share") === 0.0, lit(0.0))
+          .otherwise(least(lit(1.0),
+            col("target_share") * col("__scale") / col("observed"))))
+      .drop("__scale")
+  }
+}

@@ -33,7 +33,8 @@ object Registry {
       SummaryQueries.queries ++
       WeightsQueries.queries ++
       RecodeQueries.queries ++
-      EndToEndQueries.queries
+      EndToEndQueries.queries ++
+      SamplingQueries.queries
 
   def byName: Map[String, GQuery] = all.map(q => q.name -> q).toMap
 }

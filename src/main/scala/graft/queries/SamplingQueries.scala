@@ -1,0 +1,84 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Exact._
+import graft.core.Tables._
+import graft.operators.Sampling
+
+/** q97: deterministic data mixing over `documents` — a mixture plan
+  * from per-language character budgets (no-upsampling rates toward a
+  * target mix, Spanish deliberately excluded to exercise the rate-0
+  * drop), the md5-draw rate sample it drives, and the per-stratum
+  * hash-rank cap. Every draw is md5-derived, so the DuckDB oracle
+  * replays the exact sample membership. */
+object SamplingQueries {
+
+  private val targets = Map("en" -> 0.4, "de" -> 0.2, "fr" -> 0.2, "zh" -> 0.15)
+  private def targetShareSql: String = {
+    val total = targets.values.sum
+    "CASE " + targets.map { case (k, s) =>
+      s"WHEN lang = '$k' THEN ${s / total}"
+    }.mkString(" ") + " ELSE 0.0 END"
+  }
+
+  val q97 = GQuery(
+    "q97_stratified_mixing",
+    (s, d) => {
+      val docs = documents(s, d)
+      val observed = docs.groupBy(col("lang"))
+        .agg(sum(col("n_chars")).cast("double").as("w"))
+      val plan = Sampling.mixturePlan(observed, "lang", "w", targets)
+      val sampled = Sampling.sampleByPlan(docs, "lang", col("doc_id"), plan)
+        .groupBy(col("lang"))
+        .agg(lcount(lit(1)).as("n_sampled"),
+          sum(col("n_chars")).cast("long").as("chars_sampled"))
+      val capped = Sampling.takePerStratum(docs, Seq("lang"), col("doc_id"), n = 50)
+        .groupBy(col("lang"))
+        .agg(lcount(lit(1)).as("n_capped"),
+          sum(col("n_chars")).cast("long").as("chars_capped"))
+      docs.groupBy(col("lang")).agg(lcount(lit(1)).as("n_docs"))
+        .join(plan.select(col("lang"), round(col("rate"), 6).as("rate")), Seq("lang"))
+        .join(sampled, Seq("lang"), "left")
+        .join(capped, Seq("lang"), "left")
+        .select(col("lang"), col("n_docs"), col("rate"),
+          coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+          coalesce(col("chars_sampled"), lit(0L)).as("chars_sampled"),
+          col("n_capped"), col("chars_capped"))
+    },
+    Some(s"""WITH obs AS (
+      |  SELECT lang, CAST(SUM(n_chars) AS DOUBLE) AS w, COUNT(*) AS n_docs
+      |  FROM documents GROUP BY lang),
+      |shared AS (SELECT *, $targetShareSql AS share FROM obs),
+      |scaled AS (
+      |  SELECT s.*, m.scale FROM shared s,
+      |    (SELECT MIN(w / share) AS scale FROM shared WHERE share > 0) m),
+      |plan AS (
+      |  SELECT lang, n_docs,
+      |    CASE WHEN share = 0.0 THEN 0.0
+      |         ELSE LEAST(1.0, share * scale / w) END AS rate
+      |  FROM scaled),
+      |draw AS (
+      |  SELECT d.lang, d.doc_id, d.n_chars, p.rate,
+      |    CAST(('0x' || substr(md5('mix-' || CAST(d.doc_id AS VARCHAR)), 1, 7)) AS BIGINT)
+      |      / 268435456.0 AS u_mix,
+      |    CAST(('0x' || substr(md5('cap-' || CAST(d.doc_id AS VARCHAR)), 1, 7)) AS BIGINT)
+      |      / 268435456.0 AS u_cap
+      |  FROM documents d JOIN plan p ON d.lang = p.lang),
+      |sampled AS (
+      |  SELECT lang, COUNT(*) AS n_sampled, CAST(SUM(n_chars) AS BIGINT) AS chars_sampled
+      |  FROM draw WHERE u_mix < rate GROUP BY lang),
+      |capped AS (
+      |  SELECT lang, COUNT(*) AS n_capped, CAST(SUM(n_chars) AS BIGINT) AS chars_capped
+      |  FROM (SELECT lang, n_chars,
+      |          row_number() OVER (PARTITION BY lang ORDER BY u_cap, doc_id) AS rn
+      |        FROM draw)
+      |  WHERE rn <= 50 GROUP BY lang)
+      |SELECT p.lang, CAST(p.n_docs AS BIGINT) AS n_docs, round(p.rate, 6) AS rate,
+      |  COALESCE(s.n_sampled, 0) AS n_sampled,
+      |  COALESCE(s.chars_sampled, 0) AS chars_sampled,
+      |  c.n_capped, c.chars_capped
+      |FROM plan p LEFT JOIN sampled s ON p.lang = s.lang
+      |  LEFT JOIN capped c ON p.lang = c.lang""".stripMargin))
+
+  def queries: Seq[GQuery] = Seq(q97)
+}

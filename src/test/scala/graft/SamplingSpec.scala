@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Sampling
+
+/** Deterministic stratified sampling / mixing: membership stability,
+  * cap semantics, and mixture-plan arithmetic. */
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = (0 until 1000).map(i =>
+    (i.toLong, if (i % 4 == 0) "en" else if (i % 4 == 1) "de" else "es", i % 97 + 10))
+    .toDF("id", "lang", "w")
+
+  test("sampleByRate: deterministic membership, stable under repartitioning; 0 and 1 edges") {
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      Sampling.sampleByRate(df, col("lang"), col("id"), Map("en" -> 0.5, "de" -> 0.0),
+        defaultRate = 1.0)
+        .select("id").as[Long].collect().toSet
+    val a = ids(docs)
+    assert(a == ids(docs.repartition(7)))
+    val byLang = docs.filter(col("id").isInCollection(a.toSeq))
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(!byLang.contains("de"))            // rate 0 drops all
+    assert(byLang("es") == 500L)              // default rate 1 keeps all
+    val enKept = byLang("en")
+    assert(enKept > 75 && enKept < 175, s"~50% of 250 expected, got $enKept")
+  }
+
+  test("takePerStratum: exact cap, stable membership, grows only at the margin") {
+    val capped = Sampling.takePerStratum(docs, Seq("lang"), col("id"), n = 20)
+    val counts = capped.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(counts.values.forall(_ == 20L))
+    // determinism under partitioning
+    val again = Sampling.takePerStratum(docs.repartition(5), Seq("lang"), col("id"), 20)
+    assert(capped.select("id").as[Long].collect().toSet ==
+      again.select("id").as[Long].collect().toSet)
+    // a grown stratum keeps the previous winners minus at most the margin:
+    // the original sample from a PREFIX of the data is a superset filter
+    val small = Sampling.takePerStratum(docs.filter(col("id") < 500), Seq("lang"), col("id"), 20)
+      .select("id").as[Long].collect().toSet
+    val full = capped.select("id").as[Long].collect().toSet
+    // every full-data winner with id < 500 must also win on the prefix
+    assert(full.filter(_ < 500).subsetOf(small))
+  }
+
+  test("mixturePlan: binding stratum keeps rate 1, others realize the target mix; absent stratum rate 0") {
+    val observed = Seq(("en", 1000.0), ("de", 100.0), ("es", 500.0))
+      .toDF("lang", "w")
+    val plan = Sampling.mixturePlan(observed, "lang", "w",
+      Map("en" -> 0.5, "de" -> 0.5))
+      .select("lang", "rate").as[(String, Double)].collect().toMap
+    // de is binding (100/0.5 = 200 < 1000/0.5 = 2000): rate 1; en
+    // downsamples to 100 of its 1000 → rate 0.1; es excluded
+    assert(plan("de") == 1.0)
+    assert(math.abs(plan("en") - 0.1) < 1e-12)
+    assert(plan("es") == 0.0)
+  }
+}
