@@ -339,5 +339,53 @@ object TextQueries {
       |  COUNT(CASE WHEN topf > 0.04 OR dupf > 0.05 OR dtr < 0.35 THEN 1 END) AS n_flagged
       |FROM j GROUP BY lang""".stripMargin))
 
-  def queries: Seq[GQuery] = Seq(q32, q33, q34, q35, q66, q89, q91, q94, q96)
+  /** q98: concat-and-chunk segment materialization
+    * ([[graft.text.Packing.chunks]]) over the q91 layout — per shard:
+    * segment/split-doc census, token conservation, and segment-length
+    * extremes. The oracle rebuilds the contiguous-fill positions with
+    * the same window cumsum and explodes each document's touched-bin
+    * range. */
+  val q98 = GQuery(
+    "q98_sequence_chunks",
+    (s, d) => {
+      import graft.text.Packing
+      val docs = documents(s, d)
+        .withColumn("n_tok", bpeishCount(col("text")))
+      val packed = Packing.pack(docs, "doc_id", "n_tok",
+        capacity = 2048L, nShards = 8)
+      val seg = Packing.chunks(packed, 2048L)
+      val perDoc = seg.groupBy(col("shard"), col("doc_id"))
+        .agg(count(lit(1)).as("nseg"), sum(col("tok_end") - col("tok_start")).as("tok"))
+      perDoc.groupBy(col("shard"))
+        .agg(
+          lcount(lit(1)).as("n_docs"),
+          sum(col("nseg")).as("n_segments"),
+          count(when(col("nseg") > 1, 1)).as("n_split_docs"),
+          sum(col("tok")).as("sum_seg_tokens"))
+    },
+    Some(s"""WITH docs AS (
+      |  SELECT doc_id, CAST($bpeSql AS BIGINT) AS t,
+      |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) % 8 AS shard
+      |  FROM documents),
+      |packed AS (
+      |  SELECT doc_id, shard, t,
+      |    SUM(t) OVER (PARTITION BY shard ORDER BY doc_id
+      |      ROWS UNBOUNDED PRECEDING) - t AS gs
+      |  FROM docs),
+      |seg AS (
+      |  SELECT doc_id, shard,
+      |    least((b + 1) * 2048, gs + t) - greatest(b * 2048, gs) AS seg_tok
+      |  FROM packed,
+      |    UNNEST(generate_series(CAST(gs // 2048 AS BIGINT),
+      |      CAST((CASE WHEN t > 0 THEN gs + t - 1 ELSE gs END) // 2048 AS BIGINT))) AS u(b)),
+      |per_doc AS (
+      |  SELECT shard, doc_id, COUNT(*) AS nseg, SUM(seg_tok) AS tok
+      |  FROM seg GROUP BY 1, 2)
+      |SELECT shard, COUNT(*) AS n_docs,
+      |  CAST(SUM(nseg) AS BIGINT) AS n_segments,
+      |  COUNT(CASE WHEN nseg > 1 THEN 1 END) AS n_split_docs,
+      |  CAST(SUM(tok) AS BIGINT) AS sum_seg_tokens
+      |FROM per_doc GROUP BY shard""".stripMargin))
+
+  def queries: Seq[GQuery] = Seq(q32, q33, q34, q35, q66, q89, q91, q94, q96, q98)
 }

@@ -134,6 +134,38 @@ object Packing {
     }(Encoders.row(outSchema))
   }
 
+  /** Materialize [[pack]] assignments into per-bin SEGMENTS — the
+    * actual concat-and-chunk read layout: each document yields one row
+    * per bin it touches, with the half-open within-document token range
+    * `[tok_start, tok_end)` it contributes there and its offset inside
+    * the bin. Straddling documents split into one full-bin segment per
+    * crossed boundary; everything else yields a single segment. A
+    * 0-token document keeps one empty segment (row conservation).
+    *
+    * Pure per-row arithmetic + one bounded explode (a document touches
+    * `1 + n_tokens div capacity` bins at most) — no shuffle, no state:
+    * the contiguous-fill invariant (global start = bin·capacity +
+    * offset) makes every segment computable from the row alone. */
+  def chunks(packed: DataFrame, capacity: Long): DataFrame = {
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    val cap = lit(capacity)
+    val gs = col("bin") * cap + col("offset")
+    val lastTok = when(col("n_tokens") > 0, gs + col("n_tokens") - 1).otherwise(gs)
+    val idName = packed.columns.head
+    packed
+      .withColumn("__gs", gs)
+      .withColumn("__last", lastTok)
+      .withColumn("__b", explode(sequence(
+        expr(s"__gs div CAST($capacity AS BIGINT)"),
+        expr(s"__last div CAST($capacity AS BIGINT)"))))
+      .select(col(idName), col("shard"),
+        col("__b").as("bin"),
+        (greatest(col("__b") * cap, col("__gs")) - col("__gs")).as("tok_start"),
+        (least((col("__b") + 1) * cap, col("__gs") + col("n_tokens")) - col("__gs"))
+          .as("tok_end"),
+        (greatest(col("__b") * cap, col("__gs")) - col("__b") * cap).as("offset"))
+  }
+
   /** Per-bin census: document count, token fill, utilization. Documents
     * count toward the bin they are assigned to — under [[pack]] that is
     * the START bin, so a straddling document's tokens are all

@@ -94,6 +94,43 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  test("chunks: segments tile each document exactly; split count matches spans_bins") {
+    val packed = Packing.pack(docs, "doc_id", "n_tok", capacity, nShards = 8)
+    val seg = Packing.chunks(packed, capacity).collect()
+    val byDoc = seg.groupBy(_.getAs[Long]("doc_id"))
+    val pk = packed.collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(byDoc.keySet == pk.keySet, "every doc yields at least one segment")
+    byDoc.foreach { case (id, ss) =>
+      val n = pk(id).getAs[Long]("n_tokens")
+      // segments tile [0, n) in order with no gaps
+      val sorted = ss.sortBy(_.getAs[Long]("tok_start"))
+      assert(sorted.head.getAs[Long]("tok_start") == 0L)
+      assert(sorted.last.getAs[Long]("tok_end") == n)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("tok_end") == b.getAs[Long]("tok_start"))
+          assert(b.getAs[Long]("bin") == a.getAs[Long]("bin") + 1)
+          assert(b.getAs[Long]("offset") == 0L, "continuation starts at bin start")
+        case _ =>
+      }
+      // first segment sits at the doc's packed offset
+      assert(sorted.head.getAs[Long]("offset") == pk(id).getAs[Long]("offset"))
+      assert((ss.length > 1) == pk(id).getAs[Boolean]("spans_bins"))
+    }
+    // per (shard, bin): segments never overlap and fit the capacity
+    seg.groupBy(r => (r.getAs[Long]("shard"), r.getAs[Long]("bin"))).foreach {
+      case (_, ss) =>
+        val ivs = ss.map(r => (r.getAs[Long]("offset"),
+          r.getAs[Long]("offset") + r.getAs[Long]("tok_end") - r.getAs[Long]("tok_start")))
+          .sortBy(_._1)
+        assert(ivs.last._2 <= capacity)
+        ivs.sliding(2).foreach {
+          case Array(a, b) => assert(a._2 <= b._1, "overlapping segments in a bin")
+          case _ =>
+        }
+    }
+  }
+
   test("pack: bin arithmetic stays exact past 2^53 cumulative tokens") {
     // prev-cumulative 2^53+3: double division by 2 yields ...498 (the
     // sum rounds to 2^53+4 as a double); integer div yields ...497
