@@ -66,4 +66,33 @@ class PlanSpec extends SparkSpec {
       s"as-of join fell back to a pair join:\n$p")
     assert(p.contains("Window"), "union-sort as-of plan should use a window")
   }
+
+  test("sampleByRate is a pure filter: no exchange, no aggregation in the plan") {
+    import org.apache.spark.sql.functions.col
+    val p = graft.operators.Sampling
+      .sampleByRate(graft.core.Tables.documents(spark, sf),
+        col("lang"), col("doc_id"), Map("en" -> 0.5))
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("Exchange"), s"rate sampling must not shuffle:\n$p")
+    assert(!p.contains("Aggregate"), s"rate sampling must not aggregate:\n$p")
+  }
+
+  test("q92: weight estimation broadcasts every dimension and never pair-joins") {
+    val p = plan("q92_calculate_weights")
+    assert(!p.contains("CartesianProduct"), s"pair join in weights plan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), "lw/ll dims and combo estimates must broadcast")
+    // the catch-side scan reads only the columns the estimate needs
+    val reads = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!reads.contains("l_comment") && !reads.contains("l_shipdate"),
+      s"unused lineitem columns read:\n$reads")
+  }
+
+  test("q98: chunk materialization adds no shuffle beyond the pack window's") {
+    val p = plan("q98_sequence_chunks")
+    // one exchange for the per-shard window, one for the final census —
+    // the segment explode itself must not repartition
+    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 3, s"unexpected exchanges ($exchanges):\n$p")
+    assert(p.contains("Generate"), "segment explode missing")
+  }
 }
