@@ -387,5 +387,52 @@ object TextQueries {
       |  CAST(SUM(tok) AS BIGINT) AS sum_seg_tokens
       |FROM per_doc GROUP BY shard""".stripMargin))
 
-  def queries: Seq[GQuery] = Seq(q32, q33, q34, q35, q66, q89, q91, q94, q96, q98)
+  /** q99: overlapping token-window chunking
+    * ([[graft.text.Chunking.slidingWindows]], 64-token windows, 16
+    * overlap) — per-language chunk census with a content checksum (sum
+    * of 28-bit md5 hashes over every chunk text), so the oracle pins
+    * the exact slicing, not just the counts. */
+  val q99 = GQuery(
+    "q99_sliding_chunks",
+    (s, d) => {
+      import graft.text.Chunking
+      val ch = Chunking.slidingWindows(documents(s, d), "doc_id", "text",
+        maxTokens = 64, overlap = 16)
+      val perDoc = ch.groupBy(col("doc"))
+        .agg(count(lit(1)).as("nw"),
+          sum(col("tok_end") - col("tok_start")).as("tok"),
+          sum(graft.dedup.Dedup.md5Hash28(col("chunk_text"))).as("hsum"))
+      documents(s, d).select(col("doc_id").as("doc"), col("lang"))
+        .join(perDoc, Seq("doc"))
+        .groupBy(col("lang"))
+        .agg(
+          lcount(lit(1)).as("n_docs"),
+          sum(col("nw")).as("n_chunks"),
+          count(when(col("nw") > 1, 1)).as("n_multi"),
+          sum(col("tok")).as("sum_tokens"),
+          sum(col("hsum")).as("hash_sum"))
+    },
+    Some(s"""WITH t AS (
+      |  SELECT doc_id, lang, $wsSql AS ws, CAST(len($wsSql) AS BIGINT) AS n
+      |  FROM documents),
+      |win AS (
+      |  SELECT doc_id, lang, n, w,
+      |    least(w * 48 + 64, n) - w * 48 AS tok,
+      |    array_to_string(ws[CAST(w * 48 + 1 AS BIGINT):least(w * 48 + 64, n)], ' ') AS chunk
+      |  FROM t, UNNEST(generate_series(0,
+      |    CAST(CASE WHEN n <= 64 THEN 0
+      |         ELSE (n - 64 + 47) // 48 END AS BIGINT))) AS u(w)),
+      |per_doc AS (
+      |  SELECT doc_id, lang, COUNT(*) AS nw, SUM(tok) AS tok,
+      |    SUM(CAST(('0x' || substr(md5(chunk), 1, 7)) AS BIGINT)) AS hsum
+      |  FROM win GROUP BY 1, 2)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(nw) AS BIGINT) AS n_chunks,
+      |  COUNT(CASE WHEN nw > 1 THEN 1 END) AS n_multi,
+      |  CAST(SUM(tok) AS BIGINT) AS sum_tokens,
+      |  CAST(SUM(hsum) AS BIGINT) AS hash_sum
+      |FROM per_doc GROUP BY lang""".stripMargin))
+
+  def queries: Seq[GQuery] =
+    Seq(q32, q33, q34, q35, q66, q89, q91, q94, q96, q98, q99)
 }
