@@ -178,4 +178,57 @@ class PropertySpec extends SparkSpec {
     assert(scores(10L) > scores(11L),
       s"in-distribution text must outscore gibberish: $scores")
   }
+
+  test("property: packFirstFit invariants on generated token streams") {
+    import graft.text.Packing
+    val gen: Gen[List[Long]] = Gen.chooseNum(1, 120).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(1L, 70L)))
+    samples(gen, 5).foreach { tokens =>
+      val cap = 50L
+      val df = tokens.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "n_tok")
+      val out = Packing.packFirstFit(df, "doc_id", "n_tok", cap, nShards = 4).collect()
+      assert(out.length == tokens.length)
+      assert(out.map(_.getAs[Long]("n_tokens")).sum == tokens.sum)
+      out.groupBy(r => (r.getAs[Long]("shard"), r.getAs[Long]("bin"))).foreach {
+        case (_, rs) =>
+          if (rs.exists(_.getAs[Boolean]("oversize"))) assert(rs.length == 1)
+          else assert(rs.map(_.getAs[Long]("n_tokens")).sum <= cap)
+      }
+    }
+  }
+
+  test("property: sliding windows tile every generated doc exactly once per stride") {
+    import graft.text.Chunking
+    val gen: Gen[(Int, Int, Int)] = for {
+      n <- Gen.chooseNum(1, 300)       // tokens
+      max <- Gen.chooseNum(4, 40)      // window
+      ov <- Gen.chooseNum(0, 3)        // overlap < max
+    } yield (n, max, ov)
+    samples(gen, 6).foreach { case (n, max, ov) =>
+      val df = Seq((1L, (0 until n).map(i => s"t$i").mkString(" ")))
+        .toDF("doc_id", "text")
+      val ws = Chunking.slidingWindows(df, "doc_id", "text", max, ov)
+        .select("tok_start", "tok_end").as[(Long, Long)].collect().sortBy(_._1)
+      assert(ws.head._1 == 0L && ws.last._2 == n.toLong, s"(n=$n,max=$max,ov=$ov)")
+      ws.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b._1 == a._1 + (max - ov), "stride violated")
+          assert(b._1 <= a._2, "gap between windows") // equality at overlap 0
+        case _ =>
+      }
+      if (ws.length > 1) assert(ws(ws.length - 2)._2 < n.toLong, "non-minimal window count")
+    }
+  }
+
+  test("property: rate-sampled strata stay within binomial bounds and nest by rate") {
+    import graft.operators.Sampling
+    val df = (0 until 2000).map(i => (i.toLong, "s")).toDF("id", "lang")
+    // monotone: the kept set at a lower rate is a subset of a higher rate
+    def kept(r: Double) = Sampling.sampleByRate(df, col("lang"), col("id"),
+      Map("s" -> r)).select("id").as[Long].collect().toSet
+    val k25 = kept(0.25); val k5 = kept(0.5); val k9 = kept(0.9)
+    assert(k25.subsetOf(k5) && k5.subsetOf(k9), "same-salt draws must nest by rate")
+    assert(math.abs(k5.size - 1000) < 120, s"p=0.5 of 2000: got ${k5.size}")
+  }
 }
