@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.core.Exact._
 import graft.core.Tables._
-import graft.operators.Sampling
+import graft.operators.{Sampling, Splits}
 
 /** q97: deterministic data mixing over `documents` — a mixture plan
   * from per-language character budgets (no-upsampling rates toward a
@@ -80,5 +80,54 @@ object SamplingQueries {
       |FROM plan p LEFT JOIN sampled s ON p.lang = s.lang
       |  LEFT JOIN capped c ON p.lang = c.lang""".stripMargin))
 
-  def queries: Seq[GQuery] = Seq(q97)
+  /** q100: deterministic train/val/test split + per-split shard layout
+    * over `documents` — md5-threshold split assignment
+    * ([[graft.operators.Splits.assignSplit]]), hash-bucketed shards
+    * with within-shard rank ([[graft.operators.Splits.shardLayout]]).
+    * The `order_checksum` (Σ pos·doc_id per split) pins the exact rank
+    * assignment, not just the membership counts, so any ordering drift
+    * hash-fails. Threshold literals come from [[Splits.cumThresholds]]
+    * in BOTH engines (0.8 + 0.1 ≠ the double 0.9). */
+  private val splitSpec = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+
+  val q100 = GQuery(
+    "q100_hash_split_shards",
+    (s, d) => {
+      val split = Splits.assignSplit(documents(s, d), col("doc_id"), splitSpec)
+      Splits.shardLayout(split, col("doc_id"), nShards = 8)
+        .groupBy(col("split"))
+        .agg(
+          lcount(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("n_chars"),
+          countDistinct(col("shard")).cast("long").as("n_shards"),
+          max(col("pos") + 1L).as("max_shard_docs"),
+          sum(col("pos") * col("doc_id")).as("order_checksum"))
+    },
+    Some {
+      val th = Splits.cumThresholds(splitSpec)
+      val splitCase = "CASE " + th.init.map { case (n, ub) =>
+        s"WHEN u_split < $ub THEN '$n'"
+      }.mkString(" ") + s" ELSE '${th.last._1}' END"
+      s"""WITH draw AS (
+      |  SELECT doc_id, n_chars,
+      |    CAST(('0x' || substr(md5('split-' || CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT)
+      |      / 268435456.0 AS u_split,
+      |    CAST(('0x' || substr(md5('shard-' || CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT)
+      |      / 268435456.0 AS u_shard
+      |  FROM documents),
+      |assigned AS (
+      |  SELECT doc_id, n_chars, u_shard, $splitCase AS split,
+      |    CAST(FLOOR(u_shard * 8) AS BIGINT) AS shard
+      |  FROM draw),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY split, shard ORDER BY u_shard, doc_id) - 1 AS pos
+      |  FROM assigned)
+      |SELECT split, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+      |  CAST(COUNT(DISTINCT shard) AS BIGINT) AS n_shards,
+      |  CAST(MAX(pos + 1) AS BIGINT) AS max_shard_docs,
+      |  CAST(SUM(pos * doc_id) AS BIGINT) AS order_checksum
+      |FROM ranked GROUP BY split""".stripMargin
+    })
+
+  def queries: Seq[GQuery] = Seq(q97, q100)
 }

@@ -243,5 +243,44 @@ object SimilarityQueries {
       |round(CAST(SUM(e) AS DOUBLE) / 10000000.0 / COUNT(e), 6) AS mean_e
       |FROM el GROUP BY label, i""".stripMargin))
 
-  def queries: Seq[GQuery] = Seq(q40, q41, q42, q48, q53)
+  /** q102: per-dimension int8 quantization error report
+    * ([[graft.similarity.Quantize.int8ErrorReport]]) — the compression
+    * audit an int8 ANN index needs. Moments, the symmetric scale, and
+    * the reconstruction-error numerators are all exact integer/decimal
+    * arithmetic on scaled-long elements; only the final per-dim
+    * divisions are floating point, so both engines round the identical
+    * doubles. */
+  val q102 = GQuery(
+    "q102_int8_quant_error",
+    (s, d) =>
+      graft.similarity.Quantize.int8ErrorReport(embeddings(s, d), "vec_id", "embedding")
+        .select(col("dim").cast("long").as("dim"), col("n"),
+          round(col("mean"), 6).as("mean"),
+          round(col("std"), 6).as("std"),
+          round(col("max_abs"), 6).as("max_abs"),
+          round(col("mean_abs_err"), 9).as("mean_abs_err"),
+          round(col("max_abs_err"), 9).as("max_abs_err")),
+    Some(s"""WITH $elSql,
+      |stats AS (
+      |  SELECT i, COUNT(*) AS n, CAST(SUM(e) AS DOUBLE) AS s1d,
+      |    CAST(SUM(e * e) AS DOUBLE) AS s2d, MAX(ABS(e)) AS maxabs
+      |  FROM el GROUP BY i),
+      |m AS (SELECT *, s1d / n AS sm FROM stats),
+      |err AS (
+      |  SELECT el.i,
+      |    ABS(el.e * 127 - (CASE WHEN s.maxabs = 0 THEN 0
+      |      ELSE LEAST(127, GREATEST(-127,
+      |        CAST(FLOOR(CAST(el.e * 127 AS DOUBLE) / s.maxabs + 0.5) AS BIGINT))) END)
+      |      * s.maxabs) AS absnum
+      |  FROM el JOIN m s ON el.i = s.i)
+      |SELECT CAST(s.i - 1 AS BIGINT) AS dim, s.n AS n,
+      |  round(s.sm / 10000000.0, 6) AS mean,
+      |  round(sqrt(GREATEST(0.0, (s.s2d / s.n - s.sm * s.sm) / 100000000000000.0)), 6) AS std,
+      |  round(CAST(s.maxabs AS DOUBLE) / 10000000.0, 6) AS max_abs,
+      |  round(CAST(SUM(e2.absnum) AS DOUBLE) / COUNT(*) / 1270000000.0, 9) AS mean_abs_err,
+      |  round(CAST(MAX(e2.absnum) AS DOUBLE) / 1270000000.0, 9) AS max_abs_err
+      |FROM m s JOIN err e2 ON e2.i = s.i
+      |GROUP BY s.i, s.n, s.sm, s.s2d, s.maxabs""".stripMargin))
+
+  def queries: Seq[GQuery] = Seq(q40, q41, q42, q48, q53, q102)
 }

@@ -433,6 +433,31 @@ object TextQueries {
       |  CAST(SUM(hsum) AS BIGINT) AS hash_sum
       |FROM per_doc GROUP BY lang""".stripMargin))
 
+  /** q101: corpus vocabulary coverage ([[graft.text.Vocab.topVocab]]) —
+    * the tokenizer-training prep table: top-25 tokens by frequency
+    * (ties broken by token — a total order) with rank and the exact
+    * cumulative share of all token occurrences they cover. Counts are
+    * integer-exact; `cum_share` is one deterministic IEEE division per
+    * row, rounded to 6 places in both engines. */
+  val q101 = GQuery(
+    "q101_vocab_coverage",
+    (s, d) =>
+      graft.text.Vocab.topVocab(documents(s, d), "text", k = 25)
+        .select(col("token"), col("cnt"), col("rank"),
+          round(col("cum_share"), 6).as("cum_share")),
+    Some(s"""WITH tok AS (SELECT unnest($wsSql) AS token FROM documents),
+      |counts AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+      |tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM counts),
+      |ranked AS (
+      |  SELECT token, cnt,
+      |    row_number() OVER (ORDER BY cnt DESC, token) AS rank,
+      |    SUM(cnt) OVER (ORDER BY cnt DESC, token
+      |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM counts)
+      |SELECT token, CAST(cnt AS BIGINT) AS cnt, CAST(rank AS BIGINT) AS rank,
+      |  round(CAST(cum AS DOUBLE) / (SELECT total FROM tot), 6) AS cum_share
+      |FROM ranked WHERE rank <= 25""".stripMargin))
+
   def queries: Seq[GQuery] =
-    Seq(q32, q33, q34, q35, q66, q89, q91, q94, q96, q98, q99)
+    Seq(q32, q33, q34, q35, q66, q89, q91, q94, q96, q98, q99, q101)
 }

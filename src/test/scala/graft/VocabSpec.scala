@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.Vocab
+
+/** Corpus vocabulary stats: exact counts, total-order ranking, coverage
+  * arithmetic, and the TakeOrderedAndProject plan shape (top-k must
+  * never be a global sort).
+  */
+class VocabSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    "b b b a a c", "a b", " a  c ", "d"
+  ).toDF("text")
+  // counts: a=4, b=5... recount: doc1: b3 a2 c1; doc2: a1 b1; doc3: a1 c1; doc4: d1
+  // => a=4, b=4, c=2, d=1, total=11
+
+  test("topVocab: exact counts, rank ties broken by token, exact coverage") {
+    val top = Vocab.topVocab(corpus, "text", k = 3)
+      .select("token", "cnt", "rank", "cum_share")
+      .as[(String, Long, Long, Double)].collect().sortBy(_._3)
+    assert(top.map(t => (t._1, t._2, t._3)).toSeq ==
+      Seq(("a", 4L, 1L), ("b", 4L, 2L), ("c", 2L, 3L)))
+    assert(top(0)._4 == 4.0 / 11)
+    assert(top(1)._4 == 8.0 / 11)
+    assert(top(2)._4 == 10.0 / 11)
+  }
+
+  test("topVocab: k larger than vocabulary returns the whole table") {
+    val all = Vocab.topVocab(corpus, "text", k = 100)
+    assert(all.count() == 4)
+    assert(all.agg(max("cum_share")).as[Double].head() == 1.0)
+  }
+
+  test("topVocab plans TakeOrderedAndProject, not a global sort") {
+    val plan = Vocab.topVocab(corpus, "text", k = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("tokenCounts: stable under repartitioning") {
+    val a = Vocab.tokenCounts(corpus, "text").as[(String, Long)].collect().toMap
+    val b = Vocab.tokenCounts(corpus.repartition(5), "text")
+      .as[(String, Long)].collect().toMap
+    assert(a == b && a("a") == 4L)
+  }
+}
