@@ -66,6 +66,14 @@ object Bench {
       val (a, b) = (pass1(n), pass2(n))
       n -> (if (a < 0) b else if (b < 0) a else math.min(a, b))
     }
+    // stderr diagnostics (stdout carries only the JSON contract line):
+    // per-pass times for queries whose two passes disagree >1.5x — the
+    // in-suite-interference signal that a min-of-two alone hides
+    results.foreach { case (n, v) =>
+      val (a, b) = (pass1(n), pass2(n))
+      if (v > 1.0 && math.max(a, b) > 1.5 * math.min(a, b))
+        System.err.println(f"[bench] $n pass1=$a%.2f pass2=$b%.2f")
+    }
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")

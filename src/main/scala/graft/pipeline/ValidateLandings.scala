@@ -667,6 +667,17 @@ object ValidateLandings {
     // cache existed for, and dropping the barrier jobs (eager count,
     // two checkpoints, block-store writes) cut the entry point's wall
     // time by ~40 % while leaking zero cached blocks.
+    //
+    // Remaining local-bench cost is FIXED OVERHEAD, not data work
+    // (profiled with tools/ProfQ): ~5 s of one-time whole-stage-codegen
+    // compilation of the giant fold (gaps with zero running jobs;
+    // disabling codegen removes them) plus ~0.3 s scheduling latency ×
+    // ~16 sequential post-histogram stages on tiny frames. Evidence:
+    // 10× the data costs +22 % wall (8.1 s at sf0.01 → 9.9 s at sf0.1),
+    // and the fattest stages run 25 s of task CPU in 0.6 s of wall. On
+    // a real cluster both overheads amortize to noise; locally they set
+    // a ~8 s floor that further plan surgery cannot move without
+    // driver-side materialization (the anti-pattern this module avoids).
 
     // trip-local expressions (reference lines cited on the standalone methods)
     val dur = abs(col("duration_hrs"))

@@ -47,20 +47,22 @@ object Outliers {
     val hist = df
       .groupBy(kc :+ log(lit(1.0) + col(x)).as("__vl"): _*)
       .agg(count(lit(1)).as("__c"))
+    // x = 0 ⟺ ln(1+x) = 0, so the nonzero guard reads the log histogram
+    // — folded into the median's per-key aggregation pass (extraAggs)
+    // instead of a second aggregation branch + join over the histogram
     val med = SortPercentile.fromCounts(
       hist, keys, "__vl", "__c", Seq(0.5), Seq("median_log"),
-      assumeUnique = true) // hist is one row per (keys, log value)
-    // x = 0 ⟺ ln(1+x) = 0, so the nonzero guard reads the log histogram
-    val nz = hist.groupBy(kc: _*)
-      .agg(sum(when(col("__vl").isNotNull && col("__vl") =!= 0.0, col("__c"))
-        .otherwise(lit(0L))).as("__n_nonzero"))
-    val absHist = hist.join(broadcast(med), keys)
+      assumeUnique = true, // hist is one row per (keys, log value)
+      extraAggs = Seq(
+        (sum(when(col("__vl").isNotNull && col("__vl") =!= 0.0, col("__c"))
+          .otherwise(lit(0L))), "__n_nonzero")))
+    val absHist = hist.join(broadcast(med.drop("__n_nonzero")), keys)
       .groupBy(kc :+ abs(col("__vl") - col("median_log")).as("__a"): _*)
       .agg(sum(col("__c")).as("__c"))
     val mad = SortPercentile.fromCounts(
       absHist, keys, "__a", "__c", Seq(0.5), Seq("__mad_raw"),
       assumeUnique = true) // absHist re-grouped on the folded value
-    val bounds = med.join(mad, keys).join(nz, keys)
+    val bounds = med.join(mad, keys)
       .withColumn("mad_log", col("__mad_raw") * lit(MadScale))
       .drop("__mad_raw")
     (hist, bounds)

@@ -48,11 +48,17 @@ object SortPercentile {
   /** @param assumeUnique skip the defensive (keys, value) re-aggregation
     *   when the caller guarantees one row per (keys, value) — duplicate
     *   rows would otherwise give overlapping cumulative ranges and
-    *   wrong/null percentiles */
+    *   wrong/null percentiles
+    * @param extraAggs (aggregate, output name) pairs evaluated in the
+    *   same per-key pass over the histogram (columns `v` and `c` are in
+    *   scope) — lets callers fold side statistics (e.g. a nonzero
+    *   census) into the percentile aggregation instead of
+    *   re-aggregating the histogram in a second branch and joining */
   def fromCounts(counts0: DataFrame, keys: Seq[String], v: String, c: String,
                  ps: Seq[Double], names: Seq[String],
                  countAs: Option[String] = None,
-                 assumeUnique: Boolean = false): DataFrame = {
+                 assumeUnique: Boolean = false,
+                 extraAggs: Seq[(Column, String)] = Nil): DataFrame = {
     require(ps.length == names.length, "one output name per percentage")
     val kc = keys.map(col)
     val counts =
@@ -80,7 +86,9 @@ object SortPercentile {
         max(ceil(pos) - pos).as(s"__wl_$name"),
         max(pos - floor(pos)).as(s"__wh_$name"),
         max(hi === lo).as(s"__eq_$name"))
-    } ++ countAs.map(n => max(col("__nall")).as(n)).toSeq
+    } ++ countAs.map(n => max(col("__nall")).as(n)).toSeq ++
+      extraAggs.map { case (a, n) => a.as(n) }
+    val extraNames = extraAggs.map(_._2)
     val out = staged.groupBy(kc: _*).agg(aggs.head, aggs.tail: _*)
     val withVals = ps.zip(names).foldLeft(out) { case (d, (_, name)) =>
       d.withColumn(name,
@@ -89,6 +97,7 @@ object SortPercentile {
           .otherwise(col(s"__wl_$name") * col(s"__lo_$name") +
             col(s"__wh_$name") * col(s"__hi_$name")))
     }
-    withVals.select((kc ++ names.map(col) ++ countAs.map(col)): _*)
+    withVals.select((kc ++ names.map(col) ++ countAs.map(col) ++
+      extraNames.map(col)): _*)
   }
 }

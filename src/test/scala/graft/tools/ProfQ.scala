@@ -8,32 +8,45 @@ import scala.collection.mutable
 object ProfQ {
   def main(args: Array[String]): Unit = {
     val name = args(0)
-    val spark = graft.core.GraftSession.configure(
-        SparkSession.builder().master("local[32]")
-          .appName("profq").config("spark.ui.enabled", "false"),
-        parallelism = 32)
+    // SPARK_PROF_CONF="k1=v1,k2=v2" ad-hoc conf overrides for experiments
+    var b = SparkSession.builder().master("local[32]")
+      .appName("profq").config("spark.ui.enabled", "false")
+    sys.env.get("SPARK_PROF_CONF").foreach(_.split(",").filter(_.contains("="))
+      .foreach { kv => val Array(k, v) = kv.split("=", 2); b = b.config(k, v) })
+    val spark = graft.core.GraftSession.configure(b, parallelism = 32)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val starts = mutable.Map[Int, Long]()
     val lines = mutable.ArrayBuffer[String]()
+    @volatile var t00 = 0L
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit =
         starts(j.jobId) = System.nanoTime()
-      override def onJobEnd(j: SparkListenerJobEnd): Unit =
-        lines += f"job ${j.jobId}%3d ${(System.nanoTime() - starts(j.jobId)) / 1e9}%6.2fs"
+      override def onJobEnd(j: SparkListenerJobEnd): Unit = {
+        val (s, e) = (starts(j.jobId), System.nanoTime())
+        if (t00 == 0L) t00 = s
+        lines += f"job ${j.jobId}%3d [${(s - t00) / 1e9}%6.2f → ${(e - t00) / 1e9}%6.2f] ${(e - s) / 1e9}%6.2fs"
+      }
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
         val i = s.stageInfo
         val cpu = i.taskMetrics.executorRunTime / 1e3
-        lines += f"  stage ${i.stageId}%3d tasks=${i.numTasks}%3d taskTime=$cpu%7.2fs"
+        lines += f"  stage ${i.stageId}%3d tasks=${i.numTasks}%3d taskTime=$cpu%7.2fs ${i.name.take(60)}"
       }
     })
     val q = graft.queries.Registry.byName(name)
     q.run(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
-    lines.clear()
+    lines.clear(); t00 = 0L
     val t0 = System.nanoTime()
+    org.apache.spark.sql.catalyst.rules.RuleExecutor.resetMetrics()
     val df = q.run(spark, "/root/testdata/sf0.1")
     df.write.format("noop").mode("overwrite").save()
     val total = (System.nanoTime() - t0) / 1e9
+    println("--- planning phases (ms): " +
+      df.queryExecution.tracker.phases.map { case (k, v) =>
+        s"$k=${v.endTimeMs - v.startTimeMs}" }.mkString(" "))
+    println("--- top optimizer rules by time:")
+    println(org.apache.spark.sql.catalyst.rules.RuleExecutor.dumpTimeSpent()
+      .linesIterator.take(18).mkString("\n"))
     Thread.sleep(500)
     lines.foreach(println)
     println(f"TOTAL $total%.2f s")
