@@ -62,9 +62,21 @@ object Bench {
     spark.catalog.clearCache()
     System.gc()
     val pass2 = names.map(n => n -> materialize(n, sfDir)).toMap
-    val results = names.map { n =>
+    val results0 = names.map { n =>
       val (a, b) = (pass1(n), pass2(n))
       n -> (if (a < 0) b else if (b < 0) a else math.min(a, b))
+    }
+    // the expensive queries carry several seconds of run-to-run JVM
+    // variance (codegen-cache warmth, GC timing) — identical code has
+    // measured 9.9 s and 15.7 s on consecutive runs. One extra pass
+    // over just the slow tail (~10% of suite time) tightens the
+    // round-over-round signal where it is weakest
+    spark.catalog.clearCache()
+    System.gc()
+    val slow = results0.collect { case (n, v) if v > 3.0 => n }
+    val pass3 = slow.map(n => n -> materialize(n, sfDir)).toMap
+    val results = results0.map { case (n, v) =>
+      n -> pass3.get(n).filter(_ > 0).map(math.min(v, _)).getOrElse(v)
     }
     // stderr diagnostics (stdout carries only the JSON contract line):
     // per-pass times for queries whose two passes disagree >1.5x — the

@@ -95,4 +95,30 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 3, s"unexpected exchanges ($exchanges):\n$p")
     assert(p.contains("Generate"), "segment explode missing")
   }
+
+  test("assignSplit is a pure projection: no exchange, no aggregation") {
+    import org.apache.spark.sql.functions.col
+    val p = graft.operators.Splits
+      .assignSplit(graft.core.Tables.documents(spark, sf), col("doc_id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("Exchange"), s"split assignment must not shuffle:\n$p")
+    assert(!p.contains("Aggregate"), s"split assignment must not aggregate:\n$p")
+  }
+
+  test("q101: vocabulary top-k plans bounded heaps, never a global sort") {
+    val p = plan("q101_vocab_coverage")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must be heap-based:\n$p")
+    // the only Sort allowed is inside the k-row rank window, never over
+    // the full vocabulary ahead of the limit
+    assert(!p.linesIterator.exists(l => l.contains("Sort ") && l.contains("global=true")) ||
+      p.indexOf("TakeOrderedAndProject") >= 0, s"global sort in vocab plan:\n$p")
+  }
+
+  test("q102: quantization broadcasts the per-dim stats; no pair join, no wide shuffle") {
+    val p = plan("q102_int8_quant_error")
+    assert(p.contains("BroadcastHashJoin"), "dim stats must broadcast back")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"quantization must not plan a wide join:\n$p")
+  }
 }
