@@ -326,5 +326,102 @@ object DedupQueries {
       |WHERE doc_id % 3 = 0
       |  AND doc_id NOT IN (SELECT da FROM contaminated)""".stripMargin))
 
-  def queries: Seq[GQuery] = Seq(q36, q37, q38, q39, q57, q61, q88, q90)
+  /** q103: pairwise corpus-overlap audit over every source pair
+    * ([[graft.dedup.Overlap.kmvOverlap]]) — KMV sketches of each
+    * source's distinct 5-shingle hashes (k = 128), the sketch-derived
+    * union / intersection / Jaccard estimates, and the exact figures
+    * alongside (the estimates are deterministic md5 arithmetic, so the
+    * oracle replays sketch AND truth bit-for-bit; the gap between the
+    * columns is the sketch's real, reproducible error). */
+  val q103 = GQuery(
+    "q103_corpus_overlap",
+    (s, d) => {
+      val k = 128
+      val sh = graft.core.Widen.widen(documents(s, d))
+        .select(col("source"),
+          graft.text.TextFunctions.wsTokens(col("text")).as("__ws"))
+        .select(col("source"),
+          explode(graft.text.TextFunctions.shingles(col("__ws"), 5)).as("shingle"))
+        .select(col("source"), md5(col("shingle")).as("h"))
+        .distinct()
+      val est = graft.dedup.Overlap.kmvOverlap(sh, "source", "h", k)
+      val ex = sh.select(col("source").as("source_a"), col("h"))
+        .join(sh.select(col("source").as("source_b"), col("h")), Seq("h"))
+        .filter(col("source_a") < col("source_b"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(lcount(lit(1)).as("n_common"))
+      est.join(ex, Seq("source_a", "source_b"), "left")
+        .withColumn("n_common", coalesce(col("n_common"), lit(0L)))
+        .select(col("source_a"), col("source_b"), col("nd_a"), col("nd_b"),
+          col("n_common"),
+          round(col("n_common").cast("double") /
+            (col("nd_a") + col("nd_b") - col("n_common")).cast("double"), 6)
+            .as("exact_jaccard"),
+          round(col("est_jaccard"), 6).as("est_jaccard"),
+          round(col("est_union"), 2).as("est_union"),
+          round(col("est_intersection"), 2).as("est_intersection"))
+    },
+    Some(s"""WITH sh AS (
+      |  SELECT DISTINCT source, md5(
+      |    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]) AS h
+      |  FROM (SELECT source, $wsSql AS ws FROM documents) t,
+      |    UNNEST(generate_series(1, greatest(len(ws) - 4, 0))) AS u(i)),
+      |skr AS (
+      |  SELECT source, h,
+      |    row_number() OVER (PARTITION BY source ORDER BY h) AS rn,
+      |    COUNT(*) OVER (PARTITION BY source) AS nd
+      |  FROM sh),
+      |sk AS (SELECT source, h, nd FROM skr WHERE rn <= 128),
+      |nds AS (SELECT source, MAX(nd) AS nd FROM skr GROUP BY source),
+      |pairs AS (
+      |  SELECT a.source AS sa, b.source AS sb, a.nd AS nd_a, b.nd AS nd_b
+      |  FROM nds a JOIN nds b ON a.source < b.source),
+      |u AS (
+      |  SELECT p.sa, p.sb, s.h,
+      |    MAX(CASE WHEN s.source = p.sa THEN 1 ELSE 0 END) AS in_a,
+      |    MAX(CASE WHEN s.source = p.sb THEN 1 ELSE 0 END) AS in_b
+      |  FROM pairs p JOIN sk s ON s.source IN (p.sa, p.sb)
+      |  GROUP BY p.sa, p.sb, s.h),
+      |ur AS (
+      |  SELECT *, row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS rn,
+      |    COUNT(*) OVER (PARTITION BY sa, sb) AS msz
+      |  FROM u),
+      |estp AS (
+      |  SELECT sa, sb, MAX(msz) AS msz,
+      |    LEAST(MAX(msz), 128) AS usz,
+      |    SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS hit,
+      |    MAX(CASE WHEN rn = 128 THEN (
+      |      (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 268435456.0 +
+      |      (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 16777216.0 +
+      |      (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 1048576.0 +
+      |      (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) * 65536.0 +
+      |      (strpos('0123456789abcdef', substr(h, 5, 1)) - 1) * 4096.0 +
+      |      (strpos('0123456789abcdef', substr(h, 6, 1)) - 1) * 256.0 +
+      |      (strpos('0123456789abcdef', substr(h, 7, 1)) - 1) * 16.0 +
+      |      (strpos('0123456789abcdef', substr(h, 8, 1)) - 1) * 1.0
+      |    ) / 4294967296.0 END) AS kth_frac
+      |  FROM ur WHERE rn <= 128 GROUP BY sa, sb),
+      |ests AS (
+      |  SELECT sa, sb, usz, hit,
+      |    CASE WHEN msz < 128 THEN CAST(msz AS DOUBLE)
+      |         ELSE 127.0 / kth_frac END AS est_union,
+      |    CAST(hit AS DOUBLE) / CAST(usz AS DOUBLE) AS est_jaccard
+      |  FROM estp),
+      |ex AS (
+      |  SELECT a.source AS sa, b.source AS sb, COUNT(*) AS n_common
+      |  FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT p.sa AS source_a, p.sb AS source_b,
+      |  CAST(p.nd_a AS BIGINT) AS nd_a, CAST(p.nd_b AS BIGINT) AS nd_b,
+      |  CAST(COALESCE(x.n_common, 0) AS BIGINT) AS n_common,
+      |  round(CAST(COALESCE(x.n_common, 0) AS DOUBLE)
+      |    / CAST(p.nd_a + p.nd_b - COALESCE(x.n_common, 0) AS DOUBLE), 6) AS exact_jaccard,
+      |  round(e.est_jaccard, 6) AS est_jaccard,
+      |  round(e.est_union, 2) AS est_union,
+      |  round(e.est_jaccard * e.est_union, 2) AS est_intersection
+      |FROM pairs p
+      |JOIN ests e ON p.sa = e.sa AND p.sb = e.sb
+      |LEFT JOIN ex x ON p.sa = x.sa AND p.sb = x.sb""".stripMargin))
+
+  def queries: Seq[GQuery] = Seq(q36, q37, q38, q39, q57, q61, q88, q90, q103)
 }
