@@ -75,6 +75,38 @@ object Sampling {
     * from `targets` get rate 0 (excluded from the mix). Runs as one
     * tiny aggregate + projection — call it on a per-stratum rollup,
     * not raw rows. */
+  /** Temperature-scaled mixture planning: target shares derived from
+    * the observed weights themselves, `share_i ∝ observed_i^tau` — the
+    * standard multilingual rebalancing knob (tau = 1 keeps the natural
+    * mix, tau → 0 approaches uniform, tau = 0.3–0.7 the usual
+    * low-resource boost). Rates then realize those shares with NO
+    * upsampling exactly like [[mixturePlan]]: the binding stratum keeps
+    * rate 1, the rest downsample. Output: (stratum, observed, share,
+    * rate). One tiny aggregate + projection over the per-stratum
+    * rollup. `pow` is the one transcendental here — callers gating on
+    * an ANSI oracle should round the outputs on both sides (the
+    * repo-wide convention for transcendental edges). */
+  def temperaturePlan(observed: DataFrame, stratumCol: String,
+                      weightCol: String, tau: Double): DataFrame = {
+    require(tau > 0, s"tau must be positive, got $tau")
+    val base = observed.select(col(stratumCol),
+        col(weightCol).cast("double").as("observed"))
+      .withColumn("__wt", pow(col("observed"), lit(tau)))
+    // order-independent total (decimal-routed): a plain double sum's
+    // value depends on add order across partitions
+    val tot = base.agg(graft.core.Exact.dsum(col("__wt")).as("__tot"))
+    val shared = base.crossJoin(broadcast(tot))
+      .withColumn("share", col("__wt") / col("__tot"))
+      .drop("__wt", "__tot")
+    val scale = shared.filter(col("share") > 0)
+      .agg(min(col("observed") / col("share")).as("__scale"))
+    shared.crossJoin(broadcast(scale))
+      .withColumn("rate",
+        when(col("share") === 0.0, lit(0.0))
+          .otherwise(least(lit(1.0), col("share") * col("__scale") / col("observed"))))
+      .drop("__scale")
+  }
+
   def mixturePlan(observed: DataFrame, stratumCol: String, weightCol: String,
                   targets: Map[String, Double]): DataFrame = {
     require(targets.values.forall(_ > 0), "target shares must be positive")

@@ -129,5 +129,43 @@ object SamplingQueries {
       |FROM ranked GROUP BY split""".stripMargin
     })
 
-  def queries: Seq[GQuery] = Seq(q97, q100)
+  /** q104: temperature-scaled mixture plan over per-language character
+    * budgets ([[Sampling.temperaturePlan]], tau = 0.5) — the standard
+    * low-resource-language boost. Shares/rates pass one `pow` per
+    * stratum; per repo convention every transcendental-derived output
+    * is rounded on both sides (the decimal-routed total keeps the sum
+    * order-independent). `expected_chars` = rate · observed shows the
+    * realized no-upsampling mix. */
+  val q104 = GQuery(
+    "q104_temperature_mixture",
+    (s, d) => {
+      val observed = documents(s, d).groupBy(col("lang"))
+        .agg(sum(col("n_chars")).cast("double").as("w"))
+      Sampling.temperaturePlan(observed, "lang", "w", tau = 0.5)
+        .select(col("lang"),
+          col("observed").cast("long").as("observed_chars"),
+          round(col("share"), 6).as("share"),
+          round(col("rate"), 6).as("rate"),
+          round(col("rate") * col("observed"), 2).as("expected_chars"))
+    },
+    Some("""WITH obs AS (
+      |  SELECT lang, CAST(SUM(n_chars) AS DOUBLE) AS w FROM documents GROUP BY lang),
+      |wt AS (SELECT lang, w, POW(w, 0.5) AS wt FROM obs),
+      |tot AS (
+      |  SELECT CAST(SUM(CAST(wt AS DECIMAL(38,6))) AS DOUBLE) AS tot FROM wt),
+      |shared AS (SELECT lang, w, wt / (SELECT tot FROM tot) AS share FROM wt),
+      |scaled AS (
+      |  SELECT s.*, m.scale FROM shared s,
+      |    (SELECT MIN(w / share) AS scale FROM shared WHERE share > 0) m),
+      |plan AS (
+      |  SELECT lang, w, share,
+      |    CASE WHEN share = 0.0 THEN 0.0
+      |         ELSE LEAST(1.0, share * scale / w) END AS rate
+      |  FROM scaled)
+      |SELECT lang, CAST(w AS BIGINT) AS observed_chars,
+      |  round(share, 6) AS share, round(rate, 6) AS rate,
+      |  round(rate * w, 2) AS expected_chars
+      |FROM plan""".stripMargin))
+
+  def queries: Seq[GQuery] = Seq(q97, q100, q104)
 }

@@ -56,4 +56,21 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(plan("en") - 0.1) < 1e-12)
     assert(plan("es") == 0.0)
   }
+
+  test("temperaturePlan: tau=1 keeps the natural mix; tau<1 boosts small strata; shares sum to 1") {
+    val observed = Seq(("en", 1600.0), ("de", 400.0), ("es", 100.0)).toDF("lang", "w")
+    val nat = Sampling.temperaturePlan(observed, "lang", "w", tau = 1.0)
+      .select("lang", "rate").as[(String, Double)].collect().toMap
+    // share_i ∝ w_i ⇒ w/share is constant ⇒ every stratum is binding
+    nat.values.foreach(r => assert(math.abs(r - 1.0) < 1e-12, nat))
+    val cool = Sampling.temperaturePlan(observed, "lang", "w", tau = 0.5)
+    val shares = cool.select("lang", "share").as[(String, Double)].collect().toMap
+    assert(math.abs(shares.values.sum - 1.0) < 1e-9)
+    // sqrt weights: 40/20/10 → the smallest stratum's share more than
+    // doubles its natural 100/2100
+    assert(shares("es") > 2.0 * (100.0 / 2100.0))
+    val rates = cool.select("lang", "rate").as[(String, Double)].collect().toMap
+    assert(rates("es") == 1.0, s"smallest stratum binds under tau<1: $rates")
+    assert(rates("en") < rates("de") && rates("de") < 1.0, rates)
+  }
 }
