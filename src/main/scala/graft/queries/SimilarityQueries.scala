@@ -282,5 +282,40 @@ object SimilarityQueries {
       |FROM m s JOIN err e2 ON e2.i = s.i
       |GROUP BY s.i, s.n, s.sm, s.s2d, s.maxabs""".stripMargin))
 
-  def queries: Seq[GQuery] = Seq(q40, q41, q42, q48, q53, q102)
+  /** q105: SemDeDup-style semantic dedup keep-set
+    * ([[Knn.semanticDedup]]) — drop any vector with a smaller-id
+    * neighbour at cosine ≥ 0.25 among the LSH-bucket candidates, keep
+    * the rest. Same deterministic bucket/cosine machinery as q41 (the
+    * oracle reuses those CTEs verbatim), composed into the keep/drop
+    * verdict an embedding-level corpus dedup actually ships: per-id
+    * `n_dups` (smaller-id near neighbours) and `kept`. */
+  val q105 = GQuery(
+    "q105_semantic_dedup",
+    (s, d) =>
+      Knn.semanticDedup(embeddings(s, d).filter(col("vec_id") < 100),
+          "vec_id", "embedding", threshold = 0.25, numPlanes = 6, numTables = 4)
+        .orderBy(col("vec_id")),
+    Some(s"""WITH $elSql,
+      |${bucketSql("WHERE v.vec_id < 100")},
+      |cand AS (
+      |  SELECT DISTINCT x.vec_id AS va, y.vec_id AS vb
+      |  FROM b x JOIN b y ON x.t = y.t AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
+      |dot AS (
+      |  SELECT ca.va, ca.vb, CAST(SUM(a.e * b2.e) AS DOUBLE) / 100000000000000.0 AS dot
+      |  FROM cand ca
+      |  JOIN el a ON a.vec_id = ca.va
+      |  JOIN el b2 ON b2.vec_id = ca.vb AND a.i = b2.i
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT d.va, d.vb
+      |  FROM dot d JOIN n2 na ON d.va = na.vec_id JOIN n2 nb ON d.vb = nb.vec_id
+      |  WHERE d.dot / (sqrt(na.n2) * sqrt(nb.n2)) >= 0.25),
+      |dups AS (SELECT vb AS vec_id, COUNT(*) AS n_dups FROM pairs GROUP BY vb)
+      |SELECT v.vec_id, COALESCE(d.n_dups, 0) AS n_dups,
+      |  COALESCE(d.n_dups, 0) = 0 AS kept
+      |FROM (SELECT vec_id FROM embeddings WHERE vec_id < 100) v
+      |LEFT JOIN dups d ON d.vec_id = v.vec_id
+      |ORDER BY v.vec_id""".stripMargin))
+
+  def queries: Seq[GQuery] = Seq(q40, q41, q42, q48, q53, q102, q105)
 }

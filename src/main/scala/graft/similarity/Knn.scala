@@ -98,6 +98,33 @@ object Knn {
       .select(col("va"), col("vb"), col("cos"))
   }
 
+  /** SemDeDup-style semantic dedup keep-set: a row is DROPPED when any
+    * smaller-id row sits within cosine ≥ `threshold` of it (among the
+    * LSH candidate pairs of [[cosinePairs]]), KEPT otherwise — the
+    * standard "keep the canonical representative" rule, made
+    * deterministic by ordering on the id rather than on insertion
+    * order. Output: one row per input id with `n_dups` (count of
+    * smaller-id near neighbours) and `kept` (n_dups == 0).
+    *
+    * The rule is intentionally non-transitive: a row is judged against
+    * ALL smaller-id neighbours, kept or not, so membership of each row
+    * is independent of every other row's verdict — embarrassingly
+    * parallel, no iterative clustering. (For transitive groups use
+    * [[graft.dedup.Components]] over the pair list instead.) Plan:
+    * bucket-local pair join (never |df|²) → per-vb count → one
+    * broadcast-able left join back to the id set. */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double, numPlanes: Int = 6, numTables: Int = 4,
+                    dim: Option[Int] = None): DataFrame = {
+    val dups = cosinePairs(df, idCol, vecCol, threshold, numPlanes, numTables, dim)
+      .groupBy(col("vb").as("__did")).agg(count(lit(1)).as("n_dups"))
+    df.select(col(idCol))
+      .join(dups, col(idCol) === col("__did"), "left")
+      .select(col(idCol),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        (coalesce(col("n_dups"), lit(0L)) === 0).as("kept"))
+  }
+
   /** All-pairs cosine ≥ threshold — O(n²) compare AND a broadcast of
     * the whole frame: the exact reference for specs and genuinely small
     * frames ONLY. The production path is [[cosinePairs]]. */

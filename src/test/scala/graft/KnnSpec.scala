@@ -69,6 +69,27 @@ class KnnSpec extends SparkSpec {
       s"cosinePairs must not plan an all-pairs join:\n$plan")
   }
 
+  test("semanticDedup keeps exactly the rows with no smaller-id near neighbour") {
+    val emb = Tables.embeddings(spark, sf).filter($"vec_id" < 100)
+    val verdicts = Knn.semanticDedup(emb, "vec_id", "embedding", 0.25)
+      .select($"vec_id", $"n_dups", $"kept").as[(Long, Long, Boolean)].collect()
+    // total partition: one verdict per input id
+    assert(verdicts.length == emb.count())
+    // kept ⇔ n_dups == 0
+    verdicts.foreach { case (id, n, kept) =>
+      assert(kept == (n == 0), s"id $id: kept=$kept but n_dups=$n")
+    }
+    // the smallest id can have no smaller neighbour — always kept
+    val minId = verdicts.map(_._1).min
+    assert(verdicts.find(_._1 == minId).get._3, s"min id $minId must be kept")
+    // verdicts agree with the pair list the same buckets produce
+    val expectedDrops = Knn.cosinePairs(emb, "vec_id", "embedding", 0.25)
+      .select($"vb").as[Long].collect().toSet
+    assert(verdicts.filterNot(_._3).map(_._1).toSet == expectedDrops)
+    // non-vacuous at this threshold on the real embeddings
+    assert(expectedDrops.nonEmpty, "threshold should drop at least one row")
+  }
+
   private implicit class Pairs(rows: Array[(Long, Long, Double)]) {
     def toMap2: Map[(Long, Long), Double] =
       rows.map { case (a, b, c) => (a, b) -> c }.toMap
