@@ -458,6 +458,56 @@ object TextQueries {
       |  round(CAST(cum AS DOUBLE) / (SELECT total FROM tot), 6) AS cum_share
       |FROM ranked WHERE rank <= 25""".stripMargin))
 
+  /** q106: PII scrub report ([[graft.text.Pii.scrub]]) — per-document
+    * email/IPv4/phone match counts and the md5 signature + length of
+    * the redacted text. The synthetic corpus contains no PII, so both
+    * engines first derive the same deterministic PII-bearing text from
+    * document fields (one email, one phone, one IP injected per row);
+    * the scrub then runs on data that actually exercises every
+    * pattern, and the per-row signature proves byte-identical
+    * redaction. Patterns live in the Java∩RE2 regex subset so Spark
+    * and DuckDB match identically (see [[graft.text.Pii]]). */
+  val q106 = GQuery(
+    "q106_pii_scrub",
+    (s, d) => {
+      val injected = documents(s, d).select(col("doc_id"),
+        concat(
+          lit("contact "), col("lang"), lit("."), col("doc_id").cast("string"),
+          lit("@"), col("source"), lit(".org call +670-"),
+          (col("doc_id") % 900 + 100).cast("string"), lit("-"),
+          (col("doc_id") % 9000 + 1000).cast("string"),
+          lit(" ip 10.0."), (col("doc_id") % 256).cast("string"),
+          lit("."), ((col("doc_id") * 7) % 256).cast("string"),
+          lit(" "), col("text")).as("txt"))
+      graft.text.Pii.scrub(injected, "txt")
+        .select(col("doc_id"), col("n_emails"), col("n_ips"), col("n_phones"),
+          substring(md5(col("redacted")), 1, 8).as("sig"),
+          length(col("redacted")).cast("long").as("n_red"))
+    },
+    Some("""WITH t AS (
+      |  SELECT doc_id,
+      |    'contact ' || lang || '.' || CAST(doc_id AS VARCHAR) || '@' || source ||
+      |    '.org call +670-' || CAST(doc_id % 900 + 100 AS VARCHAR) || '-' ||
+      |    CAST(doc_id % 9000 + 1000 AS VARCHAR) ||
+      |    ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' ||
+      |    CAST((doc_id * 7) % 256 AS VARCHAR) || ' ' || text AS txt
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id,
+      |    len(regexp_extract_all(txt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+      |    len(regexp_extract_all(txt, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+      |    len(regexp_extract_all(txt, '\+?\d{1,3}-\d{3}-\d{3,4}')) AS n_phones,
+      |    regexp_replace(
+      |      regexp_replace(
+      |        regexp_replace(txt,
+      |          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+      |      '\+?\d{1,3}-\d{3}-\d{3,4}', '<PHONE>', 'g') AS red
+      |  FROM t)
+      |SELECT doc_id, n_emails, n_ips, n_phones,
+      |  substr(md5(red), 1, 8) AS sig, CAST(length(red) AS BIGINT) AS n_red
+      |FROM r""".stripMargin))
+
   def queries: Seq[GQuery] =
-    Seq(q32, q33, q34, q35, q66, q89, q91, q94, q96, q98, q99, q101)
+    Seq(q32, q33, q34, q35, q66, q89, q91, q94, q96, q98, q99, q101, q106)
 }
