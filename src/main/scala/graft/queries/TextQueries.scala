@@ -508,6 +508,53 @@ object TextQueries {
       |  substr(md5(red), 1, 8) AS sig, CAST(length(red) AS BIGINT) AS n_red
       |FROM r""".stripMargin))
 
+  /** q107: cross-document boilerplate removal
+    * ([[graft.text.Boilerplate.removeRepeatedNgrams]]) — token bigrams
+    * occurring in more than 20% of a source's documents are masked out
+    * of every document of that source, and the text is reassembled from
+    * the surviving tokens. Per-doc report: original token count, masked
+    * token count, and the md5 signature of the cleaned text (the
+    * signature proves both engines mask the identical positions and
+    * reassemble the identical bytes). The threshold is a scope
+    * fraction, integer cross-multiplied — scale-invariant and exact. */
+  val q107 = GQuery(
+    "q107_boilerplate_removal",
+    (s, d) =>
+      graft.text.Boilerplate.removeRepeatedNgrams(
+          documents(s, d), "doc_id", "source", "text", n = 2, maxDfPct = 20)
+        .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+          substring(md5(col("cleaned")), 1, 8).as("sig")),
+    Some(s"""WITH tok AS (
+      |  SELECT doc_id, source, unnest($wsSql) AS token,
+      |    generate_subscripts($wsSql, 1) - 1 AS pos
+      |  FROM documents),
+      |g AS (
+      |  SELECT a.doc_id, a.source, a.pos AS start, a.token || ' ' || b.token AS gram
+      |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+      |scope_n AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+      |boil AS (
+      |  SELECT dfc.source, dfc.gram FROM (
+      |    SELECT source, gram, COUNT(DISTINCT doc_id) AS gdf FROM g GROUP BY 1, 2) dfc
+      |  JOIN scope_n sn ON sn.source = dfc.source
+      |  WHERE dfc.gdf * 100 > sn.n_docs * 20),
+      |covered AS (
+      |  SELECT DISTINCT g.doc_id, g.start + o.o AS pos
+      |  FROM g JOIN boil ON g.source = boil.source AND g.gram = boil.gram
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS o) o),
+      |kept AS (
+      |  SELECT t.doc_id, t.pos, t.token FROM tok t
+      |  WHERE NOT EXISTS (
+      |    SELECT 1 FROM covered c WHERE c.doc_id = t.doc_id AND c.pos = t.pos)),
+      |totals AS (SELECT doc_id, COUNT(*) AS n_tokens FROM tok GROUP BY doc_id),
+      |keptagg AS (
+      |  SELECT doc_id, COUNT(*) AS n_kept,
+      |    string_agg(token, ' ' ORDER BY pos) AS cleaned
+      |  FROM kept GROUP BY doc_id)
+      |SELECT t.doc_id, t.n_tokens,
+      |  t.n_tokens - COALESCE(k.n_kept, 0) AS n_removed,
+      |  substr(md5(COALESCE(k.cleaned, '')), 1, 8) AS sig
+      |FROM totals t LEFT JOIN keptagg k ON k.doc_id = t.doc_id""".stripMargin))
+
   def queries: Seq[GQuery] =
-    Seq(q32, q33, q34, q35, q66, q89, q91, q94, q96, q98, q99, q101, q106)
+    Seq(q32, q33, q34, q35, q66, q89, q91, q94, q96, q98, q99, q101, q106, q107)
 }
