@@ -371,4 +371,37 @@ object Dedup {
       .select(col("da").as(idCol)).distinct()
     train.join(contaminated, Seq(idCol), "left_anti")
   }
+
+  /** Cross-split contamination audit: the eval-hygiene matrix a
+    * train/val/test partition needs BEFORE anyone trusts a held-out
+    * number. Near-dup pairs ([[minhashLshPairs]], exact-Jaccard
+    * verified) are labelled with each endpoint's hash-split membership
+    * ([[graft.operators.Splits.splitExpr]] — id-pure, applied inline,
+    * no join back to an assignment table) and rolled up per unordered
+    * split pair: same-split rows are ordinary redundancy, cross-split
+    * rows are leakage. `mean_est` reconstructs the integer MinHash
+    * agreement count from the signature estimate (exact: the estimate
+    * is agreements/numPerms), so the mean is one division over exact
+    * integer sums — order-independent. */
+  def splitLeakage(df: DataFrame, idCol: String, textCol: String,
+                   splits: Seq[(String, Double)],
+                   k: Int, numPerms: Int, rowsPerBand: Int,
+                   threshold: Double, salt: String = "split"): DataFrame = {
+    val pairs = minhashLshPairs(df, idCol, textCol, k, numPerms, rowsPerBand, threshold)
+    val sa = graft.operators.Splits.splitExpr(col("da"), splits, salt)
+    val sb = graft.operators.Splits.splitExpr(col("db"), splits, salt)
+    pairs
+      .select(
+        least(sa, sb).as("split_a"),
+        greatest(sa, sb).as("split_b"),
+        col("jaccard"),
+        round(col("est_jaccard") * numPerms).cast("long").as("__agree"))
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        min(col("jaccard")).as("min_jaccard"),
+        max(col("jaccard")).as("max_jaccard"),
+        (sum(col("__agree")).cast("double") /
+          (lit(numPerms).cast("double") * count(lit(1)))).as("mean_est"))
+  }
 }

@@ -52,13 +52,19 @@ object Splits {
     * the same md5 draw reproduces membership exactly. */
   def assignSplit(df: DataFrame, idCol: Column,
                   splits: Seq[(String, Double)],
-                  salt: String = "split"): DataFrame = {
+                  salt: String = "split"): DataFrame =
+    df.withColumn("split", splitExpr(idCol, splits, salt))
+
+  /** The split-membership COLUMN itself — id-pure, so consumers that
+    * already hold an id (e.g. a pair list) can label rows inline in
+    * codegen instead of joining back to an assigned frame. */
+  def splitExpr(idCol: Column, splits: Seq[(String, Double)],
+                salt: String = "split"): Column = {
     val th = cumThresholds(splits)
     val draw = Sampling.hashUnit(idCol, salt)
-    val expr = th.init.foldLeft(when(lit(false), lit(""))) {
+    th.init.foldLeft(when(lit(false), lit(""))) {
       case (acc, (name, ub)) => acc.when(draw < lit(ub), lit(name))
     }.otherwise(lit(th.last._1))
-    df.withColumn("split", expr)
   }
 
   /** Add `(shard, pos)` within each group of `partitionCols` (typically

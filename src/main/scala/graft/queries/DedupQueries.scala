@@ -423,5 +423,73 @@ object DedupQueries {
       |JOIN ests e ON p.sa = e.sa AND p.sb = e.sb
       |LEFT JOIN ex x ON p.sa = x.sa AND p.sb = x.sb""".stripMargin))
 
-  def queries: Seq[GQuery] = Seq(q36, q37, q38, q39, q57, q61, q88, q90, q103)
+  /** q108: cross-split contamination audit ([[Dedup.splitLeakage]]) —
+    * the q38 near-dup pairs labelled with each endpoint's q100-style
+    * hash-split membership and rolled up per unordered split pair.
+    * Same-split rows are redundancy; cross-split rows are exactly the
+    * train→eval leakage a held-out metric must not contain. The oracle
+    * replays shingles → MinHash → bands → candidates → exact Jaccard →
+    * split draw → matrix, bit-for-bit. */
+  val q108 = {
+    val splitSpec = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val th = graft.operators.Splits.cumThresholds(splitSpec)
+    def splitCase(idExpr: String): String =
+      "CASE " + th.init.map { case (n, ub) =>
+        s"WHEN CAST(('0x' || substr(md5('split-' || CAST($idExpr AS VARCHAR)), 1, 7)) AS BIGINT) / 268435456.0 < $ub THEN '$n'"
+      }.mkString(" ") + s" ELSE '${th.last._1}' END"
+    GQuery(
+      "q108_split_leakage",
+      (s, d) =>
+        Dedup.splitLeakage(documents(s, d), "doc_id", "text", splitSpec,
+            k = 5, numPerms = 16, rowsPerBand = 4, threshold = 0.6)
+          .select(col("split_a"), col("split_b"), col("n_pairs"),
+            round(col("min_jaccard"), 6).as("min_jaccard"),
+            round(col("max_jaccard"), 6).as("max_jaccard"),
+            round(col("mean_est"), 6).as("mean_est")),
+      Some(s"""WITH $shingleSql,
+        |h AS (
+        |  SELECT doc, p,
+        |    ((2654435761 * (p + 1) % 2147483647)
+        |      * CAST(('0x' || substr(md5(shingle), 1, 7)) AS BIGINT) + p) % 2147483647 AS hv
+        |  FROM sh, UNNEST(generate_series(0, 15)) AS up(p)),
+        |sig AS (SELECT doc, p, MIN(hv) AS minh FROM h GROUP BY doc, p),
+        |bands AS (
+        |  SELECT doc, p // 4 AS band,
+        |    md5(string_agg(CAST(minh AS VARCHAR), '-' ORDER BY p)) AS bkey
+        |  FROM sig GROUP BY doc, p // 4),
+        |cand AS (
+        |  SELECT DISTINCT x.doc AS da, y.doc AS db
+        |  FROM bands x JOIN bands y
+        |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc < y.doc),
+        |agr AS (
+        |  SELECT c.da, c.db, COUNT(CASE WHEN sa.minh = sb.minh THEN 1 END) AS agree
+        |  FROM cand c
+        |  JOIN sig sa ON sa.doc = c.da JOIN sig sb ON sb.doc = c.db AND sa.p = sb.p
+        |  GROUP BY c.da, c.db),
+        |common AS (
+        |  SELECT a.doc AS da, b.doc AS db, COUNT(*) AS common
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+        |  JOIN cand c ON c.da = a.doc AND c.db = b.doc
+        |  GROUP BY 1, 2),
+        |p AS (
+        |  SELECT ag.da, ag.db, ag.agree,
+        |    CAST(COALESCE(cm.common, 0) AS DOUBLE)
+        |      / CAST(sa.n_shingles + sb.n_shingles - COALESCE(cm.common, 0) AS DOUBLE) AS jaccard
+        |  FROM agr ag
+        |  LEFT JOIN common cm ON ag.da = cm.da AND ag.db = cm.db
+        |  JOIN sizes sa ON ag.da = sa.doc JOIN sizes sb ON ag.db = sb.doc
+        |  WHERE CAST(COALESCE(cm.common, 0) AS DOUBLE)
+        |    / CAST(sa.n_shingles + sb.n_shingles - COALESCE(cm.common, 0) AS DOUBLE) >= 0.6),
+        |lab AS (
+        |  SELECT ${splitCase("da")} AS sa, ${splitCase("db")} AS sb, jaccard, agree
+        |  FROM p)
+        |SELECT least(sa, sb) AS split_a, greatest(sa, sb) AS split_b,
+        |  COUNT(*) AS n_pairs,
+        |  round(MIN(jaccard), 6) AS min_jaccard,
+        |  round(MAX(jaccard), 6) AS max_jaccard,
+        |  round(CAST(SUM(agree) AS DOUBLE) / (16 * COUNT(*)), 6) AS mean_est
+        |FROM lab GROUP BY 1, 2""".stripMargin))
+  }
+
+  def queries: Seq[GQuery] = Seq(q36, q37, q38, q39, q57, q61, q88, q90, q103, q108)
 }

@@ -74,4 +74,29 @@ class SplitsSpec extends SparkSpec {
     val byShard = layout.groupBy("shard").count().as[(Long, Long)].collect().toMap
     assert(byShard.keySet.subsetOf(Set(0L, 1L)) && byShard.values.sum == 100L)
   }
+
+  test("splitLeakage matrix partitions the near-dup pairs; labels agree with assignSplit") {
+    val corpus = graft.core.Tables.documents(spark, sf)
+    val matrix = graft.dedup.Dedup
+      .splitLeakage(corpus, "doc_id", "text", spec,
+        k = 5, numPerms = 16, rowsPerBand = 4, threshold = 0.6)
+      .select($"split_a", $"split_b", $"n_pairs")
+      .as[(String, String, Long)].collect()
+    // unordered classes are normalized lexically
+    matrix.foreach { case (a, b, _) => assert(a <= b, s"$a > $b") }
+    // the matrix partitions the pair list: class counts must agree with
+    // an independent recomputation via assignSplit joins
+    val pairs = graft.dedup.Dedup.minhashLshPairs(corpus, "doc_id", "text",
+      k = 5, numPerms = 16, rowsPerBand = 4, threshold = 0.6)
+    val assigned = Splits.assignSplit(corpus.select($"doc_id"), $"doc_id", spec)
+    val expected = pairs
+      .join(assigned.select($"doc_id".as("da"), $"split".as("la")), Seq("da"))
+      .join(assigned.select($"doc_id".as("db"), $"split".as("lb")), Seq("db"))
+      .select(least($"la", $"lb"), greatest($"la", $"lb"))
+      .as[(String, String)].collect()
+      .groupBy(identity).map { case (k2, v) => k2 -> v.size.toLong }
+    assert(matrix.map { case (a, b, n) => (a, b) -> n }.toMap == expected,
+      s"matrix=${matrix.toSeq} expected=$expected")
+    assert(matrix.map(_._3).sum == pairs.count(), "classes must partition all pairs")
+  }
 }
