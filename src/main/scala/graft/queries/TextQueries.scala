@@ -555,6 +555,36 @@ object TextQueries {
       |  substr(md5(COALESCE(k.cleaned, '')), 1, 8) AS sig
       |FROM totals t LEFT JOIN keptagg k ON k.doc_id = t.doc_id""".stripMargin))
 
+  /** q109: per-language frequent tokens via the Misra–Gries
+    * heavy-hitters sketch ([[graft.functions.HeavyHitters]], a bounded
+    * `TypedImperativeAggregate` with map-side partials): top-10 of the
+    * capacity-64 summary. Capacity exceeds each language's distinct
+    * token count on this corpus, so the sketch is provably exact
+    * (no decrement ever fires) and the oracle is the exact frequency
+    * table; the approximation regime is property-tested in
+    * HeavyHittersSpec. */
+  val q109 = GQuery(
+    "q109_heavy_hitters",
+    (s, d) => {
+      graft.functions.HeavyHitters.register(s)
+      documents(s, d)
+        .select(col("lang"), explode(wsTokens(col("text"))).as("token"))
+        .groupBy(col("lang"))
+        .agg(call_function("heavy_hitters", col("token"), lit(64)).as("hh"))
+        .select(col("lang"), posexplode(col("hh")).as(Seq("i", "s")))
+        .filter(col("i") < 10)
+        .select(col("lang"), (col("i") + 1).cast("long").as("rank"),
+          col("s.item").as("token"), col("s.cnt").as("cnt"))
+    },
+    Some(s"""WITH tok AS (SELECT lang, unnest($wsSql) AS token FROM documents),
+      |c AS (SELECT lang, token, COUNT(*) AS cnt FROM tok GROUP BY 1, 2),
+      |r AS (
+      |  SELECT lang, token, cnt,
+      |    row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, token) AS rank
+      |  FROM c)
+      |SELECT lang, CAST(rank AS BIGINT) AS rank, token, CAST(cnt AS BIGINT) AS cnt
+      |FROM r WHERE rank <= 10""".stripMargin))
+
   def queries: Seq[GQuery] =
-    Seq(q32, q33, q34, q35, q66, q89, q91, q94, q96, q98, q99, q101, q106, q107)
+    Seq(q32, q33, q34, q35, q66, q89, q91, q94, q96, q98, q99, q101, q106, q107, q109)
 }
