@@ -92,6 +92,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       PointInRing.info, PointInRing.builder))
     e.injectFunction((FunctionIdentifier("top_k_min"),
       TopKMin.info, TopKMin.builder))
+    e.injectFunction((FunctionIdentifier("unicode_nfc"),
+      NfcNormalize.info, NfcNormalize.builder))
     // derive pushable bounding-box conjuncts from point_in_ring filters
     e.injectOptimizerRule(_ => graft.plans.PointInRingBBox)
     // rewrite filter(row_number <= k) into the heap-based top-k operator

@@ -585,6 +585,37 @@ object TextQueries {
       |SELECT lang, CAST(rank AS BIGINT) AS rank, token, CAST(cnt AS BIGINT) AS cnt
       |FROM r WHERE rank <= 10""".stripMargin))
 
+  /** q110: Unicode NFC normalization
+    * ([[graft.functions.NfcNormalize]], native codegen expression) —
+    * the canonical-composition pass that makes equality-based operators
+    * (dedup hashes, shingles, vocab counts) see one spelling per text.
+    * The ASCII corpus is already NFC, so both engines prepend the same
+    * decomposed sequences (combining acute/diaeresis) to every row;
+    * the char counts drop by exactly the composed marks and the md5
+    * signature proves byte-identical composition. */
+  val q110 = GQuery(
+    "q110_unicode_nfc",
+    (s, d) => {
+      graft.functions.NfcNormalize.register(s)
+      documents(s, d)
+        .select(col("doc_id"),
+          concat(lit("Cafe\u0301 nai\u0308ve "), col("text")).as("txt"))
+        .select(col("doc_id"),
+          length(col("txt")).cast("long").as("n_raw"),
+          length(call_function("unicode_nfc", col("txt"))).cast("long").as("n_nfc"),
+          substring(md5(call_function("unicode_nfc", col("txt"))), 1, 8).as("sig"))
+    },
+    Some("""WITH t AS (
+      |  SELECT doc_id,
+      |    'Cafe' || chr(769) || ' nai' || chr(776) || 've ' || text AS txt
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(length(txt) AS BIGINT) AS n_raw,
+      |  CAST(length(nfc_normalize(txt)) AS BIGINT) AS n_nfc,
+      |  substr(md5(nfc_normalize(txt)), 1, 8) AS sig
+      |FROM t""".stripMargin))
+
   def queries: Seq[GQuery] =
-    Seq(q32, q33, q34, q35, q66, q89, q91, q94, q96, q98, q99, q101, q106, q107, q109)
+    Seq(q32, q33, q34, q35, q66, q89, q91, q94, q96, q98, q99, q101,
+      q106, q107, q109, q110)
 }
