@@ -615,7 +615,80 @@ object TextQueries {
       |  substr(md5(nfc_normalize(txt)), 1, 8) AS sig
       |FROM t""".stripMargin))
 
+  /** q111: the composed curation pipeline ([[graft.text.Curation]]) —
+    * NFC normalize → PII redact → exact-dedup on the redacted
+    * fingerprint (keep-min-id) → token-count quality gate, over two
+    * overlapping "crawls". The re-crawl carries different injected PII
+    * (ids differ), so the crawls only become exact duplicates AFTER
+    * redaction — the census proves the stage ordering end-to-end, and
+    * the integer hash-prefix checksum pins the surviving corpus's exact
+    * bytes. Full-oracle (unlike the fisheries DAG's rows-only q95):
+    * every stage has an engine-portable SQL mirror. */
+  val q111 = GQuery(
+    "q111_curation_pipeline",
+    (s, d) => {
+      val docs = documents(s, d)
+      val crawl2 = docs.filter(col("doc_id") < 250)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
+          lit("crawl2").as("source"), col("text"), col("n_chars"))
+      val injected = docs.unionByName(crawl2).select(col("doc_id"), col("lang"),
+        concat(
+          lit("Cafe\u0301 contact "), col("lang"), col("doc_id").cast("string"),
+          lit("@"), col("source"), lit(".org call +670-"),
+          (col("doc_id") % 900 + 100).cast("string"), lit("-"),
+          (col("doc_id") % 9000 + 1000).cast("string"),
+          lit(" ip 10.0."), (col("doc_id") % 256).cast("string"),
+          lit("."), ((col("doc_id") * 7) % 256).cast("string"),
+          lit(" "), col("text")).as("txt"))
+      graft.text.Curation.curate(injected, "doc_id", "txt", minTokens = 45)
+        .groupBy(col("lang"))
+        .agg(
+          lcount(lit(1)).as("n_rows"),
+          count(when(col("is_canonical"), 1)).as("n_canonical"),
+          count(when(col("kept"), 1)).as("n_kept"),
+          sum(when(col("kept"), col("n_tokens"))).as("kept_tokens"),
+          sum(when(col("kept"),
+            conv(substring(md5(col("redacted")), 1, 7), 16, 10).cast("long")))
+            .as("checksum"))
+    },
+    Some("""WITH corpus AS (
+      |  SELECT doc_id, lang, source, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, lang, 'crawl2' AS source, text
+      |  FROM documents WHERE doc_id < 250),
+      |t AS (
+      |  SELECT doc_id, lang,
+      |    nfc_normalize('Cafe' || chr(769) || ' contact ' || lang ||
+      |      CAST(doc_id AS VARCHAR) || '@' || source || '.org call +670-' ||
+      |      CAST(doc_id % 900 + 100 AS VARCHAR) || '-' ||
+      |      CAST(doc_id % 9000 + 1000 AS VARCHAR) || ' ip 10.0.' ||
+      |      CAST(doc_id % 256 AS VARCHAR) || '.' ||
+      |      CAST((doc_id * 7) % 256 AS VARCHAR) || ' ' || text) AS norm
+      |  FROM corpus),
+      |r AS (
+      |  SELECT doc_id, lang,
+      |    regexp_replace(
+      |      regexp_replace(
+      |        regexp_replace(norm,
+      |          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+      |      '\+?\d{1,3}-\d{3}-\d{3,4}', '<PHONE>', 'g') AS red
+      |  FROM t),
+      |f AS (
+      |  SELECT doc_id, lang, red, md5(red) AS fp,
+      |    CAST(len(string_split_regex(trim(red), '\s+')) AS BIGINT) AS n_tokens
+      |  FROM r),
+      |k AS (SELECT fp, MIN(doc_id) AS keep_id FROM f GROUP BY fp),
+      |m AS (SELECT f.*, (f.doc_id = k.keep_id) AS canon FROM f JOIN k USING (fp))
+      |SELECT lang, COUNT(*) AS n_rows,
+      |  COUNT(CASE WHEN canon THEN 1 END) AS n_canonical,
+      |  COUNT(CASE WHEN canon AND n_tokens >= 45 THEN 1 END) AS n_kept,
+      |  CAST(SUM(CASE WHEN canon AND n_tokens >= 45 THEN n_tokens END) AS BIGINT) AS kept_tokens,
+      |  CAST(SUM(CASE WHEN canon AND n_tokens >= 45
+      |    THEN CAST(('0x' || substr(md5(red), 1, 7)) AS BIGINT) END) AS BIGINT) AS checksum
+      |FROM m GROUP BY lang""".stripMargin))
+
   def queries: Seq[GQuery] =
     Seq(q32, q33, q34, q35, q66, q89, q91, q94, q96, q98, q99, q101,
-      q106, q107, q109, q110)
+      q106, q107, q109, q110, q111)
 }
