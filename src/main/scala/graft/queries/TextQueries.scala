@@ -688,7 +688,64 @@ object TextQueries {
       |    THEN CAST(('0x' || substr(md5(red), 1, 7)) AS BIGINT) END) AS BIGINT) AS checksum
       |FROM m GROUP BY lang""".stripMargin))
 
+  /** q112: BM25 ranked retrieval ([[graft.text.Bm25]]) — the query
+    * workload is itself derived from the corpus (per-lang top-3 terms
+    * by in-lang document frequency, ties by term) so the whole thing is
+    * deterministic and engine-portable. Scores are e9-scaled integer
+    * sums of per-term weights whose only float steps are one ln / one
+    * divide / one multiply over int64 counts — ranking is integer,
+    * never a float-summation-order artifact. */
+  val q112 = GQuery(
+    "q112_bm25_retrieval",
+    (s, d) => {
+      import graft.text.Bm25
+      val docs = documents(s, d)
+      val toks = docs.select(col("doc_id"), col("lang"),
+        explode(Bm25.tokens(col("text"))).as("term"))
+      val ldf = toks.select(col("doc_id"), col("lang"), col("term")).distinct()
+        .groupBy(col("lang"), col("term")).agg(lcount(lit(1)).as("ldf"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("ldf").desc, col("term").asc)
+      val qt = ldf.withColumn("r", row_number().over(w)).filter(col("r") <= 3)
+        .select(col("lang"), col("term"))
+      Bm25.retrieve(docs, "doc_id", "text", qt, "lang", "term", k = 5)
+    },
+    Some("""WITH toks AS (
+      |  SELECT doc_id, lang, t.term
+      |  FROM documents, UNNEST(string_split_regex(lower(text), '[^a-z]+')) AS t(term)
+      |  WHERE length(t.term) >= 3),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
+      |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      |tot AS (SELECT (SELECT COUNT(*) FROM documents) AS n,
+      |               (SELECT SUM(dl) FROM dl) AS l),
+      |ldf AS (
+      |  SELECT lang, term, COUNT(*) AS ldf
+      |  FROM (SELECT DISTINCT doc_id, lang, term FROM toks) GROUP BY 1, 2),
+      |qt AS (
+      |  SELECT lang, term FROM (
+      |    SELECT lang, term,
+      |      row_number() OVER (PARTITION BY lang ORDER BY ldf DESC, term ASC) AS r
+      |    FROM ldf) WHERE r <= 3),
+      |contrib AS (
+      |  SELECT qt.lang, tf.doc_id,
+      |    ln(CAST(2 * tot.n + 2 AS DOUBLE) / CAST(2 * df.df + 1 AS DOUBLE)) *
+      |    (CAST(44 * tot.l * tf.tf AS DOUBLE) /
+      |     CAST(20 * tot.l * tf.tf + 6 * tot.l + 18 * dl.dl * tot.n AS DOUBLE)) AS c
+      |  FROM qt JOIN tf USING (term) JOIN df USING (term)
+      |    JOIN dl USING (doc_id) CROSS JOIN tot),
+      |sc AS (
+      |  SELECT lang, doc_id,
+      |    CAST(SUM(CAST(floor(c * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS bm25_e9
+      |  FROM contrib GROUP BY 1, 2)
+      |SELECT lang, CAST(r AS BIGINT) AS rank, doc_id, bm25_e9
+      |FROM (SELECT lang, doc_id, bm25_e9,
+      |        row_number() OVER (PARTITION BY lang
+      |                           ORDER BY bm25_e9 DESC, doc_id ASC) AS r
+      |      FROM sc)
+      |WHERE r <= 5""".stripMargin))
+
   def queries: Seq[GQuery] =
     Seq(q32, q33, q34, q35, q66, q89, q91, q94, q96, q98, q99, q101,
-      q106, q107, q109, q110, q111)
+      q106, q107, q109, q110, q111, q112)
 }
