@@ -484,6 +484,33 @@ object StatsQueries {
       |COUNT(*) AS total_weight
       |FROM expanded GROUP BY l_returnflag""".stripMargin))
 
+  /** q113: mergeable quantile sketch ([[graft.functions.QuantileSketch]])
+    * in its exact regime — capacity 65536 exceeds every sf0.01 group, so
+    * no compaction fires and the sketch answer IS the type-7 quantile,
+    * hash-checkable against `quantile_cont` (same mirror as q23). At
+    * bench scale (sf0.1) groups exceed capacity and the sketch earns its
+    * keep: bounded memory, one pass, rank error property-tested in
+    * QuantileSketchSpec rather than oracle-hashed. */
+  val q113 = GQuery(
+    "q113_quantile_sketch",
+    (s, d) => {
+      graft.functions.QuantileSketch.register(s)
+      lineitem(s, d)
+        .select(col("l_returnflag"), col("l_extendedprice").cast("double").as("v"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(call_function("quantile_sketch", col("v"), lit(0.25), lit(65536)), 6).as("p25"),
+          round(call_function("quantile_sketch", col("v"), lit(0.5), lit(65536)), 6).as("p50"),
+          round(call_function("quantile_sketch", col("v"), lit(0.75), lit(65536)), 6).as("p75"),
+          lcount(lit(1)).as("n"))
+    },
+    Some("""SELECT l_returnflag,
+      |round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+      |round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+      |round(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
+      |COUNT(*) AS n
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin))
+
   def queries: Seq[GQuery] =
-    Seq(q23, q24, q25, q26, q27, q28, q29, q30, q31, q51, q58)
+    Seq(q23, q24, q25, q26, q27, q28, q29, q30, q31, q51, q58, q113)
 }
