@@ -317,5 +317,56 @@ object SimilarityQueries {
       |LEFT JOIN dups d ON d.vec_id = v.vec_id
       |ORDER BY v.vec_id""".stripMargin))
 
-  def queries: Seq[GQuery] = Seq(q40, q41, q42, q48, q53, q102, q105)
+  /** q114: quantized-scan ANN with exact re-rank
+    * ([[graft.similarity.Quantize.adcTopK]]) — int8-code candidate
+    * scan (integer-exact DECIMAL scores, corpus-scale codebook), top-30
+    * candidates per query, exact scaled-long cosine re-rank to top-5.
+    * Same workload as q40 so recall vs the float brute-force baseline
+    * is directly comparable; the oracle replays codes, candidate
+    * ranking and re-rank. */
+  val q114 = GQuery(
+    "q114_quantized_ann",
+    (s, d) => {
+      val emb = embeddings(s, d)
+      graft.similarity.Quantize.adcTopK(
+        corpus = emb, queries = emb.filter(col("vec_id") < 10),
+        idCol = "vec_id", vecCol = "embedding", k = 5, candK = 30)
+        .select(col("qid"), col("rank"), col("nid"), round(col("cos"), 4).as("cos"))
+    },
+    Some(s"""WITH $elSql,
+      |ma AS (SELECT i AS dim, MAX(abs(e)) AS maxabs FROM el GROUP BY 1),
+      |codes AS (
+      |  SELECT el.vec_id, el.i,
+      |    CASE WHEN ma.maxabs = 0 THEN 0
+      |         ELSE least(127, greatest(-127,
+      |           CAST(floor(CAST(el.e * 127 AS DOUBLE) / ma.maxabs + 0.5) AS BIGINT))) END AS q,
+      |    ma.maxabs
+      |  FROM el JOIN ma ON el.i = ma.dim),
+      |approx AS (
+      |  SELECT qs.vec_id AS qid, cs.vec_id AS nid,
+      |    SUM(qs.q * cs.q * qs.maxabs * qs.maxabs) AS score
+      |  FROM codes qs JOIN codes cs ON qs.i = cs.i
+      |    AND qs.vec_id < 10 AND qs.vec_id <> cs.vec_id
+      |  GROUP BY 1, 2),
+      |cand AS (
+      |  SELECT qid, nid FROM (
+      |    SELECT qid, nid,
+      |      row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) AS cr
+      |    FROM approx) WHERE cr <= 30),
+      |dot AS (
+      |  SELECT ca.qid, ca.nid, CAST(SUM(a.e * b.e) AS DOUBLE) / 100000000000000.0 AS dot
+      |  FROM cand ca
+      |  JOIN el a ON a.vec_id = ca.qid
+      |  JOIN el b ON b.vec_id = ca.nid AND a.i = b.i
+      |  GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT d.qid, d.nid, d.dot / (sqrt(nq.n2) * sqrt(nc.n2)) AS cos
+      |  FROM dot d JOIN n2 nq ON d.qid = nq.vec_id JOIN n2 nc ON d.nid = nc.vec_id)
+      |SELECT qid, CAST(rank AS INT) AS rank, nid, round(cos, 4) AS cos
+      |FROM (SELECT qid, nid, cos,
+      |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank
+      |      FROM scored)
+      |WHERE rank <= 5""".stripMargin))
+
+  def queries: Seq[GQuery] = Seq(q40, q41, q42, q48, q53, q102, q105, q114)
 }

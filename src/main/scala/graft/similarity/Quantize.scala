@@ -98,4 +98,67 @@ object Quantize {
       .agg(transform(array_sort(collect_list(col("__dq"))), s => s("q")).as("codes"))
       .withColumnRenamed("__id", idCol)
   }
+
+  /** Quantized-scan ANN with exact re-rank — the Faiss flat-SQ8 shape:
+    * score every (query, corpus) pair on int8 CODES (4× less memory
+    * bandwidth than floats, the resource that bounds a flat scan at
+    * 100 TB), keep the top `candK` candidates per query, then re-rank
+    * ONLY those with the exact scaled-long cosine and emit top `k`.
+    *
+    * The candidate score is the dequantized dot product numerator
+    * `Σ_d qa_d · qb_d · maxabs_d²` — per-term int64 (|q| ≤ 127,
+    * maxabs ≤ 1e7 ⇒ |term| ≤ 1.7e18), summed as DECIMAL(38,0), so
+    * candidate selection is integer-exact and engine-replayable (the
+    * q114 oracle replays codes, scores and both rankings). Scoring by
+    * dot numerator, not cosine: candidate generation is a MIPS proxy
+    * (unit-ish norms), and the exact re-rank restores true cosine
+    * order among survivors. Queries are quantized with the CORPUS
+    * per-dim scales — the codebook is a corpus artifact (in production
+    * codes + scales are materialized once, not derived per query
+    * batch).
+    */
+  def adcTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, candK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scales = dimStats(corpus, idCol, vecCol).select(col("dim"), col("__maxabs"))
+    def codesWith(emb: DataFrame): DataFrame = {
+      val q = when(col("__maxabs") === 0L, lit(0L)).otherwise(
+        least(lit(127L), greatest(lit(-127L),
+          floor((col("e") * 127L).cast(DoubleType) / col("__maxabs") + 0.5).cast("long"))))
+      elements(emb, idCol, vecCol)
+        .join(broadcast(scales), Seq("dim"))
+        .select(col("__id"), struct(col("dim"), q.as("q")).as("__dq"))
+        .groupBy(col("__id"))
+        .agg(transform(array_sort(collect_list(col("__dq"))), s => s("q")).as("codes"))
+    }
+    val s2 = broadcast(scales
+      .select(struct(col("dim"), (col("__maxabs") * col("__maxabs")).as("s2")).as("__ds"))
+      .agg(transform(array_sort(collect_list(col("__ds"))), s => s("s2")).as("__s2")))
+    val cc = codesWith(corpus).select(col("__id").as("nid"), col("codes").as("__cc"))
+    val qc = broadcast(codesWith(queries)
+      .select(col("__id").as("qid"), col("codes").as("__qc")))
+    val approx = cc.join(qc, col("qid") =!= col("nid")).crossJoin(s2)
+      .withColumn("__score", aggregate(
+        zip_with(zip_with(col("__qc"), col("__cc"), (x, y) => x * y),
+          col("__s2"), (p, s) => p * s),
+        lit(0).cast(Dec0), (acc, x) => acc + x.cast(Dec0)))
+    val wc = Window.partitionBy(col("qid")).orderBy(col("__score").desc, col("nid").asc)
+    val cand = approx.withColumn("__cr", row_number().over(wc))
+      .filter(col("__cr") <= candK)
+      .select(col("qid"), col("nid"))
+    // exact re-rank on the surviving candidates only
+    val cv = corpus.select(col(idCol).as("nid"),
+      Knn.scaledVec(col(vecCol)).as("__cv"))
+      .withColumn("__cn2", Knn.norm2Scaled(col("__cv")))
+    val qv = broadcast(queries.select(col(idCol).as("qid"),
+      Knn.scaledVec(col(vecCol)).as("__qv"))
+      .withColumn("__qn2", Knn.norm2Scaled(col("__qv"))))
+    val wk = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
+    cand.join(cv, "nid").join(qv, "qid")
+      .withColumn("cos", Knn.dotScaled(col("__qv"), col("__cv")) /
+        (sqrt(col("__qn2")) * sqrt(col("__cn2"))))
+      .withColumn("rank", row_number().over(wk))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), col("cos"))
+  }
 }

@@ -56,4 +56,35 @@ class QuantizeSpec extends SparkSpec {
         .as[(Int, Double, Double, Double, Double, Double)].collect().sortBy(_._1).toSeq
     assert(run(emb) == run(emb.repartition(7)))
   }
+
+  test("adcTopK with full candidate budget reproduces exact brute-force top-k") {
+    val corpus = graft.core.Tables.embeddings(spark, sf).filter($"vec_id" < 120)
+    val queries = corpus.filter($"vec_id" < 5)
+    def tuples(df: org.apache.spark.sql.DataFrame) =
+      df.select($"qid", $"rank".cast("int"), $"nid")
+        .as[(Long, Int, Long)].collect().sortBy(t => (t._1, t._2)).toSeq
+    // candK = corpus size: candidate generation can't lose anything, so
+    // the exact re-rank must equal the float brute-force baseline
+    val adc = tuples(graft.similarity.Quantize.adcTopK(
+      corpus, queries, "vec_id", "embedding", k = 5, candK = 200))
+    val bf = tuples(graft.similarity.Knn.bruteForceTopK(
+      corpus, queries, "vec_id", "embedding", k = 5))
+    assert(adc == bf)
+  }
+
+  test("adcTopK recall@5 vs brute force is high at a 30-candidate budget") {
+    val corpus = graft.core.Tables.embeddings(spark, sf).filter($"vec_id" < 120)
+    val queries = corpus.filter($"vec_id" < 5)
+    def sets(df: org.apache.spark.sql.DataFrame) =
+      df.select($"qid", $"nid").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val adc = sets(graft.similarity.Quantize.adcTopK(
+      corpus, queries, "vec_id", "embedding", k = 5, candK = 30))
+    val bf = sets(graft.similarity.Knn.bruteForceTopK(
+      corpus, queries, "vec_id", "embedding", k = 5))
+    val recall = bf.map { case (q, want) =>
+      (adc.getOrElse(q, Set.empty) & want).size.toDouble / want.size
+    }.sum / bf.size
+    assert(recall >= 0.8, s"recall@5 = $recall")
+  }
 }
