@@ -745,7 +745,73 @@ object TextQueries {
       |      FROM sc)
       |WHERE r <= 5""".stripMargin))
 
+  /** q115: corpus report (dataset card) — per-source census of size,
+    * token mass, language mix, exact-dup mass, median length, and
+    * PII-bearing rows. Pure single-pass groupBy composition of the
+    * suite's primitives; every figure integer or type-7-exact. */
+  val q115 = GQuery(
+    "q115_corpus_report",
+    (s, d) => {
+      import graft.text.{Pii, TextFunctions}
+      documents(s, d)
+        .select(col("source"), col("lang"), col("doc_id"), col("n_chars"),
+          size(TextFunctions.wsTokens(col("text"))).cast("long").as("__t"),
+          md5(col("text")).as("__fp"),
+          regexp_like(col("text"), lit(Pii.EmailRe)).as("__pii"))
+        .groupBy(col("source"))
+        .agg(
+          lcount(lit(1)).as("n_docs"),
+          sum(col("__t")).as("n_tokens"),
+          sum(col("n_chars")).as("sum_chars"),
+          countDistinct(col("lang")).as("n_langs"),
+          (lcount(lit(1)) - countDistinct(col("__fp"))).as("n_dupes"),
+          round(expr("percentile(n_chars, 0.5)"), 6).as("p50_chars"),
+          count(when(col("__pii"), 1)).as("pii_docs"))
+    },
+    Some(s"""SELECT source,
+      |COUNT(*) AS n_docs,
+      |CAST(SUM(len($wsSql)) AS BIGINT) AS n_tokens,
+      |CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+      |CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS n_dupes,
+      |round(quantile_cont(n_chars, 0.5), 6) AS p50_chars,
+      |COUNT(CASE WHEN regexp_matches(text,
+      |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}') THEN 1 END) AS pii_docs
+      |FROM documents GROUP BY source""".stripMargin))
+
+  /** q116: token-budget selection ([[graft.text.Budget]]) — per-lang
+    * 50k-token budgets, score = token count (any totally-ordered score
+    * plugs in), tiebreak doc_id. The id-sum checksum pins the exact
+    * selected set, not just its size. */
+  val q116 = GQuery(
+    "q116_token_budget",
+    (s, d) => {
+      import graft.text.{Budget, TextFunctions}
+      val t = documents(s, d).select(col("doc_id"), col("lang"),
+        size(TextFunctions.wsTokens(col("text"))).cast("long").as("n_tokens"))
+      Budget.selectUnderBudget(t, Seq("lang"),
+          scoreCol = col("n_tokens"), tokensCol = col("n_tokens"),
+          tiebreak = col("doc_id"), budget = 50000L)
+        .groupBy(col("lang"))
+        .agg(
+          lcount(lit(1)).as("n_selected"),
+          sum(col("n_tokens")).as("tokens_selected"),
+          sum(col("doc_id")).as("id_checksum"))
+    },
+    Some(s"""WITH t AS (
+      |  SELECT doc_id, lang, CAST(len($wsSql) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |r AS (
+      |  SELECT *, SUM(n_tokens) OVER (
+      |    PARTITION BY lang ORDER BY n_tokens DESC, doc_id ASC
+      |    ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM t)
+      |SELECT lang, COUNT(*) AS n_selected,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS tokens_selected,
+      |  CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+      |FROM r WHERE cum <= 50000 GROUP BY lang""".stripMargin))
+
   def queries: Seq[GQuery] =
     Seq(q32, q33, q34, q35, q66, q89, q91, q94, q96, q98, q99, q101,
-      q106, q107, q109, q110, q111, q112)
+      q106, q107, q109, q110, q111, q112, q115, q116)
 }
