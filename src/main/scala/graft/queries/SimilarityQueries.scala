@@ -368,5 +368,61 @@ object SimilarityQueries {
       |      FROM scored)
       |WHERE rank <= 5""".stripMargin))
 
-  def queries: Seq[GQuery] = Seq(q40, q41, q42, q48, q53, q102, q105, q114)
+  /** q117: MMR diversity re-rank ([[graft.similarity.Mmr]]) — top-12
+    * brute-force candidates per query, greedy equal-weight MMR to 5.
+    * Every comparison is over e9-floored integer cosines, so the
+    * oracle can replay the ENTIRE greedy recursion as a recursive CTE
+    * (per-candidate sim vectors as rank-indexed lists; each recursion
+    * step re-derives the argmax with the same integer tie-break). */
+  val q117 = GQuery(
+    "q117_mmr_rerank",
+    (s, d) => {
+      val emb = embeddings(s, d)
+      graft.similarity.Mmr.rerank(
+        corpus = emb, queries = emb.filter(col("vec_id") < 6),
+        idCol = "vec_id", vecCol = "embedding", candK = 12, k = 5)
+    },
+    Some(s"""WITH RECURSIVE $elSql,
+      |dot AS (
+      |  SELECT q.vec_id AS qid, c.vec_id AS nid,
+      |    CAST(SUM(q.e * c.e) AS DOUBLE) / 100000000000000.0 AS dot
+      |  FROM el q JOIN el c ON q.i = c.i AND q.vec_id < 6 AND q.vec_id <> c.vec_id
+      |  GROUP BY 1, 2),
+      |relall AS (
+      |  SELECT d.qid, d.nid,
+      |    CAST(floor(d.dot / (sqrt(nq.n2) * sqrt(nc.n2)) * 1e9 + 0.5) AS BIGINT) AS rel_e9
+      |  FROM dot d JOIN n2 nq ON d.qid = nq.vec_id JOIN n2 nc ON d.nid = nc.vec_id),
+      |cand AS (
+      |  SELECT qid, nid, rel_e9,
+      |    row_number() OVER (PARTITION BY qid ORDER BY rel_e9 DESC, nid ASC) AS r
+      |  FROM relall QUALIFY r <= 12),
+      |pdot AS (
+      |  SELECT a.qid, a.r AS ra, b.r AS rb, a.nid AS na, b.nid AS nb,
+      |    CAST(SUM(x.e * y.e) AS DOUBLE) / 100000000000000.0 AS dot
+      |  FROM cand a JOIN cand b ON a.qid = b.qid
+      |  JOIN el x ON x.vec_id = a.nid
+      |  JOIN el y ON y.vec_id = b.nid AND x.i = y.i
+      |  GROUP BY 1, 2, 3, 4, 5),
+      |simvec AS (
+      |  SELECT p.qid, p.ra,
+      |    list(CAST(floor(p.dot / (sqrt(na2.n2) * sqrt(nb2.n2)) * 1e9 + 0.5) AS BIGINT)
+      |         ORDER BY p.rb) AS sv
+      |  FROM pdot p JOIN n2 na2 ON p.na = na2.vec_id JOIN n2 nb2 ON p.nb = nb2.vec_id
+      |  GROUP BY p.qid, p.ra),
+      |pick AS (
+      |  SELECT qid, [CAST(1 AS BIGINT)] AS sel, 1 AS k FROM (SELECT DISTINCT qid FROM cand)
+      |  UNION ALL
+      |  SELECT p.qid, list_append(p.sel, (
+      |      SELECT c.r FROM cand c JOIN simvec v ON v.qid = c.qid AND v.ra = c.r
+      |      WHERE c.qid = p.qid AND NOT list_contains(p.sel, c.r)
+      |      ORDER BY c.rel_e9 - list_max(list_transform(p.sel, s -> v.sv[CAST(s AS INT)])) DESC,
+      |        c.nid ASC
+      |      LIMIT 1)), p.k + 1
+      |  FROM pick p WHERE p.k < 5)
+      |SELECT f.qid, CAST(g.pos AS BIGINT) AS pos, c.nid
+      |FROM (SELECT qid, sel FROM pick WHERE k = 5) f
+      |CROSS JOIN (SELECT unnest(generate_series(1, 5)) AS pos) g
+      |JOIN cand c ON c.qid = f.qid AND c.r = f.sel[CAST(g.pos AS INT)]""".stripMargin))
+
+  def queries: Seq[GQuery] = Seq(q40, q41, q42, q48, q53, q102, q105, q114, q117)
 }
