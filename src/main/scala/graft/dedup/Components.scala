@@ -87,4 +87,27 @@ object Components {
       .union(e.select(col("u").as("node"), col("u").as("component")))
       .groupBy(col("node")).agg(min(col("component")).as("component"))
   }
+
+  /** Canonical election over near-dup clusters: every clustered doc
+    * gets its component plus an `is_canonical` verdict — the
+    * best-`qualityCol` member wins, ties to the smallest id (so the
+    * quality column can be ANY totally-ordered score: token count, LM
+    * log-prob, a classifier output). Docs absent from `pairs` are
+    * untouched by definition — near-dup dedup only adjudicates within
+    * clusters; callers union isolated docs back as canonical.
+    *
+    * Output: (idCol, component, qualityCol, is_canonical). One
+    * component-keyed window after the component map — the iterative
+    * work all lives in [[connected]]. */
+  def electCanonical(docs: DataFrame, idCol: String, qualityCol: String,
+                     pairs: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val comp = connected(pairs, srcCol, dstCol)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("component"))
+      .orderBy(col(qualityCol).desc, col(idCol).asc)
+    comp.join(docs.select(col(idCol), col(qualityCol)),
+        comp("node") === docs(idCol))
+      .withColumn("is_canonical", row_number().over(w) === 1)
+      .select(col(idCol), col("component"), col(qualityCol), col("is_canonical"))
+  }
 }

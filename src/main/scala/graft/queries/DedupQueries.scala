@@ -491,5 +491,60 @@ object DedupQueries {
         |FROM lab GROUP BY 1, 2""".stripMargin))
   }
 
-  def queries: Seq[GQuery] = Seq(q36, q37, q38, q39, q57, q61, q88, q90, q103, q108)
+  /** q118: canonical election over the q57 near-dup clusters
+    * ([[graft.dedup.Components.electCanonical]]) — the step that turns
+    * a cluster map into keep/drop verdicts. Quality = token count
+    * (keep the most complete crawl), ties to the smallest id. The
+    * census pins the elected ids (sum), the kept token mass, and the
+    * dropped token mass per component. */
+  val q118 = GQuery(
+    "q118_cluster_election",
+    (s, d) => {
+      val docs = documents(s, d)
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 5, threshold = 0.2)
+        .select(col("da"), col("db"))
+      val toks = docs.select(col("doc_id"),
+        size(graft.text.TextFunctions.wsTokens(col("text"))).cast("long").as("n_tokens"))
+      graft.dedup.Components.electCanonical(
+          toks, "doc_id", "n_tokens", pairs, "da", "db")
+        .groupBy(col("component"))
+        .agg(
+          lcount(lit(1)).as("n_docs"),
+          sum(when(col("is_canonical"), col("doc_id"))).as("keep_id"),
+          sum(when(col("is_canonical"), col("n_tokens"))).as("tokens_kept"),
+          sum(when(!col("is_canonical"), col("n_tokens"))).as("tokens_dropped"))
+    },
+    Some(s"""WITH RECURSIVE $shingleSql,
+      |pairs AS (
+      |  SELECT a.doc AS da, b.doc AS db, COUNT(*) AS common
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+      |  GROUP BY 1, 2),
+      |jp AS (
+      |  SELECT p.da, p.db FROM pairs p
+      |  JOIN sizes sa ON p.da = sa.doc JOIN sizes sb ON p.db = sb.doc
+      |  WHERE CAST(p.common AS DOUBLE)
+      |    / CAST(sa.n_shingles + sb.n_shingles - p.common AS DOUBLE) >= 0.2),
+      |edges AS (
+      |  SELECT da AS u, db AS v FROM jp
+      |  UNION SELECT db AS u, da AS v FROM jp),
+      |nodes AS (SELECT DISTINCT u AS n FROM edges),
+      |reach(n, l) AS (
+      |  SELECT n, n FROM nodes
+      |  UNION
+      |  SELECT e.v, r.l FROM reach r JOIN edges e ON e.u = r.n),
+      |comp AS (SELECT n AS node, MIN(l) AS component FROM reach GROUP BY n),
+      |toks AS (
+      |  SELECT doc_id, CAST(len($wsSql) AS BIGINT) AS n_tokens FROM documents),
+      |elected AS (
+      |  SELECT c.node AS doc_id, c.component, t.n_tokens,
+      |    row_number() OVER (PARTITION BY c.component
+      |                       ORDER BY t.n_tokens DESC, c.node ASC) = 1 AS is_canonical
+      |  FROM comp c JOIN toks t ON c.node = t.doc_id)
+      |SELECT component, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN is_canonical THEN doc_id END) AS BIGINT) AS keep_id,
+      |  CAST(SUM(CASE WHEN is_canonical THEN n_tokens END) AS BIGINT) AS tokens_kept,
+      |  CAST(SUM(CASE WHEN NOT is_canonical THEN n_tokens END) AS BIGINT) AS tokens_dropped
+      |FROM elected GROUP BY component""".stripMargin))
+
+  def queries: Seq[GQuery] = Seq(q36, q37, q38, q39, q57, q61, q88, q90, q103, q108, q118)
 }

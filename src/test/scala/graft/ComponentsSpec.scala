@@ -49,4 +49,20 @@ class ComponentsSpec extends SparkSpec {
       .map(n => n -> find(n)).toMap
     assert(comps(edges) == expected)
   }
+
+  test("electCanonical: best quality wins per cluster, ties to smallest id") {
+    import spark.implicits._
+    val docs = Seq( // cluster {1,2,3}: 2 has most tokens; {7,8}: tie -> 7
+      (1L, 10L), (2L, 30L), (3L, 20L), (7L, 5L), (8L, 5L), (9L, 99L))
+      .toDF("doc_id", "n_tokens")
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("da", "db")
+    val out = graft.dedup.Components.electCanonical(
+        docs, "doc_id", "n_tokens", pairs, "da", "db")
+      .select($"doc_id", $"component", $"is_canonical")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((1L, 1L, false), (2L, 1L, true), (3L, 1L, false),
+      (7L, 7L, true), (8L, 7L, false)))
+    // isolated doc 9 is absent by contract
+    assert(!out.exists(_._1 == 9L))
+  }
 }
