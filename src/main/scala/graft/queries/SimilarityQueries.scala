@@ -424,5 +424,57 @@ object SimilarityQueries {
       |CROSS JOIN (SELECT unnest(generate_series(1, 5)) AS pos) g
       |JOIN cand c ON c.qid = f.qid AND c.r = f.sel[CAST(g.pos AS INT)]""".stripMargin))
 
-  def queries: Seq[GQuery] = Seq(q40, q41, q42, q48, q53, q102, q105, q114, q117)
+  /** q119: Johnson–Lindenstrauss projection distortion census
+    * ([[graft.similarity.Project]]) — 64 → 16 dims via the md5-parity
+    * ±1 matrix, all-pairs ratio `‖Sx−Sy‖²/(p‖x−y‖²)` over the first
+    * 50 vectors. Projections and both distance numerators are exact
+    * integers; the mean routes through the scaled-long sum. */
+  val q119 = GQuery(
+    "q119_jl_projection",
+    (s, d) => {
+      graft.similarity.Project.distortionCensus(
+          embeddings(s, d).filter(col("vec_id") < 50),
+          "vec_id", "embedding", p = 16)
+        .select(col("n_pairs"),
+          round(col("mean_ratio"), 6).as("mean_ratio"),
+          round(col("min_ratio"), 6).as("min_ratio"),
+          round(col("max_ratio"), 6).as("max_ratio"))
+    },
+    Some(s"""WITH el AS (
+      |  SELECT vec_id,
+      |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000000.0 + 0.5) AS BIGINT) AS e,
+      |    generate_subscripts(embedding, 1) AS i
+      |  FROM embeddings WHERE vec_id < 50),
+      |signs AS (
+      |  SELECT j, i,
+      |    CASE WHEN (strpos('0123456789abcdef',
+      |      substr(md5('jl:' || j || ':' || CAST(i AS VARCHAR)), 1, 1)) - 1) % 2 = 1
+      |      THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS s
+      |  FROM (SELECT unnest(generate_series(0, 15)) AS j),
+      |       (SELECT unnest(generate_series(0, 63)) AS i)),
+      |pd AS (
+      |  SELECT el.vec_id, sg.j, SUM(el.e * sg.s) AS y
+      |  FROM el JOIN signs sg ON sg.i = el.i - 1
+      |  GROUP BY 1, 2),
+      |od AS (
+      |  SELECT a.vec_id AS ia, b.vec_id AS ib,
+      |    SUM((a.e - b.e) * (a.e - b.e)) AS d2
+      |  FROM el a JOIN el b ON a.i = b.i AND a.vec_id < b.vec_id
+      |  GROUP BY 1, 2),
+      |pp AS (
+      |  SELECT a.vec_id AS ia, b.vec_id AS ib,
+      |    SUM((a.y - b.y) * (a.y - b.y)) AS d2
+      |  FROM pd a JOIN pd b ON a.j = b.j AND a.vec_id < b.vec_id
+      |  GROUP BY 1, 2),
+      |r AS (
+      |  SELECT CAST(pp.d2 AS DOUBLE) / 16.0 / CAST(od.d2 AS DOUBLE) AS r
+      |  FROM od JOIN pp ON od.ia = pp.ia AND od.ib = pp.ib
+      |  WHERE CAST(od.d2 AS DOUBLE) > 0)
+      |SELECT COUNT(*) AS n_pairs,
+      |  round(${graft.core.Exact.sqlLsumAt("r", "1e9")} / COUNT(*), 6) AS mean_ratio,
+      |  round(MIN(r), 6) AS min_ratio,
+      |  round(MAX(r), 6) AS max_ratio
+      |FROM r""".stripMargin))
+
+  def queries: Seq[GQuery] = Seq(q40, q41, q42, q48, q53, q102, q105, q114, q117, q119)
 }
