@@ -811,7 +811,47 @@ object TextQueries {
       |  CAST(SUM(doc_id) AS BIGINT) AS id_checksum
       |FROM r WHERE cum <= 50000 GROUP BY lang""".stripMargin))
 
+  /** q120: stride-scheduled training order ([[graft.text.Schedule]])
+    * — per-lang weights = doc counts (self-proportional mixture), so a
+    * t-fraction prefix of virtual time holds ≈ t of every source. The
+    * census counts each lang's documents inside the 25 % / 50 % / 100 %
+    * prefixes and pins the exact 25 % membership with an id-sum. */
+  val q120 = GQuery(
+    "q120_stride_schedule",
+    (s, d) => {
+      import graft.text.Schedule
+      val docs = documents(s, d)
+      val wts = docs.groupBy(col("lang")).agg(lcount(lit(1)).as("w"))
+      val keyed = Schedule.withScheduleKey(
+        docs.select(col("doc_id"), col("lang")).join(wts, "lang"),
+        "doc_id", "lang", "w")
+      val t1 = Schedule.Scale / 4
+      val t2 = Schedule.Scale / 2
+      keyed.groupBy(col("lang"))
+        .agg(
+          count(when(col("schedule_key") <= t1, 1)).as("n_q1"),
+          count(when(col("schedule_key") <= t2, 1)).as("n_q2"),
+          count(when(col("schedule_key") <= Schedule.Scale, 1)).as("n_all"),
+          sum(when(col("schedule_key") <= t1, col("doc_id"))).as("q1_checksum"))
+    },
+    Some(s"""WITH wts AS (SELECT lang, COUNT(*) AS w FROM documents GROUP BY lang),
+      |r AS (
+      |  SELECT d.doc_id, d.lang, w.w,
+      |    row_number() OVER (PARTITION BY d.lang
+      |      ORDER BY md5(CAST(d.doc_id AS VARCHAR)) ASC, d.doc_id ASC) AS r
+      |  FROM documents d JOIN wts w USING (lang)),
+      |k AS (
+      |  SELECT doc_id, lang,
+      |    ((2 * r - 1) * 1000000000) // (2 * w) AS key
+      |  FROM r)
+      |SELECT lang,
+      |  COUNT(CASE WHEN key <= 250000000 THEN 1 END) AS n_q1,
+      |  COUNT(CASE WHEN key <= 500000000 THEN 1 END) AS n_q2,
+      |  COUNT(CASE WHEN key <= 1000000000 THEN 1 END) AS n_all,
+      |  CAST(SUM(CASE WHEN key <= 250000000 THEN doc_id END) AS BIGINT) AS q1_checksum
+      |FROM k GROUP BY lang""".stripMargin))
+
   def queries: Seq[GQuery] =
     Seq(q32, q33, q34, q35, q66, q89, q91, q94, q96, q98, q99, q101,
-      q106, q107, q109, q110, q111, q112, q115, q116)
+      q106, q107, q109, q110, q111, q112, q115, q116, q120)
 }
