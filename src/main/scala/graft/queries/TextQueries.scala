@@ -851,7 +851,51 @@ object TextQueries {
       |  CAST(SUM(CASE WHEN key <= 250000000 THEN doc_id END) AS BIGINT) AS q1_checksum
       |FROM k GROUP BY lang""".stripMargin))
 
+  /** q121: length-bucketed batch planning
+    * ([[graft.text.Packing.lengthBatches]]) — per-shard padding bill
+    * under length-sorted vs md5-arrival batching (batch 32, 8 shards).
+    * The saving the sorted order buys is the measured figure, not a
+    * claim. All integers. */
+  val q121 = GQuery(
+    "q121_length_batching",
+    (s, d) => {
+      import graft.text.Packing
+      val toks = documents(s, d).select(col("doc_id"),
+        size(graft.text.TextFunctions.wsTokens(col("text"))).as("n_toks"))
+      Packing.paddingCensus(Packing.lengthBatches(
+        toks, "doc_id", "n_toks", batchSize = 32, nShards = 8))
+    },
+    Some(s"""WITH t AS (
+      |  SELECT doc_id, CAST(len($wsSql) AS BIGINT) AS n_tokens FROM documents),
+      |sh AS (
+      |  SELECT doc_id, n_tokens,
+      |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) % 8 AS shard
+      |  FROM t),
+      |r AS (
+      |  SELECT shard, doc_id, n_tokens,
+      |    row_number() OVER (PARTITION BY shard ORDER BY n_tokens ASC, doc_id ASC) AS rs,
+      |    row_number() OVER (PARTITION BY shard
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS ra
+      |  FROM sh),
+      |b AS (SELECT shard, doc_id, n_tokens,
+      |        (rs - 1) // 32 AS sb, (ra - 1) // 32 AS ab FROM r),
+      |sp AS (
+      |  SELECT shard, sb, COUNT(*) * MAX(n_tokens) - SUM(n_tokens) AS pad,
+      |    SUM(n_tokens) AS tok
+      |  FROM b GROUP BY 1, 2),
+      |ap AS (
+      |  SELECT shard, ab, COUNT(*) * MAX(n_tokens) - SUM(n_tokens) AS pad
+      |  FROM b GROUP BY 1, 2)
+      |SELECT sp2.shard, sp2.n_batches, sp2.sorted_padding, sp2.n_tokens,
+      |  ap2.arrival_padding
+      |FROM (SELECT shard, COUNT(*) AS n_batches,
+      |        CAST(SUM(pad) AS BIGINT) AS sorted_padding,
+      |        CAST(SUM(tok) AS BIGINT) AS n_tokens
+      |      FROM sp GROUP BY shard) sp2
+      |JOIN (SELECT shard, CAST(SUM(pad) AS BIGINT) AS arrival_padding
+      |      FROM ap GROUP BY shard) ap2 USING (shard)""".stripMargin))
+
   def queries: Seq[GQuery] =
     Seq(q32, q33, q34, q35, q66, q89, q91, q94, q96, q98, q99, q101,
-      q106, q107, q109, q110, q111, q112, q115, q116, q120)
+      q106, q107, q109, q110, q111, q112, q115, q116, q120, q121)
 }

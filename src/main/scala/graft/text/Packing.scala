@@ -179,4 +179,49 @@ object Packing {
         count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("n_tokens"),
         (sum(col("n_tokens")).cast("double") / capacity).as("fill_ratio"))
+
+  /** Length-bucketed batch planning — padded batching's answer to
+    * packing: when documents must stay whole and batches are padded to
+    * their longest member (inference serving, non-packed finetuning),
+    * grouping similar lengths together is what controls the padding
+    * bill. Assigns each document a (shard, batch, and the batch under
+    * BOTH orders): `sorted_batch` groups by length rank within the
+    * shard (tokens asc, id tie-break), `arrival_batch` groups by md5
+    * arrival rank — the unsorted baseline. Padding for a batch is
+    * `batchSize·max(tokens) − Σtokens` (integer); the census the q121
+    * gate aggregates quantifies exactly what length-sorting saves.
+    * Same md5 sharding and fail-fast token contract as [[pack]]; two
+    * shard-local windows, no global sort. */
+  def lengthBatches(docs: DataFrame, idCol: String, tokensCol: String,
+                    batchSize: Int, nShards: Int): DataFrame = {
+    require(batchSize > 0, s"batchSize must be positive, got $batchSize")
+    val bySorted = Window.partitionBy(col("shard"))
+      .orderBy(col("n_tokens").asc, col(idCol).asc)
+    val byArrival = Window.partitionBy(col("shard"))
+      .orderBy(md5(col(idCol).cast("string")).asc, col(idCol).asc)
+    docs.select(col(idCol), checkedTokens(idCol, tokensCol).as("n_tokens"),
+        shardExpr(idCol, nShards))
+      .withColumn("__rs", row_number().over(bySorted).cast("long"))
+      .withColumn("__ra", row_number().over(byArrival).cast("long"))
+      .withColumn("sorted_batch", expr(s"(__rs - 1) div $batchSize"))
+      .withColumn("arrival_batch", expr(s"(__ra - 1) div $batchSize"))
+      .drop("__rs", "__ra")
+  }
+
+  /** Padding bill of a batch assignment from [[lengthBatches]] output:
+    * per shard, the padded-token total `Σ_batches (n·max − Σtokens)`
+    * under both orders — `sorted_padding` vs `arrival_padding`. */
+  def paddingCensus(batched: DataFrame): DataFrame = {
+    def bill(batchCol: String) = batched
+      .groupBy(col("shard"), col(batchCol).as("__b"))
+      .agg((count(lit(1)) * max(col("n_tokens")) - sum(col("n_tokens"))).as("__pad"),
+        sum(col("n_tokens")).as("__tok"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_batches"), sum(col("__pad")).as("padding"),
+        sum(col("__tok")).as("n_tokens"))
+    bill("sorted_batch")
+      .withColumnRenamed("padding", "sorted_padding")
+      .join(bill("arrival_batch").select(col("shard"),
+        col("padding").as("arrival_padding")), "shard")
+  }
 }

@@ -141,4 +141,31 @@ class PackingSpec extends SparkSpec {
     assert(out(1L) == 0L)
     assert(out(2L) == big / 2L) // 4503599627370497, not the double-rounded 498
   }
+
+  test("lengthBatches: sorted batching never pads more than arrival batching") {
+    val d = (1L to 500L).map(i => (i, (i * 37) % 97 + 1)).toDF("doc_id", "n_tok")
+    val census = Packing.paddingCensus(
+      Packing.lengthBatches(d, "doc_id", "n_tok", batchSize = 16, nShards = 4))
+    val rows = census.collect()
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      val (sp, ap) = (r.getAs[Long]("sorted_padding"), r.getAs[Long]("arrival_padding"))
+      assert(sp >= 0 && sp <= ap, s"sorted $sp must not exceed arrival $ap")
+    }
+  }
+
+  test("lengthBatches: batches are contiguous length ranges of size batchSize") {
+    val d = (1L to 100L).map(i => (i, (i * 13) % 50 + 1)).toDF("doc_id", "n_tok")
+    val b = Packing.lengthBatches(d, "doc_id", "n_tok", batchSize = 8, nShards = 1)
+      .select("doc_id", "n_tokens", "sorted_batch").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byBatch = b.groupBy(_._3).toSeq.sortBy(_._1)
+    byBatch.init.foreach { case (_, g) => assert(g.length == 8) }
+    // max length of batch k <= min length of batch k+1
+    val ranges = byBatch.map { case (k, g) => (k, g.map(_._2).min, g.map(_._2).max) }
+    ranges.sliding(2).foreach {
+      case Seq((_, _, hi), (_, lo, _)) => assert(hi <= lo)
+      case _ =>
+    }
+  }
 }
