@@ -476,5 +476,36 @@ object SimilarityQueries {
       |  round(MAX(r), 6) AS max_ratio
       |FROM r""".stripMargin))
 
-  def queries: Seq[GQuery] = Seq(q40, q41, q42, q48, q53, q102, q105, q114, q117, q119)
+  /** q122: hard-negative mining ([[Knn.hardNegatives]]) — the
+    * close-but-not-duplicate ring (cosine in [0.05, 0.30] e9-floored)
+    * per query, top-5. Contrastive training's negative sampler as a
+    * band-pass retrieval; integer cosines make the ring and its
+    * ranking engine-exact. */
+  val q122 = GQuery(
+    "q122_hard_negatives",
+    (s, d) => {
+      val emb = embeddings(s, d)
+      Knn.hardNegatives(
+        corpus = emb, queries = emb.filter(col("vec_id") < 10),
+        idCol = "vec_id", vecCol = "embedding",
+        loE9 = 50000000L, hiE9 = 300000000L, k = 5)
+    },
+    Some(s"""WITH $elSql,
+      |dot AS (
+      |  SELECT q.vec_id AS qid, c.vec_id AS nid,
+      |    CAST(SUM(q.e * c.e) AS DOUBLE) / 100000000000000.0 AS dot
+      |  FROM el q JOIN el c ON q.i = c.i AND q.vec_id < 10 AND q.vec_id <> c.vec_id
+      |  GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT d.qid, d.nid,
+      |    CAST(floor(d.dot / (sqrt(nq.n2) * sqrt(nc.n2)) * 1e9 + 0.5) AS BIGINT) AS cos_e9
+      |  FROM dot d JOIN n2 nq ON d.qid = nq.vec_id JOIN n2 nc ON d.nid = nc.vec_id),
+      |banded AS (
+      |  SELECT qid, nid, cos_e9,
+      |    row_number() OVER (PARTITION BY qid ORDER BY cos_e9 DESC, nid ASC) AS rank
+      |  FROM scored WHERE cos_e9 BETWEEN 50000000 AND 300000000)
+      |SELECT qid, CAST(rank AS BIGINT) AS rank, nid, cos_e9
+      |FROM banded WHERE rank <= 5""".stripMargin))
+
+  def queries: Seq[GQuery] = Seq(q40, q41, q42, q48, q53, q102, q105, q114, q117, q119, q122)
 }

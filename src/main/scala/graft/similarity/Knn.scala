@@ -64,6 +64,33 @@ object Knn {
       .select(col("qid"), col("rank"), col("nid"), col("cos"))
   }
 
+  /** Hard-negative mining — per query, the top-`k` most-similar corpus
+    * rows whose cosine sits in a BAND `[loE9, hiE9]` (e9-floored
+    * integer): above the band is a near-duplicate (useless as a
+    * negative, poisonous if it's actually a positive), below it is a
+    * random negative the model already separates. The close-but-not-
+    * duplicate ring is what contrastive embedding training wants.
+    * Same scan shape as [[bruteForceTopK]] (broadcast queries, one
+    * corpus pass, per-query bounded window); the band filter runs
+    * BEFORE the window, so ranking work tracks the ring, not the
+    * corpus. Integer cosines make selection and order engine-exact. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, loE9: Long, hiE9: Long, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("nid"), scaledVec(col(vecCol)).as("__cv"))
+      .withColumn("nn2", norm2Scaled(col("__cv")))
+    val q = queries.select(col(idCol).as("qid"), scaledVec(col(vecCol)).as("__qv"))
+      .withColumn("qn2", norm2Scaled(col("__qv")))
+    val scored = c.join(broadcast(q), col("qid") =!= col("nid"))
+      .withColumn("cos_e9",
+        floor(dotScaled(col("__qv"), col("__cv")) /
+          (sqrt(col("qn2")) * sqrt(col("nn2"))) * lit(1e9) + lit(0.5)).cast("long"))
+      .filter(col("cos_e9") >= loE9 && col("cos_e9") <= hiE9)
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos_e9").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), col("cos_e9"))
+  }
+
   /** Near-dup pairs with cosine ≥ threshold within `df`: candidate
     * pairs come from the random-hyperplane LSH buckets (AND-OR,
     * `numTables` × `numPlanes` — see [[hyperplaneBuckets]]), then exact

@@ -90,6 +90,31 @@ class KnnSpec extends SparkSpec {
     assert(expectedDrops.nonEmpty, "threshold should drop at least one row")
   }
 
+  test("hardNegatives: every result sits strictly inside the band, ranked desc") {
+    val emb = Tables.embeddings(spark, sf).filter($"vec_id" < 150)
+    val q = emb.filter($"vec_id" < 3)
+    val (lo, hi) = (50000000L, 300000000L)
+    val out = Knn.hardNegatives(emb, q, "vec_id", "embedding", lo, hi, k = 5)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty, "band should be non-empty on real embeddings")
+    out.foreach { case (_, _, _, cos) => assert(cos >= lo && cos <= hi) }
+    out.groupBy(_._1).foreach { case (_, g) =>
+      val sorted = g.sortBy(_._2)
+      assert(sorted.map(_._4).toSeq == sorted.map(_._4).sortBy(-_).toSeq,
+        "cos_e9 must be non-increasing in rank")
+      assert(sorted.length <= 5)
+    }
+    // band members above the top-k cutoff are excluded, near-dups too:
+    // compare against brute-force top-k, which may contain above-band hits
+    val bf = Knn.bruteForceTopK(emb, q, "vec_id", "embedding", k = 5)
+      .select($"qid", $"nid", floor($"cos" * 1e9 + 0.5).cast("long").as("e9"))
+      .as[(Long, Long, Long)].collect()
+    bf.filter(_._3 > hi).foreach { case (qid, nid, _) =>
+      assert(!out.exists(r => r._1 == qid && r._3 == nid),
+        s"above-band $nid must not be mined as a negative for $qid")
+    }
+  }
+
   private implicit class Pairs(rows: Array[(Long, Long, Double)]) {
     def toMap2: Map[(Long, Long), Double] =
       rows.map { case (a, b, c) => (a, b) -> c }.toMap
