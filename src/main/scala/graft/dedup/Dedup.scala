@@ -217,6 +217,62 @@ object Dedup {
       .select(col("doc"), col("fp")).distinct()
   }
 
+  /** [[winnowedFingerprints]] with the window-start POSITION kept:
+    * (doc, pos, fp), one row per distinct (doc, pos, fp) — the span
+    * variant feeding [[contaminationSpans]]. `pos` is the 0-based
+    * token index of the window start; the fingerprinted region it
+    * witnesses is tokens [pos, pos + w + k − 2]. */
+  def winnowedSpans(df: DataFrame, idCol: String, textCol: String,
+                    k: Int = 3, w: Int = 4): DataFrame = {
+    val B = 1000003L
+    val M = 2147483647L
+    val toks = graft.core.Widen.widen(df)
+      .select(col(idCol).as("doc"),
+        posexplode(TextFunctions.wsTokens(col(textCol))).as(Seq("i", "tok")))
+      .withColumn("h", md5Hash28(col("tok")))
+    val order = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc")).orderBy(col("i"))
+    val kh = (1 until k).foldLeft(col("h")) { (acc, j) =>
+      (acc * B + lead(col("h"), j).over(order)) % M
+    }
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc")).orderBy(col("i"))
+      .rowsBetween(0, w - 1)
+    toks
+      .withColumn("kh", kh)
+      .filter(col("kh").isNotNull)
+      .withColumn("fp", min(col("kh")).over(win))
+      .select(col("doc"), col("i").as("pos"), col("fp")).distinct()
+  }
+
+  /** Span-level contamination localization: where q90's LSH
+    * decontamination answers "IS this training doc a near-dup of a
+    * protected doc", this answers "WHICH PART leaked" — training docs'
+    * winnowed fingerprint positions semi-joined against the protected
+    * set's fingerprint VOCABULARY. Per flagged doc: matched window
+    * count and the first/last matched token position (the contaminated
+    * extent; windows witness tokens [pos, pos + w + k − 2]).
+    *
+    * Scale shape: the protected fingerprint set is vocabulary-grain
+    * (benchmarks are small — broadcastable); the corpus side is one
+    * winnowing pass + a semi join, work ∝ corpus fingerprints, never
+    * corpus × benchmark. False-positive floor: a 28-bit base hash
+    * collides eventually — treat single-window matches as noise and
+    * threshold on `n_matched` downstream. */
+  def contaminationSpans(corpus: DataFrame, benchmark: DataFrame,
+                         idCol: String, textCol: String,
+                         k: Int = 3, w: Int = 4): DataFrame = {
+    val corpusFps = winnowedSpans(corpus, idCol, textCol, k, w)
+    val benchFps = winnowedFingerprints(benchmark, idCol, textCol, k, w)
+      .select(col("fp")).distinct()
+    corpusFps.join(broadcast(benchFps), Seq("fp"), "left_semi")
+      .groupBy(col("doc"))
+      .agg(
+        count(lit(1)).as("n_matched"),
+        min(col("pos")).as("first_pos"),
+        max(col("pos")).as("last_pos"))
+  }
+
   /** 60-bit SimHash per document from whitespace-token term frequencies:
     * bit b of md5(token) votes ±tf; the sign of the vote sum sets bit b.
     * Output: (doc, simhash). */

@@ -546,5 +546,45 @@ object DedupQueries {
       |  CAST(SUM(CASE WHEN NOT is_canonical THEN n_tokens END) AS BIGINT) AS tokens_dropped
       |FROM elected GROUP BY component""".stripMargin))
 
-  def queries: Seq[GQuery] = Seq(q36, q37, q38, q39, q57, q61, q88, q90, q103, q108, q118)
+  /** q123: span-level contamination localization
+    * ([[graft.dedup.Dedup.contaminationSpans]]) — the benchmark is the
+    * doc_id % 97 == 0 slice (guaranteed shared phrasing with its
+    * near-dup train-side neighbours), the corpus the rest. Per flagged
+    * doc: matched winnowed-window count and first/last matched token
+    * position. */
+  val q123 = GQuery(
+    "q123_contamination_spans",
+    (s, d) => {
+      val docs = documents(s, d)
+      Dedup.contaminationSpans(
+        corpus = docs.filter(col("doc_id") % 97 =!= 0),
+        benchmark = docs.filter(col("doc_id") % 97 === 0),
+        idCol = "doc_id", textCol = "text")
+        .select(col("doc"), col("n_matched"), col("first_pos"), col("last_pos"))
+    },
+    Some(s"""WITH toks AS (
+      |  SELECT doc_id AS doc, i,
+      |    CAST(('0x' || substr(md5(ws[i]), 1, 7)) AS BIGINT) AS h
+      |  FROM (SELECT doc_id, $wsSql AS ws FROM documents) t,
+      |    UNNEST(generate_series(1, len(ws))) AS u(i)),
+      |kg AS (
+      |  SELECT doc, i,
+      |    ((h * 1000003 + lead(h, 1) OVER wd) % 2147483647
+      |      * 1000003 + lead(h, 2) OVER wd) % 2147483647 AS kh
+      |  FROM toks
+      |  WINDOW wd AS (PARTITION BY doc ORDER BY i)),
+      |sp AS (
+      |  SELECT DISTINCT doc, i - 1 AS pos,
+      |    MIN(kh) OVER (PARTITION BY doc ORDER BY i
+      |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+      |  FROM kg WHERE kh IS NOT NULL),
+      |bv AS (SELECT DISTINCT fp FROM sp WHERE doc % 97 = 0),
+      |m AS (
+      |  SELECT s.doc, s.pos FROM sp s JOIN bv ON s.fp = bv.fp
+      |  WHERE s.doc % 97 <> 0)
+      |SELECT doc, COUNT(*) AS n_matched,
+      |  CAST(MIN(pos) AS INT) AS first_pos, CAST(MAX(pos) AS INT) AS last_pos
+      |FROM m GROUP BY doc""".stripMargin))
+
+  def queries: Seq[GQuery] = Seq(q36, q37, q38, q39, q57, q61, q88, q90, q103, q108, q118, q123)
 }

@@ -112,4 +112,29 @@ class DedupSpec extends SparkSpec {
       .select($"doc_id").as[Long].collect().toSet
     assert(survivors == Set(11L, 12L), s"got $survivors")
   }
+
+  test("contaminationSpans localizes a planted benchmark quote") {
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog tonight"))
+      .toDF("doc_id", "text")
+    // doc 1: 10 clean tokens, then the quote, then clean tail;
+    // doc 2: fully unrelated
+    val prefix = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val corpus = Seq(
+      (1L, s"$prefix the quick brown fox jumps over the lazy dog tonight and more"),
+      (2L, "completely unrelated content with no shared phrasing at all here"))
+      .toDF("doc_id", "text")
+    val out = Dedup.contaminationSpans(corpus, bench, "doc_id", "text")
+      .select($"doc", $"n_matched", $"first_pos", $"last_pos")
+      .as[(Long, Long, Int, Int)].collect().toMap2
+    assert(!out.contains(2L), "clean doc must not be flagged")
+    val (_, first, last) = out(1L)
+    // the quote starts at token 10; matched window starts must sit
+    // inside the quote region (10 .. 10+quoteTokens-1)
+    assert(first >= 10 && last <= 10 + 10 - 1, s"span [$first, $last]")
+  }
+
+  private implicit class M(rows: Array[(Long, Long, Int, Int)]) {
+    def toMap2: Map[Long, (Long, Int, Int)] =
+      rows.map { case (d, n, f, l) => d -> ((n, f, l)) }.toMap
+  }
 }
