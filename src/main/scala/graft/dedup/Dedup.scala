@@ -273,6 +273,51 @@ object Dedup {
         max(col("pos")).as("last_pos"))
   }
 
+  /** Surgical span removal — the repair arm of [[contaminationSpans]]:
+    * instead of dropping a flagged training doc wholesale (q90's
+    * discipline), excise ONLY the leaked regions and keep the rest.
+    * Every matched winnowed window covers tokens
+    * [pos, pos + w + k − 2]; a token inside any matched window is
+    * removed, the survivors are rejoined single-spaced in order.
+    *
+    * Output, for FLAGGED docs only: (doc, n_kept, n_removed,
+    * clean_text). Unflagged docs need no repair — callers anti-join.
+    * Scale: the per-doc token × matched-window join is bounded by the
+    * doc's matched windows (small by construction — a mostly-leaked
+    * doc should be dropped, not repaired); the rebuild is one ordered
+    * per-doc aggregation, the A14 nest discipline. */
+  def removeContaminatedSpans(corpus: DataFrame, benchmark: DataFrame,
+                              idCol: String, textCol: String,
+                              k: Int = 3, w: Int = 4): DataFrame = {
+    val span = w + k - 2
+    val benchFps = winnowedFingerprints(benchmark, idCol, textCol, k, w)
+      .select(col("fp")).distinct()
+    val matched = winnowedSpans(corpus, idCol, textCol, k, w)
+      .join(broadcast(benchFps), Seq("fp"), "left_semi")
+      .select(col("doc"), col("pos"))
+    val toks = graft.core.Widen.widen(corpus)
+      .select(col(idCol).as("doc"),
+        posexplode(TextFunctions.wsTokens(col(textCol))).as(Seq("i", "tok")))
+      .join(matched.select(col("doc")).distinct(), Seq("doc"), "left_semi")
+    val covered = toks.select(col("doc"), col("i"))
+      .join(matched, Seq("doc"))
+      .filter(col("i") >= col("pos") && col("i") <= col("pos") + span)
+      .select(col("doc"), col("i")).distinct()
+    val kept = toks.join(covered, Seq("doc", "i"), "left_anti")
+    val rebuilt = kept.groupBy(col("doc"))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(struct(col("i"), col("tok")))),
+          s => s("tok")), " ").as("clean_text"))
+    val totals = toks.groupBy(col("doc")).agg(count(lit(1)).as("__n_total"))
+    // a fully-covered doc has no kept tokens: left join from totals
+    totals.join(rebuilt, Seq("doc"), "left")
+      .select(col("doc"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("__n_total") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** 60-bit SimHash per document from whitespace-token term frequencies:
     * bit b of md5(token) votes ±tf; the sign of the vote sum sets bit b.
     * Output: (doc, simhash). */

@@ -586,5 +586,60 @@ object DedupQueries {
       |  CAST(MIN(pos) AS INT) AS first_pos, CAST(MAX(pos) AS INT) AS last_pos
       |FROM m GROUP BY doc""".stripMargin))
 
-  def queries: Seq[GQuery] = Seq(q36, q37, q38, q39, q57, q61, q88, q90, q103, q108, q118, q123)
+  /** q124: surgical span removal
+    * ([[graft.dedup.Dedup.removeContaminatedSpans]]) over the q123
+    * workload — flagged docs keep everything outside their matched
+    * windows. The integer md5-prefix signature pins the rebuilt bytes
+    * of every cleaned document. */
+  val q124 = GQuery(
+    "q124_span_removal",
+    (s, d) => {
+      val docs = documents(s, d)
+      Dedup.removeContaminatedSpans(
+        corpus = docs.filter(col("doc_id") % 97 =!= 0),
+        benchmark = docs.filter(col("doc_id") % 97 === 0),
+        idCol = "doc_id", textCol = "text")
+        .select(col("doc"), col("n_kept"), col("n_removed"),
+          conv(substring(md5(col("clean_text")), 1, 7), 16, 10)
+            .cast("long").as("sig"))
+    },
+    Some(s"""WITH toks AS (
+      |  SELECT doc_id AS doc, i, ws[i] AS tok,
+      |    CAST(('0x' || substr(md5(ws[i]), 1, 7)) AS BIGINT) AS h
+      |  FROM (SELECT doc_id, $wsSql AS ws FROM documents) t,
+      |    UNNEST(generate_series(1, len(ws))) AS u(i)),
+      |kg AS (
+      |  SELECT doc, i,
+      |    ((h * 1000003 + lead(h, 1) OVER wd) % 2147483647
+      |      * 1000003 + lead(h, 2) OVER wd) % 2147483647 AS kh
+      |  FROM toks
+      |  WINDOW wd AS (PARTITION BY doc ORDER BY i)),
+      |sp AS (
+      |  SELECT DISTINCT doc, i - 1 AS pos,
+      |    MIN(kh) OVER (PARTITION BY doc ORDER BY i
+      |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+      |  FROM kg WHERE kh IS NOT NULL),
+      |bv AS (SELECT DISTINCT fp FROM sp WHERE doc % 97 = 0),
+      |m AS (
+      |  SELECT s.doc, s.pos FROM sp s JOIN bv ON s.fp = bv.fp
+      |  WHERE s.doc % 97 <> 0),
+      |flagged AS (SELECT DISTINCT doc FROM m),
+      |ft AS (SELECT t.* FROM toks t JOIN flagged f ON t.doc = f.doc),
+      |cov AS (
+      |  SELECT DISTINCT t.doc, t.i FROM ft t
+      |  JOIN m ON t.doc = m.doc AND t.i - 1 BETWEEN m.pos AND m.pos + 5),
+      |kept AS (
+      |  SELECT t.doc, t.i, t.tok FROM ft t
+      |  ANTI JOIN cov c ON t.doc = c.doc AND t.i = c.i),
+      |reb AS (
+      |  SELECT doc, COUNT(*) AS n_kept,
+      |    string_agg(tok, ' ' ORDER BY i) AS clean_text
+      |  FROM kept GROUP BY doc),
+      |tot AS (SELECT doc, COUNT(*) AS n_total FROM ft GROUP BY doc)
+      |SELECT tot.doc, COALESCE(reb.n_kept, 0) AS n_kept,
+      |  CAST(tot.n_total - COALESCE(reb.n_kept, 0) AS BIGINT) AS n_removed,
+      |  CAST(('0x' || substr(md5(COALESCE(reb.clean_text, '')), 1, 7)) AS BIGINT) AS sig
+      |FROM tot LEFT JOIN reb ON tot.doc = reb.doc""".stripMargin))
+
+  def queries: Seq[GQuery] = Seq(q36, q37, q38, q39, q57, q61, q88, q90, q103, q108, q118, q123, q124)
 }

@@ -133,6 +133,25 @@ class DedupSpec extends SparkSpec {
     assert(first >= 10 && last <= 10 + 10 - 1, s"span [$first, $last]")
   }
 
+  test("removeContaminatedSpans excises the quote, keeps the clean frame") {
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog tonight"))
+      .toDF("doc_id", "text")
+    val prefix = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val corpus = Seq(
+      (1L, s"$prefix the quick brown fox jumps over the lazy dog tonight and more"),
+      (2L, "completely unrelated content with no shared phrasing at all here"))
+      .toDF("doc_id", "text")
+    val out = Dedup.removeContaminatedSpans(corpus, bench, "doc_id", "text")
+      .select($"doc", $"n_kept", $"n_removed", $"clean_text")
+      .as[(Long, Long, Long, String)].collect()
+    assert(out.map(_._1).toSeq == Seq(1L), "only the flagged doc is repaired")
+    val (_, nKept, nRemoved, clean) = out.head
+    assert(nKept + nRemoved == 22L, "tokens conserved")
+    assert(nRemoved >= 8L, s"the quote body must go (removed $nRemoved)")
+    assert(clean.startsWith("alpha beta gamma"), clean)
+    assert(!clean.contains("quick brown fox"), clean)
+  }
+
   private implicit class M(rows: Array[(Long, Long, Int, Int)]) {
     def toMap2: Map[Long, (Long, Int, Int)] =
       rows.map { case (d, n, f, l) => d -> ((n, f, l)) }.toMap
