@@ -318,6 +318,28 @@ object Dedup {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /** Snapshot diff — the ingest-ops delta between two corpus versions:
+    * one full outer join on the document id comparing content
+    * fingerprints. Output: (id, status ∈ added|removed|changed|
+    * unchanged, plus both fingerprints for audit). The shuffle is the
+    * id join only; fingerprints are whatever content hash the caller
+    * trusts (md5 of the canonical bytes, the [[exact]] convention).
+    * The status column feeds incremental work downstream: re-run
+    * curation on added ∪ changed, tombstone removed — never rescan the
+    * unchanged mass. */
+  def snapshotDiff(v1: DataFrame, v2: DataFrame, idCol: String,
+                   fpCol: String): DataFrame = {
+    val a = v1.select(col(idCol).as("__id"), col(fpCol).as("fp_v1"))
+    val b = v2.select(col(idCol).as("__id"), col(fpCol).as("fp_v2"))
+    a.join(b, Seq("__id"), "full_outer")
+      .withColumn("status",
+        when(col("fp_v1").isNull, lit("added"))
+          .when(col("fp_v2").isNull, lit("removed"))
+          .when(col("fp_v1") === col("fp_v2"), lit("unchanged"))
+          .otherwise(lit("changed")))
+      .withColumnRenamed("__id", idCol)
+  }
+
   /** 60-bit SimHash per document from whitespace-token term frequencies:
     * bit b of md5(token) votes ±tf; the sign of the vote sum sets bit b.
     * Output: (doc, simhash). */

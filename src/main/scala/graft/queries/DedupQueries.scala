@@ -641,5 +641,46 @@ object DedupQueries {
       |  CAST(('0x' || substr(md5(COALESCE(reb.clean_text, '')), 1, 7)) AS BIGINT) AS sig
       |FROM tot LEFT JOIN reb ON tot.doc = reb.doc""".stripMargin))
 
-  def queries: Seq[GQuery] = Seq(q36, q37, q38, q39, q57, q61, q88, q90, q103, q108, q118, q123, q124)
+  /** q125: corpus snapshot diff ([[graft.dedup.Dedup.snapshotDiff]])
+    * — v2 is a deterministic mutation of v1 (doc_id % 7 == 0 dropped,
+    * % 5 == 0 re-crawled with changed bytes, % 11 == 0 re-ingested
+    * under new ids). The per-status census is what an incremental
+    * ingest run consumes: re-curate added ∪ changed, tombstone
+    * removed, skip the unchanged mass. */
+  val q125 = GQuery(
+    "q125_snapshot_diff",
+    (s, d) => {
+      val docs = documents(s, d)
+      val v1 = docs.select(col("doc_id"), md5(col("text")).as("fp"))
+      val v2 = docs.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"),
+          md5(when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text"))).as("fp"))
+        .unionByName(docs.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 200000L).as("doc_id"), md5(col("text")).as("fp")))
+      Dedup.snapshotDiff(v1, v2, "doc_id", "fp")
+        .groupBy(col("status"))
+        .agg(lcount(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("id_checksum"))
+    },
+    Some("""WITH v1 AS (SELECT doc_id, md5(text) AS fp FROM documents),
+      |v2 AS (
+      |  SELECT doc_id,
+      |    md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END) AS fp
+      |  FROM documents WHERE doc_id % 7 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 200000 AS doc_id, md5(text) AS fp
+      |  FROM documents WHERE doc_id % 11 = 0),
+      |j AS (
+      |  SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+      |    CASE WHEN v1.fp IS NULL THEN 'added'
+      |         WHEN v2.fp IS NULL THEN 'removed'
+      |         WHEN v1.fp = v2.fp THEN 'unchanged'
+      |         ELSE 'changed' END AS status
+      |  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+      |SELECT status, COUNT(*) AS n_docs,
+      |  CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+      |FROM j GROUP BY status""".stripMargin))
+
+  def queries: Seq[GQuery] = Seq(q36, q37, q38, q39, q57, q61, q88, q90, q103, q108, q118, q123, q124, q125)
 }
