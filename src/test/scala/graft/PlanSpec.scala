@@ -121,4 +121,35 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
       s"quantization must not plan a wide join:\n$p")
   }
+
+  test("q112: BM25 broadcasts the query terms; postings never cartesian") {
+    val p = plan("q112_bm25_retrieval")
+    assert(p.contains("BroadcastHashJoin"), "query terms must broadcast into postings")
+    assert(!p.contains("CartesianProduct"), s"no all-pairs in retrieval:\n$p")
+  }
+
+  test("q116/q120/q121: selection, schedule and batching plan no global sort") {
+    Seq("q116_token_budget", "q120_stride_schedule", "q121_length_batching")
+      .foreach { q =>
+        val p = plan(q)
+        assert(!p.linesIterator.exists(l =>
+          l.contains("Sort ") && l.contains("global=true")),
+          s"$q must not global-sort:\n$p")
+        assert(!p.contains("CartesianProduct"), s"$q: no cartesian:\n$p")
+      }
+  }
+
+  test("q123: span localization broadcasts the benchmark vocabulary") {
+    val p = plan("q123_contamination_spans")
+    assert(p.contains("BroadcastHashJoin"), "bench fp vocabulary must broadcast")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"corpus×benchmark must stay a semi join:\n$p")
+  }
+
+  test("q125: snapshot diff is one id-keyed join, no cartesian, no window") {
+    val p = plan("q125_snapshot_diff")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"diff must be an equi join:\n$p")
+    assert(!p.contains("Window"), s"diff needs no window:\n$p")
+  }
 }
