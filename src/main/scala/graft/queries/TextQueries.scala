@@ -895,7 +895,78 @@ object TextQueries {
       |JOIN (SELECT shard, CAST(SUM(pad) AS BIGINT) AS arrival_padding
       |      FROM ap GROUP BY shard) ap2 USING (shard)""".stripMargin))
 
+  /** q126: importance-weighted domain selection (the
+    * perplexity-difference flavour of DSIR): held-out docs scored by
+    * `logprob(target LM) − logprob(base LM)` — positive means "looks
+    * like the target domain" — top-20 selected via a bounded heap
+    * (TakeOrdered, never a global sort). Target LM trains on the 'de'
+    * half-split, base LM on the non-'de' half-split, both through
+    * [[graft.text.LangModel]]; weights are e6-floored (q89's parity
+    * bound for ln). */
+  val q126 = GQuery(
+    "q126_importance_selection",
+    (s, d) => {
+      import graft.text.LangModel
+      val docs = documents(s, d)
+      val mT = LangModel.train(
+        docs.filter(col("lang") === "de" && col("doc_id") % 2 === 0), "doc_id", "text")
+      val mB = LangModel.train(
+        docs.filter(col("lang") =!= "de" && col("doc_id") % 2 === 0), "doc_id", "text")
+      val cand = docs.filter(col("doc_id") % 2 === 1)
+      val sT = LangModel.score(cand, mT, "doc_id", "text")
+        .select(col("doc"), col("n_bigrams"), col("logprob").as("__lpT"))
+      val sB = LangModel.score(cand, mB, "doc_id", "text")
+        .select(col("doc"), col("logprob").as("__lpB"))
+      sT.join(sB, "doc")
+        .withColumn("w_e6",
+          floor((col("__lpT") - col("__lpB")) * 1e6 + 0.5).cast("long"))
+        .select(col("doc"), col("n_bigrams"), col("w_e6"))
+        .orderBy(col("w_e6").desc, col("doc").asc)
+        .limit(20)
+    },
+    Some(s"""WITH bg AS (
+      |  SELECT doc_id AS doc, lang, ws[i] AS w1, ws[i+1] AS w2
+      |  FROM (SELECT doc_id, lang, $wsSql AS ws FROM documents) t,
+      |    UNNEST(generate_series(1, greatest(len(ws) - 1, 0))) AS u(i)),
+      |tk AS (SELECT doc_id AS doc, lang, unnest($wsSql) AS w FROM documents),
+      |cbgT AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg
+      |         WHERE lang = 'de' AND doc % 2 = 0 GROUP BY 1, 2),
+      |cuniT AS (SELECT w AS w1, COUNT(*) AS c1 FROM tk
+      |          WHERE lang = 'de' AND doc % 2 = 0 GROUP BY 1),
+      |vocT AS (SELECT COUNT(DISTINCT w) AS v FROM tk
+      |         WHERE lang = 'de' AND doc % 2 = 0),
+      |scT AS (
+      |  SELECT b.doc, COUNT(*) AS n_bigrams,
+      |    ${graft.core.Exact.sqlLsumAt(
+             "ln(CAST(COALESCE(g.c2, 0) + 1 AS DOUBLE) / " +
+               "CAST(COALESCE(u.c1, 0) + vocT.v AS DOUBLE))", "1e9")} / COUNT(*) AS lp
+      |  FROM bg b
+      |  LEFT JOIN cbgT g ON b.w1 = g.w1 AND b.w2 = g.w2
+      |  LEFT JOIN cuniT u ON b.w1 = u.w1
+      |  CROSS JOIN vocT
+      |  WHERE b.doc % 2 = 1 GROUP BY b.doc),
+      |cbgB AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg
+      |         WHERE lang <> 'de' AND doc % 2 = 0 GROUP BY 1, 2),
+      |cuniB AS (SELECT w AS w1, COUNT(*) AS c1 FROM tk
+      |          WHERE lang <> 'de' AND doc % 2 = 0 GROUP BY 1),
+      |vocB AS (SELECT COUNT(DISTINCT w) AS v FROM tk
+      |         WHERE lang <> 'de' AND doc % 2 = 0),
+      |scB AS (
+      |  SELECT b.doc, COUNT(*) AS n_bigrams,
+      |    ${graft.core.Exact.sqlLsumAt(
+             "ln(CAST(COALESCE(g.c2, 0) + 1 AS DOUBLE) / " +
+               "CAST(COALESCE(u.c1, 0) + vocB.v AS DOUBLE))", "1e9")} / COUNT(*) AS lp
+      |  FROM bg b
+      |  LEFT JOIN cbgB g ON b.w1 = g.w1 AND b.w2 = g.w2
+      |  LEFT JOIN cuniB u ON b.w1 = u.w1
+      |  CROSS JOIN vocB
+      |  WHERE b.doc % 2 = 1 GROUP BY b.doc)
+      |SELECT t.doc, t.n_bigrams,
+      |  CAST(floor((t.lp - b2.lp) * 1e6 + 0.5) AS BIGINT) AS w_e6
+      |FROM scT t JOIN scB b2 USING (doc)
+      |ORDER BY w_e6 DESC, doc ASC LIMIT 20""".stripMargin))
+
   def queries: Seq[GQuery] =
     Seq(q32, q33, q34, q35, q66, q89, q91, q94, q96, q98, q99, q101,
-      q106, q107, q109, q110, q111, q112, q115, q116, q120, q121)
+      q106, q107, q109, q110, q111, q112, q115, q116, q120, q121, q126)
 }
