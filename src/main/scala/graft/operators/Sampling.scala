@@ -107,6 +107,35 @@ object Sampling {
       .drop("__scale")
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirtes A-ES):
+    * keep the n rows with the largest `u^(1/w)` — equivalently, the
+    * largest `ln(u)/w`, which avoids `pow` and its cross-engine
+    * rounding. Each row's inclusion probability is proportional to its
+    * weight at every prefix of the order, so e.g. weighting by a
+    * quality score keeps a deterministic, quality-tilted corpus subset.
+    *
+    * The uniform is md5-derived with a +0.5 offset — `(h28 + 0.5) /
+    * 2^28` lies strictly inside (0, 1), so `ln` never sees 0 — and the
+    * key order is total (id tie-break), so membership is reproducible
+    * at any parallelism and replayable by the SQL oracle.
+    *
+    * Scale shape: a per-row key projection, then `orderBy(...).limit(n)`
+    * — Spark plans that as TakeOrderedAndProject (per-partition bounded
+    * top-n heaps merged once), NOT a global sort; driver memory is
+    * O(n). Rows with weight ≤ 0 or null are excluded (zero weight =
+    * zero inclusion probability; A-ES has no meaning for negatives). */
+  def weightedSample(df: DataFrame, idCol: Column, weightCol: Column,
+                     n: Int, salt: String = "wsamp"): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    val u = (conv(substring(md5(concat_ws("-", lit(salt), idCol.cast("string"))),
+      1, 7), 16, 10).cast("double") + lit(0.5)) / lit(268435456.0)
+    df.filter(weightCol.isNotNull && weightCol > 0)
+      .withColumn("__key", log(u) / weightCol.cast("double"))
+      .orderBy(col("__key").desc, idCol)
+      .limit(n)
+      .drop("__key")
+  }
+
   def mixturePlan(observed: DataFrame, stratumCol: String, weightCol: String,
                   targets: Map[String, Double]): DataFrame = {
     require(targets.values.forall(_ > 0), "target shares must be positive")

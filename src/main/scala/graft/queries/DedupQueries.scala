@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.core.Exact._
 import graft.core.Tables._
-import graft.dedup.Dedup
+import graft.dedup.{Dedup, NgramDecon, Novelty}
 
 /** Near-duplicate detection suite over `documents`: exact hash dedup,
   * inverted-index n-gram Jaccard, MinHash+LSH with exact verification,
@@ -682,5 +682,66 @@ object DedupQueries {
       |  CAST(SUM(doc_id) AS BIGINT) AS id_checksum
       |FROM j GROUP BY status""".stripMargin))
 
-  def queries: Seq[GQuery] = Seq(q36, q37, q38, q39, q57, q61, q88, q90, q103, q108, q118, q123, q124, q125)
+  /** q127: corpus-order novelty scoring
+    * ([[graft.dedup.Novelty.noveltyScores]]) — per document, the
+    * fraction of its distinct 5-shingles first seen in THAT document
+    * (minimum doc_id over the corpus). Exact duplicates of earlier
+    * docs score 0, fresh prose ~1 — a per-document curation signal the
+    * pairwise dedup queries can't express. One window over the shingle
+    * index + one per-doc groupBy; postings-bounded. */
+  val q127 = GQuery(
+    "q127_novelty_scoring",
+    (s, d) =>
+      Novelty.noveltyScores(documents(s, d), "doc_id", "text", k = 5)
+        .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+          round(col("novelty"), 6).as("novelty")),
+    Some(s"""WITH $shingleSql,
+      |first AS (SELECT shingle, MIN(doc) AS fd FROM sh GROUP BY shingle),
+      |nov AS (
+      |  SELECT s.doc AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+      |    CAST(SUM(CASE WHEN f.fd = s.doc THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+      |  FROM sh s JOIN first f ON s.shingle = f.shingle
+      |  GROUP BY s.doc)
+      |SELECT doc_id, n_shingles, n_novel,
+      |  round(CAST(n_novel AS DOUBLE) / CAST(n_shingles AS DOUBLE), 6) AS novelty
+      |FROM nov""".stripMargin))
+
+  /** q129: exact n-gram collision decontamination
+    * ([[graft.dedup.NgramDecon.decontaminate]]) — training docs
+    * (doc_id % 3 = 0) sharing ≥ 2 distinct 5-shingles with the
+    * protected rest are removed; survivor census. The broadcast-bloom
+    * prefilter (fpp 0.03) is on, and the oracle replays the EXACT
+    * semantics with no bloom at all — any bloom-induced wrong drop or
+    * keep hash-fails, which is the point: the sketch must be invisible
+    * in the result. */
+  val q129 = GQuery(
+    "q129_exact_decontaminate",
+    (s, d) => {
+      val docs = documents(s, d)
+      NgramDecon.decontaminate(
+          docs.filter(col("doc_id") % 3 === 0),
+          docs.filter(col("doc_id") % 3 =!= 0),
+          "doc_id", "text", k = 5, minCollisions = 2L, bloomFpp = Some(0.03))
+        .agg(
+          lcount(lit(1)).as("n_survivors"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"))
+    },
+    Some(s"""WITH $shingleSql,
+      |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc % 3 <> 0),
+      |hits AS (
+      |  SELECT s.doc, COUNT(*) AS n
+      |  FROM sh s JOIN bench b ON s.shingle = b.shingle
+      |  WHERE s.doc % 3 = 0
+      |  GROUP BY s.doc),
+      |contaminated AS (SELECT doc FROM hits WHERE n >= 2)
+      |SELECT COUNT(*) AS n_survivors,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+      |FROM documents
+      |WHERE doc_id % 3 = 0
+      |  AND doc_id NOT IN (SELECT doc FROM contaminated)""".stripMargin))
+
+  def queries: Seq[GQuery] = Seq(q36, q37, q38, q39, q57, q61, q88, q90, q103, q108, q118, q123, q124, q125, q127, q129)
 }

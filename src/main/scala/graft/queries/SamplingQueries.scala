@@ -167,5 +167,33 @@ object SamplingQueries {
       |  round(rate * w, 2) AS expected_chars
       |FROM plan""".stripMargin))
 
-  def queries: Seq[GQuery] = Seq(q97, q100, q104)
+  /** q128: weighted sampling without replacement
+    * ([[graft.operators.Sampling.weightedSample]], Efraimidis–Spirtes
+    * keys over md5 uniforms) — 100 documents drawn with probability
+    * proportional to `n_chars`, folded to a per-language census whose
+    * `id_checksum` pins the exact membership. The `ln(u)/w` key is
+    * replayed verbatim by the oracle, so both engines must elect the
+    * same 100 rows. */
+  val q128 = GQuery(
+    "q128_weighted_sample",
+    (s, d) =>
+      Sampling.weightedSample(documents(s, d), col("doc_id"), col("n_chars"),
+          n = 100, salt = "ws")
+        .groupBy(col("lang"))
+        .agg(lcount(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("chars"),
+          sum(col("doc_id")).as("id_checksum")),
+    Some("""WITH keyed AS (
+      |  SELECT doc_id, lang, n_chars,
+      |    ln((CAST(('0x' || substr(md5('ws-' || CAST(doc_id AS VARCHAR)), 1, 7))
+      |          AS BIGINT) + 0.5) / 268435456.0)
+      |      / CAST(n_chars AS DOUBLE) AS k
+      |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+      |top AS (SELECT * FROM keyed ORDER BY k DESC, doc_id LIMIT 100)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS chars,
+      |  CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+      |FROM top GROUP BY lang""".stripMargin))
+
+  def queries: Seq[GQuery] = Seq(q97, q100, q104, q128)
 }

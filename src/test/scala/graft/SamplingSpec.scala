@@ -44,6 +44,36 @@ class SamplingSpec extends SparkSpec {
     assert(full.filter(_ < 500).subsetOf(small))
   }
 
+  test("weightedSample: exact n, deterministic under repartitioning, nonpositive weights excluded, top-n plan") {
+    val sampled = Sampling.weightedSample(docs, col("id"), col("w"), n = 100)
+    val ids = sampled.select("id").as[Long].collect().toSet
+    assert(ids.size == 100)
+    val again = Sampling.weightedSample(docs.repartition(7), col("id"), col("w"), 100)
+      .select("id").as[Long].collect().toSet
+    assert(ids == again)
+    // zero/negative/null weights can never be drawn
+    val withBad = docs.withColumn("w",
+      when(col("id") < 900, -col("w")).otherwise(col("w")))
+    val onlyValid = Sampling.weightedSample(withBad, col("id"), col("w"), 100)
+      .select("id").as[Long].collect()
+    assert(onlyValid.forall(_ >= 900) && onlyValid.length == 100)
+    // n larger than the valid pool returns the whole pool
+    assert(Sampling.weightedSample(withBad, col("id"), col("w"), 500).count() == 100)
+    // scale shape: bounded per-partition top-n, not a global sort
+    val plan = sampled.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-n plan:\n$plan")
+  }
+
+  test("weightedSample: heavier rows win proportionally more often") {
+    // two weight classes 10 vs 1; in an A-ES sample of 200 from 500+500
+    // the heavy class must dominate (expected ~91% of draws)
+    val pool = (0 until 1000).map(i => (i.toLong, if (i < 500) 10.0 else 1.0))
+      .toDF("id", "w")
+    val heavy = Sampling.weightedSample(pool, col("id"), col("w"), 200)
+      .filter(col("id") < 500).count()
+    assert(heavy > 150, s"heavy class underdrawn: $heavy of 200")
+  }
+
   test("mixturePlan: binding stratum keeps rate 1, others realize the target mix; absent stratum rate 0") {
     val observed = Seq(("en", 1000.0), ("de", 100.0), ("es", 500.0))
       .toDF("lang", "w")
