@@ -966,7 +966,41 @@ object TextQueries {
       |FROM scT t JOIN scB b2 USING (doc)
       |ORDER BY w_e6 DESC, doc ASC LIMIT 20""".stripMargin))
 
+  /** q130: BPE trainer seed statistics ([[graft.text.Bpe.pairCensus]]
+    * over [[graft.text.Vocab.tokenCounts]]) — the adjacent-character-
+    * pair frequencies the first merge elects from, top 20 by (freq
+    * desc, pair). This is the DISTRIBUTED half of tokenizer training
+    * (the merge loop itself runs over the bounded vocabulary —
+    * BpeSpec); the census is exactly iteration 0's candidate table, so
+    * the oracle pins the statistics the whole loop derives from. The
+    * rank window runs after the top-20 cap (k-bounded single
+    * partition, same shape as q101). */
+  val q130 = GQuery(
+    "q130_bpe_pair_census",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("freq").desc, col("pair"))
+      graft.text.Bpe.pairCensus(
+          graft.text.Vocab.tokenCounts(documents(s, d), "text"))
+        .orderBy(col("freq").desc, col("pair"))
+        .limit(20)
+        .withColumn("rank", row_number().over(w).cast("long"))
+    },
+    Some(s"""WITH tok AS (SELECT unnest($wsSql) AS token FROM documents),
+      |counts AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+      |pairs AS (
+      |  SELECT substr(token, i, 1) || ' ' || substr(token, i + 1, 1) AS pair,
+      |    CAST(SUM(cnt) AS BIGINT) AS freq
+      |  FROM counts, UNNEST(generate_series(1, len(token) - 1)) AS u(i)
+      |  GROUP BY 1),
+      |ranked AS (
+      |  SELECT pair, freq,
+      |    CAST(row_number() OVER (ORDER BY freq DESC, pair) AS BIGINT) AS rank
+      |  FROM pairs)
+      |SELECT pair, freq, rank FROM ranked WHERE rank <= 20""".stripMargin))
+
   def queries: Seq[GQuery] =
     Seq(q32, q33, q34, q35, q66, q89, q91, q94, q96, q98, q99, q101,
-      q106, q107, q109, q110, q111, q112, q115, q116, q120, q121, q126)
+      q106, q107, q109, q110, q111, q112, q115, q116, q120, q121, q126,
+      q130)
 }

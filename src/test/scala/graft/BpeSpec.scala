@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.Bpe
+
+/** BPE tokenizer training: merge election and rewrite semantics on a
+  * hand-computed fixture, census/loop agreement, encode determinism. */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Sennrich-style fixture. Iteration-0 pair counts (weighted, overlaps
+  // included): es 6+3+1=10, st 6+3+1=10, ne 6+3=9, ew 6+3=9,
+  // we 2+6+1=9, lo 7, ow 7, wi/id/de/ws 3, er 2.
+  private val wf = Seq(
+    ("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L),
+    ("west", 1L), ("news", 3L))
+
+  test("trainMerges: hand-computed election order and rewrites") {
+    val merges = Bpe.trainMerges(wf, nMerges = 4)
+    assert(merges.map(m => (m.rank, m.left, m.right, m.freq)) == Seq(
+      (1, "e", "s", 10L),  // ties with (s,t); lexicographic election
+      (2, "es", "t", 10L),
+      (3, "e", "w", 9L),   // merge 1 consumed 'we' in newest/west;
+                           // (e,w) vs (n,e) tie → 'e' < 'n'
+      (4, "n", "ew", 9L)))
+  }
+
+  test("trainMerges: tie-break is lexicographic and training is deterministic; loop stops when fully merged") {
+    // all pairs freq 1 → lexicographically smallest pair wins
+    val m1 = Bpe.trainMerges(Seq(("ba", 1L), ("ab", 1L)), 1)
+    assert(m1.map(m => (m.left, m.right)) == Seq(("a", "b")))
+    // a 2-char word exhausts after 1 merge; the loop must stop early
+    val all = Bpe.trainMerges(Seq(("ab", 3L)), 10)
+    assert(all.map(m => (m.left, m.right, m.freq)) == Seq(("a", "b", 3L)))
+  }
+
+  test("pairCensus agrees with the loop's iteration-0 counts") {
+    val census = Bpe.pairCensus(wf.toDF("token", "cnt"))
+      .as[(String, Long)].collect().toMap
+    assert(census("e s") == 10L && census("s t") == 10L &&
+      census("n e") == 9L && census("l o") == 7L && census("w e") == 9L)
+    // single-char / empty words contribute nothing
+    val none = Bpe.pairCensus(Seq(("x", 9L), ("", 4L)).toDF("token", "cnt"))
+    assert(none.count() == 0)
+  }
+
+  test("encodeStats: learned merges compress counts; unmerged text stays at character count; deterministic") {
+    val merges = Bpe.trainMerges(wf, 4)
+    val docs = Seq(
+      (1L, "newest newest"),
+      (2L, "zq"),            // no learned pair applies → 2 chars
+      (3L, ""), (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val enc = Bpe.encodeStats(docs, "text", merges)
+      .select("doc_id", "n_words", "n_bpe_tokens")
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> t).toMap
+    // newest: e+s→es, es+t→est, e+w→ew, n+ew→new ⇒ [new, est] = 2/word
+    assert(enc(1L) == ((1L, 2L, 4L)))
+    assert(enc(2L) == ((2L, 1L, 2L)))
+    assert(enc(3L) == ((3L, 0L, 0L)))
+    assert(enc(4L) == ((4L, 0L, 0L)))
+    val again = Bpe.encodeStats(docs.repartition(5), "text", merges)
+      .select("doc_id", "n_words", "n_bpe_tokens")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(again == enc.values.toSet)
+  }
+
+  test("fertilityCensus: trained-language words compress, untouched script stays at char fertility") {
+    val merges = Bpe.trainMerges(wf, 4)
+    val docs = Seq(
+      (1L, "en", "newest newest newest"), // 3 words → 6 tokens, 20 chars
+      (2L, "xx", "zzzz qqqq"))            // no merges apply: 2 words → 8 tokens
+      .toDF("doc_id", "lang", "text")
+    val census = Bpe.fertilityCensus(docs, "text", col("lang"), merges)
+      .select("group", "n_words", "n_bpe_tokens", "n_chars", "fertility")
+      .as[(String, Long, Long, Long, Double)].collect().map(t => t._1 -> t).toMap
+    assert(census("en") == (("en", 3L, 6L, 20L, 2.0)))
+    assert(census("xx") == (("xx", 2L, 8L, 9L, 4.0)))
+  }
+
+  test("learn: end-to-end over a DataFrame corpus matches driver-side training on its census") {
+    val docs = wf.flatMap { case (w, f) => Seq.fill(f.toInt)(w) }
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val learned = Bpe.learn(docs, "text", topV = 100, nMerges = 4)
+    assert(learned == Bpe.trainMerges(wf, 4))
+    val table = Bpe.mergesTable(spark, learned)
+    assert(table.columns.toSeq == Seq("rank", "left", "right", "freq"))
+    assert(table.count() == 4)
+  }
+}
