@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.core.Tables._
-import graft.similarity.Knn
+import graft.similarity.{Bitext, Knn}
 
 /** Similarity search over the `embeddings` table (array<float>):
   * brute-force cosine top-k (the exact baseline), threshold pair
@@ -507,5 +507,59 @@ object SimilarityQueries {
       |SELECT qid, CAST(rank AS BIGINT) AS rank, nid, cos_e9
       |FROM banded WHERE rank <= 5""".stripMargin))
 
-  def queries: Seq[GQuery] = Seq(q40, q41, q42, q48, q53, q102, q105, q114, q117, q119, q122)
+  /** q131: margin-based mutual-NN bitext mining
+    * ([[graft.similarity.Bitext.minePairs]]) — even vec_ids as side X,
+    * odd as side Y, brute-force top-4 each direction, mutual-top-1
+    * pairs with integer-exact margin ≥ 1.0. The oracle replays both
+    * neighbor directions from one symmetric dot table and the same
+    * 2·c·kx·ky / (sx·ky + sy·kx) integer margin. */
+  val q131 = GQuery(
+    "q131_bitext_mutual_nn",
+    (s, d) => {
+      val emb = embeddings(s, d)
+      Bitext.minePairs(
+          emb.filter(col("vec_id") % 2 === 0),
+          emb.filter(col("vec_id") % 2 === 1),
+          "vec_id", "embedding", k = 4, minMargin = 1.0)
+        .select(col("xid"), col("yid"), col("cos_e9"),
+          round(col("margin"), 6).as("margin"))
+    },
+    Some(s"""WITH $elSql,
+      |dotxy AS (
+      |  SELECT q.vec_id AS qid, c.vec_id AS nid,
+      |    CAST(SUM(q.e * c.e) AS DOUBLE) / 100000000000000.0 AS dot
+      |  FROM el q JOIN el c ON q.i = c.i
+      |  WHERE q.vec_id % 2 = 0 AND c.vec_id % 2 = 1
+      |  GROUP BY 1, 2),
+      |cosxy AS (
+      |  SELECT d.qid, d.nid, d.dot / (sqrt(nq.n2) * sqrt(nc.n2)) AS cos,
+      |    CAST(floor(d.dot / (sqrt(nq.n2) * sqrt(nc.n2)) * 1000000000.0 + 0.5) AS BIGINT) AS cos_e9
+      |  FROM dotxy d JOIN n2 nq ON d.qid = nq.vec_id JOIN n2 nc ON d.nid = nc.vec_id),
+      |rxy AS (
+      |  -- rank on the DOUBLE cosine (the engine floors to e9 after
+      |  -- ranking), ties by neighbor id
+      |  SELECT qid, nid, cos_e9,
+      |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank
+      |  FROM cosxy),
+      |ryx AS (
+      |  SELECT nid AS qid, qid AS nid, cos_e9,
+      |    row_number() OVER (PARTITION BY nid ORDER BY cos DESC, qid ASC) AS rank
+      |  FROM cosxy),
+      |sx AS (SELECT qid AS xid, SUM(cos_e9) AS sx, COUNT(*) AS kx
+      |       FROM rxy WHERE rank <= 4 GROUP BY qid),
+      |sy AS (SELECT qid AS yid, SUM(cos_e9) AS sy, COUNT(*) AS ky
+      |       FROM ryx WHERE rank <= 4 GROUP BY qid),
+      |t1xy AS (SELECT qid AS xid, nid AS yid, cos_e9 FROM rxy WHERE rank = 1),
+      |t1yx AS (SELECT qid AS yid, nid AS xid FROM ryx WHERE rank = 1),
+      |mutual AS (
+      |  SELECT t.xid, t.yid, t.cos_e9,
+      |    CAST(2 * t.cos_e9 * x.kx * y.ky AS DOUBLE)
+      |      / CAST(x.sx * y.ky + y.sy * x.kx AS DOUBLE) AS margin
+      |  FROM t1xy t
+      |  JOIN t1yx m ON t.xid = m.xid AND t.yid = m.yid
+      |  JOIN sx x ON t.xid = x.xid JOIN sy y ON t.yid = y.yid)
+      |SELECT xid, yid, cos_e9, round(margin, 6) AS margin
+      |FROM mutual WHERE margin >= 1.0""".stripMargin))
+
+  def queries: Seq[GQuery] = Seq(q40, q41, q42, q48, q53, q102, q105, q114, q117, q119, q122, q131)
 }
