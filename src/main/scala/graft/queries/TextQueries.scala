@@ -999,8 +999,52 @@ object TextQueries {
       |  FROM pairs)
       |SELECT pair, freq, rank FROM ranked WHERE rank <= 20""".stripMargin))
 
+  /** q132: Heaps-law vocabulary growth
+    * ([[graft.text.Vocab.growthCurve]]) — cumulative token occurrences,
+    * distinct vocabulary, and type-token ratio at id-ordered corpus
+    * checkpoints. Zero joins on the big side: each token folds into
+    * its first-occurrence checkpoint bucket; the cumulative window
+    * runs over the bounded checkpoint spine. */
+  private val growthCks: Seq[Long] =
+    Seq(50L, 100L, 200L, 400L, 800L, 1600L, 3200L, 6400L, 12800L)
+
+  val q132 = GQuery(
+    "q132_vocab_growth",
+    (s, d) =>
+      graft.text.Vocab.growthCurve(documents(s, d), "doc_id", "text", growthCks)
+        .select(col("checkpoint"), col("n_tokens"), col("vocab"),
+          round(col("type_token_ratio"), 6).as("type_token_ratio")),
+    Some {
+      def ckCase(x: String) =
+        "CASE " + growthCks.map(c => s"WHEN $x <= $c THEN $c").mkString(" ") + " END"
+      s"""WITH tok AS (SELECT doc_id, unnest($wsSql) AS token FROM documents),
+      |first AS (SELECT token, MIN(doc_id) AS fid FROM tok GROUP BY token),
+      |newt AS (
+      |  SELECT ${ckCase("fid")} AS checkpoint, COUNT(*) AS nt
+      |  FROM first WHERE ${ckCase("fid")} IS NOT NULL GROUP BY 1),
+      |occ AS (
+      |  SELECT ${ckCase("doc_id")} AS checkpoint,
+      |    SUM(len($wsSql)) AS no
+      |  FROM documents WHERE ${ckCase("doc_id")} IS NOT NULL GROUP BY 1),
+      |spine AS (SELECT unnest([${growthCks.mkString(", ")}]) AS checkpoint),
+      |cum AS (
+      |  SELECT s.checkpoint,
+      |    CAST(SUM(COALESCE(o.no, 0)) OVER (ORDER BY s.checkpoint
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_tokens,
+      |    CAST(SUM(COALESCE(n.nt, 0)) OVER (ORDER BY s.checkpoint
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS vocab
+      |  FROM spine s
+      |  LEFT JOIN newt n ON s.checkpoint = n.checkpoint
+      |  LEFT JOIN occ o ON s.checkpoint = o.checkpoint)
+      |SELECT checkpoint, n_tokens, vocab,
+      |  round(CASE WHEN n_tokens > 0
+      |    THEN CAST(vocab AS DOUBLE) / CAST(n_tokens AS DOUBLE) END, 6)
+      |    AS type_token_ratio
+      |FROM cum""".stripMargin
+    })
+
   def queries: Seq[GQuery] =
     Seq(q32, q33, q34, q35, q66, q89, q91, q94, q96, q98, q99, q101,
       q106, q107, q109, q110, q111, q112, q115, q116, q120, q121, q126,
-      q130)
+      q130, q132)
 }

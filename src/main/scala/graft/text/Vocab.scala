@@ -29,6 +29,62 @@ object Vocab {
       .groupBy(col("token"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** Vocabulary growth curve (Heaps' law diagnostics) at id-ordered
+    * corpus checkpoints: for each checkpoint id `c`, the cumulative
+    * token occurrences and DISTINCT vocabulary size over documents
+    * with id ≤ c, plus the type-token ratio. Sub-linear vocabulary
+    * growth (V ∝ N^β, β<1) is the healthy-corpus signature; a curve
+    * bending back toward linear means unbounded novel symbols (OCR
+    * noise, boilerplate ids) that will bloat a tokenizer trained on it.
+    *
+    * Scale shape: ZERO joins. Each token's contribution to every
+    * checkpoint is decided by its FIRST-occurrence id (one explode +
+    * min groupBy), bucketed to the smallest covering checkpoint by a
+    * literal when-chain, counted per bucket (a |checkpoints|-row
+    * frame), and closed under a cumulative window over that bounded
+    * frame. Occurrence totals take the same path from per-doc counts.
+    * Checkpoints must be ascending; documents past the last checkpoint
+    * don't contribute. */
+  def growthCurve(df: DataFrame, idCol: String, textCol: String,
+                  checkpoints: Seq[Long]): DataFrame = {
+    require(checkpoints.nonEmpty && checkpoints == checkpoints.sorted &&
+      checkpoints.distinct == checkpoints, "checkpoints must be ascending and distinct")
+    // smallest checkpoint covering an id; null past the last one
+    def bucketOf(id: org.apache.spark.sql.Column) =
+      checkpoints.foldRight(lit(null).cast("long")) { (c, acc) =>
+        when(id <= c, lit(c)).otherwise(acc)
+      }
+    val firstSeen = graft.core.Widen.widen(df)
+      .select(col(idCol).as("__id"),
+        explode(TextFunctions.wsTokens(col(textCol))).as("token"))
+      .groupBy(col("token"))
+      .agg(min(col("__id")).as("__first"))
+      .select(bucketOf(col("__first")).as("checkpoint"))
+      .filter(col("checkpoint").isNotNull)
+      .groupBy(col("checkpoint"))
+      .agg(count(lit(1)).as("__new_types"))
+    val occ = df
+      .select(bucketOf(col(idCol)).as("checkpoint"),
+        size(TextFunctions.wsTokens(col(textCol))).cast("long").as("__n"))
+      .filter(col("checkpoint").isNotNull)
+      .groupBy(col("checkpoint"))
+      .agg(sum(col("__n")).as("__new_occ"))
+    val spine = df.sparkSession.createDataFrame(
+      checkpoints.map(Tuple1(_))).toDF("checkpoint")
+    val w = Window.orderBy(col("checkpoint"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine // bounded frame: |checkpoints| rows — the window is cheap
+      .join(firstSeen, Seq("checkpoint"), "left")
+      .join(occ, Seq("checkpoint"), "left")
+      .withColumn("n_tokens", sum(coalesce(col("__new_occ"), lit(0L))).over(w))
+      .withColumn("vocab", sum(coalesce(col("__new_types"), lit(0L))).over(w))
+      .withColumn("type_token_ratio",
+        when(col("n_tokens") > 0,
+          col("vocab").cast("double") / col("n_tokens").cast("double")))
+      .select(col("checkpoint"), col("n_tokens"), col("vocab"),
+        col("type_token_ratio"))
+  }
+
   /** Top-k vocabulary by count (ties broken by token, total order):
     * (token, cnt, rank, cum_share) where `cum_share` is the fraction of
     * ALL token occurrences covered by ranks 1..r — exact integer

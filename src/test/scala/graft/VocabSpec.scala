@@ -39,6 +39,26 @@ class VocabSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("growthCurve: hand-computed cumulative vocab and occurrences; docs past the last checkpoint ignored") {
+    val docs = Seq(
+      (1L, "a b a"),   // tokens 3, new types {a,b}
+      (2L, "b c"),     // tokens 2, new {c}
+      (5L, "c d d"),   // tokens 3, new {d}
+      (9L, "e"),       // tokens 1, new {e}
+      (99L, "z z"))    // past last checkpoint → ignored
+      .toDF("doc_id", "text")
+    val curve = Vocab.growthCurve(docs, "doc_id", "text", Seq(1L, 4L, 10L))
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(curve.toSeq == Seq(
+      (1L, 3L, 2L, 2.0 / 3),
+      (4L, 5L, 3L, 3.0 / 5),
+      (10L, 9L, 5L, 5.0 / 9)))
+    // determinism under partitioning
+    val again = Vocab.growthCurve(docs.repartition(4), "doc_id", "text", Seq(1L, 4L, 10L))
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(again.toSeq == curve.toSeq)
+  }
+
   test("tokenCounts: stable under repartitioning") {
     val a = Vocab.tokenCounts(corpus, "text").as[(String, Long)].collect().toMap
     val b = Vocab.tokenCounts(corpus.repartition(5), "text")
