@@ -58,6 +58,30 @@ object Novelty {
         col("n_novel").cast("double") / col("n_shingles").cast("double"))
   }
 
+  /** Incremental novelty — the batch-over-landed-index form an
+    * ingest pipeline actually runs (same shape as
+    * [[Dedup.incrementalNearDups]]): score ONLY the new batch, where a
+    * shingle is novel iff it is absent from the LANDED corpus index
+    * (first occurrences WITHIN the batch count as novel — the landed
+    * corpus is the reference, not the batch's own order). Work tracks
+    * the batch: the batch's shingles anti-probe the landed index on
+    * the shingle key; the landed mass is never rescanned per document.
+    * `landedIdx` is a (doc, shingle) frame from [[Dedup.shingleIndex]]
+    * (persisted between runs at scale). */
+  def incrementalNovelty(batch: DataFrame, landedIdx: DataFrame,
+                         idCol: String, textCol: String, k: Int): DataFrame = {
+    val bsh = Dedup.shingleIndex(batch, idCol, textCol, k)
+    val landed = landedIdx.select(col("shingle")).distinct()
+    val novel = bsh.join(landed, Seq("shingle"), "left_anti")
+      .groupBy(col("doc")).agg(count(lit(1)).cast("long").as("n_novel"))
+    bsh.groupBy(col("doc")).agg(count(lit(1)).cast("long").as("n_shingles"))
+      .join(novel, Seq("doc"), "left")
+      .select(col("doc").as(idCol), col("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+      .withColumn("novelty",
+        col("n_novel").cast("double") / col("n_shingles").cast("double"))
+  }
+
   /** [[noveltyScores]] folded to a per-group census — the corpus-level
     * report: per `groupCol` (e.g. source or language), document count,
     * mean novelty, and the count below `threshold` (the would-be-

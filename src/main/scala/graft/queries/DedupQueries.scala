@@ -743,5 +743,38 @@ object DedupQueries {
       |WHERE doc_id % 3 = 0
       |  AND doc_id NOT IN (SELECT doc FROM contaminated)""".stripMargin))
 
-  def queries: Seq[GQuery] = Seq(q36, q37, q38, q39, q57, q61, q88, q90, q103, q108, q118, q123, q124, q125, q127, q129)
+  /** q133: incremental novelty
+    * ([[graft.dedup.Novelty.incrementalNovelty]]) — the batch
+    * (doc_id ≥ 350) scored against the landed corpus index
+    * (doc_id < 350): shingles absent from the landed index are novel,
+    * batch-internal first occurrences included. Census per batch doc;
+    * work tracks the batch (anti-probe on the shingle key), the
+    * landed mass is never rescanned. */
+  val q133 = GQuery(
+    "q133_incremental_novelty",
+    (s, d) => {
+      val docs = documents(s, d)
+      Novelty.incrementalNovelty(
+          docs.filter(col("doc_id") >= 350),
+          Dedup.shingleIndex(docs.filter(col("doc_id") < 350), "doc_id", "text", 5),
+          "doc_id", "text", k = 5)
+        .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+          round(col("novelty"), 6).as("novelty"))
+    },
+    Some(s"""WITH $shingleSql,
+      |landed AS (SELECT DISTINCT shingle FROM sh WHERE doc < 350),
+      |bsh AS (SELECT doc, shingle FROM sh WHERE doc >= 350),
+      |novel AS (
+      |  SELECT b.doc, CAST(COUNT(*) AS BIGINT) AS n_novel
+      |  FROM bsh b LEFT JOIN landed l ON b.shingle = l.shingle
+      |  WHERE l.shingle IS NULL
+      |  GROUP BY b.doc),
+      |tot AS (SELECT doc, CAST(COUNT(*) AS BIGINT) AS n_shingles FROM bsh GROUP BY doc)
+      |SELECT t.doc AS doc_id, t.n_shingles,
+      |  COALESCE(n.n_novel, 0) AS n_novel,
+      |  round(CAST(COALESCE(n.n_novel, 0) AS DOUBLE)
+      |    / CAST(t.n_shingles AS DOUBLE), 6) AS novelty
+      |FROM tot t LEFT JOIN novel n ON t.doc = n.doc""".stripMargin))
+
+  def queries: Seq[GQuery] = Seq(q36, q37, q38, q39, q57, q61, q88, q90, q103, q108, q118, q123, q124, q125, q127, q129, q133)
 }

@@ -43,6 +43,22 @@ class NoveltySpec extends SparkSpec {
     assert(census("s2") == (("s2", 1L, 0.75, 0L))) // doc 4 excluded
   }
 
+  test("incrementalNovelty: landed corpus is the reference; batch-internal repeats stay novel") {
+    import graft.dedup.Dedup
+    val landed = Seq((1L, base)).toDF("doc_id", "text")
+    val idx = Dedup.shingleIndex(landed, "doc_id", "text", 3)
+    // batch: doc 10 duplicates landed text (novelty 0); doc 11 is fresh;
+    // doc 12 duplicates doc 11 — still fully novel vs the LANDED corpus
+    val fresh = "p q r s t"
+    val batch = Seq((10L, base), (11L, fresh), (12L, fresh))
+      .toDF("doc_id", "text")
+    val scored = Novelty.incrementalNovelty(batch, idx, "doc_id", "text", 3)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(scored(10L) == ((10L, 4L, 0L, 0.0)))
+    assert(scored(11L) == ((11L, 3L, 3L, 1.0)))
+    assert(scored(12L) == ((12L, 3L, 3L, 1.0)))
+  }
+
   test("plan: first-occurrence is a window over the shingle exchange, no self-join of the index") {
     val plan = Novelty.noveltyScores(docs, "doc_id", "text", 3)
       .queryExecution.executedPlan.toString
