@@ -1043,8 +1043,33 @@ object TextQueries {
       |FROM cum""".stripMargin
     })
 
+  /** q134: hashed-feature extraction census
+    * ([[graft.stats.HashedLogReg.hashedFeatures]], dim 64) — per hash
+    * bucket, the distinct-document and total-occurrence counts. This
+    * is the quality classifier's feature stage (the distributed,
+    * oracle-checkable half; gradient descent itself is spec-gated in
+    * HashedLogRegSpec with determinism asserted via decimal-routed
+    * sums). The hash is the vocabulary — no join, map-side-combinable
+    * counts only. */
+  val q134 = GQuery(
+    "q134_feature_hashing",
+    (s, d) =>
+      graft.stats.HashedLogReg.hashedFeatures(documents(s, d), "doc_id", "text",
+          dim = 64, salt = "fh")
+        .groupBy(col("idx"))
+        .agg(graft.core.Exact.lcount(lit(1)).as("n_docs"),
+          sum(col("cnt")).as("n_occ")),
+    Some(s"""WITH tok AS (SELECT doc_id, unnest($wsSql) AS token FROM documents),
+      |h AS (
+      |  SELECT doc_id,
+      |    CAST(('0x' || substr(md5('fh-' || token), 1, 7)) AS BIGINT) % 64 AS idx
+      |  FROM tok)
+      |SELECT idx, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      |  CAST(COUNT(*) AS BIGINT) AS n_occ
+      |FROM h GROUP BY idx""".stripMargin))
+
   def queries: Seq[GQuery] =
     Seq(q32, q33, q34, q35, q66, q89, q91, q94, q96, q98, q99, q101,
       q106, q107, q109, q110, q111, q112, q115, q116, q120, q121, q126,
-      q130, q132)
+      q130, q132, q134)
 }
