@@ -94,6 +94,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       TopKMin.info, TopKMin.builder))
     e.injectFunction((FunctionIdentifier("unicode_nfc"),
       NfcNormalize.info, NfcNormalize.builder))
+    e.injectFunction((FunctionIdentifier("dot_scaled"),
+      DotScaled.info, DotScaled.builder))
     // derive pushable bounding-box conjuncts from point_in_ring filters
     e.injectOptimizerRule(_ => graft.plans.PointInRingBBox)
     // rewrite filter(row_number <= k) into the heap-based top-k operator

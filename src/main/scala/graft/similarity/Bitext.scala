@@ -38,18 +38,21 @@ object Bitext {
     * one row per mutual pair with margin ≥ `minMargin`. */
   def marginScores(nnXY: DataFrame, nnYX: DataFrame,
                    minMargin: Double): DataFrame = {
-    val statsX = nnXY.groupBy(col("qid").as("xid"))
-      .agg(sum(col("cos_e9")).as("sx"), count(lit(1)).as("kx"))
-    val statsY = nnYX.groupBy(col("qid").as("yid"))
-      .agg(sum(col("cos_e9")).as("sy"), count(lit(1)).as("ky"))
-    val top1XY = nnXY.filter(col("rank") === 1)
-      .select(col("qid").as("xid"), col("nid").as("yid"), col("cos_e9"))
-    val top1YX = nnYX.filter(col("rank") === 1)
-      .select(col("qid").as("yid"), col("nid").as("xid"))
-    top1XY
-      .join(top1YX, Seq("xid", "yid")) // mutuality
-      .join(statsX, Seq("xid"))
-      .join(statsY, Seq("yid"))
+    // ONE aggregation per side extracts both the neighborhood stats and
+    // the top-1 edge (rank 1 exists exactly once per qid). A stats
+    // aggregate plus a separate rank-1 filter would consume each
+    // neighbor frame twice — and a neighbor frame is the OUTPUT of an
+    // expensive top-k subtree, which Spark would then evaluate twice
+    // per side (measured 2x the whole q131 runtime).
+    val xa = nnXY.groupBy(col("qid").as("xid"))
+      .agg(sum(col("cos_e9")).as("sx"), count(lit(1)).as("kx"),
+        max(when(col("rank") === 1, col("nid"))).as("yid"),
+        max(when(col("rank") === 1, col("cos_e9"))).as("cos_e9"))
+    val ya = nnYX.groupBy(col("qid").as("yid"))
+      .agg(sum(col("cos_e9")).as("sy"), count(lit(1)).as("ky"),
+        max(when(col("rank") === 1, col("nid"))).as("__xback"))
+    xa.join(ya, Seq("yid"))
+      .filter(col("xid") === col("__xback")) // mutuality
       .withColumn("margin",
         (lit(2L) * col("cos_e9") * col("kx") * col("ky")).cast("double") /
           (col("sx") * col("ky") + col("sy") * col("kx")).cast("double"))

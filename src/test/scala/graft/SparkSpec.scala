@@ -3,7 +3,10 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Shared local session for all suites (one JVM-wide session, local[4]). */
+/** Shared local session for all suites (one JVM-wide session, local[4]).
+  * Engine extensions are installed — suites exercise the same native
+  * functions and optimizer rules a [[graft.core.GraftSession]] user
+  * gets. */
 object TestSession {
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
@@ -11,6 +14,7 @@ object TestSession {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    .withExtensions(new graft.functions.GraftExtensions)
     .getOrCreate()
 }
 
