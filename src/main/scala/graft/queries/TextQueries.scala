@@ -1068,8 +1068,61 @@ object TextQueries {
       |  CAST(COUNT(*) AS BIGINT) AS n_occ
       |FROM h GROUP BY idx""".stripMargin))
 
+  /** q135: classifier-gated curation — a trained quality model (here a
+    * literal 16-dim weight vector; in production the
+    * [[graft.stats.HashedLogReg.train]] artifact) applied at corpus
+    * scale: per-doc margin z = Σ cnt·w[idx] + b over hashed features,
+    * keep z ≥ 0, per-language census. The gate thresholds the
+    * PRE-sigmoid margin — σ is monotone, so keep/drop is identical,
+    * and z is exact: weights are binary eighths (exact doubles, exact
+    * DECIMAL), counts are integers, sums are decimal-routed — no exp()
+    * anywhere near a decision boundary or a hash-compared value. */
+  private val clfW: Seq[Double] = (0 until 16).map(i => ((i * 37) % 16 - 8) / 8.0)
+  private val clfB = 0.25
+
+  val q135 = GQuery(
+    "q135_classifier_gate",
+    (s, d) => {
+      val docs = documents(s, d)
+      val wArr = array(clfW.map(lit): _*)
+      val z = graft.stats.HashedLogReg.hashedFeatures(docs, "doc_id", "text",
+          dim = 16, salt = "fh")
+        .withColumn("__t", element_at(wArr, col("idx").cast("int") + 1) * col("cnt"))
+        .groupBy(col("__doc").as("doc_id"))
+        .agg(graft.core.Exact.dsum(col("__t")).as("__z0"))
+      docs.join(z, Seq("doc_id"), "left")
+        .withColumn("__z", coalesce(col("__z0"), lit(0.0)) + lit(clfB))
+        .groupBy(col("lang"))
+        .agg(
+          graft.core.Exact.lcount(lit(1)).as("n_docs"),
+          sum(when(col("__z") >= 0, 1L).otherwise(0L)).as("n_kept"),
+          round(graft.core.Exact.dsum(col("__z")), 6).as("sum_margin"))
+    },
+    Some {
+      val wCase = "CASE idx " + clfW.zipWithIndex.map { case (w, i) =>
+        s"WHEN $i THEN $w"
+      }.mkString(" ") + " END"
+      s"""WITH tok AS (SELECT doc_id, unnest($wsSql) AS token FROM documents),
+      |h AS (
+      |  SELECT doc_id,
+      |    CAST(('0x' || substr(md5('fh-' || token), 1, 7)) AS BIGINT) % 16 AS idx
+      |  FROM tok),
+      |f AS (SELECT doc_id, idx, COUNT(*) AS cnt FROM h GROUP BY 1, 2),
+      |z AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(CAST(cnt * ($wCase) AS DECIMAL(38,6))) AS DOUBLE) AS z0
+      |  FROM f GROUP BY doc_id),
+      |scored AS (
+      |  SELECT d.lang, COALESCE(z.z0, 0.0) + $clfB AS zz
+      |  FROM documents d LEFT JOIN z ON d.doc_id = z.doc_id)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN zz >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  round(CAST(SUM(CAST(zz AS DECIMAL(38,6))) AS DOUBLE), 6) AS sum_margin
+      |FROM scored GROUP BY lang""".stripMargin
+    })
+
   def queries: Seq[GQuery] =
     Seq(q32, q33, q34, q35, q66, q89, q91, q94, q96, q98, q99, q101,
       q106, q107, q109, q110, q111, q112, q115, q116, q120, q121, q126,
-      q130, q132, q134)
+      q130, q132, q134, q135)
 }

@@ -78,6 +78,24 @@ class BpeSpec extends SparkSpec {
     assert(census("xx") == (("xx", 2L, 8L, 9L, 4.0)))
   }
 
+  test("tokenizer feeds packing: encodeStats token counts drive packFirstFit with conservation") {
+    val merges = Bpe.trainMerges(wf, 4)
+    val docs = (0 until 30).map(i =>
+      (i.toLong, Seq.fill(i % 5 + 1)("newest").mkString(" ")))
+      .toDF("doc_id", "text")
+    val counted = Bpe.encodeStats(docs, "text", merges)
+    val packed = graft.text.Packing.packFirstFit(
+      counted, "doc_id", "n_bpe_tokens", capacity = 8L, nShards = 2)
+    // token conservation through the chain
+    val totIn = counted.agg(sum("n_bpe_tokens")).head().getLong(0)
+    val totOut = packed.agg(sum("n_tokens")).head().getLong(0)
+    assert(totIn == totOut && totIn > 0)
+    // no-straddle invariant holds on tokenizer-derived counts
+    val bad = packed.filter(!col("oversize") &&
+      col("offset") + col("n_tokens") > 8).count()
+    assert(bad == 0)
+  }
+
   test("learn: end-to-end over a DataFrame corpus matches driver-side training on its census") {
     val docs = wf.flatMap { case (w, f) => Seq.fill(f.toInt)(w) }
       .zipWithIndex.map { case (w, i) => (i.toLong, w) }
