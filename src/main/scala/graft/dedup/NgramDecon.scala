@@ -38,10 +38,21 @@ object NgramDecon {
   def contaminatedIds(train: DataFrame, bench: DataFrame,
                       idCol: String, textCol: String, k: Int,
                       minCollisions: Long = 1L,
-                      bloomFpp: Option[Double] = None): DataFrame = {
+                      bloomFpp: Option[Double] = None): DataFrame =
+    contaminatedIdsFromIndex(train,
+      Dedup.shingleIndex(bench, idCol, textCol, k),
+      idCol, textCol, k, minCollisions, bloomFpp)
+
+  /** [[contaminatedIds]] against a PERSISTED protected index — the
+    * production path: the benchmark index is built once, versioned in
+    * the artifact store, and every ingest run probes the reloaded
+    * `(doc, shingle)` frame instead of re-shingling the benchmarks. */
+  def contaminatedIdsFromIndex(train: DataFrame, benchIdx: DataFrame,
+                               idCol: String, textCol: String, k: Int,
+                               minCollisions: Long = 1L,
+                               bloomFpp: Option[Double] = None): DataFrame = {
     require(minCollisions >= 1, s"minCollisions must be >= 1, got $minCollisions")
-    val benchSh = Dedup.shingleIndex(bench, idCol, textCol, k)
-      .select(col("shingle")).distinct()
+    val benchSh = benchIdx.select(col("shingle")).distinct()
     val trainSh = Dedup.shingleIndex(train, idCol, textCol, k)
     val probed = bloomFpp match {
       case Some(fpp) =>
