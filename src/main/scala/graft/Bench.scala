@@ -23,7 +23,13 @@ object Bench {
           // ContextCleaner sees their refs collected — without GC
           // pressure a 59-query run accumulates them until queries late
           // in the suite slow 3-8x (q40: 1.8s alone vs 13s in-suite)
-          .config("spark.cleaner.periodicGC.interval", "30s"),
+          .config("spark.cleaner.periodicGC.interval", "30s")
+          // the whole-stage-codegen cache holds 100 compiled plans by
+          // default; a 133-query × 3-pass suite churns it, so wide
+          // plans (q72: 15 validators) RECOMPILE inside the timed
+          // window every pass — measured 19 s in-suite vs 8.5 s
+          // isolated. Size it to hold the whole suite.
+          .config("spark.sql.codegen.cache.maxEntries", "8192"),
         parallelism = cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
