@@ -60,13 +60,17 @@ object Bitext {
       .select(col("xid"), col("yid"), col("cos_e9"), col("margin"))
   }
 
-  /** [[Knn.bruteForceTopK]] output re-keyed to the e9-floored integer
-    * cosine frame [[marginScores]] consumes. */
+  /** Any `(qid, rank, nid, cos)` top-k output ([[Knn.bruteForceTopK]]
+    * or [[Knn.lshTopK]]) re-keyed to the e9-floored integer cosine
+    * frame [[marginScores]] consumes. */
+  def toNeighborFrame(topK: DataFrame): DataFrame =
+    topK.select(col("qid"), col("rank"),
+      col("nid"), floor(col("cos") * lit(1e9) + lit(0.5)).cast("long").as("cos_e9"))
+
+  /** [[Knn.bruteForceTopK]] wired through [[toNeighborFrame]]. */
   def neighborFrame(corpus: DataFrame, queries: DataFrame,
                     idCol: String, vecCol: String, k: Int): DataFrame =
-    Knn.bruteForceTopK(corpus, queries, idCol, vecCol, k)
-      .select(col("qid"), col("rank"),
-        col("nid"), floor(col("cos") * lit(1e9) + lit(0.5)).cast("long").as("cos_e9"))
+    toNeighborFrame(Knn.bruteForceTopK(corpus, queries, idCol, vecCol, k))
 
   /** Exact-baseline mining: brute-force k-NN both directions →
     * [[marginScores]]. The broadcast side is the QUERY side each time,

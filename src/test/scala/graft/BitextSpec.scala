@@ -51,6 +51,31 @@ class BitextSpec extends SparkSpec {
     assert(Bitext.marginScores(nnXY, mutual, 1.0).count() == 1)
   }
 
+  test("LSH-fed scale path: bucket-local plan (no nested-loop join), useful recall of brute-force pairs") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val xs = emb.filter(col("vec_id") % 2 === 0)
+    val ys = emb.filter(col("vec_id") % 2 === 1)
+    def mutual(nnXY: org.apache.spark.sql.DataFrame, nnYX: org.apache.spark.sql.DataFrame) =
+      Bitext.marginScores(nnXY, nnYX, minMargin = 0.0)
+        .select("xid", "yid").as[(Long, Long)].collect().toSet
+    val brute = mutual(
+      Bitext.neighborFrame(ys, xs, "vec_id", "embedding", 4),
+      Bitext.neighborFrame(xs, ys, "vec_id", "embedding", 4))
+    val lshXY = Bitext.toNeighborFrame(
+      graft.similarity.Knn.lshTopK(ys, xs, "vec_id", "embedding", 4, numPlanes = 4, numTables = 8))
+    val lshYX = Bitext.toNeighborFrame(
+      graft.similarity.Knn.lshTopK(xs, ys, "vec_id", "embedding", 4, numPlanes = 4, numTables = 8))
+    // the scale path never scans |X|x|Y|: no nested-loop join anywhere
+    val plan = Bitext.marginScores(lshXY, lshYX, 0.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"all-pairs scan leaked into the LSH path:\n$plan")
+    val lsh = mutual(lshXY, lshYX)
+    assert(brute.nonEmpty)
+    val recall = lsh.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.5, s"LSH mutual-pair recall $recall of ${brute.size} pairs")
+  }
+
   test("minePairs: deterministic under repartitioning") {
     val a = Bitext.minePairs(x.repartition(3), y.repartition(2),
       "vec_id", "embedding", 2, 1.0)
