@@ -695,22 +695,11 @@ object TextQueries {
     * sums of per-term weights whose only float steps are one ln / one
     * divide / one multiply over int64 counts — ranking is integer,
     * never a float-summation-order artifact. */
-  val q112 = GQuery(
-    "q112_bm25_retrieval",
-    (s, d) => {
-      import graft.text.Bm25
-      val docs = documents(s, d)
-      val toks = docs.select(col("doc_id"), col("lang"),
-        explode(Bm25.tokens(col("text"))).as("term"))
-      val ldf = toks.select(col("doc_id"), col("lang"), col("term")).distinct()
-        .groupBy(col("lang"), col("term")).agg(lcount(lit(1)).as("ldf"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("lang")).orderBy(col("ldf").desc, col("term").asc)
-      val qt = ldf.withColumn("r", row_number().over(w)).filter(col("r") <= 3)
-        .select(col("lang"), col("term"))
-      Bm25.retrieve(docs, "doc_id", "text", qt, "lang", "term", k = 5)
-    },
-    Some("""WITH toks AS (
+  /** Shared SQL mirror of the q112 BM25 pipeline through the scored
+    * (lang, doc_id, bm25_e9) frame — also the lexical arm of the q136
+    * fusion oracle. */
+  private val bm25CtesSql =
+    """toks AS (
       |  SELECT doc_id, lang, t.term
       |  FROM documents, UNNEST(string_split_regex(lower(text), '[^a-z]+')) AS t(term)
       |  WHERE length(t.term) >= 3),
@@ -737,7 +726,24 @@ object TextQueries {
       |sc AS (
       |  SELECT lang, doc_id,
       |    CAST(SUM(CAST(floor(c * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS bm25_e9
-      |  FROM contrib GROUP BY 1, 2)
+      |  FROM contrib GROUP BY 1, 2)""".stripMargin
+
+  val q112 = GQuery(
+    "q112_bm25_retrieval",
+    (s, d) => {
+      import graft.text.Bm25
+      val docs = documents(s, d)
+      val toks = docs.select(col("doc_id"), col("lang"),
+        explode(Bm25.tokens(col("text"))).as("term"))
+      val ldf = toks.select(col("doc_id"), col("lang"), col("term")).distinct()
+        .groupBy(col("lang"), col("term")).agg(lcount(lit(1)).as("ldf"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("ldf").desc, col("term").asc)
+      val qt = ldf.withColumn("r", row_number().over(w)).filter(col("r") <= 3)
+        .select(col("lang"), col("term"))
+      Bm25.retrieve(docs, "doc_id", "text", qt, "lang", "term", k = 5)
+    },
+    Some(s"""WITH $bm25CtesSql
       |SELECT lang, CAST(r AS BIGINT) AS rank, doc_id, bm25_e9
       |FROM (SELECT lang, doc_id, bm25_e9,
       |        row_number() OVER (PARTITION BY lang
@@ -1121,8 +1127,68 @@ object TextQueries {
       |FROM scored GROUP BY lang""".stripMargin
     })
 
+  /** q136: reciprocal-rank fusion ([[graft.text.Fusion.rrf]]) —
+    * hybrid retrieval merging the q112 BM25 relevance ranking with a
+    * per-language quality prior (n_chars desc — a stand-in for any
+    * score-incomparable second system). Only ranks cross the system
+    * boundary; contributions are e9-floored integers, so the fused
+    * order is an int64 sum both engines replay exactly. */
+  val q136 = GQuery(
+    "q136_hybrid_rrf",
+    (s, d) => {
+      import graft.text.{Bm25, Fusion}
+      val docs = documents(s, d)
+      val toks = docs.select(col("doc_id"), col("lang"),
+        explode(Bm25.tokens(col("text"))).as("term"))
+      val ldf = toks.select(col("doc_id"), col("lang"), col("term")).distinct()
+        .groupBy(col("lang"), col("term")).agg(lcount(lit(1)).as("ldf"))
+      val wq = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("ldf").desc, col("term").asc)
+      val qt = ldf.withColumn("r", row_number().over(wq)).filter(col("r") <= 3)
+        .select(col("lang"), col("term"))
+      val bm25 = Bm25.retrieve(docs, "doc_id", "text", qt, "lang", "term", k = 5)
+      val wl = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("n_chars").desc, col("doc_id").asc)
+      val quality = docs
+        .withColumn("rank", row_number().over(wl).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("lang"), col("doc_id"), col("rank"))
+      Fusion.rrf(Seq(bm25, quality), "lang", "doc_id", c = 60L, k = 5)
+    },
+    Some(s"""WITH $bm25CtesSql,
+      |bm25r AS (
+      |  SELECT lang, doc_id, r AS rank
+      |  FROM (SELECT lang, doc_id,
+      |          row_number() OVER (PARTITION BY lang
+      |                             ORDER BY bm25_e9 DESC, doc_id ASC) AS r
+      |        FROM sc)
+      |  WHERE r <= 5),
+      |qualr AS (
+      |  SELECT lang, doc_id, r AS rank
+      |  FROM (SELECT lang, doc_id,
+      |          row_number() OVER (PARTITION BY lang
+      |                             ORDER BY n_chars DESC, doc_id ASC) AS r
+      |        FROM documents)
+      |  WHERE r <= 5),
+      |un AS (
+      |  SELECT lang, doc_id,
+      |    CAST(floor(1e9 / (60 + rank) + 0.5) AS BIGINT) AS c FROM bm25r
+      |  UNION ALL
+      |  SELECT lang, doc_id,
+      |    CAST(floor(1e9 / (60 + rank) + 0.5) AS BIGINT) AS c FROM qualr),
+      |fused AS (
+      |  SELECT lang, doc_id, CAST(SUM(c) AS BIGINT) AS rrf_e9,
+      |    CAST(COUNT(*) AS BIGINT) AS n_systems
+      |  FROM un GROUP BY 1, 2)
+      |SELECT lang, CAST(rn AS BIGINT) AS rank, doc_id, rrf_e9, n_systems
+      |FROM (SELECT lang, doc_id, rrf_e9, n_systems,
+      |        row_number() OVER (PARTITION BY lang
+      |                           ORDER BY rrf_e9 DESC, doc_id ASC) AS rn
+      |      FROM fused)
+      |WHERE rn <= 5""".stripMargin))
+
   def queries: Seq[GQuery] =
     Seq(q32, q33, q34, q35, q66, q89, q91, q94, q96, q98, q99, q101,
       q106, q107, q109, q110, q111, q112, q115, q116, q120, q121, q126,
-      q130, q132, q134, q135)
+      q130, q132, q134, q135, q136)
 }
