@@ -152,4 +152,34 @@ class PlanSpec extends SparkSpec {
       s"diff must be an equi join:\n$p")
     assert(!p.contains("Window"), s"diff needs no window:\n$p")
   }
+
+  test("q127/q133: novelty is shingle-keyed (window or anti-join), never a pair join") {
+    for (q <- Seq("q127_novelty_scoring", "q133_incremental_novelty")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q leaked an all-pairs scan:\n$p")
+    }
+  }
+
+  test("q128: weighted sample plans bounded per-partition top-n, not a global sort") {
+    val p = plan("q128_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-n plan:\n$p")
+  }
+
+  test("q129: decontamination is a shingle-keyed semi/anti join pipeline") {
+    val p = plan("q129_exact_decontaminate")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"collision probe must stay key-joined:\n$p")
+    assert(p.contains("LeftAnti"), s"survivor anti-join missing:\n$p")
+  }
+
+  test("q134: feature hashing is a pure aggregation — the hash is the vocabulary, no join") {
+    val p = plan("q134_feature_hashing")
+    assert(!p.contains("Join"), s"a vocabulary join crept in:\n$p")
+  }
+
+  test("q136: rank fusion works over k-bounded lists — joins only under the bounded rankings") {
+    val p = plan("q136_hybrid_rrf")
+    assert(!p.contains("CartesianProduct"), s"fusion must stay key-joined:\n$p")
+  }
 }
