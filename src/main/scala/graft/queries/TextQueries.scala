@@ -1187,8 +1187,44 @@ object TextQueries {
       |      FROM fused)
       |WHERE rn <= 5""".stripMargin))
 
+  /** q137: blocklist tagging
+    * ([[graft.text.QualityFilters.blocklistTag]]) — the badwords pass:
+    * per language, documents carrying blocklist terms, the distinct-
+    * term and occurrence tallies, and the flagged character mass (the
+    * removal bill). The blocklist is a plan literal (array_intersect /
+    * filter, codegen'd, no explode-join); the oracle replays matching
+    * through its token table — same result, different legal shape. */
+  private val blockTerms = Seq("slow", "leak", "crash")
+
+  val q137 = GQuery(
+    "q137_blocklist_filter",
+    (s, d) =>
+      graft.text.QualityFilters.blocklistTag(documents(s, d), "text", blockTerms)
+        .groupBy(col("lang"))
+        .agg(
+          lcount(lit(1)).as("n_docs"),
+          sum(when(col("n_block_terms") > 0, 1L).otherwise(0L)).as("n_flagged"),
+          sum(col("n_block_terms")).as("block_terms"),
+          sum(col("n_block_hits")).as("block_hits"),
+          sum(when(col("n_block_terms") > 0, col("n_chars")).otherwise(0L))
+            .as("flagged_chars")),
+    Some {
+      val inList = blockTerms.map(t => s"'$t'").mkString(", ")
+      s"""WITH tok AS (SELECT doc_id, unnest($wsSql) AS token FROM documents),
+      |hits AS (
+      |  SELECT doc_id, COUNT(DISTINCT token) AS dh, COUNT(*) AS oc
+      |  FROM tok WHERE token IN ($inList) GROUP BY doc_id)
+      |SELECT d.lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN h.dh > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+      |  CAST(SUM(COALESCE(h.dh, 0)) AS BIGINT) AS block_terms,
+      |  CAST(SUM(COALESCE(h.oc, 0)) AS BIGINT) AS block_hits,
+      |  CAST(SUM(CASE WHEN h.dh > 0 THEN d.n_chars ELSE 0 END) AS BIGINT) AS flagged_chars
+      |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+      |GROUP BY d.lang""".stripMargin
+    })
+
   def queries: Seq[GQuery] =
     Seq(q32, q33, q34, q35, q66, q89, q91, q94, q96, q98, q99, q101,
       q106, q107, q109, q110, q111, q112, q115, q116, q120, q121, q126,
-      q130, q132, q134, q135, q136)
+      q130, q132, q134, q135, q136, q137)
 }

@@ -58,4 +58,25 @@ object QualityFilters {
       .join(top, Seq("doc"), "left")
       .join(dup, Seq("doc"), "left")
   }
+
+  /** Blocklist term tagging — the word-level exclusion filter of every
+    * crawl-curation recipe (CCNet/RefinedWeb badwords pass): per
+    * document, the number of DISTINCT blocklist terms present
+    * (`n_block_terms`) and the total flagged-token occurrence count
+    * (`n_block_hits`). Per-row codegen'd array primitives
+    * (`array_intersect` / `filter` against the literal term array) —
+    * no explode, no join, no UDF: the blocklist rides the plan as a
+    * literal, so the filter is a map-side projection at any scale.
+    * Matching is exact-token on the engine's whitespace tokenization;
+    * callers lowercase upstream if the list is case-insensitive. */
+  def blocklistTag(df: DataFrame, textCol: String,
+                   terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "empty blocklist")
+    val list = array(terms.distinct.map(lit): _*)
+    val toks = TextFunctions.wsTokens(col(textCol))
+    df.withColumn("n_block_terms",
+        size(array_intersect(array_distinct(toks), list)).cast("long"))
+      .withColumn("n_block_hits",
+        size(filter(toks, t => array_contains(list, t))).cast("long"))
+  }
 }

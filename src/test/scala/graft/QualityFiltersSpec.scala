@@ -32,4 +32,21 @@ class QualityFiltersSpec extends SparkSpec {
     assert(d3.isNullAt(d3.fieldIndex("top_ngram_frac")))
     assert(d3.isNullAt(d3.fieldIndex("dup_ngram_frac")))
   }
+
+  test("blocklistTag: distinct-term vs occurrence counts; clean docs zero; no join in the plan") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "bad bad ugly fine"), // 2 distinct terms, 3 occurrences
+      (2L, "fine text only"),
+      (3L, "")).toDF("doc_id", "text")
+    val tagged = QualityFilters.blocklistTag(docs, "text", Seq("bad", "ugly", "absent"))
+    val rows = tagged.select("doc_id", "n_block_terms", "n_block_hits")
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> t).toMap
+    assert(rows(1L) == ((1L, 2L, 3L)))
+    assert(rows(2L) == ((2L, 0L, 0L)))
+    assert(rows(3L) == ((3L, 0L, 0L)))
+    val plan = tagged.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Generate"),
+      s"blocklist must ride the plan as a literal projection:\n$plan")
+  }
 }
