@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout straight through instead of routing it
+// via the sbt logger — the logger's "[info] " prefix corrupts the
+// one-line JSON contract that Bench/Verify print for the driver
+// (every prior round's BENCH_r*.json shows "parsed": null).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -20,13 +20,23 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
-    * parquet reader rejects; read nanos as long and floor to µs (the
-    * precision every other engine-visible timestamp has). */
+  /** events.parquet has shipped with two physical types for `ts` across
+    * testdata generations: TIMESTAMP(NANOS) (rejected by Spark's
+    * vectorized reader — read as long via nanosAsLong and floor to µs)
+    * and TIMESTAMP(MICROS) (read natively, as NTZ when untagged).
+    * Branch on the read schema so either generation loads; normalize to
+    * session-zone TimestampType (session tz is UTC, so NTZ wall values
+    * are preserved and DuckDB-oracle parity holds). */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val df = table(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
