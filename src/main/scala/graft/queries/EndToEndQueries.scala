@@ -10,10 +10,14 @@ import graft.pipeline.{Export, MergeTrips, PublicData, ValidateLandings}
   * monthly recorded-activity rollup) → export (ontology renames +
   * period labels), over the same orders/lineitem-derived fixtures the
   * per-stage gates use. Each stage is oracle-gated on its own (q72,
-  * q10, q74-q87); this entry tracks the COMPOSITION's cost
-  * round-over-round in the bench (EndToEndSpec pins the composition's
-  * semantics on hand-checked frames, so the driver's rows-only check
-  * here is backed by a real gate). */
+  * q10, q74-q87); this entry gates the COMPOSITION itself — the oracle
+  * chains the shared validate CTEs (ValidateQueries.oracle*Ctes)
+  * through the unique-key full-outer merge, the anonymized-id monthly
+  * rollup, and the export labels, so the stage handoffs (column
+  * renames, null propagation through the merge, the md5 trip id) sit
+  * under the hash gate too — and tracks the composition's cost
+  * round-over-round in the bench (EndToEndSpec additionally pins the
+  * semantics on hand-checked frames). */
 object EndToEndQueries {
 
   val q95 = GQuery(
@@ -51,7 +55,55 @@ object EndToEndQueries {
         Export.renameOntology(monthly.withColumnRenamed("period_start", "date_bin_start")),
         "month", nBoats = Some(10L))
     },
-    oracle = None, // composition cost tracker; semantics gated per stage + EndToEndSpec
+    oracle = Some(s"""WITH ${ValidateQueries.oracleTripCtes},
+      |${ValidateQueries.oracleCatchLadderCtes},
+      |w8 AS (
+      |  SELECT sid, CAST(SUM(CAST(weight_g AS DECIMAL(38,6))) AS DOUBLE) / 1000.0 AS weight_kg
+      |  FROM catch GROUP BY sid),
+      |landed AS (
+      |  SELECT t.sid AS landing_id, t.landing_date,
+      |    i.imei_resolved AS imei, p.catch_price AS total_catch_value, w.weight_kg
+      |  FROM trip t
+      |  LEFT JOIN imei_a i ON t.sid = i.sid
+      |  LEFT JOIN pw_a p ON t.sid = p.sid
+      |  LEFT JOIN w8 w ON t.sid = w.sid),
+      |pds AS (
+      |  SELECT o_orderkey + 10000000 AS tracker_trip_id,
+      |    CAST(o_orderdate AS DATE) AS landing_date,
+      |    '77' || CAST(10000 + o_orderkey % 200 AS VARCHAR) AS imei
+      |  FROM orders WHERE o_orderkey % 3 = 0),
+      |lm AS (SELECT *, COUNT(*) OVER (PARTITION BY landing_date, imei) AS npk FROM landed),
+      |rm AS (SELECT *, COUNT(*) OVER (PARTITION BY landing_date, imei) AS npk FROM pds),
+      |merged AS (
+      |  SELECT COALESCE(l.landing_date, r.landing_date) AS landing_date,
+      |    l.landing_id, l.total_catch_value, l.weight_kg, r.tracker_trip_id
+      |  FROM (SELECT * FROM lm WHERE npk = 1) l
+      |  FULL JOIN (SELECT * FROM rm WHERE npk = 1) r
+      |    ON l.landing_date = r.landing_date AND l.imei = r.imei
+      |  UNION ALL
+      |  SELECT landing_date, landing_id, total_catch_value, weight_kg, NULL
+      |  FROM lm WHERE npk > 1
+      |  UNION ALL
+      |  SELECT landing_date, NULL, NULL, NULL, tracker_trip_id
+      |  FROM rm WHERE npk > 1),
+      |tid AS (
+      |  SELECT *, md5(concat_ws(' ',
+      |    COALESCE(CAST(landing_id AS VARCHAR), 'NA'),
+      |    COALESCE(CAST(tracker_trip_id AS VARCHAR), 'NA'))) AS trip_id
+      |  FROM merged WHERE landing_date IS NOT NULL),
+      |binned AS (
+      |  SELECT CAST(date_trunc('month', landing_date) AS DATE) AS date_bin_start, *
+      |  FROM tid)
+      |SELECT date_bin_start,
+      |  COUNT(DISTINCT trip_id) AS n_trips,
+      |  COUNT(landing_id) AS n_landings,
+      |  COUNT(tracker_trip_id) AS n_tracks,
+      |  CAST(SUM(CAST(weight_kg AS DECIMAL(38,6))) AS DOUBLE) AS catch_kg,
+      |  CAST(SUM(CAST(total_catch_value AS DECIMAL(38,6))) AS DOUBLE) AS catch_value,
+      |  strftime(date_bin_start, '%B %Y') AS month,
+      |  strftime(date_bin_start, '%Y') AS year,
+      |  CAST(10 AS BIGINT) AS n_boats
+      |FROM binned GROUP BY date_bin_start""".stripMargin),
     headline = true)
 
   def queries: Seq[GQuery] = Seq(q95)

@@ -109,27 +109,10 @@ object ValidateQueries {
        |         CASE WHEN s > 0 AND nz > 0 THEN exp(m + 2.5 * s) - 1.0 END AS hi
        |  FROM ${p}_s)""".stripMargin
 
-  /** q72: the full 15-validator fold — counts per united alert string
-    * plus cleaned-value census (nulling semantics under the hash gate). */
-  val q72 = GQuery(
-    "q72_validate_landings",
-    (s, d) => {
-      val out = ValidateLandings.full(
-        fixtureTrips(s, d), fixtureCatch(s, d),
-        fixtureRegistry(s, d), fixtureVesselDim(s), fixtureGearDim(s),
-        fixtureStations(s, d), fixtureReportingUnits(s, d),
-        fixtureHabitatDim(s), fixtureConservationDim(s))
-      out.groupBy(col("alert"))
-        .agg(
-          lcount(lit(1)).as("n_submissions"),
-          lsum6(col("trip_length")).as("sum_trip_length"),
-          lcount(col("vessel_type")).as("n_vessel"),
-          lcount(col("mesh_size_mm")).as("n_mesh"),
-          lcount(col("fuel")).as("n_fuel"),
-          lcount(col("catch_price")).as("n_price"),
-          lcount(col("imei_resolved")).as("n_imei"))
-    },
-    Some(s"""WITH trip AS (
+  /** The trip fixture + imei-resolution CTE block shared by the q72
+    * oracle and the q95 end-to-end composition oracle. Defines
+    * `trip`, `registry`, `imatch`, `imei_a`. */
+  private[queries] val oracleTripCtes: String = """trip AS (
       |  SELECT o_orderkey AS sid,
       |    CAST(o_orderdate AS DATE) AS landing_date,
       |    CAST(o_orderdate AS DATE) + CAST((o_orderkey % 40) - 2 AS INTEGER) AS submission_date,
@@ -170,14 +153,12 @@ object ValidateQueries {
       |         WHEN m.nm = 1 THEN NULL
       |         WHEN m.nm > 1 THEN 2
       |         ELSE 3 END AS a_imei
-      |  FROM trip t LEFT JOIN imatch m ON t.sid = m.sid),
-      |date_a AS (SELECT sid,
-      |  CASE WHEN landing_date > submission_date THEN 4
-      |       WHEN landing_date < submission_date - 28 THEN 10 END AS a_date FROM trip),
-      |dur_a AS (SELECT sid,
-      |  CASE WHEN abs(dur) > 96 OR abs(dur) < 1 THEN NULL ELSE abs(dur) END AS trip_length,
-      |  CASE WHEN abs(dur) > 96 OR abs(dur) < 1 THEN 5 END AS a_dur FROM trip),
-      |catch AS (
+      |  FROM trip t LEFT JOIN imatch m ON t.sid = m.sid)""".stripMargin
+
+  /** The catch fixture + regularity/price-cap/catch-params/price-weight
+    * precedence-ladder CTE block shared with the q95 oracle. Defines
+    * `catch` … `pw_a` (sid, a_pw, catch_price); depends on `trip`. */
+  private[queries] val oracleCatchLadderCtes: String = """catch AS (
       |  SELECT l_orderkey AS sid, l_linenumber * 10000 + l_partkey AS ln,
       |    CASE WHEN l_partkey % 17 = 0 THEN '0'
       |         ELSE CAST(l_partkey % 40 AS VARCHAR) END AS species,
@@ -246,7 +227,36 @@ object ValidateQueries {
       |  LEFT JOIN pw17 ON t.sid = pw17.sid
       |  LEFT JOIN reg_a ra ON t.sid = ra.sid
       |  LEFT JOIN p6_a p6 ON t.sid = p6.sid
-      |  LEFT JOIN c11_a c11 ON t.sid = c11.sid),
+      |  LEFT JOIN c11_a c11 ON t.sid = c11.sid)""".stripMargin
+
+  /** q72: the full 15-validator fold — counts per united alert string
+    * plus cleaned-value census (nulling semantics under the hash gate). */
+  val q72 = GQuery(
+    "q72_validate_landings",
+    (s, d) => {
+      val out = ValidateLandings.full(
+        fixtureTrips(s, d), fixtureCatch(s, d),
+        fixtureRegistry(s, d), fixtureVesselDim(s), fixtureGearDim(s),
+        fixtureStations(s, d), fixtureReportingUnits(s, d),
+        fixtureHabitatDim(s), fixtureConservationDim(s))
+      out.groupBy(col("alert"))
+        .agg(
+          lcount(lit(1)).as("n_submissions"),
+          lsum6(col("trip_length")).as("sum_trip_length"),
+          lcount(col("vessel_type")).as("n_vessel"),
+          lcount(col("mesh_size_mm")).as("n_mesh"),
+          lcount(col("fuel")).as("n_fuel"),
+          lcount(col("catch_price")).as("n_price"),
+          lcount(col("imei_resolved")).as("n_imei"))
+    },
+    Some(s"""WITH $oracleTripCtes,
+      |date_a AS (SELECT sid,
+      |  CASE WHEN landing_date > submission_date THEN 4
+      |       WHEN landing_date < submission_date - 28 THEN 10 END AS a_date FROM trip),
+      |dur_a AS (SELECT sid,
+      |  CASE WHEN abs(dur) > 96 OR abs(dur) < 1 THEN NULL ELSE abs(dur) END AS trip_length,
+      |  CASE WHEN abs(dur) > 96 OR abs(dur) < 1 THEN 5 END AS a_dur FROM trip),
+      |$oracleCatchLadderCtes,
       |vdim AS (SELECT range AS boat_code, 'type_' || range AS boat_type FROM range(10)),
       |ves AS (SELECT t.sid, v.boat_type AS vessel_type
       |  FROM trip t LEFT JOIN vdim v ON t.boat_code = v.boat_code),
