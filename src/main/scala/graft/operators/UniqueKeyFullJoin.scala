@@ -9,26 +9,35 @@ import org.apache.spark.sql.functions._
   *
   * Re-expresses the reference's central landings×GPS-trips merge
   * (`/root/reference/R/merge-trips.R:25-49`): each side flags keys with
-  * exactly one row per key, the unique partitions are full-outer joined,
-  * and the ambiguous (non-unique) partitions are appended with the other
-  * side's columns null (`bind_rows` ⇒ `unionByName(allowMissingColumns)`).
+  * exactly one row per key, the unique partitions are full-outer
+  * matched, and the ambiguous (non-unique) rows pass through with the
+  * other side's columns null (`bind_rows` semantics).
   *
-  * Scale notes: the uniqueness flag is a windowed count over the join
-  * key, so it shares the exchange that the subsequent sort-merge join
-  * needs — one shuffle per side total. No driver-side work.
+  * Execution shape: instead of splitting each side into unique /
+  * ambiguous partitions and union-ing three branches (which plans each
+  * input subtree TWICE — measured on q95, where the left side is the
+  * whole validate-landings fold, the duplicate evaluation dominated the
+  * composition), the key is SALTED: unique rows carry an empty salt and
+  * match normally; rows sharing a key get a side-prefixed row number
+  * that can never equal anything on the other side, so they flow
+  * through the SAME full-outer join unmatched. One evaluation of each
+  * input and one exchange per side — the windowed uniqueness count
+  * shares the exchange the sort-merge join needs. No driver-side work.
   */
 object UniqueKeyFullJoin {
   def apply(left: DataFrame, right: DataFrame, keys: Seq[String]): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*)
-    def split(df: DataFrame) = {
-      val flagged = df.withColumn("__n_per_key", count(lit(1)).over(w))
-      (flagged.filter(col("__n_per_key") === 1).drop("__n_per_key"),
-        flagged.filter(col("__n_per_key") > 1).drop("__n_per_key"))
-    }
-    val (lu, ln) = split(left)
-    val (ru, rn) = split(right)
-    lu.join(ru, keys, "full_outer")
-      .unionByName(ln, allowMissingColumns = true)
-      .unionByName(rn, allowMissingColumns = true)
+    // row_number over an all-ties ordering is still unique within the
+    // key partition, which is all the salt needs; salted rows never
+    // match and the salt is dropped, so the arbitrary tie order never
+    // reaches the output.
+    def salted(df: DataFrame, prefix: String) =
+      df.withColumn("__ukfj_salt",
+        when(count(lit(1)).over(w) === 1, lit(""))
+          .otherwise(concat(lit(prefix),
+            row_number().over(w.orderBy(keys.map(col): _*)))))
+    salted(left, "L:")
+      .join(salted(right, "R:"), keys :+ "__ukfj_salt", "full_outer")
+      .drop("__ukfj_salt")
   }
 }
