@@ -318,6 +318,61 @@ object Dedup {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /** Within-corpus exact duplicate-span removal — the self-dedup
+    * counterpart of [[removeContaminatedSpans]], and the n-gram-postings
+    * re-expression of suffix-array "ExactSubstr" dedup (Lee et al. 2021,
+    * Deduplicating Training Data Makes Language Models Better): any
+    * n-token span occurring more than once across the corpus keeps its
+    * FIRST occurrence (the total order (id, start)) and every later
+    * occurrence's token positions are excised; survivors are rejoined
+    * single-spaced in order. A verbatim copy of doc A is erased entirely
+    * while A survives intact; a within-doc repeat keeps its first run.
+    *
+    * Scale shape: the corpus's n-grams shuffle ONCE, keyed by a 128-bit
+    * gram fingerprint (two independent xxhash64 seeds — the gram string
+    * itself never crosses the wire), into a window that counts and ranks
+    * occurrences; the window sort is spillable, so a gram repeated
+    * millions of times never buffers a group in memory (the failure mode
+    * a groupBy+collect_list formulation would have). Only duplicated,
+    * non-canonical occurrences explode into position masks, and the
+    * mask-back join is id-keyed at document grain. Fingerprint collisions
+    * (~2^-128 per gram pair) can at worst mask a non-duplicate span —
+    * the same accepted-risk class as MinHash band collisions.
+    *
+    * Output per document: (doc, n_tokens, n_removed, clean_text). */
+  def selfSpanDedup(docs: DataFrame, idCol: String, textCol: String,
+                    n: Int = 8): DataFrame = {
+    val toks = graft.core.Widen.widen(docs)
+      .select(col(idCol).as("doc"),
+        TextFunctions.wsTokens(col(textCol)).as("__ws"))
+    val grams = toks
+      .select(col("doc"),
+        posexplode(TextFunctions.ngrams(col("__ws"), n)).as(Seq("start", "gram")))
+      .select(col("doc"), col("start"),
+        xxhash64(col("gram")).as("__h1"),
+        xxhash64(lit("span2"), col("gram")).as("__h2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__h1"), col("__h2"))
+    val masked = grams
+      .withColumn("__cnt", count(lit(1)).over(w))
+      .withColumn("__rn",
+        row_number().over(w.orderBy(col("doc"), col("start"))))
+      .filter(col("__cnt") > 1 && col("__rn") > 1)
+      .select(col("doc"),
+        explode(sequence(col("start"), col("start") + lit(n - 1))).as("pos"))
+      .groupBy(col("doc"))
+      .agg(array_sort(collect_set(col("pos"))).as("__mask"))
+    toks.join(masked, Seq("doc"), "left")
+      .select(col("doc"),
+        size(col("__ws")).cast("long").as("n_tokens"),
+        coalesce(size(col("__mask")), lit(0)).cast("long").as("n_removed"),
+        concat_ws(" ",
+          filter(col("__ws"), (_, i) =>
+            not(array_contains(
+              coalesce(col("__mask"), array().cast("array<int>")), i))))
+          .as("clean_text"))
+  }
+
   /** Snapshot diff — the ingest-ops delta between two corpus versions:
     * one full outer join on the document id comparing content
     * fingerprints. Output: (id, status ∈ added|removed|changed|

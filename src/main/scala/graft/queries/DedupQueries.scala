@@ -641,6 +641,53 @@ object DedupQueries {
       |  CAST(('0x' || substr(md5(COALESCE(reb.clean_text, '')), 1, 7)) AS BIGINT) AS sig
       |FROM tot LEFT JOIN reb ON tot.doc = reb.doc""".stripMargin))
 
+  /** q138: within-corpus exact duplicate-span removal
+    * ([[graft.dedup.Dedup.selfSpanDedup]], the ExactSubstr self-dedup
+    * discipline): every 8-token span occurring more than once in the
+    * corpus keeps only its first occurrence by (doc, start); later
+    * occurrences' positions are excised and the document is rebuilt.
+    * Distinct from q124 (which excises corpus spans leaked from a
+    * PROTECTED benchmark): here the corpus is deduplicated against
+    * itself with a keep-first survivor policy. The md5-prefix signature
+    * pins the rebuilt bytes of every cleaned document. */
+  val q138 = GQuery(
+    "q138_exact_span_dedup",
+    (s, d) =>
+      Dedup.selfSpanDedup(documents(s, d), "doc_id", "text", n = 8)
+        .select(col("doc"), col("n_tokens"), col("n_removed"),
+          conv(substring(md5(col("clean_text")), 1, 7), 16, 10)
+            .cast("long").as("sig")),
+    Some(s"""WITH t AS (SELECT doc_id AS doc, $wsSql AS ws FROM documents),
+      |g AS (
+      |  SELECT doc, u.i AS i, array_to_string(ws[u.i:u.i+7], ' ') AS gram
+      |  FROM t, UNNEST(generate_series(1, len(ws) - 7)) AS u(i)),
+      |r AS (
+      |  SELECT doc, i,
+      |    COUNT(*) OVER (PARTITION BY gram) AS cnt,
+      |    ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc, i) AS rn
+      |  FROM g),
+      |mask AS (
+      |  SELECT DISTINCT doc, u.p - 1 AS pos
+      |  FROM r, UNNEST(generate_series(i, i + 7)) AS u(p)
+      |  WHERE cnt > 1 AND rn > 1),
+      |toks AS (
+      |  SELECT doc, u.i - 1 AS pos, ws[u.i] AS tok
+      |  FROM t, UNNEST(generate_series(1, len(ws))) AS u(i)),
+      |kept AS (
+      |  SELECT tk.doc, tk.pos, tk.tok
+      |  FROM toks tk LEFT JOIN mask m ON tk.doc = m.doc AND tk.pos = m.pos
+      |  WHERE m.pos IS NULL),
+      |nrem AS (SELECT doc, COUNT(*) AS n_removed FROM mask GROUP BY doc),
+      |reb AS (
+      |  SELECT doc, string_agg(tok, ' ' ORDER BY pos) AS clean_text
+      |  FROM kept GROUP BY doc)
+      |SELECT t.doc, CAST(len(t.ws) AS BIGINT) AS n_tokens,
+      |  CAST(COALESCE(nrem.n_removed, 0) AS BIGINT) AS n_removed,
+      |  CAST(('0x' || substr(md5(COALESCE(reb.clean_text, '')), 1, 7)) AS BIGINT) AS sig
+      |FROM t
+      |LEFT JOIN nrem ON t.doc = nrem.doc
+      |LEFT JOIN reb ON t.doc = reb.doc""".stripMargin))
+
   /** q125: corpus snapshot diff ([[graft.dedup.Dedup.snapshotDiff]])
     * — v2 is a deterministic mutation of v1 (doc_id % 7 == 0 dropped,
     * % 5 == 0 re-crawled with changed bytes, % 11 == 0 re-ingested
@@ -776,5 +823,5 @@ object DedupQueries {
       |    / CAST(t.n_shingles AS DOUBLE), 6) AS novelty
       |FROM tot t LEFT JOIN novel n ON t.doc = n.doc""".stripMargin))
 
-  def queries: Seq[GQuery] = Seq(q36, q37, q38, q39, q57, q61, q88, q90, q103, q108, q118, q123, q124, q125, q127, q129, q133)
+  def queries: Seq[GQuery] = Seq(q36, q37, q38, q39, q57, q61, q88, q90, q103, q108, q118, q123, q124, q125, q127, q129, q133, q138)
 }

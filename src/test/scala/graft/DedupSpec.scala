@@ -152,6 +152,38 @@ class DedupSpec extends SparkSpec {
     assert(!clean.contains("quick brown fox"), clean)
   }
 
+  test("selfSpanDedup: keep-first excision of repeated spans") {
+    // doc 11 repeats doc 10's first 8 tokens verbatim mid-text; doc 12
+    // is an exact copy of doc 10; doc 13 shares nothing.
+    val d10 = "a b c d e f g h i j k l"
+    val docs = Seq(
+      (10L, d10),
+      (11L, s"x1 x2 x3 a b c d e f g h x4 x5"),
+      (12L, d10),
+      (13L, "p q r s t u v w aa bb cc dd"))
+      .toDF("doc_id", "text")
+    val out = Dedup.selfSpanDedup(docs, "doc_id", "text", n = 8)
+      .select($"doc", $"n_tokens", $"n_removed", $"clean_text")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // canonical doc survives untouched
+    assert(out(10L) == ((12L, 0L, d10)))
+    // the verbatim copy is fully erased (every 8-gram is non-canonical)
+    assert(out(12L)._2 == 12L && out(12L)._3 == "")
+    // the embedded repeat loses exactly the 8 borrowed positions
+    assert(out(11L) == ((13L, 8L, "x1 x2 x3 x4 x5")))
+    // untouched doc passes through
+    assert(out(13L) == ((12L, 0L, "p q r s t u v w aa bb cc dd")))
+  }
+
+  test("selfSpanDedup: within-doc repetition keeps the first run") {
+    val rep = "m1 m2 m3 m4 m5 m6 m7 m8"
+    val docs = Seq((1L, s"$rep z1 z2 $rep")).toDF("doc_id", "text")
+    val out = Dedup.selfSpanDedup(docs, "doc_id", "text", n = 8)
+      .select($"clean_text").as[String].head()
+    assert(out == s"$rep z1 z2", out)
+  }
+
   private implicit class M(rows: Array[(Long, Long, Int, Int)]) {
     def toMap2: Map[Long, (Long, Int, Int)] =
       rows.map { case (d, n, f, l) => d -> ((n, f, l)) }.toMap

@@ -146,6 +146,20 @@ class PlanSpec extends SparkSpec {
       s"corpus×benchmark must stay a semi join:\n$p")
   }
 
+  test("q138: span self-dedup shuffles gram hashes, never gram strings or pairs") {
+    val p = plan("q138_exact_span_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"self-dedup must stay postings-keyed:\n$p")
+    // the occurrence window must partition on the two xxhash64
+    // fingerprints — the gram string itself never crosses an exchange
+    assert(p.contains("hashpartitioning(__h1"),
+      s"expected a (__h1, __h2)-keyed exchange:\n$p")
+    val gramShuffle = p.linesIterator
+      .filter(_.contains("hashpartitioning"))
+      .exists(_.contains("gram#"))
+    assert(!gramShuffle, s"gram strings must not be a shuffle key:\n$p")
+  }
+
   test("q125: snapshot diff is one id-keyed join, no cartesian, no window") {
     val p = plan("q125_snapshot_diff")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
