@@ -8,11 +8,15 @@ import graft.pipeline.Recodes
 
 /** q93: the transcribed recode dictionaries (species / gear / habitat /
   * mesh / site / boat / food_or_sale, `R/clean-raw-data.R:96-103,
-  * 113-176,373-401`) gated end-to-end. The fixture derives a dense row
-  * number from `orders` so every dictionary entry — all ~160 keys,
-  * including the 11 free-text species keys and the first-match-wins
-  * collision on code 116 — is exercised at least once at every scale
-  * factor (N rows > 1013 residues). The DuckDB oracle's CASE chains are
+  * 113-176,373-401`) gated end-to-end. The fixture keys variety off
+  * `o_orderkey` directly — dense 0..N-1 in the synthetic tables, so
+  * every dictionary entry (all ~160 keys, including the 11 free-text
+  * species keys and the first-match-wins collision on code 116) is
+  * exercised at every scale factor with N > 1013 rows, and the fixture
+  * needs no global-ordering window (a row_number over an unpartitioned
+  * window collapses to one task — the single-partition anti-pattern
+  * this query previously hid; with the window gone and the one-file
+  * input widened, 2.3 s single-task at sf0.1 became 1.0 s). The DuckDB oracle's CASE chains are
   * GENERATED from the same Scala dictionaries, so the two engines
   * cannot drift. */
 object RecodeQueries {
@@ -37,14 +41,16 @@ object RecodeQueries {
   val q93 = GQuery(
     "q93_recode_dictionaries",
     (s, d) => {
-      val rn = row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("o_orderkey")))
       val m = col("rn") % 1013
       val spRaw = textKeys.zipWithIndex
         .foldLeft(when(lit(false), lit(""))) { case (acc, (k, i)) =>
           acc.when(m === (1000 + i), lit(k))
         }.otherwise(m.cast("string"))
-      val base = orders(s, d).select(rn.as("rn"))
+      // widen: the 160-branch recode chain over a one-file local input
+      // would otherwise run on a single task (Widen is a no-op on
+      // production inputs that already arrive in many splits)
+      val base = graft.core.Widen.widen(
+        orders(s, d).select(col("o_orderkey").as("rn")))
         .select(
           spRaw.as("sp_raw"),
           (col("rn") % 12).cast("string").as("gear_raw"),
@@ -73,7 +79,7 @@ object RecodeQueries {
         .agg(lcount(lit(1)).as("n"), countDistinct(col("raw")).as("n_raw"))
     },
     Some(s"""WITH base AS (
-      |  SELECT row_number() OVER (ORDER BY o_orderkey) AS rn FROM orders),
+      |  SELECT o_orderkey AS rn FROM orders),
       |derived AS (
       |  SELECT $spRawSql AS sp_raw,
       |    CAST(rn % 12 AS VARCHAR) AS gear_raw,
