@@ -1223,8 +1223,90 @@ object TextQueries {
       |GROUP BY d.lang""".stripMargin
     })
 
+  /** q139: the Gopher document-quality rule bundle
+    * ([[graft.text.GopherRules]], Rae et al. 2021 table A1) — seven
+    * per-document rules + the keep conjunction as ONE codegen'd
+    * projection, censused per source. The fixture mutates `text` by
+    * doc_id residue so every rule fires both ways (truncation → word
+    * count; a 20-char-word wall → mean word length; digit words →
+    * alphabetic fraction; bullet / ellipsis line walls; a '#' wall →
+    * symbol ratio; a stopword preamble → required stopwords). */
+  val q139 = GQuery(
+    "q139_gopher_rules",
+    (s, d) => {
+      val m = col("doc_id") % 11
+      val text2 =
+        when(m === 0, concat_ws(" ", slice(wsTokens(col("text")), 1, 5)))
+          .when(m === 1, repeat(lit("abcdefghijklmnopqrst "), 60))
+          .when(m === 2, repeat(lit("123 456 789 "), 30))
+          .when(m === 3, concat(repeat(lit("- bullet point\n"), 20), lit("tail line")))
+          .when(m === 4, repeat(lit("trailing line...\n"), 20))
+          .when(m === 5, concat(repeat(lit("# "), 80), col("text")))
+          .when(m === 6, concat(lit("the be to of and that have with "), col("text")))
+          .otherwise(col("text"))
+      val fixture = graft.core.Widen.widen(
+        documents(s, d).select(col("source"), text2.as("text")))
+      graft.text.GopherRules.flags(fixture, "text")
+        .groupBy(col("source"))
+        .agg(
+          lcount(lit(1)).as("n_docs"),
+          lcount(when(col("r_word_count"), 1)).as("n_wc"),
+          lcount(when(col("r_word_len"), 1)).as("n_wl"),
+          lcount(when(col("r_symbol_ratio"), 1)).as("n_sym"),
+          lcount(when(col("r_bullet_lines"), 1)).as("n_bul"),
+          lcount(when(col("r_ellipsis_lines"), 1)).as("n_ell"),
+          lcount(when(col("r_alpha_words"), 1)).as("n_alpha"),
+          lcount(when(col("r_stopwords"), 1)).as("n_stop"),
+          lcount(when(col("keep"), 1)).as("n_keep"))
+    },
+    Some(s"""WITH f AS (
+      |  SELECT source,
+      |    CASE
+      |      WHEN doc_id % 11 = 0 THEN array_to_string(($wsSql)[1:5], ' ')
+      |      WHEN doc_id % 11 = 1 THEN repeat('abcdefghijklmnopqrst ', 60)
+      |      WHEN doc_id % 11 = 2 THEN repeat('123 456 789 ', 30)
+      |      WHEN doc_id % 11 = 3 THEN repeat('- bullet point' || chr(10), 20) || 'tail line'
+      |      WHEN doc_id % 11 = 4 THEN repeat('trailing line...' || chr(10), 20)
+      |      WHEN doc_id % 11 = 5 THEN repeat('# ', 80) || text
+      |      WHEN doc_id % 11 = 6 THEN 'the be to of and that have with ' || text
+      |      ELSE text END AS t2
+      |  FROM documents),
+      |g AS (
+      |  SELECT source, t2,
+      |    string_split_regex(trim(t2), '\\s+') AS ws,
+      |    string_split(t2, chr(10)) AS lines
+      |  FROM f),
+      |r AS (
+      |  SELECT source,
+      |    len(ws) AS nw,
+      |    list_sum(list_transform(ws, x -> length(x))) AS swl,
+      |    len(regexp_extract_all(t2, '#|\\.\\.\\.')) AS nsym,
+      |    len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]'))) AS nbul,
+      |    len(list_filter(lines, l -> regexp_matches(trim(l), '\\.\\.\\.$$'))) AS nell,
+      |    len(lines) AS nl,
+      |    len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS nalpha,
+      |    len(list_filter(['the','be','to','of','and','that','have','with'],
+      |      s -> list_contains(ws, s))) AS nstop
+      |  FROM g)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  COUNT(CASE WHEN nw BETWEEN 50 AND 100000 THEN 1 END) AS n_wc,
+      |  COUNT(CASE WHEN swl >= 3 * nw AND swl <= 10 * nw THEN 1 END) AS n_wl,
+      |  COUNT(CASE WHEN 10 * nsym <= nw THEN 1 END) AS n_sym,
+      |  COUNT(CASE WHEN 10 * nbul <= 9 * nl THEN 1 END) AS n_bul,
+      |  COUNT(CASE WHEN 10 * nell <= 3 * nl THEN 1 END) AS n_ell,
+      |  COUNT(CASE WHEN 5 * nalpha >= 4 * nw THEN 1 END) AS n_alpha,
+      |  COUNT(CASE WHEN nstop >= 2 THEN 1 END) AS n_stop,
+      |  COUNT(CASE WHEN nw BETWEEN 50 AND 100000
+      |    AND swl >= 3 * nw AND swl <= 10 * nw
+      |    AND 10 * nsym <= nw
+      |    AND 10 * nbul <= 9 * nl
+      |    AND 10 * nell <= 3 * nl
+      |    AND 5 * nalpha >= 4 * nw
+      |    AND nstop >= 2 THEN 1 END) AS n_keep
+      |FROM r GROUP BY source""".stripMargin))
+
   def queries: Seq[GQuery] =
     Seq(q32, q33, q34, q35, q66, q89, q91, q94, q96, q98, q99, q101,
       q106, q107, q109, q110, q111, q112, q115, q116, q120, q121, q126,
-      q130, q132, q134, q135, q136, q137)
+      q130, q132, q134, q135, q136, q137, q139)
 }

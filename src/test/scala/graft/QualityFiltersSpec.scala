@@ -49,4 +49,35 @@ class QualityFiltersSpec extends SparkSpec {
     assert(!plan.contains("Join") && !plan.contains("Generate"),
       s"blocklist must ride the plan as a literal projection:\n$plan")
   }
+
+  test("GopherRules: each rule fires on its designed failure; good doc keeps") {
+    import graft.text.GopherRules
+    val good = (("the be to of and that have " * 10) + ("word " * 30)).trim
+    val docs = Seq(
+      (0L, good),                                      // passes all seven
+      (1L, "too short"),                               // word count
+      (2L, ("abcdefghijklmnopqrst " * 60).trim),       // mean word length > 10
+      (3L, ("123 456 789 " * 30).trim),                // alphabetic fraction
+      (4L, ("- bullet\n" * 20) + good),                // bullet lines
+      (5L, ("ends here...\n" * 20) + good),            // ellipsis lines
+      (6L, ("# " * 80) + good),                        // symbol ratio
+      (7L, ("plain word list " * 40).trim))            // required stopwords
+      .toDF("doc_id", "text")
+    val out = GopherRules.flags(docs, "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(0L).getAs[Boolean]("keep"), "good doc must pass all rules")
+    assert(!out(1L).getAs[Boolean]("r_word_count"))
+    assert(!out(2L).getAs[Boolean]("r_word_len"))
+    assert(!out(3L).getAs[Boolean]("r_alpha_words"))
+    assert(!out(4L).getAs[Boolean]("r_bullet_lines"))
+    assert(!out(5L).getAs[Boolean]("r_ellipsis_lines"))
+    assert(!out(6L).getAs[Boolean]("r_symbol_ratio"))
+    assert(!out(7L).getAs[Boolean]("r_stopwords"))
+    for (id <- 1L to 7L) assert(!out(id).getAs[Boolean]("keep"))
+    // the whole bundle is a projection: no shuffle, no join, no explode
+    val plan = GopherRules.flags(docs, "text").queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"rule bundle must stay map-only:\n$plan")
+    assert(GopherRules.filterDocs(docs, "text").count() == 1)
+  }
 }
