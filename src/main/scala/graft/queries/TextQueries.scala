@@ -622,8 +622,8 @@ object TextQueries {
     * (ids differ), so the crawls only become exact duplicates AFTER
     * redaction — the census proves the stage ordering end-to-end, and
     * the integer hash-prefix checksum pins the surviving corpus's exact
-    * bytes. Full-oracle (unlike the fisheries DAG's rows-only q95):
-    * every stage has an engine-portable SQL mirror. */
+    * bytes. Full-oracle, like the fisheries DAG's q95: every stage has
+    * an engine-portable SQL mirror. */
   val q111 = GQuery(
     "q111_curation_pipeline",
     (s, d) => {
@@ -1305,8 +1305,91 @@ object TextQueries {
       |    AND nstop >= 2 THEN 1 END) AS n_keep
       |FROM r GROUP BY source""".stripMargin))
 
+  /** q140: the C4 line-level cleaning rules ([[graft.text.C4Filters]],
+    * Raffel et al. 2020 §2.2) — terminal-punctuation / min-words /
+    * boilerplate-phrase line drops plus the lorem-ipsum / curly-brace /
+    * too-few-lines document drops, with the cleaned bytes pinned by an
+    * md5-prefix checksum. The fixture builds line-structured text per
+    * doc_id residue (the corpus itself is line-less) and appends a
+    * content-derived trailing line so per-document variety flows from
+    * the data, not just the residue. */
+  val q140 = GQuery(
+    "q140_c4_line_filter",
+    (s, d) => {
+      val m = col("doc_id") % 7
+      val good3 = "Good first line.\nAnother good line here!\nThird fine line?"
+      val tailLine = concat(concat_ws(" ", slice(wsTokens(col("text")), 1, 6)), lit("."))
+      val text2 =
+        when(m === 0, concat(lit(good3 + "\n"), tailLine))
+          .when(m === 1, lit("no punctuation line\nanother bare line"))
+          .when(m === 2, lit("Ok line one.\nTiny line.\nThis survives fine."))
+          .when(m === 3, concat(lit("Check our Cookie Policy today.\n" + good3 + "\n"), tailLine))
+          .when(m === 4, lit("lorem ipsum dolor sit amet.\n" + good3))
+          .when(m === 5, lit("function f() { return 1; }\n" + good3))
+          .otherwise(concat(lit("He said \"indeed\".\n" + good3 + "\n"), tailLine))
+      val fixture = graft.core.Widen.widen(
+        documents(s, d).select(col("source"), text2.as("text")))
+      graft.text.C4Filters.clean(fixture, "text")
+        .groupBy(col("source"))
+        .agg(
+          lcount(lit(1)).as("n_docs"),
+          sum(col("n_lines")).as("lines_in"),
+          sum(col("n_kept_lines")).as("lines_kept"),
+          lcount(when(col("doc_dropped"), 1)).as("n_dropped"),
+          sum(conv(substring(md5(col("cleaned")), 1, 7), 16, 10).cast("long"))
+            .as("checksum"))
+    },
+    Some(s"""WITH f AS (
+      |  SELECT source,
+      |    CASE
+      |      WHEN doc_id % 7 = 0 THEN
+      |        'Good first line.' || chr(10) || 'Another good line here!' || chr(10) ||
+      |        'Third fine line?' || chr(10) || array_to_string(($wsSql)[1:6], ' ') || '.'
+      |      WHEN doc_id % 7 = 1 THEN 'no punctuation line' || chr(10) || 'another bare line'
+      |      WHEN doc_id % 7 = 2 THEN 'Ok line one.' || chr(10) || 'Tiny line.' || chr(10) ||
+      |        'This survives fine.'
+      |      WHEN doc_id % 7 = 3 THEN 'Check our Cookie Policy today.' || chr(10) ||
+      |        'Good first line.' || chr(10) || 'Another good line here!' || chr(10) ||
+      |        'Third fine line?' || chr(10) || array_to_string(($wsSql)[1:6], ' ') || '.'
+      |      WHEN doc_id % 7 = 4 THEN 'lorem ipsum dolor sit amet.' || chr(10) ||
+      |        'Good first line.' || chr(10) || 'Another good line here!' || chr(10) ||
+      |        'Third fine line?'
+      |      WHEN doc_id % 7 = 5 THEN 'function f() { return 1; }' || chr(10) ||
+      |        'Good first line.' || chr(10) || 'Another good line here!' || chr(10) ||
+      |        'Third fine line?'
+      |      ELSE 'He said "indeed".' || chr(10) ||
+      |        'Good first line.' || chr(10) || 'Another good line here!' || chr(10) ||
+      |        'Third fine line?' || chr(10) || array_to_string(($wsSql)[1:6], ' ') || '.'
+      |    END AS t2
+      |  FROM documents),
+      |g AS (
+      |  SELECT source, t2,
+      |    string_split(t2, chr(10)) AS lines,
+      |    list_filter(string_split(t2, chr(10)), l ->
+      |      regexp_matches(trim(l), '[.!?"]$$')
+      |      AND len(string_split_regex(trim(l), '\\s+')) >= 3
+      |      AND NOT (contains(lower(trim(l)), 'javascript')
+      |        OR contains(lower(trim(l)), 'cookie policy')
+      |        OR contains(lower(trim(l)), 'privacy policy')
+      |        OR contains(lower(trim(l)), 'terms of use'))) AS kept
+      |  FROM f),
+      |r AS (
+      |  SELECT source, len(lines) AS nl, len(kept) AS nk,
+      |    (contains(lower(t2), 'lorem ipsum') OR contains(t2, '{')
+      |      OR contains(t2, '}') OR len(kept) < 3) AS dropped,
+      |    CASE WHEN (contains(lower(t2), 'lorem ipsum') OR contains(t2, '{')
+      |      OR contains(t2, '}') OR len(kept) < 3)
+      |      THEN '' ELSE array_to_string(kept, chr(10)) END AS cleaned
+      |  FROM g)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(nl) AS BIGINT) AS lines_in,
+      |  CAST(SUM(nk) AS BIGINT) AS lines_kept,
+      |  COUNT(CASE WHEN dropped THEN 1 END) AS n_dropped,
+      |  CAST(SUM(CAST(('0x' || substr(md5(cleaned), 1, 7)) AS BIGINT)) AS BIGINT) AS checksum
+      |FROM r GROUP BY source""".stripMargin))
+
   def queries: Seq[GQuery] =
     Seq(q32, q33, q34, q35, q66, q89, q91, q94, q96, q98, q99, q101,
       q106, q107, q109, q110, q111, q112, q115, q116, q120, q121, q126,
-      q130, q132, q134, q135, q136, q137, q139)
+      q130, q132, q134, q135, q136, q137, q139, q140)
 }
