@@ -9,12 +9,15 @@ object ProfQ {
   def main(args: Array[String]): Unit = {
     val name = args(0)
     // SPARK_PROF_CONF="k1=v1,k2=v2" ad-hoc conf overrides for experiments
-    var b = SparkSession.builder().master("local[32]")
-      .appName("profq").config("spark.ui.enabled", "false")
+    // apply ad-hoc overrides AFTER configure() so experiments can
+    // override the engine defaults (configure sets e.g. adaptive.enabled)
+    var b = graft.core.GraftSession.configure(
+      SparkSession.builder().master("local[32]")
+        .appName("profq").config("spark.ui.enabled", "false"),
+      parallelism = 32)
     sys.env.get("SPARK_PROF_CONF").foreach(_.split(",").filter(_.contains("="))
       .foreach { kv => val Array(k, v) = kv.split("=", 2); b = b.config(k, v) })
-    val spark = graft.core.GraftSession.configure(b, parallelism = 32)
-      .getOrCreate()
+    val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val starts = mutable.Map[Int, Long]()
     val lines = mutable.ArrayBuffer[String]()
