@@ -198,6 +198,40 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: selfSpanDedup conserves tokens and is repartition-invariant") {
+    // small vocab + short docs force genuine cross- and within-doc
+    // 4-gram repeats in most samples
+    val docGen: Gen[List[String]] = Gen.chooseNum(3, 10).flatMap { n =>
+      Gen.listOfN(n, Gen.chooseNum(4, 30).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf("a", "b", "c")).map(_.mkString(" "))))
+    }
+    for ((texts, i) <- samples(docGen, 5).zipWithIndex) {
+      val docs = texts.zipWithIndex.map { case (t, id) => (id.toLong, t) }
+        .toDF("doc_id", "text")
+      val out = graft.dedup.Dedup.selfSpanDedup(docs, "doc_id", "text", n = 4)
+        .select($"doc", $"n_tokens", $"n_removed", $"clean_text")
+        .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+      for ((_, nTok, nRem, clean) <- out) {
+        val keptLen = if (clean.isEmpty) 0 else clean.split(" ").length
+        assert(nTok - nRem == keptLen, s"sample $i: tokens not conserved")
+        assert(nRem >= 0 && nRem <= nTok)
+      }
+      // at least one duplicated 4-gram must exist in this vocab regime
+      // for most samples; when any doc repeats another verbatim, the
+      // later copy must be fully erased
+      val byText = texts.zipWithIndex.groupBy(_._1)
+      for ((_, occ) <- byText if occ.size > 1; (_, id) <- occ.drop(1)
+           if texts(id).split(" ").length >= 4)
+        assert(out(id)._4 == "", s"sample $i: later verbatim copy not erased")
+      // partitioning must not change the result
+      val out2 = graft.dedup.Dedup.selfSpanDedup(
+        docs.repartition(7), "doc_id", "text", n = 4)
+        .select($"doc", $"n_tokens", $"n_removed", $"clean_text")
+        .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+      assert(out2.toSeq == out.toSeq, s"sample $i: repartition changed output")
+    }
+  }
+
   test("property: sliding windows tile every generated doc exactly once per stride") {
     import graft.text.Chunking
     val gen: Gen[(Int, Int, Int)] = for {
