@@ -34,7 +34,11 @@ object Curation {
              minTokens: Int): DataFrame = {
     graft.functions.NfcNormalize.register(docs.sparkSession)
     val carried = docs.columns.filterNot(c => c == textCol).map(col).toSeq
-    val base = docs.select(carried :+
+    // widen first: NFC + the PII regex battery is the CPU-dense stage,
+    // and a compact input (union of one-file crawls locally) would pin
+    // it to as many tasks as files (Widen is a no-op on well-split
+    // production inputs)
+    val base = graft.core.Widen.widen(docs).select(carried :+
       call_function("unicode_nfc", col(textCol)).as("__norm"): _*)
     val red = Pii.scrub(base, "__norm").drop("__norm")
     val fp = red.withColumn("__fp", md5(col("redacted")))
