@@ -1388,8 +1388,164 @@ object TextQueries {
       |  CAST(SUM(CAST(('0x' || substr(md5(cleaned), 1, 7)) AS BIGINT)) AS BIGINT) AS checksum
       |FROM r GROUP BY source""".stripMargin))
 
+  /** q141: the LLM curation DAG composed end-to-end — C4 line cleaning
+    * → curation (NFC → PII redaction → exact-dedup canonical election →
+    * min-token gate) → exact duplicate-span self-dedup → corpus bill.
+    * The LLM-side counterpart of the fisheries DAG's q95: each stage is
+    * oracle-gated alone (q140, q110/q106/q111, q138); this entry puts
+    * the stage HANDOFFS (drop propagation, redacted-text fingerprints,
+    * span masking over the post-curation corpus) under one hash gate
+    * and tracks the composition's cost in the bench. The per-stage
+    * verdict frames meet in id-keyed left joins; consumers re-derive
+    * the cheap map lineage (regex battery over one compact scan) rather
+    * than cache it — in production each stage lands in the versioned
+    * artifact store between jobs (S15), which is the real multi-
+    * consumer boundary; only the span-dedup window and the fingerprint
+    * election shuffle. */
+  val q141 = GQuery(
+    "q141_llm_curation_dag",
+    (s, d) => {
+      val m = col("doc_id") % 5
+      val good3 = "Good first line.\nAnother good line here!\nThird fine line?"
+      val tailLine = concat(concat_ws(" ", slice(wsTokens(col("text")), 1, 6)), lit("."))
+      val txt =
+        when(m === 0, concat(
+          lit("Café contact bob@example.org for details.\n" + good3 + "\n"), tailLine))
+          .when(m === 1, lit("no punctuation line\nbare line"))
+          .when(m === 2, lit("Shared duplicate body text here.\n" + good3))
+          .when(m === 3, concat(
+            lit("common repeated span sentence with exactly eight tokens.\n" + good3 + "\n"),
+            tailLine))
+          .otherwise(concat(lit(good3 + "\n"), tailLine))
+      val fixture = graft.core.Widen.widen(
+        documents(s, d).select(col("doc_id"), txt.as("txt")))
+      val c4 = graft.text.C4Filters.clean(fixture, "txt")
+      val cur = graft.text.Curation.curate(
+        c4.filter(!col("doc_dropped"))
+          .select(col("doc_id"), col("cleaned").as("txt")),
+        "doc_id", "txt", minTokens = 8)
+      val sd = graft.dedup.Dedup.selfSpanDedup(
+        cur.filter(col("kept")).select(col("doc_id"), col("redacted")),
+        "doc_id", "redacted", n = 8)
+      c4.select(col("doc_id"), col("doc_dropped"))
+        .join(cur.select(col("doc_id"), col("is_canonical"), col("kept"),
+          col("n_emails")), Seq("doc_id"), "left")
+        .join(sd.select(col("doc").as("doc_id"), col("n_tokens"),
+          col("n_removed"), col("clean_text")), Seq("doc_id"), "left")
+        .agg(
+          lcount(lit(1)).as("n_docs_in"),
+          lcount(when(col("doc_dropped"), 1)).as("n_c4_dropped"),
+          lcount(when(col("is_canonical") === false, 1)).as("n_dup_rows"),
+          lcount(when(col("kept"), 1)).as("n_kept"),
+          sum(col("n_emails")).as("pii_emails"),
+          sum(col("n_tokens") - col("n_removed")).as("final_tokens"),
+          sum(col("n_removed")).as("span_removed"),
+          sum(conv(substring(md5(col("clean_text")), 1, 7), 16, 10)
+            .cast("long")).as("checksum"))
+    },
+    Some(s"""WITH f AS (
+      |  SELECT doc_id,
+      |    CASE
+      |      WHEN doc_id % 5 = 0 THEN
+      |        'Cafe' || chr(769) || ' contact bob@example.org for details.' || chr(10) ||
+      |        'Good first line.' || chr(10) || 'Another good line here!' || chr(10) ||
+      |        'Third fine line?' || chr(10) || array_to_string(($wsSql)[1:6], ' ') || '.'
+      |      WHEN doc_id % 5 = 1 THEN 'no punctuation line' || chr(10) || 'bare line'
+      |      WHEN doc_id % 5 = 2 THEN 'Shared duplicate body text here.' || chr(10) ||
+      |        'Good first line.' || chr(10) || 'Another good line here!' || chr(10) ||
+      |        'Third fine line?'
+      |      WHEN doc_id % 5 = 3 THEN
+      |        'common repeated span sentence with exactly eight tokens.' || chr(10) ||
+      |        'Good first line.' || chr(10) || 'Another good line here!' || chr(10) ||
+      |        'Third fine line?' || chr(10) || array_to_string(($wsSql)[1:6], ' ') || '.'
+      |      ELSE 'Good first line.' || chr(10) || 'Another good line here!' || chr(10) ||
+      |        'Third fine line?' || chr(10) || array_to_string(($wsSql)[1:6], ' ') || '.'
+      |    END AS txt
+      |  FROM documents),
+      |c4 AS (
+      |  SELECT doc_id, txt,
+      |    list_filter(string_split(txt, chr(10)), l ->
+      |      regexp_matches(trim(l), '[.!?"]$$')
+      |      AND len(string_split_regex(trim(l), '\\s+')) >= 3
+      |      AND NOT (contains(lower(trim(l)), 'javascript')
+      |        OR contains(lower(trim(l)), 'cookie policy')
+      |        OR contains(lower(trim(l)), 'privacy policy')
+      |        OR contains(lower(trim(l)), 'terms of use'))) AS kept_lines
+      |  FROM f),
+      |c4r AS (
+      |  SELECT doc_id,
+      |    (contains(lower(txt), 'lorem ipsum') OR contains(txt, '{')
+      |      OR contains(txt, '}') OR len(kept_lines) < 3) AS doc_dropped,
+      |    array_to_string(kept_lines, chr(10)) AS cleaned
+      |  FROM c4),
+      |nfc AS (
+      |  SELECT doc_id, nfc_normalize(cleaned) AS t2
+      |  FROM c4r WHERE NOT doc_dropped),
+      |pii AS (
+      |  SELECT doc_id,
+      |    len(regexp_extract_all(t2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
+      |    regexp_replace(
+      |      regexp_replace(
+      |        regexp_replace(t2,
+      |          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |        '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+      |      '\\+?\\d{1,3}-\\d{3}-\\d{3,4}', '<PHONE>', 'g') AS red
+      |  FROM nfc),
+      |keeper AS (
+      |  SELECT md5(red) AS fp, MIN(doc_id) AS keep_id
+      |  FROM pii GROUP BY md5(red)),
+      |cur AS (
+      |  SELECT p.doc_id, p.n_emails, p.red,
+      |    p.doc_id = k.keep_id AS is_canonical,
+      |    (p.doc_id = k.keep_id
+      |      AND len(string_split_regex(trim(p.red), '\\s+')) >= 8) AS kept
+      |  FROM pii p JOIN keeper k ON md5(p.red) = k.fp),
+      |sdt AS (SELECT doc_id, string_split_regex(trim(red), '\\s+') AS ws
+      |  FROM cur WHERE kept),
+      |sg AS (
+      |  SELECT doc_id, u.i AS i, array_to_string(ws[u.i:u.i+7], ' ') AS gram
+      |  FROM sdt, UNNEST(generate_series(1, len(ws) - 7)) AS u(i)),
+      |sr AS (
+      |  SELECT doc_id, i,
+      |    COUNT(*) OVER (PARTITION BY gram) AS cnt,
+      |    ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id, i) AS rn
+      |  FROM sg),
+      |smask AS (
+      |  SELECT DISTINCT doc_id, u.p - 1 AS pos
+      |  FROM sr, UNNEST(generate_series(i, i + 7)) AS u(p)
+      |  WHERE cnt > 1 AND rn > 1),
+      |stoks AS (
+      |  SELECT doc_id, u.i - 1 AS pos, ws[u.i] AS tok
+      |  FROM sdt, UNNEST(generate_series(1, len(ws))) AS u(i)),
+      |skept AS (
+      |  SELECT tk.doc_id, tk.pos, tk.tok
+      |  FROM stoks tk LEFT JOIN smask m2 ON tk.doc_id = m2.doc_id AND tk.pos = m2.pos
+      |  WHERE m2.pos IS NULL),
+      |snrem AS (SELECT doc_id, COUNT(*) AS n_removed FROM smask GROUP BY doc_id),
+      |sreb AS (
+      |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text
+      |  FROM skept GROUP BY doc_id),
+      |sd AS (
+      |  SELECT t.doc_id, CAST(len(t.ws) AS BIGINT) AS n_tokens,
+      |    CAST(COALESCE(nr.n_removed, 0) AS BIGINT) AS n_removed,
+      |    COALESCE(rb.clean_text, '') AS clean_text
+      |  FROM sdt t
+      |  LEFT JOIN snrem nr ON t.doc_id = nr.doc_id
+      |  LEFT JOIN sreb rb ON t.doc_id = rb.doc_id)
+      |SELECT COUNT(*) AS n_docs_in,
+      |  COUNT(CASE WHEN c.doc_dropped THEN 1 END) AS n_c4_dropped,
+      |  COUNT(CASE WHEN cu.is_canonical = FALSE THEN 1 END) AS n_dup_rows,
+      |  COUNT(CASE WHEN cu.kept THEN 1 END) AS n_kept,
+      |  CAST(SUM(cu.n_emails) AS BIGINT) AS pii_emails,
+      |  CAST(SUM(s.n_tokens - s.n_removed) AS BIGINT) AS final_tokens,
+      |  CAST(SUM(s.n_removed) AS BIGINT) AS span_removed,
+      |  CAST(SUM(CAST(('0x' || substr(md5(s.clean_text), 1, 7)) AS BIGINT)) AS BIGINT) AS checksum
+      |FROM c4r c
+      |LEFT JOIN cur cu ON c.doc_id = cu.doc_id
+      |LEFT JOIN sd s ON c.doc_id = s.doc_id""".stripMargin))
+
   def queries: Seq[GQuery] =
     Seq(q32, q33, q34, q35, q66, q89, q91, q94, q96, q98, q99, q101,
       q106, q107, q109, q110, q111, q112, q115, q116, q120, q121, q126,
-      q130, q132, q134, q135, q136, q137, q139, q140)
+      q130, q132, q134, q135, q136, q137, q139, q140, q141)
 }
