@@ -160,6 +160,14 @@ class PlanSpec extends SparkSpec {
     assert(!gramShuffle, s"gram strings must not be a shuffle key:\n$p")
   }
 
+  test("q141: composed curation DAG stays key-joined, span shuffle on fingerprints") {
+    val p = plan("q141_llm_curation_dag")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"stage handoffs must stay id/fingerprint-keyed:\n$p")
+    assert(p.contains("hashpartitioning(__h1"),
+      s"span self-dedup inside the DAG must shuffle gram fingerprints:\n$p")
+  }
+
   test("q125: snapshot diff is one id-keyed join, no cartesian, no window") {
     val p = plan("q125_snapshot_diff")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
