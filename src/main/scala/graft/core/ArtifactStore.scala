@@ -57,4 +57,19 @@ final class ArtifactStore(spark: SparkSession, root: String) {
       .getOrElse(sys.error(s"no versions of $prefix under $root"))
     spark.read.parquet(s"$root/$prefix/v=$v")
   }
+
+  /** Retention: drop all but the newest `keep` versions of `prefix`
+    * (lexical == chronological ordering). The reference accretes
+    * versions forever and relies on bucket lifecycle rules; at 100 TB
+    * per version the store needs an explicit arm. Returns the deleted
+    * version strings, oldest first. `keep` must be ≥ 1 — the latest
+    * version is never deletable through this path. */
+  def retain(prefix: String, keep: Int): Seq[String] = {
+    require(keep >= 1, s"keep must be >= 1, got $keep")
+    val doomed = versions(prefix).dropRight(keep)
+    doomed.foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$root/$prefix/v=$v"), true)
+    }
+    doomed
+  }
 }

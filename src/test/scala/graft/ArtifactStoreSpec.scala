@@ -20,4 +20,21 @@ class ArtifactStoreSpec extends SparkSpec {
     assert(store.read("landings", Some(v1)).as[Int].head() == 1) // exact
     intercept[RuntimeException](store.read("nope"))
   }
+
+  test("retention drops oldest versions, keeps the latest k, latest survives") {
+    val root = java.nio.file.Files.createTempDirectory("graft-retain").toString
+    val store = new ArtifactStore(spark, root)
+    val vs = (1 to 4).map { m =>
+      val v = store.versionString(
+        java.time.LocalDateTime.of(2026, m, 1, 0, 0, 0), s"sha$m" + "0000")
+      store.write(Seq(m).toDF("x"), "t", v)
+      v
+    }
+    val deleted = store.retain("t", keep = 2)
+    assert(deleted == vs.take(2), "oldest two deleted, oldest first")
+    assert(store.versions("t") == vs.drop(2))
+    assert(store.read("t").as[Int].head() == 4, "latest unchanged")
+    assert(store.retain("t", keep = 5).isEmpty, "keep > count is a no-op")
+    intercept[IllegalArgumentException](store.retain("t", keep = 0))
+  }
 }
