@@ -342,27 +342,42 @@ object Dedup {
     * Output per document: (doc, n_tokens, n_removed, clean_text). */
   def selfSpanDedup(docs: DataFrame, idCol: String, textCol: String,
                     n: Int = 8): DataFrame = {
-    val toks = graft.core.Widen.widen(docs)
+    val toks = spanToks(docs, idCol, textCol)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__h1"), col("__h2"))
+    val masked = spanGrams(toks, n)
+      .withColumn("__cnt", count(lit(1)).over(w))
+      .withColumn("__rn",
+        row_number().over(w.orderBy(col("doc"), col("start"))))
+      .filter(col("__cnt") > 1 && col("__rn") > 1)
+    spanRebuild(toks, masked, n)
+  }
+
+  /** Tokenized corpus for the span family: (doc, __ws). */
+  private def spanToks(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    graft.core.Widen.widen(docs)
       .select(col(idCol).as("doc"),
         TextFunctions.wsTokens(col(textCol)).as("__ws"))
-    val grams = toks
+
+  /** n-gram occurrences keyed by the 128-bit fingerprint:
+    * (doc, start, __h1, __h2). */
+  private def spanGrams(toks: DataFrame, n: Int): DataFrame =
+    toks
       .select(col("doc"),
         posexplode(TextFunctions.ngrams(col("__ws"), n)).as(Seq("start", "gram")))
       .select(col("doc"), col("start"),
         xxhash64(col("gram")).as("__h1"),
         xxhash64(lit("span2"), col("gram")).as("__h2"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__h1"), col("__h2"))
-    val masked = grams
-      .withColumn("__cnt", count(lit(1)).over(w))
-      .withColumn("__rn",
-        row_number().over(w.orderBy(col("doc"), col("start"))))
-      .filter(col("__cnt") > 1 && col("__rn") > 1)
+
+  /** Shared rebuild tail: explode masked occurrences into position
+    * masks, join back at document grain, excise and rejoin. */
+  private def spanRebuild(toks: DataFrame, maskedOcc: DataFrame, n: Int): DataFrame = {
+    val masks = maskedOcc
       .select(col("doc"),
         explode(sequence(col("start"), col("start") + lit(n - 1))).as("pos"))
       .groupBy(col("doc"))
       .agg(array_sort(collect_set(col("pos"))).as("__mask"))
-    toks.join(masked, Seq("doc"), "left")
+    toks.join(masks, Seq("doc"), "left")
       .select(col("doc"),
         size(col("__ws")).cast("long").as("n_tokens"),
         coalesce(size(col("__mask")), lit(0)).cast("long").as("n_removed"),
@@ -371,6 +386,43 @@ object Dedup {
             not(array_contains(
               coalesce(col("__mask"), array().cast("array<int>")), i))))
           .as("clean_text"))
+  }
+
+  /** Landed gram-fingerprint index for [[incrementalSpanDedup]]: the
+    * distinct 128-bit fingerprints of every n-gram in the corpus —
+    * write it to the versioned store once, probe it per batch. */
+  def spanGramIndex(docs: DataFrame, idCol: String, textCol: String,
+                    n: Int = 8): DataFrame =
+    spanGrams(spanToks(docs, idCol, textCol), n)
+      .select(col("__h1"), col("__h2")).distinct()
+
+  /** Incremental duplicate-span removal — the batch arm of
+    * [[selfSpanDedup]], same discipline as [[incrementalNearDups]]:
+    * a NEW batch is cleaned against the landed corpus's gram index
+    * plus itself, without ever rescanning the corpus. A batch gram
+    * occurrence is excised when its fingerprint exists in the landed
+    * index (the corpus already owns that span) or when it repeats
+    * within the batch and is not the batch-first occurrence.
+    *
+    * Scale shape: work tracks the BATCH — the index side joins on the
+    * same (h1, h2) keys the batch grams already shuffle on for the
+    * window, so the landed index is probed with one hash join and the
+    * corpus text is never touched. */
+  def incrementalSpanDedup(newDocs: DataFrame, index: DataFrame,
+                           idCol: String, textCol: String,
+                           n: Int = 8): DataFrame = {
+    val toks = spanToks(newDocs, idCol, textCol)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__h1"), col("__h2"))
+    val masked = spanGrams(toks, n)
+      .withColumn("__cnt", count(lit(1)).over(w))
+      .withColumn("__rn",
+        row_number().over(w.orderBy(col("doc"), col("start"))))
+      .join(index.select(col("__h1"), col("__h2"))
+        .withColumn("__landed", lit(true)),
+        Seq("__h1", "__h2"), "left")
+      .filter(col("__landed") || (col("__cnt") > 1 && col("__rn") > 1))
+    spanRebuild(toks, masked, n)
   }
 
   /** Snapshot diff — the ingest-ops delta between two corpus versions:

@@ -688,6 +688,63 @@ object DedupQueries {
       |LEFT JOIN nrem ON t.doc = nrem.doc
       |LEFT JOIN reb ON t.doc = reb.doc""".stripMargin))
 
+  /** q142: incremental duplicate-span removal
+    * ([[graft.dedup.Dedup.incrementalSpanDedup]]) — the batch arm of
+    * q138: new docs (doc_id % 4 == 0) are cleaned against the landed
+    * corpus's gram-fingerprint index plus themselves; the landed text
+    * is never rescanned and work tracks the batch. Same per-doc
+    * md5-prefix signature discipline as q138. */
+  val q142 = GQuery(
+    "q142_incremental_span_dedup",
+    (s, d) => {
+      val docs = documents(s, d)
+      val landed = docs.filter(col("doc_id") % 4 =!= 0)
+      val batch = docs.filter(col("doc_id") % 4 === 0)
+      Dedup.incrementalSpanDedup(batch,
+        Dedup.spanGramIndex(landed, "doc_id", "text", n = 8),
+        "doc_id", "text", n = 8)
+        .select(col("doc"), col("n_tokens"), col("n_removed"),
+          conv(substring(md5(col("clean_text")), 1, 7), 16, 10)
+            .cast("long").as("sig"))
+    },
+    Some(s"""WITH t AS (SELECT doc_id AS doc, $wsSql AS ws FROM documents),
+      |oldg AS (
+      |  SELECT DISTINCT array_to_string(ws[u.i:u.i+7], ' ') AS gram
+      |  FROM t, UNNEST(generate_series(1, len(ws) - 7)) AS u(i)
+      |  WHERE doc % 4 <> 0),
+      |tn AS (SELECT doc, ws FROM t WHERE doc % 4 = 0),
+      |g AS (
+      |  SELECT doc, u.i AS i, array_to_string(ws[u.i:u.i+7], ' ') AS gram
+      |  FROM tn, UNNEST(generate_series(1, len(ws) - 7)) AS u(i)),
+      |r AS (
+      |  SELECT doc, i, gram,
+      |    COUNT(*) OVER (PARTITION BY gram) AS cnt,
+      |    ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc, i) AS rn
+      |  FROM g),
+      |rf AS (
+      |  SELECT r.doc, r.i FROM r LEFT JOIN oldg o ON r.gram = o.gram
+      |  WHERE o.gram IS NOT NULL OR (r.cnt > 1 AND r.rn > 1)),
+      |mask AS (
+      |  SELECT DISTINCT doc, u.p - 1 AS pos
+      |  FROM rf, UNNEST(generate_series(i, i + 7)) AS u(p)),
+      |toks AS (
+      |  SELECT doc, u.i - 1 AS pos, ws[u.i] AS tok
+      |  FROM tn, UNNEST(generate_series(1, len(ws))) AS u(i)),
+      |kept AS (
+      |  SELECT tk.doc, tk.pos, tk.tok
+      |  FROM toks tk LEFT JOIN mask m ON tk.doc = m.doc AND tk.pos = m.pos
+      |  WHERE m.pos IS NULL),
+      |nrem AS (SELECT doc, COUNT(*) AS n_removed FROM mask GROUP BY doc),
+      |reb AS (
+      |  SELECT doc, string_agg(tok, ' ' ORDER BY pos) AS clean_text
+      |  FROM kept GROUP BY doc)
+      |SELECT tn.doc, CAST(len(tn.ws) AS BIGINT) AS n_tokens,
+      |  CAST(COALESCE(nrem.n_removed, 0) AS BIGINT) AS n_removed,
+      |  CAST(('0x' || substr(md5(COALESCE(reb.clean_text, '')), 1, 7)) AS BIGINT) AS sig
+      |FROM tn
+      |LEFT JOIN nrem ON tn.doc = nrem.doc
+      |LEFT JOIN reb ON tn.doc = reb.doc""".stripMargin))
+
   /** q125: corpus snapshot diff ([[graft.dedup.Dedup.snapshotDiff]])
     * — v2 is a deterministic mutation of v1 (doc_id % 7 == 0 dropped,
     * % 5 == 0 re-crawled with changed bytes, % 11 == 0 re-ingested
@@ -823,5 +880,5 @@ object DedupQueries {
       |    / CAST(t.n_shingles AS DOUBLE), 6) AS novelty
       |FROM tot t LEFT JOIN novel n ON t.doc = n.doc""".stripMargin))
 
-  def queries: Seq[GQuery] = Seq(q36, q37, q38, q39, q57, q61, q88, q90, q103, q108, q118, q123, q124, q125, q127, q129, q133, q138)
+  def queries: Seq[GQuery] = Seq(q36, q37, q38, q39, q57, q61, q88, q90, q103, q108, q118, q123, q124, q125, q127, q129, q133, q138, q142)
 }

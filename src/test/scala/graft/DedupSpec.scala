@@ -184,6 +184,25 @@ class DedupSpec extends SparkSpec {
     assert(out == s"$rep z1 z2", out)
   }
 
+  test("incrementalSpanDedup: batch cleaned against landed index + itself") {
+    val landed = Seq((1L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    val idx = Dedup.spanGramIndex(landed, "doc_id", "text", n = 8)
+    // doc 20 re-uses the landed span; doc 21 repeats doc 20's fresh
+    // tail?  no — fresh spans must dedup only within the batch
+    val batch = Seq(
+      (20L, "x1 x2 a b c d e f g h x3"),          // landed span excised
+      (21L, "n1 n2 n3 n4 n5 n6 n7 n8 tail1"),     // fresh, first in batch
+      (22L, "n1 n2 n3 n4 n5 n6 n7 n8 tail2"))     // batch-repeat excised
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalSpanDedup(batch, idx, "doc_id", "text", n = 8)
+      .select($"doc", $"n_removed", $"clean_text")
+      .as[(Long, Long, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(20L) == ((8L, "x1 x2 x3")), "landed span must be excised")
+    assert(out(21L) == ((0L, "n1 n2 n3 n4 n5 n6 n7 n8 tail1")),
+      "batch-first fresh span survives")
+    assert(out(22L) == ((8L, "tail2")), "batch repeat is excised")
+  }
+
   private implicit class M(rows: Array[(Long, Long, Int, Int)]) {
     def toMap2: Map[Long, (Long, Int, Int)] =
       rows.map { case (d, n, f, l) => d -> ((n, f, l)) }.toMap
