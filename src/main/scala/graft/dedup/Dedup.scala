@@ -97,6 +97,41 @@ object Dedup {
       .select("da", "db", "common", "na", "nb", "jaccard")
   }
 
+  /** Edit-distance-verified near-dup pairs: candidates from the shingle
+    * inverted index (never all-pairs), then threshold-bounded
+    * Levenshtein on the survivors only. Two exact prunes keep the
+    * expensive verify off obviously-far pairs:
+    *  - a length band — `|len(a) − len(b)| ≤ maxDist` is implied by
+    *    `lev ≤ maxDist`, so the gap filter is semantics-free;
+    *  - Spark's 3-arg `levenshtein(l, r, threshold)`, which runs the
+    *    banded O(n·maxDist) recurrence with early exit and returns −1
+    *    above the threshold, instead of the O(n²) full matrix.
+    * Character-level edit distance is the verify stage token-set
+    * measures (Jaccard, MinHash) can't express: it catches single-char
+    * OCR noise / typo recrawls whose shingle sets still overlap, and
+    * rejects same-vocabulary reorderings that Jaccard scores high.
+    * Output: (da, db, len_a, len_b, dist), dist ≤ maxDist exact. */
+  def editDistanceNearDups(df: DataFrame, idCol: String, textCol: String,
+                           k: Int, maxDist: Int,
+                           maxDocFreq: Long = 0L): DataFrame = {
+    val idx = shingleIndex(df, idCol, textCol, k, maxDocFreq)
+    val cand = idx.withColumnRenamed("doc", "da")
+      .join(idx.withColumnRenamed("doc", "db"), Seq("shingle"))
+      .filter(col("da") < col("db"))
+      .select("da", "db").distinct()
+    val texts = df.select(col(idCol).as("__tid"), col(textCol).as("__ttext"),
+      length(col(textCol)).cast("long").as("__tlen"))
+    cand
+      .join(texts.withColumnRenamed("__tid", "da"), Seq("da"))
+      .withColumnsRenamed(Map("__ttext" -> "__ta", "__tlen" -> "len_a"))
+      .join(texts.withColumnRenamed("__tid", "db"), Seq("db"))
+      .withColumnsRenamed(Map("__ttext" -> "__tb", "__tlen" -> "len_b"))
+      .filter(abs(col("len_a") - col("len_b")) <= maxDist)
+      .withColumn("dist", levenshtein(col("__ta"), col("__tb"), maxDist))
+      .filter(col("dist") >= 0)
+      .select("da", "db", "len_a", "len_b", "dist")
+  }
+
   /** md5-derived 28-bit base hash of a string (first 7 hex chars parsed
     * base-16 — reproducible anywhere). */
   def md5Hash28(s: Column): Column =

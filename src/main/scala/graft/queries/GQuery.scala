@@ -34,7 +34,8 @@ object Registry {
       WeightsQueries.queries ++
       RecodeQueries.queries ++
       EndToEndQueries.queries ++
-      SamplingQueries.queries
+      SamplingQueries.queries ++
+      CrawlQueries.queries
 
   def byName: Map[String, GQuery] = all.map(q => q.name -> q).toMap
 }

@@ -203,6 +203,45 @@ class DedupSpec extends SparkSpec {
     assert(out(22L) == ((8L, "tail2")), "batch repeat is excised")
   }
 
+  test("editDistanceNearDups: single-char edit verified exactly, reorders and far docs rejected") {
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val docs = Seq(
+      (1L, base),
+      (2L, base.replace("charlie", "charlee")),                // one substitution
+      (3L, "juliet india hotel golf foxtrot echo delta charlie bravo alpha"), // same vocab, reordered: shares no 5-shingle
+      (4L, "totally different words that never overlap with the others at all"),
+      (5L, base + " kilo lima mike november oscar papa quebec romeo sierra tango uniform victor")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.editDistanceNearDups(docs, "doc_id", "text", k = 5, maxDist = 8)
+      .select($"da", $"db", $"dist").as[(Long, Long, Int)].collect().toSet
+    assert(pairs == Set((1L, 2L, 1)),
+      s"only the 1-edit pair must survive (reorder shares no shingle, " +
+      s"the long doc fails the length band): $pairs")
+  }
+
+  test("editDistanceNearDups: length band is exact (gap > maxDist implies dist > maxDist)") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e f g h i j " + ("pad " * 10)))
+      .toDF("doc_id", "text")
+    // pair shares shingles but the 40-char length gap exceeds maxDist=8,
+    // so the band prunes it WITHOUT running levenshtein — and that prune
+    // is lossless because lev >= |len gap| > 8
+    val pairs = Dedup.editDistanceNearDups(docs, "doc_id", "text", k = 5, maxDist = 8)
+    assert(pairs.count() == 0)
+  }
+
+  test("editDistanceNearDups is deterministic under repartitioning") {
+    val docs = (1L to 60L).map { i =>
+      val t = s"w${i % 7} common tokens run here for doc body ${i % 5} tail"
+      (i, if (i % 2 == 0) t else t + "!")
+    }.toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Dedup.editDistanceNearDups(df, "doc_id", "text", k = 3, maxDist = 8)
+        .select($"da", $"db", $"dist").as[(Long, Long, Int)].collect().toSet
+    assert(run(docs) == run(docs.repartition(11)))
+  }
+
   private implicit class M(rows: Array[(Long, Long, Int, Int)]) {
     def toMap2: Map[Long, (Long, Int, Int)] =
       rows.map { case (d, n, f, l) => d -> ((n, f, l)) }.toMap
