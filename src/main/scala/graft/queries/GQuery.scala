@@ -35,7 +35,8 @@ object Registry {
       RecodeQueries.queries ++
       EndToEndQueries.queries ++
       SamplingQueries.queries ++
-      CrawlQueries.queries
+      CrawlQueries.queries ++
+      CorpusStatQueries.queries
 
   def byName: Map[String, GQuery] = all.map(q => q.name -> q).toMap
 }

@@ -476,6 +476,62 @@ object MiscQueries {
       |CAST(SUM(n_bytes) AS BIGINT) AS sum_bytes
       |FROM b GROUP BY 1, 2""".stripMargin))
 
+  /** q148: binary-payload exact dedup — the multimodal arm of q36:
+    * attachments/images dedup on their content hash (md5 over the hex
+    * spelling, the q71 digest convention), never on filename or id.
+    * The fixture reuses q71's synthesized payloads and plants a
+    * "re-upload" of every fourth payload under a new id; the census
+    * bills per-language payload counts, distinct contents, and the
+    * byte savings exact dedup recovers (bytes_total − bytes_kept).
+    * One hash aggregation + a broadcast-back verdict join — the same
+    * two-shuffle shape as q36 at any corpus size. */
+  val q148 = GQuery(
+    "q148_payload_dedup",
+    (s, d) => {
+      val payloads = documents(s, d).select(
+        col("doc_id"), col("lang"),
+        expr("unhex(substring(md5(text), 1, cast(2 * (1 + n_chars % 8) as int)))")
+          .as("payload"))
+      val union = payloads.unionByName(
+        payloads.filter(col("doc_id") % 4 === 0)
+          .withColumn("doc_id", col("doc_id") + 100000))
+      val keyed = union.withColumn("__key", md5(upper(hex(col("payload")))))
+        .withColumn("__bytes", length(col("payload")).cast("long"))
+      val groups = graft.dedup.Dedup.exact(keyed, col("__key"), "doc_id")
+        .withColumnRenamed("content_key", "__key")
+      keyed.join(groups, Seq("__key"))
+        .withColumn("is_kept", col("doc_id") === col("keep_id"))
+        .groupBy(col("lang"))
+        .agg(
+          lcount(lit(1)).as("n_payloads"),
+          countDistinct(col("__key")).as("n_contents"),
+          lcount(when(col("is_kept"), 1)).as("n_kept"),
+          sum(col("__bytes")).as("bytes_total"),
+          sum(when(col("is_kept"), col("__bytes"))).as("bytes_kept"),
+          sum(when(col("is_kept"), col("doc_id"))).as("kept_id_sum"))
+    },
+    Some("""WITH p AS (
+      |  SELECT doc_id, lang,
+      |    unhex(substr(md5(text), 1, CAST(2 * (1 + n_chars % 8) AS INT))) AS payload
+      |  FROM documents),
+      |u AS (
+      |  SELECT doc_id, lang, payload FROM p
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id, lang, payload FROM p WHERE doc_id % 4 = 0),
+      |k AS (
+      |  SELECT doc_id, lang, md5(upper(hex(payload))) AS key,
+      |    octet_length(payload) AS bytes
+      |  FROM u),
+      |g AS (SELECT key, MIN(doc_id) AS keep_id FROM k GROUP BY key)
+      |SELECT k.lang, COUNT(*) AS n_payloads,
+      |  COUNT(DISTINCT k.key) AS n_contents,
+      |  COUNT(CASE WHEN k.doc_id = g.keep_id THEN 1 END) AS n_kept,
+      |  CAST(SUM(k.bytes) AS BIGINT) AS bytes_total,
+      |  CAST(SUM(CASE WHEN k.doc_id = g.keep_id THEN k.bytes END) AS BIGINT) AS bytes_kept,
+      |  CAST(SUM(CASE WHEN k.doc_id = g.keep_id THEN k.doc_id END) AS BIGINT) AS kept_id_sum
+      |FROM k JOIN g ON k.key = g.key
+      |GROUP BY k.lang""".stripMargin))
+
   def queries: Seq[GQuery] =
-    Seq(q45, q46, q47, q49, q52, q59, q62, q63, q64, q67, q69, q71)
+    Seq(q45, q46, q47, q49, q52, q59, q62, q63, q64, q67, q69, q71, q148)
 }

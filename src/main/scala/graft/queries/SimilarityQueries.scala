@@ -561,5 +561,72 @@ object SimilarityQueries {
       |SELECT xid, yid, cos_e9, round(margin, 6) AS margin
       |FROM mutual WHERE margin >= 1.0""".stripMargin))
 
-  def queries: Seq[GQuery] = Seq(q40, q41, q42, q48, q53, q102, q105, q114, q117, q119, q122, q131)
+  /** q147: embedding-space decontamination
+    * ([[Knn.embeddingDecontaminate]]) — the semantic arm of the
+    * decontamination family (q90 LSH shingles, q129 exact n-grams):
+    * corpus rows whose cosine against ANY protected benchmark vector
+    * reaches 0.9 are dropped. Protected = label 0; the corpus is the
+    * other labels plus PLANTED copies of every protected vector
+    * (vec_id + 100000, label kept) — the copies score cos_e9 = 1e9
+    * against their source and must all drop, while the natural corpus
+    * (cross-label cosines ≈ 0.38 max) survives. Per-label verdict
+    * census; the oracle replays scaled-long dots pair-by-pair. */
+  val q147 = GQuery(
+    "q147_embedding_decontaminate",
+    (s, d) => {
+      val emb = embeddings(s, d)
+      val prot = emb.filter(col("label") === 0)
+      val corpus = emb.filter(col("label") =!= 0)
+        .unionByName(prot.withColumn("vec_id", col("vec_id") + 100000))
+      val v = Knn.embeddingDecontaminate(corpus, prot, "vec_id", "embedding",
+        thresholdE9 = 900000000L)
+      corpus.select(col("vec_id").as("id"), col("label")).join(v, Seq("id"))
+        .groupBy(col("label"))
+        .agg(
+          count(lit(1)).cast("long").as("n_rows"),
+          count(when(!col("kept"), 1)).as("n_dropped"),
+          sum(when(!col("kept"), col("id"))).as("drop_id_sum"),
+          max(col("max_cos_e9")).as("max_e9"),
+          sum(col("max_cos_e9")).as("sum_max_e9"))
+    },
+    Some("""WITH corp AS (
+      |  SELECT vec_id, embedding, label FROM embeddings WHERE label <> 0
+      |  UNION ALL
+      |  SELECT vec_id + 100000 AS vec_id, embedding, label
+      |  FROM embeddings WHERE label = 0),
+      |elc AS (
+      |  SELECT vec_id, label,
+      |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000000.0 + 0.5) AS BIGINT) AS e,
+      |    generate_subscripts(embedding, 1) AS i
+      |  FROM corp),
+      |elp AS (
+      |  SELECT vec_id,
+      |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000000.0 + 0.5) AS BIGINT) AS e,
+      |    generate_subscripts(embedding, 1) AS i
+      |  FROM embeddings WHERE label = 0),
+      |n2c AS (SELECT vec_id, CAST(SUM(e * e) AS DOUBLE) / 100000000000000.0 AS n2
+      |        FROM elc GROUP BY vec_id),
+      |n2p AS (SELECT vec_id, CAST(SUM(e * e) AS DOUBLE) / 100000000000000.0 AS n2
+      |        FROM elp GROUP BY vec_id),
+      |dot AS (
+      |  SELECT c.vec_id AS cid, p.vec_id AS pid,
+      |    CAST(SUM(c.e * p.e) AS DOUBLE) / 100000000000000.0 AS dot
+      |  FROM elc c JOIN elp p ON c.i = p.i GROUP BY 1, 2),
+      |pair AS (
+      |  SELECT d.cid,
+      |    CAST(floor(d.dot / (sqrt(nc.n2) * sqrt(np.n2)) * 1e9 + 0.5) AS BIGINT) AS cos_e9
+      |  FROM dot d JOIN n2c nc ON d.cid = nc.vec_id JOIN n2p np ON d.pid = np.vec_id),
+      |verdict AS (
+      |  SELECT cid, MAX(cos_e9) AS max_cos_e9,
+      |    COUNT(CASE WHEN cos_e9 >= 900000000 THEN 1 END) AS n_hits
+      |  FROM pair GROUP BY cid)
+      |SELECT c.label, COUNT(*) AS n_rows,
+      |  COUNT(CASE WHEN v.n_hits > 0 THEN 1 END) AS n_dropped,
+      |  CAST(SUM(CASE WHEN v.n_hits > 0 THEN c.vec_id END) AS BIGINT) AS drop_id_sum,
+      |  MAX(v.max_cos_e9) AS max_e9,
+      |  CAST(SUM(v.max_cos_e9) AS BIGINT) AS sum_max_e9
+      |FROM corp c JOIN verdict v ON c.vec_id = v.cid
+      |GROUP BY c.label""".stripMargin))
+
+  def queries: Seq[GQuery] = Seq(q40, q41, q42, q48, q53, q102, q105, q114, q117, q119, q122, q131, q147)
 }

@@ -157,6 +157,38 @@ object Knn {
         (coalesce(col("n_dups"), lit(0L)) === 0).as("kept"))
   }
 
+  /** Embedding-space decontamination: per-corpus-row verdict against a
+    * protected (benchmark) set — `max_cos_e9` over every protected row,
+    * `n_hits` at ≥ `thresholdE9`, `kept` when none hit. The semantic
+    * complement of the exact/n-gram decontaminators
+    * ([[graft.dedup.NgramDecon]]): it catches paraphrased or
+    * re-templated eval leakage that shares no 13-gram.
+    *
+    * Plan shape: benchmark sets are small by construction (thousands of
+    * rows), so the protected side broadcasts and the corpus side
+    * STREAMS — one scan, no corpus shuffle; the per-id max collapses
+    * map-side before the final id aggregation. Cosines are e9-floored
+    * integers over scaled-long dots, so verdicts are engine-exact.
+    * (If the protected set ever outgrows a broadcast, probe it through
+    * [[hyperplaneBuckets]] bucket-locally — same verdict columns.) */
+  def embeddingDecontaminate(corpus: DataFrame, benchmark: DataFrame,
+                             idCol: String, vecCol: String,
+                             thresholdE9: Long): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), scaledVec(col(vecCol)).as("__cv"))
+      .withColumn("cn2", norm2Scaled(col("__cv")))
+    val b = benchmark.select(scaledVec(col(vecCol)).as("__bv"))
+      .withColumn("bn2", norm2Scaled(col("__bv")))
+    c.crossJoin(broadcast(b))
+      .withColumn("cos_e9",
+        floor(dotScaled(col("__cv"), col("__bv")) /
+          (sqrt(col("cn2")) * sqrt(col("bn2"))) * lit(1e9) + lit(0.5)).cast("long"))
+      .groupBy(col("id"))
+      .agg(
+        max(col("cos_e9")).as("max_cos_e9"),
+        count(when(col("cos_e9") >= thresholdE9, 1)).as("n_hits"))
+      .withColumn("kept", col("n_hits") === 0L)
+  }
+
   /** All-pairs cosine ≥ threshold — O(n²) compare AND a broadcast of
     * the whole frame: the exact reference for specs and genuinely small
     * frames ONLY. The production path is [[cosinePairs]]. */

@@ -115,6 +115,45 @@ class KnnSpec extends SparkSpec {
     }
   }
 
+  test("embeddingDecontaminate: exact copy and near-copy drop, orthogonal and opposite survive") {
+    val bench = Seq((100L, Array(1f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)),      // exact copy: cos 1.0 → drop
+      (2L, Array(0.99f, 0.1f, 0f, 0f)), // near-copy: cos ≈ 0.995 → drop
+      (3L, Array(0f, 1f, 0f, 0f)),      // orthogonal: cos 0 → keep
+      (4L, Array(-1f, 0f, 0f, 0f)),     // opposite: cos −1 → keep
+      (5L, Array(0.5f, 0.5f, 0.5f, 0.5f)) // cos 0.5 → keep at τ=0.9
+    ).toDF("vec_id", "embedding")
+    val v = Knn.embeddingDecontaminate(corpus, bench, "vec_id", "embedding",
+      thresholdE9 = 900000000L)
+      .select($"id", $"kept", $"max_cos_e9")
+      .as[(Long, Boolean, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(!v(1L)._1 && v(1L)._2 == 1000000000L)
+    assert(!v(2L)._1 && v(2L)._2 > 900000000L)
+    assert(v(3L)._1 && v(3L)._2 == 0L)
+    assert(v(4L)._1 && v(4L)._2 == -1000000000L)
+    assert(v(5L)._1 && v(5L)._2 == 500000000L)
+  }
+
+  test("embeddingDecontaminate: max over ALL benchmark rows, deterministic under repartitioning") {
+    val bench = Seq(
+      (100L, Array(1f, 0f, 0f, 0f)),
+      (101L, Array(0f, 1f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val corpus = (1L to 40L).map { i =>
+      (i, Array((i % 5).toFloat, (i % 3).toFloat, 1f, 0.5f))
+    }.toDF("vec_id", "embedding")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Knn.embeddingDecontaminate(df, bench, "vec_id", "embedding", 900000000L)
+        .select($"id", $"max_cos_e9", $"n_hits")
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val a = run(corpus)
+    assert(a == run(corpus.repartition(7)))
+    // the max must reflect the best-matching benchmark row, not the first
+    val best = a.find(_._1 == 5L).get // (0,2,1,0.5): closer to axis-y bench
+    assert(best._2 > 0L)
+  }
+
   private implicit class Pairs(rows: Array[(Long, Long, Double)]) {
     def toMap2: Map[(Long, Long), Double] =
       rows.map { case (a, b, c) => (a, b) -> c }.toMap
