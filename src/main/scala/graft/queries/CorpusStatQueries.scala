@@ -154,5 +154,110 @@ object CorpusStatQueries {
       |  CAST(floor((sy / n - ((sxy - sx * sy / n) / (sxx - sx * sx / n)) * sx / n) * 1e6 + 0.5) AS BIGINT) AS intercept_e6
       |FROM sums""".stripMargin))
 
-  def queries: Seq[GQuery] = Seq(q146, q149)
+  /** q152: filter-agreement audit — the confusion matrix between the
+    * rule-based document filter (the q139 Gopher bundle) and the
+    * learned classifier gate (the q135 hashed-margin model).
+    * Disagreement cells are where a curation pipeline looks first:
+    * rule-only keeps expose what the classifier under-weights,
+    * classifier-only keeps expose rules that over-fire. The corpus's
+    * synthetic docs all sit under Gopher's 50-word floor, so the
+    * fixture doubles even-id docs and appends a stopword tail —
+    * making the rule verdict vary with the data and populating all
+    * four cells. Both verdicts are exact integer/decimal arithmetic,
+    * so every cell is engine-reproducible; one map-only rule pass +
+    * the hashed-feature aggregation, joined on doc id. */
+  private val clfW: Seq[Double] = (0 until 16).map(i => ((i * 37) % 16 - 8) / 8.0)
+  private val clfB = 0.25
+
+  val q152 = GQuery(
+    "q152_filter_agreement",
+    (s, d) => {
+      val docs0 = documents(s, d)
+      val enriched = when(col("doc_id") % 2 === 0,
+        concat(col("text"), lit(" "), col("text"),
+          lit(" the and of to in that have with")))
+        .otherwise(col("text"))
+      val docs = docs0.select(col("doc_id"), col("lang"), col("source"),
+        col("n_chars"), enriched.as("text"))
+      val rules = graft.text.GopherRules.flags(
+          graft.core.Widen.widen(docs.select(col("doc_id"), col("lang"), col("text"))),
+          "text")
+        .select(col("doc_id"), col("lang"), col("keep").as("rule_keep"))
+      val wArr = array(clfW.map(lit): _*)
+      val z = graft.stats.HashedLogReg.hashedFeatures(docs, "doc_id", "text",
+          dim = 16, salt = "fh")
+        .withColumn("__t", element_at(wArr, col("idx").cast("int") + 1) * col("cnt"))
+        .groupBy(col("__doc").as("doc_id"))
+        .agg(dsum(col("__t")).as("__z0"))
+      rules.join(z, Seq("doc_id"), "left")
+        .withColumn("clf_keep", (coalesce(col("__z0"), lit(0.0)) + lit(clfB)) >= 0)
+        .groupBy(col("lang"))
+        .agg(
+          lcount(lit(1)).as("n_docs"),
+          lcount(when(col("rule_keep") && col("clf_keep"), 1)).as("n_both"),
+          lcount(when(col("rule_keep") && !col("clf_keep"), 1)).as("n_rule_only"),
+          lcount(when(!col("rule_keep") && col("clf_keep"), 1)).as("n_clf_only"),
+          lcount(when(!col("rule_keep") && !col("clf_keep"), 1)).as("n_neither"))
+    },
+    Some {
+      val wCase = "CASE idx " + clfW.zipWithIndex.map { case (w, i) =>
+        s"WHEN $i THEN $w"
+      }.mkString(" ") + " END"
+      s"""WITH e AS (
+      |  SELECT doc_id, lang,
+      |    CASE WHEN doc_id % 2 = 0
+      |      THEN text || ' ' || text || ' the and of to in that have with'
+      |      ELSE text END AS text
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, lang,
+      |    string_split_regex(trim(text), '\\s+') AS ws,
+      |    string_split(text, chr(10)) AS lines, text AS t2
+      |  FROM e),
+      |r AS (
+      |  SELECT doc_id, lang,
+      |    len(ws) AS nw,
+      |    list_sum(list_transform(ws, x -> length(x))) AS swl,
+      |    len(regexp_extract_all(t2, '#|\\.\\.\\.')) AS nsym,
+      |    len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]'))) AS nbul,
+      |    len(list_filter(lines, l -> regexp_matches(trim(l), '\\.\\.\\.$$'))) AS nell,
+      |    len(lines) AS nl,
+      |    len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS nalpha,
+      |    len(list_filter(['the','be','to','of','and','that','have','with'],
+      |      s -> list_contains(ws, s))) AS nstop
+      |  FROM g),
+      |rk AS (
+      |  SELECT doc_id, lang,
+      |    (nw BETWEEN 50 AND 100000
+      |      AND swl >= 3 * nw AND swl <= 10 * nw
+      |      AND 10 * nsym <= nw
+      |      AND 10 * nbul <= 9 * nl
+      |      AND 10 * nell <= 3 * nl
+      |      AND 5 * nalpha >= 4 * nw
+      |      AND nstop >= 2) AS rule_keep
+      |  FROM r),
+      |tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+      |        FROM e),
+      |h AS (
+      |  SELECT doc_id,
+      |    CAST(('0x' || substr(md5('fh-' || token), 1, 7)) AS BIGINT) % 16 AS idx
+      |  FROM tok),
+      |f AS (SELECT doc_id, idx, COUNT(*) AS cnt FROM h GROUP BY 1, 2),
+      |z AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(CAST(cnt * ($wCase) AS DECIMAL(38,6))) AS DOUBLE) AS z0
+      |  FROM f GROUP BY doc_id),
+      |v AS (
+      |  SELECT rk.lang, rk.rule_keep,
+      |    (COALESCE(z.z0, 0.0) + $clfB) >= 0 AS clf_keep
+      |  FROM rk LEFT JOIN z ON rk.doc_id = z.doc_id)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  COUNT(CASE WHEN rule_keep AND clf_keep THEN 1 END) AS n_both,
+      |  COUNT(CASE WHEN rule_keep AND NOT clf_keep THEN 1 END) AS n_rule_only,
+      |  COUNT(CASE WHEN NOT rule_keep AND clf_keep THEN 1 END) AS n_clf_only,
+      |  COUNT(CASE WHEN NOT rule_keep AND NOT clf_keep THEN 1 END) AS n_neither
+      |FROM v GROUP BY lang""".stripMargin
+    })
+
+  def queries: Seq[GQuery] = Seq(q146, q149, q152)
 }

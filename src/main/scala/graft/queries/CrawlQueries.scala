@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import graft.core.Exact._
 import graft.core.Tables._
@@ -241,5 +242,129 @@ object CrawlQueries {
       |  COUNT(CASE WHEN n_cjk + n_cyr + n_arab + n_greek > n_latin THEN 1 END) AS n_mismatch
       |FROM r GROUP BY lang""".stripMargin))
 
-  def queries: Seq[GQuery] = Seq(q143, q144, q145)
+  /** q150: per-domain census + hash-rank caps (the RefinedWeb-style
+    * domain-balance pass): the crawl rolls up per registrable host
+    * ([[Urls.host]]), then each domain keeps at most 20 documents by
+    * deterministic md5-rank ([[graft.operators.Sampling
+    * .takePerStratum]]) so no single site floods the corpus. The
+    * census bills raw vs kept docs and characters per domain; the
+    * oracle replays the salt-keyed rank order exactly. */
+  val q150 = GQuery(
+    "q150_domain_caps",
+    (s, d) => {
+      val url = concat(lit("https://www.site-"),
+        (col("doc_id") % 12).cast("string"), lit(".org:443/d/"),
+        col("doc_id").cast("string"))
+      val crawl = documents(s, d).select(col("doc_id"), col("n_chars"),
+          url.as("url"))
+        .withColumn("domain", Urls.host(col("url")))
+      val kept = graft.operators.Sampling.takePerStratum(
+        crawl, Seq("domain"), col("doc_id"), n = 20, salt = "domcap")
+      crawl.groupBy(col("domain"))
+        .agg(lcount(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("chars_total"))
+        .join(kept.groupBy(col("domain"))
+          .agg(lcount(lit(1)).as("n_kept"),
+            sum(col("n_chars")).as("chars_kept"),
+            sum(col("doc_id")).as("kept_id_sum")),
+          Seq("domain"))
+    },
+    Some("""WITH c AS (
+      |  SELECT doc_id, n_chars,
+      |    'site-' || (doc_id % 12) || '.org' AS domain
+      |  FROM documents),
+      |ranked AS (
+      |  SELECT doc_id, n_chars, domain,
+      |    row_number() OVER (PARTITION BY domain ORDER BY
+      |      CAST(('0x' || substr(md5('domcap-' || CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT),
+      |      doc_id) AS rn
+      |  FROM c),
+      |raw AS (
+      |  SELECT domain, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS chars_total
+      |  FROM c GROUP BY domain),
+      |kept AS (
+      |  SELECT domain, COUNT(*) AS n_kept,
+      |    CAST(SUM(n_chars) AS BIGINT) AS chars_kept,
+      |    CAST(SUM(doc_id) AS BIGINT) AS kept_id_sum
+      |  FROM ranked WHERE rn <= 20 GROUP BY domain)
+      |SELECT r.domain, r.n_docs, r.chars_total, k.n_kept, k.chars_kept, k.kept_id_sum
+      |FROM raw r JOIN kept k ON r.domain = k.domain""".stripMargin))
+
+  /** q151: incremental URL keep-latest ([[Urls.incrementalKeepLatest]])
+    * — the batch-vs-landed-index arm of q143 (the q88/q133/q142
+    * discipline): a recrawl batch is judged against the landed winner
+    * index without rescanning the landed corpus. The fixture lands the
+    * doc_id % 3 = 0 slice (chrome spellings over a 40-key canonical
+    * space), then probes with the % 3 = 1 slice over a WIDER 56-key
+    * space (batch path ids range over % 7 vs the landed % 5, so some
+    * canonicals are genuinely new) with odd ids recrawling NEWER
+    * (+10⁶ ts) and even ids STALE (−10⁶): new canonicals land, newer
+    * recrawls displace, stale ones and batch-internal losers drop. The oracle derives every canonical
+    * independently from the id arithmetic — pinning that the
+    * canonicalizer maps each spelling onto the intended target. */
+  val q151 = GQuery(
+    "q151_incremental_url_dedup",
+    (s, d) => {
+      def spell(m: Column, k: Column, j: Column) =
+        when(m === 0, concat(lit("https://www.site-"), k, lit(".org/p/"), j))
+          .when(m === 1, concat(lit("HTTPS://SITE-"), k, lit(".ORG:443/p/"), j))
+          .otherwise(concat(lit("https://site-"), k, lit(".org/p/"), j, lit("/")))
+      val k = (col("doc_id") % 8).cast("string")
+      val docs = documents(s, d)
+      val landedCrawl = docs.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("source"),
+          spell(col("doc_id") % 3, k, (col("doc_id") % 5).cast("string")).as("url"),
+          col("doc_id").as("ts"))
+      val landedIdx = Urls.keepLatest(landedCrawl, "url", "ts", "doc_id")
+        .select(col("canonical_url"), col("ts"), col("doc_id"))
+      // the batch path key ranges over % 7 where the landed corpus only
+      // covers % 5 — path ids 5 and 6 are canonicals the index has
+      // never seen, exercising the n_new arm
+      val batch = docs.filter(col("doc_id") % 3 === 1)
+        .select(col("doc_id"), col("source"),
+          spell(col("doc_id") % 2, k, (col("doc_id") % 7).cast("string")).as("url"),
+          (col("doc_id") + when(col("doc_id") % 2 === 1, 1000000L)
+            .otherwise(-1000000L)).as("ts"))
+      Urls.incrementalKeepLatest(batch, landedIdx, "url", "ts", "doc_id")
+        .groupBy(col("source"))
+        .agg(
+          lcount(lit(1)).as("n_batch"),
+          lcount(when(col("batch_winner"), 1)).as("n_winners"),
+          lcount(when(col("kept"), 1)).as("n_kept"),
+          lcount(when(col("kept") && col("landed_ts").isNotNull, 1)).as("n_displaced"),
+          lcount(when(col("kept") && col("landed_ts").isNull, 1)).as("n_new"),
+          sum(when(col("kept"), col("doc_id"))).as("kept_id_sum"))
+    },
+    Some("""WITH landed AS (
+      |  SELECT doc_id, doc_id AS ts,
+      |    'https://site-' || (doc_id % 8) || '.org/p/' || (doc_id % 5) AS canon
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |lw AS (
+      |  SELECT canon, ts, doc_id,
+      |    row_number() OVER (PARTITION BY canon ORDER BY ts DESC, doc_id ASC) AS rn
+      |  FROM landed),
+      |idx AS (SELECT canon, ts AS landed_ts, doc_id AS landed_id FROM lw WHERE rn = 1),
+      |batch AS (
+      |  SELECT doc_id, source,
+      |    'https://site-' || (doc_id % 8) || '.org/p/' || (doc_id % 7) AS canon,
+      |    doc_id + CASE WHEN doc_id % 2 = 1 THEN 1000000 ELSE -1000000 END AS ts
+      |  FROM documents WHERE doc_id % 3 = 1),
+      |bw AS (
+      |  SELECT b.*,
+      |    row_number() OVER (PARTITION BY canon ORDER BY ts DESC, doc_id ASC) AS rn
+      |  FROM batch b),
+      |v AS (
+      |  SELECT bw.source, bw.doc_id, bw.rn = 1 AS batch_winner, i.landed_ts,
+      |    (bw.rn = 1 AND (i.landed_ts IS NULL OR bw.ts > i.landed_ts
+      |      OR (bw.ts = i.landed_ts AND bw.doc_id < i.landed_id))) AS kept
+      |  FROM bw LEFT JOIN idx i ON bw.canon = i.canon)
+      |SELECT source, COUNT(*) AS n_batch,
+      |  COUNT(CASE WHEN batch_winner THEN 1 END) AS n_winners,
+      |  COUNT(CASE WHEN kept THEN 1 END) AS n_kept,
+      |  COUNT(CASE WHEN kept AND landed_ts IS NOT NULL THEN 1 END) AS n_displaced,
+      |  COUNT(CASE WHEN kept AND landed_ts IS NULL THEN 1 END) AS n_new,
+      |  CAST(SUM(CASE WHEN kept THEN doc_id END) AS BIGINT) AS kept_id_sum
+      |FROM v GROUP BY source""".stripMargin))
+
+  def queries: Seq[GQuery] = Seq(q143, q144, q145, q150, q151)
 }

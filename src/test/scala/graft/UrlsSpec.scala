@@ -62,6 +62,40 @@ class UrlsSpec extends SparkSpec {
     assert(kept.filter($"canonical_url".isNull).count() == 2)
   }
 
+  test("host extracts the domain key: lowercase, www and any port stripped") {
+    val h = Seq(
+      "HTTPS://WWW.Example.COM:443/x",
+      "http://sub.example.com:8080/y",
+      "https://example.com",
+      "garbage"
+    ).toDF("u").select(Urls.host($"u")).as[Option[String]].collect().toSeq
+    assert(h == Seq(Some("example.com"), Some("sub.example.com"),
+      Some("example.com"), None))
+  }
+
+  test("incrementalKeepLatest: new lands, newer displaces, stale and batch losers drop") {
+    val landed = Seq(
+      ("https://e.com/a", 100L, 1L),
+      ("https://e.com/b", 200L, 2L)
+    ).toDF("canonical_url", "ts", "id")
+    val batch = Seq(
+      (10L, "https://www.e.com/a", 150L),  // newer than landed 100 → displaces
+      (11L, "https://e.com/b/", 50L),      // loses its batch group to 14 → drops
+      (12L, "https://e.com/c", 10L),       // new canonical → lands
+      (13L, "https://e.com/c", 20L),       // batch winner over 12 (newer)
+      (14L, "https://e.com/b", 200L)       // ts tie with landed id 2; 14 > 2 → drops
+    ).toDF("id", "url", "ts")
+    val out = Urls.incrementalKeepLatest(batch, landed, "url", "ts", "id")
+      .select($"id", $"batch_winner", $"kept", $"landed_ts")
+      .as[(Long, Boolean, Boolean, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(10L) == ((true, true, Some(100L))))
+    assert(out(11L) == ((false, false, Some(200L))))
+    assert(out(12L) == ((false, false, None)))
+    assert(out(13L) == ((true, true, None)))
+    assert(out(14L) == ((true, false, Some(200L))))
+  }
+
   test("keepLatest is deterministic under repartitioning") {
     val crawls = (1L to 200L).map(i =>
       (i, s"https://www.site-${i % 17}.com/p/${i % 7}?utm_source=$i", i)).toDF("id", "url", "ts")
