@@ -1,0 +1,82 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Weighted PageRank over a (src, dst, w) edge list — the link-graph
+  * centrality signal web-scale curation pipelines attach to every
+  * domain before content filtering (a crawl-frontier / source-quality
+  * prior; same role as the harmonic-centrality ranks published with
+  * Common Crawl). The reference pipeline has no link graph — this is
+  * part of the training-data extension surface, upstream of the
+  * domain-cap and URL-dedup stages (q143/q150/q151).
+  *
+  * Execution shape: each iteration is ONE shuffle — edges join the
+  * current rank vector on `src` (both sides hash-partitioned by the
+  * join key), contributions aggregate on `dst` with map-side partial
+  * sums, and the dangling-mass correction is a 1-row scalar aggregate
+  * cross-joined back (never collected). Rank state is a DataFrame of
+  * (node, rank); per-round `localCheckpoint` cuts the doubling lineage
+  * exactly like [[graft.dedup.Components.connected]]. Nothing is ever
+  * driver-resident except the node count.
+  *
+  * Numerics: ranks live in integer units of `scale⁻¹` (default 1e-12)
+  * and every step is int64 arithmetic — `(rank·dampNum div dampDen)·w
+  * div wtot` — so partial sums are associative and the result is
+  * bit-reproducible under any partitioning AND independently
+  * derivable by the DuckDB oracle with the same truncating divisions
+  * (IEEE-double power iteration would be order-dependent across a
+  * shuffle). Overflow headroom: rank ≤ scale = 1e12, so
+  * rank·dampNum ≤ 8.5e13 and contrib·w fits int64 for edge weights
+  * up to ~1e5.
+  */
+object PageRank {
+
+  /** Run `iters` damped power-iteration rounds over `edges` (columns
+    * `src`, `dst`, `w`; self-loops and null endpoints dropped).
+    * Returns (node, rank) with rank in units of 1/scale; total mass ≈
+    * scale (truncating division sheds ≤ n units per round, identically
+    * on the oracle side). Nodes = distinct endpoints; dangling nodes
+    * (no out-edges) spread their damped mass uniformly. */
+  def run(edges: DataFrame, iters: Int,
+          scale: Long = 1000000000000L,
+          dampNum: Long = 85, dampDen: Long = 100): DataFrame = {
+    require(iters >= 1 && dampNum >= 0 && dampNum <= dampDen)
+    // canonicalize: one row per (src, dst), weights summed — truncating
+    // division is NOT distributive over duplicate edge rows
+    // (⌊a·w₁/W⌋ + ⌊a·w₂/W⌋ ≠ ⌊a·(w₁+w₂)/W⌋), so the edge multiset must
+    // be aggregated before the first round for partitioning-invariant,
+    // oracle-reproducible results
+    val e = edges
+      .filter(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
+      .groupBy(col("src"), col("dst")).agg(sum(col("w").cast("long")).as("w"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint(eager = true)
+    val n = nodes.count() // the one driver-side scalar (node count)
+    val out = e.groupBy(col("src")).agg(sum(col("w")).as("wtot"))
+    val base = (scale * (dampDen - dampNum) / dampDen) / n
+
+    var ranks = nodes.withColumn("rank", lit(scale / n))
+    for (_ <- 1 to iters) {
+      // damped mass of nodes with no out-edges, as a 1-row frame
+      val dm = ranks.join(out, ranks("node") === out("src"), "left_anti")
+        .agg(coalesce(sum(col("rank")), lit(0L)).as("dm"))
+      val contribs = e
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .join(out, Seq("src"))
+        .select(col("dst").as("node"),
+          expr(s"(((rank * $dampNum) div $dampDen) * w) div wtot").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("csum"))
+      ranks = nodes
+        .join(contribs, Seq("node"), "left")
+        .crossJoin(dm)
+        .select(col("node"),
+          (lit(base) + coalesce(col("csum"), lit(0L)) +
+            expr(s"((dm * $dampNum) div $dampDen) div $n")).as("rank"))
+        .localCheckpoint(eager = true)
+    }
+    ranks
+  }
+}

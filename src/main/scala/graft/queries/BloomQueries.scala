@@ -1,0 +1,91 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Exact._
+import graft.core.Tables._
+import graft.dedup.Dedup
+import graft.functions.BloomBits
+
+/** Bloom-filter membership dedup — the FIXED-memory incremental arm
+  * of the dedup suite (q88/q142/q151 probe exact landed indexes whose
+  * size tracks the corpus; the Bloom filter answers the same
+  * "possibly landed already?" question from `m` bits regardless of
+  * corpus size, at a measured false-positive rate — the
+  * trillion-token shape, where the filter broadcasts to every
+  * executor and the landed corpus is never rescanned).
+  */
+object BloomQueries {
+
+  private val M = 262144 // bits (4096 packed longs, 32 KiB broadcast)
+  private val K = 4      // hash functions
+
+  private def posSql(rel: String): String =
+    s"""SELECT $rel.*,
+       |    ((CAST(('0x' || substr(md5('bf1-sh' || gram), 1, 7)) AS BIGINT) % $M)
+       |     + s.i * (CAST(('0x' || substr(md5('bf2-sh' || gram), 1, 7)) AS BIGINT) % $M))
+       |    % $M AS pos
+       |  FROM $rel, UNNEST(generate_series(0, ${K - 1})) AS s(i)""".stripMargin
+
+  /** q154: landed 8-gram shingles (docs with `doc_id % 3 != 0`) build
+    * a [[graft.functions.BloomBitsAgg]] bitset; the batch's distinct
+    * (source, gram) keys probe it with built-in `forall`/bit-ops over
+    * the broadcast 1-row filter. The exact landed join exists ONLY to
+    * audit the filter: per source, bloom positives split into true
+    * duplicates and measured false positives (no false negatives by
+    * construction — BloomBitsSpec asserts it). The oracle re-derives
+    * the identical bit positions, so the filter's exact false-positive
+    * behavior sits under the hash gate. */
+  val q154 = GQuery(
+    "q154_bloom_shingle_filter",
+    (s, d) => {
+      BloomBits.register(s)
+      val g = Dedup.shingleIndex(documents(s, d), "doc_id", "text", k = 8)
+      val landed = g.filter(col("doc") % 3 =!= 0).select(col("shingle")).distinct()
+      val bits = landed
+        .select(explode(BloomBits.positions(col("shingle"), K, M, "sh")).as("pos"))
+        .agg(expr(s"bloom_bits(pos, $M)").as("bits"))
+      val srcOf = documents(s, d).select(col("doc_id").as("doc"), col("source"))
+      val batch = g.filter(col("doc") % 3 === 0)
+        .join(broadcast(srcOf), Seq("doc"))
+        .select(col("source"), col("shingle")).distinct()
+      batch
+        .withColumn("pos_arr", BloomBits.positions(col("shingle"), K, M, "sh"))
+        .crossJoin(broadcast(bits))
+        .withColumn("maybe", BloomBits.mightContain("bits", "pos_arr"))
+        .join(landed.withColumn("__in", lit(1)), Seq("shingle"), "left")
+        .groupBy(col("source"))
+        .agg(
+          lcount(lit(1)).as("n_grams"),
+          sum(when(col("maybe"), 1L).otherwise(0L)).as("n_maybe"),
+          sum(when(col("__in") === 1, 1L).otherwise(0L)).as("n_true_dup"),
+          sum(when(col("maybe") && col("__in").isNull, 1L).otherwise(0L))
+            .as("n_false_pos"))
+    },
+    Some(s"""WITH t AS (
+      |  SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS ws
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, source, array_to_string(ws[u.i:u.i+7], ' ') AS gram
+      |  FROM t, UNNEST(generate_series(1, len(ws) - 7)) AS u(i)),
+      |landed AS (SELECT DISTINCT gram FROM g WHERE doc_id % 3 != 0),
+      |lpos AS (SELECT DISTINCT pos FROM (${posSql("landed")})),
+      |batch AS (SELECT DISTINCT source, gram FROM g WHERE doc_id % 3 = 0),
+      |bpos AS (${posSql("batch")}),
+      |mb AS (
+      |  SELECT b.source, b.gram,
+      |    MIN(CASE WHEN l.pos IS NULL THEN 0 ELSE 1 END) AS allhit
+      |  FROM bpos b LEFT JOIN lpos l ON b.pos = l.pos
+      |  GROUP BY b.source, b.gram),
+      |fin AS (
+      |  SELECT m.source, m.allhit,
+      |    CASE WHEN ld.gram IS NULL THEN 0 ELSE 1 END AS tru
+      |  FROM mb m LEFT JOIN landed ld ON m.gram = ld.gram)
+      |SELECT source, COUNT(*) AS n_grams,
+      |  CAST(SUM(allhit) AS BIGINT) AS n_maybe,
+      |  CAST(SUM(tru) AS BIGINT) AS n_true_dup,
+      |  CAST(SUM(CASE WHEN allhit = 1 AND tru = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_false_pos
+      |FROM fin GROUP BY source""".stripMargin))
+
+  def queries: Seq[GQuery] = Seq(q154)
+}

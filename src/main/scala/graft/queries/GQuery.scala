@@ -36,7 +36,9 @@ object Registry {
       EndToEndQueries.queries ++
       SamplingQueries.queries ++
       CrawlQueries.queries ++
-      CorpusStatQueries.queries
+      CorpusStatQueries.queries ++
+      GraphQueries.queries ++
+      BloomQueries.queries
 
   def byName: Map[String, GQuery] = all.map(q => q.name -> q).toMap
 }

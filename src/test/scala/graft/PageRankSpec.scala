@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.graph.PageRank
+
+class PageRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val S = 1000000000000L
+
+  /** Driver-side reference: the same integer power iteration, computed
+    * with plain Scala maps — validates the distributed plan against an
+    * independently-coded single-node derivation. */
+  private def reference(edges: Seq[(String, String, Long)], iters: Int): Map[String, Long] = {
+    val e = edges.filter(t => t._1 != t._2)
+      .groupBy(t => (t._1, t._2)).map { case ((s0, d0), g) => (s0, d0, g.map(_._3).sum) }.toSeq
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct.sorted
+    val n = nodes.length
+    val wtot = e.groupBy(_._1).map { case (k, g) => k -> g.map(_._3).sum }
+    val base = (S * 15 / 100) / n
+    var rank = nodes.map(_ -> S / n).toMap
+    for (_ <- 1 to iters) {
+      val dm = nodes.filterNot(wtot.contains).map(rank).sum
+      val contrib = e.groupBy(_._2).map { case (dst, g) =>
+        dst -> g.map { case (src, _, w) => ((rank(src) * 85 / 100) * w) / wtot(src) }.sum
+      }
+      rank = nodes.map(v => v -> (base + contrib.getOrElse(v, 0L) + (dm * 85 / 100) / n)).toMap
+    }
+    rank
+  }
+
+  private def run(edges: Seq[(String, String, Long)], iters: Int): Map[String, Long] =
+    PageRank.run(edges.toDF("src", "dst", "w"), iters)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("triangle with a sink matches the single-node reference") {
+    val edges = Seq(
+      ("a", "b", 1L), ("b", "c", 1L), ("c", "a", 1L), // cycle
+      ("a", "d", 1L))                                 // d is dangling
+    assert(run(edges, 4) == reference(edges, 4))
+  }
+
+  test("weighted edges shift mass toward the heavier target") {
+    val edges = Seq(("a", "b", 9L), ("a", "c", 1L), ("b", "a", 1L), ("c", "a", 1L))
+    val got = run(edges, 4)
+    assert(got == reference(edges, 4))
+    assert(got("b") > got("c"))
+  }
+
+  test("rank mass is conserved up to truncation shed") {
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(300)(
+      (s"n${rnd.nextInt(40)}", s"n${rnd.nextInt(40)}", 1L + rnd.nextInt(3).toLong))
+    val got = run(edges, 4)
+    val total = got.values.sum
+    // each round sheds < 1 unit per node per truncating division (3 divs)
+    assert(total <= S && total >= S - 4L * 40 * 3)
+    assert(got == reference(edges, 4))
+  }
+
+  test("result is invariant under input partitioning") {
+    val rnd = new scala.util.Random(11)
+    val edges = Seq.fill(200)(
+      (s"n${rnd.nextInt(25)}", s"n${rnd.nextInt(25)}", 1L))
+    val df = edges.toDF("src", "dst", "w")
+    val a = PageRank.run(df.repartition(1), 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = PageRank.run(df.repartition(13, col("dst")), 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
+}
