@@ -132,4 +132,39 @@ object Multimodal {
                          stride: Int): DataFrame =
     df.select(col(idCol), explode(
       sequence(lit(0), greatest(col(nFramesCol) - 1, lit(0)), lit(stride))).as("frame_idx"))
+
+  /** Uniform k-frame sampling MANIFEST over the payload bytes
+    * themselves: the payload is treated as `n_bytes / frameBytes`
+    * fixed-size frames (the stub stand-in for container parsing), and
+    * for each sample slot `j < k` the frame at `⌊j·nFrames/k⌋` is
+    * sliced out and fingerprinted (md5 over its UPPERCASE hex — the
+    * q71 digest convention, so an oracle without binary md5 replays
+    * it). Frames repeat when `nFrames < k`, exactly like uniform
+    * sampling of a short clip; zero-frame payloads emit nothing.
+    *
+    * One per-partition pass (the mapInPandas batch shape); output is
+    * (id, frame_no, frame_idx, byte_offset, frame_sig) — the manifest
+    * a real decoder would consume, with the slice fingerprint standing
+    * in for the decoded frame. */
+  def sampleFrames(df: DataFrame, idCol: String, binCol: String,
+                   frameBytes: Int, k: Int): DataFrame = {
+    require(frameBytes > 0 && k > 0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val nf = if (bytes == null) 0 else bytes.length / frameBytes
+        if (nf <= 0) Iterator.empty
+        else (0 until k).iterator.map { j =>
+          val idx = j * nf / k
+          val off = idx * frameBytes
+          val hex = bytes.slice(off, off + frameBytes).map("%02X".format(_)).mkString
+          val sig = java.security.MessageDigest.getInstance("MD5")
+            .digest(hex.getBytes("UTF-8")).map("%02x".format(_)).mkString
+          (id, j, idx, off.toLong, sig)
+        }
+      }
+      .toDF(idCol, "frame_no", "frame_idx", "byte_offset", "frame_sig")
+  }
 }

@@ -39,7 +39,15 @@ object BloomQueries {
     "q154_bloom_shingle_filter",
     (s, d) => {
       BloomBits.register(s)
+      // one tokenize+shingle pass shared by the three consumers (landed
+      // bloom build, landed audit join, batch probe) — the CPU-dense
+      // stage would otherwise run once per subtree, and an eager
+      // checkpoint is required: a lazy one races when AQE submits the
+      // independent consumer stages concurrently, and each then
+      // materializes the pass itself (measured at sf0.1: 3 heavy
+      // stages lazy vs 1 eager)
       val g = Dedup.shingleIndex(documents(s, d), "doc_id", "text", k = 8)
+        .localCheckpoint(eager = true)
       val landed = g.filter(col("doc") % 3 =!= 0).select(col("shingle")).distinct()
       val bits = landed
         .select(explode(BloomBits.positions(col("shingle"), K, M, "sh")).as("pos"))
@@ -87,5 +95,73 @@ object BloomQueries {
       |    AS n_false_pos
       |FROM fin GROUP BY source""".stripMargin))
 
-  def queries: Seq[GQuery] = Seq(q154)
+  /** q156: the sharded streaming Bloom filter
+    * ([[graft.streaming.StreamBloom.dedup]]) run in its batch mode over
+    * a deterministic key stream (`'k' || doc_id % 211`, ts = doc_id) —
+    * the SAME code path a stream executes per micro-batch, so the
+    * state-machine semantics (per-shard filter, (ts, key) processing
+    * order, probe-then-insert) sit under the hash gate. The oracle
+    * replays the filter declaratively: an occurrence is "maybe seen"
+    * iff each of its bit positions was set by SOME strictly-earlier
+    * occurrence in its shard. True duplicates (an earlier occurrence
+    * of the same key anywhere) split the positives into real hits and
+    * audited false positives, as in q154. */
+  val q156 = GQuery(
+    "q156_bloom_stream_parity",
+    (s, d) => {
+      val Sh = 4; val M2 = 2048; val K2 = 3; val Tag = "st"
+      val keys = documents(s, d).select(
+        col("doc_id").as("ts"),
+        concat(lit("k"), col("doc_id") % 211).as("key"),
+        col("source"))
+      val verdicts = graft.streaming.StreamBloom.dedup(
+        keys, "key", "ts", Sh, M2, K2, Tag)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("key")).orderBy(col("ts"))
+      val withTrue = verdicts
+        .withColumn("is_dup", row_number().over(w) > 1)
+        .join(keys.select(col("ts"), col("source")), Seq("ts"))
+      withTrue.groupBy(col("source"))
+        .agg(
+          lcount(lit(1)).as("n_keys"),
+          sum(when(col("maybe_seen"), 1L).otherwise(0L)).as("n_maybe"),
+          sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_true_dup"),
+          sum(when(col("maybe_seen") && !col("is_dup"), 1L).otherwise(0L))
+            .as("n_false_pos"))
+    },
+    Some(s"""WITH keys AS (
+      |  SELECT doc_id AS ts, 'k' || (doc_id % 211) AS key, source FROM documents),
+      |sh AS (
+      |  SELECT ts, key, source,
+      |    CAST(('0x' || substr(md5('bs-st' || key), 1, 7)) AS BIGINT) % 4 AS shard
+      |  FROM keys),
+      |kp AS (
+      |  SELECT key,
+      |    ((CAST(('0x' || substr(md5('bf1-st' || key), 1, 7)) AS BIGINT) % 2048)
+      |     + s.i * (CAST(('0x' || substr(md5('bf2-st' || key), 1, 7)) AS BIGINT) % 2048))
+      |    % 2048 AS pos
+      |  FROM (SELECT DISTINCT key FROM keys) k, UNNEST(generate_series(0, 2)) AS s(i)),
+      |cov AS (
+      |  SELECT o.ts, o.source, o.key,
+      |    MIN(CASE WHEN EXISTS (
+      |      SELECT 1 FROM sh r JOIN kp rp ON rp.key = r.key
+      |      WHERE r.shard = o.shard AND rp.pos = p.pos
+      |        AND (r.ts < o.ts OR (r.ts = o.ts AND r.key < o.key))
+      |    ) THEN 1 ELSE 0 END) AS maybe
+      |  FROM sh o JOIN kp p ON p.key = o.key
+      |  GROUP BY o.ts, o.source, o.key),
+      |fin AS (
+      |  SELECT c.source, c.maybe,
+      |    CASE WHEN EXISTS (
+      |      SELECT 1 FROM sh r WHERE r.key = c.key AND r.ts < c.ts
+      |    ) THEN 1 ELSE 0 END AS tru
+      |  FROM cov c)
+      |SELECT source, COUNT(*) AS n_keys,
+      |  CAST(SUM(maybe) AS BIGINT) AS n_maybe,
+      |  CAST(SUM(tru) AS BIGINT) AS n_true_dup,
+      |  CAST(SUM(CASE WHEN maybe = 1 AND tru = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_false_pos
+      |FROM fin GROUP BY source""".stripMargin))
+
+  def queries: Seq[GQuery] = Seq(q154, q156)
 }

@@ -532,6 +532,53 @@ object MiscQueries {
       |FROM k JOIN g ON k.key = g.key
       |GROUP BY k.lang""".stripMargin))
 
+  /** q155: uniform frame-sampling manifest over video-like payloads
+    * ([[graft.multimodal.Multimodal.sampleFrames]]) — payloads are
+    * md5-repeat synthesized (16–128 bytes), treated as 8-byte frames,
+    * and each gets k=4 uniformly-spaced samples; the manifest rolls up
+    * per (lang, frame_no) with a distinct-fingerprint census and a
+    * sig checksum. The oracle re-slices the same frames out of the hex
+    * spelling and re-derives every fingerprint — the sampling
+    * arithmetic AND the slice content sit under the hash gate. */
+  val q155 = GQuery(
+    "q155_frame_sample_manifest",
+    (s, d) => {
+      val payloads = documents(s, d).select(
+        col("doc_id"), col("lang"),
+        expr("unhex(repeat(md5(text), cast(1 + n_chars % 8 as int)))").as("payload"))
+      val manifest = graft.multimodal.Multimodal.sampleFrames(
+        payloads, "doc_id", "payload", frameBytes = 8, k = 4)
+      manifest
+        .join(broadcast(documents(s, d).select(col("doc_id"), col("lang"))),
+          Seq("doc_id"))
+        .groupBy(col("lang"), col("frame_no"))
+        .agg(
+          lcount(lit(1)).as("n"),
+          countDistinct(conv(substring(col("frame_sig"), 1, 7), 16, 10)
+            .cast("long")).cast("long").as("n_distinct"),
+          sum(col("byte_offset")).as("offset_sum"),
+          sum(conv(substring(col("frame_sig"), 1, 7), 16, 10).cast("long"))
+            .as("sig_sum"))
+    },
+    Some("""WITH p AS (
+      |  SELECT doc_id, lang, upper(repeat(md5(text), 1 + n_chars % 8)) AS hx
+      |  FROM documents),
+      |f AS (SELECT doc_id, lang, (length(hx) // 2) // 8 AS nf, hx FROM p),
+      |s AS (
+      |  SELECT doc_id, lang, j.j AS frame_no, (j.j * nf) // 4 AS frame_idx, hx
+      |  FROM f, UNNEST(generate_series(0, 3)) AS j(j)
+      |  WHERE nf > 0),
+      |m AS (
+      |  SELECT lang, frame_no, frame_idx * 8 AS byte_offset,
+      |    CAST(('0x' || substr(md5(substr(hx, CAST(frame_idx * 16 + 1 AS INT), 16)), 1, 7))
+      |      AS BIGINT) AS sig
+      |  FROM s)
+      |SELECT lang, CAST(frame_no AS INT) AS frame_no, COUNT(*) AS n,
+      |  CAST(COUNT(DISTINCT sig) AS BIGINT) AS n_distinct,
+      |  CAST(SUM(byte_offset) AS BIGINT) AS offset_sum,
+      |  CAST(SUM(sig) AS BIGINT) AS sig_sum
+      |FROM m GROUP BY lang, frame_no""".stripMargin))
+
   def queries: Seq[GQuery] =
-    Seq(q45, q46, q47, q49, q52, q59, q62, q63, q64, q67, q69, q71, q148)
+    Seq(q45, q46, q47, q49, q52, q59, q62, q63, q64, q67, q69, q71, q148, q155)
 }

@@ -56,4 +56,37 @@ class MultimodalSpec extends SparkSpec {
     assert(plain(1L).length == 8)
   }
 
+  test("sampleFrames: uniform indexes, in-bounds offsets, short-clip repeats") {
+    // 20-byte payload, 8-byte frames -> nf = 2; k = 4 slots repeat frames
+    val bytes20 = Array.tabulate(20)(_.toByte)
+    val bytes64 = Array.tabulate(64)(i => (i * 3).toByte)
+    val df = Seq((1L, bytes20), (2L, bytes64), (3L, Array.empty[Byte]))
+      .toDF("id", "payload")
+    val got = Multimodal.sampleFrames(df, "id", "payload", frameBytes = 8, k = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+      .toSet
+    // id 1: nf=2, idx = j*2/4 = 0,0,1,1 ; id 2: nf=8, idx = 0,2,4,6 ; id 3: none
+    assert(got == Set(
+      (1L, 0, 0, 0L), (1L, 1, 0, 0L), (1L, 2, 1, 8L), (1L, 3, 1, 8L),
+      (2L, 0, 0, 0L), (2L, 1, 2, 16L), (2L, 2, 4, 32L), (2L, 3, 6, 48L)))
+  }
+
+  test("sampleFrames fingerprints are slice-content hashes, stable under repartition") {
+    val rnd = new scala.util.Random(3)
+    val rows = (1L to 60L).map(i =>
+      (i, Array.fill(8 + rnd.nextInt(90))(rnd.nextInt(256).toByte)))
+    val df = rows.toDF("id", "payload")
+    def sigs(parts: Int) = Multimodal.sampleFrames(
+        df.repartition(parts), "id", "payload", frameBytes = 8, k = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getString(4)).toMap
+    val a = sigs(1)
+    assert(a == sigs(7))
+    // reference fingerprint for one known slice
+    val (id0, b0) = rows.head
+    val nf = b0.length / 8
+    val hex = b0.slice(0, 8).map("%02X".format(_)).mkString
+    val want = java.security.MessageDigest.getInstance("MD5")
+      .digest(hex.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(nf > 0 && a((id0, 0)) == want)
+  }
 }
