@@ -204,4 +204,40 @@ class PlanSpec extends SparkSpec {
     val p = plan("q136_hybrid_rrf")
     assert(!p.contains("CartesianProduct"), s"fusion must stay key-joined:\n$p")
   }
+
+  test("q153: pagerank output joins stay node-keyed; no cartesian anywhere") {
+    val p = plan("q153_pagerank_domains")
+    assert(!p.contains("CartesianProduct"), s"pagerank must stay key-joined:\n$p")
+    // the rank state is a checkpoint scan, not a re-derivation of the
+    // whole iteration lineage (localCheckpoint per round)
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
+      s"rank state should be checkpoint-backed:\n$p")
+  }
+
+  test("q154: bloom probe broadcasts the 1-row filter; the only scan is the dim side") {
+    val p = plan("q154_bloom_shingle_filter")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    // the gram index is a shared checkpoint: documents is scanned only
+    // for the broadcast source dim, not once per consumer subtree
+    assert("FileScan".r.findAllIn(p).length <= 1,
+      s"gram pass must be shared, not re-derived per consumer:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the 1-row bitset must broadcast:\n$p")
+  }
+
+  test("q156: streaming-bloom batch arm plans the state operator, keyed joins only") {
+    val p = plan("q156_bloom_stream_parity")
+    // batch mode plans the group-iteration operator as MapGroups (state
+    // is trivially empty); a stream plans FlatMapGroupsWithState
+    assert(p.contains("MapGroups") || p.contains("FlatMapGroupsWithState"),
+      s"state operator missing:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
+  test("q155: frame manifest is one pass + broadcast lang dim + one final shuffle") {
+    val p = plan("q155_frame_sample_manifest")
+    assert(p.contains("BroadcastHashJoin"), s"lang dim must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"manifest must not shuffle-join:\n$p")
+  }
 }
