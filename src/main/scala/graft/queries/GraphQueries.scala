@@ -68,9 +68,21 @@ object GraphQueries {
           coalesce(col("in_w"), lit(0L)).as("in_w"),
           coalesce(col("out_w"), lit(0L)).as("out_w"))
     },
-    Some {
-      val rounds = (1 to Iters).map(i => iterCte(s"r${i - 1}", s"r$i")).mkString(",\n")
-      s"""WITH raw AS (
+    Some(s"""WITH $linkGraphCtes,
+      |inw AS (SELECT dst AS node, CAST(SUM(w) AS BIGINT) AS in_w FROM e GROUP BY dst),
+      |outw AS (SELECT src AS node, CAST(SUM(w) AS BIGINT) AS out_w FROM e GROUP BY src)
+      |SELECT r.node AS domain, r.rank AS rank_e12,
+      |  COALESCE(i.in_w, 0) AS in_w, COALESCE(ou.out_w, 0) AS out_w
+      |FROM r$Iters r
+      |LEFT JOIN inw i ON r.node = i.node
+      |LEFT JOIN outw ou ON r.node = ou.node""".stripMargin),
+    headline = true)
+
+  /** Shared oracle prefix: the synthesized link graph and the unrolled
+    * 4-round integer power iteration (r0..r4). */
+  private lazy val linkGraphCtes: String = {
+    val rounds = (1 to Iters).map(i => iterCte(s"r${i - 1}", s"r$i")).mkString(",\n")
+    s"""raw AS (
       |  SELECT 'd' || (doc_id % $M) AS src, 'd' || ((doc_id * 7 + 13) % $M) AS dst
       |  FROM documents
       |  UNION ALL
@@ -82,16 +94,125 @@ object GraphQueries {
       |o AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wtot FROM e GROUP BY src),
       |r0 AS (SELECT node, CAST($Scale // (SELECT COUNT(*) FROM nodes) AS BIGINT) AS rank
       |       FROM nodes),
-      |$rounds,
-      |inw AS (SELECT dst AS node, CAST(SUM(w) AS BIGINT) AS in_w FROM e GROUP BY dst),
-      |outw AS (SELECT src AS node, CAST(SUM(w) AS BIGINT) AS out_w FROM e GROUP BY src)
-      |SELECT r.node AS domain, r.rank AS rank_e12,
-      |  COALESCE(i.in_w, 0) AS in_w, COALESCE(ou.out_w, 0) AS out_w
-      |FROM r$Iters r
-      |LEFT JOIN inw i ON r.node = i.node
-      |LEFT JOIN outw ou ON r.node = ou.node""".stripMargin
-    },
-    headline = true)
+      |$rounds""".stripMargin
+  }
 
-  def queries: Seq[GQuery] = Seq(q153)
+  /** The same synthesized edge list, Spark side. */
+  private def linkEdges(s: org.apache.spark.sql.SparkSession, d: String) =
+    documents(s, d).select(col("doc_id"))
+      .select(col("doc_id"), explode(array(
+        (col("doc_id") * 7 + 13) % M,
+        (col("doc_id") * 13 + 29) % M,
+        (col("doc_id") * 31 + 7) % M)).as("t"))
+      .select(concat(lit("d"), col("doc_id") % M).as("src"),
+        concat(lit("d"), col("t")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .groupBy(col("src"), col("dst")).agg(lcount(lit(1)).as("w"))
+
+  /** q157: crawl-frontier budget allocation — the stage that turns the
+    * domain-quality priors into a next-crawl plan: PageRank centrality
+    * (q153's graph) blends with per-domain content density (mean token
+    * count over the domain's docs, 1000-scaled) into an integer
+    * priority, and a 1,000,000-page crawl budget allocates
+    * proportionally (truncating division, so the allocation is
+    * bit-exact on both engines). Output: the top 25 domains by
+    * priority with their page budgets. */
+  val q157 = GQuery(
+    "q157_crawl_frontier",
+    (s, d) => {
+      val pr = PageRank.run(linkEdges(s, d), iters = Iters, scale = Scale)
+      val tok = documents(s, d)
+        .select(concat(lit("d"), col("doc_id") % M).as("node"),
+          size(graft.text.TextFunctions.wsTokens(col("text"))).cast("long").as("n_tok"))
+        .groupBy(col("node"))
+        .agg(lcount(lit(1)).as("n_docs"), sum(col("n_tok")).as("tok_sum"))
+      val pri = pr.join(tok, Seq("node"), "left")
+        .select(col("node").as("domain"), col("rank").as("rank_e12"),
+          coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+          expr("CASE WHEN n_docs > 0 THEN (tok_sum * 1000) div n_docs ELSE 0 END")
+            .as("tok_per_k"))
+        .withColumn("priority", expr("(rank_e12 div 1000) * tok_per_k"))
+      val total = pri.agg(sum(col("priority")).as("tp"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("priority").desc, col("domain"))
+      pri.crossJoin(total)
+        .withColumn("alloc", expr("(priority * 1000000) div tp"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 25)
+        .drop("tp")
+    },
+    Some(s"""WITH $linkGraphCtes,
+      |tok AS (
+      |  SELECT 'd' || (doc_id % $M) AS node, COUNT(*) AS n_docs,
+      |    CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS tok_sum
+      |  FROM documents GROUP BY 1),
+      |pri AS (
+      |  SELECT r.node AS domain, r.rank AS rank_e12,
+      |    CAST(COALESCE(t.n_docs, 0) AS BIGINT) AS n_docs,
+      |    CAST(CASE WHEN t.n_docs > 0 THEN (t.tok_sum * 1000) // t.n_docs ELSE 0 END
+      |      AS BIGINT) AS tok_per_k
+      |  FROM r$Iters r LEFT JOIN tok t ON r.node = t.node),
+      |pri2 AS (
+      |  SELECT *, (rank_e12 // 1000) * tok_per_k AS priority FROM pri),
+      |fin AS (
+      |  SELECT *,
+      |    CAST((priority * 1000000) // (SELECT SUM(priority) FROM pri2) AS BIGINT)
+      |      AS alloc,
+      |    ROW_NUMBER() OVER (ORDER BY priority DESC, domain) AS rn
+      |  FROM pri2)
+      |SELECT domain, rank_e12, n_docs, tok_per_k, CAST(priority AS BIGINT) AS priority,
+      |  alloc, CAST(rn AS BIGINT) AS rn
+      |FROM fin WHERE rn <= 25""".stripMargin))
+
+  /** q158: anchor-text aggregation — the web-graph signal retrieval
+    * and quality classifiers consume per TARGET: every link carries
+    * the linking doc's leading bigram as its anchor, and each target
+    * domain keeps its top-3 anchors by link count (exact, ties to the
+    * lexicographically-smaller anchor). The anchor census shuffles
+    * once on (dst, anchor) and once on dst for the ranking window —
+    * never on the raw link list. */
+  val q158 = GQuery(
+    "q158_anchor_text",
+    (s, d) => {
+      val anchors = documents(s, d)
+        .select(col("doc_id"),
+          array_join(slice(graft.text.TextFunctions.wsTokens(col("text")), 1, 2), " ")
+            .as("anchor"))
+        .select(col("doc_id"), col("anchor"), explode(array(
+          (col("doc_id") * 7 + 13) % M,
+          (col("doc_id") * 13 + 29) % M,
+          (col("doc_id") * 31 + 7) % M)).as("t"))
+        .select(concat(lit("d"), col("doc_id") % M).as("src"),
+          concat(lit("d"), col("t")).as("dst"), col("anchor"))
+        .filter(col("src") =!= col("dst"))
+      val counts = anchors.groupBy(col("dst"), col("anchor"))
+        .agg(lcount(lit(1)).as("n_links"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("dst")).orderBy(col("n_links").desc, col("anchor"))
+      counts.withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select(col("dst").as("domain"), col("rn"), col("anchor"), col("n_links"))
+    },
+    Some(s"""WITH a AS (
+      |  SELECT doc_id,
+      |    array_to_string(string_split_regex(trim(text), '\\s+')[1:2], ' ') AS anchor
+      |  FROM documents),
+      |l AS (
+      |  SELECT 'd' || (doc_id % $M) AS src, 'd' || ((doc_id * 7 + 13) % $M) AS dst,
+      |    anchor FROM a
+      |  UNION ALL
+      |  SELECT 'd' || (doc_id % $M), 'd' || ((doc_id * 13 + 29) % $M), anchor FROM a
+      |  UNION ALL
+      |  SELECT 'd' || (doc_id % $M), 'd' || ((doc_id * 31 + 7) % $M), anchor FROM a),
+      |c AS (
+      |  SELECT dst, anchor, COUNT(*) AS n_links FROM l
+      |  WHERE src != dst GROUP BY dst, anchor),
+      |r AS (
+      |  SELECT dst, anchor, n_links,
+      |    ROW_NUMBER() OVER (PARTITION BY dst ORDER BY n_links DESC, anchor) AS rn
+      |  FROM c)
+      |SELECT dst AS domain, CAST(rn AS BIGINT) AS rn, anchor, n_links
+      |FROM r WHERE rn <= 3""".stripMargin))
+
+  def queries: Seq[GQuery] = Seq(q153, q157, q158)
 }
