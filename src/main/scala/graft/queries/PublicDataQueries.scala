@@ -273,5 +273,44 @@ object PublicDataQueries {
       |  CAST(floor(cpue * 1e9 + 0.5) AS BIGINT) AS cpue_e9
       |FROM med WHERE cpue IS NOT NULL""".stripMargin))
 
-  def queries: Seq[GQuery] = Seq(q75, q76, q79, q80)
+  /** q159: k-anonymity audit on a publishable grain — the governance
+    * gate behind the export anonymization (q79/q85 hash ids; this
+    * measures whether the QUASI-identifiers that survive hashing
+    * still isolate individuals). Equivalence classes over (segment,
+    * nation, account-balance bin); per segment: class census, the
+    * minimum class size (the k in k-anonymity), and the suppression
+    * bill if classes under k=5 were withheld. One two-level
+    * aggregation — the standard census shape at any scale. */
+  val q159 = GQuery(
+    "q159_k_anonymity",
+    (s, d) => {
+      val qi = customer(s, d).select(
+        col("c_mktsegment").as("segment"),
+        col("c_nationkey").as("nation"),
+        floor(col("c_acctbal") / 1000.0).cast("long").as("bal_bin"))
+      qi.groupBy(col("segment"), col("nation"), col("bal_bin"))
+        .agg(lcount(lit(1)).as("cls_n"))
+        .groupBy(col("segment"))
+        .agg(
+          sum(col("cls_n")).as("n_rows"),
+          lcount(lit(1)).as("n_classes"),
+          min(col("cls_n")).as("k_anonymity"),
+          sum(when(col("cls_n") < 5, 1L).otherwise(0L)).as("n_small_classes"),
+          sum(when(col("cls_n") < 5, col("cls_n")).otherwise(lit(0L)))
+            .as("n_suppressed"))
+    },
+    Some("""WITH qi AS (
+      |  SELECT c_mktsegment AS segment, c_nationkey AS nation,
+      |    CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_bin
+      |  FROM customer),
+      |cls AS (
+      |  SELECT segment, nation, bal_bin, COUNT(*) AS cls_n
+      |  FROM qi GROUP BY segment, nation, bal_bin)
+      |SELECT segment, CAST(SUM(cls_n) AS BIGINT) AS n_rows,
+      |  COUNT(*) AS n_classes, MIN(cls_n) AS k_anonymity,
+      |  CAST(SUM(CASE WHEN cls_n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_small_classes,
+      |  CAST(SUM(CASE WHEN cls_n < 5 THEN cls_n ELSE 0 END) AS BIGINT) AS n_suppressed
+      |FROM cls GROUP BY segment""".stripMargin))
+
+  def queries: Seq[GQuery] = Seq(q75, q76, q79, q80, q159)
 }
