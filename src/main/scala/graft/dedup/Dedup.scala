@@ -669,4 +669,38 @@ object Dedup {
         (sum(col("__agree")).cast("double") /
           (lit(numPerms).cast("double") * count(lit(1)))).as("mean_est"))
   }
+
+  /** LSH band planning (the datasketch `optimal_param` table): for a
+    * permutation budget and a set of target Jaccard thresholds, score
+    * every (bands, rowsPerBand) factorization by its S-curve error —
+    * false-positive area below the threshold (∫₀ᵗ P(s) ds) plus
+    * false-negative area above it (∫ₜ¹ 1−P(s) ds), P(s) = 1−(1−sʳ)ᵇ,
+    * on a fixed 1/100 grid. Each grid probability is e9-FLOORED before
+    * summation, so the areas are exact integer sums (order-independent,
+    * engine-replayable) and the per-threshold ranking (`rn`, cost then
+    * fewer bands) is deterministic. This is how the 16-perm 4×4
+    * defaults of [[minhashLshPairs]] are justified — and re-derived for
+    * any other budget. */
+  def lshPlan(spark: org.apache.spark.sql.SparkSession, nPerms: Int,
+              thresholdsPct: Seq[Int]): DataFrame = {
+    import spark.implicits._
+    require(nPerms > 0 && thresholdsPct.nonEmpty)
+    val cfgs = (1 to nPerms).filter(nPerms % _ == 0).map(b => (b, nPerms / b))
+      .toDF("b", "r")
+    val p = cfgs.crossJoin(thresholdsPct.toDF("t_pct"))
+      .select(col("t_pct"), col("b"), col("r"),
+        explode(sequence(lit(1), lit(99))).as("i"))
+      .withColumn("p_e9", floor(
+        (lit(1.0) - pow(lit(1.0) - pow(col("i") / lit(100.0),
+          col("r").cast("double")), col("b").cast("double"))) * lit(1000000000.0)))
+    p.groupBy(col("t_pct"), col("b"), col("r"))
+      .agg(
+        expr("sum(CASE WHEN i < t_pct THEN p_e9 ELSE 0 END) div 100").as("fp_e9"),
+        expr("sum(CASE WHEN i >= t_pct THEN 1000000000 - p_e9 ELSE 0 END) div 100")
+          .as("fn_e9"))
+      .withColumn("cost_e9", col("fp_e9") + col("fn_e9"))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("t_pct")).orderBy(col("cost_e9"), col("b"))).cast("long"))
+  }
 }

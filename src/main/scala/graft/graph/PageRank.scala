@@ -40,7 +40,24 @@ object PageRank {
     * (no out-edges) spread their damped mass uniformly. */
   def run(edges: DataFrame, iters: Int,
           scale: Long = 1000000000000L,
-          dampNum: Long = 85, dampDen: Long = 100): DataFrame = {
+          dampNum: Long = 85, dampDen: Long = 100): DataFrame =
+    iterate(edges, None, iters, scale, dampNum, dampDen)
+
+  /** Warm-start power iteration — the incremental-crawl path: when an
+    * edge batch lands, ranks re-converge from the PREVIOUS rank vector
+    * in a round or two instead of `iters` rounds from uniform (nodes
+    * absent from `ranks0` — newly discovered — start at the uniform
+    * share of the NEW node count). The warm start is the standard
+    * approximation; what is NOT approximate is reproducibility: the
+    * same integer arithmetic, so an oracle replays the warm rounds
+    * exactly. */
+  def continueFrom(edges: DataFrame, ranks0: DataFrame, iters: Int,
+                   scale: Long = 1000000000000L,
+                   dampNum: Long = 85, dampDen: Long = 100): DataFrame =
+    iterate(edges, Some(ranks0), iters, scale, dampNum, dampDen)
+
+  private def iterate(edges: DataFrame, ranks0: Option[DataFrame], iters: Int,
+                      scale: Long, dampNum: Long, dampDen: Long): DataFrame = {
     require(iters >= 1 && dampNum >= 0 && dampNum <= dampDen)
     // canonicalize: one row per (src, dst), weights summed — truncating
     // division is NOT distributive over duplicate edge rows
@@ -58,7 +75,12 @@ object PageRank {
     val out = e.groupBy(col("src")).agg(sum(col("w")).as("wtot"))
     val base = (scale * (dampDen - dampNum) / dampDen) / n
 
-    var ranks = nodes.withColumn("rank", lit(scale / n))
+    var ranks = ranks0 match {
+      case None => nodes.withColumn("rank", lit(scale / n))
+      case Some(r0) => nodes
+        .join(r0.select(col("node"), col("rank").as("__r0")), Seq("node"), "left")
+        .select(col("node"), coalesce(col("__r0"), lit(scale / n)).as("rank"))
+    }
     for (_ <- 1 to iters) {
       // damped mass of nodes with no out-edges, as a 1-row frame
       val dm = ranks.join(out, ranks("node") === out("src"), "left_anti")

@@ -880,5 +880,33 @@ object DedupQueries {
       |    / CAST(t.n_shingles AS DOUBLE), 6) AS novelty
       |FROM tot t LEFT JOIN novel n ON t.doc = n.doc""".stripMargin))
 
-  def queries: Seq[GQuery] = Seq(q36, q37, q38, q39, q57, q61, q88, q90, q103, q108, q118, q123, q124, q125, q127, q129, q133, q138, q142)
+  /** q161: LSH band planning ([[graft.dedup.Dedup.lshPlan]]) — the
+    * S-curve error table that justifies a (bands, rows) choice for a
+    * permutation budget before any corpus is hashed. e9-floored grid
+    * probabilities make both areas exact integer sums, so the full
+    * ranking (not just the winner) hash-matches the oracle. */
+  val q161 = GQuery(
+    "q161_lsh_band_plan",
+    (s, _) => Dedup.lshPlan(s, nPerms = 64, thresholdsPct = Seq(50, 60, 70, 80)),
+    Some("""WITH cfg AS (
+      |  SELECT b, CAST(64 // b AS INT) AS r
+      |  FROM (SELECT UNNEST([1, 2, 4, 8, 16, 32, 64]) AS b)),
+      |th AS (SELECT UNNEST([50, 60, 70, 80]) AS t_pct),
+      |p AS (
+      |  SELECT t_pct, b, r, g.i,
+      |    CAST(FLOOR((1 - pow(1 - pow(g.i / 100.0, r), b)) * 1000000000) AS BIGINT)
+      |      AS p_e9
+      |  FROM cfg, th, UNNEST(generate_series(1, 99)) AS g(i)),
+      |a AS (
+      |  SELECT t_pct, b, r,
+      |    CAST(SUM(CASE WHEN i < t_pct THEN p_e9 ELSE 0 END) // 100 AS BIGINT) AS fp_e9,
+      |    CAST(SUM(CASE WHEN i >= t_pct THEN 1000000000 - p_e9 ELSE 0 END) // 100
+      |      AS BIGINT) AS fn_e9
+      |  FROM p GROUP BY t_pct, b, r)
+      |SELECT t_pct, b, r, fp_e9, fn_e9, fp_e9 + fn_e9 AS cost_e9,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY t_pct ORDER BY fp_e9 + fn_e9, b)
+      |    AS BIGINT) AS rn
+      |FROM a""".stripMargin))
+
+  def queries: Seq[GQuery] = Seq(q36, q37, q38, q39, q57, q61, q88, q90, q103, q108, q118, q123, q124, q125, q127, q129, q133, q138, q142, q161)
 }

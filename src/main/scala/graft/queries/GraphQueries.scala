@@ -28,18 +28,18 @@ object GraphQueries {
   private val Scale = 1000000000000L
   private val Iters = 4
 
-  private def iterCte(prev: String, cur: String): String =
+  private def iterCte(prev: String, cur: String, p: String = ""): String =
     s"""$cur AS (
        |  SELECT n.node,
-       |    CAST((($Scale * 15) // 100) // (SELECT COUNT(*) FROM nodes)
+       |    CAST((($Scale * 15) // 100) // (SELECT COUNT(*) FROM ${p}nodes)
        |      + COALESCE(c.csum, 0)
        |      + (((SELECT COALESCE(SUM(r.rank), 0) FROM $prev r
-       |           WHERE r.node NOT IN (SELECT src FROM o)) * 85) // 100)
-       |        // (SELECT COUNT(*) FROM nodes) AS BIGINT) AS rank
-       |  FROM nodes n LEFT JOIN (
+       |           WHERE r.node NOT IN (SELECT src FROM ${p}o)) * 85) // 100)
+       |        // (SELECT COUNT(*) FROM ${p}nodes) AS BIGINT) AS rank
+       |  FROM ${p}nodes n LEFT JOIN (
        |    SELECT e.dst AS node,
        |      CAST(SUM((((r.rank * 85) // 100) * e.w) // o.wtot) AS BIGINT) AS csum
-       |    FROM e JOIN $prev r ON e.src = r.node JOIN o ON e.src = o.src
+       |    FROM ${p}e e JOIN $prev r ON e.src = r.node JOIN ${p}o o ON e.src = o.src
        |    GROUP BY e.dst) c ON n.node = c.node)""".stripMargin
 
   /** q153: 4-round damped PageRank over the domain link graph. Each
@@ -78,28 +78,37 @@ object GraphQueries {
       |LEFT JOIN outw ou ON r.node = ou.node""".stripMargin),
     headline = true)
 
-  /** Shared oracle prefix: the synthesized link graph and the unrolled
-    * 4-round integer power iteration (r0..r4). */
-  private lazy val linkGraphCtes: String = {
-    val rounds = (1 to Iters).map(i => iterCte(s"r${i - 1}", s"r$i")).mkString(",\n")
-    s"""raw AS (
+  /** Oracle CTE chain for one graph: synthesized edges (optionally
+    * filtered) and the unrolled 4-round integer power iteration
+    * (`<p>r0..<p>r4`), all relation names prefixed so chains over
+    * different doc subsets compose in one statement. */
+  private def graphChain(p: String, where: String): String = {
+    val rounds = (1 to Iters).map(i => iterCte(s"${p}r${i - 1}", s"${p}r$i", p)).mkString(",\n")
+    s"""${p}raw AS (
       |  SELECT 'd' || (doc_id % $M) AS src, 'd' || ((doc_id * 7 + 13) % $M) AS dst
-      |  FROM documents
+      |  FROM documents WHERE $where
       |  UNION ALL
-      |  SELECT 'd' || (doc_id % $M), 'd' || ((doc_id * 13 + 29) % $M) FROM documents
+      |  SELECT 'd' || (doc_id % $M), 'd' || ((doc_id * 13 + 29) % $M)
+      |  FROM documents WHERE $where
       |  UNION ALL
-      |  SELECT 'd' || (doc_id % $M), 'd' || ((doc_id * 31 + 7) % $M) FROM documents),
-      |e AS (SELECT src, dst, COUNT(*) AS w FROM raw WHERE src != dst GROUP BY src, dst),
-      |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
-      |o AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wtot FROM e GROUP BY src),
-      |r0 AS (SELECT node, CAST($Scale // (SELECT COUNT(*) FROM nodes) AS BIGINT) AS rank
-      |       FROM nodes),
+      |  SELECT 'd' || (doc_id % $M), 'd' || ((doc_id * 31 + 7) % $M)
+      |  FROM documents WHERE $where),
+      |${p}e AS (SELECT src, dst, COUNT(*) AS w FROM ${p}raw
+      |          WHERE src != dst GROUP BY src, dst),
+      |${p}nodes AS (SELECT src AS node FROM ${p}e UNION SELECT dst FROM ${p}e),
+      |${p}o AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wtot FROM ${p}e GROUP BY src),
+      |${p}r0 AS (SELECT node, CAST($Scale // (SELECT COUNT(*) FROM ${p}nodes) AS BIGINT)
+      |             AS rank FROM ${p}nodes),
       |$rounds""".stripMargin
   }
 
+  /** Shared oracle prefix: the full-corpus link graph chain. */
+  private lazy val linkGraphCtes: String = graphChain("", "TRUE")
+
   /** The same synthesized edge list, Spark side. */
-  private def linkEdges(s: org.apache.spark.sql.SparkSession, d: String) =
-    documents(s, d).select(col("doc_id"))
+  private def linkEdges(s: org.apache.spark.sql.SparkSession, d: String,
+                        docFilter: org.apache.spark.sql.Column = lit(true)) =
+    documents(s, d).select(col("doc_id")).filter(docFilter)
       .select(col("doc_id"), explode(array(
         (col("doc_id") * 7 + 13) % M,
         (col("doc_id") * 13 + 29) % M,
@@ -214,5 +223,43 @@ object GraphQueries {
       |SELECT dst AS domain, CAST(rn AS BIGINT) AS rn, anchor, n_links
       |FROM r WHERE rn <= 3""".stripMargin))
 
-  def queries: Seq[GQuery] = Seq(q153, q157, q158)
+  /** q160: incremental PageRank — the 100 TB maintenance path: the
+    * LANDED graph's converged ranks ([[PageRank.run]] on docs with
+    * `doc_id % 3 != 0`) warm-start ONE round over the full graph after
+    * the batch's edges land ([[PageRank.continueFrom]]), instead of
+    * re-iterating from uniform. Output per domain: the warm-start
+    * input rank, the post-round rank, and the drift the edge batch
+    * caused. The oracle runs BOTH chains (landed r0..r4, then the
+    * warm round over the full graph) — the warm-start semantics
+    * themselves are hash-gated. */
+  val q160 = GQuery(
+    "q160_pagerank_incremental",
+    (s, d) => {
+      val landedRanks = PageRank.run(
+        linkEdges(s, d, col("doc_id") % 3 =!= 0), iters = Iters, scale = Scale)
+      val fullE = linkEdges(s, d)
+      val nodes = fullE.select(col("src").as("node"))
+        .union(fullE.select(col("dst").as("node"))).distinct()
+      val nU = nodes.count()
+      val prev = nodes
+        .join(landedRanks.withColumnRenamed("rank", "__lr"), Seq("node"), "left")
+        .select(col("node"), coalesce(col("__lr"), lit(Scale / nU)).as("rank_prev"))
+      val warm = PageRank.continueFrom(fullE, landedRanks, iters = 1, scale = Scale)
+        .withColumnRenamed("rank", "rank_warm")
+      prev.join(warm, Seq("node"))
+        .select(col("node").as("domain"), col("rank_prev"), col("rank_warm"),
+          (col("rank_warm") - col("rank_prev")).as("drift"))
+    },
+    Some(s"""WITH $linkGraphCtes,
+      |${graphChain("l_", "doc_id % 3 != 0")},
+      |w0 AS (
+      |  SELECT n.node, COALESCE(lr.rank,
+      |    CAST($Scale // (SELECT COUNT(*) FROM nodes) AS BIGINT)) AS rank
+      |  FROM nodes n LEFT JOIN l_r$Iters lr ON n.node = lr.node),
+      |${iterCte("w0", "w1", "")}
+      |SELECT w0.node AS domain, w0.rank AS rank_prev, w1.rank AS rank_warm,
+      |  w1.rank - w0.rank AS drift
+      |FROM w0 JOIN w1 ON w0.node = w1.node""".stripMargin))
+
+  def queries: Seq[GQuery] = Seq(q153, q157, q158, q160)
 }

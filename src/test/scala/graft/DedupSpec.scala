@@ -246,4 +246,20 @@ class DedupSpec extends SparkSpec {
     def toMap2: Map[Long, (Long, Int, Int)] =
       rows.map { case (d, n, f, l) => d -> ((n, f, l)) }.toMap
   }
+
+  test("lshPlan: factorizations complete, areas non-negative, winners grow selective") {
+    val plan = Dedup.lshPlan(spark, 64, Seq(50, 60, 70, 80)).collect()
+    assert(plan.length == 7 * 4) // 7 divisor pairs × 4 thresholds
+    plan.foreach { r =>
+      assert(r.getAs[Int]("b") * r.getAs[Int]("r") == 64)
+      assert(r.getAs[Long]("fp_e9") >= 0 && r.getAs[Long]("fn_e9") >= 0)
+    }
+    val winners = plan.filter(_.getAs[Long]("rn") == 1L)
+      .map(r => r.getAs[Int]("t_pct") -> ((r.getAs[Int]("b"), r.getAs[Int]("r"))))
+      .toMap
+    // S-curve midpoint ≈ (1/b)^(1/r): tighter thresholds need more rows
+    // per band; the exact winners are pinned (integer areas, no drift)
+    assert(winners == Map(50 -> ((16, 4)), 60 -> ((8, 8)),
+      70 -> ((8, 8)), 80 -> ((4, 16))))
+  }
 }

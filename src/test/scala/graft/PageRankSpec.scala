@@ -58,6 +58,29 @@ class PageRankSpec extends SparkSpec {
     assert(got == reference(edges, 4))
   }
 
+  test("continueFrom on the same graph is exactly one more round") {
+    val rnd = new scala.util.Random(5)
+    val edges = Seq.fill(250)(
+      (s"n${rnd.nextInt(30)}", s"n${rnd.nextInt(30)}", 1L + rnd.nextInt(2).toLong))
+    val df = edges.toDF("src", "dst", "w")
+    val five = PageRank.run(df, 5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val warm = PageRank.continueFrom(df, PageRank.run(df, 4), 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(warm == five)
+  }
+
+  test("continueFrom seeds newly-discovered nodes at the uniform share") {
+    val landed = Seq(("a", "b", 1L), ("b", "a", 1L))
+    val withNew = landed ++ Seq(("a", "c", 1L), ("c", "a", 1L))
+    val r0 = PageRank.run(landed.toDF("src", "dst", "w"), 2)
+    val warm = PageRank.continueFrom(withNew.toDF("src", "dst", "w"), r0, 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(warm.keySet == Set("a", "b", "c"))
+    // c received mass from a's split outlinks this round
+    assert(warm("c") > 0L)
+  }
+
   test("result is invariant under input partitioning") {
     val rnd = new scala.util.Random(11)
     val edges = Seq.fill(200)(
