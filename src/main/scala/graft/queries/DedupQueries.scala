@@ -23,6 +23,33 @@ object DedupQueries {
        |    UNNEST(generate_series(1, greatest(len(ws) - 4, 0))) AS u(i)),
        |sizes AS (SELECT doc, COUNT(*) AS n_shingles FROM sh GROUP BY doc)""".stripMargin
 
+  /** Shared oracle block: q57's near-dup clusters (Jaccard ≥ 0.2 pairs
+    * → recursive-CTE connected components) plus per-doc token counts —
+    * the base both the election (q118) and the preference-pair mining
+    * (q162) replay. Requires `WITH RECURSIVE`. */
+  private val clusterCtes =
+    s"""$shingleSql,
+       |pairs AS (
+       |  SELECT a.doc AS da, b.doc AS db, COUNT(*) AS common
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+       |  GROUP BY 1, 2),
+       |jp AS (
+       |  SELECT p.da, p.db FROM pairs p
+       |  JOIN sizes sa ON p.da = sa.doc JOIN sizes sb ON p.db = sb.doc
+       |  WHERE CAST(p.common AS DOUBLE)
+       |    / CAST(sa.n_shingles + sb.n_shingles - p.common AS DOUBLE) >= 0.2),
+       |edges AS (
+       |  SELECT da AS u, db AS v FROM jp
+       |  UNION SELECT db AS u, da AS v FROM jp),
+       |nodes AS (SELECT DISTINCT u AS n FROM edges),
+       |reach(n, l) AS (
+       |  SELECT n, n FROM nodes
+       |  UNION
+       |  SELECT e.v, r.l FROM reach r JOIN edges e ON e.u = r.n),
+       |comp AS (SELECT n AS node, MIN(l) AS component FROM reach GROUP BY n),
+       |toks AS (
+       |  SELECT doc_id, CAST(len($wsSql) AS BIGINT) AS n_tokens FROM documents)""".stripMargin
+
   /** Exact dedup over two overlapping "crawls": md5(text) content key,
     * keep-min-id policy, dupe-group census. */
   val q36 = GQuery(
@@ -514,27 +541,7 @@ object DedupQueries {
           sum(when(col("is_canonical"), col("n_tokens"))).as("tokens_kept"),
           sum(when(!col("is_canonical"), col("n_tokens"))).as("tokens_dropped"))
     },
-    Some(s"""WITH RECURSIVE $shingleSql,
-      |pairs AS (
-      |  SELECT a.doc AS da, b.doc AS db, COUNT(*) AS common
-      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
-      |  GROUP BY 1, 2),
-      |jp AS (
-      |  SELECT p.da, p.db FROM pairs p
-      |  JOIN sizes sa ON p.da = sa.doc JOIN sizes sb ON p.db = sb.doc
-      |  WHERE CAST(p.common AS DOUBLE)
-      |    / CAST(sa.n_shingles + sb.n_shingles - p.common AS DOUBLE) >= 0.2),
-      |edges AS (
-      |  SELECT da AS u, db AS v FROM jp
-      |  UNION SELECT db AS u, da AS v FROM jp),
-      |nodes AS (SELECT DISTINCT u AS n FROM edges),
-      |reach(n, l) AS (
-      |  SELECT n, n FROM nodes
-      |  UNION
-      |  SELECT e.v, r.l FROM reach r JOIN edges e ON e.u = r.n),
-      |comp AS (SELECT n AS node, MIN(l) AS component FROM reach GROUP BY n),
-      |toks AS (
-      |  SELECT doc_id, CAST(len($wsSql) AS BIGINT) AS n_tokens FROM documents),
+    Some(s"""WITH RECURSIVE $clusterCtes,
       |elected AS (
       |  SELECT c.node AS doc_id, c.component, t.n_tokens,
       |    row_number() OVER (PARTITION BY c.component
@@ -908,5 +915,53 @@ object DedupQueries {
       |    AS BIGINT) AS rn
       |FROM a""".stripMargin))
 
-  def queries: Seq[GQuery] = Seq(q36, q37, q38, q39, q57, q61, q88, q90, q103, q108, q118, q123, q124, q125, q127, q129, q133, q138, q142, q161)
+  /** q162: preference-pair mining over near-dup clusters — reward-model
+    * training data from the same cluster map q118 adjudicates: within
+    * each cluster the best-quality member (token count, ties to the
+    * smaller id — the q118 election) is the CHOSEN response and every
+    * member at least `minMargin` tokens worse is a REJECTED partner;
+    * near-duplicate framing guarantees the pair is about the same
+    * content, so the margin reflects quality, not topic. One
+    * component-keyed window over the cluster map — the iterative work
+    * all lives in the connected-components step. */
+  val q162 = GQuery(
+    "q162_preference_pairs",
+    (s, d) => {
+      val docs = documents(s, d)
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 5, threshold = 0.2)
+        .select(col("da"), col("db"))
+      val toks = docs.select(col("doc_id"),
+        size(graft.text.TextFunctions.wsTokens(col("text"))).cast("long").as("n_tokens"))
+      val comp = graft.dedup.Components.connected(pairs, "da", "db")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("component"))
+        .orderBy(col("n_tokens").desc, col("doc_id").asc)
+      val ranked = comp.join(toks, comp("node") === toks("doc_id"))
+        .select(col("component"), col("doc_id"), col("n_tokens"))
+        .withColumn("rn", row_number().over(w))
+      val best = ranked.filter(col("rn") === 1)
+        .select(col("component"), col("doc_id").as("chosen_id"),
+          col("n_tokens").as("__ct"))
+      ranked.filter(col("rn") > 1)
+        .join(best, Seq("component"))
+        .filter(col("__ct") - col("n_tokens") >= 1)
+        .select(col("component"), col("chosen_id"),
+          col("doc_id").as("rejected_id"),
+          (col("__ct") - col("n_tokens")).as("margin"))
+    },
+    Some(s"""WITH RECURSIVE $clusterCtes,
+      |ranked AS (
+      |  SELECT c.component, c.node AS doc_id, t.n_tokens,
+      |    row_number() OVER (PARTITION BY c.component
+      |                       ORDER BY t.n_tokens DESC, c.node ASC) AS rn
+      |  FROM comp c JOIN toks t ON c.node = t.doc_id),
+      |best AS (
+      |  SELECT component, doc_id AS chosen_id, n_tokens AS ct
+      |  FROM ranked WHERE rn = 1)
+      |SELECT r.component, b.chosen_id, r.doc_id AS rejected_id,
+      |  b.ct - r.n_tokens AS margin
+      |FROM ranked r JOIN best b ON r.component = b.component
+      |WHERE r.rn > 1 AND b.ct - r.n_tokens >= 1""".stripMargin))
+
+  def queries: Seq[GQuery] = Seq(q36, q37, q38, q39, q57, q61, q88, q90, q103, q108, q118, q123, q124, q125, q127, q129, q133, q138, q142, q161, q162)
 }
