@@ -545,7 +545,12 @@ object Dedup {
 
   def buildIndex(df: DataFrame, idCol: String, textCol: String, k: Int,
                  numPerms: Int, rowsPerBand: Int): DedupIndex = {
-    val idx = shingleIndex(df, idCol, textCol, k)
+    // the tokenize+shingle pass is the CPU-dense stage and BOTH index
+    // faces (the shingle postings and the band buckets) derive from it;
+    // in production the index is a persisted table, so materializing it
+    // once here mirrors the design instead of re-deriving the pass per
+    // consumer subtree (measured in q88: 4 landed tokenize passes → 1)
+    val idx = shingleIndex(df, idCol, textCol, k).localCheckpoint(eager = true)
     DedupIndex(idx,
       lshBandKeysWide(minhashSignaturesWide(idx, numPerms), numPerms, rowsPerBand))
   }
@@ -571,9 +576,15 @@ object Dedup {
                           idCol: String, textCol: String, k: Int,
                           numPerms: Int, rowsPerBand: Int,
                           threshold: Double): DataFrame = {
-    val idxNew = shingleIndex(newDocs, idCol, textCol, k)
+    // batch-side tokenize/minhash and the candidate set each feed 2-3
+    // consumer subtrees below; eager checkpoints make every pass run
+    // once (the frames are batch-sized by design — that is the point
+    // of the incremental path), instead of once per subtree (measured:
+    // 6 heavy 32-task stages → 3 at sf0.1)
+    val idxNew = shingleIndex(newDocs, idCol, textCol, k).localCheckpoint(eager = true)
     val bandsNew = lshBandKeysWide(
       minhashSignaturesWide(idxNew, numPerms), numPerms, rowsPerBand)
+      .localCheckpoint(eager = true)
     val candCorpus = bandsNew.as("x").join(corpus.bands.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc") =!= col("y.doc"))
@@ -583,9 +594,11 @@ object Dedup {
           col("x.doc") < col("y.doc"))
       .select(col("x.doc").as("da"), col("y.doc").as("db"))
     val cand = candCorpus.unionByName(candBatch).distinct()
+      .localCheckpoint(eager = true)
     // exact verify over the union index, restricted to involved docs
     val idxAll = idxNew.unionByName(
       corpus.idx.join(cand.select(col("db").as("doc")).distinct(), Seq("doc"), "left_semi"))
+      .localCheckpoint(eager = true)
     val sizes = idxAll.groupBy(col("doc")).agg(count(lit(1)).as("n_shingles"))
     val common = idxAll.select(col("doc").as("da"), col("shingle"))
       .join(idxAll.select(col("doc").as("db"), col("shingle")), Seq("shingle"))
