@@ -181,11 +181,14 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       k: Int, numPerms: Int, rowsPerBand: Int,
                       threshold: Double): DataFrame = {
-    // deliberately uncached: the shared subtrees dedupe via
-    // ReuseExchange, and recomputing the stateless shingle projection is
-    // cheaper than the cache's block-manager pressure at scale
-    val idx = shingleIndex(df, idCol, textCol, k)
-    val sigW = minhashSignaturesWide(idx, numPerms)
+    // the shingle index feeds four subtrees (signatures, sizes, both
+    // sides of the verify self-join) and the wide signature frame three
+    // (bands, both estimate sides); the earlier belief that ReuseExchange
+    // would dedupe them did not survive a plan audit (0 reused exchanges
+    // — the subtrees differ after projection pushdown), so each pass ran
+    // once per consumer. Eager checkpoints run the CPU-dense passes once.
+    val idx = shingleIndex(df, idCol, textCol, k).localCheckpoint(eager = true)
+    val sigW = minhashSignaturesWide(idx, numPerms).localCheckpoint(eager = true)
     val bands = lshBandKeysWide(sigW, numPerms, rowsPerBand)
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
