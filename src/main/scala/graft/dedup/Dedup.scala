@@ -82,7 +82,13 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         k: Int, threshold: Double,
                         maxDocFreq: Long = 0L): DataFrame = {
+    // one tokenize+shingle(+DF-window) pass serves the size census and
+    // BOTH sides of the postings self-join — without the checkpoint each
+    // of the three subtrees re-derived it, including the stop-shingle
+    // document-frequency window when maxDocFreq > 0 (the standing q37
+    // cost: the DF pre-pass re-ran behind every consumer)
     val idx = shingleIndex(df, idCol, textCol, k, maxDocFreq)
+      .localCheckpoint(eager = true)
     val sizes = idx.groupBy(col("doc")).agg(count(lit(1)).as("n_shingles"))
     val a = idx.withColumnRenamed("doc", "da")
     val b = idx.withColumnRenamed("doc", "db")
