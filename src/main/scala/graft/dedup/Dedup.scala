@@ -524,7 +524,9 @@ object Dedup {
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3, numBands: Int = 4): DataFrame = {
     require(maxHamming < numBands, "banded search is only exact for hamming < bands")
-    val sh = simhash(df, idCol, textCol)
+    // both sides of the band self-join derive from the signature pass —
+    // checkpoint it so the tokenize+hash work runs once
+    val sh = simhash(df, idCol, textCol).localCheckpoint(eager = true)
     val width = 60 / numBands
     val banded = sh.select(col("doc"), col("simhash"),
       explode(sequence(lit(0), lit(numBands - 1))).as("band"))
@@ -635,14 +637,20 @@ object Dedup {
                     idCol: String, textCol: String, k: Int,
                     numPerms: Int, rowsPerBand: Int,
                     threshold: Double): DataFrame = {
-    val idxNew = shingleIndex(train, idCol, textCol, k)
+    // same shared-pass discipline as incrementalNearDups: the train-side
+    // shingle index feeds three subtrees (signatures, size census,
+    // verify join) and the candidate set / pruned protected index two
+    // each — eager checkpoints run each derivation once
+    val idxNew = shingleIndex(train, idCol, textCol, k).localCheckpoint(eager = true)
     val bandsNew = lshBandKeysWide(
       minhashSignaturesWide(idxNew, numPerms), numPerms, rowsPerBand)
     val cand = bandsNew.as("x").join(protectedIdx.bands.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey"))
       .select(col("x.doc").as("da"), col("y.doc").as("db")).distinct()
+      .localCheckpoint(eager = true)
     val idxEval = protectedIdx.idx.join(
       cand.select(col("db").as("doc")).distinct(), Seq("doc"), "left_semi")
+      .localCheckpoint(eager = true)
     val sizesNew = idxNew.groupBy(col("doc")).agg(count(lit(1)).as("na"))
     val sizesEval = idxEval.groupBy(col("doc")).agg(count(lit(1)).as("nb"))
     val common = idxNew.select(col("doc").as("da"), col("shingle"))

@@ -111,7 +111,11 @@ object Knn {
   def cosinePairs(df: DataFrame, idCol: String, vecCol: String,
                   threshold: Double, numPlanes: Int = 6, numTables: Int = 4,
                   dim: Option[Int] = None): DataFrame = {
+    // both sides of the bucket self-join derive from the hyperplane
+    // projection pass (numPlanes·numTables dot products per vector) —
+    // checkpoint it so the projection runs once
     val b = hyperplaneBuckets(df, idCol, vecCol, numPlanes, numTables, dim)
+      .localCheckpoint(eager = true)
     val cand = b.select(col("id").as("va"), col("t"), col("bucket"))
       .join(b.select(col("id").as("vb"), col("t"), col("bucket")),
         Seq("t", "bucket"))
