@@ -336,13 +336,20 @@ object Dedup {
     val span = w + k - 2
     val benchFps = winnowedFingerprints(benchmark, idCol, textCol, k, w)
       .select(col("fp")).distinct()
+    // the matched-window set feeds three subtrees and the flagged-doc
+    // token explode three more; without the checkpoints each consumer
+    // re-ran the winnowing pass / the tokenize (11 source scans at
+    // sf0.1). Both frames are bounded by the FLAGGED docs, not the
+    // corpus — cheap to pin.
     val matched = winnowedSpans(corpus, idCol, textCol, k, w)
       .join(broadcast(benchFps), Seq("fp"), "left_semi")
       .select(col("doc"), col("pos"))
+      .localCheckpoint(eager = true)
     val toks = graft.core.Widen.widen(corpus)
       .select(col(idCol).as("doc"),
         posexplode(TextFunctions.wsTokens(col(textCol))).as(Seq("i", "tok")))
       .join(matched.select(col("doc")).distinct(), Seq("doc"), "left_semi")
+      .localCheckpoint(eager = true)
     val covered = toks.select(col("doc"), col("i"))
       .join(matched, Seq("doc"))
       .filter(col("i") >= col("pos") && col("i") <= col("pos") + span)
