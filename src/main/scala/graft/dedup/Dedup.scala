@@ -120,7 +120,10 @@ object Dedup {
   def editDistanceNearDups(df: DataFrame, idCol: String, textCol: String,
                            k: Int, maxDist: Int,
                            maxDocFreq: Long = 0L): DataFrame = {
+    // shared-pass discipline: both postings sides derive from the one
+    // shingle(+DF-window) pass
     val idx = shingleIndex(df, idCol, textCol, k, maxDocFreq)
+      .localCheckpoint(eager = true)
     val cand = idx.withColumnRenamed("doc", "da")
       .join(idx.withColumnRenamed("doc", "db"), Seq("shingle"))
       .filter(col("da") < col("db"))
