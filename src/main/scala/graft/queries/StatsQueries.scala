@@ -511,6 +511,59 @@ object StatsQueries {
       |COUNT(*) AS n
       |FROM lineitem GROUP BY l_returnflag""".stripMargin))
 
+  /** q163: Count-Min frequency sketch ([[graft.functions.CountMin]],
+    * a depth×width counter matrix as a `TypedImperativeAggregate` with
+    * element-wise-add merges) — one pass builds the sketch, then point
+    * estimates for a fixed 20-item probe set fall out of plain SQL over
+    * the evaluated array (min over the depth rows' cells). width 256 <
+    * 1000 distinct items, so collisions are guaranteed and the
+    * overcount column exercises the approximation for real; the cell
+    * hash is md5-derived (ST8 discipline), so the DuckDB oracle
+    * rebuilds every counter from the raw rows — sketch AND estimates
+    * hash-match exactly. */
+  val q163 = GQuery(
+    "q163_countmin_census",
+    (s, d) => {
+      graft.functions.CountMin.register(s)
+      val items = lineitem(s, d)
+        .select((col("l_partkey") % 1000).cast("string").as("item"))
+      val sk = items.agg(call_function("count_min",
+        col("item"), lit(3), lit(256)).as("sk"))
+      val probes = (0 until 20).map(_.toString)
+      def cellOf(dd: Int) =
+        conv(substring(md5(concat(lit(s"$dd:"), col("item"))), 1, 7), 16, 10)
+          .cast("long") % 256
+      val est = (0 until 3).map(dd =>
+        element_at(col("sk"), (lit(dd * 256) + cellOf(dd) + 1).cast("int")))
+        .reduce(least(_, _))
+      items.filter(col("item").isin(probes: _*))
+        .groupBy(col("item")).agg(count(lit(1)).as("exact_n"))
+        .crossJoin(broadcast(sk))
+        .select(col("item"), col("exact_n"), est.as("cms_n"),
+          (est - col("exact_n")).as("overcount"))
+    },
+    Some("""WITH items AS (
+      |  SELECT CAST(l_partkey % 1000 AS VARCHAR) AS item FROM lineitem),
+      |dep AS (SELECT * FROM (VALUES (0),(1),(2)) AS t(d)),
+      |cells AS (
+      |  SELECT dep.d,
+      |    CAST(('0x' || substr(md5(CAST(dep.d AS VARCHAR) || ':' || item), 1, 7))
+      |      AS BIGINT) % 256 AS c,
+      |    COUNT(*) AS n
+      |  FROM items CROSS JOIN dep GROUP BY 1, 2),
+      |probe AS (
+      |  SELECT item, COUNT(*) AS exact_n FROM items
+      |  WHERE CAST(item AS BIGINT) < 20 GROUP BY 1),
+      |est AS (
+      |  SELECT p.item, p.exact_n, MIN(cl.n) AS cms_n
+      |  FROM probe p CROSS JOIN dep
+      |  JOIN cells cl ON cl.d = dep.d AND cl.c =
+      |    CAST(('0x' || substr(md5(CAST(dep.d AS VARCHAR) || ':' || p.item), 1, 7))
+      |      AS BIGINT) % 256
+      |  GROUP BY 1, 2)
+      |SELECT item, exact_n, cms_n, cms_n - exact_n AS overcount
+      |FROM est""".stripMargin))
+
   def queries: Seq[GQuery] =
-    Seq(q23, q24, q25, q26, q27, q28, q29, q30, q31, q51, q58, q113)
+    Seq(q23, q24, q25, q26, q27, q28, q29, q30, q31, q51, q58, q113, q163)
 }
