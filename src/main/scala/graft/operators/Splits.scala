@@ -88,4 +88,27 @@ object Splits {
       .withColumn("pos", row_number().over(w).cast("long") - 1L)
       .drop("__draw")
   }
+
+  /** Rendezvous (highest-random-weight) shard assignment: the winning
+    * shard is argmax over s ∈ [0, nShards) of md5("<s>:<id>"). Unlike
+    * `hash(id) mod n`, growing n → n+1 moves ONLY the documents the
+    * NEW shard wins (1/(n+1) of each shard in expectation) and never
+    * reassigns a document between surviving shards — the property an
+    * incremental corpus needs so a shard count change doesn't
+    * invalidate every landed shard file (q166 gates the census).
+    *
+    * A pure per-row array fold (transform + array_max over an
+    * nShards-element literal sequence — no explode, no shuffle);
+    * struct comparison orders by the hash first, and 128-bit md5 ties
+    * are not a practical concern. Engine-portable by the same ST8
+    * argument as every other md5 draw. Intended for nShards in the
+    * hundreds — the per-row cost is nShards md5 calls; for thousands
+    * of shards use [[shardLayout]]'s draw-interval form instead. */
+  def rendezvousShard(idCol: Column, nShards: Int): Column = {
+    require(nShards >= 1, s"nShards must be positive, got $nShards")
+    array_max(transform(sequence(lit(0), lit(nShards - 1)), s =>
+      struct(md5(concat(s.cast("string"), lit(":"), idCol.cast("string"))).as("h"),
+        s.cast("long").as("s"))))
+      .getField("s")
+  }
 }

@@ -261,5 +261,68 @@ object GraphQueries {
       |  w1.rank - w0.rank AS drift
       |FROM w0 JOIN w1 ON w0.node = w1.node""".stripMargin))
 
-  def queries: Seq[GQuery] = Seq(q153, q157, q158, q160)
+  /** One HITS round as oracle CTEs: hub mass flows down edges onto dst
+    * (authority update, L1-renormalized to [[Scale]] with the same
+    * DECIMAL/HUGEINT truncating division the engine uses), then the
+    * new authorities flow back up onto src (hub update). */
+  private def hitsRound(k: Int): String = {
+    val (prev, a, ar, br, cur) = (s"h${k - 1}", s"a$k", s"a${k}r", s"b${k}r", s"h$k")
+    // AS MATERIALIZED: each CTE is referenced 2-3 times per round;
+    // inlined expansion would grow exponentially over the rounds (and
+    // exhaust file handles re-opening the parquet leaves)
+    s"""$ar AS MATERIALIZED (
+       |  SELECT e.dst AS node, SUM(CAST($prev.hub AS HUGEINT) * e.w) AS raw
+       |  FROM e JOIN $prev ON e.src = $prev.node GROUP BY e.dst),
+       |$a AS MATERIALIZED (
+       |  SELECT n.node,
+       |    CAST(COALESCE((CAST(COALESCE(r.raw, 0) AS HUGEINT) * $Scale)
+       |      // NULLIF((SELECT SUM(raw) FROM $ar), 0), 0) AS BIGINT) AS auth
+       |  FROM nodes n LEFT JOIN $ar r ON n.node = r.node),
+       |$br AS MATERIALIZED (
+       |  SELECT e.src AS node, SUM(CAST($a.auth AS HUGEINT) * e.w) AS raw
+       |  FROM e JOIN $a ON e.dst = $a.node GROUP BY e.src),
+       |$cur AS MATERIALIZED (
+       |  SELECT n.node, $a.auth,
+       |    CAST(COALESCE((CAST(COALESCE(r.raw, 0) AS HUGEINT) * $Scale)
+       |      // NULLIF((SELECT SUM(raw) FROM $br), 0), 0) AS BIGINT) AS hub
+       |  FROM nodes n JOIN $a ON n.node = $a.node
+       |  LEFT JOIN $br r ON n.node = r.node)""".stripMargin
+  }
+
+  private val HitsIters = 3
+
+  /** q164: HITS hubs-and-authorities ([[graft.graph.Hits]]) over the
+    * q153 link graph — the complementary centrality pair (authorities
+    * = linked-to content worth keeping, hubs = link-collection pages a
+    * frontier expands but a corpus drops). Three integer-exact rounds;
+    * the oracle unrolls the identical L1-renormalized power iteration,
+    * so the iteration dynamics sit under the hash gate exactly like
+    * q153's PageRank. */
+  val q164 = GQuery(
+    "q164_hits_centrality",
+    (s, d) => {
+      graft.graph.Hits.run(linkEdges(s, d), iters = HitsIters, scale = Scale)
+        .select(col("node").as("domain"),
+          col("auth").as("auth_e12"), col("hub").as("hub_e12"))
+    },
+    Some(s"""WITH raw AS (
+      |  SELECT 'd' || (doc_id % $M) AS src, 'd' || ((doc_id * 7 + 13) % $M) AS dst
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT 'd' || (doc_id % $M), 'd' || ((doc_id * 13 + 29) % $M) FROM documents
+      |  UNION ALL
+      |  SELECT 'd' || (doc_id % $M), 'd' || ((doc_id * 31 + 7) % $M) FROM documents),
+      |e AS MATERIALIZED (SELECT src, dst, COUNT(*) AS w FROM raw
+      |      WHERE src != dst GROUP BY src, dst),
+      |nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      |h0 AS MATERIALIZED (
+      |  SELECT node,
+      |    CAST($Scale // (SELECT COUNT(*) FROM nodes) AS BIGINT) AS auth,
+      |    CAST($Scale // (SELECT COUNT(*) FROM nodes) AS BIGINT) AS hub
+      |  FROM nodes),
+      |${(1 to HitsIters).map(hitsRound).mkString(",\n")}
+      |SELECT node AS domain, auth AS auth_e12, hub AS hub_e12
+      |FROM h$HitsIters""".stripMargin))
+
+  def queries: Seq[GQuery] = Seq(q153, q157, q158, q160, q164)
 }

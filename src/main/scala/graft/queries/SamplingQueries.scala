@@ -195,5 +195,90 @@ object SamplingQueries {
       |  CAST(SUM(doc_id) AS BIGINT) AS id_checksum
       |FROM top GROUP BY lang""".stripMargin))
 
-  def queries: Seq[GQuery] = Seq(q97, q100, q104, q128)
+  /** q165: water-filling token-budget allocation
+    * ([[graft.operators.WaterFill]]) — max-min-fair division of a
+    * total token budget across the per-language availabilities, 60 %
+    * of the corpus's token mass as the budget so the small languages
+    * sit under the water line (capped, keep everything) while the
+    * large ones split the rest evenly. Integer-exact: Σ alloc =
+    * budget exactly, and the oracle replays the level search and the
+    * remainder distribution row for row. */
+  val q165 = GQuery(
+    "q165_waterfill_budget",
+    (s, d) => {
+      val avail = documents(s, d)
+        .select(col("lang"),
+          size(graft.text.TextFunctions.wsTokens(col("text"))).cast("long").as("tok"))
+        .groupBy(col("lang")).agg(sum(col("tok")).as("avail"))
+      // the one driver-side scalar (total token mass → budget)
+      val total = avail.agg(sum(col("avail"))).head().getLong(0)
+      graft.operators.WaterFill(avail, "lang", "avail", total * 6 / 10)
+        .select(col("domain").as("lang"), col("avail").as("avail_tokens"),
+          col("alloc").as("alloc_tokens"), col("capped"))
+    },
+    Some("""WITH avail AS (
+      |  SELECT lang AS domain,
+      |    CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS avail
+      |  FROM documents GROUP BY 1),
+      |b AS (SELECT (SUM(avail) * 6) // 10 AS budget FROM avail),
+      |scan AS (
+      |  SELECT domain, avail,
+      |    COALESCE(SUM(avail) OVER (ORDER BY avail, domain
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p_prev,
+      |    ROW_NUMBER() OVER (ORDER BY avail, domain) AS j,
+      |    COUNT(*) OVER () AS n
+      |  FROM avail),
+      |scan2 AS (
+      |  SELECT *, (SELECT budget FROM b) - p_prev AS rem, n - j + 1 AS cnt
+      |  FROM scan),
+      |lvl AS (
+      |  SELECT rem // cnt AS level, rem - (rem // cnt) * cnt AS extra
+      |  FROM scan2 WHERE rem <= avail * cnt ORDER BY j LIMIT 1),
+      |marked AS (
+      |  SELECT s.domain, s.avail, l.level, l.extra,
+      |    (l.level IS NULL OR s.avail <= l.level) AS capped
+      |  FROM scan2 s LEFT JOIN lvl l ON TRUE),
+      |ranked AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY capped ORDER BY domain) AS r
+      |  FROM marked)
+      |SELECT domain AS lang, avail AS avail_tokens,
+      |  CAST(CASE WHEN capped THEN avail
+      |    ELSE level + CASE WHEN r <= extra THEN 1 ELSE 0 END END AS BIGINT)
+      |    AS alloc_tokens,
+      |  capped
+      |FROM ranked""".stripMargin))
+
+  /** q166: rendezvous (highest-random-weight) sharding
+    * ([[graft.operators.Splits.rendezvousShard]]) — stable doc→shard
+    * assignment where growing the shard count from 8 to 9 moves ONLY
+    * the docs the new shard wins (~1/9 of each shard), never
+    * reshuffling between surviving shards: the incremental-corpus
+    * property modulo hashing lacks. The census proves it — per
+    * 8-shard bucket, every moved doc's new shard is shard 8. Map-only
+    * per row (an array fold over the shard list, no explode/shuffle);
+    * the md5 weights make both engines elect identical winners. */
+  val q166 = GQuery(
+    "q166_rendezvous_shards",
+    (s, d) => {
+      val docs = documents(s, d).select(col("doc_id"))
+        .withColumn("s8", Splits.rendezvousShard(col("doc_id"), 8))
+        .withColumn("s9", Splits.rendezvousShard(col("doc_id"), 9))
+      docs.groupBy(col("s8").as("shard"))
+        .agg(lcount(lit(1)).as("n_docs"),
+          lcount(when(col("s8") =!= col("s9"), 1)).as("n_moved"),
+          lcount(when(col("s8") =!= col("s9") && col("s9") =!= 8, 1))
+            .as("n_moved_elsewhere"))
+    },
+    Some("""WITH w AS (
+      |  SELECT doc_id, s.s,
+      |    md5(CAST(s.s AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)) AS h
+      |  FROM documents CROSS JOIN (SELECT UNNEST(generate_series(0, 8)) AS s) s),
+      |a8 AS (SELECT doc_id, arg_max(s, h) AS s8 FROM w WHERE s < 8 GROUP BY doc_id),
+      |a9 AS (SELECT doc_id, arg_max(s, h) AS s9 FROM w GROUP BY doc_id)
+      |SELECT a8.s8 AS shard, COUNT(*) AS n_docs,
+      |  COUNT(CASE WHEN s8 != s9 THEN 1 END) AS n_moved,
+      |  COUNT(CASE WHEN s8 != s9 AND s9 != 8 THEN 1 END) AS n_moved_elsewhere
+      |FROM a8 JOIN a9 ON a8.doc_id = a9.doc_id GROUP BY 1""".stripMargin))
+
+  def queries: Seq[GQuery] = Seq(q97, q100, q104, q128, q165, q166)
 }

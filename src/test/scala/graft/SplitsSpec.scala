@@ -99,4 +99,35 @@ class SplitsSpec extends SparkSpec {
       s"matrix=${matrix.toSeq} expected=$expected")
     assert(matrix.map(_._3).sum == pairs.count(), "classes must partition all pairs")
   }
+
+  test("rendezvousShard: n -> n+1 moves docs ONLY into the new shard") {
+    val docs = (0 until 2000).map(i => Tuple1(i.toLong)).toDF("doc_id")
+    val assigned = docs
+      .withColumn("s8", Splits.rendezvousShard($"doc_id", 8))
+      .withColumn("s9", Splits.rendezvousShard($"doc_id", 9))
+      .as[(Long, Long, Long)].collect()
+    assigned.foreach { case (id, s8, s9) =>
+      assert(s8 >= 0 && s8 < 8 && s9 >= 0 && s9 < 9)
+      // the old winner stays the winner unless the NEW shard outbids it
+      assert(s9 == s8 || s9 == 8, s"doc $id moved between surviving shards: $s8 -> $s9")
+    }
+    // the new shard wins roughly 1/9 of the corpus
+    val moved = assigned.count { case (_, s8, s9) => s8 != s9 }
+    assert(moved > 2000 / 9 / 2 && moved < 2000 / 9 * 2, s"moved=$moved")
+  }
+
+  test("rendezvousShard matches a direct argmax-by-md5 recomputation") {
+    val ids = Seq(0L, 1L, 17L, 999L)
+    val got = ids.toDF("doc_id")
+      .select(Splits.rendezvousShard($"doc_id", 5).as("s"))
+      .as[Long].collect().toSeq
+    val want = ids.map { id =>
+      (0 until 5).maxBy { s =>
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$s:$id".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+      }.toLong
+    }
+    assert(got == want)
+  }
 }
