@@ -240,4 +240,43 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
       s"manifest must not shuffle-join:\n$p")
   }
+
+  test("q163: count-min sketch aggregates map-side; the 1-row sketch broadcasts") {
+    val p = plan("q163_countmin_census")
+    // TypedImperativeAggregate plans as ObjectHashAggregate with a
+    // partial pass before the exchange — the sketch merges, rows don't
+    assert(p.contains("ObjectHashAggregate"), s"sketch must object-aggregate:\n$p")
+    assert(p.contains("partial_count_min"), s"no map-side sketch partials:\n$p")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      s"the 1-row sketch must broadcast into the probe projection:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
+  test("q164: hits iteration state is checkpoint-backed; joins stay node-keyed") {
+    val p = plan("q164_hits_centrality")
+    assert(!p.contains("CartesianProduct"), s"hits must stay key-joined:\n$p")
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
+      s"score state should be checkpoint-backed (localCheckpoint per round):\n$p")
+  }
+
+  test("q165: water-fill touches the corpus once; the level row broadcasts") {
+    val p = plan("q165_waterfill_budget")
+    // the scan-side windows run over the bounded DOMAIN table; the
+    // 1-row level frame joins back as a broadcast, never a shuffle join
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"level row must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"domain-table joins must not shuffle:\n$p")
+  }
+
+  test("q166: rendezvous sharding is join-free and explode-free — one agg exchange only") {
+    val p = plan("q166_rendezvous_shards")
+    assert(!p.contains("Join"), s"rendezvous must not join:\n$p")
+    assert(!p.linesIterator.exists(_.trim.startsWith("Generate")),
+      s"the shard fold must not explode rows:\n$p")
+    // count detail headers "(n) Exchange" — the tree rendering repeats
+    // each node once in the tree and once as a detail section
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).length
+    assert(exchanges <= 1, s"one census exchange expected, saw $exchanges:\n$p")
+  }
 }
