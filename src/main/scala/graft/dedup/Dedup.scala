@@ -103,6 +103,43 @@ object Dedup {
       .select("da", "db", "common", "na", "nb", "jaccard")
   }
 
+  /** Asymmetric containment near-dup pairs: containment(a→b) =
+    * |S(a) ∩ S(b)| / |S(a)| — the directional overlap that catches a
+    * SMALL document embedded inside a big one (quote pages, article +
+    * boilerplate reposts, excerpt farms), which symmetric Jaccard
+    * scores low because the union is dominated by the big side (a
+    * 100-shingle doc fully inside a 10000-shingle doc has containment
+    * 1.0 and Jaccard < 0.01 — invisible to [[ngramJaccardPairs]] at any
+    * usable threshold). CCNet/Dolma-style curation dedups on exactly
+    * this measure for sub-document duplication.
+    *
+    * Same execution shape as the Jaccard pairs: ONE shingle(+DF) pass
+    * serves the size census and both postings sides (shared-pass
+    * discipline), pairs come from the inverted index (never
+    * all-pairs), and the aggregate-then-filter order keeps the
+    * candidate explosion bounded by shared-shingle mass. A pair
+    * survives if EITHER direction clears the threshold; both
+    * containments are reported so the consumer can tell "a inside b"
+    * from "b inside a". */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       k: Int, threshold: Double,
+                       maxDocFreq: Long = 0L): DataFrame = {
+    val idx = shingleIndex(df, idCol, textCol, k, maxDocFreq)
+      .localCheckpoint(eager = true)
+    val sizes = idx.groupBy(col("doc")).agg(count(lit(1)).as("n_shingles"))
+    val a = idx.withColumnRenamed("doc", "da")
+    val b = idx.withColumnRenamed("doc", "db")
+    val common = a.join(b, Seq("shingle")).filter(col("da") < col("db"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.withColumnRenamed("doc", "da").withColumnRenamed("n_shingles", "na"), Seq("da"))
+      .join(sizes.withColumnRenamed("doc", "db").withColumnRenamed("n_shingles", "nb"), Seq("db"))
+      .withColumn("containment_a", col("common").cast("double") / col("na").cast("double"))
+      .withColumn("containment_b", col("common").cast("double") / col("nb").cast("double"))
+      .filter(greatest(col("containment_a"), col("containment_b")) >= threshold)
+      .select("da", "db", "common", "na", "nb", "containment_a", "containment_b")
+  }
+
   /** Edit-distance-verified near-dup pairs: candidates from the shingle
     * inverted index (never all-pairs), then threshold-bounded
     * Levenshtein on the survivors only. Two exact prunes keep the

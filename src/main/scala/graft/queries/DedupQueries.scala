@@ -963,5 +963,51 @@ object DedupQueries {
       |FROM ranked r JOIN best b ON r.component = b.component
       |WHERE r.rn > 1 AND b.ct - r.n_tokens >= 1""".stripMargin))
 
-  def queries: Seq[GQuery] = Seq(q36, q37, q38, q39, q57, q61, q88, q90, q103, q108, q118, q123, q124, q125, q127, q129, q133, q138, q142, q161, q162)
+  /** q167: asymmetric containment near-dup pairs
+    * ([[Dedup.containmentPairs]]) — every 17th document contributes a
+    * 12-token excerpt as a new doc, so the corpus carries genuine
+    * sub-document duplication: the excerpt's 8 shingles sit entirely
+    * inside its parent (containment 1.0) while the pair's Jaccard is
+    * far below any usable symmetric threshold — the case q37 cannot
+    * see. Same inverted-index plan shape as q37; threshold 0.9 on
+    * EITHER direction. */
+  val q167 = GQuery(
+    "q167_containment_pairs",
+    (s, d) => {
+      val docs = documents(s, d)
+      val excerpts = docs.filter(col("doc_id") % 17 === 0)
+        .select((col("doc_id") + 5000000L).as("doc_id"),
+          array_join(slice(graft.text.TextFunctions.wsTokens(col("text")), 1, 12), " ")
+            .as("text"))
+      val corpus = docs.select(col("doc_id"), col("text")).unionByName(excerpts)
+      Dedup.containmentPairs(corpus, "doc_id", "text", k = 5, threshold = 0.9)
+        .select(col("da"), col("db"), col("common"), col("na"), col("nb"),
+          round(col("containment_a"), 6).as("containment_a"),
+          round(col("containment_b"), 6).as("containment_b"))
+    },
+    Some(s"""WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 5000000,
+      |    array_to_string(($wsSql)[1:12], ' ')
+      |  FROM documents WHERE doc_id % 17 = 0),
+      |shc AS (
+      |  SELECT DISTINCT doc_id AS doc,
+      |    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] AS shingle
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM corpus) t,
+      |    UNNEST(generate_series(1, greatest(len(ws) - 4, 0))) AS u(i)),
+      |sizesc AS (SELECT doc, COUNT(*) AS n_shingles FROM shc GROUP BY doc),
+      |pairs AS (
+      |  SELECT a.doc AS da, b.doc AS db, COUNT(*) AS common
+      |  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc < b.doc
+      |  GROUP BY 1, 2)
+      |SELECT p.da, p.db, p.common, sa.n_shingles AS na, sb.n_shingles AS nb,
+      |  round(CAST(p.common AS DOUBLE) / CAST(sa.n_shingles AS DOUBLE), 6) AS containment_a,
+      |  round(CAST(p.common AS DOUBLE) / CAST(sb.n_shingles AS DOUBLE), 6) AS containment_b
+      |FROM pairs p
+      |JOIN sizesc sa ON p.da = sa.doc JOIN sizesc sb ON p.db = sb.doc
+      |WHERE greatest(CAST(p.common AS DOUBLE) / CAST(sa.n_shingles AS DOUBLE),
+      |  CAST(p.common AS DOUBLE) / CAST(sb.n_shingles AS DOUBLE)) >= 0.9""".stripMargin))
+
+  def queries: Seq[GQuery] = Seq(q36, q37, q38, q39, q57, q61, q88, q90, q103, q108, q118, q123, q124, q125, q127, q129, q133, q138, q142, q161, q162, q167)
 }

@@ -262,4 +262,34 @@ class DedupSpec extends SparkSpec {
     assert(winners == Map(50 -> ((16, 4)), 60 -> ((8, 8)),
       70 -> ((8, 8)), 80 -> ((4, 16))))
   }
+
+  test("containmentPairs: an embedded excerpt scores containment 1.0 where Jaccard sees nothing") {
+    val parent = (1 to 40).map(i => s"w$i").mkString(" ")      // 36 5-shingles
+    val excerpt = (1 to 9).map(i => s"w$i").mkString(" ")      // 5 of them
+    val docs = Seq((1L, parent), (2L, excerpt),
+      (3L, "unrelated text with completely different vocabulary ok fine")).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, "doc_id", "text", k = 5, threshold = 0.9)
+      .as[(Long, Long, Long, Long, Long, Double, Double)].collect()
+    assert(got.length == 1)
+    val (da, db, common, na, nb, ca, cb) = got.head
+    assert((da, db) == (1L, 2L) && common == 5L && na == 36L && nb == 5L)
+    assert(cb == 1.0, "excerpt fully contained")
+    assert(ca == 5.0 / 36.0)
+    // the symmetric measure would have rejected this pair outright
+    val jac = common.toDouble / (na + nb - common)
+    assert(jac < 0.15, s"jaccard $jac should be tiny")
+    assert(Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 5, threshold = 0.6)
+      .isEmpty, "sanity: symmetric Jaccard at a usable threshold misses the pair")
+  }
+
+  test("containmentPairs: threshold filters on the BEST direction; unrelated pairs absent") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"),        // 4 shingles
+      (2L, "a b c d e x y z"),        // shares 1 shingle with 1 -> containment 0.25
+      (3L, "p q r s t u v w")).toDF("doc_id", "text")
+    assert(Dedup.containmentPairs(docs, "doc_id", "text", k = 5, threshold = 0.9).isEmpty)
+    val loose = Dedup.containmentPairs(docs, "doc_id", "text", k = 5, threshold = 0.2)
+      .as[(Long, Long, Long, Long, Long, Double, Double)].collect()
+    assert(loose.map(t => (t._1, t._2)).toSeq == Seq((1L, 2L)))
+  }
 }
