@@ -23,12 +23,24 @@ object EndToEndQueries {
   val q95 = GQuery(
     "q95_end_to_end_dag",
     (s, d) => {
+      // Materialize the validate stage ONCE at the stage boundary (lazy
+      // localCheckpoint, submission-grain rows). Left lazy, the
+      // downstream 5-column projection prunes one branch of the fold's
+      // shared subtree narrower than its siblings, the exchanges stop
+      // being identical, ReuseExchange/ReusedQueryStage dedup nothing,
+      // and the whole 15-validator fold re-executes per consumer branch
+      // (profiled: two extra 64-task stages, ~510 s task CPU, q95 26 s
+      // → 14 s with the boundary). The reference DAG itself
+      // materializes this handoff through its artifact store
+      // (data-pipeline.yaml stage outputs), so the barrier is the
+      // composition's semantics, not a local-bench hack.
       val validated = ValidateLandings.full(
         ValidateQueries.fixtureTrips(s, d), ValidateQueries.fixtureCatch(s, d),
         ValidateQueries.fixtureRegistry(s, d), ValidateQueries.fixtureVesselDim(s),
         ValidateQueries.fixtureGearDim(s), ValidateQueries.fixtureStations(s, d),
         ValidateQueries.fixtureReportingUnits(s, d),
         ValidateQueries.fixtureHabitatDim(s), ValidateQueries.fixtureConservationDim(s))
+        .localCheckpoint(false)
       // per-submission catch weight (the reference's _weight artifact grain)
       val weights = ValidateQueries.fixtureCatch(s, d)
         .groupBy(col("submission_id"))

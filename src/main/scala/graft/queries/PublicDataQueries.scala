@@ -312,5 +312,38 @@ object PublicDataQueries {
       |  CAST(SUM(CASE WHEN cls_n < 5 THEN cls_n ELSE 0 END) AS BIGINT) AS n_suppressed
       |FROM cls GROUP BY segment""".stripMargin))
 
-  def queries: Seq[GQuery] = Seq(q75, q76, q79, q80, q159)
+  /** q168: epsilon-DP release of the per-(lang, source) corpus census
+    * ([[graft.stats.Privacy.dpRelease]]) — the mechanism upgrade over
+    * the q159 k-anonymity audit for stats published OUTSIDE the
+    * pipeline's trust boundary: per-record contribution clamping,
+    * seeded-Laplace noise (count: b=1/eps, clamped char mass:
+    * b=clamp/eps), and noisy-threshold suppression. All column
+    * expressions over one aggregation; the oracle replays the md5
+    * draws through the same inverse CDF. */
+  val q168 = GQuery(
+    "q168_dp_release",
+    (s, d) => graft.stats.Privacy.dpRelease(
+      documents(s, d), Seq("lang", "source"), seed = "dp-r6",
+      eps = 1.0, clampChars = 4000L, charsCol = "n_chars",
+      releaseMin = 5.0),
+    Some("""WITH g AS (
+      |  SELECT lang, source, COUNT(*) AS n_docs,
+      |    CAST(SUM(LEAST(n_chars, 4000)) AS BIGINT) AS char_mass
+      |  FROM documents GROUP BY lang, source),
+      |n AS (
+      |  SELECT *,
+      |    (CAST(('0x' || substr(md5('dp-r6' || 'n:' || lang || source), 1, 13)) AS BIGINT) + 0.5)
+      |      / 4503599627370496.0 - 0.5 AS cn,
+      |    (CAST(('0x' || substr(md5('dp-r6' || 'm:' || lang || source), 1, 13)) AS BIGINT) + 0.5)
+      |      / 4503599627370496.0 - 0.5 AS cm
+      |  FROM g),
+      |r AS (
+      |  SELECT lang, source,
+      |    ROUND(n_docs + (-1.0) * SIGN(cn) * LN(1 - 2 * ABS(cn)), 4) AS dp_n_docs,
+      |    ROUND(char_mass + (-4000.0) * SIGN(cm) * LN(1 - 2 * ABS(cm)), 4) AS dp_char_mass
+      |  FROM n)
+      |SELECT lang, source, dp_n_docs, dp_char_mass
+      |FROM r WHERE dp_n_docs >= 5.0""".stripMargin))
+
+  def queries: Seq[GQuery] = Seq(q75, q76, q79, q80, q159, q168)
 }
