@@ -110,8 +110,10 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
 
-    val slowest = results.sortBy(_._2).takeRight(70)
-    val omitted = results.sortBy(_._2).dropRight(70)
+    // 55 inline entries keeps the line under the driver's 2000-char
+    // stdout tail (measured: 70 entries = 2112 chars, too long)
+    val slowest = results.sortBy(_._2).takeRight(55)
+    val omitted = results.sortBy(_._2).dropRight(55)
     val omittedSec = omitted.collect { case (_, v) if v > 0 => v }.sum
     val qs = slowest.map { case (k, v) => "\"" + k + f"\":$v%.2f" }
       .mkString("{", ",", "}")

@@ -259,5 +259,55 @@ object CorpusStatQueries {
       |FROM v GROUP BY lang""".stripMargin
     })
 
-  def queries: Seq[GQuery] = Seq(q146, q149, q152)
+  /** q169: Poisson-bootstrap 95% CI of per-language mean document
+    * length ([[graft.stats.Bootstrap.ciMean]]) — the uncertainty
+    * report next to every point estimate the corpus publishes. One
+    * pass over rows × 32 resamples with map-side combine (the
+    * classical bootstrap's per-resample global reshuffle never
+    * happens); seeded md5 draws through the Poisson(1) inverse CDF
+    * make the interval replayable by any engine. */
+  val q169 = GQuery(
+    "q169_bootstrap_ci",
+    (s, d) => graft.stats.Bootstrap.ciMean(
+      documents(s, d), "lang", "doc_id", "n_chars", "bs-r6"),
+    Some("""WITH rs AS (SELECT CAST(r AS BIGINT) AS r FROM range(32) t(r)),
+      |w AS (
+      |  SELECT d.lang, d.n_chars, rs.r,
+      |    (CAST(('0x' || substr(md5('bs-r6' || CAST(d.doc_id AS VARCHAR) || ':' || CAST(rs.r AS VARCHAR)), 1, 13)) AS BIGINT) + 0.5)
+      |      / 4503599627370496.0 AS u
+      |  FROM documents d CROSS JOIN rs),
+      |pw AS (
+      |  SELECT lang, r, n_chars,
+      |    CASE WHEN u < 0.3678794411714423 THEN 0
+      |         WHEN u < 0.7357588823428846 THEN 1
+      |         WHEN u < 0.9196986029286058 THEN 2
+      |         WHEN u < 0.9810118431238462 THEN 3
+      |         WHEN u < 0.9963401531726563 THEN 4
+      |         WHEN u < 0.9994058151824183 THEN 5
+      |         ELSE 6 END AS wgt
+      |  FROM w),
+      |e AS (
+      |  SELECT lang, r,
+      |    CAST(CAST(SUM(wgt * n_chars) AS BIGINT) AS DOUBLE)
+      |      / CAST(CAST(SUM(wgt) AS BIGINT) AS DOUBLE) AS est
+      |  FROM pw GROUP BY lang, r HAVING SUM(wgt) > 0),
+      |rk AS (
+      |  SELECT lang, est, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY est) AS rn,
+      |    COUNT(*) OVER (PARTITION BY lang) AS nr
+      |  FROM e),
+      |ci AS (
+      |  SELECT lang,
+      |    ROUND(MAX(CASE WHEN rn = 1 THEN est END) * 0.225
+      |        + MAX(CASE WHEN rn = 2 THEN est END) * 0.775, 4) AS ci_lo,
+      |    ROUND(MAX(CASE WHEN rn = 31 THEN est END) * 0.775
+      |        + MAX(CASE WHEN rn = 32 THEN est END) * 0.225, 4) AS ci_hi,
+      |    MAX(nr) AS n_resamples
+      |  FROM rk WHERE nr = 32 GROUP BY lang),
+      |p AS (
+      |  SELECT lang, ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 4) AS point_mean
+      |  FROM documents GROUP BY lang)
+      |SELECT p.lang, p.point_mean, ci.ci_lo, ci.ci_hi, ci.n_resamples
+      |FROM p JOIN ci USING (lang)""".stripMargin))
+
+  def queries: Seq[GQuery] = Seq(q146, q149, q152, q169)
 }

@@ -366,5 +366,61 @@ object CrawlQueries {
       |  CAST(SUM(CASE WHEN kept THEN doc_id END) AS BIGINT) AS kept_id_sum
       |FROM v GROUP BY source""".stripMargin))
 
-  def queries: Seq[GQuery] = Seq(q143, q144, q145, q150, q151)
+  /** q172: partition-delta recompute planner — the primitive behind
+    * incremental pipeline runs at 100 TB: checksum both snapshots at
+    * the partition grain (source), classify each partition
+    * added / removed / changed / unchanged, and emit the recompute
+    * list. Downstream stages re-run ONLY `changed`+`added` partitions
+    * instead of the corpus. Two map-side-combined aggregations + one
+    * full outer on the partition key (|partitions| rows); the per-row
+    * hash is order-independent (a sum), so the checksum is stable
+    * under any partitioning. Old snapshot simulated from `documents`:
+    * src19 dropped (removed), src0 withheld from old (added), every
+    * doc_id%5=0 row of src3 withheld (changed). */
+  val q172 = GQuery(
+    "q172_partition_delta",
+    (s, d) => {
+      val docs = documents(s, d)
+      val rowSig = conv(substring(
+        md5(concat_ws("|", col("doc_id"), col("n_chars"))), 1, 7), 16, 10)
+        .cast("long")
+      def census(df: org.apache.spark.sql.DataFrame, p: String) = df
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as(s"${p}_rows"), sum(rowSig).as(s"${p}_sig"))
+      val old = docs
+        .filter(col("source") =!= "src0")
+        .filter(!(col("source") === "src3" && col("doc_id") % 5 === 0))
+      val neu = docs.filter(col("source") =!= "src19")
+      census(old, "old").join(census(neu, "new"), Seq("source"), "full_outer")
+        .select(col("source"),
+          coalesce(col("old_rows"), lit(0L)).as("old_rows"),
+          coalesce(col("new_rows"), lit(0L)).as("new_rows"),
+          when(col("new_rows").isNull, "removed")
+            .when(col("old_rows").isNull, "added")
+            .when(col("old_sig") === col("new_sig") &&
+              col("old_rows") === col("new_rows"), "unchanged")
+            .otherwise("changed").as("status"))
+    },
+    Some("""WITH sig AS (
+      |  SELECT source, doc_id,
+      |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || CAST(n_chars AS VARCHAR)), 1, 7)) AS BIGINT) AS rs
+      |  FROM documents),
+      |old AS (
+      |  SELECT source, COUNT(*) AS old_rows, CAST(SUM(rs) AS BIGINT) AS old_sig
+      |  FROM sig
+      |  WHERE source <> 'src0' AND NOT (source = 'src3' AND doc_id % 5 = 0)
+      |  GROUP BY source),
+      |neu AS (
+      |  SELECT source, COUNT(*) AS new_rows, CAST(SUM(rs) AS BIGINT) AS new_sig
+      |  FROM sig WHERE source <> 'src19' GROUP BY source)
+      |SELECT COALESCE(old.source, neu.source) AS source,
+      |  COALESCE(old_rows, 0) AS old_rows,
+      |  COALESCE(new_rows, 0) AS new_rows,
+      |  CASE WHEN new_rows IS NULL THEN 'removed'
+      |       WHEN old_rows IS NULL THEN 'added'
+      |       WHEN old_sig = new_sig AND old_rows = new_rows THEN 'unchanged'
+      |       ELSE 'changed' END AS status
+      |FROM old FULL JOIN neu ON old.source = neu.source""".stripMargin))
+
+  def queries: Seq[GQuery] = Seq(q143, q144, q145, q150, q151, q172)
 }

@@ -579,6 +579,55 @@ object MiscQueries {
       |  CAST(SUM(sig) AS BIGINT) AS sig_sum
       |FROM m GROUP BY lang, frame_no""".stripMargin))
 
+  /** q170: key-skew diagnosis report — the planning pass run BEFORE a
+    * big join/agg at scale to decide whether to salt (q62's operator)
+    * and by how much. Per-key row counts binned into exact power-of-2
+    * buckets (floor(log2 n) via binary-string length — no float log
+    * near bucket edges), each bucket's key census and row share, and
+    * a salt hint = ceil(bucket max / global mean rows-per-key). Two
+    * aggregations + a broadcast of the one-row total; the per-key agg
+    * is map-side combined so the shuffle carries |keys| partials. */
+  val q170 = GQuery(
+    "q170_skew_report",
+    (s, d) => {
+      val perKey = orders(s, d)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+      val tot = perKey.agg(
+        sum(col("n")).as("rows_total"), count(lit(1)).as("keys_total"))
+      perKey
+        .withColumn("bucket", (length(bin(col("n"))) - 1).cast("long"))
+        .groupBy(col("bucket"))
+        .agg(
+          count(lit(1)).as("n_keys"),
+          min(col("n")).as("min_n"),
+          max(col("n")).as("max_n"),
+          sum(col("n")).as("bucket_rows"))
+        .crossJoin(broadcast(tot))
+        .select(
+          col("bucket"), col("n_keys"), col("min_n"), col("max_n"),
+          col("bucket_rows"),
+          round(col("bucket_rows").cast("double") /
+            col("rows_total").cast("double"), 6).as("row_share"),
+          greatest(lit(1L),
+            ceil(col("max_n").cast("double") * col("keys_total").cast("double") /
+              col("rows_total").cast("double")).cast("long")).as("salt_hint"))
+    },
+    Some("""WITH pk AS (
+      |  SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey),
+      |tot AS (
+      |  SELECT CAST(SUM(n) AS BIGINT) AS rows_total, COUNT(*) AS keys_total FROM pk),
+      |b AS (
+      |  SELECT CAST(length(bin(n)) - 1 AS BIGINT) AS bucket, n FROM pk)
+      |SELECT b.bucket, COUNT(*) AS n_keys,
+      |  MIN(n) AS min_n, MAX(n) AS max_n,
+      |  CAST(SUM(n) AS BIGINT) AS bucket_rows,
+      |  ROUND(CAST(SUM(n) AS BIGINT) / CAST(rows_total AS DOUBLE), 6) AS row_share,
+      |  GREATEST(1, CAST(CEIL(CAST(MAX(n) AS DOUBLE) * CAST(keys_total AS DOUBLE)
+      |    / CAST(rows_total AS DOUBLE)) AS BIGINT)) AS salt_hint
+      |FROM b CROSS JOIN tot
+      |GROUP BY b.bucket, tot.rows_total, tot.keys_total""".stripMargin))
+
   def queries: Seq[GQuery] =
-    Seq(q45, q46, q47, q49, q52, q59, q62, q63, q64, q67, q69, q71, q148, q155)
+    Seq(q45, q46, q47, q49, q52, q59, q62, q63, q64, q67, q69, q71, q148, q155,
+      q170)
 }

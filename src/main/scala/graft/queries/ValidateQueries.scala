@@ -499,5 +499,57 @@ object ValidateQueries {
   private def dsumSqlV(x: String) =
     s"CAST(SUM(CAST(($x) AS DECIMAL(38,6))) AS DOUBLE)"
 
-  def queries: Seq[GQuery] = Seq(q72, q73, q82)
+  /** q171: declarative data-contract audit over `orders`
+    * ([[graft.core.Expectations.audit]]) — the generic scheduler gate
+    * behind the hand-written tinytest/metadata checks: every row rule
+    * folds into one map-side-combined scan, uniqueness is one key
+    * census, referential integrity one anti-join. The report frame is
+    * what a 100 TB nightly run diffs against its contract. */
+  val q171 = GQuery(
+    "q171_data_contract",
+    (s, d) => graft.core.Expectations.audit(
+      orders(s, d),
+      rowRules = Seq(
+        graft.core.Expectations.RowRule("price_range",
+          col("o_totalprice") > 0.0 && col("o_totalprice") < 500000.0),
+        graft.core.Expectations.RowRule("status_enum",
+          col("o_orderstatus").isin("O", "F", "P")),
+        graft.core.Expectations.RowRule("date_present",
+          col("o_orderdate").isNotNull),
+        graft.core.Expectations.RowRule("priority_format",
+          col("o_orderpriority").rlike("^[1-5]-[A-Z ]+$"))),
+      uniqueKey = Some(Seq("o_orderkey")),
+      foreignKeys = Seq(
+        ("cust", customer(s, d), "o_custkey", "c_custkey"))),
+    Some("""WITH n AS (SELECT COUNT(*) AS n_rows FROM orders),
+      |rules AS (
+      |  SELECT 'price_range' AS rule, n_rows,
+      |    (SELECT COUNT(*) FROM orders
+      |     WHERE NOT (o_totalprice > 0.0 AND o_totalprice < 500000.0)
+      |        OR o_totalprice IS NULL) AS n_bad FROM n
+      |  UNION ALL
+      |  SELECT 'status_enum', n_rows,
+      |    (SELECT COUNT(*) FROM orders
+      |     WHERE o_orderstatus NOT IN ('O', 'F', 'P')
+      |        OR o_orderstatus IS NULL) FROM n
+      |  UNION ALL
+      |  SELECT 'date_present', n_rows,
+      |    (SELECT COUNT(*) FROM orders WHERE o_orderdate IS NULL) FROM n
+      |  UNION ALL
+      |  SELECT 'priority_format', n_rows,
+      |    (SELECT COUNT(*) FROM orders
+      |     WHERE NOT regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+$')
+      |        OR o_orderpriority IS NULL) FROM n
+      |  UNION ALL
+      |  SELECT 'unique:o_orderkey', n_rows,
+      |    n_rows - (SELECT COUNT(DISTINCT o_orderkey) FROM orders) FROM n
+      |  UNION ALL
+      |  SELECT 'fk:cust', n_rows,
+      |    (SELECT COUNT(*) FROM orders
+      |     WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)) FROM n)
+      |SELECT rule, n_rows, CAST(n_bad AS BIGINT) AS n_bad,
+      |  ROUND(CAST(n_bad AS DOUBLE) / CAST(n_rows AS DOUBLE), 6) AS bad_share
+      |FROM rules""".stripMargin))
+
+  def queries: Seq[GQuery] = Seq(q72, q73, q82, q171)
 }

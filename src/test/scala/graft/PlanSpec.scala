@@ -269,6 +269,34 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"domain-table joins must not shuffle:\n$p")
   }
 
+  test("q168: DP release is one aggregation — map-side partials, no join") {
+    val p = plan("q168_dp_release")
+    assert(p.contains("partial_"), s"census must combine map-side:\n$p")
+    assert(!p.contains("Join"), s"noise is a projection, not a join:\n$p")
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).length
+    assert(exchanges <= 1, s"one census exchange expected, saw $exchanges:\n$p")
+  }
+
+  test("q169: bootstrap resamples combine map-side; no per-resample reshuffle") {
+    val p = plan("q169_bootstrap_ci")
+    // the rows×32 expansion must partial-aggregate before its exchange —
+    // the shuffle carries |groups|×R partials, not the exploded rows
+    assert(p.contains("partial_sum"), s"no map-side combine after explode:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    // the point-estimate join keys on the group column (tiny frames);
+    // the resample expansion itself must never join
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"no loop join:\n$p")
+  }
+
+  test("q170: skew report broadcasts the 1-row total; per-key agg combines map-side") {
+    val p = plan("q170_skew_report")
+    assert(p.contains("partial_count") || p.contains("partial_"),
+      s"per-key census must combine map-side:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the one-row totals must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no shuffle join for a 1-row frame:\n$p")
+  }
+
   test("q166: rendezvous sharding is join-free and explode-free — one agg exchange only") {
     val p = plan("q166_rendezvous_shards")
     assert(!p.contains("Join"), s"rendezvous must not join:\n$p")
