@@ -58,6 +58,5 @@ object Expectations {
       .reduce(_ unionByName _)
       .withColumn("bad_share",
         round(col("n_bad").cast("double") / col("n_rows").cast("double"), 6))
-      .orderBy(col("rule"))
   }
 }

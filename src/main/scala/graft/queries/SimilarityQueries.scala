@@ -293,8 +293,7 @@ object SimilarityQueries {
     "q105_semantic_dedup",
     (s, d) =>
       Knn.semanticDedup(embeddings(s, d).filter(col("vec_id") < 100),
-          "vec_id", "embedding", threshold = 0.25, numPlanes = 6, numTables = 4)
-        .orderBy(col("vec_id")),
+          "vec_id", "embedding", threshold = 0.25, numPlanes = 6, numTables = 4),
     Some(s"""WITH $elSql,
       |${bucketSql("WHERE v.vec_id < 100")},
       |cand AS (

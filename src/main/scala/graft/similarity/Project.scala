@@ -65,7 +65,9 @@ object Project {
       .join(proj, idCol)
     val a = full.select(col(idCol).as("ia"), col("__ev").as("xa"), col("proj").as("pa"))
     val b = full.select(col(idCol).as("ib"), col("__ev").as("xb"), col("proj").as("pb"))
-    a.join(b, col("ia") < col("ib"))
+    // broadcast the (capped) right side: the pair enumeration becomes a
+    // BroadcastNestedLoopJoin instead of a partitioned CartesianProduct
+    a.join(org.apache.spark.sql.functions.broadcast(b), col("ia") < col("ib"))
       .withColumn("__o", dist2Dec(col("xa"), col("xb")).cast(DoubleType))
       .filter(col("__o") > 0) // identical vectors carry no distance to distort
       .withColumn("__r",
