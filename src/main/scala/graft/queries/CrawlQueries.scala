@@ -381,25 +381,12 @@ object CrawlQueries {
     "q172_partition_delta",
     (s, d) => {
       val docs = documents(s, d)
-      val rowSig = conv(substring(
-        md5(concat_ws("|", col("doc_id"), col("n_chars"))), 1, 7), 16, 10)
-        .cast("long")
-      def census(df: org.apache.spark.sql.DataFrame, p: String) = df
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as(s"${p}_rows"), sum(rowSig).as(s"${p}_sig"))
       val old = docs
         .filter(col("source") =!= "src0")
         .filter(!(col("source") === "src3" && col("doc_id") % 5 === 0))
       val neu = docs.filter(col("source") =!= "src19")
-      census(old, "old").join(census(neu, "new"), Seq("source"), "full_outer")
-        .select(col("source"),
-          coalesce(col("old_rows"), lit(0L)).as("old_rows"),
-          coalesce(col("new_rows"), lit(0L)).as("new_rows"),
-          when(col("new_rows").isNull, "removed")
-            .when(col("old_rows").isNull, "added")
-            .when(col("old_sig") === col("new_sig") &&
-              col("old_rows") === col("new_rows"), "unchanged")
-            .otherwise("changed").as("status"))
+      graft.streaming.Incremental.partitionDelta(
+        old, neu, "source", Seq("doc_id", "n_chars"))
     },
     Some("""WITH sig AS (
       |  SELECT source, doc_id,

@@ -46,4 +46,40 @@ class StreamingSpec extends SparkSpec {
     val done = spark.range(0, 5).toDF("id")
     assert(Incremental.notYetProcessed(src, done, "id").count() == 5)
   }
+
+  test("partitionDelta classifies added/removed/changed/unchanged") {
+    val old = Seq(("A", 1L, 10L), ("A", 2L, 20L), ("B", 3L, 30L), ("D", 9L, 90L))
+      .toDF("part", "id", "v")
+    val neu = Seq(("A", 1L, 10L), ("A", 2L, 20L), ("B", 3L, 31L), ("C", 7L, 70L))
+      .toDF("part", "id", "v")
+    val delta = Incremental.partitionDelta(old, neu, "part", Seq("id", "v"))
+      .collect().map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(delta == Map("A" -> "unchanged", "B" -> "changed",
+      "C" -> "added", "D" -> "removed"))
+  }
+
+  test("partitionDelta flags same-count content changes (checksum, not count)") {
+    val old = Seq(("A", 1L, 10L)).toDF("part", "id", "v")
+    val neu = Seq(("A", 1L, 11L)).toDF("part", "id", "v") // same rows, new content
+    val d = Incremental.partitionDelta(old, neu, "part", Seq("id", "v")).collect()(0)
+    assert(d.getString(3) == "changed" && d.getLong(1) == 1L && d.getLong(2) == 1L)
+  }
+
+  test("recomputeChanged re-runs the stage only on dirty partitions") {
+    val old = Seq(("A", 1L, 10L), ("B", 3L, 30L), ("D", 9L, 90L))
+      .toDF("part", "id", "v")
+    val neu = Seq(("A", 1L, 10L), ("B", 3L, 31L), ("C", 7L, 70L))
+      .toDF("part", "id", "v")
+    // the previous run's stage outputs are tagged v1; this run's stage
+    // tags v2 — unchanged partitions must keep their v1 outputs
+    val prevOut = old.withColumn("stage_ver", lit("v1"))
+    val out = Incremental.recomputeChanged(prevOut, old, neu, "part",
+      Seq("id", "v"))(df => df.withColumn("stage_ver", lit("v2")))
+      .select($"part", $"v", $"stage_ver")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(out == Set(
+      ("A", 10L, "v1"),  // unchanged: previous output spliced through
+      ("B", 31L, "v2"),  // changed: recomputed from the NEW snapshot
+      ("C", 70L, "v2"))) // added: computed; removed D is gone
+  }
 }
