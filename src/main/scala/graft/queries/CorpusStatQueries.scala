@@ -169,9 +169,10 @@ object CorpusStatQueries {
   private val clfW: Seq[Double] = (0 until 16).map(i => ((i * 37) % 16 - 8) / 8.0)
   private val clfB = 0.25
 
-  val q152 = GQuery(
-    "q152_filter_agreement",
-    (s, d) => {
+  /** Shared by q152/q175: the per-lang rule-vs-classifier confusion
+    * cells (n_docs, n_both, n_rule_only, n_clf_only, n_neither). */
+  private def agreementCells(s: org.apache.spark.sql.SparkSession,
+                             d: String): org.apache.spark.sql.DataFrame = {
       val docs0 = documents(s, d)
       val enriched = when(col("doc_id") % 2 === 0,
         concat(col("text"), lit(" "), col("text"),
@@ -198,8 +199,10 @@ object CorpusStatQueries {
           lcount(when(col("rule_keep") && !col("clf_keep"), 1)).as("n_rule_only"),
           lcount(when(!col("rule_keep") && col("clf_keep"), 1)).as("n_clf_only"),
           lcount(when(!col("rule_keep") && !col("clf_keep"), 1)).as("n_neither"))
-    },
-    Some {
+  }
+
+  /** SQL mirror of [[agreementCells]] (one full statement). */
+  private lazy val agreementSql: String = {
       val wCase = "CASE idx " + clfW.zipWithIndex.map { case (w, i) =>
         s"WHEN $i THEN $w"
       }.mkString(" ") + " END"
@@ -257,7 +260,55 @@ object CorpusStatQueries {
       |  COUNT(CASE WHEN NOT rule_keep AND clf_keep THEN 1 END) AS n_clf_only,
       |  COUNT(CASE WHEN NOT rule_keep AND NOT clf_keep THEN 1 END) AS n_neither
       |FROM v GROUP BY lang""".stripMargin
-    })
+  }
+
+  val q152 = GQuery(
+    "q152_filter_agreement",
+    (s, d) => agreementCells(s, d),
+    Some(agreementSql))
+
+  /** q175: chance-corrected agreement — Cohen's κ per language over
+    * the same rule-vs-classifier verdicts as q152. Raw agreement
+    * (q152's cells) overstates consensus when both filters keep almost
+    * everything; κ subtracts the agreement two independent filters
+    * with these marginals would show by chance — the statistic an
+    * annotation-quality audit reports before trusting a filter
+    * ensemble. Pure integer cell counts → one double expression,
+    * identical operation order on both engines, rounded at 6. */
+  val q175 = GQuery(
+    "q175_kappa_agreement",
+    (s, d) => {
+      val a = col("n_both"); val b = col("n_rule_only")
+      val c = col("n_clf_only"); val d0 = col("n_neither")
+      val n = col("n_docs")
+      val po = (a + d0).cast("double") / n.cast("double")
+      val pe = ((a + b) * (a + c) + (c + d0) * (b + d0)).cast("double") /
+        (n * n).cast("double")
+      agreementCells(s, d).select(
+        col("lang"), n.as("n_docs"),
+        round(po, 6).as("agree_rate"),
+        round(pe, 6).as("chance_rate"),
+        when(pe =!= 1.0, round((po - pe) / (lit(1.0) - pe), 6)).as("kappa"))
+    },
+    Some(s"""SELECT lang, n_docs,
+      |  round(CAST(n_both + n_neither AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+      |    AS agree_rate,
+      |  round(CAST((n_both + n_rule_only) * (n_both + n_clf_only)
+      |      + (n_clf_only + n_neither) * (n_rule_only + n_neither) AS DOUBLE)
+      |    / CAST(n_docs * n_docs AS DOUBLE), 6) AS chance_rate,
+      |  CASE WHEN CAST((n_both + n_rule_only) * (n_both + n_clf_only)
+      |      + (n_clf_only + n_neither) * (n_rule_only + n_neither) AS DOUBLE)
+      |    / CAST(n_docs * n_docs AS DOUBLE) <> 1.0
+      |  THEN round(
+      |    (CAST(n_both + n_neither AS DOUBLE) / CAST(n_docs AS DOUBLE)
+      |      - CAST((n_both + n_rule_only) * (n_both + n_clf_only)
+      |          + (n_clf_only + n_neither) * (n_rule_only + n_neither) AS DOUBLE)
+      |        / CAST(n_docs * n_docs AS DOUBLE))
+      |    / (1.0 - CAST((n_both + n_rule_only) * (n_both + n_clf_only)
+      |          + (n_clf_only + n_neither) * (n_rule_only + n_neither) AS DOUBLE)
+      |        / CAST(n_docs * n_docs AS DOUBLE)), 6)
+      |  END AS kappa
+      |FROM ($agreementSql) cells""".stripMargin))
 
   /** q169: Poisson-bootstrap 95% CI of per-language mean document
     * length ([[graft.stats.Bootstrap.ciMean]]) — the uncertainty
@@ -309,5 +360,5 @@ object CorpusStatQueries {
       |SELECT p.lang, p.point_mean, ci.ci_lo, ci.ci_hi, ci.n_resamples
       |FROM p JOIN ci USING (lang)""".stripMargin))
 
-  def queries: Seq[GQuery] = Seq(q146, q149, q152, q169)
+  def queries: Seq[GQuery] = Seq(q146, q149, q152, q169, q175)
 }

@@ -324,5 +324,57 @@ object GraphQueries {
       |SELECT node AS domain, auth AS auth_e12, hub AS hub_e12
       |FROM h$HitsIters""".stripMargin))
 
-  def queries: Seq[GQuery] = Seq(q153, q157, q158, q160, q164)
+  /** q174: label-propagation communities over the q153 link graph
+    * ([[graft.graph.LabelProp]]) — the mirror/template-farm detector
+    * that complements connected components (q57): 3 synchronous
+    * rounds, votes weighted by undirected edge mass, ties broken
+    * (weight DESC, label ASC). The oracle unrolls the same 3 rounds
+    * as CTEs — the vote dynamics sit under the hash gate. Output: a
+    * per-community census (size + member-id sum + smallest member). */
+  val q174 = GQuery(
+    "q174_label_communities",
+    (s, d) => {
+      val labels = graft.graph.LabelProp.run(linkEdges(s, d), iters = 3)
+      labels.groupBy(col("label").as("community"))
+        .agg(
+          lcount(lit(1)).as("n_nodes"),
+          sum(expr("CAST(substring(node, 2) AS BIGINT)")).as("id_sum"),
+          min(col("node")).as("first_member"))
+    },
+    Some {
+      def round(prev: String, cur: String) =
+        s"""$cur AS (
+           |  SELECT v.node, COALESCE(b.label, v.label) AS label
+           |  FROM $prev v LEFT JOIN (
+           |    SELECT node, label FROM (
+           |      SELECT u.dst AS node, l.label, SUM(u.w) AS wsum,
+           |        row_number() OVER (PARTITION BY u.dst
+           |          ORDER BY SUM(u.w) DESC, l.label ASC) AS rn
+           |      FROM u JOIN $prev l ON u.src = l.node
+           |      GROUP BY u.dst, l.label) t WHERE rn = 1) b
+           |  ON v.node = b.node)""".stripMargin
+      s"""WITH raw AS (
+        |  SELECT 'd' || (doc_id % $M) AS src, 'd' || ((doc_id * 7 + 13) % $M) AS dst
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'd' || (doc_id % $M), 'd' || ((doc_id * 13 + 29) % $M) FROM documents
+        |  UNION ALL
+        |  SELECT 'd' || (doc_id % $M), 'd' || ((doc_id * 31 + 7) % $M) FROM documents),
+        |e0 AS (SELECT src, dst, COUNT(*) AS w FROM raw
+        |       WHERE src != dst GROUP BY src, dst),
+        |u AS MATERIALIZED (
+        |  SELECT src, dst, CAST(SUM(w) AS BIGINT) AS w FROM (
+        |    SELECT src, dst, w FROM e0
+        |    UNION ALL SELECT dst, src, w FROM e0) GROUP BY src, dst),
+        |l0 AS (SELECT DISTINCT src AS node, src AS label FROM u),
+        |${round("l0", "l1")},
+        |${round("l1", "l2")},
+        |${round("l2", "l3")}
+        |SELECT label AS community, COUNT(*) AS n_nodes,
+        |  CAST(SUM(CAST(substr(node, 2) AS BIGINT)) AS BIGINT) AS id_sum,
+        |  MIN(node) AS first_member
+        |FROM l3 GROUP BY label""".stripMargin
+    })
+
+  def queries: Seq[GQuery] = Seq(q153, q157, q158, q160, q164, q174)
 }

@@ -627,5 +627,30 @@ object SimilarityQueries {
       |FROM corp c JOIN verdict v ON c.vec_id = v.cid
       |GROUP BY c.label""".stripMargin))
 
-  def queries: Seq[GQuery] = Seq(q40, q41, q42, q48, q53, q102, q105, q114, q117, q119, q122, q131, q147)
+  /** q173: the PCA second-moment matrix over the embedding corpus
+    * ([[graft.similarity.Pca.secondMoment]]) — the one data-scan of a
+    * distributed PCA (anisotropy diagnostics, whitening,
+    * all-but-the-top post-processing). The gate pins the full upper
+    * triangle: d(d+1)/2 exact int64 sums of scaled-element products,
+    * map-combined, shuffle of ≤ one short row per (pair, partition).
+    * The dim-bounded eigensolve/projection on top is PcaSpec's
+    * province (driver-side power iteration isn't SQL). */
+  val q173 = GQuery(
+    "q173_pca_moment",
+    (s, d) => {
+      val emb = embeddings(s, d)
+      graft.similarity.Pca.secondMoment(emb, "embedding",
+        Knn.inferDim(emb, "embedding"))
+    },
+    Some("""WITH el AS (
+      |  SELECT vec_id,
+      |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS e,
+      |    generate_subscripts(embedding, 1) AS i
+      |  FROM embeddings)
+      |SELECT CAST(a.i - 1 AS INT) AS i, CAST(b.i - 1 AS INT) AS j,
+      |  CAST(SUM(a.e * b.e) AS BIGINT) AS g
+      |FROM el a JOIN el b ON a.vec_id = b.vec_id AND b.i >= a.i
+      |GROUP BY 1, 2""".stripMargin))
+
+  def queries: Seq[GQuery] = Seq(q40, q41, q42, q48, q53, q102, q105, q114, q117, q119, q122, q131, q147, q173)
 }
