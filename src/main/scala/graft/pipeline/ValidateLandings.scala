@@ -556,6 +556,14 @@ object ValidateLandings {
         (col("__sp") =!= "0" && col("__v") <= 0) ||
         (col("__v") <= 0 && col("__n") > 0) ||
         (col("__v") > 0 && col("__n") <= 0), lit(22))
+    // Pinned (lazy localCheckpoint): consumed by `rows` (twice after
+    // plan duplication), `pw`, and the stacked histogram. Round 5 left
+    // the whole fold lazy on the theory that ReuseExchange would
+    // deduplicate the shared subtrees; the executed plan shows it does
+    // NOT — projection pushdown diverges every consumer's copy (same
+    // failure mode the dedup operators document), so the catch-side
+    // SortAggregate and this join re-ran 3-4×. The pin is
+    // submission-grain (one short row per submission).
     val tripSide = trips.select(col("submission_id"),
         col("total_catch_value").as("__tcv"),
         abs(col("total_catch_value")).as("__v"),
@@ -563,15 +571,16 @@ object ValidateLandings {
       .join(perReg, Seq("submission_id"), "left")
       .withColumn("__a_reg", aReg)
       .drop("__sp", "__n", "__v")
+      .localCheckpoint(eager = false)
     // regular submissions' catch rows with the gear key, read by the
-    // MAD-bounds histogram and the per-submission census. NOT persisted:
-    // both consumers sit in the ONE final query below, where the
-    // identical subtrees (the sid exchange of catchRows and of trips)
-    // deduplicate via ReuseExchange — a cache would only add block-store
-    // traffic, and a localCheckpoint a lineage-truncating memcopy.
+    // MAD-bounds histogram and the per-submission census. Pinned for
+    // the same reason as tripSide: its two consumers' copies diverge
+    // under pushdown and the lineitem scan + broadcast join re-ran per
+    // copy. Catch-grain but narrow (5 columns).
     val rows = catchRows.join(
         tripSide.filter(col("__a_reg").isNull).select("submission_id", "__gear"),
         Seq("submission_id"))
+      .localCheckpoint(eager = false)
 
     // ONE MAD histogram pass for BOTH the per-(gear, species) catch
     // bounds (alert 11) and the five global trip columns (alerts
@@ -596,8 +605,13 @@ object ValidateLandings {
           Seq(lit(s"c:$n"), c.cast("double"))
         }: _*)).as(Seq("__g1", "__x")))
       .select(col("__g1"), lit("").as("__g2"), col("__x"))
+    // Pinned: the histogram result is tiny (one row per gear×species
+    // group + 5 globals) but its chain — union, sort, two windows —
+    // is the fold's most expensive subtree, and it has two consumers
+    // (`bounds`, `wide`) whose copies diverge exactly like the above.
     val uni = Outliers.madBoundsLog1p(
-      catchStack.unionByName(tripStack), Seq("__g1", "__g2"), "__x", 1.0)
+        catchStack.unionByName(tripStack), Seq("__g1", "__g2"), "__x", 1.0)
+      .localCheckpoint(eager = false)
     // catch-side (gear × species) upper bound at kInd; the k=1 guard
     // (`lower IS NOT NULL` ⟺ nonzero ∧ mad>0) is k-independent
     val bounds = uni.filter(col("__g1").startsWith("g:"))

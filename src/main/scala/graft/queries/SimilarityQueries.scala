@@ -652,5 +652,37 @@ object SimilarityQueries {
       |FROM el a JOIN el b ON a.vec_id = b.vec_id AND b.i >= a.i
       |GROUP BY 1, 2""".stripMargin))
 
-  def queries: Seq[GQuery] = Seq(q40, q41, q42, q48, q53, q102, q105, q114, q117, q119, q122, q131, q147, q173)
+  /** q176: incremental PCA-moment maintenance
+    * ([[graft.similarity.Pca.updateMoment]]) — when a vector batch
+    * lands/retires, the landed d×d moment updates algebraically
+    * (G + G_added − G_removed; only the delta slices are scanned)
+    * instead of rescanning the corpus. Exact int64 sums form a group,
+    * so the ORACLE IS THE FULL RECOMPUTE over the new corpus — the
+    * gate proves incremental ≡ from-scratch bit-for-bit. Fixture:
+    * added = vec_id%13=0 (absent from the landed snapshot), removed =
+    * vec_id%11=0 of the rest. */
+  val q176 = GQuery(
+    "q176_pca_incremental",
+    (s, d) => {
+      val emb = embeddings(s, d)
+      val dim = Knn.inferDim(emb, "embedding")
+      val isAdded = col("vec_id") % 13 === 0
+      val isRemoved = col("vec_id") % 11 === 0 && col("vec_id") % 13 =!= 0
+      val old = emb.filter(!isAdded)
+      graft.similarity.Pca.updateMoment(
+        graft.similarity.Pca.secondMoment(old, "embedding", dim),
+        emb.filter(isAdded), old.filter(isRemoved), "embedding", dim)
+    },
+    Some("""WITH el AS (
+      |  SELECT vec_id,
+      |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS e,
+      |    generate_subscripts(embedding, 1) AS i
+      |  FROM embeddings
+      |  WHERE NOT (vec_id % 11 = 0 AND vec_id % 13 <> 0))
+      |SELECT CAST(a.i - 1 AS INT) AS i, CAST(b.i - 1 AS INT) AS j,
+      |  CAST(SUM(a.e * b.e) AS BIGINT) AS g
+      |FROM el a JOIN el b ON a.vec_id = b.vec_id AND b.i >= a.i
+      |GROUP BY 1, 2""".stripMargin))
+
+  def queries: Seq[GQuery] = Seq(q40, q41, q42, q48, q53, q102, q105, q114, q117, q119, q122, q131, q147, q173, q176)
 }

@@ -45,7 +45,17 @@ object Pca {
     * expression, not d² columns), and the hash aggregate combines them
     * map-side into d(d+1)/2 groups — the shuffle carries ≤ 2080 rows
     * per partition whatever the row count. */
-  def secondMoment(emb: DataFrame, vecCol: String, dim: Int): DataFrame = {
+  def secondMoment(emb: DataFrame, vecCol: String, dim: Int): DataFrame =
+    pairProducts(emb, vecCol, dim)
+      .groupBy((col("k") / dim).cast("int").as("i"),
+        (col("k") % dim).cast("int").as("j"))
+      .agg(sum(col("p")).as("g"))
+
+  /** Per-row upper-triangle pair products as (k, p) rows with
+    * k = i·dim + j flat-encoded — the pre-aggregation form shared by
+    * the batch moment, the incremental update, and a streaming
+    * maintenance sink (`groupBy(k).sum(p)` under any engine mode). */
+  def pairProducts(emb: DataFrame, vecCol: String, dim: Int): DataFrame = {
     // pair k ↔ (i, j) with i ≤ j, flat-encoded as i·dim + j so the
     // literal is a plain int64 array
     val pairCodes = for { i <- 0 until dim; j <- i until dim }
@@ -56,9 +66,26 @@ object Pca {
         struct(k.as("k"),
           (element_at(col("__s"), (k / dim).cast("int") + 1) *
             element_at(col("__s"), (k % dim).cast("int") + 1)).as("p")))).as("e"))
-      .groupBy((col("e.k") / dim).cast("int").as("i"),
-        (col("e.k") % dim).cast("int").as("j"))
-      .agg(sum(col("e.p")).as("g"))
+      .select(col("e.k").as("k"), col("e.p").as("p"))
+  }
+
+  /** Incremental moment maintenance — the 100 TB path when a batch
+    * lands: G' = G + G(added) − G(removed). Exact int64 sums are a
+    * commutative group, so the update is EXACTLY the full recompute
+    * (gated so by the q176 oracle, which recomputes from scratch);
+    * only the delta slices are scanned, the landed triangle is
+    * d(d+1)/2 rows. */
+  def updateMoment(old: DataFrame, added: DataFrame, removed: DataFrame,
+                   vecCol: String, dim: Int): DataFrame = {
+    val a = secondMoment(added, vecCol, dim)
+      .withColumnRenamed("g", "__ga")
+    val r = secondMoment(removed, vecCol, dim)
+      .withColumnRenamed("g", "__gr")
+    old.join(a, Seq("i", "j"), "full_outer")
+      .join(r, Seq("i", "j"), "full_outer")
+      .select(col("i"), col("j"),
+        (coalesce(col("g"), lit(0L)) + coalesce(col("__ga"), lit(0L))
+          - coalesce(col("__gr"), lit(0L))).as("g"))
   }
 
   /** Driver-side deterministic power iteration on the collected moment

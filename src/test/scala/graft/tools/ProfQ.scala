@@ -33,7 +33,9 @@ object ProfQ {
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
         val i = s.stageInfo
         val cpu = i.taskMetrics.executorRunTime / 1e3
-        lines += f"  stage ${i.stageId}%3d tasks=${i.numTasks}%3d taskTime=$cpu%7.2fs ${i.name.take(60)}"
+        val ops = i.rddInfos.map(r => r.scope.map(_.name).getOrElse(r.name))
+          .distinct.mkString(">")
+        lines += f"  stage ${i.stageId}%3d tasks=${i.numTasks}%3d taskTime=$cpu%7.2fs ${ops.take(140)}"
       }
     })
     val q = graft.queries.Registry.byName(name)
