@@ -45,11 +45,20 @@ object Pca {
     * expression, not d² columns), and the hash aggregate combines them
     * map-side into d(d+1)/2 groups — the shuffle carries ≤ 2080 rows
     * per partition whatever the row count. */
-  def secondMoment(emb: DataFrame, vecCol: String, dim: Int): DataFrame =
-    pairProducts(emb, vecCol, dim)
-      .groupBy((col("k") / dim).cast("int").as("i"),
-        (col("k") % dim).cast("int").as("j"))
-      .agg(sum(col("p")).as("g"))
+  def secondMoment(emb: DataFrame, vecCol: String, dim: Int): DataFrame = {
+    // one TypedImperativeAggregate pass: a flat long[d(d+1)/2] buffer
+    // updated with a multiply-add loop per row, merged element-wise —
+    // no per-pair row explosion (graft.functions.MomentSum)
+    graft.functions.MomentSum.register(emb.sparkSession)
+    val pairCodes = array((for { i <- 0 until dim; j <- i until dim }
+      yield lit(i.toLong * dim + j)): _*)
+    emb.select(scaled(col(vecCol)).as("__s"))
+      .agg(expr(s"moment_sum(__s, $dim)").as("__m"))
+      .select(explode(zip_with(pairCodes, col("__m"),
+        (k, g) => struct(k.as("k"), g.as("g")))).as("e"))
+      .select((col("e.k") / dim).cast("int").as("i"),
+        (col("e.k") % dim).cast("int").as("j"), col("e.g").as("g"))
+  }
 
   /** Per-row upper-triangle pair products as (k, p) rows with
     * k = i·dim + j flat-encoded — the pre-aggregation form shared by
