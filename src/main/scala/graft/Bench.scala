@@ -31,7 +31,13 @@ object Bench {
           // plans (q72: 15 validators) RECOMPILE inside the timed
           // window every pass — measured 19 s in-suite vs 8.5 s
           // isolated. Size it to hold the whole suite.
-          .config("spark.sql.codegen.cache.maxEntries", "8192"),
+          .config("spark.sql.codegen.cache.maxEntries", "8192")
+          // sf0.1 parquet is one or two 128 MB-default splits per
+          // table, so CPU-dense fixture-derivation scans run on 1-3 of
+          // the 32 cores. Split at 8 MB so scan stages parallelize —
+          // the knob a real deployment sets to match ITS file sizing
+          // (at 100 TB the default's ~800k splits are already wide).
+          .config("spark.sql.files.maxPartitionBytes", (8L << 20).toString),
         parallelism = cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
