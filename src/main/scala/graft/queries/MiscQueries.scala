@@ -627,7 +627,67 @@ object MiscQueries {
       |FROM b CROSS JOIN tot
       |GROUP BY b.bucket, tot.rows_total, tot.keys_total""".stripMargin))
 
+  /** q177: cross-modal alignment filtering — the LAION/CLIP-score
+    * curation step: per (text, image) pair, an alignment score between
+    * the text embedding and the image embedding gates the pair, and
+    * the census reports keep rates per language. The image side runs
+    * through the REAL multimodal plumbing
+    * ([[graft.multimodal.Multimodal.extractFeatures]], a partition-
+    * local batched decode behind the Decoder seam — the stub derives
+    * features from the payload's md5, a CLIP tower drops in without
+    * touching the plan); the text side is a literal md5-byte embedding
+    * stub. Features are integer-exact (byte−128), the score an int64
+    * dot product, so the stub pipeline is hash-gated end-to-end — the
+    * SQL oracle re-derives both towers and every score. */
+  val q177 = GQuery(
+    "q177_crossmodal_align",
+    (s, d) => {
+      val docs = documents(s, d)
+      val payloads = docs.select(
+        col("doc_id"), col("lang"),
+        expr("unhex(substring(md5(text), 1, cast(2 * (1 + n_chars % 8) as int)))")
+          .as("payload"))
+      val img = graft.multimodal.Multimodal.extractFeatures(
+          graft.core.Widen.widen(payloads), "doc_id", "payload", dim = 8,
+          graft.multimodal.Multimodal.HexFakeDecoder)
+        .select(col("doc_id"),
+          transform(col("features"), f => round(f * 128).cast("long")).as("iv"))
+      val txt = docs.select(col("doc_id"), col("lang"),
+        array((0 until 8).map(i =>
+          conv(substring(md5(col("text")), 2 * i + 1, 2), 16, 10).cast("long")
+            - 128): _*).as("tv"))
+      txt.join(img, Seq("doc_id"))
+        .withColumn("score",
+          aggregate(zip_with(col("iv"), col("tv"), (a, b) => a * b),
+            lit(0L), (acc, x) => acc + x))
+        .groupBy(col("lang"))
+        .agg(
+          lcount(lit(1)).as("n_pairs"),
+          sum(when(col("score") > 0, 1L).otherwise(0L)).as("n_aligned"),
+          sum(col("score")).as("score_sum"),
+          min(col("score")).as("score_min"),
+          max(col("score")).as("score_max"))
+    },
+    Some {
+      def bytes(h: String, v: String) = (0 until 8).map(i =>
+        s"CAST(('0x' || substr($h, ${2 * i + 1}, 2)) AS BIGINT) - 128 AS $v$i").mkString(", ")
+      val dot = (0 until 8).map(i => s"i$i * t$i").mkString(" + ")
+      s"""WITH p AS (
+      |  SELECT doc_id, lang,
+      |    md5(upper(hex(unhex(substr(md5(text), 1, CAST(2 * (1 + n_chars % 8) AS INT)))))) AS hi,
+      |    md5(text) AS ht
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id, lang, ${bytes("hi", "i")}, ${bytes("ht", "t")} FROM p),
+      |sc AS (SELECT lang, $dot AS score FROM f)
+      |SELECT lang, COUNT(*) AS n_pairs,
+      |  CAST(SUM(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_aligned,
+      |  CAST(SUM(score) AS BIGINT) AS score_sum,
+      |  MIN(score) AS score_min, MAX(score) AS score_max
+      |FROM sc GROUP BY lang""".stripMargin
+    })
+
   def queries: Seq[GQuery] =
     Seq(q45, q46, q47, q49, q52, q59, q62, q63, q64, q67, q69, q71, q148, q155,
-      q170)
+      q170, q177)
 }

@@ -89,4 +89,22 @@ class MultimodalSpec extends SparkSpec {
       .digest(hex.getBytes("UTF-8")).map("%02x".format(_)).mkString
     assert(nf > 0 && a((id0, 0)) == want)
   }
+
+  test("HexFakeDecoder features recover the md5 bytes exactly (the q177 tower)") {
+    val feats = Multimodal.extractFeatures(
+        payloads.filter($"payload".isNotNull), "id", "payload", dim = 8,
+        Multimodal.HexFakeDecoder)
+      .select($"id",
+        transform($"features", f => round(f * 128).cast("long")).as("iv"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val raw = payloads.filter($"payload".isNotNull)
+      .select($"id", $"payload").as[(Long, Array[Byte])].collect()
+    raw.foreach { case (id, bytes) =>
+      val hex = bytes.map("%02X".format(_)).mkString
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(hex.getBytes("UTF-8"))
+      val want = (0 until 8).map(i => ((d(i) & 0xff) - 128).toLong)
+      assert(feats(id) == want, s"id $id: float tower lost byte exactness")
+    }
+  }
 }
