@@ -376,5 +376,91 @@ object GraphQueries {
         |FROM l3 GROUP BY label""".stripMargin
     })
 
-  def queries: Seq[GQuery] = Seq(q153, q157, q158, q160, q164, q174)
+  /** q178: modularity audit of the q174 label-propagation communities
+    * — the standard "is this partition better than chance" score
+    * (Newman Q = Σ_c in_c/2m − (deg_c/2m)²), reported per community
+    * so a curation run can see WHICH host families are real and which
+    * are propagation noise. All masses are exact int64 on the doubled
+    * undirected edge list (in_w double-counts like 2m does, so the
+    * ratios are the textbook ones); the per-community contribution is
+    * one double expression with identical operation order on both
+    * engines, rounded at 6. */
+  val q178 = GQuery(
+    "q178_label_modularity",
+    (s, d) => {
+      val dir = linkEdges(s, d)
+      val und = dir.select(col("src"), col("dst"), col("w"))
+        .unionByName(dir.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+        .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+        .localCheckpoint(eager = false)
+      val labels = graft.graph.LabelProp.run(dir, iters = 3)
+        .localCheckpoint(eager = false)
+      val la = labels.withColumnRenamed("node", "src").withColumnRenamed("label", "ca")
+      val lb = labels.withColumnRenamed("node", "dst").withColumnRenamed("label", "cb")
+      val joined = und.join(la, "src").join(lb, "dst")
+        .localCheckpoint(eager = false) // two consumers: per-community masses + 2m
+      // 2m as a broadcast 1-row frame, never a driver collect
+      val m2f = joined.agg(sum(col("w")).as("m2"))
+      val perC = joined.groupBy(col("ca").as("community"))
+        .agg(
+          sum(when(col("ca") === col("cb"), col("w")).otherwise(lit(0L))).as("in_w"),
+          sum(col("w")).as("deg_w"))
+      val sizes = labels.groupBy(col("label").as("community"))
+        .agg(lcount(lit(1)).as("n_nodes"))
+      val m2d = col("m2").cast("double")
+      perC.join(sizes, Seq("community"))
+        .crossJoin(broadcast(m2f))
+        .select(col("community"), col("n_nodes"), col("in_w"), col("deg_w"),
+          round(col("in_w").cast("double") / m2d
+            - (col("deg_w").cast("double") / m2d)
+              * (col("deg_w").cast("double") / m2d), 6)
+            .as("q_contrib"))
+    },
+    Some {
+      def round2(prev: String, cur: String) =
+        s"""$cur AS (
+           |  SELECT v.node, COALESCE(b.label, v.label) AS label
+           |  FROM $prev v LEFT JOIN (
+           |    SELECT node, label FROM (
+           |      SELECT u.dst AS node, l.label, SUM(u.w) AS wsum,
+           |        row_number() OVER (PARTITION BY u.dst
+           |          ORDER BY SUM(u.w) DESC, l.label ASC) AS rn
+           |      FROM u JOIN $prev l ON u.src = l.node
+           |      GROUP BY u.dst, l.label) t WHERE rn = 1) b
+           |  ON v.node = b.node)""".stripMargin
+      s"""WITH raw AS (
+        |  SELECT 'd' || (doc_id % $M) AS src, 'd' || ((doc_id * 7 + 13) % $M) AS dst
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'd' || (doc_id % $M), 'd' || ((doc_id * 13 + 29) % $M) FROM documents
+        |  UNION ALL
+        |  SELECT 'd' || (doc_id % $M), 'd' || ((doc_id * 31 + 7) % $M) FROM documents),
+        |e0 AS (SELECT src, dst, COUNT(*) AS w FROM raw
+        |       WHERE src != dst GROUP BY src, dst),
+        |u AS MATERIALIZED (
+        |  SELECT src, dst, CAST(SUM(w) AS BIGINT) AS w FROM (
+        |    SELECT src, dst, w FROM e0
+        |    UNION ALL SELECT dst, src, w FROM e0) GROUP BY src, dst),
+        |l0 AS (SELECT DISTINCT src AS node, src AS label FROM u),
+        |${round2("l0", "l1")},
+        |${round2("l1", "l2")},
+        |${round2("l2", "l3")},
+        |j AS (
+        |  SELECT a.label AS community, b.label AS cb, u.w
+        |  FROM u JOIN l3 a ON u.src = a.node JOIN l3 b ON u.dst = b.node),
+        |m2 AS (SELECT CAST(SUM(w) AS BIGINT) AS m2 FROM j),
+        |pc AS (
+        |  SELECT community,
+        |    CAST(SUM(CASE WHEN community = cb THEN w ELSE 0 END) AS BIGINT) AS in_w,
+        |    CAST(SUM(w) AS BIGINT) AS deg_w
+        |  FROM j GROUP BY community),
+        |sz AS (SELECT label AS community, COUNT(*) AS n_nodes FROM l3 GROUP BY label)
+        |SELECT pc.community, sz.n_nodes, pc.in_w, pc.deg_w,
+        |  round(CAST(pc.in_w AS DOUBLE) / CAST(m2.m2 AS DOUBLE)
+        |    - (CAST(pc.deg_w AS DOUBLE) / CAST(m2.m2 AS DOUBLE))
+        |      * (CAST(pc.deg_w AS DOUBLE) / CAST(m2.m2 AS DOUBLE)), 6) AS q_contrib
+        |FROM pc JOIN sz ON pc.community = sz.community CROSS JOIN m2""".stripMargin
+    })
+
+  def queries: Seq[GQuery] = Seq(q153, q157, q158, q160, q164, q174, q178)
 }
