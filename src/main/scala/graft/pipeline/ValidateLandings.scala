@@ -543,17 +543,25 @@ object ValidateLandings {
     // submission-grain frame (`tripSide`) + one per-submission aggregate
     // of the flagged catch rows — 2 sid joins total (measured: the
     // ladder alone 5.7 s → the whole catch side ~3 s at sf0.1).
+    // The regularity clauses need ONLY the is-"0" flag of the ordered-
+    // first species, so the flag rides the ordering key's low bit and
+    // the aggregate is a pure int64 min — HashAggregate, map-combined.
+    // The standalone validator keeps the readable string min_by; that
+    // form is a SortAggregate (string buffers aren't mutable in
+    // Spark's hash aggregate), measured 20 s of task CPU here at sf0.1.
     val perReg = catchRows.groupBy(col("submission_id"))
       .agg(
-        min_by(col("species"), col("line_no")).as("__sp"),
+        min(col("line_no") * 2 +
+          when(col("species") === "0", lit(0L)).otherwise(lit(1L))).as("__spk"),
         sum(abs(col("n_individuals"))).as("__n"))
+    val sp0 = col("__spk") % 2 === 0 // ordered-first species is "0"
     // the six inconsistency clauses of `validate_landing_regularity`
     // (R/validation-functions.R:115-184); no catch rows → all-null → regular
     val aReg = when(
-      (col("__sp") === "0" && col("__n") > 0) ||
-        (col("__sp") === "0" && col("__v") > 0) ||
-        (col("__sp") =!= "0" && col("__n") <= 0) ||
-        (col("__sp") =!= "0" && col("__v") <= 0) ||
+      (sp0 && col("__n") > 0) ||
+        (sp0 && col("__v") > 0) ||
+        (!sp0 && col("__n") <= 0) ||
+        (!sp0 && col("__v") <= 0) ||
         (col("__v") <= 0 && col("__n") > 0) ||
         (col("__v") > 0 && col("__n") <= 0), lit(22))
     // Pinned (lazy localCheckpoint): consumed by `rows` (twice after
@@ -570,7 +578,7 @@ object ValidateLandings {
         coalesce(col("gear_code"), lit(-1L)).as("__gear"))
       .join(perReg, Seq("submission_id"), "left")
       .withColumn("__a_reg", aReg)
-      .drop("__sp", "__n", "__v")
+      .drop("__spk", "__n", "__v")
       .localCheckpoint(eager = false)
     // regular submissions' catch rows with the gear key, read by the
     // MAD-bounds histogram and the per-submission census. Pinned for
