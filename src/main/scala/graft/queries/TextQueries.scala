@@ -1543,8 +1543,33 @@ object TextQueries {
       |LEFT JOIN cur cu ON c.doc_id = cu.doc_id
       |LEFT JOIN sd s ON c.doc_id = s.doc_id""".stripMargin))
 
+  /** q179: compression-ratio quality census
+    * ([[graft.functions.DeflateLen]]) — the zlib repetitiveness filter
+    * web curation runs beside the n-gram stats (q96): LZ77's 32 KB
+    * window catches long-range template structure bounded n-gram
+    * windows cannot. ratio = deflated/original bytes; < 0.35 flags
+    * templated spam, > 0.9 high-entropy noise. zlib output is not
+    * SQL-replayable, so this is a rows-only gate; DeflateRatioSpec
+    * pins the expression's ordering properties and determinism. */
+  val q179 = GQuery(
+    "q179_compression_ratio",
+    (s, d) => {
+      graft.functions.DeflateLen.register(s)
+      val docs = graft.core.Widen.widen(documents(s, d))
+      docs.select(col("lang"),
+          (expr("deflate_len(text)").cast("double") /
+            octet_length(col("text")).cast("double")).as("ratio"))
+        .groupBy(col("lang"))
+        .agg(
+          lcount(lit(1)).as("n_docs"),
+          sum(when(col("ratio") < 0.35, 1L).otherwise(0L)).as("n_templated"),
+          sum(when(col("ratio") > 0.9, 1L).otherwise(0L)).as("n_noise"),
+          round(lavg6(col("ratio")), 6).as("avg_ratio"))
+    },
+    oracle = None)
+
   def queries: Seq[GQuery] =
     Seq(q32, q33, q34, q35, q66, q89, q91, q94, q96, q98, q99, q101,
       q106, q107, q109, q110, q111, q112, q115, q116, q120, q121, q126,
-      q130, q132, q134, q135, q136, q137, q139, q140, q141)
+      q130, q132, q134, q135, q136, q137, q139, q140, q141, q179)
 }
