@@ -1009,5 +1009,77 @@ object DedupQueries {
       |WHERE greatest(CAST(p.common AS DOUBLE) / CAST(sa.n_shingles AS DOUBLE),
       |  CAST(p.common AS DOUBLE) / CAST(sb.n_shingles AS DOUBLE)) >= 0.9""".stripMargin))
 
-  def queries: Seq[GQuery] = Seq(q36, q37, q38, q39, q57, q61, q88, q90, q103, q108, q118, q123, q124, q125, q127, q129, q133, q138, q142, q161, q162, q167)
+  /** q180: component-aware splits — the CONSTRUCTIVE fix for the
+    * leakage q108 measures: split membership is drawn on the near-dup
+    * COMPONENT id (q57's clusters; singletons are their own
+    * component), so a whole duplicate family lands in one split and
+    * cross-split near-dup pairs are zero BY CONSTRUCTION — which the
+    * gate pins (n_cross carried on every row, hash-checked at 0),
+    * alongside the per-split doc/component/char census. One extra
+    * column on the component map; the draw is the q100 md5 unit
+    * convention on the component id. */
+  val q180 = {
+    val splitSpec = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    GQuery(
+      "q180_component_split",
+      (s, d) => {
+        import graft.operators.Splits
+        val docs = documents(s, d)
+        // two consumers (component build, leak audit) — pin the pairs
+        val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+            k = 5, threshold = 0.2)
+          .select(col("da"), col("db"))
+          .localCheckpoint(eager = false)
+        val comp = graft.dedup.Components.connected(pairs, "da", "db")
+        val assigned = Splits.assignSplit(
+            docs.select(col("doc_id"), col("n_chars"))
+              .join(comp.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+              .withColumn("component", coalesce(col("component"), col("doc_id"))),
+            col("component"), splitSpec)
+          .localCheckpoint(eager = false)
+        val sa = assigned.select(col("doc_id").as("da"), col("split").as("split_a"))
+        val sb = assigned.select(col("doc_id").as("db"), col("split").as("split_b"))
+        val leak = pairs.join(sa, "da").join(sb, "db")
+          .agg(
+            sum(when(col("split_a") =!= col("split_b"), 1L).otherwise(0L)).as("n_cross"),
+            lcount(lit(1)).as("n_pairs_total"))
+        assigned.groupBy(col("split"))
+          .agg(
+            lcount(lit(1)).as("n_docs"),
+            countDistinct(col("component")).cast("long").as("n_components"),
+            sum(col("n_chars")).as("n_chars"))
+          .crossJoin(broadcast(leak))
+      },
+      Some {
+        val th = graft.operators.Splits.cumThresholds(splitSpec)
+        val splitCase = "CASE " + th.init.map { case (n, ub) =>
+          s"WHEN u_split < $ub THEN '$n'"
+        }.mkString(" ") + s" ELSE '${th.last._1}' END"
+        s"""WITH RECURSIVE $clusterCtes,
+          |wc AS (
+          |  SELECT d.doc_id, d.n_chars,
+          |    COALESCE(c.component, d.doc_id) AS component
+          |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node),
+          |sp AS (
+          |  SELECT doc_id, n_chars, component, $splitCase AS split
+          |  FROM (
+          |    SELECT *,
+          |      CAST(('0x' || substr(md5('split-' || CAST(component AS VARCHAR)), 1, 7)) AS BIGINT)
+          |        / 268435456.0 AS u_split
+          |    FROM wc) t),
+          |leak AS (
+          |  SELECT
+          |    CAST(SUM(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END) AS BIGINT) AS n_cross,
+          |    COUNT(*) AS n_pairs_total
+          |  FROM jp JOIN sp a ON jp.da = a.doc_id JOIN sp b ON jp.db = b.doc_id)
+          |SELECT sp.split, COUNT(*) AS n_docs,
+          |  CAST(COUNT(DISTINCT sp.component) AS BIGINT) AS n_components,
+          |  CAST(SUM(sp.n_chars) AS BIGINT) AS n_chars,
+          |  leak.n_cross, leak.n_pairs_total
+          |FROM sp CROSS JOIN leak
+          |GROUP BY sp.split, leak.n_cross, leak.n_pairs_total""".stripMargin
+      })
+  }
+
+  def queries: Seq[GQuery] = Seq(q36, q37, q38, q39, q57, q61, q88, q90, q103, q108, q118, q123, q124, q125, q127, q129, q133, q138, q142, q161, q162, q167, q180)
 }
