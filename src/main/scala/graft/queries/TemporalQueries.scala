@@ -161,5 +161,88 @@ object TemporalQueries {
       |CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
       |FROM b GROUP BY GROUPING SETS ((day), (week), (month), (year))""".stripMargin))
 
-  def queries: Seq[GQuery] = Seq(q43, q44, q56, q70)
+  /** q181: ordered event funnel (view → click → purchase) — the
+    * sequence-match kernel of product analytics, shaped for scale as
+    * three user-keyed aggregations chained by co-partitioned joins
+    * (the user_id shuffle is paid once and reused; never a self-join
+    * over raw event pairs). Stage times are strict minima over ts
+    * (t₂ = min click AFTER the first view, …), so the funnel is
+    * deterministic without per-event tie-breaks, and the conversion
+    * gaps sum exactly in int64 microseconds. */
+  val q181 = GQuery(
+    "q181_event_funnel",
+    (s, d) => {
+      val e = events(s, d).select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"))
+        .localCheckpoint(eager = false) // read by all three stages
+      val v = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("us")).as("t1"))
+      val c = e.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("us") > col("t1"))
+        .groupBy("user_id").agg(min(col("us")).as("t2"), min(col("t1")).as("t1"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(c, "user_id").filter(col("us") > col("t2"))
+        .groupBy("user_id").agg(min(col("us")).as("t3"), min(col("t2")).as("t2b"))
+      v.join(c.select(col("user_id"), col("t2"), (col("t2") - col("t1")).as("g12")),
+          Seq("user_id"), "left")
+        .join(p.select(col("user_id"), col("t3"), (col("t3") - col("t2b")).as("g23")),
+          Seq("user_id"), "left")
+        .agg(
+          lcount(lit(1)).as("n_viewed"),
+          lcount(col("t2")).as("n_clicked"),
+          lcount(col("t3")).as("n_purchased"),
+          sum(col("g12")).as("view_to_click_us"),
+          sum(col("g23")).as("click_to_purchase_us"))
+    },
+    Some("""WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      |v AS (SELECT user_id, MIN(us) AS t1 FROM e
+      |      WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT e.user_id, MIN(e.us) AS t2, MIN(v.t1) AS t1
+      |      FROM e JOIN v ON e.user_id = v.user_id
+      |      WHERE e.event_type = 'click' AND e.us > v.t1 GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, MIN(e.us) AS t3, MIN(c.t2) AS t2b
+      |      FROM e JOIN c ON e.user_id = c.user_id
+      |      WHERE e.event_type = 'purchase' AND e.us > c.t2 GROUP BY e.user_id)
+      |SELECT COUNT(*) AS n_viewed,
+      |  COUNT(c.t2) AS n_clicked,
+      |  COUNT(p.t3) AS n_purchased,
+      |  CAST(SUM(c.t2 - c.t1) AS BIGINT) AS view_to_click_us,
+      |  CAST(SUM(p.t3 - p.t2b) AS BIGINT) AS click_to_purchase_us
+      |FROM v
+      |LEFT JOIN c ON v.user_id = c.user_id
+      |LEFT JOIN p ON v.user_id = p.user_id""".stripMargin))
+
+  /** q182: weekly retention cohorts — users grouped by first-seen week
+    * (Monday trunc), per (cohort, week-offset) distinct active users
+    * and exact activity mass. Two user-keyed aggregations + one
+    * co-partitioned join; offsets are integer day arithmetic, never
+    * float date math. */
+  val q182 = GQuery(
+    "q182_retention_cohorts",
+    (s, d) => {
+      val e = events(s, d).select(col("user_id"),
+          to_date(date_trunc("week", col("ts"))).as("wk"))
+        .distinct() // user-week grain, mirroring the oracle's DISTINCT
+        .localCheckpoint(eager = false)
+      val first = e.groupBy("user_id").agg(min(col("wk")).as("cohort"))
+      e.join(first, "user_id")
+        .groupBy(col("cohort"),
+          (datediff(col("wk"), col("cohort")) / 7).cast("int").as("week_offset"))
+        .agg(
+          countDistinct(col("user_id")).cast("long").as("n_active"),
+          lcount(lit(1)).as("n_user_weeks"))
+    },
+    Some("""WITH e AS (
+      |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+      |  FROM events),
+      |f AS (SELECT user_id, MIN(wk) AS cohort FROM e GROUP BY user_id)
+      |SELECT f.cohort,
+      |  CAST((e.wk - f.cohort) // 7 AS INT) AS week_offset,
+      |  CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_active,
+      |  COUNT(*) AS n_user_weeks
+      |FROM e JOIN f ON e.user_id = f.user_id
+      |GROUP BY 1, 2""".stripMargin))
+
+  def queries: Seq[GQuery] = Seq(q43, q44, q56, q70, q181, q182)
 }
