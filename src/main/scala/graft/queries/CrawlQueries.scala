@@ -409,5 +409,55 @@ object CrawlQueries {
       |       ELSE 'changed' END AS status
       |FROM old FULL JOIN neu ON old.source = neu.source""".stripMargin))
 
-  def queries: Seq[GQuery] = Seq(q143, q144, q145, q150, q151, q172)
+  /** q184: CDC apply / MERGE upsert
+    * ([[graft.streaming.Incremental.applyCdc]]) — the lakehouse kernel
+    * that lands a change batch on a snapshot: per key the highest-seq
+    * op wins, D deletes, I/U replaces, untouched keys pass through.
+    * One key-partitioned max-seq aggregation + one full outer; the
+    * snapshot is never sorted. Fixture: customer is the snapshot,
+    * orders synthesize the change log (seq = o_orderkey; %7→D,
+    * %3→U, else I; inserts include custkeys beyond the snapshot).
+    * The gate hashes the merged state's per-segment census. */
+  val q184 = GQuery(
+    "q184_cdc_upsert",
+    (s, d) => {
+      val snap = customer(s, d).select(col("c_custkey").as("k"),
+        col("c_acctbal").as("bal"), col("c_mktsegment").as("seg"))
+      val batch = orders(s, d).select(
+        col("o_custkey").as("k"), col("o_orderkey").as("seq"),
+        when(col("o_orderkey") % 7 === 0, "D")
+          .when(col("o_orderkey") % 3 === 0, "U").otherwise("I").as("op"),
+        col("o_totalprice").as("bal"),
+        concat(lit("seg"), col("o_orderkey") % 5).as("seg"))
+      graft.streaming.Incremental.applyCdc(snap, batch, "k", "seq", "op")
+        .groupBy(col("seg"))
+        .agg(
+          lcount(lit(1)).as("n_rows"),
+          dsum(col("bal")).as("bal_sum"),
+          sum(col("k")).as("key_sum"))
+    },
+    Some("""WITH b AS (
+      |  SELECT o_custkey AS k, o_orderkey AS seq,
+      |    CASE WHEN o_orderkey % 7 = 0 THEN 'D'
+      |         WHEN o_orderkey % 3 = 0 THEN 'U' ELSE 'I' END AS op,
+      |    o_totalprice AS bal, 'seg' || (o_orderkey % 5) AS seg
+      |  FROM orders),
+      |w AS (
+      |  SELECT b.* FROM b
+      |  JOIN (SELECT k, MAX(seq) AS ms FROM b GROUP BY k) m
+      |    ON b.k = m.k AND b.seq = m.ms),
+      |s0 AS (SELECT c_custkey AS k, c_acctbal AS bal, c_mktsegment AS seg
+      |       FROM customer),
+      |merged AS (
+      |  SELECT COALESCE(s0.k, w.k) AS k,
+      |    CASE WHEN w.k IS NOT NULL THEN w.bal ELSE s0.bal END AS bal,
+      |    CASE WHEN w.k IS NOT NULL THEN w.seg ELSE s0.seg END AS seg
+      |  FROM s0 FULL JOIN w ON s0.k = w.k
+      |  WHERE NOT COALESCE(w.op = 'D', FALSE))
+      |SELECT seg, COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(bal AS DECIMAL(38,6))) AS DOUBLE) AS bal_sum,
+      |  CAST(SUM(k) AS BIGINT) AS key_sum
+      |FROM merged GROUP BY seg""".stripMargin))
+
+  def queries: Seq[GQuery] = Seq(q143, q144, q145, q150, q151, q172, q184)
 }

@@ -244,5 +244,48 @@ object TemporalQueries {
       |FROM e JOIN f ON e.user_id = f.user_id
       |GROUP BY 1, 2""".stripMargin))
 
-  def queries: Seq[GQuery] = Seq(q43, q44, q56, q70, q181, q182)
+  /** q183: SCD-2 history build — the dimension-versioning kernel:
+    * per user, consecutive runs of the tracked attribute (event_type)
+    * collapse into validity intervals [valid_from, valid_to), the last
+    * version open-ended. Two windows over ONE user-keyed sort (change
+    * marking, then lead over change rows — the second window reuses
+    * the first's partitioning), ties broken by event_id so versions
+    * are deterministic. Per-user census: version count, closed span
+    * mass (exact µs), longest closed version. */
+  val q183 = GQuery(
+    "q183_scd2_history",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      val marked = events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          expr("unix_micros(ts)").as("us"))
+        .withColumn("__prev", lag(col("event_type"), 1).over(w))
+        .withColumn("__chg",
+          col("__prev").isNull || col("__prev") =!= col("event_type"))
+      val versions = marked.filter(col("__chg"))
+        .withColumn("valid_to", lead(col("us"), 1).over(w))
+      versions.groupBy(col("user_id"))
+        .agg(
+          lcount(lit(1)).as("n_versions"),
+          sum(col("valid_to") - col("us")).as("closed_span_us"),
+          max(col("valid_to") - col("us")).as("max_version_us"),
+          min(col("us")).as("first_seen_us"))
+    },
+    Some("""WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+      |m AS (
+      |  SELECT *, lag(event_type) OVER w AS prev
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      |v AS (
+      |  SELECT user_id, us,
+      |    lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS valid_to
+      |  FROM m WHERE prev IS NULL OR prev <> event_type)
+      |SELECT user_id, COUNT(*) AS n_versions,
+      |  CAST(SUM(valid_to - us) AS BIGINT) AS closed_span_us,
+      |  CAST(MAX(valid_to - us) AS BIGINT) AS max_version_us,
+      |  CAST(MIN(us) AS BIGINT) AS first_seen_us
+      |FROM v GROUP BY user_id""".stripMargin))
+
+  def queries: Seq[GQuery] = Seq(q43, q44, q56, q70, q181, q182, q183)
 }

@@ -87,4 +87,40 @@ object Incremental {
       .unionByName(
         prevOut.join(broadcast(clean), Seq(partCol), "left_semi"))
   }
+
+  /** Apply a CDC batch to a landed snapshot — the lakehouse MERGE /
+    * upsert kernel: the batch carries (key, seq, op ∈ {I,U,D},
+    * payload…); per key the HIGHEST seq wins (ties impossible by
+    * contract: seq is a change-log position, unique per key), a
+    * surviving I/U row replaces the snapshot row, a surviving D
+    * deletes it, and untouched snapshot keys pass through. ONE
+    * key-partitioned aggregation over the batch (max-seq winner via
+    * int64 max over seq, winner row re-joined batch-side, both under
+    * the same key exchange) + one full outer with the snapshot — the
+    * snapshot is never sorted or windowed.
+    *
+    * `keyCol` must be unique in `snapshot`; payload columns are taken
+    * positionally-by-name from both sides (snapshot columns ∪ batch
+    * payload must agree). */
+  def applyCdc(snapshot: DataFrame, batch: DataFrame,
+               keyCol: String, seqCol: String, opCol: String): DataFrame = {
+    val payload = snapshot.columns.filterNot(_ == keyCol).toSeq
+    // max-seq winner: agg + same-key join, both sides under one key
+    // exchange (renamed key on the agg side to keep the self-join
+    // unambiguous)
+    val winnerSeq = batch.groupBy(col(keyCol))
+      .agg(max(col(seqCol)).as("__wseq"))
+      .withColumnRenamed(keyCol, "__wk")
+    val winner = batch
+      .join(winnerSeq,
+        col(seqCol) === col("__wseq") && col(keyCol) === col("__wk"))
+      .select(col(keyCol) +:
+        (col(opCol) === "D").as("__del") +:
+        payload.map(c => col(c).as(s"__b_$c")): _*)
+    snapshot.join(winner, Seq(keyCol), "full_outer")
+      .filter(!coalesce(col("__del"), lit(false))) // D drops the key
+      .select(col(keyCol) +: payload.map(c =>
+        when(col("__del").isNotNull, col(s"__b_$c")) // batch won: I or U
+          .otherwise(col(c)).as(c)): _*)
+  }
 }

@@ -47,6 +47,31 @@ class StreamingSpec extends SparkSpec {
     assert(Incremental.notYetProcessed(src, done, "id").count() == 5)
   }
 
+  test("applyCdc: highest seq wins, D deletes, I inserts, untouched pass through") {
+    val snap = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val batch = Seq(
+      (1L, 10L, "U", "a2"), (1L, 11L, "U", "a3"), // two updates: seq 11 wins
+      (2L, 5L, "D", "x"),                         // delete key 2
+      (4L, 7L, "I", "d"),                         // insert new key
+      (4L, 6L, "D", "x")                          // stale delete loses to seq 7
+    ).toDF("k", "seq", "op", "v")
+    val got = Incremental.applyCdc(snap, batch, "k", "seq", "op")
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "a3", 3L -> "c", 4L -> "d"))
+  }
+
+  test("applyCdc is invariant under batch partitioning") {
+    val snap = spark.range(0, 100).select($"id".as("k"), ($"id" * 2).as("v"))
+    val batch = spark.range(0, 300)
+      .select(($"id" % 120).as("k"), $"id".as("seq"),
+        when($"id" % 11 === 0, "D").otherwise("U").as("op"), ($"id" + 1000).as("v"))
+    val a = Incremental.applyCdc(snap, batch.repartition(1), "k", "seq", "op")
+      .orderBy("k").as[(Long, Long)].collect().toSeq
+    val b = Incremental.applyCdc(snap, batch.repartition(13), "k", "seq", "op")
+      .orderBy("k").as[(Long, Long)].collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
   test("partitionDelta classifies added/removed/changed/unchanged") {
     val old = Seq(("A", 1L, 10L), ("A", 2L, 20L), ("B", 3L, 30L), ("D", 9L, 90L))
       .toDF("part", "id", "v")
