@@ -564,6 +564,68 @@ object StatsQueries {
       |SELECT item, exact_n, cms_n, cms_n - exact_n AS overcount
       |FROM est""".stripMargin))
 
+  /** q185: stay-point (dwell) detection over GPS tracks — the
+    * fishing-grounds kernel a PDS pipeline runs after track validation
+    * (q29/q82): consecutive same-grid-cell runs per vessel
+    * (gaps-and-islands: change marks → running sum → run key, one
+    * user-keyed sort shared by both windows), runs with ≥ 3 fixes and
+    * ≥ 30 min dwell are stays. Integer microsecond dwell arithmetic;
+    * per-vessel census under the hash gate. */
+  val q185 = GQuery(
+    "q185_staypoints",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val pts = events(s, d).select(
+        col("user_id"), col("event_id"),
+        expr("unix_micros(ts)").as("us"),
+        // synthetic slow-moving track: the grid cell advances every
+        // two days (vessels dwell, then move), longitude band fixed
+        // per vessel — so real multi-fix dwells exist to detect
+        concat((expr("unix_micros(ts) div 172800000000") % 90).cast("string"),
+          lit(":"), (col("user_id") % 37).cast("string")).as("cell"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      val runs = pts
+        .withColumn("__chg",
+          when(lag(col("cell"), 1).over(w).isNull ||
+            lag(col("cell"), 1).over(w) =!= col("cell"), 1L).otherwise(0L))
+        .withColumn("__run", sum(col("__chg")).over(w))
+        .groupBy(col("user_id"), col("__run"))
+        .agg(
+          lcount(lit(1)).as("n_fixes"),
+          (max(col("us")) - min(col("us"))).as("dwell_us"),
+          min(col("cell")).as("cell"))
+      val stays = runs.filter(col("n_fixes") >= 3 && col("dwell_us") >= 30L * 60 * 1000000)
+      stays.groupBy(col("user_id"))
+        .agg(
+          lcount(lit(1)).as("n_stays"),
+          sum(col("dwell_us")).as("dwell_total_us"),
+          max(col("dwell_us")).as("dwell_max_us"),
+          countDistinct(col("cell")).cast("long").as("n_cells"))
+    },
+    Some("""WITH pts AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us,
+      |    CAST((epoch_us(ts) // 172800000000) % 90 AS VARCHAR) || ':' ||
+      |    CAST(user_id % 37 AS VARCHAR) AS cell
+      |  FROM events),
+      |m AS (
+      |  SELECT *, CASE WHEN lag(cell) OVER w IS NULL
+      |                   OR lag(cell) OVER w <> cell THEN 1 ELSE 0 END AS chg
+      |  FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      |r AS (
+      |  SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |    ROWS UNBOUNDED PRECEDING) AS run
+      |  FROM m),
+      |runs AS (
+      |  SELECT user_id, run, COUNT(*) AS n_fixes,
+      |    MAX(us) - MIN(us) AS dwell_us, MIN(cell) AS cell
+      |  FROM r GROUP BY user_id, run)
+      |SELECT user_id, COUNT(*) AS n_stays,
+      |  CAST(SUM(dwell_us) AS BIGINT) AS dwell_total_us,
+      |  CAST(MAX(dwell_us) AS BIGINT) AS dwell_max_us,
+      |  CAST(COUNT(DISTINCT cell) AS BIGINT) AS n_cells
+      |FROM runs WHERE n_fixes >= 3 AND dwell_us >= 1800000000
+      |GROUP BY user_id""".stripMargin))
+
   def queries: Seq[GQuery] =
-    Seq(q23, q24, q25, q26, q27, q28, q29, q30, q31, q51, q58, q113, q163)
+    Seq(q23, q24, q25, q26, q27, q28, q29, q30, q31, q51, q58, q113, q163, q185)
 }
