@@ -684,5 +684,76 @@ object SimilarityQueries {
       |FROM el a JOIN el b ON a.vec_id = b.vec_id AND b.i >= a.i
       |GROUP BY 1, 2""".stripMargin))
 
-  def queries: Seq[GQuery] = Seq(q40, q41, q42, q48, q53, q102, q105, q114, q117, q119, q122, q131, q147, q173, q176)
+  /** q186: product-quantization ADC search
+    * ([[graft.similarity.Pq]]) — the compressed-domain ANN kernel
+    * (64 floats → 16 nibble codes at m=16/ksub=16): md5-ranked seeds, one Lloyd
+    * round, per-row encoding, per-query m×ksub lookup tables, int64-
+    * exact ADC distances. The oracle replays seeding, the Lloyd
+    * update (exact sum/count rounded half-up through a 2⁵³-safe
+    * double), encoding, LUTs and the top-5 ranking — the entire
+    * trained pipeline under the hash gate, the q48 convention taken
+    * one stage further. PqSpec adds recall against the exact
+    * baseline. */
+  val q186 = GQuery(
+    "q186_pq_adc",
+    (s, d) => {
+      val emb = embeddings(s, d)
+      graft.similarity.Pq.adcTopK(
+        corpus = emb, queries = emb.filter(col("vec_id") < 10),
+        idCol = "vec_id", vecCol = "embedding", k = 5,
+        dim = Knn.inferDim(emb, "embedding"), m = 16, ksub = 16, iters = 1)
+    },
+    Some(s"""WITH $elSql,
+      |seeds AS (
+      |  SELECT cell, vec_id FROM (
+      |    SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cell,
+      |           vec_id
+      |    FROM embeddings) t WHERE cell < 16),
+      |bk0 AS (SELECT s.cell AS c, el.i, el.e AS m
+      |        FROM seeds s JOIN el ON el.vec_id = s.vec_id),
+      |d0 AS (
+      |  SELECT el.vec_id, CAST((el.i - 1) // 4 AS INT) AS j, b.c,
+      |    SUM((el.e - b.m) * (el.e - b.m)) AS d
+      |  FROM el JOIN bk0 b ON b.i = el.i
+      |  GROUP BY 1, 2, 3),
+      |a0 AS (
+      |  SELECT vec_id, j, c AS code FROM (
+      |    SELECT vec_id, j, c,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn
+      |    FROM d0) t WHERE rn = 1),
+      |m1 AS (
+      |  SELECT a.code AS c, el.i,
+      |    CAST(floor(CAST(SUM(el.e) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) AS m
+      |  FROM el JOIN a0 a
+      |    ON a.vec_id = el.vec_id AND a.j = CAST((el.i - 1) // 4 AS INT)
+      |  GROUP BY 1, 2),
+      |c1 AS (SELECT b.c, b.i, COALESCE(m1.m, b.m) AS m
+      |       FROM bk0 b LEFT JOIN m1 ON m1.c = b.c AND m1.i = b.i),
+      |d1 AS (
+      |  SELECT el.vec_id, CAST((el.i - 1) // 4 AS INT) AS j, c.c,
+      |    SUM((el.e - c.m) * (el.e - c.m)) AS d
+      |  FROM el JOIN c1 c ON c.i = el.i
+      |  GROUP BY 1, 2, 3),
+      |a1 AS (
+      |  SELECT vec_id, j, c AS code FROM (
+      |    SELECT vec_id, j, c,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn
+      |    FROM d1) t WHERE rn = 1),
+      |lutd AS (
+      |  SELECT qe.vec_id AS qid, CAST((c.i - 1) // 4 AS INT) AS j, c.c AS code,
+      |    SUM((qe.e - c.m) * (qe.e - c.m)) AS d
+      |  FROM el qe JOIN c1 c ON c.i = qe.i
+      |  WHERE qe.vec_id < 10 GROUP BY 1, 2, 3),
+      |pair AS (
+      |  SELECT l.qid, a.vec_id AS nid, CAST(SUM(l.d) AS BIGINT) AS adc
+      |  FROM a1 a JOIN lutd l ON l.j = a.j AND l.code = a.code
+      |  WHERE a.vec_id <> l.qid
+      |  GROUP BY 1, 2)
+      |SELECT qid, CAST(rn AS INT) AS rank, nid, adc FROM (
+      |  SELECT qid, nid, adc,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, nid) AS rn
+      |  FROM pair) t
+      |WHERE rn <= 5""".stripMargin))
+
+  def queries: Seq[GQuery] = Seq(q40, q41, q42, q48, q53, q102, q105, q114, q117, q119, q122, q131, q147, q173, q176, q186)
 }

@@ -1,0 +1,133 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) with asymmetric-distance (ADC) search —
+  * the compressed-domain ANN path for corpora where even the vectors
+  * don't fit: each vector is split into `m` subvectors, each subvector
+  * quantized to one of `ksub` learned codes, so a d-float embedding
+  * stores as m small ints (64 floats → 8 bytes at m=8) and search
+  * scans CODES, never raw vectors, with per-query lookup tables.
+  * Composes with [[Ivf]] at 100 TB (IVF prunes cells, PQ compresses
+  * the residual scan); here the plain ADC linear scan is the gated
+  * kernel.
+  *
+  * Everything is deterministic and integer-exact, so the full pipeline
+  * — seeding, Lloyd refinement, encoding, ADC distances — replays
+  * bit-for-bit in the SQL oracle: elements are scaled longs
+  * ([[Knn.scaledVec]]), seed codebooks are the `ksub` corpus vectors
+  * with the smallest md5(id) (the [[Ivf]] convention), centroid
+  * updates round the exact int64 sum/count ratio half-up through a
+  * double (both sums < 2⁵³, so the double is exact on any engine),
+  * and every distance is an int64 sum of squared long differences —
+  * no float accumulation anywhere, so aggregation order is free. */
+object Pq {
+
+  /** codebooks(j)(c)(t): subspace j ∈ [0,m), code c ∈ [0,ksub), local
+    * dim t ∈ [0,dsub) — scaled-long centroids. */
+  type Codebooks = Array[Array[Array[Long]]]
+
+  private def scale(x: Float): Long =
+    math.floor(x.toDouble * Knn.Scale + 0.5).toLong
+
+  /** Squared L2 distance (scaled-long, exact) between subspace j of a
+    * scaled vector column and a centroid literal — a per-row fold over
+    * the slice, shuffle-free codegen. */
+  private def subDist2(sv: Column, j: Int, dsub: Int, cent: Array[Long]): Column = {
+    val lits = array(cent.map(lit): _*)
+    aggregate(
+      zip_with(slice(sv, j * dsub + 1, dsub), lits, (x, c) => (x - c) * (x - c)),
+      lit(0L), (acc, x) => acc + x)
+  }
+
+  /** `m` PQ codes per row as an array<int> column (argmin centroid per
+    * subspace, ties to the lowest code). */
+  def encodeCol(sv: Column, books: Codebooks): Column = {
+    val m = books.length
+    val dsub = books(0)(0).length
+    // argmin via one packed int64 key: d·ksub + code orders
+    // lexicographically by (distance, code) — min picks the nearest
+    // centroid with ties to the low code, all integer-exact
+    // (d ≤ dsub·(2·maxscaled)² ≈ 1e16, ×ksub stays inside int64)
+    val ksub = books(0).length
+    array((0 until m).map { j =>
+      val keys = books(j).zipWithIndex.map { case (c, code) =>
+        subDist2(sv, j, dsub, c) * ksub + code
+      }
+      (array_min(array(keys: _*)) % ksub).cast("int")
+    }: _*)
+  }
+
+  /** Train per-subspace codebooks: md5-ranked seeds + `iters` Lloyd
+    * rounds. Each round is ONE pass (assign codes per row as column
+    * expressions, then a grouped exact sum/count per (code, dim)); the
+    * collect is ksub·dim rows — codebook-sized, never corpus-sized.
+    * Cells that lose all members keep their previous centroid (the
+    * q48 COALESCE convention). */
+  def trainCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+                     dim: Int, m: Int, ksub: Int, iters: Int): Codebooks = {
+    require(dim % m == 0, s"dim $dim must split into $m subspaces")
+    val dsub = dim / m
+    val seeds = corpus
+      .withColumn("__r", md5(col(idCol).cast("string")))
+      .orderBy(col("__r"))
+      .limit(ksub)
+      .select(col(vecCol))
+      .collect()
+      .map(_.getSeq[Float](0).map(scale).toArray)
+    var books: Codebooks =
+      Array.tabulate(m, ksub, dsub)((j, c, t) => seeds(c)(j * dsub + t))
+    var it = 0
+    while (it < iters) {
+      val sv = Knn.scaledVec(col(vecCol))
+      val upd = corpus
+        .select(encodeCol(sv, books).as("__codes"), posexplode(sv).as(Seq("i", "e")))
+        .select((col("i") / dsub).cast("int").as("j"), col("i"), col("e"),
+          element_at(col("__codes"), (col("i") / dsub).cast("int") + 1).as("c"))
+        .groupBy(col("c"), col("i"))
+        .agg(sum(col("e")).as("s"), count(col("e")).as("n"))
+        .collect()
+      val next = books.map(_.map(_.clone()))
+      upd.foreach { r =>
+        val (c, i) = (r.getAs[Int]("c"), r.getAs[Int]("i"))
+        val mInt = math.floor(
+          r.getAs[Long]("s").toDouble / r.getAs[Long]("n") + 0.5).toLong
+        next(i / dsub)(c)(i % dsub) = mInt
+      }
+      books = next
+      it += 1
+    }
+    books
+  }
+
+  /** ADC top-k: corpus rows carry only their codes; each query
+    * precomputes an m×ksub lookup table of subspace distances to every
+    * centroid (a per-row expression over its own slice), and a pair's
+    * distance is the int64 sum of m table lookups — the compressed-
+    * domain linear scan. Ties (adc, nid asc). Queries drawn from the
+    * corpus are excluded from their own result. */
+  def adcTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, dim: Int, m: Int, ksub: Int,
+              iters: Int = 1): DataFrame = {
+    val dsub = dim / m
+    val books = trainCodebooks(corpus, idCol, vecCol, dim, m, ksub, iters)
+    val enc = corpus.select(col(idCol).as("nid"),
+      encodeCol(Knn.scaledVec(col(vecCol)), books).as("__codes"))
+    val qsv = Knn.scaledVec(col(vecCol))
+    val lut = array((0 until m).map { j =>
+      array((0 until ksub).map(c => subDist2(qsv, j, dsub, books(j)(c))): _*)
+    }: _*)
+    val q = queries.select(col(idCol).as("qid"), lut.as("__lut"))
+    val scored = enc.crossJoin(broadcast(q))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("adc",
+        aggregate(zip_with(col("__lut"), col("__codes"),
+          (l, cd) => element_at(l, cd + 1)), lit(0L), (acc, x) => acc + x))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adc").asc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), col("adc"))
+  }
+}
