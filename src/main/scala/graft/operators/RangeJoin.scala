@@ -44,4 +44,41 @@ object RangeJoin {
       .filter(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
       .drop("__bin")
   }
+
+  /** Interval×interval OVERLAP join (closed-interval
+    * `a.start <= b.end && b.start <= a.end`), equi-matched on `keys`
+    * first — the segment-matching primitive (track segments × trip
+    * windows, maintenance windows × observations) that the
+    * point-in-interval form cannot express. Same bin trick on BOTH
+    * sides: each interval explodes to its covered bins, the join runs
+    * on (keys…, bin), and bin-edge duplicates are eliminated exactly —
+    * a pair is kept only in the FIRST bin both intervals share
+    * (`greatest(binₐ_start, bin_b_start)`), so no distinct pass over
+    * the (potentially huge) pair set is ever needed. Left columns keep
+    * their names; right columns are suffixed `suffix`. */
+  def intervalOverlap(left: DataFrame, right: DataFrame, keys: Seq[String],
+                      startCol: String, endCol: String,
+                      binSeconds: Long, suffix: String = "_r"): DataFrame = {
+    val binMicros = binSeconds * 1000000L
+    def binned(df: DataFrame, tag: String): DataFrame = {
+      val renamed = df.columns.foldLeft(df) { (acc, c) =>
+        if (keys.contains(c)) acc else acc.withColumnRenamed(c, c + tag)
+      }
+      renamed
+        .filter(col(startCol + tag).isNotNull && col(endCol + tag).isNotNull &&
+          col(startCol + tag) <= col(endCol + tag))
+        .withColumn("__b0" + tag,
+          (unix_micros(col(startCol + tag)) / binMicros).cast("long"))
+        .withColumn("__bin",
+          explode(sequence(col("__b0" + tag),
+            (unix_micros(col(endCol + tag)) / binMicros).cast("long"))))
+    }
+    binned(left, "").join(binned(right, suffix), keys :+ "__bin")
+      .filter(col(startCol) <= col(endCol + suffix) &&
+        col(startCol + suffix) <= col(endCol))
+      // keep the pair only in the first shared bin: exact dedup with
+      // no distinct/shuffle over pairs
+      .filter(col("__bin") === greatest(col("__b0"), col("__b0" + suffix)))
+      .drop("__bin", "__b0", "__b0" + suffix)
+  }
 }

@@ -687,7 +687,57 @@ object MiscQueries {
       |FROM sc GROUP BY lang""".stripMargin
     })
 
+  /** q187: interval×interval overlap join
+    * ([[graft.operators.RangeJoin.intervalOverlap]]) — the
+    * segment-matching primitive q59's point-in-interval form cannot
+    * express. Both sides bin-explode and equi-join on (key, bin); a
+    * pair survives only in the first shared bin, so bin-edge
+    * duplicates are eliminated WITHOUT a distinct over the pair set.
+    * The oracle is the plain range-predicate join (DuckDB IEJoin) —
+    * same semantics, independent physical strategy. Census: per key,
+    * pair count and exact int64-µs overlap mass. */
+  val q187 = GQuery(
+    "q187_interval_overlap",
+    (s, d) => {
+      val H = 3600000000L // µs per hour
+      def iv(shift: Int, lenMod: Int) = orders(s, d).select(
+        (col("o_custkey") % 50).as("k"),
+        timestamp_micros(expr("unix_micros(timestamp(o_orderdate))") +
+          (col("o_orderkey") % shift) * H).as("s0"),
+        timestamp_micros(expr("unix_micros(timestamp(o_orderdate))") +
+          (col("o_orderkey") % shift + col("o_orderkey") % lenMod + 1) * H).as("e0"))
+      val joined = graft.operators.RangeJoin.intervalOverlap(
+        iv(24, 48), iv(36, 24), Seq("k"), "s0", "e0", binSeconds = 86400)
+      joined.select(col("k"),
+          (least(unix_micros(col("e0")), unix_micros(col("e0_r"))) -
+            greatest(unix_micros(col("s0")), unix_micros(col("s0_r"))))
+            .as("ov_us"))
+        .groupBy(col("k"))
+        .agg(
+          lcount(lit(1)).as("n_pairs"),
+          sum(col("ov_us")).as("overlap_us"),
+          max(col("ov_us")).as("max_overlap_us"))
+    },
+    Some("""WITH a AS (
+      |  SELECT o_custkey % 50 AS k,
+      |    CAST(o_orderdate AS TIMESTAMP) + INTERVAL 1 HOUR * (o_orderkey % 24) AS s0,
+      |    CAST(o_orderdate AS TIMESTAMP) + INTERVAL 1 HOUR * (o_orderkey % 24 + o_orderkey % 48 + 1) AS e0
+      |  FROM orders),
+      |b AS (
+      |  SELECT o_custkey % 50 AS k,
+      |    CAST(o_orderdate AS TIMESTAMP) + INTERVAL 1 HOUR * (o_orderkey % 36) AS s0,
+      |    CAST(o_orderdate AS TIMESTAMP) + INTERVAL 1 HOUR * (o_orderkey % 36 + o_orderkey % 24 + 1) AS e0
+      |  FROM orders),
+      |p AS (
+      |  SELECT a.k,
+      |    epoch_us(least(a.e0, b.e0)) - epoch_us(greatest(a.s0, b.s0)) AS ov_us
+      |  FROM a JOIN b ON a.k = b.k AND a.s0 <= b.e0 AND b.s0 <= a.e0)
+      |SELECT k, COUNT(*) AS n_pairs,
+      |  CAST(SUM(ov_us) AS BIGINT) AS overlap_us,
+      |  CAST(MAX(ov_us) AS BIGINT) AS max_overlap_us
+      |FROM p GROUP BY k""".stripMargin))
+
   def queries: Seq[GQuery] =
     Seq(q45, q46, q47, q49, q52, q59, q62, q63, q64, q67, q69, q71, q148, q155,
-      q170, q177)
+      q170, q177, q187)
 }

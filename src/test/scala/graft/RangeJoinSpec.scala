@@ -52,4 +52,28 @@ class RangeJoinSpec extends SparkSpec {
     val got = RangeJoin.pointInInterval(points, intervals, Seq("k"), "ts", "s", "e", 3600L)
     assert(got.count() == 1)
   }
+
+  test("intervalOverlap matches brute force exactly (incl. multi-bin spans)") {
+    val left = Seq(
+      ("a", ts("2024-01-01 00:30:00"), ts("2024-01-03 10:00:00")), // spans 3 day-bins
+      ("a", ts("2024-01-05 00:00:00"), ts("2024-01-05 01:00:00")),
+      ("b", ts("2024-01-01 00:00:00"), ts("2024-01-01 02:00:00")))
+      .toDF("k", "s0", "e0")
+    val right = Seq(
+      ("a", ts("2024-01-02 00:00:00"), ts("2024-01-04 00:00:00")), // overlaps span in 2 shared bins
+      ("a", ts("2024-01-03 10:00:00"), ts("2024-01-03 11:00:00")), // touches at closed endpoint
+      ("a", ts("2024-01-06 00:00:00"), ts("2024-01-06 01:00:00")), // no overlap
+      ("b", ts("2024-01-01 01:00:00"), ts("2024-01-01 03:00:00")))
+      .toDF("k", "s0", "e0")
+    val got = RangeJoin.intervalOverlap(left, right, Seq("k"), "s0", "e0", 86400L)
+      .select($"k", $"s0", $"s0_r").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getTimestamp(2))).toSet
+    val brute = left.as("l").join(right.toDF("k", "s1", "e1").as("r"), Seq("k"))
+      .filter($"s0" <= $"e1" && $"s1" <= $"e0")
+      .select($"k", $"s0", $"s1").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getTimestamp(2))).toSet
+    assert(got == brute, s"got $got\nbrute $brute")
+    // the multi-bin pair appears exactly once despite 2 shared bins
+    assert(got.size == brute.size)
+  }
 }
