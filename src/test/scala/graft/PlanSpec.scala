@@ -307,4 +307,36 @@ class PlanSpec extends SparkSpec {
     val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).length
     assert(exchanges <= 1, s"one census exchange expected, saw $exchanges:\n$p")
   }
+
+  test("q173: the PCA moment pass is one aggregate, no row explosion, no join") {
+    val p = plan("q173_pca_moment")
+    assert(!p.contains("Join"), s"moment must not self-join the element table:\n$p")
+    // the only Generate allowed is the 1-row triangle unpack AFTER the
+    // aggregate — so at most one, and never under an Exchange input side
+    val generates = p.linesIterator.count(_.trim.matches("\\(\\d+\\) Generate.*"))
+    assert(generates <= 1, s"corpus-side explode crept back in:\n$p")
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).length
+    assert(exchanges <= 2, s"moment should shuffle one buffer per partition:\n$p")
+  }
+
+  test("q186: PQ encoding is shuffle-free; ADC scan broadcasts the query LUTs") {
+    val p = plan("q186_pq_adc")
+    assert(p.contains("BroadcastExchange"), "query LUTs must broadcast")
+    assert(!p.contains("CartesianProduct"),
+      s"ADC must be a broadcast scan, not a cartesian:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the code scan must never shuffle-join the corpus:\n$p")
+  }
+
+  test("q181: the funnel reuses one user_id partitioning, never an event pair join") {
+    val p = plan("q181_event_funnel")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"funnel must stay key-joined:\n$p")
+  }
+
+  test("q187: interval overlap is an equi-join on (key, bin), not a nested loop") {
+    val p = plan("q187_interval_overlap")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"overlap join degenerated:\n$p")
+  }
 }
