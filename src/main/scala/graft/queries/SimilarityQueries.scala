@@ -755,5 +755,119 @@ object SimilarityQueries {
       |  FROM pair) t
       |WHERE rn <= 5""".stripMargin))
 
-  def queries: Seq[GQuery] = Seq(q40, q41, q42, q48, q53, q102, q105, q114, q117, q119, q122, q131, q147, q173, q176, q186)
+  /** q188: IVF×PQ composed search ([[graft.similarity.Pq.ivfAdcTopK]])
+    * — the actual 100 TB ANN shape: Voronoi cells prune the corpus
+    * (2 of 4 probed), PQ codes compress the survivors, int64 ADC
+    * scores them. The oracle is the q48 IVF chain and the q186 PQ
+    * chain COMPOSED — cell assignment gates the pair set, codes+LUTs
+    * gate the scores — so the interplay of the two trained structures
+    * sits under one hash. */
+  val q188 = GQuery(
+    "q188_ivf_pq_adc",
+    (s, d) => {
+      val emb = embeddings(s, d)
+      graft.similarity.Pq.ivfAdcTopK(
+        corpus = emb, queries = emb.filter(col("vec_id") < 10),
+        idCol = "vec_id", vecCol = "embedding", k = 5,
+        nLists = 4, nProbe = 2,
+        dim = Knn.inferDim(emb, "embedding"), m = 16, ksub = 16)
+    },
+    Some(s"""WITH $elSql,
+      |dim AS (SELECT MAX(len(embedding)) AS d FROM embeddings),
+      |ivseeds AS (
+      |  SELECT cell, embedding FROM (
+      |    SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cell,
+      |           embedding
+      |    FROM embeddings) t WHERE cell < 4),
+      |ivsl AS (
+      |  SELECT cell, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c FROM ivseeds),
+      |ivd0 AS (
+      |  SELECT v.vec_id, s.cell,
+      |    list_reduce(list_transform(generate_series(1, len(v.embedding)),
+      |      i -> (CAST(v.embedding[i] AS DOUBLE) - s.c[i]) * (CAST(v.embedding[i] AS DOUBLE) - s.c[i])),
+      |      (a, b) -> a + b) AS d
+      |  FROM embeddings v, ivsl s),
+      |iva0 AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+      |    FROM ivd0) t WHERE rn = 1),
+      |ivm1 AS (
+      |  SELECT a.cell, el.i, CAST(SUM(el.e) AS DOUBLE) / 10000000.0 / COUNT(el.e) AS m
+      |  FROM iva0 a JOIN el ON el.vec_id = a.vec_id
+      |  GROUP BY a.cell, el.i),
+      |ivc1 AS (
+      |  SELECT s.cell, list(COALESCE(m.m, s.c[ser.i]) ORDER BY ser.i) AS c
+      |  FROM ivsl s
+      |  CROSS JOIN (SELECT unnest(generate_series(1, (SELECT d FROM dim))) AS i) ser
+      |  LEFT JOIN ivm1 m ON m.cell = s.cell AND m.i = ser.i
+      |  GROUP BY s.cell),
+      |ivd1 AS (
+      |  SELECT v.vec_id, s.cell,
+      |    list_reduce(list_transform(generate_series(1, len(v.embedding)),
+      |      i -> (CAST(v.embedding[i] AS DOUBLE) - s.c[i]) * (CAST(v.embedding[i] AS DOUBLE) - s.c[i])),
+      |      (a, b) -> a + b) AS d
+      |  FROM embeddings v, ivc1 s),
+      |iva1 AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+      |    FROM ivd1) t WHERE rn = 1),
+      |ivprobe AS (
+      |  SELECT vec_id AS qid, cell FROM (
+      |    SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+      |    FROM ivd1 WHERE vec_id < 10) t WHERE rn <= 2),
+      |pqseeds AS (
+      |  SELECT cell, vec_id FROM (
+      |    SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cell,
+      |           vec_id
+      |    FROM embeddings) t WHERE cell < 16),
+      |pqbk0 AS (SELECT s.cell AS c, el.i, el.e AS m
+      |          FROM pqseeds s JOIN el ON el.vec_id = s.vec_id),
+      |pqd0 AS (
+      |  SELECT el.vec_id, CAST((el.i - 1) // 4 AS INT) AS j, b.c,
+      |    SUM((el.e - b.m) * (el.e - b.m)) AS d
+      |  FROM el JOIN pqbk0 b ON b.i = el.i
+      |  GROUP BY 1, 2, 3),
+      |pqa0 AS (
+      |  SELECT vec_id, j, c AS code FROM (
+      |    SELECT vec_id, j, c,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn
+      |    FROM pqd0) t WHERE rn = 1),
+      |pqm1 AS (
+      |  SELECT a.code AS c, el.i,
+      |    CAST(floor(CAST(SUM(el.e) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) AS m
+      |  FROM el JOIN pqa0 a
+      |    ON a.vec_id = el.vec_id AND a.j = CAST((el.i - 1) // 4 AS INT)
+      |  GROUP BY 1, 2),
+      |pqc1 AS (SELECT b.c, b.i, COALESCE(pqm1.m, b.m) AS m
+      |         FROM pqbk0 b LEFT JOIN pqm1 ON pqm1.c = b.c AND pqm1.i = b.i),
+      |pqd1 AS (
+      |  SELECT el.vec_id, CAST((el.i - 1) // 4 AS INT) AS j, c.c,
+      |    SUM((el.e - c.m) * (el.e - c.m)) AS d
+      |  FROM el JOIN pqc1 c ON c.i = el.i
+      |  GROUP BY 1, 2, 3),
+      |pqa1 AS (
+      |  SELECT vec_id, j, c AS code FROM (
+      |    SELECT vec_id, j, c,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn
+      |    FROM pqd1) t WHERE rn = 1),
+      |lutd AS (
+      |  SELECT qe.vec_id AS qid, CAST((c.i - 1) // 4 AS INT) AS j, c.c AS code,
+      |    SUM((qe.e - c.m) * (qe.e - c.m)) AS d
+      |  FROM el qe JOIN pqc1 c ON c.i = qe.i
+      |  WHERE qe.vec_id < 10 GROUP BY 1, 2, 3),
+      |pair AS (
+      |  SELECT l.qid, a.vec_id AS nid, CAST(SUM(l.d) AS BIGINT) AS adc
+      |  FROM pqa1 a
+      |  JOIN lutd l ON l.j = a.j AND l.code = a.code
+      |  JOIN iva1 cv ON cv.vec_id = a.vec_id
+      |  JOIN ivprobe p ON p.qid = l.qid AND p.cell = cv.cell
+      |  WHERE a.vec_id <> l.qid
+      |  GROUP BY 1, 2)
+      |SELECT qid, CAST(rn AS INT) AS rank, nid, adc FROM (
+      |  SELECT qid, nid, adc,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, nid) AS rn
+      |  FROM pair) t
+      |WHERE rn <= 5""".stripMargin))
+
+  def queries: Seq[GQuery] = Seq(q40, q41, q42, q48, q53, q102, q105, q114, q117, q119, q122, q131, q147, q173, q176, q186, q188)
 }

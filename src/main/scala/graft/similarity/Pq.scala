@@ -129,4 +129,40 @@ object Pq {
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("nid"), col("adc"))
   }
+
+  /** IVF×PQ: the composed 100 TB shape — IVF cells prune the corpus
+    * (probe `nProbe` of `nLists` Voronoi cells), PQ codes compress
+    * what's left, ADC scores the survivors. The pair join is a plain
+    * equi-join on the cell key (a corpus vector lives in exactly one
+    * cell, so no dedup), which at scale becomes a partition-pruned
+    * scan of cell-bucketed code files. Same determinism story as both
+    * parents: double-fold IVF distances ([[Ivf]]'s convention) and
+    * int64 ADC, so the whole composition oracles. */
+  def ivfAdcTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                 vecCol: String, k: Int, nLists: Int, nProbe: Int,
+                 dim: Int, m: Int, ksub: Int,
+                 ivfIters: Int = 1, pqIters: Int = 1): DataFrame = {
+    val dsub = dim / m
+    PqEncode.register(corpus.sparkSession)
+    val cents = Ivf.trainCentroids(corpus, idCol, vecCol, nLists, ivfIters)
+    val books = trainCodebooks(corpus, idCol, vecCol, dim, m, ksub, pqIters)
+    val enc = Ivf.assignCells(corpus, vecCol, cents)
+      .select(col(idCol).as("nid"), col("__cell"),
+        encodeCol(Knn.scaledVec(col(vecCol)), books).as("__codes"))
+    val qsv = Knn.scaledVec(col(vecCol))
+    val lut = array((0 until m).map { j =>
+      array((0 until ksub).map(c => subDist2(qsv, j, dsub, books(j)(c))): _*)
+    }: _*)
+    val q = Ivf.probeCells(queries, vecCol, cents, nProbe)
+      .select(col(idCol).as("qid"), col("__probe").as("__cell"), lut.as("__lut"))
+    val scored = enc.join(broadcast(q), Seq("__cell"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("adc",
+        aggregate(zip_with(col("__lut"), col("__codes"),
+          (l, cd) => element_at(l, cd + 1)), lit(0L), (acc, x) => acc + x))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adc").asc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), col("adc"))
+  }
 }

@@ -57,4 +57,24 @@ class PqSpec extends SparkSpec {
       s"recall $recall vs chance ${5.0 / (n - 1)}")
     assert(approx.groupBy(_._1).values.forall(_.size == 5))
   }
+
+  test("IVF x PQ prunes to probed cells and never plans a cartesian") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter($"vec_id" < 10)
+    val composed = Pq.ivfAdcTopK(emb, queries, "vec_id", "embedding", 5,
+      nLists = 4, nProbe = 2, dim = 64, m = 16, ksub = 16)
+    val plan = composed.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    val got = composed.select($"qid", $"nid", $"adc").as[(Long, Long, Long)].collect()
+    assert(got.nonEmpty && got.groupBy(_._1).size == 10)
+    // every composed hit carries the same ADC score the plain scan
+    // assigns the pair (the cell filter only prunes, never rescores)
+    val plain = Pq.adcTopK(emb, queries, "vec_id", "embedding", 5000,
+        dim = 64, m = 16, ksub = 16)
+      .select($"qid", $"nid", $"adc").as[(Long, Long, Long)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    got.foreach { case (q, n, a) =>
+      assert(plain((q, n)) == a, s"pair ($q,$n) rescored: $a vs ${plain((q, n))}")
+    }
+  }
 }
