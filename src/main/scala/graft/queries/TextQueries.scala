@@ -1568,8 +1568,60 @@ object TextQueries {
     },
     oracle = None)
 
+  /** q189: sentence-boundary chunking
+    * ([[graft.text.Chunking.sentenceChunks]]) — the RAG splitter next
+    * to q98/q99's token windows: sentences pack greedily into ≤ 64-
+    * token chunks, oversize single sentences stand alone rather than
+    * splitting mid-sentence. The greedy fill is a per-document ordered
+    * fold; the oracle replays it as a recursive per-sentence chain, so
+    * chunk boundaries themselves sit under the hash gate. */
+  val q189 = GQuery(
+    "q189_sentence_chunks",
+    (s, d) => {
+      val docs = documents(s, d)
+      graft.text.Chunking.sentenceChunks(docs, "doc_id", "text", maxTokens = 64)
+        .join(broadcast(docs.select(col("doc_id").as("doc"), col("lang"))), Seq("doc"))
+        .groupBy(col("lang"))
+        .agg(
+          countDistinct(col("doc")).cast("long").as("n_docs"),
+          lcount(lit(1)).as("n_chunks"),
+          sum(col("n_tokens")).as("tokens_total"),
+          max(col("n_tokens")).as("max_chunk_tokens"),
+          count(when(col("n_tokens") > 64, 1)).as("n_oversize"))
+    },
+    Some("""WITH RECURSIVE sraw AS (
+      |  SELECT doc_id, lang, regexp_extract_all(text, '[^.!?]+[.!?]*') AS arr
+      |  FROM documents),
+      |se AS (
+      |  SELECT doc_id, lang, arr[i] AS sent, i AS i0
+      |  FROM sraw, UNNEST(generate_series(1, len(arr))) u(i)
+      |  WHERE length(trim(arr[i])) > 0),
+      |sc AS (
+      |  SELECT doc_id, lang,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i0) AS idx,
+      |    CAST(len(string_split_regex(trim(sent), '\s+')) AS BIGINT) AS n
+      |  FROM se),
+      |rec AS (
+      |  SELECT doc_id, lang, idx, n, n AS fill, CAST(0 AS BIGINT) AS cid
+      |  FROM sc WHERE idx = 1
+      |  UNION ALL
+      |  SELECT s.doc_id, s.lang, s.idx, s.n,
+      |    CASE WHEN r.fill + s.n <= 64 THEN r.fill + s.n ELSE s.n END,
+      |    CASE WHEN r.fill + s.n <= 64 THEN r.cid ELSE r.cid + 1 END
+      |  FROM rec r JOIN sc s ON s.doc_id = r.doc_id AND s.idx = r.idx + 1),
+      |ch AS (
+      |  SELECT doc_id, lang, cid, COUNT(*) AS n_s, CAST(SUM(n) AS BIGINT) AS n_t
+      |  FROM rec GROUP BY 1, 2, 3)
+      |SELECT lang,
+      |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      |  COUNT(*) AS n_chunks,
+      |  CAST(SUM(n_t) AS BIGINT) AS tokens_total,
+      |  CAST(MAX(n_t) AS BIGINT) AS max_chunk_tokens,
+      |  COUNT(CASE WHEN n_t > 64 THEN 1 END) AS n_oversize
+      |FROM ch GROUP BY lang""".stripMargin))
+
   def queries: Seq[GQuery] =
     Seq(q32, q33, q34, q35, q66, q89, q91, q94, q96, q98, q99, q101,
       q106, q107, q109, q110, q111, q112, q115, q116, q120, q121, q126,
-      q130, q132, q134, q135, q136, q137, q139, q140, q141, q179)
+      q130, q132, q134, q135, q136, q137, q139, q140, q141, q179, q189)
 }

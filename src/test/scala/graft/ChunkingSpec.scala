@@ -45,4 +45,29 @@ class ChunkingSpec extends SparkSpec {
     // second-to-last window must NOT already reach the end (minimality)
     if (ch.length > 1) assert(ch(ch.length - 2)._2 < 101L)
   }
+
+  test("sentenceChunks: greedy fill, oversize sentences stand alone, blanks dropped") {
+    // budget 5 tokens: [3] + [2] fill chunk 0; [4] opens chunk 1;
+    // a 7-token sentence is its own oversize chunk 2; tail [1] chunk 3
+    val text = "one two three. four five! " +
+      "six seven eight nine? " +
+      "a b c d e f g. " +
+      "tail."
+    val df = Seq((1L, text), (2L, "...!!!")).toDF("doc_id", "text") // doc 2: no sentences
+    val got = Chunking.sentenceChunks(df, "doc_id", "text", maxTokens = 5)
+      .orderBy("doc", "chunk_idx")
+      .select($"doc", $"chunk_idx", $"n_sentences", $"n_tokens")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 0L, 2L, 5L), (1L, 1L, 1L, 4L), (1L, 2L, 1L, 7L), (1L, 3L, 1L, 1L)),
+      got.toString)
+  }
+
+  test("sentenceChunks is invariant under repartitioning") {
+    val docs = graft.core.Tables.documents(spark, sf)
+    val a = Chunking.sentenceChunks(docs.repartition(1), "doc_id", "text", 32)
+      .orderBy("doc", "chunk_idx").as[(Long, Long, Long, Long)].collect().toSeq
+    val b = Chunking.sentenceChunks(docs.repartition(9), "doc_id", "text", 32)
+      .orderBy("doc", "chunk_idx").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
 }
