@@ -60,6 +60,25 @@ class StreamingSpec extends SparkSpec {
     assert(got == Map(1L -> "a3", 3L -> "c", 4L -> "d"))
   }
 
+  test("applyCdc folded over arriving batches == one apply of the full log") {
+    // the incremental landing contract: when the change log arrives in
+    // seq order per key (a change-log position is monotone), applying
+    // each batch onto the running snapshot commutes with applying the
+    // concatenated log once
+    val snap0 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val batches = Seq(
+      Seq((1L, 1L, "U", "a1"), (4L, 2L, "I", "d")),
+      Seq((2L, 3L, "D", "x"), (4L, 4L, "U", "d2")),
+      Seq((1L, 5L, "U", "a2"), (5L, 6L, "I", "e"), (5L, 7L, "D", "x")))
+    val folded = batches.foldLeft(snap0) { (s, b) =>
+      Incremental.applyCdc(s, b.toDF("k", "seq", "op", "v"), "k", "seq", "op")
+    }.as[(Long, String)].collect().toMap
+    val oneShot = Incremental.applyCdc(snap0,
+        batches.flatten.toDF("k", "seq", "op", "v"), "k", "seq", "op")
+      .as[(Long, String)].collect().toMap
+    assert(folded == oneShot && folded == Map(1L -> "a2", 3L -> "c", 4L -> "d2"))
+  }
+
   test("applyCdc is invariant under batch partitioning") {
     val snap = spark.range(0, 100).select($"id".as("k"), ($"id" * 2).as("v"))
     val batch = spark.range(0, 300)
