@@ -42,20 +42,33 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // cumulative stop-the-world GC time: the per-query delta is the
+    // variance diagnostic — a pass whose time doubles with flat gc_ms
+    // is real work; one whose extra seconds match its gc_ms delta is
+    // JVM noise (q186 measured 2.6 s/11.8 s on identical code)
+    def gcNow(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).filter(_ > 0).sum
+    }
     var sinceGc = 0
+    val gcByPass = collection.mutable.Map.empty[String, List[Long]]
     def materialize(name: String, dir: String): Double = {
       // drop prior queries' shuffle/broadcast refs OUTSIDE the timed
       // window every few queries, so accumulated state from earlier
       // queries doesn't bill later ones
       sinceGc += 1
       if (sinceGc >= 10) { System.gc(); sinceGc = 0 }
+      val g0 = gcNow()
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); return -1.0
       }
-      (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      gcByPass.updateWith(name)(prev => Some(prev.getOrElse(Nil) :+ (gcNow() - g0)))
+      sec
     }
 
     // local-iteration hook: SPARK_GRAFT_BENCH_ONLY=q23,q24 times a
@@ -97,8 +110,11 @@ object Bench {
     // in-suite-interference signal that a min-of-two alone hides
     results.foreach { case (n, v) =>
       val (a, b) = (pass1(n), pass2(n))
-      if (v > 1.0 && math.max(a, b) > 1.5 * math.min(a, b))
-        System.err.println(f"[bench] $n pass1=$a%.2f pass2=$b%.2f")
+      if (v > 1.0 && math.max(a, b) > 1.5 * math.min(a, b)) {
+        // gcByPass entries: [warmup, pass1, pass2, (pass3)]
+        val gc = gcByPass.getOrElse(n, Nil).drop(1).mkString("/")
+        System.err.println(f"[bench] $n pass1=$a%.2f pass2=$b%.2f gc_ms=$gc")
+      }
     }
 
     val total = results.collect { case (_, v) if v > 0 => v }.sum
@@ -110,8 +126,14 @@ object Bench {
     // at the slowest 70 queries, ascending, and summarize the rest.
     val fullQs = results.sortBy(_._2).map { case (k, v) =>
       "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    // per-query stop-the-world GC ms per measured pass ([pass1, pass2,
+    // (pass3)]; warmup dropped) — lets a variance diagnosis distinguish
+    // JVM noise from real regressions without a re-run
+    val gcQs = results.sortBy(_._2).map { case (k, _) =>
+      "\"" + k + "\":" + gcByPass.getOrElse(k, Nil).drop(1).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val detail =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"queries":$fullQs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"queries":$fullQs,"gc_ms":$gcQs,"sf":"$sfDir"}"""
     try Files.writeString(Paths.get("BENCH_DETAIL.json"), detail + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
@@ -123,7 +145,8 @@ object Bench {
     val omittedSec = omitted.collect { case (_, v) if v > 0 => v }.sum
     val qs = slowest.map { case (k, v) => "\"" + k + f"\":$v%.2f" }
       .mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"n_shown":${slowest.size},"omitted_fast_sec":$omittedSec%.2f,"detail":"BENCH_DETAIL.json","queries":$qs,"sf":"$sfDir"}""")
+    val gcTotal = gcByPass.values.map(_.drop(1).sum).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"n_shown":${slowest.size},"omitted_fast_sec":$omittedSec%.2f,"gc_ms_total":$gcTotal,"detail":"BENCH_DETAIL.json","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -10,7 +10,9 @@ import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** `deflate_len(text)`: DEFLATE-compressed byte length of a string's
-  * UTF-8 bytes (zlib level 6) — the classic compression-ratio quality
+  * UTF-8 bytes (raw DEFLATE — `Deflater(6, nowrap=true)`, i.e. no
+  * zlib header/adler32 framing, ~6 bytes under framed zlib output;
+  * level 6 is zlib's default) — the classic compression-ratio quality
   * signal: `deflate_len(text) / octet_length(text)` near 0 flags
   * templated/repetitive spam, near (or above) 1 flags high-entropy
   * noise (base64 blobs, minified code), and natural prose sits in
@@ -52,9 +54,9 @@ case class DeflateLen(child: Expression)
 }
 
 object DeflateLen {
-  /** One-shot DEFLATE at level 6 (zlib default); returns the
-    * compressed byte count. Called from generated code — keep the
-    * signature (UTF8String) → long. */
+  /** One-shot raw DEFLATE at level 6; returns the compressed byte
+    * count. Called from generated code — keep the signature
+    * (UTF8String) → long. */
   def deflatedLen(s: UTF8String): Long = {
     val bytes = s.getBytes
     val d = new Deflater(6, true)

@@ -1548,9 +1548,14 @@ object TextQueries {
     * web curation runs beside the n-gram stats (q96): LZ77's 32 KB
     * window catches long-range template structure bounded n-gram
     * windows cannot. ratio = deflated/original bytes; < 0.35 flags
-    * templated spam, > 0.9 high-entropy noise. zlib output is not
-    * SQL-replayable, so this is a rows-only gate; DeflateRatioSpec
-    * pins the expression's ordering properties and determinism. */
+    * templated spam, > 0.9 high-entropy noise. DEFLATE is not
+    * SQL-replayable, so the oracle PINS the per-doc deflated lengths
+    * as literal rows (the q161 pinned-winners pattern) and replays
+    * only the arithmetic on top; the pins were computed with an
+    * INDEPENDENT implementation (CPython zlib, raw DEFLATE level 6,
+    * wbits=-15) and verified equal to the JDK Deflater on every
+    * sf0.01 document, so the gate cross-checks two zlib front ends.
+    * DeflateRatioSpec pins ordering properties and determinism. */
   val q179 = GQuery(
     "q179_compression_ratio",
     (s, d) => {
@@ -1566,7 +1571,59 @@ object TextQueries {
           sum(when(col("ratio") > 0.9, 1L).otherwise(0L)).as("n_noise"),
           round(lavg6(col("ratio")), 6).as("avg_ratio"))
     },
-    oracle = None)
+    Some(s"""WITH dl(doc_id, dlen) AS (
+      |  SELECT * FROM (VALUES
+      |    (0,93),(1,175),(2,127),(3,93),(4,133),(5,156),(6,58),(7,180),(8,195),(9,174),(10,118),(11,146),
+      |    (12,158),(13,158),(14,202),(15,122),(16,69),(17,188),(18,185),(19,52),(20,173),(21,115),(22,194),(23,103),
+      |    (24,207),(25,206),(26,55),(27,164),(28,159),(29,110),(30,104),(31,130),(32,211),(33,125),(34,105),(35,191),
+      |    (36,81),(37,165),(38,109),(39,86),(40,180),(41,159),(42,144),(43,100),(44,82),(45,189),(46,192),(47,126),
+      |    (48,96),(49,126),(50,127),(51,162),(52,56),(53,108),(54,166),(55,105),(56,219),(57,196),(58,173),(59,78),
+      |    (60,207),(61,144),(62,172),(63,213),(64,85),(65,70),(66,164),(67,160),(68,103),(69,151),(70,214),(71,160),
+      |    (72,126),(73,207),(74,38),(75,147),(76,171),(77,154),(78,128),(79,55),(80,103),(81,167),(82,134),(83,68),
+      |    (84,171),(85,95),(86,88),(87,87),(88,139),(89,84),(90,82),(91,188),(92,93),(93,80),(94,86),(95,144),
+      |    (96,182),(97,153),(98,213),(99,116),(100,202),(101,123),(102,199),(103,211),(104,125),(105,158),(106,61),(107,118),
+      |    (108,61),(109,178),(110,49),(111,217),(112,153),(113,186),(114,109),(115,90),(116,53),(117,126),(118,176),(119,71),
+      |    (120,116),(121,107),(122,75),(123,93),(124,148),(125,107),(126,199),(127,189),(128,195),(129,185),(130,94),(131,148),
+      |    (132,163),(133,209),(134,89),(135,219),(136,153),(137,124),(138,170),(139,142),(140,99),(141,180),(142,217),(143,174),
+      |    (144,69),(145,179),(146,84),(147,197),(148,101),(149,96),(150,135),(151,210),(152,116),(153,184),(154,191),(155,171),
+      |    (156,83),(157,69),(158,72),(159,175),(160,123),(161,198),(162,196),(163,132),(164,78),(165,80),(166,158),(167,204),
+      |    (168,119),(169,166),(170,81),(171,159),(172,74),(173,223),(174,153),(175,97),(176,202),(177,137),(178,113),(179,198),
+      |    (180,112),(181,77),(182,165),(183,76),(184,194),(185,141),(186,178),(187,205),(188,133),(189,115),(190,190),(191,82),
+      |    (192,83),(193,104),(194,101),(195,154),(196,161),(197,212),(198,129),(199,98),(200,145),(201,159),(202,196),(203,83),
+      |    (204,78),(205,173),(206,83),(207,176),(208,76),(209,118),(210,209),(211,138),(212,128),(213,201),(214,58),(215,216),
+      |    (216,218),(217,166),(218,193),(219,94),(220,224),(221,127),(222,134),(223,195),(224,187),(225,185),(226,77),(227,197),
+      |    (228,201),(229,173),(230,151),(231,95),(232,154),(233,197),(234,159),(235,122),(236,54),(237,178),(238,130),(239,100),
+      |    (240,177),(241,206),(242,178),(243,104),(244,168),(245,193),(246,101),(247,183),(248,193),(249,193),(250,130),(251,215),
+      |    (252,132),(253,110),(254,70),(255,89),(256,54),(257,79),(258,180),(259,128),(260,84),(261,200),(262,129),(263,196),
+      |    (264,226),(265,134),(266,121),(267,184),(268,115),(269,200),(270,208),(271,148),(272,212),(273,97),(274,220),(275,43),
+      |    (276,218),(277,91),(278,173),(279,138),(280,209),(281,94),(282,104),(283,194),(284,140),(285,214),(286,134),(287,72),
+      |    (288,103),(289,110),(290,214),(291,183),(292,188),(293,170),(294,201),(295,108),(296,163),(297,154),(298,110),(299,213),
+      |    (300,117),(301,212),(302,203),(303,196),(304,122),(305,50),(306,183),(307,151),(308,74),(309,127),(310,89),(311,209),
+      |    (312,164),(313,60),(314,118),(315,195),(316,182),(317,175),(318,194),(319,203),(320,182),(321,145),(322,132),(323,161),
+      |    (324,121),(325,158),(326,113),(327,104),(328,213),(329,160),(330,157),(331,141),(332,113),(333,109),(334,203),(335,150),
+      |    (336,175),(337,130),(338,69),(339,106),(340,130),(341,192),(342,76),(343,92),(344,190),(345,155),(346,181),(347,137),
+      |    (348,89),(349,189),(350,195),(351,167),(352,217),(353,154),(354,189),(355,150),(356,164),(357,130),(358,51),(359,152),
+      |    (360,189),(361,166),(362,65),(363,161),(364,136),(365,59),(366,143),(367,121),(368,54),(369,142),(370,118),(371,165),
+      |    (372,95),(373,180),(374,106),(375,155),(376,167),(377,128),(378,165),(379,177),(380,192),(381,155),(382,88),(383,132),
+      |    (384,72),(385,177),(386,203),(387,116),(388,159),(389,91),(390,86),(391,129),(392,87),(393,193),(394,173),(395,189),
+      |    (396,132),(397,138),(398,77),(399,152),(400,90),(401,184),(402,100),(403,202),(404,123),(405,151),(406,192),(407,75),
+      |    (408,65),(409,140),(410,186),(411,188),(412,174),(413,186),(414,180),(415,155),(416,144),(417,213),(418,183),(419,85),
+      |    (420,191),(421,192),(422,167),(423,171),(424,180),(425,86),(426,196),(427,180),(428,142),(429,220),(430,182),(431,152),
+      |    (432,169),(433,108),(434,187),(435,106),(436,131),(437,192),(438,106),(439,110),(440,128),(441,218),(442,195),(443,140),
+      |    (444,182),(445,149),(446,84),(447,212),(448,140),(449,106),(450,92),(451,78),(452,168),(453,221),(454,89),(455,53),
+      |    (456,79),(457,115),(458,158),(459,175),(460,140),(461,174),(462,159),(463,212),(464,113),(465,157),(466,206),(467,166),
+      |    (468,115),(469,48),(470,128),(471,158),(472,112),(473,149),(474,170),(475,64),(476,65),(477,87),(478,144),(479,167),
+      |    (480,158),(481,61),(482,98),(483,133),(484,123),(485,91),(486,108),(487,155),(488,115),(489,149),(490,141),(491,170),
+      |    (492,62),(493,195),(494,111),(495,172),(496,190),(497,81),(498,198),(499,98)) t(doc_id, dlen)),
+      |r AS (
+      |  SELECT d.lang,
+      |    CAST(dl.dlen AS DOUBLE) / CAST(strlen(d.text) AS DOUBLE) AS ratio
+      |  FROM documents d JOIN dl ON d.doc_id = dl.doc_id)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN ratio < 0.35 THEN 1 ELSE 0 END) AS BIGINT) AS n_templated,
+      |  CAST(SUM(CASE WHEN ratio > 0.9 THEN 1 ELSE 0 END) AS BIGINT) AS n_noise,
+      |  round(${graft.core.Exact.sqlLavg6("ratio")}, 6) AS avg_ratio
+      |FROM r GROUP BY lang""".stripMargin))
 
   /** q189: sentence-boundary chunking
     * ([[graft.text.Chunking.sentenceChunks]]) — the RAG splitter next

@@ -24,6 +24,7 @@ object Ivf {
     * md5-ranked seeds + `iters` Lloyd refinements. */
   def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String,
                      nLists: Int, iters: Int = 2): Array[Array[Double]] = {
+    IvfExprs.register(corpus.sparkSession)
     val seeds = corpus
       .withColumn("__r", md5(col(idCol).cast("string")))
       .orderBy(col("__r"))
@@ -31,16 +32,23 @@ object Ivf {
       .select(col(vecCol))
       .collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(seeds.length == nLists,
+      s"corpus has only ${seeds.length} rows; nLists=$nLists seed centroids need at least nLists")
     (0 until iters).foldLeft(seeds) { (cents, _) =>
-      val assigned = assignCells(corpus, vecCol, cents)
-        .select(col("__cell"), posexplode(Knn.scaledVec(col(vecCol))).as(Seq("i", "e")))
-        .groupBy(col("__cell"), col("i"))
-        // scaled-long exact mean: a plain double avg is partition-order
-        // dependent, which would make the trained centroids (and with
-        // them cell membership) vary run to run; int64 sums are exact
-        // and associative at integer-add cost (see Knn.scaledVec)
-        .agg((sum(col("e")).cast("double") / lit(Knn.Scale) /
-          count(col("e"))).as("m"))
+      // one native generator-input expression yields (cell, i, e)
+      // triples — the assign-then-posexplode spelling gets the __cell
+      // projection collapsed through the Generate and re-runs the full
+      // assignment per exploded row, dim× redundant ([[IvfLloydPairs]]).
+      // e is the scaled-long element: a plain double avg is partition-
+      // order dependent, which would make the trained centroids (and
+      // with them cell membership) vary run to run; int64 sums are
+      // exact and associative at integer-add cost (see Knn.scaledVec)
+      val assigned = corpus
+        .select(explode(call_function("ivf_lloyd_pairs", col(vecCol),
+          typedlit(cents.flatten.toSeq), lit(nLists))).as("__p"))
+        .groupBy(col("__p.cell").as("__cell"), col("__p.i").as("i"))
+        .agg((sum(col("__p.e")).cast("double") / lit(Knn.Scale) /
+          count(col("__p.e"))).as("m"))
         .collect()
       val next = cents.map(_.clone())
       assigned.foreach { r =>
@@ -50,31 +58,29 @@ object Ivf {
     }
   }
 
-  /** Squared L2 distance to a centroid literal, as a per-row fold. */
-  private def dist2(vecCol: String, c: Array[Double]): Column = {
-    val lits = array(c.map(lit): _*)
-    aggregate(
-      zip_with(col(vecCol), lits, (x, m) => {
-        val d = x.cast("double") - m; d * d
-      }),
-      lit(0.0), (acc, x) => acc + x)
-  }
+  /** All-cells squared L2 distances as one native per-row expression
+    * ([[IvfCellDists]]) — the compositional fold spelling runs nLists ×
+    * dim interpreted lambda frames per row. */
+  private def distsCol(vecCol: String, centroids: Array[Array[Double]]): Column =
+    call_function("ivf_cell_dists", col(vecCol),
+      typedlit(centroids.flatten.toSeq), lit(centroids.length))
 
   /** Adds `__cell`: index of the nearest centroid (deterministic
     * lowest-index tie-break), computed without any shuffle. */
   def assignCells(df: DataFrame, vecCol: String,
                   centroids: Array[Array[Double]]): DataFrame = {
-    val best = centroids.zipWithIndex.map { case (c, i) =>
-      struct(dist2(vecCol, c).as("d"), lit(i).as("i"))
-    }.reduce((a, b) => when(b.getField("d") < a.getField("d"), b).otherwise(a))
-    df.withColumn("__cell", best.getField("i"))
+    IvfExprs.register(df.sparkSession)
+    df.withColumn("__cell", call_function("ivf_cell_assign", col(vecCol),
+      typedlit(centroids.flatten.toSeq), lit(centroids.length)))
   }
 
   /** `nProbe` nearest cells per row (for the query side). */
   def probeCells(df: DataFrame, vecCol: String,
                  centroids: Array[Array[Double]], nProbe: Int): DataFrame = {
-    val ranked = array_sort(array(centroids.zipWithIndex.map { case (c, i) =>
-      struct(dist2(vecCol, c).as("d"), lit(i).as("i"))
+    IvfExprs.register(df.sparkSession)
+    val dists = distsCol(vecCol, centroids)
+    val ranked = array_sort(array(centroids.indices.map { i =>
+      struct(element_at(dists, i + 1).as("d"), lit(i).as("i"))
     }: _*))
     df.withColumn("__probe",
       explode(slice(transform(ranked, s => s.getField("i")), 1, nProbe)))

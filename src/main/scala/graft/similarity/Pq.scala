@@ -29,9 +29,32 @@ object Pq {
     * dim t ∈ [0,dsub) — scaled-long centroids. */
   type Codebooks = Array[Array[Array[Long]]]
 
-  /** Register the native encode expression on the session (idempotent). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  /** Register the native encode + LUT + ADC + Lloyd expressions (idempotent). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     PqEncode.register(spark)
+    PqLut.register(spark)
+    AdcDistance.register(spark)
+    PqLloydPairs.register(spark)
+  }
+
+  /** A query row's m×ksub ADC lookup table as one native expression
+    * ([[PqLut]]). The compositional spelling — m·ksub separate
+    * [[subDist2]] folds — is both interpreted per element AND a
+    * 256-term expression tree at m=ksub=16 that Catalyst has to
+    * analyze and optimize per plan. */
+  def lutCol(sv: Column, books: Codebooks): Column = {
+    val flat = books.flatMap(_.flatMap(_.toSeq)).toSeq
+    call_function("pq_lut", sv,
+      typedlit(flat), lit(books.length), lit(books(0).length))
+  }
+
+  /** Σⱼ lut(j)(codes(j)) as one native int64 loop ([[AdcDistance]]) —
+    * the per-pair ADC score. The compositional
+    * `aggregate(zip_with(lut, codes, element_at))` form evaluates its
+    * lambdas interpreted per element on the |corpus|×|queries| hot
+    * path (the measured ~800× trap class, see [[PqEncode]]). */
+  def adcCol(lut: Column, codes: Column): Column =
+    call_function("adc_distance", lut, codes)
 
   private def scale(x: Float): Long =
     math.floor(x.toDouble * Knn.Scale + 0.5).toLong
@@ -66,7 +89,7 @@ object Pq {
   def trainCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
                      dim: Int, m: Int, ksub: Int, iters: Int): Codebooks = {
     require(dim % m == 0, s"dim $dim must split into $m subspaces")
-    PqEncode.register(corpus.sparkSession)
+    register(corpus.sparkSession)
     val dsub = dim / m
     val seeds = corpus
       .withColumn("__r", md5(col(idCol).cast("string")))
@@ -75,17 +98,25 @@ object Pq {
       .select(col(vecCol))
       .collect()
       .map(_.getSeq[Float](0).map(scale).toArray)
+    require(seeds.length == ksub,
+      s"corpus has only ${seeds.length} rows; ksub=$ksub seed codebooks need at least ksub")
+    seeds.find(_.length != dim).foreach(s => throw new IllegalArgumentException(
+      s"seed vector has dim ${s.length}, expected $dim"))
     var books: Codebooks =
       Array.tabulate(m, ksub, dsub)((j, c, t) => seeds(c)(j * dsub + t))
     var it = 0
     while (it < iters) {
       val sv = Knn.scaledVec(col(vecCol))
+      // (c, i, e) triples come from ONE native generator-input
+      // expression: the encode-then-element_at spelling gets its
+      // Project collapsed through the Generate, re-running the full
+      // encode per exploded row (dim× redundant — see [[PqLloydPairs]])
+      val flat = books.flatMap(_.flatMap(_.toSeq)).toSeq
       val upd = corpus
-        .select(encodeCol(sv, books).as("__codes"), posexplode(sv).as(Seq("i", "e")))
-        .select((col("i") / dsub).cast("int").as("j"), col("i"), col("e"),
-          element_at(col("__codes"), (col("i") / dsub).cast("int") + 1).as("c"))
-        .groupBy(col("c"), col("i"))
-        .agg(sum(col("e")).as("s"), count(col("e")).as("n"))
+        .select(explode(call_function("pq_lloyd_pairs", sv,
+          typedlit(flat), lit(m), lit(ksub))).as("__p"))
+        .groupBy(col("__p.c").as("c"), col("__p.i").as("i"))
+        .agg(sum(col("__p.e")).as("s"), count(col("__p.e")).as("n"))
         .collect()
       val next = books.map(_.map(_.clone()))
       upd.foreach { r =>
@@ -109,21 +140,15 @@ object Pq {
   def adcTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, dim: Int, m: Int, ksub: Int,
               iters: Int = 1): DataFrame = {
-    val dsub = dim / m
-    PqEncode.register(corpus.sparkSession)
+    register(corpus.sparkSession)
     val books = trainCodebooks(corpus, idCol, vecCol, dim, m, ksub, iters)
     val enc = corpus.select(col(idCol).as("nid"),
       encodeCol(Knn.scaledVec(col(vecCol)), books).as("__codes"))
-    val qsv = Knn.scaledVec(col(vecCol))
-    val lut = array((0 until m).map { j =>
-      array((0 until ksub).map(c => subDist2(qsv, j, dsub, books(j)(c))): _*)
-    }: _*)
-    val q = queries.select(col(idCol).as("qid"), lut.as("__lut"))
+    val q = queries.select(col(idCol).as("qid"),
+      lutCol(Knn.scaledVec(col(vecCol)), books).as("__lut"))
     val scored = enc.crossJoin(broadcast(q))
       .filter(col("qid") =!= col("nid"))
-      .withColumn("adc",
-        aggregate(zip_with(col("__lut"), col("__codes"),
-          (l, cd) => element_at(l, cd + 1)), lit(0L), (acc, x) => acc + x))
+      .withColumn("adc", adcCol(col("__lut"), col("__codes")))
     val w = Window.partitionBy(col("qid")).orderBy(col("adc").asc, col("nid").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -142,24 +167,18 @@ object Pq {
                  vecCol: String, k: Int, nLists: Int, nProbe: Int,
                  dim: Int, m: Int, ksub: Int,
                  ivfIters: Int = 1, pqIters: Int = 1): DataFrame = {
-    val dsub = dim / m
-    PqEncode.register(corpus.sparkSession)
+    register(corpus.sparkSession)
     val cents = Ivf.trainCentroids(corpus, idCol, vecCol, nLists, ivfIters)
     val books = trainCodebooks(corpus, idCol, vecCol, dim, m, ksub, pqIters)
     val enc = Ivf.assignCells(corpus, vecCol, cents)
       .select(col(idCol).as("nid"), col("__cell"),
         encodeCol(Knn.scaledVec(col(vecCol)), books).as("__codes"))
-    val qsv = Knn.scaledVec(col(vecCol))
-    val lut = array((0 until m).map { j =>
-      array((0 until ksub).map(c => subDist2(qsv, j, dsub, books(j)(c))): _*)
-    }: _*)
     val q = Ivf.probeCells(queries, vecCol, cents, nProbe)
-      .select(col(idCol).as("qid"), col("__probe").as("__cell"), lut.as("__lut"))
+      .select(col(idCol).as("qid"), col("__probe").as("__cell"),
+        lutCol(Knn.scaledVec(col(vecCol)), books).as("__lut"))
     val scored = enc.join(broadcast(q), Seq("__cell"))
       .filter(col("qid") =!= col("nid"))
-      .withColumn("adc",
-        aggregate(zip_with(col("__lut"), col("__codes"),
-          (l, cd) => element_at(l, cd + 1)), lit(0L), (acc, x) => acc + x))
+      .withColumn("adc", adcCol(col("__lut"), col("__codes")))
     val w = Window.partitionBy(col("qid")).orderBy(col("adc").asc, col("nid").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
