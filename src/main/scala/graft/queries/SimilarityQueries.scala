@@ -29,13 +29,12 @@ object SimilarityQueries {
 
   /** SQL mirror of [[Knn.hyperplaneBuckets]] (4 tables × 6 planes):
     * the md5-derived sign matrix and a left-to-right `list_reduce`
-    * fold — bit-identical to the engine's sequential double fold. */
-  private def bucketSql(where: String): String =
-    s"""planes AS (
-      |  SELECT t, p
-      |  FROM (SELECT unnest(generate_series(0, 3)) AS t),
-      |       (SELECT unnest(generate_series(0, 5)) AS p)),
-      |b AS (
+    * fold — bit-identical to the engine's sequential double fold.
+    * `from` lets callers bucket a derived relation (q147's planted
+    * corpus) and `name` emits several bucket CTEs in one query. */
+  private def bucketSql(where: String, from: String = "embeddings",
+                        name: String = "b"): String =
+    s"""$name AS (
       |  SELECT v.vec_id, pl.t,
       |    CAST(SUM(CASE WHEN
       |      list_reduce(
@@ -46,8 +45,15 @@ object SimilarityQueries {
       |              THEN 1.0 ELSE -1.0 END)),
       |        (a, x) -> a + x) > 0
       |      THEN CAST(1 AS BIGINT) << pl.p ELSE 0 END) AS BIGINT) AS bucket
-      |  FROM embeddings v, planes pl $where
+      |  FROM $from v, planes pl $where
       |  GROUP BY v.vec_id, pl.t)""".stripMargin
+
+  /** The (table, plane) grid CTE [[bucketSql]] expects in scope. */
+  private val planesSql =
+    """planes AS (
+      |  SELECT t, p
+      |  FROM (SELECT unnest(generate_series(0, 3)) AS t),
+      |       (SELECT unnest(generate_series(0, 5)) AS p))""".stripMargin
 
   /** Brute-force cosine top-5 for the first 10 vectors as queries. */
   val q40 = GQuery(
@@ -89,6 +95,7 @@ object SimilarityQueries {
           "vec_id", "embedding", threshold = 0.25, numPlanes = 6, numTables = 4)
         .select(col("va"), col("vb"), round(col("cos"), 4).as("cos")),
     Some(s"""WITH $elSql,
+      |$planesSql,
       |${bucketSql("WHERE v.vec_id < 100")},
       |cand AS (
       |  SELECT DISTINCT x.vec_id AS va, y.vec_id AS vb
@@ -123,6 +130,7 @@ object SimilarityQueries {
         .select(col("qid"), col("rank"), col("nid"), round(col("cos"), 4).as("cos"))
     },
     Some(s"""WITH $elSql,
+      |$planesSql,
       |${bucketSql("")},
       |cand AS (
       |  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid
@@ -295,6 +303,7 @@ object SimilarityQueries {
       Knn.semanticDedup(embeddings(s, d).filter(col("vec_id") < 100),
           "vec_id", "embedding", threshold = 0.25, numPlanes = 6, numTables = 4),
     Some(s"""WITH $elSql,
+      |$planesSql,
       |${bucketSql("WHERE v.vec_id < 100")},
       |cand AS (
       |  SELECT DISTINCT x.vec_id AS va, y.vec_id AS vb
@@ -561,15 +570,20 @@ object SimilarityQueries {
       |FROM mutual WHERE margin >= 1.0""".stripMargin))
 
   /** q147: embedding-space decontamination
-    * ([[Knn.embeddingDecontaminate]]) — the semantic arm of the
+    * ([[Knn.embeddingDecontaminateLsh]]) — the semantic arm of the
     * decontamination family (q90 LSH shingles, q129 exact n-grams):
-    * corpus rows whose cosine against ANY protected benchmark vector
-    * reaches 0.9 are dropped. Protected = label 0; the corpus is the
-    * other labels plus PLANTED copies of every protected vector
-    * (vec_id + 100000, label kept) — the copies score cos_e9 = 1e9
-    * against their source and must all drop, while the natural corpus
-    * (cross-label cosines ≈ 0.38 max) survives. Per-label verdict
-    * census; the oracle replays scaled-long dots pair-by-pair. */
+    * corpus rows whose cosine against a co-bucketed protected
+    * benchmark vector reaches 0.9 are dropped. Protected = label 0;
+    * the corpus is the other labels plus PLANTED copies of every
+    * protected vector (vec_id + 100000, label kept) — a copy projects
+    * identically on every hyperplane, so it ALWAYS shares buckets
+    * with its source, scores cos_e9 = 1e9, and must drop; the natural
+    * corpus (cross-label cosines ≈ 0.38 max) survives. Candidates
+    * come from shared LSH buckets (q41/q42's machinery), exact
+    * cosines score candidates only — the 100 TB shape; the brute-
+    * force arm stays as the spec reference (KnnSpec). Per-label
+    * verdict census; the oracle replays buckets, candidates, and
+    * scaled-long dots pair-by-pair. */
   val q147 = GQuery(
     "q147_embedding_decontaminate",
     (s, d) => {
@@ -577,8 +591,8 @@ object SimilarityQueries {
       val prot = emb.filter(col("label") === 0)
       val corpus = emb.filter(col("label") =!= 0)
         .unionByName(prot.withColumn("vec_id", col("vec_id") + 100000))
-      val v = Knn.embeddingDecontaminate(corpus, prot, "vec_id", "embedding",
-        thresholdE9 = 900000000L)
+      val v = Knn.embeddingDecontaminateLsh(corpus, prot, "vec_id", "embedding",
+        thresholdE9 = 900000000L, numPlanes = 6, numTables = 4)
       corpus.select(col("vec_id").as("id"), col("label")).join(v, Seq("id"))
         .groupBy(col("label"))
         .agg(
@@ -588,11 +602,17 @@ object SimilarityQueries {
           max(col("max_cos_e9")).as("max_e9"),
           sum(col("max_cos_e9")).as("sum_max_e9"))
     },
-    Some("""WITH corp AS (
+    Some(s"""WITH corp AS (
       |  SELECT vec_id, embedding, label FROM embeddings WHERE label <> 0
       |  UNION ALL
       |  SELECT vec_id + 100000 AS vec_id, embedding, label
       |  FROM embeddings WHERE label = 0),
+      |$planesSql,
+      |${bucketSql("", from = "corp", name = "bc")},
+      |${bucketSql("WHERE v.label = 0", name = "bp")},
+      |cand AS (
+      |  SELECT DISTINCT c.vec_id AS cid, p.vec_id AS pid
+      |  FROM bc c JOIN bp p ON c.t = p.t AND c.bucket = p.bucket),
       |elc AS (
       |  SELECT vec_id, label,
       |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000000.0 + 0.5) AS BIGINT) AS e,
@@ -608,9 +628,12 @@ object SimilarityQueries {
       |n2p AS (SELECT vec_id, CAST(SUM(e * e) AS DOUBLE) / 100000000000000.0 AS n2
       |        FROM elp GROUP BY vec_id),
       |dot AS (
-      |  SELECT c.vec_id AS cid, p.vec_id AS pid,
+      |  SELECT ca.cid, ca.pid,
       |    CAST(SUM(c.e * p.e) AS DOUBLE) / 100000000000000.0 AS dot
-      |  FROM elc c JOIN elp p ON c.i = p.i GROUP BY 1, 2),
+      |  FROM cand ca
+      |  JOIN elc c ON c.vec_id = ca.cid
+      |  JOIN elp p ON p.vec_id = ca.pid AND c.i = p.i
+      |  GROUP BY 1, 2),
       |pair AS (
       |  SELECT d.cid,
       |    CAST(floor(d.dot / (sqrt(nc.n2) * sqrt(np.n2)) * 1e9 + 0.5) AS BIGINT) AS cos_e9
@@ -624,7 +647,7 @@ object SimilarityQueries {
       |  CAST(SUM(CASE WHEN v.n_hits > 0 THEN c.vec_id END) AS BIGINT) AS drop_id_sum,
       |  MAX(v.max_cos_e9) AS max_e9,
       |  CAST(SUM(v.max_cos_e9) AS BIGINT) AS sum_max_e9
-      |FROM corp c JOIN verdict v ON c.vec_id = v.cid
+      |FROM corp c LEFT JOIN verdict v ON c.vec_id = v.cid
       |GROUP BY c.label""".stripMargin))
 
   /** q173: the PCA second-moment matrix over the embedding corpus

@@ -161,20 +161,20 @@ object Knn {
         (coalesce(col("n_dups"), lit(0L)) === 0).as("kept"))
   }
 
-  /** Embedding-space decontamination: per-corpus-row verdict against a
-    * protected (benchmark) set — `max_cos_e9` over every protected row,
-    * `n_hits` at ≥ `thresholdE9`, `kept` when none hit. The semantic
-    * complement of the exact/n-gram decontaminators
-    * ([[graft.dedup.NgramDecon]]): it catches paraphrased or
-    * re-templated eval leakage that shares no 13-gram.
+  /** Embedding-space decontamination, brute-force arm: per-corpus-row
+    * verdict against a protected (benchmark) set — `max_cos_e9` over
+    * EVERY protected row, `n_hits` at ≥ `thresholdE9`, `kept` when
+    * none hit. The semantic complement of the exact/n-gram
+    * decontaminators ([[graft.dedup.NgramDecon]]): it catches
+    * paraphrased or re-templated eval leakage that shares no 13-gram.
     *
-    * Plan shape: benchmark sets are small by construction (thousands of
-    * rows), so the protected side broadcasts and the corpus side
-    * STREAMS — one scan, no corpus shuffle; the per-id max collapses
-    * map-side before the final id aggregation. Cosines are e9-floored
-    * integers over scaled-long dots, so verdicts are engine-exact.
-    * (If the protected set ever outgrows a broadcast, probe it through
-    * [[hyperplaneBuckets]] bucket-locally — same verdict columns.) */
+    * This arm multiplies the corpus scan by |benchmark| dot products
+    * per row (a broadcast nested-loop), so it is the EXACT REFERENCE
+    * for specs and small protected sets only; the production path is
+    * [[embeddingDecontaminateLsh]], which probes the same verdict
+    * through LSH buckets and does work proportional to candidate
+    * pairs. Cosines are e9-floored integers over scaled-long dots, so
+    * both arms' verdicts are engine-exact. */
   def embeddingDecontaminate(corpus: DataFrame, benchmark: DataFrame,
                              idCol: String, vecCol: String,
                              thresholdE9: Long): DataFrame = {
@@ -191,6 +191,53 @@ object Knn {
         max(col("cos_e9")).as("max_cos_e9"),
         count(when(col("cos_e9") >= thresholdE9, 1)).as("n_hits"))
       .withColumn("kept", col("n_hits") === 0L)
+  }
+
+  /** Embedding-space decontamination, LSH-probed arm — the 100 TB
+    * path: candidate (corpus, protected) pairs come from shared
+    * [[hyperplaneBuckets]] (AND-OR, `numTables` × `numPlanes`), exact
+    * scaled-long cosines score CANDIDATES ONLY, and rows with no
+    * co-bucketed protected vector keep a NULL `max_cos_e9` (nothing
+    * was measured) with `n_hits` 0. Work scales with co-bucketed
+    * pairs, never |corpus|·|benchmark|; the only broadcasts are the
+    * benchmark buckets and vectors. An EXACT duplicate of a protected
+    * vector projects identically on every hyperplane, so true leaks
+    * always share all buckets with their source — recall loss only
+    * affects the partial-similarity band, and is measured in KnnSpec
+    * against [[embeddingDecontaminate]]. Deterministic: md5-derived
+    * hyperplanes, sequential double fold, e9-floored integer cosines
+    * — any engine replays buckets, candidates and verdicts. */
+  def embeddingDecontaminateLsh(corpus: DataFrame, benchmark: DataFrame,
+                                idCol: String, vecCol: String,
+                                thresholdE9: Long, numPlanes: Int = 6,
+                                numTables: Int = 4,
+                                dim: Option[Int] = None): DataFrame = {
+    val d = Some(dim.getOrElse(inferDim(corpus, vecCol)))
+    val cb = hyperplaneBuckets(corpus, idCol, vecCol, numPlanes, numTables, d)
+      .select(col("id").as("cid"), col("t"), col("bucket"))
+    val bb = hyperplaneBuckets(benchmark, idCol, vecCol, numPlanes, numTables, d)
+      .select(col("id").as("pid"), col("t"), col("bucket"))
+    val cand = cb.join(broadcast(bb), Seq("t", "bucket"))
+      .select(col("cid"), col("pid")).distinct()
+    val c = corpus.select(col(idCol).as("cid"), scaledVec(col(vecCol)).as("__cv"))
+      .withColumn("cn2", norm2Scaled(col("__cv")))
+    val b = benchmark.select(col(idCol).as("pid"), scaledVec(col(vecCol)).as("__bv"))
+      .withColumn("bn2", norm2Scaled(col("__bv")))
+    val verdicts = cand
+      .join(broadcast(b), Seq("pid"))
+      .join(c, Seq("cid"))
+      .withColumn("cos_e9",
+        floor(dotScaled(col("__cv"), col("__bv")) /
+          (sqrt(col("cn2")) * sqrt(col("bn2"))) * lit(1e9) + lit(0.5)).cast("long"))
+      .groupBy(col("cid").as("id"))
+      .agg(
+        max(col("cos_e9")).as("max_cos_e9"),
+        count(when(col("cos_e9") >= thresholdE9, 1)).as("n_hits"))
+    corpus.select(col(idCol).as("id"))
+      .join(verdicts, Seq("id"), "left")
+      .select(col("id"), col("max_cos_e9"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) === 0L).as("kept"))
   }
 
   /** All-pairs cosine ≥ threshold — O(n²) compare AND a broadcast of

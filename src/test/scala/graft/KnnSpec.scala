@@ -154,6 +154,49 @@ class KnnSpec extends SparkSpec {
     assert(best._2 > 0L)
   }
 
+  test("embeddingDecontaminateLsh: agrees with brute force on candidates; planted dups always drop") {
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val prot = emb.filter($"label" === 0)
+    val corpus = emb.filter($"label" =!= 0)
+      .unionByName(prot.withColumn("vec_id", $"vec_id" + 100000))
+    val lsh = Knn.embeddingDecontaminateLsh(corpus, prot, "vec_id", "embedding",
+        thresholdE9 = 900000000L)
+      .select($"id", $"max_cos_e9", $"n_hits", $"kept")
+      .as[(Long, Option[Long], Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    val bf = Knn.embeddingDecontaminate(corpus, prot, "vec_id", "embedding",
+        thresholdE9 = 900000000L)
+      .select($"id", $"max_cos_e9", $"n_hits")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // every corpus row gets a verdict row
+    assert(lsh.keySet == bf.keySet)
+    // an exact duplicate of a protected vector projects identically on
+    // every hyperplane → guaranteed candidate → must drop with cos 1e9
+    val planted = lsh.keys.filter(_ >= 100000L)
+    assert(planted.nonEmpty)
+    planted.foreach { id =>
+      val (_, maxE9, nHits, kept) = lsh(id)
+      assert(!kept && nHits >= 1 && maxE9.contains(1000000000L), s"planted $id must drop")
+    }
+    // LSH never reports a similarity brute force doesn't have: its max
+    // over candidates is ≤ the max over all protected rows, and any row
+    // brute force keeps, LSH keeps too (candidates ⊆ all pairs)
+    lsh.foreach { case (id, (_, maxE9, nHits, kept)) =>
+      maxE9.foreach(m => assert(m <= bf(id)._2))
+      assert(nHits <= bf(id)._3)
+      if (bf(id)._3 == 0L) assert(kept)
+    }
+  }
+
+  test("embeddingDecontaminateLsh plans no broadcast nested loop (the q147 scale gate)") {
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val prot = emb.filter($"label" === 0)
+    val corpus = emb.filter($"label" =!= 0)
+    val plan = Knn.embeddingDecontaminateLsh(corpus, prot, "vec_id", "embedding",
+      thresholdE9 = 900000000L).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
   private implicit class Pairs(rows: Array[(Long, Long, Double)]) {
     def toMap2: Map[(Long, Long), Double] =
       rows.map { case (a, b, c) => (a, b) -> c }.toMap
