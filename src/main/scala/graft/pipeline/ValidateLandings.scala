@@ -543,25 +543,34 @@ object ValidateLandings {
     // submission-grain frame (`tripSide`) + one per-submission aggregate
     // of the flagged catch rows — 2 sid joins total (measured: the
     // ladder alone 5.7 s → the whole catch side ~3 s at sf0.1).
-    // The regularity clauses need ONLY the is-"0" flag of the ordered-
-    // first species, so the flag rides the ordering key's low bit and
-    // the aggregate is a pure int64 min — HashAggregate, map-combined.
-    // The standalone validator keeps the readable string min_by; that
-    // form is a SortAggregate (string buffers aren't mutable in
-    // Spark's hash aggregate), measured 20 s of task CPU here at sf0.1.
+    // The regularity clauses need ONLY the "0" / not-"0" / NULL state
+    // of the ordered-first species, so the state rides the ordering
+    // key's low TWO bits and the aggregate is a pure int64 min —
+    // HashAggregate, map-combined. The standalone validator keeps the
+    // readable string min_by; that form is a SortAggregate (string
+    // buffers aren't mutable in Spark's hash aggregate), measured 20 s
+    // of task CPU here at sf0.1. NULL species is a genuine third
+    // state: in R's case_when (and the standalone min_by form) an NA
+    // species satisfies neither the `== "0"` nor the `!= "0"` clause,
+    // so a two-state encoding that lumped NULL with "not 0" would
+    // mis-fire clauses 3/4. On duplicate line_no ties the min prefers
+    // "0" < not-"0" < NULL — deterministic where min_by was arbitrary.
     val perReg = catchRows.groupBy(col("submission_id"))
       .agg(
-        min(col("line_no") * 2 +
-          when(col("species") === "0", lit(0L)).otherwise(lit(1L))).as("__spk"),
+        min(col("line_no") * 4 +
+          when(col("species").isNull, lit(2L))
+            .when(col("species") === "0", lit(0L))
+            .otherwise(lit(1L))).as("__spk"),
         sum(abs(col("n_individuals"))).as("__n"))
-    val sp0 = col("__spk") % 2 === 0 // ordered-first species is "0"
+    val sp0 = col("__spk") % 4 === 0  // ordered-first species is "0"
+    val spN = col("__spk") % 4 === 1  // … is non-null and not "0"
     // the six inconsistency clauses of `validate_landing_regularity`
     // (R/validation-functions.R:115-184); no catch rows → all-null → regular
     val aReg = when(
       (sp0 && col("__n") > 0) ||
         (sp0 && col("__v") > 0) ||
-        (!sp0 && col("__n") <= 0) ||
-        (!sp0 && col("__v") <= 0) ||
+        (spN && col("__n") <= 0) ||
+        (spN && col("__v") <= 0) ||
         (col("__v") <= 0 && col("__n") > 0) ||
         (col("__v") > 0 && col("__n") <= 0), lit(22))
     // Pinned (lazy localCheckpoint): consumed by `rows` (twice after

@@ -102,6 +102,31 @@ class ValidateFullSpec extends SparkSpec {
     assert(alerts(16L) == "17")
   }
 
+  test("NULL ordered-first species is neither '0' nor not-'0' (fold = standalone = R)") {
+    // R's case_when: an NA species satisfies neither `== "0"` nor
+    // `!= "0"`, so a zero-value zero-count trip whose first catch row
+    // has NULL species earns NO regularity alert. A two-state species
+    // encoding that lumps NULL with "not 0" would fire clause 4
+    // ((sp <> '0') AND value <= 0) and mis-flag 22.
+    val t2 = trips.unionByName(Seq(
+      trip(100L, "2024-03-01", "2024-03-02", "54567", 5.0, 0.0))
+      .toDF(trips.columns: _*)
+      .withColumn("landing_date", to_date($"landing_date"))
+      .withColumn("submission_date", to_date($"submission_date")))
+    val c2 = catchRows.unionByName(Seq(
+      (100L, 1L, null.asInstanceOf[String], 0.0, 5000.0),
+      (100L, 2L, "7", 0.0, 5000.0) // later row; must not override the NULL first pick
+    ).toDF("submission_id", "line_no", "species", "n_individuals", "weight_g"))
+    val full = ValidateLandings.full(t2, c2, registry, vesselDim, gearDim,
+      stations, reportingUnits, habitatDim, conservationDim)
+    assert(full.filter($"submission_id" === 100L)
+      .head().getAs[String]("alert") == "0")
+    val standalone = ValidateLandings.regularityAlerts(c2,
+      t2.select($"submission_id", $"total_catch_value"))
+      .filter($"submission_id" === 100L).head().getAs[Any]("alert_regularity")
+    assert(standalone == null)
+  }
+
   test("tinytest invariants: cleaned columns nulled on alert, never negative") {
     // trip_length: no negatives, nulled on alert 5
     assert(out.filter($"trip_length" < 0).count() == 0)
