@@ -20,14 +20,42 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  /** Replication guard: one bad-data interval with a far-future end
+    * (or a too-small `binSeconds`) would otherwise generate an
+    * enormous `sequence()` array and kill the whole job at Spark's
+    * array-length limit with no hint of WHICH row did it. Cap the
+    * per-interval bin count and fail with a diagnostic naming the
+    * span instead — data-quality errors should name the row class,
+    * not surface as an executor OOM three stages later. The default
+    * (1e5 bins ≈ 1e5 × binSeconds of span) is far above any honest
+    * interval yet far below the array limit. */
+  val MaxBinsPerInterval: Long = 100000L
+
+  private def binOf(c: org.apache.spark.sql.Column, binMicros: Long) =
+    (unix_micros(c) / binMicros).cast("long")
+
+  /** End bin, guarded: raises a diagnostic error when the interval
+    * covers more than `maxBins` bins. */
+  private def guardedEndBin(b0: org.apache.spark.sql.Column,
+                            bn: org.apache.spark.sql.Column,
+                            maxBins: Long): org.apache.spark.sql.Column =
+    when(bn - b0 < lit(maxBins), bn).otherwise(
+      raise_error(format_string(
+        "RangeJoin: interval covers %s bins of width binSeconds (cap " +
+          s"$maxBins); widen binSeconds or clean the interval bounds",
+        bn - b0 + 1)).cast("long"))
+
   /** All (point, interval) matches with
     * `interval.startCol <= point.tsCol <= interval.endCol`, equi-matched
     * on `keys` first. Both `tsCol` and the interval bounds must be
     * timestamps. A point matching k intervals appears k times (plain
-    * join semantics); intervals and points with null bounds drop out. */
+    * join semantics); intervals and points with null bounds drop out.
+    * Intervals spanning more than `maxBinsPerInterval` bins raise a
+    * diagnostic error (see [[MaxBinsPerInterval]]). */
   def pointInInterval(points: DataFrame, intervals: DataFrame, keys: Seq[String],
                       tsCol: String, startCol: String, endCol: String,
-                      binSeconds: Long): DataFrame = {
+                      binSeconds: Long,
+                      maxBinsPerInterval: Long = MaxBinsPerInterval): DataFrame = {
     val binMicros = binSeconds * 1000000L
     // inverted/null intervals can never contain a point, and sequence()
     // rejects a descending range — drop them before binning
@@ -36,8 +64,9 @@ object RangeJoin {
         col(startCol) <= col(endCol))
       .withColumn("__bin",
         explode(sequence(
-          (unix_micros(col(startCol)) / binMicros).cast("long"),
-          (unix_micros(col(endCol)) / binMicros).cast("long"))))
+          binOf(col(startCol), binMicros),
+          guardedEndBin(binOf(col(startCol), binMicros),
+            binOf(col(endCol), binMicros), maxBinsPerInterval))))
     val pt = points.withColumn("__bin",
       (unix_micros(col(tsCol)) / binMicros).cast("long"))
     pt.join(iv, keys :+ "__bin")
@@ -58,7 +87,8 @@ object RangeJoin {
     * their names; right columns are suffixed `suffix`. */
   def intervalOverlap(left: DataFrame, right: DataFrame, keys: Seq[String],
                       startCol: String, endCol: String,
-                      binSeconds: Long, suffix: String = "_r"): DataFrame = {
+                      binSeconds: Long, suffix: String = "_r",
+                      maxBinsPerInterval: Long = MaxBinsPerInterval): DataFrame = {
     val binMicros = binSeconds * 1000000L
     def binned(df: DataFrame, tag: String): DataFrame = {
       val renamed = df.columns.foldLeft(df) { (acc, c) =>
@@ -71,7 +101,9 @@ object RangeJoin {
           (unix_micros(col(startCol + tag)) / binMicros).cast("long"))
         .withColumn("__bin",
           explode(sequence(col("__b0" + tag),
-            (unix_micros(col(endCol + tag)) / binMicros).cast("long"))))
+            guardedEndBin(col("__b0" + tag),
+              (unix_micros(col(endCol + tag)) / binMicros).cast("long"),
+              maxBinsPerInterval))))
     }
     binned(left, "").join(binned(right, suffix), keys :+ "__bin")
       .filter(col(startCol) <= col(endCol + suffix) &&

@@ -76,4 +76,26 @@ class RangeJoinSpec extends SparkSpec {
     // the multi-bin pair appears exactly once despite 2 shared bins
     assert(got.size == brute.size)
   }
+
+  test("a runaway interval fails with a diagnostic, not an array-limit blowup") {
+    // one bad row with a far-future end would otherwise build a
+    // sequence() of ~10^7 bins per copy and kill the job opaquely
+    val intervals = Seq(
+      ("a", ts("2024-01-01 00:00:00"), ts("2300-01-01 00:00:00"))).toDF("k", "s", "e")
+    val points = Seq(("a", ts("2024-01-01 10:30:00"))).toDF("k", "ts")
+    val err = intercept[Exception] {
+      RangeJoin.pointInInterval(points, intervals, Seq("k"), "ts", "s", "e", 3600L).count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(err).exists(_.contains("widen binSeconds")), msgs(err).mkString("; "))
+    // a generous explicit cap admits the same span
+    val ok = RangeJoin.pointInInterval(points, intervals, Seq("k"), "ts", "s", "e",
+      3600L, maxBinsPerInterval = 3000000L)
+    assert(ok.count() == 1)
+    val err2 = intercept[Exception] {
+      RangeJoin.intervalOverlap(intervals, intervals, Seq("k"), "s", "e", 3600L).count()
+    }
+    assert(msgs(err2).exists(_.contains("widen binSeconds")), msgs(err2).mkString("; "))
+  }
 }
