@@ -34,12 +34,20 @@ object EndToEndQueries {
       // materializes this handoff through its artifact store
       // (data-pipeline.yaml stage outputs), so the barrier is the
       // composition's semantics, not a local-bench hack.
+      // Project the handoff down to the 4 columns merge_trips reads
+      // BEFORE the checkpoint: the barrier then writes 4 narrow columns
+      // per submission instead of the full 20-column validated frame
+      // (the projection also prunes the fold's own plan — dimension
+      // carries the merge never touches drop out of the final
+      // validator projection entirely).
       val validated = ValidateLandings.full(
         ValidateQueries.fixtureTrips(s, d), ValidateQueries.fixtureCatch(s, d),
         ValidateQueries.fixtureRegistry(s, d), ValidateQueries.fixtureVesselDim(s),
         ValidateQueries.fixtureGearDim(s), ValidateQueries.fixtureStations(s, d),
         ValidateQueries.fixtureReportingUnits(s, d),
         ValidateQueries.fixtureHabitatDim(s), ValidateQueries.fixtureConservationDim(s))
+        .select(col("submission_id"), col("landing_date"),
+          col("imei_resolved"), col("catch_price"))
         .localCheckpoint(false)
       // per-submission catch weight (the reference's _weight artifact grain)
       val weights = ValidateQueries.fixtureCatch(s, d)

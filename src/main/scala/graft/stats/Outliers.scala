@@ -62,7 +62,10 @@ object Outliers {
     val mad = SortPercentile.fromCounts(
       absHist, keys, "__a", "__c", Seq(0.5), Seq("__mad_raw"),
       assumeUnique = true) // absHist re-grouped on the folded value
-    val bounds = med.join(mad, keys)
+    // both sides are group-grain bounds frames (broadcast downstream by
+    // every consumer by design) — hint the join so it never plans as a
+    // sort-merge with two extra sorts on the critical path
+    val bounds = med.join(broadcast(mad), keys)
       .withColumn("mad_log", col("__mad_raw") * lit(MadScale))
       .drop("__mad_raw")
     (hist, bounds)
