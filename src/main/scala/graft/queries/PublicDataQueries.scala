@@ -345,5 +345,45 @@ object PublicDataQueries {
       |SELECT lang, source, dp_n_docs, dp_char_mass
       |FROM r WHERE dp_n_docs >= 5.0""".stripMargin))
 
-  def queries: Seq[GQuery] = Seq(q75, q76, q79, q80, q159, q168)
+  /** q190: the portal's per-habitat indicator SERIES
+    * ([[PublicData.jsonifyIndicators]], `R/format-public-data.R:1094-1173`)
+    * — the last reference surface that had no hash gate: per-(habitat,
+    * gear) decimal-routed means, small groups (n ≤ 50) suppressed,
+    * gears ordered by value inside each habitat, habitats ranked by
+    * summed value, each habitat emitted as ONE row whose `data` column
+    * is the [{x: gear, y: value}] JSON array the portal renders. The
+    * JSON STRING itself sits under the hash, which works because both
+    * engines print doubles as shortest-round-trip decimals and both
+    * build the array in the same (y DESC, gear DESC) order. Fixture
+    * plants a rare gear (< minN rows) to exercise the suppression. */
+  val q190 = GQuery(
+    "q190_indicator_series",
+    (s, d) => {
+      val k = col("o_orderkey")
+      val obs = orders(s, d).select(
+        concat(lit("H"), (k % 4).cast("string")).as("habitat"),
+        when(k % 1009 === 0, lit("G_rare"))
+          .otherwise(concat(lit("G"), (k % 7).cast("string"))).as("gear"),
+        ((k % 97).cast("double") * 0.25).as("cpue"))
+      PublicData.jsonifyIndicators(obs, "cpue", minN = 50)
+    },
+    Some(s"""WITH obs AS (
+      |  SELECT 'H' || CAST(o_orderkey % 4 AS VARCHAR) AS habitat,
+      |    CASE WHEN o_orderkey % 1009 = 0 THEN 'G_rare'
+      |         ELSE 'G' || CAST(o_orderkey % 7 AS VARCHAR) END AS gear,
+      |    CAST(o_orderkey % 97 AS DOUBLE) * 0.25 AS cpue
+      |  FROM orders),
+      |grouped AS (
+      |  SELECT habitat, gear, round(${davgSql("cpue")}, 3) AS y, COUNT(*) AS n
+      |  FROM obs GROUP BY habitat, gear),
+      |kept AS (SELECT * FROM grouped WHERE n > 50),
+      |ranked AS (
+      |  SELECT habitat, ${dsumSql("y")} AS hsum FROM kept GROUP BY habitat)
+      |SELECT k.habitat AS name,
+      |  to_json(list(struct_pack(x := k.gear, y := k.y)
+      |    ORDER BY k.y DESC, k.gear DESC)) AS data
+      |FROM kept k JOIN ranked r ON k.habitat = r.habitat
+      |GROUP BY k.habitat, r.hsum""".stripMargin))
+
+  def queries: Seq[GQuery] = Seq(q75, q76, q79, q80, q159, q168, q190)
 }
