@@ -288,31 +288,26 @@ object Knn {
     * independent hash tables of `numPlanes` sign bits each. Output one
     * row per (id, table) with the table-local bucket.
     *
-    * Shuffle-free: the hyperplanes are literal ±1 arrays baked into the
-    * plan, each projection is a per-row `zip_with`+`aggregate` fold
-    * (sequential double fold — deterministic and replayable by any
-    * engine's left-to-right list fold), and the bucket bits assemble
-    * inline — no explode, no exchange, full codegen. Rows sharing a
-    * (table, bucket) are candidate neighbours; more tables trade compute
-    * for recall. */
+    * Shuffle-free: the hyperplanes are a literal ±1 matrix baked into
+    * the plan, and ALL tables' projections run in one native
+    * expression per row ([[HyperplaneTables]] — sequential double
+    * folds, deterministic and replayable by any engine's left-to-right
+    * list fold) whose struct array the explode consumes. The
+    * compositional per-(table, plane) fold spelling ran its lambdas
+    * interpreted, numTables × numPlanes frames per vector. Rows
+    * sharing a (table, bucket) are candidate neighbours; more tables
+    * trade compute for recall. */
   def hyperplaneBuckets(df: DataFrame, idCol: String, vecCol: String,
                         numPlanes: Int, numTables: Int,
                         dim: Option[Int] = None): DataFrame = {
+    HyperplaneTables.register(df.sparkSession)
     // vectors must share one length; pass `dim` to skip the probe job
     val d = dim.getOrElse(inferDim(df, vecCol))
-    def proj(t: Int, p: Int): Column = {
-      val signs = array((0 until d).map(i => lit(signComponent(t, p, i))): _*)
-      aggregate(
-        zip_with(col(vecCol), signs, (x, s) => x.cast("double") * s),
-        lit(0.0), (acc, x) => acc + x)
-    }
-    def bucket(t: Int): Column =
-      (0 until numPlanes).map { p =>
-        when(proj(t, p) > 0, lit(1L << p)).otherwise(lit(0L))
-      }.reduce(_ + _)
-    val tables = explode(array((0 until numTables).map(t =>
-      struct(lit(t).as("t"), bucket(t).as("bucket"))): _*))
-    df.select(col(idCol).as("id"), tables.as("tb"))
+    val flat = (0 until numTables).flatMap(t => (0 until numPlanes).flatMap(p =>
+      (0 until d).map(i => signComponent(t, p, i))))
+    df.select(col(idCol).as("id"),
+        explode(call_function("hyperplane_tables", col(vecCol),
+          typedlit(flat), lit(numPlanes), lit(numTables))).as("tb"))
       .select(col("id"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
   }
 

@@ -37,21 +37,15 @@ object TextFunctions {
   /** Token n-grams WITH multiplicity (no distinct) — repetition
     * statistics need frequencies, where [[shingles]] dedupes for set
     * semantics. */
-  def ngrams(tokens: Column, k: Int): Column = {
-    val n = size(tokens)
-    when(n >= k,
-      transform(sequence(lit(1), n - (k - 1)), i =>
-        concat_ws(" ", (0 until k).map(j => element_at(tokens, i + lit(j))): _*)))
-      .otherwise(array().cast("array<string>"))
-  }
+  // Both run in the native [[WordNgrams]] expression: the compositional
+  // transform(sequence)+concat_ws spelling evaluates an interpreted
+  // lambda per token position across the entire dedup/overlap/
+  // repetition family (WordNgramsSpec pins bit-parity with it).
+  def ngrams(tokens: Column, k: Int): Column =
+    call_function("word_ngrams", tokens, lit(k), lit(false))
 
-  def shingles(tokens: Column, k: Int): Column = {
-    val n = size(tokens)
-    when(n >= k,
-      array_distinct(transform(sequence(lit(1), n - (k - 1)), i =>
-        concat_ws(" ", (0 until k).map(j => element_at(tokens, i + lit(j))): _*))))
-      .otherwise(array().cast("array<string>"))
-  }
+  def shingles(tokens: Column, k: Int): Column =
+    call_function("word_ngrams", tokens, lit(k), lit(true))
 
   /** Stopword-marker language scores: returns the language whose marker
     * tokens appear most often (ties → lexicographically first;

@@ -187,6 +187,34 @@ class KnnSpec extends SparkSpec {
     }
   }
 
+  test("native hyperplane_tables matches the per-(table, plane) fold spelling") {
+    // the compositional spelling the oracles replay via list_reduce
+    val emb = graft.core.Tables.embeddings(spark, sf).limit(300)
+    val d = Knn.inferDim(emb, "embedding")
+    def sign(t: Int, p: Int, i: Int): Double = {
+      val dig = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$t:$p:$i".getBytes("UTF-8"))
+      if (((dig(0) >> 4) & 0xf) % 2 == 1) 1.0 else -1.0
+    }
+    def proj(t: Int, p: Int) = {
+      val signs = array((0 until d).map(i => lit(sign(t, p, i))): _*)
+      aggregate(zip_with($"embedding", signs, (x, s) => x.cast("double") * s),
+        lit(0.0), (acc, x) => acc + x)
+    }
+    def legacyBucket(t: Int) = (0 until 6).map { p =>
+      when(proj(t, p) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val legacy = emb.select($"vec_id" +:
+        (0 until 4).map(t => legacyBucket(t).as(s"b$t")): _*)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .flatMap { case (id, b0, b1, b2, b3) =>
+        Seq((id, 0, b0), (id, 1, b1), (id, 2, b2), (id, 3, b3)) }.toSet
+    val native = Knn.hyperplaneBuckets(emb, "vec_id", "embedding",
+        numPlanes = 6, numTables = 4, dim = Some(d))
+      .as[(Long, Int, Long)].collect().toSet
+    assert(native == legacy && native.nonEmpty)
+  }
+
   test("embeddingDecontaminateLsh plans no broadcast nested loop (the q147 scale gate)") {
     val emb = graft.core.Tables.embeddings(spark, sf)
     val prot = emb.filter($"label" === 0)
