@@ -75,7 +75,10 @@ object TextFunctions {
     * integer/double arithmetic only. */
   def qualityScore(text: Column, tokens: Column): Column = {
     val nTok = size(tokens).cast("double")
-    val meanLen = aggregate(tokens, lit(0L), (acc, t) => acc + length(t)).cast("double") / nTok
+    // Σ length(token) == length of the separator-free join — same
+    // integer, but array_join is a codegen'd built-in where the
+    // aggregate fold runs an interpreted lambda per token
+    val meanLen = length(array_join(tokens, "")).cast("double") / nTok
     val stopRatio = tokenSetCount(tokens, Seq("the", "a", "and", "of", "to", "in")).cast("double") / nTok
     val digitRatio = size(regexp_extract_all(text, lit("[0-9]"), lit(0))).cast("double") /
       length(text).cast("double")
