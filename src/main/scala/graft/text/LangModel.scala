@@ -20,15 +20,17 @@ import graft.core.Exact
 object LangModel {
 
   /** (doc, w1, w2) with multiplicity — consecutive whitespace-token
-    * pairs (no distinct: counts are the model). */
+    * pairs (no distinct: counts are the model). Pairs come from the
+    * native 2-gram kernel ([[graft.text.WordNgrams]]) and split on the
+    * join space — whitespace tokens cannot contain one, so the split
+    * is unambiguous; the struct-building transform lambda this
+    * replaces ran interpreted per token position. */
   def bigramPairs(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("doc"), TextFunctions.wsTokens(col(textCol)).as("__ws"))
-      .select(col("doc"), explode(when(size(col("__ws")) >= 2,
-        transform(sequence(lit(1), size(col("__ws")) - 1), i =>
-          struct(element_at(col("__ws"), i).as("w1"),
-            element_at(col("__ws"), i + lit(1)).as("w2"))))
-        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("bg"))
-      .select(col("doc"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .select(col("doc"),
+        explode(TextFunctions.ngrams(col("__ws"), 2)).as("bg"))
+      .select(col("doc"), substring_index(col("bg"), " ", 1).as("w1"),
+        substring_index(col("bg"), " ", -1).as("w2"))
 
   /** The corpus model: bigram counts, unigram (context) counts, and
     * the vocabulary size as a one-row frame (kept distributed — no
