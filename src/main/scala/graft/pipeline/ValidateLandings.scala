@@ -613,13 +613,17 @@ object ValidateLandings {
         // the fuel MAD is computed over fuel >= 0 (see object doc)
         ("fuel", when(col("fuel").cast("double") >= 0, col("fuel").cast("double")),
           cfg.kFuel))
+    // numeric __g1 keys: gear codes are >= -1 on the catch side, the 5
+    // global trip columns take -(2+index) — a per-row string concat +
+    // string hashing on the histogram's 1M-row aggregation (its single
+    // heaviest stage) bought nothing the sign of a long doesn't
     val catchStack = rows.select(
-      concat(lit("g:"), col("__gear")).as("__g1"),
+      col("__gear").as("__g1"),
       col("species").cast("string").as("__g2"),
       col("n_individuals").cast("double").as("__x"))
     val tripStack = trips.select(
-        explode(map(globalCols.flatMap { case (n, c, _) =>
-          Seq(lit(s"c:$n"), c.cast("double"))
+        explode(map(globalCols.zipWithIndex.flatMap { case ((_, c, _), i) =>
+          Seq(lit(-(2L + i)), c.cast("double"))
         }: _*)).as(Seq("__g1", "__x")))
       .select(col("__g1"), lit("").as("__g2"), col("__x"))
     // Pinned: the histogram result is tiny (one row per gear×species
@@ -631,8 +635,8 @@ object ValidateLandings {
       .localCheckpoint(eager = false)
     // catch-side (gear × species) upper bound at kInd; the k=1 guard
     // (`lower IS NOT NULL` ⟺ nonzero ∧ mad>0) is k-independent
-    val bounds = uni.filter(col("__g1").startsWith("g:"))
-      .select(expr("CAST(substring(__g1, 3) AS BIGINT)").as("__gear"),
+    val bounds = uni.filter(col("__g1") >= -1L)
+      .select(col("__g1").as("__gear"),
         col("__g2").as("species"),
         when(col("lower").isNotNull,
           exp(col("median_log") + lit(cfg.kInd) * col("mad_log")) - lit(1.0))
@@ -675,12 +679,12 @@ object ValidateLandings {
     // one-row lo/hi bounds frame for the global columns, pivoted out of
     // the same unified histogram (exp back-transform applied on the one
     // row, NOT per trip row), cross-broadcast into the projection
-    val wideAggs = globalCols.flatMap { case (n, _, _) => Seq(
-      max(when(col("__g1") === s"c:$n", col("median_log"))).as(s"__med_$n"),
-      max(when(col("__g1") === s"c:$n", col("mad_log"))).as(s"__mad_$n"),
-      max(when(col("__g1") === s"c:$n" && col("lower").isNotNull, lit(1))).as(s"__ok_$n"))
+    val wideAggs = globalCols.zipWithIndex.flatMap { case ((n, _, _), i) => Seq(
+      max(when(col("__g1") === -(2L + i), col("median_log"))).as(s"__med_$n"),
+      max(when(col("__g1") === -(2L + i), col("mad_log"))).as(s"__mad_$n"),
+      max(when(col("__g1") === -(2L + i) && col("lower").isNotNull, lit(1))).as(s"__ok_$n"))
     }
-    val wide = uni.filter(col("__g1").startsWith("c:"))
+    val wide = uni.filter(col("__g1") < -1L)
       .groupBy().agg(wideAggs.head, wideAggs.tail: _*)
       .select(globalCols.flatMap { case (n, _, k) => Seq(
         when(col(s"__ok_$n") === 1,
