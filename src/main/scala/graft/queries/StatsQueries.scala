@@ -626,6 +626,58 @@ object StatsQueries {
       |FROM runs WHERE n_fixes >= 3 AND dwell_us >= 1800000000
       |GROUP BY user_id""".stripMargin))
 
+  /** q191: corpus-version drift census ([[graft.stats.Drift.census]])
+    * — PSI + Jensen-Shannon decomposition between a landed REFERENCE
+    * snapshot (doc_id % 3 <> 0) and the CURRENT corpus (doc_id % 5
+    * <> 1), bucketed by (lang, 400-char length band): the promote/
+    * hold-back gate a continuously-ingesting 100 TB pipeline runs
+    * between crawl snapshots. Buckets present in one snapshot only
+    * exercise the eps floor (finite penalty, not infinity). All
+    * arithmetic is IEEE count/total division + ln, replayed exactly
+    * by the oracle; two bounded shuffles, bucket-grain output. */
+  val q191 = GQuery(
+    "q191_drift_census",
+    (s, d) => {
+      val docs = documents(s, d)
+        .select(col("lang"), (col("doc_id") % 3).as("__m3"),
+          (col("doc_id") % 5).as("__m5"),
+          floor(col("n_chars") / 400).cast("long").as("len_band"))
+      graft.stats.Drift.census(
+          docs.filter(col("__m3") =!= 0), docs.filter(col("__m5") =!= 1),
+          Seq("lang", "len_band"))
+        .select(col("lang"), col("len_band"), col("n_ref"), col("n_cur"),
+          round(col("share_ref"), 6).as("share_ref"),
+          round(col("share_cur"), 6).as("share_cur"),
+          round(col("psi_contrib"), 6).as("psi_contrib"),
+          round(col("js_contrib"), 6).as("js_contrib"))
+    },
+    Some("""WITH b AS (
+      |  SELECT lang, doc_id % 3 AS m3, doc_id % 5 AS m5,
+      |    CAST(FLOOR(n_chars / 400) AS BIGINT) AS len_band
+      |  FROM documents),
+      |r AS (SELECT lang, len_band, COUNT(*) AS n_ref
+      |      FROM b WHERE m3 <> 0 GROUP BY 1, 2),
+      |c AS (SELECT lang, len_band, COUNT(*) AS n_cur
+      |      FROM b WHERE m5 <> 1 GROUP BY 1, 2),
+      |j AS (
+      |  SELECT COALESCE(r.lang, c.lang) AS lang,
+      |    COALESCE(r.len_band, c.len_band) AS len_band,
+      |    COALESCE(r.n_ref, 0) AS n_ref, COALESCE(c.n_cur, 0) AS n_cur
+      |  FROM r FULL JOIN c ON r.lang = c.lang AND r.len_band = c.len_band),
+      |t AS (SELECT SUM(n_ref) AS tr, SUM(n_cur) AS tc FROM j),
+      |p AS (
+      |  SELECT j.lang, j.len_band, j.n_ref, j.n_cur,
+      |    GREATEST(CAST(j.n_ref AS DOUBLE) / t.tr, 1e-6) AS pr,
+      |    GREATEST(CAST(j.n_cur AS DOUBLE) / t.tc, 1e-6) AS pc
+      |  FROM j, t)
+      |SELECT lang, len_band, n_ref, n_cur,
+      |  round(pr, 6) AS share_ref, round(pc, 6) AS share_cur,
+      |  round((pc - pr) * ln(pc / pr), 6) AS psi_contrib,
+      |  round(pc * ln(pc / ((pr + pc) / 2.0)) / 2.0
+      |      + pr * ln(pr / ((pr + pc) / 2.0)) / 2.0, 6) AS js_contrib
+      |FROM p""".stripMargin))
+
   def queries: Seq[GQuery] =
-    Seq(q23, q24, q25, q26, q27, q28, q29, q30, q31, q51, q58, q113, q163, q185)
+    Seq(q23, q24, q25, q26, q27, q28, q29, q30, q31, q51, q58, q113, q163,
+      q185, q191)
 }
