@@ -737,7 +737,73 @@ object MiscQueries {
       |  CAST(MAX(ov_us) AS BIGINT) AS max_overlap_us
       |FROM p GROUP BY k""".stripMargin))
 
+  /** q192: Z-order (Morton) layout census ([[graft.functions.ZOrder]])
+    * — the lakehouse file-clustering key behind `OPTIMIZE ZORDER BY`:
+    * 10-bit grid bins per axis, bits interleaved into one sort key,
+    * right-shifted to a quadtree cell id (here 5 bits per axis = a
+    * 32×32 layout), then a per-cell census of the bounding box each
+    * "file" would cover — the tight boxes ARE the point, since
+    * parquet min/max stats on them turn spatial range scans into
+    * file-pruned scans. The oracle replays the magic-number bit
+    * dilation shift for shift; spans are e6-floored. ZOrderSpec
+    * additionally proves the tightness win over hash layout. */
+  val q192 = GQuery(
+    "q192_zorder_layout",
+    (s, d) => {
+      import graft.functions.ZOrder
+      val pts = events(s, d)
+        .withColumn("lat", ((col("event_id") % 179) - 89).cast("double") * lit(0.5))
+        .withColumn("lng", ((col("event_id") % 360) - 180).cast("double") * lit(0.25))
+        .withColumn("__bx", floor((col("lng") + 180.0) / 360.0 * 1023.0).cast("long"))
+        .withColumn("__by", floor((col("lat") + 90.0) / 180.0 * 1023.0).cast("long"))
+        .withColumn("__z", ZOrder.zValue(col("__bx"), col("__by")))
+      pts.groupBy(shiftright(col("__z"), 10).as("cell"))
+        .agg(
+          lcount(lit(1)).as("n_points"),
+          min(col("__z")).as("z_min"),
+          max(col("__z")).as("z_max"),
+          floor((max(col("lng")) - min(col("lng"))) * 1e6 + 0.5).cast("long").as("lng_span_e6"),
+          floor((max(col("lat")) - min(col("lat"))) * 1e6 + 0.5).cast("long").as("lat_span_e6"))
+    },
+    Some("""WITH pts AS (
+      |  SELECT ((event_id % 179) - 89) * 0.5 AS lat,
+      |         ((event_id % 360) - 180) * 0.25 AS lng
+      |  FROM events),
+      |bins AS (
+      |  SELECT lat, lng,
+      |    CAST(FLOOR((lng + 180.0) / 360.0 * 1023.0) AS BIGINT) AS bx,
+      |    CAST(FLOOR((lat + 90.0) / 180.0 * 1023.0) AS BIGINT) AS by
+      |  FROM pts),
+      |sx AS (
+      |  SELECT lat, lng, by,
+      |    ((bx | (bx << 16)) & 281470681808895) AS x1
+      |  FROM bins),
+      |sx2 AS (SELECT lat, lng, by,
+      |    ((x1 | (x1 << 8)) & 71777214294589695) AS x2 FROM sx),
+      |sx3 AS (SELECT lat, lng, by,
+      |    ((x2 | (x2 << 4)) & 1085102592571150095) AS x3 FROM sx2),
+      |sx4 AS (SELECT lat, lng, by,
+      |    ((x3 | (x3 << 2)) & 3689348814741910323) AS x4 FROM sx3),
+      |sxf AS (SELECT lat, lng, by,
+      |    ((x4 | (x4 << 1)) & 6148914691236517205) AS sx FROM sx4),
+      |sy AS (SELECT lat, lng, sx,
+      |    ((by | (by << 16)) & 281470681808895) AS y1 FROM sxf),
+      |sy2 AS (SELECT lat, lng, sx,
+      |    ((y1 | (y1 << 8)) & 71777214294589695) AS y2 FROM sy),
+      |sy3 AS (SELECT lat, lng, sx,
+      |    ((y2 | (y2 << 4)) & 1085102592571150095) AS y3 FROM sy2),
+      |sy4 AS (SELECT lat, lng, sx,
+      |    ((y3 | (y3 << 2)) & 3689348814741910323) AS y4 FROM sy3),
+      |z AS (SELECT lat, lng,
+      |    (sx | (((y4 | (y4 << 1)) & 6148914691236517205) << 1)) AS z
+      |  FROM sy4)
+      |SELECT z >> 10 AS cell, COUNT(*) AS n_points,
+      |  MIN(z) AS z_min, MAX(z) AS z_max,
+      |  CAST(FLOOR((MAX(lng) - MIN(lng)) * 1e6 + 0.5) AS BIGINT) AS lng_span_e6,
+      |  CAST(FLOOR((MAX(lat) - MIN(lat)) * 1e6 + 0.5) AS BIGINT) AS lat_span_e6
+      |FROM z GROUP BY 1""".stripMargin))
+
   def queries: Seq[GQuery] =
     Seq(q45, q46, q47, q49, q52, q59, q62, q63, q64, q67, q69, q71, q148, q155,
-      q170, q177, q187)
+      q170, q177, q187, q192)
 }
