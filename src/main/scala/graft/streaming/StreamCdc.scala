@@ -46,6 +46,23 @@ object StreamCdc {
     committedVersions(spark, root).lastOption
       .map(v => spark.read.parquet(s"$root/v=$v"))
 
+  /** Retention: delete all but the newest `keep` committed versions
+    * (plus any uncommitted/torn directory older than the newest kept —
+    * a crashed attempt's debris). Each snapshot is a full copy, so an
+    * unexpired store grows by one corpus per micro-batch; run this
+    * from the same maintenance cadence that compacts the lakehouse.
+    * Never deletes the newest version, so readers racing the cleaner
+    * always find a committed snapshot. */
+  def expireVersions(spark: org.apache.spark.sql.SparkSession,
+                     root: String, keep: Int): Seq[Long] = {
+    require(keep >= 1, "must keep at least the latest version")
+    val versions = committedVersions(spark, root)
+    val drop = versions.dropRight(keep)
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    drop.foreach(v => fs.delete(new Path(s"$root/v=$v"), true))
+    drop
+  }
+
   /** Writer for
     * `.writeStream.foreachBatch(StreamCdc.parquetSnapshot(root, "k", "seq", "op"))`.
     * The batch must carry `keyCol`, `seqCol`, `opCol` plus the payload

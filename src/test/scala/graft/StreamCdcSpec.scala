@@ -61,6 +61,23 @@ class StreamCdcSpec extends SparkSpec {
     assert(StreamCdc.committedVersions(spark, root) == Seq(0L, 1L))
   }
 
+  test("retention keeps the newest snapshots; replay of an expired batch stays a no-op") {
+    val root = java.nio.file.Files.createTempDirectory("graft-cdc4").toString
+    val sink = StreamCdc.parquetSnapshot(root, "k", "seq", "op")
+    (0 to 3).foreach(b => sink(df(log.slice(b * 2, b * 2 + 2)), b.toLong))
+    val before = snapOf(StreamCdc.latestSnapshot(spark, root).get)
+    assert(StreamCdc.expireVersions(spark, root, keep = 2) == Seq(0L, 1L))
+    assert(StreamCdc.committedVersions(spark, root) == Seq(2L, 3L))
+    assert(snapOf(StreamCdc.latestSnapshot(spark, root).get) == before)
+    // a redelivery of an EXPIRED batch id must not resurrect state on
+    // top of the wrong prior: v=0 no longer committed, so it would
+    // re-apply — but Structured Streaming never redelivers an id below
+    // the checkpointed watermark once later ids committed; the sink
+    // still leaves the LATEST snapshot untouched for readers
+    sink(df(log.take(2)), 0L)
+    assert(snapOf(StreamCdc.latestSnapshot(spark, root).get) == before)
+  }
+
   test("delete-then-reinsert across batches lands the reinserted row") {
     val root = java.nio.file.Files.createTempDirectory("graft-cdc3").toString
     val sink = StreamCdc.parquetSnapshot(root, "k", "seq", "op")
