@@ -751,6 +751,66 @@ object TextQueries {
       |      FROM sc)
       |WHERE r <= 5""".stripMargin))
 
+  /** q193: ranked-retrieval evaluation ([[graft.text.RetrievalEval]])
+    * — the metrics layer the retrieval stack (q112 BM25, q136 fusion,
+    * ANN rerank) is judged by: per query, recall@10, reciprocal rank
+    * of the first relevant hit, and nDCG@10 with graded relevance
+    * (gain 2^rel − 1, log2 discount). Runs are the q112 BM25 pipeline
+    * at k = 10; qrels grade every in-lang document 1 or 2 by doc-id
+    * parity, so all three metrics exercise non-trivially (BM25
+    * retrieves cross-lang documents its query terms also hit). The
+    * oracle replays runs, ideal ranking, and every metric division;
+    * RetrievalEvalSpec pins the hand-checked edges (no-qrels query →
+    * NULL, no-hit query → 0, perfect ranking → 1). */
+  val q193 = GQuery(
+    "q193_retrieval_eval",
+    (s, d) => {
+      import graft.text.{Bm25, RetrievalEval}
+      val docs = documents(s, d)
+      val toks = docs.select(col("doc_id"), col("lang"),
+        explode(Bm25.tokens(col("text"))).as("term"))
+      val ldf = toks.select(col("doc_id"), col("lang"), col("term")).distinct()
+        .groupBy(col("lang"), col("term")).agg(lcount(lit(1)).as("ldf"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("ldf").desc, col("term").asc)
+      val qt = ldf.withColumn("r", row_number().over(w)).filter(col("r") <= 3)
+        .select(col("lang"), col("term"))
+      val runs = Bm25.retrieve(docs, "doc_id", "text", qt, "lang", "term", k = 10)
+      val qrels = docs.select(col("lang"), col("doc_id"),
+        (lit(1L) + col("doc_id") % 2).as("rel"))
+      RetrievalEval.metrics(runs, qrels, "lang", "doc_id", "rank", "rel", k = 10)
+    },
+    Some(s"""WITH $bm25CtesSql,
+      |runs AS (
+      |  SELECT lang, doc_id, r AS rank FROM (
+      |    SELECT lang, doc_id,
+      |      row_number() OVER (PARTITION BY lang
+      |                         ORDER BY bm25_e9 DESC, doc_id ASC) AS r
+      |    FROM sc) WHERE r <= 10),
+      |qrels AS (SELECT lang, doc_id, 1 + doc_id % 2 AS rel FROM documents),
+      |ideal AS (
+      |  SELECT lang, COUNT(*) AS n_rel,
+      |    SUM(CASE WHEN ir <= 10
+      |        THEN (pow(2.0, rel) - 1.0) / (ln(ir + 1.0) / ln(2.0))
+      |        ELSE 0.0 END) AS idcg
+      |  FROM (SELECT lang, rel, doc_id,
+      |          row_number() OVER (PARTITION BY lang
+      |                             ORDER BY rel DESC, doc_id ASC) AS ir
+      |        FROM qrels) GROUP BY lang),
+      |hits AS (
+      |  SELECT r.lang, COUNT(*) AS n_hits, MIN(r.rank) AS r1,
+      |    SUM((pow(2.0, q.rel) - 1.0) / (ln(r.rank + 1.0) / ln(2.0))) AS dcg
+      |  FROM runs r JOIN qrels q ON r.lang = q.lang AND r.doc_id = q.doc_id
+      |  GROUP BY r.lang)
+      |SELECT ql.lang, CAST(COALESCE(i.n_rel, 0) AS BIGINT) AS n_rel,
+      |  CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+      |  round(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / i.n_rel, 6) AS recall,
+      |  round(COALESCE(1.0 / h.r1, 0.0), 6) AS rr,
+      |  round(COALESCE(h.dcg, 0.0) / i.idcg, 6) AS ndcg
+      |FROM (SELECT DISTINCT lang FROM runs) ql
+      |LEFT JOIN ideal i ON ql.lang = i.lang
+      |LEFT JOIN hits h ON ql.lang = h.lang""".stripMargin))
+
   /** q115: corpus report (dataset card) — per-source census of size,
     * token mass, language mix, exact-dup mass, median length, and
     * PII-bearing rows. Pure single-pass groupBy composition of the
@@ -1680,5 +1740,5 @@ object TextQueries {
   def queries: Seq[GQuery] =
     Seq(q32, q33, q34, q35, q66, q89, q91, q94, q96, q98, q99, q101,
       q106, q107, q109, q110, q111, q112, q115, q116, q120, q121, q126,
-      q130, q132, q134, q135, q136, q137, q139, q140, q141, q179, q189)
+      q130, q132, q134, q135, q136, q137, q139, q140, q141, q179, q189, q193)
 }
