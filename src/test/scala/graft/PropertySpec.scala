@@ -265,4 +265,70 @@ class PropertySpec extends SparkSpec {
     assert(k25.subsetOf(k5) && k5.subsetOf(k9), "same-salt draws must nest by rate")
     assert(math.abs(k5.size - 1000) < 120, s"p=0.5 of 2000: got ${k5.size}")
   }
+
+  test("property: word_ngrams equals the fold spelling on random token arrays") {
+    import graft.text.TextFunctions
+    val tokGen: Gen[List[String]] = Gen.chooseNum(0, 30).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(Gen.alphaStr.map(_.take(4)),
+        Gen.const("a"), Gen.const(""))))
+    def legacy(tokens: org.apache.spark.sql.Column, k: Int, distinct: Boolean) = {
+      val nn = size(tokens)
+      val grams = transform(sequence(lit(1), nn - (k - 1)), i =>
+        concat_ws(" ", (0 until k).map(j => element_at(tokens, i + lit(j))): _*))
+      when(nn >= k, if (distinct) array_distinct(grams) else grams)
+        .otherwise(array().cast("array<string>"))
+    }
+    val cases = samples(tokGen, 40)
+    val df = cases.zipWithIndex.map { case (t, i) => (i, t) }.toDF("i", "t")
+    Seq((2, true), (3, false), (5, true)).foreach { case (k, d) =>
+      val fn = if (d) TextFunctions.shingles(col("t"), k) else TextFunctions.ngrams(col("t"), k)
+      val rows = df.select(fn.as("n"), legacy(col("t"), k, d).as("o"))
+        .as[(Seq[String], Seq[String])].collect()
+      assert(rows.forall { case (n, o) => n == o }, s"k=$k distinct=$d")
+    }
+  }
+
+  test("property: z-order column equals the reference interleave on random grid points") {
+    import graft.functions.ZOrder
+    val g = for {
+      a <- Gen.chooseNum(0L, 0xFFFFFFFFL)
+      b <- Gen.chooseNum(0L, 0xFFFFFFFFL)
+    } yield (a, b)
+    val pts = samples(g, 200)
+    val got = pts.toDF("a", "b")
+      .select(col("a"), col("b"), ZOrder.zValue(col("a"), col("b")).as("z"))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (a, b, z) => assert(z == ZOrder.zValueRef(a, b), s"($a,$b)") }
+    // and the reference itself round-trips: de-interleaving recovers the inputs
+    def unspread(z: Long): Long = {
+      var x = z & 0x5555555555555555L
+      x = (x | (x >> 1)) & 0x3333333333333333L
+      x = (x | (x >> 2)) & 0x0F0F0F0F0F0F0F0FL
+      x = (x | (x >> 4)) & 0x00FF00FF00FF00FFL
+      x = (x | (x >> 8)) & 0x0000FFFF0000FFFFL
+      (x | (x >> 16)) & 0xFFFFFFFFL
+    }
+    got.foreach { case (a, b, z) =>
+      assert(unspread(z) == a && unspread(z >>> 1) == b)
+    }
+  }
+
+  test("property: adc_distance equals the interpreted fold on random LUT/code pairs") {
+    graft.similarity.Pq.register(spark)
+    val g = for {
+      m <- Gen.chooseNum(1, 8)
+      ksub <- Gen.chooseNum(1, 8)
+      lut <- Gen.listOfN(m, Gen.listOfN(ksub, Gen.chooseNum(0L, 1000000L)))
+      codes <- Gen.listOfN(m, Gen.chooseNum(0, ksub - 1))
+    } yield (lut.map(_.toArray).toArray, codes.toArray)
+    val cases = samples(g, 30)
+    val df = cases.zipWithIndex.map { case ((l, c), i) => (i, l, c) }
+      .toDF("i", "lut", "codes")
+    val rows = df.select(
+        call_function("adc_distance", col("lut"), col("codes")).as("n"),
+        aggregate(zip_with(col("lut"), col("codes"),
+          (l, cd) => element_at(l, cd + 1)), lit(0L), (acc, x) => acc + x).as("o"))
+      .as[(Long, Long)].collect()
+    assert(rows.forall { case (n, o) => n == o })
+  }
 }
