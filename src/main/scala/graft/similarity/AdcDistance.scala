@@ -24,6 +24,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
   * Full codegen (not CodegenFallback): the expression sits inside the
   * scored-pairs projection between a join and a window sort, so
   * staying in whole-stage codegen keeps the scan fused.
+  *
+  * Producer contract (same as Spark's own array kernels over unsafe
+  * data): `lut` rows and `codes` elements must be non-null and every
+  * code in [0, ksub) — [[Pq.lutCol]]/[[Pq.encodeCol]] guarantee both;
+  * out-of-contract input reads an undefined (not unsafe) value, it
+  * does not throw.
   */
 case class AdcDistance(left: Expression, right: Expression)
     extends BinaryExpression {
