@@ -28,8 +28,11 @@ object Drift {
 
   /** Per-bucket drift rows: (bucket keys…, n_ref, n_cur, share_ref,
     * share_cur, psi_contrib, js_contrib). Inputs must both carry the
-    * `keys` columns; rows are the unit of mass (pre-aggregate to
-    * another grain upstream if needed). */
+    * `keys` columns and be NON-EMPTY (an empty snapshot has no
+    * distribution to compare — shares would divide by a zero total);
+    * rows are the unit of mass (pre-aggregate to another grain
+    * upstream if needed). NULL bucket keys follow SQL join semantics:
+    * each side's null-keyed bucket reports with the other side at 0. */
   def census(ref: DataFrame, cur: DataFrame, keys: Seq[String],
              eps: Double = 1e-6): DataFrame = {
     def side(df: DataFrame, n: String) = df.groupBy(keys.map(col): _*)
