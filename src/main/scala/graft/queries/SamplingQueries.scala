@@ -13,6 +13,8 @@ import graft.operators.{Sampling, Splits}
   * replays the exact sample membership. */
 object SamplingQueries {
 
+  private val dsumSql = (x: String) => s"CAST(SUM(CAST(($x) AS DECIMAL(38,6))) AS DOUBLE)"
+
   private val targets = Map("en" -> 0.4, "de" -> 0.2, "fr" -> 0.2, "zh" -> 0.15)
   private def targetShareSql: String = {
     val total = targets.values.sum
@@ -280,5 +282,67 @@ object SamplingQueries {
       |  COUNT(CASE WHEN s8 != s9 AND s9 != 8 THEN 1 END) AS n_moved_elsewhere
       |FROM a8 JOIN a9 ON a8.doc_id = a9.doc_id GROUP BY 1""".stripMargin))
 
-  def queries: Seq[GQuery] = Seq(q97, q100, q104, q128, q165, q166)
+  /** q194: Neyman (optimal) allocation of a fixed sample budget across
+    * strata ([[graft.operators.Allocation]]) — the survey-design step
+    * behind stratified estimation (the reference's municipal frames
+    * are exactly such strata) and stratified eval sampling: n_h ∝
+    * N_h·S_h, integerized by largest-remainder rounding so Σ alloc =
+    * budget EXACTLY, each stratum capped at N_h with the surplus
+    * re-granted in remainder order. Fixture plants a tiny
+    * huge-variance stratum (every 997th order, prices ×100) whose raw
+    * share exceeds its population, exercising the cap + re-grant arm.
+    * Exact decimal sums + IEEE sqrt/divide, so every rounding decision
+    * replays in the oracle. */
+  val q194 = GQuery(
+    "q194_neyman_allocation",
+    (s, d) => {
+      val src = orders(s, d).select(
+        when(col("o_orderkey") % 997 === 0, lit("rare"))
+          .otherwise(concat(lit("S"), (col("o_orderkey") % 5).cast("string")))
+          .as("stratum"),
+        (col("o_totalprice") *
+          when(col("o_orderkey") % 997 === 0, lit(100.0)).otherwise(lit(1.0)))
+          .as("x"))
+      graft.operators.Allocation.neyman(src, "stratum", "x", budget = 500L)
+    },
+    Some(s"""WITH src AS (
+      |  SELECT CASE WHEN o_orderkey % 997 = 0 THEN 'rare'
+      |              ELSE 'S' || CAST(o_orderkey % 5 AS VARCHAR) END AS stratum,
+      |    o_totalprice * (CASE WHEN o_orderkey % 997 = 0 THEN 100.0 ELSE 1.0 END) AS x
+      |  FROM orders),
+      |per AS (
+      |  SELECT stratum, COUNT(*) AS n_rows,
+      |    ${dsumSql("x")} AS s1, ${dsumSql("x * x")} AS s2
+      |  FROM src GROUP BY stratum),
+      |v AS (
+      |  SELECT *, CASE WHEN n_rows > 1
+      |    THEN GREATEST((n_rows * s2 - s1 * s1)
+      |                  / (CAST(n_rows AS DOUBLE) * (n_rows - 1.0)), 0.0)
+      |    ELSE 0.0 END AS var FROM per),
+      |w AS (SELECT *, sqrt(var) AS sd, n_rows * sqrt(var) AS nhsh FROM v),
+      |t AS (SELECT ${dsumSql("nhsh")} AS tot FROM w),
+      |r AS (
+      |  SELECT w.*, CASE WHEN t.tot > 0 THEN nhsh / t.tot ELSE 0.0 END AS weight
+      |  FROM w, t),
+      |r2 AS (SELECT *, weight * 500 AS raw,
+      |              CAST(FLOOR(weight * 500) AS BIGINT) AS base FROM r),
+      |rr AS (
+      |  SELECT *,
+      |    row_number() OVER (ORDER BY raw - FLOOR(raw) DESC, stratum ASC) AS rr,
+      |    500 - SUM(base) OVER () AS leftover
+      |  FROM r2),
+      |a0 AS (SELECT *, base + CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS alloc0
+      |       FROM rr),
+      |c AS (SELECT *, LEAST(alloc0, n_rows) AS capped FROM a0),
+      |sfin AS (
+      |  SELECT *, SUM(alloc0 - capped) OVER () AS surplus,
+      |    n_rows - capped AS head,
+      |    SUM(n_rows - capped) OVER (ORDER BY raw - FLOOR(raw) DESC, stratum ASC
+      |      ROWS UNBOUNDED PRECEDING) AS cumhead
+      |  FROM c)
+      |SELECT stratum, n_rows, round(sd, 6) AS sd, round(weight, 6) AS weight,
+      |  capped + GREATEST(0, LEAST(head, surplus - (cumhead - head))) AS alloc
+      |FROM sfin""".stripMargin))
+
+  def queries: Seq[GQuery] = Seq(q97, q100, q104, q128, q165, q166, q194)
 }
