@@ -287,5 +287,76 @@ object TemporalQueries {
       |  CAST(MIN(us) AS BIGINT) AS first_seen_us
       |FROM v GROUP BY user_id""".stripMargin))
 
-  def queries: Seq[GQuery] = Seq(q43, q44, q56, q70, q181, q182, q183)
+  /** q196: conversation-log → SFT pair assembly ([[graft.text.Sft]])
+    * — the step that turns session transcripts into supervised
+    * fine-tuning rows: events sessionize on a 30-minute gap, turns
+    * alternate user/assistant by in-session position, and every
+    * assistant turn becomes one (prompt = "role: text" history,
+    * response) example via ONE running-concatenation window — no
+    * self-join, no per-turn explosion. Prompt BYTES are under the
+    * hash via an md5 prefix (the full prompt would bloat the gate
+    * dump); the oracle rebuilds history with an ordered list window
+    * over the identical (us, event_id) total order. */
+  val q196 = GQuery(
+    "q196_sft_pairs",
+    (s, d) => {
+      val e = events(s, d).select(col("user_id"),
+        expr("unix_micros(ts)").as("us"), col("event_id"),
+        concat(col("event_type"), lit(" "),
+          floor(col("value") * 100).cast("long")).as("text"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      val turns = e
+        .withColumn("__chg",
+          when(col("us") - lag(col("us"), 1).over(w) > 1800000000L, 1)
+            .when(lag(col("us"), 1).over(w).isNull, 1).otherwise(0))
+        .withColumn("session", sum(col("__chg")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .withColumn("__rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("user_id"), col("session"))
+            .orderBy(col("us"), col("event_id"))))
+        .withColumn("role",
+          when(col("__rn") % 2 === 1, lit("user")).otherwise(lit("assistant")))
+      graft.text.Sft.pairs(turns, Seq("user_id", "session"),
+          Seq("us", "event_id"), "role", "text", targetRole = "assistant")
+        .select(col("user_id"), col("session"), col("turn_idx"),
+          col("n_history"),
+          length(col("prompt")).cast("long").as("prompt_chars"),
+          substring(md5(col("prompt")), 1, 8).as("prompt_fp"),
+          col("response"))
+    },
+    Some("""WITH e AS (
+      |  SELECT user_id, epoch_us(ts) AS us, event_id,
+      |    event_type || ' ' || CAST(FLOOR(value * 100) AS BIGINT) AS text
+      |  FROM events),
+      |g AS (
+      |  SELECT *, CASE WHEN us - lag(us) OVER w > 1800000000 THEN 1
+      |                 WHEN lag(us) OVER w IS NULL THEN 1 ELSE 0 END AS chg
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      |t AS (
+      |  SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |    ROWS UNBOUNDED PRECEDING) AS session
+      |  FROM g),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id, session
+      |    ORDER BY us, event_id) AS rn
+      |  FROM t),
+      |turns AS (
+      |  SELECT user_id, session, us, event_id, text, rn,
+      |    CASE WHEN rn % 2 = 1 THEN 'user' ELSE 'assistant' END AS role
+      |  FROM r),
+      |hist AS (
+      |  SELECT *, array_to_string(list(role || ': ' || text) OVER (
+      |      PARTITION BY user_id, session ORDER BY us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), chr(10))
+      |    AS prompt
+      |  FROM turns)
+      |SELECT user_id, session, rn AS turn_idx, rn - 1 AS n_history,
+      |  CAST(length(prompt) AS BIGINT) AS prompt_chars,
+      |  substr(md5(prompt), 1, 8) AS prompt_fp,
+      |  text AS response
+      |FROM hist WHERE role = 'assistant'""".stripMargin))
+
+  def queries: Seq[GQuery] = Seq(q43, q44, q56, q70, q181, q182, q183, q196)
 }

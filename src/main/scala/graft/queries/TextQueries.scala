@@ -811,6 +811,46 @@ object TextQueries {
       |LEFT JOIN ideal i ON ql.lang = i.lang
       |LEFT JOIN hits h ON ql.lang = h.lang""".stripMargin))
 
+  /** q195: template-normalized dedup census
+    * ([[graft.text.TextFunctions.templateFingerprint]]) — the masked
+    * exact-dedup pass instruction-data curation runs beside q36's raw
+    * pass: URLs and digit runs masked before fingerprinting, so
+    * mail-merge documents (same template, different ids/counts/links)
+    * collapse to one key that byte-exact dedup misses. Per source:
+    * raw-duplicate mass, template-duplicate mass, and the
+    * TEMPLATE-ONLY surplus (the rows only the masked pass catches) —
+    * the number a curation run uses to decide whether the masked pass
+    * pays for itself on a source. */
+  val q195 = GQuery(
+    "q195_template_dedup",
+    (s, d) => {
+      import graft.text.TextFunctions
+      documents(s, d)
+        .select(col("source"),
+          TextFunctions.fingerprint(col("text")).as("__raw"),
+          TextFunctions.templateFingerprint(col("text")).as("__tpl"))
+        .groupBy(col("source"))
+        .agg(
+          lcount(lit(1)).as("n_docs"),
+          (lcount(lit(1)) - countDistinct(col("__raw"))).as("n_raw_dup"),
+          (lcount(lit(1)) - countDistinct(col("__tpl"))).as("n_template_dup"),
+          (countDistinct(col("__raw")) - countDistinct(col("__tpl")))
+            .as("n_template_only"))
+    },
+    Some("""WITH fp AS (
+      |  SELECT source,
+      |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS raw,
+      |    md5(trim(regexp_replace(regexp_replace(regexp_replace(lower(text),
+      |      'https?://[^ \t\n]+', '<url>', 'g'),
+      |      '[0-9]+', '<num>', 'g'),
+      |      '\s+', ' ', 'g'))) AS tpl
+      |  FROM documents)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  COUNT(*) - COUNT(DISTINCT raw) AS n_raw_dup,
+      |  COUNT(*) - COUNT(DISTINCT tpl) AS n_template_dup,
+      |  CAST(COUNT(DISTINCT raw) - COUNT(DISTINCT tpl) AS BIGINT) AS n_template_only
+      |FROM fp GROUP BY source""".stripMargin))
+
   /** q115: corpus report (dataset card) — per-source census of size,
     * token mass, language mix, exact-dup mass, median length, and
     * PII-bearing rows. Pure single-pass groupBy composition of the
@@ -1740,5 +1780,5 @@ object TextQueries {
   def queries: Seq[GQuery] =
     Seq(q32, q33, q34, q35, q66, q89, q91, q94, q96, q98, q99, q101,
       q106, q107, q109, q110, q111, q112, q115, q116, q120, q121, q126,
-      q130, q132, q134, q135, q136, q137, q139, q140, q141, q179, q189, q193)
+      q130, q132, q134, q135, q136, q137, q139, q140, q141, q179, q189, q193, q195)
 }

@@ -91,4 +91,18 @@ object TextFunctions {
     * whitespace-collapsed, trimmed text — the exact-dedup key. */
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+
+  /** Template-normalized fingerprint: the [[fingerprint]] key after
+    * masking the VOLATILE spans — URLs then digit runs (in that order;
+    * URLs contain digits) — so instruction/boilerplate documents that
+    * differ only in ids, counts, dates or links dedup as one template.
+    * The masked-dedup pass instruction-data curation runs beside the
+    * raw exact pass: raw catches byte copies, this catches the mail-
+    * merge class raw misses. Patterns stay in the Java∩RE2 subset so
+    * any engine reproduces every masked byte. */
+  def templateFingerprint(text: Column): Column =
+    md5(trim(regexp_replace(regexp_replace(regexp_replace(lower(text),
+      "https?://[^ \\t\\n]+", "<url>"),
+      "[0-9]+", "<num>"),
+      "\\s+", " ")))
 }
