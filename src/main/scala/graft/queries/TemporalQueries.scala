@@ -5,6 +5,7 @@ import graft.core.Exact._
 import graft.core.Tables._
 import graft.functions.Dates
 import graft.operators.Chain
+import graft.text.TextFunctions.{bpeishCount, BpeishPattern}
 
 /** Temporal semantics from the reference's rollup/validation layer:
   * Sunday-start week binning with open-period proration (W5 + §2.8) and
@@ -358,5 +359,116 @@ object TemporalQueries {
       |  text AS response
       |FROM hist WHERE role = 'assistant'""".stripMargin))
 
-  def queries: Seq[GQuery] = Seq(q43, q44, q56, q70, q181, q182, q183, q196)
+  /** q197: loss-mask span manifest for packed SFT sequences — the
+    * artifact an SFT run actually trains from: the q196 pairs get
+    * BPE-ish token counts, pack no-straddle first-fit
+    * ([[graft.text.Packing.packFirstFit]], capacity 256, 4 shards),
+    * and each packed example emits its [offset, offset+len) spans —
+    * prompt tokens MASKED from the loss, response tokens trained.
+    * Empty spans (leading-assistant pairs have no prompt) drop out.
+    * The oracle replays the conversation assembly, the token counts,
+    * the per-shard first-fit recursion (the q94 pattern) and both
+    * span emissions — every boundary byte-exact. */
+  val q197 = GQuery(
+    "q197_sft_pack_spans",
+    (s, d) => {
+      val e = events(s, d).select(col("user_id"),
+        expr("unix_micros(ts)").as("us"), col("event_id"),
+        concat(col("event_type"), lit(" "),
+          floor(col("value") * 100).cast("long")).as("text"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      val turns = e
+        .withColumn("__chg",
+          when(col("us") - lag(col("us"), 1).over(w) > 1800000000L, 1)
+            .when(lag(col("us"), 1).over(w).isNull, 1).otherwise(0))
+        .withColumn("session", sum(col("__chg")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .withColumn("__rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("user_id"), col("session"))
+            .orderBy(col("us"), col("event_id"))))
+        .withColumn("role",
+          when(col("__rn") % 2 === 1, lit("user")).otherwise(lit("assistant")))
+      val ex = graft.text.Sft.pairs(turns, Seq("user_id", "session"),
+          Seq("us", "event_id"), "role", "text", targetRole = "assistant")
+        .select(
+          (col("user_id") * 1000000L + col("session") * 1000L + col("turn_idx"))
+            .as("ex_id"),
+          bpeishCount(col("prompt")).as("pt"),
+          bpeishCount(col("response")).as("rt"))
+        .withColumn("tt", col("pt") + col("rt"))
+      val packed = graft.text.Packing.packFirstFit(ex, "ex_id", "tt",
+        capacity = 256L, nShards = 4)
+      packed.join(ex.select(col("ex_id"), col("pt")), Seq("ex_id"))
+        .select(col("shard"), col("bin"), col("ex_id"),
+          explode(array(
+            struct(col("offset").as("span_start"),
+              (col("offset") + col("pt")).as("span_end"),
+              lit(true).as("masked")),
+            struct((col("offset") + col("pt")).as("span_start"),
+              (col("offset") + col("n_tokens")).as("span_end"),
+              lit(false).as("masked")))).as("sp"))
+        .select(col("shard"), col("bin"), col("ex_id"),
+          col("sp.span_start"), col("sp.span_end"), col("sp.masked"))
+        .filter(col("span_start") < col("span_end"))
+    },
+    Some(s"""WITH RECURSIVE e AS (
+      |  SELECT user_id, epoch_us(ts) AS us, event_id,
+      |    event_type || ' ' || CAST(FLOOR(value * 100) AS BIGINT) AS text
+      |  FROM events),
+      |g AS (
+      |  SELECT *, CASE WHEN us - lag(us) OVER w > 1800000000 THEN 1
+      |                 WHEN lag(us) OVER w IS NULL THEN 1 ELSE 0 END AS chg
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      |t AS (
+      |  SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |    ROWS UNBOUNDED PRECEDING) AS session
+      |  FROM g),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id, session
+      |    ORDER BY us, event_id) AS rn
+      |  FROM t),
+      |turns AS (
+      |  SELECT user_id, session, us, event_id, text, rn,
+      |    CASE WHEN rn % 2 = 1 THEN 'user' ELSE 'assistant' END AS role
+      |  FROM r),
+      |hist AS (
+      |  SELECT *, array_to_string(list(role || ': ' || text) OVER (
+      |      PARTITION BY user_id, session ORDER BY us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), chr(10))
+      |    AS prompt
+      |  FROM turns),
+      |ex AS (
+      |  SELECT user_id * 1000000 + session * 1000 + rn AS ex_id,
+      |    CAST(len(regexp_extract_all(prompt, '$BpeishPattern')) AS BIGINT) AS pt,
+      |    CAST(len(regexp_extract_all(text, '$BpeishPattern')) AS BIGINT) AS rt
+      |  FROM hist WHERE role = 'assistant'),
+      |docs AS (
+      |  SELECT ex_id, pt, pt + rt AS tt,
+      |    CAST(('0x' || substr(md5(CAST(ex_id AS VARCHAR)), 1, 7)) AS BIGINT) % 4 AS shard
+      |  FROM ex),
+      |ord AS (
+      |  SELECT *, row_number() OVER (PARTITION BY shard ORDER BY ex_id) AS rno
+      |  FROM docs),
+      |fit AS (
+      |  SELECT shard, rno, ex_id, pt, tt,
+      |    CAST(0 AS BIGINT) AS bin, CAST(0 AS BIGINT) AS off, tt AS fill
+      |  FROM ord WHERE rno = 1
+      |  UNION ALL
+      |  SELECT o.shard, o.rno, o.ex_id, o.pt, o.tt,
+      |    CASE WHEN f.fill > 0 AND f.fill + o.tt > 256 THEN f.bin + 1 ELSE f.bin END,
+      |    CASE WHEN f.fill > 0 AND f.fill + o.tt > 256 THEN CAST(0 AS BIGINT) ELSE f.fill END,
+      |    CASE WHEN f.fill > 0 AND f.fill + o.tt > 256 THEN o.tt ELSE f.fill + o.tt END
+      |  FROM fit f JOIN ord o ON o.shard = f.shard AND o.rno = f.rno + 1),
+      |spans AS (
+      |  SELECT shard, bin, ex_id, off AS span_start, off + pt AS span_end,
+      |    TRUE AS masked FROM fit
+      |  UNION ALL
+      |  SELECT shard, bin, ex_id, off + pt, off + tt, FALSE FROM fit)
+      |SELECT shard, bin, ex_id, span_start, span_end, masked
+      |FROM spans WHERE span_start < span_end""".stripMargin))
+
+  def queries: Seq[GQuery] =
+    Seq(q43, q44, q56, q70, q181, q182, q183, q196, q197)
 }
