@@ -803,7 +803,65 @@ object MiscQueries {
       |  CAST(FLOOR((MAX(lat) - MIN(lat)) * 1e6 + 0.5) AS BIGINT) AS lat_span_e6
       |FROM z GROUP BY 1""".stripMargin))
 
+  /** q198: perceptual-hash (dHash) image near-dup
+    * ([[graft.multimodal.ImageHash]]) — the multimodal arm of the
+    * near-dup family: 64-bit difference hash over the stubbed 8×9
+    * grayscale grid, 4 × 16-bit band keys (pigeonhole-exact for
+    * Hamming ≤ 3), exact bit_count(xor) verify on band-collision
+    * candidates only. Fixture plants byte-identical twin payloads
+    * (doc_id % 7 = 0, re-keyed +100000) that must pair at Hamming 0;
+    * random payloads only meet through 16-bit band collisions and die
+    * at the verify. The oracle replays the md5 keystream, all 64 bit
+    * comparisons, the banding and the Hamming filter byte-for-byte. */
+  val q198 = {
+    def byteSql(k: Int): String = {
+      val blk = k / 16; val off = 2 * (k % 16) + 1
+      s"((strpos('0123456789abcdef', substr(h$blk, $off, 1)) - 1) * 16 + " +
+        s"(strpos('0123456789abcdef', substr(h$blk, ${off + 1}, 1)) - 1))"
+    }
+    val bitSum = (for (r <- 0 until 8; c <- 0 until 8) yield {
+      val i = r * 9 + c
+      s"CASE WHEN ${byteSql(i + 1)} > ${byteSql(i)} " +
+        s"THEN CAST(${1L << (r * 8 + c)} AS BIGINT) ELSE 0 END"
+    }).mkString(" + ")
+    GQuery(
+      "q198_image_dhash_neardup",
+      (s, d) => {
+        val base = documents(s, d).select(col("doc_id"),
+          expr("unhex(substring(md5(text), 1, cast(2 * (1 + n_chars % 8) as int)))")
+            .as("payload"))
+        val twins = base.filter(col("doc_id") % 7 === 0)
+          .withColumn("doc_id", col("doc_id") + 100000L)
+        graft.multimodal.ImageHash.nearDupPairs(
+          base.unionByName(twins), "doc_id", "payload", maxHamming = 3)
+      },
+      Some(s"""WITH p0 AS (
+        |  SELECT doc_id,
+        |    unhex(substr(md5(text), 1, CAST(2 * (1 + n_chars % 8) AS INT))) AS payload
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, payload FROM p0
+        |  UNION ALL
+        |  SELECT doc_id + 100000, payload FROM p0 WHERE doc_id % 7 = 0),
+        |hx AS (SELECT doc_id, upper(hex(payload)) AS hx FROM p),
+        |hs AS (
+        |  SELECT doc_id, md5(hx || ':0') AS h0, md5(hx || ':1') AS h1,
+        |    md5(hx || ':2') AS h2, md5(hx || ':3') AS h3, md5(hx || ':4') AS h4
+        |  FROM hx),
+        |dh AS (SELECT doc_id, $bitSum AS h FROM hs),
+        |bands AS (
+        |  SELECT doc_id, h, u.b, (h >> (16 * u.b)) & 65535 AS bkey
+        |  FROM dh, UNNEST(generate_series(0, 3)) AS u(b)),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+        |    bit_count(xor(x.h, y.h)) AS hamming
+        |  FROM bands x JOIN bands y
+        |    ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
+        |SELECT a, b, CAST(hamming AS INT) AS hamming
+        |FROM cand WHERE hamming <= 3""".stripMargin))
+  }
+
   def queries: Seq[GQuery] =
     Seq(q45, q46, q47, q49, q52, q59, q62, q63, q64, q67, q69, q71, q148, q155,
-      q170, q177, q187, q192)
+      q170, q177, q187, q192, q198)
 }
