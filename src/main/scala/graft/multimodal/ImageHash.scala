@@ -69,26 +69,58 @@ object ImageHash {
     }(SqlEncoders.row(outSchema))
   }
 
+  /** (id, hash, band, bkey) rows — the landed-index grain: 4 rows per
+    * payload, bucketed/bucket-joinable on (band, bkey). */
+  def bandIndex(df: DataFrame, idCol: String, payloadCol: String): DataFrame =
+    withDhash(df, payloadCol, "__h")
+      .select(col(idCol).as("__id"), col("__h"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("__h"), 16 * b).bitwiseAND(lit(65535L)).as("bkey"))): _*))
+          .as("bb"))
+      .select(col("__id"), col("__h"), col("bb.band"), col("bb.bkey"))
+
   /** Near-dup pairs with Hamming distance ≤ `maxHamming` (≤ 3 for
     * exactness under 4 bands; larger values trade recall): band-
     * collision candidates, exact bit_count(xor) verify, `(a < b)`
     * canonical orientation. Output: (a, b, hamming). */
   def nearDupPairs(df: DataFrame, idCol: String, payloadCol: String,
                    maxHamming: Int = 3): DataFrame = {
-    val hashed = withDhash(df, payloadCol, "__h")
-      .select(col(idCol).as("__id"), col("__h"))
-      .localCheckpoint(eager = true) // one decode pass for both join sides
-    val bands = hashed.select(col("__id"), col("__h"),
-      explode(array((0 until 4).map(b =>
-        struct(lit(b).as("band"),
-          shiftright(col("__h"), 16 * b).bitwiseAND(lit(65535L)).as("bkey"))): _*))
-        .as("bb"))
-      .select(col("__id"), col("__h"), col("bb.band"), col("bb.bkey"))
+    // one decode pass for both join sides
+    val bands = bandIndex(df, idCol, payloadCol).localCheckpoint(eager = true)
     bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.__id") < col("y.__id"))
       .select(col("x.__id").as("a"), col("y.__id").as("b"),
         bit_count(col("x.__h").bitwiseXOR(col("y.__h"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Incremental arm — the q88/q142/q151 landed-index discipline on
+    * the image key: the BATCH probes the landed [[bandIndex]] for band
+    * collisions (batch → `a`, landed → `b`) plus its own internal
+    * collisions (`a < b`); landed-internal pairs are NEVER re-reported
+    * (process-once), and work tracks the batch, not the corpus — at
+    * scale the landed index lives bucketed by (band, bkey) so the
+    * probe is a bucket-pruned join. Output: (a, b, hamming, vs_corpus). */
+  def incrementalNearDups(batch: DataFrame, landedIndex: DataFrame,
+                          idCol: String, payloadCol: String,
+                          maxHamming: Int = 3): DataFrame = {
+    val bb = bandIndex(batch, idCol, payloadCol).localCheckpoint(eager = true)
+    val probe = bb.as("x").join(landedIndex.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.__id") =!= col("y.__id"))
+      .select(col("x.__id").as("a"), col("y.__id").as("b"),
+        bit_count(col("x.__h").bitwiseXOR(col("y.__h"))).as("hamming"),
+        lit(true).as("vs_corpus"))
+    val internal = bb.as("x").join(bb.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.__id") < col("y.__id"))
+      .select(col("x.__id").as("a"), col("y.__id").as("b"),
+        bit_count(col("x.__h").bitwiseXOR(col("y.__h"))).as("hamming"),
+        lit(false).as("vs_corpus"))
+    probe.unionByName(internal)
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }

@@ -813,17 +813,23 @@ object MiscQueries {
     * random payloads only meet through 16-bit band collisions and die
     * at the verify. The oracle replays the md5 keystream, all 64 bit
     * comparisons, the banding and the Hamming filter byte-for-byte. */
-  val q198 = {
+  /** SQL spelling of the 64 dHash bit comparisons over the md5
+    * keystream hex (shared by q198/q199). */
+  private val q198BitSum: String = {
     def byteSql(k: Int): String = {
       val blk = k / 16; val off = 2 * (k % 16) + 1
       s"((strpos('0123456789abcdef', substr(h$blk, $off, 1)) - 1) * 16 + " +
         s"(strpos('0123456789abcdef', substr(h$blk, ${off + 1}, 1)) - 1))"
     }
-    val bitSum = (for (r <- 0 until 8; c <- 0 until 8) yield {
+    (for (r <- 0 until 8; c <- 0 until 8) yield {
       val i = r * 9 + c
       s"CASE WHEN ${byteSql(i + 1)} > ${byteSql(i)} " +
         s"THEN CAST(${1L << (r * 8 + c)} AS BIGINT) ELSE 0 END"
     }).mkString(" + ")
+  }
+
+  val q198 = {
+    val bitSum = q198BitSum
     GQuery(
       "q198_image_dhash_neardup",
       (s, d) => {
@@ -861,7 +867,66 @@ object MiscQueries {
         |FROM cand WHERE hamming <= 3""".stripMargin))
   }
 
+  /** q199: incremental image near-dup — the landed-index discipline
+    * (q88/q142/q151) on the image key: the batch (doc_id % 3 = 0,
+    * plus planted twins of landed payloads) probes the landed
+    * [[graft.multimodal.ImageHash.bandIndex]] for band collisions and
+    * adds its own internal collisions; landed-internal pairs are
+    * never re-reported. Twins of LANDED payloads must surface as
+    * vs_corpus hits at Hamming 0 — the "this image already landed"
+    * verdict. Work tracks the batch; at scale the landed index lives
+    * bucketed by (band, bkey). */
+  val q199 = GQuery(
+    "q199_incremental_image_neardup",
+    (s, d) => {
+      import graft.multimodal.ImageHash
+      val base = documents(s, d).select(col("doc_id"),
+        expr("unhex(substring(md5(text), 1, cast(2 * (1 + n_chars % 8) as int)))")
+          .as("payload"))
+      val landed = base.filter(col("doc_id") % 3 =!= 0)
+      // batch: the fresh third, plus twins of LANDED payloads (re-keyed)
+      val batch = base.filter(col("doc_id") % 3 === 0)
+        .unionByName(landed.filter(col("doc_id") % 7 === 0)
+          .withColumn("doc_id", col("doc_id") + 100000L))
+      ImageHash.incrementalNearDups(batch,
+        ImageHash.bandIndex(landed, "doc_id", "payload"),
+        "doc_id", "payload", maxHamming = 3)
+    },
+    Some(s"""WITH p0 AS (
+      |  SELECT doc_id,
+      |    unhex(substr(md5(text), 1, CAST(2 * (1 + n_chars % 8) AS INT))) AS payload
+      |  FROM documents),
+      |landed0 AS (SELECT doc_id, payload FROM p0 WHERE doc_id % 3 <> 0),
+      |batch0 AS (
+      |  SELECT doc_id, payload FROM p0 WHERE doc_id % 3 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 100000, payload FROM landed0 WHERE doc_id % 7 = 0),
+      |allp AS (SELECT * FROM landed0 UNION ALL SELECT * FROM batch0),
+      |hx AS (SELECT doc_id, upper(hex(payload)) AS hx FROM allp),
+      |hs AS (
+      |  SELECT doc_id, md5(hx || ':0') AS h0, md5(hx || ':1') AS h1,
+      |    md5(hx || ':2') AS h2, md5(hx || ':3') AS h3, md5(hx || ':4') AS h4
+      |  FROM hx),
+      |dh AS (SELECT doc_id, ${q198BitSum} AS h FROM hs),
+      |bands AS (
+      |  SELECT doc_id, h, u.b, (h >> (16 * u.b)) & 65535 AS bkey
+      |  FROM dh, UNNEST(generate_series(0, 3)) AS u(b)),
+      |bb AS (SELECT * FROM bands WHERE doc_id IN (SELECT doc_id FROM batch0)),
+      |bl AS (SELECT * FROM bands WHERE doc_id IN (SELECT doc_id FROM landed0)),
+      |cand AS (
+      |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+      |    bit_count(xor(x.h, y.h)) AS hamming, TRUE AS vs_corpus
+      |  FROM bb x JOIN bl y
+      |    ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id <> y.doc_id
+      |  UNION
+      |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+      |    bit_count(xor(x.h, y.h)) AS hamming, FALSE AS vs_corpus
+      |  FROM bb x JOIN bb y
+      |    ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
+      |SELECT a, b, CAST(hamming AS INT) AS hamming, vs_corpus
+      |FROM cand WHERE hamming <= 3""".stripMargin))
+
   def queries: Seq[GQuery] =
     Seq(q45, q46, q47, q49, q52, q59, q62, q63, q64, q67, q69, q71, q148, q155,
-      q170, q177, q187, q192, q198)
+      q170, q177, q187, q192, q198, q199)
 }
