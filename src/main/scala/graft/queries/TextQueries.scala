@@ -1227,6 +1227,66 @@ object TextQueries {
       |FROM scored GROUP BY lang""".stripMargin
     })
 
+  /** q200: probability-calibration census
+    * ([[graft.stats.Calibration]]) — the reliability audit a
+    * score-gated pipeline runs before trusting its thresholds: the
+    * q135 classifier margins pass through the sigmoid, bucket into 10
+    * fixed-width reliability bins against a deterministic ground
+    * truth, and each bin reports predicted confidence vs empirical
+    * rate plus its ECE contribution (Σ over bins = the headline
+    * Expected Calibration Error). Bucket edges are pure IEEE floor
+    * arithmetic and the means ride decimal-routed sums, so every bin
+    * boundary and figure replays in the oracle. */
+  val q200 = GQuery(
+    "q200_calibration_census",
+    (s, d) => {
+      val docs = documents(s, d)
+      val wArr = array(clfW.map(lit): _*)
+      val z = graft.stats.HashedLogReg.hashedFeatures(docs, "doc_id", "text",
+          dim = 16, salt = "fh")
+        .withColumn("__t", element_at(wArr, col("idx").cast("int") + 1) * col("cnt"))
+        .groupBy(col("__doc").as("doc_id"))
+        .agg(graft.core.Exact.dsum(col("__t")).as("__z0"))
+      val scored = docs.join(z, Seq("doc_id"), "left")
+        .withColumn("__z", coalesce(col("__z0"), lit(0.0)) + lit(clfB))
+        .withColumn("score", lit(1.0) / (lit(1.0) + exp(-col("__z"))))
+        .withColumn("label", (col("n_chars") > 2000).cast("int"))
+      graft.stats.Calibration.census(scored, "score", "label", nBuckets = 10)
+    },
+    Some {
+      val wCase = "CASE idx " + clfW.zipWithIndex.map { case (w, i) =>
+        s"WHEN $i THEN $w"
+      }.mkString(" ") + " END"
+      s"""WITH tok AS (SELECT doc_id, unnest($wsSql) AS token FROM documents),
+      |h AS (
+      |  SELECT doc_id,
+      |    CAST(('0x' || substr(md5('fh-' || token), 1, 7)) AS BIGINT) % 16 AS idx
+      |  FROM tok),
+      |f AS (SELECT doc_id, idx, COUNT(*) AS cnt FROM h GROUP BY 1, 2),
+      |z AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(CAST(cnt * ($wCase) AS DECIMAL(38,6))) AS DOUBLE) AS z0
+      |  FROM f GROUP BY doc_id),
+      |scored AS (
+      |  SELECT 1.0 / (1.0 + exp(-(COALESCE(z.z0, 0.0) + $clfB))) AS ss,
+      |    CASE WHEN d.n_chars > 2000 THEN 1 ELSE 0 END AS label
+      |  FROM documents d LEFT JOIN z ON d.doc_id = z.doc_id),
+      |per AS (
+      |  SELECT CAST(LEAST(FLOOR(ss * 10), 9) AS BIGINT) AS bucket,
+      |    COUNT(*) AS n,
+      |    CAST(SUM(CAST(ss AS DECIMAL(38,6))) AS DOUBLE) AS ssum,
+      |    CAST(SUM(CAST(label AS DECIMAL(38,6))) AS DOUBLE) AS lsum
+      |  FROM scored GROUP BY 1),
+      |t AS (SELECT SUM(n) AS ntot FROM per)
+      |SELECT per.bucket, per.n,
+      |  round(ssum / per.n, 6) AS conf,
+      |  round(lsum / per.n, 6) AS acc,
+      |  round(abs(ssum / per.n - lsum / per.n), 6) AS gap,
+      |  round(CAST(per.n AS DOUBLE) / t.ntot
+      |    * abs(ssum / per.n - lsum / per.n), 6) AS ece_contrib
+      |FROM per, t""".stripMargin
+    })
+
   /** q136: reciprocal-rank fusion ([[graft.text.Fusion.rrf]]) —
     * hybrid retrieval merging the q112 BM25 relevance ranking with a
     * per-language quality prior (n_chars desc — a stand-in for any
@@ -1780,5 +1840,5 @@ object TextQueries {
   def queries: Seq[GQuery] =
     Seq(q32, q33, q34, q35, q66, q89, q91, q94, q96, q98, q99, q101,
       q106, q107, q109, q110, q111, q112, q115, q116, q120, q121, q126,
-      q130, q132, q134, q135, q136, q137, q139, q140, q141, q179, q189, q193, q195)
+      q130, q132, q134, q135, q136, q137, q139, q140, q141, q179, q189, q193, q195, q200)
 }
