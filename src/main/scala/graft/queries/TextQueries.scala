@@ -1287,6 +1287,67 @@ object TextQueries {
       |FROM per, t""".stripMargin
     })
 
+  /** q201: exact ROC-AUC of the classifier gate
+    * ([[graft.stats.Calibration.rocAuc]]) — the discrimination
+    * companion to q200's calibration audit: Mann–Whitney rank
+    * statistic with tie-AVERAGED ranks over the q135 sigmoid scores
+    * against the same deterministic ground truth. One aggregation +
+    * one window over DISTINCT scores; ranks are integers and tie
+    * averages exact halves, so AUC and Gini replay bit-for-bit. */
+  val q201 = GQuery(
+    "q201_roc_auc",
+    (s, d) => {
+      val docs = documents(s, d)
+      val wArr = array(clfW.map(lit): _*)
+      val z = graft.stats.HashedLogReg.hashedFeatures(docs, "doc_id", "text",
+          dim = 16, salt = "fh")
+        .withColumn("__t", element_at(wArr, col("idx").cast("int") + 1) * col("cnt"))
+        .groupBy(col("__doc").as("doc_id"))
+        .agg(graft.core.Exact.dsum(col("__t")).as("__z0"))
+      val scored = docs.join(z, Seq("doc_id"), "left")
+        .withColumn("score",
+          lit(1.0) / (lit(1.0) + exp(-(coalesce(col("__z0"), lit(0.0)) + lit(clfB)))))
+        .withColumn("label", (col("n_chars") > 2000).cast("int"))
+      graft.stats.Calibration.rocAuc(scored, "score", "label")
+    },
+    Some {
+      val wCase = "CASE idx " + clfW.zipWithIndex.map { case (w, i) =>
+        s"WHEN $i THEN $w"
+      }.mkString(" ") + " END"
+      s"""WITH tok AS (SELECT doc_id, unnest($wsSql) AS token FROM documents),
+      |h AS (
+      |  SELECT doc_id,
+      |    CAST(('0x' || substr(md5('fh-' || token), 1, 7)) AS BIGINT) % 16 AS idx
+      |  FROM tok),
+      |f AS (SELECT doc_id, idx, COUNT(*) AS cnt FROM h GROUP BY 1, 2),
+      |z AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(CAST(cnt * ($wCase) AS DECIMAL(38,6))) AS DOUBLE) AS z0
+      |  FROM f GROUP BY doc_id),
+      |scored AS (
+      |  SELECT 1.0 / (1.0 + exp(-(COALESCE(z.z0, 0.0) + $clfB))) AS ss,
+      |    CASE WHEN d.n_chars > 2000 THEN 1 ELSE 0 END AS label
+      |  FROM documents d LEFT JOIN z ON d.doc_id = z.doc_id),
+      |by_s AS (
+      |  SELECT ss, COUNT(*) AS n, SUM(label) AS npos
+      |  FROM scored GROUP BY ss),
+      |ranked AS (
+      |  SELECT *, SUM(n) OVER (ORDER BY ss ASC ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM by_s),
+      |agg AS (
+      |  SELECT SUM(npos) AS n_pos, SUM(n) - SUM(npos) AS n_neg,
+      |    CAST(SUM(CAST(npos * (CAST(cum - n + 1 AS DOUBLE) + (n - 1) / 2.0)
+      |      AS DECIMAL(38,6))) AS DOUBLE) AS rsum
+      |  FROM ranked)
+      |, res AS (
+      |  SELECT CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+      |    round(CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+      |      (rsum - CAST(n_pos AS DOUBLE) * (n_pos + 1) / 2.0)
+      |        / CAST(n_pos * n_neg AS DOUBLE) END, 6) AS auc
+      |  FROM agg)
+      |SELECT n_pos, n_neg, auc, round(2.0 * auc - 1.0, 6) AS gini FROM res""".stripMargin
+    })
+
   /** q136: reciprocal-rank fusion ([[graft.text.Fusion.rrf]]) —
     * hybrid retrieval merging the q112 BM25 relevance ranking with a
     * per-language quality prior (n_chars desc — a stand-in for any
@@ -1840,5 +1901,5 @@ object TextQueries {
   def queries: Seq[GQuery] =
     Seq(q32, q33, q34, q35, q66, q89, q91, q94, q96, q98, q99, q101,
       q106, q107, q109, q110, q111, q112, q115, q116, q120, q121, q126,
-      q130, q132, q134, q135, q136, q137, q139, q140, q141, q179, q189, q193, q195, q200)
+      q130, q132, q134, q135, q136, q137, q139, q140, q141, q179, q189, q193, q195, q200, q201)
 }

@@ -46,4 +46,36 @@ object Calibration {
         round(col("n").cast("double") / col("__N") * col("gap"), 6)
           .as("ece_contrib"))
   }
+
+  /** Exact ROC-AUC via the Mann–Whitney rank statistic with
+    * tie-AVERAGED ranks (the textbook estimator — a random tie-break
+    * would make the figure partition-dependent): group by distinct
+    * score, one cumulative window in score order gives each tie group
+    * its average rank, and
+    * AUC = (Σ_pos avg_rank − n₊(n₊+1)/2) / (n₊·n₋). Work is one
+    * aggregation + one window over DISTINCT scores (bounded by score
+    * resolution, not rows). Returns one row: (n_pos, n_neg, auc,
+    * gini); AUC is NULL when either class is empty (undefined, not
+    * 0.5). Ranks are integers and averages exact halves, so the
+    * figure is engine-exact before the final division. */
+  def rocAuc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val byScore = df.groupBy(col(scoreCol).cast("double").as("__s"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col(labelCol).cast("long")).as("__npos"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("__s").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    byScore
+      .withColumn("__cum", sum(col("__n")).over(w))
+      .withColumn("__avg_rank",
+        (col("__cum") - col("__n") + 1).cast("double") + (col("__n") - 1) / 2.0)
+      .agg(
+        sum(col("__npos")).as("n_pos"),
+        (sum(col("__n")) - sum(col("__npos"))).as("n_neg"),
+        Exact.dsum(col("__npos") * col("__avg_rank")).as("__rsum"))
+      .select(col("n_pos"), col("n_neg"),
+        round(when(col("n_pos") > 0 && col("n_neg") > 0,
+          (col("__rsum") - col("n_pos").cast("double") * (col("n_pos") + 1) / 2.0) /
+            (col("n_pos") * col("n_neg")).cast("double")), 6).as("auc"))
+      .withColumn("gini", round(lit(2.0) * col("auc") - 1.0, 6))
+  }
 }

@@ -42,4 +42,26 @@ class CalibrationSpec extends SparkSpec {
     assert(math.abs(ece(df) - (0.8 * 0.15 + 0.2 * 0.35)) < 1e-6)
     assert(ece(df) == ece(df.repartition(7)))
   }
+
+  test("rocAuc: perfect separation = 1, reversed = 0, ties average, empty class = NULL") {
+    def auc(rows: Seq[(Double, Int)]): java.lang.Double =
+      Calibration.rocAuc(rows.toDF("score", "label"), "score", "label")
+        .select($"auc".as[java.lang.Double]).head()
+    assert(auc(Seq((0.9, 1), (0.8, 1), (0.2, 0), (0.1, 0))) == 1.0)
+    assert(auc(Seq((0.9, 0), (0.8, 0), (0.2, 1), (0.1, 1))) == 0.0)
+    // all scores tied: AUC must be exactly 0.5 by tie-averaging
+    assert(auc(Seq((0.5, 1), (0.5, 0), (0.5, 1), (0.5, 0))) == 0.5)
+    assert(auc(Seq((0.5, 1), (0.6, 1))) == null, "undefined without negatives")
+    // hand-checked mixed case: scores .1(0) .4(1) .4(0) .9(1)
+    // ranks: 1, avg(2,3)=2.5 each, 4 -> rsum = 2.5 + 4 = 6.5
+    // auc = (6.5 - 2*3/2) / (2*2) = 3.5/4 = 0.875
+    assert(auc(Seq((0.1, 0), (0.4, 1), (0.4, 0), (0.9, 1))) == 0.875)
+  }
+
+  test("rocAuc is partitioning-invariant (tie-averaged, never tie-broken)") {
+    val df = (1 to 500).map(i => ((i % 13).toDouble / 13.0, i % 3 min 1)).toDF("score", "label")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Calibration.rocAuc(d, "score", "label").select($"auc").as[Double].head()
+    assert(run(df) == run(df.repartition(11)))
+  }
 }
