@@ -1305,8 +1305,10 @@ object TextQueries {
         .groupBy(col("__doc").as("doc_id"))
         .agg(graft.core.Exact.dsum(col("__t")).as("__z0"))
       val scored = docs.join(z, Seq("doc_id"), "left")
-        .withColumn("score",
-          lit(1.0) / (lit(1.0) + exp(-(coalesce(col("__z0"), lit(0.0)) + lit(clfB)))))
+        // e6 quantization bounds the rank window at <= 2e6 distinct
+        // scores at ANY corpus size (the binned-AUC scale contract)
+        .withColumn("score", round(
+          lit(1.0) / (lit(1.0) + exp(-(coalesce(col("__z0"), lit(0.0)) + lit(clfB)))), 6))
         .withColumn("label", (col("n_chars") > 2000).cast("int"))
       graft.stats.Calibration.rocAuc(scored, "score", "label")
     },
@@ -1325,7 +1327,7 @@ object TextQueries {
       |    CAST(SUM(CAST(cnt * ($wCase) AS DECIMAL(38,6))) AS DOUBLE) AS z0
       |  FROM f GROUP BY doc_id),
       |scored AS (
-      |  SELECT 1.0 / (1.0 + exp(-(COALESCE(z.z0, 0.0) + $clfB))) AS ss,
+      |  SELECT round(1.0 / (1.0 + exp(-(COALESCE(z.z0, 0.0) + $clfB))), 6) AS ss,
       |    CASE WHEN d.n_chars > 2000 THEN 1 ELSE 0 END AS label
       |  FROM documents d LEFT JOIN z ON d.doc_id = z.doc_id),
       |by_s AS (

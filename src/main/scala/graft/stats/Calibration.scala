@@ -53,11 +53,16 @@ object Calibration {
     * score, one cumulative window in score order gives each tie group
     * its average rank, and
     * AUC = (Σ_pos avg_rank − n₊(n₊+1)/2) / (n₊·n₋). Work is one
-    * aggregation + one window over DISTINCT scores (bounded by score
-    * resolution, not rows). Returns one row: (n_pos, n_neg, auc,
-    * gini); AUC is NULL when either class is empty (undefined, not
-    * 0.5). Ranks are integers and averages exact halves, so the
-    * figure is engine-exact before the final division. */
+    * aggregation + one window over DISTINCT scores — bounded by score
+    * RESOLUTION, not rows, which is the scale contract: quantize the
+    * score first (e.g. `round(score, 6)` — the binned-AUC convention,
+    * ≤ 2e6 distinct values through the single-partition rank window
+    * regardless of corpus size; q201 does exactly this). Raw
+    * continuous scores would make the distinct-score frame corpus-
+    * sized. Returns one row: (n_pos, n_neg, auc, gini); AUC is NULL
+    * when either class is empty (undefined, not 0.5). Ranks are
+    * integers and averages exact halves, so the figure is
+    * engine-exact before the final division. */
   def rocAuc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
     val byScore = df.groupBy(col(scoreCol).cast("double").as("__s"))
       .agg(count(lit(1)).as("__n"),
