@@ -72,4 +72,61 @@ final class ArtifactStore(spark: SparkSession, root: String) {
     }
     doomed
   }
+
+  // ------------------------------------------------------------------
+  // Atomic multi-artifact publish (manifest snapshots)
+  // ------------------------------------------------------------------
+
+  /** Write SEVERAL artifacts and commit them as ONE atomic snapshot —
+    * the Iceberg-manifest discipline the composed DAG needs when a
+    * stage ships multiple outputs (validate_landings publishes the
+    * validated frame AND the flags sheet; format_public_data ships
+    * four grains): readers must never observe output A from run N
+    * next to output B from run N−1.
+    *
+    * Protocol: every artifact writes under its own versioned prefix
+    * first; the MANIFEST — one line per artifact, `name v` — is
+    * written to a temp path and RENAMED into place last (rename is
+    * the storage layer's atomic primitive). A crash before the rename
+    * leaves data directories that no manifest references — invisible
+    * to [[readSnapshot]], reclaimable by [[retain]]. Returns the
+    * manifest path. */
+  def publish(artifacts: Map[String, DataFrame], version: String): String = {
+    artifacts.foreach { case (name, df) => write(df, name, version) }
+    val dir = new org.apache.hadoop.fs.Path(s"$root/_manifests")
+    fs.mkdirs(dir)
+    val tmp = new org.apache.hadoop.fs.Path(dir, s".tmp_$version")
+    val out = fs.create(tmp, true)
+    try out.write(artifacts.keys.toSeq.sorted
+      .map(n => s"$n $version\n").mkString.getBytes("UTF-8"))
+    finally out.close()
+    val fin = new org.apache.hadoop.fs.Path(dir, s"m=$version")
+    if (!fs.rename(tmp, fin))
+      sys.error(s"manifest commit failed for $version (already committed?)")
+    fin.toString
+  }
+
+  /** Committed snapshot versions, ascending (lexical == chronological). */
+  def snapshots(): Seq[String] = {
+    val dir = new org.apache.hadoop.fs.Path(s"$root/_manifests")
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("m=")).map(_.stripPrefix("m=")).sorted
+  }
+
+  /** Read artifact `name` out of a committed snapshot (latest by
+    * default) — every artifact resolved through the same manifest, so
+    * two reads from one snapshot are always version-consistent. */
+  def readSnapshot(name: String, snapshot: Option[String] = None): DataFrame = {
+    val v = snapshot.orElse(snapshots().lastOption)
+      .getOrElse(sys.error(s"no committed snapshots under $root"))
+    val manifest = new org.apache.hadoop.fs.Path(s"$root/_manifests/m=$v")
+    val in = fs.open(manifest)
+    val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    val entry = lines.map(_.split(" ", 2)).collectFirst {
+      case Array(n, ver) if n == name => ver
+    }.getOrElse(sys.error(s"artifact '$name' not in snapshot $v"))
+    read(name, Some(entry))
+  }
 }
