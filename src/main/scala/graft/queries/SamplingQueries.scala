@@ -344,5 +344,71 @@ object SamplingQueries {
       |  capped + GREATEST(0, LEAST(head, surplus - (cumhead - head))) AS alloc
       |FROM sfin""".stripMargin))
 
-  def queries: Seq[GQuery] = Seq(q97, q100, q104, q128, q165, q166, q194)
+  /** q202: the training-mix assembly DAG composed end-to-end — the
+    * LLM counterpart of the fisheries q95 composition and the
+    * curation q141: observe per-language mass → temperature-scale the
+    * mixture (q104's plan, tau = 0.5) → realize it with seeded
+    * Bernoulli thinning at the planned rates (md5 draws, ST8 policy)
+    * → assign reproducible train/val/test splits → per-(split, lang)
+    * census with an id checksum pinning EXACT membership. Every stage
+    * is gated alone (q104, q128's draw machinery, q100); this entry
+    * gates the composition — plan rates flowing into row-level draws
+    * flowing into split thresholds — under one hash. The split
+    * thresholds are embedded as the ACCUMULATED double literals
+    * ([[Splits.cumThresholds]]'s contract: 0.8 + 0.1 is not the
+    * literal 0.9). */
+  val q202 = {
+    val thresholds = Splits.cumThresholds(
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    GQuery(
+      "q202_training_mix_dag",
+      (s, d) => {
+        val docs = documents(s, d)
+        val observed = docs.groupBy(col("lang"))
+          .agg(sum(col("n_chars")).cast("double").as("w"))
+        val plan = Sampling.temperaturePlan(observed, "lang", "w", tau = 0.5)
+        val sampled = Sampling.sampleByPlan(docs, "lang", col("doc_id"),
+          plan, salt = "mixdag")
+        val split = Splits.assignSplit(sampled, col("doc_id"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "mixdag-split")
+        split.groupBy(col("split"), col("lang"))
+          .agg(
+            lcount(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("n_chars"),
+            sum(col("doc_id")).as("id_checksum"))
+      },
+      Some(s"""WITH obs AS (
+        |  SELECT lang, CAST(SUM(n_chars) AS DOUBLE) AS w FROM documents GROUP BY lang),
+        |wt AS (SELECT lang, w, POW(w, 0.5) AS wt FROM obs),
+        |tot AS (
+        |  SELECT CAST(SUM(CAST(wt AS DECIMAL(38,6))) AS DOUBLE) AS tot FROM wt),
+        |shared AS (SELECT lang, w, wt / (SELECT tot FROM tot) AS share FROM wt),
+        |scaled AS (
+        |  SELECT s.*, m.scale FROM shared s,
+        |    (SELECT MIN(w / share) AS scale FROM shared WHERE share > 0) m),
+        |plan AS (
+        |  SELECT lang,
+        |    CASE WHEN share = 0.0 THEN 0.0
+        |         ELSE LEAST(1.0, share * scale / w) END AS rate
+        |  FROM scaled),
+        |sampled AS (
+        |  SELECT d.* FROM documents d JOIN plan p ON d.lang = p.lang
+        |  WHERE CAST(('0x' || substr(md5('mixdag-' || CAST(d.doc_id AS VARCHAR)), 1, 7)) AS BIGINT)
+        |        / 268435456.0 < p.rate),
+        |assigned AS (
+        |  SELECT *, CASE
+        |      WHEN u < ${thresholds(0)._2} THEN 'train'
+        |      WHEN u < ${thresholds(1)._2} THEN 'val'
+        |      ELSE 'test' END AS split
+        |  FROM (SELECT *,
+        |      CAST(('0x' || substr(md5('mixdag-split-' || CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT)
+        |        / 268435456.0 AS u
+        |    FROM sampled))
+        |SELECT split, lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+        |  CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+        |FROM assigned GROUP BY split, lang""".stripMargin))
+  }
+
+  def queries: Seq[GQuery] = Seq(q97, q100, q104, q128, q165, q166, q194, q202)
 }
