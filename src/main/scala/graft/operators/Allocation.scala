@@ -51,8 +51,13 @@ object Allocation {
       .withColumn("__nhsh", col("n_rows").cast("double") * col("sd"))
     val tot = per.agg(Exact.dsum(col("__nhsh")).as("__tot"))
     val wAll = Window.partitionBy()
+    // positive-weight strata rank FIRST: the leftover units and the cap
+    // surplus must never leak into zero-variance strata the design
+    // deliberately weighted 0 (both leaks caught by the conservation
+    // property test)
     val remRank = Window.partitionBy()
-      .orderBy((col("__raw") - floor(col("__raw"))).desc, col(stratumCol).asc)
+      .orderBy((col("weight") > 0).desc,
+        (col("__raw") - floor(col("__raw"))).desc, col(stratumCol).asc)
     val alloc0 = per.crossJoin(broadcast(tot))
       .withColumn("weight", when(col("__tot") > 0, col("__nhsh") / col("__tot"))
         .otherwise(lit(0.0)))
@@ -61,14 +66,19 @@ object Allocation {
       .withColumn("__left", lit(budget) - sum(col("__base")).over(wAll))
       .withColumn("__rr", row_number().over(remRank))
       .withColumn("__alloc0",
-        col("__base") + when(col("__rr") <= col("__left"), 1L).otherwise(0L))
+        col("__base") + when(col("weight") > 0 && col("__rr") <= col("__left"),
+          1L).otherwise(0L))
     // cap at N_h; re-grant capped surplus in the same remainder order to
     // strata with headroom (single extra window — exact whenever the
     // budget is feasible for the nonzero-weight strata)
     val capped = alloc0
       .withColumn("__cap", least(col("__alloc0"), col("n_rows")))
       .withColumn("__surplus", sum(col("__alloc0") - col("__cap")).over(wAll))
-      .withColumn("__head", col("n_rows") - col("__cap"))
+      // headroom ONLY for strata the design gave weight — the re-grant
+      // must not leak budget into zero-variance strata the allocation
+      // deliberately excluded (caught by the conservation property test)
+      .withColumn("__head",
+        when(col("weight") > 0, col("n_rows") - col("__cap")).otherwise(lit(0L)))
       .withColumn("__cumhead",
         sum(col("__head")).over(remRank.rowsBetween(Window.unboundedPreceding, 0)))
       .withColumn("alloc",

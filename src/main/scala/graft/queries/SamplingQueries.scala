@@ -328,16 +328,19 @@ object SamplingQueries {
       |              CAST(FLOOR(weight * 500) AS BIGINT) AS base FROM r),
       |rr AS (
       |  SELECT *,
-      |    row_number() OVER (ORDER BY raw - FLOOR(raw) DESC, stratum ASC) AS rr,
+      |    row_number() OVER (ORDER BY (weight > 0) DESC,
+      |      raw - FLOOR(raw) DESC, stratum ASC) AS rr,
       |    500 - SUM(base) OVER () AS leftover
       |  FROM r2),
-      |a0 AS (SELECT *, base + CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS alloc0
+      |a0 AS (SELECT *, base + CASE WHEN weight > 0 AND rr <= leftover
+      |         THEN 1 ELSE 0 END AS alloc0
       |       FROM rr),
       |c AS (SELECT *, LEAST(alloc0, n_rows) AS capped FROM a0),
       |sfin AS (
       |  SELECT *, SUM(alloc0 - capped) OVER () AS surplus,
-      |    n_rows - capped AS head,
-      |    SUM(n_rows - capped) OVER (ORDER BY raw - FLOOR(raw) DESC, stratum ASC
+      |    CASE WHEN weight > 0 THEN n_rows - capped ELSE 0 END AS head,
+      |    SUM(CASE WHEN weight > 0 THEN n_rows - capped ELSE 0 END)
+      |      OVER (ORDER BY (weight > 0) DESC, raw - FLOOR(raw) DESC, stratum ASC
       |      ROWS UNBOUNDED PRECEDING) AS cumhead
       |  FROM c)
       |SELECT stratum, n_rows, round(sd, 6) AS sd, round(weight, 6) AS weight,

@@ -331,4 +331,33 @@ class PropertySpec extends SparkSpec {
       .as[(Long, Long)].collect()
     assert(rows.forall { case (n, o) => n == o })
   }
+
+  test("property: Neyman allocation conserves any feasible budget and respects caps") {
+    import graft.operators.Allocation
+    val g = for {
+      nStrata <- Gen.chooseNum(1, 6)
+      rows <- Gen.listOfN(nStrata, for {
+        n <- Gen.chooseNum(1, 40)
+        base <- Gen.chooseNum(0, 50)
+        spread <- Gen.chooseNum(0, 9)
+      } yield (n, base, spread))
+      budget <- Gen.chooseNum(1L, 60L)
+    } yield (rows, budget)
+    samples(g, 8).foreach { case (spec, budget) =>
+      val rows = spec.zipWithIndex.flatMap { case ((n, base, spread), i) =>
+        (0 until n).map(j => (s"s$i", (base + (j % (spread + 1))).toDouble))
+      }
+      val df = rows.toDF("stratum", "x")
+      val out = Allocation.neyman(df, "stratum", "x", budget)
+        .select($"stratum", $"n_rows", $"alloc", $"weight")
+        .as[(String, Long, Long, Double)].collect()
+      out.foreach { case (_, n, a, _) => assert(a >= 0 && a <= n) }
+      val total = out.map(_._3).sum
+      val capacity = out.filter(_._4 > 0).map(_._2).sum
+      if (out.exists(_._4 > 0))
+        assert(total == math.min(budget, capacity),
+          s"budget $budget capacity $capacity allocated $total in ${out.toSeq}")
+      else assert(total == 0L, "all-zero-variance frame allocates nothing")
+    }
+  }
 }
