@@ -13,11 +13,15 @@ import org.apache.spark.sql.functions._
   *
   * One window pass per conversation (ROWS UNBOUNDED PRECEDING .. 1
   * PRECEDING running concatenation over the total (ordCols) order) —
-  * no self-join, no per-turn explosion; work is O(total transcript
-  * bytes) per conversation, and conversations partition freely across
-  * executors. Deterministic: the caller supplies a total order, so the
-  * assembled prompt bytes are engine-exact (the q196 oracle rebuilds
-  * them with an ordered list window). */
+  * no self-join, no per-turn explosion — and conversations partition
+  * freely across executors. Note the OUTPUT is inherently quadratic
+  * in turns-per-conversation (each example carries its full history),
+  * which is the artifact's own size, not plan overhead; for very long
+  * transcripts cap the history upstream (sliding window over turns)
+  * before assembly, exactly as SFT context budgets do. Deterministic:
+  * the caller supplies a total order, so the assembled prompt bytes
+  * are engine-exact (the q196 oracle rebuilds them with an ordered
+  * list window). */
 object Sft {
 
   /** @param convCols conversation key columns
