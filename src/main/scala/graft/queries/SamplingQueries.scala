@@ -344,7 +344,8 @@ object SamplingQueries {
       |      ROWS UNBOUNDED PRECEDING) AS cumhead
       |  FROM c)
       |SELECT stratum, n_rows, round(sd, 6) AS sd, round(weight, 6) AS weight,
-      |  capped + GREATEST(0, LEAST(head, surplus - (cumhead - head))) AS alloc
+      |  CAST(capped + GREATEST(0, LEAST(head, surplus - (cumhead - head)))
+      |       AS BIGINT) AS alloc
       |FROM sfin""".stripMargin))
 
   /** q202: the training-mix assembly DAG composed end-to-end — the

@@ -321,8 +321,9 @@ object TemporalQueries {
           when(col("__rn") % 2 === 1, lit("user")).otherwise(lit("assistant")))
       graft.text.Sft.pairs(turns, Seq("user_id", "session"),
           Seq("us", "event_id"), "role", "text", targetRole = "assistant")
-        .select(col("user_id"), col("session"), col("turn_idx"),
-          col("n_history"),
+        .select(col("user_id"), col("session"),
+          col("turn_idx").cast("long").as("turn_idx"),
+          col("n_history").cast("long").as("n_history"),
           length(col("prompt")).cast("long").as("prompt_chars"),
           substring(md5(col("prompt")), 1, 8).as("prompt_fp"),
           col("response"))
@@ -336,8 +337,8 @@ object TemporalQueries {
       |                 WHEN lag(us) OVER w IS NULL THEN 1 ELSE 0 END AS chg
       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
       |t AS (
-      |  SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY us, event_id
-      |    ROWS UNBOUNDED PRECEDING) AS session
+      |  SELECT *, CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session
       |  FROM g),
       |r AS (
       |  SELECT *, row_number() OVER (PARTITION BY user_id, session
@@ -422,8 +423,8 @@ object TemporalQueries {
       |                 WHEN lag(us) OVER w IS NULL THEN 1 ELSE 0 END AS chg
       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
       |t AS (
-      |  SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY us, event_id
-      |    ROWS UNBOUNDED PRECEDING) AS session
+      |  SELECT *, CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session
       |  FROM g),
       |r AS (
       |  SELECT *, row_number() OVER (PARTITION BY user_id, session

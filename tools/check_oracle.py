@@ -53,6 +53,17 @@ def main(sf_dir: str, out_dir: str) -> int:
         for c in got.columns:
             a, b = got[c], want[c]
             if a.dtype.kind == "f" or b.dtype.kind == "f":
+                # The driver hashes VALUE STRINGS: an int column on one
+                # side and a float on the other ("31" vs "31.0") hash-
+                # mismatches even when numerically equal (bit r7 on
+                # q194/q196/q197 — DuckDB window SUM over ints returns
+                # HUGEINT -> pandas float64). Mirror that strictness.
+                if a.dtype.kind != b.dtype.kind:
+                    print(f"FAIL {name}: col {c} dtype kind skew "
+                          f"{a.dtype} (spark) vs {b.dtype} (oracle) — "
+                          f"driver hash would mismatch; CAST the oracle")
+                    ok = False
+                    continue
                 same = ((a.isna() & b.isna()) |
                         (a.to_numpy() == b.to_numpy())).all()
                 if not same:
