@@ -1,0 +1,148 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
+
+/** `hll_registers(hash60, p)`: HyperLogLog register vector (Flajolet
+  * et al. 2007) — the industry-standard distinct-count sketch beside
+  * the suite's KMV (q67): 2^p one-byte registers answer COUNT DISTINCT
+  * within ~1.04/√m relative error in CONSTANT memory, with map-side
+  * partials and an elementwise-max combine, so a 100 TB cardinality
+  * census costs one scan and ships 2^p bytes per group instead of the
+  * key set.
+  *
+  * The input is a caller-derived 60-bit nonneg hash (15 md5 hex chars
+  * — the repo-wide replayable-hash policy): bucket = top p bits,
+  * rho = leading-zero rank of the remaining 60−p bits. Everything
+  * downstream of the registers (harmonic mean, bias constant,
+  * linear-counting small-range correction) is dyadic-exact or single
+  * IEEE ops, so an independent engine — the DuckDB oracle — rebuilds
+  * the registers with GROUP BY + MAX and lands on the bit-identical
+  * estimate: the sketch's BEHAVIOR is under the hash gate, not just
+  * its happy path.
+  *
+  * Evaluates to `array<int>` of length 2^p (the registers), keeping
+  * the estimate assembly in plain built-ins on a 1-row-per-group
+  * frame.
+  */
+case class HllRegistersAgg(child: Expression, pExpr: Expression,
+                           override val mutableAggBufferOffset: Int = 0,
+                           override val inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Byte]] {
+
+  private lazy val p: Int = pExpr.eval().asInstanceOf[Number].intValue()
+  private lazy val m: Int = 1 << p
+  private lazy val wBits: Int = 60 - p
+
+  override def children: Seq[Expression] = Seq(child, pExpr)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "hll_registers"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires a bigint hash column")
+    else if (!pExpr.foldable || pExpr.dataType != IntegerType ||
+      pExpr.eval() == null || pExpr.eval().asInstanceOf[Number].intValue() < 4 ||
+      pExpr.eval().asInstanceOf[Number].intValue() > 16)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires an integer literal precision p in [4,16]")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
+
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = v.asInstanceOf[Long]
+      val bucket = (h >>> wBits).toInt & (m - 1)
+      val w = h & ((1L << wBits) - 1)
+      // bit length of w is 64 - clz; rho = wBits - bitlen + 1 (w=0 → wBits+1)
+      val rho =
+        if (w == 0L) wBits + 1
+        else wBits - (64 - java.lang.Long.numberOfLeadingZeros(w)) + 1
+      if (rho > buf(bucket)) buf(bucket) = rho.toByte
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Byte], other: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < m) { if (other(i) > buf(i)) buf(i) = other(i); i += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Byte]): Any =
+    new GenericArrayData(buf.map(_.toInt))
+
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf.clone()
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes.clone()
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HllRegistersAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HllRegistersAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): HllRegistersAgg =
+    copy(child = newChildren(0), pExpr = newChildren(1))
+}
+
+object HllSketch {
+  val info: ExpressionInfo = new ExpressionInfo(classOf[HllRegistersAgg].getName, "hll_registers")
+
+  def builder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2, "hll_registers(hash60, p)")
+    val pE = exprs(1) match {
+      case l: Literal => l
+      case other => Literal(other.eval(), other.dataType)
+    }
+    HllRegistersAgg(exprs.head, pE).toAggregateExpression()
+  }
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hll_registers", builder, "built-in")
+
+  /** The repo-standard replayable 60-bit hash: 15 md5 hex chars of the
+    * tagged key, always nonnegative. */
+  def hash60(key: Column, tag: String = ""): Column =
+    conv(substring(md5(concat(lit(s"hll-$tag"), key)), 1, 15), 16, 10)
+      .cast("long")
+
+  /** HLL bias-correction constant alpha_m (Flajolet et al. 2007,
+    * m >= 128), as the exact double both engines must use. */
+  def alpha(m: Int): Double = 0.7213 / (1.0 + 1.079 / m)
+
+  /** Register-array folds for the estimate: zero-register count and
+    * the dyadic-exact indicator sum Σ 2^{-M_j}, carried as the int64
+    * Σ 2^{52-M_j} (M_j ≤ 52 always at p ≤ 16). Interpreted HOF folds
+    * are fine HERE: they run once per GROUP over 2^p elements, not per
+    * data row. */
+  def zerosCol(registers: Column): Column =
+    aggregate(registers, lit(0L),
+      (acc, r) => acc + when(r === 0, lit(1L)).otherwise(lit(0L)))
+
+  def sumExpS52Col(registers: Column): Column =
+    aggregate(registers, lit(0L),
+      (acc, r) => acc +
+        call_function("shiftleft", lit(1L), lit(52) - r).cast("long"))
+
+  /** Final estimate from (zeros, sumexp_s52) columns: raw
+    * harmonic-mean estimate alpha·m²·2^52/sumexp with the
+    * linear-counting small-range correction (raw ≤ 2.5m and empty
+    * registers exist → m·ln(m/zeros)). Single IEEE steps only. */
+  def estimateCol(zeros: Column, sumS52: Column, p: Int): Column = {
+    val m = 1 << p
+    val raw = lit(alpha(m)) * lit(m.toDouble) * lit(m.toDouble) *
+      lit(math.pow(2.0, 52)) / sumS52
+    when(zeros > 0 && raw <= lit(2.5 * m),
+      lit(m.toDouble) * log(lit(m.toDouble) / zeros))
+      .otherwise(raw)
+  }
+}

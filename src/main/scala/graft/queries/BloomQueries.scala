@@ -163,5 +163,77 @@ object BloomQueries {
       |    AS n_false_pos
       |FROM fin GROUP BY source""".stripMargin))
 
-  def queries: Seq[GQuery] = Seq(q154, q156)
+  /** HLL precision for q208: 2^9 = 512 registers, ~4.6 % expected
+    * relative error — small enough that the sf0.01 fixture exercises
+    * BOTH the raw harmonic regime and the linear-counting small-range
+    * correction across groups. */
+  private val HllP = 9
+
+  /** q208: HyperLogLog distinct-order census per (returnflag,
+    * linestatus) ([[graft.functions.HllRegistersAgg]]) — the
+    * constant-memory COUNT DISTINCT the 100 TB path uses where exact
+    * distinct would shuffle the key set. The md5-derived 60-bit hash,
+    * every register, the dyadic-exact indicator sum and the
+    * small-range branch all replay in the oracle (GROUP BY bucket +
+    * MAX), so the sketch's exact estimates — and their measured error
+    * vs the exact count — sit under the hash gate. */
+  val q208 = {
+    import graft.functions.HllSketch
+    val m = 1 << HllP
+    val wBits = 60 - HllP
+    GQuery(
+      "q208_hll_cardinality",
+      (s, d) => {
+        HllSketch.register(s)
+        val src = lineitem(s, d).select(
+          col("l_returnflag").as("rf"), col("l_linestatus").as("ls"),
+          HllSketch.hash60(col("l_orderkey").cast("string"), "odk").as("h"),
+          col("l_orderkey"))
+        src.groupBy(col("rf"), col("ls"))
+          .agg(
+            countDistinct(col("l_orderkey")).as("n_exact"),
+            expr(s"hll_registers(h, $HllP)").as("__regs"))
+          .withColumn("zeros", HllSketch.zerosCol(col("__regs")))
+          .withColumn("sumexp_s52", HllSketch.sumExpS52Col(col("__regs")))
+          .withColumn("estimate_e6",
+            floor(HllSketch.estimateCol(col("zeros"), col("sumexp_s52"),
+              HllP) * 1e6 + 0.5).cast("long"))
+          .select(col("rf"), col("ls"), col("n_exact"), col("zeros"),
+            col("sumexp_s52"), col("estimate_e6"))
+      },
+      Some(s"""WITH src AS (
+        |  SELECT l_returnflag AS rf, l_linestatus AS ls, l_orderkey,
+        |    CAST(('0x' || substr(md5('hll-odk' || CAST(l_orderkey AS VARCHAR)),
+        |      1, 15)) AS BIGINT) AS h
+        |  FROM lineitem),
+        |br AS (
+        |  SELECT rf, ls, h // ${1L << wBits} AS bucket,
+        |    CASE WHEN h % ${1L << wBits} = 0 THEN ${wBits + 1}
+        |         ELSE $wBits - length(bin(h % ${1L << wBits})) + 1 END AS rho
+        |  FROM src),
+        |regs AS (
+        |  SELECT rf, ls, bucket, CAST(MAX(rho) AS BIGINT) AS reg
+        |  FROM br GROUP BY rf, ls, bucket),
+        |folds AS (
+        |  SELECT rf, ls,
+        |    CAST($m - COUNT(*) AS BIGINT) AS zeros,
+        |    CAST(SUM(CAST(1 AS BIGINT) << (52 - reg)) +
+        |         ($m - COUNT(*)) * ${1L << 52} AS BIGINT) AS sumexp_s52
+        |  FROM regs GROUP BY rf, ls),
+        |ex AS (
+        |  SELECT rf, ls, CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_exact
+        |  FROM src GROUP BY rf, ls),
+        |est AS (
+        |  SELECT f.*, ex.n_exact,
+        |    CAST(${HllSketch.alpha(1 << HllP)} AS DOUBLE) * $m.0 * $m.0 *
+        |      ${math.pow(2.0, 52)} / f.sumexp_s52 AS raw
+        |  FROM folds f JOIN ex ON f.rf = ex.rf AND f.ls = ex.ls)
+        |SELECT rf, ls, n_exact, zeros, sumexp_s52,
+        |  CAST(FLOOR((CASE WHEN zeros > 0 AND raw <= ${2.5 * (1 << HllP)}
+        |    THEN $m.0 * ln($m.0 / zeros) ELSE raw END) * 1e6 + 0.5)
+        |    AS BIGINT) AS estimate_e6
+        |FROM est""".stripMargin))
+  }
+
+  def queries: Seq[GQuery] = Seq(q154, q156, q208)
 }

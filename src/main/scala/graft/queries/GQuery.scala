@@ -38,7 +38,8 @@ object Registry {
       CrawlQueries.queries ++
       CorpusStatQueries.queries ++
       GraphQueries.queries ++
-      BloomQueries.queries
+      BloomQueries.queries ++
+      PreferenceQueries.queries
 
   def byName: Map[String, GQuery] = all.map(q => q.name -> q).toMap
 }

@@ -1,0 +1,276 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Exact._
+import graft.core.Tables._
+import graft.stats.{Agreement, BradleyTerry, Rewards}
+import graft.graph.Triangles
+
+/** Preference-data and annotation-quality surface — the post-training
+  * side of an LLM data pipeline: fitting strengths from pairwise
+  * preferences (reward modeling / arena ranking), checking the
+  * annotators who produced them (kappa / alpha), normalizing reward
+  * scores into trainer-ready advantages (GRPO), and the link-graph
+  * density signal (triangles) curation uses beside PageRank.
+  *
+  * Every query is exact-arithmetic (integer counts, decimal-routed
+  * sums, IEEE scalar ops) so the DuckDB oracles replay the full
+  * computation — including every fixed-point iteration of the
+  * Bradley–Terry fit — under the hash gate.
+  */
+object PreferenceQueries {
+
+  private val dsumSql = (x: String) => s"CAST(SUM(CAST(($x) AS DECIMAL(38,6))) AS DOUBLE)"
+
+  private val BtItems = 12
+  private val BtIters = 4
+
+  /** One Bradley–Terry MM round as SQL: p_prev → d_i → r_i → t_i → p_i
+    * (mirrors [[graft.stats.BradleyTerry.fit]] op-for-op). */
+  private def btIterCte(i: Int): String = {
+    val prev = if (i == 1) "p0" else s"p${i - 1}"
+    s"""d$i AS (
+       |  SELECT s.item, ${dsumSql(s"s.n / (pi.p + pj.p)")} AS den
+       |  FROM sym s JOIN $prev pi ON s.item = pi.item
+       |             JOIN $prev pj ON s.opp = pj.item
+       |  GROUP BY s.item),
+       |r$i AS (SELECT w.item, w.w / d.den AS praw
+       |        FROM wins w JOIN d$i d ON w.item = d.item),
+       |t$i AS (SELECT ${dsumSql("praw")} AS tot FROM r$i),
+       |p$i AS (SELECT item, praw / (SELECT tot FROM t$i) AS p FROM r$i)""".stripMargin
+  }
+
+  /** q203: Bradley–Terry strengths from a 12-item pairwise tournament
+    * ([[graft.stats.BradleyTerry]]) — pairs from lineitem key residues,
+    * "a wins" on the quantity coin; 4 MM iterations, every one of them
+    * replayed by the oracle's unrolled CTE chain (the q153 PageRank
+    * pattern), so the fixed-point dynamics sit under the hash. */
+  val q203 = GQuery(
+    "q203_bradley_terry",
+    (s, d) => {
+      val li = lineitem(s, d).select(
+        (col("l_suppkey") % BtItems).as("a"),
+        (col("l_partkey") % BtItems).as("b"),
+        col("l_quantity").as("q"))
+        .filter(col("a") < col("b"))
+      val pairs = li.groupBy(col("a"), col("b")).agg(
+        lcount(when(col("q") > 25, 1)).as("wa"),
+        lcount(when(col("q") <= 25, 1)).as("wb"))
+      BradleyTerry.fit(pairs, "a", "b", "wa", "wb", iters = BtIters)
+        .select(col("item"), col("wins").cast("long").as("wins"),
+          col("games").cast("long").as("games"), col("strength"))
+    },
+    Some(s"""WITH src AS (
+      |  SELECT l_suppkey % $BtItems AS a, l_partkey % $BtItems AS b,
+      |         l_quantity AS q
+      |  FROM lineitem WHERE l_suppkey % $BtItems < l_partkey % $BtItems),
+      |pairs AS (
+      |  SELECT a, b,
+      |    CAST(COUNT(CASE WHEN q > 25 THEN 1 END) AS DOUBLE) AS wa,
+      |    CAST(COUNT(CASE WHEN q <= 25 THEN 1 END) AS DOUBLE) AS wb
+      |  FROM src GROUP BY a, b),
+      |sym AS (SELECT a AS item, b AS opp, wa + wb AS n FROM pairs
+      |        UNION ALL
+      |        SELECT b AS item, a AS opp, wa + wb AS n FROM pairs),
+      |wins AS (SELECT item, ${dsumSql("w")} AS w FROM (
+      |    SELECT a AS item, wa AS w FROM pairs
+      |    UNION ALL SELECT b AS item, wb AS w FROM pairs) wu
+      |  GROUP BY item),
+      |games AS (SELECT item, ${dsumSql("n")} AS games FROM sym GROUP BY item),
+      |p0 AS (SELECT item,
+      |         CAST(1.0 AS DOUBLE) / (SELECT COUNT(*) FROM games) AS p
+      |       FROM games),
+      |${(1 to BtIters).map(btIterCte).mkString(",\n")}
+      |SELECT g.item, CAST(w.w AS BIGINT) AS wins,
+      |  CAST(g.games AS BIGINT) AS games, p.p AS strength
+      |FROM games g JOIN wins w ON g.item = w.item
+      |JOIN p$BtIters p ON g.item = p.item""".stripMargin))
+
+  /** Deterministic "second annotator" drift: cycle the language label
+    * one step (en→de→fr→zh→es→en). */
+  private def cycleSql(c: String): String =
+    s"""CASE $c WHEN 'en' THEN 'de' WHEN 'de' THEN 'fr' WHEN 'fr' THEN 'zh'
+       | WHEN 'zh' THEN 'es' ELSE 'en' END""".stripMargin.replace("\n", "")
+  private def cycleCol(c: org.apache.spark.sql.Column) =
+    when(c === "en", "de").when(c === "de", "fr").when(c === "fr", "zh")
+      .when(c === "zh", "es").otherwise("en")
+
+  /** q204: Cohen's kappa between two deterministic raters of the
+    * document language ([[graft.stats.Agreement.cohenKappa]]): rater B
+    * disagrees on every 5th doc by cycling the label. Pure integer
+    * census + three IEEE divisions — chance-corrected agreement under
+    * the hash gate. */
+  val q204 = GQuery(
+    "q204_cohen_kappa",
+    (s, d) => {
+      val docs = documents(s, d).select(
+        col("lang").as("la"),
+        when(col("doc_id") % 5 === 0, cycleCol(col("lang")))
+          .otherwise(col("lang")).as("lb"))
+      Agreement.cohenKappa(docs, "la", "lb")
+    },
+    Some(s"""WITH labels AS (
+      |  SELECT lang AS la,
+      |    CASE WHEN doc_id % 5 = 0 THEN ${cycleSql("lang")} ELSE lang END AS lb
+      |  FROM documents),
+      |cells AS (SELECT la, lb, COUNT(*) AS n FROM labels GROUP BY la, lb),
+      |am AS (SELECT la AS l, SUM(n) AS na FROM cells GROUP BY la),
+      |bm AS (SELECT lb AS l, SUM(n) AS nb FROM cells GROUP BY lb),
+      |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_units,
+      |  CAST(SUM(CASE WHEN la = lb THEN n ELSE 0 END) AS BIGINT) AS agree
+      |  FROM cells),
+      |pe AS (SELECT CAST(SUM(na * nb) AS BIGINT) AS pe_num
+      |       FROM am JOIN bm ON am.l = bm.l)
+      |SELECT n_units,
+      |  CAST(agree AS DOUBLE) / n_units AS p_o,
+      |  CAST(pe_num AS DOUBLE) / (n_units * n_units) AS p_e,
+      |  (CAST(agree AS DOUBLE) / n_units
+      |     - CAST(pe_num AS DOUBLE) / (n_units * n_units))
+      |  / (CAST(1.0 AS DOUBLE)
+      |     - CAST(pe_num AS DOUBLE) / (n_units * n_units)) AS kappa
+      |FROM tot, pe""".stripMargin))
+
+  /** q205: Krippendorff's alpha (nominal) over a 3-rater design
+    * ([[graft.stats.Agreement.krippendorffAlpha]]): raters 2 and 3
+    * drift on every 5th / every 3rd doc. The coincidence weights
+    * 1/(m−1) ride an integer scale (S=2) so the whole computation is
+    * int64 until two final divisions. */
+  val q205 = GQuery(
+    "q205_krippendorff_alpha",
+    (s, d) => {
+      val docs = documents(s, d)
+      val r1 = docs.select(col("doc_id").as("unit"), lit("r1").as("rater"),
+        col("lang").as("label"))
+      val r2 = docs.select(col("doc_id").as("unit"), lit("r2").as("rater"),
+        when(col("doc_id") % 5 === 0, cycleCol(col("lang")))
+          .otherwise(col("lang")).as("label"))
+      val r3 = docs.select(col("doc_id").as("unit"), lit("r3").as("rater"),
+        when(col("doc_id") % 3 === 0, cycleCol(cycleCol(col("lang"))))
+          .otherwise(col("lang")).as("label"))
+      Agreement.krippendorffAlpha(r1.unionByName(r2).unionByName(r3),
+        "unit", "rater", "label", scale = 2L)
+    },
+    Some(s"""WITH r AS (
+      |  SELECT doc_id AS unit, 'r1' AS rater, lang AS label FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, 'r2',
+      |    CASE WHEN doc_id % 5 = 0 THEN ${cycleSql("lang")} ELSE lang END
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, 'r3',
+      |    CASE WHEN doc_id % 3 = 0 THEN ${cycleSql(cycleSql("lang"))} ELSE lang END
+      |  FROM documents),
+      |m AS (SELECT unit, COUNT(*) AS m FROM r GROUP BY unit HAVING COUNT(*) > 1),
+      |pr AS (
+      |  SELECT x.label AS c, y.label AS k, CAST(2 / (m.m - 1) AS BIGINT) AS w
+      |  FROM r x JOIN r y ON x.unit = y.unit AND x.rater <> y.rater
+      |  JOIN m ON x.unit = m.unit),
+      |co AS (SELECT c, k, CAST(SUM(w) AS BIGINT) AS o_ck FROM pr GROUP BY c, k),
+      |nc AS (SELECT c, CAST(SUM(o_ck) AS BIGINT) AS n_c FROM co GROUP BY c),
+      |tot AS (SELECT CAST(SUM(n_c) AS BIGINT) AS n_s,
+      |               CAST(SUM(n_c * n_c) AS BIGINT) AS snc2 FROM nc),
+      |dn AS (SELECT CAST(COALESCE(SUM(o_ck), 0) AS BIGINT) AS do_num
+      |       FROM co WHERE c <> k)
+      |SELECT CAST(FLOOR(CAST(n_s AS DOUBLE) / 2) AS BIGINT) AS n_coincidence,
+      |  CAST(do_num AS DOUBLE) / n_s AS d_o,
+      |  CAST(n_s * n_s - snc2 AS DOUBLE) / (n_s * (n_s - 2)) AS d_e,
+      |  CAST(1.0 AS DOUBLE) -
+      |    (CAST(do_num AS DOUBLE) / n_s)
+      |      / (CAST(n_s * n_s - snc2 AS DOUBLE) / (n_s * (n_s - 2))) AS alpha
+      |FROM dn, tot""".stripMargin))
+
+  /** Link-graph modulus for q206 — prime, small enough that the fixture
+    * graph has real triangle structure at sf0.01. */
+  private val TriM = 97
+
+  /** q206: triangle counts + local clustering coefficients via
+    * degree-ordered orientation ([[graft.graph.Triangles]]) over the
+    * synthesized domain link graph (two affine outlinks per doc, the
+    * q153 construction). The oracle replays orientation, wedge build
+    * and closure probe; counting is exact so lcc hashes bit-for-bit. */
+  val q206 = GQuery(
+    "q206_triangle_lcc",
+    (s, d) => {
+      val e = documents(s, d).select(col("doc_id"))
+        .select(col("doc_id"), explode(array(
+          (col("doc_id") * 7 + 13) % TriM,
+          (col("doc_id") * 13 + 29) % TriM)).as("t"))
+        .select((col("doc_id") % TriM).as("src"), col("t").as("dst"))
+      Triangles.perNode(e, "src", "dst")
+    },
+    Some(s"""WITH raw AS (
+      |  SELECT doc_id % $TriM AS src, t.dst
+      |  FROM documents CROSS JOIN LATERAL (
+      |    SELECT UNNEST(ARRAY[(doc_id * 7 + 13) % $TriM,
+      |                        (doc_id * 13 + 29) % $TriM]) AS dst) t),
+      |und AS (
+      |  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      |  FROM raw WHERE src <> dst),
+      |deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+      |    SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+      |  GROUP BY node),
+      |ori AS (
+      |  SELECT CASE WHEN da.degree < db.degree
+      |              OR (da.degree = db.degree AND u.a < u.b)
+      |         THEN u.a ELSE u.b END AS lo,
+      |         CASE WHEN da.degree < db.degree
+      |              OR (da.degree = db.degree AND u.a < u.b)
+      |         THEN u.b ELSE u.a END AS hi
+      |  FROM und u JOIN deg da ON u.a = da.node JOIN deg db ON u.b = db.node),
+      |wedges AS (
+      |  SELECT e1.lo AS x, e1.hi AS u, e2.hi AS v
+      |  FROM ori e1 JOIN ori e2 ON e1.lo = e2.lo AND e1.hi < e2.hi),
+      |tris AS (
+      |  SELECT w.x, w.u, w.v FROM wedges w
+      |  JOIN ori o ON (o.lo = w.u AND o.hi = w.v)
+      |             OR (o.lo = w.v AND o.hi = w.u)),
+      |pc AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles FROM (
+      |    SELECT x AS node FROM tris UNION ALL SELECT u FROM tris
+      |    UNION ALL SELECT v FROM tris)
+      |  GROUP BY node)
+      |SELECT d.node, d.degree, COALESCE(pc.triangles, 0) AS triangles,
+      |  CASE WHEN d.degree > 1
+      |    THEN CAST(2.0 AS DOUBLE) * COALESCE(pc.triangles, 0)
+      |         / (d.degree * CAST(d.degree - 1 AS DOUBLE))
+      |    ELSE CAST(0.0 AS DOUBLE) END AS lcc
+      |FROM deg d LEFT JOIN pc ON d.node = pc.node""".stripMargin))
+
+  /** q207: GRPO group-relative advantage normalization + best-of-n
+    * selection ([[graft.stats.Rewards.groupNormalize]]) over the event
+    * log read as (prompt=user, candidate=event, reward=value). Exact
+    * decimal moments, population variance, zero-variance guard; the
+    * best flag's (reward, event_id) argmax is total so membership is
+    * replayable. */
+  val q207 = GQuery(
+    "q207_grpo_advantage",
+    (s, d) => {
+      val ev = events(s, d).select(col("user_id"), col("event_id"),
+        col("value").as("reward"))
+      Rewards.groupNormalize(ev, "user_id", "reward", "event_id")
+        .select(col("user_id"), col("event_id"), col("reward"),
+          col("advantage"), col("best"))
+    },
+    Some(s"""WITH ev AS (
+      |  SELECT user_id, event_id, value AS reward FROM events),
+      |m AS (
+      |  SELECT user_id, COUNT(*) AS n,
+      |    ${dsumSql("reward")} AS s1, ${dsumSql("reward * reward")} AS s2
+      |  FROM ev GROUP BY user_id),
+      |b AS (
+      |  SELECT user_id, event_id AS best_eid FROM (
+      |    SELECT user_id, event_id, row_number() OVER (
+      |      PARTITION BY user_id ORDER BY reward DESC, event_id DESC) AS rn
+      |    FROM ev) br WHERE rn = 1),
+      |mm AS (
+      |  SELECT m.user_id, b.best_eid, s1 / n AS mean,
+      |    sqrt(GREATEST(s2 / n - (s1 / n) * (s1 / n),
+      |                  CAST(0.0 AS DOUBLE))) AS sd
+      |  FROM m JOIN b ON m.user_id = b.user_id)
+      |SELECT e.user_id, e.event_id, e.reward,
+      |  CASE WHEN mm.sd > 0 THEN (e.reward - mm.mean) / mm.sd
+      |       ELSE CAST(0.0 AS DOUBLE) END AS advantage,
+      |  e.event_id = mm.best_eid AS best
+      |FROM ev e JOIN mm ON e.user_id = mm.user_id""".stripMargin))
+
+  def queries: Seq[GQuery] = Seq(q203, q204, q205, q206, q207)
+}

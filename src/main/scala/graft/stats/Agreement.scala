@@ -1,0 +1,113 @@
+package graft.stats
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.core.Exact
+
+/** Inter-annotator agreement — the labeler-quality gate every
+  * human-annotation pipeline (preference data, safety labels, quality
+  * ratings) runs before trusting its labels. Two standards:
+  *
+  *  - Cohen's kappa (two fixed raters): observed agreement corrected
+  *    for chance, κ = (p_o − p_e) / (1 − p_e) with p_e from the two
+  *    raters' marginal label distributions (Cohen 1960).
+  *  - Krippendorff's alpha (nominal metric, any number of raters per
+  *    unit): α = 1 − D_o/D_e over the coincidence matrix, each unit u
+  *    with m_u ratings contributing 1/(m_u−1) per ordered pair of its
+  *    ratings (Krippendorff, Content Analysis, ch. 12).
+  *
+  * Both reduce to integer-count aggregations plus a handful of final
+  * IEEE divisions, so the results are bit-reproducible at any
+  * parallelism and replayable by an ANSI oracle:
+  *
+  *  - kappa needs only the joint label-pair census (one groupBy over
+  *    the double-labeled rows);
+  *  - alpha's coincidence pairs come from a within-unit self-join,
+  *    bounded because m_u = raters-per-unit is small (2–5 in any real
+  *    annotation design) — the join is on unit id, so at 100 TB it is
+  *    one hash shuffle on unit with tiny per-key groups, never a
+  *    cross of the corpus. To keep everything integer-exact the
+  *    per-pair weight 1/(m_u−1) is carried as a RATIONAL: numerators
+  *    are multiplied by Π(m−1) of the OTHER multiplicities' lcm —
+  *    here simply by using per-unit weight scaled by L/(m_u−1) where
+  *    L = lcm of observed (m_u−1) values, bounded (≤ raters!).
+  */
+object Agreement {
+
+  /** Cohen's kappa for exactly two raters.
+    *
+    * @param labels one row per (unit, labelA, labelB)
+    * @return one row: (n_units, p_o, p_e, kappa)
+    */
+  def cohenKappa(labels: DataFrame, labelACol: String,
+                 labelBCol: String): DataFrame = {
+    val la = col(labelACol); val lb = col(labelBCol)
+    // joint census: everything downstream is arithmetic over these counts
+    val cells = labels.groupBy(la.as("la"), lb.as("lb"))
+      .agg(count(lit(1)).as("n"))
+    val aMarg = cells.groupBy(col("la").as("l")).agg(sum(col("n")).as("na"))
+    val bMarg = cells.groupBy(col("lb").as("l")).agg(sum(col("n")).as("nb"))
+    val n = cells.agg(sum(col("n")).as("n_units"),
+      sum(when(col("la") === col("lb"), col("n")).otherwise(lit(0L))).as("agree"))
+    // Σ_k na_k·nb_k as exact int64 (label cardinality is tiny; counts fit)
+    val pe = aMarg.join(bMarg, Seq("l"))
+      .agg(sum(col("na") * col("nb")).as("pe_num"))
+    n.crossJoin(pe)
+      .select(
+        col("n_units"),
+        (col("agree").cast("double") / col("n_units")).as("p_o"),
+        (col("pe_num").cast("double") /
+          (col("n_units") * col("n_units"))).as("p_e"))
+      .withColumn("kappa",
+        (col("p_o") - col("p_e")) / (lit(1.0) - col("p_e")))
+  }
+
+  /** Krippendorff's alpha, nominal metric, arbitrary raters per unit.
+    *
+    * @param ratings one row per (unit, rater, label); units with a
+    *                single rating contribute nothing (standard)
+    * @param scale   integer scale L that must be divisible by every
+    *                observed (m_u − 1) so coincidence weights L/(m_u−1)
+    *                stay integral (e.g. lcm(1..maxRaters−1))
+    * @return one row: (n_coincidence, d_o, d_e, alpha)
+    */
+  def krippendorffAlpha(ratings: DataFrame, unitCol: String,
+                        raterCol: String, labelCol: String,
+                        scale: Long): DataFrame = {
+    val u = col(unitCol)
+    val m = ratings.groupBy(u.as("unit")).agg(count(lit(1)).as("m"))
+      .filter(col("m") > 1)
+    val r = ratings.select(u.as("unit"), col(raterCol).as("rater"),
+      col(labelCol).as("label"))
+    // ordered within-unit pairs of distinct ratings; weight L/(m_u-1)
+    // kept integral by the caller-supplied scale
+    val pairs = r.join(r.withColumnRenamed("rater", "rater2")
+        .withColumnRenamed("label", "label2"), Seq("unit"))
+      .filter(col("rater") =!= col("rater2"))
+      .join(m, Seq("unit"))
+      .select(col("label").as("c"), col("label2").as("k"),
+        // integral by the scale contract (S % (m_u-1) == 0); the double
+        // division is exact at these magnitudes, the cast restores int64
+        (lit(scale) / (col("m") - 1)).cast("long").as("w"))
+    // all *_s quantities are scaled by S; the true coincidence total
+    // n = n_s/S is integral by construction (each unit contributes
+    // exactly m_u coincidences: m_u(m_u-1) ordered pairs × 1/(m_u-1))
+    val co = pairs.groupBy(col("c"), col("k")).agg(sum(col("w")).as("o_ck"))
+    val nC = co.groupBy(col("c")).agg(sum(col("o_ck")).as("n_c"))
+    val tot = nC.agg(sum(col("n_c")).as("n_s"),
+      sum(col("n_c") * col("n_c")).as("sum_nc2_s2"))
+    val doNum = co.filter(col("c") =!= col("k"))
+      .agg(coalesce(sum(col("o_ck")), lit(0L)).as("do_num_s"))
+    // the scale cancels into pure int64 arithmetic:
+    //   D_o = (do_num_s/S) / n               = do_num_s / n_s
+    //   D_e = ((n_s²−Σn_c_s²)/S²) / (n(n−1)) = (n_s²−Σn_c_s²) / (n_s(n_s−S))
+    // leaving exactly two IEEE divisions + one subtraction for alpha
+    doNum.crossJoin(tot)
+      .select(
+        floor(col("n_s") / scale).cast("long").as("n_coincidence"),
+        (col("do_num_s").cast("double") / col("n_s")).as("d_o"),
+        ((col("n_s") * col("n_s") - col("sum_nc2_s2")).cast("double") /
+          (col("n_s") * (col("n_s") - lit(scale)))).as("d_e"))
+      .withColumn("alpha", lit(1.0) - col("d_o") / col("d_e"))
+  }
+}

@@ -1,0 +1,94 @@
+package graft.stats
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.core.Exact
+
+/** Bradley–Terry strength fitting from pairwise preference data — the
+  * aggregation step behind RLHF reward modeling and arena-style model
+  * ranking: given counts of "i beat j", estimate a strength p_i per
+  * item so that P(i ≻ j) = p_i / (p_i + p_j).
+  *
+  * Fitting uses the classical minorization–maximization update
+  * (Hunter, "MM algorithms for generalized Bradley–Terry models",
+  * Annals of Statistics 2004):
+  *
+  *   p_i ← W_i / Σ_{j≠i} n_ij / (p_i + p_j)
+  *
+  * with W_i = total wins of i and n_ij = games between i and j,
+  * renormalized to Σp = 1 after every step. A fixed iteration count
+  * (no data-dependent stopping) keeps the computation replayable.
+  *
+  * Distributed shape: the comparison table is the big side (one row
+  * per unordered pair with game/win counts — at 100 TB this is the
+  * full preference log pre-aggregated by one groupBy); the parameter
+  * vector is one row per ITEM (models/policies — thousands at most)
+  * and rides a broadcast join. Each iteration is therefore one
+  * broadcast join + one aggregation on item id; no collect, no
+  * driver-side loop over data.
+  *
+  * Determinism: the per-pair quotients n/(p_i+p_j) are IEEE doubles
+  * (identical in any engine); their per-item sum is decimal-routed
+  * ([[Exact.dsum]]) so the result is bit-identical at any parallelism
+  * and replayable by an ANSI oracle using the matching
+  * CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) shape.
+  */
+object BradleyTerry {
+
+  /** Fit strengths over a canonical pair table.
+    *
+    * @param pairs  one row per unordered item pair: (aCol, bCol,
+    *               winsA, winsB) with aCol < bCol conventionally —
+    *               only distinctness is required
+    * @param iters  fixed MM iteration count
+    * @return (item, wins, games, strength) — strength normalized to
+    *         sum 1 across items
+    */
+  def fit(pairs: DataFrame, aCol: String, bCol: String,
+          winsACol: String, winsBCol: String, iters: Int): DataFrame = {
+    val a = col(aCol); val b = col(bCol)
+    val wa = col(winsACol).cast("double"); val wb = col(winsBCol).cast("double")
+    // symmetric view: one row per ORDERED (item, opponent) pair
+    val sym = pairs.select(a.as("item"), b.as("opp"), (wa + wb).as("n"))
+      .unionByName(pairs.select(b.as("item"), a.as("opp"), (wa + wb).as("n")))
+    val games = sym.groupBy(col("item")).agg(Exact.dsum(col("n")).as("games"))
+    val wins = pairs.select(a.as("item"), wa.as("w"))
+      .unionByName(pairs.select(b.as("item"), wb.as("w")))
+      .groupBy(col("item"))
+      .agg(Exact.dsum(col("w")).as("w"))
+      .localCheckpoint(eager = true) // reused every iteration
+    val items = games.select(col("item"))
+    val nItems = items.count() // item-cardinality only: bounded (models), not data rows
+    var p = items.withColumn("p", lit(1.0 / nItems))
+    var it = 0
+    while (it < iters) {
+      val joined = sym
+        .join(broadcast(p.withColumnRenamed("p", "p_i")), Seq("item"))
+        .join(broadcast(p.select(col("item").as("opp"), col("p").as("p_j"))),
+          Seq("opp"))
+      val den = joined.groupBy(col("item"))
+        .agg(Exact.dsum(col("n") / (col("p_i") + col("p_j"))).as("den"))
+      val raw = wins
+        .join(den, Seq("item"))
+        .select(col("item"), (col("w") / col("den")).as("praw"))
+      val tot = raw.agg(Exact.dsum(col("praw")).as("tot"))
+      // EAGER per-round checkpoint + a FRESH LogicalRDD: localCheckpoint
+      // alone preserves the parent plan's stats (so broadcast decisions
+      // survive), which means join-stats sizeInBytes COMPOUNDS
+      // geometrically across rounds — by round ~15 the stats BigInts
+      // have millions of digits and planning time dwarfs the data work.
+      // Rebuilding from the materialized RDD resets stats to the
+      // per-round default, keeping planning O(1) per round.
+      val ck = raw.crossJoin(broadcast(tot))
+        .select(col("item"), (col("praw") / col("tot")).as("p"))
+        .localCheckpoint(eager = true)
+      p = ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+      it += 1
+    }
+    wins
+      .join(games, Seq("item"))
+      .join(p, Seq("item"))
+      .select(col("item"), col("w").as("wins"), col("games"),
+        col("p").as("strength"))
+  }
+}
