@@ -126,5 +126,140 @@ object EndToEndQueries {
       |FROM binned GROUP BY date_bin_start""".stripMargin),
     headline = true)
 
-  def queries: Seq[GQuery] = Seq(q95)
+  /** q209: the RLHF-data assembly DAG composed end-to-end — the
+    * post-training counterpart of q95 (fisheries) and q202 (pretrain
+    * mix): conversation logs sessionize into SFT pairs (the q196
+    * assembly) → a stub reward model scores every example (md5-uniform
+    * draw — the replayable seam a real RM plugs into, the multimodal
+    * stub policy) → GRPO group-relative advantages per user
+    * ([[graft.stats.Rewards.groupNormalize]], q207's operator) →
+    * rejection sampling keeps the positive-advantage examples →
+    * no-straddle first-fit packing (q94/q197's
+    * [[graft.text.Packing.packFirstFit]]) → per-shard census with
+    * advantage and id checksums pinning EXACT membership. Every stage
+    * is gated alone (q196, q207, q197); this entry gates the
+    * composition — scores flowing into group moments flowing into the
+    * kept set flowing into bin boundaries — under one hash. */
+  val q209 = GQuery(
+    "q209_rlhf_data_dag",
+    (s, d) => {
+      import graft.text.TextFunctions.bpeishCount
+      import org.apache.spark.sql.expressions.Window
+      val e = events(s, d).select(col("user_id"),
+        expr("unix_micros(ts)").as("us"), col("event_id"),
+        concat(col("event_type"), lit(" "),
+          floor(col("value") * 100).cast("long")).as("text"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      val turns = e
+        .withColumn("__chg",
+          when(col("us") - lag(col("us"), 1).over(w) > 1800000000L, 1)
+            .when(lag(col("us"), 1).over(w).isNull, 1).otherwise(0))
+        .withColumn("session", sum(col("__chg")).over(
+          w.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(col("user_id"), col("session"))
+            .orderBy(col("us"), col("event_id"))))
+        .withColumn("role",
+          when(col("__rn") % 2 === 1, lit("user")).otherwise(lit("assistant")))
+      val ex = graft.text.Sft.pairs(turns, Seq("user_id", "session"),
+          Seq("us", "event_id"), "role", "text", targetRole = "assistant")
+        .select(col("user_id"),
+          (col("user_id") * 1000000L + col("session") * 1000L + col("turn_idx"))
+            .as("ex_id"),
+          (bpeishCount(col("prompt")) + bpeishCount(col("response"))).as("tt"))
+      val scored = ex.withColumn("reward",
+        conv(substring(md5(concat(lit("rm-"), col("ex_id").cast("string"))),
+          1, 7), 16, 10).cast("long") / lit(268435456.0))
+      val kept = graft.stats.Rewards
+        .groupNormalize(scored, "user_id", "reward", "ex_id")
+        .filter(col("advantage") > 0)
+      val packed = graft.text.Packing.packFirstFit(
+        kept.select(col("ex_id"), col("tt")), "ex_id", "tt",
+        capacity = 256L, nShards = 2)
+      packed.join(kept.select(col("ex_id"), col("advantage")), Seq("ex_id"))
+        .groupBy(col("shard"))
+        .agg(
+          graft.core.Exact.lcount(lit(1)).as("n_examples"),
+          countDistinct(col("bin")).as("n_bins"),
+          sum(col("n_tokens")).as("n_tokens"),
+          sum(floor(col("advantage") * 1e6 + 0.5).cast("long")).as("adv_e6_sum"),
+          sum(col("ex_id")).as("id_checksum"))
+    },
+    Some({
+      val dsum = (x: String) => s"CAST(SUM(CAST(($x) AS DECIMAL(38,6))) AS DOUBLE)"
+      s"""WITH RECURSIVE e AS (
+      |  SELECT user_id, epoch_us(ts) AS us, event_id,
+      |    event_type || ' ' || CAST(FLOOR(value * 100) AS BIGINT) AS text
+      |  FROM events),
+      |g AS (
+      |  SELECT *, CASE WHEN us - lag(us) OVER w > 1800000000 THEN 1
+      |                 WHEN lag(us) OVER w IS NULL THEN 1 ELSE 0 END AS chg
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      |t AS (
+      |  SELECT *, CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session
+      |  FROM g),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id, session
+      |    ORDER BY us, event_id) AS rn
+      |  FROM t),
+      |turns AS (
+      |  SELECT user_id, session, us, event_id, text, rn,
+      |    CASE WHEN rn % 2 = 1 THEN 'user' ELSE 'assistant' END AS role
+      |  FROM r),
+      |hist AS (
+      |  SELECT *, array_to_string(list(role || ': ' || text) OVER (
+      |      PARTITION BY user_id, session ORDER BY us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), chr(10))
+      |    AS prompt
+      |  FROM turns),
+      |ex AS (
+      |  SELECT user_id, user_id * 1000000 + session * 1000 + rn AS ex_id,
+      |    CAST(len(regexp_extract_all(prompt, '${graft.text.TextFunctions.BpeishPattern}'))
+      |      + len(regexp_extract_all(text, '${graft.text.TextFunctions.BpeishPattern}'))
+      |      AS BIGINT) AS tt
+      |  FROM hist WHERE role = 'assistant'),
+      |scored AS (
+      |  SELECT *, CAST(('0x' || substr(md5('rm-' || CAST(ex_id AS VARCHAR)), 1, 7))
+      |    AS BIGINT) / 268435456.0 AS reward
+      |  FROM ex),
+      |m AS (
+      |  SELECT user_id, COUNT(*) AS n,
+      |    ${dsum("reward")} AS s1, ${dsum("reward * reward")} AS s2
+      |  FROM scored GROUP BY user_id),
+      |mm AS (
+      |  SELECT user_id, s1 / n AS mean,
+      |    sqrt(GREATEST(s2 / n - (s1 / n) * (s1 / n),
+      |                  CAST(0.0 AS DOUBLE))) AS sd
+      |  FROM m),
+      |kept AS (
+      |  SELECT s.ex_id, s.tt,
+      |    (s.reward - mm.mean) / mm.sd AS advantage
+      |  FROM scored s JOIN mm ON s.user_id = mm.user_id
+      |  WHERE mm.sd > 0 AND (s.reward - mm.mean) / mm.sd > 0),
+      |docs AS (
+      |  SELECT ex_id, tt, advantage,
+      |    CAST(('0x' || substr(md5(CAST(ex_id AS VARCHAR)), 1, 7)) AS BIGINT) % 2 AS shard
+      |  FROM kept),
+      |ord AS (
+      |  SELECT *, row_number() OVER (PARTITION BY shard ORDER BY ex_id) AS rno
+      |  FROM docs),
+      |fit AS (
+      |  SELECT shard, rno, ex_id, tt, advantage,
+      |    CAST(0 AS BIGINT) AS bin, tt AS fill
+      |  FROM ord WHERE rno = 1
+      |  UNION ALL
+      |  SELECT o.shard, o.rno, o.ex_id, o.tt, o.advantage,
+      |    CASE WHEN f.fill > 0 AND f.fill + o.tt > 256 THEN f.bin + 1 ELSE f.bin END,
+      |    CASE WHEN f.fill > 0 AND f.fill + o.tt > 256 THEN o.tt ELSE f.fill + o.tt END
+      |  FROM fit f JOIN ord o ON o.shard = f.shard AND o.rno = f.rno + 1)
+      |SELECT shard, COUNT(*) AS n_examples,
+      |  CAST(COUNT(DISTINCT bin) AS BIGINT) AS n_bins,
+      |  CAST(SUM(tt) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(CAST(FLOOR(advantage * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS adv_e6_sum,
+      |  CAST(SUM(ex_id) AS BIGINT) AS id_checksum
+      |FROM fit GROUP BY shard""".stripMargin
+    }))
+
+  def queries: Seq[GQuery] = Seq(q95, q209)
 }

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.HllSketch
+
+/** HyperLogLog register aggregate: register parity with the
+  * compositional groupBy-max spelling, merge correctness across
+  * partitionings, estimate accuracy within the theoretical error
+  * bound, and the linear-counting small-range branch. */
+class HllSketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val P = 9
+  private val M = 1 << P
+
+  private def estimateOf(keys: Seq[String], parts: Int): (Double, Long, Long) = {
+    HllSketch.register(spark)
+    val df = keys.toDF("k").repartition(parts)
+      .select(HllSketch.hash60(col("k"), "spec").as("h"))
+      .agg(expr(s"hll_registers(h, $P)").as("regs"))
+      .select(HllSketch.zerosCol(col("regs")).as("zeros"),
+        HllSketch.sumExpS52Col(col("regs")).as("s52"))
+      .withColumn("est", HllSketch.estimateCol(col("zeros"), col("s52"), P))
+      .collect()(0)
+    (df.getAs[Double]("est"), df.getAs[Long]("zeros"), df.getAs[Long]("s52"))
+  }
+
+  test("registers match the compositional groupBy-max spelling") {
+    HllSketch.register(spark)
+    val keys = (0 until 5000).map(i => s"key-$i")
+    val hashed = keys.toDF("k")
+      .select(HllSketch.hash60(col("k"), "spec").as("h"))
+    val native = hashed.agg(expr(s"hll_registers(h, $P)"))
+      .collect()(0).getSeq[Int](0)
+    val wBits = 60 - P
+    val composed = hashed
+      .select(shiftright(col("h"), wBits).as("bucket"),
+        (col("h") % (1L << wBits)).as("w"))
+      .withColumn("rho",
+        when(col("w") === 0, lit(wBits + 1))
+          .otherwise(lit(wBits + 1) - length(conv(col("w"), 10, 2))))
+      .groupBy("bucket").agg(max("rho").as("reg"))
+      .collect().map(r => r.getAs[Long]("bucket").toInt -> r.getAs[Int]("reg"))
+      .toMap
+    (0 until M).foreach { b =>
+      assert(native(b) == composed.getOrElse(b, 0),
+        s"register $b: native ${native(b)} vs composed ${composed.getOrElse(b, 0)}")
+    }
+  }
+
+  test("merge across partitionings is exact: 1 partition == 16 partitions") {
+    val keys = (0 until 20000).map(i => s"u-${i % 7321}")
+    assert(estimateOf(keys, 1) == estimateOf(keys, 16),
+      "registers (and so the estimate) must not depend on partitioning")
+  }
+
+  test("estimate within 4 standard errors of the true cardinality") {
+    val n = 50000
+    val keys = (0 until n).map(i => s"item-$i")
+    val (est, _, _) = estimateOf(keys, 8)
+    val se = 1.04 / math.sqrt(M.toDouble) // ~4.6% at p=9
+    assert(math.abs(est - n) / n < 4 * se,
+      s"estimate $est too far from $n (rel ${math.abs(est - n) / n})")
+  }
+
+  test("small-range branch: low cardinality routes through linear counting") {
+    val keys = (0 until 30).map(i => s"rare-$i")
+    val (est, zeros, _) = estimateOf(keys, 4)
+    assert(zeros > 0 && zeros <= M - 1)
+    // linear counting: m * ln(m / zeros) — exact for distinct buckets
+    val expected = M.toDouble * math.log(M.toDouble / zeros)
+    assert(est == expected, s"est $est != linear-counting $expected")
+    assert(math.abs(est - 30) < 5, s"linear counting way off: $est vs 30")
+  }
+
+  test("duplicates do not move the registers") {
+    val once = (0 until 3000).map(i => s"d-$i")
+    val many = Seq.fill(5)(once).flatten
+    assert(estimateOf(once, 4) == estimateOf(many, 8))
+  }
+}
