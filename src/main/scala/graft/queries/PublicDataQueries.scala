@@ -385,5 +385,49 @@ object PublicDataQueries {
       |FROM kept k JOIN ranked r ON k.habitat = r.habitat
       |GROUP BY k.habitat, r.hsum""".stripMargin))
 
-  def queries: Seq[GQuery] = Seq(q75, q76, q79, q80, q159, q168, q190)
+  /** q210: l-diversity audit on the q159 publishable grain — the
+    * attribute-disclosure upgrade over bare k-anonymity (Machanavajjhala
+    * et al. 2007): a class can be large (k-anonymous) yet expose its
+    * SENSITIVE attribute if every member shares one value. Per
+    * equivalence class: distinct sensitive values (here the customer's
+    * nation serves as the sensitive column against the
+    * (segment, bal_bin) quasi-identifiers); per segment: the minimum
+    * class diversity (the l), classes failing l=3, and the rows a
+    * suppression pass would withhold. Same two-level census shape as
+    * q159 — one extra distinct per class, still one shuffle. */
+  val q210 = GQuery(
+    "q210_l_diversity",
+    (s, d) => {
+      val qi = customer(s, d).select(
+        col("c_mktsegment").as("segment"),
+        floor(col("c_acctbal") / 1000.0).cast("long").as("bal_bin"),
+        col("c_nationkey").as("sensitive"))
+      qi.groupBy(col("segment"), col("bal_bin"))
+        .agg(lcount(lit(1)).as("cls_n"),
+          countDistinct(col("sensitive")).as("cls_l"))
+        .groupBy(col("segment"))
+        .agg(
+          sum(col("cls_n")).as("n_rows"),
+          lcount(lit(1)).as("n_classes"),
+          min(col("cls_l")).as("l_diversity"),
+          sum(when(col("cls_l") < 3, 1L).otherwise(0L)).as("n_low_classes"),
+          sum(when(col("cls_l") < 3, col("cls_n")).otherwise(lit(0L)))
+            .as("n_suppressed"))
+    },
+    Some("""WITH qi AS (
+      |  SELECT c_mktsegment AS segment,
+      |    CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_bin,
+      |    c_nationkey AS sensitive
+      |  FROM customer),
+      |cls AS (
+      |  SELECT segment, bal_bin, COUNT(*) AS cls_n,
+      |    CAST(COUNT(DISTINCT sensitive) AS BIGINT) AS cls_l
+      |  FROM qi GROUP BY segment, bal_bin)
+      |SELECT segment, CAST(SUM(cls_n) AS BIGINT) AS n_rows,
+      |  COUNT(*) AS n_classes, MIN(cls_l) AS l_diversity,
+      |  CAST(SUM(CASE WHEN cls_l < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_low_classes,
+      |  CAST(SUM(CASE WHEN cls_l < 3 THEN cls_n ELSE 0 END) AS BIGINT) AS n_suppressed
+      |FROM cls GROUP BY segment""".stripMargin))
+
+  def queries: Seq[GQuery] = Seq(q75, q76, q79, q80, q159, q168, q190, q210)
 }
