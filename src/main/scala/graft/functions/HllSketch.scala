@@ -60,16 +60,7 @@ case class HllRegistersAgg(child: Expression, pExpr: Expression,
 
   override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
     val v = child.eval(input)
-    if (v != null) {
-      val h = v.asInstanceOf[Long]
-      val bucket = (h >>> wBits).toInt & (m - 1)
-      val w = h & ((1L << wBits) - 1)
-      // bit length of w is 64 - clz; rho = wBits - bitlen + 1 (w=0 → wBits+1)
-      val rho =
-        if (w == 0L) wBits + 1
-        else wBits - (64 - java.lang.Long.numberOfLeadingZeros(w)) + 1
-      if (rho > buf(bucket)) buf(bucket) = rho.toByte
-    }
+    if (v != null) HllSketch.updateRegister(buf, v.asInstanceOf[Long], p)
     buf
   }
 
@@ -114,6 +105,29 @@ object HllSketch {
   def hash60(key: Column, tag: String = ""): Column =
     conv(substring(md5(concat(lit(s"hll-$tag"), key)), 1, 15), 16, 10)
       .cast("long")
+
+  /** JVM twin of [[hash60]] for state-store operators
+    * ([[graft.streaming.StreamHll]]) — identical bytes, identical
+    * parse, so stream and batch registers are interchangeable. */
+  def hash60Jvm(key: String, tag: String = ""): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"hll-$tag$key".getBytes("UTF-8"))
+    java.lang.Long.parseLong(
+      md.take(8).map("%02x".format(_)).mkString.take(15), 16)
+  }
+
+  /** In-place register update for a 60-bit hash — the exact arithmetic
+    * [[HllRegistersAgg.update]] uses, shared so the streaming arm
+    * cannot drift from the aggregate. */
+  def updateRegister(regs: Array[Byte], h: Long, p: Int): Unit = {
+    val wBits = 60 - p
+    val bucket = (h >>> wBits).toInt & ((1 << p) - 1)
+    val w = h & ((1L << wBits) - 1)
+    val rho =
+      if (w == 0L) wBits + 1
+      else wBits - (64 - java.lang.Long.numberOfLeadingZeros(w)) + 1
+    if (rho > regs(bucket)) regs(bucket) = rho.toByte
+  }
 
   /** HLL bias-correction constant alpha_m (Flajolet et al. 2007,
     * m >= 128), as the exact double both engines must use. */
