@@ -185,14 +185,23 @@ object BloomQueries {
       "q208_hll_cardinality",
       (s, d) => {
         HllSketch.register(s)
+        // the two arms aggregate SEPARATELY and join on the group-count
+        // frame: a distinct aggregate beside the typed-imperative sketch
+        // would plan one Expand + combined ObjectHashAggregate over
+        // 2x the rows (measured 2.5 s -> the split is the cheap shape;
+        // at 100 TB you would only ever run the sketch arm anyway — the
+        // exact arm exists to audit it)
         val src = lineitem(s, d).select(
           col("l_returnflag").as("rf"), col("l_linestatus").as("ls"),
-          HllSketch.hash60(col("l_orderkey").cast("string"), "odk").as("h"),
           col("l_orderkey"))
-        src.groupBy(col("rf"), col("ls"))
-          .agg(
-            countDistinct(col("l_orderkey")).as("n_exact"),
-            expr(s"hll_registers(h, $HllP)").as("__regs"))
+        val sketch = src
+          .select(col("rf"), col("ls"),
+            HllSketch.hash60(col("l_orderkey").cast("string"), "odk").as("h"))
+          .groupBy(col("rf"), col("ls"))
+          .agg(expr(s"hll_registers(h, $HllP)").as("__regs"))
+        val exact = src.groupBy(col("rf"), col("ls"))
+          .agg(countDistinct(col("l_orderkey")).as("n_exact"))
+        sketch.join(exact, Seq("rf", "ls"))
           .withColumn("zeros", HllSketch.zerosCol(col("__regs")))
           .withColumn("sumexp_s52", HllSketch.sumExpS52Col(col("__regs")))
           .withColumn("estimate_e6",

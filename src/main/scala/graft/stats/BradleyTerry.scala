@@ -72,13 +72,16 @@ object BradleyTerry {
         .join(den, Seq("item"))
         .select(col("item"), (col("w") / col("den")).as("praw"))
       val tot = raw.agg(Exact.dsum(col("praw")).as("tot"))
-      // EAGER per-round checkpoint + a FRESH LogicalRDD: localCheckpoint
-      // alone preserves the parent plan's stats (so broadcast decisions
-      // survive), which means join-stats sizeInBytes COMPOUNDS
-      // geometrically across rounds — by round ~15 the stats BigInts
-      // have millions of digits and planning time dwarfs the data work.
-      // Rebuilding from the materialized RDD resets stats to the
-      // per-round default, keeping planning O(1) per round.
+      // EAGER per-round checkpoint + a FRESH LogicalRDD. Both halves
+      // measured necessary: (a) localCheckpoint alone preserves the
+      // parent plan's stats, whose join-product sizeInBytes BigInts
+      // then COMPOUND geometrically with rounds (a 20-round fit spent
+      // 24 min inside BigInteger multiplies in the stats visitor);
+      // rebuilding from the materialized RDD resets them. (b) Each
+      // iterate is consumed THREE times (both broadcast sides + the
+      // next round), so deferring materialization to every other round
+      // re-executes the round subtree per consumer — measured 33 %
+      // SLOWER at sf0.1 despite half the barriers.
       val ck = raw.crossJoin(broadcast(tot))
         .select(col("item"), (col("praw") / col("tot")).as("p"))
         .localCheckpoint(eager = true)
