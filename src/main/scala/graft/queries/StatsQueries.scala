@@ -677,7 +677,62 @@ object StatsQueries {
       |      + pr * ln(pr / ((pr + pc) / 2.0)) / 2.0, 6) AS js_contrib
       |FROM p""".stripMargin))
 
+  /** q211: isotonic calibration over reliability buckets
+    * ([[graft.stats.Isotonic]]) — the calibrator TRAINER beside
+    * q200's census: md5-uniform scores against a label whose hit rate
+    * rises with the score (plus sampling noise that plants real
+    * violations), fit by the Robertson–Wright minimax closed form on
+    * the bounded bucket frame, so the monotone step function — every
+    * pooling decision included — replays in the oracle. Integer
+    * counts until one division per interval. */
+  val q211 = {
+    val B = 20
+    GQuery(
+      "q211_isotonic_calibration",
+      (s, d) => {
+        val u = (tag: String) =>
+          conv(substring(md5(concat(lit(tag),
+            col("doc_id").cast("string"))), 1, 7), 16, 10)
+            .cast("long") / lit(268435456.0)
+        val scored = documents(s, d).select(
+          u("iso-s-").as("score"),
+          (u("iso-v-") < lit(0.25) + lit(0.5) * u("iso-s-")).cast("int")
+            .as("label"))
+        graft.stats.Isotonic.calibrate(scored, "score", "label", B)
+      },
+      Some(s"""WITH scored AS (
+        |  SELECT
+        |    CAST(('0x' || substr(md5('iso-s-' || CAST(doc_id AS VARCHAR)), 1, 7))
+        |      AS BIGINT) / 268435456.0 AS score,
+        |    CASE WHEN CAST(('0x' || substr(md5('iso-v-' || CAST(doc_id AS VARCHAR)), 1, 7))
+        |      AS BIGINT) / 268435456.0
+        |      < 0.25 + 0.5 * (CAST(('0x' || substr(md5('iso-s-' || CAST(doc_id AS VARCHAR)), 1, 7))
+        |      AS BIGINT) / 268435456.0) THEN 1 ELSE 0 END AS label
+        |  FROM documents),
+        |per AS (
+        |  SELECT CAST(LEAST(FLOOR(score * $B), ${B - 1}) AS BIGINT) AS bucket,
+        |    CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(label) AS BIGINT) AS sum_y
+        |  FROM scored GROUP BY 1),
+        |pre AS (
+        |  SELECT *, SUM(n) OVER wo AS cn, SUM(sum_y) OVER wo AS cy
+        |  FROM per WINDOW wo AS (ORDER BY bucket ROWS UNBOUNDED PRECEDING)),
+        |iv AS (
+        |  SELECT l.bucket AS j, h.bucket AS k,
+        |    CAST(h.cy - (l.cy - l.sum_y) AS DOUBLE)
+        |      / (h.cn - (l.cn - l.n)) AS avg
+        |  FROM pre l JOIN pre h ON l.bucket <= h.bucket),
+        |mn AS (
+        |  SELECT p.bucket AS i, iv.j, MIN(iv.avg) AS mn
+        |  FROM iv JOIN per p ON iv.j <= p.bucket AND p.bucket <= iv.k
+        |  GROUP BY 1, 2),
+        |fit AS (SELECT i, MAX(mn) AS fitted0 FROM mn GROUP BY i)
+        |SELECT per.bucket, per.n, per.sum_y,
+        |  round(CAST(per.sum_y AS DOUBLE) / per.n, 6) AS raw_rate,
+        |  round(f.fitted0, 6) AS fitted
+        |FROM per JOIN fit f ON per.bucket = f.i""".stripMargin))
+  }
+
   def queries: Seq[GQuery] =
     Seq(q23, q24, q25, q26, q27, q28, q29, q30, q31, q51, q58, q113, q163,
-      q185, q191)
+      q185, q191, q211)
 }
