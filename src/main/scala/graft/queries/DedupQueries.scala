@@ -1081,5 +1081,31 @@ object DedupQueries {
       })
   }
 
-  def queries: Seq[GQuery] = Seq(q36, q37, q38, q39, q57, q61, q88, q90, q103, q108, q118, q123, q124, q125, q127, q129, q133, q138, q142, q161, q162, q167, q180)
+  /** q212: distributed suffix-array ranks by prefix doubling
+    * ([[graft.text.SuffixArray]]) — the index Lee et al. 2021 build
+    * for substring-level dedup, here over a windowed doc sample (first
+    * 200 chars, every 17th doc). The oracle is the DEFINITION: DuckDB
+    * dense-ranks the raw suffix strings directly, so every rank the
+    * log-round doubling algorithm produces — including dense ties for
+    * identical cross-doc suffixes — is checked against a first-
+    * principles suffix sort. */
+  val q212 = GQuery(
+    "q212_suffix_array",
+    (s, d) => {
+      val sample = documents(s, d)
+        .filter(col("doc_id") % 17 === 0)
+        .select(col("doc_id"), col("text"))
+      graft.text.SuffixArray.ranks(sample, "doc_id", "text", maxChars = 200)
+    },
+    Some("""WITH pos AS (
+      |  SELECT doc_id, CAST(s.i AS BIGINT) AS pos,
+      |    substr(substr(text, 1, 200), s.i) AS suf
+      |  FROM documents,
+      |    UNNEST(generate_series(1, LEAST(length(text), 200))) AS s(i)
+      |  WHERE doc_id % 17 = 0 AND length(text) >= 1)
+      |SELECT doc_id, pos,
+      |  CAST(DENSE_RANK() OVER (ORDER BY suf) AS BIGINT) AS rank
+      |FROM pos""".stripMargin))
+
+  def queries: Seq[GQuery] = Seq(q36, q37, q38, q39, q57, q61, q88, q90, q103, q108, q118, q123, q124, q125, q127, q129, q133, q138, q142, q161, q162, q167, q180, q212)
 }

