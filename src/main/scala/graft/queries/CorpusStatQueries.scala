@@ -360,5 +360,86 @@ object CorpusStatQueries {
       |SELECT p.lang, p.point_mean, ci.ci_lo, ci.ci_hi, ci.n_resamples
       |FROM p JOIN ci USING (lang)""".stripMargin))
 
-  def queries: Seq[GQuery] = Seq(q146, q149, q152, q169, q175)
+  /** q213: WordPiece greedy longest-match segmentation census
+    * ([[graft.text.WordPiece]]) — the BERT-style INFERENCE loop beside
+    * the BPE trainer (q130): a census-built piece vocabulary
+    * (initial/continuation forms, total-order top-V cap, chars always
+    * in), every word segmented by longest-prefix matching, per-lang
+    * fertility. The oracle precomputes a (word, pos) → longest-match
+    * jump table relationally, then REPLAYS the greedy walk itself as a
+    * recursive CTE — every segmentation decision, including the
+    * whole-word-UNK arm, sits under the hash. */
+  val q213 = {
+    val L = 4      // max piece length
+    val TopV = 512 // vocab cap beyond single chars
+    GQuery(
+      "q213_wordpiece_census",
+      (s, d) => {
+        val docs = documents(s, d)
+        val v = graft.text.WordPiece.buildVocab(docs, "text", L, TopV)
+        graft.text.WordPiece.segmentStats(docs, "text", v)
+          .groupBy(col("lang"))
+          .agg(sum(col("n_words")).as("n_words"),
+            sum(col("n_pieces")).as("n_pieces"),
+            sum(col("n_unk_words")).as("n_unk_words"))
+          .withColumn("fertility_e6",
+            floor(col("n_pieces").cast("double") / col("n_words") * 1e6 + 0.5)
+              .cast("long"))
+      },
+      Some(s"""WITH RECURSIVE wl AS (
+        |  SELECT lang, unnest(string_split_regex(trim(text), '\\s+')) AS w
+        |  FROM documents),
+        |wn AS (SELECT lang, w FROM wl WHERE w <> ''),
+        |pp AS (
+        |  SELECT w, s.i AS p FROM (SELECT w FROM wn) t,
+        |    UNNEST(generate_series(1, length(w))) AS s(i)),
+        |pieces AS (
+        |  SELECT substr(w, p, l.j) AS piece,
+        |    CASE WHEN p = 1 THEN 0 ELSE 1 END AS form
+        |  FROM pp, UNNEST(generate_series(1, $L)) AS l(j)
+        |  WHERE p + l.j - 1 <= length(w)),
+        |census AS (SELECT piece, form, COUNT(*) AS c FROM pieces GROUP BY 1, 2),
+        |vocab AS (
+        |  SELECT piece, form FROM census WHERE length(piece) = 1
+        |  UNION ALL
+        |  SELECT piece, form FROM (
+        |    SELECT piece, form FROM census WHERE length(piece) > 1
+        |    ORDER BY c DESC, form, piece LIMIT $TopV) tv),
+        |dw AS (SELECT DISTINCT w FROM wn),
+        |dp AS (
+        |  SELECT w, s.i AS p FROM dw,
+        |    UNNEST(generate_series(1, length(w))) AS s(i)),
+        |jump AS (
+        |  SELECT dp.w, dp.p, MAX(l.j) AS jl
+        |  FROM dp, UNNEST(generate_series(1, $L)) AS l(j), vocab v
+        |  WHERE dp.p + l.j - 1 <= length(dp.w)
+        |    AND v.piece = substr(dp.w, dp.p, l.j)
+        |    AND v.form = CASE WHEN dp.p = 1 THEN 0 ELSE 1 END
+        |  GROUP BY dp.w, dp.p),
+        |walk AS (
+        |  SELECT w, CAST(1 AS BIGINT) AS p, CAST(0 AS BIGINT) AS n,
+        |    FALSE AS failed
+        |  FROM dw
+        |  UNION ALL
+        |  SELECT wk.w, CAST(wk.p + COALESCE(j.jl, 1) AS BIGINT),
+        |    CAST(wk.n + 1 AS BIGINT), j.jl IS NULL
+        |  FROM walk wk LEFT JOIN jump j ON j.w = wk.w AND j.p = wk.p
+        |  WHERE NOT wk.failed AND wk.p <= length(wk.w)),
+        |fin AS (
+        |  SELECT w, MAX(CASE WHEN failed THEN 1 ELSE 0 END) AS unk,
+        |    MAX(CASE WHEN NOT failed AND p > length(w) THEN n END) AS np
+        |  FROM walk GROUP BY w),
+        |ppw AS (
+        |  SELECT w, CASE WHEN unk = 1 THEN 1 ELSE np END AS n_pieces, unk
+        |  FROM fin)
+        |SELECT wn.lang, COUNT(*) AS n_words,
+        |  CAST(SUM(ppw.n_pieces) AS BIGINT) AS n_pieces,
+        |  CAST(SUM(ppw.unk) AS BIGINT) AS n_unk_words,
+        |  CAST(FLOOR(CAST(SUM(ppw.n_pieces) AS DOUBLE) / COUNT(*) * 1e6 + 0.5)
+        |    AS BIGINT) AS fertility_e6
+        |FROM wn JOIN ppw ON wn.w = ppw.w
+        |GROUP BY wn.lang""".stripMargin))
+  }
+
+  def queries: Seq[GQuery] = Seq(q146, q149, q152, q169, q175, q213)
 }
