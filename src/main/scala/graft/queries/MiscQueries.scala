@@ -926,7 +926,73 @@ object MiscQueries {
       |SELECT a, b, CAST(hamming AS INT) AS hamming, vs_corpus
       |FROM cand WHERE hamming <= 3""".stripMargin))
 
+  /** q214: blocked fuzzy record linkage via the native [[
+    * graft.functions.JaroWinklerExpr]] — the Fellegi–Sunter comparison
+    * step at its scale shape: candidate pairs come ONLY from equality
+    * blocking (6-char name prefix + exact length — one equi-join, never
+    * all-pairs), each pair scored by the codegen'd Jaro–Winkler kernel
+    * (bit-checked against DuckDB's jaro_winkler_similarity), matches at
+    * the e6-floored 0.94 threshold. Per block: candidate mass, match
+    * mass, score checksum — the census a linkage run uses to size its
+    * clerical-review queue. Skewed blocks (shared first words) are the
+    * q170 salting case at 100 TB. */
+  val q214 = GQuery(
+    "q214_fuzzy_linkage",
+    (s, d) => {
+      graft.functions.JaroWinkler.register(s)
+      val p = part(s, d).select(
+        col("p_partkey").as("k"),
+        concat(col("p_name"), lit(" "), lower(col("p_type"))).as("nm"),
+        concat(substring(col("p_name"), 1, 6),
+          length(col("p_name")).cast("string")).as("blk"))
+      val cand = p.select(col("blk"), col("k").as("ka"), col("nm").as("na"))
+        .join(p.select(col("blk"), col("k").as("kb"), col("nm").as("nb")),
+          Seq("blk"))
+        .filter(col("ka") < col("kb"))
+      val sizes = p.groupBy(col("blk")).agg(lcount(lit(1)).as("c"))
+        .filter(col("c") > 1)
+        .select(col("blk"),
+          // c(c-1) is even, so the double division is exact; cast keeps
+          // the column BIGINT like the oracle's integer //
+          (col("c") * (col("c") - 1) / 2).cast("long").as("n_candidates"))
+      val matches = cand
+        .withColumn("jw_e6",
+          floor(expr("jaro_winkler(na, nb)") * 1e6 + 0.5).cast("long"))
+        .filter(col("jw_e6") >= 940000L)
+        .groupBy(col("blk"))
+        .agg(lcount(lit(1)).as("n_matches"),
+          sum(col("jw_e6")).as("jw_checksum"),
+          max(col("jw_e6")).as("max_jw_e6"))
+      sizes.join(matches, Seq("blk"), "left")
+        .select(col("blk"), col("n_candidates"),
+          coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+          coalesce(col("jw_checksum"), lit(0L)).as("jw_checksum"),
+          coalesce(col("max_jw_e6"), lit(0L)).as("max_jw_e6"))
+    },
+    Some("""WITH p AS (
+      |  SELECT p_partkey AS k, p_name || ' ' || lower(p_type) AS nm,
+      |    substr(p_name, 1, 6) || CAST(length(p_name) AS VARCHAR) AS blk
+      |  FROM part),
+      |sizes AS (
+      |  SELECT blk, CAST(COUNT(*) AS BIGINT) AS c FROM p GROUP BY blk
+      |  HAVING COUNT(*) > 1),
+      |m AS (
+      |  SELECT a.blk,
+      |    CAST(FLOOR(jaro_winkler_similarity(a.nm, b.nm) * 1e6 + 0.5) AS BIGINT)
+      |      AS jw_e6
+      |  FROM p a JOIN p b ON a.blk = b.blk AND a.k < b.k),
+      |mm AS (
+      |  SELECT blk, CAST(COUNT(*) AS BIGINT) AS n_matches,
+      |    CAST(SUM(jw_e6) AS BIGINT) AS jw_checksum,
+      |    MAX(jw_e6) AS max_jw_e6
+      |  FROM m WHERE jw_e6 >= 940000 GROUP BY blk)
+      |SELECT s.blk, CAST(s.c * (s.c - 1) // 2 AS BIGINT) AS n_candidates,
+      |  COALESCE(mm.n_matches, 0) AS n_matches,
+      |  COALESCE(mm.jw_checksum, 0) AS jw_checksum,
+      |  COALESCE(mm.max_jw_e6, 0) AS max_jw_e6
+      |FROM sizes s LEFT JOIN mm ON s.blk = mm.blk""".stripMargin))
+
   def queries: Seq[GQuery] =
     Seq(q45, q46, q47, q49, q52, q59, q62, q63, q64, q67, q69, q71, q148, q155,
-      q170, q177, q187, q192, q198, q199)
+      q170, q177, q187, q192, q198, q199, q214)
 }
