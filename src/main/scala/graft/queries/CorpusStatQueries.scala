@@ -441,5 +441,113 @@ object CorpusStatQueries {
         |GROUP BY wn.lang""".stripMargin))
   }
 
-  def queries: Seq[GQuery] = Seq(q146, q149, q152, q169, q175, q213)
+  /** q215: unigram-LM (SentencePiece-style) tokenizer trained by hard
+    * EM ([[graft.text.UnigramLm]]) — the third tokenizer family beside
+    * BPE (q130) and WordPiece (q213): seed substring census →
+    * 2 × (Viterbi segmentation → usage re-estimation) → per-lang
+    * segmentation census. The path scores are LEFT-TO-RIGHT products
+    * of count-ratio probabilities — no logs — so the oracle replays
+    * the ENTIRE training loop: both Viterbi rounds run as recursive
+    * path enumerations with the identical (score desc, pieces asc,
+    * chr(1)-joined path asc) tie order, and every EM count in between
+    * is an integer census. */
+  val q215 = {
+    val L = 4; val TopV = 512
+    GQuery(
+      "q215_unigram_lm_census",
+      (s, d) => {
+        val docs = documents(s, d)
+        val model = graft.text.UnigramLm.train(docs, "text", L, TopV,
+          emIters = 2)
+        val segUdf = udf { (w: String) =>
+          graft.text.UnigramLm.segment(w, model).getOrElse(Seq(w))
+        }
+        val words = docs
+          .select(col("lang"),
+            explode(split(trim(col("text")), "\\s+")).as("w"))
+          .filter(col("w") =!= "")
+        val pieces = words.select(col("lang"),
+          explode(segUdf(col("w"))).as("piece"))
+        val nw = words.groupBy(col("lang")).agg(lcount(lit(1)).as("n_words"))
+        val pc = pieces.groupBy(col("lang"))
+          .agg(lcount(lit(1)).as("n_pieces"),
+            countDistinct(col("piece")).as("n_distinct_pieces"))
+        nw.join(pc, Seq("lang"))
+          .withColumn("fertility_e6",
+            floor(col("n_pieces").cast("double") / col("n_words") * 1e6 + 0.5)
+              .cast("long"))
+      },
+      Some(s"""WITH RECURSIVE wl AS (
+        |  SELECT lang, unnest(string_split_regex(trim(text), '\\s+')) AS w
+        |  FROM documents),
+        |wn AS (SELECT lang, w FROM wl WHERE w <> ''),
+        |wf AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM wn GROUP BY w),
+        |sp AS (
+        |  SELECT substr(wf.w, p.i, l.j) AS piece, wf.freq
+        |  FROM wf, UNNEST(generate_series(1, length(wf.w))) AS p(i),
+        |       UNNEST(generate_series(1, $L)) AS l(j)
+        |  WHERE p.i + l.j - 1 <= length(wf.w)),
+        |sc AS (SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt FROM sp GROUP BY piece),
+        |v0 AS (
+        |  SELECT piece, cnt FROM sc WHERE length(piece) = 1
+        |  UNION ALL
+        |  SELECT piece, cnt FROM (
+        |    SELECT piece, cnt FROM sc WHERE length(piece) > 1
+        |    ORDER BY cnt DESC, piece LIMIT $TopV) t0v),
+        |p0 AS (
+        |  SELECT piece, cnt / (SELECT CAST(SUM(cnt) AS DOUBLE) FROM v0) AS prob
+        |  FROM v0),
+        |walk1 AS (
+        |  SELECT w, CAST(1 AS BIGINT) AS p, CAST(1.0 AS DOUBLE) AS score,
+        |    CAST(0 AS BIGINT) AS np, '' AS path
+        |  FROM wf
+        |  UNION ALL
+        |  SELECT wk.w, wk.p + length(v.piece), wk.score * v.prob, wk.np + 1,
+        |    CASE WHEN wk.path = '' THEN v.piece
+        |         ELSE wk.path || chr(1) || v.piece END
+        |  FROM walk1 wk JOIN p0 v
+        |    ON v.piece = substr(wk.w, CAST(wk.p AS INTEGER), length(v.piece))
+        |  WHERE wk.p <= length(wk.w)),
+        |best1 AS (
+        |  SELECT w, path, np FROM (
+        |    SELECT w, path, np, row_number() OVER (
+        |      PARTITION BY w ORDER BY score DESC, np ASC, path ASC) AS rn
+        |    FROM walk1 WHERE p = length(w) + 1) b WHERE rn = 1),
+        |up1 AS (SELECT w, unnest(string_split(path, chr(1))) AS piece FROM best1),
+        |u1 AS (
+        |  SELECT up1.piece, CAST(SUM(wf.freq) AS BIGINT) AS cnt
+        |  FROM up1 JOIN wf ON up1.w = wf.w GROUP BY up1.piece),
+        |p1 AS (
+        |  SELECT piece, cnt / (SELECT CAST(SUM(cnt) AS DOUBLE) FROM u1) AS prob
+        |  FROM u1),
+        |walk2 AS (
+        |  SELECT w, CAST(1 AS BIGINT) AS p, CAST(1.0 AS DOUBLE) AS score,
+        |    CAST(0 AS BIGINT) AS np, '' AS path
+        |  FROM wf
+        |  UNION ALL
+        |  SELECT wk.w, wk.p + length(v.piece), wk.score * v.prob, wk.np + 1,
+        |    CASE WHEN wk.path = '' THEN v.piece
+        |         ELSE wk.path || chr(1) || v.piece END
+        |  FROM walk2 wk JOIN p1 v
+        |    ON v.piece = substr(wk.w, CAST(wk.p AS INTEGER), length(v.piece))
+        |  WHERE wk.p <= length(wk.w)),
+        |best2 AS (
+        |  SELECT w, path, np FROM (
+        |    SELECT w, path, np, row_number() OVER (
+        |      PARTITION BY w ORDER BY score DESC, np ASC, path ASC) AS rn
+        |    FROM walk2 WHERE p = length(w) + 1) b WHERE rn = 1),
+        |up2 AS (SELECT w, unnest(string_split(path, chr(1))) AS piece FROM best2),
+        |nw AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_words,
+        |         CAST(SUM(b.np) AS BIGINT) AS n_pieces
+        |       FROM wn JOIN best2 b ON wn.w = b.w GROUP BY lang),
+        |nd AS (SELECT lang, CAST(COUNT(DISTINCT u.piece) AS BIGINT)
+        |         AS n_distinct_pieces
+        |       FROM wn JOIN up2 u ON wn.w = u.w GROUP BY lang)
+        |SELECT nw.lang, nw.n_words, nw.n_pieces, nd.n_distinct_pieces,
+        |  CAST(FLOOR(CAST(nw.n_pieces AS DOUBLE) / nw.n_words * 1e6 + 0.5)
+        |    AS BIGINT) AS fertility_e6
+        |FROM nw JOIN nd ON nw.lang = nd.lang""".stripMargin))
+  }
+
+  def queries: Seq[GQuery] = Seq(q146, q149, q152, q169, q175, q213, q215)
 }
