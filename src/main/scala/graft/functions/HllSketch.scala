@@ -39,7 +39,6 @@ case class HllRegistersAgg(child: Expression, pExpr: Expression,
 
   private lazy val p: Int = pExpr.eval().asInstanceOf[Number].intValue()
   private lazy val m: Int = 1 << p
-  private lazy val wBits: Int = 60 - p
 
   override def children: Seq[Expression] = Seq(child, pExpr)
   override def nullable: Boolean = false
