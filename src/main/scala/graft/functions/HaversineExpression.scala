@@ -98,6 +98,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       DotScaled.info, DotScaled.builder))
     e.injectFunction((FunctionIdentifier("word_ngrams"),
       graft.text.WordNgrams.info, graft.text.WordNgrams.builder))
+    e.injectFunction((FunctionIdentifier("jaro_winkler"),
+      JaroWinkler.info, JaroWinkler.builder))
     // derive pushable bounding-box conjuncts from point_in_ring filters
     e.injectOptimizerRule(_ => graft.plans.PointInRingBBox)
     // rewrite filter(row_number <= k) into the heap-based top-k operator
