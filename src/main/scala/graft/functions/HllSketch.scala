@@ -49,10 +49,14 @@ case class HllRegistersAgg(child: Expression, pExpr: Expression,
     if (child.dataType != LongType)
       TypeCheckResult.TypeCheckFailure(s"$prettyName requires a bigint hash column")
     else if (!pExpr.foldable || pExpr.dataType != IntegerType ||
-      pExpr.eval() == null || pExpr.eval().asInstanceOf[Number].intValue() < 4 ||
+      pExpr.eval() == null || pExpr.eval().asInstanceOf[Number].intValue() < 9 ||
       pExpr.eval().asInstanceOf[Number].intValue() > 16)
+      // lower bound 9 (not Flajolet's 4): the dyadic-exact estimate
+      // fold carries Σ 2^{52-M_j} in int64, which needs max rho =
+      // 61-p <= 52, i.e. p >= 9. Below that a register could exceed
+      // 52 and the shiftleft would wrap mod 64 and corrupt the sum.
       TypeCheckResult.TypeCheckFailure(
-        s"$prettyName requires an integer literal precision p in [4,16]")
+        s"$prettyName requires an integer literal precision p in [9,16]")
     else TypeCheckResult.TypeCheckSuccess
 
   override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
@@ -134,9 +138,11 @@ object HllSketch {
 
   /** Register-array folds for the estimate: zero-register count and
     * the dyadic-exact indicator sum Σ 2^{-M_j}, carried as the int64
-    * Σ 2^{52-M_j} (M_j ≤ 52 always at p ≤ 16). Interpreted HOF folds
-    * are fine HERE: they run once per GROUP over 2^p elements, not per
-    * data row. */
+    * Σ 2^{52-M_j}. M_j ≤ 52 holds because max rho = 61−p and the
+    * aggregate rejects p < 9 — at smaller p a register could reach
+    * 53+ and `shiftleft(1L, 52−r)` would shift by a negative amount,
+    * wrapping mod 64. Interpreted HOF folds are fine HERE: they run
+    * once per GROUP over 2^p elements, not per data row. */
   def zerosCol(registers: Column): Column =
     aggregate(registers, lit(0L),
       (acc, r) => acc + when(r === 0, lit(1L)).otherwise(lit(0L)))

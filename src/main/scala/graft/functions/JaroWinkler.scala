@@ -20,8 +20,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * alternative would be a Scala UDF — this expression stays inside
   * whole-stage codegen as one static call, the
   * [[MeanDigitRuns]]/[[HaversineKm]] discipline. Comparison is by
-  * code point, matching DuckDB on any text and byte-for-byte on
-  * ASCII.
+  * UTF-16 code unit (charAt), which equals code-point comparison for
+  * BMP text; the DuckDB byte-equality claim is therefore scoped to
+  * BMP/ASCII inputs — supplementary-plane characters (each two code
+  * units here, one code point there) may score differently.
   */
 case class JaroWinklerExpr(left: Expression, right: Expression)
     extends BinaryExpression {

@@ -447,10 +447,14 @@ object CorpusStatQueries {
     * 2 × (Viterbi segmentation → usage re-estimation) → per-lang
     * segmentation census. The path scores are LEFT-TO-RIGHT products
     * of count-ratio probabilities — no logs — so the oracle replays
-    * the ENTIRE training loop: both Viterbi rounds run as recursive
-    * path enumerations with the identical (score desc, pieces asc,
-    * chr(1)-joined path asc) tie order, and every EM count in between
-    * is an integer census. */
+    * the ENTIRE training loop: all THREE Viterbi walks (the two EM
+    * rounds p0→p1→p2 plus the final census segmentation under p2) run
+    * as recursive path enumerations with the identical (score desc,
+    * pieces asc, chr(1)-joined path asc) tie order, and every EM count
+    * in between is an integer census. The third walk matters: the
+    * engine censuses under the TWICE-updated model, so an oracle that
+    * stopped at walk2 (the p1 segmentation) would only agree when EM
+    * has already converged — a latent gate break on other data. */
   val q215 = {
     val L = 4; val TopV = 512
     GQuery(
@@ -537,12 +541,35 @@ object CorpusStatQueries {
         |      PARTITION BY w ORDER BY score DESC, np ASC, path ASC) AS rn
         |    FROM walk2 WHERE p = length(w) + 1) b WHERE rn = 1),
         |up2 AS (SELECT w, unnest(string_split(path, chr(1))) AS piece FROM best2),
+        |u2 AS (
+        |  SELECT up2.piece, CAST(SUM(wf.freq) AS BIGINT) AS cnt
+        |  FROM up2 JOIN wf ON up2.w = wf.w GROUP BY up2.piece),
+        |p2 AS (
+        |  SELECT piece, cnt / (SELECT CAST(SUM(cnt) AS DOUBLE) FROM u2) AS prob
+        |  FROM u2),
+        |walk3 AS (
+        |  SELECT w, CAST(1 AS BIGINT) AS p, CAST(1.0 AS DOUBLE) AS score,
+        |    CAST(0 AS BIGINT) AS np, '' AS path
+        |  FROM wf
+        |  UNION ALL
+        |  SELECT wk.w, wk.p + length(v.piece), wk.score * v.prob, wk.np + 1,
+        |    CASE WHEN wk.path = '' THEN v.piece
+        |         ELSE wk.path || chr(1) || v.piece END
+        |  FROM walk3 wk JOIN p2 v
+        |    ON v.piece = substr(wk.w, CAST(wk.p AS INTEGER), length(v.piece))
+        |  WHERE wk.p <= length(wk.w)),
+        |best3 AS (
+        |  SELECT w, path, np FROM (
+        |    SELECT w, path, np, row_number() OVER (
+        |      PARTITION BY w ORDER BY score DESC, np ASC, path ASC) AS rn
+        |    FROM walk3 WHERE p = length(w) + 1) b WHERE rn = 1),
+        |up3 AS (SELECT w, unnest(string_split(path, chr(1))) AS piece FROM best3),
         |nw AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_words,
         |         CAST(SUM(b.np) AS BIGINT) AS n_pieces
-        |       FROM wn JOIN best2 b ON wn.w = b.w GROUP BY lang),
+        |       FROM wn JOIN best3 b ON wn.w = b.w GROUP BY lang),
         |nd AS (SELECT lang, CAST(COUNT(DISTINCT u.piece) AS BIGINT)
         |         AS n_distinct_pieces
-        |       FROM wn JOIN up2 u ON wn.w = u.w GROUP BY lang)
+        |       FROM wn JOIN up3 u ON wn.w = u.w GROUP BY lang)
         |SELECT nw.lang, nw.n_words, nw.n_pieces, nd.n_distinct_pieces,
         |  CAST(FLOOR(CAST(nw.n_pieces AS DOUBLE) / nw.n_words * 1e6 + 0.5)
         |    AS BIGINT) AS fertility_e6

@@ -49,15 +49,22 @@ object Agreement {
     val bMarg = cells.groupBy(col("lb").as("l")).agg(sum(col("n")).as("nb"))
     val n = cells.agg(sum(col("n")).as("n_units"),
       sum(when(col("la") === col("lb"), col("n")).otherwise(lit(0L))).as("agree"))
-    // Σ_k na_k·nb_k as exact int64 (label cardinality is tiny; counts fit)
+    // Σ_k na_k·nb_k and n² routed through DECIMAL(38,0): marginal
+    // products overflow int64 past ~3e9 double-labeled rows, and the
+    // doc's 100 TB framing must hold. Decimal keeps them EXACT (n ≤
+    // 9.2e18 → n² ≤ 8.5e37 fits 38 digits), so the single cast to
+    // double rounds once — bit-identical to the int64 spelling
+    // wherever that didn't overflow.
     val pe = aMarg.join(bMarg, Seq("l"))
-      .agg(sum(col("na") * col("nb")).as("pe_num"))
+      .agg(sum(col("na").cast("decimal(19,0)") *
+        col("nb").cast("decimal(19,0)")).as("pe_num"))
     n.crossJoin(pe)
       .select(
         col("n_units"),
         (col("agree").cast("double") / col("n_units")).as("p_o"),
         (col("pe_num").cast("double") /
-          (col("n_units") * col("n_units"))).as("p_e"))
+          (col("n_units").cast("decimal(19,0)") *
+            col("n_units").cast("decimal(19,0)")).cast("double")).as("p_e"))
       .withColumn("kappa",
         (col("p_o") - col("p_e")) / (lit(1.0) - col("p_e")))
   }
@@ -94,8 +101,12 @@ object Agreement {
     // exactly m_u coincidences: m_u(m_u-1) ordered pairs × 1/(m_u-1))
     val co = pairs.groupBy(col("c"), col("k")).agg(sum(col("w")).as("o_ck"))
     val nC = co.groupBy(col("c")).agg(sum(col("o_ck")).as("n_c"))
+    // squared terms through DECIMAL(38,0): n_c² (and n_s·(n_s−S)
+    // below) overflow int64 past ~3e9 scaled coincidences; decimal is
+    // exact to 38 digits so the one cast to double still rounds once
     val tot = nC.agg(sum(col("n_c")).as("n_s"),
-      sum(col("n_c") * col("n_c")).as("sum_nc2_s2"))
+      sum(col("n_c").cast("decimal(19,0)") *
+        col("n_c").cast("decimal(19,0)")).as("sum_nc2_s2"))
     val doNum = co.filter(col("c") =!= col("k"))
       .agg(coalesce(sum(col("o_ck")), lit(0L)).as("do_num_s"))
     // the scale cancels into pure int64 arithmetic:
@@ -106,8 +117,11 @@ object Agreement {
       .select(
         floor(col("n_s") / scale).cast("long").as("n_coincidence"),
         (col("do_num_s").cast("double") / col("n_s")).as("d_o"),
-        ((col("n_s") * col("n_s") - col("sum_nc2_s2")).cast("double") /
-          (col("n_s") * (col("n_s") - lit(scale)))).as("d_e"))
+        ((col("n_s").cast("decimal(19,0)") * col("n_s").cast("decimal(19,0)")
+          - col("sum_nc2_s2")).cast("double") /
+          (col("n_s").cast("decimal(19,0)") *
+            (col("n_s") - lit(scale)).cast("decimal(19,0)")).cast("double"))
+          .as("d_e"))
       .withColumn("alpha", lit(1.0) - col("d_o") / col("d_e"))
   }
 }

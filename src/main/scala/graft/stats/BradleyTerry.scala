@@ -48,13 +48,24 @@ object BradleyTerry {
           winsACol: String, winsBCol: String, iters: Int): DataFrame = {
     val a = col(aCol); val b = col(bCol)
     val wa = col(winsACol).cast("double"); val wb = col(winsBCol).cast("double")
-    // symmetric view: one row per ORDERED (item, opponent) pair
-    val sym = pairs.select(a.as("item"), b.as("opp"), (wa + wb).as("n"))
-      .unionByName(pairs.select(b.as("item"), a.as("opp"), (wa + wb).as("n")))
+    // symmetric view: one row per ORDERED (item, opponent) pair.
+    // Eagerly checkpointed + rebuilt as a fresh LogicalRDD: `sym` is
+    // joined in EVERY MM round, and without the pin each round would
+    // re-execute the caller's upstream plan (in q203 a full fact-table
+    // scan + groupBy — at 100 TB the dominant cost, paid `iters`
+    // times for nothing). The fresh-stats rebuild is the same
+    // discipline as the per-round iterate below.
+    val symCk = pairs
+      .select(a.as("item"), b.as("opp"), (wa + wb).as("n"), wa.as("w"))
+      .unionByName(pairs
+        .select(b.as("item"), a.as("opp"), (wa + wb).as("n"), wb.as("w")))
+      .localCheckpoint(eager = true)
+    val sym = symCk.sparkSession.createDataFrame(symCk.rdd, symCk.schema)
     val games = sym.groupBy(col("item")).agg(Exact.dsum(col("n")).as("games"))
-    val wins = pairs.select(a.as("item"), wa.as("w"))
-      .unionByName(pairs.select(b.as("item"), wb.as("w")))
-      .groupBy(col("item"))
+    // wins ride the same checkpointed pass (same (item, w) multiset as
+    // the a-side/b-side union; dsum is order-independent, so values
+    // are bit-identical to the former two-scan spelling)
+    val wins = sym.groupBy(col("item"))
       .agg(Exact.dsum(col("w")).as("w"))
       .localCheckpoint(eager = true) // reused every iteration
     val items = games.select(col("item"))

@@ -34,7 +34,9 @@ object StreamHll {
 
   def registers(df: DataFrame, keyCol: String,
                 shards: Int, p: Int, tag: String = ""): DataFrame = {
-    require(shards > 0 && p >= 4 && p <= 16)
+    // p >= 9 matches HllRegistersAgg: the downstream estimate fold
+    // needs max rho = 61-p <= 52 for the int64 2^{52-M_j} sum
+    require(shards > 0 && p >= 9 && p <= 16)
     val m = 1 << p
     val spark = df.sparkSession
     import spark.implicits._
