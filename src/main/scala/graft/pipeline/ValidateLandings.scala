@@ -713,6 +713,24 @@ object ValidateLandings {
     // a real cluster both overheads amortize to noise; locally they set
     // a ~8 s floor that further plan surgery cannot move without
     // driver-side materialization (the anti-pattern this module avoids).
+    //
+    // r9 A/B (quiet box, bench min-of-3, baseline q72 5.26 s / q95
+    // 6.31 s): CONCURRENT-ACTION variants were built and measured —
+    // the union histogram split into independent trips-only and
+    // catch-only percentile chains, plus the registry/sites preps,
+    // submitted from a driver thread pool so the cascades overlap.
+    //  (a) eager checkpoints per subtree: q72 5.97-6.15, q95 7.28-7.84
+    //      (eager final stages + lost column pruning through the q95
+    //      handoff outweigh the overlap);
+    //  (b) lazy checkpoints on futures, main chain as r8: q72 5.91,
+    //      q95 9.11 (the split alone costs a second percentile
+    //      cascade; LogicalRDD seams defeat downstream reuse);
+    //  (c) AQE off entirely: 10.2 s single-pass vs 10.2 on (same).
+    // All reverted — the single lazy plan with these three lazy pins
+    // remains the measured optimum; the residual wall is per-stage
+    // scheduling latency on a data-dependent chain (median → |x−med| →
+    // MAD is inherently two sequential percentile passes), which no
+    // amount of job-level concurrency removes.
 
     // trip-local expressions (reference lines cited on the standalone methods)
     val dur = abs(col("duration_hrs"))
