@@ -100,6 +100,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       graft.text.WordNgrams.info, graft.text.WordNgrams.builder))
     e.injectFunction((FunctionIdentifier("jaro_winkler"),
       JaroWinkler.info, JaroWinkler.builder))
+    e.injectFunction((FunctionIdentifier("common_prefix_len"),
+      CommonPrefixLen.info, CommonPrefixLen.builder))
     // derive pushable bounding-box conjuncts from point_in_ring filters
     e.injectOptimizerRule(_ => graft.plans.PointInRingBBox)
     // rewrite filter(row_number <= k) into the heap-based top-k operator

@@ -1107,5 +1107,73 @@ object DedupQueries {
       |  CAST(DENSE_RANK() OVER (ORDER BY suf) AS BIGINT) AS rank
       |FROM pos""".stripMargin))
 
-  def queries: Seq[GQuery] = Seq(q36, q37, q38, q39, q57, q61, q88, q90, q103, q108, q118, q123, q124, q125, q127, q129, q133, q138, q142, q161, q162, q167, q180, q212)
+  /** q216: suffix-array LCP mining ([[graft.text.SuffixArray.repeatLengths]])
+    * — the load-bearing pass on top of the q212 index: every suffix's
+    * maximal repeated-prefix length (max LCP with its two rank-order
+    * neighbors; Lee et al. 2021's repeated-substring step), censused
+    * per document against a span threshold. The oracle replays the
+    * WHOLE chain from first principles: DuckDB sorts the raw suffix
+    * strings, takes lag-adjacent pairs, computes each LCP as the max
+    * k with equal k-prefixes (prefix equality is monotone in k, so
+    * MAX over the equal set IS the LCP), folds the pair LCPs back to
+    * per-position maxima, and aggregates the same census. Versus
+    * q138's fixed-k-gram spans: this returns EXACT maximal repeat
+    * lengths, not length-k witnesses. */
+  val q216 = {
+    val L = 12 // span threshold: positions whose repeat covers >= L chars
+    GQuery(
+      "q216_sa_lcp_mining",
+      (s, d) => {
+        val sample = documents(s, d)
+          .filter(col("doc_id") % 17 === 0)
+          .select(col("doc_id"), col("text"))
+        graft.text.SuffixArray.repeatLengths(sample, "doc_id", "text",
+            maxChars = 200)
+          .groupBy(col("doc_id"))
+          .agg(
+            lcount(lit(1)).as("n_pos"),
+            sum(when(col("rep") >= L, lit(1L)).otherwise(lit(0L))).as("n_rep_pos"),
+            max(col("rep")).as("max_rep_len"),
+            sum(when(col("rep") >= L, col("rep")).otherwise(lit(0L)))
+              .as("rep_chars"))
+      },
+      Some(s"""WITH pos AS (
+        |  SELECT doc_id, CAST(s.i AS BIGINT) AS pos,
+        |    substr(substr(text, 1, 200), s.i) AS suf
+        |  FROM documents,
+        |    UNNEST(generate_series(1, LEAST(length(text), 200))) AS s(i)
+        |  WHERE doc_id % 17 = 0 AND length(text) >= 1),
+        |ord AS (
+        |  SELECT doc_id, pos, suf,
+        |    row_number() OVER (ORDER BY suf, doc_id, pos) AS idx
+        |  FROM pos),
+        |pair AS (
+        |  SELECT a.doc_id AS d1, a.pos AS p1, b.doc_id AS d2, b.pos AS p2,
+        |    a.suf AS s1, b.suf AS s2
+        |  FROM ord a JOIN ord b ON b.idx = a.idx + 1),
+        |lcp AS (
+        |  SELECT d1, p1, d2, p2,
+        |    MAX(CASE WHEN substr(s1, 1, k.i) = substr(s2, 1, k.i)
+        |      THEN k.i ELSE 0 END) AS l
+        |  FROM pair,
+        |    UNNEST(generate_series(1,
+        |      GREATEST(LEAST(length(s1), length(s2)), 1))) AS k(i)
+        |  GROUP BY d1, p1, d2, p2),
+        |rep0 AS (
+        |  SELECT d1 AS doc_id, p1 AS pos, l FROM lcp
+        |  UNION ALL
+        |  SELECT d2, p2, l FROM lcp),
+        |rep AS (
+        |  SELECT o.doc_id, o.pos, COALESCE(MAX(r.l), 0) AS rep
+        |  FROM ord o LEFT JOIN rep0 r
+        |    ON o.doc_id = r.doc_id AND o.pos = r.pos
+        |  GROUP BY o.doc_id, o.pos)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_pos,
+        |  CAST(SUM(CASE WHEN rep >= $L THEN 1 ELSE 0 END) AS BIGINT) AS n_rep_pos,
+        |  CAST(MAX(rep) AS BIGINT) AS max_rep_len,
+        |  CAST(SUM(CASE WHEN rep >= $L THEN rep ELSE 0 END) AS BIGINT) AS rep_chars
+        |FROM rep GROUP BY doc_id""".stripMargin))
+  }
+
+  def queries: Seq[GQuery] = Seq(q36, q37, q38, q39, q57, q61, q88, q90, q103, q108, q118, q123, q124, q125, q127, q129, q133, q138, q142, q161, q162, q167, q180, q212, q216)
 }

@@ -82,6 +82,71 @@ object SuffixArray {
     ranked.select(col("doc").as(idCol), col("pos"), col("rank"))
   }
 
+  /** Per-suffix REPEAT lengths via LCP over the suffix array — the
+    * operation the index exists for (Lee et al. 2021's repeated-
+    * substring mining): for every suffix, the length of the longest
+    * prefix it shares with ANY other suffix in the corpus sample. A
+    * substring is repeated iff it is a common prefix of two suffixes
+    * that are ADJACENT in suffix-array order, so each suffix's repeat
+    * length is the max of its LCPs with its two rank-order neighbors
+    * — one adjacency pass, never all pairs.
+    *
+    * Distributed shape: the global adjacency comes from the same
+    * range-sort + zipWithIndex discipline as [[withDenseRank]] (no
+    * single-reducer window), and the LCPs run through the codegen
+    * [[graft.functions.CommonPrefixLen]] kernel. Suffix STRINGS cross
+    * the wire here — bounded per row by `maxChars` (the windowed-SA
+    * contract), the same byte class the construction's seed pass
+    * ships; identical suffixes share a dense rank, sort adjacent, and
+    * get their full length as LCP automatically.
+    *
+    * Versus the fixed-k-gram span dedup (`dedup/Dedup.selfSpanDedup`,
+    * q138): a k-gram pass only witnesses repeats of EXACTLY length k
+    * (longer repeats appear as runs of overlapping grams); the LCP
+    * pass returns each position's exact maximal repeat length in one
+    * adjacency scan, which is what span-removal thresholds actually
+    * want. SuffixArraySpec pins both claims on planted fixtures.
+    *
+    * @return (idCol, pos, rep) — rep = 0 when the suffix shares no
+    *         nonempty prefix with any neighbor */
+  def repeatLengths(docs: DataFrame, idCol: String, textCol: String,
+                    maxChars: Int): DataFrame = {
+    val spark = docs.sparkSession
+    graft.functions.CommonPrefixLen.register(spark)
+    val r = ranks(docs, idCol, textCol, maxChars)
+    val suf = r.join(
+        docs.select(col(idCol).as("doc"),
+          substring(col(textCol), 1, maxChars).as("__t")),
+        r(idCol) === col("doc"))
+      .select(col("doc"), col("pos"), col("rank"),
+        expr("substring(__t, CAST(pos AS INT))").as("__suf"))
+      // two consumers (the adjacency sort and the final rep join-back)
+      .localCheckpoint(eager = false)
+    val ordered = suf.orderBy(col("rank"), col("doc"), col("pos"))
+    val idxRdd = ordered.rdd.zipWithIndex()
+      .map { case (row, i) => Row.fromSeq(row.toSeq :+ i) }
+    val withIdx = spark.createDataFrame(idxRdd,
+      StructType(ordered.schema.fields :+
+        StructField("__idx", LongType, nullable = false)))
+    val nxt = withIdx.select((col("__idx") - 1).as("__idx"),
+      col("doc").as("__doc2"), col("pos").as("__pos2"),
+      col("__suf").as("__suf2"))
+    val pairs = withIdx.join(nxt, Seq("__idx"))
+      .select(col("doc"), col("pos"), col("__doc2"), col("__pos2"),
+        call_function("common_prefix_len", col("__suf"), col("__suf2"))
+          .cast("long").as("__lcp"))
+      .localCheckpoint(eager = false) // feeds both sides of the union
+    val rep = pairs.select(col("doc"), col("pos"), col("__lcp"))
+      .unionByName(pairs.select(col("__doc2").as("doc"),
+        col("__pos2").as("pos"), col("__lcp")))
+      .groupBy(col("doc"), col("pos"))
+      .agg(max(col("__lcp")).as("rep"))
+    suf.select(col("doc"), col("pos"))
+      .join(rep, Seq("doc", "pos"), "left")
+      .select(col("doc").as(idCol), col("pos"),
+        coalesce(col("rep"), lit(0L)).as("rep"))
+  }
+
   /** Dense rank of (__k1, __k2) without a single-reducer window: the
     * DISTINCT key set is range-sorted and zipWithIndex'd (per-partition
     * offsets from one count pass), then joined back. */

@@ -61,4 +61,60 @@ class SuffixArraySpec extends SparkSpec {
     val docs = Seq((1L, "aaaaaaaaaaaa"), (2L, "aaabaaabaaab"))
     assert(ranksOf(docs) == brute(docs))
   }
+
+  // --- repeatLengths: LCP mining over the array ---
+
+  private def repsOf(docs: Seq[(Long, String)], maxChars: Int = 1000) =
+    SuffixArray.repeatLengths(docs.toDF("doc_id", "text"), "doc_id", "text",
+        maxChars)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("pos")) ->
+        r.getAs[Long]("rep")).toMap
+
+  /** Brute-force repeat length: for each suffix, the longest prefix
+    * that occurs as a prefix of ANY OTHER suffix. */
+  private def bruteReps(docs: Seq[(Long, String)], maxChars: Int = 1000) = {
+    val sufs = for {
+      (id, t0) <- docs; t = t0.take(maxChars); p <- 1 to t.length
+    } yield (id, p.toLong, t.substring(p - 1))
+    sufs.map { case (id, p, s) =>
+      val best = sufs.collect { case (i2, p2, s2) if (i2, p2) != (id, p) =>
+        s.zip(s2).takeWhile { case (a, b) => a == b }.length
+      }
+      (id, p) -> (if (best.isEmpty) 0L else best.max.toLong)
+    }.toMap
+  }
+
+  test("planted shared span: exact maximal repeat lengths at every offset") {
+    // 'needleinhay' (len 11) planted in two otherwise-disjoint docs:
+    // at span offset i the suffix's shared prefix is the REMAINING
+    // span (11 - i chars) — the exact ramp a fixed-k-gram pass (q138's
+    // Dedup.selfSpanDedup) cannot see: k-grams witness length-k
+    // repeats only, never each position's true maximal repeat.
+    val docs = Seq((1L, "xqzvneedleinhaywmfc"), (2L, "rjkneedleinhaytubol"))
+    val got = repsOf(docs)
+    val spanAt1 = 5 // 1-based start of the span in doc 1
+    val spanAt2 = 4 // ... in doc 2 (after the 3-char "rjk" prefix)
+    (0 until 11).foreach { i =>
+      assert(got((1L, (spanAt1 + i).toLong)) >= 11L - i,
+        s"doc1 offset $i: repeat must cover the remaining span")
+      assert(got((2L, (spanAt2 + i).toLong)) >= 11L - i)
+    }
+    assert(got == bruteReps(docs))
+  }
+
+  test("repeat lengths match brute force on a pseudo-random corpus") {
+    val docs = (0L until 10L).map { i =>
+      val len = 4 + (i * 11 % 19).toInt
+      (i, (0 until len).map(j => ('a' + ((i * 13 + j * 5 + j * j) % 3)).toChar)
+        .mkString)
+    }
+    assert(repsOf(docs) == bruteReps(docs))
+  }
+
+  test("no shared prefixes anywhere -> all repeat lengths zero") {
+    val got = repsOf(Seq((1L, "abc"), (2L, "def")))
+    // distinct alphabets: only suffix pairs with empty common prefix
+    assert(got.values.forall(_ == 0L))
+  }
 }
