@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Exact._
 import graft.core.Tables._
@@ -685,54 +686,107 @@ object StatsQueries {
     * the bounded bucket frame, so the monotone step function — every
     * pooling decision included — replays in the oracle. Integer
     * counts until one division per interval. */
-  val q211 = {
-    val B = 20
+  private val IsoB = 20
+
+  /** The q211 training replay as a CTE block (`scored` → `fit(i,
+    * fitted0)`), shared verbatim with the q217 applier oracle so the
+    * two gates cannot drift on the fit they agree about. */
+  private val isoFitCtes: String = s"""scored AS (
+    |  SELECT
+    |    CAST(('0x' || substr(md5('iso-s-' || CAST(doc_id AS VARCHAR)), 1, 7))
+    |      AS BIGINT) / 268435456.0 AS score,
+    |    CASE WHEN CAST(('0x' || substr(md5('iso-v-' || CAST(doc_id AS VARCHAR)), 1, 7))
+    |      AS BIGINT) / 268435456.0
+    |      < 0.25 + 0.5 * (CAST(('0x' || substr(md5('iso-s-' || CAST(doc_id AS VARCHAR)), 1, 7))
+    |      AS BIGINT) / 268435456.0) THEN 1 ELSE 0 END AS label
+    |  FROM documents),
+    |per AS (
+    |  SELECT CAST(LEAST(FLOOR(score * $IsoB), ${IsoB - 1}) AS BIGINT) AS bucket,
+    |    CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(label) AS BIGINT) AS sum_y
+    |  FROM scored GROUP BY 1),
+    |pre AS (
+    |  SELECT *, SUM(n) OVER wo AS cn, SUM(sum_y) OVER wo AS cy
+    |  FROM per WINDOW wo AS (ORDER BY bucket ROWS UNBOUNDED PRECEDING)),
+    |iv AS (
+    |  SELECT l.bucket AS j, h.bucket AS k,
+    |    CAST(h.cy - (l.cy - l.sum_y) AS DOUBLE)
+    |      / (h.cn - (l.cn - l.n)) AS avg
+    |  FROM pre l JOIN pre h ON l.bucket <= h.bucket),
+    |mn AS (
+    |  SELECT p.bucket AS i, iv.j, MIN(iv.avg) AS mn
+    |  FROM iv JOIN per p ON iv.j <= p.bucket AND p.bucket <= iv.k
+    |  GROUP BY 1, 2),
+    |fit AS (SELECT i, MAX(mn) AS fitted0 FROM mn GROUP BY i)""".stripMargin
+
+  /** The q211/q217 training frame: md5-uniform scores, label hit rate
+    * rising with score, sampling noise planting real violations. */
+  private def isoScored(s: SparkSession, d: String): DataFrame = {
+    val u = (tag: String) =>
+      conv(substring(md5(concat(lit(tag),
+        col("doc_id").cast("string"))), 1, 7), 16, 10)
+        .cast("long") / lit(268435456.0)
+    documents(s, d).select(
+      u("iso-s-").as("score"),
+      (u("iso-v-") < lit(0.25) + lit(0.5) * u("iso-s-")).cast("int")
+        .as("label"))
+  }
+
+  val q211 =
     GQuery(
       "q211_isotonic_calibration",
-      (s, d) => {
-        val u = (tag: String) =>
-          conv(substring(md5(concat(lit(tag),
-            col("doc_id").cast("string"))), 1, 7), 16, 10)
-            .cast("long") / lit(268435456.0)
-        val scored = documents(s, d).select(
-          u("iso-s-").as("score"),
-          (u("iso-v-") < lit(0.25) + lit(0.5) * u("iso-s-")).cast("int")
-            .as("label"))
-        graft.stats.Isotonic.calibrate(scored, "score", "label", B)
-      },
-      Some(s"""WITH scored AS (
-        |  SELECT
-        |    CAST(('0x' || substr(md5('iso-s-' || CAST(doc_id AS VARCHAR)), 1, 7))
-        |      AS BIGINT) / 268435456.0 AS score,
-        |    CASE WHEN CAST(('0x' || substr(md5('iso-v-' || CAST(doc_id AS VARCHAR)), 1, 7))
-        |      AS BIGINT) / 268435456.0
-        |      < 0.25 + 0.5 * (CAST(('0x' || substr(md5('iso-s-' || CAST(doc_id AS VARCHAR)), 1, 7))
-        |      AS BIGINT) / 268435456.0) THEN 1 ELSE 0 END AS label
-        |  FROM documents),
-        |per AS (
-        |  SELECT CAST(LEAST(FLOOR(score * $B), ${B - 1}) AS BIGINT) AS bucket,
-        |    CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(label) AS BIGINT) AS sum_y
-        |  FROM scored GROUP BY 1),
-        |pre AS (
-        |  SELECT *, SUM(n) OVER wo AS cn, SUM(sum_y) OVER wo AS cy
-        |  FROM per WINDOW wo AS (ORDER BY bucket ROWS UNBOUNDED PRECEDING)),
-        |iv AS (
-        |  SELECT l.bucket AS j, h.bucket AS k,
-        |    CAST(h.cy - (l.cy - l.sum_y) AS DOUBLE)
-        |      / (h.cn - (l.cn - l.n)) AS avg
-        |  FROM pre l JOIN pre h ON l.bucket <= h.bucket),
-        |mn AS (
-        |  SELECT p.bucket AS i, iv.j, MIN(iv.avg) AS mn
-        |  FROM iv JOIN per p ON iv.j <= p.bucket AND p.bucket <= iv.k
-        |  GROUP BY 1, 2),
-        |fit AS (SELECT i, MAX(mn) AS fitted0 FROM mn GROUP BY i)
+      (s, d) => graft.stats.Isotonic.calibrate(isoScored(s, d),
+        "score", "label", IsoB),
+      Some(s"""WITH $isoFitCtes
         |SELECT per.bucket, per.n, per.sum_y,
         |  round(CAST(per.sum_y AS DOUBLE) / per.n, 6) AS raw_rate,
         |  round(f.fitted0, 6) AS fitted
         |FROM per JOIN fit f ON per.bucket = f.i""".stripMargin))
-  }
+
+  /** q217: the isotonic APPLIER ([[graft.stats.Isotonic.applyFit]]) —
+    * the serving half of q211: the fitted step function, densified to
+    * all buckets on its bounded frame (gap buckets take the previous
+    * step, below-range scores clamp to the first step), broadcast-
+    * equi-joined onto a HELD-OUT score column (a fresh md5 tag, so no
+    * training row is reused). The oracle replays the entire chain —
+    * the q211 training CTEs verbatim, the densify ffill/bfill, and
+    * the per-bucket census of calibrated holdout scores. */
+  val q217 =
+    GQuery(
+      "q217_isotonic_apply",
+      (s, d) => {
+        val fit = graft.stats.Isotonic.calibrate(isoScored(s, d),
+          "score", "label", IsoB)
+        val holdout = documents(s, d).select(
+          (conv(substring(md5(concat(lit("iso-t-"),
+            col("doc_id").cast("string"))), 1, 7), 16, 10)
+            .cast("long") / lit(268435456.0)).as("score"))
+        graft.stats.Isotonic.applyFit(holdout, "score", fit, IsoB)
+          .groupBy(col("bucket"))
+          .agg(lcount(lit(1)).as("n_scores"),
+            min(col("calibrated")).as("calibrated"))
+      },
+      Some(s"""WITH $isoFitCtes,
+        |dense AS (
+        |  SELECT gs.b AS bucket,
+        |    COALESCE(
+        |      LAST_VALUE(round(f.fitted0, 6) IGNORE NULLS) OVER (
+        |        ORDER BY gs.b ROWS UNBOUNDED PRECEDING),
+        |      FIRST_VALUE(round(f.fitted0, 6) IGNORE NULLS) OVER (
+        |        ORDER BY gs.b ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |      AS calibrated
+        |  FROM UNNEST(generate_series(0, ${IsoB - 1})) AS gs(b)
+        |  LEFT JOIN fit f ON gs.b = f.i),
+        |hold AS (
+        |  SELECT CAST(LEAST(FLOOR(
+        |    CAST(('0x' || substr(md5('iso-t-' || CAST(doc_id AS VARCHAR)), 1, 7))
+        |      AS BIGINT) / 268435456.0 * $IsoB), ${IsoB - 1}) AS BIGINT) AS bucket
+        |  FROM documents)
+        |SELECT h.bucket, CAST(COUNT(*) AS BIGINT) AS n_scores,
+        |  MIN(d.calibrated) AS calibrated
+        |FROM hold h JOIN dense d ON h.bucket = d.bucket
+        |GROUP BY h.bucket""".stripMargin))
 
   def queries: Seq[GQuery] =
     Seq(q23, q24, q25, q26, q27, q28, q29, q30, q31, q51, q58, q113, q163,
-      q185, q191, q211)
+      q185, q191, q211, q217)
 }

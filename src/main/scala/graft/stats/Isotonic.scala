@@ -57,4 +57,37 @@ object Isotonic {
         round(col("sum_y").cast("double") / col("n"), 6).as("raw_rate"),
         round(col("fitted0"), 6).as("fitted"))
   }
+
+  /** Apply a fitted calibrator ([[calibrate]] output) to NEW scores —
+    * the serving half of the calibrator: each score lands in its
+    * fixed-width bucket and takes the step function's value there.
+    * Buckets the training data never observed get STEP semantics (the
+    * last fitted value at a lower bucket — a step function is constant
+    * until the next knot), and scores below the first observed bucket
+    * clamp to the first step (the standard isotonic extrapolation:
+    * the fit is only defined on the observed range, monotone
+    * continuation is constant).
+    *
+    * Scale shape: the fit densifies to all B buckets on its BOUNDED
+    * B-row frame (the single-partition windows run over B rows, never
+    * data rows) and broadcast-equi-joins onto the scores — one
+    * codegen'd hash lookup per row, no range join, no per-row search.
+    *
+    * @return df + (bucket, outCol) */
+  def applyFit(df: DataFrame, scoreCol: String, fit: DataFrame,
+               nBuckets: Int, outCol: String = "calibrated"): DataFrame = {
+    val all = fit.sparkSession.range(nBuckets).select(col("id").as("bucket"))
+    val wF = Window.partitionBy().orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wB = Window.partitionBy().orderBy(col("bucket"))
+      .rowsBetween(0, Window.unboundedFollowing)
+    val dense = all
+      .join(fit.select(col("bucket"), col("fitted")), Seq("bucket"), "left")
+      .withColumn("__ff", last(col("fitted"), ignoreNulls = true).over(wF))
+      .withColumn("__bf", first(col("fitted"), ignoreNulls = true).over(wB))
+      .select(col("bucket"), coalesce(col("__ff"), col("__bf")).as(outCol))
+    df.withColumn("bucket",
+        least(floor(col(scoreCol) * nBuckets), lit(nBuckets - 1)).cast("long"))
+      .join(broadcast(dense), Seq("bucket"), "left")
+  }
 }

@@ -85,4 +85,42 @@ class IsotonicSpec extends SparkSpec {
     val vals = spec.indices.map(b => f(b.toLong))
     assert(vals == vals.sorted)
   }
+
+  // --- applyFit: the serving half ---
+
+  private def applied(B: Int, trainSpec: Seq[(Int, Int, Int)],
+                      scores: Seq[Double]): Map[Double, Double] = {
+    val f = Isotonic.calibrate(mkRows(B, trainSpec).toDF("score", "label"),
+      "score", "label", B)
+    Isotonic.applyFit(scores.toDF("score"), "score", f, B)
+      .collect()
+      .map(r => r.getAs[Double]("score") -> r.getAs[Double]("calibrated"))
+      .toMap
+  }
+
+  test("applyFit: observed buckets take their fitted step") {
+    val got = applied(4,
+      Seq((0, 10, 1), (1, 10, 3), (2, 10, 2), (3, 10, 4)),
+      Seq(0.1, 0.3, 0.6, 0.9))
+    assert(got(0.1) == 0.1 && got(0.3) == 0.25 &&
+      got(0.6) == 0.25 && got(0.9) == 0.4)
+  }
+
+  test("applyFit: gap buckets take the PREVIOUS step (step semantics)") {
+    // buckets 0 and 3 of 4 observed; 1 and 2 are gaps
+    val got = applied(4, Seq((0, 10, 2), (3, 10, 8)),
+      Seq(0.3, 0.6)) // land in gap buckets 1, 2
+    assert(got(0.3) == 0.2 && got(0.6) == 0.2)
+  }
+
+  test("applyFit: below-range scores clamp to the first step") {
+    // only buckets 2 and 3 of 4 observed
+    val got = applied(4, Seq((2, 10, 2), (3, 10, 8)), Seq(0.05, 0.3))
+    assert(got(0.05) == 0.2 && got(0.3) == 0.2)
+  }
+
+  test("applyFit: score 1.0 clamps into the last bucket") {
+    val got = applied(4, Seq((0, 10, 2), (3, 10, 8)), Seq(1.0))
+    assert(got(1.0) == 0.8)
+  }
 }
