@@ -272,5 +272,91 @@ object PreferenceQueries {
       |  e.event_id = mm.best_eid AS best
       |FROM ev e JOIN mm ON e.user_id = mm.user_id""".stripMargin))
 
-  def queries: Seq[GQuery] = Seq(q203, q204, q205, q206, q207)
+  /** q218: Krippendorff's alpha under the ORDINAL and INTERVAL
+    * difference metrics ([[graft.stats.Agreement.krippendorffAlphaMetric]])
+    * over a 1–5 quality-rating design — the scalar-rating companion
+    * of q205's nominal form: three raters score every document,
+    * raters 2/3 drift by ±1–2 steps on every 4th/6th doc, and both
+    * metrics run off one shared coincidence matrix. Everything is
+    * integer (the unified Q quantity: 2S·(c−k) for interval, the
+    * scaled cum-marginal difference for ordinal) until one double
+    * division per D, so the oracle replays the exact arithmetic. */
+  val q218 = GQuery(
+    "q218_krippendorff_ordinal",
+    (s, d) => {
+      val base = (col("doc_id") * 7 + 3) % 5 + 1
+      val docs = documents(s, d)
+      val r1 = docs.select(col("doc_id").as("unit"), lit("r1").as("rater"),
+        base.as("label"))
+      val r2 = docs.select(col("doc_id").as("unit"), lit("r2").as("rater"),
+        when(col("doc_id") % 4 === 0, least(base + 1, lit(5)))
+          .otherwise(base).as("label"))
+      val r3 = docs.select(col("doc_id").as("unit"), lit("r3").as("rater"),
+        when(col("doc_id") % 6 === 0, greatest(base - 2, lit(1)))
+          .otherwise(base).as("label"))
+      val ratings = r1.unionByName(r2).unionByName(r3)
+      Agreement.krippendorffAlphaMetric(ratings, "unit", "rater", "label",
+          scale = 2L, metric = "ordinal")
+        .unionByName(Agreement.krippendorffAlphaMetric(ratings,
+          "unit", "rater", "label", scale = 2L, metric = "interval"))
+    },
+    Some("""WITH r AS (
+      |  SELECT doc_id AS unit, 'r1' AS rater,
+      |    (doc_id * 7 + 3) % 5 + 1 AS label FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, 'r2',
+      |    CASE WHEN doc_id % 4 = 0
+      |      THEN LEAST((doc_id * 7 + 3) % 5 + 1 + 1, 5)
+      |      ELSE (doc_id * 7 + 3) % 5 + 1 END
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, 'r3',
+      |    CASE WHEN doc_id % 6 = 0
+      |      THEN GREATEST((doc_id * 7 + 3) % 5 + 1 - 2, 1)
+      |      ELSE (doc_id * 7 + 3) % 5 + 1 END
+      |  FROM documents),
+      |m AS (SELECT unit, COUNT(*) AS m FROM r GROUP BY unit HAVING COUNT(*) > 1),
+      |pr AS (
+      |  SELECT x.label AS c, y.label AS k, CAST(2 / (m.m - 1) AS BIGINT) AS w
+      |  FROM r x JOIN r y ON x.unit = y.unit AND x.rater <> y.rater
+      |  JOIN m ON x.unit = m.unit),
+      |co AS (SELECT c, k, CAST(SUM(w) AS BIGINT) AS o_ck FROM pr GROUP BY c, k),
+      |nc AS (SELECT c, CAST(SUM(o_ck) AS BIGINT) AS n_c FROM co GROUP BY c),
+      |mg AS (SELECT c, n_c,
+      |         SUM(n_c) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING) AS ncum
+      |       FROM nc),
+      |lp AS (
+      |  SELECT a.c AS c, b.c AS k,
+      |    (4 * (a.c - b.c)) * (4 * (a.c - b.c)) AS q2_int,
+      |    (2 * (b.ncum - a.ncum) + a.n_c - b.n_c)
+      |      * (2 * (b.ncum - a.ncum) + a.n_c - b.n_c) AS q2_ord,
+      |    a.n_c * b.n_c AS nn
+      |  FROM mg a, mg b),
+      |tot AS (SELECT CAST(SUM(n_c) AS BIGINT) AS n_s FROM nc),
+      |no AS (
+      |  SELECT CAST(SUM(co.o_ck * lp.q2_int) AS HUGEINT) AS no_int,
+      |         CAST(SUM(co.o_ck * lp.q2_ord) AS HUGEINT) AS no_ord
+      |  FROM co JOIN lp ON co.c = lp.c AND co.k = lp.k),
+      |ne AS (
+      |  SELECT CAST(SUM(nn * q2_int) AS HUGEINT) AS ne_int,
+      |         CAST(SUM(nn * q2_ord) AS HUGEINT) AS ne_ord
+      |  FROM lp)
+      |SELECT 'ordinal' AS metric,
+      |  CAST(FLOOR(CAST(n_s AS DOUBLE) / 2) AS BIGINT) AS n_coincidence,
+      |  CAST(no_ord AS DOUBLE) / CAST(16 * n_s AS DOUBLE) AS d_o,
+      |  CAST(ne_ord AS DOUBLE) / CAST(16 * n_s * (n_s - 2) AS DOUBLE) AS d_e,
+      |  1.0 - (CAST(no_ord AS DOUBLE) / CAST(16 * n_s AS DOUBLE))
+      |    / (CAST(ne_ord AS DOUBLE) / CAST(16 * n_s * (n_s - 2) AS DOUBLE))
+      |    AS alpha
+      |FROM no, ne, tot
+      |UNION ALL
+      |SELECT 'interval',
+      |  CAST(FLOOR(CAST(n_s AS DOUBLE) / 2) AS BIGINT),
+      |  CAST(no_int AS DOUBLE) / CAST(16 * n_s AS DOUBLE),
+      |  CAST(ne_int AS DOUBLE) / CAST(16 * n_s * (n_s - 2) AS DOUBLE),
+      |  1.0 - (CAST(no_int AS DOUBLE) / CAST(16 * n_s AS DOUBLE))
+      |    / (CAST(ne_int AS DOUBLE) / CAST(16 * n_s * (n_s - 2) AS DOUBLE))
+      |FROM no, ne, tot""".stripMargin))
+
+  def queries: Seq[GQuery] = Seq(q203, q204, q205, q206, q207, q218)
 }

@@ -1,6 +1,7 @@
 package graft.stats
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Exact
 
@@ -78,9 +79,12 @@ object Agreement {
     *                stay integral (e.g. lcm(1..maxRaters−1))
     * @return one row: (n_coincidence, d_o, d_e, alpha)
     */
-  def krippendorffAlpha(ratings: DataFrame, unitCol: String,
-                        raterCol: String, labelCol: String,
-                        scale: Long): DataFrame = {
+  /** The scaled coincidence matrix shared by every alpha metric:
+    * `co(c, k, o_ck)` (ordered label pairs, weights ×S integral by the
+    * scale contract) and its marginals `nC(c, n_c)`. */
+  private def scaledCoincidence(ratings: DataFrame, unitCol: String,
+                                raterCol: String, labelCol: String,
+                                scale: Long): (DataFrame, DataFrame) = {
     val u = col(unitCol)
     val m = ratings.groupBy(u.as("unit")).agg(count(lit(1)).as("m"))
       .filter(col("m") > 1)
@@ -96,11 +100,18 @@ object Agreement {
         // integral by the scale contract (S % (m_u-1) == 0); the double
         // division is exact at these magnitudes, the cast restores int64
         (lit(scale) / (col("m") - 1)).cast("long").as("w"))
+    val co = pairs.groupBy(col("c"), col("k")).agg(sum(col("w")).as("o_ck"))
+    val nC = co.groupBy(col("c")).agg(sum(col("o_ck")).as("n_c"))
+    (co, nC)
+  }
+
+  def krippendorffAlpha(ratings: DataFrame, unitCol: String,
+                        raterCol: String, labelCol: String,
+                        scale: Long): DataFrame = {
     // all *_s quantities are scaled by S; the true coincidence total
     // n = n_s/S is integral by construction (each unit contributes
     // exactly m_u coincidences: m_u(m_u-1) ordered pairs × 1/(m_u-1))
-    val co = pairs.groupBy(col("c"), col("k")).agg(sum(col("w")).as("o_ck"))
-    val nC = co.groupBy(col("c")).agg(sum(col("o_ck")).as("n_c"))
+    val (co, nC) = scaledCoincidence(ratings, unitCol, raterCol, labelCol, scale)
     // squared terms through DECIMAL(38,0): n_c² (and n_s·(n_s−S)
     // below) overflow int64 past ~3e9 scaled coincidences; decimal is
     // exact to 38 digits so the one cast to double still rounds once
@@ -120,6 +131,82 @@ object Agreement {
         ((col("n_s").cast("decimal(19,0)") * col("n_s").cast("decimal(19,0)")
           - col("sum_nc2_s2")).cast("double") /
           (col("n_s").cast("decimal(19,0)") *
+            (col("n_s") - lit(scale)).cast("decimal(19,0)")).cast("double"))
+          .as("d_e"))
+      .withColumn("alpha", lit(1.0) - col("d_o") / col("d_e"))
+  }
+
+  /** Krippendorff's alpha for INTEGER-scaled ratings under the
+    * interval or ordinal difference metric (Krippendorff, Content
+    * Analysis ch. 12) — the forms scalar annotation pipelines
+    * (quality 1–5, preference strength) actually need: disagreeing by
+    * one step must cost less than disagreeing across the scale, which
+    * the nominal c≠k indicator cannot express.
+    *
+    *   α = 1 − D_o/D_e,   D_o = Σ o_ck·δ²(c,k) / n,
+    *                      D_e = Σ n_c·n_k·δ²(c,k) / (n(n−1))
+    *
+    *  - interval: δ(c,k) = c − k
+    *  - ordinal:  δ(c,k) = Σ_{g=c..k} n_g − (n_c + n_k)/2 (ranks
+    *    weighted by how often they were used — the standard ordinal
+    *    metric over the coincidence marginals)
+    *
+    * Exactness: both metrics reduce to the UNIFIED integer quantity
+    * Q(c,k) — 2S(c−k) for interval, 2(ncum_k − ncum_c) + n_c − n_k on
+    * the S-scaled marginals for ordinal — with δ² = Q²/(4S²), so
+    * every sum is integer (DECIMAL(38,0)-routed; Q ≤ 2n_s keeps Q²
+    * products exact to n_s ≈ 1e12 scaled coincidences) and each of
+    * d_o/d_e is ONE double division, replayable in ANSI SQL.
+    *
+    * Scale shape: the per-unit pair join is the only data-sized step
+    * (same as the nominal form); everything after lives on the
+    * BOUNDED label frame (L distinct ratings → L rows, L² pairs), so
+    * the single-partition cumulative window costs L rows, never data.
+    *
+    * @param metric "interval" or "ordinal"
+    * @return one row: (metric, n_coincidence, d_o, d_e, alpha) */
+  def krippendorffAlphaMetric(ratings: DataFrame, unitCol: String,
+                              raterCol: String, labelCol: String,
+                              scale: Long, metric: String): DataFrame = {
+    require(metric == "interval" || metric == "ordinal",
+      s"unknown alpha metric $metric")
+    val (co, nC0) = scaledCoincidence(
+      ratings.select(col(unitCol), col(raterCol),
+        col(labelCol).cast("long").as(labelCol)),
+      unitCol, raterCol, labelCol, scale)
+    val wC = Window.partitionBy().orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val marg = nC0.withColumn("ncum", sum(col("n_c")).over(wC))
+    val a = marg.select(col("c"), col("n_c").as("__nc1"), col("ncum").as("__cum1"))
+    val b = marg.select(col("c").as("k"), col("n_c").as("__nc2"),
+      col("ncum").as("__cum2"))
+    // Q is antisymmetric in (c,k) for both metrics (ordinal: the
+    // signed cum difference flips with the pair order; c = k gives 0),
+    // so Q² needs no c<=k canonicalization
+    val q = metric match {
+      case "interval" => lit(2L * scale) * (col("c") - col("k"))
+      case "ordinal" =>
+        lit(2L) * (col("__cum2") - col("__cum1")) + col("__nc1") - col("__nc2")
+    }
+    val lp = a.crossJoin(b) // bounded: L² label pairs
+      .select(col("c"), col("k"),
+        (q.cast("decimal(19,0)") * q.cast("decimal(19,0)")).as("__q2"),
+        (col("__nc1").cast("decimal(19,0)") *
+          col("__nc2").cast("decimal(19,0)")).as("__nn"))
+    val tot = nC0.agg(sum(col("n_c")).as("n_s"))
+    val numO = co.join(broadcast(lp), Seq("c", "k"))
+      .agg(coalesce(sum(col("o_ck").cast("decimal(19,0)") * col("__q2")),
+        lit(0).cast("decimal(38,0)")).as("__num_o"))
+    val numE = lp.agg(sum(col("__nn") * col("__q2")).as("__num_e"))
+    val s4 = lit(4L * scale * scale).cast("decimal(19,0)")
+    numO.crossJoin(numE).crossJoin(tot)
+      .select(
+        lit(metric).as("metric"),
+        floor(col("n_s") / scale).cast("long").as("n_coincidence"),
+        (col("__num_o").cast("double") /
+          (s4 * col("n_s").cast("decimal(19,0)")).cast("double")).as("d_o"),
+        (col("__num_e").cast("double") /
+          (s4 * col("n_s").cast("decimal(19,0)") *
             (col("n_s") - lit(scale)).cast("decimal(19,0)")).cast("double"))
           .as("d_e"))
       .withColumn("alpha", lit(1.0) - col("d_o") / col("d_e"))

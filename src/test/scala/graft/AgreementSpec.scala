@@ -97,4 +97,87 @@ class AgreementSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("d_e") - 0.4) < 1e-12)
     assert(math.abs(r.getAs[Double]("alpha")) < 1e-12)
   }
+
+  // --- ordinal / interval metrics ---
+
+  /** Krippendorff's canonical 4-observer × 12-unit worked example
+    * ("Computing Krippendorff's Alpha-Reliability", 2011; ratings
+    * 1–5, missing cells, unit 12 drops with a single rating). */
+  private val worked: Seq[(Long, String, Long)] = {
+    val na = -1
+    val grid = Map(
+      "A" -> Seq(1, 2, 3, 3, 2, 1, 4, 1, 2, na, na, na),
+      "B" -> Seq(1, 2, 3, 3, 2, 2, 4, 1, 2, 5, na, 3),
+      "C" -> Seq(na, 3, 3, 3, 2, 3, 4, 2, 2, 5, 1, na),
+      "D" -> Seq(1, 2, 3, 3, 2, 4, 4, 1, 2, 5, 1, na))
+    for {
+      (rater, vals) <- grid.toSeq
+      (v, u) <- vals.zipWithIndex if v != na
+    } yield ((u + 1).toLong, rater, v.toLong)
+  }
+
+  private def metricAlpha(rows: Seq[(Long, String, Long)], metric: String,
+                          scale: Long = 6L) =
+    Agreement.krippendorffAlphaMetric(rows.toDF("unit", "rater", "label"),
+      "unit", "rater", "label", scale, metric).collect()(0)
+
+  test("interval alpha matches the published worked example (0.849)") {
+    val r = metricAlpha(worked, "interval")
+    assert(r.getAs[Long]("n_coincidence") == 40L)
+    assert(math.abs(r.getAs[Double]("alpha") - 0.8491071428571428) < 1e-12)
+  }
+
+  test("ordinal alpha matches the published worked example (0.815)") {
+    val r = metricAlpha(worked, "ordinal")
+    assert(math.abs(r.getAs[Double]("alpha") - 0.8153875037548813) < 1e-12)
+  }
+
+  /** From-scratch rational-arithmetic reference, straight from the
+    * textbook formulas (no shared code with the engine). */
+  private def bruteAlpha(rows: Seq[(Long, String, Long)],
+                         d2: (Long, Long, Map[Long, Double]) => Double): Double = {
+    val units = rows.groupBy(_._1).values.filter(_.size > 1)
+    val o = scala.collection.mutable.Map[(Long, Long), Double]()
+      .withDefaultValue(0.0)
+    units.foreach { vs =>
+      val m = vs.size
+      for (i <- vs.indices; j <- vs.indices if i != j)
+        o((vs(i)._3, vs(j)._3)) += 1.0 / (m - 1)
+    }
+    val labels = rows.map(_._3).distinct.sorted
+    val nC = labels.map(c => c -> labels.map(k => o((c, k))).sum).toMap
+    val n = nC.values.sum
+    val dO = labels.flatMap(c => labels.map(k => o((c, k)) * d2(c, k, nC))).sum / n
+    val dE = labels.flatMap(c =>
+      labels.map(k => nC(c) * nC(k) * d2(c, k, nC))).sum / (n * (n - 1))
+    1.0 - dO / dE
+  }
+
+  private def intervalD2(c: Long, k: Long, nC: Map[Long, Double]): Double =
+    ((c - k) * (c - k)).toDouble
+
+  private def ordinalD2(c: Long, k: Long, nC: Map[Long, Double]): Double = {
+    val (lo, hi) = (math.min(c, k), math.max(c, k))
+    val s = nC.collect { case (g, n) if g >= lo && g <= hi => n }.sum
+    val d = s - (nC(c) + nC(k)) / 2
+    d * d
+  }
+
+  test("metric alphas match the brute-force reference on random ratings") {
+    val rows = for {
+      u <- 0L until 60L
+      r <- 0 until (2 + (u % 3).toInt) // 2-4 raters per unit
+    } yield (u, s"r$r", (u * 31 + r * r * 17 + r) % 5 + 1)
+    assert(math.abs(metricAlpha(rows, "interval").getAs[Double]("alpha")
+      - bruteAlpha(rows, intervalD2)) < 1e-9)
+    assert(math.abs(metricAlpha(rows, "ordinal").getAs[Double]("alpha")
+      - bruteAlpha(rows, ordinalD2)) < 1e-9)
+  }
+
+  test("metric alphas = 1 on unanimous raters") {
+    val rows = (0L until 10L).flatMap(u =>
+      Seq((u, "a", u % 5 + 1), (u, "b", u % 5 + 1)))
+    assert(metricAlpha(rows, "interval", 1L).getAs[Double]("alpha") == 1.0)
+    assert(metricAlpha(rows, "ordinal", 1L).getAs[Double]("alpha") == 1.0)
+  }
 }
