@@ -45,7 +45,28 @@ object BradleyTerry {
     *         sum 1 across items
     */
   def fit(pairs: DataFrame, aCol: String, bCol: String,
-          winsACol: String, winsBCol: String, iters: Int): DataFrame = {
+          winsACol: String, winsBCol: String, iters: Int): DataFrame =
+    fitImpl(pairs, aCol, bCol, winsACol, winsBCol, None, iters)
+
+  /** MM iterations WARM-STARTED from a previous strength vector — the
+    * online/streaming arm (the [[graft.graph.PageRank.continueFrom]]
+    * discipline): as comparisons land, re-converge from the last
+    * converged strengths instead of re-iterating from uniform over
+    * the accumulated log. Items unseen by `strengths0` enter at the
+    * uniform mass 1/|items|; the seeded vector renormalizes to Σp = 1
+    * (decimal-routed) so the loop invariant holds, then the identical
+    * MM rounds run.
+    *
+    * @param strengths0 (item, strength) — e.g. a previous [[fit]] /
+    *                   [[continueFrom]] output */
+  def continueFrom(pairs: DataFrame, aCol: String, bCol: String,
+                   winsACol: String, winsBCol: String,
+                   strengths0: DataFrame, iters: Int): DataFrame =
+    fitImpl(pairs, aCol, bCol, winsACol, winsBCol, Some(strengths0), iters)
+
+  private def fitImpl(pairs: DataFrame, aCol: String, bCol: String,
+                      winsACol: String, winsBCol: String,
+                      warm: Option[DataFrame], iters: Int): DataFrame = {
     val a = col(aCol); val b = col(bCol)
     val wa = col(winsACol).cast("double"); val wb = col(winsBCol).cast("double")
     // symmetric view: one row per ORDERED (item, opponent) pair.
@@ -70,7 +91,22 @@ object BradleyTerry {
       .localCheckpoint(eager = true) // reused every iteration
     val items = games.select(col("item"))
     val nItems = items.count() // item-cardinality only: bounded (models), not data rows
-    var p = items.withColumn("p", lit(1.0 / nItems))
+    var p = warm match {
+      case None => items.withColumn("p", lit(1.0 / nItems))
+      case Some(p0) =>
+        val seeded = items
+          .join(p0.select(col("item"), col("strength").as("__p0")),
+            Seq("item"), "left")
+          .select(col("item"),
+            coalesce(col("__p0"), lit(1.0 / nItems)).as("p"))
+        val tot = seeded.agg(Exact.dsum(col("p")).as("__t"))
+        // pinned like the loop iterate: the seed feeds both broadcast
+        // sides of round 1
+        val ck = seeded.crossJoin(broadcast(tot))
+          .select(col("item"), (col("p") / col("__t")).as("p"))
+          .localCheckpoint(eager = true)
+        ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+    }
     var it = 0
     while (it < iters) {
       val joined = sym
