@@ -576,5 +576,31 @@ object CorpusStatQueries {
         |FROM nw JOIN nd ON nw.lang = nd.lang""".stripMargin))
   }
 
-  def queries: Seq[GQuery] = Seq(q146, q149, q152, q169, q175, q213, q215)
+  /** q220: vocabulary-coverage estimation per language
+    * ([[graft.text.Vocab.coverageEstimate]]) — Good–Turing unseen mass
+    * P₀ = f₁/N and bias-corrected Chao1 richness V + f₁(f₁−1)/(2(f₂+1))
+    * from the frequency-of-frequencies census; integer counts until
+    * one IEEE division per estimate, so the oracle replays exactly. */
+  val q220 = GQuery(
+    "q220_vocab_coverage",
+    (s, d) => graft.text.Vocab.coverageEstimate(
+      documents(s, d), Seq("lang"), "text"),
+    Some("""WITH toks AS (
+      |  SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS tok
+      |  FROM documents),
+      |cnts AS (
+      |  SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM toks WHERE tok <> '' GROUP BY lang, tok),
+      |cen AS (
+      |  SELECT lang, CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |    CAST(COUNT(*) AS BIGINT) AS vocab,
+      |    CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+      |    CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+      |  FROM cnts GROUP BY lang)
+      |SELECT lang, n_tokens, vocab, f1, f2,
+      |  CAST(f1 AS DOUBLE) / n_tokens AS p_unseen,
+      |  vocab + CAST(f1 * (f1 - 1) AS DOUBLE) / (2.0 * (f2 + 1)) AS chao1
+      |FROM cen""".stripMargin))
+
+  def queries: Seq[GQuery] = Seq(q146, q149, q152, q169, q175, q213, q215, q220)
 }

@@ -358,5 +358,70 @@ object PreferenceQueries {
       |    / (CAST(ne_int AS DOUBLE) / CAST(16 * n_s * (n_s - 2) AS DOUBLE))
       |FROM no, ne, tot""".stripMargin))
 
-  def queries: Seq[GQuery] = Seq(q203, q204, q205, q206, q207, q218)
+  /** q219: cross-rater quantile normalization
+    * ([[graft.stats.QuantileNorm.toPooled]]) — three raters score the
+    * same documents with different biases (uniform, squared-compressed,
+    * top-half offset); each rater's scores map through their own
+    * empirical CDF onto the pooled distribution (rank → (k−0.5)/n →
+    * pooled type-7 quantile, exact SortPercentile interpolation
+    * arithmetic). Row-level gate: every normalized value must match
+    * DuckDB's replay of the windows, the pooled positions, and the
+    * interpolation bit-for-bit. */
+  val q219 = GQuery(
+    "q219_quantile_normalize",
+    (s, d) => {
+      val mu = (tag: String) =>
+        conv(substring(md5(concat(lit(tag),
+          col("doc_id").cast("string"))), 1, 7), 16, 10)
+          .cast("long") / lit(268435456.0)
+      val docs = documents(s, d)
+      val ra = docs.select(lit("a").as("rater"), col("doc_id").as("item"),
+        mu("qn-a-").as("score"))
+      val rb = docs.select(lit("b").as("rater"), col("doc_id").as("item"),
+        (mu("qn-b-") * mu("qn-b-")).as("score"))
+      val rc = docs.select(lit("c").as("rater"), col("doc_id").as("item"),
+        (lit(0.5) + mu("qn-c-") / 2).as("score"))
+      graft.stats.QuantileNorm.toPooled(
+        ra.unionByName(rb).unionByName(rc), "rater", "item", "score")
+    },
+    Some("""WITH sc AS (
+      |  SELECT 'a' AS rater, doc_id AS item,
+      |    CAST(('0x' || substr(md5('qn-a-' || CAST(doc_id AS VARCHAR)), 1, 7))
+      |      AS BIGINT) / 268435456.0 AS score
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT 'b', doc_id,
+      |    (CAST(('0x' || substr(md5('qn-b-' || CAST(doc_id AS VARCHAR)), 1, 7))
+      |      AS BIGINT) / 268435456.0)
+      |    * (CAST(('0x' || substr(md5('qn-b-' || CAST(doc_id AS VARCHAR)), 1, 7))
+      |      AS BIGINT) / 268435456.0)
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT 'c', doc_id,
+      |    0.5 + CAST(('0x' || substr(md5('qn-c-' || CAST(doc_id AS VARCHAR)), 1, 7))
+      |      AS BIGINT) / 268435456.0 / 2
+      |  FROM documents),
+      |rk AS (
+      |  SELECT rater, item, score,
+      |    row_number() OVER (PARTITION BY rater ORDER BY score, item) AS k,
+      |    COUNT(*) OVER (PARTITION BY rater) AS n
+      |  FROM sc),
+      |t AS (SELECT COUNT(*) AS nn FROM sc),
+      |x AS (
+      |  SELECT rk.rater, rk.item, rk.score,
+      |    (CAST(k AS DOUBLE) - 0.5) / n * (t.nn - 1) AS pos
+      |  FROM rk, t),
+      |pl AS (
+      |  SELECT score AS v,
+      |    row_number() OVER (ORDER BY score, rater, item) - 1 AS p
+      |  FROM sc)
+      |SELECT x.rater, x.item, x.score,
+      |  CASE WHEN CAST(CEIL(x.pos) AS BIGINT) = CAST(FLOOR(x.pos) AS BIGINT)
+      |         OR hi.v IS NULL THEN lo.v
+      |       ELSE (CEIL(x.pos) - x.pos) * lo.v
+      |          + (x.pos - FLOOR(x.pos)) * hi.v END AS normalized
+      |FROM x JOIN pl lo ON CAST(FLOOR(x.pos) AS BIGINT) = lo.p
+      |LEFT JOIN pl hi ON CAST(CEIL(x.pos) AS BIGINT) = hi.p""".stripMargin))
+
+  def queries: Seq[GQuery] = Seq(q203, q204, q205, q206, q207, q218, q219)
 }

@@ -105,4 +105,36 @@ object Vocab {
           .cast("double") / col("__total").cast("double"))
       .drop("__total")
   }
+
+  /** Vocabulary-coverage estimation per group — "how much of the
+    * language have we NOT seen yet": the Good–Turing unseen-probability
+    * mass P₀ = f₁/N (Good 1953 — the probability the next token is a
+    * new type) and the bias-corrected Chao1 richness estimate
+    * V + f₁(f₁−1)/(2(f₂+1)) (Chao 1984/1987) from the
+    * frequency-of-frequencies f₁ (singletons) and f₂ (doubletons).
+    * The corpus-growth planning numbers a pretraining pipeline reads
+    * before deciding whether more of a language is worth crawling.
+    *
+    * Two map-side-combined aggregations (token counts, then a count
+    * census per group); integer until one IEEE division per estimate.
+    *
+    * @return groupCols ++ (n_tokens, vocab, f1, f2, p_unseen, chao1) */
+  def coverageEstimate(df: DataFrame, groupCols: Seq[String],
+                       textCol: String): DataFrame = {
+    val g = groupCols.map(col)
+    val counts = df
+      .select(g :+ explode(split(trim(col(textCol)), "\\s+")).as("__tok"): _*)
+      .filter(col("__tok") =!= "")
+      .groupBy(g :+ col("__tok"): _*)
+      .agg(count(lit(1)).as("__c"))
+    counts.groupBy(g: _*)
+      .agg(
+        sum(col("__c")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(when(col("__c") === 1, lit(1L)).otherwise(lit(0L))).as("f1"),
+        sum(when(col("__c") === 2, lit(1L)).otherwise(lit(0L))).as("f2"))
+      .withColumn("p_unseen", col("f1").cast("double") / col("n_tokens"))
+      .withColumn("chao1", col("vocab") +
+        (col("f1") * (col("f1") - 1)).cast("double") / (lit(2.0) * (col("f2") + 1)))
+  }
 }

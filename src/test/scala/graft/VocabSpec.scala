@@ -65,4 +65,27 @@ class VocabSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(a == b && a("a") == 4L)
   }
+
+  test("coverageEstimate: hand-checked Good-Turing + Chao1 per group") {
+    // group g: tokens a a b c  -> N=4 V=3 f1=2 (b,c) f2=1 (a:2)
+    // group h: tokens x x x    -> N=3 V=1 f1=0 f2=0
+    val docs = Seq(("g", "a a b"), ("g", "c"), ("h", "x x x"))
+      .toDF("grp", "text")
+    val got = Vocab.coverageEstimate(docs, Seq("grp"), "text")
+      .collect().map(r => r.getAs[String]("grp") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("vocab"),
+          r.getAs[Long]("f1"), r.getAs[Long]("f2"),
+          r.getAs[Double]("p_unseen"), r.getAs[Double]("chao1"))).toMap
+    assert(got("g") == ((4L, 3L, 2L, 1L, 0.5, 3.0 + 2.0 / 4.0)))
+    // no singletons: zero unseen mass, Chao1 collapses to V
+    assert(got("h") == ((3L, 1L, 0L, 0L, 0.0, 1.0)))
+  }
+
+  test("coverageEstimate: singleton-heavy corpus says most mass unseen") {
+    val docs = (0 until 50).map(i => ("g", s"tok$i uniq$i"))
+      .toDF("grp", "text")
+    val r = Vocab.coverageEstimate(docs, Seq("grp"), "text").collect()(0)
+    assert(r.getAs[Double]("p_unseen") == 1.0) // every token a singleton
+    assert(r.getAs[Long]("vocab") == 100L)
+  }
 }
