@@ -57,9 +57,13 @@ object CommonPrefixLen {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "common_prefix_len", builder, "built-in")
 
-  def compute(ua: UTF8String, ub: UTF8String): Int = {
-    val a = ua.toString
-    val b = ub.toString
+  def compute(ua: UTF8String, ub: UTF8String): Int =
+    computeStr(ua.toString, ub.toString)
+
+  /** JVM twin on Strings for partition-scan callers
+    * ([[graft.text.SuffixArray.prefixRuns]]) — same arithmetic, same
+    * code-point counting. */
+  def computeStr(a: String, b: String): Int = {
     val n = math.min(a.length, b.length)
     var i = 0 // UTF-16 index
     var cp = 0 // code-point count

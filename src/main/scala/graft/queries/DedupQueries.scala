@@ -1175,5 +1175,142 @@ object DedupQueries {
         |FROM rep GROUP BY doc_id""".stripMargin))
   }
 
-  def queries: Seq[GQuery] = Seq(q36, q37, q38, q39, q57, q61, q88, q90, q103, q108, q118, q123, q124, q125, q127, q129, q133, q138, q142, q161, q162, q167, q180, q212, q216)
+  /** q221: exact-maximal-length repeated-span removal over the suffix
+    * array — the full Lee et al. 2021 ExactSubstr shape composed from
+    * q212's index and q216's LCPs: consecutive suffixes whose adjacent
+    * LCPs all reach L share one L-prefix (LCP transitivity), so each
+    * such RUN ([[graft.text.SuffixArray.prefixRuns]], a two-pass
+    * distributed segmented scan — never a single-reducer window) is a
+    * group of duplicate-span occurrences; the group keeps its first
+    * occurrence (min packed (doc, pos)) and every other member masks
+    * its shared prefix AT THE RUN'S EXACT LENGTH (min internal LCP —
+    * where q138's fixed-k-gram form always excises k-token windows).
+    * Masked positions merge into islands per doc and the surviving
+    * characters rebuild the cleaned text. The oracle replays the whole
+    * chain: suffix sort, adjacent LCPs, the boundary cumsum, run
+    * aggregation, canonical election, mask explosion, islands,
+    * per-char rebuild. */
+  val q221 = {
+    val L = 15
+    GQuery(
+      "q221_sa_span_dedup",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val sample = documents(s, d)
+          .filter(col("doc_id") % 17 === 0)
+          .select(col("doc_id"), col("text"))
+        val runs = graft.text.SuffixArray
+          .prefixRuns(sample, "doc_id", "text", maxChars = 200, minLen = L)
+          .localCheckpoint(eager = false) // two consumers: agg + member join
+        val agg = runs.groupBy(col("run_id")).agg(
+          lcount(lit(1)).as("__m"),
+          min(when(!col("boundary"), col("prev_lcp"))).as("__run_len"),
+          min(col("doc") * 1024 + col("pos")).as("__canon"))
+        val masked = runs.join(agg, Seq("run_id"))
+          .filter(col("__m") >= 2 &&
+            (col("doc") * 1024 + col("pos")) =!= col("__canon"))
+          .select(col("doc"),
+            explode(sequence(col("pos"), col("pos") + col("__run_len") - 1))
+              .as("i"))
+          .distinct()
+          .localCheckpoint(eager = false) // three consumers below
+        val chars = sample
+          .select(col("doc_id").as("doc"),
+            substring(col("text"), 1, 200).as("__w"))
+          .filter(length(col("__w")) >= 1)
+          .select(col("doc"), col("__w"),
+            explode(sequence(lit(1L), length(col("__w")).cast("long"))).as("i"))
+          .select(col("doc"), col("i"),
+            expr("substring(__w, CAST(i AS INT), 1)").as("c"))
+        val kept = chars.join(masked, Seq("doc", "i"), "left_anti")
+        val clean = kept.groupBy(col("doc")).agg(
+          array_join(transform(
+            array_sort(collect_list(struct(col("i"), col("c")))),
+            x => x("c")), "").as("clean_text"))
+        val mcount = masked.groupBy(col("doc"))
+          .agg(lcount(lit(1)).as("n_masked"))
+        val isl = masked
+          .withColumn("__rn", row_number().over(
+            Window.partitionBy(col("doc")).orderBy(col("i"))))
+          .groupBy(col("doc"))
+          .agg(countDistinct(col("i") - col("__rn")).as("n_islands"))
+        chars.groupBy(col("doc")).agg(lcount(lit(1)).as("n_chars"))
+          .join(mcount, Seq("doc"), "left")
+          .join(isl, Seq("doc"), "left")
+          .join(clean, Seq("doc"), "left")
+          .select(col("doc").as("doc_id"), col("n_chars"),
+            coalesce(col("n_masked"), lit(0L)).as("n_masked"),
+            coalesce(col("n_islands"), lit(0L)).as("n_islands"),
+            coalesce(col("clean_text"), lit("")).as("clean_text"))
+      },
+      Some(s"""WITH pos AS (
+        |  SELECT doc_id, CAST(s.i AS BIGINT) AS pos,
+        |    substr(substr(text, 1, 200), s.i) AS suf
+        |  FROM documents,
+        |    UNNEST(generate_series(1, LEAST(length(text), 200))) AS s(i)
+        |  WHERE doc_id % 17 = 0 AND length(text) >= 1),
+        |ord AS (
+        |  SELECT doc_id, pos, suf,
+        |    row_number() OVER (ORDER BY suf, doc_id, pos) AS idx
+        |  FROM pos),
+        |pl AS (
+        |  SELECT b.idx,
+        |    MAX(CASE WHEN substr(a.suf, 1, k.i) = substr(b.suf, 1, k.i)
+        |      THEN k.i ELSE 0 END) AS l
+        |  FROM ord a JOIN ord b ON b.idx = a.idx + 1,
+        |    UNNEST(generate_series(1,
+        |      GREATEST(LEAST(length(a.suf), length(b.suf)), 1))) AS k(i)
+        |  GROUP BY b.idx),
+        |rn AS (
+        |  SELECT o.doc_id, o.pos, o.idx, pl.l AS prev_lcp,
+        |    CASE WHEN pl.l IS NULL OR pl.l < $L THEN 1 ELSE 0 END AS b
+        |  FROM ord o LEFT JOIN pl ON o.idx = pl.idx),
+        |rr AS (
+        |  SELECT *, SUM(b) OVER (ORDER BY idx ROWS UNBOUNDED PRECEDING)
+        |    AS run_id
+        |  FROM rn),
+        |ra AS (
+        |  SELECT run_id, COUNT(*) AS m,
+        |    MIN(CASE WHEN b = 0 THEN prev_lcp END) AS run_len,
+        |    MIN(doc_id * 1024 + pos) AS canon
+        |  FROM rr GROUP BY run_id),
+        |mk AS (
+        |  SELECT DISTINCT rr.doc_id, CAST(g.i AS BIGINT) AS i
+        |  FROM rr JOIN ra ON rr.run_id = ra.run_id,
+        |    UNNEST(generate_series(rr.pos, rr.pos + ra.run_len - 1)) AS g(i)
+        |  WHERE ra.m >= 2 AND rr.doc_id * 1024 + rr.pos <> ra.canon),
+        |ch AS (
+        |  SELECT doc_id, CAST(s.i AS BIGINT) AS i,
+        |    substr(substr(text, 1, 200), s.i, 1) AS c
+        |  FROM documents,
+        |    UNNEST(generate_series(1, LEAST(length(text), 200))) AS s(i)
+        |  WHERE doc_id % 17 = 0 AND length(text) >= 1),
+        |keep AS (
+        |  SELECT ch.doc_id, ch.i, ch.c
+        |  FROM ch LEFT JOIN mk ON ch.doc_id = mk.doc_id AND ch.i = mk.i
+        |  WHERE mk.i IS NULL),
+        |cl AS (
+        |  SELECT doc_id, string_agg(c, '' ORDER BY i) AS clean_text
+        |  FROM keep GROUP BY doc_id),
+        |mc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_masked
+        |       FROM mk GROUP BY doc_id),
+        |il AS (
+        |  SELECT doc_id, CAST(COUNT(DISTINCT i - rn2) AS BIGINT) AS n_islands
+        |  FROM (SELECT doc_id, i,
+        |          row_number() OVER (PARTITION BY doc_id ORDER BY i) AS rn2
+        |        FROM mk) t
+        |  GROUP BY doc_id),
+        |tt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chars
+        |       FROM ch GROUP BY doc_id)
+        |SELECT tt.doc_id, tt.n_chars,
+        |  COALESCE(mc.n_masked, 0) AS n_masked,
+        |  COALESCE(il.n_islands, 0) AS n_islands,
+        |  COALESCE(cl.clean_text, '') AS clean_text
+        |FROM tt
+        |LEFT JOIN mc ON tt.doc_id = mc.doc_id
+        |LEFT JOIN il ON tt.doc_id = il.doc_id
+        |LEFT JOIN cl ON tt.doc_id = cl.doc_id""".stripMargin))
+  }
+
+  def queries: Seq[GQuery] = Seq(q36, q37, q38, q39, q57, q61, q88, q90, q103, q108, q118, q123, q124, q125, q127, q129, q133, q138, q142, q161, q162, q167, q180, q212, q216, q221)
 }

@@ -147,6 +147,93 @@ object SuffixArray {
         coalesce(col("rep"), lit(0L)).as("rep"))
   }
 
+  /** Shared-prefix RUNS over the suffix order — the grouping step of
+    * exact-substring dedup: consecutive suffixes whose adjacent LCPs
+    * all reach `minLen` share (by LCP prefix-transitivity) one
+    * `minLen`-char prefix, so each maximal such run is one group of
+    * duplicate-span occurrences. Returns every suffix with its LCP to
+    * the predecessor, its boundary flag (LCP < minLen), and a global
+    * run id (the running boundary count).
+    *
+    * The run id is a data-dependent GLOBAL cumulative sum — the one
+    * shape a declarative window can only compute on a single reducer.
+    * This is the classic two-pass distributed segmented scan instead
+    * (the same cost class as the builder's zipWithIndex): range-sort
+    * the suffixes, pass A collects one bounded carry per PARTITION
+    * (first/last suffix + internal boundary count), the driver stitches
+    * partition seams and prefix-sums the offsets, pass B re-walks each
+    * partition with its broadcast carry. LCPs at seams use the
+    * previous partition's last suffix, so results are identical to a
+    * sequential walk at any partitioning (spec-pinned).
+    *
+    * @return (doc, pos, prev_lcp (null for the global first suffix),
+    *         boundary, run_id) — run_id is 1-based */
+  def prefixRuns(docs: DataFrame, idCol: String, textCol: String,
+                 maxChars: Int, minLen: Int): DataFrame = {
+    import graft.functions.CommonPrefixLen.computeStr
+    val spark = docs.sparkSession
+    val r = ranks(docs, idCol, textCol, maxChars)
+    val suf = r.join(
+        docs.select(col(idCol).as("doc"),
+          substring(col(textCol), 1, maxChars).as("__t")),
+        r(idCol) === col("doc"))
+      .select(col("doc"), col("pos"), col("rank"),
+        expr("substring(__t, CAST(pos AS INT))").as("__suf"))
+    val base = suf.orderBy(col("rank"), col("doc"), col("pos"))
+      .select(col("doc"), col("pos"), col("__suf"))
+      .rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // pass A: bounded per-partition carries (first/last suffix string,
+    // boundary count among rows 2..n) — one row per partition
+    val carries = base.mapPartitionsWithIndex { (pi, it) =>
+      var first: String = null; var prev: String = null
+      var nb = 0L; var n = 0L
+      it.foreach { row =>
+        val s = row.getString(2)
+        if (first == null) first = s
+        else if (computeStr(prev, s) < minLen) nb += 1
+        prev = s; n += 1
+      }
+      Iterator((pi, first, prev, nb, n))
+    }.collect().sortBy(_._1)
+    // driver stitch: boundary status of each partition's first row +
+    // the running boundary count entering each partition
+    val offs = new Array[(Long, String)](carries.length)
+    var prevLast: String = null
+    var acc = 0L
+    carries.foreach { case (pi, first, last, nb, n) =>
+      offs(pi) = (acc, prevLast)
+      if (n > 0) {
+        val firstBoundary =
+          prevLast == null || computeStr(prevLast, first) < minLen
+        acc += nb + (if (firstBoundary) 1L else 0L)
+        prevLast = last
+      }
+    }
+    val bc = spark.sparkContext.broadcast(offs)
+    val out = base.mapPartitionsWithIndex { (pi, it) =>
+      val (off0, carry) = bc.value(pi)
+      var runId = off0
+      var prev = carry
+      it.map { row =>
+        val s = row.getString(2)
+        val lcp = if (prev == null) -1 else computeStr(prev, s)
+        val boundary = lcp < minLen
+        if (boundary) runId += 1
+        prev = s
+        Row(row.get(0), row.getLong(1),
+          if (lcp < 0) null else lcp.toLong, boundary, runId)
+      }
+    }
+    val docType = suf.schema("doc").dataType
+    spark.createDataFrame(out, StructType(Seq(
+      StructField("doc", docType, nullable = true),
+      StructField("pos", LongType, nullable = false),
+      StructField("prev_lcp", LongType, nullable = true),
+      StructField("boundary", org.apache.spark.sql.types.BooleanType,
+        nullable = false),
+      StructField("run_id", LongType, nullable = false))))
+  }
+
   /** Dense rank of (__k1, __k2) without a single-reducer window: the
     * DISTINCT key set is range-sorted and zipWithIndex'd (per-partition
     * offsets from one count pass), then joined back. */

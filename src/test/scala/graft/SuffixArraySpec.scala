@@ -117,4 +117,59 @@ class SuffixArraySpec extends SparkSpec {
     // distinct alphabets: only suffix pairs with empty common prefix
     assert(got.values.forall(_ == 0L))
   }
+
+  // --- prefixRuns: the segmented-scan run grouping ---
+
+  private def runsOf(docs: Seq[(Long, String)], minLen: Int,
+                     parts: Int = 1) =
+    SuffixArray.prefixRuns(
+      docs.toDF("doc_id", "text").repartition(parts), "doc_id", "text",
+      maxChars = 1000, minLen = minLen)
+      .collect()
+      .map(r => (r.getAs[Long]("doc"), r.getAs[Long]("pos")) ->
+        (Option(r.getAs[Any]("prev_lcp")).map(_.asInstanceOf[Long]),
+          r.getAs[Boolean]("boundary"), r.getAs[Long]("run_id")))
+      .toMap
+
+  /** Sequential reference walk over the brute-force suffix order. */
+  private def bruteRuns(docs: Seq[(Long, String)], minLen: Int) = {
+    val sufs = (for {
+      (id, t) <- docs; p <- 1 to t.length
+    } yield (id, p.toLong, t.substring(p - 1)))
+      .sortBy { case (id, p, s) => (s, id, p) }
+    var runId = 0L
+    var prev: String = null
+    sufs.map { case (id, p, s) =>
+      val lcp = if (prev == null) None
+      else Some(s.zip(prev).takeWhile { case (a, b) => a == b }.length.toLong)
+      val boundary = lcp.forall(_ < minLen)
+      if (boundary) runId += 1
+      prev = s
+      (id, p) -> (lcp, boundary, runId)
+    }.toMap
+  }
+
+  test("prefixRuns groups shared-span occurrences; matches the sequential walk") {
+    val docs = Seq((1L, "xqzvneedleinhaywmfc"), (2L, "rjkneedleinhaytubol"))
+    val got = runsOf(docs, minLen = 5)
+    assert(got == bruteRuns(docs, minLen = 5))
+    // the two span-start suffixes share a run; the doc-1 tail after
+    // the span does not join it
+    assert(got((1L, 5L))._3 == got((2L, 4L))._3)
+    assert(got((1L, 16L))._3 != got((1L, 5L))._3)
+  }
+
+  test("prefixRuns is partitioning-invariant (seam carries stitch exactly)") {
+    val docs = (0L until 8L).map { i =>
+      (i, (0 until 12 + (i % 5).toInt)
+        .map(j => ('a' + ((i * 13 + j * 5 + j * j) % 3)).toChar).mkString)
+    }
+    val want = bruteRuns(docs, minLen = 3)
+    // 1, 3 and 16 partitions (16 > #suffix groups in places -> empty
+    // partitions exercise the stitch's skip path)
+    Seq(1, 3, 16).foreach { p =>
+      assert(runsOf(docs, minLen = 3, parts = p) == want,
+        s"diverged at $p partitions")
+    }
+  }
 }
