@@ -37,10 +37,12 @@ object SuffixArray {
     *         identical suffix STRINGS share a rank. */
   /** Seed width: round 0 ranks suffixes by their first `SeedW`-char
     * prefix directly (one string dense-rank), entering the doubling at
-    * step = 8 instead of 1 — three fewer rounds, measured 4.2 → ~2 s
-    * at sf0.1. UTF-8 binary string order equals per-char order, so the
-    * seed ranks are exactly the step-8 ranks. */
-  private val SeedW = 8
+    * step = 32 instead of 1 — five fewer rounds. UTF-8 binary string
+    * order equals per-char order, so the seed ranks are exactly the
+    * step-32 ranks. Measured at sf0.1: SeedW 1 → 4.2 s, 8 → 2.4 s,
+    * 32 → 1.5 s, 64 → 1.8 s (wider seeds trade doubling rounds for
+    * seed-sort bytes; 32 is the knee on 200-char windows). */
+  private val SeedW = 32
 
   def ranks(docs: DataFrame, idCol: String, textCol: String,
             maxChars: Int): DataFrame = {
