@@ -87,8 +87,89 @@ case class HllRegistersAgg(child: Expression, pExpr: Expression,
     copy(child = newChildren(0), pExpr = newChildren(1))
 }
 
+/** `hll_merge(registers, p)`: elementwise-max merge of HLL register
+  * vectors — the SKETCH-ALGEBRA half of [[HllRegistersAgg]] and the
+  * property that makes sketches the 100 TB distinct-count shape: a
+  * fine-grain register table rolls up ANY grouping hierarchy without
+  * rescanning the data, because max-merge of registers equals the
+  * registers of the union (associative, commutative, idempotent — the
+  * same invariant [[graft.streaming.StreamHll]] leans on for
+  * at-least-once replay). Input rows are `array<int>` register
+  * vectors of matching precision `p`. */
+case class HllMergeAgg(child: Expression, pExpr: Expression,
+                       override val mutableAggBufferOffset: Int = 0,
+                       override val inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Byte]] {
+
+  private lazy val p: Int = pExpr.eval().asInstanceOf[Number].intValue()
+  private lazy val m: Int = 1 << p
+
+  override def children: Seq[Expression] = Seq(child, pExpr)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "hll_merge"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!child.dataType.isInstanceOf[ArrayType] ||
+      child.dataType.asInstanceOf[ArrayType].elementType != IntegerType)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<int> registers")
+    else if (!pExpr.foldable || pExpr.dataType != IntegerType ||
+      pExpr.eval() == null || pExpr.eval().asInstanceOf[Number].intValue() < 9 ||
+      pExpr.eval().asInstanceOf[Number].intValue() > 16)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires an integer literal precision p in [9,16]")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
+
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      require(arr.numElements() == m,
+        s"hll_merge: register vector has ${arr.numElements()} entries, expected $m")
+      var i = 0
+      while (i < m) {
+        val r = arr.getInt(i)
+        if (r > buf(i)) buf(i) = r.toByte
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Byte], other: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < m) { if (other(i) > buf(i)) buf(i) = other(i); i += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Byte]): Any =
+    new GenericArrayData(buf.map(_.toInt))
+
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf.clone()
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes.clone()
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HllMergeAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HllMergeAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): HllMergeAgg =
+    copy(child = newChildren(0), pExpr = newChildren(1))
+}
+
 object HllSketch {
   val info: ExpressionInfo = new ExpressionInfo(classOf[HllRegistersAgg].getName, "hll_registers")
+  val mergeInfo: ExpressionInfo = new ExpressionInfo(classOf[HllMergeAgg].getName, "hll_merge")
+
+  def mergeBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2, "hll_merge(registers, p)")
+    val pE = exprs(1) match {
+      case l: Literal => l
+      case other => Literal(other.eval(), other.dataType)
+    }
+    HllMergeAgg(exprs.head, pE).toAggregateExpression()
+  }
 
   def builder(exprs: Seq[Expression]): Expression = {
     require(exprs.length == 2, "hll_registers(hash60, p)")
@@ -99,9 +180,12 @@ object HllSketch {
     HllRegistersAgg(exprs.head, pE).toAggregateExpression()
   }
 
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "hll_registers", builder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hll_merge", mergeBuilder, "built-in")
+  }
 
   /** The repo-standard replayable 60-bit hash: 15 md5 hex chars of the
     * tagged key, always nonnegative. */

@@ -244,5 +244,84 @@ object BloomQueries {
         |FROM est""".stripMargin))
   }
 
-  def queries: Seq[GQuery] = Seq(q154, q156, q208)
+  /** q222: HLL register ROLLUP ([[graft.functions.HllMergeAgg]]) —
+    * the sketch-algebra pattern that makes sketches the 100 TB
+    * distinct-count shape: ONE register build at the fine grain
+    * (rf × ls), then every coarser grain (rf, grand total) by
+    * elementwise-max MERGE of the fine registers — no rescan of the
+    * data. Max-merge of registers equals the registers of the union,
+    * so every merged estimate is bit-identical to a direct build at
+    * that grain; the oracle proves exactly that by REBUILDING each
+    * grain's registers from the raw elements. */
+  val q222 = {
+    import graft.functions.HllSketch
+    val m = 1 << HllP
+    val wBits = 60 - HllP
+    GQuery(
+      "q222_hll_rollup",
+      (s, d) => {
+        HllSketch.register(s)
+        val fine = lineitem(s, d)
+          .select(col("l_returnflag").as("rf"), col("l_linestatus").as("ls"),
+            HllSketch.hash60(col("l_orderkey").cast("string"), "odk").as("h"))
+          .groupBy(col("rf"), col("ls"))
+          .agg(expr(s"hll_registers(h, $HllP)").as("__regs"))
+          // three consumers (own grain + two merges); the frame is a
+          // handful of register rows
+          .localCheckpoint(eager = false)
+        val byRf = fine.groupBy(col("rf"))
+          .agg(expr(s"hll_merge(__regs, $HllP)").as("__regs"))
+          .select(lit("rf").as("grain"), col("rf"),
+            lit(null).cast("string").as("ls"), col("__regs"))
+        val all = fine.agg(expr(s"hll_merge(__regs, $HllP)").as("__regs"))
+          .select(lit("all").as("grain"), lit(null).cast("string").as("rf"),
+            lit(null).cast("string").as("ls"), col("__regs"))
+        fine.select(lit("rf_ls").as("grain"), col("rf"), col("ls"), col("__regs"))
+          .unionByName(byRf).unionByName(all)
+          .withColumn("zeros", HllSketch.zerosCol(col("__regs")))
+          .withColumn("sumexp_s52", HllSketch.sumExpS52Col(col("__regs")))
+          .withColumn("estimate_e6",
+            floor(HllSketch.estimateCol(col("zeros"), col("sumexp_s52"),
+              HllP) * 1e6 + 0.5).cast("long"))
+          .select(col("grain"), col("rf"), col("ls"), col("zeros"),
+            col("sumexp_s52"), col("estimate_e6"))
+      },
+      Some(s"""WITH src AS (
+        |  SELECT l_returnflag AS rf, l_linestatus AS ls,
+        |    CAST(('0x' || substr(md5('hll-odk' || CAST(l_orderkey AS VARCHAR)),
+        |      1, 15)) AS BIGINT) AS h
+        |  FROM lineitem),
+        |br AS (
+        |  SELECT rf, ls, h // ${1L << wBits} AS bucket,
+        |    CASE WHEN h % ${1L << wBits} = 0 THEN ${wBits + 1}
+        |         ELSE $wBits - length(bin(h % ${1L << wBits})) + 1 END AS rho
+        |  FROM src),
+        |g AS (
+        |  SELECT 'rf_ls' AS grain, rf, ls, bucket, MAX(rho) AS reg
+        |  FROM br GROUP BY rf, ls, bucket
+        |  UNION ALL
+        |  SELECT 'rf', rf, NULL, bucket, MAX(rho)
+        |  FROM br GROUP BY rf, bucket
+        |  UNION ALL
+        |  SELECT 'all', NULL, NULL, bucket, MAX(rho)
+        |  FROM br GROUP BY bucket),
+        |folds AS (
+        |  SELECT grain, rf, ls,
+        |    CAST($m - COUNT(*) AS BIGINT) AS zeros,
+        |    CAST(SUM(CAST(1 AS BIGINT) << (52 - reg)) +
+        |         ($m - COUNT(*)) * ${1L << 52} AS BIGINT) AS sumexp_s52
+        |  FROM g GROUP BY grain, rf, ls),
+        |est AS (
+        |  SELECT folds.*,
+        |    CAST(${HllSketch.alpha(1 << HllP)} AS DOUBLE) * $m.0 * $m.0 *
+        |      ${math.pow(2.0, 52)} / sumexp_s52 AS raw
+        |  FROM folds)
+        |SELECT grain, rf, ls, zeros, sumexp_s52,
+        |  CAST(FLOOR((CASE WHEN zeros > 0 AND raw <= ${2.5 * (1 << HllP)}
+        |    THEN $m.0 * ln($m.0 / zeros) ELSE raw END) * 1e6 + 0.5)
+        |    AS BIGINT) AS estimate_e6
+        |FROM est""".stripMargin))
+  }
+
+  def queries: Seq[GQuery] = Seq(q154, q156, q208, q222)
 }

@@ -78,4 +78,38 @@ class HllSketchSpec extends SparkSpec {
     val many = Seq.fill(5)(once).flatten
     assert(estimateOf(once, 4) == estimateOf(many, 8))
   }
+
+  test("hll_merge of per-group registers == direct build over the union") {
+    HllSketch.register(spark)
+    val rows = (0 until 8000).map(i => (s"g${i % 3}", s"k-${i % 2111}"))
+    val df = rows.toDF("g", "k")
+      .select(col("g"), HllSketch.hash60(col("k"), "spec").as("h"))
+    val fine = df.groupBy("g").agg(expr(s"hll_registers(h, $P)").as("regs"))
+    val merged = fine.agg(expr(s"hll_merge(regs, $P)"))
+      .collect()(0).getSeq[Int](0)
+    val direct = df.agg(expr(s"hll_registers(h, $P)"))
+      .collect()(0).getSeq[Int](0)
+    assert(merged == direct,
+      "max-merge of group registers must equal the union's registers")
+  }
+
+  test("hll_merge is idempotent: re-merging the merged vector is a no-op") {
+    HllSketch.register(spark)
+    val df = (0 until 2000).map(i => s"x-$i").toDF("k")
+      .select(HllSketch.hash60(col("k"), "spec").as("h"))
+    val regs = df.agg(expr(s"hll_registers(h, $P)").as("regs"))
+    val twice = regs.unionByName(regs)
+      .agg(expr(s"hll_merge(regs, $P)")).collect()(0).getSeq[Int](0)
+    val once = regs.collect()(0).getSeq[Int](0)
+    assert(twice == once)
+  }
+
+  test("hll_merge rejects a register vector of the wrong precision") {
+    HllSketch.register(spark)
+    val bad = Seq(Seq.fill(16)(1)).toDF("regs") // 16 entries, not 2^9
+    val e = intercept[Exception] {
+      bad.agg(expr(s"hll_merge(regs, $P)")).collect()
+    }
+    assert(e.getMessage != null)
+  }
 }
