@@ -1312,5 +1312,133 @@ object DedupQueries {
         |LEFT JOIN cl ON tt.doc_id = cl.doc_id""".stripMargin))
   }
 
-  def queries: Seq[GQuery] = Seq(q36, q37, q38, q39, q57, q61, q88, q90, q103, q108, q118, q123, q124, q125, q127, q129, q133, q138, q142, q161, q162, q167, q180, q212, q216, q221)
+  /** q223: exact-substring CONTAMINATION localization over the suffix
+    * array — the cross-corpus face of q221 and the exact-length
+    * upgrade of q123's winnowed fingerprints: benchmark excerpts and
+    * training docs index into ONE suffix order (benchmark ids
+    * negated), and any shared-prefix run ([[graft.text.SuffixArray.prefixRuns]])
+    * containing BOTH sides marks its training members' positions for
+    * the run's exact shared length. Where fingerprint matching
+    * witnesses fixed-size windows, this reports each leak at the
+    * true matched length — the number a decontamination policy
+    * thresholds on. The benchmark fixture is planted by construction
+    * (every %51 doc is a %17 doc, so its excerpt occurs verbatim in
+    * the training sample) and the oracle replays the whole chain. */
+  val q223 = {
+    val L = 20
+    GQuery(
+      "q223_sa_contamination",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val train = documents(s, d)
+          .filter(col("doc_id") % 17 === 0)
+          .select(col("doc_id"), col("text"))
+        // benchmark = 60-char excerpts of every 51st doc (51 = 3·17,
+        // so each excerpt's source doc IS in the training sample);
+        // negative ids tag the side through the shared index
+        val bench = documents(s, d)
+          .filter(col("doc_id") % 51 === 0)
+          .select((-col("doc_id") - 1).as("doc_id"),
+            substring(col("text"), 41, 60).as("text"))
+          .filter(length(col("text")) >= 1)
+        val runs = graft.text.SuffixArray
+          .prefixRuns(train.unionByName(bench), "doc_id", "text",
+            maxChars = 200, minLen = L)
+          .localCheckpoint(eager = false)
+        val agg = runs.groupBy(col("run_id")).agg(
+          min(when(!col("boundary"), col("prev_lcp"))).as("__run_len"),
+          max(when(col("doc") < 0, lit(1)).otherwise(lit(0))).as("__has_bench"))
+        val masked = runs.join(agg, Seq("run_id"))
+          .filter(col("__has_bench") === 1 && col("doc") >= 0 &&
+            col("__run_len").isNotNull)
+          .select(col("doc"),
+            explode(sequence(col("pos"), col("pos") + col("__run_len") - 1))
+              .as("i"))
+          .distinct()
+          .localCheckpoint(eager = false)
+        val chars = train
+          .select(col("doc_id").as("doc"),
+            substring(col("text"), 1, 200).as("__w"))
+          .filter(length(col("__w")) >= 1)
+          .select(col("doc"), length(col("__w")).cast("long").as("n_chars"))
+        val mcount = masked.groupBy(col("doc"))
+          .agg(lcount(lit(1)).as("n_contaminated"))
+        val isl = masked
+          .withColumn("__rn", row_number().over(
+            Window.partitionBy(col("doc")).orderBy(col("i"))))
+          .groupBy(col("doc"))
+          .agg(countDistinct(col("i") - col("__rn")).as("n_islands"))
+        chars
+          .join(mcount, Seq("doc"), "left")
+          .join(isl, Seq("doc"), "left")
+          .select(col("doc").as("doc_id"), col("n_chars"),
+            coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+            coalesce(col("n_islands"), lit(0L)).as("n_islands"))
+      },
+      Some(s"""WITH pos AS (
+        |  SELECT doc_id, CAST(s.i AS BIGINT) AS pos,
+        |    substr(substr(text, 1, 200), s.i) AS suf
+        |  FROM documents,
+        |    UNNEST(generate_series(1, LEAST(length(text), 200))) AS s(i)
+        |  WHERE doc_id % 17 = 0 AND length(text) >= 1
+        |  UNION ALL
+        |  SELECT -doc_id - 1, CAST(s.i AS BIGINT),
+        |    substr(substr(substr(text, 1, 200), 41, 60), s.i)
+        |  FROM documents,
+        |    UNNEST(generate_series(1,
+        |      LEAST(GREATEST(LEAST(length(text), 200) - 40, 0), 60))) AS s(i)
+        |  WHERE doc_id % 51 = 0
+        |    AND GREATEST(LEAST(length(text), 200) - 40, 0) >= 1),
+        |ord AS (
+        |  SELECT doc_id, pos, suf,
+        |    row_number() OVER (ORDER BY suf, doc_id, pos) AS idx
+        |  FROM pos),
+        |pl AS (
+        |  SELECT b.idx,
+        |    MAX(CASE WHEN substr(a.suf, 1, k.i) = substr(b.suf, 1, k.i)
+        |      THEN k.i ELSE 0 END) AS l
+        |  FROM ord a JOIN ord b ON b.idx = a.idx + 1,
+        |    UNNEST(generate_series(1,
+        |      GREATEST(LEAST(length(a.suf), length(b.suf)), 1))) AS k(i)
+        |  GROUP BY b.idx),
+        |rn AS (
+        |  SELECT o.doc_id, o.pos, o.idx, pl.l AS prev_lcp,
+        |    CASE WHEN pl.l IS NULL OR pl.l < $L THEN 1 ELSE 0 END AS b
+        |  FROM ord o LEFT JOIN pl ON o.idx = pl.idx),
+        |rr AS (
+        |  SELECT *, SUM(b) OVER (ORDER BY idx ROWS UNBOUNDED PRECEDING)
+        |    AS run_id
+        |  FROM rn),
+        |ra AS (
+        |  SELECT run_id,
+        |    MIN(CASE WHEN b = 0 THEN prev_lcp END) AS run_len,
+        |    MAX(CASE WHEN doc_id < 0 THEN 1 ELSE 0 END) AS has_bench
+        |  FROM rr GROUP BY run_id),
+        |mk AS (
+        |  SELECT DISTINCT rr.doc_id, CAST(g.i AS BIGINT) AS i
+        |  FROM rr JOIN ra ON rr.run_id = ra.run_id,
+        |    UNNEST(generate_series(rr.pos, rr.pos + ra.run_len - 1)) AS g(i)
+        |  WHERE ra.has_bench = 1 AND rr.doc_id >= 0
+        |    AND ra.run_len IS NOT NULL),
+        |tt AS (
+        |  SELECT doc_id, CAST(LEAST(length(text), 200) AS BIGINT) AS n_chars
+        |  FROM documents
+        |  WHERE doc_id % 17 = 0 AND length(text) >= 1),
+        |mc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_contaminated
+        |       FROM mk GROUP BY doc_id),
+        |il AS (
+        |  SELECT doc_id, CAST(COUNT(DISTINCT i - rn2) AS BIGINT) AS n_islands
+        |  FROM (SELECT doc_id, i,
+        |          row_number() OVER (PARTITION BY doc_id ORDER BY i) AS rn2
+        |        FROM mk) t
+        |  GROUP BY doc_id)
+        |SELECT tt.doc_id, tt.n_chars,
+        |  COALESCE(mc.n_contaminated, 0) AS n_contaminated,
+        |  COALESCE(il.n_islands, 0) AS n_islands
+        |FROM tt
+        |LEFT JOIN mc ON tt.doc_id = mc.doc_id
+        |LEFT JOIN il ON tt.doc_id = il.doc_id""".stripMargin))
+  }
+
+  def queries: Seq[GQuery] = Seq(q36, q37, q38, q39, q57, q61, q88, q90, q103, q108, q118, q123, q124, q125, q127, q129, q133, q138, q142, q161, q162, q167, q180, q212, q216, q221, q223)
 }
