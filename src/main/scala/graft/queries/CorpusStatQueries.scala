@@ -602,5 +602,65 @@ object CorpusStatQueries {
       |  vocab + CAST(f1 * (f1 - 1) AS DOUBLE) / (2.0 * (f2 + 1)) AS chao1
       |FROM cen""".stripMargin))
 
-  def queries: Seq[GQuery] = Seq(q146, q149, q152, q169, q175, q213, q215, q220)
+  /** q224: interpolated Kneser–Ney bigram scoring
+    * ([[graft.text.LangModel.trainKn]]/[[graft.text.LangModel.scoreKn]])
+    * — the production-grade smoothing behind CCNet-style perplexity
+    * filters, beside q146's add-one baseline: model counted from the
+    * doc_id % 3 ≠ 0 slice, EVERY document scored, row-level gate on
+    * the e6-floored mean log-probability. The oracle replays the whole
+    * thing — bigram census, context mass Σc2 (NOT raw unigram counts:
+    * doc-final tokens are no context), continuation counts, and the
+    * discount/backoff arithmetic in the engine's exact operation
+    * order. */
+  val q224 = GQuery(
+    "q224_kneser_ney_lm",
+    (s, d) => {
+      val docs = documents(s, d)
+      val model = LangModel.trainKn(docs.filter(col("doc_id") % 3 =!= 0),
+        "doc_id", "text")
+      LangModel.scoreKn(docs, model, "doc_id", "text")
+        .withColumn("kn_e6", floor(col("logprob") * 1e6 + 0.5).cast("long"))
+        .join(docs.select(col("doc_id").as("doc"), col("lang")), Seq("doc"))
+        .select(col("doc"), col("lang"), col("n_bigrams"), col("kn_e6"))
+    },
+    Some(s"""WITH bg AS (
+      |  SELECT doc_id AS doc, ws[i] AS w1, ws[i+1] AS w2
+      |  FROM (SELECT doc_id, $wsSql AS ws FROM documents) t,
+      |    UNNEST(generate_series(1, greatest(len(ws) - 1, 0))) AS u(i)),
+      |cbg AS (
+      |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2
+      |  FROM bg WHERE doc % 3 <> 0 GROUP BY 1, 2),
+      |ctx AS (
+      |  SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1,
+      |    CAST(COUNT(*) AS BIGINT) AS n1p_left
+      |  FROM cbg GROUP BY 1),
+      |cont AS (
+      |  SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1p_right FROM cbg GROUP BY 1),
+      |sca AS (
+      |  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM cbg) AS b,
+      |    (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) FROM
+      |      (SELECT unnest($wsSql) AS w FROM documents WHERE doc_id % 3 <> 0) tk)
+      |      AS v),
+      |scored AS (
+      |  SELECT b.doc, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |    CAST(floor((${graft.core.Exact.sqlLsumAt(
+             "ln(CASE WHEN c.c1 IS NOT NULL AND c.c1 > 0 THEN " +
+               "(GREATEST(CAST(COALESCE(g.c2, 0) AS DOUBLE) - 0.75, 0.0) " +
+               "+ 0.75 * CAST(COALESCE(c.n1p_left, 0) AS DOUBLE) " +
+               "* (CAST(COALESCE(r.n1p_right, 0) + 1 AS DOUBLE) " +
+               "/ CAST(s.b + s.v AS DOUBLE))) / CAST(c.c1 AS DOUBLE) " +
+               "ELSE CAST(COALESCE(r.n1p_right, 0) + 1 AS DOUBLE) " +
+               "/ CAST(s.b + s.v AS DOUBLE) END)",
+             "1000000000.0")} / COUNT(*)) * 1e6 + 0.5) AS BIGINT) AS kn_e6
+      |  FROM bg b
+      |  LEFT JOIN cbg g ON b.w1 = g.w1 AND b.w2 = g.w2
+      |  LEFT JOIN ctx c ON b.w1 = c.w1
+      |  LEFT JOIN cont r ON b.w2 = r.w2
+      |  CROSS JOIN sca s
+      |  GROUP BY b.doc)
+      |SELECT sc.doc, dd.lang, sc.n_bigrams, sc.kn_e6
+      |FROM scored sc JOIN documents dd ON sc.doc = dd.doc_id""".stripMargin))
+
+  def queries: Seq[GQuery] =
+    Seq(q146, q149, q152, q169, q175, q213, q215, q220, q224)
 }
