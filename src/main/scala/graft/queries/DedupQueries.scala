@@ -1440,5 +1440,56 @@ object DedupQueries {
         |LEFT JOIN il ON tt.doc_id = il.doc_id""".stripMargin))
   }
 
-  def queries: Seq[GQuery] = Seq(q36, q37, q38, q39, q57, q61, q88, q90, q103, q108, q118, q123, q124, q125, q127, q129, q133, q138, q142, q161, q162, q167, q180, q212, q216, q221, q223)
+  /** q225: content-defined chunking dedup ([[graft.dedup.Cdc]]) — the
+    * LBFS/FastCDC storage-dedup shape on token streams: boundaries
+    * where the backward w=3 window hash ≡ 0 mod 8, chunks censused by
+    * md5, per-document duplicated-chunk mass. Where q36 dedups whole
+    * documents and q138/q221 mine repeated SPANS, CDC finds shared
+    * content at stable chunk granularity — boundaries survive edits
+    * outside the chunk, so two near-versions share every untouched
+    * chunk. The oracle replays the full chain: token hashes, the
+    * Horner lag-window, the strictly-before boundary count, ordered
+    * chunk reassembly, and the global fingerprint census. */
+  val q225 = GQuery(
+    "q225_cdc_chunk_dedup",
+    (s, d) => {
+      val ch = graft.dedup.Cdc.chunks(documents(s, d), "doc_id", "text")
+      graft.dedup.Cdc.dedupCensus(ch)
+        .select(col("doc").as("doc_id"), col("n_chunks"), col("n_tokens"),
+          col("n_dup_chunks"), col("dup_tokens"))
+    },
+    Some(s"""WITH toks AS (
+      |  SELECT doc_id AS doc, CAST(i AS BIGINT) AS i, ws[i] AS tok,
+      |    CAST(('0x' || substr(md5(ws[i]), 1, 7)) AS BIGINT) AS h
+      |  FROM (SELECT doc_id, $wsSql AS ws FROM documents) t,
+      |    UNNEST(generate_series(1, len(ws))) AS u(i)),
+      |gh AS (
+      |  SELECT doc, i, tok,
+      |    ((h * 1000003 + lag(h, 1) OVER wd) % 2147483647
+      |      * 1000003 + lag(h, 2) OVER wd) % 2147483647 AS gh
+      |  FROM toks WINDOW wd AS (PARTITION BY doc ORDER BY i)),
+      |bnd AS (
+      |  SELECT doc, i, tok,
+      |    CASE WHEN gh IS NOT NULL AND gh % 8 = 0 THEN 1 ELSE 0 END AS b
+      |  FROM gh),
+      |chk AS (
+      |  SELECT doc, i, tok,
+      |    COALESCE(SUM(b) OVER (PARTITION BY doc ORDER BY i
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk
+      |  FROM bnd),
+      |ch AS (
+      |  SELECT doc, chunk, CAST(COUNT(*) AS BIGINT) AS n_toks,
+      |    md5(string_agg(tok, ' ' ORDER BY i)) AS fp
+      |  FROM chk GROUP BY doc, chunk),
+      |g AS (SELECT fp, COUNT(*) AS cnt FROM ch GROUP BY fp)
+      |SELECT c.doc AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+      |  CAST(SUM(c.n_toks) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(CASE WHEN g.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_dup_chunks,
+      |  CAST(SUM(CASE WHEN g.cnt > 1 THEN c.n_toks ELSE 0 END) AS BIGINT)
+      |    AS dup_tokens
+      |FROM ch c JOIN g ON c.fp = g.fp
+      |GROUP BY c.doc""".stripMargin))
+
+  def queries: Seq[GQuery] = Seq(q36, q37, q38, q39, q57, q61, q88, q90, q103, q108, q118, q123, q124, q125, q127, q129, q133, q138, q142, q161, q162, q167, q180, q212, q216, q221, q223, q225)
 }
