@@ -892,5 +892,90 @@ object SimilarityQueries {
       |  FROM pair) t
       |WHERE rn <= 5""".stripMargin))
 
-  def queries: Seq[GQuery] = Seq(q40, q41, q42, q48, q53, q102, q105, q114, q117, q119, q122, q131, q147, q173, q176, q186, q188)
+  /** q226: greedy farthest-point k-center coreset
+    * ([[graft.similarity.KCenter]], Gonzalez 1985) — k=5 maximally-
+    * spread probes selected from the embedding corpus (eval seeding /
+    * diverse subset selection), then every vector assigned to its
+    * nearest center. All distances are EXACT int64 squared L2 on the
+    * scaled-long path (d² = ‖a‖² + ‖c‖² − 2a·c, every term a
+    * dot_scaled long), so the greedy argmaxes, the assignment argmins
+    * and their tie-breaks replay bit-for-bit: the oracle unrolls all
+    * five selection rounds as CTEs and re-derives the same census. */
+  val q226 = {
+    import graft.similarity.KCenter
+    val K = 5
+    // one selection round: next center = argmax dmin, then fold its
+    // distance into the running min
+    def roundSql(j: Int): String = {
+      val (p, c, t) = (s"d${j - 1}", s"c$j", s"t$j")
+      s"""$c AS (SELECT vec_id AS cid, n2 AS cn2 FROM $p
+         |  ORDER BY dmin DESC, vec_id ASC LIMIT 1),
+         |$t AS (
+         |  SELECT x.vec_id, CAST(SUM(x.e * y.e) AS BIGINT) AS dot
+         |  FROM eli x JOIN eli y ON x.i = y.i
+         |  WHERE y.vec_id = (SELECT cid FROM $c)
+         |  GROUP BY x.vec_id),
+         |d$j AS (
+         |  SELECT a.vec_id, a.n2,
+         |    LEAST(a.dmin, a.n2 + (SELECT cn2 FROM $c) - 2 * t.dot) AS dmin
+         |  FROM $p a JOIN $t t ON t.vec_id = a.vec_id)""".stripMargin
+    }
+    GQuery(
+      "q226_kcenter_coreset",
+      (s, d) => {
+        val emb = embeddings(s, d)
+        val cs = KCenter.centers(emb, "vec_id", "embedding", K)
+        KCenter.assign(emb, "vec_id", "embedding", cs)
+          .groupBy(col("ord"), col("center_id"))
+          .agg(count(lit(1)).as("n_assigned"),
+            max(col("d2")).as("max_d2"),
+            sum(col("d2")).as("sum_d2"))
+          .select(col("ord").as("center_ord"), col("center_id"),
+            col("n_assigned"), col("max_d2"), col("sum_d2"))
+      },
+      Some(s"""WITH eli AS (
+        |  SELECT vec_id,
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000000.0 + 0.5)
+        |      AS BIGINT) AS e,
+        |    generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings),
+        |nni AS (SELECT vec_id, CAST(SUM(e * e) AS BIGINT) AS n2
+        |        FROM eli GROUP BY vec_id),
+        |c0 AS (SELECT vec_id AS cid, n2 AS cn2 FROM nni
+        |       ORDER BY vec_id ASC LIMIT 1),
+        |t0 AS (
+        |  SELECT x.vec_id, CAST(SUM(x.e * y.e) AS BIGINT) AS dot
+        |  FROM eli x JOIN eli y ON x.i = y.i
+        |  WHERE y.vec_id = (SELECT cid FROM c0)
+        |  GROUP BY x.vec_id),
+        |d0 AS (
+        |  SELECT a.vec_id, a.n2,
+        |    a.n2 + (SELECT cn2 FROM c0) - 2 * t.dot AS dmin
+        |  FROM nni a JOIN t0 t ON t.vec_id = a.vec_id),
+        |${(1 until K).map(roundSql).mkString(",\n")},
+        |cen AS (${(0 until K).map(j =>
+             s"SELECT $j AS ord, (SELECT cid FROM c$j) AS center_id, " +
+               s"(SELECT cn2 FROM c$j) AS cn2").mkString(" UNION ALL ")}),
+        |cd AS (
+        |  SELECT x.vec_id, y.vec_id AS center_vid,
+        |    CAST(SUM(x.e * y.e) AS BIGINT) AS dot
+        |  FROM eli x JOIN eli y ON x.i = y.i
+        |  WHERE y.vec_id IN (SELECT center_id FROM cen)
+        |  GROUP BY x.vec_id, y.vec_id),
+        |asg AS (
+        |  SELECT a.vec_id, c.ord, c.center_id,
+        |    a.n2 + c.cn2 - 2 * cd.dot AS d2,
+        |    row_number() OVER (PARTITION BY a.vec_id
+        |      ORDER BY a.n2 + c.cn2 - 2 * cd.dot ASC, c.ord ASC) AS rn
+        |  FROM nni a CROSS JOIN cen c
+        |  JOIN cd ON cd.vec_id = a.vec_id AND cd.center_vid = c.center_id)
+        |SELECT ord AS center_ord, center_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_assigned,
+        |  CAST(MAX(d2) AS BIGINT) AS max_d2,
+        |  CAST(SUM(d2) AS BIGINT) AS sum_d2
+        |FROM asg WHERE rn = 1
+        |GROUP BY ord, center_id""".stripMargin))
+  }
+
+  def queries: Seq[GQuery] = Seq(q40, q41, q42, q48, q53, q102, q105, q114, q117, q119, q122, q131, q147, q173, q176, q186, q188, q226)
 }

@@ -1,0 +1,94 @@
+package graft.similarity
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Greedy farthest-point k-center selection (Gonzalez 1985's 2-approx)
+  * — diverse coreset / eval-set seeding over an embedding corpus: pick
+  * the point farthest from the chosen set, k−1 times. The selected set
+  * covers the corpus within 2× the optimal k-center radius, which is
+  * what "spread the eval probes / dedup the prompt seeds" asks for.
+  *
+  * Fully deterministic and oracle-replayable: distances are EXACT
+  * int64 squared L2 over [[Knn.scaledVec]] vectors — d² = ‖a‖² + ‖c‖²
+  * − 2·a·c with every term a [[graft.functions.DotScaled]] long — so
+  * argmax/argmin comparisons are integer (no float-order tie hazards);
+  * ties break on the smaller id. Seed = the minimum-id vector.
+  *
+  * Scale shape: k passes over the corpus (the algorithm's lower
+  * bound), each pass one codegen'd map (dot against a broadcast
+  * center literal) + one bounded TakeOrdered(1); the running min-
+  * distance frame is eagerly pinned per round (fresh-stats discipline,
+  * [[graft.stats.BradleyTerry]] precedent) so round j never re-executes
+  * rounds 0..j−1. The scaled vectors ride along in the pinned frame —
+  * at corpus scale you would keep (id, dmin) slim and re-join the
+  * bucketed corpus instead; both spellings are k-pass. */
+object KCenter {
+
+  /** One selected center: selection ordinal, source id, scaled vector,
+    * scaled squared norm. */
+  final case class Center(ord: Int, id: Long, sv: Seq[Long], n2: Long)
+
+  private def d2To(svLit: Seq[Long], n2Lit: Long) =
+    col("n2") + lit(n2Lit) -
+      lit(2L) * call_function("dot_scaled", col("sv"), typedlit(svLit))
+
+  /** Greedy selection of k centers. One bounded 1-row collect per
+    * round. */
+  def centers(corpus: DataFrame, idCol: String, vecCol: String,
+              k: Int): Seq[Center] = {
+    graft.functions.DotScaled.register(corpus.sparkSession)
+    val base = corpus.select(col(idCol).cast("long").as("id"),
+        Knn.scaledVec(col(vecCol)).as("sv"))
+      .withColumn("n2", call_function("dot_scaled", col("sv"), col("sv")))
+    def asCenter(ord: Int, r: Row): Center =
+      Center(ord, r.getAs[Long]("id"),
+        r.getSeq[Long](r.fieldIndex("sv")).toVector, r.getAs[Long]("n2"))
+    val seed = asCenter(0,
+      base.orderBy(col("id").asc).limit(1).collect().head)
+    var st = base.withColumn("dmin", d2To(seed.sv, seed.n2))
+      .localCheckpoint(eager = true)
+    var out = Vector(seed)
+    while (out.length < k) {
+      val next = asCenter(out.length,
+        st.orderBy(col("dmin").desc, col("id").asc).limit(1).collect().head)
+      out :+= next
+      if (out.length < k) {
+        st = st.withColumn("dmin",
+          least(col("dmin"), d2To(next.sv, next.n2)))
+          .localCheckpoint(eager = true)
+      }
+    }
+    out
+  }
+
+  /** Nearest-center assignment of every corpus vector against the
+    * (broadcast) selected set: (id, ord, d2), integer distances, ties
+    * to the lower ordinal. */
+  def assign(corpus: DataFrame, idCol: String, vecCol: String,
+             cs: Seq[Center]): DataFrame = {
+    val spark = corpus.sparkSession
+    graft.functions.DotScaled.register(spark)
+    val cdf = spark.createDataFrame(
+      spark.sparkContext.parallelize(cs.map(c =>
+        Row(c.ord, c.id, c.sv, c.n2)), 1),
+      StructType(Seq(
+        StructField("ord", IntegerType, nullable = false),
+        StructField("center_id", LongType, nullable = false),
+        StructField("csv", ArrayType(LongType, containsNull = false), nullable = false),
+        StructField("cn2", LongType, nullable = false))))
+    val scored = corpus.select(col(idCol).cast("long").as("id"),
+        Knn.scaledVec(col(vecCol)).as("sv"))
+      .withColumn("n2", call_function("dot_scaled", col("sv"), col("sv")))
+      .crossJoin(broadcast(cdf))
+      .withColumn("d2", col("n2") + col("cn2") -
+        lit(2L) * call_function("dot_scaled", col("sv"), col("csv")))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("d2").asc, col("ord").asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("id"), col("ord"), col("center_id"), col("d2"))
+  }
+}
