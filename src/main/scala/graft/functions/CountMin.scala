@@ -127,19 +127,110 @@ case class CountMin(child: Expression, depthExpr: Expression, widthExpr: Express
     copy(child = newChildren(0), depthExpr = newChildren(1), widthExpr = newChildren(2))
 }
 
+/** `cm_merge(sketch, depth, width)`: MERGE of Count-Min states — the
+  * sketch-algebra rollup (same pattern as `hll_merge`): the sketch is a
+  * linear transform of the frequency vector, so element-wise ADDITION
+  * of fine-grain sketches yields, bit-for-bit, the sketch a direct
+  * build at the coarser grain would produce. One register build at the
+  * finest grain, every coarser grain without rescanning the data. */
+case class CmMergeAgg(child: Expression, depthExpr: Expression, widthExpr: Expression,
+                      override val mutableAggBufferOffset: Int = 0,
+                      override val inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] {
+
+  private lazy val n: Int =
+    depthExpr.eval().asInstanceOf[Number].intValue() *
+      widthExpr.eval().asInstanceOf[Number].intValue()
+
+  override def children: Seq[Expression] = Seq(child, depthExpr, widthExpr)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "cm_merge"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def posIntLit(e: Expression, nm: String): Option[String] =
+      if (!e.foldable || e.dataType != IntegerType || e.eval() == null ||
+        e.eval().asInstanceOf[Number].intValue() <= 0)
+        Some(s"$prettyName requires a positive integer literal $nm") else None
+    if (!child.dataType.isInstanceOf[ArrayType] ||
+      child.dataType.asInstanceOf[ArrayType].elementType != LongType)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<bigint> sketches")
+    else posIntLit(depthExpr, "depth").orElse(posIntLit(widthExpr, "width"))
+      .map(TypeCheckResult.TypeCheckFailure).getOrElse(TypeCheckResult.TypeCheckSuccess)
+  }
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](n)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      require(arr.numElements() == n,
+        s"cm_merge: sketch has ${arr.numElements()} counters, expected $n")
+      var i = 0
+      while (i < n) { buf(i) += arr.getLong(i); i += 1 }
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < n) { buf(i) += other(i); i += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Long]): Any =
+    new GenericArrayData(buf.map(Long.box))
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream(4 + 8 * buf.length)
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.length)
+    var i = 0
+    while (i < buf.length) { out.writeLong(buf(i)); i += 1 }
+    out.flush(); bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val m = in.readInt()
+    val buf = new Array[Long](m)
+    var i = 0
+    while (i < m) { buf(i) = in.readLong(); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CmMergeAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CmMergeAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): CmMergeAgg =
+    copy(child = newChildren(0), depthExpr = newChildren(1), widthExpr = newChildren(2))
+}
+
 object CountMin {
   val info: ExpressionInfo = new ExpressionInfo(classOf[CountMin].getName, "count_min")
+  val mergeInfo: ExpressionInfo = new ExpressionInfo(classOf[CmMergeAgg].getName, "cm_merge")
+
+  private def asLit(e: Expression): Expression = e match {
+    case l: Literal => l
+    case other => Literal(other.eval(), other.dataType)
+  }
 
   def builder(exprs: Seq[Expression]): Expression = {
     require(exprs.length == 3, "count_min(item, depth, width)")
-    def lit(e: Expression): Expression = e match {
-      case l: Literal => l
-      case other => Literal(other.eval(), other.dataType)
-    }
-    CountMin(exprs.head, lit(exprs(1)), lit(exprs(2))).toAggregateExpression()
+    CountMin(exprs.head, asLit(exprs(1)), asLit(exprs(2))).toAggregateExpression()
   }
 
-  def register(spark: SparkSession): Unit =
+  def mergeBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 3, "cm_merge(sketch, depth, width)")
+    CmMergeAgg(exprs.head, asLit(exprs(1)), asLit(exprs(2))).toAggregateExpression()
+  }
+
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "count_min", builder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cm_merge", mergeBuilder, "built-in")
+  }
 }

@@ -98,19 +98,115 @@ case class KMinHashes(child: Expression, kExpr: Expression,
     copy(child = newChildren(0), kExpr = newChildren(1))
 }
 
+/** `kmv_merge(tops, k)`: MERGE of KMV states — the sketch-algebra
+  * rollup beside `hll_merge`/`cm_merge`: the k smallest distinct hashes
+  * of a UNION are all contained in the union of each part's k smallest
+  * distinct hashes, so re-capping the merged candidate set at k yields,
+  * bit-for-bit, the state a direct build over the union would produce.
+  * Input is the `k_min_hashes` output array; the buffer is the same
+  * bounded ordered set. */
+case class KmvMergeAgg(child: Expression, kExpr: Expression,
+                       override val mutableAggBufferOffset: Int = 0,
+                       override val inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.TreeSet[String]] {
+
+  private lazy val k: Int = kExpr.eval().asInstanceOf[Number].intValue()
+
+  override def children: Seq[Expression] = Seq(child, kExpr)
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "kmv_merge"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!child.dataType.isInstanceOf[ArrayType] ||
+      child.dataType.asInstanceOf[ArrayType].elementType != StringType)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires an array<string> state")
+    else if (!kExpr.foldable || kExpr.dataType != IntegerType ||
+      kExpr.eval() == null || kExpr.eval().asInstanceOf[Number].intValue() <= 0)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires a positive integer literal k")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def createAggregationBuffer(): java.util.TreeSet[String] =
+    new java.util.TreeSet[String]()
+
+  private def insert(buf: java.util.TreeSet[String], v: String): Unit =
+    if (buf.size < k) { buf.add(v); () }
+    else if (v.compareTo(buf.last()) < 0 && buf.add(v)) { buf.pollLast(); () }
+
+  override def update(buf: java.util.TreeSet[String],
+                      input: InternalRow): java.util.TreeSet[String] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      var i = 0
+      while (i < arr.numElements()) {
+        insert(buf, arr.getUTF8String(i).toString); i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: java.util.TreeSet[String],
+                     other: java.util.TreeSet[String]): java.util.TreeSet[String] = {
+    other.forEach(v => insert(buf, v))
+    buf
+  }
+
+  override def eval(buf: java.util.TreeSet[String]): Any = {
+    val arr = new Array[AnyRef](buf.size)
+    val it = buf.iterator()
+    var i = 0
+    while (it.hasNext) { arr(i) = UTF8String.fromString(it.next()); i += 1 }
+    new GenericArrayData(arr)
+  }
+
+  override def serialize(buf: java.util.TreeSet[String]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    buf.forEach(v => out.writeUTF(v))
+    out.flush(); bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[String] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = createAggregationBuffer()
+    (0 until n).foreach(_ => buf.add(in.readUTF()))
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvMergeAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvMergeAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): KmvMergeAgg =
+    copy(child = newChildren(0), kExpr = newChildren(1))
+}
+
 object KMinHashes {
   val info: ExpressionInfo = new ExpressionInfo(classOf[KMinHashes].getName, "k_min_hashes")
+  val mergeInfo: ExpressionInfo = new ExpressionInfo(classOf[KmvMergeAgg].getName, "kmv_merge")
+
+  private def asLit(e: Expression): Expression = e match {
+    case l: Literal => l
+    case other => Literal(other.eval(), other.dataType)
+  }
 
   def builder(exprs: Seq[Expression]): Expression = {
     require(exprs.length == 2, "k_min_hashes(h, k)")
-    val kE = exprs(1) match {
-      case l: Literal => l
-      case other => Literal(other.eval(), other.dataType)
-    }
-    KMinHashes(exprs.head, kE).toAggregateExpression()
+    KMinHashes(exprs.head, asLit(exprs(1))).toAggregateExpression()
   }
 
-  def register(spark: SparkSession): Unit =
+  def mergeBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2, "kmv_merge(tops, k)")
+    KmvMergeAgg(exprs.head, asLit(exprs(1))).toAggregateExpression()
+  }
+
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "k_min_hashes", builder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "kmv_merge", mergeBuilder, "built-in")
+  }
 }

@@ -323,5 +323,150 @@ object BloomQueries {
         |FROM est""".stripMargin))
   }
 
-  def queries: Seq[GQuery] = Seq(q154, q156, q208, q222)
+  /** q227: Count-Min register ROLLUP ([[graft.functions.CmMergeAgg]]) —
+    * the second sketch-algebra rollup beside q222's HLL: CM is a LINEAR
+    * transform of the frequency vector, so element-wise ADDITION of
+    * per-event-type sketches yields bit-for-bit the sketch of the whole
+    * log — one counter build at the fine grain, the coarse grain
+    * without rescanning. Probes are estimated at both grains from the
+    * rolled-up counters; the oracle proves the merge law by counting
+    * each probe's cell collisions directly from the raw rows at each
+    * grain (the q163 shape) and joining the exact counts alongside. */
+  val q227 = {
+    val (d, wdt) = (3, 64)
+    val probes = Seq("1", "7", "13")
+    GQuery(
+      "q227_cm_rollup",
+      (s, dir) => {
+        graft.functions.CountMin.register(s)
+        // "__all__" is an internal sentinel: a NULL grouping key would
+        // never equi-join against the exact-count arm
+        val ev = events(s, dir)
+          .select(col("event_type"), col("user_id").cast("string").as("u"))
+        val fine = ev.groupBy(col("event_type"))
+          .agg(call_function("count_min", col("u"), lit(d), lit(wdt)).as("sk"))
+          // two consumers (own grain + the merge)
+          .localCheckpoint(eager = false)
+        val all = fine.agg(expr(s"cm_merge(sk, $d, $wdt)").as("sk"))
+          .select(lit("all").as("grain"), lit("__all__").as("event_type"),
+            col("sk"))
+        val grains = fine
+          .select(lit("type").as("grain"), col("event_type"), col("sk"))
+          .unionByName(all)
+        def cellOf(dd: Int, item: org.apache.spark.sql.Column) =
+          conv(substring(md5(concat(lit(s"$dd:"), item)), 1, 7), 16, 10)
+            .cast("long") % wdt
+        val probeDf = grains.crossJoin(broadcast(
+          s.createDataset(probes)(org.apache.spark.sql.Encoders.STRING)
+            .toDF("probe")))
+        val est = (0 until d).map(dd =>
+          element_at(col("sk"), (lit(dd * wdt) + cellOf(dd, col("probe")) + 1)
+            .cast("int"))).reduce(least(_, _))
+        val exactTyped = ev.filter(col("u").isin(probes: _*))
+          .groupBy(col("event_type"), col("u").as("probe"))
+          .agg(count(lit(1)).as("exact_n"))
+          .select(lit("type").as("grain"), col("event_type"), col("probe"),
+            col("exact_n"))
+        val exactAll = ev.filter(col("u").isin(probes: _*))
+          .groupBy(col("u").as("probe"))
+          .agg(count(lit(1)).as("exact_n"))
+          .select(lit("all").as("grain"), lit("__all__").as("event_type"),
+            col("probe"), col("exact_n"))
+        probeDf
+          .withColumn("cms_n", est)
+          .join(exactTyped.unionByName(exactAll),
+            Seq("grain", "event_type", "probe"), "left")
+          .select(col("grain"),
+            when(col("event_type") === "__all__", lit(null).cast("string"))
+              .otherwise(col("event_type")).as("event_type"),
+            col("probe"), col("cms_n"),
+            coalesce(col("exact_n"), lit(0L)).as("exact_n"))
+      },
+      Some(s"""WITH ev AS (
+        |  SELECT event_type, CAST(user_id AS VARCHAR) AS u FROM events),
+        |gr AS (
+        |  SELECT 'type' AS grain, event_type, u FROM ev
+        |  UNION ALL
+        |  SELECT 'all', NULL, u FROM ev),
+        |dep AS (SELECT * FROM (VALUES (0),(1),(2)) AS t(d)),
+        |pr AS (SELECT * FROM (VALUES ('1'),('7'),('13')) AS t(probe)),
+        |cells AS (
+        |  SELECT g.grain, g.event_type, dep.d,
+        |    CAST(('0x' || substr(md5(CAST(dep.d AS VARCHAR) || ':' || g.u), 1, 7))
+        |      AS BIGINT) % $wdt AS c,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM gr g CROSS JOIN dep GROUP BY 1, 2, 3, 4),
+        |pcell AS (
+        |  SELECT dep.d, pr.probe,
+        |    CAST(('0x' || substr(md5(CAST(dep.d AS VARCHAR) || ':' || pr.probe), 1, 7))
+        |      AS BIGINT) % $wdt AS c
+        |  FROM pr CROSS JOIN dep),
+        |gframe AS (
+        |  SELECT DISTINCT grain, event_type FROM gr),
+        |est AS (
+        |  SELECT gf.grain, gf.event_type, pc.probe,
+        |    MIN(COALESCE(cl.n, 0)) AS cms_n
+        |  FROM gframe gf CROSS JOIN pcell pc
+        |  LEFT JOIN cells cl ON cl.grain = gf.grain
+        |    AND (cl.event_type = gf.event_type
+        |         OR (cl.event_type IS NULL AND gf.event_type IS NULL))
+        |    AND cl.d = pc.d AND cl.c = pc.c
+        |  GROUP BY 1, 2, 3),
+        |ex AS (
+        |  SELECT grain, event_type, u AS probe, CAST(COUNT(*) AS BIGINT) AS exact_n
+        |  FROM gr WHERE u IN ('1', '7', '13') GROUP BY 1, 2, 3)
+        |SELECT e.grain, e.event_type, e.probe, e.cms_n,
+        |  COALESCE(ex.exact_n, 0) AS exact_n
+        |FROM est e
+        |LEFT JOIN ex ON ex.grain = e.grain AND ex.probe = e.probe
+        |  AND (ex.event_type = e.event_type
+        |       OR (ex.event_type IS NULL AND e.event_type IS NULL))""".stripMargin))
+  }
+
+  /** q228: KMV state ROLLUP ([[graft.functions.KmvMergeAgg]]) — the
+    * third sketch-algebra rollup: the k smallest distinct hashes of a
+    * union are all contained in the union of each part's k smallest,
+    * so re-capping merged states at k reproduces the direct union
+    * build bit-for-bit. One bounded-buffer build per event type, the
+    * whole-log cardinality estimate from merged states only; the
+    * oracle rebuilds each grain's k-minima from the raw rows. */
+  val q228 = {
+    val k = 64
+    GQuery(
+      "q228_kmv_rollup",
+      (s, dir) => {
+        graft.functions.KMinHashes.register(s)
+        val ev = events(s, dir)
+          .select(col("event_type"), md5(col("user_id").cast("string")).as("h"))
+        val fine = ev.groupBy(col("event_type"))
+          .agg(call_function("k_min_hashes", col("h"), lit(k)).as("tops"))
+          .localCheckpoint(eager = false)
+        val all = fine.agg(expr(s"kmv_merge(tops, $k)").as("tops"))
+          .select(lit("all").as("grain"),
+            lit(null).cast("string").as("event_type"), col("tops"))
+        fine.select(lit("type").as("grain"), col("event_type"), col("tops"))
+          .unionByName(all)
+          .select(col("grain"), col("event_type"),
+            size(col("tops")).cast("long").as("n_in_state"),
+            when(size(col("tops")) >= k, element_at(col("tops"), k))
+              .otherwise(lit(null).cast("string")).as("kth"))
+      },
+      Some(s"""WITH ev AS (
+        |  SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS h FROM events),
+        |gr AS (
+        |  SELECT 'type' AS grain, event_type, h FROM ev
+        |  UNION ALL
+        |  SELECT 'all', NULL, h FROM ev),
+        |dh AS (SELECT DISTINCT grain, event_type, h FROM gr),
+        |rk AS (
+        |  SELECT grain, event_type, h,
+        |    row_number() OVER (PARTITION BY grain, event_type ORDER BY h) AS rn
+        |  FROM dh)
+        |SELECT grain, event_type,
+        |  CAST(LEAST(COUNT(*), $k) AS BIGINT) AS n_in_state,
+        |  MAX(CASE WHEN rn = $k THEN h END) AS kth
+        |FROM rk GROUP BY grain, event_type""".stripMargin))
+  }
+
+  def queries: Seq[GQuery] = Seq(q154, q156, q208, q222, q227, q228)
 }

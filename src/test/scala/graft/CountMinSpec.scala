@@ -75,4 +75,30 @@ class CountMinSpec extends SparkSpec {
     assert(estimate(rows("g1"), "x", 2, 8) == 2L)
     assert(estimate(rows("g2"), "x", 2, 8) == 1L)
   }
+
+  test("cm_merge law: merged fine-grain sketches == direct build over the union") {
+    val df = (0 until 3000)
+      .map(i => (s"g${i % 5}", s"t${i % 113}")).toDF("g", "item")
+    val merged = df.groupBy(col("g"))
+      .agg(call_function("count_min", col("item"), lit(3), lit(64)).as("sk"))
+      .agg(call_function("cm_merge", col("sk"), lit(3), lit(64)).as("sk"))
+      .select(col("sk")).as[Array[Long]].head()
+    val direct = sketch(df.select(col("item")), 3, 64)
+    assert(java.util.Arrays.equals(merged, direct))
+  }
+
+  test("cm_merge of disjoint parts adds exact masses; empty input merges to zeros") {
+    val df = Seq(("a", "x"), ("a", "x"), ("b", "y")).toDF("g", "item")
+    val merged = df.groupBy(col("g"))
+      .agg(call_function("count_min", col("item"), lit(2), lit(8)).as("sk"))
+      .agg(call_function("cm_merge", col("sk"), lit(2), lit(8)).as("sk"))
+      .select(col("sk")).as[Array[Long]].head()
+    assert(merged.sum == 6L) // 3 rows × 2 depth rows
+    assert(estimate(merged, "x", 2, 8) >= 2L && estimate(merged, "y", 2, 8) >= 1L)
+    val empty = spark.emptyDataFrame
+      .select(lit(Array.empty[Long]).as("sk")).limit(0)
+      .agg(call_function("cm_merge", col("sk"), lit(2), lit(8)).as("sk"))
+      .select(col("sk")).as[Array[Long]].head()
+    assert(empty.forall(_ == 0L) && empty.length == 16)
+  }
 }

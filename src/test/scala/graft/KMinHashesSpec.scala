@@ -39,4 +39,24 @@ class KMinHashesSpec extends SparkSpec {
       .select($"tops").as[Seq[String]].head()
     assert(got == hashes.distinct.sorted.take(16))
   }
+
+  test("kmv_merge law: merged per-group states == direct build over the union") {
+    graft.functions.KMinHashes.register(spark)
+    val rows = (0 until 500).map(i => (s"g${i % 7}", s"h${i % 131}%03d"))
+    val merged = rows.toDF("g", "h").groupBy($"g")
+      .agg(call_function("k_min_hashes", $"h", lit(16)).as("tops"))
+      .agg(call_function("kmv_merge", $"tops", lit(16)).as("tops"))
+      .select($"tops").as[Seq[String]].head()
+    val direct = rows.map(_._2).distinct.sorted.take(16)
+    assert(merged == direct)
+  }
+
+  test("kmv_merge dedups across states and keeps partial states under k") {
+    graft.functions.KMinHashes.register(spark)
+    // two overlapping 2-element states, 3 distinct values, k=10
+    val merged = Seq(Seq("a", "b"), Seq("b", "c")).toDF("tops")
+      .agg(call_function("kmv_merge", $"tops", lit(10)).as("tops"))
+      .select($"tops").as[Seq[String]].head()
+    assert(merged == Seq("a", "b", "c"))
+  }
 }

@@ -84,4 +84,13 @@ class Round9PlanSpec extends SparkSpec {
       "coarser grains must max-merge the fine registers, never rescan the data")
     assert(!p.contains("Expand"))
   }
+
+  test("q227/q228: CM and KMV rollups merge fine states — no rebuild from raw rows") {
+    val cm = plan("q227_cm_rollup")
+    assert(cm.contains("cm_merge") && !cm.contains("count_min("),
+      "the coarse grain must add the fine counters, never rescan the log")
+    val kmv = plan("q228_kmv_rollup")
+    assert(kmv.contains("kmv_merge") && !kmv.contains("k_min_hashes"),
+      "the coarse grain must re-cap the fine k-minima, never rescan the log")
+  }
 }
