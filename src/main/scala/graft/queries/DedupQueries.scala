@@ -1491,5 +1491,72 @@ object DedupQueries {
       |FROM ch c JOIN g ON c.fp = g.fp
       |GROUP BY c.doc""".stripMargin))
 
-  def queries: Seq[GQuery] = Seq(q36, q37, q38, q39, q57, q61, q88, q90, q103, q108, q118, q123, q124, q125, q127, q129, q133, q138, q142, q161, q162, q167, q180, q212, q216, q221, q223, q225)
+  /** q229: incremental CDC ([[graft.dedup.Cdc]] in the q88/q133
+    * landed-index discipline): the batch (doc_id % 3 = 0) chunks
+    * itself, probes the LANDED corpus's distinct chunk-fingerprint
+    * index, and reports per batch doc how much of its token mass is
+    * already landed — the production arm of q225: at scale the chunk
+    * index is storage-resident (partitioned by fingerprint), the probe
+    * is one semi-join-shaped left join, and the landed corpus is never
+    * re-chunked per batch. A doc whose landed mass reaches half its
+    * tokens is verdicted mostly_dup (the near-version case CDC exists
+    * to catch: shared chunks survive edits elsewhere in the doc). */
+  val q229 = GQuery(
+    "q229_incremental_cdc",
+    (s, d) => {
+      val docs = documents(s, d)
+      val batch = graft.dedup.Cdc.chunks(
+        docs.filter(col("doc_id") % 3 === 0), "doc_id", "text")
+      val landed = graft.dedup.Cdc.chunks(
+          docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text")
+        .select(col("fp")).distinct()
+      batch.join(landed.withColumn("__hit", lit(1L)), Seq("fp"), "left")
+        .groupBy(col("doc"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(col("n_toks")).as("n_tokens"),
+          sum(when(col("__hit").isNotNull, lit(1L)).otherwise(lit(0L)))
+            .as("n_landed_chunks"),
+          sum(when(col("__hit").isNotNull, col("n_toks")).otherwise(lit(0L)))
+            .as("landed_tokens"))
+        .select(col("doc").as("doc_id"), col("n_chunks"), col("n_tokens"),
+          col("n_landed_chunks"), col("landed_tokens"),
+          when(col("landed_tokens") * 2 >= col("n_tokens"), lit("mostly_dup"))
+            .otherwise(lit("novel")).as("verdict"))
+    },
+    Some(s"""WITH toks AS (
+      |  SELECT doc_id AS doc, CAST(i AS BIGINT) AS i, ws[i] AS tok,
+      |    CAST(('0x' || substr(md5(ws[i]), 1, 7)) AS BIGINT) AS h
+      |  FROM (SELECT doc_id, $wsSql AS ws FROM documents) t,
+      |    UNNEST(generate_series(1, len(ws))) AS u(i)),
+      |gh AS (
+      |  SELECT doc, i, tok,
+      |    ((h * 1000003 + lag(h, 1) OVER wd) % 2147483647
+      |      * 1000003 + lag(h, 2) OVER wd) % 2147483647 AS gh
+      |  FROM toks WINDOW wd AS (PARTITION BY doc ORDER BY i)),
+      |chk AS (
+      |  SELECT doc, i, tok,
+      |    COALESCE(SUM(CASE WHEN gh IS NOT NULL AND gh % 8 = 0 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY doc ORDER BY i
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk
+      |  FROM gh),
+      |ch AS (
+      |  SELECT doc, chunk, CAST(COUNT(*) AS BIGINT) AS n_toks,
+      |    md5(string_agg(tok, ' ' ORDER BY i)) AS fp
+      |  FROM chk GROUP BY doc, chunk),
+      |landed AS (SELECT DISTINCT fp FROM ch WHERE doc % 3 <> 0),
+      |probe AS (
+      |  SELECT c.doc, c.n_toks, l.fp AS hit
+      |  FROM ch c LEFT JOIN landed l ON c.fp = l.fp
+      |  WHERE c.doc % 3 = 0)
+      |SELECT doc AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+      |  CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(CASE WHEN hit IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_landed_chunks,
+      |  CAST(SUM(CASE WHEN hit IS NOT NULL THEN n_toks ELSE 0 END) AS BIGINT)
+      |    AS landed_tokens,
+      |  CASE WHEN SUM(CASE WHEN hit IS NOT NULL THEN n_toks ELSE 0 END) * 2
+      |         >= SUM(n_toks) THEN 'mostly_dup' ELSE 'novel' END AS verdict
+      |FROM probe GROUP BY doc""".stripMargin))
+
+  def queries: Seq[GQuery] = Seq(q36, q37, q38, q39, q57, q61, q88, q90, q103, q108, q118, q123, q124, q125, q127, q129, q133, q138, q142, q161, q162, q167, q180, q212, q216, q221, q223, q225, q229)
 }
