@@ -1558,5 +1558,34 @@ object DedupQueries {
       |         >= SUM(n_toks) THEN 'mostly_dup' ELSE 'novel' END AS verdict
       |FROM probe GROUP BY doc""".stripMargin))
 
-  def queries: Seq[GQuery] = Seq(q36, q37, q38, q39, q57, q61, q88, q90, q103, q108, q118, q123, q124, q125, q127, q129, q133, q138, q142, q161, q162, q167, q180, q212, q216, q221, q223, q225, q229)
+  /** q230: prefix-filtered exact Jaccard pairs
+    * ([[graft.dedup.Dedup.prefixJaccardPairs]], the SSJoin/PPJoin
+    * candidate discipline) — same semantics as q37 at the same
+    * threshold (the oracle IS q37's: exact pairs ≥ 0.6), but candidate
+    * generation indexes only each doc's rarest n − ⌈0.6·n⌉ + 1
+    * shingles under the global DF order, so the Zipf head never
+    * self-joins. Where q37's `maxDocFreq` knob trades recall for the
+    * hot-shingle blowup, prefix filtering removes the blowup and stays
+    * EXACT (PrefixJaccardSpec pins output equality on this corpus). */
+  val q230 = GQuery(
+    "q230_prefix_jaccard",
+    (s, d) =>
+      Dedup.prefixJaccardPairs(documents(s, d), "doc_id", "text",
+          k = 5, tNum = 3, tDen = 5)
+        .select(col("da"), col("db"), col("common"), col("na"), col("nb"),
+          round(col("jaccard"), 6).as("jaccard")),
+    Some(s"""WITH $shingleSql,
+      |pairs AS (
+      |  SELECT a.doc AS da, b.doc AS db, COUNT(*) AS common
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+      |  GROUP BY 1, 2)
+      |SELECT p.da, p.db, p.common, sa.n_shingles AS na, sb.n_shingles AS nb,
+      |round(CAST(p.common AS DOUBLE)
+      |  / CAST(sa.n_shingles + sb.n_shingles - p.common AS DOUBLE), 6) AS jaccard
+      |FROM pairs p
+      |JOIN sizes sa ON p.da = sa.doc JOIN sizes sb ON p.db = sb.doc
+      |WHERE CAST(p.common AS DOUBLE)
+      |  / CAST(sa.n_shingles + sb.n_shingles - p.common AS DOUBLE) >= 0.6""".stripMargin))
+
+  def queries: Seq[GQuery] = Seq(q36, q37, q38, q39, q57, q61, q88, q90, q103, q108, q118, q123, q124, q125, q127, q129, q133, q138, q142, q161, q162, q167, q180, q212, q216, q221, q223, q225, q229, q230)
 }
