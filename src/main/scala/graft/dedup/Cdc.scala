@@ -26,6 +26,11 @@ import graft.text.TextFunctions
   * serializes through one task), chunk assembly is one groupBy with an
   * array_sort — no collect, no cross-doc window — and the duplicate
   * census is one shuffle keyed on the chunk hash.
+  *
+  * (Acronym collision: [[graft.streaming.StreamCdc]] is CHANGE-data
+  * capture, the snapshot-merge lakehouse path — unrelated. The
+  * streaming arm of THIS operator is
+  * [[graft.streaming.StreamChunkDedup]].)
   */
 object Cdc {
 
