@@ -85,6 +85,17 @@ class Round9PlanSpec extends SparkSpec {
     assert(!p.contains("Expand"))
   }
 
+  test("q224/q229/q230: model joins and candidate generation are equi-joins — never all-pairs") {
+    for (n <- Seq("q224_kneser_ney_lm", "q229_incremental_cdc",
+        "q230_prefix_jaccard")) {
+      val p = plan(n)
+      assert(!p.contains("CartesianProduct"), n)
+    }
+    // q230 specifically: candidates must come from the prefix postings
+    // equi-join, not a nested-loop pass over the corpus
+    assert(!plan("q230_prefix_jaccard").contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q227/q228: CM and KMV rollups merge fine states — no rebuild from raw rows") {
     val cm = plan("q227_cm_rollup")
     assert(cm.contains("cm_merge") && !cm.contains("count_min("),
