@@ -1,9 +1,7 @@
 package graft.similarity
 
 import org.apache.spark.sql.{DataFrame, Row}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
 
 /** Greedy farthest-point k-center selection (Gonzalez 1985's 2-approx)
   * — diverse coreset / eval-set seeding over an embedding corpus: pick
@@ -65,30 +63,29 @@ object KCenter {
   }
 
   /** Nearest-center assignment of every corpus vector against the
-    * (broadcast) selected set: (id, ord, d2), integer distances, ties
-    * to the lower ordinal. */
+    * selected set: (id, ord, center_id, d2), integer distances, ties
+    * to the lower ordinal. The centers are driver-side literals, so
+    * the argmin is a MAP-ONLY `array_min` over one struct<d2, ord>
+    * per center — no crossJoin row multiplication, no per-id window
+    * shuffle; at corpus scale this is one codegen'd pass. */
   def assign(corpus: DataFrame, idCol: String, vecCol: String,
              cs: Seq[Center]): DataFrame = {
-    val spark = corpus.sparkSession
-    graft.functions.DotScaled.register(spark)
-    val cdf = spark.createDataFrame(
-      spark.sparkContext.parallelize(cs.map(c =>
-        Row(c.ord, c.id, c.sv, c.n2)), 1),
-      StructType(Seq(
-        StructField("ord", IntegerType, nullable = false),
-        StructField("center_id", LongType, nullable = false),
-        StructField("csv", ArrayType(LongType, containsNull = false), nullable = false),
-        StructField("cn2", LongType, nullable = false))))
-    val scored = corpus.select(col(idCol).cast("long").as("id"),
+    graft.functions.DotScaled.register(corpus.sparkSession)
+    val base = corpus.select(col(idCol).cast("long").as("id"),
         Knn.scaledVec(col(vecCol)).as("sv"))
       .withColumn("n2", call_function("dot_scaled", col("sv"), col("sv")))
-      .crossJoin(broadcast(cdf))
-      .withColumn("d2", col("n2") + col("cn2") -
-        lit(2L) * call_function("dot_scaled", col("sv"), col("csv")))
-    val w = Window.partitionBy(col("id"))
-      .orderBy(col("d2").asc, col("ord").asc)
-    scored.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col("id"), col("ord"), col("center_id"), col("d2"))
+    // struct comparison orders by field position: d2 first, ord breaks
+    // ties to the lower ordinal
+    val best = array_min(array(cs.map(c =>
+      struct(
+        (col("n2") + lit(c.n2) -
+          lit(2L) * call_function("dot_scaled", col("sv"), typedlit(c.sv)))
+          .as("d2"),
+        lit(c.ord).as("ord"))): _*))
+    val ids = map(cs.flatMap(c => Seq(lit(c.ord), lit(c.id))): _*)
+    base.withColumn("__best", best)
+      .select(col("id"), col("__best.ord").as("ord"),
+        element_at(ids, col("__best.ord")).as("center_id"),
+        col("__best.d2").as("d2"))
   }
 }

@@ -85,6 +85,12 @@ class Round9PlanSpec extends SparkSpec {
     assert(!p.contains("Expand"))
   }
 
+  test("q226: assignment is map-only — no join, no window, one codegen'd pass") {
+    val p = plan("q226_kcenter_coreset")
+    assert(!p.contains("Join"), "centers are literals; assignment must not join")
+    assert(!p.contains("Window"), "argmin must be array_min, not a per-id window")
+  }
+
   test("q224/q229/q230: model joins and candidate generation are equi-joins — never all-pairs") {
     for (n <- Seq("q224_kneser_ney_lm", "q229_incremental_cdc",
         "q230_prefix_jaccard")) {
