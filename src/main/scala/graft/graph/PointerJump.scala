@@ -1,0 +1,66 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Pointer jumping over a parent forest (Wyllie's list-ranking, JACM
+  * '79) — thread reconstruction for conversational data: forum/chat
+  * corpora arrive as reply-to edges, and turning them into training
+  * sequences needs every node's root (thread id), depth, and the full
+  * root-ward path. A sequential walk is O(depth) joins; pointer
+  * doubling halves every remaining distance per round, so ⌈log₂ d⌉
+  * rounds of one self-equi-join each resolve ANY forest — a 10⁶-deep
+  * pathological chain costs 20 rounds, not 10⁶.
+  *
+  * State per node: (anc = 2^r-th ancestor or the root if nearer,
+  * d = hops covered, seg = the id chain from the node to anc
+  * EXCLUSIVE, done). A jump composes segments in walk order
+  * (seg(n→y)‖seg(y→z) = seg(n→z)), so the final path replays in a
+  * recursive-CTE oracle byte-for-byte. Per-round eager checkpoints
+  * with fresh stats (the BradleyTerry/SuffixArray discipline) keep
+  * lineage and planning O(1) per round; the only driver action is the
+  * not-done count that terminates the loop. */
+object PointerJump {
+
+  /** Resolve a (node, parent) forest — parent NULL marks roots — to
+    * (node, root, depth, path): depth in hops, path the comma-joined
+    * id chain node→root inclusive. Nodes whose parent chain leaves
+    * the frame (dangling parent) are dropped — a forest contract, not
+    * silent repair. */
+  def linearize(edges: DataFrame, nodeCol: String, parentCol: String,
+                maxRounds: Int = 64): DataFrame = {
+    val spark = edges.sparkSession
+    var st = edges.select(
+        col(nodeCol).cast("long").as("node"),
+        coalesce(col(parentCol).cast("long"), col(nodeCol).cast("long")).as("anc"),
+        when(col(parentCol).isNull, lit(0L)).otherwise(lit(1L)).as("d"),
+        when(col(parentCol).isNull, lit(""))
+          .otherwise(col(nodeCol).cast("string")).as("seg"),
+        col(parentCol).isNull.as("done"))
+      .localCheckpoint(eager = true)
+    st = spark.createDataFrame(st.rdd, st.schema)
+    var round = 0
+    while (round < maxRounds && st.filter(!col("done")).limit(1).count() > 0) {
+      val ancSide = st.select(col("node").as("anc"), col("anc").as("anc2"),
+        col("d").as("d2"), col("seg").as("seg2"), col("done").as("done2"))
+      val next = st.join(ancSide, Seq("anc"), "inner")
+        .select(
+          col("node"),
+          when(col("done"), col("anc")).otherwise(col("anc2")).as("anc"),
+          when(col("done"), col("d")).otherwise(col("d") + col("d2")).as("d"),
+          when(col("done"), col("seg"))
+            .otherwise(when(col("seg2") === "", col("seg"))
+              .otherwise(concat(col("seg"), lit(","), col("seg2")))).as("seg"),
+          (col("done") || col("done2")).as("done"))
+        .localCheckpoint(eager = true)
+      st = spark.createDataFrame(next.rdd, next.schema)
+      round += 1
+    }
+    st.select(col("node"),
+      col("anc").as("root"),
+      col("d").as("depth"),
+      when(col("seg") === "", col("node").cast("string"))
+        .otherwise(concat(col("seg"), lit(","), col("anc").cast("string")))
+        .as("path"))
+  }
+}

@@ -462,5 +462,47 @@ object GraphQueries {
         |FROM pc JOIN sz ON pc.community = sz.community CROSS JOIN m2""".stripMargin
     })
 
-  def queries: Seq[GQuery] = Seq(q153, q157, q158, q160, q164, q174, q178)
+  /** q231: reply-thread linearization by pointer jumping
+    * ([[graft.graph.PointerJump]], Wyllie's list ranking) — the
+    * forum/chat preprocessing step that turns reply-to edges into
+    * training sequences: every event resolves to its thread root,
+    * depth, and the md5 of its full root-ward id path, in ⌈log₂ d⌉
+    * self-joins instead of d sequential ones. The fixture builds
+    * both pathological shapes from the event log: even threads are
+    * pure 50-deep chains (doubling's worst case), odd threads are
+    * binary trees (fan-in). The oracle replays the walk as a
+    * recursive CTE, so every path byte is under the hash. */
+  val q231 = GQuery(
+    "q231_thread_linearize",
+    (s, d) => {
+      val local = col("event_id") % 50
+      val tid = floor(col("event_id") / 50).cast("long")
+      val parent = when(local === 0, lit(null).cast("long"))
+        .otherwise(when(tid % 2 === 0, col("event_id") - 1)
+          .otherwise(tid * 50 + floor((local - 1) / 2).cast("long")))
+      graft.graph.PointerJump.linearize(
+          events(s, d).select(col("event_id"), parent.as("parent")),
+          "event_id", "parent")
+        .select(col("node").as("event_id"), col("root").as("root_id"),
+          col("depth"), md5(col("path")).as("path_md5"))
+    },
+    Some("""WITH RECURSIVE ev AS (
+      |  SELECT event_id AS node,
+      |    CASE WHEN event_id % 50 = 0 THEN NULL
+      |         WHEN (event_id // 50) % 2 = 0 THEN event_id - 1
+      |         ELSE (event_id // 50) * 50 + (event_id % 50 - 1) // 2
+      |    END AS parent
+      |  FROM events),
+      |walk AS (
+      |  SELECT node, node AS cur, CAST(node AS VARCHAR) AS path,
+      |    0 AS depth, parent AS nxt FROM ev
+      |  UNION ALL
+      |  SELECT w.node, e.node, w.path || ',' || CAST(e.node AS VARCHAR),
+      |    w.depth + 1, e.parent
+      |  FROM walk w JOIN ev e ON w.nxt = e.node)
+      |SELECT node AS event_id, cur AS root_id, CAST(depth AS BIGINT) AS depth,
+      |  md5(path) AS path_md5
+      |FROM walk WHERE nxt IS NULL""".stripMargin))
+
+  def queries: Seq[GQuery] = Seq(q153, q157, q158, q160, q164, q174, q178, q231)
 }
