@@ -504,5 +504,63 @@ object GraphQueries {
       |  md5(path) AS path_md5
       |FROM walk WHERE nxt IS NULL""".stripMargin))
 
-  def queries: Seq[GQuery] = Seq(q153, q157, q158, q160, q164, q174, q178, q231)
+  /** q232: thread-aware SFT context assembly — the load-bearing use
+    * of q231's paths: each reply's training context is its ancestor
+    * turns in ROOT→NODE order. The path explodes to (node, pos, turn
+    * id), turn text joins from the documents table (doc_id = id mod
+    * corpus size, both engines derive the modulus from the data), and
+    * the context reassembles with array_sort — the same
+    * explode-join-reassemble shape as the CDC chunker, no window, no
+    * collect. Hash covers the md5 of every assembled context string. */
+  val q232 = GQuery(
+    "q232_thread_sft",
+    (s, d) => {
+      val local = col("event_id") % 50
+      val tid = floor(col("event_id") / 50).cast("long")
+      val parent = when(local === 0, lit(null).cast("long"))
+        .otherwise(when(tid % 2 === 0, col("event_id") - 1)
+          .otherwise(tid * 50 + floor((local - 1) / 2).cast("long")))
+      val lin = graft.graph.PointerJump.linearize(
+        events(s, d).select(col("event_id"), parent.as("parent")),
+        "event_id", "parent")
+      val docs = documents(s, d).select(col("doc_id"), col("text"))
+      val nDocs = docs.agg(count(lit(1)).as("__c"))
+      // path is node→root; pos sorts DESC to assemble root→node
+      lin.select(col("node"), col("depth"),
+          posexplode(split(col("path"), ",")).as(Seq("pos", "turn")))
+        .crossJoin(broadcast(nDocs))
+        .join(docs, col("doc_id") === col("turn").cast("long") % col("__c"))
+        .groupBy(col("node"), col("depth"))
+        .agg(array_join(transform(
+            array_sort(collect_list(struct((-col("pos")).as("p"), col("text").as("t")))),
+            x => x.getField("t")), "\n").as("__ctx"))
+        .select(col("node").as("event_id"),
+          (col("depth") + 1).as("n_turns"),
+          length(col("__ctx")).cast("long").as("context_chars"),
+          md5(col("__ctx")).as("context_md5"))
+    },
+    Some("""WITH RECURSIVE ev AS (
+      |  SELECT event_id AS node,
+      |    CASE WHEN event_id % 50 = 0 THEN NULL
+      |         WHEN (event_id // 50) % 2 = 0 THEN event_id - 1
+      |         ELSE (event_id // 50) * 50 + (event_id % 50 - 1) // 2
+      |    END AS parent
+      |  FROM events),
+      |c AS (SELECT COUNT(*) AS n FROM documents),
+      |walk AS (
+      |  SELECT node, node AS cur,
+      |    (SELECT text FROM documents, c WHERE doc_id = node % c.n) AS ctx,
+      |    0 AS depth, parent AS nxt FROM ev
+      |  UNION ALL
+      |  SELECT w.node, e.node,
+      |    (SELECT text FROM documents, c WHERE doc_id = e.node % c.n)
+      |      || chr(10) || w.ctx,
+      |    w.depth + 1, e.parent
+      |  FROM walk w JOIN ev e ON w.nxt = e.node)
+      |SELECT node AS event_id, CAST(depth + 1 AS BIGINT) AS n_turns,
+      |  CAST(length(ctx) AS BIGINT) AS context_chars,
+      |  md5(ctx) AS context_md5
+      |FROM walk WHERE nxt IS NULL""".stripMargin))
+
+  def queries: Seq[GQuery] = Seq(q153, q157, q158, q160, q164, q174, q178, q231, q232)
 }
