@@ -992,7 +992,121 @@ object MiscQueries {
       |  COALESCE(mm.max_jw_e6, 0) AS max_jw_e6
       |FROM sizes s LEFT JOIN mm ON s.blk = mm.blk""".stripMargin))
 
+  /** q233: tool-call trace balance QA — agentic training data arrives
+    * as per-session event sequences where every tool RESULT must close
+    * an open CALL (a stack discipline); traces violating it poison
+    * tool-use fine-tuning. Per user, in (ts, event_id) order, the
+    * running call-depth cumsum classifies each trace: `orphan_result`
+    * when depth ever dips below zero, `dangling_call` when it ends
+    * positive, else `balanced`. One per-session window (sessions are
+    * bounded) + one census aggregation — no driver state, replays in
+    * ANSI window SQL. Op kinds derive deterministically from event_id
+    * so both engines build the identical fixture. */
+  val q233 = GQuery(
+    "q233_trace_balance",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val delta = when(col("event_id") % 10 <= 2, lit(1L))
+        .when(col("event_id") % 10 <= 5, lit(-1L))
+        .otherwise(lit(0L))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), delta.as("__d"))
+        .withColumn("__depth", sum(col("__d")).over(w))
+        .groupBy(col("user_id"))
+        .agg(
+          lcount(lit(1)).as("n_events"),
+          sum(when(col("__d") === 1, lit(1L)).otherwise(lit(0L))).as("n_calls"),
+          sum(when(col("__d") === -1, lit(1L)).otherwise(lit(0L))).as("n_results"),
+          min(col("__depth")).as("min_depth"),
+          sum(col("__d")).as("final_depth"))
+        .withColumn("verdict",
+          when(col("min_depth") < 0, lit("orphan_result"))
+            .when(col("final_depth") > 0, lit("dangling_call"))
+            .otherwise(lit("balanced")))
+    },
+    Some("""WITH ops AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN event_id % 10 <= 2 THEN 1
+      |         WHEN event_id % 10 <= 5 THEN -1 ELSE 0 END AS d
+      |  FROM events),
+      |dep AS (
+      |  SELECT user_id, d,
+      |    SUM(d) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS depth
+      |  FROM ops),
+      |cen AS (
+      |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |    CAST(SUM(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_calls,
+      |    CAST(SUM(CASE WHEN d = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_results,
+      |    CAST(MIN(depth) AS BIGINT) AS min_depth,
+      |    CAST(SUM(d) AS BIGINT) AS final_depth
+      |  FROM dep GROUP BY user_id)
+      |SELECT user_id, n_events, n_calls, n_results, min_depth, final_depth,
+      |  CASE WHEN min_depth < 0 THEN 'orphan_result'
+      |       WHEN final_depth > 0 THEN 'dangling_call'
+      |       ELSE 'balanced' END AS verdict
+      |FROM cen""".stripMargin))
+
+  /** q234: JSON schema census ([[graft.operators.JsonCensus]]) — the
+    * schema-drift monitor for semi-structured payload columns: which
+    * keys occur, how often, with which value types, censused FROM the
+    * data. The fixture plants real drift (key `a` arrives as int,
+    * double, and explicit null across variants). Engines classify
+    * through different parse surfaces (Spark's map<string,string>
+    * raw-value capture vs DuckDB json_extract's quoted/`null` texts)
+    * but the type SEMANTICS align, so the census hashes equal. */
+  val q234 = GQuery(
+    "q234_json_schema_census",
+    (s, d) => {
+      val id = col("event_id")
+      val j = when(id % 4 === 0,
+          concat(lit("{\"a\":"), id.cast("string"),
+            lit(",\"b\":\"s"), (id % 7).cast("string"), lit("\"}")))
+        .when(id % 4 === 1,
+          concat(lit("{\"a\":"), id.cast("string"), lit(".5,\"c\":true}")))
+        .when(id % 4 === 2,
+          concat(lit("{\"b\":\"t\",\"d\":[1,"), (id % 3).cast("string"),
+            lit("]}")))
+        .otherwise(lit("{\"a\":null,\"c\":false}"))
+      graft.operators.JsonCensus.keyCensus(
+        events(s, d).select(j.as("props_json")), "props_json")
+    },
+    Some("""WITH j AS (
+      |  SELECT CASE
+      |    WHEN event_id % 4 = 0 THEN
+      |      '{"a":' || CAST(event_id AS VARCHAR) || ',"b":"s'
+      |        || CAST(event_id % 7 AS VARCHAR) || '"}'
+      |    WHEN event_id % 4 = 1 THEN
+      |      '{"a":' || CAST(event_id AS VARCHAR) || '.5,"c":true}'
+      |    WHEN event_id % 4 = 2 THEN
+      |      '{"b":"t","d":[1,' || CAST(event_id % 3 AS VARCHAR) || ']}'
+      |    ELSE '{"a":null,"c":false}' END AS pj
+      |  FROM events),
+      |kv AS (
+      |  -- a JSON null extracts as SQL NULL here (Spark's map value is
+      |  -- NULL too); coalesce to the literal so one branch counts both
+      |  SELECT u.key,
+      |    COALESCE(CAST(json_extract(j.pj, '$.' || u.key) AS VARCHAR),
+      |      'null') AS vt
+      |  FROM j, UNNEST(json_keys(j.pj)) AS u(key))
+      |SELECT key, CAST(COUNT(*) AS BIGINT) AS n_present,
+      |  CAST(SUM(CASE WHEN vt = 'null' THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+      |  CAST(SUM(CASE WHEN regexp_matches(vt, '^-?[0-9]+$') THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_int,
+      |  CAST(SUM(CASE WHEN regexp_matches(vt, '^-?[0-9]+\.[0-9]+$') THEN 1
+      |    ELSE 0 END) AS BIGINT) AS n_double,
+      |  CAST(SUM(CASE WHEN vt IN ('true', 'false') THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_bool,
+      |  CAST(SUM(CASE WHEN vt LIKE '[%' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_array,
+      |  CAST(SUM(CASE WHEN vt LIKE '"%' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_string
+      |FROM kv GROUP BY key""".stripMargin))
+
   def queries: Seq[GQuery] =
     Seq(q45, q46, q47, q49, q52, q59, q62, q63, q64, q67, q69, q71, q148, q155,
-      q170, q177, q187, q192, q198, q199, q214)
+      q170, q177, q187, q192, q198, q199, q214, q233, q234)
 }
