@@ -62,6 +62,33 @@ object KCenter {
     out
   }
 
+  /** Driver-side Gonzalez over a BOUNDED point set — the reduce step
+    * of merge-and-reduce coreset maintenance ([[graft.streaming.StreamKCenter]]):
+    * same greedy, same integer distances, same tie-breaks as
+    * [[centers]], pure Scala over ≤ 2k rows. */
+  def reduceCenters(points: Seq[(Long, Seq[Long])], k: Int): Seq[Center] = {
+    require(points.nonEmpty, "reduceCenters needs at least one point")
+    def n2(v: Seq[Long]): Long = { var s = 0L; v.foreach(x => s += x * x); s }
+    def d2(a: Seq[Long], b: Seq[Long]): Long = {
+      var s = 0L; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val sorted = points.sortBy(_._1)
+    var out = Vector(Center(0, sorted.head._1, sorted.head._2.toVector,
+      n2(sorted.head._2)))
+    var dmin: Map[Long, Long] =
+      sorted.map(p => p._1 -> d2(p._2, out.head.sv)).toMap
+    val byId = sorted.toMap
+    while (out.length < math.min(k, sorted.length)) {
+      val (nid, _) = dmin.toSeq.maxBy { case (id, d) => (d, -id) }
+      val v = byId(nid).toVector
+      out :+= Center(out.length, nid, v, n2(v))
+      dmin = dmin.map { case (id, d) => id -> math.min(d, d2(byId(id), v)) }
+    }
+    out
+  }
+
   /** Nearest-center assignment of every corpus vector against the
     * selected set: (id, ord, center_id, d2), integer distances, ties
     * to the lower ordinal. The centers are driver-side literals, so
