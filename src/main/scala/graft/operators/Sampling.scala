@@ -136,6 +136,31 @@ object Sampling {
       .drop("__key")
   }
 
+  /** Per-group A-ES weighted sample without replacement (Efraimidis &
+    * Spirakis 2006): within every group, the `n` rows with the largest
+    * ln(u)/w keys — u an md5 draw, so the draw replays anywhere — are
+    * a weight-proportional sample without replacement of that group
+    * (the grouped face of [[weightedSample]]; stratified eval-set
+    * drawing). The rank is spelled row_number + filter so the
+    * [[graft.plans.TopKPerKey]] rewrite plans a bounded per-key heap
+    * instead of a full per-group sort. Zero/null weights are never
+    * drawn. */
+  def weightedSamplePerGroup(df: DataFrame, groupCols: Seq[String],
+                             idCol: Column, weightCol: Column, n: Int,
+                             salt: String = "wsamp"): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    val u = (conv(substring(md5(concat_ws("-", lit(salt), idCol.cast("string"))),
+      1, 7), 16, 10).cast("double") + lit(0.5)) / lit(268435456.0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(col("__key").desc, idCol)
+    df.filter(weightCol.isNotNull && weightCol > 0)
+      .withColumn("__key", log(u) / weightCol.cast("double"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__key", "__rn")
+  }
+
   def mixturePlan(observed: DataFrame, stratumCol: String, weightCol: String,
                   targets: Map[String, Double]): DataFrame = {
     require(targets.values.forall(_ > 0), "target shares must be positive")

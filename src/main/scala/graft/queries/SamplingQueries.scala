@@ -414,5 +414,37 @@ object SamplingQueries {
         |FROM assigned GROUP BY split, lang""".stripMargin))
   }
 
-  def queries: Seq[GQuery] = Seq(q97, q100, q104, q128, q165, q166, q194, q202)
+  /** q235: per-group A-ES weighted sampling
+    * ([[graft.operators.Sampling.weightedSamplePerGroup]]) — the
+    * stratified face of q128: within every language, the 20 documents
+    * with the largest ln(u)/n_chars keys form a char-mass-proportional
+    * sample without replacement. The row_number spelling rides the
+    * TopKPerKey rewrite (bounded per-key heap, never a full per-group
+    * sort — plan-gated); the census pins exact membership via the id
+    * checksum. */
+  val q235 = GQuery(
+    "q235_grouped_weighted_sample",
+    (s, d) =>
+      Sampling.weightedSamplePerGroup(documents(s, d), Seq("lang"),
+          col("doc_id"), col("n_chars"), n = 20, salt = "gws")
+        .groupBy(col("lang"))
+        .agg(lcount(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("chars"),
+          sum(col("doc_id")).as("id_checksum")),
+    Some("""WITH keyed AS (
+      |  SELECT doc_id, lang, n_chars,
+      |    ln((CAST(('0x' || substr(md5('gws-' || CAST(doc_id AS VARCHAR)), 1, 7))
+      |          AS BIGINT) + 0.5) / 268435456.0)
+      |      / CAST(n_chars AS DOUBLE) AS k
+      |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+      |rk AS (
+      |  SELECT *, row_number() OVER (PARTITION BY lang
+      |    ORDER BY k DESC, doc_id) AS rn
+      |  FROM keyed)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS chars,
+      |  CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+      |FROM rk WHERE rn <= 20 GROUP BY lang""".stripMargin))
+
+  def queries: Seq[GQuery] = Seq(q97, q100, q104, q128, q165, q166, q194, q202, q235)
 }

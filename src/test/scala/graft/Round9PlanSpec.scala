@@ -91,6 +91,13 @@ class Round9PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), "argmin must be array_min, not a per-id window")
   }
 
+  test("q235: grouped weighted sample plans the bounded per-key heap, not a full sort") {
+    val p = plan("q235_grouped_weighted_sample")
+    assert(p.contains("TopKLocal") && p.contains("TopKFinal"),
+      s"the rank-filter rewrite must fire:\n$p")
+    assert(!p.contains("Window"), "no per-group full sort")
+  }
+
   test("q224/q229/q230: model joins and candidate generation are equi-joins — never all-pairs") {
     for (n <- Seq("q224_kneser_ney_lm", "q229_incremental_cdc",
         "q230_prefix_jaccard")) {
