@@ -1900,8 +1900,58 @@ object TextQueries {
       |  COUNT(CASE WHEN n_t > 64 THEN 1 END) AS n_oversize
       |FROM ch GROUP BY lang""".stripMargin))
 
+  /** q236: phrase-blocklist census by Aho–Corasick
+    * ([[graft.functions.AcCounts]]) — the multi-phrase substring
+    * counterpart of q137's exact-token blocklist: boilerplate PHRASES
+    * (multi-word, overlapping, prefix-sharing) counted in ONE automaton
+    * pass per document regardless of dictionary size, where per-pattern
+    * scans cost O(chars·patterns). Per-pattern corpus census: documents
+    * hit, total (overlapping) occurrences. The oracle counts per
+    * position (substr equality at every offset), so overlap semantics
+    * are pinned exactly. */
+  val q236 = {
+    val dict = Seq("sort merge", "merge", "table scan", "scan",
+      "batch batch", "data line")
+    GQuery(
+      "q236_phrase_blocklist",
+      (s, d) => {
+        graft.functions.AcCounts.register(s)
+        val pats = map(dict.zipWithIndex
+          .flatMap { case (p, i) => Seq(lit(i), lit(p)) }: _*)
+        documents(s, d)
+          .select(col("doc_id"),
+            call_function("ac_counts", col("text"),
+              array(dict.map(lit): _*)).as("__c"))
+          .select(col("doc_id"), posexplode(col("__c")).as(Seq("pid", "c")))
+          .groupBy(col("pid"))
+          .agg(
+            sum(when(col("c") > 0, lit(1L)).otherwise(lit(0L))).as("n_docs_hit"),
+            sum(col("c")).as("n_hits"))
+          .select(col("pid"), element_at(pats, col("pid")).as("pattern"),
+            col("n_docs_hit"), col("n_hits"))
+      },
+      Some(s"""WITH pats AS (
+        |  SELECT * FROM (VALUES ${dict.zipWithIndex
+             .map { case (p, i) => s"($i, '$p')" }.mkString(", ")})
+        |    AS t(pid, pattern)),
+        |hits AS (
+        |  SELECT d.doc_id, p.pid,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM documents d, pats p,
+        |    UNNEST(generate_series(1,
+        |      GREATEST(length(d.text) - length(p.pattern) + 1, 0))) AS u(i)
+        |  WHERE substr(d.text, i, length(p.pattern)) = p.pattern
+        |  GROUP BY 1, 2)
+        |SELECT p.pid, p.pattern,
+        |  CAST(COUNT(h.doc_id) AS BIGINT) AS n_docs_hit,
+        |  CAST(COALESCE(SUM(h.c), 0) AS BIGINT) AS n_hits
+        |FROM pats p LEFT JOIN hits h ON p.pid = h.pid
+        |GROUP BY p.pid, p.pattern""".stripMargin))
+  }
+
   def queries: Seq[GQuery] =
     Seq(q32, q33, q34, q35, q66, q89, q91, q94, q96, q98, q99, q101,
       q106, q107, q109, q110, q111, q112, q115, q116, q120, q121, q126,
-      q130, q132, q134, q135, q136, q137, q139, q140, q141, q179, q189, q193, q195, q200, q201)
+      q130, q132, q134, q135, q136, q137, q139, q140, q141, q179, q189, q193,
+      q195, q200, q201, q236)
 }
