@@ -661,6 +661,53 @@ object CorpusStatQueries {
       |SELECT sc.doc, dd.lang, sc.n_bigrams, sc.kn_e6
       |FROM scored sc JOIN documents dd ON sc.doc = dd.doc_id""".stripMargin))
 
+  /** q237: extractability census (the Carlini et al. k-extractability
+    * shape, USENIX Security '21): a training example is at risk of
+    * verbatim extraction when a PREFIX of it recurs across documents
+    * and the CONTINUATION after that prefix is deterministic — a model
+    * completing the shared prefix reproduces the unique continuation.
+    * Per prefix length L ∈ {16, 32, 64}: how many exact-prefix groups
+    * exist, how many documents sit in shared groups (≥2 docs), and how
+    * many shared groups have ONE distinct 32-char continuation (the
+    * extraction-risk bucket). Three grouped censuses over substr keys
+    * — one scan, no joins, no windows. */
+  val q237 = {
+    val Ls = Seq(16, 32, 64)
+    GQuery(
+      "q237_extractability",
+      (s, d) => {
+        val docs = documents(s, d)
+        Ls.map { l =>
+          docs.filter(length(col("text")) >= l)
+            .select(substring(col("text"), 1, l).as("pfx"),
+              substring(col("text"), l + 1, 32).as("cont"))
+            .groupBy(col("pfx"))
+            .agg(count(lit(1)).as("n"),
+              countDistinct(col("cont")).as("nc"))
+            .agg(
+              lit(l).as("prefix_len"),
+              lcount(lit(1)).as("n_groups"),
+              sum(when(col("n") > 1, col("n")).otherwise(lit(0L)))
+                .as("n_shared_docs"),
+              sum(when(col("n") > 1 && col("nc") === 1, lit(1L))
+                .otherwise(lit(0L))).as("n_extractable_groups"))
+        }.reduce(_ unionByName _)
+      },
+      Some(s"""WITH g AS (
+        |  SELECT l.len AS prefix_len, substr(text, 1, l.len) AS pfx,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(COUNT(DISTINCT substr(text, l.len + 1, 32)) AS BIGINT) AS nc
+        |  FROM documents, (VALUES (16), (32), (64)) AS l(len)
+        |  WHERE length(text) >= l.len
+        |  GROUP BY 1, 2)
+        |SELECT prefix_len, CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |  CAST(SUM(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT)
+        |    AS n_shared_docs,
+        |  CAST(SUM(CASE WHEN n > 1 AND nc = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_extractable_groups
+        |FROM g GROUP BY prefix_len""".stripMargin))
+  }
+
   def queries: Seq[GQuery] =
-    Seq(q146, q149, q152, q169, q175, q213, q215, q220, q224)
+    Seq(q146, q149, q152, q169, q175, q213, q215, q220, q224, q237)
 }
