@@ -1106,7 +1106,77 @@ object MiscQueries {
       |    AS n_string
       |FROM kv GROUP BY key""".stripMargin))
 
+  /** q238: VAD segment manifests — the audio-preprocessing face beside
+    * q155's frame sampling: a voice-activity pass over per-window
+    * energies yields the speech segments an ASR-data pipeline clips
+    * and transcribes. The decode stub is honest (md5-uniform window
+    * energies — the audio libs aren't here); the part that must be
+    * right at scale IS exercised: windows explode boundedly per doc,
+    * activity thresholds map-only, maximal active runs come from the
+    * i − row_number gaps-and-islands key on PER-DOC windows (never a
+    * global window), and the manifest is one census per doc. */
+  val q238 = GQuery(
+    "q238_vad_segments",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val nWin = (lit(8) + col("n_chars") % 40).cast("int")
+      val u = (conv(substring(md5(concat(lit("vad-"),
+        col("doc_id").cast("string"), lit("-"), col("i").cast("string"))),
+        1, 7), 16, 10).cast("long") + lit(0L)).cast("double") / lit(268435456.0)
+      val win = documents(s, d)
+        .select(col("doc_id"), explode(sequence(lit(0), nWin - 1)).as("i"))
+        .withColumn("__active", u > 0.55)
+      val segs = win.filter(col("__active"))
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("i"))))
+        .groupBy(col("doc_id"), (col("i") - col("__rn")).as("__seg"))
+        .agg(count(lit(1)).as("__len"))
+        .groupBy(col("doc_id"))
+        .agg(lcount(lit(1)).as("n_segments"),
+          sum(col("__len")).as("n_active"),
+          max(col("__len")).as("longest_seg"))
+      win.groupBy(col("doc_id")).agg(lcount(lit(1)).as("n_windows"))
+        .join(segs, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_windows"),
+          coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+          coalesce(col("n_active"), lit(0L)).as("n_active"),
+          coalesce(col("longest_seg"), lit(0L)).as("longest_seg"),
+          floor(coalesce(col("n_active"), lit(0L)).cast("double") /
+            col("n_windows").cast("double") * 1e6 + 0.5).cast("long")
+            .as("speech_ratio_e6"))
+    },
+    Some("""WITH win AS (
+      |  SELECT doc_id, u.i,
+      |    CAST(('0x' || substr(md5('vad-' || CAST(doc_id AS VARCHAR) || '-'
+      |      || CAST(u.i AS VARCHAR)), 1, 7)) AS BIGINT) / 268435456.0 > 0.55
+      |      AS active
+      |  FROM documents,
+      |    UNNEST(generate_series(0, CAST(8 + n_chars % 40 AS BIGINT) - 1))
+      |      AS u(i)),
+      |act AS (
+      |  SELECT doc_id, i,
+      |    i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS seg
+      |  FROM win WHERE active),
+      |sl AS (
+      |  SELECT doc_id, seg, CAST(COUNT(*) AS BIGINT) AS len
+      |  FROM act GROUP BY 1, 2),
+      |segs AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segments,
+      |    CAST(SUM(len) AS BIGINT) AS n_active,
+      |    CAST(MAX(len) AS BIGINT) AS longest_seg
+      |  FROM sl GROUP BY doc_id),
+      |tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows
+      |        FROM win GROUP BY doc_id)
+      |SELECT t.doc_id, t.n_windows,
+      |  COALESCE(s.n_segments, 0) AS n_segments,
+      |  COALESCE(s.n_active, 0) AS n_active,
+      |  COALESCE(s.longest_seg, 0) AS longest_seg,
+      |  CAST(floor(CAST(COALESCE(s.n_active, 0) AS DOUBLE)
+      |    / CAST(t.n_windows AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+      |    AS speech_ratio_e6
+      |FROM tot t LEFT JOIN segs s ON t.doc_id = s.doc_id""".stripMargin))
+
   def queries: Seq[GQuery] =
     Seq(q45, q46, q47, q49, q52, q59, q62, q63, q64, q67, q69, q71, q148, q155,
-      q170, q177, q187, q192, q198, q199, q214, q233, q234)
+      q170, q177, q187, q192, q198, q199, q214, q233, q234, q238)
 }
