@@ -468,5 +468,106 @@ object BloomQueries {
         |FROM rk GROUP BY grain, event_type""".stripMargin))
   }
 
-  def queries: Seq[GQuery] = Seq(q154, q156, q208, q222, q227, q228)
+  /** q239: KMV set-operation estimates — the payoff of sketch algebra:
+    * pairwise Jaccard and intersection cardinality between event types
+    * estimated from the KMV STATES ALONE (Beyer et al. SIGMOD'07): the
+    * k smallest of the union of two sketches are exactly the union's
+    * k-minima, and a minimum belongs to the intersection iff it sits
+    * in BOTH sketches — so J ≈ |m ∩ ta ∩ tb| / |m| and |A∩B| ≈ J·(k−1)/h₍ₖ₎,
+    * all deterministic given the md5 hashes. Exact values ride along
+    * for the accuracy story; estimates and exacts both sit under the
+    * hash. All pair math is bounded array expressions over a 10-row
+    * self-join of 5 states. */
+  val q239 = {
+    val k = 64
+    GQuery(
+      "q239_kmv_set_ops",
+      (s, dir) => {
+        graft.functions.KMinHashes.register(s)
+        val ev = events(s, dir)
+          .select(col("event_type"), md5(col("user_id").cast("string")).as("h"))
+        val st = ev.groupBy(col("event_type"))
+          .agg(call_function("k_min_hashes", col("h"), lit(k)).as("tops"),
+            countDistinct(col("h")).as("nd"))
+          .localCheckpoint(eager = false)
+        val pairs = st.select(col("event_type").as("ta"), col("tops").as("xa"),
+            col("nd").as("na"))
+          .join(st.select(col("event_type").as("tb"), col("tops").as("xb"),
+            col("nd").as("nb")), col("ta") < col("tb"))
+        val m = slice(array_sort(array_union(col("xa"), col("xb"))), 1, k)
+        val inBoth = array_intersect(array_intersect(col("m"), col("xa")), col("xb"))
+        val frac = conv(substring(element_at(col("m"), k), 1, 8), 16, 10)
+          .cast("double") / lit(4294967296.0)
+        val unionEst = when(size(col("m")) >= k, lit(k - 1.0) / frac)
+          .otherwise(size(col("m")).cast("double"))
+        val jEst = col("n_both").cast("double") / size(col("m")).cast("double")
+        // exact common hashes per pair, from the raw rows
+        val dh = ev.distinct()
+        val commonExact = dh.select(col("event_type").as("ta"), col("h"))
+          .join(dh.select(col("event_type").as("tb"), col("h")), Seq("h"))
+          .filter(col("ta") < col("tb"))
+          .groupBy(col("ta"), col("tb")).agg(count(lit(1)).as("n_common"))
+        pairs
+          .withColumn("m", m)
+          .withColumn("n_both", size(inBoth).cast("long"))
+          .withColumn("j_est_e6",
+            floor(jEst * 1e6 + 0.5).cast("long"))
+          .withColumn("inter_est_e6",
+            floor(jEst * unionEst * 1e6 + 0.5).cast("long"))
+          .join(commonExact, Seq("ta", "tb"), "left")
+          .withColumn("n_common", coalesce(col("n_common"), lit(0L)))
+          .select(col("ta"), col("tb"), size(col("m")).cast("long").as("k_used"),
+            col("n_both"), col("j_est_e6"), col("inter_est_e6"),
+            col("n_common"),
+            floor(col("n_common").cast("double") /
+              (col("na") + col("nb") - col("n_common")).cast("double") * 1e6
+              + 0.5).cast("long").as("j_exact_e6"))
+      },
+      Some(s"""WITH ev AS (
+        |  SELECT DISTINCT event_type, md5(CAST(user_id AS VARCHAR)) AS h
+        |  FROM events),
+        |st AS (
+        |  SELECT event_type,
+        |    list_slice(list_sort(list(h)), 1, $k) AS tops,
+        |    CAST(COUNT(*) AS BIGINT) AS nd
+        |  FROM ev GROUP BY event_type),
+        |pr AS (
+        |  SELECT a.event_type AS ta, b.event_type AS tb,
+        |    a.tops AS xa, b.tops AS xb, a.nd AS na, b.nd AS nb,
+        |    list_slice(list_sort(list_distinct(list_concat(a.tops, b.tops))),
+        |      1, $k) AS m
+        |  FROM st a JOIN st b ON a.event_type < b.event_type),
+        |est AS (
+        |  SELECT ta, tb, na, nb, CAST(len(m) AS BIGINT) AS k_used,
+        |    CAST(len(list_filter(m, x -> list_contains(xa, x)
+        |      AND list_contains(xb, x))) AS BIGINT) AS n_both,
+        |    CASE WHEN len(m) >= $k THEN ${k - 1}.0 / (
+        |      (strpos('0123456789abcdef', substr(m[$k], 1, 1)) - 1) * 268435456.0 +
+        |      (strpos('0123456789abcdef', substr(m[$k], 2, 1)) - 1) * 16777216.0 +
+        |      (strpos('0123456789abcdef', substr(m[$k], 3, 1)) - 1) * 1048576.0 +
+        |      (strpos('0123456789abcdef', substr(m[$k], 4, 1)) - 1) * 65536.0 +
+        |      (strpos('0123456789abcdef', substr(m[$k], 5, 1)) - 1) * 4096.0 +
+        |      (strpos('0123456789abcdef', substr(m[$k], 6, 1)) - 1) * 256.0 +
+        |      (strpos('0123456789abcdef', substr(m[$k], 7, 1)) - 1) * 16.0 +
+        |      (strpos('0123456789abcdef', substr(m[$k], 8, 1)) - 1) * 1.0
+        |    ) * 4294967296.0 ELSE CAST(len(m) AS DOUBLE) END AS union_est
+        |  FROM pr),
+        |cx AS (
+        |  SELECT a.event_type AS ta, b.event_type AS tb,
+        |    CAST(COUNT(*) AS BIGINT) AS n_common
+        |  FROM ev a JOIN ev b ON a.h = b.h AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT e.ta, e.tb, e.k_used, e.n_both,
+        |  CAST(floor(CAST(e.n_both AS DOUBLE) / CAST(e.k_used AS DOUBLE) * 1e6
+        |    + 0.5) AS BIGINT) AS j_est_e6,
+        |  CAST(floor(CAST(e.n_both AS DOUBLE) / CAST(e.k_used AS DOUBLE)
+        |    * e.union_est * 1e6 + 0.5) AS BIGINT) AS inter_est_e6,
+        |  COALESCE(c.n_common, 0) AS n_common,
+        |  CAST(floor(CAST(COALESCE(c.n_common, 0) AS DOUBLE)
+        |    / CAST(e.na + e.nb - COALESCE(c.n_common, 0) AS DOUBLE) * 1e6 + 0.5)
+        |    AS BIGINT) AS j_exact_e6
+        |FROM est e LEFT JOIN cx c ON e.ta = c.ta AND e.tb = c.tb""".stripMargin))
+  }
+
+  def queries: Seq[GQuery] = Seq(q154, q156, q208, q222, q227, q228, q239)
 }
