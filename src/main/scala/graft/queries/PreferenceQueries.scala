@@ -423,5 +423,103 @@ object PreferenceQueries {
       |FROM x JOIN pl lo ON CAST(FLOOR(x.pos) AS BIGINT) = lo.p
       |LEFT JOIN pl hi ON CAST(CEIL(x.pos) AS BIGINT) = hi.p""".stripMargin))
 
-  def queries: Seq[GQuery] = Seq(q203, q204, q205, q206, q207, q218, q219)
+  /** q240: preference-cycle audit — the intransitivity census a
+    * Bradley–Terry fit (q203) silently averages away: on the
+    * majority-preference tournament (edge a→b when a beats b more
+    * often; ties drop), every triangle is either TRANSITIVE (a linear
+    * order on 3 items) or CYCLIC (a > b > c > a — annotation noise or
+    * genuine non-transitivity, either way the thing to measure before
+    * trusting scalar strengths). Cyclic iff every node has outdegree 1.
+    * Scale shape: the corpus-sized work is ONE pair aggregation; the
+    * triad enumeration runs on the bounded majority-edge frame
+    * (items², not comparisons) via ordered wedge joins — the q206
+    * discipline. */
+  val q240 = {
+    val items = 40
+    GQuery(
+      "q240_preference_cycles",
+      (s, d) => {
+        val li = lineitem(s, d).select(
+          (col("l_suppkey") % items).as("a"),
+          (col("l_partkey") % items).as("b"),
+          col("l_quantity").as("q"))
+          .filter(col("a") < col("b"))
+        val pairs = li.groupBy(col("a"), col("b")).agg(
+          lcount(when(col("q") > 25, 1)).as("wa"),
+          lcount(when(col("q") <= 25, 1)).as("wb"))
+        val edges = pairs
+          .withColumn("dir",
+            when(col("wa") > col("wb"), lit(1))
+              .when(col("wb") > col("wa"), lit(-1)))
+          .localCheckpoint(eager = false) // three triad lookups below
+        val e = edges.filter(col("dir").isNotNull)
+        val tri = e.select(col("a"), col("b").as("x"), col("dir").as("d_ab"))
+          .join(e.select(col("a"), col("b").as("y"), col("dir").as("d_ac")),
+            Seq("a"))
+          .filter(col("x") < col("y"))
+          .join(e.select(col("a").as("x"), col("b").as("y"),
+            col("dir").as("d_bc")), Seq("x", "y"))
+        val outA = (col("d_ab") === 1).cast("int") + (col("d_ac") === 1).cast("int")
+        val outB = (col("d_ab") === -1).cast("int") + (col("d_bc") === 1).cast("int")
+        val outC = (col("d_ac") === -1).cast("int") + (col("d_bc") === -1).cast("int")
+        val cyclic = outA === 1 && outB === 1 && outC === 1
+        val triCensus = tri.agg(
+          lcount(lit(1)).as("n_triads"),
+          sum(when(cyclic, lit(1L)).otherwise(lit(0L))).as("n_cyclic"))
+        edges.agg(
+            lcount(when(col("dir").isNotNull, 1)).as("n_edges"),
+            lcount(when(col("dir").isNull, 1)).as("n_ties"))
+          .crossJoin(triCensus)
+          .select(col("n_edges"), col("n_ties"), col("n_triads"),
+            col("n_cyclic"),
+            floor(col("n_cyclic").cast("double") /
+              col("n_triads").cast("double") * 1e6 + 0.5).cast("long")
+              .as("cyclic_rate_e6"))
+      },
+      Some(s"""WITH src AS (
+        |  SELECT l_suppkey % $items AS a, l_partkey % $items AS b,
+        |         l_quantity AS q
+        |  FROM lineitem WHERE l_suppkey % $items < l_partkey % $items),
+        |pairs AS (
+        |  SELECT a, b,
+        |    COUNT(CASE WHEN q > 25 THEN 1 END) AS wa,
+        |    COUNT(CASE WHEN q <= 25 THEN 1 END) AS wb
+        |  FROM src GROUP BY a, b),
+        |edges AS (
+        |  SELECT a, b, CASE WHEN wa > wb THEN 1
+        |                    WHEN wb > wa THEN -1 END AS dir
+        |  FROM pairs),
+        |e AS (SELECT * FROM edges WHERE dir IS NOT NULL),
+        |tri AS (
+        |  SELECT ab.a, ab.b AS x, ac.b AS y,
+        |    ab.dir AS d_ab, ac.dir AS d_ac, bc.dir AS d_bc
+        |  FROM e ab
+        |  JOIN e ac ON ab.a = ac.a AND ab.b < ac.b
+        |  JOIN e bc ON bc.a = ab.b AND bc.b = ac.b),
+        |cls AS (
+        |  SELECT *,
+        |    (CASE WHEN d_ab = 1 THEN 1 ELSE 0 END
+        |      + CASE WHEN d_ac = 1 THEN 1 ELSE 0 END) AS out_a,
+        |    (CASE WHEN d_ab = -1 THEN 1 ELSE 0 END
+        |      + CASE WHEN d_bc = 1 THEN 1 ELSE 0 END) AS out_b,
+        |    (CASE WHEN d_ac = -1 THEN 1 ELSE 0 END
+        |      + CASE WHEN d_bc = -1 THEN 1 ELSE 0 END) AS out_c
+        |  FROM tri),
+        |tc AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_triads,
+        |    CAST(SUM(CASE WHEN out_a = 1 AND out_b = 1 AND out_c = 1
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_cyclic
+        |  FROM cls),
+        |ec AS (
+        |  SELECT CAST(COUNT(CASE WHEN dir IS NOT NULL THEN 1 END) AS BIGINT)
+        |    AS n_edges,
+        |    CAST(COUNT(CASE WHEN dir IS NULL THEN 1 END) AS BIGINT) AS n_ties
+        |  FROM edges)
+        |SELECT ec.n_edges, ec.n_ties, tc.n_triads, tc.n_cyclic,
+        |  CAST(floor(CAST(tc.n_cyclic AS DOUBLE) / CAST(tc.n_triads AS DOUBLE)
+        |    * 1e6 + 0.5) AS BIGINT) AS cyclic_rate_e6
+        |FROM ec, tc""".stripMargin))
+  }
+
+  def queries: Seq[GQuery] = Seq(q203, q204, q205, q206, q207, q218, q219, q240)
 }
