@@ -562,5 +562,63 @@ object GraphQueries {
       |  md5(ctx) AS context_md5
       |FROM walk WHERE nxt IS NULL""".stripMargin))
 
-  def queries: Seq[GQuery] = Seq(q153, q157, q158, q160, q164, q174, q178, q231, q232)
+  /** q241: random-walk corpus over the link graph
+    * ([[graft.graph.RandomWalks]]) — the DeepWalk/node2vec data-gen
+    * step: one 8-hop walk per domain node, next hops drawn by md5 over
+    * the sorted neighbor list, so the entire walk corpus replays
+    * bit-for-bit (every PATH byte under the hash via the recursive-CTE
+    * oracle). Eight equi-join rounds over the |nodes| frontier, fresh-
+    * stats checkpoints per round; no driver-side graph. */
+  val q241 = GQuery(
+    "q241_random_walks",
+    (s, d) => {
+      val docs = documents(s, d).select(col("doc_id"))
+      val e = docs
+        .select(col("doc_id"), explode(array(
+          (col("doc_id") * 7 + 13) % M,
+          (col("doc_id") * 13 + 29) % M,
+          (col("doc_id") * 31 + 7) % M)).as("t"))
+        .select(concat(lit("d"), col("doc_id") % M).as("src"),
+          concat(lit("d"), col("t")).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      graft.graph.RandomWalks.walks(e, "src", "dst", steps = 8, salt = "rw")
+    },
+    Some(s"""WITH RECURSIVE raw AS (
+      |  SELECT 'd' || (doc_id % $M) AS src, 'd' || ((doc_id * 7 + 13) % $M) AS dst
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT 'd' || (doc_id % $M), 'd' || ((doc_id * 13 + 29) % $M)
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT 'd' || (doc_id % $M), 'd' || ((doc_id * 31 + 7) % $M)
+      |  FROM documents),
+      |ed AS (SELECT DISTINCT src, dst FROM raw WHERE src != dst),
+      |nb AS (SELECT src AS cur, list_sort(list(dst)) AS nbrs
+      |       FROM ed GROUP BY src),
+      |-- NOT a bare UNION: under WITH RECURSIVE DuckDB parses a CTE's
+      |-- UNION as anchor/step and skips the dedup (measured: 594 rows)
+      |nodes AS (SELECT DISTINCT node FROM (
+      |  SELECT src AS node FROM ed UNION ALL SELECT dst FROM ed) t),
+      |wk AS (
+      |  SELECT node AS walk, node AS cur, CAST(node AS VARCHAR) AS path,
+      |    0 AS step
+      |  FROM nodes
+      |  UNION ALL
+      |  SELECT w.walk,
+      |    CASE WHEN n.nbrs IS NULL THEN w.cur
+      |      ELSE n.nbrs[CAST(CAST(('0x' || substr(md5('rw-' || w.walk || '-'
+      |        || (w.step + 1)), 1, 7)) AS BIGINT) % len(n.nbrs) + 1 AS INT)]
+      |    END,
+      |    w.path || ',' ||
+      |    CASE WHEN n.nbrs IS NULL THEN w.cur
+      |      ELSE n.nbrs[CAST(CAST(('0x' || substr(md5('rw-' || w.walk || '-'
+      |        || (w.step + 1)), 1, 7)) AS BIGINT) % len(n.nbrs) + 1 AS INT)]
+      |    END,
+      |    w.step + 1
+      |  FROM wk w LEFT JOIN nb n ON w.cur = n.cur
+      |  WHERE w.step < 8)
+      |SELECT walk, cur AS end_node, path FROM wk WHERE step = 8""".stripMargin))
+
+  def queries: Seq[GQuery] =
+    Seq(q153, q157, q158, q160, q164, q174, q178, q231, q232, q241)
 }
