@@ -619,6 +619,79 @@ object GraphQueries {
       |  WHERE w.step < 8)
       |SELECT walk, cur AS end_node, path FROM wk WHERE step = 8""".stripMargin))
 
+  /** q242: skip-gram pair extraction from the walk corpus — the
+    * load-bearing use of q241 (the q232-for-q231 pattern): a node2vec
+    * trainer consumes (center, context) pairs within a ±2 window over
+    * each walk. Paths explode to positions, the window pairs via one
+    * walk-keyed self-join with a bounded offset predicate, and the
+    * census is one shuffle on the pair key. Every pair count under the
+    * hash. */
+  val q242 = GQuery(
+    "q242_skipgram_pairs",
+    (s, d) => {
+      val docs = documents(s, d).select(col("doc_id"))
+      val e = docs
+        .select(col("doc_id"), explode(array(
+          (col("doc_id") * 7 + 13) % M,
+          (col("doc_id") * 13 + 29) % M,
+          (col("doc_id") * 31 + 7) % M)).as("t"))
+        .select(concat(lit("d"), col("doc_id") % M).as("src"),
+          concat(lit("d"), col("t")).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      val pos = graft.graph.RandomWalks
+        .walks(e, "src", "dst", steps = 8, salt = "rw")
+        .select(col("walk"), posexplode(split(col("path"), ",")).as(Seq("i", "node")))
+        .localCheckpoint(eager = false) // both sides of the window join
+      pos.select(col("walk"), col("i"), col("node").as("center"))
+        .join(pos.select(col("walk"), col("i").as("j"), col("node").as("context")),
+          Seq("walk"))
+        .filter(col("j") =!= col("i") && abs(col("j") - col("i")) <= 2)
+        .groupBy(col("center"), col("context"))
+        .agg(lcount(lit(1)).as("n_pairs"))
+    },
+    Some(s"""WITH RECURSIVE raw AS (
+      |  SELECT 'd' || (doc_id % $M) AS src, 'd' || ((doc_id * 7 + 13) % $M) AS dst
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT 'd' || (doc_id % $M), 'd' || ((doc_id * 13 + 29) % $M)
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT 'd' || (doc_id % $M), 'd' || ((doc_id * 31 + 7) % $M)
+      |  FROM documents),
+      |ed AS (SELECT DISTINCT src, dst FROM raw WHERE src != dst),
+      |nb AS (SELECT src AS cur, list_sort(list(dst)) AS nbrs
+      |       FROM ed GROUP BY src),
+      |nodes AS (SELECT DISTINCT node FROM (
+      |  SELECT src AS node FROM ed UNION ALL SELECT dst FROM ed) t),
+      |wk AS (
+      |  SELECT node AS walk, node AS cur, CAST(node AS VARCHAR) AS path,
+      |    0 AS step
+      |  FROM nodes
+      |  UNION ALL
+      |  SELECT w.walk,
+      |    CASE WHEN n.nbrs IS NULL THEN w.cur
+      |      ELSE n.nbrs[CAST(CAST(('0x' || substr(md5('rw-' || w.walk || '-'
+      |        || (w.step + 1)), 1, 7)) AS BIGINT) % len(n.nbrs) + 1 AS INT)]
+      |    END,
+      |    w.path || ',' ||
+      |    CASE WHEN n.nbrs IS NULL THEN w.cur
+      |      ELSE n.nbrs[CAST(CAST(('0x' || substr(md5('rw-' || w.walk || '-'
+      |        || (w.step + 1)), 1, 7)) AS BIGINT) % len(n.nbrs) + 1 AS INT)]
+      |    END,
+      |    w.step + 1
+      |  FROM wk w LEFT JOIN nb n ON w.cur = n.cur
+      |  WHERE w.step < 8),
+      |pos AS (
+      |  SELECT walk, CAST(u.i - 1 AS INTEGER) AS i, sp[u.i] AS node
+      |  FROM (SELECT walk, string_split(path, ',') AS sp
+      |        FROM wk WHERE step = 8) t,
+      |    UNNEST(generate_series(1, len(sp))) AS u(i))
+      |SELECT a.node AS center, b.node AS context,
+      |  CAST(COUNT(*) AS BIGINT) AS n_pairs
+      |FROM pos a JOIN pos b ON a.walk = b.walk
+      |  AND a.i <> b.i AND abs(b.i - a.i) <= 2
+      |GROUP BY 1, 2""".stripMargin))
+
   def queries: Seq[GQuery] =
-    Seq(q153, q157, q158, q160, q164, q174, q178, q231, q232, q241)
+    Seq(q153, q157, q158, q160, q164, q174, q178, q231, q232, q241, q242)
 }
