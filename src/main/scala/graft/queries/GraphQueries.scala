@@ -692,6 +692,129 @@ object GraphQueries {
       |  AND a.i <> b.i AND abs(b.i - a.i) <= 2
       |GROUP BY 1, 2""".stripMargin))
 
+  /** q243: negative sampling for the skip-gram pairs — the third leg
+    * of the word2vec preprocessing trio (q241 walks → q242 pairs →
+    * noise draws): two negatives per pair from the context-frequency^
+    * 0.75 noise distribution (Mikolov NeurIPS'13). Every draw is an
+    * md5 integer mapped through the cumulative mass table (bounded —
+    * one row per node — so the lookup is a broadcast range join), and
+    * the ¾ power is spelled sqrt(sqrt(c³)): sqrt is IEEE
+    * correctly-rounded on every engine where pow is not, so the mass
+    * table is bit-identical by construction, not by luck. */
+  val q243 = GQuery(
+    "q243_negative_samples",
+    (s, d) => {
+      val docs = documents(s, d).select(col("doc_id"))
+      val e = docs
+        .select(col("doc_id"), explode(array(
+          (col("doc_id") * 7 + 13) % M,
+          (col("doc_id") * 13 + 29) % M,
+          (col("doc_id") * 31 + 7) % M)).as("t"))
+        .select(concat(lit("d"), col("doc_id") % M).as("src"),
+          concat(lit("d"), col("t")).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      val pos = graft.graph.RandomWalks
+        .walks(e, "src", "dst", steps = 8, salt = "rw")
+        .select(col("walk"), posexplode(split(col("path"), ",")).as(Seq("i", "node")))
+        .localCheckpoint(eager = false)
+      val pairs = pos.select(col("walk"), col("i"), col("node").as("center"))
+        .join(pos.select(col("walk"), col("i").as("j"), col("node").as("context")),
+          Seq("walk"))
+        .filter(col("j") =!= col("i") && abs(col("j") - col("i")) <= 2)
+        .groupBy(col("center"), col("context"))
+        .agg(lcount(lit(1)).as("n_pairs"))
+        .localCheckpoint(eager = false) // noise census + draw side
+      // noise mass per node: floor(sqrt(sqrt(c^3)) * 1e6 + .5), c =
+      // context occurrences; cumulative over the BOUNDED node table
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("context")) // 101 rows — bounded single-reducer, fine
+      val noise = pairs.groupBy(col("context"))
+        .agg(sum(col("n_pairs")).as("c"))
+        .withColumn("m", floor(sqrt(sqrt((col("c") * col("c") * col("c"))
+          .cast("double"))) * 1e6 + 0.5).cast("long"))
+        .withColumn("hi", sum(col("m")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .withColumn("lo", col("hi") - col("m"))
+        .select(col("context").as("neg"), col("lo"), col("hi"))
+        .localCheckpoint(eager = false) // total + broadcast lookup
+      val total = noise.agg(max(col("hi")).as("tot"))
+      val draws = pairs.select(col("center"), col("context"))
+        .crossJoin(broadcast(
+          s.createDataset(Seq(1, 2))(org.apache.spark.sql.Encoders.scalaInt)
+            .toDF("j")))
+        .crossJoin(broadcast(total))
+        .withColumn("u",
+          conv(substring(md5(concat_ws("-", lit("neg"), col("center"),
+            col("context"), col("j").cast("string"))), 1, 12), 16, 10)
+            .cast("long") % col("tot"))
+      draws.join(broadcast(noise),
+          col("u") >= col("lo") && col("u") < col("hi"))
+        .select(col("center"), col("context"), col("j"), col("neg"))
+    },
+    Some(s"""WITH RECURSIVE raw AS (
+      |  SELECT 'd' || (doc_id % $M) AS src, 'd' || ((doc_id * 7 + 13) % $M) AS dst
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT 'd' || (doc_id % $M), 'd' || ((doc_id * 13 + 29) % $M)
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT 'd' || (doc_id % $M), 'd' || ((doc_id * 31 + 7) % $M)
+      |  FROM documents),
+      |ed AS (SELECT DISTINCT src, dst FROM raw WHERE src != dst),
+      |nb AS (SELECT src AS cur, list_sort(list(dst)) AS nbrs
+      |       FROM ed GROUP BY src),
+      |nodes AS (SELECT DISTINCT node FROM (
+      |  SELECT src AS node FROM ed UNION ALL SELECT dst FROM ed) t),
+      |wk AS (
+      |  SELECT node AS walk, node AS cur, CAST(node AS VARCHAR) AS path,
+      |    0 AS step
+      |  FROM nodes
+      |  UNION ALL
+      |  SELECT w.walk,
+      |    CASE WHEN n.nbrs IS NULL THEN w.cur
+      |      ELSE n.nbrs[CAST(CAST(('0x' || substr(md5('rw-' || w.walk || '-'
+      |        || (w.step + 1)), 1, 7)) AS BIGINT) % len(n.nbrs) + 1 AS INT)]
+      |    END,
+      |    w.path || ',' ||
+      |    CASE WHEN n.nbrs IS NULL THEN w.cur
+      |      ELSE n.nbrs[CAST(CAST(('0x' || substr(md5('rw-' || w.walk || '-'
+      |        || (w.step + 1)), 1, 7)) AS BIGINT) % len(n.nbrs) + 1 AS INT)]
+      |    END,
+      |    w.step + 1
+      |  FROM wk w LEFT JOIN nb n ON w.cur = n.cur
+      |  WHERE w.step < 8),
+      |pos AS (
+      |  SELECT walk, CAST(u.i - 1 AS INTEGER) AS i, sp[u.i] AS node
+      |  FROM (SELECT walk, string_split(path, ',') AS sp
+      |        FROM wk WHERE step = 8) t,
+      |    UNNEST(generate_series(1, len(sp))) AS u(i)),
+      |pairs AS (
+      |  SELECT a.node AS center, b.node AS context,
+      |    CAST(COUNT(*) AS BIGINT) AS n_pairs
+      |  FROM pos a JOIN pos b ON a.walk = b.walk
+      |    AND a.i <> b.i AND abs(b.i - a.i) <= 2
+      |  GROUP BY 1, 2),
+      |noise AS (
+      |  SELECT context AS neg,
+      |    CAST(floor(sqrt(sqrt(CAST(c * c * c AS DOUBLE))) * 1e6 + 0.5)
+      |      AS BIGINT) AS m
+      |  FROM (SELECT context, CAST(SUM(n_pairs) AS BIGINT) AS c
+      |        FROM pairs GROUP BY context) t),
+      |cum AS (
+      |  SELECT neg, SUM(m) OVER (ORDER BY neg
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - m AS lo,
+      |    SUM(m) OVER (ORDER BY neg
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi
+      |  FROM noise),
+      |tot AS (SELECT MAX(hi) AS tot FROM cum),
+      |draws AS (
+      |  SELECT p.center, p.context, jj.j,
+      |    CAST(('0x' || substr(md5('neg-' || p.center || '-' || p.context
+      |      || '-' || jj.j), 1, 12)) AS BIGINT) % t.tot AS u
+      |  FROM pairs p, (VALUES (1), (2)) AS jj(j), tot t)
+      |SELECT d.center, d.context, d.j, c.neg
+      |FROM draws d JOIN cum c ON d.u >= c.lo AND d.u < c.hi""".stripMargin))
+
   def queries: Seq[GQuery] =
-    Seq(q153, q157, q158, q160, q164, q174, q178, q231, q232, q241, q242)
+    Seq(q153, q157, q158, q160, q164, q174, q178, q231, q232, q241, q242, q243)
 }
