@@ -109,6 +109,12 @@ class Round9PlanSpec extends SparkSpec {
     assert(!plan("q230_prefix_jaccard").contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q242/q243: walk-derived pair joins are equi-keyed; no cartesian anywhere") {
+    for (n <- Seq("q242_skipgram_pairs", "q243_negative_samples")) {
+      assert(!plan(n).contains("CartesianProduct"), n)
+    }
+  }
+
   test("q227/q228: CM and KMV rollups merge fine states — no rebuild from raw rows") {
     val cm = plan("q227_cm_rollup")
     assert(cm.contains("cm_merge") && !cm.contains("count_min("),
