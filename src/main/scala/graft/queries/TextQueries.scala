@@ -1949,9 +1949,100 @@ object TextQueries {
         |GROUP BY p.pid, p.pattern""".stripMargin))
   }
 
+  /** q244: paired bootstrap system comparison
+    * ([[graft.stats.Bootstrap.pairedComparison]], Koehn '04 shape) —
+    * is full-text language ID significantly better than langid on the
+    * first 50 chars, ON THE SAME documents? Per-doc correctness
+    * indicators pair into deltas; one Poisson weight per (doc,
+    * resample) preserves the pairing; output is the point accuracy
+    * delta, its 95% CI, and the resample win count (the bootstrap
+    * P(A > B)). Every resample mean replays in SQL through the shared
+    * inverse-CDF literals, so significance itself is hash-gated. */
+  val q244 = GQuery(
+    "q244_paired_bootstrap",
+    (s, d) => {
+      val docs = documents(s, d)
+      val scored = docs.select(col("doc_id"),
+        (predictLang(wsTokens(col("text")))
+          === col("lang")).cast("int").as("a_full"),
+        (predictLang(wsTokens(substring(col("text"), 1, 50)))
+          === col("lang")).cast("int").as("b_trunc"))
+      graft.stats.Bootstrap.pairedComparison(scored, "doc_id",
+        "a_full", "b_trunc", "pc-langid")
+    },
+    Some(s"""WITH sc AS (
+      |  SELECT doc_id, lang,
+      |    $wsSql AS t1,
+      |    string_split_regex(trim(substr(text, 1, 50)), '\\s+') AS t2
+      |  FROM documents),
+      |pred AS (
+      |  SELECT doc_id, lang,
+      |    len(list_filter(t1, t -> t IN ('der','und','die','nicht'))) AS a_de,
+      |    len(list_filter(t1, t -> t IN ('the','a','and','of'))) AS a_en,
+      |    len(list_filter(t1, t -> t IN ('el','la','de','que'))) AS a_es,
+      |    len(list_filter(t1, t -> t IN ('le','et','les','une'))) AS a_fr,
+      |    len(list_filter(t2, t -> t IN ('der','und','die','nicht'))) AS b_de,
+      |    len(list_filter(t2, t -> t IN ('the','a','and','of'))) AS b_en,
+      |    len(list_filter(t2, t -> t IN ('el','la','de','que'))) AS b_es,
+      |    len(list_filter(t2, t -> t IN ('le','et','les','une'))) AS b_fr
+      |  FROM sc),
+      |dd AS (
+      |  SELECT doc_id,
+      |    (CASE WHEN (CASE
+      |        WHEN a_de = greatest(a_de, a_en, a_es, a_fr) AND a_de > 0 THEN 'de'
+      |        WHEN a_en = greatest(a_de, a_en, a_es, a_fr) AND a_en > 0 THEN 'en'
+      |        WHEN a_es = greatest(a_de, a_en, a_es, a_fr) AND a_es > 0 THEN 'es'
+      |        WHEN a_fr = greatest(a_de, a_en, a_es, a_fr) AND a_fr > 0 THEN 'fr'
+      |        ELSE 'und' END) = lang THEN 1 ELSE 0 END)
+      |    - (CASE WHEN (CASE
+      |        WHEN b_de = greatest(b_de, b_en, b_es, b_fr) AND b_de > 0 THEN 'de'
+      |        WHEN b_en = greatest(b_de, b_en, b_es, b_fr) AND b_en > 0 THEN 'en'
+      |        WHEN b_es = greatest(b_de, b_en, b_es, b_fr) AND b_es > 0 THEN 'es'
+      |        WHEN b_fr = greatest(b_de, b_en, b_es, b_fr) AND b_fr > 0 THEN 'fr'
+      |        ELSE 'und' END) = lang THEN 1 ELSE 0 END) AS dv
+      |  FROM pred),
+      |rs AS (SELECT CAST(r AS BIGINT) AS r FROM range(32) t(r)),
+      |w AS (
+      |  SELECT dd.dv, rs.r,
+      |    (CAST(('0x' || substr(md5('pc-langid' || CAST(dd.doc_id AS VARCHAR)
+      |      || ':' || CAST(rs.r AS VARCHAR)), 1, 13)) AS BIGINT) + 0.5)
+      |      / 4503599627370496.0 AS u
+      |  FROM dd CROSS JOIN rs),
+      |pw AS (
+      |  SELECT r, dv,
+      |    CASE WHEN u < 0.3678794411714423 THEN 0
+      |         WHEN u < 0.7357588823428846 THEN 1
+      |         WHEN u < 0.9196986029286058 THEN 2
+      |         WHEN u < 0.9810118431238462 THEN 3
+      |         WHEN u < 0.9963401531726563 THEN 4
+      |         WHEN u < 0.9994058151824183 THEN 5
+      |         ELSE 6 END AS wgt
+      |  FROM w),
+      |e AS (
+      |  SELECT r, CAST(CAST(SUM(wgt * dv) AS BIGINT) AS DOUBLE)
+      |    / CAST(CAST(SUM(wgt) AS BIGINT) AS DOUBLE) AS est
+      |  FROM pw GROUP BY r HAVING SUM(wgt) > 0),
+      |rk AS (SELECT est, ROW_NUMBER() OVER (ORDER BY est) AS rn FROM e),
+      |ci AS (
+      |  SELECT
+      |    ROUND(MAX(CASE WHEN rn = 1 THEN est END) * 0.225
+      |        + MAX(CASE WHEN rn = 2 THEN est END) * 0.775, 4) AS ci_lo,
+      |    ROUND(MAX(CASE WHEN rn = 31 THEN est END) * 0.775
+      |        + MAX(CASE WHEN rn = 32 THEN est END) * 0.225, 4) AS ci_hi,
+      |    CAST(SUM(CASE WHEN est > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_win,
+      |    CAST(COUNT(*) AS BIGINT) AS n_resamples
+      |  FROM rk),
+      |p AS (
+      |  SELECT ROUND(CAST(SUM(dv) AS DOUBLE) / COUNT(*), 4) AS point_delta,
+      |    CAST(COUNT(*) AS BIGINT) AS n_units
+      |  FROM dd)
+      |SELECT p.point_delta, p.n_units, ci.ci_lo, ci.ci_hi, ci.n_win,
+      |  ci.n_resamples
+      |FROM p, ci""".stripMargin))
+
   def queries: Seq[GQuery] =
     Seq(q32, q33, q34, q35, q66, q89, q91, q94, q96, q98, q99, q101,
       q106, q107, q109, q110, q111, q112, q115, q116, q120, q121, q126,
       q130, q132, q134, q135, q136, q137, q139, q140, q141, q179, q189, q193,
-      q195, q200, q201, q236)
+      q195, q200, q201, q236, q244)
 }

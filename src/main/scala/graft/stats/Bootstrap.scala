@@ -86,4 +86,48 @@ object Bootstrap {
       .select(col(groupCol), round(col("point_mean"), 4).as("point_mean"),
         col("ci_lo"), col("ci_hi"), col("n_resamples"))
   }
+
+  /** Paired Poisson-bootstrap comparison of two per-unit metrics — the
+    * standard eval answer to "is system A better than B on the SAME
+    * units?" (significance testing for system comparisons; Koehn 2004's
+    * paired bootstrap, Poisson-weighted for one streaming pass): each
+    * (unit, resample) draws ONE weight applied to the paired DELTA, so
+    * unit-level correlation is preserved — unpaired intervals overlap
+    * even when A beats B on almost every unit. Returns the point
+    * delta, the 95% type-7 CI over resample deltas (the ciMean
+    * interpolation literals), and the resample win count (est > 0) —
+    * n_win / n_resamples is the bootstrap P(A > B).
+    * Metrics must be integer-valued (accuracy indicators, counts);
+    * scale fractional metrics upstream. */
+  def pairedComparison(df: DataFrame, idCol: String, aCol: String,
+                       bCol: String, seed: String): DataFrame = {
+    val R = 32
+    val base = df.select(col(idCol).as("__id"),
+      (col(aCol).cast("long") - col(bCol).cast("long")).as("__d"))
+    val key = concat(col("__id").cast("string"), lit(":"), col("r"))
+    val est = base
+      .withColumn("r", explode(array((0 until R).map(lit): _*)))
+      .withColumn("w", poissonWeight(key, seed))
+      .groupBy(col("r"))
+      .agg(sum(col("w") * col("__d")).as("ws"), sum(col("w")).as("wn"))
+      .filter(col("wn") > 0)
+      .select((col("ws").cast("double") / col("wn").cast("double")).as("est"))
+    // R rows through one ordered window — same bounded shape as ciMean
+    val ranked = est.withColumn("rn",
+      row_number().over(Window.orderBy(col("est"))))
+    val ci = ranked.agg(
+      round(sum(when(col("rn") === 1, col("est") * lit(0.225))
+        .when(col("rn") === 2, col("est") * lit(0.775))), 4).as("ci_lo"),
+      round(sum(when(col("rn") === 31, col("est") * lit(0.775))
+        .when(col("rn") === 32, col("est") * lit(0.225))), 4).as("ci_hi"),
+      sum(when(col("est") > 0, lit(1L)).otherwise(lit(0L))).as("n_win"),
+      count(lit(1)).as("n_resamples"))
+    val point = base.agg(
+      round(sum(col("__d")).cast("double") / count(lit(1)).cast("double"), 4)
+        .as("point_delta"),
+      count(lit(1)).as("n_units"))
+    point.crossJoin(ci)
+      .select(col("point_delta"), col("n_units"), col("ci_lo"), col("ci_hi"),
+        col("n_win"), col("n_resamples"))
+  }
 }
