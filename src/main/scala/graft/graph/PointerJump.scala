@@ -26,9 +26,17 @@ object PointerJump {
     * (node, root, depth, path): depth in hops, path the comma-joined
     * id chain node→root inclusive. Nodes whose parent chain leaves
     * the frame (dangling parent) are dropped — a forest contract, not
-    * silent repair. */
+    * silent repair.
+    *
+    * `depthHint`: when the caller knows an upper bound on tree depth,
+    * the first ⌈log₂ hint⌉ rounds run WITHOUT the per-round not-done
+    * count — each count is a driver action (two scheduled jobs through
+    * the pinned state), and on shallow forests those actions dominate
+    * wall time. Correctness does not ride the hint: the counted loop
+    * still runs afterwards and finishes any remaining work, so a
+    * too-small hint only costs the skipped savings. */
   def linearize(edges: DataFrame, nodeCol: String, parentCol: String,
-                maxRounds: Int = 64): DataFrame = {
+                maxRounds: Int = 64, depthHint: Option[Int] = None): DataFrame = {
     val spark = edges.sparkSession
     var st = edges.select(
         col(nodeCol).cast("long").as("node"),
@@ -39,8 +47,7 @@ object PointerJump {
         col(parentCol).isNull.as("done"))
       .localCheckpoint(eager = true)
     st = spark.createDataFrame(st.rdd, st.schema)
-    var round = 0
-    while (round < maxRounds && st.filter(!col("done")).limit(1).count() > 0) {
+    def jump(): Unit = {
       val ancSide = st.select(col("node").as("anc"), col("anc").as("anc2"),
         col("d").as("d2"), col("seg").as("seg2"), col("done").as("done2"))
       val next = st.join(ancSide, Seq("anc"), "inner")
@@ -54,6 +61,16 @@ object PointerJump {
           (col("done") || col("done2")).as("done"))
         .localCheckpoint(eager = true)
       st = spark.createDataFrame(next.rdd, next.schema)
+    }
+    var round = 0
+    depthHint.foreach { h =>
+      // after r rounds every chain of depth ≤ 2^r is resolved
+      val hinted = math.max(1,
+        math.ceil(math.log(math.max(h, 2).toDouble) / math.log(2.0)).toInt)
+      while (round < math.min(hinted, maxRounds)) { jump(); round += 1 }
+    }
+    while (round < maxRounds && st.filter(!col("done")).limit(1).count() > 0) {
+      jump()
       round += 1
     }
     st.select(col("node"),

@@ -482,7 +482,7 @@ object GraphQueries {
           .otherwise(tid * 50 + floor((local - 1) / 2).cast("long")))
       graft.graph.PointerJump.linearize(
           events(s, d).select(col("event_id"), parent.as("parent")),
-          "event_id", "parent")
+          "event_id", "parent", depthHint = Some(50)) // chain threads: depth 49
         .select(col("node").as("event_id"), col("root").as("root_id"),
           col("depth"), md5(col("path")).as("path_md5"))
     },
@@ -522,7 +522,7 @@ object GraphQueries {
           .otherwise(tid * 50 + floor((local - 1) / 2).cast("long")))
       val lin = graft.graph.PointerJump.linearize(
         events(s, d).select(col("event_id"), parent.as("parent")),
-        "event_id", "parent")
+        "event_id", "parent", depthHint = Some(50))
       val docs = documents(s, d).select(col("doc_id"), col("text"))
       val nDocs = docs.agg(count(lit(1)).as("__c"))
       // path is node→root; pos sorts DESC to assemble root→node
