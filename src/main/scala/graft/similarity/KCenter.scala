@@ -46,17 +46,20 @@ object KCenter {
         r.getSeq[Long](r.fieldIndex("sv")).toVector, r.getAs[Long]("n2"))
     val seed = asCenter(0,
       base.orderBy(col("id").asc).limit(1).collect().head)
-    var st = base.withColumn("dmin", d2To(seed.sv, seed.n2))
-      .localCheckpoint(eager = true)
+    val spark = corpus.sparkSession
+    def pin(df: DataFrame): DataFrame = {
+      val ck = df.localCheckpoint(eager = true)
+      spark.createDataFrame(ck.rdd, ck.schema) // fresh LogicalRDD stats
+    }
+    var st = pin(base.withColumn("dmin", d2To(seed.sv, seed.n2)))
     var out = Vector(seed)
     while (out.length < k) {
       val next = asCenter(out.length,
         st.orderBy(col("dmin").desc, col("id").asc).limit(1).collect().head)
       out :+= next
       if (out.length < k) {
-        st = st.withColumn("dmin",
-          least(col("dmin"), d2To(next.sv, next.n2)))
-          .localCheckpoint(eager = true)
+        st = pin(st.withColumn("dmin",
+          least(col("dmin"), d2To(next.sv, next.n2))))
       }
     }
     out
