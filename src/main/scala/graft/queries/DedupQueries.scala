@@ -1489,7 +1489,8 @@ object DedupQueries {
       |  CAST(SUM(CASE WHEN g.cnt > 1 THEN c.n_toks ELSE 0 END) AS BIGINT)
       |    AS dup_tokens
       |FROM ch c JOIN g ON c.fp = g.fp
-      |GROUP BY c.doc""".stripMargin))
+      |GROUP BY c.doc""".stripMargin),
+    headline = true)
 
   /** q229: incremental CDC ([[graft.dedup.Cdc]] in the q88/q133
     * landed-index discipline): the batch (doc_id % 3 = 0) chunks

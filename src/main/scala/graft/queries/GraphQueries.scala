@@ -502,7 +502,8 @@ object GraphQueries {
       |  FROM walk w JOIN ev e ON w.nxt = e.node)
       |SELECT node AS event_id, cur AS root_id, CAST(depth AS BIGINT) AS depth,
       |  md5(path) AS path_md5
-      |FROM walk WHERE nxt IS NULL""".stripMargin))
+      |FROM walk WHERE nxt IS NULL""".stripMargin),
+    headline = true)
 
   /** q232: thread-aware SFT context assembly — the load-bearing use
     * of q231's paths: each reply's training context is its ancestor
