@@ -569,5 +569,97 @@ object BloomQueries {
         |FROM est e LEFT JOIN cx c ON e.ta = c.ta AND e.tb = c.tb""".stripMargin))
   }
 
-  def queries: Seq[GQuery] = Seq(q154, q156, q208, q222, q227, q228, q239)
+  /** q245: one-pass table profiler (ANALYZE TABLE, sketch-shaped) —
+    * per-column null counts and HLL distinct estimates for six
+    * lineitem columns in ONE scan with ONE aggregation: the exact
+    * multi-column n_distinct plans an Expand over 6× the rows (the
+    * q208 trap at table width), while six constant-memory register
+    * sets ride one map-side-combined pass. Doubles enter the hash
+    * e6-floored (string formatting differs across engines; scaled
+    * integers do not). The oracle rebuilds every column's registers
+    * from raw rows — all six estimates bit-exact. */
+  val q245 = {
+    import graft.functions.HllSketch
+    val m = 1 << HllP
+    val wBits = 60 - HllP
+    // (name, Spark key expr, SQL key expr) — canonical key bytes per column
+    def intish(n: String) = (n, col(n).cast("string"), s"CAST($n AS VARCHAR)")
+    val cols: Seq[(String, org.apache.spark.sql.Column, String)] = Seq(
+      intish("l_orderkey"), intish("l_suppkey"), intish("l_linenumber"),
+      ("l_returnflag", col("l_returnflag"), "l_returnflag"),
+      ("l_linestatus", col("l_linestatus"), "l_linestatus"),
+      ("l_quantity",
+        floor(col("l_quantity") * 1e6 + 0.5).cast("long").cast("string"),
+        "CAST(CAST(floor(l_quantity * 1e6 + 0.5) AS BIGINT) AS VARCHAR)"))
+    GQuery(
+      "q245_table_profile",
+      (s, d) => {
+        HllSketch.register(s)
+        val keyed = lineitem(s, d).select(
+          cols.zipWithIndex.flatMap { case ((n, k, _), i) =>
+            Seq(HllSketch.hash60(k, n).as(s"h_$i"),
+              col(n).isNull.cast("long").as(s"z_$i"))
+          }: _*)
+        val aggs =
+          Seq(count(lit(1)).as("n_rows")) ++
+            cols.indices.flatMap { i =>
+              Seq(sum(col(s"z_$i")).as(s"nn_$i"),
+                expr(s"hll_registers(h_$i, $HllP)").as(s"r_$i"))
+            }
+        val wide = keyed.agg(aggs.head, aggs.tail: _*)
+        val withEst = cols.indices.foldLeft(wide) { (df, i) =>
+          df.withColumn(s"zz_$i", HllSketch.zerosCol(col(s"r_$i")))
+            .withColumn(s"se_$i", HllSketch.sumExpS52Col(col(s"r_$i")))
+            .withColumn(s"est_$i",
+              floor(HllSketch.estimateCol(col(s"zz_$i"), col(s"se_$i"), HllP)
+                * 1e6 + 0.5).cast("long"))
+        }
+        withEst.select(col("n_rows"), expr("stack(" + cols.length + ", " +
+          cols.zipWithIndex.map { case ((n, _, _), i) =>
+            s"'$n', nn_$i, zz_$i, se_$i, est_$i"
+          }.mkString(", ") +
+          ") as (col_name, n_nulls, zeros, sumexp_s52, est_distinct_e6)"))
+      },
+      Some {
+        val blocks = cols.map { case (n, _, keySql) =>
+          s"""src_$n AS (
+             |  SELECT CAST(('0x' || substr(md5('hll-$n' || $keySql), 1, 15))
+             |    AS BIGINT) AS h
+             |  FROM lineitem WHERE $n IS NOT NULL),
+             |regs_$n AS (
+             |  SELECT h // ${1L << wBits} AS bucket,
+             |    CAST(MAX(CASE WHEN h % ${1L << wBits} = 0 THEN ${wBits + 1}
+             |      ELSE $wBits - length(bin(h % ${1L << wBits})) + 1 END)
+             |      AS BIGINT) AS reg
+             |  FROM src_$n GROUP BY 1),
+             |f_$n AS (
+             |  SELECT CAST($m - COUNT(*) AS BIGINT) AS zeros,
+             |    CAST(SUM(CAST(1 AS BIGINT) << (52 - reg)) +
+             |         ($m - COUNT(*)) * ${1L << 52} AS BIGINT) AS sumexp_s52
+             |  FROM regs_$n)""".stripMargin
+        }.mkString(",\n")
+        val arms = cols.map { case (n, _, _) =>
+          s"""SELECT '$n' AS col_name, nn.n_rows,
+             |  nn.nn_$n AS n_nulls, f.zeros, f.sumexp_s52,
+             |  CAST(FLOOR((CASE WHEN f.zeros > 0 AND
+             |      CAST(${HllSketch.alpha(1 << HllP)} AS DOUBLE) * $m.0 * $m.0
+             |        * ${math.pow(2.0, 52)} / f.sumexp_s52 <= ${2.5 * (1 << HllP)}
+             |    THEN $m.0 * ln($m.0 / f.zeros)
+             |    ELSE CAST(${HllSketch.alpha(1 << HllP)} AS DOUBLE) * $m.0 * $m.0
+             |      * ${math.pow(2.0, 52)} / f.sumexp_s52 END) * 1e6 + 0.5)
+             |    AS BIGINT) AS est_distinct_e6
+             |FROM nn, f_$n f""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH $blocks,
+           |nn AS (
+           |  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |    ${cols.map { case (n, _, _) =>
+                 s"CAST(SUM(CASE WHEN $n IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_$n"
+               }.mkString(", ")}
+           |  FROM lineitem)
+           |$arms""".stripMargin
+      })
+  }
+
+  def queries: Seq[GQuery] = Seq(q154, q156, q208, q222, q227, q228, q239, q245)
 }

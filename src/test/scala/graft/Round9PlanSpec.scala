@@ -115,6 +115,14 @@ class Round9PlanSpec extends SparkSpec {
     }
   }
 
+  test("q245: six-column profile is ONE scan, one aggregation, no Expand") {
+    val p = plan("q245_table_profile")
+    val tree = p.linesIterator.takeWhile(_.trim.nonEmpty).toSeq
+    assert(!p.contains("Expand"),
+      "multi-column distinct must ride sketches, not an Expand blowup")
+    assert(tree.count(_.contains("Scan parquet")) == 1, "one pass over the table")
+  }
+
   test("q227/q228: CM and KMV rollups merge fine states — no rebuild from raw rows") {
     val cm = plan("q227_cm_rollup")
     assert(cm.contains("cm_merge") && !cm.contains("count_min("),
