@@ -661,5 +661,89 @@ object BloomQueries {
       })
   }
 
-  def queries: Seq[GQuery] = Seq(q154, q156, q208, q222, q227, q228, q239, q245)
+  /** q246: categorical dependency discovery (the profiler's second
+    * face beside q245): pairwise Cramér's V over three column pairs,
+    * all contingency tables from ONE stacked pass (pair-keyed explode
+    * → one groupBy — never a scan per pair). χ² enters through the
+    * identity χ² = n·(Σ O²⁄(rᵢ·cⱼ)) − n: every O²⁄(rᵢcⱼ) term is a
+    * ratio of exact-in-double integers and the Σ rides the scaled-long
+    * exact path, so the statistic is order-independent and the oracle
+    * replays it bit-for-bit; V = √(χ²⁄(n·(min(r,c)−1))) with the
+    * correctly-rounded sqrt. */
+  val q246 = GQuery(
+    "q246_column_dependence",
+    (s, d) => {
+      import graft.core.Exact
+      val li = lineitem(s, d)
+      val qb = floor(col("l_quantity") / 10).cast("long").cast("string")
+      val stacked = li.select(explode(array(
+          struct(lit("rf_ls").as("pair"), col("l_returnflag").as("a"),
+            col("l_linestatus").as("b")),
+          struct(lit("rf_qb").as("pair"), col("l_returnflag").as("a"),
+            qb.as("b")),
+          struct(lit("ls_ln").as("pair"), col("l_linestatus").as("a"),
+            col("l_linenumber").cast("string").as("b")))).as("kv"))
+        .select(col("kv.pair").as("pair"), col("kv.a").as("a"),
+          col("kv.b").as("b"))
+      val cont = stacked.groupBy(col("pair"), col("a"), col("b"))
+        .agg(count(lit(1)).as("o"))
+        .localCheckpoint(eager = false) // margins + totals + terms
+      val ra = cont.groupBy(col("pair"), col("a")).agg(sum(col("o")).as("ra"))
+      val cb = cont.groupBy(col("pair"), col("b")).agg(sum(col("o")).as("cb"))
+      val nn = cont.groupBy(col("pair")).agg(sum(col("o")).as("n"),
+        countDistinct(col("a")).as("r"), countDistinct(col("b")).as("c"))
+      val term = (col("o") * col("o")).cast("double") /
+        (col("ra") * col("cb")).cast("double")
+      cont.join(ra, Seq("pair", "a")).join(cb, Seq("pair", "b"))
+        .withColumn("__t", term)
+        .groupBy(col("pair"))
+        .agg(Exact.lsumAt(col("__t"), 1e12).as("s"))
+        .join(nn, Seq("pair"))
+        .withColumn("chi2", col("n").cast("double") * col("s") -
+          col("n").cast("double"))
+        .select(col("pair"), col("n"), col("r"), col("c"),
+          floor(col("chi2") * 1e6 + 0.5).cast("long").as("chi2_e6"),
+          floor(sqrt(col("chi2") / (col("n") * (least(col("r"), col("c")) - 1))
+            .cast("double")) * 1e6 + 0.5).cast("long").as("cramers_v_e6"))
+    },
+    Some(s"""WITH st AS (
+      |  SELECT 'rf_ls' AS pair, l_returnflag AS a, l_linestatus AS b
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'rf_qb', l_returnflag,
+      |    CAST(CAST(floor(l_quantity / 10) AS BIGINT) AS VARCHAR)
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'ls_ln', l_linestatus, CAST(l_linenumber AS VARCHAR)
+      |  FROM lineitem),
+      |cont AS (
+      |  SELECT pair, a, b, CAST(COUNT(*) AS BIGINT) AS o
+      |  FROM st GROUP BY 1, 2, 3),
+      |ra AS (SELECT pair, a, CAST(SUM(o) AS BIGINT) AS ra
+      |       FROM cont GROUP BY 1, 2),
+      |cb AS (SELECT pair, b, CAST(SUM(o) AS BIGINT) AS cb
+      |       FROM cont GROUP BY 1, 2),
+      |nn AS (SELECT pair, CAST(SUM(o) AS BIGINT) AS n,
+      |         CAST(COUNT(DISTINCT a) AS BIGINT) AS r,
+      |         CAST(COUNT(DISTINCT b) AS BIGINT) AS c
+      |       FROM cont GROUP BY 1),
+      |sS AS (
+      |  SELECT cont.pair,
+      |    ${graft.core.Exact.sqlLsumAt(
+           "CAST(cont.o * cont.o AS DOUBLE) / CAST(ra.ra * cb.cb AS DOUBLE)",
+           "1000000000000.0")} AS s
+      |  FROM cont
+      |  JOIN ra ON cont.pair = ra.pair AND cont.a = ra.a
+      |  JOIN cb ON cont.pair = cb.pair AND cont.b = cb.b
+      |  GROUP BY cont.pair)
+      |SELECT nn.pair, nn.n, nn.r, nn.c,
+      |  CAST(FLOOR((CAST(nn.n AS DOUBLE) * sS.s - CAST(nn.n AS DOUBLE)) * 1e6
+      |    + 0.5) AS BIGINT) AS chi2_e6,
+      |  CAST(FLOOR(sqrt((CAST(nn.n AS DOUBLE) * sS.s - CAST(nn.n AS DOUBLE))
+      |    / CAST(nn.n * (LEAST(nn.r, nn.c) - 1) AS DOUBLE)) * 1e6 + 0.5)
+      |    AS BIGINT) AS cramers_v_e6
+      |FROM nn JOIN sS ON nn.pair = sS.pair""".stripMargin))
+
+  def queries: Seq[GQuery] =
+    Seq(q154, q156, q208, q222, q227, q228, q239, q245, q246)
 }
