@@ -744,6 +744,136 @@ object BloomQueries {
       |    AS BIGINT) AS cramers_v_e6
       |FROM nn JOIN sS ON nn.pair = sS.pair""".stripMargin))
 
+  /** q247: inclusion-dependency (foreign-key) discovery from KMV
+    * states — the cross-TABLE face of q239 and the profiler's third
+    * face: containment(child ⊆ parent) estimated from two bounded
+    * sketches as |m ∩ t_c ∩ t_p| / |m ∩ t_c| (within the union's
+    * k-minima, the fraction of child-side minima that also sit in the
+    * parent's sketch — the conditional-probability estimator of the
+    * SINDY/Spider profiling line). One sketch per column, ONE pass per
+    * table; candidate FK pairs then cost array expressions on a
+    * bounded frame, never a cross-table join of raw keys. Exact
+    * containments ride along, so estimator accuracy is hash-gated:
+    * the true FKs score 1.0, the negative control does not. */
+  val q247 = {
+    val k = 64
+    GQuery(
+      "q247_fk_discovery",
+      (s, dir) => {
+        graft.functions.KMinHashes.register(s)
+        def st(name: String, df: org.apache.spark.sql.DataFrame, c: org.apache.spark.sql.Column) =
+          df.select(md5(c.cast("string")).as("h"))
+            .agg(call_function("k_min_hashes", col("h"), lit(k)).as("tops"),
+              countDistinct(col("h")).as("nd"))
+            .select(lit(name).as("cid"), col("tops"), col("nd"))
+        val states = st("li_ok", lineitem(s, dir), col("l_orderkey"))
+          .unionByName(st("ord_ok", orders(s, dir), col("o_orderkey")))
+          .unionByName(st("ord_ck", orders(s, dir), col("o_custkey")))
+          .unionByName(st("cust_ck", customer(s, dir), col("c_custkey")))
+          // the mis-hypothesized FK: an id whose range outgrows the
+          // parent (dense keys -> exactly half contained)
+          .unionByName(st("ord_ok2", orders(s, dir), col("o_orderkey") * 2))
+          .localCheckpoint(eager = false)
+        val pairsDf = s.createDataFrame(Seq(
+          ("li_ok", "ord_ok"), ("ord_ck", "cust_ck"), ("ord_ok2", "ord_ok")))
+          .toDF("child", "parent")
+        val joined = pairsDf
+          .join(states.select(col("cid").as("child"), col("tops").as("tc"),
+            col("nd").as("ndc")), Seq("child"))
+          .join(states.select(col("cid").as("parent"), col("tops").as("tp")),
+            Seq("parent"))
+          .withColumn("m", slice(array_sort(array_union(col("tc"), col("tp"))), 1, k))
+        val inC = size(array_intersect(col("m"), col("tc")))
+        val inBoth = size(array_intersect(array_intersect(col("m"), col("tc")),
+          col("tp")))
+        // exact containment per pair, from raw distinct keys
+        def exact(childDf: org.apache.spark.sql.DataFrame,
+                  cc: org.apache.spark.sql.Column,
+                  parentDf: org.apache.spark.sql.DataFrame, pc: String,
+                  name: (String, String)) = {
+          val cd = childDf.select(cc.as("v")).distinct()
+          val pd = parentDf.select(col(pc).as("v")).distinct()
+          cd.join(pd, Seq("v"), "left_semi").agg(count(lit(1)).as("n_in"))
+            .crossJoin(cd.agg(count(lit(1)).as("n_child")))
+            .select(lit(name._1).as("child"), lit(name._2).as("parent"),
+              col("n_in"), col("n_child"))
+        }
+        val exacts = exact(lineitem(s, dir), col("l_orderkey"), orders(s, dir),
+            "o_orderkey", ("li_ok", "ord_ok"))
+          .unionByName(exact(orders(s, dir), col("o_custkey"), customer(s, dir),
+            "c_custkey", ("ord_ck", "cust_ck")))
+          .unionByName(exact(orders(s, dir), col("o_orderkey") * 2, orders(s, dir),
+            "o_orderkey", ("ord_ok2", "ord_ok")))
+        joined
+          .select(col("child"), col("parent"),
+            inC.cast("long").as("n_child_minima"),
+            // a tiny child vs a huge parent can leave zero child-side
+            // minima in the union's top-k: the sketch is then honest
+            // about indeterminacy (null), never divides by zero
+            when(inC > 0,
+              floor(inBoth.cast("double") / inC.cast("double") * 1e6 + 0.5)
+                .cast("long")).otherwise(lit(null).cast("long"))
+              .as("containment_est_e6"))
+          .join(exacts, Seq("child", "parent"))
+          .withColumn("containment_exact_e6",
+            floor(col("n_in").cast("double") / col("n_child").cast("double")
+              * 1e6 + 0.5).cast("long"))
+          .drop("n_in", "n_child")
+      },
+      Some(s"""WITH cols AS (
+        |  SELECT 'li_ok' AS cid, md5(CAST(l_orderkey AS VARCHAR)) AS h FROM lineitem
+        |  UNION ALL
+        |  SELECT 'ord_ok', md5(CAST(o_orderkey AS VARCHAR)) FROM orders
+        |  UNION ALL
+        |  SELECT 'ord_ck', md5(CAST(o_custkey AS VARCHAR)) FROM orders
+        |  UNION ALL
+        |  SELECT 'cust_ck', md5(CAST(c_custkey AS VARCHAR)) FROM customer
+        |  UNION ALL
+        |  SELECT 'ord_ok2', md5(CAST(o_orderkey * 2 AS VARCHAR)) FROM orders),
+        |dh AS (SELECT DISTINCT cid, h FROM cols),
+        |st AS (
+        |  SELECT cid, list_slice(list_sort(list(h)), 1, $k) AS tops
+        |  FROM dh GROUP BY cid),
+        |pr AS (
+        |  SELECT * FROM (VALUES ('li_ok', 'ord_ok'), ('ord_ck', 'cust_ck'),
+        |    ('ord_ok2', 'ord_ok')) AS t(child, parent)),
+        |est AS (
+        |  SELECT pr.child, pr.parent,
+        |    list_slice(list_sort(list_distinct(list_concat(c.tops, p.tops))),
+        |      1, $k) AS m, c.tops AS tc, p.tops AS tp
+        |  FROM pr JOIN st c ON pr.child = c.cid JOIN st p ON pr.parent = p.cid),
+        |ev AS (
+        |  SELECT child, parent,
+        |    CAST(len(list_filter(m, x -> list_contains(tc, x))) AS BIGINT)
+        |      AS n_child_minima,
+        |    CAST(len(list_filter(m, x -> list_contains(tc, x)
+        |      AND list_contains(tp, x))) AS BIGINT) AS n_both
+        |  FROM est),
+        |exv AS (
+        |  SELECT 'li_ok' AS child, 'ord_ok' AS parent,
+        |    (SELECT COUNT(DISTINCT l.l_orderkey) FROM lineitem l
+        |     WHERE l.l_orderkey IN (SELECT o_orderkey FROM orders)) AS n_in,
+        |    (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem) AS n_child
+        |  UNION ALL
+        |  SELECT 'ord_ck', 'cust_ck',
+        |    (SELECT COUNT(DISTINCT o.o_custkey) FROM orders o
+        |     WHERE o.o_custkey IN (SELECT c_custkey FROM customer)),
+        |    (SELECT COUNT(DISTINCT o_custkey) FROM orders)
+        |  UNION ALL
+        |  SELECT 'ord_ok2', 'ord_ok',
+        |    (SELECT COUNT(DISTINCT o.o_orderkey * 2) FROM orders o
+        |     WHERE o.o_orderkey * 2 IN (SELECT o_orderkey FROM orders)),
+        |    (SELECT COUNT(DISTINCT o_orderkey * 2) FROM orders))
+        |SELECT ev.child, ev.parent, ev.n_child_minima,
+        |  CASE WHEN ev.n_child_minima > 0 THEN
+        |    CAST(FLOOR(CAST(ev.n_both AS DOUBLE)
+        |      / CAST(ev.n_child_minima AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+        |  END AS containment_est_e6,
+        |  CAST(FLOOR(CAST(exv.n_in AS DOUBLE) / CAST(exv.n_child AS DOUBLE)
+        |    * 1e6 + 0.5) AS BIGINT) AS containment_exact_e6
+        |FROM ev JOIN exv ON ev.child = exv.child AND ev.parent = exv.parent""".stripMargin))
+  }
+
   def queries: Seq[GQuery] =
-    Seq(q154, q156, q208, q222, q227, q228, q239, q245, q246)
+    Seq(q154, q156, q208, q222, q227, q228, q239, q245, q246, q247)
 }
