@@ -977,5 +977,62 @@ object SimilarityQueries {
         |GROUP BY ord, center_id""".stripMargin))
   }
 
-  def queries: Seq[GQuery] = Seq(q40, q41, q42, q48, q53, q102, q105, q114, q117, q119, q122, q131, q147, q173, q176, q186, q188, q226)
+  /** q248: embedding-space drift (linear-kernel MMD) — the embedding
+    * counterpart of q191's token-bucket PSI: between two corpus slices,
+    * MMD²_linear = ‖μ_A − μ_B‖², the first-moment shift an embedding
+    * distribution can't hide. Per-dimension sums ride the scaled-long
+    * exact path (one groupBy over exploded dims — 2·dim short rows per
+    * partition after map-side combine), so both means and the final
+    * distance are order-independent and replay bit-for-bit. Output:
+    * per-dimension top shifts + the global MMD² — the alarm a nightly
+    * embedding refresh gates on. */
+  val q248 = GQuery(
+    "q248_embedding_drift",
+    (s, d) => {
+      val base = embeddings(s, d).select(
+          (col("vec_id") % 2 === 0).cast("int").as("half"),
+          posexplode(Knn.scaledVec(col("embedding"))).as(Seq("dim", "e")))
+        .groupBy(col("dim"))
+        .agg(
+          sum(when(col("half") === 1, col("e")).otherwise(lit(0L))).as("sa"),
+          sum(when(col("half") === 1, lit(1L)).otherwise(lit(0L))).as("na"),
+          sum(when(col("half") === 0, col("e")).otherwise(lit(0L))).as("sb"),
+          sum(when(col("half") === 0, lit(1L)).otherwise(lit(0L))).as("nb"))
+        .withColumn("du",
+          col("sa").cast("double") / col("na").cast("double") / lit(Knn.Scale) -
+            col("sb").cast("double") / col("nb").cast("double") / lit(Knn.Scale))
+        .withColumn("d2_e12", floor(col("du") * col("du") * 1e12 + 0.5).cast("long"))
+        .localCheckpoint(eager = false) // total + top-dim arms
+      val total = base.agg(sum(col("d2_e12")).as("mmd2_e12"))
+      base.orderBy(col("d2_e12").desc, col("dim").asc).limit(5)
+        .crossJoin(broadcast(total))
+        .select(col("dim"), col("d2_e12"), col("mmd2_e12"))
+    },
+    Some(s"""WITH el AS (
+      |  SELECT CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END AS half,
+      |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000000.0 + 0.5)
+      |      AS BIGINT) AS e,
+      |    generate_subscripts(embedding, 1) - 1 AS dim
+      |  FROM embeddings),
+      |sums AS (
+      |  SELECT dim,
+      |    CAST(SUM(CASE WHEN half = 1 THEN e ELSE 0 END) AS BIGINT) AS sa,
+      |    CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+      |    CAST(SUM(CASE WHEN half = 0 THEN e ELSE 0 END) AS BIGINT) AS sb,
+      |    CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+      |  FROM el GROUP BY dim),
+      |dd AS (
+      |  SELECT dim,
+      |    CAST(FLOOR((CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) / 10000000.0
+      |      - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) / 10000000.0)
+      |      * (CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) / 10000000.0
+      |      - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) / 10000000.0)
+      |      * 1e12 + 0.5) AS BIGINT) AS d2_e12
+      |  FROM sums),
+      |tot AS (SELECT CAST(SUM(d2_e12) AS BIGINT) AS mmd2_e12 FROM dd)
+      |SELECT d.dim, d.d2_e12, t.mmd2_e12
+      |FROM dd d, tot t
+      |ORDER BY d.d2_e12 DESC, d.dim ASC LIMIT 5""".stripMargin))
+
+  def queries: Seq[GQuery] = Seq(q40, q41, q42, q48, q53, q102, q105, q114, q117, q119, q122, q131, q147, q173, q176, q186, q188, q226, q248)
 }
