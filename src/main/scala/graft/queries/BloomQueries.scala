@@ -874,6 +874,66 @@ object BloomQueries {
         |FROM ev JOIN exv ON ev.child = exv.child AND ev.parent = exv.parent""".stripMargin))
   }
 
+  /** q249: frequent-value census (the profiler's fourth face): top-3
+    * most frequent values per column with counts and share — the
+    * histogram head every stats collector publishes. All columns ride
+    * ONE stacked pass into one census groupBy; the per-column rank is
+    * the row_number spelling, so the TopKPerKey rewrite plans the
+    * bounded per-key heap (the q235 discipline), never a full
+    * per-column sort of the value census. */
+  val q249 = GQuery(
+    "q249_frequent_values",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val qb = floor(col("l_quantity") / 10).cast("long").cast("string")
+      val stacked = lineitem(s, d).select(explode(array(
+          struct(lit("l_returnflag").as("c"), col("l_returnflag").as("v")),
+          struct(lit("l_linestatus").as("c"), col("l_linestatus").as("v")),
+          struct(lit("l_linenumber").as("c"),
+            col("l_linenumber").cast("string").as("v")),
+          struct(lit("l_quantity_bucket").as("c"), qb.as("v")))).as("kv"))
+        .select(col("kv.c").as("col_name"), col("kv.v").as("value"))
+      val census = stacked.groupBy(col("col_name"), col("value"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint(eager = false) // rank + per-column totals
+      val tot = census.groupBy(col("col_name")).agg(sum(col("n")).as("tot"))
+      census
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("col_name"))
+            .orderBy(col("n").desc, col("value").asc)))
+        .filter(col("rank") <= 3)
+        .join(tot, Seq("col_name"))
+        .select(col("col_name"), col("rank").cast("long").as("rank"),
+          col("value"), col("n"),
+          floor(col("n").cast("double") / col("tot").cast("double") * 1e6
+            + 0.5).cast("long").as("share_e6"))
+    },
+    Some("""WITH st AS (
+      |  SELECT 'l_returnflag' AS col_name, l_returnflag AS value FROM lineitem
+      |  UNION ALL
+      |  SELECT 'l_linestatus', l_linestatus FROM lineitem
+      |  UNION ALL
+      |  SELECT 'l_linenumber', CAST(l_linenumber AS VARCHAR) FROM lineitem
+      |  UNION ALL
+      |  SELECT 'l_quantity_bucket',
+      |    CAST(CAST(floor(l_quantity / 10) AS BIGINT) AS VARCHAR)
+      |  FROM lineitem),
+      |cen AS (
+      |  SELECT col_name, value, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM st GROUP BY 1, 2),
+      |tot AS (SELECT col_name, CAST(SUM(n) AS BIGINT) AS tot
+      |        FROM cen GROUP BY 1),
+      |rk AS (
+      |  SELECT col_name, value, n,
+      |    CAST(row_number() OVER (PARTITION BY col_name
+      |      ORDER BY n DESC, value ASC) AS BIGINT) AS rank
+      |  FROM cen)
+      |SELECT rk.col_name, rk.rank, rk.value, rk.n,
+      |  CAST(FLOOR(CAST(rk.n AS DOUBLE) / CAST(t.tot AS DOUBLE) * 1e6 + 0.5)
+      |    AS BIGINT) AS share_e6
+      |FROM rk JOIN tot t ON rk.col_name = t.col_name
+      |WHERE rk.rank <= 3""".stripMargin))
+
   def queries: Seq[GQuery] =
-    Seq(q154, q156, q208, q222, q227, q228, q239, q245, q246, q247)
+    Seq(q154, q156, q208, q222, q227, q228, q239, q245, q246, q247, q249)
 }
