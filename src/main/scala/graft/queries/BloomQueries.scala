@@ -593,33 +593,11 @@ object BloomQueries {
         "CAST(CAST(floor(l_quantity * 1e6 + 0.5) AS BIGINT) AS VARCHAR)"))
     GQuery(
       "q245_table_profile",
-      (s, d) => {
-        HllSketch.register(s)
-        val keyed = lineitem(s, d).select(
-          cols.zipWithIndex.flatMap { case ((n, k, _), i) =>
-            Seq(HllSketch.hash60(k, n).as(s"h_$i"),
-              col(n).isNull.cast("long").as(s"z_$i"))
-          }: _*)
-        val aggs =
-          Seq(count(lit(1)).as("n_rows")) ++
-            cols.indices.flatMap { i =>
-              Seq(sum(col(s"z_$i")).as(s"nn_$i"),
-                expr(s"hll_registers(h_$i, $HllP)").as(s"r_$i"))
-            }
-        val wide = keyed.agg(aggs.head, aggs.tail: _*)
-        val withEst = cols.indices.foldLeft(wide) { (df, i) =>
-          df.withColumn(s"zz_$i", HllSketch.zerosCol(col(s"r_$i")))
-            .withColumn(s"se_$i", HllSketch.sumExpS52Col(col(s"r_$i")))
-            .withColumn(s"est_$i",
-              floor(HllSketch.estimateCol(col(s"zz_$i"), col(s"se_$i"), HllP)
-                * 1e6 + 0.5).cast("long"))
-        }
-        withEst.select(col("n_rows"), expr("stack(" + cols.length + ", " +
-          cols.zipWithIndex.map { case ((n, _, _), i) =>
-            s"'$n', nn_$i, zz_$i, se_$i, est_$i"
-          }.mkString(", ") +
-          ") as (col_name, n_nulls, zeros, sumexp_s52, est_distinct_e6)"))
-      },
+      (s, d) =>
+        graft.core.Profile.sketchProfile(lineitem(s, d),
+          cols.map { case (n, k, _) => (n, k) }, HllP)
+          .select(col("n_rows"), col("col_name"), col("n_nulls"),
+            col("zeros"), col("sumexp_s52"), col("est_distinct_e6")),
       Some {
         val blocks = cols.map { case (n, _, keySql) =>
           s"""src_$n AS (
@@ -673,38 +651,11 @@ object BloomQueries {
   val q246 = GQuery(
     "q246_column_dependence",
     (s, d) => {
-      import graft.core.Exact
-      val li = lineitem(s, d)
       val qb = floor(col("l_quantity") / 10).cast("long").cast("string")
-      val stacked = li.select(explode(array(
-          struct(lit("rf_ls").as("pair"), col("l_returnflag").as("a"),
-            col("l_linestatus").as("b")),
-          struct(lit("rf_qb").as("pair"), col("l_returnflag").as("a"),
-            qb.as("b")),
-          struct(lit("ls_ln").as("pair"), col("l_linestatus").as("a"),
-            col("l_linenumber").cast("string").as("b")))).as("kv"))
-        .select(col("kv.pair").as("pair"), col("kv.a").as("a"),
-          col("kv.b").as("b"))
-      val cont = stacked.groupBy(col("pair"), col("a"), col("b"))
-        .agg(count(lit(1)).as("o"))
-        .localCheckpoint(eager = false) // margins + totals + terms
-      val ra = cont.groupBy(col("pair"), col("a")).agg(sum(col("o")).as("ra"))
-      val cb = cont.groupBy(col("pair"), col("b")).agg(sum(col("o")).as("cb"))
-      val nn = cont.groupBy(col("pair")).agg(sum(col("o")).as("n"),
-        countDistinct(col("a")).as("r"), countDistinct(col("b")).as("c"))
-      val term = (col("o") * col("o")).cast("double") /
-        (col("ra") * col("cb")).cast("double")
-      cont.join(ra, Seq("pair", "a")).join(cb, Seq("pair", "b"))
-        .withColumn("__t", term)
-        .groupBy(col("pair"))
-        .agg(Exact.lsumAt(col("__t"), 1e12).as("s"))
-        .join(nn, Seq("pair"))
-        .withColumn("chi2", col("n").cast("double") * col("s") -
-          col("n").cast("double"))
-        .select(col("pair"), col("n"), col("r"), col("c"),
-          floor(col("chi2") * 1e6 + 0.5).cast("long").as("chi2_e6"),
-          floor(sqrt(col("chi2") / (col("n") * (least(col("r"), col("c")) - 1))
-            .cast("double")) * 1e6 + 0.5).cast("long").as("cramers_v_e6"))
+      graft.core.Profile.dependence(lineitem(s, d), Seq(
+        ("rf_ls", col("l_returnflag"), col("l_linestatus")),
+        ("rf_qb", col("l_returnflag"), qb),
+        ("ls_ln", col("l_linestatus"), col("l_linenumber").cast("string"))))
     },
     Some(s"""WITH st AS (
       |  SELECT 'rf_ls' AS pair, l_returnflag AS a, l_linestatus AS b
@@ -884,29 +835,12 @@ object BloomQueries {
   val q249 = GQuery(
     "q249_frequent_values",
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val qb = floor(col("l_quantity") / 10).cast("long").cast("string")
-      val stacked = lineitem(s, d).select(explode(array(
-          struct(lit("l_returnflag").as("c"), col("l_returnflag").as("v")),
-          struct(lit("l_linestatus").as("c"), col("l_linestatus").as("v")),
-          struct(lit("l_linenumber").as("c"),
-            col("l_linenumber").cast("string").as("v")),
-          struct(lit("l_quantity_bucket").as("c"), qb.as("v")))).as("kv"))
-        .select(col("kv.c").as("col_name"), col("kv.v").as("value"))
-      val census = stacked.groupBy(col("col_name"), col("value"))
-        .agg(count(lit(1)).as("n"))
-        .localCheckpoint(eager = false) // rank + per-column totals
-      val tot = census.groupBy(col("col_name")).agg(sum(col("n")).as("tot"))
-      census
-        .withColumn("rank", row_number().over(
-          Window.partitionBy(col("col_name"))
-            .orderBy(col("n").desc, col("value").asc)))
-        .filter(col("rank") <= 3)
-        .join(tot, Seq("col_name"))
-        .select(col("col_name"), col("rank").cast("long").as("rank"),
-          col("value"), col("n"),
-          floor(col("n").cast("double") / col("tot").cast("double") * 1e6
-            + 0.5).cast("long").as("share_e6"))
+      val qb = floor(col("l_quantity") / 10).cast("long")
+      graft.core.Profile.frequentValues(lineitem(s, d), Seq(
+        ("l_returnflag", col("l_returnflag")),
+        ("l_linestatus", col("l_linestatus")),
+        ("l_linenumber", col("l_linenumber")),
+        ("l_quantity_bucket", qb)), k = 3)
     },
     Some("""WITH st AS (
       |  SELECT 'l_returnflag' AS col_name, l_returnflag AS value FROM lineitem
