@@ -31,21 +31,26 @@ object Profile {
   def sketchProfile(df: DataFrame, cols: Seq[(String, Column)],
                     p: Int = 9): DataFrame = {
     HllSketch.register(df.sparkSession)
+    // one array of per-column hashes per row → ONE fused aggregate
+    // dispatch updates all register sets (k separate hll_registers
+    // buffers paid k child-eval/dispatch rounds per row — measured as
+    // q245's whole constant). hash60 null-propagates, so a null key
+    // is a null array slot the aggregate skips — same per-column
+    // semantics as before, registers bit-identical.
     val keyed = df.select(
-      cols.zipWithIndex.flatMap { case ((n, k), i) =>
-        Seq(HllSketch.hash60(k, n).as(s"h_$i"),
-          k.isNull.cast("long").as(s"z_$i"))
-      }: _*)
+      array(cols.map { case (n, k) => HllSketch.hash60(k, n) }: _*).as("hs") +:
+        cols.zipWithIndex.map { case ((_, k), i) =>
+          k.isNull.cast("long").as(s"z_$i")
+        }: _*)
     val aggs =
-      Seq(count(lit(1)).as("n_rows")) ++
-        cols.indices.flatMap { i =>
-          Seq(sum(col(s"z_$i")).as(s"nn_$i"),
-            expr(s"hll_registers(h_$i, $p)").as(s"r_$i"))
-        }
+      Seq(count(lit(1)).as("n_rows"),
+        expr(s"hll_registers_multi(hs, $p, ${cols.length})").as("rs")) ++
+        cols.indices.map { i => sum(col(s"z_$i")).as(s"nn_$i") }
     val wide = keyed.agg(aggs.head, aggs.tail: _*)
     val withEst = cols.indices.foldLeft(wide) { (d, i) =>
-      d.withColumn(s"zz_$i", HllSketch.zerosCol(col(s"r_$i")))
-        .withColumn(s"se_$i", HllSketch.sumExpS52Col(col(s"r_$i")))
+      val r = element_at(col("rs"), i + 1)
+      d.withColumn(s"zz_$i", HllSketch.zerosCol(r))
+        .withColumn(s"se_$i", HllSketch.sumExpS52Col(r))
     }
     withEst.select(col("n_rows"), expr("stack(" + cols.length + ", " +
       cols.zipWithIndex.map { case ((n, _), i) =>

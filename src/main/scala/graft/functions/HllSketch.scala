@@ -158,9 +158,112 @@ case class HllMergeAgg(child: Expression, pExpr: Expression,
     copy(child = newChildren(0), pExpr = newChildren(1))
 }
 
+/** `hll_registers_multi(array<long> hashes, p, k)`: ONE aggregate
+  * maintaining `k` independent HLL register sets — the table-profiler
+  * shape ([[graft.core.Profile.sketchProfile]], q245). Profiling k
+  * columns as k separate [[HllRegistersAgg]] buffers pays k
+  * aggregate-function dispatches (child eval → null check → buffer
+  * lookup) per ROW; here the k hashes arrive as one array column and
+  * one dispatch updates all k register sets in a tight loop over a
+  * single flat k·2^p byte buffer. Register bytes are BIT-IDENTICAL to
+  * k separate `hll_registers` calls (same [[HllSketch.updateRegister]]
+  * arithmetic, elementwise — pinned by HllSpec), so q245's oracle is
+  * unchanged. Null array elements (null column values) are skipped,
+  * matching the per-column aggregate's null handling; a null ARRAY
+  * row never occurs (the profiler builds the array from column
+  * expressions), but is skipped defensively. Evaluates to
+  * `array<array<int>>` of k register vectors. */
+case class HllRegistersMultiAgg(child: Expression, pExpr: Expression,
+                                kExpr: Expression,
+                                override val mutableAggBufferOffset: Int = 0,
+                                override val inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Byte]] {
+
+  private lazy val p: Int = pExpr.eval().asInstanceOf[Number].intValue()
+  private lazy val m: Int = 1 << p
+  private lazy val k: Int = kExpr.eval().asInstanceOf[Number].intValue()
+
+  override def children: Seq[Expression] = Seq(child, pExpr, kExpr)
+  override def nullable: Boolean = false
+  override def dataType: DataType =
+    ArrayType(ArrayType(IntegerType, containsNull = false), containsNull = false)
+  override def prettyName: String = "hll_registers_multi"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!child.dataType.isInstanceOf[ArrayType] ||
+      child.dataType.asInstanceOf[ArrayType].elementType != LongType)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<bigint> hashes")
+    else if (!pExpr.foldable || pExpr.dataType != IntegerType ||
+      pExpr.eval() == null || pExpr.eval().asInstanceOf[Number].intValue() < 9 ||
+      pExpr.eval().asInstanceOf[Number].intValue() > 16)
+      // same [9,16] bound as hll_registers: max rho must stay <= 52
+      // for the dyadic-exact estimate fold downstream
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires an integer literal precision p in [9,16]")
+    else if (!kExpr.foldable || kExpr.dataType != IntegerType ||
+      kExpr.eval() == null || kExpr.eval().asInstanceOf[Number].intValue() < 1)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires an integer literal column count k >= 1")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](k * m)
+
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      require(arr.numElements() == k,
+        s"$prettyName: hash array has ${arr.numElements()} entries, expected $k")
+      var i = 0
+      while (i < k) {
+        if (!arr.isNullAt(i))
+          HllSketch.updateRegisterAt(buf, i * m, arr.getLong(i), p)
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Byte], other: Array[Byte]): Array[Byte] = {
+    var i = 0
+    val n = k * m
+    while (i < n) { if (other(i) > buf(i)) buf(i) = other(i); i += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Byte]): Any =
+    new GenericArrayData((0 until k).map { i =>
+      val out = new Array[Int](m)
+      var j = 0
+      while (j < m) { out(j) = buf(i * m + j); j += 1 }
+      new GenericArrayData(out)
+    }.toArray[Any])
+
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf.clone()
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes.clone()
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HllRegistersMultiAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HllRegistersMultiAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): HllRegistersMultiAgg =
+    copy(child = newChildren(0), pExpr = newChildren(1), kExpr = newChildren(2))
+}
+
 object HllSketch {
   val info: ExpressionInfo = new ExpressionInfo(classOf[HllRegistersAgg].getName, "hll_registers")
   val mergeInfo: ExpressionInfo = new ExpressionInfo(classOf[HllMergeAgg].getName, "hll_merge")
+  val multiInfo: ExpressionInfo = new ExpressionInfo(classOf[HllRegistersMultiAgg].getName, "hll_registers_multi")
+
+  def multiBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 3, "hll_registers_multi(hashes, p, k)")
+    def asLit(e: Expression): Expression = e match {
+      case l: Literal => l
+      case other => Literal(other.eval(), other.dataType)
+    }
+    HllRegistersMultiAgg(exprs.head, asLit(exprs(1)), asLit(exprs(2)))
+      .toAggregateExpression()
+  }
 
   def mergeBuilder(exprs: Seq[Expression]): Expression = {
     require(exprs.length == 2, "hll_merge(registers, p)")
@@ -185,13 +288,19 @@ object HllSketch {
       "hll_registers", builder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "hll_merge", mergeBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hll_registers_multi", multiBuilder, "built-in")
+    Hash60.register(spark) // hash60 columns resolve via the registry
   }
 
   /** The repo-standard replayable 60-bit hash: 15 md5 hex chars of the
-    * tagged key, always nonnegative. */
+    * tagged key, always nonnegative. Evaluates through the native
+    * [[Hash60Expr]] kernel — bit-identical to the compositional
+    * `conv(substr(md5('hll-tag' || key), 1, 15), 16, 10)` spelling the
+    * DuckDB oracles replay (Hash60Spec pins the parity), without the
+    * per-row hex-string round trip. */
   def hash60(key: Column, tag: String = ""): Column =
-    conv(substring(md5(concat(lit(s"hll-$tag"), key)), 1, 15), 16, 10)
-      .cast("long")
+    call_function("hash60", key.cast("string"), lit(s"hll-$tag"))
 
   /** JVM twin of [[hash60]] for state-store operators
     * ([[graft.streaming.StreamHll]]) — identical bytes, identical
@@ -206,14 +315,19 @@ object HllSketch {
   /** In-place register update for a 60-bit hash — the exact arithmetic
     * [[HllRegistersAgg.update]] uses, shared so the streaming arm
     * cannot drift from the aggregate. */
-  def updateRegister(regs: Array[Byte], h: Long, p: Int): Unit = {
+  def updateRegister(regs: Array[Byte], h: Long, p: Int): Unit =
+    updateRegisterAt(regs, 0, h, p)
+
+  /** [[updateRegister]] against a sub-range of a flat multi-sketch
+    * buffer ([[HllRegistersMultiAgg]]) — same arithmetic, offset base. */
+  def updateRegisterAt(regs: Array[Byte], off: Int, h: Long, p: Int): Unit = {
     val wBits = 60 - p
     val bucket = (h >>> wBits).toInt & ((1 << p) - 1)
     val w = h & ((1L << wBits) - 1)
     val rho =
       if (w == 0L) wBits + 1
       else wBits - (64 - java.lang.Long.numberOfLeadingZeros(w)) + 1
-    if (rho > regs(bucket)) regs(bucket) = rho.toByte
+    if (rho > regs(off + bucket)) regs(off + bucket) = rho.toByte
   }
 
   /** HLL bias-correction constant alpha_m (Flajolet et al. 2007,

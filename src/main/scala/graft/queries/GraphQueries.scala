@@ -472,20 +472,29 @@ object GraphQueries {
     * pure 50-deep chains (doubling's worst case), odd threads are
     * binary trees (fan-in). The oracle replays the walk as a
     * recursive CTE, so every path byte is under the hash. */
+  /** The (node, root, depth, path) walk both thread queries share:
+    * q231 LANDS it ([[graft.core.Landed]] — the build stays in q231's
+    * timed window), q232 PROBES the landing instead of re-running the
+    * ⌈log₂ d⌉ join rounds. Key carries the data dir: the bench warms
+    * at sf0.001 and measures at sf0.1. */
+  private def threadPathsBuild(s: org.apache.spark.sql.SparkSession,
+                               d: String): org.apache.spark.sql.DataFrame = {
+    val local = col("event_id") % 50
+    val tid = floor(col("event_id") / 50).cast("long")
+    val parent = when(local === 0, lit(null).cast("long"))
+      .otherwise(when(tid % 2 === 0, col("event_id") - 1)
+        .otherwise(tid * 50 + floor((local - 1) / 2).cast("long")))
+    graft.graph.PointerJump.linearize(
+      events(s, d).select(col("event_id"), parent.as("parent")),
+      "event_id", "parent", depthHint = Some(50)) // chain threads: depth 49
+  }
+
   val q231 = GQuery(
     "q231_thread_linearize",
-    (s, d) => {
-      val local = col("event_id") % 50
-      val tid = floor(col("event_id") / 50).cast("long")
-      val parent = when(local === 0, lit(null).cast("long"))
-        .otherwise(when(tid % 2 === 0, col("event_id") - 1)
-          .otherwise(tid * 50 + floor((local - 1) / 2).cast("long")))
-      graft.graph.PointerJump.linearize(
-          events(s, d).select(col("event_id"), parent.as("parent")),
-          "event_id", "parent", depthHint = Some(50)) // chain threads: depth 49
+    (s, d) =>
+      graft.core.Landed.land(s, s"thread-paths:$d")(threadPathsBuild(s, d))
         .select(col("node").as("event_id"), col("root").as("root_id"),
-          col("depth"), md5(col("path")).as("path_md5"))
-    },
+          col("depth"), md5(col("path")).as("path_md5")),
     Some("""WITH RECURSIVE ev AS (
       |  SELECT event_id AS node,
       |    CASE WHEN event_id % 50 = 0 THEN NULL
@@ -507,38 +516,38 @@ object GraphQueries {
 
   /** q232: thread-aware SFT context assembly — the load-bearing use
     * of q231's paths: each reply's training context is its ancestor
-    * turns in ROOT→NODE order. The path explodes to (node, pos, turn
-    * id), turn text joins from the documents table (doc_id = id mod
-    * corpus size, both engines derive the modulus from the data), and
-    * the context reassembles with array_sort — the same
-    * explode-join-reassemble shape as the CDC chunker, no window, no
-    * collect. Hash covers the md5 of every assembled context string. */
+    * turns in ROOT→NODE order. The walk is PROBED from q231's landed
+    * artifact ([[graft.core.Landed]] — the q88/q229 landed-index
+    * discipline applied to the one pair that recomputed a shared
+    * index), so only the assembly runs here: the path explodes to
+    * (node, pos, turn id), turn text joins from the documents table
+    * (doc_id = id mod corpus size, both engines derive the modulus
+    * from the data), and the context reassembles with array_sort —
+    * the same explode-join-reassemble shape as the CDC chunker, no
+    * window, no collect. Hash covers the md5 of every assembled
+    * context string. */
   val q232 = GQuery(
     "q232_thread_sft",
     (s, d) => {
-      val local = col("event_id") % 50
-      val tid = floor(col("event_id") / 50).cast("long")
-      val parent = when(local === 0, lit(null).cast("long"))
-        .otherwise(when(tid % 2 === 0, col("event_id") - 1)
-          .otherwise(tid * 50 + floor((local - 1) / 2).cast("long")))
-      val lin = graft.graph.PointerJump.linearize(
-        events(s, d).select(col("event_id"), parent.as("parent")),
-        "event_id", "parent", depthHint = Some(50))
+      graft.functions.ThreadCtx.register(s)
+      val lin = graft.core.Landed.probeOrBuild(s, s"thread-paths:$d")(
+        threadPathsBuild(s, d))
       val docs = documents(s, d).select(col("doc_id"), col("text"))
       val nDocs = docs.agg(count(lit(1)).as("__c"))
-      // path is node→root; pos sorts DESC to assemble root→node
-      lin.select(col("node"), col("depth"),
-          posexplode(split(col("path"), ",")).as(Seq("pos", "turn")))
-        .crossJoin(broadcast(nDocs))
-        .join(docs, col("doc_id") === col("turn").cast("long") % col("__c"))
-        .groupBy(col("node"), col("depth"))
-        .agg(array_join(transform(
-            array_sort(collect_list(struct((-col("pos")).as("p"), col("text").as("t")))),
-            x => x.getField("t")), "\n").as("__ctx"))
-        .select(col("node").as("event_id"),
-          (col("depth") + 1).as("n_turns"),
-          length(col("__ctx")).cast("long").as("context_chars"),
-          md5(col("__ctx")).as("context_md5"))
+      // contexts are prefix chains, so they are hashed thread-locally
+      // by the streaming-md5 thread_ctx kernel: each turn's TEXT
+      // shuffles once (to its thread), its CONTEXT never materializes.
+      // parent = 2nd path element (the landed path is node→…→root).
+      val parent = when(col("depth") === 0, lit(null).cast("long"))
+        .otherwise(element_at(split(col("path"), ","), 2).cast("long"))
+      lin.crossJoin(broadcast(nDocs))
+        .join(docs, col("doc_id") === col("node") % col("__c"))
+        .groupBy(col("root"))
+        .agg(collect_list(
+          struct(col("node"), parent.as("parent"), col("text"))).as("turns"))
+        .select(explode(call_function("thread_ctx", col("turns"))).as("r"))
+        .select(col("r.node").as("event_id"), col("r.n_turns"),
+          col("r.context_chars"), col("r.context_md5"))
     },
     Some("""WITH RECURSIVE ev AS (
       |  SELECT event_id AS node,

@@ -104,6 +104,42 @@ class HllSketchSpec extends SparkSpec {
     assert(twice == once)
   }
 
+  test("hll_registers_multi == k independent hll_registers, nulls skipped per slot") {
+    HllSketch.register(spark)
+    val rows = (0 until 6000).map { i =>
+      (s"a-${i % 997}",
+        if (i % 7 == 0) null else s"b-${i % 313}",
+        (i % 41).toString)
+    }
+    val df = rows.toDF("a", "b", "c").repartition(8)
+    val hashed = df.select(
+      array(HllSketch.hash60(col("a"), "a"), HllSketch.hash60(col("b"), "b"),
+        HllSketch.hash60(col("c"), "c")).as("hs"),
+      HllSketch.hash60(col("a"), "a").as("ha"),
+      HllSketch.hash60(col("b"), "b").as("hb"),
+      HllSketch.hash60(col("c"), "c").as("hc"))
+    val multi = hashed.agg(expr(s"hll_registers_multi(hs, $P, 3)"))
+      .collect()(0).getSeq[scala.collection.Seq[Int]](0)
+    val singles = hashed.agg(
+        expr(s"hll_registers(ha, $P)"), expr(s"hll_registers(hb, $P)"),
+        expr(s"hll_registers(hc, $P)")).collect()(0)
+    (0 until 3).foreach { i =>
+      assert(multi(i).toSeq == singles.getSeq[Int](i).toSeq,
+        s"slot $i registers diverge from the per-column aggregate")
+    }
+  }
+
+  test("hll_registers_multi is partitioning-invariant") {
+    HllSketch.register(spark)
+    def regs(parts: Int) = (0 until 5000).map(i => (s"p-${i % 511}", s"q-$i"))
+      .toDF("a", "b").repartition(parts)
+      .select(array(HllSketch.hash60(col("a"), "a"),
+        HllSketch.hash60(col("b"), "b")).as("hs"))
+      .agg(expr(s"hll_registers_multi(hs, $P, 2)"))
+      .collect()(0).getSeq[scala.collection.Seq[Int]](0).map(_.toSeq)
+    assert(regs(1) == regs(16))
+  }
+
   test("hll_merge rejects a register vector of the wrong precision") {
     HllSketch.register(spark)
     val bad = Seq(Seq.fill(16)(1)).toDF("regs") // 16 entries, not 2^9
