@@ -87,6 +87,34 @@ object Profile {
           + 0.5).cast("long").as("share_e6"))
   }
 
+  /** Numeric-column quantile face: count/nulls/min/max/p50/p95 per
+    * column from ONE stacked pass, quantiles via the mergeable
+    * [[graft.functions.QuantileSketch]] compactor (exact R type-7
+    * below `cap` rows per column — the oracle regime; bounded-memory
+    * KLL approximation above it — the 100 TB regime, rank error
+    * property-tested in QuantileSketchSpec). The same no-Expand rule
+    * as [[sketchProfile]]: sketches beside plain declarative
+    * aggregates in one ObjectHashAggregate, never a per-column scan,
+    * never `percentile` rows buffered per group. */
+  def quantiles(df: DataFrame, cols: Seq[(String, Column)],
+                cap: Int = 65536): DataFrame = {
+    graft.functions.QuantileSketch.register(df.sparkSession)
+    val stacked = df.select(explode(array(cols.map { case (n, c) =>
+        struct(lit(n).as("c"), c.cast("double").as("v"))
+      }: _*)).as("kv"))
+      .select(col("kv.c").as("col_name"), col("kv.v").as("v"))
+    stacked.groupBy(col("col_name"))
+      .agg(
+        count(col("v")).as("n"),
+        (count(lit(1)) - count(col("v"))).as("n_nulls"),
+        min(col("v")).as("min_v"),
+        max(col("v")).as("max_v"),
+        round(call_function("quantile_sketch", col("v"), lit(0.5), lit(cap)), 6)
+          .as("p50"),
+        round(call_function("quantile_sketch", col("v"), lit(0.95), lit(cap)), 6)
+          .as("p95"))
+  }
+
   /** Pairwise Cramér's V for (pair name, a, b) column triples — all
     * contingency tables from one stacked pass. */
   def dependence(df: DataFrame,

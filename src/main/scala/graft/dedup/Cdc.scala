@@ -45,6 +45,11 @@ object Cdc {
     * opens chunk 0 at token 0. */
   def chunks(df: DataFrame, idCol: String, textCol: String,
              w: Int = 3, divisor: Long = 8L): DataFrame = {
+    // Horner chain headroom (audited): every reduced term is < M < 2^31
+    // and md5Hash28 < 2^28, so each step's pre-mod value is at most
+    // (M−1)·B + 2^28 < 2^31 · 2^20 + 2^28 < 2^52 — int64 never wraps,
+    // and both engines reduce nonnegative values so `%` agrees between
+    // Spark and DuckDB (no negative-operand remainder divergence).
     val B = 1000003L
     val M = 2147483647L
     val toks = df

@@ -73,6 +73,16 @@ object PointerJump {
       jump()
       round += 1
     }
+    // exhaustion is an input contract violation, not a best-effort
+    // result: 64 doubling rounds resolve any chain of depth < 2^64, so
+    // surviving not-done rows mean the "forest" contains a CYCLE
+    // (reply-to loops do occur in scraped data). Fail fast — emitting
+    // the partial paths would hash-gate green on row counts while
+    // carrying silently truncated contexts downstream.
+    if (round == maxRounds && st.filter(!col("done")).limit(1).count() > 0)
+      throw new IllegalArgumentException(
+        s"PointerJump.linearize: unresolved nodes after $maxRounds rounds — " +
+          "the parent relation contains a cycle (not a forest)")
     st.select(col("node"),
       col("anc").as("root"),
       col("d").as("depth"),

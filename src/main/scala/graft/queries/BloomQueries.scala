@@ -825,6 +825,42 @@ object BloomQueries {
         |FROM ev JOIN exv ON ev.child = exv.child AND ev.parent = exv.parent""".stripMargin))
   }
 
+  /** q250: numeric quantile profile — the profiler's quantile face
+    * ([[graft.core.Profile.quantiles]], the r9 verdict's KLL-wiring
+    * handoff): count/nulls/min/max/p50/p95 for four lineitem measures
+    * in one stacked pass. Capacity 65536 exceeds the sf0.01 row count,
+    * so every sketch sits in its EXACT regime and the answers are
+    * type-7 quantiles the oracle replays with `quantile_cont` (the
+    * q113 mirror); above capacity the same plan degrades to bounded-
+    * memory KLL. `l_discount_nz` NULLIFs zeros so the null-accounting
+    * arm is load-bearing, not vacuously zero. */
+  val q250 = {
+    val cols = Seq(
+      ("l_quantity", col("l_quantity")),
+      ("l_extendedprice", col("l_extendedprice")),
+      ("l_tax", col("l_tax")),
+      ("l_discount_nz", nullif(col("l_discount"), lit(0.0))))
+    GQuery(
+      "q250_profile_quantiles",
+      (s, d) => graft.core.Profile.quantiles(lineitem(s, d), cols),
+      Some {
+        val arms = Seq(
+          ("l_quantity", "l_quantity"),
+          ("l_extendedprice", "l_extendedprice"),
+          ("l_tax", "l_tax"),
+          ("l_discount_nz", "NULLIF(l_discount, 0)")).map { case (n, sql) =>
+          s"""SELECT '$n' AS col_name,
+             |  CAST(COUNT(v) AS BIGINT) AS n,
+             |  CAST(COUNT(*) - COUNT(v) AS BIGINT) AS n_nulls,
+             |  MIN(v) AS min_v, MAX(v) AS max_v,
+             |  round(quantile_cont(v, 0.5), 6) AS p50,
+             |  round(quantile_cont(v, 0.95), 6) AS p95
+             |FROM (SELECT CAST($sql AS DOUBLE) AS v FROM lineitem)""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        arms
+      })
+  }
+
   /** q249: frequent-value census (the profiler's fourth face): top-3
     * most frequent values per column with counts and share — the
     * histogram head every stats collector publishes. All columns ride
@@ -869,5 +905,6 @@ object BloomQueries {
       |WHERE rk.rank <= 3""".stripMargin))
 
   def queries: Seq[GQuery] =
-    Seq(q154, q156, q208, q222, q227, q228, q239, q245, q246, q247, q249)
+    Seq(q154, q156, q208, q222, q227, q228, q239, q245, q246, q247, q249,
+      q250)
 }

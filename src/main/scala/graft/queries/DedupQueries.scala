@@ -1107,6 +1107,42 @@ object DedupQueries {
       |  CAST(DENSE_RANK() OVER (ORDER BY suf) AS BIGINT) AS rank
       |FROM pos""".stripMargin))
 
+  /** q252: incremental suffix-array maintenance
+    * ([[graft.text.SuffixArray.extendRanks]]) — the landed-index arm
+    * the r9 verdict flagged as the ONE index without one: a landed SA
+    * over 3/4 of the doc sample absorbs the remaining 1/4 as a batch
+    * through a single linear merge pass (rank-insert over the
+    * string-ordered union via the two-pass segmented scan), never
+    * re-running the doubling rounds on landed mass. Routed through
+    * [[graft.text.SuffixArray.extendOrRebuild]], the reference-style
+    * compaction policy (extend small deltas, rebuild big ones —
+    * `R/get-cloud-files.R:178-184`); both arms produce identical
+    * ranks, and the oracle pins merge ≡ rebuild by dense-ranking the
+    * UNION's raw suffix strings from first principles. */
+  val q252 = GQuery(
+    "q252_incremental_sa",
+    (s, d) => {
+      val sample = documents(s, d)
+        .filter(col("doc_id") % 17 === 0)
+        .select(col("doc_id"), col("text"))
+      val landedDocs = sample.filter(col("doc_id") % 4 =!= 0)
+      val batch = sample.filter(col("doc_id") % 4 === 0)
+      val landedIdx = graft.text.SuffixArray.index(
+        landedDocs, "doc_id", "text", maxChars = 200)
+      graft.text.SuffixArray.extendOrRebuild(
+        landedIdx, landedDocs, batch, "doc_id", "text", maxChars = 200)
+    },
+    Some("""WITH pos AS (
+      |  SELECT doc_id, CAST(s.i AS BIGINT) AS pos,
+      |    substr(substr(text, 1, 200), s.i) AS suf
+      |  FROM documents,
+      |    UNNEST(generate_series(1, LEAST(length(text), 200))) AS s(i)
+      |  WHERE doc_id % 17 = 0 AND length(text) >= 1)
+      |SELECT doc_id, pos,
+      |  CAST(DENSE_RANK() OVER (ORDER BY suf) AS BIGINT) AS rank,
+      |  doc_id % 4 = 0 AS is_new
+      |FROM pos""".stripMargin))
+
   /** q216: suffix-array LCP mining ([[graft.text.SuffixArray.repeatLengths]])
     * — the load-bearing pass on top of the q212 index: every suffix's
     * maximal repeated-prefix length (max LCP with its two rank-order
@@ -1588,5 +1624,5 @@ object DedupQueries {
       |WHERE CAST(p.common AS DOUBLE)
       |  / CAST(sa.n_shingles + sb.n_shingles - p.common AS DOUBLE) >= 0.6""".stripMargin))
 
-  def queries: Seq[GQuery] = Seq(q36, q37, q38, q39, q57, q61, q88, q90, q103, q108, q118, q123, q124, q125, q127, q129, q133, q138, q142, q161, q162, q167, q180, q212, q216, q221, q223, q225, q229, q230)
+  def queries: Seq[GQuery] = Seq(q36, q37, q38, q39, q57, q61, q88, q90, q103, q108, q118, q123, q124, q125, q127, q129, q133, q138, q142, q161, q162, q167, q180, q212, q216, q221, q223, q225, q229, q230, q252)
 }

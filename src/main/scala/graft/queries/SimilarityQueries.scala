@@ -1034,5 +1034,82 @@ object SimilarityQueries {
       |FROM dd d, tot t
       |ORDER BY d.d2_e12 DESC, d.dim ASC LIMIT 5""".stripMargin))
 
-  def queries: Seq[GQuery] = Seq(q40, q41, q42, q48, q53, q102, q105, q114, q117, q119, q122, q131, q147, q173, q176, q186, q188, q226, q248)
+  /** q251: NN-descent k-NN-graph construction
+    * ([[graft.similarity.NnDescent]], Dong et al. WWW'11) — the
+    * offline graph-index builder beside LSH/IVF/PQ retrieval: 2
+    * neighbor-exchange rounds from an md5-bucketed init, every pair
+    * scored on the scaled-long exact cosine path and every top-k
+    * ordered (cos_e9 DESC, nid ASC), so the ENTIRE iterative build —
+    * init buckets, per-round candidate generation, anti-joined
+    * rescoring, rank selection — unrolls in the oracle as fixed-round
+    * CTE blocks (the q153/q203 pattern) and every edge of the final
+    * graph sits under the hash. Recall vs the exact baseline is
+    * pinned in NnDescentSpec. */
+  val q251 = {
+    val K = 6
+    val scoreSql = (cand: String, out: String) =>
+      s"""d_$out AS (
+         |  SELECT c.a, c.b, CAST(SUM(ea.e * eb.e) AS DOUBLE)
+         |    / 100000000000000.0 AS dot
+         |  FROM $cand c
+         |  JOIN el ea ON ea.vec_id = c.a
+         |  JOIN el eb ON eb.vec_id = c.b AND ea.i = eb.i
+         |  GROUP BY c.a, c.b),
+         |$out AS (
+         |  SELECT d.a, d.b,
+         |    CAST(floor(d.dot / (sqrt(na.n2) * sqrt(nb.n2)) * 1000000000.0
+         |      + 0.5) AS BIGINT) AS cos_e9
+         |  FROM d_$out d
+         |  JOIN n2 na ON na.vec_id = d.a
+         |  JOIN n2 nb ON nb.vec_id = d.b)""".stripMargin
+    val topkSql = (edges: String, out: String) =>
+      s"""$out AS (
+         |  SELECT u, nid, cos_e9 FROM (
+         |    SELECT u, nid, cos_e9,
+         |      row_number() OVER (PARTITION BY u
+         |        ORDER BY cos_e9 DESC, nid ASC) AS rk
+         |    FROM ($edges) t0) t1
+         |  WHERE rk <= $K)""".stripMargin
+    val roundSql = (prev: String, r: Int) =>
+      s"""g$r AS (SELECT DISTINCT u, nid FROM (
+         |  SELECT u, nid FROM $prev UNION ALL SELECT nid, u FROM $prev) t),
+         |c$r AS (
+         |  SELECT DISTINCT x.nid AS a, y.nid AS b
+         |  FROM g$r x JOIN g$r y ON x.u = y.u AND x.nid < y.nid
+         |  WHERE NOT EXISTS (SELECT 1 FROM $prev e
+         |    WHERE LEAST(e.u, e.nid) = x.nid
+         |      AND GREATEST(e.u, e.nid) = y.nid)),
+         |${scoreSql(s"c$r", s"s$r")},
+         |${topkSql(
+        s"SELECT u, nid, cos_e9 FROM $prev " +
+          s"UNION ALL SELECT a, b, cos_e9 FROM s$r " +
+          s"UNION ALL SELECT b, a, cos_e9 FROM s$r", s"e$r")}""".stripMargin
+    GQuery(
+      "q251_nn_descent",
+      (s, d) =>
+        graft.similarity.NnDescent.knnGraph(
+          embeddings(s, d), "vec_id", "embedding",
+          k = K, rounds = 2, buckets = 16, bucketTables = 2),
+      Some(s"""WITH $elSql,
+        |b AS (
+        |  SELECT vec_id AS id, t,
+        |    CAST(('0x' || substr(md5('nnd-' || t || '-' || vec_id), 1, 7))
+        |      AS BIGINT) % 16 AS bucket
+        |  FROM embeddings, (SELECT unnest(generate_series(0, 1)) AS t)),
+        |c0 AS (SELECT DISTINCT x.id AS a, y.id AS b
+        |       FROM b x JOIN b y
+        |       ON x.t = y.t AND x.bucket = y.bucket AND x.id < y.id),
+        |${scoreSql("c0", "s0")},
+        |${topkSql("SELECT a AS u, b AS nid, cos_e9 FROM s0 " +
+          "UNION ALL SELECT b, a, cos_e9 FROM s0", "e0")},
+        |${roundSql("e0", 1)},
+        |${roundSql("e1", 2)}
+        |SELECT u AS qid,
+        |  CAST(row_number() OVER (PARTITION BY u
+        |    ORDER BY cos_e9 DESC, nid ASC) AS INT) AS rank,
+        |  nid, cos_e9
+        |FROM e2""".stripMargin))
+  }
+
+  def queries: Seq[GQuery] = Seq(q40, q41, q42, q48, q53, q102, q105, q114, q117, q119, q122, q131, q147, q173, q176, q186, q188, q226, q248, q251)
 }

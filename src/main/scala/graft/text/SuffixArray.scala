@@ -56,6 +56,9 @@ object SuffixArray {
       .select(col("doc"), col("posI").cast("long").as("pos"),
         expr(s"substring(__t, posI, $SeedW)").as("__k1"))
     val total = pos.count()
+    if (total == 0) // empty corpus: empty index (max(rank) below is null)
+      return pos.select(col("doc").as(idCol), col("pos"),
+        lit(0L).as("rank"))
 
     // round 0: rank by the SeedW-char prefix
     var ranked = withDenseRank(
@@ -234,6 +237,145 @@ object SuffixArray {
       StructField("boundary", org.apache.spark.sql.types.BooleanType,
         nullable = false),
       StructField("run_id", LongType, nullable = false))))
+  }
+
+  /** Landed-index form of [[ranks]]: (doc, pos, rank, suffix) — the
+    * rank table carrying each suffix's (windowed, ≤ `maxChars`-char)
+    * string, which is what makes the index EXTENDABLE: a later batch
+    * rank-inserts against the strings without re-running the doubling
+    * (the byte class is the same one [[repeatLengths]] already ships). */
+  def index(docs: DataFrame, idCol: String, textCol: String,
+            maxChars: Int): DataFrame = {
+    val r = ranks(docs, idCol, textCol, maxChars)
+    r.join(
+        docs.select(col(idCol).as("doc"),
+          substring(col(textCol), 1, maxChars).as("__t")),
+        r(idCol) === col("doc"))
+      .select(col("doc").as(idCol), col("pos"), col("rank"),
+        expr("substring(__t, CAST(pos AS INT))").as("suffix"))
+  }
+
+  /** Incremental suffix-array maintenance — the landed-index arm the
+    * rest of the repo's indexes already have (LSH bands, shingle
+    * grams, chunk fingerprints): merge a LANDED index ([[index]]'s
+    * (doc, pos, rank, suffix)) with a batch of new docs in ONE linear
+    * merge pass instead of replaying the seed sort + doubling rounds
+    * over the whole corpus.
+    *
+    * Rank arithmetic (dense, string-keyed): for a new-only string s,
+    * merged_rank(s) = (#landed distinct < s) + (#new-only ≤ s); for a
+    * landed string with rank r, merged_rank = r + (#new-only < it).
+    * Both are prefix quantities over the string-ordered union of the
+    * landed DISTINCT strings and the new-only strings, so one
+    * range-sort + the [[prefixRuns]] two-pass segmented scan (bounded
+    * per-partition carries, driver stitch, broadcast-carry re-walk)
+    * produces every merged rank — merge ≡ rebuild exactly, which the
+    * q252 oracle pins by dense-ranking the union from raw text.
+    *
+    * Scale: the landed side contributes its distinct-string set once
+    * per merge (a linear pass over the stored index — the LSM-merge
+    * cost class), the batch contributes its suffixes; no doubling, no
+    * re-ranking. At a real deployment the landed index is stored
+    * rank-bucketed so this sort is a bucketed zip.
+    *
+    * @return (idCol, pos, rank, is_new) over landed ∪ new suffixes */
+  def extendRanks(landedIdx: DataFrame, newDocs: DataFrame, idCol: String,
+                  textCol: String, maxChars: Int): DataFrame = {
+    val spark = landedIdx.sparkSession
+    val landed = landedIdx.select(col("pos"), col("rank"), col("suffix"),
+      col(idCol).as("doc"))
+    val landedDistinct = landed.select(col("rank"), col("suffix")).distinct()
+    val t = substring(col(textCol), 1, maxChars)
+    val newSuf = newDocs
+      .select(col(idCol).as("doc"), t.as("__t"))
+      .filter(length(col("__t")) >= 1)
+      .select(col("doc"), col("__t"),
+        explode(sequence(lit(1), length(col("__t")))).as("posI"))
+      .select(col("doc"), col("posI").cast("long").as("pos"),
+        expr("substring(__t, posI)").as("suffix"))
+      .localCheckpoint(eager = false) // feeds the distinct + the join-back
+    val newOnly = newSuf.select(col("suffix")).distinct()
+      .join(landedDistinct.select(col("suffix")), Seq("suffix"), "left_anti")
+    // string-ordered union; strings are unique across and within classes
+    val union = landedDistinct
+      .select(col("suffix"), col("rank"), lit(true).as("__landed"))
+      .unionByName(newOnly.select(col("suffix"), lit(-1L).as("rank"),
+        lit(false).as("__landed")))
+    val base = union.orderBy(col("suffix"))
+      .rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // pass A: per-partition carries (last landed rank, #new-only rows)
+    val carries = base.mapPartitionsWithIndex { (pi, it) =>
+      var lastLanded = -1L; var nNew = 0L
+      it.foreach { row =>
+        if (row.getBoolean(2)) lastLanded = row.getLong(1) else nNew += 1
+      }
+      Iterator((pi, lastLanded, nNew))
+    }.collect().sortBy(_._1)
+    // driver stitch: running (last landed rank, new-only count) at entry
+    val offs = new Array[(Long, Long)](carries.length)
+    var accL = 0L; var accN = 0L
+    carries.foreach { case (pi, lastLanded, nNew) =>
+      offs(pi) = (accL, accN)
+      if (lastLanded >= 0) accL = lastLanded
+      accN += nNew
+    }
+    val bc = spark.sparkContext.broadcast(offs)
+    val rankRows = base.mapPartitionsWithIndex { (pi, it) =>
+      var (lastLanded, nNew) = bc.value(pi)
+      it.map { row =>
+        val merged =
+          if (row.getBoolean(2)) { // landed rank r + #new-only before it
+            lastLanded = row.getLong(1)
+            lastLanded + nNew
+          } else { // (#landed <= s is lastLanded, dense) + (#new-only <= s)
+            nNew += 1
+            lastLanded + nNew
+          }
+        Row(row.getString(0), merged)
+      }
+    }
+    val rankMap = spark.createDataFrame(rankRows, StructType(Seq(
+        StructField("suffix", org.apache.spark.sql.types.StringType,
+          nullable = false),
+        StructField("__mr", LongType, nullable = false))))
+      .localCheckpoint(eager = false) // probed by both occurrence classes
+    landed.select(col("doc"), col("pos"), col("suffix"),
+        lit(false).as("is_new"))
+      .unionByName(newSuf.select(col("doc"), col("pos"), col("suffix"),
+        lit(true).as("is_new")))
+      .join(rankMap, Seq("suffix"))
+      .select(col("doc").as(idCol), col("pos"), col("__mr").as("rank"),
+        col("is_new"))
+  }
+
+  /** The compaction rule (the reference's rebuild-over-extend
+    * threshold, `R/get-cloud-files.R:178-184` / `inst/conf.yml:43-45`
+    * — merge small deltas, rebuild when the delta rivals the base):
+    * extend the landed index when the batch's suffix mass is below
+    * `rebuildFraction` of the landed mass, otherwise rebuild from all
+    * docs. Both paths produce IDENTICAL ranks (merge ≡ rebuild), so
+    * the switch is a cost policy, never a semantics change. */
+  def extendOrRebuild(landedIdx: DataFrame, landedDocs: DataFrame,
+                      newDocs: DataFrame, idCol: String, textCol: String,
+                      maxChars: Int, rebuildFraction: Double = 0.5): DataFrame = {
+    val t = substring(col(textCol), 1, maxChars)
+    def mass(docs: DataFrame): Long =
+      docs.agg(sum(length(t)).cast("long")).collect()(0) match {
+        case r if r.isNullAt(0) => 0L
+        case r => r.getLong(0)
+      }
+    if (mass(newDocs) <= rebuildFraction * mass(landedDocs))
+      extendRanks(landedIdx, newDocs, idCol, textCol, maxChars)
+    else {
+      val all = landedDocs.select(col(idCol), col(textCol))
+        .unionByName(newDocs.select(col(idCol), col(textCol)))
+      // rebuilt ranks; tag batch rows for parity with the extend arm
+      ranks(all, idCol, textCol, maxChars)
+        .join(newDocs.select(col(idCol).as("__nid")),
+          col(idCol) === col("__nid"), "left")
+        .select(col(idCol), col("pos"), col("rank"),
+          col("__nid").isNotNull.as("is_new"))
+    }
   }
 
   /** Dense rank of (__k1, __k2) without a single-reducer window: the

@@ -60,21 +60,44 @@ object ScaleUp {
     val C = 15000L; val S = 1000L; val P = 20000L; val O = 150000L
     val E = 100000L; val D = 5000L; val V = 2000L; val U = 1500L
 
+    // per-replica Caesar rotation over both alphabet cases — applied to
+    // every NAME-LIKE string (and the document text below): replicating
+    // names verbatim would give every entity 10 byte-identical copies,
+    // so name-blocked operators (q214's 6-char-prefix linkage blocks)
+    // would see 10x-deep blocks -> 100x candidate pairs — an artifact
+    // of the generator, not a property of 10x-bigger real catalogs.
+    // Rotation keeps per-replica name structure byte-identical and
+    // makes cross-replica names disjoint: blocks multiply, not deepen.
+    // Enumerated vocab columns (p_type/p_brand/mktsegment/event_type)
+    // stay verbatim — real catalogs grow rows, not type vocabularies.
+    val lower = "abcdefghijklmnopqrstuvwxyz"
+    val upper = lower.toUpperCase
+    def rotStr(s: String, r: Int) = s.drop(r) + s.take(r)
+    def rot(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      (1 until Replicas).foldLeft(c) { (acc, r) =>
+        when(col("__r") === r,
+          translate(c, lower + upper, rotStr(lower, r) + rotStr(upper, r)))
+          .otherwise(acc)
+      }
+
     wr(rd("region"), "region")
     wr(rd("nation"), "nation")
 
     wr(replicate(rd("customer"))
-      .select(shifted("c_custkey", C).as("c_custkey"), col("c_name"),
+      .select(shifted("c_custkey", C).as("c_custkey"),
+        rot(col("c_name")).as("c_name"),
         col("c_nationkey"), col("c_acctbal"), col("c_mktsegment")),
       "customer")
 
     wr(replicate(rd("supplier"))
-      .select(shifted("s_suppkey", S).as("s_suppkey"), col("s_name"),
+      .select(shifted("s_suppkey", S).as("s_suppkey"),
+        rot(col("s_name")).as("s_name"),
         col("s_nationkey"), col("s_acctbal")),
       "supplier")
 
     wr(replicate(rd("part"))
-      .select(shifted("p_partkey", P).as("p_partkey"), col("p_name"),
+      .select(shifted("p_partkey", P).as("p_partkey"),
+        rot(col("p_name")).as("p_name"),
         col("p_brand"), col("p_type"), col("p_size"), col("p_retailprice")),
       "part")
 
@@ -99,16 +122,8 @@ object ScaleUp {
         col("value"), col("props")),
       "events")
 
-    // per-replica Caesar rotation over both alphabet cases
-    val lower = "abcdefghijklmnopqrstuvwxyz"
-    val upper = lower.toUpperCase
-    def rot(s: String, r: Int) = s.drop(r) + s.take(r)
     val docs = replicate(rd("documents"))
-    val rotated = (1 until Replicas).foldLeft(col("text")) { (acc, r) =>
-      when(col("__r") === r,
-        translate(col("text"), lower + upper, rot(lower, r) + rot(upper, r)))
-        .otherwise(acc)
-    }
+    val rotated = rot(col("text"))
     wr(docs.select(shifted("doc_id", D).as("doc_id"), rotated.as("text"),
         col("lang"), col("source"), length(rotated).cast("long").as("n_chars")),
       "documents")

@@ -47,6 +47,27 @@ class AcCountsSpec extends SparkSpec {
     }
   }
 
+  test("supplementary-plane patterns count correctly (surrogate pairs stay paired)") {
+    // 𠜎 (U+2070E) and 𝕊 (U+1D54A) are surrogate PAIRS in UTF-16; the
+    // automaton walks code units, which stays exact because high/low
+    // surrogate ranges are disjoint — a pattern can never match across
+    // half of a pair. Pin it.
+    val text = "𠜎a𠜎𠜎b𝕊𠜎"
+    assert(counts(text, Seq("𠜎", "𠜎𠜎", "a𠜎", "𝕊")) == Seq(4L, 1L, 1L, 1L))
+    // a lone high surrogate as text must not spuriously match
+    val lone = new String(Array('\uD841')) // high surrogate of 𠜎
+    assert(counts(lone, Seq("𠜎")) == Seq(0L))
+  }
+
+  test("an empty dictionary is rejected (counts would have no alignment)") {
+    intercept[Exception] {
+      Seq("x").toDF("t")
+        .select(call_function("ac_counts", $"t",
+          array().cast("array<string>")))
+        .collect()
+    }
+  }
+
   test("null text is null; duplicate or empty patterns are rejected") {
     val r = Seq(Option.empty[String]).toDF("t")
       .select(call_function("ac_counts", $"t", array(lit("x"))).as("c"))

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.similarity.{Knn, NnDescent}
+
+/** NN-descent graph build: recall against the exact brute-force
+  * baseline improves with rounds and clears a floor; results are
+  * partitioning-invariant; every node keeps at most k neighbors. */
+class NnDescentSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 200 deterministic 8-dim vectors in 4 loose clusters
+  private def vecs(parts: Int) = (0 until 200).map { i =>
+    val c = i % 4
+    (i.toLong, (0 until 8).map { j =>
+      (if (j % 4 == c) 1.0f else 0.0f) +
+        (math.sin(i * 31 + j * 7).toFloat * 0.3f)
+    }.toArray)
+  }.toDF("vec_id", "embedding").repartition(parts)
+
+  private val K = 5
+
+  private def recallOf(graph: Map[Long, Set[Long]]): Double = {
+    val exact = Knn.bruteForceTopK(vecs(4), vecs(4), "vec_id", "embedding", K)
+      .select($"qid", $"nid").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val hits = exact.toSeq.map { case (q, t) =>
+      graph.getOrElse(q, Set.empty).count(t.contains).toDouble / t.size
+    }
+    hits.sum / hits.size
+  }
+
+  private def graphOf(rounds: Int, parts: Int = 4): Map[Long, Set[Long]] =
+    NnDescent.knnGraph(vecs(parts), "vec_id", "embedding", k = K,
+        rounds = rounds, buckets = 12, bucketTables = 2)
+      .select($"qid", $"nid").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+
+  test("recall improves over rounds and clears 0.7 after two") {
+    val r0 = recallOf(graphOf(0))
+    val r2 = recallOf(graphOf(2))
+    assert(r2 > r0, s"exchange rounds must add recall: init $r0, round2 $r2")
+    assert(r2 >= 0.7, s"recall@$K after 2 rounds = $r2, expected >= 0.7")
+  }
+
+  test("deterministic under repartitioning") {
+    val a = NnDescent.knnGraph(vecs(1), "vec_id", "embedding", k = K,
+        rounds = 2, buckets = 12, bucketTables = 2)
+      .orderBy("qid", "rank").collect().toSeq
+    val b = NnDescent.knnGraph(vecs(16), "vec_id", "embedding", k = K,
+        rounds = 2, buckets = 12, bucketTables = 2)
+      .orderBy("qid", "rank").collect().toSeq
+    assert(a == b)
+  }
+
+  test("every node keeps at most k neighbors, ranks dense from 1") {
+    val rows = NnDescent.knnGraph(vecs(4), "vec_id", "embedding", k = K,
+        rounds = 1, buckets = 12, bucketTables = 2)
+      .select($"qid", $"rank").as[(Long, Int)].collect()
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      val ranks = rs.map(_._2).sorted.toSeq
+      assert(ranks.size <= K && ranks == (1 to ranks.size), s"node $q: $ranks")
+    }
+  }
+}

@@ -44,6 +44,19 @@ class PointerJumpSpec extends SparkSpec {
     assert(m(5L) == ((5L, 0L, "5")) && m(6L) == ((6L, 0L, "6")))
   }
 
+  test("a cycle fails fast instead of emitting truncated paths") {
+    // 1 -> 2 -> 3 -> 1: no node ever resolves; maxRounds exhaustion
+    // must throw (reply-to loops occur in scraped data), not return
+    // partial walks that look complete downstream
+    val edges = Seq(1L -> Option(2L), 2L -> Option(3L), 3L -> Option(1L))
+    val e = intercept[IllegalArgumentException] {
+      PointerJump.linearize(
+        edges.toDF("node", "parent"), "node", "parent", maxRounds = 6)
+        .collect()
+    }
+    assert(e.getMessage.contains("cycle"))
+  }
+
   test("results are identical at any partitioning") {
     val edges = (0L to 200L).map(i =>
       i -> (if (i % 17 == 0) None else Some(i - 1)))

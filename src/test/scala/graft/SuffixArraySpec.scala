@@ -159,6 +159,64 @@ class SuffixArraySpec extends SparkSpec {
     assert(got((1L, 16L))._3 != got((1L, 5L))._3)
   }
 
+  private def extendOf(landed: Seq[(Long, String)], batch: Seq[(Long, String)],
+                       parts: Int = 4, maxChars: Int = 1000) = {
+    val idx = SuffixArray.index(
+      landed.toDF("doc_id", "text").repartition(parts), "doc_id", "text", maxChars)
+    SuffixArray.extendRanks(idx,
+        batch.toDF("doc_id", "text").repartition(parts), "doc_id", "text", maxChars)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("pos")) ->
+        (r.getAs[Long]("rank"), r.getAs[Boolean]("is_new"))).toMap
+  }
+
+  test("extendRanks: merge == rebuild, including cross-class duplicate suffixes") {
+    val landed = Seq((1L, "banana"), (2L, "bandana"))
+    val batch = Seq((3L, "anaconda"), (4L, "banana")) // doc 4 duplicates doc 1
+    val want = brute(landed ++ batch)
+    val got = extendOf(landed, batch)
+    assert(got.view.mapValues(_._1).toMap == want)
+    assert(got.forall { case ((d, _), (_, isNew)) => isNew == (d >= 3L) })
+  }
+
+  test("extendRanks: batch-only strings above, below, and between landed ranks") {
+    // landed covers the middle of the alphabet; batch inserts at both
+    // ends and interleaves
+    val landed = Seq((1L, "mmnn"))
+    val batch = Seq((2L, "aazz"), (3L, "mz"))
+    val got = extendOf(landed, batch).view.mapValues(_._1).toMap
+    assert(got == brute(landed ++ batch))
+  }
+
+  test("extendRanks: empty landed index ranks the batch alone") {
+    val got = extendOf(Seq.empty, Seq((1L, "abcab"))).view.mapValues(_._1).toMap
+    assert(got == brute(Seq((1L, "abcab"))))
+  }
+
+  test("extendRanks is partitioning-invariant") {
+    val landed = (0L until 6L).map(i =>
+      (i, (0 until 15).map(j => ('a' + ((i * 7 + j * 3) % 4)).toChar).mkString))
+    val batch = (6L until 9L).map(i =>
+      (i, (0 until 12).map(j => ('a' + ((i * 11 + j * 5) % 4)).toChar).mkString))
+    val want = brute(landed ++ batch)
+    Seq(1, 3, 16).foreach { p =>
+      val got = extendOf(landed, batch, parts = p).view.mapValues(_._1).toMap
+      assert(got == want, s"diverged at $p partitions")
+    }
+  }
+
+  test("extendOrRebuild: big batch takes the rebuild arm, ranks unchanged") {
+    val landed = Seq((1L, "ab"))
+    val batch = Seq((2L, "zzzzyyyyxxxx"), (3L, "qqqq")) // >> 0.5 * landed mass
+    val idx = SuffixArray.index(landed.toDF("doc_id", "text"), "doc_id", "text", 1000)
+    val got = SuffixArray.extendOrRebuild(idx, landed.toDF("doc_id", "text"),
+        batch.toDF("doc_id", "text"), "doc_id", "text", 1000)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("pos")) ->
+        r.getAs[Long]("rank")).toMap
+    assert(got == brute(landed ++ batch))
+  }
+
   test("prefixRuns is partitioning-invariant (seam carries stitch exactly)") {
     val docs = (0L until 8L).map { i =>
       (i, (0 until 12 + (i % 5).toInt)
