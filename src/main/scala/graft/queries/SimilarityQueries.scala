@@ -19,12 +19,12 @@ object SimilarityQueries {
 
   /** Shared SQL mirror of the scaled-long cosine machinery. */
   private val elSql =
-    """el AS (
+    """el AS MATERIALIZED (
       |  SELECT vec_id,
       |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000000.0 + 0.5) AS BIGINT) AS e,
       |    generate_subscripts(embedding, 1) AS i
       |  FROM embeddings),
-      |n2 AS (SELECT vec_id, CAST(SUM(e * e) AS DOUBLE) / 100000000000000.0 AS n2
+      |n2 AS MATERIALIZED (SELECT vec_id, CAST(SUM(e * e) AS DOUBLE) / 100000000000000.0 AS n2
       |       FROM el GROUP BY vec_id)""".stripMargin
 
   /** SQL mirror of [[Knn.hyperplaneBuckets]] (4 tables × 6 planes):
@@ -1045,71 +1045,148 @@ object SimilarityQueries {
     * CTE blocks (the q153/q203 pattern) and every edge of the final
     * graph sits under the hash. Recall vs the exact baseline is
     * pinned in NnDescentSpec. */
-  val q251 = {
-    val K = 6
-    val scoreSql = (cand: String, out: String) =>
-      s"""d_$out AS (
-         |  SELECT c.a, c.b, CAST(SUM(ea.e * eb.e) AS DOUBLE)
-         |    / 100000000000000.0 AS dot
-         |  FROM $cand c
-         |  JOIN el ea ON ea.vec_id = c.a
-         |  JOIN el eb ON eb.vec_id = c.b AND ea.i = eb.i
-         |  GROUP BY c.a, c.b),
-         |$out AS (
-         |  SELECT d.a, d.b,
-         |    CAST(floor(d.dot / (sqrt(na.n2) * sqrt(nb.n2)) * 1000000000.0
-         |      + 0.5) AS BIGINT) AS cos_e9
-         |  FROM d_$out d
-         |  JOIN n2 na ON na.vec_id = d.a
-         |  JOIN n2 nb ON nb.vec_id = d.b)""".stripMargin
-    val topkSql = (edges: String, out: String) =>
-      s"""$out AS (
-         |  SELECT u, nid, cos_e9 FROM (
-         |    SELECT u, nid, cos_e9,
-         |      row_number() OVER (PARTITION BY u
-         |        ORDER BY cos_e9 DESC, nid ASC) AS rk
-         |    FROM ($edges) t0) t1
-         |  WHERE rk <= $K)""".stripMargin
-    val roundSql = (prev: String, r: Int) =>
-      s"""g$r AS (SELECT DISTINCT u, nid FROM (
-         |  SELECT u, nid FROM $prev UNION ALL SELECT nid, u FROM $prev) t),
-         |c$r AS (
-         |  SELECT DISTINCT x.nid AS a, y.nid AS b
-         |  FROM g$r x JOIN g$r y ON x.u = y.u AND x.nid < y.nid
-         |  WHERE NOT EXISTS (SELECT 1 FROM $prev e
-         |    WHERE LEAST(e.u, e.nid) = x.nid
-         |      AND GREATEST(e.u, e.nid) = y.nid)),
-         |${scoreSql(s"c$r", s"s$r")},
-         |${topkSql(
-        s"SELECT u, nid, cos_e9 FROM $prev " +
-          s"UNION ALL SELECT a, b, cos_e9 FROM s$r " +
-          s"UNION ALL SELECT b, a, cos_e9 FROM s$r", s"e$r")}""".stripMargin
+  private val NndK = 6
+
+  /** SQL block scoring candidate (a, b) pairs to integer cosines —
+    * the scaled-long exact path the Spark side runs natively. */
+  private def nndScoreSql(cand: String, out: String): String =
+    s"""d_$out AS MATERIALIZED (
+       |  SELECT c.a, c.b, CAST(SUM(ea.e * eb.e) AS DOUBLE)
+       |    / 100000000000000.0 AS dot
+       |  FROM $cand c
+       |  JOIN el ea ON ea.vec_id = c.a
+       |  JOIN el eb ON eb.vec_id = c.b AND ea.i = eb.i
+       |  GROUP BY c.a, c.b),
+       |$out AS MATERIALIZED (
+       |  SELECT d.a, d.b,
+       |    CAST(floor(d.dot / (sqrt(na.n2) * sqrt(nb.n2)) * 1000000000.0
+       |      + 0.5) AS BIGINT) AS cos_e9
+       |  FROM d_$out d
+       |  JOIN n2 na ON na.vec_id = d.a
+       |  JOIN n2 nb ON nb.vec_id = d.b)""".stripMargin
+
+  private def nndTopkSql(edges: String, out: String): String =
+    s"""$out AS MATERIALIZED (
+       |  SELECT u, nid, cos_e9 FROM (
+       |    SELECT u, nid, cos_e9,
+       |      row_number() OVER (PARTITION BY u
+       |        ORDER BY cos_e9 DESC, nid ASC) AS rk
+       |    FROM ($edges) t0) t1
+       |  WHERE rk <= $NndK)""".stripMargin
+
+  private def nndRoundSql(prev: String, r: Int): String =
+    s"""g$r AS MATERIALIZED (SELECT DISTINCT u, nid FROM (
+       |  SELECT u, nid FROM $prev UNION ALL SELECT nid, u FROM $prev) t),
+       |c$r AS MATERIALIZED (
+       |  SELECT DISTINCT x.nid AS a, y.nid AS b
+       |  FROM g$r x JOIN g$r y ON x.u = y.u AND x.nid < y.nid
+       |  WHERE NOT EXISTS (SELECT 1 FROM $prev e
+       |    WHERE LEAST(e.u, e.nid) = x.nid
+       |      AND GREATEST(e.u, e.nid) = y.nid)),
+       |${nndScoreSql(s"c$r", s"s$r")},
+       |${nndTopkSql(
+      s"SELECT u, nid, cos_e9 FROM $prev " +
+        s"UNION ALL SELECT a, b, cos_e9 FROM s$r " +
+        s"UNION ALL SELECT b, a, cos_e9 FROM s$r", s"e$r")}""".stripMargin
+
+  /** The full graph-build CTE chain ending in `e2` (the 2-round
+    * NN-descent graph) — shared by the q251 build oracle and q253's
+    * search oracle, which replays the build before walking it. */
+  private val nndGraphSql: String =
+    s"""$elSql,
+       |b AS MATERIALIZED (
+       |  SELECT vec_id AS id, t,
+       |    CAST(('0x' || substr(md5('nnd-' || t || '-' || vec_id), 1, 7))
+       |      AS BIGINT) % 16 AS bucket
+       |  FROM embeddings, (SELECT unnest(generate_series(0, 1)) AS t)),
+       |c0 AS MATERIALIZED (SELECT DISTINCT x.id AS a, y.id AS b
+       |       FROM b x JOIN b y
+       |       ON x.t = y.t AND x.bucket = y.bucket AND x.id < y.id),
+       |${nndScoreSql("c0", "s0")},
+       |${nndTopkSql("SELECT a AS u, b AS nid, cos_e9 FROM s0 " +
+        "UNION ALL SELECT b, a, cos_e9 FROM s0", "e0")},
+       |${nndRoundSql("e0", 1)},
+       |${nndRoundSql("e1", 2)}""".stripMargin
+
+  private def nndBuild(s: org.apache.spark.sql.SparkSession, d: String) =
+    graft.similarity.NnDescent.knnGraph(
+      embeddings(s, d), "vec_id", "embedding",
+      k = NndK, rounds = 2, buckets = 16, bucketTables = 2)
+
+  val q251 = GQuery(
+    "q251_nn_descent",
+    (s, d) =>
+      graft.core.Landed.land(s, s"nnd-graph:$d")(nndBuild(s, d)),
+    Some(s"""WITH $nndGraphSql
+      |SELECT u AS qid,
+      |  CAST(row_number() OVER (PARTITION BY u
+      |    ORDER BY cos_e9 DESC, nid ASC) AS INT) AS rank,
+      |  nid, cos_e9
+      |FROM e2""".stripMargin))
+
+  /** q253: graph-routed ANN search over the LANDED q251 graph
+    * ([[graft.similarity.NnDescent.greedySearch]]) — the serving walk
+    * the index exists for (the HNSW layer-0 shape) and the
+    * load-bearing probe that completes the producer/consumer pair
+    * (the q231→q232 landed-artifact discipline): q251 lands the
+    * adjacency, q253 greedy-routes 25 queries through it from SIX
+    * spread entry nodes (a flat k-NN graph over clustered vectors is
+    * typically disconnected, so best-of-entries replaces HNSW's upper
+    * layers), touching the corpus only via graph edges. 4 unrolled
+    * hops per walk, integer cosines, nid-asc tie-breaks,
+    * best-of-entries by (best, cur asc, entry asc); the oracle
+    * replays the graph build AND every walk hop by hop, so the
+    * routing decision at every hop sits under the hash. */
+  val q253 = {
+    val Hops = 4
+    val Entries = Seq(0L, 1L, 2L, 3L, 4L, 5L)
+    val hopSql = (prev: String, r: Int) =>
+      s"""bst$r AS MATERIALIZED (
+         |  SELECT t.qid, t.entry, t.cur, t.nid, t.c FROM (
+         |    SELECT s2.qid, s2.entry, s2.cur, g.nid, cq.cos_e9 AS c,
+         |      row_number() OVER (PARTITION BY s2.qid, s2.entry
+         |        ORDER BY cq.cos_e9 DESC, g.nid ASC) AS rk
+         |    FROM $prev s2
+         |    JOIN e2 g ON g.u = s2.cur
+         |    JOIN cosq cq ON cq.a = s2.qid AND cq.b = g.nid) t
+         |  WHERE t.rk = 1),
+         |st$r AS MATERIALIZED (
+         |  SELECT s.qid, s.entry,
+         |    CASE WHEN c.c > s.best THEN c.nid ELSE s.cur END AS cur,
+         |    CASE WHEN c.c > s.best THEN c.c ELSE s.best END AS best,
+         |    s.moved + CASE WHEN c.c > s.best THEN 1 ELSE 0 END AS moved
+         |  FROM $prev s
+         |  LEFT JOIN bst$r c ON c.qid = s.qid AND c.entry = s.entry)"""
+        .stripMargin
     GQuery(
-      "q251_nn_descent",
-      (s, d) =>
-        graft.similarity.NnDescent.knnGraph(
-          embeddings(s, d), "vec_id", "embedding",
-          k = K, rounds = 2, buckets = 16, bucketTables = 2),
-      Some(s"""WITH $elSql,
-        |b AS (
-        |  SELECT vec_id AS id, t,
-        |    CAST(('0x' || substr(md5('nnd-' || t || '-' || vec_id), 1, 7))
-        |      AS BIGINT) % 16 AS bucket
-        |  FROM embeddings, (SELECT unnest(generate_series(0, 1)) AS t)),
-        |c0 AS (SELECT DISTINCT x.id AS a, y.id AS b
-        |       FROM b x JOIN b y
-        |       ON x.t = y.t AND x.bucket = y.bucket AND x.id < y.id),
-        |${scoreSql("c0", "s0")},
-        |${topkSql("SELECT a AS u, b AS nid, cos_e9 FROM s0 " +
-          "UNION ALL SELECT b, a, cos_e9 FROM s0", "e0")},
-        |${roundSql("e0", 1)},
-        |${roundSql("e1", 2)}
-        |SELECT u AS qid,
-        |  CAST(row_number() OVER (PARTITION BY u
-        |    ORDER BY cos_e9 DESC, nid ASC) AS INT) AS rank,
-        |  nid, cos_e9
-        |FROM e2""".stripMargin))
+      "q253_graph_ann_search",
+      (s, d) => {
+        val emb = embeddings(s, d)
+        val graph = graft.core.Landed.probeOrBuild(s, s"nnd-graph:$d")(
+          nndBuild(s, d))
+        graft.similarity.NnDescent.greedySearch(
+          graph, emb, emb.filter(col("vec_id") < 25),
+          "vec_id", "embedding", entries = Entries, hops = Hops)
+      },
+      Some(s"""WITH $nndGraphSql,
+        |cq0 AS MATERIALIZED (
+        |  SELECT q.vec_id AS a, n.vec_id AS b
+        |  FROM embeddings q, embeddings n WHERE q.vec_id < 25),
+        |${nndScoreSql("cq0", "cosq")},
+        |st0 AS MATERIALIZED (
+        |  SELECT a AS qid, b AS entry, b AS cur, cos_e9 AS best,
+        |    0 AS moved
+        |  FROM cosq WHERE b IN (${Entries.mkString(", ")})),
+        |${(1 to Hops).map(r => hopSql(s"st${r - 1}", r)).mkString(",\n")}
+        |SELECT qid, cur AS found, best AS cos_e9,
+        |  CAST(moved AS BIGINT) AS moved
+        |FROM (
+        |  SELECT qid, cur, best, moved,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY best DESC, cur ASC, entry ASC) AS rk
+        |  FROM st$Hops) t
+        |WHERE rk = 1""".stripMargin))
   }
 
-  def queries: Seq[GQuery] = Seq(q40, q41, q42, q48, q53, q102, q105, q114, q117, q119, q122, q131, q147, q173, q176, q186, q188, q226, q248, q251)
+  def queries: Seq[GQuery] = Seq(q40, q41, q42, q48, q53, q102, q105, q114, q117, q119, q122, q131, q147, q173, q176, q186, q188, q226, q248, q251, q253)
 }

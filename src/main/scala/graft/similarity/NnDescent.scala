@@ -113,4 +113,94 @@ object NnDescent {
     edges.withColumn("rank", row_number().over(w).cast("int"))
       .select(col("u").as("qid"), col("rank"), col("nid"), col("cos_e9"))
   }
+
+  /** Greedy graph-routed search over a built k-NN graph — the serving
+    * step the index exists for (the layer-0 walk of HNSW-family
+    * engines): every query walks from EACH of the `entries` nodes, a
+    * hop moves to the current node's graph neighbor closest to the
+    * query, and the query keeps its best endpoint across entries.
+    * Multiple spread entries are load-bearing, not a tuning knob: a
+    * k-NN graph over clustered data is typically DISCONNECTED (every
+    * top-k neighbor is in-cluster), so a single-entry walk can never
+    * leave the entry's component — the flaw HNSW's upper layers
+    * solve, answered here the flat-graph way (one walk per entry,
+    * best-of). `hops` bounds each walk (small-world components route
+    * in O(log N)); a walk that converges early carries its result
+    * through the remaining joins untouched.
+    *
+    * Deterministic end to end: integer cosines (ties nid-asc via
+    * max_by on a packed (cos_e9, −nid) pair), fixed entry nodes, a
+    * fixed hop count, best-of-entries by (best, −cur, −entry) — the
+    * oracle unrolls the walks hop by hop on the replayed graph. Per
+    * hop: one equi-join state×graph (state is |queries|·|entries|
+    * rows, fan-out ≤ k) and one scoring pass — never a scan of the
+    * corpus, which is the point: at 100 TB the corpus is only touched
+    * through the graph's adjacency.
+    *
+    * @param graph (qid, nid, ...) adjacency — [[knnGraph]]'s output
+    * @return (qid, found, cos_e9, moved) — `found` the best endpoint
+    *         over all entry walks, `moved` that walk's improving hops */
+  def greedySearch(graph: DataFrame, vecs: DataFrame, queries: DataFrame,
+                   idCol: String, vecCol: String, entries: Seq[Long],
+                   hops: Int): DataFrame = {
+    val sv = vecs.select(col(idCol).cast("long").as("id"),
+        Knn.scaledVec(col(vecCol)).as("sv"))
+      .withColumn("n2", Knn.norm2Scaled(col("sv")))
+      .localCheckpoint(eager = true) // rescored every hop
+    val adj = graph.select(col("qid").as("cur"), col("nid"))
+      .localCheckpoint(eager = true)
+
+    // query-to-candidate integer cosine over (__qv,__qn) × (__nv,__nn)
+    val cosTo =
+      floor(Knn.dotScaled(col("__qv"), col("__nv")) /
+        (sqrt(col("__qn")) * sqrt(col("__nn"))) * lit(1e9) + lit(0.5))
+        .cast("long")
+    val NoCand = -2000000000L // below any real cosine (>= -1e9)
+
+    val q0 = queries.select(col(idCol).cast("long").as("qid"))
+      .join(sv.select(col("id").as("qid"), col("sv").as("__qv"),
+        col("n2").as("__qn")), Seq("qid"))
+    // |entries| literal rows: one walk per (query, entry). The
+    // crossJoin is a bounded LITERAL frame broadcast (a handful of
+    // entry ids) — the legitimate scalar-broadcast class, never
+    // data x data
+    val entryDf = {
+      val ss = queries.sparkSession
+      import ss.implicits._
+      entries.toDF("entry")
+    }
+    var state = q0
+      .crossJoin(broadcast(entryDf))
+      .join(sv.select(col("id").as("cur"), col("sv").as("__nv"),
+        col("n2").as("__nn")), col("cur") === col("entry"))
+      .select(col("qid"), col("entry"), col("__qv"), col("__qn"),
+        col("cur"), cosTo.as("best"), lit(0).as("moved"))
+
+    (1 to hops).foreach { _ =>
+      // candidate neighbors of the current node, scored against the query
+      val scored = state.join(adj, Seq("cur"), "left")
+        .join(sv.select(col("id").as("nid"), col("sv").as("__nv"),
+          col("n2").as("__nn")), Seq("nid"), "left")
+        .withColumn("__cand",
+          when(col("nid").isNull, lit(NoCand)).otherwise(cosTo))
+      // argmax by (cos, nid asc): pack into one orderable struct
+      val next = scored.groupBy(col("qid"), col("entry"), col("__qv"),
+          col("__qn"), col("cur"), col("best"), col("moved"))
+        .agg(max_by(col("nid"),
+            struct(col("__cand").as("c"), (-col("nid")).as("t"))).as("bn"),
+          max(col("__cand")).as("bc"))
+      state = next.select(col("qid"), col("entry"), col("__qv"), col("__qn"),
+        when(col("bc") > col("best"), col("bn")).otherwise(col("cur")).as("cur"),
+        greatest(col("best"), coalesce(col("bc"), col("best"))).as("best"),
+        (col("moved") + when(col("bc") > col("best"), 1).otherwise(0)).as("moved"))
+    }
+    // best endpoint across entry walks, ties (best desc, cur asc, entry asc)
+    state.groupBy(col("qid"))
+      .agg(max_by(
+          struct(col("cur").as("c"), col("best").as("b"), col("moved").as("m")),
+          struct(col("best").as("b"), (-col("cur")).as("c"),
+            (-col("entry")).as("e"))).as("w"))
+      .select(col("qid"), col("w.c").as("found"), col("w.b").as("cos_e9"),
+        col("w.m").cast("long").as("moved"))
+  }
 }

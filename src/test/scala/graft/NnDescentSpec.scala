@@ -53,6 +53,44 @@ class NnDescentSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("greedySearch routes toward the query's true neighborhood") {
+    // entries 0..5 cover all four clusters (i % 4): a k-NN graph over
+    // clustered data is disconnected, so multi-entry is what makes
+    // the walk reach every query's home component
+    val graph = NnDescent.knnGraph(vecs(4), "vec_id", "embedding", k = K,
+      rounds = 2, buckets = 12, bucketTables = 2)
+    val out = NnDescent.greedySearch(graph, vecs(4),
+        vecs(4).filter($"vec_id" < 30), "vec_id", "embedding",
+        entries = Seq(0L, 1L, 2L, 3L, 4L, 5L), hops = 5)
+      .select($"qid", $"found", $"cos_e9", $"moved")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.length == 30)
+    out.foreach { case (_, _, cos, moved) =>
+      assert(moved <= 5)
+      assert(cos >= -1000000000L && cos <= 1000000000L)
+    }
+    // routing must land close to the exact 1-NN for the mean query
+    val exact = Knn.bruteForceTopK(vecs(4), vecs(4).filter($"vec_id" < 30),
+        "vec_id", "embedding", 1)
+      .select($"qid", $"cos").as[(Long, Double)].collect().toMap
+    val meanResult = out.map(_._3.toDouble / 1e9).sum / out.length
+    val meanBest = exact.values.sum / exact.size
+    assert(meanResult > 0.9 * meanBest,
+      s"greedy results ($meanResult) nowhere near the exact 1-NN mean ($meanBest)")
+  }
+
+  test("greedySearch is deterministic across partitionings") {
+    def run(parts: Int) = {
+      val g = NnDescent.knnGraph(vecs(parts), "vec_id", "embedding", k = K,
+        rounds = 1, buckets = 12, bucketTables = 2)
+      NnDescent.greedySearch(g, vecs(parts),
+          vecs(parts).filter($"vec_id" < 20), "vec_id", "embedding",
+          entries = Seq(3L, 7L), hops = 4)
+        .orderBy("qid").collect().toSeq
+    }
+    assert(run(2) == run(16))
+  }
+
   test("every node keeps at most k neighbors, ranks dense from 1") {
     val rows = NnDescent.knnGraph(vecs(4), "vec_id", "embedding", k = K,
         rounds = 1, buckets = 12, bucketTables = 2)
