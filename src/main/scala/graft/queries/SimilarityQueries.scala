@@ -1094,11 +1094,15 @@ object SimilarityQueries {
     * search oracle, which replays the build before walking it. */
   private val nndGraphSql: String =
     s"""$elSql,
+       |nbk AS MATERIALIZED (
+       |  SELECT GREATEST(16, CAST(CEIL(COUNT(*) / ${2.0 * NndK}) AS BIGINT))
+       |    AS nb
+       |  FROM embeddings),
        |b AS MATERIALIZED (
        |  SELECT vec_id AS id, t,
        |    CAST(('0x' || substr(md5('nnd-' || t || '-' || vec_id), 1, 7))
-       |      AS BIGINT) % 16 AS bucket
-       |  FROM embeddings, (SELECT unnest(generate_series(0, 1)) AS t)),
+       |      AS BIGINT) % nbk.nb AS bucket
+       |  FROM embeddings, (SELECT unnest(generate_series(0, 1)) AS t), nbk),
        |c0 AS MATERIALIZED (SELECT DISTINCT x.id AS a, y.id AS b
        |       FROM b x JOIN b y
        |       ON x.t = y.t AND x.bucket = y.bucket AND x.id < y.id),
@@ -1111,7 +1115,7 @@ object SimilarityQueries {
   private def nndBuild(s: org.apache.spark.sql.SparkSession, d: String) =
     graft.similarity.NnDescent.knnGraph(
       embeddings(s, d), "vec_id", "embedding",
-      k = NndK, rounds = 2, buckets = 16, bucketTables = 2)
+      k = NndK, rounds = 2, bucketTables = 2) // buckets auto: max(16,⌈N/2k⌉)
 
   val q251 = GQuery(
     "q251_nn_descent",

@@ -38,16 +38,23 @@ object NnDescent {
     *
     * `buckets`/`bucketTables`: the init graph — each node lands in
     * one md5 bucket per table and opens against its bucket peers.
-    * Size buckets so a bucket holds ≥ k+1 nodes on average; a sparse
-    * init only costs recall in round 1, the exchange rounds recover. */
+    * `buckets = 0` (the default) auto-sizes to max(16, ⌈N∕2k⌉), so the
+    * expected bucket holds ~2k nodes AT ANY corpus size — a FIXED
+    * bucket count is the q214 scale trap (buckets get deeper, not
+    * more numerous, and init pairs grow quadratically: measured 18×
+    * wall for 10× vectors at sf1 before auto-sizing). A sparse init
+    * only costs recall in round 1; the exchange rounds recover. */
   def knnGraph(df: DataFrame, idCol: String, vecCol: String, k: Int,
-               rounds: Int = 2, buckets: Int = 16, bucketTables: Int = 2,
+               rounds: Int = 2, buckets: Int = 0, bucketTables: Int = 2,
                salt: String = "nnd"): DataFrame = {
     val spark = df.sparkSession
     val sv = df.select(col(idCol).cast("long").as("id"),
         Knn.scaledVec(col(vecCol)).as("sv"))
       .withColumn("n2", Knn.norm2Scaled(col("sv")))
       .localCheckpoint(eager = true) // scored against every round
+    val nBuckets =
+      if (buckets > 0) buckets
+      else math.max(16L, math.ceil(sv.count() / (2.0 * k)).toLong)
 
     def scorePairs(pairs: DataFrame): DataFrame =
       pairs
@@ -79,7 +86,7 @@ object NnDescent {
         explode(array((0 until bucketTables).map(lit): _*)).as("t"))
       .withColumn("bucket",
         conv(substring(md5(concat(lit(s"$salt-"), col("t"), lit("-"),
-          col("id"))), 1, 7), 16, 10).cast("long") % buckets)
+          col("id"))), 1, 7), 16, 10).cast("long") % nBuckets)
     val cand0 = b.select(col("id").as("a"), col("t"), col("bucket"))
       .join(b.select(col("id").as("b"), col("t"), col("bucket")),
         Seq("t", "bucket"))
