@@ -1089,14 +1089,25 @@ object DedupQueries {
     * log-round doubling algorithm produces — including dense ties for
     * identical cross-doc suffixes — is checked against a first-
     * principles suffix sort. */
+  /** The %17-sample SA ranks all three in-sample SA queries share:
+    * q212 LANDS them ([[graft.core.Landed]]), q216/q221 PROBE — the
+    * doubling rounds run once per suite, not three times. */
+  private def sa17Sample(s: org.apache.spark.sql.SparkSession, d: String) =
+    documents(s, d)
+      .filter(col("doc_id") % 17 === 0)
+      .select(col("doc_id"), col("text"))
+
+  private def sa17Ranks(s: org.apache.spark.sql.SparkSession, d: String,
+                        probe: Boolean) = {
+    def build = graft.text.SuffixArray.ranks(
+      sa17Sample(s, d), "doc_id", "text", maxChars = 200)
+    if (probe) graft.core.Landed.probeOrBuild(s, s"sa-ranks-17-200:$d")(build)
+    else graft.core.Landed.land(s, s"sa-ranks-17-200:$d")(build)
+  }
+
   val q212 = GQuery(
     "q212_suffix_array",
-    (s, d) => {
-      val sample = documents(s, d)
-        .filter(col("doc_id") % 17 === 0)
-        .select(col("doc_id"), col("text"))
-      graft.text.SuffixArray.ranks(sample, "doc_id", "text", maxChars = 200)
-    },
+    (s, d) => sa17Ranks(s, d, probe = false),
     Some("""WITH pos AS (
       |  SELECT doc_id, CAST(s.i AS BIGINT) AS pos,
       |    substr(substr(text, 1, 200), s.i) AS suf
@@ -1160,11 +1171,9 @@ object DedupQueries {
     GQuery(
       "q216_sa_lcp_mining",
       (s, d) => {
-        val sample = documents(s, d)
-          .filter(col("doc_id") % 17 === 0)
-          .select(col("doc_id"), col("text"))
-        graft.text.SuffixArray.repeatLengths(sample, "doc_id", "text",
-            maxChars = 200)
+        graft.text.SuffixArray.repeatLengths(sa17Sample(s, d), "doc_id",
+            "text", maxChars = 200,
+            ranksOf = Some(sa17Ranks(s, d, probe = true)))
           .groupBy(col("doc_id"))
           .agg(
             lcount(lit(1)).as("n_pos"),
@@ -1232,11 +1241,10 @@ object DedupQueries {
       "q221_sa_span_dedup",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        val sample = documents(s, d)
-          .filter(col("doc_id") % 17 === 0)
-          .select(col("doc_id"), col("text"))
+        val sample = sa17Sample(s, d)
         val runs = graft.text.SuffixArray
-          .prefixRuns(sample, "doc_id", "text", maxChars = 200, minLen = L)
+          .prefixRuns(sample, "doc_id", "text", maxChars = 200,
+            minLen = L, ranksOf = Some(sa17Ranks(s, d, probe = true)))
           .localCheckpoint(eager = false) // two consumers: agg + member join
         val agg = runs.groupBy(col("run_id")).agg(
           lcount(lit(1)).as("__m"),

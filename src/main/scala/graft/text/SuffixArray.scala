@@ -114,11 +114,16 @@ object SuffixArray {
     *
     * @return (idCol, pos, rep) — rep = 0 when the suffix shares no
     *         nonempty prefix with any neighbor */
+  /** `ranksOf`: a precomputed [[ranks]] frame over the SAME
+    * (docs, maxChars) — the landed-SA composition seam (q212 lands
+    * the ranks, q216/q221 probe them instead of re-running the
+    * doubling; the [[graft.core.Landed]] discipline). None = build. */
   def repeatLengths(docs: DataFrame, idCol: String, textCol: String,
-                    maxChars: Int): DataFrame = {
+                    maxChars: Int,
+                    ranksOf: Option[DataFrame] = None): DataFrame = {
     val spark = docs.sparkSession
     graft.functions.CommonPrefixLen.register(spark)
-    val r = ranks(docs, idCol, textCol, maxChars)
+    val r = ranksOf.getOrElse(ranks(docs, idCol, textCol, maxChars))
     val suf = r.join(
         docs.select(col(idCol).as("doc"),
           substring(col(textCol), 1, maxChars).as("__t")),
@@ -174,10 +179,11 @@ object SuffixArray {
     * @return (doc, pos, prev_lcp (null for the global first suffix),
     *         boundary, run_id) — run_id is 1-based */
   def prefixRuns(docs: DataFrame, idCol: String, textCol: String,
-                 maxChars: Int, minLen: Int): DataFrame = {
+                 maxChars: Int, minLen: Int,
+                 ranksOf: Option[DataFrame] = None): DataFrame = {
     import graft.functions.CommonPrefixLen.computeStr
     val spark = docs.sparkSession
-    val r = ranks(docs, idCol, textCol, maxChars)
+    val r = ranksOf.getOrElse(ranks(docs, idCol, textCol, maxChars))
     val suf = r.join(
         docs.select(col(idCol).as("doc"),
           substring(col(textCol), 1, maxChars).as("__t")),
