@@ -1176,7 +1176,82 @@ object MiscQueries {
       |    AS speech_ratio_e6
       |FROM tot t LEFT JOIN segs s ON t.doc_id = s.doc_id""".stripMargin))
 
+  /** q254: entity resolution — the composition q214's pairwise scores
+    * exist FOR (the master-data shape: fuzzy match → transitive
+    * closure → golden record): blocked Jaro–Winkler matches become
+    * edges, [[graft.dedup.Components.connected]] (large-star/
+    * small-star, O(log n) rounds) groups transitively-linked records
+    * into entities, and each entity elects its canonical member
+    * (min key) with a membership and score census. Never all-pairs:
+    * candidate pairs come from the same equality blocks as q214, the
+    * closure is edge-local. The oracle replays scoring (DuckDB's
+    * jaro_winkler_similarity is bit-equal, the q214 result), the
+    * closure (reach + MIN label, the q57 spelling), and the election. */
+  val q254 = GQuery(
+    "q254_entity_resolution",
+    (s, d) => {
+      graft.functions.JaroWinkler.register(s)
+      val p = part(s, d).select(
+        col("p_partkey").as("k"),
+        concat(col("p_name"), lit(" "), lower(col("p_type"))).as("nm"),
+        concat(substring(col("p_name"), 1, 6),
+          length(col("p_name")).cast("string")).as("blk"))
+        .localCheckpoint(eager = false) // pairs + the canonical join-back
+      val matches = p.select(col("blk"), col("k").as("ka"), col("nm").as("na"))
+        .join(p.select(col("blk"), col("k").as("kb"), col("nm").as("nb")),
+          Seq("blk"))
+        .filter(col("ka") < col("kb"))
+        .withColumn("jw_e6",
+          floor(expr("jaro_winkler(na, nb)") * 1e6 + 0.5).cast("long"))
+        .filter(col("jw_e6") >= 940000L)
+        .localCheckpoint(eager = false) // closure + the per-entity census
+      val comp = graft.dedup.Components.connected(matches, "ka", "kb")
+      val census = matches
+        .join(comp.select(col("node").as("ka"), col("component")), Seq("ka"))
+        .groupBy(col("component"))
+        .agg(lcount(lit(1)).as("n_edges"), sum(col("jw_e6")).as("jw_sum"))
+      comp.groupBy(col("component"))
+        .agg(lcount(lit(1)).as("n_members"))
+        .join(census, Seq("component"))
+        .join(p.select(col("k").as("component"), md5(col("nm")).as("canonical_md5")),
+          Seq("component"))
+        .select(col("component").as("entity_id"), col("n_members"),
+          col("n_edges"), col("jw_sum"), col("canonical_md5"))
+    },
+    Some("""WITH RECURSIVE p AS (
+      |  SELECT p_partkey AS k, p_name || ' ' || lower(p_type) AS nm,
+      |    substr(p_name, 1, 6) || CAST(length(p_name) AS VARCHAR) AS blk
+      |  FROM part),
+      |m AS (
+      |  SELECT a.k AS ka, b.k AS kb,
+      |    CAST(FLOOR(jaro_winkler_similarity(a.nm, b.nm) * 1e6 + 0.5) AS BIGINT)
+      |      AS jw_e6
+      |  FROM p a JOIN p b ON a.blk = b.blk AND a.k < b.k),
+      |jm AS (SELECT ka, kb, jw_e6 FROM m WHERE jw_e6 >= 940000),
+      |edges AS (
+      |  SELECT ka AS u, kb AS v FROM jm
+      |  UNION SELECT kb AS u, ka AS v FROM jm),
+      |nodes AS (SELECT DISTINCT u AS n FROM edges),
+      |reach(n, l) AS (
+      |  SELECT n, n FROM nodes
+      |  UNION
+      |  SELECT e.v, r.l FROM reach r JOIN edges e ON e.u = r.n),
+      |comp AS (SELECT n AS node, MIN(l) AS component FROM reach GROUP BY n),
+      |members AS (
+      |  SELECT component, CAST(COUNT(*) AS BIGINT) AS n_members
+      |  FROM comp GROUP BY component),
+      |census AS (
+      |  SELECT c.component, CAST(COUNT(*) AS BIGINT) AS n_edges,
+      |    CAST(SUM(j.jw_e6) AS BIGINT) AS jw_sum
+      |  FROM jm j JOIN comp c ON j.ka = c.node
+      |  GROUP BY c.component)
+      |SELECT mb.component AS entity_id, mb.n_members, cs.n_edges, cs.jw_sum,
+      |  md5(p.nm) AS canonical_md5
+      |FROM members mb
+      |JOIN census cs ON mb.component = cs.component
+      |JOIN p ON p.k = mb.component""".stripMargin))
+
   def queries: Seq[GQuery] =
     Seq(q45, q46, q47, q49, q52, q59, q62, q63, q64, q67, q69, q71, q148, q155,
-      q170, q177, q187, q192, q198, q199, q214, q233, q234, q238)
+      q170, q177, q187, q192, q198, q199, q214, q233, q234, q238, q254)
 }

@@ -1090,19 +1090,22 @@ object SimilarityQueries {
         s"UNION ALL SELECT b, a, cos_e9 FROM s$r", s"e$r")}""".stripMargin
 
   /** The full graph-build CTE chain ending in `e2` (the 2-round
-    * NN-descent graph) — shared by the q251 build oracle and q253's
-    * search oracle, which replays the build before walking it. */
-  private val nndGraphSql: String =
+    * NN-descent graph) — shared by the q251 build oracle, q253's
+    * search oracle, and q255's incremental-insert oracle (the latter
+    * restricts the indexed corpus via `where`); each replays the
+    * build before using the graph. */
+  private def nndGraphSqlW(where: String): String =
     s"""$elSql,
        |nbk AS MATERIALIZED (
        |  SELECT GREATEST(16, CAST(CEIL(COUNT(*) / ${2.0 * NndK}) AS BIGINT))
        |    AS nb
-       |  FROM embeddings),
+       |  FROM embeddings $where),
        |b AS MATERIALIZED (
        |  SELECT vec_id AS id, t,
        |    CAST(('0x' || substr(md5('nnd-' || t || '-' || vec_id), 1, 7))
        |      AS BIGINT) % nbk.nb AS bucket
-       |  FROM embeddings, (SELECT unnest(generate_series(0, 1)) AS t), nbk),
+       |  FROM embeddings, (SELECT unnest(generate_series(0, 1)) AS t), nbk
+       |  $where),
        |c0 AS MATERIALIZED (SELECT DISTINCT x.id AS a, y.id AS b
        |       FROM b x JOIN b y
        |       ON x.t = y.t AND x.bucket = y.bucket AND x.id < y.id),
@@ -1111,6 +1114,8 @@ object SimilarityQueries {
         "UNION ALL SELECT b, a, cos_e9 FROM s0", "e0")},
        |${nndRoundSql("e0", 1)},
        |${nndRoundSql("e1", 2)}""".stripMargin
+
+  private val nndGraphSql: String = nndGraphSqlW("")
 
   private def nndBuild(s: org.apache.spark.sql.SparkSession, d: String) =
     graft.similarity.NnDescent.knnGraph(
@@ -1141,27 +1146,32 @@ object SimilarityQueries {
     * best-of-entries by (best, cur asc, entry asc); the oracle
     * replays the graph build AND every walk hop by hop, so the
     * routing decision at every hop sits under the hash. */
+  /** One greedy hop over the replayed `e2` adjacency for every
+    * (query, entry) walk — shared by q253 (search) and q255 (insert
+    * routing). */
+  private def nndHopSql(prev: String, r: Int): String =
+    s"""bst$r AS MATERIALIZED (
+       |  SELECT t.qid, t.entry, t.cur, t.nid, t.c FROM (
+       |    SELECT s2.qid, s2.entry, s2.cur, g.nid, cq.cos_e9 AS c,
+       |      row_number() OVER (PARTITION BY s2.qid, s2.entry
+       |        ORDER BY cq.cos_e9 DESC, g.nid ASC) AS rk
+       |    FROM $prev s2
+       |    JOIN e2 g ON g.u = s2.cur
+       |    JOIN cosq cq ON cq.a = s2.qid AND cq.b = g.nid) t
+       |  WHERE t.rk = 1),
+       |st$r AS MATERIALIZED (
+       |  SELECT s.qid, s.entry,
+       |    CASE WHEN c.c > s.best THEN c.nid ELSE s.cur END AS cur,
+       |    CASE WHEN c.c > s.best THEN c.c ELSE s.best END AS best,
+       |    s.moved + CASE WHEN c.c > s.best THEN 1 ELSE 0 END AS moved
+       |  FROM $prev s
+       |  LEFT JOIN bst$r c ON c.qid = s.qid AND c.entry = s.entry)"""
+      .stripMargin
+
   val q253 = {
     val Hops = 4
     val Entries = Seq(0L, 1L, 2L, 3L, 4L, 5L)
-    val hopSql = (prev: String, r: Int) =>
-      s"""bst$r AS MATERIALIZED (
-         |  SELECT t.qid, t.entry, t.cur, t.nid, t.c FROM (
-         |    SELECT s2.qid, s2.entry, s2.cur, g.nid, cq.cos_e9 AS c,
-         |      row_number() OVER (PARTITION BY s2.qid, s2.entry
-         |        ORDER BY cq.cos_e9 DESC, g.nid ASC) AS rk
-         |    FROM $prev s2
-         |    JOIN e2 g ON g.u = s2.cur
-         |    JOIN cosq cq ON cq.a = s2.qid AND cq.b = g.nid) t
-         |  WHERE t.rk = 1),
-         |st$r AS MATERIALIZED (
-         |  SELECT s.qid, s.entry,
-         |    CASE WHEN c.c > s.best THEN c.nid ELSE s.cur END AS cur,
-         |    CASE WHEN c.c > s.best THEN c.c ELSE s.best END AS best,
-         |    s.moved + CASE WHEN c.c > s.best THEN 1 ELSE 0 END AS moved
-         |  FROM $prev s
-         |  LEFT JOIN bst$r c ON c.qid = s.qid AND c.entry = s.entry)"""
-        .stripMargin
+    val hopSql = nndHopSql _
     GQuery(
       "q253_graph_ann_search",
       (s, d) => {
@@ -1192,5 +1202,64 @@ object SimilarityQueries {
         |WHERE rk = 1""".stripMargin))
   }
 
-  def queries: Seq[GQuery] = Seq(q40, q41, q42, q48, q53, q102, q105, q114, q117, q119, q122, q131, q147, q173, q176, q186, q188, q226, q248, q251, q253)
+  /** q255: incremental k-NN-graph maintenance
+    * ([[graft.similarity.NnDescent.insertBatch]]) — the landed-index
+    * arm of the NN-descent graph, closing the last
+    * every-index-has-an-incremental-arm gap: a landed graph over 4/5
+    * of the vectors absorbs the remaining 1/5 as a batch, each new
+    * vector greedy-routed through the landed adjacency (3 hops, 6
+    * spread entries) and linked to its top-k among the endpoint's
+    * general neighborhood — the HNSW insert recipe, cost tracking
+    * the BATCH, landed vectors touched only through graph edges.
+    * The oracle replays the landed build, every routing hop, the
+    * neighborhood expansion, and the final per-vector ranking. */
+  val q255 = {
+    val Hops = 3
+    val Entries = Seq(1L, 2L, 3L, 4L, 6L, 7L) // landed ids (% 5 != 0)
+    GQuery(
+      "q255_incremental_knn_graph",
+      (s, d) => {
+        val emb = embeddings(s, d)
+        val landed = emb.filter(col("vec_id") % 5 =!= 0)
+        val batch = emb.filter(col("vec_id") % 5 === 0)
+        val graph = graft.similarity.NnDescent.knnGraph(
+          landed, "vec_id", "embedding", k = NndK, rounds = 2,
+          bucketTables = 2)
+        graft.similarity.NnDescent.insertBatch(
+          graph, emb, batch, "vec_id", "embedding", k = NndK,
+          entries = Entries, hops = Hops)
+      },
+      Some(s"""WITH ${nndGraphSqlW("WHERE vec_id % 5 != 0")},
+        |cq0 AS MATERIALIZED (
+        |  SELECT q.vec_id AS a, n.vec_id AS b
+        |  FROM embeddings q, embeddings n
+        |  WHERE q.vec_id % 5 = 0 AND n.vec_id % 5 != 0),
+        |${nndScoreSql("cq0", "cosq")},
+        |st0 AS MATERIALIZED (
+        |  SELECT a AS qid, b AS entry, b AS cur, cos_e9 AS best,
+        |    0 AS moved
+        |  FROM cosq WHERE b IN (${Entries.mkString(", ")})),
+        |${(1 to Hops).map(r => nndHopSql(s"st${r - 1}", r)).mkString(",\n")},
+        |endf AS MATERIALIZED (
+        |  SELECT qid, cur AS found FROM (
+        |    SELECT qid, cur,
+        |      row_number() OVER (PARTITION BY qid
+        |        ORDER BY best DESC, cur ASC, entry ASC) AS rk
+        |    FROM st$Hops) t
+        |  WHERE rk = 1),
+        |gen AS MATERIALIZED (
+        |  SELECT u, nid FROM e2 UNION SELECT nid, u FROM e2),
+        |candp AS MATERIALIZED (
+        |  SELECT qid AS a, found AS b FROM endf
+        |  UNION
+        |  SELECT e.qid, g.nid FROM endf e JOIN gen g ON g.u = e.found)
+        |SELECT qid, CAST(rank AS INT) AS rank, nid, cos_e9 FROM (
+        |  SELECT c.a AS qid, c.b AS nid, q.cos_e9,
+        |    row_number() OVER (PARTITION BY c.a
+        |      ORDER BY q.cos_e9 DESC, c.b ASC) AS rank
+        |  FROM candp c JOIN cosq q ON q.a = c.a AND q.b = c.b) t
+        |WHERE rank <= $NndK""".stripMargin))
+  }
+
+  def queries: Seq[GQuery] = Seq(q40, q41, q42, q48, q53, q102, q105, q114, q117, q119, q122, q131, q147, q173, q176, q186, q188, q226, q248, q251, q253, q255)
 }

@@ -210,4 +210,53 @@ object NnDescent {
       .select(col("qid"), col("w.c").as("found"), col("w.b").as("cos_e9"),
         col("w.m").cast("long").as("moved"))
   }
+
+  /** Incremental graph maintenance — the landed-index arm of
+    * [[knnGraph]] (every other index in the suite has one: LSH bands,
+    * shingle grams, chunk fingerprints, and since r10 the suffix
+    * array): a batch of NEW vectors joins a landed graph without any
+    * rebuild. Each new vector greedy-routes through the landed
+    * adjacency ([[greedySearch]], multi-entry) to its home
+    * neighborhood, its candidates are the endpoint plus the
+    * endpoint's GENERAL (out ∪ in) neighbors — the HNSW insert
+    * recipe on a flat graph — and its top-k of the exactly-scored
+    * candidates become its edges. Returns the batch DELTA (qid =
+    * new id, rank, nid, cos_e9), appendable to the landed edge
+    * table; landed nodes' own lists are untouched (reverse-edge
+    * refresh is a compaction-time concern, like every landed index
+    * here). Cost tracks the BATCH: |new| walks + |new|·O(k)
+    * scorings — the landed corpus is only read through the graph. */
+  def insertBatch(graph: DataFrame, vecs: DataFrame, newVecs: DataFrame,
+                  idCol: String, vecCol: String, k: Int,
+                  entries: Seq[Long], hops: Int): DataFrame = {
+    val sv = vecs.select(col(idCol).cast("long").as("id"),
+        Knn.scaledVec(col(vecCol)).as("sv"))
+      .withColumn("n2", Knn.norm2Scaled(col("sv")))
+      .localCheckpoint(eager = true) // routed + scored
+    val routed = greedySearch(graph, vecs, newVecs, idCol, vecCol,
+      entries, hops)
+    val gen = graph.select(col("qid").as("u"), col("nid"))
+      .unionByName(graph.select(col("nid").as("u"), col("qid").as("nid")))
+      .distinct()
+    val cand = routed.select(col("qid").as("a"), col("found").as("b"))
+      .unionByName(
+        routed.select(col("qid").as("a"), col("found").as("u"))
+          .join(gen, Seq("u"))
+          .select(col("a"), col("nid").as("b")))
+      .distinct()
+    val scored = cand
+      .join(sv.select(col("id").as("a"), col("sv").as("__qv"),
+        col("n2").as("__qn")), Seq("a"))
+      .join(sv.select(col("id").as("b"), col("sv").as("__nv"),
+        col("n2").as("__nn")), Seq("b"))
+      .select(col("a").as("qid"), col("b").as("nid"),
+        floor(Knn.dotScaled(col("__qv"), col("__nv")) /
+          (sqrt(col("__qn")) * sqrt(col("__nn"))) * lit(1e9) + lit(0.5))
+          .cast("long").as("cos_e9"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_e9").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), col("cos_e9"))
+  }
 }

@@ -91,6 +91,29 @@ class NnDescentSpec extends SparkSpec {
     assert(run(2) == run(16))
   }
 
+  test("insertBatch links new vectors near their true landed neighbors") {
+    val all = vecs(4)
+    val landed = all.filter($"vec_id" % 5 =!= 0)
+    val batch = all.filter($"vec_id" % 5 === 0)
+    val graph = NnDescent.knnGraph(landed, "vec_id", "embedding", k = K,
+      rounds = 2, buckets = 12, bucketTables = 2)
+    val delta = NnDescent.insertBatch(graph, all, batch, "vec_id",
+        "embedding", k = K, entries = Seq(1L, 2L, 3L, 4L), hops = 4)
+      .select($"qid", $"nid", $"cos_e9").as[(Long, Long, Long)].collect()
+    val byQ = delta.groupBy(_._1)
+    assert(byQ.keySet == (0 until 200 by 5).map(_.toLong).toSet)
+    byQ.values.foreach(es => assert(es.length <= K))
+    // delta edges only point at landed vectors
+    assert(delta.forall(_._2 % 5 != 0))
+    // mean best-linked cosine near the exact batch-vs-landed 1-NN mean
+    val exact = Knn.bruteForceTopK(landed, batch, "vec_id", "embedding", 1)
+      .select($"qid", $"cos").as[(Long, Double)].collect().toMap
+    val meanGot = byQ.view.mapValues(_.map(_._3).max / 1e9).values.sum / byQ.size
+    val meanExact = exact.values.sum / exact.size
+    assert(meanGot > 0.9 * meanExact,
+      s"insert links ($meanGot) far from exact 1-NN mean ($meanExact)")
+  }
+
   test("every node keeps at most k neighbors, ranks dense from 1") {
     val rows = NnDescent.knnGraph(vecs(4), "vec_id", "embedding", k = K,
         rounds = 1, buckets = 12, bucketTables = 2)
