@@ -1251,7 +1251,96 @@ object MiscQueries {
       |JOIN census cs ON mb.component = cs.component
       |JOIN p ON p.k = mb.component""".stripMargin))
 
+  /** q256: sorted-neighborhood blocking ([[graft.dedup.Blocking]],
+    * Hernández–Stolfo SIGMOD'95) as the second blocking pass beside
+    * q214's equality blocks — the multi-pass linkage census: per
+    * window offset j, candidate and match counts plus how many
+    * matches the sorted window finds that the equality blocks MISS
+    * (prefix-damaged keys sort adjacent but hash apart — the reason
+    * production linkage unions blocking passes). Window candidates
+    * are exactly w·n — linear at any corpus size, no hot-block
+    * depth skew by construction. The oracle replays the global sort
+    * position, the offset joins, the bit-equal Jaro–Winkler scores,
+    * and the anti-join against the equality-block matches. */
+  val q256 = GQuery(
+    "q256_sorted_neighborhood",
+    (s, d) => {
+      graft.functions.JaroWinkler.register(s)
+      val p = part(s, d).select(
+        col("p_partkey").as("k"),
+        concat(col("p_name"), lit(" "), lower(col("p_type"))).as("nm"),
+        concat(substring(col("p_name"), 1, 6),
+          length(col("p_name")).cast("string")).as("blk"))
+        .localCheckpoint(eager = false) // sort pass + two score joins
+      val sn = graft.dedup.Blocking
+        .sortedNeighborhoodPairs(p, "k", "nm", w = 3)
+      val scored = sn
+        .join(p.select(col("k").as("ka"), col("nm").as("na")), Seq("ka"))
+        .join(p.select(col("k").as("kb"), col("nm").as("nb")), Seq("kb"))
+        .withColumn("jw_e6",
+          floor(expr("jaro_winkler(na, nb)") * 1e6 + 0.5).cast("long"))
+        .localCheckpoint(eager = false) // census + the anti-join arm
+      val eqm = p.select(col("blk"), col("k").as("ka"), col("nm").as("na"))
+        .join(p.select(col("blk"), col("k").as("kb"), col("nm").as("nb")),
+          Seq("blk"))
+        .filter(col("ka") < col("kb"))
+        .filter(floor(expr("jaro_winkler(na, nb)") * 1e6 + 0.5)
+          .cast("long") >= 940000L)
+        .select(least(col("ka"), col("kb")).as("lo"),
+          greatest(col("ka"), col("kb")).as("hi"))
+      val newOnly = scored.filter(col("jw_e6") >= 940000L)
+        .select(col("j"), least(col("ka"), col("kb")).as("lo"),
+          greatest(col("ka"), col("kb")).as("hi"))
+        .join(eqm, Seq("lo", "hi"), "left_anti")
+        .groupBy(col("j")).agg(lcount(lit(1)).as("n_new_vs_blocking"))
+      scored.groupBy(col("j"))
+        .agg(lcount(lit(1)).as("n_pairs"),
+          sum(when(col("jw_e6") >= 940000L, lit(1L)).otherwise(lit(0L)))
+            .as("n_matches"),
+          sum(when(col("jw_e6") >= 940000L, col("jw_e6")).otherwise(lit(0L)))
+            .as("jw_checksum"))
+        .join(newOnly, Seq("j"), "left")
+        .select(col("j"), col("n_pairs"), col("n_matches"),
+          col("jw_checksum"),
+          coalesce(col("n_new_vs_blocking"), lit(0L)).as("n_new_vs_blocking"))
+    },
+    Some("""WITH p AS (
+      |  SELECT p_partkey AS k, p_name || ' ' || lower(p_type) AS nm,
+      |    substr(p_name, 1, 6) || CAST(length(p_name) AS VARCHAR) AS blk
+      |  FROM part),
+      |ord AS (
+      |  SELECT k, nm, row_number() OVER (ORDER BY nm, k) - 1 AS idx
+      |  FROM p),
+      |sn AS (
+      |  SELECT a.k AS ka, b.k AS kb, s.j,
+      |    CAST(FLOOR(jaro_winkler_similarity(a.nm, b.nm) * 1e6 + 0.5)
+      |      AS BIGINT) AS jw_e6
+      |  FROM ord a, UNNEST(generate_series(1, 3)) AS s(j)
+      |  JOIN ord b ON b.idx = a.idx + s.j),
+      |eqm AS (
+      |  SELECT LEAST(a.k, b.k) AS lo, GREATEST(a.k, b.k) AS hi
+      |  FROM p a JOIN p b ON a.blk = b.blk AND a.k < b.k
+      |  WHERE CAST(FLOOR(jaro_winkler_similarity(a.nm, b.nm) * 1e6 + 0.5)
+      |    AS BIGINT) >= 940000),
+      |newo AS (
+      |  SELECT s.j, CAST(COUNT(*) AS BIGINT) AS n_new_vs_blocking
+      |  FROM sn s
+      |  WHERE s.jw_e6 >= 940000 AND NOT EXISTS (
+      |    SELECT 1 FROM eqm e
+      |    WHERE e.lo = LEAST(s.ka, s.kb) AND e.hi = GREATEST(s.ka, s.kb))
+      |  GROUP BY s.j)
+      |SELECT c.j, c.n_pairs, c.n_matches, c.jw_checksum,
+      |  COALESCE(n.n_new_vs_blocking, 0) AS n_new_vs_blocking
+      |FROM (
+      |  SELECT j, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |    CAST(SUM(CASE WHEN jw_e6 >= 940000 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_matches,
+      |    CAST(SUM(CASE WHEN jw_e6 >= 940000 THEN jw_e6 ELSE 0 END)
+      |      AS BIGINT) AS jw_checksum
+      |  FROM sn GROUP BY j) c
+      |LEFT JOIN newo n ON c.j = n.j""".stripMargin))
+
   def queries: Seq[GQuery] =
     Seq(q45, q46, q47, q49, q52, q59, q62, q63, q64, q67, q69, q71, q148, q155,
-      q170, q177, q187, q192, q198, q199, q214, q233, q234, q238, q254)
+      q170, q177, q187, q192, q198, q199, q214, q233, q234, q238, q254, q256)
 }
