@@ -1089,21 +1089,29 @@ object DedupQueries {
     * log-round doubling algorithm produces — including dense ties for
     * identical cross-doc suffixes — is checked against a first-
     * principles suffix sort. */
-  /** The %17-sample SA ranks all three in-sample SA queries share:
-    * q212 LANDS them ([[graft.core.Landed]]), q216/q221 PROBE — the
-    * doubling rounds run once per suite, not three times. */
+  /** The %17-sample SA index all four in-sample SA queries share:
+    * q212 LANDS it ([[graft.core.Landed]]; the string-carrying
+    * [[graft.text.SuffixArray.index]] form, so it is EXTENDABLE),
+    * q216/q221 PROBE its ranks, and q223 probes AND EXTENDS it with
+    * the benchmark excerpts — the doubling rounds run once per
+    * suite, not four times. */
   private def sa17Sample(s: org.apache.spark.sql.SparkSession, d: String) =
     documents(s, d)
       .filter(col("doc_id") % 17 === 0)
       .select(col("doc_id"), col("text"))
 
-  private def sa17Ranks(s: org.apache.spark.sql.SparkSession, d: String,
+  private def sa17Index(s: org.apache.spark.sql.SparkSession, d: String,
                         probe: Boolean) = {
-    def build = graft.text.SuffixArray.ranks(
+    def build = graft.text.SuffixArray.index(
       sa17Sample(s, d), "doc_id", "text", maxChars = 200)
-    if (probe) graft.core.Landed.probeOrBuild(s, s"sa-ranks-17-200:$d")(build)
-    else graft.core.Landed.land(s, s"sa-ranks-17-200:$d")(build)
+    if (probe) graft.core.Landed.probeOrBuild(s, s"sa-index-17-200:$d")(build)
+    else graft.core.Landed.land(s, s"sa-index-17-200:$d")(build)
   }
+
+  private def sa17Ranks(s: org.apache.spark.sql.SparkSession, d: String,
+                        probe: Boolean) =
+    sa17Index(s, d, probe)
+      .select(col("doc_id"), col("pos"), col("rank"))
 
   val q212 = GQuery(
     "q212_suffix_array",
@@ -1385,9 +1393,17 @@ object DedupQueries {
           .select((-col("doc_id") - 1).as("doc_id"),
             substring(col("text"), 41, 60).as("text"))
           .filter(length(col("text")) >= 1)
+        // the production shape of contamination screening: the corpus
+        // SA is a LANDED index; the newly-arrived benchmark extends
+        // it through the linear merge (extendRanks, merge == rebuild)
+        // instead of re-running the doubling over corpus mass
+        val merged = graft.text.SuffixArray
+          .extendRanks(sa17Index(s, d, probe = true), bench,
+            "doc_id", "text", maxChars = 200)
+          .select(col("doc_id"), col("pos"), col("rank"))
         val runs = graft.text.SuffixArray
           .prefixRuns(train.unionByName(bench), "doc_id", "text",
-            maxChars = 200, minLen = L)
+            maxChars = 200, minLen = L, ranksOf = Some(merged))
           .localCheckpoint(eager = false)
         val agg = runs.groupBy(col("run_id")).agg(
           min(when(!col("boundary"), col("prev_lcp"))).as("__run_len"),

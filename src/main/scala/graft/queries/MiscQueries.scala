@@ -936,29 +936,48 @@ object MiscQueries {
     * mass, score checksum — the census a linkage run uses to size its
     * clerical-review queue. Skewed blocks (shared first words) are the
     * q170 salting case at 100 TB. */
-  val q214 = GQuery(
-    "q214_fuzzy_linkage",
-    (s, d) => {
+  /** The (k, nm, blk) linkage frame and the scored equality-block
+    * MATCH table three queries share: q214 LANDS the matches
+    * ([[graft.core.Landed]] — scoring every block pair once per
+    * suite), q254 probes them as entity edges and q256 as the
+    * blocking pass to beat. */
+  private def linkageParts(s: org.apache.spark.sql.SparkSession, d: String) =
+    part(s, d).select(
+      col("p_partkey").as("k"),
+      concat(col("p_name"), lit(" "), lower(col("p_type"))).as("nm"),
+      concat(substring(col("p_name"), 1, 6),
+        length(col("p_name")).cast("string")).as("blk"))
+
+  /** Landed (blk, ka, kb, jw_e6) pairs at the 0.94 match threshold. */
+  private def jwBlockMatches(s: org.apache.spark.sql.SparkSession, d: String,
+                             probe: Boolean) = {
+    def build = {
       graft.functions.JaroWinkler.register(s)
-      val p = part(s, d).select(
-        col("p_partkey").as("k"),
-        concat(col("p_name"), lit(" "), lower(col("p_type"))).as("nm"),
-        concat(substring(col("p_name"), 1, 6),
-          length(col("p_name")).cast("string")).as("blk"))
-      val cand = p.select(col("blk"), col("k").as("ka"), col("nm").as("na"))
+      val p = linkageParts(s, d)
+      p.select(col("blk"), col("k").as("ka"), col("nm").as("na"))
         .join(p.select(col("blk"), col("k").as("kb"), col("nm").as("nb")),
           Seq("blk"))
         .filter(col("ka") < col("kb"))
+        .withColumn("jw_e6",
+          floor(expr("jaro_winkler(na, nb)") * 1e6 + 0.5).cast("long"))
+        .filter(col("jw_e6") >= 940000L)
+        .select(col("blk"), col("ka"), col("kb"), col("jw_e6"))
+    }
+    if (probe) graft.core.Landed.probeOrBuild(s, s"jw-matches:$d")(build)
+    else graft.core.Landed.land(s, s"jw-matches:$d")(build)
+  }
+
+  val q214 = GQuery(
+    "q214_fuzzy_linkage",
+    (s, d) => {
+      val p = linkageParts(s, d)
       val sizes = p.groupBy(col("blk")).agg(lcount(lit(1)).as("c"))
         .filter(col("c") > 1)
         .select(col("blk"),
           // c(c-1) is even, so the double division is exact; cast keeps
           // the column BIGINT like the oracle's integer //
           (col("c") * (col("c") - 1) / 2).cast("long").as("n_candidates"))
-      val matches = cand
-        .withColumn("jw_e6",
-          floor(expr("jaro_winkler(na, nb)") * 1e6 + 0.5).cast("long"))
-        .filter(col("jw_e6") >= 940000L)
+      val matches = jwBlockMatches(s, d, probe = false)
         .groupBy(col("blk"))
         .agg(lcount(lit(1)).as("n_matches"),
           sum(col("jw_e6")).as("jw_checksum"),
@@ -1190,21 +1209,8 @@ object MiscQueries {
   val q254 = GQuery(
     "q254_entity_resolution",
     (s, d) => {
-      graft.functions.JaroWinkler.register(s)
-      val p = part(s, d).select(
-        col("p_partkey").as("k"),
-        concat(col("p_name"), lit(" "), lower(col("p_type"))).as("nm"),
-        concat(substring(col("p_name"), 1, 6),
-          length(col("p_name")).cast("string")).as("blk"))
-        .localCheckpoint(eager = false) // pairs + the canonical join-back
-      val matches = p.select(col("blk"), col("k").as("ka"), col("nm").as("na"))
-        .join(p.select(col("blk"), col("k").as("kb"), col("nm").as("nb")),
-          Seq("blk"))
-        .filter(col("ka") < col("kb"))
-        .withColumn("jw_e6",
-          floor(expr("jaro_winkler(na, nb)") * 1e6 + 0.5).cast("long"))
-        .filter(col("jw_e6") >= 940000L)
-        .localCheckpoint(eager = false) // closure + the per-entity census
+      val p = linkageParts(s, d)
+      val matches = jwBlockMatches(s, d, probe = true)
       val comp = graft.dedup.Components.connected(matches, "ka", "kb")
       val census = matches
         .join(comp.select(col("node").as("ka"), col("component")), Seq("ka"))
@@ -1266,11 +1272,7 @@ object MiscQueries {
     "q256_sorted_neighborhood",
     (s, d) => {
       graft.functions.JaroWinkler.register(s)
-      val p = part(s, d).select(
-        col("p_partkey").as("k"),
-        concat(col("p_name"), lit(" "), lower(col("p_type"))).as("nm"),
-        concat(substring(col("p_name"), 1, 6),
-          length(col("p_name")).cast("string")).as("blk"))
+      val p = linkageParts(s, d)
         .localCheckpoint(eager = false) // sort pass + two score joins
       val sn = graft.dedup.Blocking
         .sortedNeighborhoodPairs(p, "k", "nm", w = 3)
@@ -1280,12 +1282,7 @@ object MiscQueries {
         .withColumn("jw_e6",
           floor(expr("jaro_winkler(na, nb)") * 1e6 + 0.5).cast("long"))
         .localCheckpoint(eager = false) // census + the anti-join arm
-      val eqm = p.select(col("blk"), col("k").as("ka"), col("nm").as("na"))
-        .join(p.select(col("blk"), col("k").as("kb"), col("nm").as("nb")),
-          Seq("blk"))
-        .filter(col("ka") < col("kb"))
-        .filter(floor(expr("jaro_winkler(na, nb)") * 1e6 + 0.5)
-          .cast("long") >= 940000L)
+      val eqm = jwBlockMatches(s, d, probe = true)
         .select(least(col("ka"), col("kb")).as("lo"),
           greatest(col("ka"), col("kb")).as("hi"))
       val newOnly = scored.filter(col("jw_e6") >= 940000L)
