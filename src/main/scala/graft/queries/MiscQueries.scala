@@ -948,24 +948,32 @@ object MiscQueries {
       concat(substring(col("p_name"), 1, 6),
         length(col("p_name")).cast("string")).as("blk"))
 
+  /** The landing's build plan — `private[graft]` so Round8PlanSpec
+    * can keep its blocking-equi-join/native-kernel gate on the plan
+    * that actually scores pairs (the landed q214 plan only scans the
+    * materialized result). */
+  private[graft] def jwBlockMatchesBuild(s: org.apache.spark.sql.SparkSession,
+                                         d: String) = {
+    graft.functions.JaroWinkler.register(s)
+    val p = linkageParts(s, d)
+    p.select(col("blk"), col("k").as("ka"), col("nm").as("na"))
+      .join(p.select(col("blk"), col("k").as("kb"), col("nm").as("nb")),
+        Seq("blk"))
+      .filter(col("ka") < col("kb"))
+      .withColumn("jw_e6",
+        floor(expr("jaro_winkler(na, nb)") * 1e6 + 0.5).cast("long"))
+      .filter(col("jw_e6") >= 940000L)
+      .select(col("blk"), col("ka"), col("kb"), col("jw_e6"))
+  }
+
   /** Landed (blk, ka, kb, jw_e6) pairs at the 0.94 match threshold. */
   private def jwBlockMatches(s: org.apache.spark.sql.SparkSession, d: String,
-                             probe: Boolean) = {
-    def build = {
-      graft.functions.JaroWinkler.register(s)
-      val p = linkageParts(s, d)
-      p.select(col("blk"), col("k").as("ka"), col("nm").as("na"))
-        .join(p.select(col("blk"), col("k").as("kb"), col("nm").as("nb")),
-          Seq("blk"))
-        .filter(col("ka") < col("kb"))
-        .withColumn("jw_e6",
-          floor(expr("jaro_winkler(na, nb)") * 1e6 + 0.5).cast("long"))
-        .filter(col("jw_e6") >= 940000L)
-        .select(col("blk"), col("ka"), col("kb"), col("jw_e6"))
-    }
-    if (probe) graft.core.Landed.probeOrBuild(s, s"jw-matches:$d")(build)
-    else graft.core.Landed.land(s, s"jw-matches:$d")(build)
-  }
+                             probe: Boolean) =
+    if (probe)
+      graft.core.Landed.probeOrBuild(s, s"jw-matches:$d")(
+        jwBlockMatchesBuild(s, d))
+    else
+      graft.core.Landed.land(s, s"jw-matches:$d")(jwBlockMatchesBuild(s, d))
 
   val q214 = GQuery(
     "q214_fuzzy_linkage",

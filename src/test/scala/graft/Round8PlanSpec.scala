@@ -19,7 +19,14 @@ class Round8PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"cartesian in linkage plan:\n$p")
     assert(!p.contains("BroadcastNestedLoopJoin"),
       "candidate pairs must come from the blocking equi-join")
-    assert(p.contains("jaro_winkler"), "native kernel missing from plan")
+    // the pair scoring lives in the LANDED build since r10 (q214 lands
+    // the match table, q254/q256 probe it) — gate the build plan
+    val b = graft.queries.MiscQueries.jwBlockMatchesBuild(spark, sf)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!b.contains("CartesianProduct") &&
+      !b.contains("BroadcastNestedLoopJoin"),
+      s"non-equi candidate generation in the landed build:\n$b")
+    assert(b.contains("jaro_winkler"), "native kernel missing from build plan")
   }
 
   test("q206: triangle counting is equi-joins only") {
