@@ -40,15 +40,16 @@ object EndToEndQueries {
       // (the projection also prunes the fold's own plan — dimension
       // carries the merge never touches drop out of the final
       // validator projection entirely).
-      val validated = ValidateLandings.full(
-        ValidateQueries.fixtureTrips(s, d), ValidateQueries.fixtureCatch(s, d),
-        ValidateQueries.fixtureRegistry(s, d), ValidateQueries.fixtureVesselDim(s),
-        ValidateQueries.fixtureGearDim(s), ValidateQueries.fixtureStations(s, d),
-        ValidateQueries.fixtureReportingUnits(s, d),
-        ValidateQueries.fixtureHabitatDim(s), ValidateQueries.fixtureConservationDim(s))
+      // Since r10 the stage artifact is LANDED by q72 (the reference
+      // DAG passes this handoff through its artifact store between
+      // stages — data-pipeline.yaml stage outputs); probing it keeps
+      // the barrier semantics AND drops the fold re-run when the
+      // validate stage already ran this session. A standalone q95
+      // still builds it (probeOrBuild), pinned so the multi-consumer
+      // merge below never re-executes the fold per branch.
+      val validated = ValidateQueries.validatedLanding(s, d, probe = true)
         .select(col("submission_id"), col("landing_date"),
           col("imei_resolved"), col("catch_price"))
-        .localCheckpoint(false)
       // per-submission catch weight (the reference's _weight artifact grain)
       val weights = ValidateQueries.fixtureCatch(s, d)
         .groupBy(col("submission_id"))

@@ -231,14 +231,32 @@ object ValidateQueries {
 
   /** q72: the full 15-validator fold — counts per united alert string
     * plus cleaned-value census (nulling semantics under the hash gate). */
-  val q72 = GQuery(
-    "q72_validate_landings",
-    (s, d) => {
-      val out = ValidateLandings.full(
+  /** The validated-landings stage artifact q72 and q95 share — the
+    * reference DAG passes exactly this handoff between stages through
+    * its artifact store (`data-pipeline.yaml` stage outputs), so q72
+    * LANDS it ([[graft.core.Landed]]) and q95 probes it instead of
+    * re-running the 15-validator fold. Projected to the union of the
+    * columns either consumer reads, so the fold's other dimension
+    * carries still prune out of the landed plan. */
+  private[queries] def validatedLanding(s: org.apache.spark.sql.SparkSession,
+                                        d: String, probe: Boolean) = {
+    def build = ValidateLandings.full(
         fixtureTrips(s, d), fixtureCatch(s, d),
         fixtureRegistry(s, d), fixtureVesselDim(s), fixtureGearDim(s),
         fixtureStations(s, d), fixtureReportingUnits(s, d),
         fixtureHabitatDim(s), fixtureConservationDim(s))
+      .select(col("submission_id"), col("landing_date"), col("alert"),
+        col("trip_length"), col("vessel_type"), col("mesh_size_mm"),
+        col("fuel"), col("catch_price"), col("imei_resolved"))
+    if (probe)
+      graft.core.Landed.probeOrBuild(s, s"validated-landings:$d")(build)
+    else graft.core.Landed.land(s, s"validated-landings:$d")(build)
+  }
+
+  val q72 = GQuery(
+    "q72_validate_landings",
+    (s, d) => {
+      val out = validatedLanding(s, d, probe = false)
       out.groupBy(col("alert"))
         .agg(
           lcount(lit(1)).as("n_submissions"),
