@@ -101,6 +101,10 @@ object ThreadCtx {
       idx.put(nodes(i), i)
       i += 1
     }
+    // duplicate turn ids would silently overwrite the parent map and
+    // misresolve every descendant's context — input contract, fail fast
+    require(idx.size == n,
+      s"thread_ctx: ${n - idx.size} duplicate node id(s) in one thread")
     i = 0
     while (i < n) {
       val row = arr.getStruct(i, 3)

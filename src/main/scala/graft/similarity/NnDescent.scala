@@ -176,6 +176,13 @@ object NnDescent {
       import ss.implicits._
       entries.toDF("entry")
     }
+    // an entry id absent from `vecs` silently drops ITS walk for every
+    // query (inner join below); if none resolve, the whole output
+    // vanishes — input contract, fail fast (a handful-of-rows check)
+    require(sv.join(entryDf, col("id") === col("entry"), "left_semi")
+      .count() == entries.distinct.length,
+      s"greedySearch: some entry ids ${entries.mkString("[", ",", "]")} " +
+        "are not present in the vector frame")
     var state = q0
       .crossJoin(broadcast(entryDf))
       .join(sv.select(col("id").as("cur"), col("sv").as("__nv"),

@@ -79,6 +79,16 @@ class NnDescentSpec extends SparkSpec {
       s"greedy results ($meanResult) nowhere near the exact 1-NN mean ($meanBest)")
   }
 
+  test("greedySearch rejects entry ids missing from the vector frame") {
+    val g = NnDescent.knnGraph(vecs(2), "vec_id", "embedding", k = K,
+      rounds = 0, buckets = 12, bucketTables = 2)
+    val e = intercept[IllegalArgumentException] {
+      NnDescent.greedySearch(g, vecs(2), vecs(2).filter($"vec_id" < 5),
+        "vec_id", "embedding", entries = Seq(3L, 99999L), hops = 2)
+    }
+    assert(e.getMessage.contains("entry"))
+  }
+
   test("greedySearch is deterministic across partitionings") {
     def run(parts: Int) = {
       val g = NnDescent.knnGraph(vecs(parts), "vec_id", "embedding", k = K,

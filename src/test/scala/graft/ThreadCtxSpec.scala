@@ -61,6 +61,13 @@ class ThreadCtxSpec extends SparkSpec {
     assert(got(4999L)._1 == 5000L)
   }
 
+  test("duplicate turn ids in one thread fail fast") {
+    val e = intercept[Exception] {
+      run(Seq((1L, None, "a"), (1L, None, "b"), (2L, Some(1L), "c")))
+    }
+    assert(e.getMessage != null && e.getMessage.contains("duplicate"))
+  }
+
   test("input order does not matter (children may precede parents)") {
     val turns = Seq[(Long, Option[Long], String)](
       (4L, Some(3L), "d"), (3L, Some(2L), "c"), (2L, Some(1L), "b"),
