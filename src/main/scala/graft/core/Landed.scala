@@ -28,7 +28,14 @@ object Landed {
 
   /** Land `build`'s result under `key`, replacing any prior landing —
     * the PRODUCER call: always builds, so the producer's cost stays
-    * honest in the bench (it IS the index build). */
+    * honest in the bench (it IS the index build).
+    *
+    * Memory hygiene: a replaced landing's checkpoint blocks are NOT
+    * explicitly unpersisted — a consumer may still hold the old frame,
+    * and a local checkpoint has no lineage to recompute from, so an
+    * eager unpersist could fail it. The ContextCleaner reclaims the
+    * blocks once the old frame's refs are collected (the engine
+    * sessions run periodic GC for exactly this class of state). */
   def land(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
     val df = materialize(build)
     cache.put((spark, key), df)
