@@ -100,8 +100,15 @@ object Components {
     * component-keyed window after the component map — the iterative
     * work all lives in [[connected]]. */
   def electCanonical(docs: DataFrame, idCol: String, qualityCol: String,
-                     pairs: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    val comp = connected(pairs, srcCol, dstCol)
+                     pairs: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    electCanonicalFrom(connected(pairs, srcCol, dstCol), docs, idCol, qualityCol)
+
+  /** [[electCanonical]] over a PRECOMPUTED (node, component) map —
+    * the landed-artifact seam (`core/Landed`): the component map is
+    * the expensive iterative product, so consumers probe one landing
+    * instead of re-running the star rounds per query. */
+  def electCanonicalFrom(comp: DataFrame, docs: DataFrame, idCol: String,
+                         qualityCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("component"))
       .orderBy(col(qualityCol).desc, col(idCol).asc)

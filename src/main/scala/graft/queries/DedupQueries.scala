@@ -178,14 +178,10 @@ object DedupQueries {
     * an independent algorithm agreeing on the partition. */
   val q57 = GQuery(
     "q57_neardup_clusters",
-    (s, d) => {
-      val pairs = Dedup.ngramJaccardPairs(
-        documents(s, d), "doc_id", "text", k = 5, threshold = 0.2)
-        .select(col("da"), col("db"))
-      graft.dedup.Components.connected(pairs, "da", "db")
+    (s, d) =>
+      ngramComp02(s, d, probe = true)
         .groupBy(col("component"))
-        .agg(lcount(lit(1)).as("n_docs"))
-    },
+        .agg(lcount(lit(1)).as("n_docs")),
     Some(s"""WITH RECURSIVE $shingleSql,
       |pairs AS (
       |  SELECT a.doc AS da, b.doc AS db, COUNT(*) AS common
@@ -524,16 +520,38 @@ object DedupQueries {
     * (keep the most complete crawl), ties to the smallest id. The
     * census pins the elected ids (sum), the kept token mass, and the
     * dropped token mass per component. */
+  /** The k=5 / θ=0.2 near-dup pairs and their component map FOUR
+    * queries share (q57 census, q118 election, q162 preference pairs,
+    * q180 splits): q118 LANDS both ([[graft.core.Landed]] — it runs
+    * first alphabetically), the rest PROBE — the shingle/inverted-
+    * index pair generation and the large-star/small-star rounds run
+    * once per suite, not four times. */
+  private def ngramPairs02(s: org.apache.spark.sql.SparkSession, d: String,
+                           probe: Boolean) = {
+    def build = Dedup.ngramJaccardPairs(documents(s, d), "doc_id", "text",
+        k = 5, threshold = 0.2)
+      .select(col("da"), col("db"))
+    if (probe) graft.core.Landed.probeOrBuild(s, s"ngram-pairs-5-02:$d")(build)
+    else graft.core.Landed.land(s, s"ngram-pairs-5-02:$d")(build)
+  }
+
+  private def ngramComp02(s: org.apache.spark.sql.SparkSession, d: String,
+                          probe: Boolean) = {
+    def build = graft.dedup.Components.connected(
+      ngramPairs02(s, d, probe = true), "da", "db")
+    if (probe) graft.core.Landed.probeOrBuild(s, s"ngram-comp-5-02:$d")(build)
+    else graft.core.Landed.land(s, s"ngram-comp-5-02:$d")(build)
+  }
+
   val q118 = GQuery(
     "q118_cluster_election",
     (s, d) => {
       val docs = documents(s, d)
-      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 5, threshold = 0.2)
-        .select(col("da"), col("db"))
+      ngramPairs02(s, d, probe = false) // produce the pair landing
       val toks = docs.select(col("doc_id"),
         size(graft.text.TextFunctions.wsTokens(col("text"))).cast("long").as("n_tokens"))
-      graft.dedup.Components.electCanonical(
-          toks, "doc_id", "n_tokens", pairs, "da", "db")
+      graft.dedup.Components.electCanonicalFrom(
+          ngramComp02(s, d, probe = false), toks, "doc_id", "n_tokens")
         .groupBy(col("component"))
         .agg(
           lcount(lit(1)).as("n_docs"),
@@ -928,11 +946,9 @@ object DedupQueries {
     "q162_preference_pairs",
     (s, d) => {
       val docs = documents(s, d)
-      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 5, threshold = 0.2)
-        .select(col("da"), col("db"))
       val toks = docs.select(col("doc_id"),
         size(graft.text.TextFunctions.wsTokens(col("text"))).cast("long").as("n_tokens"))
-      val comp = graft.dedup.Components.connected(pairs, "da", "db")
+      val comp = ngramComp02(s, d, probe = true)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("component"))
         .orderBy(col("n_tokens").desc, col("doc_id").asc)
@@ -1025,12 +1041,10 @@ object DedupQueries {
       (s, d) => {
         import graft.operators.Splits
         val docs = documents(s, d)
-        // two consumers (component build, leak audit) — pin the pairs
-        val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-            k = 5, threshold = 0.2)
-          .select(col("da"), col("db"))
-          .localCheckpoint(eager = false)
-        val comp = graft.dedup.Components.connected(pairs, "da", "db")
+        // pairs feed the leak audit, comp the split map — both probed
+        // from the q118 landings (pinned there, no local pin needed)
+        val pairs = ngramPairs02(s, d, probe = true)
+        val comp = ngramComp02(s, d, probe = true)
         val assigned = Splits.assignSplit(
             docs.select(col("doc_id"), col("n_chars"))
               .join(comp.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
