@@ -253,7 +253,15 @@ object DedupQueries {
     * LANDED corpus index (everything else) for band collisions plus its
     * own internal collisions; only candidate pairs are verified and
     * corpus-internal pairs are never re-reported (process-once). Same
-    * MinHash parameters as q38. */
+    * MinHash parameters as q38.
+    *
+    * NOT routed through the `core/Landed` registry (unlike the
+    * ngram-comp / SA / JW-match families): measured r10, landing the
+    * DedupIndex faces made the q88+q90 pair 3.3 → 4.8 s. buildIndex
+    * already pins the CPU-dense shingle pass eagerly, its `bands`
+    * face is a cheap LAZY derivation that each consumer prunes to its
+    * own columns, and q90's cost is batch-side work — so a landing
+    * only adds a full un-pruned materialization of the band table. */
   val q88 = GQuery(
     "q88_incremental_neardup",
     (s, d) => {
