@@ -184,8 +184,91 @@ case class KmvMergeAgg(child: Expression, kExpr: Expression,
     copy(child = newChildren(0), kExpr = newChildren(1))
 }
 
+/** `k_min_hashes_long(h, k)`: [[KMinHashes]] over int64 hashes — the
+  * [[Hash60]]-kernel arm of the KMV state for wide profiling scans
+  * (q247's per-table/per-column sketches): the string arm pays a
+  * 32-hex-char md5 materialization per row plus string comparisons
+  * in the bounded heap AND 32-byte keys through every distinct
+  * shuffle; the long arm hashes straight off the key bytes and keeps
+  * 8-byte keys end to end. Ordering semantics are identical (hex md5
+  * strings order as their numeric value), so the downstream k-minima
+  * set algebra — union, sort, slice, intersect — is unchanged. */
+case class KMinHashesLong(child: Expression, kExpr: Expression,
+                          override val mutableAggBufferOffset: Int = 0,
+                          override val inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]] {
+
+  private lazy val k: Int = kExpr.eval().asInstanceOf[Number].intValue()
+
+  override def children: Seq[Expression] = Seq(child, kExpr)
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.LongType,
+    containsNull = false)
+  override def prettyName: String = "k_min_hashes_long"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != org.apache.spark.sql.types.LongType)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires a bigint column")
+    else if (!kExpr.foldable || kExpr.dataType != IntegerType ||
+      kExpr.eval() == null || kExpr.eval().asInstanceOf[Number].intValue() <= 0)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires a positive integer literal k")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long]()
+
+  private def insert(buf: java.util.TreeSet[java.lang.Long], v: Long): Unit =
+    if (buf.size < k) { buf.add(v); () }
+    else if (v < buf.last() && buf.add(v)) { buf.pollLast(); () }
+
+  override def update(buf: java.util.TreeSet[java.lang.Long],
+                      input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) insert(buf, v.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(buf: java.util.TreeSet[java.lang.Long],
+                     other: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+    other.forEach(v => insert(buf, v))
+    buf
+  }
+
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
+    val arr = new Array[Long](buf.size)
+    val it = buf.iterator()
+    var i = 0
+    while (it.hasNext) { arr(i) = it.next(); i += 1 }
+    new GenericArrayData(arr)
+  }
+
+  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    buf.forEach(v => out.writeLong(v))
+    out.flush(); bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = createAggregationBuffer()
+    (0 until n).foreach(_ => buf.add(in.readLong()))
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KMinHashesLong =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KMinHashesLong =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): KMinHashesLong =
+    copy(child = newChildren(0), kExpr = newChildren(1))
+}
+
 object KMinHashes {
   val info: ExpressionInfo = new ExpressionInfo(classOf[KMinHashes].getName, "k_min_hashes")
+  val longInfo: ExpressionInfo = new ExpressionInfo(classOf[KMinHashesLong].getName, "k_min_hashes_long")
   val mergeInfo: ExpressionInfo = new ExpressionInfo(classOf[KmvMergeAgg].getName, "kmv_merge")
 
   private def asLit(e: Expression): Expression = e match {
@@ -203,10 +286,18 @@ object KMinHashes {
     KmvMergeAgg(exprs.head, asLit(exprs(1))).toAggregateExpression()
   }
 
+  def longBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2, "k_min_hashes_long(h, k)")
+    KMinHashesLong(exprs.head, asLit(exprs(1))).toAggregateExpression()
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "k_min_hashes", builder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "k_min_hashes_long", longBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "kmv_merge", mergeBuilder, "built-in")
+    Hash60.register(spark) // the long arm's hash kernel
   }
 }

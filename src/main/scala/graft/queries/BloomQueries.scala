@@ -712,9 +712,12 @@ object BloomQueries {
       "q247_fk_discovery",
       (s, dir) => {
         graft.functions.KMinHashes.register(s)
+        // the long KMV arm (r10): hash60 kernel + int64 minima — no
+        // 32-hex-char md5 string per row, 8-byte keys through the
+        // distinct shuffles; minima ORDER identically to the hex arm
         def st(name: String, df: org.apache.spark.sql.DataFrame, c: org.apache.spark.sql.Column) =
-          df.select(md5(c.cast("string")).as("h"))
-            .agg(call_function("k_min_hashes", col("h"), lit(k)).as("tops"),
+          df.select(call_function("hash60", c.cast("string"), lit("")).as("h"))
+            .agg(call_function("k_min_hashes_long", col("h"), lit(k)).as("tops"),
               countDistinct(col("h")).as("nd"))
             .select(lit(name).as("cid"), col("tops"), col("nd"))
         val states = st("li_ok", lineitem(s, dir), col("l_orderkey"))
@@ -772,15 +775,20 @@ object BloomQueries {
           .drop("n_in", "n_child")
       },
       Some(s"""WITH cols AS (
-        |  SELECT 'li_ok' AS cid, md5(CAST(l_orderkey AS VARCHAR)) AS h FROM lineitem
+        |  SELECT 'li_ok' AS cid, CAST(('0x' || substr(md5(CAST(l_orderkey
+        |    AS VARCHAR)), 1, 15)) AS BIGINT) AS h FROM lineitem
         |  UNION ALL
-        |  SELECT 'ord_ok', md5(CAST(o_orderkey AS VARCHAR)) FROM orders
+        |  SELECT 'ord_ok', CAST(('0x' || substr(md5(CAST(o_orderkey
+        |    AS VARCHAR)), 1, 15)) AS BIGINT) FROM orders
         |  UNION ALL
-        |  SELECT 'ord_ck', md5(CAST(o_custkey AS VARCHAR)) FROM orders
+        |  SELECT 'ord_ck', CAST(('0x' || substr(md5(CAST(o_custkey
+        |    AS VARCHAR)), 1, 15)) AS BIGINT) FROM orders
         |  UNION ALL
-        |  SELECT 'cust_ck', md5(CAST(c_custkey AS VARCHAR)) FROM customer
+        |  SELECT 'cust_ck', CAST(('0x' || substr(md5(CAST(c_custkey
+        |    AS VARCHAR)), 1, 15)) AS BIGINT) FROM customer
         |  UNION ALL
-        |  SELECT 'ord_ok2', md5(CAST(o_orderkey * 2 AS VARCHAR)) FROM orders),
+        |  SELECT 'ord_ok2', CAST(('0x' || substr(md5(CAST(o_orderkey * 2
+        |    AS VARCHAR)), 1, 15)) AS BIGINT) FROM orders),
         |dh AS (SELECT DISTINCT cid, h FROM cols),
         |st AS (
         |  SELECT cid, list_slice(list_sort(list(h)), 1, $k) AS tops

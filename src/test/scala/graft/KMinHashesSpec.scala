@@ -40,6 +40,33 @@ class KMinHashesSpec extends SparkSpec {
     assert(got == hashes.distinct.sorted.take(16))
   }
 
+  test("long arm: k smallest distinct int64 hashes, brute-force parity, partition-invariant") {
+    graft.functions.KMinHashes.register(spark)
+    val keys = (0 until 4000).map(i => s"key-${i % 1777}")
+    def minima(parts: Int): Seq[Long] =
+      keys.toDF("x").repartition(parts)
+        .select(call_function("hash60", $"x", lit("")).as("h"))
+        .agg(call_function("k_min_hashes_long", $"h", lit(32)).as("tops"))
+        .select($"tops").as[Seq[Long]].head()
+    // brute force with the same empty-prefix md5-derived 60-bit hash
+    val bruteEmpty = keys.distinct.map { x =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        md.take(8).map("%02x".format(_)).mkString.take(15), 16)
+    }.distinct.sorted.take(32)
+    assert(minima(1) == bruteEmpty)
+    assert(minima(16) == bruteEmpty)
+  }
+
+  test("long arm nulls ignored, short groups return all values") {
+    graft.functions.KMinHashes.register(spark)
+    val out = Seq(Some(5L), None, Some(2L), Some(5L)).toDF("h")
+      .agg(call_function("k_min_hashes_long", $"h", lit(10)).as("tops"))
+      .select($"tops").as[Seq[Long]].head()
+    assert(out == Seq(2L, 5L))
+  }
+
   test("kmv_merge law: merged per-group states == direct build over the union") {
     graft.functions.KMinHashes.register(spark)
     val rows = (0 until 500).map(i => (s"g${i % 7}", s"h${i % 131}%03d"))
