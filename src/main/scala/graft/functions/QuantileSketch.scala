@@ -83,14 +83,40 @@ case class QuantileSketch(child: Expression, pExpr: Expression, capExpr: Express
 
   override def update(buf: QSketchBuffer, input: InternalRow): QSketchBuffer = {
     val v = child.eval(input)
-    if (v != null) {
-      buf.levels(0) += v.asInstanceOf[Double]
-      if (buf.levels(0).length > cap) compact(buf, 0)
-    }
+    if (v != null) QSketchOps.insert(buf, v.asInstanceOf[Double], cap)
     buf
   }
 
   override def merge(buf: QSketchBuffer, other: QSketchBuffer): QSketchBuffer = {
+    QSketchOps.mergeInto(buf, other, cap)
+    buf
+  }
+
+  override def eval(buf: QSketchBuffer): Any = QSketchOps.estimate(buf, p)
+
+  override def serialize(buf: QSketchBuffer): Array[Byte] = QSketchOps.serialize(buf)
+
+  override def deserialize(bytes: Array[Byte]): QSketchBuffer = QSketchOps.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): QuantileSketch =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): QuantileSketch =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): QuantileSketch =
+    copy(child = newChildren(0), pExpr = newChildren(1), capExpr = newChildren(2))
+}
+
+/** Compactor-buffer operations shared by [[QuantileSketch]] and the
+  * state algebra ([[KllState]]/[[KllMerge]]/[[KllValue]]) — extracted
+  * verbatim so the sketch DYNAMICS are defined in exactly one place. */
+object QSketchOps {
+
+  def insert(buf: QSketchBuffer, v: Double, cap: Int): Unit = {
+    buf.levels(0) += v
+    if (buf.levels(0).length > cap) compact(buf, 0, cap)
+  }
+
+  def mergeInto(buf: QSketchBuffer, other: QSketchBuffer, cap: Int): Unit = {
     var i = 0
     while (i < other.levels.length) {
       while (buf.levels.length <= i) { buf.levels += ArrayBuffer.empty; buf.parity += false }
@@ -99,14 +125,13 @@ case class QuantileSketch(child: Expression, pExpr: Expression, capExpr: Express
     }
     i = 0
     while (i < buf.levels.length) { // bottom-up: promotions cascade
-      if (buf.levels(i).length > cap) compact(buf, i)
+      if (buf.levels(i).length > cap) compact(buf, i, cap)
       i += 1
     }
-    buf
   }
 
   /** Sort level i, promote its alternating half at double weight. */
-  private def compact(buf: QSketchBuffer, i: Int): Unit = {
+  def compact(buf: QSketchBuffer, i: Int, cap: Int): Unit = {
     val arr = buf.levels(i).toArray
     java.util.Arrays.sort(arr)
     if (buf.levels.length <= i + 1) { buf.levels += ArrayBuffer.empty; buf.parity += false }
@@ -116,10 +141,19 @@ case class QuantileSketch(child: Expression, pExpr: Expression, capExpr: Express
     var j = start
     while (j < arr.length) { next += arr(j); j += 2 }
     buf.levels(i).clear()
-    if (next.length > cap) compact(buf, i + 1)
+    if (next.length > cap) compact(buf, i + 1, cap)
   }
 
-  override def eval(buf: QSketchBuffer): Any = {
+  /** Total weight held (Σ level_size · 2^level) — the exact row count
+    * when no compaction has fired (level 0 only). */
+  def totalWeight(buf: QSketchBuffer): Long = {
+    var w = 0L
+    var i = 0
+    while (i < buf.levels.length) { w += buf.levels(i).length.toLong << i; i += 1 }
+    w
+  }
+
+  def estimate(buf: QSketchBuffer, p: Double): Any = {
     // weighted order statistics: value-sorted (v, 2^level) pairs
     var n = 0
     var i = 0
@@ -155,7 +189,7 @@ case class QuantileSketch(child: Expression, pExpr: Expression, capExpr: Express
     vLo + (h - lo) * (vHi - vLo)
   }
 
-  override def serialize(buf: QSketchBuffer): Array[Byte] = {
+  def serialize(buf: QSketchBuffer): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buf.levels.length)
@@ -169,7 +203,7 @@ case class QuantileSketch(child: Expression, pExpr: Expression, capExpr: Express
     out.flush(); bos.toByteArray
   }
 
-  override def deserialize(bytes: Array[Byte]): QSketchBuffer = {
+  def deserialize(bytes: Array[Byte]): QSketchBuffer = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val buf = new QSketchBuffer()
     buf.levels.clear(); buf.parity.clear()
@@ -183,13 +217,6 @@ case class QuantileSketch(child: Expression, pExpr: Expression, capExpr: Express
     }
     buf
   }
-
-  override def withNewMutableAggBufferOffset(newOffset: Int): QuantileSketch =
-    copy(mutableAggBufferOffset = newOffset)
-  override def withNewInputAggBufferOffset(newOffset: Int): QuantileSketch =
-    copy(inputAggBufferOffset = newOffset)
-  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): QuantileSketch =
-    copy(child = newChildren(0), pExpr = newChildren(1), capExpr = newChildren(2))
 }
 
 object QuantileSketch {

@@ -912,7 +912,52 @@ object BloomQueries {
       |FROM rk JOIN tot t ON rk.col_name = t.col_name
       |WHERE rk.rank <= 3""".stripMargin))
 
+  /** q260: KLL quantile-sketch state rollup — closes the sketch-merge
+    * algebra beside q222 (HLL), q227 (Count-Min) and q228 (KMV):
+    * per-language `kll_state` over n_chars is built in ONE documents
+    * scan, and the corpus-level grain is answered by `kll_merge` over
+    * those states — never a rescan. Capacity 16384 exceeds the sf0.01
+    * corpus, so no compaction fires and every estimate IS the exact
+    * R-type-7 quantile — the oracle replays all grains with
+    * `quantile_cont`, putting the state build + merge + eval path
+    * itself under the hash gate (the q222 discipline). Beyond
+    * capacity the same path degrades to the KLL rank bound, which
+    * QuantileSketchSpec property-tests (merge ≡ direct within bound,
+    * adversarial orders). */
+  val q260 = {
+    import graft.functions.KllAlgebra
+    GQuery(
+      "q260_kll_rollup",
+      (s, d) => {
+        KllAlgebra.register(s)
+        val fine = documents(s, d)
+          .select(col("lang"), col("n_chars").cast("double").as("v"))
+          .groupBy(col("lang"))
+          .agg(expr("kll_state(v, 16384)").as("__st"))
+          // two consumers (own grain + the all-grain merge)
+          .localCheckpoint(eager = false)
+        val byLang = fine.select(lit("lang").as("grain"), col("lang"), col("__st"))
+        val all = fine.agg(expr("kll_merge(__st, 16384)").as("__st"))
+          .select(lit("all").as("grain"), lit(null).cast("string").as("lang"),
+            col("__st"))
+        byLang.unionByName(all)
+          .select(col("grain"), col("lang"),
+            expr("kll_n(__st)").as("n"),
+            round(expr("kll_value(__st, 0.5)"), 6).as("p50"),
+            round(expr("kll_value(__st, 0.95)"), 6).as("p95"))
+      },
+      Some("""SELECT 'lang' AS grain, lang, COUNT(*) AS n,
+        |  round(quantile_cont(CAST(n_chars AS DOUBLE), 0.5), 6) AS p50,
+        |  round(quantile_cont(CAST(n_chars AS DOUBLE), 0.95), 6) AS p95
+        |FROM documents GROUP BY lang
+        |UNION ALL
+        |SELECT 'all', NULL, COUNT(*),
+        |  round(quantile_cont(CAST(n_chars AS DOUBLE), 0.5), 6),
+        |  round(quantile_cont(CAST(n_chars AS DOUBLE), 0.95), 6)
+        |FROM documents""".stripMargin))
+  }
+
   def queries: Seq[GQuery] =
     Seq(q154, q156, q208, q222, q227, q228, q239, q245, q246, q247, q249,
-      q250)
+      q250, q260)
 }

@@ -825,6 +825,49 @@ object GraphQueries {
       |SELECT d.center, d.context, d.j, c.neg
       |FROM draws d JOIN cum c ON d.u >= c.lo AND d.u < c.hi""".stripMargin))
 
+  /** k-core decomposition by iterated H-index (Lü et al. 2016) over
+    * the undirected doc link graph — the "is this page inside a dense
+    * link community or a tendril" signal a crawl-quality gate adds to
+    * PageRank (q153) and triangle count (q206). Six H-index rounds
+    * converge on this graph (KCoreSpec pins round-6 ≡ round-8); the
+    * update is integer-valued and tie-invariant (MAX(LEAST(rank,
+    * value)) over desc-sorted neighbour values), so the oracle unrolls
+    * the same rounds as CTEs and the whole iteration sits under the
+    * hash gate. */
+  val q259 = GQuery(
+    "q259_kcore_decomposition",
+    (s, d) =>
+      graft.graph.KCore.coreness(linkEdges(s, d).drop("w"), iters = 6),
+    Some {
+      def round(prev: String, cur: String) =
+        s"""$cur AS (
+           |  SELECT src AS node, MAX(LEAST(rn, c)) AS c FROM (
+           |    SELECT u.src, cp.c,
+           |      row_number() OVER (PARTITION BY u.src ORDER BY cp.c DESC) AS rn
+           |    FROM u JOIN $prev cp ON u.dst = cp.node)
+           |  GROUP BY src)""".stripMargin
+      s"""WITH raw AS (
+        |  SELECT 'd' || (doc_id % $M) AS src, 'd' || ((doc_id * 7 + 13) % $M) AS dst
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'd' || (doc_id % $M), 'd' || ((doc_id * 13 + 29) % $M) FROM documents
+        |  UNION ALL
+        |  SELECT 'd' || (doc_id % $M), 'd' || ((doc_id * 31 + 7) % $M) FROM documents),
+        |e0 AS (SELECT DISTINCT src, dst FROM raw WHERE src != dst),
+        |u AS MATERIALIZED (
+        |  SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+        |c0 AS (SELECT src AS node, COUNT(*) AS c FROM u GROUP BY 1),
+        |${round("c0", "c1")},
+        |${round("c1", "c2")},
+        |${round("c2", "c3")},
+        |${round("c3", "c4")},
+        |${round("c4", "c5")},
+        |${round("c5", "c6")}
+        |SELECT d.node, CAST(d.c AS BIGINT) AS degree,
+        |  CAST(k.c AS BIGINT) AS coreness
+        |FROM c0 d JOIN c6 k ON d.node = k.node""".stripMargin
+    })
+
   def queries: Seq[GQuery] =
-    Seq(q153, q157, q158, q160, q164, q174, q178, q231, q232, q241, q242, q243)
+    Seq(q153, q157, q158, q160, q164, q174, q178, q231, q232, q241, q242, q243, q259)
 }

@@ -152,6 +152,79 @@ object SimilarityQueries {
       |SELECT qid, CAST(rank AS INT) AS rank, nid, round(cos, 4) AS cos
       |FROM ranked WHERE rank <= 5""".stripMargin))
 
+  /** Multi-probe LSH ANN (Lu et al., VLDB'07): 2 tables × 6 planes,
+    * each query probing its base bucket PLUS the 2 single-bit
+    * perturbations whose projections sit nearest the hyperplane
+    * boundary. The scale rationale vs q42: extra TABLES re-materialize
+    * the corpus index (storage ∝ tables at 100 TB); extra PROBES only
+    * add broadcast-side query rows to the same bucket-local equi-join —
+    * recall is bought back at query time, not index-build time. Fully
+    * deterministic: the oracle re-derives projections with the same
+    * IEEE fold, ranks |proj| identically (bit-equal doubles), flips the
+    * same bits via xor, and replays candidates + scaled-long cosines
+    * bit-for-bit. KnnSpec pins nProbes=0 ≡ lshTopK and recall-vs-probes
+    * monotonicity against the q40 exact baseline. */
+  val q257 = GQuery(
+    "q257_multiprobe_lsh",
+    (s, d) => {
+      val emb = embeddings(s, d)
+      Knn.multiProbeTopK(
+        corpus = emb, queries = emb.filter(col("vec_id") < 10),
+        idCol = "vec_id", vecCol = "embedding", k = 5,
+        numPlanes = 6, numTables = 2, nProbes = 2)
+        .select(col("qid"), col("rank"), col("nid"), round(col("cos"), 4).as("cos"))
+    },
+    Some(s"""WITH $elSql,
+      |planes AS (
+      |  SELECT t, p
+      |  FROM (SELECT unnest(generate_series(0, 1)) AS t),
+      |       (SELECT unnest(generate_series(0, 5)) AS p)),
+      |${bucketSql("")},
+      |proj AS (
+      |  SELECT v.vec_id, pl.t, pl.p,
+      |    list_reduce(
+      |      list_transform(generate_series(1, len(v.embedding)),
+      |        i -> CAST(v.embedding[i] AS DOUBLE) *
+      |          (CASE WHEN (strpos('0123456789abcdef',
+      |              substr(md5(pl.t || ':' || pl.p || ':' || CAST(i - 1 AS VARCHAR)), 1, 1)) - 1) % 2 = 1
+      |            THEN 1.0 ELSE -1.0 END)),
+      |      (a, x) -> a + x) AS proj
+      |  FROM embeddings v, planes pl
+      |  WHERE v.vec_id < 10),
+      |qb AS (
+      |  SELECT vec_id, t,
+      |    CAST(SUM(CASE WHEN proj > 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS BIGINT) AS bucket
+      |  FROM proj GROUP BY 1, 2),
+      |pr AS (
+      |  SELECT vec_id, t, p,
+      |    row_number() OVER (PARTITION BY vec_id, t ORDER BY abs(proj) ASC, p ASC) AS r
+      |  FROM proj),
+      |probes AS (
+      |  SELECT vec_id, t, bucket FROM qb
+      |  UNION ALL
+      |  SELECT pr.vec_id, pr.t, xor(qb.bucket, CAST(1 AS BIGINT) << pr.p) AS bucket
+      |  FROM pr JOIN qb ON pr.vec_id = qb.vec_id AND pr.t = qb.t
+      |  WHERE pr.r <= 2),
+      |cand AS (
+      |  SELECT DISTINCT pq.vec_id AS qid, c.vec_id AS nid
+      |  FROM probes pq JOIN b c ON pq.t = c.t AND pq.bucket = c.bucket
+      |  WHERE pq.vec_id <> c.vec_id),
+      |dot AS (
+      |  SELECT ca.qid, ca.nid, CAST(SUM(q.e * c.e) AS DOUBLE) / 100000000000000.0 AS dot
+      |  FROM cand ca
+      |  JOIN el q ON q.vec_id = ca.qid
+      |  JOIN el c ON c.vec_id = ca.nid AND q.i = c.i
+      |  GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT d.qid, d.nid, d.dot / (sqrt(nq.n2) * sqrt(nc.n2)) AS cos
+      |  FROM dot d JOIN n2 nq ON d.qid = nq.vec_id JOIN n2 nc ON d.nid = nc.vec_id),
+      |ranked AS (
+      |  SELECT qid, nid, cos,
+      |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank
+      |  FROM scored)
+      |SELECT qid, CAST(rank AS INT) AS rank, nid, round(cos, 4) AS cos
+      |FROM ranked WHERE rank <= 5""".stripMargin))
+
   /** IVF ANN: Voronoi-cell partitioned search (4 lists, 2 probes) — the
     * bucketed-by-cell scale path where probes become partition-pruned
     * scans. Approximate w.r.t. exact KNN but fully deterministic
@@ -213,6 +286,95 @@ object SimilarityQueries {
       |  SELECT vec_id, cell FROM (
       |    SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
       |    FROM d1 WHERE vec_id < 10) WHERE rn <= 2),
+      |cand AS (
+      |  SELECT DISTINCT p.vec_id AS qid, a1.vec_id AS nid
+      |  FROM probes p JOIN a1 ON a1.cell = p.cell
+      |  WHERE a1.vec_id <> p.vec_id),
+      |dot AS (
+      |  SELECT ca.qid, ca.nid, CAST(SUM(q.e * c.e) AS DOUBLE) / 100000000000000.0 AS dot
+      |  FROM cand ca
+      |  JOIN el q ON q.vec_id = ca.qid
+      |  JOIN el c ON c.vec_id = ca.nid AND q.i = c.i
+      |  GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT d.qid, d.nid, d.dot / (sqrt(nq.n2) * sqrt(nc.n2)) AS cos
+      |  FROM dot d JOIN n2 nq ON d.qid = nq.vec_id JOIN n2 nc ON d.nid = nc.vec_id),
+      |ranked AS (
+      |  SELECT qid, nid, cos,
+      |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank
+      |  FROM scored)
+      |SELECT qid, CAST(rank AS INT) AS rank, nid, round(cos, 4) AS cos
+      |FROM ranked WHERE rank <= 5""".stripMargin))
+
+  /** Incremental IVF maintenance ([[graft.similarity.Ivf
+    * .extendAndSearch]]) — the FAISS `add()` arm completing the
+    * landed-index discipline for the last index family that lacked one
+    * (LSH bands, shingle grams, chunk fingerprints, the suffix array
+    * and the k-NN graph all have incremental arms): centroids train
+    * once on the LANDED corpus (vec_id % 5 != 0, 1 Lloyd iter, 4
+    * lists) and freeze; the new batch (vec_id % 5 = 0) is cell-
+    * assigned by a map-only expression — no retrain, no landed rescan
+    * — and the batch's own arrivals search the merged postings with 2
+    * probes. The oracle replays train-on-landed, frozen assignment of
+    * ALL vectors, probe ranking and scaled-long cosines bit-for-bit;
+    * IvfSpec measures the frozen-centroid recall cost vs a retrained
+    * index. */
+  val q261 = GQuery(
+    "q261_incremental_ivf",
+    (s, d) => {
+      val emb = embeddings(s, d)
+      graft.similarity.Ivf.extendAndSearch(
+        landed = emb.filter(col("vec_id") % 5 =!= 0),
+        batch = emb.filter(col("vec_id") % 5 === 0),
+        queries = emb.filter(col("vec_id") % 5 === 0 && col("vec_id") < 50),
+        idCol = "vec_id", vecCol = "embedding", k = 5,
+        nLists = 4, nProbe = 2, iters = 1)
+        .select(col("qid"), col("rank"), col("nid"), round(col("cos"), 4).as("cos"))
+    },
+    Some(s"""WITH $elSql,
+      |landed AS (SELECT * FROM embeddings WHERE vec_id % 5 != 0),
+      |dim AS (SELECT MAX(len(embedding)) AS d FROM embeddings),
+      |seeds AS (
+      |  SELECT cell, embedding FROM (
+      |    SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cell,
+      |           embedding
+      |    FROM landed) WHERE cell < 4),
+      |seedlist AS (
+      |  SELECT cell, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c FROM seeds),
+      |d0 AS (
+      |  SELECT v.vec_id, s.cell,
+      |    list_reduce(list_transform(generate_series(1, len(v.embedding)),
+      |      i -> (CAST(v.embedding[i] AS DOUBLE) - s.c[i]) * (CAST(v.embedding[i] AS DOUBLE) - s.c[i])),
+      |      (a, b) -> a + b) AS d
+      |  FROM landed v, seedlist s),
+      |a0 AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+      |    FROM d0) WHERE rn = 1),
+      |m1 AS (
+      |  SELECT a0.cell, el.i, CAST(SUM(el.e) AS DOUBLE) / 10000000.0 / COUNT(el.e) AS m
+      |  FROM a0 JOIN el ON el.vec_id = a0.vec_id
+      |  GROUP BY a0.cell, el.i),
+      |c1 AS (
+      |  SELECT s.cell, list(COALESCE(m1.m, s.c[ser.i]) ORDER BY ser.i) AS c
+      |  FROM seedlist s
+      |  CROSS JOIN (SELECT unnest(generate_series(1, (SELECT d FROM dim))) AS i) ser
+      |  LEFT JOIN m1 ON m1.cell = s.cell AND m1.i = ser.i
+      |  GROUP BY s.cell),
+      |d1 AS (
+      |  SELECT v.vec_id, s.cell,
+      |    list_reduce(list_transform(generate_series(1, len(v.embedding)),
+      |      i -> (CAST(v.embedding[i] AS DOUBLE) - s.c[i]) * (CAST(v.embedding[i] AS DOUBLE) - s.c[i])),
+      |      (a, b) -> a + b) AS d
+      |  FROM embeddings v, c1 s),
+      |a1 AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+      |    FROM d1) WHERE rn = 1),
+      |probes AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+      |    FROM d1 WHERE vec_id % 5 = 0 AND vec_id < 50) WHERE rn <= 2),
       |cand AS (
       |  SELECT DISTINCT p.vec_id AS qid, a1.vec_id AS nid
       |  FROM probes p JOIN a1 ON a1.cell = p.cell
@@ -1261,5 +1423,5 @@ object SimilarityQueries {
         |WHERE rank <= $NndK""".stripMargin))
   }
 
-  def queries: Seq[GQuery] = Seq(q40, q41, q42, q48, q53, q102, q105, q114, q117, q119, q122, q131, q147, q173, q176, q186, q188, q226, q248, q251, q253, q255)
+  def queries: Seq[GQuery] = Seq(q40, q41, q42, q48, q53, q102, q105, q114, q117, q119, q122, q131, q147, q173, q176, q186, q188, q226, q248, q251, q253, q255, q257, q261)
 }

@@ -2040,9 +2040,54 @@ object TextQueries {
       |  ci.n_resamples
       |FROM p, ci""".stripMargin))
 
+  /** Group-conditional split conformal prediction (Mondrian, per
+    * language): a fixed chars-per-token point predictor
+    * (ŷ = 6·ws_tokens for n_chars) is wrapped with the ⌈(n+1)(1−α)⌉-th
+    * smallest calibration |residual| per lang (α = 1/10, md5 cal/test
+    * split), then audited for empirical coverage on the test rows —
+    * the distribution-free interval discipline a curation pipeline
+    * runs before trusting a scorer's point estimates. The conformal
+    * rank is INTEGER arithmetic (no IEEE ceil edge); q̂ is an order
+    * statistic (value well-defined under ties), so the oracle replays
+    * the split, ranks and coverage exactly. ConformalSpec pins the
+    * ≥ 1−α coverage guarantee and the small-group NULL-q̂ convention. */
+  val q258 = GQuery(
+    "q258_conformal_intervals",
+    (s, d) => {
+      val docs = documents(s, d)
+        .withColumn("yhat", (size(wsTokens(col("text"))) * 6).cast("double"))
+      graft.stats.Conformal.splitConformal(
+        docs, "lang", col("n_chars"), col("yhat"),
+        isCalib = graft.operators.Sampling.hashUnit(col("doc_id"), "conf") < 0.5,
+        alphaNum = 1, alphaDen = 10)
+    },
+    Some(s"""WITH base AS (
+      |  SELECT lang,
+      |    abs(CAST(n_chars AS DOUBLE) - CAST(6 * len($wsSql) AS DOUBLE)) AS r,
+      |    (CAST(('0x' || substr(md5('conf-' || CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT)
+      |      / 268435456.0 < 0.5) AS cal
+      |  FROM documents),
+      |nc AS (
+      |  SELECT lang, COUNT(*) AS n_cal,
+      |    ((COUNT(*) + 1) * 9 + 9) // 10 AS k
+      |  FROM base WHERE cal GROUP BY 1),
+      |rk AS (
+      |  SELECT lang, r, row_number() OVER (PARTITION BY lang ORDER BY r) AS rn
+      |  FROM base WHERE cal),
+      |q AS (
+      |  SELECT nc.lang, nc.n_cal, rk.r AS qhat
+      |  FROM nc LEFT JOIN rk ON rk.lang = nc.lang AND rk.rn = nc.k),
+      |t AS (
+      |  SELECT b.lang, COUNT(*) AS n_test,
+      |    SUM(CASE WHEN q.qhat IS NULL OR b.r <= q.qhat THEN 1 ELSE 0 END) AS ncov
+      |  FROM base b JOIN q ON b.lang = q.lang WHERE NOT b.cal GROUP BY 1)
+      |SELECT q.lang, q.n_cal, t.n_test, round(q.qhat, 6) AS qhat,
+      |  round(CAST(t.ncov AS DOUBLE) / t.n_test, 6) AS coverage
+      |FROM q JOIN t ON q.lang = t.lang""".stripMargin))
+
   def queries: Seq[GQuery] =
     Seq(q32, q33, q34, q35, q66, q89, q91, q94, q96, q98, q99, q101,
       q106, q107, q109, q110, q111, q112, q115, q116, q120, q121, q126,
       q130, q132, q134, q135, q136, q137, q139, q140, q141, q179, q189, q193,
-      q195, q200, q201, q236, q244)
+      q195, q200, q201, q236, q244, q258)
 }

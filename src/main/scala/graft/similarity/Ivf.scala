@@ -96,6 +96,42 @@ object Ivf {
   def topK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
            k: Int, nLists: Int, nProbe: Int, iters: Int = 2): DataFrame = {
     val cents = trainCentroids(corpus, idCol, vecCol, nLists, iters)
+    topKWithCentroids(corpus, queries, idCol, vecCol, k, cents, nProbe)
+  }
+
+  /** Incremental-index arm — the FAISS `add()` shape: centroids are
+    * trained ONCE on the landed corpus and FROZEN; a new batch is
+    * assigned to existing cells by a map-only expression (no retrain,
+    * no landed rescan — [[assignCells]] is shuffle-free), and searches
+    * probe the merged postings. This is how an IVF index actually
+    * lives at 100 TB: arrivals append to cell buckets; retraining is a
+    * scheduled compaction decided by a drift signal (per-cell counts —
+    * see [[cellCensus]]), not a per-batch cost. Approximation is the
+    * standard one: frozen centroids drift from the merged-data optimum
+    * (IvfSpec measures recall vs a retrained index); REPRODUCIBILITY
+    * is not approximate — same integer arithmetic, so the oracle
+    * replays train-on-landed + frozen assignment exactly. */
+  def extendAndSearch(landed: DataFrame, batch: DataFrame, queries: DataFrame,
+                      idCol: String, vecCol: String, k: Int,
+                      nLists: Int, nProbe: Int, iters: Int = 2): DataFrame = {
+    val cents = trainCentroids(landed, idCol, vecCol, nLists, iters)
+    val merged = landed.select(col(idCol), col(vecCol))
+      .unionByName(batch.select(col(idCol), col(vecCol)))
+    topKWithCentroids(merged, queries, idCol, vecCol, k, cents, nProbe)
+  }
+
+  /** Per-cell occupancy of a corpus under given centroids — the drift
+    * signal that schedules IVF retraining (skewed growth in a few
+    * cells = the frozen partition no longer fits the data). */
+  def cellCensus(df: DataFrame, vecCol: String,
+                 centroids: Array[Array[Double]]): DataFrame =
+    assignCells(df, vecCol, centroids)
+      .groupBy(col("__cell").as("cell")).agg(count(lit(1)).as("n"))
+
+  /** Search with FROZEN centroids (see [[topK]] for the plan shape). */
+  def topKWithCentroids(corpus: DataFrame, queries: DataFrame, idCol: String,
+                        vecCol: String, k: Int, cents: Array[Array[Double]],
+                        nProbe: Int): DataFrame = {
     val c = assignCells(corpus, vecCol, cents)
       .select(col(idCol).as("nid"), col("__cell"), Knn.scaledVec(col(vecCol)).as("__cv"))
       .withColumn("nn2", Knn.norm2Scaled(col("__cv")))

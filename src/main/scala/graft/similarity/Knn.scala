@@ -317,6 +317,57 @@ object Knn {
     * baseline). Candidate (qid, nid) pairs join back to the scaled
     * corpus vectors on nid — a plain hash join that scales with the
     * candidate count, never |corpus|·|queries|. */
+  /** Query-side multi-probe bucket set: base bucket per table plus the
+    * `nProbes` single-bit perturbations nearest the hyperplane boundary
+    * (see [[HyperplaneProbes]]). Same sign matrix and fold as
+    * [[hyperplaneBuckets]], so corpus buckets need no re-derivation. */
+  def multiProbeBuckets(df: DataFrame, idCol: String, vecCol: String,
+                        numPlanes: Int, numTables: Int, nProbes: Int,
+                        dim: Option[Int] = None): DataFrame = {
+    HyperplaneProbes.register(df.sparkSession)
+    val d = dim.getOrElse(inferDim(df, vecCol))
+    val flat = (0 until numTables).flatMap(t => (0 until numPlanes).flatMap(p =>
+      (0 until d).map(i => signComponent(t, p, i))))
+    df.select(col(idCol).as("id"),
+        explode(call_function("hyperplane_probes", col(vecCol),
+          typedlit(flat), lit(numPlanes), lit(numTables), lit(nProbes))).as("tb"))
+      .select(col("id"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+  }
+
+  /** Multi-probe LSH ANN (Lu et al., VLDB'07): the corpus is bucketed
+    * ONCE per table; each query additionally probes its `nProbes`
+    * nearest-miss buckets per table. At 100 TB this is the recall knob
+    * that does NOT re-materialize the corpus index: extra tables cost a
+    * full corpus copy each, extra probes only add broadcast-side rows
+    * to the same bucket-equi-join. Deterministic end-to-end (md5 signs,
+    * sequential double fold, scaled-long cosines) — the oracle replays
+    * buckets, probe ranking, candidates and scores bit-for-bit. */
+  def multiProbeTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, k: Int, numPlanes: Int,
+                     numTables: Int = 4, nProbes: Int = 2): DataFrame = {
+    val dim = Some(inferDim(corpus, vecCol)) // one probe job for both sides
+    val cb = hyperplaneBuckets(corpus, idCol, vecCol, numPlanes, numTables, dim)
+      .withColumnRenamed("id", "nid")
+    val qb = multiProbeBuckets(queries, idCol, vecCol, numPlanes, numTables, nProbes, dim)
+      .withColumnRenamed("id", "qid")
+    val cand = cb.join(broadcast(qb), Seq("t", "bucket"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid")).distinct()
+    val c = corpus.select(col(idCol).as("nid"), scaledVec(col(vecCol)).as("__cv"))
+      .withColumn("nn2", norm2Scaled(col("__cv")))
+    val q = queries.select(col(idCol).as("qid"), scaledVec(col(vecCol)).as("__qv"))
+      .withColumn("qn2", norm2Scaled(col("__qv")))
+    val scored = cand
+      .join(c, Seq("nid"))
+      .join(broadcast(q), Seq("qid"))
+      .withColumn("dot", dotScaled(col("__qv"), col("__cv")))
+      .withColumn("cos", col("dot") / (sqrt(col("qn2")) * sqrt(col("nn2"))))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), col("cos"))
+  }
+
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, numPlanes: Int, numTables: Int = 4): DataFrame = {
     val dim = Some(inferDim(corpus, vecCol)) // one probe job for both sides

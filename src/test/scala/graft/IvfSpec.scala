@@ -39,4 +39,43 @@ class IvfSpec extends SparkSpec {
       assert(math.abs(exactScores((t._1, t._2)) - t._3) < 1e-12)
     }
   }
+
+  test("extendAndSearch with an empty batch equals topK trained on the same corpus") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter($"vec_id" < 10)
+    val whole = Ivf.topK(emb, queries, "vec_id", "embedding", 5,
+      nLists = 4, nProbe = 2, iters = 1)
+      .select($"qid", $"rank", $"nid").as[(Long, Int, Long)].collect().toSet
+    val frozen = Ivf.extendAndSearch(emb, emb.limit(0), queries,
+      "vec_id", "embedding", 5, nLists = 4, nProbe = 2, iters = 1)
+      .select($"qid", $"rank", $"nid").as[(Long, Int, Long)].collect().toSet
+    assert(frozen == whole)
+  }
+
+  test("incremental IVF: frozen-centroid recall close to a retrained index; census covers all rows") {
+    val emb = Tables.embeddings(spark, sf)
+    val landed = emb.filter($"vec_id" % 5 =!= 0)
+    val batch = emb.filter($"vec_id" % 5 === 0)
+    val queries = batch.filter($"vec_id" < 50)
+    val exact = Knn.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select($"qid", $"nid").as[(Long, Long)].collect().toSet
+    def recallOf(res: org.apache.spark.sql.DataFrame): Double = {
+      val s = res.select($"qid", $"nid").as[(Long, Long)].collect().toSet
+      (exact intersect s).size.toDouble / exact.size
+    }
+    val frozen = recallOf(Ivf.extendAndSearch(landed, batch, queries,
+      "vec_id", "embedding", 5, nLists = 4, nProbe = 2, iters = 1))
+    val retrained = recallOf(Ivf.topK(emb, queries, "vec_id", "embedding", 5,
+      nLists = 4, nProbe = 2, iters = 1))
+    // frozen centroids cost recall, but not catastrophically: the add()
+    // path is serviceable between scheduled retrains
+    assert(frozen >= retrained - 0.3,
+      s"frozen recall $frozen collapsed vs retrained $retrained")
+    assert(frozen > 0.3, s"frozen recall $frozen too low to be useful")
+    // drift census: every merged row lands in exactly one cell
+    val cents = Ivf.trainCentroids(landed, "vec_id", "embedding", nLists = 4, iters = 1)
+    val census = Ivf.cellCensus(emb, "embedding", cents)
+      .select($"cell", $"n").as[(Int, Long)].collect()
+    assert(census.map(_._2).sum == emb.count())
+  }
 }

@@ -225,6 +225,64 @@ class KnnSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
   }
 
+  test("multi-probe with nProbes=0 is exactly single-probe LSH") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter($"vec_id" < 20)
+    val single = Knn.lshTopK(emb, queries, "vec_id", "embedding", 5,
+      numPlanes = 6, numTables = 2)
+      .select($"qid", $"rank", $"nid").as[(Long, Int, Long)].collect().toSet
+    val zeroProbe = Knn.multiProbeTopK(emb, queries, "vec_id", "embedding", 5,
+      numPlanes = 6, numTables = 2, nProbes = 0)
+      .select($"qid", $"rank", $"nid").as[(Long, Int, Long)].collect().toSet
+    assert(zeroProbe == single)
+  }
+
+  test("multi-probe recall@5 is monotone in nProbes and beats single-probe at equal tables") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter($"vec_id" < 20)
+    val exact = Knn.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select($"qid", $"nid").as[(Long, Long)].collect().toSet
+    def recall(nProbes: Int): Double = {
+      val approx = Knn.multiProbeTopK(emb, queries, "vec_id", "embedding", 5,
+        numPlanes = 6, numTables = 2, nProbes = nProbes)
+        .select($"qid", $"nid").as[(Long, Long)].collect().toSet
+      (exact intersect approx).size.toDouble / exact.size
+    }
+    val r0 = recall(0); val r2 = recall(2); val r4 = recall(4)
+    // more probes widen the candidate set, so top-k recall cannot drop
+    assert(r2 >= r0, s"recall@2probes $r2 < recall@0probes $r0")
+    assert(r4 >= r2, s"recall@4probes $r4 < recall@2probes $r2")
+    assert(r4 > 0.3, s"recall@4probes $r4 suspiciously low for 2 tables")
+  }
+
+  test("hyperplane probe buckets: base matches table bucket, flips are single-bit, boundary-ranked") {
+    val emb = Tables.embeddings(spark, sf).filter($"vec_id" < 30)
+    val base = Knn.hyperplaneBuckets(emb, "vec_id", "embedding", 6, 2)
+      .select($"id", $"t", $"bucket").as[(Long, Int, Long)].collect()
+      .map { case (id, t, b) => (id, t) -> b }.toMap
+    val probes = Knn.multiProbeBuckets(emb, "vec_id", "embedding", 6, 2, nProbes = 2)
+      .select($"id", $"t", $"bucket").as[(Long, Int, Long)].collect()
+      .groupBy { case (id, t, _) => (id, t) }
+    probes.foreach { case ((id, t), rows) =>
+      assert(rows.length == 3) // base + 2 probes
+      val b = base((id, t))
+      assert(rows.head._3 == b, "first emitted bucket is the base bucket")
+      rows.tail.foreach { case (_, _, pb) =>
+        assert(java.lang.Long.bitCount(pb ^ b) == 1, s"probe $pb not 1 bit from base $b")
+      }
+      assert(rows.map(_._3).distinct.length == 3, "probe buckets are distinct")
+    }
+  }
+
+  test("multi-probe candidate join has no cartesian product") {
+    val emb = Tables.embeddings(spark, sf)
+    val plan = Knn.multiProbeTopK(emb, emb.filter($"vec_id" < 5), "vec_id", "embedding", 5,
+      numPlanes = 6, numTables = 2, nProbes = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
   private implicit class Pairs(rows: Array[(Long, Long, Double)]) {
     def toMap2: Map[(Long, Long), Double] =
       rows.map { case (a, b, c) => (a, b) -> c }.toMap

@@ -54,6 +54,52 @@ class QuantileSketchSpec extends SparkSpec {
     }
   }
 
+  test("state algebra, exact regime: fine states merged == rows aggregated directly == type-7") {
+    graft.functions.KllAlgebra.register(spark)
+    val df = (1 to 4000).map(i => (i % 7, ((i * 2654435761L) % 9973).toDouble))
+      .toDF("g", "v").repartition(11)
+    df.createOrReplaceTempView("kll_alg")
+    // fine grain: one state per g, then a state-merge to the all grain
+    val merged = spark.sql(
+      """SELECT kll_value(kll_merge(st, 8192), 0.5) AS p50,
+        |       kll_n(kll_merge(st, 8192)) AS n
+        |FROM (SELECT g, kll_state(v, 8192) AS st FROM kll_alg GROUP BY g)""".stripMargin)
+      .as[(Double, Long)].head()
+    val direct = spark.sql(
+      "SELECT quantile_sketch(v, 0.5, 8192) AS p50, COUNT(*) AS n FROM kll_alg")
+      .as[(Double, Long)].head()
+    val exact = spark.sql("SELECT percentile(v, 0.5) FROM kll_alg").as[Double].head()
+    assert(merged == direct)
+    assert(merged._1 == exact && merged._2 == 4000L)
+  }
+
+  test("state algebra, approximate regime: merged estimate stays inside the KLL rank bound") {
+    graft.functions.KllAlgebra.register(spark)
+    val n = 100000
+    val cap = 128
+    val df = (1 to n).map(i => (i % 13, ((i * 48271L) % 1000003).toDouble))
+      .toDF("g", "v").repartition(7)
+    df.createOrReplaceTempView("kll_alg2")
+    val sorted = (1 to n).map(i => ((i * 48271L) % 1000003).toDouble).sorted
+    Seq(0.1, 0.5, 0.9).foreach { p =>
+      val est = spark.sql(
+        s"""SELECT kll_value(kll_merge(st, $cap), $p)
+           |FROM (SELECT g, kll_state(v, $cap) AS st FROM kll_alg2 GROUP BY g)""".stripMargin)
+        .as[Double].head()
+      val rank = sorted.count(_ <= est)
+      val eps = 3.0 * math.log(n.toDouble / cap) / cap // loose KLL-style bound
+      assert(math.abs(rank - n * p) <= eps * n,
+        s"p=$p est=$est rank=$rank tol=${eps * n}")
+    }
+    // total weight is conserved to within +-1 per compaction
+    val w = spark.sql(
+      s"""SELECT kll_n(kll_merge(st, $cap))
+         |FROM (SELECT g, kll_state(v, $cap) AS st FROM kll_alg2 GROUP BY g)""".stripMargin)
+      .as[Long].head()
+    // ±1 per compaction, parity-cancelled in pairs: residual ≲ Σ_ℓ 2^ℓ ≈ 2%
+    assert(math.abs(w - n) <= n / 20, s"weight $w drifted from $n")
+  }
+
   test("empty and null-only groups evaluate to null") {
     Seq((1, Option.empty[Double]), (1, None), (2, Some(3.0)))
       .toDF("g", "v").createOrReplaceTempView("qs_null")
