@@ -80,7 +80,13 @@ case class KllState(child: Expression, capExpr: Expression,
     copy(child = newChildren(0), capExpr = newChildren(1))
 }
 
-/** Aggregate serialized KLL states into one merged state. */
+/** Aggregate serialized KLL states into one merged state. The merge's
+  * OWN capacity governs compaction: merging under a smaller capacity
+  * than the states were built with RE-CAPS them (the KMV re-cap
+  * analogue — compaction fires during the merge; estimates then carry
+  * the smaller cap's rank bound, property-tested in
+  * QuantileSketchSpec). Inputs must be `kll_state`/`kll_merge` outputs
+  * — arbitrary bytes fail deserialization by contract. */
 case class KllMerge(child: Expression, capExpr: Expression,
                     override val mutableAggBufferOffset: Int = 0,
                     override val inputAggBufferOffset: Int = 0)

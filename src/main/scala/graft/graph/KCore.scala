@@ -36,10 +36,13 @@ object KCore {
     * endpoints dropped). Returns (node, degree, coreness). */
   def coreness(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    val und = edges
+    val clean = edges
       .filter(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
       .select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    // symmetrize the CLEANED frame — reversing the raw input would let
+    // self-loops/null endpoints leak back in through the mirror side
+    val und = clean
+      .union(clean.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint(eager = true)
     val degree = und.groupBy(col("src").as("node")).agg(count(lit(1)).as("c"))

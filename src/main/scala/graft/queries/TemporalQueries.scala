@@ -470,6 +470,30 @@ object TemporalQueries {
       |SELECT shard, bin, ex_id, span_start, span_end, masked
       |FROM spans WHERE span_start < span_end""".stripMargin))
 
+  /** Exponentially time-decayed trending scores per event type
+    * ([[graft.operators.Decay.halfLifeScores]], 7-day half-life) — the
+    * recency-weighted activity ranker (crawl-frontier/feed shape)
+    * beside q181's funnel and q182's cohorts. Weights are EXACT powers
+    * of two on integer half-life steps (2^(50−k) longs, one int64
+    * map-side-combined sum, one final division) — order-free and
+    * engine-exact where IEEE pow(0.5, age/h) would be neither; the
+    * >50-half-life zero cutoff is contract, replayed by the oracle. */
+  val q263 = GQuery(
+    "q263_decayed_trends",
+    (s, d) =>
+      graft.operators.Decay.halfLifeScores(
+        events(s, d), col("ts"), Seq("event_type"), halfLifeDays = 7),
+    Some("""WITH ref AS (SELECT MAX(CAST(ts AS DATE)) AS r FROM events),
+      |w AS (
+      |  SELECT event_type,
+      |    CASE WHEN (ref.r - CAST(ts AS DATE)) // 7 <= 50
+      |         THEN CAST(1 AS BIGINT) << CAST(50 - (ref.r - CAST(ts AS DATE)) // 7 AS INT)
+      |         ELSE 0 END AS wgt
+      |  FROM events, ref)
+      |SELECT event_type, COUNT(*) AS n_events,
+      |  round(CAST(SUM(wgt) AS DOUBLE) / 1125899906842624.0, 6) AS decayed_score
+      |FROM w GROUP BY event_type""".stripMargin))
+
   def queries: Seq[GQuery] =
-    Seq(q43, q44, q56, q70, q181, q182, q183, q196, q197)
+    Seq(q43, q44, q56, q70, q181, q182, q183, q196, q197, q263)
 }

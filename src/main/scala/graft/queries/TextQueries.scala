@@ -2085,9 +2085,74 @@ object TextQueries {
       |  round(CAST(t.ncov AS DOUBLE) / t.n_test, 6) AS coverage
       |FROM q JOIN t ON q.lang = t.lang""".stripMargin))
 
+  /** Fixed BPE merge table for q262 (rank order; [[graft.text.Bpe
+    * .requireChainable]]-valid: 'th' is produced by rank 1 before rank
+    * 2 consumes it, every other side is a single char). Fixed model
+    * constants are the q200-clfW convention — training itself is
+    * q130's surface. */
+  private val bpeMerges = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "e" -> "r",
+    "a" -> "n", "o" -> "n", "r" -> "e", "a" -> "t")
+
+  /** BPE ENCODE over the corpus ([[graft.text.Bpe.applyMergesCol]]) —
+    * tokenizer INFERENCE, the production counterpart of q130's
+    * training census: every `[a-z]+` word becomes boundary-delimited
+    * symbols and the 8-merge table applies as a chain of literal
+    * string replaces (codegen'd built-ins, no UDF — the chained pass
+    * is EXACTLY priority BPE under the chainability precondition, see
+    * applyMergesCol). Per-language census: words, character symbols
+    * before merging, tokens after, and the chars-per-token compression
+    * the tokenizer buys. The identical replace chain runs in DuckDB,
+    * so every token count sits under the hash. */
+  val q262 = GQuery(
+    "q262_bpe_encode",
+    (s, d) => {
+      val enc = documents(s, d)
+        .withColumn("s", graft.text.Bpe.applyMergesCol(col("text"), bpeMerges))
+        .withColumn("n_tok",
+          ((length(col("s")) -
+            length(call_function("replace", col("s"), lit("|"), lit("")))) / 2)
+            .cast("long"))
+        .withColumn("n_chr", length(regexp_replace(col("s"), "[| ]", "")).cast("long"))
+        .withColumn("n_w",
+          size(call_function("regexp_extract_all", col("text"), lit("[a-z]+"), lit(0)))
+            .cast("long"))
+      enc.groupBy(col("lang"))
+        .agg(lcount(lit(1)).as("n_docs"),
+          sum(col("n_w")).as("n_words"),
+          sum(col("n_chr")).as("n_chars"),
+          sum(col("n_tok")).as("n_tokens"))
+        .withColumn("chars_per_token",
+          round(col("n_chars").cast("double") /
+            call_function("nullif", col("n_tokens"), lit(0L)), 6))
+    },
+    Some {
+      val chain = bpeMerges.foldLeft(
+        "array_to_string(list_transform(regexp_extract_all(text, '[a-z]+'), " +
+          "w -> regexp_replace(w, '(.)', '|\\1|', 'g')), ' ')") {
+        case (acc, (a, b)) => s"replace($acc, '|$a||$b|', '|$a$b|')"
+      }
+      s"""WITH enc AS (
+        |  SELECT lang,
+        |    $chain AS s,
+        |    len(regexp_extract_all(text, '[a-z]+')) AS n_w
+        |  FROM documents),
+        |per AS (
+        |  SELECT lang, n_w,
+        |    (len(s) - len(replace(s, '|', ''))) // 2 AS n_tok,
+        |    len(regexp_replace(s, '[| ]', '', 'g')) AS n_chr
+        |  FROM enc)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_w) AS BIGINT) AS n_words,
+        |  CAST(SUM(n_chr) AS BIGINT) AS n_chars,
+        |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+        |  round(CAST(SUM(n_chr) AS DOUBLE) / NULLIF(SUM(n_tok), 0), 6) AS chars_per_token
+        |FROM per GROUP BY lang""".stripMargin
+    })
+
   def queries: Seq[GQuery] =
     Seq(q32, q33, q34, q35, q66, q89, q91, q94, q96, q98, q99, q101,
       q106, q107, q109, q110, q111, q112, q115, q116, q120, q121, q126,
       q130, q132, q134, q135, q136, q137, q139, q140, q141, q179, q189, q193,
-      q195, q200, q201, q236, q244, q258)
+      q195, q200, q201, q236, q244, q258, q262)
 }

@@ -36,6 +36,51 @@ object Bpe {
     * the pair frequency at the time of the merge. */
   final case class Merge(rank: Int, left: String, right: String, freq: Long)
 
+  /** Declarative BPE ENCODER — applying a trained merge table to the
+    * corpus (tokenizer INFERENCE, the production counterpart of the
+    * training above): each `[a-z]+` word is wrapped into
+    * boundary-delimited symbols (`the` → `|t||h||e|`) and each merge
+    * (a, b) → ab becomes ONE literal string replace
+    * `|a||b|` → `|ab|`, chained in rank order. Everything is built-in
+    * codegen'd string expressions — no UDF, no per-word loop (upgrade
+    * over [[encodeStats]]'s broadcast-UDF spelling) — and the identical
+    * replace chain runs verbatim in any SQL engine, so the whole
+    * encode sits under a hash-gated oracle (q262).
+    *
+    * Semantics note: a single global replace pass per merge equals
+    * priority-ordered BPE iff no merge consumes a symbol PRODUCED by a
+    * LATER merge (single-character pair sides can never be regenerated,
+    * and multi-character sides must be produced by an earlier rank).
+    * [[requireChainable]] enforces exactly that precondition, so the
+    * declarative spelling is exact, not an approximation. String
+    * `replace` scans left-to-right and continues AFTER each
+    * replacement in both Spark and DuckDB — the standard BPE
+    * non-overlapping left-to-right application. */
+  def applyMergesCol(text: Column, merges: Seq[(String, String)]): Column = {
+    requireChainable(merges)
+    val toks = call_function("regexp_extract_all", text, lit("[a-z]+"), lit(0))
+    val wrapped = array_join(
+      transform(toks, w => regexp_replace(w, "(.)", "|$1|")), " ")
+    merges.foldLeft(wrapped) { case (s, (a, b)) =>
+      call_function("replace", s, lit(s"|$a||$b|"), lit(s"|$a$b|"))
+    }
+  }
+
+  /** Precondition for the chained-replace encoder (see
+    * [[applyMergesCol]]): every multi-character merge side must be the
+    * product of an EARLIER merge. */
+  def requireChainable(merges: Seq[(String, String)]): Unit = {
+    val produced = mutable.Set.empty[String]
+    merges.zipWithIndex.foreach { case ((a, b), i) =>
+      Seq(a, b).foreach { side =>
+        require(side.length == 1 || produced.contains(side),
+          s"merge ${i + 1} ($a, $b): side '$side' is not a single char and " +
+            "not produced by an earlier merge — chained replace would diverge from BPE")
+      }
+      produced += (a + b)
+    }
+  }
+
   /** Adjacent-pair census over a word-frequency table — the merge
     * loop's iteration-0 statistics, kept DISTRIBUTED (this is the
     * corpus-scale part, and the q130 oracle surface): explode each

@@ -106,4 +106,68 @@ class BpeSpec extends SparkSpec {
     assert(table.columns.toSeq == Seq("rank", "left", "right", "freq"))
     assert(table.count() == 4)
   }
+
+  // --- declarative encoder (applyMergesCol) ---
+
+  /** Reference priority-BPE: repeatedly merge all left-to-right
+    * non-overlapping occurrences of the LOWEST-RANK pair present. */
+  private def bpeRef(word: String, merges: Seq[(String, String)]): Vector[String] = {
+    val rank = merges.zipWithIndex.toMap
+    var syms = word.map(_.toString).toVector
+    var done = false
+    while (!done && syms.length > 1) {
+      val present = syms.indices.dropRight(1)
+        .flatMap(i => rank.get((syms(i), syms(i + 1))))
+      if (present.isEmpty) done = true
+      else {
+        val (a, b) = merges(present.min)
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+            out += (a + b); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.result()
+      }
+    }
+    syms
+  }
+
+  private val fixedMerges = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "e" -> "r",
+    "a" -> "n", "o" -> "n", "r" -> "e", "a" -> "t")
+
+  test("applyMergesCol: hand cases — chained replaces follow merge rank order") {
+    val out = Seq((1L, "there then that in on matter"))
+      .toDF("doc_id", "text")
+      .select(Bpe.applyMergesCol($"text", fixedMerges).as("s"))
+      .as[String].head()
+    // there → the|re; then → th|e|n (e consumed by 'the'? no: t+h, th+e → the, n)
+    assert(out == "|the||re| |the||n| |th||at| |in| |on| |m||at||t||er|")
+  }
+
+  test("applyMergesCol token counts equal priority BPE on real corpus words") {
+    val docs = graft.core.Tables.documents(spark, sf).limit(60)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val enc = Seq(docs: _*).toDF("doc_id", "text")
+      .withColumn("s", Bpe.applyMergesCol($"text", fixedMerges))
+      .withColumn("n_tok",
+        ((length($"s") - length(call_function("replace", $"s", lit("|"), lit("")))) / 2)
+          .cast("long"))
+      .select($"doc_id", $"n_tok").as[(Long, Long)].collect().toMap
+    docs.foreach { case (id, text) =>
+      val want = "[a-z]+".r.findAllIn(text)
+        .map(w => bpeRef(w, fixedMerges).length.toLong).sum
+      assert(enc(id) == want, s"doc $id: chained ${enc(id)} != priority BPE $want")
+    }
+  }
+
+  test("requireChainable rejects a merge consuming a symbol produced later") {
+    intercept[IllegalArgumentException] {
+      // 'bc' is produced by merge 2, consumed by merge 1 → diverges
+      Bpe.requireChainable(Seq("a" -> "bc", "b" -> "c"))
+    }
+    Bpe.requireChainable(fixedMerges) // valid by construction
+  }
 }

@@ -41,6 +41,15 @@ class ConformalSpec extends SparkSpec {
     assert(grps == Set("a"))
   }
 
+  test("calibration-only groups are dropped too (no test rows → no coverage to audit)") {
+    val rows = Seq(("a", 1.0, 0.0, true), ("a", 1.0, 0.0, false),
+      ("calonly", 1.0, 0.0, true))
+    val grps = Conformal.splitConformal(rows.toDF("grp", "y", "yhat", "cal"),
+        "grp", $"y", $"yhat", $"cal")
+      .select($"grp").as[String].collect().toSet
+    assert(grps == Set("a"))
+  }
+
   test("per-language coverage on real documents meets the 1-alpha guarantee within sampling noise") {
     val docs = Tables.documents(spark, sf)
       .withColumn("yhat", (size(split(trim($"text"), "\\s+")) * 6).cast("double"))

@@ -50,6 +50,18 @@ class KCoreSpec extends SparkSpec {
     assert(r6 == r8, "H-index iteration not converged after 6 rounds")
   }
 
+  test("edge contract: empty graphs, self-loops and null endpoints are dropped, not crashed") {
+    val empty = Seq.empty[(String, String)].toDF("src", "dst")
+    assert(KCore.coreness(empty, iters = 2).count() == 0)
+    val loops = Seq(("a", "a"), ("a", "b"), (null, "c"), ("c", null))
+      .toDF("src", "dst")
+    val out = KCore.coreness(loops, iters = 2)
+      .select($"node", $"degree", $"coreness").as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // only the a-b edge survives: both endpoints degree 1, coreness 1
+    assert(out == Map("a" -> ((1L, 1L)), "b" -> ((1L, 1L))))
+  }
+
   test("coreness is bounded by degree and the k-core property holds at the fixpoint") {
     val out = KCore.coreness(docGraph, iters = 8)
       .select($"node", $"degree", $"coreness").as[(String, Long, Long)].collect()

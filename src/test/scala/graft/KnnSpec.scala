@@ -274,6 +274,17 @@ class KnnSpec extends SparkSpec {
     }
   }
 
+  test("probe-count edges: nProbes=numPlanes probes every flip; nProbes>numPlanes is rejected") {
+    val emb = Tables.embeddings(spark, sf).filter($"vec_id" < 5)
+    val all = Knn.multiProbeBuckets(emb, "vec_id", "embedding", 6, 2, nProbes = 6)
+    assert(all.count() == 5 * 2 * 7) // 5 vecs × 2 tables × (base + 6 flips)
+    val bad = Knn.multiProbeBuckets(emb, "vec_id", "embedding", 6, 2, nProbes = 7)
+    val e = intercept[Exception] { bad.count() }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("nProbes")), s"unexpected error: $e")
+  }
+
   test("multi-probe candidate join has no cartesian product") {
     val emb = Tables.embeddings(spark, sf)
     val plan = Knn.multiProbeTopK(emb, emb.filter($"vec_id" < 5), "vec_id", "embedding", 5,

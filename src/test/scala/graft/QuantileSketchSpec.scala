@@ -100,6 +100,24 @@ class QuantileSketchSpec extends SparkSpec {
     assert(math.abs(w - n) <= n / 20, s"weight $w drifted from $n")
   }
 
+  test("state algebra: re-capping at merge time (merge cap < build cap) degrades within the smaller cap's bound") {
+    graft.functions.KllAlgebra.register(spark)
+    val n = 20000
+    val df = (1 to n).map(i => (i % 5, ((i * 48271L) % 99991).toDouble))
+      .toDF("g", "v").repartition(3)
+    df.createOrReplaceTempView("kll_recap")
+    // fine states exact (cap 8192 > group sizes), merged under cap 128:
+    // the KMV-style re-cap path — compaction fires during the merge
+    val est = spark.sql(
+      """SELECT kll_value(kll_merge(st, 128), 0.5)
+        |FROM (SELECT g, kll_state(v, 8192) AS st FROM kll_recap GROUP BY g)""".stripMargin)
+      .as[Double].head()
+    val sorted = (1 to n).map(i => ((i * 48271L) % 99991).toDouble).sorted
+    val rank = sorted.count(_ <= est)
+    val eps = 3.0 * math.log(n.toDouble / 128) / 128
+    assert(math.abs(rank - n * 0.5) <= eps * n, s"recap est=$est rank=$rank")
+  }
+
   test("empty and null-only groups evaluate to null") {
     Seq((1, Option.empty[Double]), (1, None), (2, Some(3.0)))
       .toDF("g", "v").createOrReplaceTempView("qs_null")
