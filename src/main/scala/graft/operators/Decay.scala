@@ -14,13 +14,15 @@ import org.apache.spark.sql.functions._
   * partition-order dependent and engine-divergent. Instead age buckets
   * are INTEGER half-life steps k = ⌊age_days/halfLife⌋ and each
   * event's weight is the exact long 2^(50−k) (a power of two, exact in
-  * any engine); the per-group sum is int64 (associative, order-free)
-  * and only the final division by 2^50 is floating point — bit-equal
-  * everywhere, matching the scaled-long cosine discipline
-  * ([[graft.similarity.Knn]]). Events older than 50 half-lives weigh
-  * 0 (their true weight < 2^-50 ≈ 9e-16 — below double resolution of
-  * any realistic score anyway); the cutoff is part of the contract and
-  * replayed by the oracle.
+  * any engine); the per-group sum runs in DECIMAL(38,0) — int64 would
+  * overflow at just 2^13 ≈ 8k same-day events per group (the sf0.1
+  * scale probe caught exactly that), while decimal gives 1e38/2^50 ≈
+  * 8.8e22 events of headroom, exact and associative at any corpus
+  * size (the kappa/alpha DECIMAL routing precedent). Only the final
+  * division by 2^50 is floating point — bit-equal everywhere. Events
+  * older than 50 half-lives weigh 0 (their true weight < 2^-50 ≈
+  * 9e-16 — below double resolution of any realistic score anyway);
+  * the cutoff is part of the contract and replayed by the oracle.
   *
   * Scale shape: one 1-row scalar aggregate for the reference date
   * (broadcast, never collected), then a map-only weight projection and
@@ -45,7 +47,8 @@ object Decay {
           .otherwise(lit(0L)))
     weighted.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n_events"),
-        (sum(col("__w")).cast("double") / lit(math.pow(2.0, 50))).as("__s"))
+        (sum(col("__w").cast("decimal(38,0)")).cast("double") /
+          lit(math.pow(2.0, 50))).as("__s"))
       .withColumn("decayed_score", round(col("__s"), 6))
       .drop("__s")
   }

@@ -491,7 +491,8 @@ object TemporalQueries {
       |         ELSE 0 END AS wgt
       |  FROM events, ref)
       |SELECT event_type, COUNT(*) AS n_events,
-      |  round(CAST(SUM(wgt) AS DOUBLE) / 1125899906842624.0, 6) AS decayed_score
+      |  round(CAST(SUM(CAST(wgt AS DECIMAL(38,0))) AS DOUBLE) / 1125899906842624.0, 6)
+      |    AS decayed_score
       |FROM w GROUP BY event_type""".stripMargin))
 
   def queries: Seq[GQuery] =

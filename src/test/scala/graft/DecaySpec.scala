@@ -36,6 +36,15 @@ class DecaySpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("weight sums survive >8k same-bucket events (the int64-overflow regression)") {
+    // 10k events at k=0 sum to 10k·2^50 ≈ 1.1e19 > 2^63 — overflows a
+    // long sum; the DECIMAL(38,0) route must stay exact
+    val rows = (1 to 10000).map(_ => ("hot", ts("2024-06-29")))
+    val out = Decay.halfLifeScores(rows.toDF("key", "t"), $"t", Seq("key"), 7)
+      .select($"n_events", $"decayed_score").as[(Long, Double)].head()
+    assert(out == ((10000L, 10000.0)))
+  }
+
   test("halfLifeDays validation") {
     intercept[IllegalArgumentException] {
       Decay.halfLifeScores(Seq(("a", ts("2024-01-01"))).toDF("key", "t"),
