@@ -2107,21 +2107,18 @@ object TextQueries {
   val q262 = GQuery(
     "q262_bpe_encode",
     (s, d) => {
+      // native one-pass kernel; bit-identical to the replace-chain
+      // spelling (BpeSpec parity + this oracle replays the chain),
+      // ~8x less string churn at sf1 (8.5 s → ~1 s)
+      graft.functions.BpeEncode.register(s)
       val enc = documents(s, d)
-        .withColumn("s", graft.text.Bpe.applyMergesCol(col("text"), bpeMerges))
-        .withColumn("n_tok",
-          ((length(col("s")) -
-            length(call_function("replace", col("s"), lit("|"), lit("")))) / 2)
-            .cast("long"))
-        .withColumn("n_chr", length(regexp_replace(col("s"), "[| ]", "")).cast("long"))
-        .withColumn("n_w",
-          size(call_function("regexp_extract_all", col("text"), lit("[a-z]+"), lit(0)))
-            .cast("long"))
+        .withColumn("c", call_function("bpe_counts", col("text"),
+          typedlit(bpeMerges.map(_._1)), typedlit(bpeMerges.map(_._2))))
       enc.groupBy(col("lang"))
         .agg(lcount(lit(1)).as("n_docs"),
-          sum(col("n_w")).as("n_words"),
-          sum(col("n_chr")).as("n_chars"),
-          sum(col("n_tok")).as("n_tokens"))
+          sum(col("c.n_words")).as("n_words"),
+          sum(col("c.n_chars")).as("n_chars"),
+          sum(col("c.n_tokens")).as("n_tokens"))
         .withColumn("chars_per_token",
           round(col("n_chars").cast("double") /
             call_function("nullif", col("n_tokens"), lit(0L)), 6))

@@ -163,6 +163,48 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("bpe_counts kernel is bit-identical to the replace-chain spelling on real docs") {
+    graft.functions.BpeEncode.register(spark)
+    val docs = graft.core.Tables.documents(spark, sf).limit(120)
+    val chain = docs
+      .withColumn("s", Bpe.applyMergesCol($"text", fixedMerges))
+      .select($"doc_id",
+        size(call_function("regexp_extract_all", $"text", lit("[a-z]+"), lit(0)))
+          .cast("long").as("w"),
+        length(regexp_replace($"s", "[| ]", "")).cast("long").as("c"),
+        ((length($"s") - length(call_function("replace", $"s", lit("|"), lit("")))) / 2)
+          .cast("long").as("t"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val kernel = docs
+      .withColumn("k", call_function("bpe_counts", $"text",
+        typedlit(fixedMerges.map(_._1)), typedlit(fixedMerges.map(_._2))))
+      .select($"doc_id", $"k.n_words", $"k.n_chars", $"k.n_tokens")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(kernel == chain)
+  }
+
+  test("bpe_counts edges: null text, empty text, no-lowercase text, unicode neighbours") {
+    graft.functions.BpeEncode.register(spark)
+    val rows = Seq((1L, Option("the θthe ドtheド")), (2L, Some("")),
+      (3L, Some("UPPER 123 !!!")), (4L, None))
+      .toDF("id", "text")
+      .withColumn("k", call_function("bpe_counts", $"text",
+        typedlit(fixedMerges.map(_._1)), typedlit(fixedMerges.map(_._2))))
+      .select($"id", $"k.n_words", $"k.n_tokens")
+      .as[(Long, Option[Long], Option[Long])].collect().toMap2
+    // multi-byte neighbours don't break [a-z] run detection: 3 'the'
+    // words, each encoding to the single token 'the'
+    assert(rows(1L) == ((Some(3L), Some(3L))))
+    assert(rows(2L) == ((Some(0L), Some(0L))))
+    assert(rows(3L) == ((Some(0L), Some(0L))))
+    assert(rows(4L) == ((None, None)))
+  }
+
+  private implicit class RowsMap(rows: Array[(Long, Option[Long], Option[Long])]) {
+    def toMap2: Map[Long, (Option[Long], Option[Long])] =
+      rows.map { case (k, a, b) => k -> ((a, b)) }.toMap
+  }
+
   test("requireChainable rejects a merge consuming a symbol produced later") {
     intercept[IllegalArgumentException] {
       // 'bc' is produced by merge 2, consumed by merge 1 → diverges
