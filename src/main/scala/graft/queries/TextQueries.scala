@@ -2147,9 +2147,66 @@ object TextQueries {
         |FROM per GROUP BY lang""".stripMargin
     })
 
+  /** ROUGE-L (Lin 2004) against per-language exemplar references —
+    * the in-order-overlap eval beside the contiguous-match family
+    * (q103 token overlap, q123 winnowed spans): every 11th document
+    * scores its first-32-token LCS against its language's exemplar
+    * (min doc_id), F1 = 2·LCS/(|cand|+|ref|). The LCS kernel is the
+    * native [[graft.functions.LcsLen]] (two-row DP, cost capped by the
+    * 32-token truncation — map-shaped at any corpus size; reference
+    * side broadcasts). An O(n·m) DP is not SQL-replayable cell by
+    * cell, so the oracle pins per-pair LCS lengths computed by the
+    * INDEPENDENT `tools/lcs_oracle.py` CPython implementation — the
+    * q179-zlib discipline; lengths and F1 replay in SQL around them. */
+  val q264 = GQuery(
+    "q264_rouge_eval",
+    (s, d) => {
+      graft.functions.LcsLen.register(s)
+      val docs = documents(s, d)
+        .withColumn("toks", slice(
+          call_function("regexp_extract_all", col("text"), lit("[a-z]+"), lit(0)),
+          1, 32))
+      val ex = docs.groupBy(col("lang")).agg(min(col("doc_id")).as("__eid"))
+      val refs = ex
+        .join(docs.select(col("doc_id").as("__eid"), col("toks").as("ref_toks")),
+          Seq("__eid"))
+        .select(col("lang"), col("ref_toks"))
+      docs.filter(col("doc_id") % 11 === 0)
+        .join(broadcast(refs), Seq("lang"))
+        .withColumn("lcs", call_function("lcs_len", col("toks"), col("ref_toks")))
+        .withColumn("n_cand", size(col("toks")).cast("long"))
+        .withColumn("n_ref", size(col("ref_toks")).cast("long"))
+        .select(col("doc_id"), col("lang"), col("lcs").cast("long").as("lcs"),
+          col("n_cand"), col("n_ref"),
+          round(when(col("n_cand") + col("n_ref") === 0, lit(0.0))
+            .otherwise((col("lcs") * 2).cast("double") /
+              (col("n_cand") + col("n_ref"))), 6).as("rouge_l_f1"))
+    },
+    Some("""WITH lv(doc_id, lcs) AS (VALUES
+      |(0,32),(11,6),(22,7),(33,8),(44,6),(55,5),(66,7),(77,7),(88,5),(99,9),
+      |(110,5),(121,6),(132,7),(143,6),(154,6),(165,7),(176,7),(187,9),(198,6),
+      |(209,6),(220,8),(231,6),(242,6),(253,8),(264,6),(275,4),(286,9),(297,8),
+      |(308,5),(319,9),(330,6),(341,8),(352,6),(363,7),(374,10),(385,6),(396,7),
+      |(407,6),(418,8),(429,7),(440,7),(451,3),(462,6),(473,7),(484,8),(495,7)),
+      |tok AS (
+      |  SELECT doc_id, lang, regexp_extract_all(text, '[a-z]+')[:32] AS toks
+      |  FROM documents),
+      |ex AS (SELECT lang, MIN(doc_id) AS eid FROM documents GROUP BY lang),
+      |refs AS (
+      |  SELECT t.lang, len(t.toks) AS n_ref
+      |  FROM ex JOIN tok t ON t.doc_id = ex.eid)
+      |SELECT t.doc_id, t.lang, CAST(lv.lcs AS BIGINT) AS lcs,
+      |  CAST(len(t.toks) AS BIGINT) AS n_cand, CAST(r.n_ref AS BIGINT) AS n_ref,
+      |  round(CASE WHEN len(t.toks) + r.n_ref = 0 THEN 0.0
+      |    ELSE CAST(2 * lv.lcs AS DOUBLE) / (len(t.toks) + r.n_ref) END, 6)
+      |    AS rouge_l_f1
+      |FROM tok t JOIN refs r ON t.lang = r.lang
+      |JOIN lv ON lv.doc_id = t.doc_id
+      |WHERE t.doc_id % 11 = 0""".stripMargin))
+
   def queries: Seq[GQuery] =
     Seq(q32, q33, q34, q35, q66, q89, q91, q94, q96, q98, q99, q101,
       q106, q107, q109, q110, q111, q112, q115, q116, q120, q121, q126,
       q130, q132, q134, q135, q136, q137, q139, q140, q141, q179, q189, q193,
-      q195, q200, q201, q236, q244, q258, q262)
+      q195, q200, q201, q236, q244, q258, q262, q264)
 }
