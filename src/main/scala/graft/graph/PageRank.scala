@@ -1,6 +1,6 @@
 package graft.graph
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Weighted PageRank over a (src, dst, w) edge list — the link-graph
@@ -56,8 +56,27 @@ object PageRank {
                    dampNum: Long = 85, dampDen: Long = 100): DataFrame =
     iterate(edges, Some(ranks0), iters, scale, dampNum, dampDen)
 
+  /** PERSONALIZED PageRank (random walk with restart, Jeh & Widom
+    * 2003): the restart mass — the (1−d) teleport each round AND the
+    * damped dangling mass — lands uniformly on the `seeds` set instead
+    * of all nodes, so ranks measure proximity TO THE SEEDS (related-
+    * domain expansion, seed-anchored trust propagation à la TrustRank)
+    * rather than global centrality. Walk starts at the seeds
+    * (rank₀ = scale/|seeds| on seeds, 0 elsewhere). Same integer
+    * arithmetic and per-round shape as [[run]] — an oracle unrolls the
+    * rounds with `CASE WHEN node IN (seeds)` base terms. Seeds absent
+    * from the graph contribute nothing (their restart share is shed,
+    * identically on both engines). */
+  def personalized(edges: DataFrame, seeds: Seq[String], iters: Int,
+                   scale: Long = 1000000000000L,
+                   dampNum: Long = 85, dampDen: Long = 100): DataFrame = {
+    require(seeds.nonEmpty)
+    iterate(edges, None, iters, scale, dampNum, dampDen, restart = Some(seeds))
+  }
+
   private def iterate(edges: DataFrame, ranks0: Option[DataFrame], iters: Int,
-                      scale: Long, dampNum: Long, dampDen: Long): DataFrame = {
+                      scale: Long, dampNum: Long, dampDen: Long,
+                      restart: Option[Seq[String]] = None): DataFrame = {
     require(iters >= 1 && dampNum >= 0 && dampNum <= dampDen)
     // canonicalize: one row per (src, dst), weights summed — truncating
     // division is NOT distributive over duplicate edge rows
@@ -67,17 +86,27 @@ object PageRank {
     val e = edges
       .filter(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
       .groupBy(col("src"), col("dst")).agg(sum(col("w").cast("long")).as("w"))
+      // the edge frame is consumed ~2× per round (contribs join, wtot)
+      // plus nodes/dangling — checkpoint it ONCE so an expensive edge
+      // derivation (q267 tokenizes the corpus) isn't re-run per round
+      .localCheckpoint(eager = false)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
       .localCheckpoint(eager = true)
     val n = nodes.count() // the one driver-side scalar (node count)
     val out = e.groupBy(col("src")).agg(sum(col("w")).as("wtot"))
-    val base = (scale * (dampDen - dampNum) / dampDen) / n
+    // restart-mass recipient count: all nodes (global PR) or the seeds
+    val nRestart = restart.map(_.length.toLong).getOrElse(n)
+    val isTarget: Column =
+      restart.map(ss => col("node").isin(ss: _*)).getOrElse(lit(true))
+    val base = (scale * (dampDen - dampNum) / dampDen) / nRestart
 
-    var ranks = ranks0 match {
-      case None => nodes.withColumn("rank", lit(scale / n))
-      case Some(r0) => nodes
+    var ranks = (ranks0, restart) match {
+      case (None, None) => nodes.withColumn("rank", lit(scale / n))
+      case (None, Some(_)) => nodes.withColumn("rank",
+        when(isTarget, lit(scale / nRestart)).otherwise(lit(0L)))
+      case (Some(r0), _) => nodes
         .join(r0.select(col("node"), col("rank").as("__r0")), Seq("node"), "left")
         .select(col("node"), coalesce(col("__r0"), lit(scale / n)).as("rank"))
     }
@@ -95,8 +124,11 @@ object PageRank {
         .join(contribs, Seq("node"), "left")
         .crossJoin(dm)
         .select(col("node"),
-          (lit(base) + coalesce(col("csum"), lit(0L)) +
-            expr(s"((dm * $dampNum) div $dampDen) div $n")).as("rank"))
+          (when(isTarget, lit(base)).otherwise(lit(0L)) +
+            coalesce(col("csum"), lit(0L)) +
+            when(isTarget,
+              expr(s"((dm * $dampNum) div $dampDen) div $nRestart"))
+              .otherwise(lit(0L))).as("rank"))
         .localCheckpoint(eager = true)
     }
     ranks

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.core.Exact._
 import graft.core.Tables._
 import graft.stats.SortPercentile
@@ -708,6 +709,91 @@ object CorpusStatQueries {
         |FROM g GROUP BY prefix_len""".stripMargin))
   }
 
+  /** q275: Gini concentration of per-source character mass, per
+    * language — the corpus-balance diagnostic behind domain caps
+    * (q150): a language whose bytes come 90% from one source is one
+    * takedown away from losing its corpus. Gini over the n source
+    * masses x₍₁₎≤…≤x₍ₙ₎ is (2·Σi·x₍ᵢ₎ − (n+1)·Σx)/(n·Σx) — everything
+    * above the single final division is INTEGER (rank window over the
+    * 20-source frame, decimal-routed products), so the coefficient is
+    * engine-exact. Scale shape: raw docs fold map-side into the
+    * (lang, source) frame — bounded by the catalog, not the corpus. */
+  val q275 = GQuery(
+    "q275_source_gini",
+    (s, d) => {
+      val mass = documents(s, d).groupBy(col("lang"), col("source"))
+        .agg(sum(col("n_chars")).as("x"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("x"), col("source"))
+      mass.withColumn("i", row_number().over(w).cast("long"))
+        .groupBy(col("lang"))
+        .agg(lcount(lit(1)).as("n_sources"),
+          sum(col("x")).as("total_chars"),
+          sum((col("i") * col("x")).cast(DecimalType(38, 0))).as("__ix"))
+        .withColumn("gini", round(
+          (lit(2) * col("__ix") - (col("n_sources") + 1) *
+            col("total_chars").cast(DecimalType(38, 0))).cast("double") /
+            (col("n_sources") * col("total_chars")).cast("double"), 6))
+        .drop("__ix")
+    },
+    Some("""WITH mass AS (
+      |  SELECT lang, source, CAST(SUM(n_chars) AS BIGINT) AS x
+      |  FROM documents GROUP BY 1, 2),
+      |rk AS (
+      |  SELECT lang, x,
+      |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY x, source) AS i
+      |  FROM mass),
+      |agg AS (
+      |  SELECT lang, COUNT(*) AS n_sources,
+      |    CAST(SUM(x) AS BIGINT) AS total_chars,
+      |    SUM(CAST(i * x AS HUGEINT)) AS ix
+      |  FROM rk GROUP BY lang)
+      |SELECT lang, CAST(n_sources AS BIGINT) AS n_sources, total_chars,
+      |  round(CAST(2 * ix - (n_sources + 1) * CAST(total_chars AS HUGEINT)
+      |      AS DOUBLE) /
+      |    CAST(n_sources * total_chars AS DOUBLE), 6) AS gini
+      |FROM agg""".stripMargin))
+
+  /** q276: temperature-weighted language sampling (the mT5 / XLM-R
+    * multilingual mixing recipe, α = 1/2): sampling mass ∝ c_l^α
+    * upweights tail languages without letting them dominate. The ¾-
+    * power trick (q243) adapted to α = ½: c^½ = sqrt(c) is ONE
+    * exactly-rounded IEEE op, and `floor(sqrt(c)·10⁶ + 0.5)` makes the
+    * mass an int64, so the per-language ppm allocation of a 1M-token
+    * epoch budget is a truncating integer division — bit-exact on any
+    * engine, no transcendental rounding channel. Map-side fold to the
+    * 5-language frame; the totals cross is the 1-row scalar pattern. */
+  val q276 = GQuery(
+    "q276_temperature_mix",
+    (s, d) => {
+      val c = documents(s, d)
+        .select(col("lang"),
+          size(graft.text.TextFunctions.wsTokens(col("text"))).cast("long").as("t"))
+        .groupBy(col("lang")).agg(sum(col("t")).as("n_tokens"))
+        .withColumn("sqrt_e6",
+          floor(sqrt(col("n_tokens").cast("double")) * 1e6 + lit(0.5)).cast("long"))
+      val tot = c.agg(sum(col("sqrt_e6")).as("__tot"))
+      c.crossJoin(tot) // 1-row scalar broadcast
+        .select(col("lang"), col("n_tokens"), col("sqrt_e6"),
+          expr("(sqrt_e6 * 1000000) div __tot").as("alloc_ppm"),
+          round(col("sqrt_e6").cast("double") / col("__tot").cast("double"), 6)
+            .as("weight"))
+    },
+    Some(s"""WITH c AS (
+      |  SELECT lang, CAST(SUM(len($wsSql)) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY 1),
+      |sq AS (
+      |  SELECT lang, n_tokens,
+      |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+      |      AS sqrt_e6
+      |  FROM c),
+      |tot AS (SELECT CAST(SUM(sqrt_e6) AS BIGINT) AS t FROM sq)
+      |SELECT lang, n_tokens, sqrt_e6,
+      |  CAST((sqrt_e6 * 1000000) // tot.t AS BIGINT) AS alloc_ppm,
+      |  round(CAST(sqrt_e6 AS DOUBLE) / CAST(tot.t AS DOUBLE), 6) AS weight
+      |FROM sq, tot""".stripMargin))
+
   def queries: Seq[GQuery] =
-    Seq(q146, q149, q152, q169, q175, q213, q215, q220, q224, q237)
+    Seq(q146, q149, q152, q169, q175, q213, q215, q220, q224, q237, q275,
+      q276)
 }

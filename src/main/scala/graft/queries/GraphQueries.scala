@@ -868,6 +868,189 @@ object GraphQueries {
         |FROM c0 d JOIN c6 k ON d.node = k.node""".stripMargin
     })
 
+  /** q267: TextRank keyword extraction (Mihalcea & Tarau 2004) — the
+    * graph-based keyword signal beside the frequency ones (q32 counts,
+    * q266 PMI): content words (length ≥ 4) vote for their neighbours
+    * through the adjacency graph, and 4 damped power-iteration rounds
+    * rank them. Nodes are `lang:word`, so all five per-language graphs
+    * run as disconnected components of ONE [[graft.graph.PageRank]]
+    * call (one shuffle per round total, not per language); the
+    * integer-arithmetic iteration makes the dynamics bit-reproducible,
+    * so the oracle unrolls the same rounds with the same truncating
+    * divisions. Top-5 per language rides the TopKPerKey strategy. */
+  val q267 = GQuery(
+    "q267_textrank_keywords",
+    (s, d) => {
+      val ws0 = documents(s, d).select(col("lang"),
+        filter(
+          call_function("regexp_extract_all", col("text"), lit("[a-z]+"), lit(0)),
+          w => length(w) >= 4).as("ws"))
+      val pairs = ws0.select(col("lang"),
+          explode(call_function("word_ngrams", col("ws"), lit(2), lit(false))).as("g"))
+        .select(col("lang"),
+          substring_index(col("g"), " ", 1).as("a"),
+          substring_index(col("g"), " ", -1).as("b"))
+      val raw = pairs.select(
+          concat(col("lang"), lit(":"), col("a")).as("src"),
+          concat(col("lang"), lit(":"), col("b")).as("dst"))
+        .unionAll(pairs.select(
+          concat(col("lang"), lit(":"), col("b")).as("src"),
+          concat(col("lang"), lit(":"), col("a")).as("dst")))
+      val edges = raw.filter(col("src") =!= col("dst"))
+        .groupBy(col("src"), col("dst")).agg(lcount(lit(1)).as("w"))
+      val pr = PageRank.run(edges, iters = Iters, scale = Scale)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(substring_index(col("node"), ":", 1))
+        .orderBy(col("rank").desc, col("node"))
+      pr.withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 5)
+        .select(substring_index(col("node"), ":", 1).as("lang"),
+          col("rn"), substring_index(col("node"), ":", -1).as("word"),
+          col("rank").as("rank_e12"))
+    },
+    Some {
+      val rounds = (1 to Iters)
+        .map(i => iterCte(s"kr${i - 1}", s"kr$i", "k")).mkString(",\n")
+      s"""WITH kt AS (
+        |  SELECT lang,
+        |    list_filter(regexp_extract_all(text, '[a-z]+'),
+        |      w -> length(w) >= 4) AS ws
+        |  FROM documents),
+        |kraw AS (
+        |  SELECT lang || ':' || ws[i] AS src, lang || ':' || ws[i+1] AS dst
+        |  FROM kt, UNNEST(generate_series(1, greatest(len(ws) - 1, 0))) AS u(i)
+        |  UNION ALL
+        |  SELECT lang || ':' || ws[i+1], lang || ':' || ws[i]
+        |  FROM kt, UNNEST(generate_series(1, greatest(len(ws) - 1, 0))) AS u(i)),
+        |ke AS (SELECT src, dst, COUNT(*) AS w FROM kraw
+        |       WHERE src != dst GROUP BY src, dst),
+        |knodes AS (SELECT src AS node FROM ke UNION SELECT dst FROM ke),
+        |ko AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wtot FROM ke GROUP BY src),
+        |kr0 AS (SELECT node, CAST($Scale // (SELECT COUNT(*) FROM knodes) AS BIGINT)
+        |          AS rank FROM knodes),
+        |$rounds,
+        |fin AS (
+        |  SELECT string_split(node, ':')[1] AS lang,
+        |    string_split(node, ':')[2] AS word, rank AS rank_e12,
+        |    ROW_NUMBER() OVER (PARTITION BY string_split(node, ':')[1]
+        |      ORDER BY rank DESC, node) AS rn
+        |  FROM kr$Iters)
+        |SELECT lang, CAST(rn AS BIGINT) AS rn, word, rank_e12
+        |FROM fin WHERE rn <= 5""".stripMargin
+    })
+
+  /** q270: k-truss peeling ([[graft.graph.KTruss]]) over the domain
+    * link graph — the triangle-support cohesion filter beside q259's
+    * degree-based k-core: an edge survives the 3-truss iff ≥ 1
+    * triangle supports it among surviving edges, which keeps link-farm
+    * near-cliques and drops organic star hubs (degree without
+    * triangles). k = 3 because the synthetic graph's 4-truss is empty
+    * (a 0-row fixture gates nothing); KTrussSpec exercises k = 4
+    * peeling and the cascade on hand graphs. Three fixed peel rounds
+    * (idempotent past the fixpoint), each round three equi-joins + one
+    * count — the oracle unrolls the identical rounds, orientation, and
+    * support filter. */
+  val q270 = GQuery(
+    "q270_ktruss",
+    (s, d) =>
+      graft.graph.KTruss.peel(linkEdges(s, d).drop("w"), "src", "dst",
+        k = 3, rounds = 3),
+    Some {
+      def round(prev: String, cur: String) =
+        s"""${cur}tri AS MATERIALIZED (
+           |  SELECT e1.u, e1.v, e2.w
+           |  FROM (SELECT lo AS u, hi AS v, dhi AS dv FROM $prev) e1
+           |  JOIN (SELECT lo AS u, hi AS w, dhi AS dw FROM $prev) e2 USING (u)
+           |  JOIN $prev p ON p.lo = e1.v AND p.hi = e2.w
+           |  WHERE (e1.dv < e2.dw) OR (e1.dv = e2.dw AND e1.v < e2.w)),
+           |${cur}sup AS (
+           |  SELECT slo, shi, COUNT(*) AS support FROM (
+           |    SELECT u AS slo, v AS shi FROM ${cur}tri
+           |    UNION ALL SELECT u, w FROM ${cur}tri
+           |    UNION ALL SELECT v, w FROM ${cur}tri)
+           |  GROUP BY 1, 2),
+           |$cur AS MATERIALIZED (
+           |  SELECT p.lo, p.hi, p.dhi
+           |  FROM $prev p JOIN ${cur}sup s ON p.lo = s.slo AND p.hi = s.shi
+           |  WHERE s.support >= 1)""".stripMargin
+      s"""WITH raw AS (
+        |  SELECT 'd' || (doc_id % $M) AS src, 'd' || ((doc_id * 7 + 13) % $M) AS dst
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'd' || (doc_id % $M), 'd' || ((doc_id * 13 + 29) % $M) FROM documents
+        |  UNION ALL
+        |  SELECT 'd' || (doc_id % $M), 'd' || ((doc_id * 31 + 7) % $M) FROM documents),
+        |e0 AS (SELECT DISTINCT src, dst FROM raw WHERE src != dst),
+        |und AS (
+        |  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM e0),
+        |deg AS (
+        |  SELECT node, COUNT(*) AS d FROM (
+        |    SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+        |  GROUP BY 1),
+        |t0 AS MATERIALIZED (
+        |  SELECT
+        |    CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b)
+        |      THEN u.a ELSE u.b END AS lo,
+        |    CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b)
+        |      THEN u.b ELSE u.a END AS hi,
+        |    CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b)
+        |      THEN db.d ELSE da.d END AS dhi
+        |  FROM und u
+        |  JOIN deg da ON da.node = u.a JOIN deg db ON db.node = u.b),
+        |${round("t0", "t1")},
+        |${round("t1", "t2")},
+        |${round("t2", "t3")}
+        |SELECT LEAST(p.lo, p.hi) AS u, GREATEST(p.lo, p.hi) AS v,
+        |  CAST(s.support AS BIGINT) AS support
+        |FROM t3 p JOIN t3sup s ON p.lo = s.slo AND p.hi = s.shi""".stripMargin
+    })
+
+  /** q277: personalized PageRank ([[graft.graph.PageRank.personalized]],
+    * Jeh & Widom 2003) from a 3-domain seed set — seed-anchored trust
+    * propagation (TrustRank): restart mass and dangling mass land on
+    * the seeds only, so ranks measure proximity to the seeds, the
+    * related-domain expansion signal beside q153's global centrality.
+    * Same integer rounds, oracle-unrolled with `CASE WHEN node IN
+    * (seeds)` base terms; the unreferenced global-PR CTEs in the
+    * shared chain cost nothing (DuckDB evaluates only reachable CTEs). */
+  val q277 = GQuery(
+    "q277_personalized_pagerank",
+    (s, d) => {
+      val seeds = Seq("d1", "d2", "d3")
+      PageRank.personalized(linkEdges(s, d), seeds, iters = Iters, scale = Scale)
+        .select(col("node").as("domain"), col("rank").as("rank_e12"),
+          col("node").isin(seeds: _*).as("is_seed"))
+    },
+    Some {
+      val seedsSql = "'d1', 'd2', 'd3'"
+      val nSeeds = 3
+      def pprCte(prev: String, cur: String) =
+        s"""$cur AS (
+           |  SELECT n.node,
+           |    CAST(CASE WHEN n.node IN ($seedsSql)
+           |        THEN (($Scale * 15) // 100) // $nSeeds ELSE 0 END
+           |      + COALESCE(c.csum, 0)
+           |      + CASE WHEN n.node IN ($seedsSql)
+           |        THEN (((SELECT COALESCE(SUM(r.rank), 0) FROM $prev r
+           |                WHERE r.node NOT IN (SELECT src FROM o)) * 85) // 100)
+           |          // $nSeeds ELSE 0 END AS BIGINT) AS rank
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.dst AS node,
+           |      CAST(SUM((((r.rank * 85) // 100) * e.w) // o.wtot) AS BIGINT) AS csum
+           |    FROM e JOIN $prev r ON e.src = r.node JOIN o ON e.src = o.src
+           |    GROUP BY e.dst) c ON n.node = c.node)""".stripMargin
+      val rounds = (1 to Iters).map(i => pprCte(s"p${i - 1}", s"p$i")).mkString(",\n")
+      s"""WITH $linkGraphCtes,
+        |p0 AS (
+        |  SELECT node, CAST(CASE WHEN node IN ($seedsSql)
+        |    THEN $Scale // $nSeeds ELSE 0 END AS BIGINT) AS rank FROM nodes),
+        |$rounds
+        |SELECT node AS domain, rank AS rank_e12,
+        |  node IN ($seedsSql) AS is_seed
+        |FROM p$Iters""".stripMargin
+    })
+
   def queries: Seq[GQuery] =
-    Seq(q153, q157, q158, q160, q164, q174, q178, q231, q232, q241, q242, q243, q259)
+    Seq(q153, q157, q158, q160, q164, q174, q178, q231, q232, q241, q242,
+      q243, q259, q267, q270, q277)
 }

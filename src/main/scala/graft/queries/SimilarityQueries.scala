@@ -1423,5 +1423,75 @@ object SimilarityQueries {
         |WHERE rank <= $NndK""".stripMargin))
   }
 
-  def queries: Seq[GQuery] = Seq(q40, q41, q42, q48, q53, q102, q105, q114, q117, q119, q122, q131, q147, q173, q176, q186, q188, q226, q248, q251, q253, q255, q257, q261)
+  /** q269: Matryoshka truncation-recall eval (Kusupati 2022) — can the
+    * first m dims of the 64-dim embedding stand in for the full vector
+    * at retrieval time? For m ∈ {8, 16, 32}: brute-force cosine top-10
+    * on the truncated prefix vs top-10 on the full vector, recall@10 =
+    * |overlap| / (10·n_queries). The eval behind serving truncated
+    * vectors from an MRL-trained model (fraction of the index bytes,
+    * known recall bill). Same scaled-long cosine machinery as q40, so
+    * selection and order are engine-exact at every m; the full top-10
+    * lands once (lazy checkpoint) and all three truncations probe it. */
+  val q269 = GQuery(
+    "q269_matryoshka_recall",
+    (s, d) => {
+      val emb = embeddings(s, d)
+      val qs = emb.filter(col("vec_id") % 97 === 0)
+      def topk(m: Int) = {
+        def trunc(df: org.apache.spark.sql.DataFrame) =
+          if (m == 64) df
+          else df.select(col("vec_id"), slice(col("embedding"), 1, m).as("embedding"))
+        Knn.bruteForceTopK(trunc(emb), trunc(qs), "vec_id", "embedding", 10)
+          .select(col("qid"), col("nid"))
+      }
+      val full = topk(64).localCheckpoint(eager = false)
+      val nq = full.agg(countDistinct(col("qid")).as("n_queries"))
+      Seq(8, 16, 32).map { m =>
+        topk(m).join(full, Seq("qid", "nid"))
+          .agg(count(lit(1)).cast("long").as("hits"))
+          .select(lit(m).as("m"), col("hits"))
+      }.reduce(_ unionAll _)
+        .crossJoin(nq) // 1-row scalar broadcast (the legitimate pattern)
+        .select(col("m"), col("n_queries"), col("hits"),
+          round(col("hits").cast("double") /
+            (lit(10.0) * col("n_queries")), 6).as("recall"))
+    },
+    Some(s"""WITH ms AS (SELECT unnest([8, 16, 32, 64]) AS m),
+      |$elSql,
+      |n2m AS (
+      |  SELECT ms.m, el.vec_id,
+      |    CAST(SUM(el.e * el.e) AS DOUBLE) / 100000000000000.0 AS n2
+      |  FROM el, ms WHERE el.i <= ms.m GROUP BY 1, 2),
+      |dot AS (
+      |  SELECT ms.m, q.vec_id AS qid, c.vec_id AS nid,
+      |    CAST(SUM(q.e * c.e) AS DOUBLE) / 100000000000000.0 AS dot
+      |  FROM ms, el q JOIN el c ON q.i = c.i
+      |  WHERE q.vec_id % 97 = 0 AND q.vec_id <> c.vec_id AND q.i <= ms.m
+      |    AND c.i <= ms.m
+      |  GROUP BY 1, 2, 3),
+      |scored AS (
+      |  SELECT d.m, d.qid, d.nid, d.dot / (sqrt(nq.n2) * sqrt(nc.n2)) AS cos
+      |  FROM dot d
+      |  JOIN n2m nq ON nq.m = d.m AND nq.vec_id = d.qid
+      |  JOIN n2m nc ON nc.m = d.m AND nc.vec_id = d.nid),
+      |rk AS (
+      |  SELECT m, qid, nid,
+      |    row_number() OVER (PARTITION BY m, qid ORDER BY cos DESC, nid) AS r
+      |  FROM scored),
+      |top AS (SELECT m, qid, nid FROM rk WHERE r <= 10),
+      |fullq AS (SELECT qid, nid FROM top WHERE m = 64),
+      |hits AS (
+      |  -- LEFT JOIN from the m list so a zero-overlap truncation still
+      |  -- emits its row (Spark's empty-relation count does)
+      |  SELECT ms.m, COUNT(mt.qid) AS hits FROM ms
+      |  LEFT JOIN (
+      |    SELECT t.m, t.qid FROM top t
+      |    JOIN fullq f ON t.qid = f.qid AND t.nid = f.nid) mt ON mt.m = ms.m
+      |  WHERE ms.m < 64 GROUP BY 1),
+      |nq AS (SELECT COUNT(DISTINCT qid) AS n_queries FROM fullq)
+      |SELECT h.m, nq.n_queries, CAST(h.hits AS BIGINT) AS hits,
+      |  round(CAST(h.hits AS DOUBLE) / (10.0 * nq.n_queries), 6) AS recall
+      |FROM hits h, nq""".stripMargin))
+
+  def queries: Seq[GQuery] = Seq(q40, q41, q42, q48, q53, q102, q105, q114, q117, q119, q122, q131, q147, q173, q176, q186, q188, q226, q248, q251, q253, q255, q257, q261, q269)
 }

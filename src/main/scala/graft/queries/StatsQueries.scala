@@ -786,7 +786,158 @@ object StatsQueries {
         |FROM hold h JOIN dense d ON h.bucket = d.bucket
         |GROUP BY h.bucket""".stripMargin))
 
+  /** q268: Mann–Whitney U rank-sum test (tie-corrected normal
+    * approximation) per language — does doc length differ between the
+    * single-digit sources (src0–src9) and the double-digit ones
+    * (src10–src19)? The nonparametric A/B arm beside q244's paired
+    * Poisson bootstrap: no distributional assumption, works on any
+    * ordinal score. Everything up to the final z is INTEGER-exact on
+    * both engines: ties get average ranks carried as lo+hi (twice the
+    * average, so integers survive), 2·U = 2·R_A − n_A(n_A+1), and the
+    * tie-corrected variance's numerator n_A·n_B·((n+1)·n(n−1) − Σ(t³−t))
+    * rides DECIMAL(38,0) (int64 wraps near n ≈ 10⁵). The single
+    * division and sqrt at the end are exactly-rounded IEEE ops, so z
+    * is bit-identical in any IEEE engine. Scale shape: ranks come from
+    * a window over the per-(lang, value) AGGREGATED frame (bounded by
+    * the value domain, not the row count) — raw rows fold map-side
+    * into (lang, value) counts first. */
+  val q268 = GQuery(
+    "q268_rank_sum_test",
+    (s, d) => {
+      val base = documents(s, d).select(col("lang"),
+        col("n_chars").as("v"),
+        (length(col("source")) === 4).as("is_a"))
+      val per = base.groupBy(col("lang"), col("v"))
+        .agg(lcount(lit(1)).as("c_all"),
+          coalesce(sum(when(col("is_a"), lit(1L))), lit(0L)).as("c_a"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("v"))
+      val cum = per.withColumn("hi", sum(col("c_all")).over(w))
+        .withColumn("lo", col("hi") - col("c_all") + 1)
+      val agg = cum.groupBy(col("lang")).agg(
+        sum((col("lo") + col("hi")) * col("c_a")).as("r2a"),
+        sum(col("c_a")).as("n_a"),
+        sum(col("c_all") - col("c_a")).as("n_b"),
+        sum(col("c_all") * col("c_all") * col("c_all") - col("c_all")).as("tie_t"))
+      agg
+        .withColumn("u2a", col("r2a") - col("n_a") * (col("n_a") + 1))
+        .withColumn("z", expr(
+          """CASE WHEN n_a > 0 AND n_b > 0 AND
+            |  (CAST(n_a AS DECIMAL(38,0)) * n_b *
+            |    ((n_a + n_b + 1) * (n_a + n_b) * (n_a + n_b - 1) - tie_t)) > 0
+            |THEN round(
+            |  CAST(u2a - n_a * n_b AS DOUBLE) /
+            |  (2 * sqrt(
+            |    CAST(CAST(n_a AS DECIMAL(38,0)) * n_b *
+            |      ((n_a + n_b + 1) * (n_a + n_b) * (n_a + n_b - 1) - tie_t)
+            |      AS DOUBLE) /
+            |    CAST(12 * (n_a + n_b) * CAST(n_a + n_b - 1 AS DECIMAL(38,0))
+            |      AS DOUBLE))), 6)
+            |END""".stripMargin))
+        .select(col("lang"), col("n_a"), col("n_b"), col("u2a"),
+          col("tie_t"), col("z"))
+    },
+    Some("""WITH base AS (
+      |  SELECT lang, n_chars AS v, length(source) = 4 AS is_a FROM documents),
+      |per AS (
+      |  SELECT lang, v, COUNT(*) AS c_all,
+      |    COALESCE(SUM(CASE WHEN is_a THEN 1 END), 0) AS c_a
+      |  FROM base GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT lang, c_all, c_a,
+      |    SUM(c_all) OVER (PARTITION BY lang ORDER BY v) AS hi,
+      |    SUM(c_all) OVER (PARTITION BY lang ORDER BY v) - c_all + 1 AS lo
+      |  FROM per),
+      |agg AS (
+      |  SELECT lang,
+      |    CAST(SUM((lo + hi) * c_a) AS BIGINT) AS r2a,
+      |    CAST(SUM(c_a) AS BIGINT) AS n_a,
+      |    CAST(SUM(c_all - c_a) AS BIGINT) AS n_b,
+      |    CAST(SUM(c_all * c_all * c_all - c_all) AS BIGINT) AS tie_t
+      |  FROM cum GROUP BY lang)
+      |SELECT lang, n_a, n_b,
+      |  CAST(r2a - n_a * (n_a + 1) AS BIGINT) AS u2a, tie_t,
+      |  CASE WHEN n_a > 0 AND n_b > 0 AND
+      |    (CAST(n_a AS HUGEINT) * n_b *
+      |      ((n_a + n_b + 1) * (n_a + n_b) * (n_a + n_b - 1) - tie_t)) > 0
+      |  THEN round(
+      |    CAST(r2a - n_a * (n_a + 1) - n_a * n_b AS DOUBLE) /
+      |    (2 * sqrt(
+      |      CAST(CAST(n_a AS HUGEINT) * n_b *
+      |        ((n_a + n_b + 1) * (n_a + n_b) * (n_a + n_b - 1) - tie_t)
+      |        AS DOUBLE) /
+      |      CAST(12 * (n_a + n_b) * CAST(n_a + n_b - 1 AS HUGEINT)
+      |        AS DOUBLE))), 6)
+      |  END AS z
+      |FROM agg""".stripMargin))
+
+  /** q274: two-sample Kolmogorov–Smirnov statistic per language (same
+    * A/B split as q268) — the distribution-shape companion to the
+    * rank-sum's location test: D = sup|F_A − F_B| catches variance and
+    * shape shifts a median test misses. ENTIRELY integer under the
+    * hash: D·n_A·n_B = max over values of |cumA·n_B − cumB·n_A|
+    * (cross-multiplied ECDFs — no division until the reported
+    * rounding), products decimal-routed (int64 wraps once both
+    * cumulative counts pass ~10⁹·10⁹). Same scale shape as q268: one
+    * map-side fold to (lang, value), one calendar... value-domain-
+    * bounded cumulative window, one final groupBy. */
+  val q274 = GQuery(
+    "q274_ks_test",
+    (s, d) => {
+      val base = documents(s, d).select(col("lang"),
+        col("n_chars").as("v"),
+        (length(col("source")) === 4).as("is_a"))
+      val per = base.groupBy(col("lang"), col("v"))
+        .agg(coalesce(sum(when(col("is_a"), lit(1L))), lit(0L)).as("ca"),
+          coalesce(sum(when(!col("is_a"), lit(1L))), lit(0L)).as("cb"))
+      val wCum = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("v"))
+      val wAll = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"))
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      per
+        .withColumn("cum_a", sum(col("ca")).over(wCum))
+        .withColumn("cum_b", sum(col("cb")).over(wCum))
+        .withColumn("n_a", sum(col("ca")).over(wAll))
+        .withColumn("n_b", sum(col("cb")).over(wAll))
+        .withColumn("cross", abs(
+          col("cum_a").cast(dec) * col("n_b") -
+            col("cum_b").cast(dec) * col("n_a")))
+        .groupBy(col("lang"))
+        .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+          max(col("cross")).cast("long").as("d_num"))
+        .withColumn("d", when(col("n_a") > 0 && col("n_b") > 0,
+          round(col("d_num").cast("double") /
+            (col("n_a").cast("double") * col("n_b").cast("double")), 6)))
+    },
+    Some("""WITH base AS (
+      |  SELECT lang, n_chars AS v, length(source) = 4 AS is_a FROM documents),
+      |per AS (
+      |  SELECT lang, v,
+      |    COALESCE(SUM(CASE WHEN is_a THEN 1 END), 0) AS ca,
+      |    COALESCE(SUM(CASE WHEN NOT is_a THEN 1 END), 0) AS cb
+      |  FROM base GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT lang,
+      |    SUM(ca) OVER (PARTITION BY lang ORDER BY v) AS cum_a,
+      |    SUM(cb) OVER (PARTITION BY lang ORDER BY v) AS cum_b,
+      |    SUM(ca) OVER (PARTITION BY lang) AS n_a,
+      |    SUM(cb) OVER (PARTITION BY lang) AS n_b
+      |  FROM per),
+      |agg AS (
+      |  SELECT lang,
+      |    CAST(MAX(n_a) AS BIGINT) AS n_a, CAST(MAX(n_b) AS BIGINT) AS n_b,
+      |    CAST(MAX(abs(CAST(cum_a AS HUGEINT) * n_b
+      |      - CAST(cum_b AS HUGEINT) * n_a)) AS BIGINT) AS d_num
+      |  FROM cum GROUP BY lang)
+      |SELECT lang, n_a, n_b, d_num,
+      |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+      |    round(CAST(d_num AS DOUBLE) /
+      |      (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6)
+      |  END AS d
+      |FROM agg""".stripMargin))
+
   def queries: Seq[GQuery] =
     Seq(q23, q24, q25, q26, q27, q28, q29, q30, q31, q51, q58, q113, q163,
-      q185, q191, q211, q217)
+      q185, q191, q211, q217, q268, q274)
 }

@@ -495,6 +495,136 @@ object TemporalQueries {
       |    AS decayed_score
       |FROM w GROUP BY event_type""".stripMargin))
 
+  /** q272: classical seasonal decomposition of the daily event-value
+    * series — total = trend + seasonal + remainder, with trend a
+    * centered 7-row moving average (NULL where the window is partial),
+    * seasonal the per-weekday mean of the detrended series, remainder
+    * the leftovers. The ingest-volume diagnostic behind q191's drift
+    * tests: "is Monday low because of drift, or because Mondays are
+    * low?". Numerics: daily totals are decimal-routed ([[graft.core
+    * .Exact.dsum]]); the MA re-sums the per-day DOUBLES as
+    * DECIMAL(38,6) inside the window, so the 7-term sum is associative
+    * and engine-exact; subtraction and the final /7 are exactly-rounded
+    * IEEE ops. Scale shape: raw events fold map-side into the daily
+    * frame (bounded by the calendar, not the event count); the single
+    * ordered window and the 7-row seasonal join are calendar-bounded. */
+  val q272 = GQuery(
+    "q272_seasonal_decompose",
+    (s, d) => {
+      val daily = events(s, d)
+        .select(to_date(col("ts")).as("day"), col("value"))
+        .groupBy(col("day"))
+        .agg(dsum(col("value")).as("total"), lcount(lit(1)).as("n_events"))
+      val w7 = org.apache.spark.sql.expressions.Window
+        .orderBy(col("day")).rowsBetween(-3, 3)
+      val ma = daily
+        .withColumn("trend",
+          when(count(lit(1)).over(w7) === 7,
+            sum(col("total").cast(Dec)).over(w7).cast("double") / 7))
+        .withColumn("det", col("total") - col("trend"))
+        .withColumn("dow", (dayofweek(col("day")) - 1).cast("int"))
+        // two consumers (seasonal means + the final join): land the
+        // calendar-bounded frame once instead of rescanning events
+        .localCheckpoint(eager = false)
+      val seas = ma.filter(col("det").isNotNull)
+        .groupBy(col("dow")).agg(davg(col("det")).as("seasonal"))
+      ma.join(broadcast(seas), Seq("dow"), "left")
+        .select(col("day"), col("dow"), col("n_events"),
+          round(col("total"), 6).as("total"),
+          round(col("trend"), 6).as("trend"),
+          round(col("seasonal"), 6).as("seasonal"),
+          round(col("det") - col("seasonal"), 6).as("remainder"))
+    },
+    Some("""WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS day,
+      |    CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total,
+      |    COUNT(*) AS n_events
+      |  FROM events GROUP BY 1),
+      |ma AS (
+      |  SELECT day, n_events, total,
+      |    CASE WHEN COUNT(*) OVER w7 = 7 THEN
+      |      CAST(SUM(CAST(total AS DECIMAL(38,6))) OVER w7 AS DOUBLE) / 7
+      |    END AS trend
+      |  FROM daily
+      |  WINDOW w7 AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      |dt AS (
+      |  SELECT *, CAST(dayofweek(day) AS INT) AS dow, total - trend AS det
+      |  FROM ma),
+      |seas AS (
+      |  SELECT dow,
+      |    CAST(SUM(CAST(det AS DECIMAL(38,6))) AS DOUBLE) / COUNT(det) AS seasonal
+      |  FROM dt WHERE det IS NOT NULL GROUP BY 1)
+      |SELECT d.day, d.dow, CAST(d.n_events AS BIGINT) AS n_events,
+      |  round(d.total, 6) AS total,
+      |  round(d.trend, 6) AS trend,
+      |  round(s.seasonal, 6) AS seasonal,
+      |  round(d.det - s.seasonal, 6) AS remainder
+      |FROM dt d LEFT JOIN seas s ON d.dow = s.dow""".stripMargin))
+
+  /** q278: market-basket association rules (Agrawal 1993) over
+    * (user, day) session baskets — which event types co-occur within
+    * a user-day beyond what their marginals predict? All 20 ordered
+    * type pairs scored exactly: confidence and lift as floor-scaled
+    * integers (`(n_ab·10⁶) div n_a`, `(n_ab·N·10⁶) div (n_a·n_b)`
+    * decimal-routed — int64 wraps once n_ab·N passes ~10¹² baskets²).
+    * Scale shape: one distinct over (user, day, type), pairs via a
+    * basket-key equi-join with item-domain-bounded fan-out (≤|types|²
+    * output), marginals and the basket total broadcast. */
+  val q278 = GQuery(
+    "q278_market_basket",
+    (s, d) => {
+      val b = events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"), col("event_type"))
+        .distinct()
+        .localCheckpoint(eager = false) // three consumers of one distinct
+      val nb = b.select(col("user_id"), col("day")).distinct()
+        .agg(lcount(lit(1)).as("n_baskets"))
+      val items = b.groupBy(col("event_type")).agg(lcount(lit(1)).as("n_item"))
+      val nab = b
+        .join(b.select(col("user_id"), col("day"),
+          col("event_type").as("consequent")), Seq("user_id", "day"))
+        .filter(col("event_type") =!= col("consequent"))
+        .groupBy(col("event_type").as("antecedent"), col("consequent"))
+        .agg(lcount(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 20)
+      nab
+        .join(broadcast(items.select(col("event_type").as("antecedent"),
+          col("n_item").as("n_a"))), Seq("antecedent"))
+        .join(broadcast(items.select(col("event_type").as("consequent"),
+          col("n_item").as("n_b"))), Seq("consequent"))
+        .crossJoin(nb) // 1-row scalar broadcast
+        .select(col("antecedent"), col("consequent"), col("n_ab"),
+          col("n_a"), col("n_b"), col("n_baskets"),
+          expr("(n_ab * 1000000) div n_a").as("conf_e6"),
+          expr("CAST((CAST(n_ab AS DECIMAL(38,0)) * n_baskets * 1000000) div " +
+            "(CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)").as("lift_e6"))
+    },
+    Some("""WITH b AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type
+      |  FROM events),
+      |nb AS (
+      |  SELECT COUNT(*) AS n_baskets FROM (
+      |    SELECT DISTINCT user_id, day FROM b)),
+      |items AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_item
+      |  FROM b GROUP BY 1),
+      |nab AS (
+      |  SELECT a.event_type AS antecedent, c.event_type AS consequent,
+      |    CAST(COUNT(*) AS BIGINT) AS n_ab
+      |  FROM b a JOIN b c
+      |    ON a.user_id = c.user_id AND a.day = c.day
+      |    AND a.event_type <> c.event_type
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 20)
+      |SELECT nab.antecedent, nab.consequent, nab.n_ab,
+      |  ia.n_item AS n_a, ic.n_item AS n_b,
+      |  CAST(nb.n_baskets AS BIGINT) AS n_baskets,
+      |  CAST((nab.n_ab * 1000000) // ia.n_item AS BIGINT) AS conf_e6,
+      |  CAST((CAST(nab.n_ab AS HUGEINT) * nb.n_baskets * 1000000)
+      |    // (CAST(ia.n_item AS HUGEINT) * ic.n_item) AS BIGINT) AS lift_e6
+      |FROM nab
+      |JOIN items ia ON ia.event_type = nab.antecedent
+      |JOIN items ic ON ic.event_type = nab.consequent, nb""".stripMargin))
+
   def queries: Seq[GQuery] =
-    Seq(q43, q44, q56, q70, q181, q182, q183, q196, q197, q263)
+    Seq(q43, q44, q56, q70, q181, q182, q183, q196, q197, q263, q272, q278)
 }

@@ -2204,9 +2204,359 @@ object TextQueries {
       |JOIN lv ON lv.doc_id = t.doc_id
       |WHERE t.doc_id % 11 = 0""".stripMargin))
 
+  /** Corpus BLEU-4 components (Papineni 2002) against per-language
+    * exemplar references — the n-gram-precision eval beside q264's
+    * in-order ROUGE-L: every 11th doc scores its first-32-token
+    * 1..4-gram CLIPPED matches against its language's exemplar (min
+    * doc_id). Per language: matched/total per order, geometric-mean
+    * precision via `sqrt(sqrt(((p1·p2)·p3)·p4))` (IEEE sqrt and
+    * multiply are exactly rounded, so the composite is bit-identical
+    * in any IEEE engine — the q243 ¾-power discipline; `exp(1−r/c)`
+    * is NOT exactly rounded, so the brevity penalty is reported as
+    * the exact ratio c/r instead of folded in). Scale shape: clipped
+    * counting is one groupBy over candidate-side grams (bounded by
+    * the 32-token truncation) joined to a BROADCAST reference-gram
+    * table (5 langs × ≤32 grams × 4 orders) — map-shaped at any
+    * corpus size; no shuffle touches full documents. */
+  val q265 = GQuery(
+    "q265_bleu_eval",
+    (s, d) => {
+      val docs = documents(s, d)
+        .withColumn("toks", slice(
+          call_function("regexp_extract_all", col("text"), lit("[a-z]+"), lit(0)),
+          1, 32))
+      val ex = docs.groupBy(col("lang")).agg(min(col("doc_id")).as("__eid"))
+      val refs = ex
+        .join(docs.select(col("doc_id").as("__eid"), col("toks").as("rtoks")),
+          Seq("__eid"))
+        .select(col("lang"), col("rtoks"))
+      val cand = docs.filter(col("doc_id") % 11 === 0)
+        .select(col("doc_id"), col("lang"), col("toks"))
+      def gramStructs(toksCol: org.apache.spark.sql.Column) = array(
+        (1 to 4).map(n => struct(lit(n).as("n"),
+          call_function("word_ngrams", toksCol, lit(n), lit(false)).as("gs"))): _*)
+      val cg = cand
+        .select(col("doc_id"), col("lang"), explode(gramStructs(col("toks"))).as("x"))
+        .select(col("doc_id"), col("lang"), col("x.n").as("n"), explode(col("x.gs")).as("g"))
+        .groupBy(col("doc_id"), col("lang"), col("n"), col("g"))
+        .agg(lcount(lit(1)).as("c"))
+      val rg = refs
+        .select(col("lang"), explode(gramStructs(col("rtoks"))).as("x"))
+        .select(col("lang"), col("x.n").as("n"), explode(col("x.gs")).as("g"))
+        .groupBy(col("lang"), col("n"), col("g"))
+        .agg(lcount(lit(1)).as("rc"))
+      val m = cg.join(broadcast(rg), Seq("lang", "n", "g"))
+        .groupBy(col("lang"), col("n"))
+        .agg(sum(least(col("c"), col("rc"))).as("m"))
+        .groupBy(col("lang"))
+        .agg(coalesce(sum(when(col("n") === 1, col("m"))), lit(0L)).as("m1"),
+          coalesce(sum(when(col("n") === 2, col("m"))), lit(0L)).as("m2"),
+          coalesce(sum(when(col("n") === 3, col("m"))), lit(0L)).as("m3"),
+          coalesce(sum(when(col("n") === 4, col("m"))), lit(0L)).as("m4"))
+      val tot = cand.select(col("lang"), size(col("toks")).cast("long").as("len"))
+        .groupBy(col("lang"))
+        .agg(lcount(lit(1)).as("n_docs"),
+          sum(col("len")).as("t1"),
+          sum(greatest(col("len") - 1, lit(0L))).as("t2"),
+          sum(greatest(col("len") - 2, lit(0L))).as("t3"),
+          sum(greatest(col("len") - 3, lit(0L))).as("t4"))
+      val rlen = refs.select(col("lang"), size(col("rtoks")).cast("long").as("ref_len"))
+      tot.join(m, Seq("lang"), "left")
+        .join(broadcast(rlen), Seq("lang"))
+        .select(col("lang"), col("n_docs"),
+          coalesce(col("m1"), lit(0L)).as("m1"), col("t1"),
+          coalesce(col("m2"), lit(0L)).as("m2"), col("t2"),
+          coalesce(col("m3"), lit(0L)).as("m3"), col("t3"),
+          coalesce(col("m4"), lit(0L)).as("m4"), col("t4"), col("ref_len"))
+        .withColumn("bleu_nobp",
+          when(col("t1") > 0 && col("t2") > 0 && col("t3") > 0 && col("t4") > 0,
+            round(sqrt(sqrt(
+              col("m1").cast("double") / col("t1").cast("double") *
+                (col("m2").cast("double") / col("t2").cast("double")) *
+                (col("m3").cast("double") / col("t3").cast("double")) *
+                (col("m4").cast("double") / col("t4").cast("double")))), 6)))
+        .withColumn("brevity_ratio",
+          round(col("t1").cast("double") /
+            (col("n_docs") * col("ref_len")).cast("double"), 6))
+    },
+    Some("""WITH tok AS (
+      |  SELECT doc_id, lang, regexp_extract_all(text, '[a-z]+')[:32] AS toks
+      |  FROM documents),
+      |ex AS (SELECT lang, MIN(doc_id) AS eid FROM documents GROUP BY lang),
+      |ref AS (SELECT t.lang, t.toks AS rtoks FROM ex JOIN tok t ON t.doc_id = ex.eid),
+      |cand AS (SELECT doc_id, lang, toks FROM tok WHERE doc_id % 11 = 0),
+      |ns AS (SELECT UNNEST([1, 2, 3, 4]) AS n),
+      |cg AS (
+      |  SELECT c.doc_id, c.lang, ns.n,
+      |    array_to_string(c.toks[i:i+ns.n-1], ' ') AS g, COUNT(*) AS c
+      |  FROM cand c, ns,
+      |    UNNEST(generate_series(1, greatest(len(c.toks) - ns.n + 1, 0))) AS u(i)
+      |  GROUP BY 1, 2, 3, 4),
+      |rg AS (
+      |  SELECT r.lang, ns.n, array_to_string(r.rtoks[i:i+ns.n-1], ' ') AS g,
+      |    COUNT(*) AS rc
+      |  FROM ref r, ns,
+      |    UNNEST(generate_series(1, greatest(len(r.rtoks) - ns.n + 1, 0))) AS u(i)
+      |  GROUP BY 1, 2, 3),
+      |clip AS (
+      |  SELECT cg.lang, cg.n, SUM(LEAST(cg.c, rg.rc)) AS m
+      |  FROM cg JOIN rg ON cg.lang = rg.lang AND cg.n = rg.n AND cg.g = rg.g
+      |  GROUP BY 1, 2),
+      |mm AS (
+      |  SELECT lang,
+      |    COALESCE(SUM(CASE WHEN n = 1 THEN m END), 0) AS m1,
+      |    COALESCE(SUM(CASE WHEN n = 2 THEN m END), 0) AS m2,
+      |    COALESCE(SUM(CASE WHEN n = 3 THEN m END), 0) AS m3,
+      |    COALESCE(SUM(CASE WHEN n = 4 THEN m END), 0) AS m4
+      |  FROM clip GROUP BY lang),
+      |tot AS (
+      |  SELECT lang, COUNT(*) AS n_docs,
+      |    CAST(SUM(len(toks)) AS BIGINT) AS t1,
+      |    CAST(SUM(greatest(len(toks) - 1, 0)) AS BIGINT) AS t2,
+      |    CAST(SUM(greatest(len(toks) - 2, 0)) AS BIGINT) AS t3,
+      |    CAST(SUM(greatest(len(toks) - 3, 0)) AS BIGINT) AS t4
+      |  FROM cand GROUP BY lang),
+      |rl AS (SELECT lang, CAST(len(rtoks) AS BIGINT) AS ref_len FROM ref)
+      |SELECT t.lang, t.n_docs,
+      |  CAST(COALESCE(mm.m1, 0) AS BIGINT) AS m1, t.t1,
+      |  CAST(COALESCE(mm.m2, 0) AS BIGINT) AS m2, t.t2,
+      |  CAST(COALESCE(mm.m3, 0) AS BIGINT) AS m3, t.t3,
+      |  CAST(COALESCE(mm.m4, 0) AS BIGINT) AS m4, t.t4, rl.ref_len,
+      |  CASE WHEN t.t1 > 0 AND t.t2 > 0 AND t.t3 > 0 AND t.t4 > 0 THEN
+      |    round(sqrt(sqrt(
+      |      CAST(COALESCE(mm.m1, 0) AS DOUBLE) / CAST(t.t1 AS DOUBLE) *
+      |        (CAST(COALESCE(mm.m2, 0) AS DOUBLE) / CAST(t.t2 AS DOUBLE)) *
+      |        (CAST(COALESCE(mm.m3, 0) AS DOUBLE) / CAST(t.t3 AS DOUBLE)) *
+      |        (CAST(COALESCE(mm.m4, 0) AS DOUBLE) / CAST(t.t4 AS DOUBLE)))), 6)
+      |  END AS bleu_nobp,
+      |  round(CAST(t.t1 AS DOUBLE) / CAST(t.n_docs * rl.ref_len AS DOUBLE), 6)
+      |    AS brevity_ratio
+      |FROM tot t
+      |LEFT JOIN mm ON mm.lang = t.lang
+      |JOIN rl ON rl.lang = t.lang""".stripMargin))
+
+  /** PMI collocation mining: top-8 adjacent bigrams per language by
+    * pointwise mutual information — the phrase-detection pass word2vec
+    * / phrase-aware tokenizers run before training (Mikolov 2013 §4).
+    * PMI's log is monotone, so ranking needs only the RATIO
+    * c_ab·N/(c_a·c_b), kept exact as a floor-scaled integer in
+    * DECIMAL(38,0) (int64 would wrap: c_ab·N·10⁶ passes 2⁶³ once the
+    * corpus passes ~10⁹ tokens; decimal holds to 10³⁸). Min support
+    * c_ab ≥ 5 kills the singleton-pair noise PMI is notorious for.
+    * Scale shape: one gram shuffle for counts, bigrams join unigram
+    * counts on (lang, word) — hash-partitioned, candidate-bounded —
+    * and the 5-row totals frame broadcasts; top-8 rides the
+    * TopKPerKey strategy (bounded heaps, no global sort). */
+  /** (q266/q273 shared) per-lang unigram and adjacent-bigram count
+    * tables over a doc subset. */
+  private def pmiCounts(df: org.apache.spark.sql.DataFrame) = {
+    val t = df.select(col("lang"),
+      call_function("regexp_extract_all", col("text"), lit("[a-z]+"), lit(0)).as("ws"))
+    val uni = t.select(col("lang"), explode(col("ws")).as("w"))
+      .groupBy(col("lang"), col("w")).agg(lcount(lit(1)).as("cu"))
+    val big = t.select(col("lang"),
+        explode(call_function("word_ngrams", col("ws"), lit(2), lit(false))).as("g"))
+      .groupBy(col("lang"), col("g")).agg(lcount(lit(1)).as("pair_n"))
+    (uni, big)
+  }
+
+  /** (q266/q273 shared) PMI scoring + top-8 per lang over count
+    * tables (min support 5 applied HERE, after any merge). */
+  private def pmiTop8(uni: org.apache.spark.sql.DataFrame,
+                      big: org.apache.spark.sql.DataFrame) = {
+    val ntok = uni.groupBy(col("lang")).agg(sum(col("cu")).as("ntok"))
+    val scored = big.filter(col("pair_n") >= 5)
+      .withColumn("wa", substring_index(col("g"), " ", 1))
+      .withColumn("wb", substring_index(col("g"), " ", -1))
+      .join(uni.select(col("lang"), col("w").as("wa"), col("cu").as("ca")),
+        Seq("lang", "wa"))
+      .join(uni.select(col("lang"), col("w").as("wb"), col("cu").as("cb")),
+        Seq("lang", "wb"))
+      .join(broadcast(ntok), Seq("lang"))
+      .withColumn("score_e6", expr(
+        "CAST((CAST(pair_n AS DECIMAL(38,0)) * ntok * 1000000) div " +
+          "(CAST(ca AS DECIMAL(38,0)) * cb) AS BIGINT)"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("score_e6").desc, col("g"))
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 8)
+      .select(col("lang"), col("rn"), col("g").as("gram"),
+        col("pair_n"), col("score_e6"))
+  }
+
+  val q266 = GQuery(
+    "q266_pmi_collocations",
+    (s, d) => {
+      val (uni, big) = pmiCounts(documents(s, d))
+      pmiTop8(uni, big)
+    },
+    Some(pmiOracleSql))
+
+  /** Full-corpus PMI rebuild — the oracle for BOTH q266 (which builds
+    * it directly) and q273 (which builds it by MERGING landed + batch
+    * count tables; hash-matching this rebuild proves the additive
+    * merge law end-to-end, the q227/q228 rollup discipline). */
+  private lazy val pmiOracleSql =
+    """WITH t AS (
+      |  SELECT lang, regexp_extract_all(text, '[a-z]+') AS ws FROM documents),
+      |uni AS (
+      |  SELECT lang, ws[i] AS w, COUNT(*) AS cu
+      |  FROM t, UNNEST(generate_series(1, len(ws))) AS u(i)
+      |  GROUP BY 1, 2),
+      |ntok AS (SELECT lang, CAST(SUM(cu) AS BIGINT) AS ntok FROM uni GROUP BY 1),
+      |big AS (
+      |  SELECT lang, ws[i] || ' ' || ws[i+1] AS g, COUNT(*) AS pair_n
+      |  FROM t, UNNEST(generate_series(1, greatest(len(ws) - 1, 0))) AS u(i)
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+      |sc AS (
+      |  SELECT b.lang, b.g AS gram, b.pair_n,
+      |    CAST((CAST(b.pair_n AS HUGEINT) * n.ntok * 1000000)
+      |      // (CAST(ua.cu AS HUGEINT) * ub.cu) AS BIGINT) AS score_e6
+      |  FROM big b
+      |  JOIN uni ua ON ua.lang = b.lang AND ua.w = string_split(b.g, ' ')[1]
+      |  JOIN uni ub ON ub.lang = b.lang AND ub.w = string_split(b.g, ' ')[2]
+      |  JOIN ntok n ON n.lang = b.lang),
+      |r AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+      |    ORDER BY score_e6 DESC, gram) AS rn FROM sc)
+      |SELECT lang, CAST(rn AS BIGINT) AS rn, gram, pair_n, score_e6
+      |FROM r WHERE rn <= 8""".stripMargin
+
+  /** q273: INCREMENTAL PMI maintenance — the landed-index arm of q266
+    * (the q88/q229 discipline applied to collocation mining): the
+    * landed corpus's unigram/bigram COUNT TABLES are the persisted
+    * index (at production an ArtifactStore parquet; additive counts
+    * are what make the index maintainable), a new batch (doc_id % 3 =
+    * 0) tokenizes ONLY ITSELF, and the merge is a unionByName + sum —
+    * counts are additive, so merged-index scoring ≡ full rebuild. The
+    * oracle IS the full rebuild (q266's SQL verbatim): hash-matching
+    * it proves the merge law end-to-end, not just a projection. */
+  val q273 = GQuery(
+    "q273_incremental_pmi",
+    (s, d) => {
+      val docs = documents(s, d)
+      val (landedUni, landedBig) = pmiCounts(docs.filter(col("doc_id") % 3 =!= 0))
+      val (batchUni, batchBig) = pmiCounts(docs.filter(col("doc_id") % 3 === 0))
+      val uni = landedUni.unionByName(batchUni)
+        .groupBy(col("lang"), col("w")).agg(sum(col("cu")).as("cu"))
+      val big = landedBig.unionByName(batchBig)
+        .groupBy(col("lang"), col("g")).agg(sum(col("pair_n")).as("pair_n"))
+      pmiTop8(uni, big)
+    },
+    Some(pmiOracleSql))
+
+  /** q271: Benjamini–Hochberg FDR gate over per-language significance
+    * tests ([[graft.stats.Fdr]]) — q244's paired Poisson-bootstrap
+    * (full-text vs truncated langid accuracy) re-run PER LANGUAGE, its
+    * two-sided sign surrogate p = 2·min(n_win, R−n_win)/R kept as an
+    * exact ratio, and the step-up rule applied with integer
+    * cross-multiplication at α = 1/4. The multiple-testing discipline
+    * a segment-sliced eval needs: at 5 languages one test is expected
+    * to look significant at α=0.2 by chance alone. Everything under
+    * the hash gate is integer (weights, sign counts, the rejection
+    * set); the only double is the sort key, an exactly-rounded IEEE
+    * quotient. */
+  val q271 = GQuery(
+    "q271_fdr_bh",
+    (s, d) => {
+      val docs = documents(s, d)
+      val base = docs.select(col("lang"), col("doc_id"),
+        ((predictLang(wsTokens(col("text"))) === col("lang")).cast("long") -
+          (predictLang(wsTokens(substring(col("text"), 1, 50)))
+            === col("lang")).cast("long")).as("dv"))
+      val est = base
+        .withColumn("r", explode(array((0 until 32).map(lit): _*)))
+        .withColumn("w", graft.stats.Bootstrap.poissonWeight(
+          concat(col("doc_id").cast("string"), lit(":"), col("r")), "fdr-langid"))
+        .groupBy(col("lang"), col("r"))
+        .agg(sum(col("w") * col("dv")).as("ws"), sum(col("w")).as("wn"))
+        .filter(col("wn") > 0)
+      val nw = est.groupBy(col("lang"))
+        .agg(sum(when(col("ws") > 0, lit(1L)).otherwise(lit(0L))).as("n_win"),
+          lcount(lit(1)).as("n_r"))
+        .withColumn("p_num",
+          lit(2L) * least(col("n_win"), col("n_r") - col("n_win")))
+      graft.stats.Fdr.benjaminiHochberg(nw, Seq("lang"),
+          col("p_num"), col("n_r"), alphaNum = 1, alphaDen = 4)
+        .select(col("lang"), col("n_win"), col("n_r"), col("p_num"),
+          col("rank"), col("rejected"))
+    },
+    Some(s"""WITH sc AS (
+      |  SELECT doc_id, lang,
+      |    $wsSql AS t1,
+      |    string_split_regex(trim(substr(text, 1, 50)), '\\s+') AS t2
+      |  FROM documents),
+      |pred AS (
+      |  SELECT doc_id, lang,
+      |    len(list_filter(t1, t -> t IN ('der','und','die','nicht'))) AS a_de,
+      |    len(list_filter(t1, t -> t IN ('the','a','and','of'))) AS a_en,
+      |    len(list_filter(t1, t -> t IN ('el','la','de','que'))) AS a_es,
+      |    len(list_filter(t1, t -> t IN ('le','et','les','une'))) AS a_fr,
+      |    len(list_filter(t2, t -> t IN ('der','und','die','nicht'))) AS b_de,
+      |    len(list_filter(t2, t -> t IN ('the','a','and','of'))) AS b_en,
+      |    len(list_filter(t2, t -> t IN ('el','la','de','que'))) AS b_es,
+      |    len(list_filter(t2, t -> t IN ('le','et','les','une'))) AS b_fr
+      |  FROM sc),
+      |dd AS (
+      |  SELECT doc_id, lang,
+      |    (CASE WHEN (CASE
+      |        WHEN a_de = greatest(a_de, a_en, a_es, a_fr) AND a_de > 0 THEN 'de'
+      |        WHEN a_en = greatest(a_de, a_en, a_es, a_fr) AND a_en > 0 THEN 'en'
+      |        WHEN a_es = greatest(a_de, a_en, a_es, a_fr) AND a_es > 0 THEN 'es'
+      |        WHEN a_fr = greatest(a_de, a_en, a_es, a_fr) AND a_fr > 0 THEN 'fr'
+      |        ELSE 'und' END) = lang THEN 1 ELSE 0 END)
+      |    - (CASE WHEN (CASE
+      |        WHEN b_de = greatest(b_de, b_en, b_es, b_fr) AND b_de > 0 THEN 'de'
+      |        WHEN b_en = greatest(b_de, b_en, b_es, b_fr) AND b_en > 0 THEN 'en'
+      |        WHEN b_es = greatest(b_de, b_en, b_es, b_fr) AND b_es > 0 THEN 'es'
+      |        WHEN b_fr = greatest(b_de, b_en, b_es, b_fr) AND b_fr > 0 THEN 'fr'
+      |        ELSE 'und' END) = lang THEN 1 ELSE 0 END) AS dv
+      |  FROM pred),
+      |rs AS (SELECT CAST(r AS BIGINT) AS r FROM range(32) t(r)),
+      |w AS (
+      |  SELECT dd.lang, dd.dv, rs.r,
+      |    (CAST(('0x' || substr(md5('fdr-langid' || CAST(dd.doc_id AS VARCHAR)
+      |      || ':' || CAST(rs.r AS VARCHAR)), 1, 13)) AS BIGINT) + 0.5)
+      |      / 4503599627370496.0 AS u
+      |  FROM dd CROSS JOIN rs),
+      |pw AS (
+      |  SELECT lang, r, dv,
+      |    CASE WHEN u < 0.3678794411714423 THEN 0
+      |         WHEN u < 0.7357588823428846 THEN 1
+      |         WHEN u < 0.9196986029286058 THEN 2
+      |         WHEN u < 0.9810118431238462 THEN 3
+      |         WHEN u < 0.9963401531726563 THEN 4
+      |         WHEN u < 0.9994058151824183 THEN 5
+      |         ELSE 6 END AS wgt
+      |  FROM w),
+      |e AS (
+      |  SELECT lang, r, CAST(SUM(wgt * dv) AS BIGINT) AS ws
+      |  FROM pw GROUP BY lang, r HAVING SUM(wgt) > 0),
+      |nw AS (
+      |  SELECT lang,
+      |    CAST(SUM(CASE WHEN ws > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_win,
+      |    CAST(COUNT(*) AS BIGINT) AS n_r
+      |  FROM e GROUP BY lang),
+      |pp AS (
+      |  SELECT lang, n_win, n_r,
+      |    CAST(2 * LEAST(n_win, n_r - n_win) AS BIGINT) AS p_num
+      |  FROM nw),
+      |rk AS (
+      |  SELECT *, ROW_NUMBER() OVER (
+      |    ORDER BY CAST(p_num AS DOUBLE) / CAST(n_r AS DOUBLE), lang) AS rank
+      |  FROM pp),
+      |ks AS (
+      |  SELECT MAX(CASE WHEN p_num * (SELECT COUNT(*) FROM rk) * 4
+      |    <= rank * 1 * n_r THEN rank END) AS kstar FROM rk)
+      |SELECT rk.lang, rk.n_win, rk.n_r, rk.p_num,
+      |  CAST(rk.rank AS BIGINT) AS rank,
+      |  rk.rank <= COALESCE(ks.kstar, 0) AS rejected
+      |FROM rk, ks""".stripMargin))
+
   def queries: Seq[GQuery] =
     Seq(q32, q33, q34, q35, q66, q89, q91, q94, q96, q98, q99, q101,
       q106, q107, q109, q110, q111, q112, q115, q116, q120, q121, q126,
       q130, q132, q134, q135, q136, q137, q139, q140, q141, q179, q189, q193,
-      q195, q200, q201, q236, q244, q258, q262, q264)
+      q195, q200, q201, q236, q244, q258, q262, q264, q265, q266, q271,
+      q273)
 }

@@ -92,4 +92,46 @@ class PageRankSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(a == b)
   }
+
+  /** Driver-side reference for the PERSONALIZED variant: restart and
+    * dangling mass land on the seed set only. */
+  private def referencePpr(edges: Seq[(String, String, Long)], seeds: Set[String],
+                           iters: Int): Map[String, Long] = {
+    val e = edges.filter(t => t._1 != t._2)
+      .groupBy(t => (t._1, t._2)).map { case ((s0, d0), g) => (s0, d0, g.map(_._3).sum) }.toSeq
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct.sorted
+    val k = seeds.size
+    val wtot = e.groupBy(_._1).map { case (kk, g) => kk -> g.map(_._3).sum }
+    val base = (S * 15 / 100) / k
+    var rank = nodes.map(v => v -> (if (seeds(v)) S / k else 0L)).toMap
+    for (_ <- 1 to iters) {
+      val dm = nodes.filterNot(wtot.contains).map(rank).sum
+      val contrib = e.groupBy(_._2).map { case (dst, g) =>
+        dst -> g.map { case (src, _, w) => ((rank(src) * 85 / 100) * w) / wtot(src) }.sum
+      }
+      rank = nodes.map(v => v -> ((if (seeds(v)) base else 0L) +
+        contrib.getOrElse(v, 0L) + (if (seeds(v)) (dm * 85 / 100) / k else 0L))).toMap
+    }
+    rank
+  }
+
+  test("personalized: matches the single-node reference; mass stays seed-anchored") {
+    val edges = Seq(
+      ("a", "b", 1L), ("b", "c", 1L), ("c", "a", 1L),
+      ("a", "d", 1L), ("d", "e", 2L), ("e", "a", 1L))
+    val seeds = Seq("a")
+    val got = PageRank.personalized(edges.toDF("src", "dst", "w"), seeds, iters = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == referencePpr(edges, seeds.toSet, 4))
+    // proximity semantics: the seed outranks everything in its own walk
+    assert(got("a") > got("c") && got("a") > got("e"))
+  }
+
+  test("personalized with ALL nodes as seeds equals global pagerank") {
+    val edges = Seq(("a", "b", 1L), ("b", "c", 1L), ("c", "a", 1L), ("a", "d", 1L))
+    val nodes = Seq("a", "b", "c", "d")
+    val ppr = PageRank.personalized(edges.toDF("src", "dst", "w"), nodes, iters = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ppr == run(edges, 3))
+  }
 }

@@ -71,4 +71,116 @@ class Round10PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"),
       "cell probes must equi-join cell assignments")
   }
+
+  test("q265: reference grams broadcast onto candidate grams — no shuffle carries a ref row") {
+    val p = plan("q265_bleu_eval")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "clipping must equi-join on (lang, n, gram)")
+    assert(p.contains("BroadcastHashJoin"),
+      "the 5-langs-of-≤32-gram reference table is the small side — it must broadcast")
+  }
+
+  test("q266: PMI totals broadcast; top-8 rides the bounded-heap top-k, no global sort") {
+    val p = plan("q266_pmi_collocations")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "bigram↔unigram lookups must equi-join on (lang, word)")
+    assert(p.contains("TopKLocal") || p.contains("WindowGroupLimit"),
+      "the rank filter must plan as a bounded per-key heap, not filter-after-full-window")
+  }
+
+  test("q267: textrank rank state is checkpoint-backed; everything stays key-joined") {
+    val p = plan("q267_textrank_keywords")
+    assert(!p.contains("CartesianProduct"), s"pagerank must stay key-joined:\n$p")
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
+      "per-round localCheckpoint must cut the iteration lineage")
+  }
+
+  test("q268: rank-sum is one scan folded to (lang, value) — no joins anywhere") {
+    val t = tree("q268_rank_sum_test")
+    assert(!t.exists(_.contains("Join")), "ranks come from the aggregated value frame")
+    assert(t.count(_.contains("Scan parquet")) == 1)
+    assert(t.count(_.contains("Window")) == 1, "one cumulative-rank window")
+  }
+
+  test("q269: truncation arms probe the LANDED full top-10, never re-derive it") {
+    val p = plan("q269_matryoshka_recall")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("Scan ExistingRDD"),
+      "the full-dim top-10 must land once (lazy checkpoint) for all three consumers")
+  }
+
+  test("q270: truss rounds stay equi-joined; round state is checkpoint-backed") {
+    val p = plan("q270_ktruss")
+    assert(!p.contains("CartesianProduct"), s"wedge/closure joins must stay keyed:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("Scan ExistingRDD"),
+      "per-round localCheckpoint must cut the peel lineage")
+  }
+
+  test("q271: BH frame is hypothesis-bounded — scalar crosses only, no shuffled join") {
+    val p = plan("q271_fdr_bh")
+    assert(!p.contains("CartesianProduct"),
+      "m and k* are 1-row scalar broadcasts, never shuffle crosses")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q273: merged-count scoring keeps the q266 plan shape — keyed joins + bounded top-k") {
+    val p = plan("q273_incremental_pmi")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("TopKLocal") || p.contains("WindowGroupLimit"),
+      "top-8 must stay a bounded per-key heap after the merge")
+  }
+
+  test("q274: KS is one scan folded to (lang, value) — no joins, value-bounded windows") {
+    val t = tree("q274_ks_test")
+    assert(!t.exists(_.contains("Join")))
+    assert(t.count(_.contains("Scan parquet")) == 1)
+    assert(t.count(_.contains("Window")) <= 2,
+      "cumulative + per-lang-total windows only")
+  }
+
+  test("q275: gini folds map-side to the catalog frame — no joins, one rank window") {
+    val t = tree("q275_source_gini")
+    assert(!t.exists(_.contains("Join")))
+    assert(t.count(_.contains("Scan parquet")) == 1)
+    assert(t.count(_.contains("Window")) == 1)
+  }
+
+  test("q276: temperature mix is map-only + one scalar cross — no shuffled join, no window") {
+    val p = plan("q276_temperature_mix")
+    assert(!p.contains("SortMergeJoin"))
+    assert(!p.contains("Window"))
+    assert(!p.contains("CartesianProduct"),
+      "the sqrt-mass total must broadcast, never shuffle-cross")
+  }
+
+  test("q277: personalized rounds stay key-joined and checkpoint-backed") {
+    val p = plan("q277_personalized_pagerank")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
+      "per-round localCheckpoint must cut the iteration lineage")
+  }
+
+  test("q278: basket pairs ride the basket-key equi-join; marginals broadcast") {
+    val p = plan("q278_market_basket")
+    assert(!p.contains("CartesianProduct"),
+      "the basket total must broadcast, never shuffle-cross")
+    assert(p.contains("BroadcastHashJoin"),
+      "the |types|-row marginal frames must broadcast")
+    assert(p.contains("Scan ExistingRDD"),
+      "the distinct basket frame must land once for its three consumers")
+  }
+
+  test("q272: decomposition folds map-side to the calendar frame; seasonal broadcasts") {
+    val t = tree("q272_seasonal_decompose")
+    assert(t.exists(_.contains("Scan ExistingRDD")),
+      "the calendar frame must land once — events never rescanned for seasonal means")
+    assert(t.count(_.contains("Scan parquet")) == 0)
+    assert(t.exists(_.contains("BroadcastHashJoin")),
+      "the 7-row seasonal frame must broadcast")
+    assert(!t.exists(_.contains("SortMergeJoin")))
+  }
 }
