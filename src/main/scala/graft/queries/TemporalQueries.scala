@@ -625,6 +625,56 @@ object TemporalQueries {
       |JOIN items ia ON ia.event_type = nab.antecedent
       |JOIN items ic ON ic.event_type = nab.consequent, nb""".stripMargin))
 
+  /** q279: CUSUM change-point detection over the daily event-value
+    * series — WHERE did the level shift? (q272 asks whether a day is
+    * seasonal; this asks when the regime changed; q191's PSI asks if
+    * two windows drift). The classic offline CUSUM argmax
+    * k* = argmax_i |Σ_{j≤i}(x_j − x̄)| is made DIVISION-FREE by
+    * comparing n·S_i = n·cum_i − i·T instead (n = days, T = total) —
+    * with daily totals as e6-floored int64 and the products
+    * DECIMAL/HUGEINT-routed, the argmax and both segment means
+    * (truncating div) are engine-exact end to end. Same scale shape
+    * as q272: events fold map-side into the calendar-bounded daily
+    * frame; one ordered window; scalar totals broadcast. */
+  val q279 = GQuery(
+    "q279_cusum_changepoint",
+    (s, d) => {
+      val daily = events(s, d)
+        .select(to_date(col("ts")).as("day"), col("value"))
+        .groupBy(col("day"))
+        .agg(floor(dsum(col("value")) * 1e6 + lit(0.5)).cast("long").as("t_e6"))
+      graft.operators.ChangePoint.cusum(daily, "day", "t_e6")
+        .withColumnRenamed("mean_before", "mean_before_e6")
+        .withColumnRenamed("mean_after", "mean_after_e6")
+    },
+    Some("""WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS day,
+      |    CAST(floor(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+      |      * 1000000.0 + 0.5) AS BIGINT) AS t_e6
+      |  FROM events GROUP BY 1),
+      |cum AS (
+      |  SELECT day, t_e6,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS i,
+      |    CAST(SUM(t_e6) OVER (ORDER BY day) AS BIGINT) AS cum
+      |  FROM daily),
+      |tot AS (
+      |  SELECT CAST(MAX(i) AS BIGINT) AS n, CAST(SUM(t_e6) AS BIGINT) AS t
+      |  FROM cum),
+      |scored AS (
+      |  SELECT c.day, c.i, tot.n, c.cum, tot.t,
+      |    abs(CAST(tot.n AS HUGEINT) * c.cum
+      |      - CAST(c.i AS HUGEINT) * tot.t) AS score
+      |  FROM cum c, tot),
+      |top AS (
+      |  SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, day) AS rn
+      |  FROM scored)
+      |SELECT day, i, n, round(CAST(score AS DOUBLE), 6) AS score,
+      |  CAST(cum // i AS BIGINT) AS mean_before_e6,
+      |  CASE WHEN n > i THEN CAST((t - cum) // (n - i) AS BIGINT) END
+      |    AS mean_after_e6
+      |FROM top WHERE rn = 1""".stripMargin))
+
   def queries: Seq[GQuery] =
-    Seq(q43, q44, q56, q70, q181, q182, q183, q196, q197, q263, q272, q278)
+    Seq(q43, q44, q56, q70, q181, q182, q183, q196, q197, q263, q272, q278,
+      q279)
 }

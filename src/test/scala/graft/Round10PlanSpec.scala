@@ -174,6 +174,16 @@ class Round10PlanSpec extends SparkSpec {
       "the distinct basket frame must land once for its three consumers")
   }
 
+  test("q279: CUSUM folds map-side to the daily frame; totals are scalar crosses") {
+    val t = tree("q279_cusum_changepoint")
+    assert(t.exists(_.contains("Scan ExistingRDD")) &&
+      t.count(_.contains("Scan parquet")) == 0,
+      "the cumulative daily frame must land once — events never rescanned for totals")
+    assert(!t.exists(_.contains("SortMergeJoin")))
+    assert(!t.exists(_.contains("CartesianProduct")),
+      "n and T must broadcast, never shuffle-cross")
+  }
+
   test("q272: decomposition folds map-side to the calendar frame; seasonal broadcasts") {
     val t = tree("q272_seasonal_decompose")
     assert(t.exists(_.contains("Scan ExistingRDD")),
