@@ -674,7 +674,116 @@ object TemporalQueries {
       |    AS mean_after_e6
       |FROM top WHERE rn = 1""".stripMargin))
 
+  /** q280: first-order Markov transition matrix over per-user event
+    * sequences — P(next event type | current), the behavioral model
+    * behind q181's funnel (which fixes ONE path; this estimates all
+    * 25) and the generator for session-simulation tests. One lead
+    * window per user ordered by (ts, event_id), transition counts,
+    * and row-normalized probabilities as truncating-division ppm —
+    * integer-exact. Scale shape: the window partitions by user (each
+    * partition a user's own history), counts fold map-side, the
+    * |types|-row marginal broadcasts. */
+  val q280 = GQuery(
+    "q280_markov_transitions",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val tr = events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("to_type", lead(col("event_type"), 1).over(w))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(lcount(lit(1)).as("n"))
+      val fromTot = tr.groupBy(col("from_type")).agg(sum(col("n")).as("n_from"))
+      tr.join(broadcast(fromTot), Seq("from_type"))
+        .select(col("from_type"), col("to_type"), col("n"), col("n_from"),
+          expr("(n * 1000000) div n_from").as("p_e6"))
+    },
+    Some("""WITH tr AS (
+      |  SELECT event_type AS from_type,
+      |    LEAD(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS to_type
+      |  FROM events),
+      |cnt AS (
+      |  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM tr WHERE to_type IS NOT NULL GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from
+      |  FROM cnt GROUP BY 1)
+      |SELECT c.from_type, c.to_type, c.n, t.n_from,
+      |  CAST((c.n * 1000000) // t.n_from AS BIGINT) AS p_e6
+      |FROM cnt c JOIN tot t ON c.from_type = t.from_type""".stripMargin))
+
+  /** q281: Theil–Sen robust trend of the daily event-value series —
+    * the median of all pairwise slopes (Sen 1968), the outlier-proof
+    * alternative to q25's OLS (one corrupted day can drag a
+    * least-squares slope arbitrarily; it moves a median of C(n,2)
+    * slopes by one rank). Numerics: slopes are single IEEE divisions
+    * of e6-floored int64 differences (deterministic), the median is an
+    * ORDER STATISTIC (odd count picks one slope; even averages two —
+    * a commutative two-term sum), so the trend is engine-exact.
+    * Scale shape: the pair join is over the CALENDAR-bounded daily
+    * frame (n days → n²/2 pairs of a 365-row frame, not the event
+    * count); the rank window and scalar crosses are pair-bounded. */
+  val q281 = GQuery(
+    "q281_theilsen_trend",
+    (s, d) => {
+      val daily = events(s, d)
+        .select(to_date(col("ts")).as("day"), col("value"))
+        .groupBy(col("day"))
+        .agg(floor(dsum(col("value")) * 1e6 + lit(0.5)).cast("long").as("t_e6"))
+      val idx = daily
+        .withColumn("i", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("day"))).cast("long"))
+        .localCheckpoint(eager = false) // both sides of the pair join
+      val pairs = idx.select(col("i").as("ai"), col("t_e6").as("at"))
+        .join(idx.select(col("i").as("bi"), col("t_e6").as("bt")),
+          col("bi") > col("ai"))
+        .select(col("ai"), col("bi"),
+          ((col("bt") - col("at")).cast("double") /
+            (col("bi") - col("ai")).cast("double")).as("slope"))
+      val rk = pairs.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("slope"), col("ai"), col("bi"))).cast("long"))
+      val tot = rk.agg(count(lit(1)).as("m"))
+      val nd = idx.agg(count(lit(1)).as("n_days"))
+      rk.crossJoin(tot) // pair-count scalar
+        .filter(col("rn") === expr("(m + 1) div 2") ||
+          col("rn") === expr("m div 2 + 1"))
+        .crossJoin(nd)
+        .groupBy(col("n_days"), col("m").as("n_pairs"))
+        .agg((sum(col("slope")) / count(col("slope"))).as("__med"))
+        .select(col("n_days"), col("n_pairs"),
+          round(col("__med") / 1e6, 6).as("slope_per_day"))
+    },
+    Some("""WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS day,
+      |    CAST(floor(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+      |      * 1000000.0 + 0.5) AS BIGINT) AS t_e6
+      |  FROM events GROUP BY 1),
+      |idx AS (
+      |  SELECT day, t_e6,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS i
+      |  FROM daily),
+      |pairs AS (
+      |  SELECT a.i AS ai, b.i AS bi,
+      |    CAST(b.t_e6 - a.t_e6 AS DOUBLE) / CAST(b.i - a.i AS DOUBLE) AS slope
+      |  FROM idx a JOIN idx b ON b.i > a.i),
+      |rk AS (
+      |  SELECT slope,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY slope, ai, bi) AS BIGINT) AS rn
+      |  FROM pairs),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM rk),
+      |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM idx),
+      |sel AS (
+      |  SELECT rk.slope FROM rk, tot
+      |  WHERE rk.rn = (tot.m + 1) // 2 OR rk.rn = tot.m // 2 + 1)
+      |SELECT nd.n_days, tot.m AS n_pairs,
+      |  round((SUM(sel.slope) / COUNT(sel.slope)) / 1000000.0, 6)
+      |    AS slope_per_day
+      |FROM sel, tot, nd GROUP BY nd.n_days, tot.m""".stripMargin))
+
   def queries: Seq[GQuery] =
     Seq(q43, q44, q56, q70, q181, q182, q183, q196, q197, q263, q272, q278,
-      q279)
+      q279, q280, q281)
 }

@@ -184,6 +184,24 @@ class Round10PlanSpec extends SparkSpec {
       "n and T must broadcast, never shuffle-cross")
   }
 
+  test("q280: transitions come from per-user lead windows; the marginal broadcasts") {
+    val p = plan("q280_markov_transitions")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastHashJoin"),
+      "the |types|-row from-marginal must broadcast")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q281: the pair join runs over the LANDED calendar frame, never raw events") {
+    val t = tree("q281_theilsen_trend")
+    assert(t.count(_.contains("Scan parquet")) == 0 &&
+      t.exists(_.contains("Scan ExistingRDD")),
+      "the daily frame lands once; both pair sides and n_days probe it")
+    assert(!t.exists(_.contains("CartesianProduct")) ||
+      t.exists(_.contains("BroadcastNestedLoopJoin")),
+      "the i<j pair join is calendar-bounded; scalar totals broadcast")
+  }
+
   test("q272: decomposition folds map-side to the calendar frame; seasonal broadcasts") {
     val t = tree("q272_seasonal_decompose")
     assert(t.exists(_.contains("Scan ExistingRDD")),
