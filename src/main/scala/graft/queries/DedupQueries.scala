@@ -1670,5 +1670,45 @@ object DedupQueries {
       |WHERE CAST(p.common AS DOUBLE)
       |  / CAST(sa.n_shingles + sb.n_shingles - p.common AS DOUBLE) >= 0.6""".stripMargin))
 
-  def queries: Seq[GQuery] = Seq(q36, q37, q38, q39, q57, q61, q88, q90, q103, q108, q118, q123, q124, q125, q127, q129, q133, q138, q142, q161, q162, q167, q180, q212, q216, q221, q223, q225, q229, q230, q252)
+  /** q282: Jaccard threshold-sensitivity sweep — the tuning census
+    * behind every fixed-θ dedup arm (q37/q38/q57): how many candidate
+    * pairs land in each Jaccard decile, and how many survive each
+    * candidate threshold? One shared inverted-index pass (q37's
+    * machinery at θ=0 — candidates are still bounded by shared-shingle
+    * postings, never n²), then EXACT integer decile bucketing
+    * `(10·common) div union` (an IEEE-rounded j·10 would wobble pairs
+    * across the 0.6 boundary between engines) and an 11-row cumulative
+    * window. This is the curve an operator reads before picking θ —
+    * the elbow is the dedup bill. */
+  val q282 = GQuery(
+    "q282_jaccard_threshold_sweep",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("bucket").desc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      Dedup.ngramJaccardPairs(documents(s, d), "doc_id", "text",
+          k = 5, threshold = 0.0)
+        .withColumn("bucket", expr("(common * 10) div (na + nb - common)"))
+        .groupBy(col("bucket")).agg(lcount(lit(1)).as("n_pairs"))
+        .withColumn("pairs_at_or_above", sum(col("n_pairs")).over(w))
+    },
+    Some(s"""WITH $shingleSql,
+      |pairs AS (
+      |  SELECT a.doc AS da, b.doc AS db, COUNT(*) AS common
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+      |  GROUP BY 1, 2),
+      |bk AS (
+      |  SELECT CAST((10 * p.common) // (sa.n_shingles + sb.n_shingles - p.common)
+      |      AS BIGINT) AS bucket
+      |  FROM pairs p
+      |  JOIN sizes sa ON p.da = sa.doc JOIN sizes sb ON p.db = sb.doc),
+      |hist AS (
+      |  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM bk GROUP BY 1)
+      |SELECT bucket, n_pairs,
+      |  CAST(SUM(n_pairs) OVER (ORDER BY bucket DESC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS pairs_at_or_above
+      |FROM hist""".stripMargin))
+
+  def queries: Seq[GQuery] = Seq(q36, q37, q38, q39, q57, q61, q88, q90, q103, q108, q118, q123, q124, q125, q127, q129, q133, q138, q142, q161, q162, q167, q180, q212, q216, q221, q223, q225, q229, q230, q252, q282)
 }

@@ -34,6 +34,14 @@ class ChangePointSpec extends SparkSpec {
     assert(after.contains(1000L))
   }
 
+  test("negative values: truncating means agree with the SQL mirror's semantics") {
+    // both Spark `div` and DuckDB `//` truncate toward zero, so a
+    // negative-mean segment is safe; pin the behavior here
+    val (ord, i, _, before, after) = cp(Seq(-9, -9, -9, 21, 21, 21))
+    assert(ord == 2L && i == 3L)
+    assert(before == -9L && after.contains(21L))
+  }
+
   test("result is invariant under input partitioning") {
     val df = (1 to 40).map(j => (j.toLong, if (j <= 25) 5L else 9L))
       .toDF("ord", "x")

@@ -202,6 +202,14 @@ class Round10PlanSpec extends SparkSpec {
       "the i<j pair join is calendar-bounded; scalar totals broadcast")
   }
 
+  test("q282: the sweep reuses ONE landed shingle index for both postings sides") {
+    val p = plan("q282_jaccard_threshold_sweep")
+    assert(!p.contains("CartesianProduct"),
+      "candidates come from shared-shingle postings, never a pair cross")
+    assert(p.contains("Scan ExistingRDD"),
+      "the shingle index must land once (q37's checkpoint discipline)")
+  }
+
   test("q272: decomposition folds map-side to the calendar frame; seasonal broadcasts") {
     val t = tree("q272_seasonal_decompose")
     assert(t.exists(_.contains("Scan ExistingRDD")),
