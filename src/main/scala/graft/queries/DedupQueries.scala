@@ -1710,5 +1710,72 @@ object DedupQueries {
       |    AS pairs_at_or_above
       |FROM hist""".stripMargin))
 
-  def queries: Seq[GQuery] = Seq(q36, q37, q38, q39, q57, q61, q88, q90, q103, q108, q118, q123, q124, q125, q127, q129, q133, q138, q142, q161, q162, q167, q180, q212, q216, q221, q223, q225, q229, q230, q252, q282)
+  /** q283: MinHash estimator calibration — per exact-Jaccard decile,
+    * how far off is the 16-perm signature estimate on the LSH
+    * candidate set? The QA query an operator runs before trusting
+    * est_jaccard as a pre-filter (q38 verifies exactly; pipelines that
+    * skip verification need this error bill). Integer under the hash:
+    * est is a multiple of 1/16 and j a ratio of small ints, both
+    * computed by identical IEEE steps on both engines, so the decile
+    * and the e6-floored |est − j| are deterministic; per-decile MAE is
+    * a truncating integer division. Same one-pass checkpointed
+    * machinery as q38 (threshold 0 keeps every LSH candidate —
+    * candidates stay band-bounded, never n²). */
+  val q283 = GQuery(
+    "q283_minhash_calibration",
+    (s, d) =>
+      Dedup.minhashLshPairs(documents(s, d), "doc_id", "text",
+          k = 5, numPerms = 16, rowsPerBand = 4, threshold = 0.0)
+        .withColumn("bucket", floor(col("jaccard") * 10).cast("long"))
+        .withColumn("err_e6",
+          floor(abs(col("est_jaccard") - col("jaccard")) * 1e6 + lit(0.5))
+            .cast("long"))
+        .groupBy(col("bucket"))
+        .agg(lcount(lit(1)).as("n_pairs"), sum(col("err_e6")).as("sum_err_e6"))
+        .withColumn("mae_e6", expr("sum_err_e6 div n_pairs")),
+    Some(s"""WITH $shingleSql,
+      |h AS (
+      |  SELECT doc, p,
+      |    ((2654435761 * (p + 1) % 2147483647)
+      |      * CAST(('0x' || substr(md5(shingle), 1, 7)) AS BIGINT) + p) % 2147483647 AS hv
+      |  FROM sh, UNNEST(generate_series(0, 15)) AS up(p)),
+      |sig AS (SELECT doc, p, MIN(hv) AS minh FROM h GROUP BY doc, p),
+      |bands AS (
+      |  SELECT doc, p // 4 AS band,
+      |    md5(string_agg(CAST(minh AS VARCHAR), '-' ORDER BY p)) AS bkey
+      |  FROM sig GROUP BY doc, p // 4),
+      |cand AS (
+      |  SELECT DISTINCT x.doc AS da, y.doc AS db
+      |  FROM bands x JOIN bands y
+      |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc < y.doc),
+      |est AS (
+      |  SELECT c.da, c.db,
+      |    CAST(COUNT(CASE WHEN sa.minh = sb.minh THEN 1 END) AS DOUBLE) / 16 AS est_jaccard
+      |  FROM cand c
+      |  JOIN sig sa ON sa.doc = c.da JOIN sig sb ON sb.doc = c.db AND sa.p = sb.p
+      |  GROUP BY c.da, c.db),
+      |common AS (
+      |  SELECT a.doc AS da, b.doc AS db, COUNT(*) AS common
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+      |  JOIN cand c ON c.da = a.doc AND c.db = b.doc
+      |  GROUP BY 1, 2),
+      |pairsj AS (
+      |  SELECT e.est_jaccard,
+      |    CAST(COALESCE(cm.common, 0) AS DOUBLE)
+      |      / CAST(sa.n_shingles + sb.n_shingles - COALESCE(cm.common, 0) AS DOUBLE)
+      |      AS jaccard
+      |  FROM est e
+      |  LEFT JOIN common cm ON e.da = cm.da AND e.db = cm.db
+      |  JOIN sizes sa ON e.da = sa.doc JOIN sizes sb ON e.db = sb.doc),
+      |bk AS (
+      |  SELECT CAST(floor(jaccard * 10) AS BIGINT) AS bucket,
+      |    CAST(floor(abs(est_jaccard - jaccard) * 1000000.0 + 0.5) AS BIGINT)
+      |      AS err_e6
+      |  FROM pairsj)
+      |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |  CAST(SUM(err_e6) AS BIGINT) AS sum_err_e6,
+      |  CAST(SUM(err_e6) // COUNT(*) AS BIGINT) AS mae_e6
+      |FROM bk GROUP BY bucket""".stripMargin))
+
+  def queries: Seq[GQuery] = Seq(q36, q37, q38, q39, q57, q61, q88, q90, q103, q108, q118, q123, q124, q125, q127, q129, q133, q138, q142, q161, q162, q167, q180, q212, q216, q221, q223, q225, q229, q230, q252, q282, q283)
 }

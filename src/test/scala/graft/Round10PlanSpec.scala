@@ -210,6 +210,14 @@ class Round10PlanSpec extends SparkSpec {
       "the shingle index must land once (q37's checkpoint discipline)")
   }
 
+  test("q283: calibration inherits q38's checkpointed one-pass machinery") {
+    val p = plan("q283_minhash_calibration")
+    assert(!p.contains("CartesianProduct"),
+      "candidates stay band-bounded; never a pair cross")
+    assert(p.contains("Scan ExistingRDD"),
+      "the shingle index and wide signatures must land once")
+  }
+
   test("q272: decomposition folds map-side to the calendar frame; seasonal broadcasts") {
     val t = tree("q272_seasonal_decompose")
     assert(t.exists(_.contains("Scan ExistingRDD")),
