@@ -6,9 +6,11 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
-    // optional 3rd arg: comma-separated query-name filter (local use)
-    val only: Option[Set[String]] =
-      if (args.length > 2) Some(args(2).split(",").toSet) else None
+    // optional 3rd arg: comma-separated query-name PREFIX filter
+    // (local use; "q268" matches "q268_rank_sum_test" — same semantics
+    // as Bench's SPARK_GRAFT_BENCH_ONLY)
+    val only: Option[Seq[String]] =
+      if (args.length > 2) Some(args(2).split(",").toSeq) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = graft.core.GraftSession.configure(
         SparkSession.builder()
@@ -19,12 +21,20 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
       .foreach { case (name, fn) =>
+      val before = spark.sparkContext.getPersistentRDDs.keySet
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      }
+      // reclaim the query's dead checkpoint blocks (same hygiene as
+      // Bench); live landed artifacts stay — later queries probe them
+      val keep = graft.core.Landed.liveRddIds(spark)
+      spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!before.contains(id) && !keep.contains(id))
+          rdd.unpersist(blocking = false)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

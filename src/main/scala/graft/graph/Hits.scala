@@ -41,14 +41,19 @@ object Hits {
     * auth 0, nodes with no out-edges hub 0 (mass renormalizes onto the
     * rest, truncation sheds ≤ n units per round — identically on the
     * oracle side). */
-  def run(edges: DataFrame, iters: Int, scale: Long = 1000000000000L): DataFrame = {
+  def run(edges: DataFrame, iters: Int, scale: Long = 1000000000000L,
+          checkpointEdges: Boolean = false): DataFrame = {
     require(iters >= 1)
     // one row per (src, dst): truncating normalization is not
-    // distributive over duplicate edge rows (same argument as PageRank)
-    val e = edges
+    // distributive over duplicate edge rows (same argument as PageRank).
+    // Checkpointing the canonical edge frame is caller-opt-in, same
+    // rationale as [[PageRank.iterate]]: a win only when the edge
+    // derivation is expensive, a fixed pinned-block cost otherwise
+    // (q164's trivial link projection regressed ~2× under it in r10)
+    val eRaw = edges
       .filter(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
       .groupBy(col("src"), col("dst")).agg(sum(col("w").cast("long")).as("w"))
-      .localCheckpoint(eager = false)
+    val e = if (checkpointEdges) eRaw.localCheckpoint(eager = false) else eRaw
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()

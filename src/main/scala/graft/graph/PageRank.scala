@@ -40,8 +40,10 @@ object PageRank {
     * (no out-edges) spread their damped mass uniformly. */
   def run(edges: DataFrame, iters: Int,
           scale: Long = 1000000000000L,
-          dampNum: Long = 85, dampDen: Long = 100): DataFrame =
-    iterate(edges, None, iters, scale, dampNum, dampDen)
+          dampNum: Long = 85, dampDen: Long = 100,
+          checkpointEdges: Boolean = false): DataFrame =
+    iterate(edges, None, iters, scale, dampNum, dampDen,
+      checkpointEdges = checkpointEdges)
 
   /** Warm-start power iteration — the incremental-crawl path: when an
     * edge batch lands, ranks re-converge from the PREVIOUS rank vector
@@ -53,8 +55,10 @@ object PageRank {
     * exactly. */
   def continueFrom(edges: DataFrame, ranks0: DataFrame, iters: Int,
                    scale: Long = 1000000000000L,
-                   dampNum: Long = 85, dampDen: Long = 100): DataFrame =
-    iterate(edges, Some(ranks0), iters, scale, dampNum, dampDen)
+                   dampNum: Long = 85, dampDen: Long = 100,
+                   checkpointEdges: Boolean = false): DataFrame =
+    iterate(edges, Some(ranks0), iters, scale, dampNum, dampDen,
+      checkpointEdges = checkpointEdges)
 
   /** PERSONALIZED PageRank (random walk with restart, Jeh & Widom
     * 2003): the restart mass — the (1−d) teleport each round AND the
@@ -66,30 +70,39 @@ object PageRank {
     * arithmetic and per-round shape as [[run]] — an oracle unrolls the
     * rounds with `CASE WHEN node IN (seeds)` base terms. Seeds absent
     * from the graph contribute nothing (their restart share is shed,
-    * identically on both engines). */
+    * identically on both engines). Duplicate seeds are collapsed —
+    * `isin` is set-semantics, so the restart divisor must be the
+    * DISTINCT seed count or every seed's share silently shrinks. */
   def personalized(edges: DataFrame, seeds: Seq[String], iters: Int,
                    scale: Long = 1000000000000L,
-                   dampNum: Long = 85, dampDen: Long = 100): DataFrame = {
-    require(seeds.nonEmpty)
-    iterate(edges, None, iters, scale, dampNum, dampDen, restart = Some(seeds))
+                   dampNum: Long = 85, dampDen: Long = 100,
+                   checkpointEdges: Boolean = false): DataFrame = {
+    val ss = seeds.distinct
+    require(ss.nonEmpty)
+    iterate(edges, None, iters, scale, dampNum, dampDen,
+      restart = Some(ss), checkpointEdges = checkpointEdges)
   }
 
   private def iterate(edges: DataFrame, ranks0: Option[DataFrame], iters: Int,
                       scale: Long, dampNum: Long, dampDen: Long,
-                      restart: Option[Seq[String]] = None): DataFrame = {
+                      restart: Option[Seq[String]] = None,
+                      checkpointEdges: Boolean = false): DataFrame = {
     require(iters >= 1 && dampNum >= 0 && dampNum <= dampDen)
     // canonicalize: one row per (src, dst), weights summed — truncating
     // division is NOT distributive over duplicate edge rows
     // (⌊a·w₁/W⌋ + ⌊a·w₂/W⌋ ≠ ⌊a·(w₁+w₂)/W⌋), so the edge multiset must
     // be aggregated before the first round for partitioning-invariant,
     // oracle-reproducible results
-    val e = edges
+    val eRaw = edges
       .filter(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
       .groupBy(col("src"), col("dst")).agg(sum(col("w").cast("long")).as("w"))
-      // the edge frame is consumed ~2× per round (contribs join, wtot)
-      // plus nodes/dangling — checkpoint it ONCE so an expensive edge
-      // derivation (q267 tokenizes the corpus) isn't re-run per round
-      .localCheckpoint(eager = false)
+    // the edge frame is consumed ~2× per round (contribs join, wtot)
+    // plus nodes/dangling — callers whose edge DERIVATION is expensive
+    // (q267 tokenizes the corpus: 9× re-tokenization, 6.1→1.6 s) opt in
+    // to a one-time checkpoint; for trivial scan+project edge frames
+    // the pinned blocks are a pure fixed cost (q164 regressed ~2× in
+    // r10 when this was unconditional), so the default recomputes
+    val e = if (checkpointEdges) eRaw.localCheckpoint(eager = false) else eRaw
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()

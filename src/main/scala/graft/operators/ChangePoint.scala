@@ -28,12 +28,22 @@ object ChangePoint {
     * (ordCol, i, n, score, mean_before, mean_after) — `score` is
     * |n·S_i| as double, means are truncating integer divisions of
     * `valCol` units, `mean_after` NULL when the argmax is the last
-    * row. Ties break on the earliest `ordCol`. */
+    * row. Ties break on the earliest `ordCol`, then the smallest `i`.
+    *
+    * Determinism under duplicate `ordCol` values: the prefix sum uses
+    * an explicit ROWS frame with `valCol` as secondary sort — the
+    * default RANGE frame would include all peers in `cum` while
+    * `row_number` picks an arbitrary peer order, making the (i, cum)
+    * pairing (and hence the argmax) nondeterministic. With the rows
+    * frame and (ordCol, valCol) ordering, rows tied on both keys are
+    * interchangeable, so the result is partitioning-invariant. */
   def cusum(df: DataFrame, ordCol: String, valCol: String): DataFrame = {
     val dec = DecimalType(38, 0)
-    val w = Window.orderBy(col(ordCol))
+    val w = Window.orderBy(col(ordCol), col(valCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = df
-      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("i", row_number().over(
+        Window.orderBy(col(ordCol), col(valCol))).cast("long"))
       .withColumn("cum", sum(col(valCol)).over(w))
       // two consumers (totals + scoring): land the bounded frame once
       .localCheckpoint(eager = false)
@@ -41,7 +51,7 @@ object ChangePoint {
     val scored = cum.crossJoin(tot) // 1-row scalar broadcast
       .withColumn("score",
         abs(col("n").cast(dec) * col("cum") - col("i").cast(dec) * col("t")))
-    val wTop = Window.orderBy(col("score").desc, col(ordCol))
+    val wTop = Window.orderBy(col("score").desc, col(ordCol), col("i"))
     scored.withColumn("rn", row_number().over(wTop))
       .filter(col("rn") === 1)
       .select(col(ordCol), col("i"), col("n"),

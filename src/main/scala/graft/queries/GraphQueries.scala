@@ -898,7 +898,10 @@ object GraphQueries {
           concat(col("lang"), lit(":"), col("a")).as("dst")))
       val edges = raw.filter(col("src") =!= col("dst"))
         .groupBy(col("src"), col("dst")).agg(lcount(lit(1)).as("w"))
-      val pr = PageRank.run(edges, iters = Iters, scale = Scale)
+      // opt IN to the edge-frame checkpoint: deriving these edges
+      // re-tokenizes the corpus, ~9× per run without it (6.1→1.6 s)
+      val pr = PageRank.run(edges, iters = Iters, scale = Scale,
+        checkpointEdges = true)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(substring_index(col("node"), ":", 1))
         .orderBy(col("rank").desc, col("node"))

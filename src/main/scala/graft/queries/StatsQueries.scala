@@ -814,22 +814,29 @@ object StatsQueries {
         .partitionBy(col("lang")).orderBy(col("v"))
       val cum = per.withColumn("hi", sum(col("c_all")).over(w))
         .withColumn("lo", col("hi") - col("c_all") + 1)
+      // every cube is DECIMAL(38,0)-routed BEFORE it multiplies: both
+      // (n+1)·n·(n−1) and Σ c³ pass int64 at ~2.1M rows per language
+      // (2.1e6³ ≈ 9.3e18 > 2⁶³−1) and ANSI engines hard-error rather
+      // than wrap — tie_t itself is therefore DECIMAL(38,0) end to end
       val agg = cum.groupBy(col("lang")).agg(
         sum((col("lo") + col("hi")) * col("c_a")).as("r2a"),
         sum(col("c_a")).as("n_a"),
         sum(col("c_all") - col("c_a")).as("n_b"),
-        sum(col("c_all") * col("c_all") * col("c_all") - col("c_all")).as("tie_t"))
+        sum(col("c_all").cast(org.apache.spark.sql.types.DecimalType(38, 0))
+          * col("c_all") * col("c_all") - col("c_all")).as("tie_t"))
       agg
         .withColumn("u2a", col("r2a") - col("n_a") * (col("n_a") + 1))
         .withColumn("z", expr(
           """CASE WHEN n_a > 0 AND n_b > 0 AND
             |  (CAST(n_a AS DECIMAL(38,0)) * n_b *
-            |    ((n_a + n_b + 1) * (n_a + n_b) * (n_a + n_b - 1) - tie_t)) > 0
+            |    (CAST(n_a + n_b + 1 AS DECIMAL(38,0)) * (n_a + n_b)
+            |      * (n_a + n_b - 1) - tie_t)) > 0
             |THEN round(
             |  CAST(u2a - n_a * n_b AS DOUBLE) /
             |  (2 * sqrt(
             |    CAST(CAST(n_a AS DECIMAL(38,0)) * n_b *
-            |      ((n_a + n_b + 1) * (n_a + n_b) * (n_a + n_b - 1) - tie_t)
+            |      (CAST(n_a + n_b + 1 AS DECIMAL(38,0)) * (n_a + n_b)
+            |        * (n_a + n_b - 1) - tie_t)
             |      AS DOUBLE) /
             |    CAST(12 * (n_a + n_b) * CAST(n_a + n_b - 1 AS DECIMAL(38,0))
             |      AS DOUBLE))), 6)
@@ -853,18 +860,21 @@ object StatsQueries {
       |    CAST(SUM((lo + hi) * c_a) AS BIGINT) AS r2a,
       |    CAST(SUM(c_a) AS BIGINT) AS n_a,
       |    CAST(SUM(c_all - c_a) AS BIGINT) AS n_b,
-      |    CAST(SUM(c_all * c_all * c_all - c_all) AS BIGINT) AS tie_t
+      |    SUM(CAST(c_all AS HUGEINT) * c_all * c_all - c_all) AS tie_h
       |  FROM cum GROUP BY lang)
       |SELECT lang, n_a, n_b,
-      |  CAST(r2a - n_a * (n_a + 1) AS BIGINT) AS u2a, tie_t,
+      |  CAST(r2a - n_a * (n_a + 1) AS BIGINT) AS u2a,
+      |  CAST(tie_h AS DECIMAL(38,0)) AS tie_t,
       |  CASE WHEN n_a > 0 AND n_b > 0 AND
       |    (CAST(n_a AS HUGEINT) * n_b *
-      |      ((n_a + n_b + 1) * (n_a + n_b) * (n_a + n_b - 1) - tie_t)) > 0
+      |      (CAST(n_a + n_b + 1 AS HUGEINT) * (n_a + n_b)
+      |        * (n_a + n_b - 1) - tie_h)) > 0
       |  THEN round(
       |    CAST(r2a - n_a * (n_a + 1) - n_a * n_b AS DOUBLE) /
       |    (2 * sqrt(
       |      CAST(CAST(n_a AS HUGEINT) * n_b *
-      |        ((n_a + n_b + 1) * (n_a + n_b) * (n_a + n_b - 1) - tie_t)
+      |        (CAST(n_a + n_b + 1 AS HUGEINT) * (n_a + n_b)
+      |          * (n_a + n_b - 1) - tie_h)
       |        AS DOUBLE) /
       |      CAST(12 * (n_a + n_b) * CAST(n_a + n_b - 1 AS HUGEINT)
       |        AS DOUBLE))), 6)

@@ -47,10 +47,16 @@ object Fdr {
       .withColumn("__pd", pDen.cast("long"))
       .withColumn("rank", row_number().over(w).cast("long"))
     val m = ranked.agg(count(lit(1)).as("__m"))
+    // both cross-multiplied sides routed through DECIMAL(38,0): with
+    // large exact denominators (e6-scaled or combinatorial p_den) and
+    // many hypotheses the int64 products overflow and ANSI aborts —
+    // decimal keeps the comparison bit-exact for any caller, not just
+    // small inputs like q271's (p_den=32, m=5)
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val sat = ranked.crossJoin(m) // 1-row scalar broadcast
       .withColumn("__sat",
-        col("__pn") * col("__m") * lit(alphaDen) <=
-          col("rank") * lit(alphaNum) * col("__pd"))
+        col("__pn").cast(dec) * col("__m") * lit(alphaDen) <=
+          col("rank").cast(dec) * lit(alphaNum) * col("__pd"))
     val kstar = sat.agg(max(when(col("__sat"), col("rank"))).as("__k"))
     sat.crossJoin(kstar) // 1-row scalar broadcast
       .withColumn("rejected", col("rank") <= coalesce(col("__k"), lit(0L)))

@@ -197,9 +197,10 @@ class Round10PlanSpec extends SparkSpec {
     assert(t.count(_.contains("Scan parquet")) == 0 &&
       t.exists(_.contains("Scan ExistingRDD")),
       "the daily frame lands once; both pair sides and n_days probe it")
-    assert(!t.exists(_.contains("CartesianProduct")) ||
-      t.exists(_.contains("BroadcastNestedLoopJoin")),
-      "the i<j pair join is calendar-bounded; scalar totals broadcast")
+    assert(t.exists(_.contains("BroadcastNestedLoopJoin")),
+      "the i<j non-equi pair join must plan as BNLJ over the landed daily frame")
+    assert(!t.exists(_.contains("CartesianProduct")),
+      "no CartesianProduct anywhere — scalar totals broadcast")
   }
 
   test("q282: the sweep reuses ONE landed shingle index for both postings sides") {
