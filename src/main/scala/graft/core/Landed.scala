@@ -65,15 +65,22 @@ object Landed {
   /** Lazy checkpoint + fresh-stats rebuild: blocks pin on the FIRST
     * action (the producer's own write — one pass computes and lands,
     * no separate materialization job), and probes scan pinned blocks
-    * with default (not compounded) size estimates. */
+    * with default (not compounded) size estimates. The rebuild wraps
+    * the checkpoint's INTERNAL row RDD directly
+    * ([[org.apache.spark.sql.graft.InternalDF]]) — the public
+    * `createDataFrame(ck.rdd, schema)` form achieved the same stats
+    * reset but paid an InternalRow→Row→InternalRow codec per row per
+    * scan, taxing the producer's own read and every probe. */
   private def materialize(df: DataFrame): Entry = {
     epoch.incrementAndGet()
     val ck = df.localCheckpoint(eager = false)
-    val id = ck.queryExecution.logical match {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
-      case _ => -1
+    ck.queryExecution.logical match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        Entry(org.apache.spark.sql.graft.InternalDF.wrap(
+          ck.sparkSession, lr.rdd, ck.schema), lr.rdd.id)
+      case _ =>
+        Entry(ck.sparkSession.createDataFrame(ck.rdd, ck.schema), -1)
     }
-    Entry(ck.sparkSession.createDataFrame(ck.rdd, ck.schema), id)
   }
 
   /** Checkpoint RDD ids of the session's LIVE landings — the block set

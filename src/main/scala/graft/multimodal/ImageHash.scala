@@ -37,9 +37,62 @@ object ImageHash {
     }.take(72).toArray
   }
 
-  /** 64-bit dHash: bit r*8+c set iff grid(r, c+1) > grid(r, c). */
-  def dhash64(bytes: Array[Byte]): Long = {
-    val g = grayStream(bytes)
+  /** REAL decode arm of the seam: `javax.imageio` (JDK-native, no new
+    * dependency) decodes an encoded payload (PNG/JPEG/BMP/GIF/…) and
+    * pools it to the 8×9 dHash grid by EXACT area-average — each grid
+    * cell is the integer mean of the BT.601 luma (299·R+587·G+114·B
+    * div 1000) over its pixel block, with block edges at
+    * `⌊k·dim/cells⌋`. No Java2D rescaling/rendering hints, so the grid
+    * is bit-deterministic across platforms and the same payload always
+    * hashes identically. Returns None for undecodable payloads (no
+    * registered reader, truncated stream) — callers map that to a
+    * null hash, the same contract as a null payload.
+    *
+    * This is the drop-in the stub's Scaladoc promised: with it, crops,
+    * brightness shifts and lossy re-encodes land within small Hamming
+    * distance (ImageIoDecodeSpec pins those properties on real PNG/JPEG
+    * fixtures), while the md5-keystream stub remains the SQL-replayable
+    * arm the DuckDB oracle gates. */
+  def grayGridImageIo(bytes: Array[Byte]): Option[Array[Int]] = {
+    if (bytes == null) return None
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null || img.getWidth < 9 || img.getHeight < 8) None
+      else {
+        val (iw, ih) = (img.getWidth, img.getHeight)
+        val g = new Array[Int](72)
+        var r = 0
+        while (r < 8) {
+          val y0 = r * ih / 8
+          val y1 = (r + 1) * ih / 8
+          var c = 0
+          while (c < 9) {
+            val x0 = c * iw / 9
+            val x1 = (c + 1) * iw / 9
+            var sum = 0L
+            var y = y0
+            while (y < y1) {
+              var x = x0
+              while (x < x1) {
+                val rgb = img.getRGB(x, y)
+                sum += ((rgb >> 16 & 0xff) * 299 + (rgb >> 8 & 0xff) * 587 +
+                  (rgb & 0xff) * 114) / 1000
+                x += 1
+              }
+              y += 1
+            }
+            g(r * 9 + c) = (sum / ((y1 - y0).toLong * (x1 - x0))).toInt
+            c += 1
+          }
+          r += 1
+        }
+        Some(g)
+      }
+    } catch { case _: Exception => None }
+  }
+
+  /** dHash over a 72-byte grid: bit r*8+c set iff grid(r,c+1) > grid(r,c). */
+  def dhashOfGrid(g: Array[Int]): Long = {
     var h = 0L
     var r = 0
     while (r < 8) {
@@ -54,19 +107,45 @@ object ImageHash {
     h
   }
 
+  /** 64-bit dHash of the STUB decode (SQL-replayable md5 keystream). */
+  def dhash64(bytes: Array[Byte]): Long = dhashOfGrid(grayStream(bytes))
+
+  /** 64-bit dHash of a REAL encoded image via [[grayGridImageIo]];
+    * None when the payload doesn't decode. */
+  def dhash64ImageIo(bytes: Array[Byte]): Option[Long] =
+    grayGridImageIo(bytes).map(dhashOfGrid)
+
   /** Append the payload's dHash as `outCol` — one batched
-    * per-partition pass (the [[Multimodal.withMeta]] shape). */
-  def withDhash(df: DataFrame, payloadCol: String, outCol: String): DataFrame = {
+    * per-partition pass (the [[Multimodal.withMeta]] shape).
+    * `decoder = Decoder.ImageIo` swaps the SQL-replayable stub for the
+    * real [[grayGridImageIo]] codec; undecodable payloads hash null,
+    * so the downstream band/verify plan is decoder-agnostic. */
+  def withDhash(df: DataFrame, payloadCol: String, outCol: String,
+                decoder: Decoder = Decoder.Stub): DataFrame = {
     val idx = df.schema.fieldIndex(payloadCol)
     val outSchema = StructType(df.schema.fields :+
       StructField(outCol, LongType, nullable = true))
     df.mapPartitions { it =>
       it.map { r =>
         val bytes = r.getAs[Array[Byte]](idx)
-        val h: Any = if (bytes == null) null else dhash64(bytes)
+        val h: Any =
+          if (bytes == null) null
+          else decoder match {
+            case Decoder.Stub => dhash64(bytes)
+            case Decoder.ImageIo => dhash64ImageIo(bytes).orNull
+          }
         Row.fromSeq(r.toSeq :+ h)
       }
     }(SqlEncoders.row(outSchema))
+  }
+
+  /** Decode arm selector for [[withDhash]]. */
+  sealed trait Decoder
+  object Decoder {
+    /** md5-keystream fake (deterministic, DuckDB-replayable). */
+    case object Stub extends Decoder
+    /** javax.imageio real codec (spec-gated; not SQL-expressible). */
+    case object ImageIo extends Decoder
   }
 
   /** (id, hash, band, bkey) rows — the landed-index grain: 4 rows per
