@@ -957,7 +957,53 @@ object BloomQueries {
         |FROM documents""".stripMargin))
   }
 
+  /** q289: equi-width histogram face of the profiler (beside q245's
+    * type/null/HLL census and q250's quantile face): for each numeric
+    * column, min/max plus 16 bucket counts — the distribution sketch a
+    * data catalog renders as the little bar chart per column. ENTIRELY
+    * integer under the hash: values quantize to e2 longs, the bucket
+    * index is `(x−min)·16 div (max−min+1)` (truncating ÷, never a
+    * float bin edge), and the columns stack through ONE map-side
+    * explode so the scan reads each row once (the q245 one-scan
+    * discipline). Bucket rows absent from the data are genuinely empty
+    * (not zero-filled) — the catalog's sparse census. */
+  val q289 = GQuery(
+    "q289_histogram_profile",
+    (s, d) => {
+      val li = lineitem(s, d)
+      val stacked = li.select(explode(map(
+        lit("l_quantity"), floor(col("l_quantity") * 100 + 0.5).cast("long"),
+        lit("l_extendedprice"), floor(col("l_extendedprice") * 100 + 0.5).cast("long"),
+        lit("l_discount"), floor(col("l_discount") * 100 + 0.5).cast("long")
+      )).as(Seq("col_name", "x_e2")))
+        .localCheckpoint(eager = false) // min/max pass + bucket pass
+      val mm = stacked.groupBy(col("col_name"))
+        .agg(min(col("x_e2")).as("min_e2"), max(col("x_e2")).as("max_e2"))
+      stacked.join(broadcast(mm), Seq("col_name"))
+        .groupBy(col("col_name"), col("min_e2"), col("max_e2"),
+          expr("((x_e2 - min_e2) * 16) div (max_e2 - min_e2 + 1)").as("bucket"))
+        .agg(lcount(lit(1)).as("n"))
+        .orderBy(col("col_name"), col("bucket"))
+    },
+    Some("""WITH stacked AS MATERIALIZED (
+      |  SELECT u.col_name, u.x_e2 FROM lineitem,
+      |    UNNEST([
+      |      {'col_name': 'l_quantity',
+      |       'x_e2': CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)},
+      |      {'col_name': 'l_extendedprice',
+      |       'x_e2': CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)},
+      |      {'col_name': 'l_discount',
+      |       'x_e2': CAST(floor(l_discount * 100 + 0.5) AS BIGINT)}]) AS t(u)),
+      |mm AS (
+      |  SELECT col_name, MIN(x_e2) AS min_e2, MAX(x_e2) AS max_e2
+      |  FROM stacked GROUP BY col_name)
+      |SELECT s.col_name, mm.min_e2, mm.max_e2,
+      |  ((s.x_e2 - mm.min_e2) * 16) // (mm.max_e2 - mm.min_e2 + 1) AS bucket,
+      |  COUNT(*) AS n
+      |FROM stacked s JOIN mm USING (col_name)
+      |GROUP BY 1, 2, 3, 4 ORDER BY col_name, bucket""".stripMargin))
+
   def queries: Seq[GQuery] =
     Seq(q154, q156, q208, q222, q227, q228, q239, q245, q246, q247, q249,
-      q250, q260)
+      q250, q260, q289)
 }

@@ -1053,7 +1053,113 @@ object GraphQueries {
         |FROM p$Iters""".stripMargin
     })
 
+  /** q286: link-prediction census over the q153 link graph — the
+    * crawl-frontier "which edges are probably missing" signal beside
+    * the centrality family: for every candidate pair sharing ≥ 1
+    * neighbor (postings self-join on the UNDIRECTED neighbor sets —
+    * candidates come from shared neighbors, never an all-pairs cross),
+    * common-neighbor count, preferential attachment d_a·d_b, and
+    * neighborhood Jaccard (e6, truncating ÷ — engine-exact). Top-20 by
+    * (cn, jaccard_e6, pair) — rank ties broken totally. */
+  val q286 = GQuery(
+    "q286_link_prediction",
+    (s, d) => {
+      val e = linkEdges(s, d)
+      // undirected neighbor postings, one row per (node, neighbor)
+      val post = e.select(col("src").as("node"), col("dst").as("nb"))
+        .unionByName(e.select(col("dst").as("node"), col("src").as("nb")))
+        .distinct()
+        .localCheckpoint(eager = false) // pair sides + degree census
+      val deg = post.groupBy(col("node")).agg(lcount(lit(1)).as("deg"))
+      val cn = post.select(col("node").as("a"), col("nb"))
+        .join(post.select(col("node").as("b"), col("nb")), Seq("nb"))
+        .filter(col("a") < col("b"))
+        .groupBy(col("a"), col("b")).agg(lcount(lit(1)).as("cn"))
+      cn.join(broadcast(deg.select(col("node").as("a"), col("deg").as("da"))), Seq("a"))
+        .join(broadcast(deg.select(col("node").as("b"), col("deg").as("db"))), Seq("b"))
+        .select(col("a"), col("b"), col("cn"),
+          (col("da") * col("db")).as("pa"),
+          expr("(cn * 1000000) div (da + db - cn)").as("jaccard_e6"))
+        .orderBy(col("cn").desc, col("jaccard_e6").desc, col("a"), col("b"))
+        .limit(20)
+    },
+    Some(s"""WITH e AS MATERIALIZED (
+      |  SELECT 'd' || CAST(doc_id % $M AS VARCHAR) AS src,
+      |    'd' || CAST(t AS VARCHAR) AS dst
+      |  FROM (SELECT doc_id, unnest([(doc_id * 7 + 13) % $M,
+      |      (doc_id * 13 + 29) % $M, (doc_id * 31 + 7) % $M]) AS t
+      |    FROM documents)
+      |  WHERE 'd' || CAST(doc_id % $M AS VARCHAR) <> 'd' || CAST(t AS VARCHAR)),
+      |post AS MATERIALIZED (
+      |  SELECT DISTINCT src AS node, dst AS nb FROM e
+      |  UNION SELECT DISTINCT dst AS node, src AS nb FROM e),
+      |deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM post GROUP BY node),
+      |cn AS (
+      |  SELECT x.node AS a, y.node AS b, CAST(COUNT(*) AS BIGINT) AS cn
+      |  FROM post x JOIN post y ON x.nb = y.nb AND x.node < y.node
+      |  GROUP BY 1, 2)
+      |SELECT a, b, cn, da.deg * db.deg AS pa,
+      |  (cn * 1000000) // (da.deg + db.deg - cn) AS jaccard_e6
+      |FROM cn JOIN deg da ON cn.a = da.node JOIN deg db ON cn.b = db.node
+      |ORDER BY cn DESC, jaccard_e6 DESC, a, b LIMIT 20""".stripMargin))
+
+  /** q288: harmonic centrality (out-direction, horizon 4) over the
+    * q153 link graph — the Common-Crawl-style centrality published
+    * beside PageRank: harm(v) = Σ_{u: 0<d(v,u)≤4} ⌊10⁶/d(v,u)⌋, each
+    * term a truncating integer ÷ so the score is engine-exact. The
+    * distance table builds by 3 unrolled min-plus rounds over the
+    * node-bounded pair frame (≤ M² rows — at 100 TB the same rounds
+    * run over a domain graph, not the corpus), each round one
+    * join + min-aggregate shuffle; the oracle replays the identical
+    * rounds as MATERIALIZED CTEs. */
+  val q288 = GQuery(
+    "q288_harmonic_centrality",
+    (s, d) => {
+      val e = linkEdges(s, d).select(col("src"), col("dst"))
+        .localCheckpoint(eager = false) // joined every round
+      var dist = e.withColumn("dist", lit(1L))
+      for (_ <- 2 to 4) {
+        val ext = dist.join(
+            e.select(col("src").as("dst"), col("dst").as("nxt")), Seq("dst"))
+          .filter(col("src") =!= col("nxt"))
+          .select(col("src"), col("nxt").as("dst"), (col("dist") + 1).as("dist"))
+        dist = dist.unionByName(ext)
+          .groupBy(col("src"), col("dst")).agg(min(col("dist")).as("dist"))
+          .localCheckpoint(eager = true) // node²-bounded state per round
+      }
+      dist.groupBy(col("src").as("domain"))
+        .agg(lcount(lit(1)).as("n_reached"),
+          sum(expr("1000000 div dist")).as("harm_e6"))
+        .orderBy(col("harm_e6").desc, col("domain"))
+    },
+    Some {
+      def round(prev: String, out: String) =
+        s"""$out AS MATERIALIZED (
+           |  SELECT src, dst, MIN(dist) AS dist FROM (
+           |    SELECT src, dst, dist FROM $prev
+           |    UNION ALL
+           |    SELECT p.src, e.dst, p.dist + 1 AS dist
+           |    FROM $prev p JOIN e ON p.dst = e.src
+           |    WHERE p.src <> e.dst)
+           |  GROUP BY src, dst)"""
+      s"""WITH e AS MATERIALIZED (
+      |  SELECT DISTINCT 'd' || CAST(doc_id % $M AS VARCHAR) AS src,
+      |    'd' || CAST(t AS VARCHAR) AS dst
+      |  FROM (SELECT doc_id, unnest([(doc_id * 7 + 13) % $M,
+      |      (doc_id * 13 + 29) % $M, (doc_id * 31 + 7) % $M]) AS t
+      |    FROM documents)
+      |  WHERE 'd' || CAST(doc_id % $M AS VARCHAR) <> 'd' || CAST(t AS VARCHAR)),
+      |d1 AS MATERIALIZED (SELECT src, dst, 1 AS dist FROM e),
+      |${round("d1", "d2")},
+      |${round("d2", "d3")},
+      |${round("d3", "d4")}
+      |SELECT src AS domain, CAST(COUNT(*) AS BIGINT) AS n_reached,
+      |  CAST(SUM(1000000 // dist) AS BIGINT) AS harm_e6
+      |FROM d4 GROUP BY src
+      |ORDER BY harm_e6 DESC, domain""".stripMargin
+    })
+
   def queries: Seq[GQuery] =
     Seq(q153, q157, q158, q160, q164, q174, q178, q231, q232, q241, q242,
-      q243, q259, q267, q270, q277)
+      q243, q259, q267, q270, q277, q286, q288)
 }

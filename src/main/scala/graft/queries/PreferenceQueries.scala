@@ -521,5 +521,58 @@ object PreferenceQueries {
         |FROM ec, tc""".stripMargin))
   }
 
-  def queries: Seq[GQuery] = Seq(q203, q204, q205, q206, q207, q218, q219, q240)
+  /** q290: pass@k census (Chen et al. 2021, the HumanEval estimator) —
+    * the eval-set companion to q207's GRPO advantages: per task with n
+    * sampled attempts and c successes, the unbiased
+    * pass@k = 1 − C(n−c,k)/C(n,k). pass@1 = c/n stays EXACT (e6,
+    * truncating ÷); for k ∈ {5, 10} the binomial ratio telescopes to a
+    * FIXED-LENGTH product Π_{i<k}(n−c−i)/(n−i), written as the same
+    * explicitly-unrolled IEEE expression on both engines (raw
+    * factorial-style integers would pass 10³⁸ at real n) and rounded
+    * to 6. One aggregation at the task grain; tasks are domain-bounded
+    * (the eval suite), attempts are the scan. */
+  val q290 = GQuery(
+    "q290_pass_at_k",
+    (s, d) => {
+      val att = lineitem(s, d).select(
+        (col("l_orderkey") % 500).as("task"),
+        (floor(col("l_quantity") * 100 + 0.5).cast("long") % 7 === 0).as("ok"))
+      def term(i: Int, k: Int): String =
+        s"(CAST(n - c - $i AS DOUBLE) / CAST(n - $i AS DOUBLE))"
+      def passK(k: Int): String =
+        s"""CASE WHEN n >= $k THEN round(CASE WHEN c >= n - $k + 1 THEN 1.0
+           |  ELSE 1.0 - ${(0 until k).map(term(_, k)).mkString(" * ")} END, 6)
+           |END""".stripMargin
+      att.groupBy(col("task"))
+        .agg(lcount(lit(1)).as("n"),
+          coalesce(sum(when(col("ok"), 1L)), lit(0L)).as("c"))
+        .select(col("task"), col("n"), col("c"),
+          expr("(c * 1000000) div n").as("pass1_e6"),
+          expr(passK(5)).as("pass_at_5"),
+          expr(passK(10)).as("pass_at_10"))
+        .orderBy(col("task"))
+    },
+    Some {
+      def term(i: Int): String =
+        s"(CAST(n - c - $i AS DOUBLE) / CAST(n - $i AS DOUBLE))"
+      def passK(k: Int): String =
+        s"""CASE WHEN n >= $k THEN round(CASE WHEN c >= n - $k + 1 THEN 1.0
+           |  ELSE 1.0 - ${(0 until k).map(term).mkString(" * ")} END, 6)
+           |END""".stripMargin
+      s"""WITH att AS (
+      |  SELECT l_orderkey % 500 AS task,
+      |    CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) % 7 = 0 AS ok
+      |  FROM lineitem),
+      |g AS (
+      |  SELECT task, CAST(COUNT(*) AS BIGINT) AS n,
+      |    COALESCE(CAST(SUM(CASE WHEN ok THEN 1 END) AS BIGINT), 0) AS c
+      |  FROM att GROUP BY task)
+      |SELECT task, n, c, (c * 1000000) // n AS pass1_e6,
+      |  ${passK(5)} AS pass_at_5,
+      |  ${passK(10)} AS pass_at_10
+      |FROM g ORDER BY task""".stripMargin
+    })
+
+  def queries: Seq[GQuery] =
+    Seq(q203, q204, q205, q206, q207, q218, q219, q240, q290)
 }

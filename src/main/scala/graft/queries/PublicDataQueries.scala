@@ -429,5 +429,92 @@ object PublicDataQueries {
       |  CAST(SUM(CASE WHEN cls_l < 3 THEN cls_n ELSE 0 END) AS BIGINT) AS n_suppressed
       |FROM cls GROUP BY segment""".stripMargin))
 
-  def queries: Seq[GQuery] = Seq(q75, q76, q79, q80, q159, q168, q190, q210)
+  /** q287: t-closeness audit on the q159 publishable grain — the third
+    * rung of the governance ladder (k-anonymity bounds class size,
+    * l-diversity bounds sensitive-value count, t-closeness bounds how
+    * much a class's sensitive DISTRIBUTION leaks vs the global one):
+    * per (segment, nation) class, the Earth-Mover's Distance between
+    * the class's account-balance-bin distribution and the global one,
+    * over the ORDERED bin domain — EMD(ordered, unit spacing) =
+    * Σ|cumP−cumQ|/(m−1). ENTIRELY exact: cumulative counts are
+    * cross-multiplied (|cum_c·N − cum_g·n_c|, DECIMAL(38,0)-routed)
+    * and the final EMD is one truncating ÷ at e6. The class × bin grid
+    * is domain-bounded (completed with zero rows so absent bins still
+    * move mass), never row-scaled. */
+  val q287 = GQuery(
+    "q287_t_closeness",
+    (s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val W = org.apache.spark.sql.expressions.Window
+      val qi = customer(s, d).select(
+        col("c_mktsegment").as("segment"),
+        col("c_nationkey").as("nation"),
+        floor(col("c_acctbal") / 1000.0).cast("long").as("bal_bin"))
+      val cls = qi.groupBy(col("segment"), col("nation"), col("bal_bin"))
+        .agg(lcount(lit(1)).as("cnt"))
+        .localCheckpoint(eager = false) // grid fill + class sizes + bins
+      val bins = cls.select(col("bal_bin")).distinct()
+      val classes = cls.groupBy(col("segment"), col("nation"))
+        .agg(sum(col("cnt")).as("n_c"))
+      val glob = cls.groupBy(col("bal_bin")).agg(sum(col("cnt")).as("gcnt"))
+        .withColumn("cum_g", sum(col("gcnt")).over(
+          W.orderBy(col("bal_bin"))
+            .rowsBetween(W.unboundedPreceding, W.currentRow)))
+      val scal = glob.agg(sum(col("gcnt")).as("n_all"),
+        lcount(lit(1)).as("m"))
+      val grid = classes.crossJoin(broadcast(bins)) // domain-bounded
+        // the class-bin census is domain-bounded but landed (default
+        // stats) — hint the broadcast a fresh frame would get on its own
+        .join(broadcast(cls), Seq("segment", "nation", "bal_bin"), "left")
+        .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+        .withColumn("cum_c", sum(col("cnt")).over(
+          W.partitionBy(col("segment"), col("nation")).orderBy(col("bal_bin"))
+            .rowsBetween(W.unboundedPreceding, W.currentRow)))
+      grid.join(broadcast(glob.select(col("bal_bin"), col("cum_g"))), Seq("bal_bin"))
+        .crossJoin(broadcast(scal)) // 1-row scalar
+        .groupBy(col("segment"), col("nation"), col("n_c"), col("n_all"), col("m"))
+        .agg(sum(abs(col("cum_c").cast(dec) * col("n_all")
+          - col("cum_g").cast(dec) * col("n_c"))).as("sdiff"))
+        .select(col("segment"), col("nation"), col("n_c"),
+          expr("(sdiff * 1000000) div (CAST(n_c AS DECIMAL(38,0)) * n_all * (m - 1))")
+            .as("emd_e6"))
+        .orderBy(col("emd_e6").desc, col("segment"), col("nation"))
+    },
+    Some("""WITH qi AS (
+      |  SELECT c_mktsegment AS segment, c_nationkey AS nation,
+      |    CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_bin
+      |  FROM customer),
+      |cls AS MATERIALIZED (
+      |  SELECT segment, nation, bal_bin, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM qi GROUP BY 1, 2, 3),
+      |bins AS (SELECT DISTINCT bal_bin FROM cls),
+      |classes AS (
+      |  SELECT segment, nation, CAST(SUM(cnt) AS BIGINT) AS n_c
+      |  FROM cls GROUP BY 1, 2),
+      |gcum AS MATERIALIZED (
+      |  SELECT bal_bin, SUM(gcnt) OVER (ORDER BY bal_bin ROWS UNBOUNDED PRECEDING)
+      |      AS cum_g
+      |  FROM (SELECT bal_bin, CAST(SUM(cnt) AS BIGINT) AS gcnt
+      |        FROM cls GROUP BY bal_bin)),
+      |scal AS (
+      |  SELECT CAST(SUM(cnt) AS BIGINT) AS n_all,
+      |    CAST(COUNT(DISTINCT bal_bin) AS BIGINT) AS m
+      |  FROM cls),
+      |grid AS (
+      |  SELECT c.segment, c.nation, c.n_c, b.bal_bin,
+      |    SUM(COALESCE(x.cnt, 0)) OVER (PARTITION BY c.segment, c.nation
+      |      ORDER BY b.bal_bin ROWS UNBOUNDED PRECEDING) AS cum_c
+      |  FROM classes c CROSS JOIN bins b
+      |  LEFT JOIN cls x ON x.segment = c.segment AND x.nation = c.nation
+      |    AND x.bal_bin = b.bal_bin)
+      |SELECT g.segment, g.nation, g.n_c,
+      |  CAST((SUM(abs(CAST(g.cum_c AS HUGEINT) * s.n_all
+      |     - CAST(gl.cum_g AS HUGEINT) * g.n_c)) * 1000000)
+      |    // (CAST(g.n_c AS HUGEINT) * s.n_all * (s.m - 1)) AS BIGINT) AS emd_e6
+      |FROM grid g JOIN gcum gl ON g.bal_bin = gl.bal_bin, scal s
+      |GROUP BY g.segment, g.nation, g.n_c, s.n_all, s.m
+      |ORDER BY emd_e6 DESC, segment, nation""".stripMargin))
+
+  def queries: Seq[GQuery] =
+    Seq(q75, q76, q79, q80, q159, q168, q190, q210, q287)
 }

@@ -947,7 +947,149 @@ object StatsQueries {
       |  END AS d
       |FROM agg""".stripMargin))
 
+  /** q284: Kruskal–Wallis k-group rank test (tie-corrected H) over the
+    * per-language n_chars distributions — the k-group generalization of
+    * q268's two-sample rank-sum: one GLOBAL midrank ladder instead of
+    * per-language ones, so a single value-domain-bounded window ranks
+    * all groups at once. Numerics: rank sums ride the q268 (lo+hi)
+    * doubled-midrank integers; r2², tie cubes and N³ are
+    * DECIMAL(38,0)-routed. The cross-group sum Σ r2_j²/(4 n_j) is IEEE,
+    * so it uses the ORDERED-FOLD pattern: fold the per-group doubles in
+    * lang-sorted order (Spark `aggregate(array_sort(collect_list(…)))`
+    * ≡ DuckDB `list_reduce(list(… ORDER BY lang))`), making the
+    * floating sum order-deterministic and engine-identical — the
+    * reusable recipe for any small-k IEEE reduction under the hash
+    * gate. Scale shape: raw docs fold map-side to (lang, value); the
+    * window and fold run over domain-bounded frames. */
+  val q284 = GQuery(
+    "q284_kruskal_wallis",
+    (s, d) => {
+      val base = documents(s, d).select(col("lang"), col("n_chars").as("v"))
+      val per = base.groupBy(col("lang"), col("v")).agg(lcount(lit(1)).as("c_g"))
+      val perV = per.groupBy(col("v")).agg(sum(col("c_g")).as("c_all"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val ladder = perV
+        .withColumn("hi", sum(col("c_all")).over(w))
+        .withColumn("lo", col("hi") - col("c_all") + 1)
+      val g = per.join(ladder.select(col("v"), col("lo"), col("hi")), Seq("v"))
+        .groupBy(col("lang"))
+        .agg(sum((col("lo") + col("hi")) * col("c_g")).as("r2"),
+          sum(col("c_g")).as("n_g"))
+        .withColumn("__v", expr(
+          "CAST(CAST(r2 AS DECIMAL(38,0)) * r2 AS DOUBLE) / (4.0 * CAST(n_g AS DOUBLE))"))
+      val ties = ladder.agg(
+        sum(col("c_all")).as("n"),
+        sum(col("c_all").cast(org.apache.spark.sql.types.DecimalType(38, 0))
+          * col("c_all") * col("c_all") - col("c_all")).as("tie_t"))
+      g.agg(
+          lcount(lit(1)).as("k"),
+          expr("aggregate(array_sort(collect_list(struct(lang, __v))), " +
+            "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.__v)").as("__s"))
+        .crossJoin(ties) // 1-row scalar
+        .select(col("k"), col("n"), col("tie_t"),
+          expr("""round(
+            |  ((12.0 * __s / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE))
+            |    - 3.0 * CAST(n + 1 AS DOUBLE)))
+            |  / (1.0 - CAST(tie_t AS DOUBLE) /
+            |     CAST(CAST(n AS DECIMAL(38,0)) * n * n - n AS DOUBLE)), 6)
+            |""".stripMargin).as("h_corrected"))
+    },
+    Some("""WITH base AS (SELECT lang, n_chars AS v FROM documents),
+      |per AS (SELECT lang, v, COUNT(*) AS c_g FROM base GROUP BY 1, 2),
+      |perv AS (SELECT v, CAST(SUM(c_g) AS BIGINT) AS c_all FROM per GROUP BY v),
+      |ladder AS (
+      |  SELECT v, c_all,
+      |    SUM(c_all) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS hi,
+      |    SUM(c_all) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - c_all + 1 AS lo
+      |  FROM perv),
+      |g AS (
+      |  SELECT lang, CAST(SUM((lo + hi) * c_g) AS BIGINT) AS r2,
+      |    CAST(SUM(c_g) AS BIGINT) AS n_g
+      |  FROM per JOIN ladder USING (v) GROUP BY lang),
+      |gv AS (
+      |  SELECT lang,
+      |    CAST(CAST(r2 AS HUGEINT) * r2 AS DOUBLE) / (4.0 * CAST(n_g AS DOUBLE)) AS v
+      |  FROM g),
+      |ties AS (
+      |  SELECT CAST(SUM(c_all) AS BIGINT) AS n,
+      |    SUM(CAST(c_all AS HUGEINT) * c_all * c_all - c_all) AS tie_h
+      |  FROM ladder),
+      |folded AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+      |    list_reduce(list(v ORDER BY lang), (a, b) -> a + b) AS s
+      |  FROM gv)
+      |SELECT folded.k, ties.n, CAST(ties.tie_h AS DECIMAL(38,0)) AS tie_t,
+      |  round(
+      |    ((12.0 * folded.s / (CAST(ties.n AS DOUBLE) * CAST(ties.n + 1 AS DOUBLE))
+      |      - 3.0 * CAST(ties.n + 1 AS DOUBLE)))
+      |    / (1.0 - CAST(ties.tie_h AS DOUBLE) /
+      |       CAST(CAST(ties.n AS HUGEINT) * ties.n * ties.n - ties.n AS DOUBLE)), 6)
+      |    AS h_corrected
+      |FROM folded, ties""".stripMargin))
+
+  /** q291: Mann–Kendall trend test over the daily event-total series —
+    * the SIGNIFICANCE companion to q281's Theil–Sen slope (same landed
+    * daily frame shape, same calendar-bounded i<j pair join): S =
+    * Σ_{i<j} sgn(x_j − x_i) is a pure integer, the tie-corrected
+    * variance 18·Var(S) = n(n−1)(2n+5) − Σ t(t−1)(2t+5) is exact int64
+    * at calendar scale, and only the final z = (S − sgn S)/√Var passes
+    * through IEEE (rounded 6, both engines). */
+  val q291 = GQuery(
+    "q291_mann_kendall",
+    (s, d) => {
+      val daily = events(s, d)
+        .select(to_date(col("ts")).as("day"), col("value"))
+        .groupBy(col("day"))
+        .agg(floor(dsum(col("value")) * 1e6 + lit(0.5)).cast("long").as("t_e6"))
+        .localCheckpoint(eager = false) // pair sides + tie census
+      val idx = daily.withColumn("i", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("day"))).cast("long"))
+      val sAgg = idx.select(col("i").as("ai"), col("t_e6").as("at"))
+        .join(idx.select(col("i").as("bi"), col("t_e6").as("bt")),
+          col("bi") > col("ai"))
+        .agg(coalesce(sum(signum(col("bt") - col("at")).cast("long")), lit(0L)).as("s"),
+          lcount(lit(1)).as("n_pairs"))
+      val tieVar = daily.groupBy(col("t_e6")).agg(lcount(lit(1)).as("t"))
+        .agg(sum(col("t")).as("n"),
+          sum(col("t") * (col("t") - 1) * (col("t") * 2 + 5)).as("tcorr"))
+        .select(col("n"),
+          (col("n") * (col("n") - 1) * (col("n") * 2 + 5) - col("tcorr"))
+            .as("var18"))
+      sAgg.crossJoin(tieVar) // 1-row scalar
+        .select(col("n"), col("n_pairs"), col("s"), col("var18"),
+          expr("""CASE WHEN var18 > 0 THEN round(
+            |  CAST(s - CAST(sign(s) AS BIGINT) AS DOUBLE)
+            |  / sqrt(CAST(var18 AS DOUBLE) / 18.0), 6) END""".stripMargin)
+            .as("z"))
+    },
+    Some("""WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS day,
+      |    CAST(floor(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+      |      * 1000000.0 + 0.5) AS BIGINT) AS t_e6
+      |  FROM events GROUP BY 1),
+      |idx AS (
+      |  SELECT day, t_e6,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS i
+      |  FROM daily),
+      |sagg AS (
+      |  SELECT COALESCE(CAST(SUM(CAST(sign(b.t_e6 - a.t_e6) AS BIGINT)) AS BIGINT), 0)
+      |      AS s,
+      |    CAST(COUNT(*) AS BIGINT) AS n_pairs
+      |  FROM idx a JOIN idx b ON b.i > a.i),
+      |tv AS (
+      |  SELECT CAST(SUM(t) AS BIGINT) AS n,
+      |    CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tcorr
+      |  FROM (SELECT COUNT(*) AS t FROM daily GROUP BY t_e6)),
+      |v AS (SELECT n, n * (n - 1) * (2 * n + 5) - tcorr AS var18 FROM tv)
+      |SELECT v.n, sagg.n_pairs, sagg.s, v.var18,
+      |  CASE WHEN v.var18 > 0 THEN round(
+      |    CAST(sagg.s - CAST(sign(sagg.s) AS BIGINT) AS DOUBLE)
+      |    / sqrt(CAST(v.var18 AS DOUBLE) / 18.0), 6) END AS z
+      |FROM sagg, v""".stripMargin))
+
   def queries: Seq[GQuery] =
     Seq(q23, q24, q25, q26, q27, q28, q29, q30, q31, q51, q58, q113, q163,
-      q185, q191, q211, q217, q268, q274)
+      q185, q191, q211, q217, q268, q274, q284, q291)
 }

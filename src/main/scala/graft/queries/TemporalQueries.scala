@@ -783,7 +783,94 @@ object TemporalQueries {
       |    AS slope_per_day
       |FROM sel, tot, nd GROUP BY nd.n_days, tot.m""".stripMargin))
 
+  /** q285: autocorrelation function (lags 1–7) + Ljung–Box Q over the
+    * daily event-total series — the serial-dependence diagnostic beside
+    * q272's decomposition and q291's trend test. ENTIRELY exact under
+    * the hash until the final Q: centering is cross-multiplied
+    * (c_t = n·x_t − T, so no mean division), autocovariances and the
+    * ACF are DECIMAL(38,0) products with a truncating ÷
+    * (acf_e6 = num·10⁶ div den), and the Ljung–Box partial sums ride a
+    * COMMON-DENOMINATOR integer ladder: D = Π_{j=1..7}(n−j), term_j =
+    * acf_e6_j²·(D div (n−j)), Σ over an ordered ROWS window (exact
+    * decimal, associative) — only the last rescale to Q is IEEE,
+    * rounded 6. Scale shape: raw events fold map-side to the calendar
+    * frame; the lag self-join is 7·n calendar-bounded rows. */
+  val q285 = GQuery(
+    "q285_acf_ljung_box",
+    (s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val daily = events(s, d)
+        .select(to_date(col("ts")).as("day"), col("value"))
+        .groupBy(col("day"))
+        .agg(floor(dsum(col("value")) + lit(0.5)).cast("long").as("x"))
+      val idx = daily
+        .withColumn("i", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("day"))).cast("long"))
+        .localCheckpoint(eager = false) // scalars + both lag-join sides
+      val tot = idx.agg(lcount(lit(1)).as("n"), sum(col("x")).as("t"))
+      val c = idx.crossJoin(tot) // 1-row scalar broadcast
+        .select(col("i"), col("n"), col("t"),
+          (col("n") * col("x") - col("t")).cast(dec).as("c"))
+        .localCheckpoint(eager = false) // den + 7 lag probes
+      val den = c.agg(sum(col("c") * col("c")).as("den"),
+        max(col("n")).as("n"))
+      val num = c.select(col("i"), col("c"))
+        .join(c.select(col("i").as("bi"), col("c").as("bc")),
+          col("bi") > col("i") && col("bi") - col("i") <= 7)
+        .groupBy((col("bi") - col("i")).as("lag"))
+        .agg(sum(col("c") * col("bc")).as("num"))
+      num.crossJoin(den) // 1-row scalar
+        .withColumn("acf_e6", expr("(num * 1000000) div den"))
+        .withColumn("__term", expr(
+          """CAST(acf_e6 AS DECIMAL(38,0)) * acf_e6 *
+            |((CAST(n - 1 AS DECIMAL(38,0)) * (n - 2) * (n - 3) * (n - 4)
+            |  * (n - 5) * (n - 6) * (n - 7)) div (n - lag))""".stripMargin))
+        .withColumn("__qnum", sum(col("__term")).over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("lag"))
+            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+              org.apache.spark.sql.expressions.Window.currentRow)))
+        .select(col("lag"), col("n"), col("acf_e6"),
+          expr("""round(CAST(n * (n + 2) AS DOUBLE) * CAST(__qnum AS DOUBLE)
+            |  / (CAST(CAST(n - 1 AS DECIMAL(38,0)) * (n - 2) * (n - 3) * (n - 4)
+            |      * (n - 5) * (n - 6) * (n - 7) AS DOUBLE) * 1e12), 6)
+            |""".stripMargin).as("q_lb"))
+    },
+    Some("""WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS day,
+      |    CAST(floor(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) + 0.5)
+      |      AS BIGINT) AS x
+      |  FROM events GROUP BY 1),
+      |idx AS (
+      |  SELECT x, CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS i
+      |  FROM daily),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS t
+      |  FROM idx),
+      |c AS (SELECT i, n, t, CAST(n * x - t AS HUGEINT) AS c FROM idx, tot),
+      |den AS (SELECT SUM(c * c) AS den, MAX(n) AS n FROM c),
+      |num AS (
+      |  SELECT b.i - a.i AS lag, SUM(a.c * b.c) AS num
+      |  FROM c a JOIN c b ON b.i > a.i AND b.i - a.i <= 7
+      |  GROUP BY 1),
+      |acf AS (
+      |  SELECT lag, den.n, (num.num * 1000000) // den.den AS acf_e6
+      |  FROM num, den),
+      |terms AS (
+      |  SELECT lag, n, acf_e6,
+      |    CAST(acf_e6 AS HUGEINT) * acf_e6 *
+      |      ((CAST(n - 1 AS HUGEINT) * (n - 2) * (n - 3) * (n - 4)
+      |        * (n - 5) * (n - 6) * (n - 7)) // (n - lag)) AS term
+      |  FROM acf),
+      |cum AS (
+      |  SELECT lag, n, acf_e6,
+      |    SUM(term) OVER (ORDER BY lag ROWS UNBOUNDED PRECEDING) AS qnum
+      |  FROM terms)
+      |SELECT lag, n, CAST(acf_e6 AS BIGINT) AS acf_e6,
+      |  round(CAST(n * (n + 2) AS DOUBLE) * CAST(qnum AS DOUBLE)
+      |    / (CAST(CAST(n - 1 AS HUGEINT) * (n - 2) * (n - 3) * (n - 4)
+      |        * (n - 5) * (n - 6) * (n - 7) AS DOUBLE) * 1e12), 6) AS q_lb
+      |FROM cum""".stripMargin))
+
   def queries: Seq[GQuery] =
     Seq(q43, q44, q56, q70, q181, q182, q183, q196, q197, q263, q272, q278,
-      q279, q280, q281)
+      q279, q280, q281, q285)
 }

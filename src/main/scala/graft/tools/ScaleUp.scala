@@ -31,7 +31,12 @@ import org.apache.spark.sql.functions._
   *     decorrelate so ANN candidate sets scale linearly.
   */
 object ScaleUp {
-  private val Replicas = 10
+  /** Replica count — 10 for the sf1 probe (default), 100 for the
+    * second scale decade (SPARK_GRAFT_SCALE_REPLICAS=100 →
+    * testdata-sf10). Replicas 0..9 are byte-identical to the sf1
+    * generator's, so the decades nest. */
+  private val Replicas =
+    sys.env.getOrElse("SPARK_GRAFT_SCALE_REPLICAS", "10").toInt
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -72,11 +77,25 @@ object ScaleUp {
     // stay verbatim — real catalogs grow rows, not type vocabularies.
     val lower = "abcdefghijklmnopqrstuvwxyz"
     val upper = lower.toUpperCase
-    def rotStr(s: String, r: Int) = s.drop(r) + s.take(r)
+    // per-replica alphabet permutation: AFFINE cipher i → (a·i + b) mod
+    // 26 with a coprime to 26. For r < 26 this degenerates to the
+    // Caesar rotation (a = 1, b = r) the sf1 probe used — bytes
+    // identical — while r ≥ 26 (the 100-replica sf10 decade) takes a
+    // fresh multiplier per 26-block, so all replicas stay pairwise
+    // text-disjoint: with plain Caesar, replicas 26 apart would be
+    // byte-identical modulo keys and the dedup/SA probes would measure
+    // a generator artifact (cross-replica duplicate structure), not
+    // 100x-bigger data.
+    val coprimes = Array(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+    def permStr(s: String, r: Int): String = {
+      val a = coprimes((r / 26) % coprimes.length)
+      val b = r % 26
+      s.indices.map(i => s((a * i + b) % 26)).mkString
+    }
     def rot(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       (1 until Replicas).foldLeft(c) { (acc, r) =>
         when(col("__r") === r,
-          translate(c, lower + upper, rotStr(lower, r) + rotStr(upper, r)))
+          translate(c, lower + upper, permStr(lower, r) + permStr(upper, r)))
           .otherwise(acc)
       }
 
@@ -128,12 +147,16 @@ object ScaleUp {
         col("lang"), col("source"), length(rotated).cast("long").as("n_chars")),
       "documents")
 
-    // rotate embedding elements by r: slice/concat keeps float bytes
+    // rotate embedding elements by r mod dim: slice/concat keeps float
+    // bytes (the mod matters once replicas exceed the embedding dim —
+    // the 100-replica decade; norms/within-replica distances stay
+    // exact-preserved either way)
     val emb = replicate(rd("embeddings"))
       .withColumn("__n", size(col("embedding")))
-    val rolled = when(col("__r") === 0, col("embedding")).otherwise(concat(
-      slice(col("embedding"), col("__r") + 1, col("__n") - col("__r")),
-      slice(col("embedding"), lit(1), col("__r"))))
+      .withColumn("__rr", col("__r") % col("__n"))
+    val rolled = when(col("__rr") === 0, col("embedding")).otherwise(concat(
+      slice(col("embedding"), col("__rr") + 1, col("__n") - col("__rr")),
+      slice(col("embedding"), lit(1), col("__rr"))))
     wr(emb.select(shifted("vec_id", V).as("vec_id"),
         rolled.as("embedding"), col("label")),
       "embeddings")
