@@ -24,8 +24,14 @@ object Bench {
           // shuffle files / broadcast blocks are only released when the
           // ContextCleaner sees their refs collected — without GC
           // pressure a 59-query run accumulates them until queries late
-          // in the suite slow 3-8x (q40: 1.8s alone vs 13s in-suite)
-          .config("spark.cleaner.periodicGC.interval", "30s")
+          // in the suite slow 3-8x (q40: 1.8s alone vs 13s in-suite).
+          // Since r11 the harness explicitly unpersists each query's
+          // checkpoint blocks and evicts stale landings (see
+          // materialize), so the periodic full GC is a safety net, not
+          // the primary release path — at 30s it fired ~9 full GCs
+          // INSIDE timed windows per pass (measured ~2s each at a
+          // 23 GB live set); 120s keeps the net without the tax
+          .config("spark.cleaner.periodicGC.interval", "120s")
           // the whole-stage-codegen cache holds 100 compiled plans by
           // default; a 133-query × 3-pass suite churns it, so wide
           // plans (q72: 15 validators) RECOMPILE inside the timed

@@ -2553,10 +2553,131 @@ object TextQueries {
       |  rk.rank <= COALESCE(ks.kstar, 0) AS rejected
       |FROM rk, ks""".stripMargin))
 
+  /** q292: chrF character n-gram F-score (Popović 2015) — the
+    * tokenization-free MT/generation eval beside q265's word-level BLEU
+    * and q264's ROUGE-L: clipped character 1..6-gram matches between
+    * candidates and the per-language exemplar reference, then per-n
+    * F2 = 5·P·R/(4P+R). Counts (m, t_cand, t_ref) are exact integers
+    * under the hash; F2 is one fixed-order IEEE formula over them,
+    * rounded 6 on both engines. Same scale shape as BLEU: candidate
+    * grams fold map-side to (lang, n, gram) counts, the ≤6·200-gram
+    * reference census broadcasts. */
+  val q292 = GQuery(
+    "q292_chrf_eval",
+    (s, d) => {
+      val docs = documents(s, d)
+        .withColumn("ch", substring(
+          regexp_replace(col("text"), "[^a-z]", ""), 1, 200))
+      val ex = docs.groupBy(col("lang")).agg(min(col("doc_id")).as("__eid"))
+      val refs = ex
+        .join(docs.select(col("doc_id").as("__eid"), col("ch").as("rch")),
+          Seq("__eid"))
+        .select(col("lang"), col("rch"))
+      val cand = docs.filter(col("doc_id") % 11 === 0)
+        .select(col("doc_id"), col("lang"), col("ch"))
+      // Spark sequence(1, 0) DESCENDS ([1, 0]) instead of returning
+      // empty — guard short/empty strings explicitly (DuckDB's
+      // range(1, 1) is already empty)
+      def grams(name: String) = array((1 to 6).map(n =>
+        struct(lit(n).as("n"),
+          expr(s"CASE WHEN length($name) >= $n THEN " +
+            s"transform(sequence(1, length($name) - ${n - 1}), " +
+            s"i -> substring($name, i, $n)) " +
+            "ELSE CAST(array() AS ARRAY<STRING>) END").as("gs"))): _*)
+      val cg = cand
+        .select(col("doc_id"), col("lang"), explode(grams("ch")).as("x"))
+        .select(col("doc_id"), col("lang"), col("x.n").as("n"),
+          explode(col("x.gs")).as("g"))
+        .groupBy(col("doc_id"), col("lang"), col("n"), col("g"))
+        .agg(lcount(lit(1)).as("c"))
+      val rg = refs
+        .select(col("lang"), explode(grams("rch")).as("x"))
+        .select(col("lang"), col("x.n").as("n"), explode(col("x.gs")).as("g"))
+        .groupBy(col("lang"), col("n"), col("g"))
+        .agg(lcount(lit(1)).as("rc"))
+        .localCheckpoint(eager = false) // match join + t_ref census
+      val m = cg.join(broadcast(rg), Seq("lang", "n", "g"))
+        .groupBy(col("lang"), col("n"))
+        .agg(sum(least(col("c"), col("rc"))).as("m"))
+      val tc = cand
+        .select(col("lang"), explode(grams("ch")).as("x"))
+        .select(col("lang"), col("x.n").as("n"),
+          size(col("x.gs")).cast("long").as("k"))
+        .groupBy(col("lang"), col("n"))
+        .agg(sum(col("k")).as("t_cand"), lcount(lit(1)).as("n_docs"))
+      // corpus aggregation is per (candidate, reference) PAIR: every
+      // candidate doc is scored against the lang exemplar, so the
+      // recall denominator is n_docs x the reference's gram count
+      val tr = rg.groupBy(col("lang"), col("n")).agg(sum(col("rc")).as("r1"))
+      tc.join(m, Seq("lang", "n"), "left")
+        .join(broadcast(tr), Seq("lang", "n"))
+        .select(col("lang"), col("n"),
+          coalesce(col("m"), lit(0L)).as("m"), col("t_cand"),
+          (col("r1") * col("n_docs")).as("t_ref"))
+        .withColumn("chrf2", expr(
+          """CASE WHEN t_cand > 0 AND t_ref > 0
+            |  AND (4.0 * (CAST(m AS DOUBLE) / CAST(t_cand AS DOUBLE))
+            |       + (CAST(m AS DOUBLE) / CAST(t_ref AS DOUBLE))) > 0
+            |THEN round(
+            |  5.0 * (CAST(m AS DOUBLE) / CAST(t_cand AS DOUBLE))
+            |      * (CAST(m AS DOUBLE) / CAST(t_ref AS DOUBLE))
+            |  / (4.0 * (CAST(m AS DOUBLE) / CAST(t_cand AS DOUBLE))
+            |     + (CAST(m AS DOUBLE) / CAST(t_ref AS DOUBLE))), 6)
+            |ELSE 0.0 END""".stripMargin))
+        .orderBy(col("lang"), col("n"))
+    },
+    Some("""WITH docs AS (
+      |  SELECT doc_id, lang,
+      |    substr(regexp_replace(text, '[^a-z]', '', 'g'), 1, 200) AS ch
+      |  FROM documents),
+      |ex AS (SELECT lang, MIN(doc_id) AS eid FROM docs GROUP BY lang),
+      |refs AS (
+      |  SELECT e.lang, d.ch AS rch FROM ex e JOIN docs d ON d.doc_id = e.eid),
+      |cand AS (SELECT doc_id, lang, ch FROM docs WHERE doc_id % 11 = 0),
+      |cg AS (
+      |  SELECT doc_id, lang, n, g, COUNT(*) AS c FROM (
+      |    SELECT doc_id, lang, n.n,
+      |      unnest(list_transform(range(1, greatest(length(ch) - n.n + 1, 0) + 1),
+      |        i -> substr(ch, CAST(i AS INT), CAST(n.n AS INT)))) AS g
+      |    FROM cand, (SELECT unnest(range(1, 7)) AS n) n)
+      |  GROUP BY 1, 2, 3, 4),
+      |rg AS MATERIALIZED (
+      |  SELECT lang, n, g, COUNT(*) AS rc FROM (
+      |    SELECT lang, n.n,
+      |      unnest(list_transform(range(1, greatest(length(rch) - n.n + 1, 0) + 1),
+      |        i -> substr(rch, CAST(i AS INT), CAST(n.n AS INT)))) AS g
+      |    FROM refs, (SELECT unnest(range(1, 7)) AS n) n)
+      |  GROUP BY 1, 2, 3),
+      |m AS (
+      |  SELECT cg.lang, cg.n, CAST(SUM(LEAST(cg.c, rg.rc)) AS BIGINT) AS m
+      |  FROM cg JOIN rg ON cg.lang = rg.lang AND cg.n = rg.n AND cg.g = rg.g
+      |  GROUP BY 1, 2),
+      |tc AS (
+      |  SELECT lang, n.n,
+      |    CAST(SUM(greatest(length(ch) - n.n + 1, 0)) AS BIGINT) AS t_cand,
+      |    CAST(COUNT(*) AS BIGINT) AS n_docs
+      |  FROM cand, (SELECT unnest(range(1, 7)) AS n) n GROUP BY 1, 2),
+      |tr AS (
+      |  SELECT lang, n, CAST(SUM(rc) AS BIGINT) AS r1 FROM rg GROUP BY 1, 2)
+      |SELECT tc.lang, CAST(tc.n AS BIGINT) AS n, COALESCE(m.m, 0) AS m,
+      |  tc.t_cand, tr.r1 * tc.n_docs AS t_ref,
+      |  CASE WHEN tc.t_cand > 0 AND tr.r1 * tc.n_docs > 0
+      |    AND (4.0 * (CAST(COALESCE(m.m, 0) AS DOUBLE) / CAST(tc.t_cand AS DOUBLE))
+      |         + (CAST(COALESCE(m.m, 0) AS DOUBLE) / CAST(tr.r1 * tc.n_docs AS DOUBLE))) > 0
+      |  THEN round(
+      |    5.0 * (CAST(COALESCE(m.m, 0) AS DOUBLE) / CAST(tc.t_cand AS DOUBLE))
+      |        * (CAST(COALESCE(m.m, 0) AS DOUBLE) / CAST(tr.r1 * tc.n_docs AS DOUBLE))
+      |    / (4.0 * (CAST(COALESCE(m.m, 0) AS DOUBLE) / CAST(tc.t_cand AS DOUBLE))
+      |       + (CAST(COALESCE(m.m, 0) AS DOUBLE) / CAST(tr.r1 * tc.n_docs AS DOUBLE))), 6)
+      |  ELSE 0.0 END AS chrf2
+      |FROM tc LEFT JOIN m ON tc.lang = m.lang AND tc.n = m.n
+      |JOIN tr ON tc.lang = tr.lang AND tc.n = tr.n
+      |ORDER BY tc.lang, tc.n""".stripMargin))
+
   def queries: Seq[GQuery] =
     Seq(q32, q33, q34, q35, q66, q89, q91, q94, q96, q98, q99, q101,
       q106, q107, q109, q110, q111, q112, q115, q116, q120, q121, q126,
       q130, q132, q134, q135, q136, q137, q139, q140, q141, q179, q189, q193,
       q195, q200, q201, q236, q244, q258, q262, q264, q265, q266, q271,
-      q273)
+      q273, q292)
 }
