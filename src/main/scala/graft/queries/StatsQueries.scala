@@ -1089,7 +1089,238 @@ object StatsQueries {
       |    / sqrt(CAST(v.var18 AS DOUBLE) / 18.0), 6) END AS z
       |FROM sagg, v""".stripMargin))
 
+  /** q293: Benford first-digit audit over order totals — the classic
+    * fabricated-data / unit-mixing detector for a numeric column (the
+    * data-quality face beside q191's drift census): observed
+    * first-significant-digit counts vs the Benford expectation
+    * log₁₀(1+1/d), shipped as NINE e6 INTEGER LITERALS summing to
+    * exactly 10⁶ (no per-row log10 — the first digit reads off the e2
+    * integer's decimal string, exact on both engines). Per digit the
+    * relative deviation is an exact ppm ratio (truncating ÷); the χ²
+    * total folds the nine digit-ordered IEEE terms with the q284
+    * ordered-fold, so even the floating reduction is engine-exact. */
+  val q293 = GQuery(
+    "q293_benford_audit",
+    (s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val benford = Seq(301030L, 176091L, 124939L, 96910L, 79181L,
+        66947L, 57992L, 51153L, 45757L)
+      val bexpr = benford.zipWithIndex
+        .map { case (b, i) => s"WHEN ${i + 1} THEN ${b}L" }
+        .mkString("CASE digit ", " ", " END")
+      val digits = orders(s, d)
+        .select(floor(col("o_totalprice") * 100 + 0.5).cast("long").as("x_e2"))
+        .filter(col("x_e2") > 0)
+        .select(substring(col("x_e2").cast("string"), 1, 1).cast("long").as("digit"))
+        .groupBy(col("digit")).agg(lcount(lit(1)).as("n"))
+      val tot = digits.agg(sum(col("n")).as("n_all"))
+      val per = digits.crossJoin(tot) // 1-row scalar
+        .withColumn("expected_e6", expr(bexpr))
+        .withColumn("dev_ppm", expr(
+          "abs(CAST(n AS DECIMAL(38,0)) * 1000000 - CAST(n_all AS DECIMAL(38,0)) * expected_e6) " +
+            "* 1000000 div (CAST(n_all AS DECIMAL(38,0)) * expected_e6)"))
+        .withColumn("__t", expr(
+          """CAST(CAST(CAST(n AS DECIMAL(38,0)) * 1000000
+            |  - CAST(n_all AS DECIMAL(38,0)) * expected_e6 AS DECIMAL(38,0))
+            |  * CAST(CAST(n AS DECIMAL(38,0)) * 1000000
+            |    - CAST(n_all AS DECIMAL(38,0)) * expected_e6 AS DECIMAL(38,0))
+            |  AS DOUBLE)
+            |/ (1000000.0 * CAST(CAST(n_all AS DECIMAL(38,0)) * expected_e6
+            |   AS DOUBLE))""".stripMargin))
+        .localCheckpoint(eager = false) // digit rows + the folded total
+      val chi2 = per.agg(expr(
+        "round(aggregate(array_sort(collect_list(struct(digit, __t))), " +
+          "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.__t), 6)").as("chi2"))
+      per.crossJoin(chi2) // 9 rows x 1-row scalar
+        .select(col("digit"), col("n"), col("n_all"), col("expected_e6"),
+          col("dev_ppm"), col("chi2"))
+        .orderBy(col("digit"))
+    },
+    Some("""WITH digits AS (
+      |  SELECT CAST(substr(CAST(x_e2 AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+      |    COUNT(*) AS n
+      |  FROM (SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS x_e2
+      |        FROM orders)
+      |  WHERE x_e2 > 0 GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_all FROM digits),
+      |per AS MATERIALIZED (
+      |  SELECT digit, n, n_all,
+      |    CASE digit WHEN 1 THEN 301030 WHEN 2 THEN 176091 WHEN 3 THEN 124939
+      |      WHEN 4 THEN 96910 WHEN 5 THEN 79181 WHEN 6 THEN 66947
+      |      WHEN 7 THEN 57992 WHEN 8 THEN 51153 WHEN 9 THEN 45757 END
+      |      AS expected_e6
+      |  FROM digits, tot),
+      |per2 AS MATERIALIZED (
+      |  SELECT digit, n, n_all, expected_e6,
+      |    CAST(abs(CAST(n AS HUGEINT) * 1000000
+      |        - CAST(n_all AS HUGEINT) * expected_e6) * 1000000
+      |      // (CAST(n_all AS HUGEINT) * expected_e6) AS BIGINT) AS dev_ppm,
+      |    CAST(CAST(CAST(n AS HUGEINT) * 1000000
+      |        - CAST(n_all AS HUGEINT) * expected_e6 AS HUGEINT)
+      |      * CAST(CAST(n AS HUGEINT) * 1000000
+      |        - CAST(n_all AS HUGEINT) * expected_e6 AS HUGEINT) AS DOUBLE)
+      |      / (1000000.0 * CAST(CAST(n_all AS HUGEINT) * expected_e6 AS DOUBLE))
+      |      AS t
+      |  FROM per),
+      |chi AS (
+      |  SELECT round(list_reduce(list(t ORDER BY digit), (a, b) -> a + b), 6)
+      |    AS chi2 FROM per2)
+      |SELECT digit, n, n_all, expected_e6, dev_ppm, chi.chi2
+      |FROM per2, chi ORDER BY digit""".stripMargin))
+
+  /** q294: Spearman rank correlation (tie-corrected, the Pearson-on-
+    * midranks form) between order price and total order quantity — the
+    * monotone-association diagnostic beside q25's OLS and q246's
+    * Cramér's V. Midranks ride the q268 (lo+hi) DOUBLED integers from
+    * two value-domain ladders, every moment (Σ2r, Σ(2r)², Σ2rₓ·2rᵧ) is
+    * DECIMAL(38,0)-exact, and ρ = (nΣxy−ΣxΣy)/√((nΣx²−Σx²ᵗᵒᵗ)(…)) is
+    * one fixed-order IEEE formula at the edge (rounded 6). */
+  val q294 = GQuery(
+    "q294_spearman_rank",
+    (s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val W = org.apache.spark.sql.expressions.Window
+      val base = orders(s, d)
+        .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey"))
+        .agg(max(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("x"),
+          sum(floor(col("l_quantity") * 100 + 0.5).cast("long")).as("y"))
+        .localCheckpoint(eager = false) // both ladders + the moment pass
+      def ladder(c: String) = base.groupBy(col(c).as("v"))
+        .agg(lcount(lit(1)).as("cnt"))
+        .withColumn("hi", sum(col("cnt")).over(W.orderBy(col("v"))
+          .rowsBetween(W.unboundedPreceding, W.currentRow)))
+        .select(col("v").as(c), (col("hi") * 2 - col("cnt") + 1).as(s"r2_$c"))
+      val ranked = base
+        .join(broadcast(ladder("x")), Seq("x"))
+        .join(broadcast(ladder("y")), Seq("y"))
+        .select(col("r2_x").cast(dec).as("rx"), col("r2_y").cast(dec).as("ry"))
+      ranked.agg(
+          lcount(lit(1)).as("n"),
+          sum(col("rx")).as("sx"), sum(col("ry")).as("sy"),
+          sum(col("rx") * col("rx")).as("sxx"),
+          sum(col("ry") * col("ry")).as("syy"),
+          sum(col("rx") * col("ry")).as("sxy"))
+        .select(col("n"),
+          expr("""CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+            |THEN round(
+            |  CAST(n * sxy - sx * sy AS DOUBLE)
+            |  / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+            |         * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+            |END""".stripMargin).as("rho"))
+    },
+    Some("""WITH base AS MATERIALIZED (
+      |  SELECT o_orderkey,
+      |    MAX(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS x,
+      |    CAST(SUM(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |  GROUP BY o_orderkey),
+      |lx AS (
+      |  SELECT v AS x, 2 * hi - cnt + 1 AS r2_x FROM (
+      |    SELECT x AS v, COUNT(*) AS cnt,
+      |      SUM(COUNT(*)) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS hi
+      |    FROM base GROUP BY x)),
+      |ly AS (
+      |  SELECT v AS y, 2 * hi - cnt + 1 AS r2_y FROM (
+      |    SELECT y AS v, COUNT(*) AS cnt,
+      |      SUM(COUNT(*)) OVER (ORDER BY y ROWS UNBOUNDED PRECEDING) AS hi
+      |    FROM base GROUP BY y)),
+      |r AS (
+      |  SELECT CAST(r2_x AS HUGEINT) AS rx, CAST(r2_y AS HUGEINT) AS ry
+      |  FROM base JOIN lx USING (x) JOIN ly USING (y)),
+      |agg AS (
+      |  SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(rx) AS sx, SUM(ry) AS sy,
+      |    SUM(rx * rx) AS sxx, SUM(ry * ry) AS syy, SUM(rx * ry) AS sxy
+      |  FROM r)
+      |SELECT CAST(n AS BIGINT) AS n,
+      |  CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+      |  THEN round(
+      |    CAST(n * sxy - sx * sy AS DOUBLE)
+      |    / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+      |           * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+      |  END AS rho
+      |FROM agg""".stripMargin))
+
+  /** q295: winsorized and trimmed means per language (5% tails) — the
+    * robust-location census beside q24's MAD bounds: tail masses clamp
+    * (winsorize) or drop (trim) at the k-th order statistics, k =
+    * ⌊n/20⌋, ENTIRELY from the value-domain ladder — per value the
+    * in-range mass, plus k·(v_lo/v_hi) clamp mass, all exact integer
+    * sums with one truncating e6 ÷ per mean (no per-row sort, no
+    * percentile call — at 100 TB the ladder is the bounded frame). */
+  val q295 = GQuery(
+    "q295_winsorized_mean",
+    (s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val W = org.apache.spark.sql.expressions.Window
+      val per = documents(s, d).groupBy(col("lang"), col("n_chars").as("v"))
+        .agg(lcount(lit(1)).as("cnt"))
+        .withColumn("hi", sum(col("cnt")).over(
+          W.partitionBy(col("lang")).orderBy(col("v"))
+            .rowsBetween(W.unboundedPreceding, W.currentRow)))
+        .withColumn("lo", col("hi") - col("cnt") + 1)
+        .localCheckpoint(eager = false) // scalars + bounds + masses
+      val nper = per.groupBy(col("lang")).agg(sum(col("cnt")).as("n"))
+        .withColumn("k", expr("n div 20"))
+      val j = per.join(broadcast(nper), Seq("lang"))
+      // k-th and (n-k+1)-th order statistics off the ladder
+      val vLo = j.filter(col("hi") >= col("k") + 1 && col("lo") <= col("k") + 1)
+        .groupBy(col("lang")).agg(max(col("v")).as("v_lo"))
+      val vHi = j.filter(col("hi") >= col("n") - col("k") &&
+          col("lo") <= col("n") - col("k"))
+        .groupBy(col("lang")).agg(max(col("v")).as("v_hi"))
+      val mass = j
+        .select(col("lang"), col("n"), col("k"), col("v"),
+          // in-window multiplicity: ranks in [k+1, n-k] covered by this value
+          (least(col("hi"), col("n") - col("k"))
+            - greatest(col("lo"), col("k") + 1) + 1).as("m"))
+        .filter(col("m") > 0)
+        .groupBy(col("lang"), col("n"), col("k"))
+        .agg(sum(col("v").cast(dec) * col("m")).as("mid_sum"),
+          sum(col("m")).as("mid_n"))
+      mass.join(broadcast(vLo), Seq("lang")).join(broadcast(vHi), Seq("lang"))
+        .select(col("lang"), col("n"), col("k"), col("v_lo"), col("v_hi"),
+          expr("((mid_sum + CAST(k AS DECIMAL(38,0)) * v_lo " +
+            "+ CAST(k AS DECIMAL(38,0)) * v_hi) * 1000000) div n")
+            .as("winsor_mean_e6"),
+          expr("(mid_sum * 1000000) div mid_n").as("trim_mean_e6"))
+        .orderBy(col("lang"))
+    },
+    Some("""WITH per AS MATERIALIZED (
+      |  SELECT lang, n_chars AS v, COUNT(*) AS cnt,
+      |    SUM(COUNT(*)) OVER (PARTITION BY lang ORDER BY n_chars
+      |      ROWS UNBOUNDED PRECEDING) AS hi,
+      |    SUM(COUNT(*)) OVER (PARTITION BY lang ORDER BY n_chars
+      |      ROWS UNBOUNDED PRECEDING) - COUNT(*) + 1 AS lo
+      |  FROM documents GROUP BY lang, n_chars),
+      |nper AS (
+      |  SELECT lang, CAST(SUM(cnt) AS BIGINT) AS n,
+      |    CAST(SUM(cnt) AS BIGINT) // 20 AS k
+      |  FROM per GROUP BY lang),
+      |vlo AS (
+      |  SELECT p.lang, MAX(p.v) AS v_lo FROM per p JOIN nper q ON p.lang = q.lang
+      |  WHERE p.hi >= q.k + 1 AND p.lo <= q.k + 1 GROUP BY p.lang),
+      |vhi AS (
+      |  SELECT p.lang, MAX(p.v) AS v_hi FROM per p JOIN nper q ON p.lang = q.lang
+      |  WHERE p.hi >= q.n - q.k AND p.lo <= q.n - q.k GROUP BY p.lang),
+      |mass AS (
+      |  SELECT p.lang, q.n, q.k,
+      |    SUM(CAST(p.v AS HUGEINT)
+      |      * (LEAST(p.hi, q.n - q.k) - GREATEST(p.lo, q.k + 1) + 1)) AS mid_sum,
+      |    CAST(SUM(LEAST(p.hi, q.n - q.k) - GREATEST(p.lo, q.k + 1) + 1)
+      |      AS BIGINT) AS mid_n
+      |  FROM per p JOIN nper q ON p.lang = q.lang
+      |  WHERE LEAST(p.hi, q.n - q.k) - GREATEST(p.lo, q.k + 1) + 1 > 0
+      |  GROUP BY 1, 2, 3)
+      |SELECT m.lang, m.n, m.k, vlo.v_lo, vhi.v_hi,
+      |  CAST(((m.mid_sum + CAST(m.k AS HUGEINT) * vlo.v_lo
+      |      + CAST(m.k AS HUGEINT) * vhi.v_hi) * 1000000) // m.n AS BIGINT)
+      |    AS winsor_mean_e6,
+      |  CAST((m.mid_sum * 1000000) // m.mid_n AS BIGINT) AS trim_mean_e6
+      |FROM mass m JOIN vlo ON m.lang = vlo.lang JOIN vhi ON m.lang = vhi.lang
+      |ORDER BY m.lang""".stripMargin))
+
   def queries: Seq[GQuery] =
     Seq(q23, q24, q25, q26, q27, q28, q29, q30, q31, q51, q58, q113, q163,
-      q185, q191, q211, q217, q268, q274, q284, q291)
+      q185, q191, q211, q217, q268, q274, q284, q291, q293, q294, q295)
 }

@@ -71,6 +71,30 @@ class Round11PlanSpec extends SparkSpec {
         "the unrolled product is a projection, not a join")
   }
 
+  test("q293: digit census is one scan; the chi-square fold rides the landed digit rows") {
+    val t = tree("q293_benford_audit")
+    assert(t.count(_.contains("Scan parquet")) <= 1,
+      "one orders scan builds the 9-digit census; everything after is scalar")
+    assert(!t.exists(_.contains("SortMergeJoin")),
+      "the only joins are 1-row scalar broadcasts")
+  }
+
+  test("q294: both rank ladders broadcast back onto the order grain") {
+    val p = plan("q294_spearman_rank")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastHashJoin"),
+      "the value-domain ladders are bounded frames — they must broadcast")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q295: order statistics and masses probe the LANDED ladder, not raw docs") {
+    val t = tree("q295_winsorized_mean")
+    assert(t.count(_.contains("Scan parquet")) == 0 &&
+      t.exists(_.contains("Scan ExistingRDD")),
+      "the per-(lang, value) ladder lands once; scalars, bounds and masses probe it")
+    assert(!t.exists(_.contains("CartesianProduct")))
+  }
+
   test("q291: S and the tie census probe the LANDED daily frame") {
     val t = tree("q291_mann_kendall")
     assert(t.exists(_.contains("Scan ExistingRDD")) &&
