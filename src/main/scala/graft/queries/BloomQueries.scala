@@ -970,13 +970,16 @@ object BloomQueries {
   val q289 = GQuery(
     "q289_histogram_profile",
     (s, d) => {
-      val li = lineitem(s, d)
-      val stacked = li.select(explode(map(
+      // deliberately NOT landed: the stack is 3 rows per fact row, and
+      // materializing 3N rows costs more than the second PRUNED
+      // columnar scan it would save (measured at sf1: the landed
+      // variant spent 12.3 s, mostly writing the 18M-row stack; the
+      // min/max pass is a map-side agg over 3 pruned columns)
+      def stacked = lineitem(s, d).select(explode(map(
         lit("l_quantity"), floor(col("l_quantity") * 100 + 0.5).cast("long"),
         lit("l_extendedprice"), floor(col("l_extendedprice") * 100 + 0.5).cast("long"),
         lit("l_discount"), floor(col("l_discount") * 100 + 0.5).cast("long")
       )).as(Seq("col_name", "x_e2")))
-        .localCheckpoint(eager = false) // min/max pass + bucket pass
       val mm = stacked.groupBy(col("col_name"))
         .agg(min(col("x_e2")).as("min_e2"), max(col("x_e2")).as("max_e2"))
       stacked.join(broadcast(mm), Seq("col_name"))

@@ -1174,7 +1174,11 @@ object StatsQueries {
     * Cramér's V. Midranks ride the q268 (lo+hi) DOUBLED integers from
     * two value-domain ladders, every moment (Σ2r, Σ(2r)², Σ2rₓ·2rᵧ) is
     * DECIMAL(38,0)-exact, and ρ = (nΣxy−ΣxΣy)/√((nΣx²−Σx²ᵗᵒᵗ)(…)) is
-    * one fixed-order IEEE formula at the edge (rounded 6). */
+    * one fixed-order IEEE formula at the edge (rounded 6). Values
+    * quantize to WHOLE units so the ladders stay bounded by the VALUE
+    * DOMAIN (price range ≈ 5·10⁵ bins at any corpus size), not the row
+    * count — the single-partition ladder window never grows with data
+    * (at e2 the domain was 100× wider and tracked rows). */
   val q294 = GQuery(
     "q294_spearman_rank",
     (s, d) => {
@@ -1183,8 +1187,8 @@ object StatsQueries {
       val base = orders(s, d)
         .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("o_orderkey"))
-        .agg(max(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("x"),
-          sum(floor(col("l_quantity") * 100 + 0.5).cast("long")).as("y"))
+        .agg(max(floor(col("o_totalprice") + 0.5).cast("long")).as("x"),
+          sum(floor(col("l_quantity") + 0.5).cast("long")).as("y"))
         .localCheckpoint(eager = false) // both ladders + the moment pass
       def ladder(c: String) = base.groupBy(col(c).as("v"))
         .agg(lcount(lit(1)).as("cnt"))
@@ -1211,8 +1215,8 @@ object StatsQueries {
     },
     Some("""WITH base AS MATERIALIZED (
       |  SELECT o_orderkey,
-      |    MAX(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS x,
-      |    CAST(SUM(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
+      |    MAX(CAST(floor(o_totalprice + 0.5) AS BIGINT)) AS x,
+      |    CAST(SUM(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS y
       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       |  GROUP BY o_orderkey),
       |lx AS (
@@ -1320,7 +1324,73 @@ object StatsQueries {
       |FROM mass m JOIN vlo ON m.lang = vlo.lang JOIN vhi ON m.lang = vhi.lang
       |ORDER BY m.lang""".stripMargin))
 
+  /** q296: one-way ANOVA F over the per-language n_chars distributions
+    * — the PARAMETRIC companion to q284's Kruskal–Wallis (same groups,
+    * same ordered-fold discipline): per-group moments (n, Σx, Σx²) are
+    * DECIMAL(38,0)-exact off one scan; the cross-group Σ Sⱼ²/nⱼ folds
+    * in lang-sorted order (q284's pattern), then SSB = fold − T²/N,
+    * SSW = ΣQ − fold, F = (SSB/(k−1))/(SSW/(N−k)) and η² =
+    * SSB/(SSB+SSW) are fixed-order IEEE over exact inputs, rounded 6. */
+  val q296 = GQuery(
+    "q296_anova_f",
+    (s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val g = documents(s, d)
+        .select(col("lang"), col("n_chars").cast(dec).as("x"))
+        .groupBy(col("lang"))
+        .agg(lcount(lit(1)).as("n_g"), sum(col("x")).as("s_g"),
+          sum(col("x") * col("x")).as("q_g"))
+        .withColumn("__v", expr(
+          "CAST(s_g * s_g AS DOUBLE) / CAST(n_g AS DOUBLE)"))
+      g.agg(
+          lcount(lit(1)).as("k"),
+          sum(col("n_g")).as("n"),
+          sum(col("s_g")).as("t"),
+          sum(col("q_g")).as("q"),
+          expr("aggregate(array_sort(collect_list(struct(lang, __v))), " +
+            "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.__v)").as("__f"))
+        .select(col("k"), col("n"),
+          expr("""CASE WHEN k > 1 AND n > k AND
+            |  (CAST(q AS DOUBLE) - __f) > 0
+            |THEN round(
+            |  ((__f - CAST(t * t AS DOUBLE) / CAST(n AS DOUBLE))
+            |    / CAST(k - 1 AS DOUBLE))
+            |  / ((CAST(q AS DOUBLE) - __f) / CAST(n - k AS DOUBLE)), 6)
+            |END""".stripMargin).as("f"),
+          expr("""round(
+            |  (__f - CAST(t * t AS DOUBLE) / CAST(n AS DOUBLE))
+            |  / (CAST(q AS DOUBLE) - CAST(t * t AS DOUBLE) / CAST(n AS DOUBLE)),
+            |  6)""".stripMargin).as("eta_sq"))
+    },
+    Some("""WITH g AS (
+      |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_g,
+      |    SUM(CAST(n_chars AS HUGEINT)) AS s_g,
+      |    SUM(CAST(n_chars AS HUGEINT) * n_chars) AS q_g
+      |  FROM documents GROUP BY lang),
+      |gv AS (
+      |  SELECT lang, n_g, s_g, q_g,
+      |    CAST(s_g * s_g AS DOUBLE) / CAST(n_g AS DOUBLE) AS v
+      |  FROM g),
+      |agg AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(n_g) AS BIGINT) AS n,
+      |    SUM(s_g) AS t, SUM(q_g) AS q,
+      |    list_reduce(list(v ORDER BY lang), (a, b) -> a + b) AS fld
+      |  FROM gv)
+      |SELECT k, n,
+      |  CASE WHEN k > 1 AND n > k AND (CAST(q AS DOUBLE) - fld) > 0
+      |  THEN round(
+      |    ((fld - CAST(t * t AS DOUBLE) / CAST(n AS DOUBLE))
+      |      / CAST(k - 1 AS DOUBLE))
+      |    / ((CAST(q AS DOUBLE) - fld) / CAST(n - k AS DOUBLE)), 6)
+      |  END AS f,
+      |  round(
+      |    (fld - CAST(t * t AS DOUBLE) / CAST(n AS DOUBLE))
+      |    / (CAST(q AS DOUBLE) - CAST(t * t AS DOUBLE) / CAST(n AS DOUBLE)),
+      |    6) AS eta_sq
+      |FROM agg""".stripMargin))
+
   def queries: Seq[GQuery] =
     Seq(q23, q24, q25, q26, q27, q28, q29, q30, q31, q51, q58, q113, q163,
-      q185, q191, q211, q217, q268, q274, q284, q291, q293, q294, q295)
+      q185, q191, q211, q217, q268, q274, q284, q291, q293, q294, q295,
+      q296)
 }

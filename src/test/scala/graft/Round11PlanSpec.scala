@@ -54,11 +54,12 @@ class Round11PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
-  test("q289: the histogram stacks columns in ONE scan and lands the stack") {
+  test("q289: two pruned scans beat landing a 3-rows-per-fact stack") {
     val t = tree("q289_histogram_profile")
-    assert(t.count(_.contains("Scan parquet")) == 0 &&
-      t.exists(_.contains("Scan ExistingRDD")),
-      "the e2 stack lands once; min/max and bucket passes both probe it")
+    assert(t.count(_.contains("Scan parquet")) == 2 &&
+      !t.exists(_.contains("Scan ExistingRDD")),
+      "min/max pass + bucket pass each re-scan the pruned columns — " +
+        "materializing 3N stacked rows costs more than the second scan")
     assert(t.exists(_.contains("BroadcastHashJoin")),
       "per-column min/max is a 3-row frame — it must broadcast")
   }
