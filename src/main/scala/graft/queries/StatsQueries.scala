@@ -1389,8 +1389,98 @@ object StatsQueries {
       |    6) AS eta_sq
       |FROM agg""".stripMargin))
 
+  /** q297: Brown–Forsythe variance-homogeneity test (Levene with the
+    * MEDIAN center) across the per-language n_chars distributions —
+    * the "are the spreads even comparable" gate a pipeline runs BEFORE
+    * trusting q296's ANOVA: W = ANOVA-F over zᵢⱼ = |xᵢⱼ − medⱼ|.
+    * Composed entirely from proven parts: the per-group median is the
+    * ⌈n/2⌉-th order statistic read off the q295 value ladder (lower
+    * median — deterministic under ties, no IEEE interpolation), z is
+    * an exact integer, and the F machinery is q296's verbatim (exact
+    * DECIMAL moments + the lang-ordered fold). */
+  val q297 = GQuery(
+    "q297_brown_forsythe",
+    (s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val W = org.apache.spark.sql.expressions.Window
+      val base = documents(s, d).select(col("lang"), col("n_chars").as("v"))
+        .localCheckpoint(eager = false) // ladder + the z pass
+      val per = base.groupBy(col("lang"), col("v"))
+        .agg(lcount(lit(1)).as("cnt"))
+        .withColumn("hi", sum(col("cnt")).over(
+          W.partitionBy(col("lang")).orderBy(col("v"))
+            .rowsBetween(W.unboundedPreceding, W.currentRow)))
+        .withColumn("lo", col("hi") - col("cnt") + 1)
+      val nper = per.groupBy(col("lang")).agg(sum(col("cnt")).as("n_l"))
+        .withColumn("mr", expr("(n_l + 1) div 2")) // lower-median rank
+      val med = per.join(broadcast(nper), Seq("lang"))
+        .filter(col("hi") >= col("mr") && col("lo") <= col("mr"))
+        .groupBy(col("lang")).agg(max(col("v")).as("med"))
+      val g = base.join(broadcast(med), Seq("lang"))
+        .select(col("lang"), abs(col("v") - col("med")).cast(dec).as("z"))
+        .groupBy(col("lang"))
+        .agg(lcount(lit(1)).as("n_g"), sum(col("z")).as("s_g"),
+          sum(col("z") * col("z")).as("q_g"))
+        .withColumn("__v", expr(
+          "CAST(s_g * s_g AS DOUBLE) / CAST(n_g AS DOUBLE)"))
+      g.agg(
+          lcount(lit(1)).as("k"),
+          sum(col("n_g")).as("n"),
+          sum(col("s_g")).as("t"),
+          sum(col("q_g")).as("q"),
+          expr("aggregate(array_sort(collect_list(struct(lang, __v))), " +
+            "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.__v)").as("__f"))
+        .select(col("k"), col("n"),
+          expr("""CASE WHEN k > 1 AND n > k AND
+            |  (CAST(q AS DOUBLE) - __f) > 0
+            |THEN round(
+            |  ((__f - CAST(t * t AS DOUBLE) / CAST(n AS DOUBLE))
+            |    / CAST(k - 1 AS DOUBLE))
+            |  / ((CAST(q AS DOUBLE) - __f) / CAST(n - k AS DOUBLE)), 6)
+            |END""".stripMargin).as("w"))
+    },
+    Some("""WITH base AS MATERIALIZED (
+      |  SELECT lang, n_chars AS v FROM documents),
+      |per AS MATERIALIZED (
+      |  SELECT lang, v, COUNT(*) AS cnt,
+      |    SUM(COUNT(*)) OVER (PARTITION BY lang ORDER BY v
+      |      ROWS UNBOUNDED PRECEDING) AS hi,
+      |    SUM(COUNT(*)) OVER (PARTITION BY lang ORDER BY v
+      |      ROWS UNBOUNDED PRECEDING) - COUNT(*) + 1 AS lo
+      |  FROM base GROUP BY lang, v),
+      |nper AS (
+      |  SELECT lang, CAST(SUM(cnt) AS BIGINT) AS n_l,
+      |    (CAST(SUM(cnt) AS BIGINT) + 1) // 2 AS mr
+      |  FROM per GROUP BY lang),
+      |med AS (
+      |  SELECT p.lang, MAX(p.v) AS med
+      |  FROM per p JOIN nper q ON p.lang = q.lang
+      |  WHERE p.hi >= q.mr AND p.lo <= q.mr GROUP BY p.lang),
+      |g AS (
+      |  SELECT b.lang, CAST(COUNT(*) AS BIGINT) AS n_g,
+      |    SUM(CAST(abs(b.v - m.med) AS HUGEINT)) AS s_g,
+      |    SUM(CAST(abs(b.v - m.med) AS HUGEINT) * abs(b.v - m.med)) AS q_g
+      |  FROM base b JOIN med m ON b.lang = m.lang GROUP BY b.lang),
+      |gv AS (
+      |  SELECT lang, n_g, s_g, q_g,
+      |    CAST(s_g * s_g AS DOUBLE) / CAST(n_g AS DOUBLE) AS v
+      |  FROM g),
+      |agg AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(n_g) AS BIGINT) AS n,
+      |    SUM(s_g) AS t, SUM(q_g) AS q,
+      |    list_reduce(list(v ORDER BY lang), (a, b) -> a + b) AS fld
+      |  FROM gv)
+      |SELECT k, n,
+      |  CASE WHEN k > 1 AND n > k AND (CAST(q AS DOUBLE) - fld) > 0
+      |  THEN round(
+      |    ((fld - CAST(t * t AS DOUBLE) / CAST(n AS DOUBLE))
+      |      / CAST(k - 1 AS DOUBLE))
+      |    / ((CAST(q AS DOUBLE) - fld) / CAST(n - k AS DOUBLE)), 6)
+      |  END AS w
+      |FROM agg""".stripMargin))
+
   def queries: Seq[GQuery] =
     Seq(q23, q24, q25, q26, q27, q28, q29, q30, q31, q51, q58, q113, q163,
       q185, q191, q211, q217, q268, q274, q284, q291, q293, q294, q295,
-      q296)
+      q296, q297)
 }
