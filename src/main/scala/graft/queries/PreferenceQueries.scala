@@ -573,6 +573,69 @@ object PreferenceQueries {
       |FROM g ORDER BY task""".stripMargin
     })
 
+  /** q304: majority-vote self-consistency eval (Wang et al. 2022) —
+    * the k-sample aggregation beside q290's pass@k: where pass@k asks
+    * "did ANY attempt succeed", self-consistency asks "does the VOTE
+    * of all attempts beat a single attempt". Same task/attempt fixture
+    * as q290 with a categorical sampled answer (quantity-derived,
+    * mod 5) against a task-derived reference; the majority answer is a
+    * per-task frequency argmax with a deterministic tie-break
+    * (highest count, then smallest answer — one k-bounded window over
+    * the |answers|-bounded count frame), and both accuracies ship as
+    * exact integers/ppm. Scale shape: attempts fold map-side into the
+    * (task × answer) frame; the vote window partitions by task. */
+  val q304 = GQuery(
+    "q304_majority_vote",
+    (s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val att = lineitem(s, d).select(
+        (col("l_orderkey") % 500).as("task"),
+        (floor(col("l_quantity") * 100 + 0.5).cast("long") % 5).as("ans"))
+        .withColumn("ref_ans", col("task") % 5)
+      val per = att.groupBy(col("task"), col("ref_ans"))
+        .agg(lcount(lit(1)).as("n_attempts"),
+          coalesce(sum(when(col("ans") === col("ref_ans"), 1L)), lit(0L))
+            .as("n_correct_attempts"))
+      val maj = att.groupBy(col("task"), col("ans"))
+        .agg(lcount(lit(1)).as("n_votes"))
+        .withColumn("rn", row_number().over(
+          W.partitionBy(col("task"))
+            .orderBy(col("n_votes").desc, col("ans"))))
+        .filter(col("rn") === 1)
+        .select(col("task"), col("ans").as("maj_ans"), col("n_votes").as("n_maj"))
+      per.join(maj, Seq("task"))
+        .select(col("task"), col("n_attempts"), col("ref_ans"),
+          col("maj_ans"), col("n_maj"),
+          (col("maj_ans") === col("ref_ans")).as("maj_correct"),
+          expr("(n_correct_attempts * 1000000) div n_attempts")
+            .as("single_acc_e6"))
+        .orderBy(col("task"))
+    },
+    Some("""WITH att AS (
+      |  SELECT l_orderkey % 500 AS task,
+      |    CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) % 5 AS ans,
+      |    (l_orderkey % 500) % 5 AS ref_ans
+      |  FROM lineitem),
+      |per AS (
+      |  SELECT task, ref_ans, CAST(COUNT(*) AS BIGINT) AS n_attempts,
+      |    COALESCE(CAST(SUM(CASE WHEN ans = ref_ans THEN 1 END) AS BIGINT), 0)
+      |      AS n_correct_attempts
+      |  FROM att GROUP BY task, ref_ans),
+      |votes AS (
+      |  SELECT task, ans, CAST(COUNT(*) AS BIGINT) AS n_votes
+      |  FROM att GROUP BY task, ans),
+      |maj AS (
+      |  SELECT task, ans AS maj_ans, n_votes AS n_maj FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY task
+      |      ORDER BY n_votes DESC, ans) AS rn
+      |    FROM votes)
+      |  WHERE rn = 1)
+      |SELECT p.task, p.n_attempts, p.ref_ans, m.maj_ans, m.n_maj,
+      |  m.maj_ans = p.ref_ans AS maj_correct,
+      |  (p.n_correct_attempts * 1000000) // p.n_attempts AS single_acc_e6
+      |FROM per p JOIN maj m ON p.task = m.task
+      |ORDER BY p.task""".stripMargin))
+
   def queries: Seq[GQuery] =
-    Seq(q203, q204, q205, q206, q207, q218, q219, q240, q290)
+    Seq(q203, q204, q205, q206, q207, q218, q219, q240, q290, q304)
 }

@@ -446,5 +446,59 @@ object SamplingQueries {
       |  CAST(SUM(doc_id) AS BIGINT) AS id_checksum
       |FROM rk WHERE rn <= 20 GROUP BY lang""".stripMargin))
 
-  def queries: Seq[GQuery] = Seq(q97, q100, q104, q128, q165, q166, q194, q202, q235)
+  /** q307: leakage-safe GROUP-keyed train/val/test split — q100 hashes
+    * the document id, which scatters a source's near-identical pages
+    * across train AND test (the classic contamination-by-split bug);
+    * hashing the GROUP key (source) instead puts every document of a
+    * domain on one side by construction. The census reports, per
+    * group-split: group/doc/char mass, plus `n_docs_leaked` — how many
+    * of these docs the doc-keyed q100 split would have sent to a
+    * DIFFERENT split (the leakage a group-keyed split prevents,
+    * measured, not asserted). Both assignments are md5-threshold draws
+    * ([[Splits.splitExpr]]) the oracle replays exactly; one map-side
+    * projection + one groupBy at any corpus size. */
+  val q307 = GQuery(
+    "q307_group_split",
+    (s, d) => {
+      val spec = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+      documents(s, d)
+        .withColumn("split", Splits.splitExpr(col("source"), spec))
+        .withColumn("doc_split", Splits.splitExpr(col("doc_id"), spec))
+        .groupBy(col("split"))
+        .agg(
+          countDistinct(col("source")).cast("long").as("n_groups"),
+          lcount(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("n_chars"),
+          coalesce(sum(when(col("doc_split") =!= col("split"), 1L)), lit(0L))
+            .as("n_docs_leaked"))
+        .orderBy(col("split"))
+    },
+    Some {
+      val th = Splits.cumThresholds(
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      def splitCase(u: String) = "CASE " + th.init.map { case (n, ub) =>
+        s"WHEN $u < $ub THEN '$n'"
+      }.mkString(" ") + s" ELSE '${th.last._1}' END"
+      s"""WITH draw AS (
+      |  SELECT source, doc_id, n_chars,
+      |    CAST(('0x' || substr(md5('split-' || source), 1, 7)) AS BIGINT)
+      |      / 268435456.0 AS u_g,
+      |    CAST(('0x' || substr(md5('split-' || CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT)
+      |      / 268435456.0 AS u_d
+      |  FROM documents),
+      |assigned AS (
+      |  SELECT source, doc_id, n_chars,
+      |    ${splitCase("u_g")} AS split,
+      |    ${splitCase("u_d")} AS doc_split
+      |  FROM draw)
+      |SELECT split, CAST(COUNT(DISTINCT source) AS BIGINT) AS n_groups,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+      |  COALESCE(CAST(SUM(CASE WHEN doc_split <> split THEN 1 END) AS BIGINT), 0)
+      |    AS n_docs_leaked
+      |FROM assigned GROUP BY split ORDER BY split""".stripMargin
+    })
+
+  def queries: Seq[GQuery] =
+    Seq(q97, q100, q104, q128, q165, q166, q194, q202, q235, q307)
 }

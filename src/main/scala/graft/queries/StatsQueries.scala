@@ -1479,8 +1479,419 @@ object StatsQueries {
       |  END AS w
       |FROM agg""".stripMargin))
 
+  /** q298: Wilcoxon signed-rank test between the paired daily value
+    * totals of two event types (click vs view) — the PAIRED companion
+    * to q268's two-sample rank-sum: same days, same normal
+    * approximation, but ranks run over |within-day differences|.
+    * Numerics ride the q268/q294 doubled-midrank ladder (r2 = lo+hi,
+    * exact integers off the |d| value domain), so W⁺ is exact in
+    * doubled units (w_plus_2 = 2W⁺); zero differences drop per the
+    * classic treatment (reported as n_zero); the tie-corrected
+    * variance numerator 2n(n+1)(2n+1) − Σ(t³−t) is DECIMAL(38,0)-exact
+    * and z = (2W⁺ − n(n+1)/2)/√(·/12) is one fixed-order IEEE formula,
+    * rounded 6. Scale shape: events fold map-side into the
+    * calendar-bounded daily frame; the ladder is bounded by the |d|
+    * value DOMAIN; every cross is a 1-row scalar. */
+  val q298 = GQuery(
+    "q298_wilcoxon_signed_rank",
+    (s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val W = org.apache.spark.sql.expressions.Window
+      val daily = events(s, d)
+        .filter(col("event_type").isin("click", "view"))
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(floor(dsum(col("value")) * 1e6 + lit(0.5)).cast("long").as("t_e6"))
+      val pairs = daily.filter(col("event_type") === "click")
+        .select(col("day"), col("t_e6").as("x"))
+        .join(daily.filter(col("event_type") === "view")
+          .select(col("day"), col("t_e6").as("y")), Seq("day"))
+        .select((col("x") - col("y")).as("dd"))
+        .localCheckpoint(eager = false) // zero census + ladder + rank-back
+      val nonzero = pairs.filter(col("dd") =!= 0)
+        .select(abs(col("dd")).as("ad"), (col("dd") > 0).as("pos"))
+      val ladder = nonzero.groupBy(col("ad"))
+        .agg(lcount(lit(1)).as("cnt"))
+        .withColumn("hi", sum(col("cnt")).over(W.orderBy(col("ad"))
+          .rowsBetween(W.unboundedPreceding, W.currentRow)))
+        .select(col("ad"), col("cnt"), (col("hi") * 2 - col("cnt") + 1).as("r2"))
+        .localCheckpoint(eager = false) // rank-back join + tie census
+      val wp = nonzero.filter(col("pos"))
+        .join(broadcast(ladder.select(col("ad"), col("r2"))), Seq("ad"))
+        .agg(coalesce(sum(col("r2")), lit(0L)).as("w_plus_2"))
+      val cnts = nonzero.agg(lcount(lit(1)).as("n_pairs"))
+      val zeros = pairs.agg(coalesce(
+        sum(when(col("dd") === 0, 1L)), lit(0L)).as("n_zero"))
+      val ties = ladder.agg(coalesce(sum(
+        col("cnt").cast(dec) * col("cnt") * col("cnt") - col("cnt").cast(dec)),
+        lit(0L).cast(dec)).as("tie3"))
+      cnts.crossJoin(zeros).crossJoin(wp).crossJoin(ties) // 1-row scalars
+        .select(col("n_pairs"), col("n_zero"), col("w_plus_2"),
+          expr("""CASE WHEN n_pairs > 0 AND
+            |  (2 * CAST(n_pairs AS DECIMAL(38,0)) * (n_pairs + 1)
+            |    * (2 * n_pairs + 1) - tie3) > 0
+            |THEN round(
+            |  CAST(CAST(w_plus_2 AS DECIMAL(38,0))
+            |    - (CAST(n_pairs AS DECIMAL(38,0)) * (n_pairs + 1)) div 2
+            |    AS DOUBLE)
+            |  / sqrt(CAST(2 * CAST(n_pairs AS DECIMAL(38,0)) * (n_pairs + 1)
+            |      * (2 * n_pairs + 1) - tie3 AS DOUBLE) / 12.0), 6)
+            |END""".stripMargin).as("z"))
+    },
+    Some("""WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS day, event_type,
+      |    CAST(floor(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+      |      * 1000000.0 + 0.5) AS BIGINT) AS t_e6
+      |  FROM events WHERE event_type IN ('click', 'view') GROUP BY 1, 2),
+      |pairs AS MATERIALIZED (
+      |  SELECT a.t_e6 - b.t_e6 AS dd
+      |  FROM daily a JOIN daily b ON a.day = b.day
+      |  WHERE a.event_type = 'click' AND b.event_type = 'view'),
+      |nonzero AS (
+      |  SELECT abs(dd) AS ad, dd > 0 AS pos FROM pairs WHERE dd <> 0),
+      |ladder AS MATERIALIZED (
+      |  SELECT ad, CAST(COUNT(*) AS BIGINT) AS cnt,
+      |    2 * SUM(COUNT(*)) OVER (ORDER BY ad ROWS UNBOUNDED PRECEDING)
+      |      - COUNT(*) + 1 AS r2
+      |  FROM nonzero GROUP BY ad),
+      |wp AS (
+      |  SELECT COALESCE(CAST(SUM(l.r2) AS BIGINT), 0) AS w_plus_2
+      |  FROM nonzero z JOIN ladder l ON z.ad = l.ad WHERE z.pos),
+      |cnts AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs FROM nonzero),
+      |zeros AS (
+      |  SELECT COALESCE(CAST(SUM(CASE WHEN dd = 0 THEN 1 END) AS BIGINT), 0)
+      |    AS n_zero FROM pairs),
+      |ties AS (
+      |  SELECT COALESCE(SUM(CAST(cnt AS HUGEINT) * cnt * cnt
+      |    - CAST(cnt AS HUGEINT)), 0) AS tie3 FROM ladder)
+      |SELECT n_pairs, n_zero, w_plus_2,
+      |  CASE WHEN n_pairs > 0 AND
+      |    (2 * CAST(n_pairs AS HUGEINT) * (n_pairs + 1)
+      |      * (2 * n_pairs + 1) - tie3) > 0
+      |  THEN round(
+      |    CAST(CAST(w_plus_2 AS HUGEINT)
+      |      - (CAST(n_pairs AS HUGEINT) * (n_pairs + 1)) // 2
+      |      AS DOUBLE)
+      |    / sqrt(CAST(2 * CAST(n_pairs AS HUGEINT) * (n_pairs + 1)
+      |        * (2 * n_pairs + 1) - tie3 AS DOUBLE) / 12.0), 6)
+      |  END AS z
+      |FROM cnts, zeros, wp, ties""".stripMargin))
+
+  /** q299: McNemar's test (continuity-corrected) between two paired
+    * document-quality gates per language — the MODEL-COMPARISON test
+    * for paired binary verdicts (did gate A and gate B disagree more
+    * than chance?): gate A = word count ≥ 80, gate B = n_chars ≥ 350,
+    * evaluated on the SAME documents, so only the discordant cells
+    * (b = A-only, c = B-only) carry signal. Everything is integer:
+    * the 2×2 cells are counts, and the statistic
+    * (|b−c|−1)²/(b+c) ships as exact ppm (truncating ÷), NULL when
+    * b+c = 0 (no discordance — the test is undefined, not zero). One
+    * map-side gate projection + one groupBy at any corpus size. */
+  val q299 = GQuery(
+    "q299_mcnemar_gates",
+    (s, d) =>
+      documents(s, d)
+        .select(col("lang"),
+          (size(split(col("text"), " ")) >= 80).as("ga"),
+          (col("n_chars") >= 350).as("gb"))
+        .groupBy(col("lang"))
+        .agg(
+          coalesce(sum(when(col("ga") && col("gb"), 1L)), lit(0L)).as("n_both"),
+          coalesce(sum(when(col("ga") && !col("gb"), 1L)), lit(0L)).as("n_a_only"),
+          coalesce(sum(when(!col("ga") && col("gb"), 1L)), lit(0L)).as("n_b_only"),
+          coalesce(sum(when(!col("ga") && !col("gb"), 1L)), lit(0L)).as("n_neither"))
+        .select(col("lang"), col("n_both"), col("n_a_only"), col("n_b_only"),
+          col("n_neither"),
+          expr("""CASE WHEN n_a_only + n_b_only > 0 THEN
+            |  (CAST(abs(n_a_only - n_b_only) - 1 AS DECIMAL(38,0))
+            |    * (abs(n_a_only - n_b_only) - 1) * 1000000)
+            |  div (n_a_only + n_b_only)
+            |END""".stripMargin).cast("long").as("mcnemar_e6"))
+        .orderBy(col("lang")),
+    Some("""WITH g AS (
+      |  SELECT lang,
+      |    len(string_split(text, ' ')) >= 80 AS ga,
+      |    n_chars >= 350 AS gb
+      |  FROM documents),
+      |cells AS (
+      |  SELECT lang,
+      |    COALESCE(CAST(SUM(CASE WHEN ga AND gb THEN 1 END) AS BIGINT), 0)
+      |      AS n_both,
+      |    COALESCE(CAST(SUM(CASE WHEN ga AND NOT gb THEN 1 END) AS BIGINT), 0)
+      |      AS n_a_only,
+      |    COALESCE(CAST(SUM(CASE WHEN NOT ga AND gb THEN 1 END) AS BIGINT), 0)
+      |      AS n_b_only,
+      |    COALESCE(CAST(SUM(CASE WHEN NOT ga AND NOT gb THEN 1 END) AS BIGINT), 0)
+      |      AS n_neither
+      |  FROM g GROUP BY lang)
+      |SELECT lang, n_both, n_a_only, n_b_only, n_neither,
+      |  CAST(CASE WHEN n_a_only + n_b_only > 0 THEN
+      |    (CAST(abs(n_a_only - n_b_only) - 1 AS HUGEINT)
+      |      * (abs(n_a_only - n_b_only) - 1) * 1000000)
+      |    // (n_a_only + n_b_only)
+      |  END AS BIGINT) AS mcnemar_e6
+      |FROM cells ORDER BY lang""".stripMargin))
+
+  /** q300: Welch's unequal-variance t-test per language between the
+    * two crawl generations (sources src0–src9 vs src10+ — the
+    * length-4/5 name split) on n_chars — the A/B significance test a
+    * curation pipeline runs when comparing corpus slices whose
+    * variances nobody certified equal (q296's ANOVA assumes
+    * homogeneity; q297 tests it; this drops the assumption).
+    * Per-group moments (n, Σx, Σx²) are DECIMAL(38,0)-exact off one
+    * conditional-aggregation scan; t and the Welch–Satterthwaite df
+    * are fixed-order IEEE over those exact inputs (the oracle spells
+    * the identical expression), rounded 6; NULL when either group has
+    * n ≤ 1 or the pooled standard error vanishes. */
+  val q300 = GQuery(
+    "q300_welch_t_test",
+    (s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      documents(s, d)
+        .select(col("lang"),
+          (length(col("source")) === 4).as("g1"),
+          col("n_chars").cast(dec).as("x"))
+        .groupBy(col("lang"))
+        .agg(
+          coalesce(sum(when(col("g1"), 1L)), lit(0L)).as("n1"),
+          coalesce(sum(when(col("g1"), col("x"))), lit(0L).cast(dec)).as("s1"),
+          coalesce(sum(when(col("g1"), col("x") * col("x"))),
+            lit(0L).cast(dec)).as("q1"),
+          coalesce(sum(when(!col("g1"), 1L)), lit(0L)).as("n2"),
+          coalesce(sum(when(!col("g1"), col("x"))), lit(0L).cast(dec)).as("s2"),
+          coalesce(sum(when(!col("g1"), col("x") * col("x"))),
+            lit(0L).cast(dec)).as("q2"))
+        .withColumn("v1", expr("""CASE WHEN n1 > 1 THEN
+          |  (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+          |    / CAST(n1 AS DOUBLE))
+          |  / CAST(n1 - 1 AS DOUBLE) / CAST(n1 AS DOUBLE) END""".stripMargin))
+        .withColumn("v2", expr("""CASE WHEN n2 > 1 THEN
+          |  (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+          |    / CAST(n2 AS DOUBLE))
+          |  / CAST(n2 - 1 AS DOUBLE) / CAST(n2 AS DOUBLE) END""".stripMargin))
+        .select(col("lang"), col("n1"), col("n2"),
+          expr("""CASE WHEN n1 > 1 AND n2 > 1 AND v1 + v2 > 0
+            |THEN round(
+            |  (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+            |    - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+            |  / sqrt(v1 + v2), 6)
+            |END""".stripMargin).as("t"),
+          expr("""CASE WHEN n1 > 1 AND n2 > 1 AND
+            |  (v1 * v1 / CAST(n1 - 1 AS DOUBLE)
+            |    + v2 * v2 / CAST(n2 - 1 AS DOUBLE)) > 0
+            |THEN round(
+            |  (v1 + v2) * (v1 + v2)
+            |  / (v1 * v1 / CAST(n1 - 1 AS DOUBLE)
+            |     + v2 * v2 / CAST(n2 - 1 AS DOUBLE)), 6)
+            |END""".stripMargin).as("df"))
+        .orderBy(col("lang"))
+    },
+    Some("""WITH g AS (
+      |  SELECT lang, length(source) = 4 AS g1, CAST(n_chars AS HUGEINT) AS x
+      |  FROM documents),
+      |m AS (
+      |  SELECT lang,
+      |    COALESCE(CAST(SUM(CASE WHEN g1 THEN 1 END) AS BIGINT), 0) AS n1,
+      |    COALESCE(SUM(CASE WHEN g1 THEN x END), 0) AS s1,
+      |    COALESCE(SUM(CASE WHEN g1 THEN x * x END), 0) AS q1,
+      |    COALESCE(CAST(SUM(CASE WHEN NOT g1 THEN 1 END) AS BIGINT), 0) AS n2,
+      |    COALESCE(SUM(CASE WHEN NOT g1 THEN x END), 0) AS s2,
+      |    COALESCE(SUM(CASE WHEN NOT g1 THEN x * x END), 0) AS q2
+      |  FROM g GROUP BY lang),
+      |v AS (
+      |  SELECT lang, n1, n2,
+      |    CASE WHEN n1 > 1 THEN
+      |      (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+      |        / CAST(n1 AS DOUBLE))
+      |      / CAST(n1 - 1 AS DOUBLE) / CAST(n1 AS DOUBLE) END AS v1,
+      |    CASE WHEN n2 > 1 THEN
+      |      (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+      |        / CAST(n2 AS DOUBLE))
+      |      / CAST(n2 - 1 AS DOUBLE) / CAST(n2 AS DOUBLE) END AS v2,
+      |    s1, s2
+      |  FROM m)
+      |SELECT lang, n1, n2,
+      |  CASE WHEN n1 > 1 AND n2 > 1 AND v1 + v2 > 0
+      |  THEN round(
+      |    (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+      |      - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+      |    / sqrt(v1 + v2), 6)
+      |  END AS t,
+      |  CASE WHEN n1 > 1 AND n2 > 1 AND
+      |    (v1 * v1 / CAST(n1 - 1 AS DOUBLE)
+      |      + v2 * v2 / CAST(n2 - 1 AS DOUBLE)) > 0
+      |  THEN round(
+      |    (v1 + v2) * (v1 + v2)
+      |    / (v1 * v1 / CAST(n1 - 1 AS DOUBLE)
+      |       + v2 * v2 / CAST(n2 - 1 AS DOUBLE)), 6)
+      |  END AS df
+      |FROM v ORDER BY lang""".stripMargin))
+
+  /** q305: Jarque–Bera normality test per language over n_chars — the
+    * moment-based "is this distribution even Gaussian-shaped" gate
+    * beside q296's ANOVA (whose F only earns its p-value under
+    * normality): JB = n/6·(S² + K²/4) from sample skewness S and
+    * excess kurtosis K. Raw power sums (n, Σx, Σx², Σx³, Σx⁴) are
+    * DECIMAL(38,0)-exact off one scan (x ≤ ~10³ keeps Σx⁴ far under
+    * 10³⁸ at any corpus size); central moments, S, K and JB are one
+    * fixed-order IEEE pipeline over those exact inputs (both engines
+    * spell the identical expression through named intermediates),
+    * rounded 6; NULL when the variance vanishes. */
+  val q305 = GQuery(
+    "q305_jarque_bera",
+    (s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      documents(s, d)
+        .select(col("lang"), col("n_chars").cast(dec).as("x"))
+        .groupBy(col("lang"))
+        .agg(lcount(lit(1)).as("n"),
+          sum(col("x")).as("s1"),
+          sum(col("x") * col("x")).as("s2"),
+          sum(col("x") * col("x") * col("x")).as("s3"),
+          sum(col("x") * col("x") * col("x") * col("x")).as("s4"))
+        .withColumn("mu", expr("CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)"))
+        .withColumn("m2", expr(
+          "CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) - mu * mu"))
+        .withColumn("m3", expr(
+          """CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)
+            |- 3.0 * mu * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+            |+ 2.0 * mu * mu * mu""".stripMargin))
+        .withColumn("m4", expr(
+          """CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE)
+            |- 4.0 * mu * (CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE))
+            |+ 6.0 * mu * mu * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+            |- 3.0 * mu * mu * mu * mu""".stripMargin))
+        .select(col("lang"), col("n"),
+          expr("""CASE WHEN m2 > 0
+            |THEN round(m3 / (sqrt(m2) * m2), 6) END""".stripMargin)
+            .as("skew"),
+          expr("""CASE WHEN m2 > 0
+            |THEN round(m4 / (m2 * m2) - 3.0, 6) END""".stripMargin)
+            .as("kurt_excess"),
+          expr("""CASE WHEN m2 > 0
+            |THEN round(CAST(n AS DOUBLE) / 6.0 *
+            |  ((m3 / (sqrt(m2) * m2)) * (m3 / (sqrt(m2) * m2))
+            |   + (m4 / (m2 * m2) - 3.0) * (m4 / (m2 * m2) - 3.0) / 4.0), 6)
+            |END""".stripMargin).as("jb"))
+        .orderBy(col("lang"))
+    },
+    Some("""WITH raw AS (
+      |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+      |    SUM(CAST(n_chars AS HUGEINT)) AS s1,
+      |    SUM(CAST(n_chars AS HUGEINT) * n_chars) AS s2,
+      |    SUM(CAST(n_chars AS HUGEINT) * n_chars * n_chars) AS s3,
+      |    SUM(CAST(n_chars AS HUGEINT) * n_chars * n_chars * n_chars) AS s4
+      |  FROM documents GROUP BY lang),
+      |ctr AS (
+      |  SELECT lang, n, s2, s3, s4,
+      |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu
+      |  FROM raw),
+      |mom AS (
+      |  SELECT lang, n, mu,
+      |    CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) - mu * mu AS m2,
+      |    CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)
+      |      - 3.0 * mu * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+      |      + 2.0 * mu * mu * mu AS m3,
+      |    CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE)
+      |      - 4.0 * mu * (CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE))
+      |      + 6.0 * mu * mu * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+      |      - 3.0 * mu * mu * mu * mu AS m4
+      |  FROM ctr)
+      |SELECT lang, n,
+      |  CASE WHEN m2 > 0
+      |  THEN round(m3 / (sqrt(m2) * m2), 6) END AS skew,
+      |  CASE WHEN m2 > 0
+      |  THEN round(m4 / (m2 * m2) - 3.0, 6) END AS kurt_excess,
+      |  CASE WHEN m2 > 0
+      |  THEN round(CAST(n AS DOUBLE) / 6.0 *
+      |    ((m3 / (sqrt(m2) * m2)) * (m3 / (sqrt(m2) * m2))
+      |     + (m4 / (m2 * m2) - 3.0) * (m4 / (m2 * m2) - 3.0) / 4.0), 6)
+      |  END AS jb
+      |FROM mom ORDER BY lang""".stripMargin))
+
+  /** q306: Pearson correlation matrix over the four numeric lineitem
+    * measures — the NUMERIC profiler face beside q246's categorical
+    * Cramér's V: all six column pairs off ONE scan (4 sums, 4 squares,
+    * 6 cross-products, all DECIMAL(38,0)-exact over e2-floored
+    * integers), then each r is the same fixed-order IEEE formula as
+    * q294's, rounded 6, unpivoted to (col_a, col_b, r) rows. Scale
+    * shape: one aggregation over the fact scan, a 6-row unpivot of a
+    * 1-row frame — no second pass however wide the matrix grows. */
+  val q306 = GQuery(
+    "q306_correlation_matrix",
+    (s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val short = Map("l_quantity" -> "q", "l_extendedprice" -> "p",
+        "l_discount" -> "d", "l_tax" -> "t")
+      val base = lineitem(s, d).select(cols.map(c =>
+        floor(col(c) * 100 + 0.5).cast("long").cast(dec).as(short(c))): _*)
+      val pairs = for {
+        i <- cols.indices; j <- cols.indices if i < j
+      } yield (cols(i), cols(j))
+      val aggs = Seq(lcount(lit(1)).as("n")) ++
+        cols.map(c => sum(col(short(c))).as(s"s_${short(c)}")) ++
+        cols.map(c => sum(col(short(c)) * col(short(c)))
+          .as(s"q_${short(c)}")) ++
+        pairs.map { case (a, b) =>
+          sum(col(short(a)) * col(short(b))).as(s"x_${short(a)}${short(b)}") }
+      def rExpr(a: String, b: String): String = {
+        val (sa, sb) = (short(a), short(b))
+        s"""CASE WHEN (n * q_$sa - s_$sa * s_$sa) > 0
+           |  AND (n * q_$sb - s_$sb * s_$sb) > 0
+           |THEN round(
+           |  CAST(n * x_$sa$sb - s_$sa * s_$sb AS DOUBLE)
+           |  / sqrt(CAST(n * q_$sa - s_$sa * s_$sa AS DOUBLE)
+           |         * CAST(n * q_$sb - s_$sb * s_$sb AS DOUBLE)), 6)
+           |END""".stripMargin
+      }
+      val stackArgs = pairs.map { case (a, b) =>
+        s"'$a', '$b', ${rExpr(a, b).replace("\n", " ")}"
+      }.mkString(", ")
+      base.agg(aggs.head, aggs.tail: _*)
+        .selectExpr("n",
+          s"stack(${pairs.size}, $stackArgs) AS (col_a, col_b, r)")
+        .select(col("col_a"), col("col_b"), col("n"), col("r"))
+        .orderBy(col("col_a"), col("col_b"))
+    },
+    Some {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val short = Map("l_quantity" -> "q", "l_extendedprice" -> "p",
+        "l_discount" -> "d", "l_tax" -> "t")
+      val pairs = for {
+        i <- cols.indices; j <- cols.indices if i < j
+      } yield (cols(i), cols(j))
+      def rExpr(a: String, b: String): String = {
+        val (sa, sb) = (short(a), short(b))
+        s"""CASE WHEN (n * q_$sa - s_$sa * s_$sa) > 0
+           |  AND (n * q_$sb - s_$sb * s_$sb) > 0
+           |THEN round(
+           |  CAST(n * x_$sa$sb - s_$sa * s_$sb AS DOUBLE)
+           |  / sqrt(CAST(n * q_$sa - s_$sa * s_$sa AS DOUBLE)
+           |         * CAST(n * q_$sb - s_$sb * s_$sb AS DOUBLE)), 6)
+           |END""".stripMargin
+      }
+      val branches = pairs.map { case (a, b) =>
+        s"SELECT '$a' AS col_a, '$b' AS col_b, n, ${rExpr(a, b)} AS r FROM m"
+      }.mkString("\n|", "\n|UNION ALL\n|", "")
+      s"""WITH base AS (
+      |  SELECT ${cols.map(c =>
+            s"CAST(CAST(floor($c * 100 + 0.5) AS BIGINT) AS HUGEINT) AS ${short(c)}")
+            .mkString(", ")}
+      |  FROM lineitem),
+      |m AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    ${cols.map(c => s"SUM(${short(c)}) AS s_${short(c)}").mkString(", ")},
+      |    ${cols.map(c => s"SUM(${short(c)} * ${short(c)}) AS q_${short(c)}")
+             .mkString(", ")},
+      |    ${pairs.map { case (a, b) =>
+               s"SUM(${short(a)} * ${short(b)}) AS x_${short(a)}${short(b)}" }
+             .mkString(", ")}
+      |  FROM base)$branches
+      |ORDER BY col_a, col_b""".stripMargin
+    })
+
   def queries: Seq[GQuery] =
     Seq(q23, q24, q25, q26, q27, q28, q29, q30, q31, q51, q58, q113, q163,
       q185, q191, q211, q217, q268, q274, q284, q291, q293, q294, q295,
-      q296, q297)
+      q296, q297, q298, q299, q300, q305, q306)
 }

@@ -870,7 +870,271 @@ object TemporalQueries {
       |        * (n - 5) * (n - 6) * (n - 7) AS DOUBLE) * 1e12), 6) AS q_lb
       |FROM cum""".stripMargin))
 
+  /** q301: Durbin–Watson serial-correlation statistic on the residuals
+    * of the daily-total OLS trend — the "are the residuals independent"
+    * check a pipeline runs AFTER q25-style least squares (DW ≈ 2 ⇒
+    * uncorrelated; → 0 positive, → 4 negative serial correlation).
+    * Numerics: the normal-equation sums (n, Σi, Σi², Σy, Σiy) are
+    * DECIMAL(38,0)-exact, residuals are ONE fixed-order IEEE formula
+    * per day (y − (na + nb·i)/D with exact decimal numerators — both
+    * engines spell it identically), and the DW ratio routes the
+    * squared residuals through the decimal dsum so neither sum
+    * depends on partitioning. Scale shape: events fold map-side into
+    * the calendar-bounded daily frame; one ordered lag window over
+    * bounded days; scalar crosses. */
+  val q301 = GQuery(
+    "q301_durbin_watson",
+    (s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val W = org.apache.spark.sql.expressions.Window
+      val daily = events(s, d)
+        .select(to_date(col("ts")).as("day"), col("value"))
+        .groupBy(col("day"))
+        .agg(floor(dsum(col("value")) * 1e6 + lit(0.5)).cast("long").as("y"))
+        .withColumn("i", row_number().over(W.orderBy(col("day"))).cast("long"))
+        .localCheckpoint(eager = false) // moment pass + residual pass
+      val m = daily.agg(
+        lcount(lit(1)).as("n"),
+        sum(col("i").cast(dec)).as("st"),
+        sum(col("i").cast(dec) * col("i")).as("stt"),
+        sum(col("y").cast(dec)).as("sy"),
+        sum(col("i").cast(dec) * col("y")).as("sty"))
+      val e = daily.crossJoin(broadcast(m)) // 1-row scalar
+        .withColumn("dd", expr("n * stt - st * st"))
+        .withColumn("na", expr("sy * stt - st * sty"))
+        .withColumn("nb", expr("n * sty - st * sy"))
+        .withColumn("e", expr(
+          "CAST(y AS DOUBLE) - CAST(na + nb * i AS DOUBLE) / CAST(dd AS DOUBLE)"))
+        .withColumn("ep", lag(col("e"), 1).over(W.orderBy(col("day"))))
+      e.groupBy(col("n"))
+        .agg(
+          dsum(col("e") * col("e")).as("__see"),
+          dsum(when(col("ep").isNotNull,
+            (col("e") - col("ep")) * (col("e") - col("ep")))).as("__sde"),
+          max(expr("round(CAST(nb AS DOUBLE) / CAST(dd AS DOUBLE) / 1e6, 6)"))
+            .as("slope_per_day"))
+        .select(col("n").as("n_days"), col("slope_per_day"),
+          expr("CASE WHEN __see > 0 THEN round(__sde / __see, 6) END").as("dw"))
+    },
+    Some("""WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS day,
+      |    CAST(floor(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+      |      * 1000000.0 + 0.5) AS BIGINT) AS y
+      |  FROM events GROUP BY 1),
+      |idx AS MATERIALIZED (
+      |  SELECT day, y, CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS i
+      |  FROM daily),
+      |m AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    SUM(CAST(i AS HUGEINT)) AS st, SUM(CAST(i AS HUGEINT) * i) AS stt,
+      |    SUM(CAST(y AS HUGEINT)) AS sy, SUM(CAST(i AS HUGEINT) * y) AS sty
+      |  FROM idx),
+      |e AS (
+      |  SELECT idx.day, idx.i, m.n,
+      |    m.n * m.stt - m.st * m.st AS dd,
+      |    m.sy * m.stt - m.st * m.sty AS na,
+      |    m.n * m.sty - m.st * m.sy AS nb,
+      |    CAST(idx.y AS DOUBLE)
+      |      - CAST(m.sy * m.stt - m.st * m.sty
+      |          + (m.n * m.sty - m.st * m.sy) * idx.i AS DOUBLE)
+      |        / CAST(m.n * m.stt - m.st * m.st AS DOUBLE) AS e
+      |  FROM idx, m),
+      |el AS (
+      |  SELECT *, LAG(e) OVER (ORDER BY day) AS ep FROM e)
+      |SELECT n AS n_days,
+      |  MAX(round(CAST(nb AS DOUBLE) / CAST(dd AS DOUBLE) / 1e6, 6))
+      |    AS slope_per_day,
+      |  CASE WHEN CAST(SUM(CAST(e * e AS DECIMAL(38,6))) AS DOUBLE) > 0
+      |  THEN round(
+      |    CAST(SUM(CASE WHEN ep IS NOT NULL
+      |      THEN CAST((e - ep) * (e - ep) AS DECIMAL(38,6)) END) AS DOUBLE)
+      |    / CAST(SUM(CAST(e * e AS DECIMAL(38,6))) AS DOUBLE), 6)
+      |  END AS dw
+      |FROM el GROUP BY n""".stripMargin))
+
+  /** q302: lead–lag cross-correlation between the click and purchase
+    * daily value series (lags 0–7 days) — WHICH lag moves together:
+    * the attribution-window diagnostic beside q285's same-series ACF.
+    * Per lag the overlap join runs on integer epoch-day keys
+    * (bi = ai + lag), the Pearson moments (n, Σx, Σy, Σx², Σy², Σxy)
+    * are DECIMAL(38,0)-exact per lag, and r is one fixed-order IEEE
+    * formula over those exact inputs, rounded 6 (NULL when either
+    * variance term vanishes). Scale shape: events fold map-side into
+    * two calendar-bounded daily frames; the lag spine (8 rows) and
+    * both dailies are broadcast-scale; pairs ≤ 8·n_days. */
+  val q302 = GQuery(
+    "q302_cross_correlation",
+    (s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      def daily(t: String) = events(s, d)
+        .filter(col("event_type") === t)
+        .groupBy(datediff(to_date(col("ts")), to_date(lit("1970-01-01")))
+          .cast("long").as("di"))
+        .agg(floor(dsum(col("value")) * 1e6 + lit(0.5)).cast("long").as("v"))
+      val lags = s.range(0, 8).select(col("id").as("lag"))
+      val pairs = daily("click").select(col("di").as("ai"), col("v").as("x"))
+        .crossJoin(broadcast(lags)) // 8-row spine
+        .join(daily("purchase").select(col("di").as("bi"), col("v").as("y")),
+          col("bi") === col("ai") + col("lag"))
+      pairs.groupBy(col("lag"))
+        .agg(
+          lcount(lit(1)).as("n_days"),
+          sum(col("x").cast(dec)).as("sx"), sum(col("y").cast(dec)).as("sy"),
+          sum(col("x").cast(dec) * col("x")).as("sxx"),
+          sum(col("y").cast(dec) * col("y")).as("syy"),
+          sum(col("x").cast(dec) * col("y")).as("sxy"))
+        .select(col("lag"), col("n_days"),
+          expr("""CASE WHEN (n_days * sxx - sx * sx) > 0
+            |  AND (n_days * syy - sy * sy) > 0
+            |THEN round(
+            |  CAST(n_days * sxy - sx * sy AS DOUBLE)
+            |  / sqrt(CAST(n_days * sxx - sx * sx AS DOUBLE)
+            |         * CAST(n_days * syy - sy * sy AS DOUBLE)), 6)
+            |END""".stripMargin).as("r"))
+        .orderBy(col("lag"))
+    },
+    Some("""WITH cd AS (
+      |  SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS ai,
+      |    CAST(floor(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+      |      * 1000000.0 + 0.5) AS BIGINT) AS x
+      |  FROM events WHERE event_type = 'click' GROUP BY 1),
+      |pd AS (
+      |  SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS bi,
+      |    CAST(floor(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+      |      * 1000000.0 + 0.5) AS BIGINT) AS y
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |lags AS (SELECT unnest(generate_series(0, 7)) AS lag),
+      |pairs AS (
+      |  SELECT CAST(lags.lag AS BIGINT) AS lag, cd.x, pd.y
+      |  FROM cd CROSS JOIN lags JOIN pd ON pd.bi = cd.ai + lags.lag),
+      |m AS (
+      |  SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_days,
+      |    SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+      |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+      |    SUM(CAST(y AS HUGEINT) * y) AS syy,
+      |    SUM(CAST(x AS HUGEINT) * y) AS sxy
+      |  FROM pairs GROUP BY lag)
+      |SELECT lag, n_days,
+      |  CASE WHEN (n_days * sxx - sx * sx) > 0
+      |    AND (n_days * syy - sy * sy) > 0
+      |  THEN round(
+      |    CAST(n_days * sxy - sx * sy AS DOUBLE)
+      |    / sqrt(CAST(n_days * sxx - sx * sx AS DOUBLE)
+      |           * CAST(n_days * syy - sy * sy AS DOUBLE)), 6)
+      |  END AS r
+      |FROM m ORDER BY lag""".stripMargin))
+
+  /** q303: EWMA control chart (α = 1/2, L = 3) over the daily
+    * event-value totals — the small-shift detector beside q279's CUSUM
+    * (CUSUM localizes ONE level shift after the fact; the EWMA chart
+    * flags every day the smoothed level exits its widening ±3σ band).
+    * The smoother is the 40-lag TRUNCATED EWMA (weights 2^(39−k),
+    * k = t−j ≤ 39 — mass beyond lag 39 is < 2⁻⁴⁰, far below the e6
+    * grain; the q263 truncation precedent), so the level is an EXACT
+    * integer: numerator/denominator ride the calendar-bounded pair
+    * join with shiftleft weights (DECIMAL-routed ×y), ewma_e6 is one
+    * truncating ÷ of positives. Control limits use the classic
+    * variance inflation (1 − 4⁻ᵗ)/3 with the 4⁻ᵗ term dropped past
+    * t = 26 where it is below one double ULP (engine-exact either
+    * way); center/sd come from exact decimal moments, the band is one
+    * fixed-order IEEE formula rounded 6, and the flag compares the
+    * exact integer level against the band. */
+  val q303 = GQuery(
+    "q303_ewma_control_chart",
+    (s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val W = org.apache.spark.sql.expressions.Window
+      val daily = events(s, d)
+        .select(to_date(col("ts")).as("day"), col("value"))
+        .groupBy(col("day"))
+        .agg(floor(dsum(col("value")) * 1e6 + lit(0.5)).cast("long").as("y"))
+        .withColumn("i", row_number().over(W.orderBy(col("day"))).cast("long"))
+        .localCheckpoint(eager = false) // pair join sides + the moment pass
+      val m = daily.agg(
+        lcount(lit(1)).as("n"),
+        sum(col("y").cast(dec)).as("t"),
+        sum(col("y").cast(dec) * col("y")).as("q"))
+      val ew = daily.select(col("i").as("ti"), col("day"), col("y"))
+        .join(daily.select(col("i").as("ji"), col("y").as("yj")),
+          col("ji") <= col("ti") && col("ji") > col("ti") - 40)
+        .groupBy(col("ti"), col("day"), col("y"))
+        .agg(
+          sum(expr("CAST(shiftleft(1L, CAST(39 - (ti - ji) AS INT)) AS DECIMAL(38,0))")
+            * col("yj")).as("num"),
+          sum(expr("shiftleft(1L, CAST(39 - (ti - ji) AS INT))")).as("den"))
+        .select(col("ti").as("i"), col("day"), col("y"),
+          expr("CAST(num div den AS BIGINT)").as("ewma_e6"))
+      ew.crossJoin(broadcast(m)) // 1-row scalar
+        .withColumn("sd", expr(
+          """CASE WHEN n > 1 AND (n * q - t * t) > 0 THEN
+            |  sqrt(CAST(n * q - t * t AS DOUBLE)
+            |    / CAST(n AS DOUBLE) / CAST(n - 1 AS DOUBLE)) ELSE 0.0
+            |END""".stripMargin))
+        .withColumn("infl", expr(
+          """CASE WHEN i <= 26
+            |  THEN sqrt((1.0 - 1.0
+            |    / CAST(shiftleft(1L, CAST(2 * least(i, 26) AS INT)) AS DOUBLE))
+            |    / 3.0)
+            |  ELSE sqrt(CAST(1.0 AS DOUBLE) / 3.0)
+            |END""".stripMargin))
+        .select(col("day"), col("i"), col("y"), col("ewma_e6"),
+          expr("""round((CAST(t AS DOUBLE) / CAST(n AS DOUBLE)
+            |  + 3.0 * sd * infl) / 1e6, 6)""".stripMargin).as("ucl"),
+          expr("""round((CAST(t AS DOUBLE) / CAST(n AS DOUBLE)
+            |  - 3.0 * sd * infl) / 1e6, 6)""".stripMargin).as("lcl"),
+          expr("""CAST(ewma_e6 AS DOUBLE) >
+            |  CAST(t AS DOUBLE) / CAST(n AS DOUBLE) + 3.0 * sd * infl
+            |OR CAST(ewma_e6 AS DOUBLE) <
+            |  CAST(t AS DOUBLE) / CAST(n AS DOUBLE) - 3.0 * sd * infl"""
+            .stripMargin).as("out_of_control"))
+        .orderBy(col("day"))
+    },
+    Some("""WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS day,
+      |    CAST(floor(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+      |      * 1000000.0 + 0.5) AS BIGINT) AS y
+      |  FROM events GROUP BY 1),
+      |idx AS MATERIALIZED (
+      |  SELECT day, y, CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS i
+      |  FROM daily),
+      |m AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(CAST(y AS HUGEINT)) AS t,
+      |    SUM(CAST(y AS HUGEINT) * y) AS q
+      |  FROM idx),
+      |ew AS (
+      |  SELECT a.i, a.day, a.y,
+      |    CAST(SUM(CAST(CAST(1 AS BIGINT) << CAST(39 - (a.i - b.i) AS INT)
+      |        AS HUGEINT) * b.y)
+      |      // SUM(CAST(1 AS BIGINT) << CAST(39 - (a.i - b.i) AS INT))
+      |      AS BIGINT) AS ewma_e6
+      |  FROM idx a JOIN idx b ON b.i <= a.i AND b.i > a.i - 40
+      |  GROUP BY a.i, a.day, a.y),
+      |lim AS (
+      |  SELECT ew.*, m.n, m.t,
+      |    CASE WHEN m.n > 1 AND (m.n * m.q - m.t * m.t) > 0 THEN
+      |      sqrt(CAST(m.n * m.q - m.t * m.t AS DOUBLE)
+      |        / CAST(m.n AS DOUBLE) / CAST(m.n - 1 AS DOUBLE)) ELSE 0.0
+      |    END AS sd,
+      |    CASE WHEN ew.i <= 26
+      |      THEN sqrt((1.0 - 1.0
+      |        / CAST(CAST(1 AS BIGINT) << CAST(2 * LEAST(ew.i, 26) AS INT)
+      |          AS DOUBLE))
+      |        / 3.0)
+      |      ELSE sqrt(CAST(1.0 AS DOUBLE) / 3.0) END AS infl
+      |  FROM ew, m)
+      |SELECT day, i, y, ewma_e6,
+      |  round((CAST(t AS DOUBLE) / CAST(n AS DOUBLE)
+      |    + 3.0 * sd * infl) / 1e6, 6) AS ucl,
+      |  round((CAST(t AS DOUBLE) / CAST(n AS DOUBLE)
+      |    - 3.0 * sd * infl) / 1e6, 6) AS lcl,
+      |  CAST(ewma_e6 AS DOUBLE) >
+      |    CAST(t AS DOUBLE) / CAST(n AS DOUBLE) + 3.0 * sd * infl
+      |  OR CAST(ewma_e6 AS DOUBLE) <
+      |    CAST(t AS DOUBLE) / CAST(n AS DOUBLE) - 3.0 * sd * infl
+      |    AS out_of_control
+      |FROM lim ORDER BY day""".stripMargin))
+
   def queries: Seq[GQuery] =
     Seq(q43, q44, q56, q70, q181, q182, q183, q196, q197, q263, q272, q278,
-      q279, q280, q281, q285)
+      q279, q280, q281, q285, q301, q302, q303)
 }

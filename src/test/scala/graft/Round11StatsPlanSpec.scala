@@ -1,0 +1,92 @@
+package graft
+
+import graft.queries.Registry
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Plan-quality gates for the round-11 stats/eval tail (q298–q307):
+  * calendar- and domain-bounded frames land once and broadcast,
+  * map-side gate projections reach the scan un-joined, and the
+  * single-pass moment reductions stay single-pass.
+  */
+class Round11StatsPlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    Registry.byName(name).run(spark, sf).queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+
+  private def tree(name: String): Seq[String] =
+    plan(name).linesIterator.takeWhile(_.trim.nonEmpty).toSeq
+
+  test("q298: ladder + rank-back ride the LANDED difference frame; ladder broadcasts") {
+    val t = tree("q298_wilcoxon_signed_rank")
+    assert(t.exists(_.contains("Scan ExistingRDD")) &&
+      t.count(_.contains("Scan parquet")) == 0,
+      "the paired-difference frame lands once; ladder, zero census and " +
+        "rank-back all probe it")
+    assert(!t.exists(_.contains("CartesianProduct")))
+    assert(t.exists(_.contains("BroadcastHashJoin")),
+      "the |d| value-domain ladder is bounded — the rank-back must broadcast")
+  }
+
+  test("q299/q300: gate/moment projections are map-side — no joins at all") {
+    for (q <- Seq("q299_mcnemar_gates", "q300_welch_t_test")) {
+      val t = tree(q)
+      assert(t.count(_.contains("Scan parquet")) == 1, s"$q: one scan")
+      assert(!t.exists(l => l.contains("Join") || l.contains("CartesianProduct")),
+        s"$q: 2x2 cells / Welch moments are conditional aggregation, not joins")
+    }
+  }
+
+  test("q301: moments and residuals probe the LANDED daily frame") {
+    val t = tree("q301_durbin_watson")
+    assert(t.exists(_.contains("Scan ExistingRDD")) &&
+      t.count(_.contains("Scan parquet")) == 0,
+      "the daily frame lands once; the moment pass and residual pass probe it")
+    assert(!t.exists(_.contains("CartesianProduct")))
+  }
+
+  test("q302: the lag spine and daily frames broadcast — no SMJ, no cartesian") {
+    val p = plan("q302_cross_correlation")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SortMergeJoin"),
+      "both daily frames and the 8-row lag spine are calendar-bounded")
+  }
+
+  test("q303: the weighted pair join rides the LANDED daily frame, bounded not cartesian") {
+    val t = tree("q303_ewma_control_chart")
+    assert(t.exists(_.contains("Scan ExistingRDD")) &&
+      t.count(_.contains("Scan parquet")) == 0,
+      "daily lands once; the 40-lag pair join and the moment pass probe it")
+    assert(!t.exists(_.contains("CartesianProduct")),
+      "the ji in (ti-39, ti] window must plan as BNLJ over bounded days")
+  }
+
+  test("q304: vote argmax is one window over the (task x answer) frame") {
+    val t = tree("q304_majority_vote")
+    assert(!t.exists(_.contains("CartesianProduct")))
+    assert(t.count(_.trim.startsWith("Window")) <= 1,
+      "one per-task vote window; accuracy cells are conditional aggregation")
+  }
+
+  test("q305: power sums are ONE scan, no joins") {
+    val t = tree("q305_jarque_bera")
+    assert(t.count(_.contains("Scan parquet")) == 1)
+    assert(!t.exists(l => l.contains("Join") || l.contains("CartesianProduct")))
+  }
+
+  test("q306: the whole matrix is ONE scan + one 1-row aggregate") {
+    val t = tree("q306_correlation_matrix")
+    assert(t.count(_.contains("Scan parquet")) == 1,
+      "all 14 moments and 6 cross-products come off a single lineitem scan")
+    assert(!t.exists(l => l.contains("Join") || l.contains("CartesianProduct")))
+    assert(t.count(_.contains("Exchange")) <= 1,
+      "one global-aggregate exchange; the unpivot is a projection")
+  }
+
+  test("q307: both split assignments are map-side expressions — no self-join") {
+    val t = tree("q307_group_split")
+    assert(t.count(_.contains("Scan parquet")) == 1)
+    assert(!t.exists(l => l.contains("Join") || l.contains("CartesianProduct")),
+      "group- and doc-keyed splits are md5 projections on the same row")
+  }
+}
