@@ -1890,8 +1890,197 @@ object StatsQueries {
       |ORDER BY col_a, col_b""".stripMargin
     })
 
+  /** q308: Cochran's Q test per language across THREE paired document
+    * gates (word count ≥ 80, n_chars ≥ 350, contains sentence
+    * punctuation) — the k-treatment generalization of q299's McNemar
+    * (k = 2 Cochran reduces to it): do the k gates pass at the same
+    * rate on the same documents? ENTIRELY integer under the hash:
+    * column totals Cⱼ, row-success squares Σrᵢ², and
+    * Q = (k−1)(k·ΣCⱼ² − T²)/(k·T − Σrᵢ²) ships as exact ppm
+    * (truncating ÷ of provably-nonnegative DECIMAL terms), NULL when
+    * the denominator vanishes (all rows all-pass or all-fail). One
+    * map-side gate projection + one groupBy at any corpus size. */
+  val q308 = GQuery(
+    "q308_cochran_q",
+    (s, d) =>
+      documents(s, d)
+        .select(col("lang"),
+          (size(split(col("text"), " ")) >= 80).cast("long").as("ga"),
+          (col("n_chars") >= 350).cast("long").as("gb"),
+          col("text").contains(".").cast("long").as("gc"))
+        .groupBy(col("lang"))
+        .agg(lcount(lit(1)).as("n_docs"),
+          sum(col("ga")).as("c_a"), sum(col("gb")).as("c_b"),
+          sum(col("gc")).as("c_c"),
+          sum((col("ga") + col("gb") + col("gc"))
+            * (col("ga") + col("gb") + col("gc"))).as("sr2"))
+        .select(col("lang"), col("n_docs"), col("c_a"), col("c_b"), col("c_c"),
+          expr("""CASE WHEN 3 * (c_a + c_b + c_c) - sr2 > 0 THEN
+            |  (2 * (3 * (CAST(c_a AS DECIMAL(38,0)) * c_a
+            |        + CAST(c_b AS DECIMAL(38,0)) * c_b
+            |        + CAST(c_c AS DECIMAL(38,0)) * c_c)
+            |    - CAST(c_a + c_b + c_c AS DECIMAL(38,0)) * (c_a + c_b + c_c))
+            |    * 1000000)
+            |  div (3 * (c_a + c_b + c_c) - sr2)
+            |END""".stripMargin).cast("long").as("q_e6"))
+        .orderBy(col("lang")),
+    Some("""WITH g AS (
+      |  SELECT lang,
+      |    CASE WHEN len(string_split(text, ' ')) >= 80 THEN 1 ELSE 0 END AS ga,
+      |    CASE WHEN n_chars >= 350 THEN 1 ELSE 0 END AS gb,
+      |    CASE WHEN contains(text, '.') THEN 1 ELSE 0 END AS gc
+      |  FROM documents),
+      |cells AS (
+      |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(ga) AS BIGINT) AS c_a, CAST(SUM(gb) AS BIGINT) AS c_b,
+      |    CAST(SUM(gc) AS BIGINT) AS c_c,
+      |    CAST(SUM((ga + gb + gc) * (ga + gb + gc)) AS BIGINT) AS sr2
+      |  FROM g GROUP BY lang)
+      |SELECT lang, n_docs, c_a, c_b, c_c,
+      |  CAST(CASE WHEN 3 * (c_a + c_b + c_c) - sr2 > 0 THEN
+      |    (2 * (3 * (CAST(c_a AS HUGEINT) * c_a
+      |          + CAST(c_b AS HUGEINT) * c_b
+      |          + CAST(c_c AS HUGEINT) * c_c)
+      |      - CAST(c_a + c_b + c_c AS HUGEINT) * (c_a + c_b + c_c))
+      |      * 1000000)
+      |    // (3 * (c_a + c_b + c_c) - sr2)
+      |  END AS BIGINT) AS q_e6
+      |FROM cells ORDER BY lang""".stripMargin))
+
+  /** q311: Grubbs' outlier statistic per language —
+    * G = max|xᵢ − x̄|/s, the "is the single worst point already an
+    * outlier" gate beside q24's MAD bounds (MAD flags MANY points
+    * robustly; Grubbs asks whether the extreme one exceeds what a
+    * normal sample of this size allows). The max deviation is
+    * CROSS-MULTIPLIED exact (max|n·xᵢ − Σx| — no mean division inside
+    * the max, so the argmax is integer-exact), the moments land once
+    * and broadcast back, and G is one fixed-order IEEE formula over
+    * exact inputs, rounded 6; NULL when the variance vanishes. */
+  val q311 = GQuery(
+    "q311_grubbs_statistic",
+    (s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val base = documents(s, d)
+        .select(col("lang"), col("n_chars").cast(dec).as("x"))
+        .localCheckpoint(eager = false) // moment pass + deviation pass
+      val m = base.groupBy(col("lang"))
+        .agg(lcount(lit(1)).as("n"), sum(col("x")).as("s1"),
+          sum(col("x") * col("x")).as("q1"))
+      base.join(broadcast(m), Seq("lang"))
+        .groupBy(col("lang"), col("n"), col("s1"), col("q1"))
+        .agg(max(abs(col("n") * col("x") - col("s1"))).as("maxdev"))
+        .select(col("lang"), col("n"),
+          expr("""CASE WHEN n > 1 AND (n * q1 - s1 * s1) > 0
+            |THEN round(
+            |  CAST(maxdev AS DOUBLE) / CAST(n AS DOUBLE)
+            |  / sqrt(CAST(n * q1 - s1 * s1 AS DOUBLE)
+            |         / CAST(n AS DOUBLE) / CAST(n - 1 AS DOUBLE)), 6)
+            |END""".stripMargin).as("g"))
+        .orderBy(col("lang"))
+    },
+    Some("""WITH base AS MATERIALIZED (
+      |  SELECT lang, CAST(n_chars AS HUGEINT) AS x FROM documents),
+      |m AS (
+      |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS s1,
+      |    SUM(x * x) AS q1
+      |  FROM base GROUP BY lang),
+      |dev AS (
+      |  SELECT b.lang, m.n, m.s1, m.q1,
+      |    MAX(abs(m.n * b.x - m.s1)) AS maxdev
+      |  FROM base b JOIN m ON b.lang = m.lang
+      |  GROUP BY b.lang, m.n, m.s1, m.q1)
+      |SELECT lang, n,
+      |  CASE WHEN n > 1 AND (n * q1 - s1 * s1) > 0
+      |  THEN round(
+      |    CAST(maxdev AS DOUBLE) / CAST(n AS DOUBLE)
+      |    / sqrt(CAST(n * q1 - s1 * s1 AS DOUBLE)
+      |           / CAST(n AS DOUBLE) / CAST(n - 1 AS DOUBLE)), 6)
+      |  END AS g
+      |FROM dev ORDER BY lang""".stripMargin))
+
+  /** q312: Cohen's d and Hedges' g effect sizes per language between
+    * the two crawl generations (q300's groups) — the MAGNITUDE
+    * companion to q300's significance: a huge corpus makes any
+    * difference "significant"; the effect size says whether it
+    * matters. Pooled-variance terms collapse to exact decimal
+    * numerators ((nᵢ−1)·vᵢ = Qᵢ − Sᵢ²/nᵢ cross-multiplied through a
+    * common nᵢ denominator), d and the small-sample Hedges correction
+    * 1 − 3/(4N−9) are fixed-order IEEE over exact inputs, rounded 6;
+    * NULL when the pooled variance vanishes or N ≤ 2. */
+  val q312 = GQuery(
+    "q312_effect_size",
+    (s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      documents(s, d)
+        .select(col("lang"),
+          (length(col("source")) === 4).as("g1"),
+          col("n_chars").cast(dec).as("x"))
+        .groupBy(col("lang"))
+        .agg(
+          coalesce(sum(when(col("g1"), 1L)), lit(0L)).as("n1"),
+          coalesce(sum(when(col("g1"), col("x"))), lit(0L).cast(dec)).as("s1"),
+          coalesce(sum(when(col("g1"), col("x") * col("x"))),
+            lit(0L).cast(dec)).as("q1"),
+          coalesce(sum(when(!col("g1"), 1L)), lit(0L)).as("n2"),
+          coalesce(sum(when(!col("g1"), col("x"))), lit(0L).cast(dec)).as("s2"),
+          coalesce(sum(when(!col("g1"), col("x") * col("x"))),
+            lit(0L).cast(dec)).as("q2"))
+        .withColumn("pooled", expr(
+          """CASE WHEN n1 > 0 AND n2 > 0 AND n1 + n2 > 2 THEN
+            |  (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+            |     / CAST(n1 AS DOUBLE)
+            |   + CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+            |     / CAST(n2 AS DOUBLE))
+            |  / CAST(n1 + n2 - 2 AS DOUBLE)
+            |END""".stripMargin))
+        .withColumn("dd", expr(
+          """CASE WHEN pooled > 0 THEN
+            |  (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+            |   - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)) / sqrt(pooled)
+            |END""".stripMargin))
+        .select(col("lang"), col("n1"), col("n2"),
+          expr("round(dd, 6)").as("cohens_d"),
+          expr("""round(dd * (1.0 - 3.0
+            |  / CAST(4 * (n1 + n2) - 9 AS DOUBLE)), 6)""".stripMargin)
+            .as("hedges_g"))
+        .orderBy(col("lang"))
+    },
+    Some("""WITH g AS (
+      |  SELECT lang, length(source) = 4 AS g1, CAST(n_chars AS HUGEINT) AS x
+      |  FROM documents),
+      |m AS (
+      |  SELECT lang,
+      |    COALESCE(CAST(SUM(CASE WHEN g1 THEN 1 END) AS BIGINT), 0) AS n1,
+      |    COALESCE(SUM(CASE WHEN g1 THEN x END), 0) AS s1,
+      |    COALESCE(SUM(CASE WHEN g1 THEN x * x END), 0) AS q1,
+      |    COALESCE(CAST(SUM(CASE WHEN NOT g1 THEN 1 END) AS BIGINT), 0) AS n2,
+      |    COALESCE(SUM(CASE WHEN NOT g1 THEN x END), 0) AS s2,
+      |    COALESCE(SUM(CASE WHEN NOT g1 THEN x * x END), 0) AS q2
+      |  FROM g GROUP BY lang),
+      |v AS (
+      |  SELECT lang, n1, n2, s1, s2,
+      |    CASE WHEN n1 > 0 AND n2 > 0 AND n1 + n2 > 2 THEN
+      |      (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+      |         / CAST(n1 AS DOUBLE)
+      |       + CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+      |         / CAST(n2 AS DOUBLE))
+      |      / CAST(n1 + n2 - 2 AS DOUBLE)
+      |    END AS pooled
+      |  FROM m),
+      |e AS (
+      |  SELECT lang, n1, n2,
+      |    CASE WHEN pooled > 0 THEN
+      |      (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+      |       - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)) / sqrt(pooled)
+      |    END AS dd
+      |  FROM v)
+      |SELECT lang, n1, n2, round(dd, 6) AS cohens_d,
+      |  round(dd * (1.0 - 3.0
+      |    / CAST(4 * (n1 + n2) - 9 AS DOUBLE)), 6) AS hedges_g
+      |FROM e ORDER BY lang""".stripMargin))
+
   def queries: Seq[GQuery] =
     Seq(q23, q24, q25, q26, q27, q28, q29, q30, q31, q51, q58, q113, q163,
       q185, q191, q211, q217, q268, q274, q284, q291, q293, q294, q295,
-      q296, q297, q298, q299, q300, q305, q306)
+      q296, q297, q298, q299, q300, q305, q306, q308, q311, q312)
 }

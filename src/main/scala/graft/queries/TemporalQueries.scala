@@ -1134,7 +1134,190 @@ object TemporalQueries {
       |    AS out_of_control
       |FROM lim ORDER BY day""".stripMargin))
 
+  /** q309: Kendall's τ-b between the click and purchase daily value
+    * series — the rank-concordance companion to q302's Pearson
+    * lead-lag (Pearson asks "linear at which lag"; τ-b asks "do they
+    * even move together", immune to any monotone rescaling).
+    * Concordant/discordant/tie counts come off the calendar-bounded
+    * day-pair join (q281's shape: n²/2 pairs of a bounded frame, not
+    * the event count) as exact integers via sign products, and
+    * τ-b = (nc − nd)/√((n₀−n₁)(n₀−n₂)) is one fixed-order IEEE
+    * formula over exact inputs, rounded 6. */
+  val q309 = GQuery(
+    "q309_kendall_tau_b",
+    (s, d) => {
+      def daily(t: String) = events(s, d)
+        .filter(col("event_type") === t)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(floor(dsum(col("value")) * 1e6 + lit(0.5)).cast("long"))
+      val joined = daily("click").toDF("day", "x")
+        .join(daily("purchase").toDF("day", "y"), Seq("day"))
+        .localCheckpoint(eager = false) // both sides of the pair join
+      val pairs = joined.toDF("ad", "ax", "ay")
+        .join(joined.toDF("bd", "bx", "by"), col("bd") > col("ad"))
+        .select(
+          signum(col("bx") - col("ax")).cast("long").as("sx"),
+          signum(col("by") - col("ay")).cast("long").as("sy"))
+      val n = joined.agg(lcount(lit(1)).as("n_days"))
+      pairs.agg(
+          lcount(lit(1)).as("n_pairs"),
+          coalesce(sum(when(col("sx") * col("sy") > 0, 1L)), lit(0L)).as("nc"),
+          coalesce(sum(when(col("sx") * col("sy") < 0, 1L)), lit(0L)).as("nd"),
+          coalesce(sum(when(col("sx") === 0, 1L)), lit(0L)).as("n1"),
+          coalesce(sum(when(col("sy") === 0, 1L)), lit(0L)).as("n2"))
+        .crossJoin(broadcast(n)) // 1-row scalar
+        .select(col("n_days"), col("n_pairs"), col("nc"), col("nd"),
+          expr("""CASE WHEN (n_pairs - n1) > 0 AND (n_pairs - n2) > 0
+            |THEN round(
+            |  CAST(nc - nd AS DOUBLE)
+            |  / sqrt(CAST(n_pairs - n1 AS DOUBLE)
+            |         * CAST(n_pairs - n2 AS DOUBLE)), 6)
+            |END""".stripMargin).as("tau_b"))
+    },
+    Some("""WITH cd AS (
+      |  SELECT CAST(ts AS DATE) AS day,
+      |    CAST(floor(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+      |      * 1000000.0 + 0.5) AS BIGINT) AS x
+      |  FROM events WHERE event_type = 'click' GROUP BY 1),
+      |pd AS (
+      |  SELECT CAST(ts AS DATE) AS day,
+      |    CAST(floor(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+      |      * 1000000.0 + 0.5) AS BIGINT) AS y
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |joined AS MATERIALIZED (
+      |  SELECT cd.day, cd.x, pd.y FROM cd JOIN pd ON cd.day = pd.day),
+      |pairs AS (
+      |  SELECT CAST(sign(b.x - a.x) AS BIGINT) AS sx,
+      |    CAST(sign(b.y - a.y) AS BIGINT) AS sy
+      |  FROM joined a JOIN joined b ON b.day > a.day),
+      |agg AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |    COALESCE(CAST(SUM(CASE WHEN sx * sy > 0 THEN 1 END) AS BIGINT), 0)
+      |      AS nc,
+      |    COALESCE(CAST(SUM(CASE WHEN sx * sy < 0 THEN 1 END) AS BIGINT), 0)
+      |      AS nd,
+      |    COALESCE(CAST(SUM(CASE WHEN sx = 0 THEN 1 END) AS BIGINT), 0) AS n1,
+      |    COALESCE(CAST(SUM(CASE WHEN sy = 0 THEN 1 END) AS BIGINT), 0) AS n2
+      |  FROM pairs),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM joined)
+      |SELECT n.n_days, agg.n_pairs, agg.nc, agg.nd,
+      |  CASE WHEN (n_pairs - n1) > 0 AND (n_pairs - n2) > 0
+      |  THEN round(
+      |    CAST(nc - nd AS DOUBLE)
+      |    / sqrt(CAST(n_pairs - n1 AS DOUBLE)
+      |           * CAST(n_pairs - n2 AS DOUBLE)), 6)
+      |  END AS tau_b
+      |FROM agg, n""".stripMargin))
+
+  /** q310: Wald–Wolfowitz runs test for randomness of the daily
+    * event-value series around its median — the "is the sequence
+    * order itself suspicious" check beside q285's ACF (ACF measures
+    * HOW values co-move; the runs test only counts sign alternations,
+    * so level changes, striping from a backfill job, or alternating
+    * shards all trip it). The lower median reads off the value ladder
+    * (q297's order-statistic pattern, no IEEE interpolation), equal
+    * days drop per the classic treatment, runs count via one ordered
+    * lag window, and z = (R − μ)/σ is one fixed-order IEEE formula
+    * over exact integer moments, rounded 6. */
+  val q310 = GQuery(
+    "q310_runs_test",
+    (s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val W = org.apache.spark.sql.expressions.Window
+      val daily = events(s, d)
+        .select(to_date(col("ts")).as("day"), col("value"))
+        .groupBy(col("day"))
+        .agg(floor(dsum(col("value")) * 1e6 + lit(0.5)).cast("long").as("y"))
+        .localCheckpoint(eager = false) // ladder + the sign pass
+      val ladder = daily.groupBy(col("y").as("v"))
+        .agg(lcount(lit(1)).as("cnt"))
+        .withColumn("hi", sum(col("cnt")).over(W.orderBy(col("v"))
+          .rowsBetween(W.unboundedPreceding, W.currentRow)))
+        .withColumn("lo", col("hi") - col("cnt") + 1)
+      val nd = daily.agg(lcount(lit(1)).as("n_all"))
+        .withColumn("mr", expr("(n_all + 1) div 2"))
+      val med = ladder.crossJoin(broadcast(nd)) // 1-row scalar
+        .filter(col("hi") >= col("mr") && col("lo") <= col("mr"))
+        .agg(max(col("v")).as("med"))
+      val signs = daily.crossJoin(broadcast(med)) // 1-row scalar
+        .filter(col("y") =!= col("med"))
+        .select(col("day"), (col("y") > col("med")).as("s"))
+        .withColumn("sp", lag(col("s"), 1).over(W.orderBy(col("day"))))
+      signs.agg(
+          coalesce(sum(when(col("s"), 1L)), lit(0L)).as("n_above"),
+          coalesce(sum(when(!col("s"), 1L)), lit(0L)).as("n_below"),
+          coalesce(sum(when(col("sp").isNull ||
+            (col("s") =!= col("sp")), 1L)), lit(0L)).as("n_runs"))
+        .select(col("n_above"), col("n_below"), col("n_runs"),
+          expr("""CASE WHEN n_above > 0 AND n_below > 0
+            |  AND n_above + n_below > 1
+            |  AND (2 * CAST(n_above AS DECIMAL(38,0)) * n_below
+            |    * (2 * CAST(n_above AS DECIMAL(38,0)) * n_below
+            |       - n_above - n_below)) > 0
+            |THEN round(
+            |  (CAST(n_runs AS DOUBLE)
+            |   - (2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE)
+            |      / CAST(n_above + n_below AS DOUBLE) + 1.0))
+            |  / sqrt(
+            |    CAST(2 * CAST(n_above AS DECIMAL(38,0)) * n_below
+            |      * (2 * CAST(n_above AS DECIMAL(38,0)) * n_below
+            |         - n_above - n_below) AS DOUBLE)
+            |    / CAST(CAST(n_above + n_below AS DECIMAL(38,0))
+            |        * (n_above + n_below) * (n_above + n_below - 1)
+            |        AS DOUBLE)), 6)
+            |END""".stripMargin).as("z"))
+    },
+    Some("""WITH daily AS MATERIALIZED (
+      |  SELECT CAST(ts AS DATE) AS day,
+      |    CAST(floor(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+      |      * 1000000.0 + 0.5) AS BIGINT) AS y
+      |  FROM events GROUP BY 1),
+      |ladder AS (
+      |  SELECT y AS v, CAST(COUNT(*) AS BIGINT) AS cnt,
+      |    SUM(COUNT(*)) OVER (ORDER BY y ROWS UNBOUNDED PRECEDING) AS hi,
+      |    SUM(COUNT(*)) OVER (ORDER BY y ROWS UNBOUNDED PRECEDING)
+      |      - COUNT(*) + 1 AS lo
+      |  FROM daily GROUP BY y),
+      |nd AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_all,
+      |    (CAST(COUNT(*) AS BIGINT) + 1) // 2 AS mr
+      |  FROM daily),
+      |med AS (
+      |  SELECT MAX(l.v) AS med FROM ladder l, nd
+      |  WHERE l.hi >= nd.mr AND l.lo <= nd.mr),
+      |signs AS (
+      |  SELECT day, y > med.med AS s FROM daily, med WHERE y <> med.med),
+      |lagged AS (
+      |  SELECT s, LAG(s) OVER (ORDER BY day) AS sp FROM signs),
+      |agg AS (
+      |  SELECT
+      |    COALESCE(CAST(SUM(CASE WHEN s THEN 1 END) AS BIGINT), 0) AS n_above,
+      |    COALESCE(CAST(SUM(CASE WHEN NOT s THEN 1 END) AS BIGINT), 0)
+      |      AS n_below,
+      |    COALESCE(CAST(SUM(CASE WHEN sp IS NULL OR s <> sp THEN 1 END)
+      |      AS BIGINT), 0) AS n_runs
+      |  FROM lagged)
+      |SELECT n_above, n_below, n_runs,
+      |  CASE WHEN n_above > 0 AND n_below > 0
+      |    AND n_above + n_below > 1
+      |    AND (2 * CAST(n_above AS HUGEINT) * n_below
+      |      * (2 * CAST(n_above AS HUGEINT) * n_below
+      |         - n_above - n_below)) > 0
+      |  THEN round(
+      |    (CAST(n_runs AS DOUBLE)
+      |     - (2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE)
+      |        / CAST(n_above + n_below AS DOUBLE) + 1.0))
+      |    / sqrt(
+      |      CAST(2 * CAST(n_above AS HUGEINT) * n_below
+      |        * (2 * CAST(n_above AS HUGEINT) * n_below
+      |           - n_above - n_below) AS DOUBLE)
+      |      / CAST(CAST(n_above + n_below AS HUGEINT)
+      |          * (n_above + n_below) * (n_above + n_below - 1)
+      |          AS DOUBLE)), 6)
+      |  END AS z
+      |FROM agg""".stripMargin))
+
   def queries: Seq[GQuery] =
     Seq(q43, q44, q56, q70, q181, q182, q183, q196, q197, q263, q272, q278,
-      q279, q280, q281, q285, q301, q302, q303)
+      q279, q280, q281, q285, q301, q302, q303, q309, q310)
 }

@@ -89,4 +89,39 @@ class Round11StatsPlanSpec extends SparkSpec {
     assert(!t.exists(l => l.contains("Join") || l.contains("CartesianProduct")),
       "group- and doc-keyed splits are md5 projections on the same row")
   }
+
+  test("q308/q312: gate/moment projections are map-side — one scan, no joins") {
+    for (q <- Seq("q308_cochran_q", "q312_effect_size")) {
+      val t = tree(q)
+      assert(t.count(_.contains("Scan parquet")) == 1, s"$q: one scan")
+      assert(!t.exists(l => l.contains("Join") || l.contains("CartesianProduct")),
+        s"$q: cells and pooled moments are conditional aggregation, not joins")
+    }
+  }
+
+  test("q309: the day-pair join rides the LANDED joined series, bounded not cartesian") {
+    val t = tree("q309_kendall_tau_b")
+    assert(t.exists(_.contains("Scan ExistingRDD")) &&
+      t.count(_.contains("Scan parquet")) == 0,
+      "the joined daily frame lands once; pairs and the day count probe it")
+    assert(!t.exists(_.contains("CartesianProduct")),
+      "the bd > ad pair join is calendar-bounded and must plan as BNLJ")
+  }
+
+  test("q310: ladder, median and signs all probe the LANDED daily frame") {
+    val t = tree("q310_runs_test")
+    assert(t.exists(_.contains("Scan ExistingRDD")) &&
+      t.count(_.contains("Scan parquet")) == 0)
+    assert(!t.exists(_.contains("CartesianProduct")))
+  }
+
+  test("q311: per-language moments broadcast back onto the landed base") {
+    val t = tree("q311_grubbs_statistic")
+    assert(t.exists(_.contains("Scan ExistingRDD")) &&
+      t.count(_.contains("Scan parquet")) == 0,
+      "the (lang, x) base lands once; the moment and deviation passes probe it")
+    assert(t.exists(_.contains("BroadcastHashJoin")),
+      "the per-language moment frame is bounded — it must broadcast")
+    assert(!t.exists(_.contains("SortMergeJoin")))
+  }
 }
