@@ -793,7 +793,67 @@ object CorpusStatQueries {
       |  round(CAST(sqrt_e6 AS DOUBLE) / CAST(tot.t AS DOUBLE), 6) AS weight
       |FROM sq, tot""".stripMargin))
 
+  /** q314: Hill tail-index estimate of the per-source document-length
+    * distribution — the heavy-tail diagnostic beside q149's Zipf fit
+    * (Zipf checks the RANK law of terms; Hill asks how fat each
+    * source's LENGTH tail is: α̂ = k / Σᵢ₌₁..k ln(x₍ᵢ₎/x₍ₖ₊₁₎) over the
+    * top k+1 order statistics, k = min(20, n−1)). A source whose α̂
+    * collapses toward 1 is dominated by giant outlier documents —
+    * the packing/budget operators' worst case. The top-(k+1) cut is
+    * one bounded rank window; ln terms go through the e9 scaled-long
+    * sum (q149's parity discipline) so the fold is order-independent;
+    * α̂ is one final IEEE division, rounded 6, NULL when the top
+    * k+1 values are all equal (zero tail information). */
+  val q314 = GQuery(
+    "q314_hill_tail_index",
+    (s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val w = W.partitionBy(col("source")).orderBy(col("x").desc, col("doc_id"))
+      val ranked = documents(s, d)
+        .select(col("source"), col("doc_id"), col("n_chars").as("x"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("cnt", count(lit(1)).over(W.partitionBy(col("source"))))
+        .withColumn("k", least(lit(20L), col("cnt") - 1))
+        .filter(col("rn") <= col("k") + 1)
+        .localCheckpoint(eager = false) // the k+1 cut feeds both passes
+      val xk1 = ranked.filter(col("rn") === col("k") + 1)
+        .select(col("source"), col("x").as("xk1"))
+      ranked.filter(col("rn") <= col("k"))
+        .join(broadcast(xk1), Seq("source"))
+        .groupBy(col("source"))
+        .agg(max(col("cnt")).as("n"), max(col("k")).as("k"),
+          lsumAt(log(col("x").cast("double") / col("xk1").cast("double")), 1e9)
+            .as("__h"))
+        .select(col("source"), col("n"), col("k"),
+          expr("CASE WHEN __h > 0 THEN round(CAST(k AS DOUBLE) / __h, 6) END")
+            .as("hill_alpha"))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH ranked AS MATERIALIZED (
+      |  SELECT source, n_chars AS x,
+      |    CAST(row_number() OVER (PARTITION BY source
+      |      ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rn,
+      |    CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS cnt,
+      |    LEAST(20, CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) - 1)
+      |      AS k
+      |  FROM documents
+      |  QUALIFY rn <= k + 1),
+      |xk1 AS (
+      |  SELECT source, x AS xk1 FROM ranked WHERE rn = k + 1),
+      |terms AS (
+      |  SELECT r.source, r.cnt, r.k,
+      |    ln(CAST(r.x AS DOUBLE) / CAST(x1.xk1 AS DOUBLE)) AS t
+      |  FROM ranked r JOIN xk1 x1 ON r.source = x1.source
+      |  WHERE r.rn <= r.k),
+      |agg AS (
+      |  SELECT source, CAST(MAX(cnt) AS BIGINT) AS n, CAST(MAX(k) AS BIGINT) AS k,
+      |    ${graft.core.Exact.sqlLsumAt("t", "1000000000.0")} AS h
+      |  FROM terms GROUP BY source)
+      |SELECT source, n, k,
+      |  CASE WHEN h > 0 THEN round(CAST(k AS DOUBLE) / h, 6) END AS hill_alpha
+      |FROM agg ORDER BY source""".stripMargin))
+
   def queries: Seq[GQuery] =
     Seq(q146, q149, q152, q169, q175, q213, q215, q220, q224, q237, q275,
-      q276)
+      q276, q314)
 }

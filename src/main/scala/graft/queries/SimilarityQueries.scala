@@ -1493,5 +1493,72 @@ object SimilarityQueries {
       |  round(CAST(h.hits AS DOUBLE) / (10.0 * nq.n_queries), 6) AS recall
       |FROM hits h, nq""".stripMargin))
 
-  def queries: Seq[GQuery] = Seq(q40, q41, q42, q48, q53, q102, q105, q114, q117, q119, q122, q131, q147, q173, q176, q186, q188, q226, q248, q251, q253, q255, q257, q261, q269)
+  /** q313: embedding isotropy census per label — mean squared norm,
+    * average PAIRWISE dot product, and their ratio (Mu & Viswanath
+    * 2018's anisotropy diagnostic: a healthy embedding space has
+    * near-zero mean pairwise similarity; a collapsed one clusters
+    * around a dominant direction and ANN recall quietly dies). The
+    * n² pair sum NEVER materializes: Σ_{a≠b}⟨vₐ,v_b⟩ =
+    * ‖Σvₐ‖² − Σ‖vₐ‖², so the whole census is per-dimension sum
+    * vectors and one norm accumulator off a single exploded scan —
+    * exact DECIMAL arithmetic on scaled-long (e7) elements at any
+    * vector count, with the two final divisions IEEE, rounded 6. */
+  val q313 = GQuery(
+    "q313_isotropy_census",
+    (s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val el = embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("i", "x")))
+        .select(col("label"), col("i"),
+          floor(col("x").cast("double") * 1e7 + lit(0.5)).cast("long")
+            .cast(dec).as("e"))
+      val perDim = el.groupBy(col("label"), col("i"))
+        .agg(sum(col("e")).as("s_i"), sum(col("e") * col("e")).as("q_i"),
+          count(lit(1)).cast("long").as("n_i"))
+      perDim.groupBy(col("label"))
+        .agg(max(col("n_i")).as("n_vecs"),
+          sum(col("s_i") * col("s_i")).as("ss"),
+          sum(col("q_i")).as("qq"))
+        .select(col("label"), col("n_vecs"),
+          expr("round(CAST(qq AS DOUBLE) / CAST(n_vecs AS DOUBLE) / 1e14, 6)")
+            .as("mean_sq_norm"),
+          expr("""CASE WHEN n_vecs > 1 THEN
+            |round(CAST(ss - qq AS DOUBLE)
+            |  / CAST(CAST(n_vecs AS DECIMAL(38,0)) * (n_vecs - 1) AS DOUBLE)
+            |  / 1e14, 6) END""".stripMargin).as("avg_pair_dot"),
+          expr("""CASE WHEN n_vecs > 1 AND qq > 0 THEN
+            |round(CAST(ss - qq AS DOUBLE)
+            |  / CAST(CAST(n_vecs AS DECIMAL(38,0)) * (n_vecs - 1) AS DOUBLE)
+            |  / (CAST(qq AS DOUBLE) / CAST(n_vecs AS DOUBLE)), 6)
+            |END""".stripMargin).as("anisotropy"))
+        .orderBy(col("label"))
+    },
+    Some("""WITH el AS (
+      |  SELECT label, generate_subscripts(embedding, 1) AS i,
+      |    CAST(CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000000.0 + 0.5)
+      |      AS BIGINT) AS HUGEINT) AS e
+      |  FROM embeddings),
+      |per_dim AS (
+      |  SELECT label, i, SUM(e) AS s_i, SUM(e * e) AS q_i,
+      |    CAST(COUNT(*) AS BIGINT) AS n_i
+      |  FROM el GROUP BY label, i),
+      |agg AS (
+      |  SELECT label, CAST(MAX(n_i) AS BIGINT) AS n_vecs,
+      |    SUM(s_i * s_i) AS ss, SUM(q_i) AS qq
+      |  FROM per_dim GROUP BY label)
+      |SELECT label, n_vecs,
+      |  round(CAST(qq AS DOUBLE) / CAST(n_vecs AS DOUBLE) / 1e14, 6)
+      |    AS mean_sq_norm,
+      |  CASE WHEN n_vecs > 1 THEN
+      |  round(CAST(ss - qq AS DOUBLE)
+      |    / CAST(CAST(n_vecs AS HUGEINT) * (n_vecs - 1) AS DOUBLE)
+      |    / 1e14, 6) END AS avg_pair_dot,
+      |  CASE WHEN n_vecs > 1 AND qq > 0 THEN
+      |  round(CAST(ss - qq AS DOUBLE)
+      |    / CAST(CAST(n_vecs AS HUGEINT) * (n_vecs - 1) AS DOUBLE)
+      |    / (CAST(qq AS DOUBLE) / CAST(n_vecs AS DOUBLE)), 6)
+      |  END AS anisotropy
+      |FROM agg ORDER BY label""".stripMargin))
+
+  def queries: Seq[GQuery] = Seq(q40, q41, q42, q48, q53, q102, q105, q114, q117, q119, q122, q131, q147, q173, q176, q186, q188, q226, q248, q251, q253, q255, q257, q261, q269, q313)
 }

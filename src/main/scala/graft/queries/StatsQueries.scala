@@ -2079,8 +2079,90 @@ object StatsQueries {
       |    / CAST(4 * (n1 + n2) - 9 AS DOUBLE)), 6) AS hedges_g
       |FROM e ORDER BY lang""".stripMargin))
 
+  /** q315: co-moment merge law — q306's correlation matrix rebuilt
+    * from PER-SHIP-YEAR partial states (n, Σx, Σy, Σx², Σy², Σxy per
+    * calendar bucket) merged by plain addition, compared against the
+    * direct global pass under the same hash. This is the q260/q266
+    * mergeable-summaries discipline applied to exact co-moments: a new
+    * month's partial folds into the landed state without rescanning
+    * history, because DECIMAL co-moment states form a commutative
+    * monoid — `laws_hold` proves merged ≡ direct bit-for-bit, not
+    * approximately. One scan builds the bucket partials; the merge and
+    * the direct pass both ride the landed base. */
+  val q315 = GQuery(
+    "q315_comoment_merge_law",
+    (s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val base = lineitem(s, d).select(
+        year(col("l_shipdate")).as("yr"),
+        floor(col("l_quantity") * 100 + 0.5).cast("long").cast(dec).as("x"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long").cast(dec)
+          .as("y"))
+        .localCheckpoint(eager = false) // bucket partials + direct pass
+      def rSql(p: String) =
+        s"""CASE WHEN (${p}n * ${p}qx - ${p}sx * ${p}sx) > 0
+           |  AND (${p}n * ${p}qy - ${p}sy * ${p}sy) > 0
+           |THEN round(
+           |  CAST(${p}n * ${p}sxy - ${p}sx * ${p}sy AS DOUBLE)
+           |  / sqrt(CAST(${p}n * ${p}qx - ${p}sx * ${p}sx AS DOUBLE)
+           |         * CAST(${p}n * ${p}qy - ${p}sy * ${p}sy AS DOUBLE)), 6)
+           |END""".stripMargin
+      val partials = base.groupBy(col("yr"))
+        .agg(lcount(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("x")).as("qx"),
+          sum(col("y") * col("y")).as("qy"), sum(col("x") * col("y")).as("sxy"))
+      val merged = partials.agg(
+        lcount(lit(1)).as("n_buckets"),
+        sum(col("n")).as("mn"), sum(col("sx")).as("msx"),
+        sum(col("sy")).as("msy"), sum(col("qx")).as("mqx"),
+        sum(col("qy")).as("mqy"), sum(col("sxy")).as("msxy"))
+      val direct = base.agg(
+        lcount(lit(1)).as("dn"), sum(col("x")).as("dsx"),
+        sum(col("y")).as("dsy"), sum(col("x") * col("x")).as("dqx"),
+        sum(col("y") * col("y")).as("dqy"), sum(col("x") * col("y")).as("dsxy"))
+      merged.crossJoin(direct) // 1-row x 1-row
+        .select(col("n_buckets"), col("mn").as("n"),
+          expr(rSql("m")).as("r_merged"),
+          expr(rSql("d")).as("r_direct"))
+        .withColumn("laws_hold", col("r_merged") === col("r_direct"))
+    },
+    Some {
+      def rSql(p: String) =
+        s"""CASE WHEN (${p}n * ${p}qx - ${p}sx * ${p}sx) > 0
+           |  AND (${p}n * ${p}qy - ${p}sy * ${p}sy) > 0
+           |THEN round(
+           |  CAST(${p}n * ${p}sxy - ${p}sx * ${p}sy AS DOUBLE)
+           |  / sqrt(CAST(${p}n * ${p}qx - ${p}sx * ${p}sx AS DOUBLE)
+           |         * CAST(${p}n * ${p}qy - ${p}sy * ${p}sy AS DOUBLE)), 6)
+           |END""".stripMargin
+      s"""WITH base AS MATERIALIZED (
+      |  SELECT year(l_shipdate) AS yr,
+      |    CAST(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS HUGEINT) AS x,
+      |    CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS HUGEINT)
+      |      AS y
+      |  FROM lineitem),
+      |partials AS (
+      |  SELECT yr, CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx, SUM(y) AS sy,
+      |    SUM(x * x) AS qx, SUM(y * y) AS qy, SUM(x * y) AS sxy
+      |  FROM base GROUP BY yr),
+      |merged AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+      |    CAST(SUM(n) AS BIGINT) AS mn, SUM(sx) AS msx, SUM(sy) AS msy,
+      |    SUM(qx) AS mqx, SUM(qy) AS mqy, SUM(sxy) AS msxy
+      |  FROM partials),
+      |direct AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS dn, SUM(x) AS dsx, SUM(y) AS dsy,
+      |    SUM(x * x) AS dqx, SUM(y * y) AS dqy, SUM(x * y) AS dsxy
+      |  FROM base)
+      |SELECT n_buckets, mn AS n,
+      |  ${rSql("m")} AS r_merged,
+      |  ${rSql("d")} AS r_direct,
+      |  ${rSql("m")} = ${rSql("d")} AS laws_hold
+      |FROM merged, direct""".stripMargin
+    })
+
   def queries: Seq[GQuery] =
     Seq(q23, q24, q25, q26, q27, q28, q29, q30, q31, q51, q58, q113, q163,
       q185, q191, q211, q217, q268, q274, q284, q291, q293, q294, q295,
-      q296, q297, q298, q299, q300, q305, q306, q308, q311, q312)
+      q296, q297, q298, q299, q300, q305, q306, q308, q311, q312, q315)
 }
