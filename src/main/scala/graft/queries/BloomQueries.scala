@@ -1006,7 +1006,94 @@ object BloomQueries {
       |FROM stacked s JOIN mm USING (col_name)
       |GROUP BY 1, 2, 3, 4 ORDER BY col_name, bucket""".stripMargin))
 
+  /** q316: sketch-based join-size estimation — the AGMS/CM inner
+    * product an optimizer consults BEFORE committing to a shuffle
+    * (Alon–Matias–Szegedy 1996; Cormode–Muthukrishnan 2005 §4.2):
+    * |A ⋈ B| ≤ min_d Σ_w a[d][w]·b[d][w], never an underestimate.
+    * Two arms over the l_partkey sketches: the self-join size
+    * (Σ c_k² — the skew statistic AQE wants) and the size of the join
+    * against the 'R'-flag subset. Counters are built RELATIONALLY
+    * (per-(depth, md5-cell) counts — the q163/q227 cell discipline,
+    * so the oracle replays every counter), inner products and exact
+    * answers are DECIMAL-exact, and the overestimate ships as ppm
+    * (truncating ÷ of nonnegatives). One scan + one bounded
+    * (d·width)-row frame at any fact size. */
+  val q316 = {
+    val (dep, wdt) = (3, 64)
+    GQuery(
+      "q316_join_size_estimate",
+      (s, dir) => {
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val items = lineitem(s, dir).select(
+          col("l_partkey").cast("string").as("k"),
+          (col("l_returnflag") === "R").as("rf"))
+        def cellOf(item: org.apache.spark.sql.Column) =
+          conv(substring(md5(concat(col("d").cast("string"), lit(":"), item)),
+            1, 7), 16, 10).cast("long") % wdt
+        val cells = items
+          .withColumn("d", explode(array((0 until dep).map(lit): _*)))
+          .groupBy(col("d"), cellOf(col("k")).as("c"))
+          .agg(count(lit(1)).cast(dec).as("n_all"),
+            coalesce(sum(when(col("rf"), 1L)), lit(0L)).cast(dec).as("n_r"))
+        val perDepth = cells.groupBy(col("d"))
+          .agg(sum(col("n_all") * col("n_all")).as("est_self"),
+            sum(col("n_all") * col("n_r")).as("est_rf"))
+        val est = perDepth.agg(min(col("est_self")).as("cm_self"),
+          min(col("est_rf")).as("cm_rf"))
+        val exact = items.groupBy(col("k"))
+          .agg(count(lit(1)).cast(dec).as("ck"),
+            coalesce(sum(when(col("rf"), 1L)), lit(0L)).cast(dec).as("cr"))
+          .agg(sum(col("ck") * col("ck")).as("ex_self"),
+            sum(col("ck") * col("cr")).as("ex_rf"))
+        est.crossJoin(exact) // 1-row x 1-row
+          .selectExpr(
+            "stack(2, 'self_join', CAST(ex_self AS BIGINT), CAST(cm_self AS BIGINT), " +
+              "'filtered_join', CAST(ex_rf AS BIGINT), CAST(cm_rf AS BIGINT)) " +
+              "AS (arm, exact_pairs, cm_estimate)")
+          .select(col("arm"), col("exact_pairs"), col("cm_estimate"),
+            expr("""CASE WHEN exact_pairs > 0 THEN
+              |((CAST(cm_estimate AS DECIMAL(38,0)) - exact_pairs) * 1000000)
+              |  div exact_pairs
+              |END""".stripMargin).as("over_ppm"))
+          .orderBy(col("arm"))
+      },
+      Some(s"""WITH items AS MATERIALIZED (
+        |  SELECT CAST(l_partkey AS VARCHAR) AS k, l_returnflag = 'R' AS rf
+        |  FROM lineitem),
+        |dep AS (SELECT * FROM (VALUES (0),(1),(2)) AS t(d)),
+        |cells AS (
+        |  SELECT dep.d,
+        |    CAST(('0x' || substr(md5(CAST(dep.d AS VARCHAR) || ':' || i.k), 1, 7))
+        |      AS BIGINT) % $wdt AS c,
+        |    CAST(COUNT(*) AS HUGEINT) AS n_all,
+        |    CAST(COALESCE(SUM(CASE WHEN i.rf THEN 1 END), 0) AS HUGEINT) AS n_r
+        |  FROM items i CROSS JOIN dep GROUP BY 1, 2),
+        |per_depth AS (
+        |  SELECT d, SUM(n_all * n_all) AS est_self, SUM(n_all * n_r) AS est_rf
+        |  FROM cells GROUP BY d),
+        |est AS (
+        |  SELECT MIN(est_self) AS cm_self, MIN(est_rf) AS cm_rf FROM per_depth),
+        |exact AS (
+        |  SELECT SUM(ck * ck) AS ex_self, SUM(ck * cr) AS ex_rf FROM (
+        |    SELECT CAST(COUNT(*) AS HUGEINT) AS ck,
+        |      CAST(COALESCE(SUM(CASE WHEN rf THEN 1 END), 0) AS HUGEINT) AS cr
+        |    FROM items GROUP BY k)),
+        |arms AS (
+        |  SELECT 'self_join' AS arm, CAST(ex_self AS BIGINT) AS exact_pairs,
+        |    CAST(cm_self AS BIGINT) AS cm_estimate
+        |  FROM est, exact
+        |  UNION ALL
+        |  SELECT 'filtered_join', CAST(ex_rf AS BIGINT), CAST(cm_rf AS BIGINT)
+        |  FROM est, exact)
+        |SELECT arm, exact_pairs, cm_estimate,
+        |  CAST(CASE WHEN exact_pairs > 0 THEN
+        |    ((CAST(cm_estimate AS HUGEINT) - exact_pairs) * 1000000)
+        |      // exact_pairs
+        |  END AS BIGINT) AS over_ppm
+        |FROM arms ORDER BY arm""".stripMargin))
+  }
+
   def queries: Seq[GQuery] =
     Seq(q154, q156, q208, q222, q227, q228, q239, q245, q246, q247, q249,
-      q250, q260, q289)
+      q250, q260, q289, q316)
 }

@@ -1317,7 +1317,63 @@ object TemporalQueries {
       |  END AS z
       |FROM agg""".stripMargin))
 
+  /** q317: cohort retention matrix — the product-analytics staple
+    * beside q181's funnel (the funnel tracks ONE path; retention asks
+    * "of the users first seen on day D, what fraction was still
+    * active k weeks later"): cohort = each user's first active day,
+    * week offset = (active_day − cohort_day) div 7, cells count
+    * DISTINCT returning users. Everything is integer (cohort sizes,
+    * active counts, retention as truncating-÷ ppm). Scale shape: the
+    * first-seen pass and the (user, day) dedup are the only fact-sized
+    * work, both one shuffle on user_id; the (cohort_day × offset)
+    * matrix is calendar²-bounded, and the cohort-size frame
+    * broadcasts onto it. */
+  val q317 = GQuery(
+    "q317_cohort_retention",
+    (s, d) => {
+      val active = events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+        .localCheckpoint(eager = false) // first-seen pass + cell probe
+      val cohorts = active.groupBy(col("user_id"))
+        .agg(min(col("day")).as("cohort_day"))
+      val sizes = cohorts.groupBy(col("cohort_day"))
+        .agg(lcount(lit(1)).as("n_cohort"))
+      val cells = active.join(cohorts, Seq("user_id"))
+        .select(col("cohort_day"),
+          (datediff(col("day"), col("cohort_day")).cast("long") / 7)
+            .cast("long").as("offset_w"),
+          col("user_id"))
+        .distinct()
+        .groupBy(col("cohort_day"), col("offset_w"))
+        .agg(lcount(lit(1)).as("n_active"))
+      cells.join(broadcast(sizes), Seq("cohort_day"))
+        .select(col("cohort_day"), col("offset_w"), col("n_active"),
+          col("n_cohort"),
+          expr("(n_active * 1000000) div n_cohort").as("retention_ppm"))
+        .orderBy(col("cohort_day"), col("offset_w"))
+    },
+    Some("""WITH active AS MATERIALIZED (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |cohorts AS (
+      |  SELECT user_id, MIN(day) AS cohort_day FROM active GROUP BY user_id),
+      |sizes AS (
+      |  SELECT cohort_day, CAST(COUNT(*) AS BIGINT) AS n_cohort
+      |  FROM cohorts GROUP BY cohort_day),
+      |cells AS (
+      |  SELECT cohort_day, offset_w, CAST(COUNT(*) AS BIGINT) AS n_active
+      |  FROM (
+      |    SELECT DISTINCT c.cohort_day,
+      |      CAST(a.day - c.cohort_day AS BIGINT) // 7 AS offset_w,
+      |      a.user_id
+      |    FROM active a JOIN cohorts c ON a.user_id = c.user_id)
+      |  GROUP BY cohort_day, offset_w)
+      |SELECT ce.cohort_day, ce.offset_w, ce.n_active, s.n_cohort,
+      |  (ce.n_active * 1000000) // s.n_cohort AS retention_ppm
+      |FROM cells ce JOIN sizes s ON ce.cohort_day = s.cohort_day
+      |ORDER BY ce.cohort_day, ce.offset_w""".stripMargin))
+
   def queries: Seq[GQuery] =
     Seq(q43, q44, q56, q70, q181, q182, q183, q196, q197, q263, q272, q278,
-      q279, q280, q281, q285, q301, q302, q303, q309, q310)
+      q279, q280, q281, q285, q301, q302, q303, q309, q310, q317)
 }

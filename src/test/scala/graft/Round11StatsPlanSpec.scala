@@ -115,6 +115,47 @@ class Round11StatsPlanSpec extends SparkSpec {
     assert(!t.exists(_.contains("CartesianProduct")))
   }
 
+  test("q313: the isotropy census is ONE exploded scan — the pair sum never materializes") {
+    val t = tree("q313_isotropy_census")
+    assert(t.count(_.contains("Scan parquet")) == 1)
+    assert(!t.exists(l => l.contains("Join") || l.contains("CartesianProduct")),
+      "the sum-vector identity replaces the n^2 pair join entirely")
+  }
+
+  test("q314: the k+1 cut lands once; xk1 broadcasts back onto it") {
+    val t = tree("q314_hill_tail_index")
+    assert(t.exists(_.contains("Scan ExistingRDD")),
+      "the top-(k+1) frame lands once and feeds both the xk1 and term passes")
+    assert(t.exists(_.contains("BroadcastHashJoin")),
+      "the per-source xk1 frame is bounded — it must broadcast")
+    assert(!t.exists(_.contains("SortMergeJoin")))
+  }
+
+  test("q315: partials and the direct pass both probe the LANDED base") {
+    val t = tree("q315_comoment_merge_law")
+    assert(t.exists(_.contains("Scan ExistingRDD")) &&
+      t.count(_.contains("Scan parquet")) == 0,
+      "the (yr, x, y) base lands once; merged and direct are two probes of it")
+    assert(!t.exists(_.contains("CartesianProduct")))
+  }
+
+  test("q316: sketch and exact arms are aggregations — no fact-sized join anywhere") {
+    val t = tree("q316_join_size_estimate")
+    assert(!t.exists(_.contains("CartesianProduct")))
+    assert(!t.exists(_.contains("SortMergeJoin")),
+      "the only join is the 1-row x 1-row scalar cross (BNLJ)")
+  }
+
+  test("q317: the (user, day) frame lands once; cohort sizes broadcast onto cells") {
+    val t = tree("q317_cohort_retention")
+    assert(t.exists(_.contains("Scan ExistingRDD")) &&
+      t.count(_.contains("Scan parquet")) == 0,
+      "the deduped active frame lands once; first-seen and cells probe it")
+    assert(t.exists(_.contains("BroadcastHashJoin")),
+      "the calendar-bounded cohort-size frame must broadcast")
+    assert(!t.exists(_.contains("CartesianProduct")))
+  }
+
   test("q311: per-language moments broadcast back onto the landed base") {
     val t = tree("q311_grubbs_statistic")
     assert(t.exists(_.contains("Scan ExistingRDD")) &&
