@@ -79,4 +79,28 @@ object Exact {
        | END""".stripMargin.replace("\n", "")
   def sqlLavg6(expr: String): String =
     s"(${sqlLsum6(expr)} / COUNT($expr))"
+
+  /** Exact sum of a NONNEGATIVE int64 column whose TOTAL may overflow
+    * int64 (e.g. Σ of e2-scaled price products ≤ 10¹⁴ each): the
+    * per-row value splits into high/low halves at bit 30
+    * (shift + mask — pure long ops, identical in any engine on the
+    * nonnegative contract), both halves sum at long-add speed inside
+    * whole-stage codegen, and the halves recombine into one
+    * DECIMAL(38,0) after aggregation — the same value a
+    * DECIMAL(38,0)-routed sum produces, without boxing a 38-digit
+    * Decimal per row (measured on q306's 15-moment scan at sf1:
+    * decimal-multiply 9.3 s → decimal-add 6.7 s → split-long sums
+    * below that). Caller contract: values nonnegative and
+    * row count · (value ≫ 30) < 9·10¹⁸ — true for e2-scale products
+    * at any realistic fact count. */
+  def lsumSplit(c: Column): Column =
+    (sum(shiftright(c, 30)).cast(DecimalType(38, 0)) * lit(1L << 30) +
+      sum(c.bitwiseAND(lit((1L << 30) - 1))).cast(DecimalType(38, 0)))
+      .cast(DecimalType(38, 0))
+
+  /** ANSI mirror of [[lsumSplit]]. */
+  def sqlLsumSplit(expr: String): String =
+    s"""CAST(CAST(SUM(($expr) >> 30) AS HUGEINT) * ${1L << 30}
+       | + CAST(SUM(($expr) & ${(1L << 30) - 1}) AS HUGEINT) AS HUGEINT)"""
+      .stripMargin.replace("\n", "")
 }

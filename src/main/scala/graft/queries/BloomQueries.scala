@@ -1024,27 +1024,34 @@ object BloomQueries {
       "q316_join_size_estimate",
       (s, dir) => {
         val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-        val items = lineitem(s, dir).select(
-          col("l_partkey").cast("string").as("k"),
-          (col("l_returnflag") === "R").as("rf"))
-        def cellOf(item: org.apache.spark.sql.Column) =
-          conv(substring(md5(concat(col("d").cast("string"), lit(":"), item)),
-            1, 7), 16, 10).cast("long") % wdt
-        val cells = items
+        // ONE fact scan: the per-key census feeds the exact answer AND
+        // the sketch (counters sum the census's counts — a CM sketch of
+        // keyed data never needs to hash the fact rows; hashing 200k
+        // distinct keys beats hashing 6M rows, measured 14 s → the
+        // row-grain md5 was the scan cost)
+        val perKey = lineitem(s, dir)
+          .groupBy(col("l_partkey").cast("string").as("k"))
+          .agg(count(lit(1)).as("ck"),
+            coalesce(sum(when(col("l_returnflag") === "R", 1L)), lit(0L))
+              .as("cr"))
+          .localCheckpoint(eager = false) // sketch build + exact arm
+        // depth d reads hex chars [7d, 7d+7) of one digest per key
+        val cells = perKey
+          .withColumn("h", md5(col("k")))
           .withColumn("d", explode(array((0 until dep).map(lit): _*)))
-          .groupBy(col("d"), cellOf(col("k")).as("c"))
-          .agg(count(lit(1)).cast(dec).as("n_all"),
-            coalesce(sum(when(col("rf"), 1L)), lit(0L)).cast(dec).as("n_r"))
+          .groupBy(col("d"),
+            (expr("CAST(conv(substring(h, CAST(d * 7 + 1 AS INT), 7), 16, 10) AS BIGINT)")
+              % wdt).as("c"))
+          .agg(sum(col("ck")).cast(dec).as("n_all"),
+            sum(col("cr")).cast(dec).as("n_r"))
         val perDepth = cells.groupBy(col("d"))
           .agg(sum(col("n_all") * col("n_all")).as("est_self"),
             sum(col("n_all") * col("n_r")).as("est_rf"))
         val est = perDepth.agg(min(col("est_self")).as("cm_self"),
           min(col("est_rf")).as("cm_rf"))
-        val exact = items.groupBy(col("k"))
-          .agg(count(lit(1)).cast(dec).as("ck"),
-            coalesce(sum(when(col("rf"), 1L)), lit(0L)).cast(dec).as("cr"))
-          .agg(sum(col("ck") * col("ck")).as("ex_self"),
-            sum(col("ck") * col("cr")).as("ex_rf"))
+        val exact = perKey
+          .agg(sum(col("ck").cast(dec) * col("ck")).as("ex_self"),
+            sum(col("ck").cast(dec) * col("cr")).as("ex_rf"))
         est.crossJoin(exact) // 1-row x 1-row
           .selectExpr(
             "stack(2, 'self_join', CAST(ex_self AS BIGINT), CAST(cm_self AS BIGINT), " +
@@ -1057,27 +1064,29 @@ object BloomQueries {
               |END""".stripMargin).as("over_ppm"))
           .orderBy(col("arm"))
       },
-      Some(s"""WITH items AS MATERIALIZED (
-        |  SELECT CAST(l_partkey AS VARCHAR) AS k, l_returnflag = 'R' AS rf
-        |  FROM lineitem),
+      Some(s"""WITH per_key AS MATERIALIZED (
+        |  SELECT CAST(l_partkey AS VARCHAR) AS k,
+        |    CAST(COUNT(*) AS BIGINT) AS ck,
+        |    CAST(COALESCE(SUM(CASE WHEN l_returnflag = 'R' THEN 1 END), 0)
+        |      AS BIGINT) AS cr
+        |  FROM lineitem GROUP BY 1),
         |dep AS (SELECT * FROM (VALUES (0),(1),(2)) AS t(d)),
         |cells AS (
         |  SELECT dep.d,
-        |    CAST(('0x' || substr(md5(CAST(dep.d AS VARCHAR) || ':' || i.k), 1, 7))
+        |    CAST(('0x' || substr(md5(p.k), dep.d * 7 + 1, 7))
         |      AS BIGINT) % $wdt AS c,
-        |    CAST(COUNT(*) AS HUGEINT) AS n_all,
-        |    CAST(COALESCE(SUM(CASE WHEN i.rf THEN 1 END), 0) AS HUGEINT) AS n_r
-        |  FROM items i CROSS JOIN dep GROUP BY 1, 2),
+        |    CAST(SUM(p.ck) AS HUGEINT) AS n_all,
+        |    CAST(SUM(p.cr) AS HUGEINT) AS n_r
+        |  FROM per_key p CROSS JOIN dep GROUP BY 1, 2),
         |per_depth AS (
         |  SELECT d, SUM(n_all * n_all) AS est_self, SUM(n_all * n_r) AS est_rf
         |  FROM cells GROUP BY d),
         |est AS (
         |  SELECT MIN(est_self) AS cm_self, MIN(est_rf) AS cm_rf FROM per_depth),
         |exact AS (
-        |  SELECT SUM(ck * ck) AS ex_self, SUM(ck * cr) AS ex_rf FROM (
-        |    SELECT CAST(COUNT(*) AS HUGEINT) AS ck,
-        |      CAST(COALESCE(SUM(CASE WHEN rf THEN 1 END), 0) AS HUGEINT) AS cr
-        |    FROM items GROUP BY k)),
+        |  SELECT SUM(CAST(ck AS HUGEINT) * ck) AS ex_self,
+        |    SUM(CAST(ck AS HUGEINT) * cr) AS ex_rf
+        |  FROM per_key),
         |arms AS (
         |  SELECT 'self_join' AS arm, CAST(ex_self AS BIGINT) AS exact_pairs,
         |    CAST(cm_self AS BIGINT) AS cm_estimate

@@ -853,7 +853,54 @@ object CorpusStatQueries {
       |  CASE WHEN h > 0 THEN round(CAST(k AS DOUBLE) / h, 6) END AS hill_alpha
       |FROM agg ORDER BY source""".stripMargin))
 
+  /** q319: Good–Turing unseen-mass estimate per language — how much
+    * probability mass the NEXT document's vocabulary will be novel
+    * (Gale & Sampson 1995's P₀ = n₁/N): the corpus-saturation signal
+    * beside q132's Heaps curve (Heaps plots growth; Good–Turing prices
+    * what's left). Frequency-of-frequencies off the token census
+    * (n₁ singletons, n₂ doubletons, V vocabulary, N mass), unseen
+    * mass and the Turing-discounted singleton probability
+    * r* = 2·n₂/n₁ ship as exact ppm (truncating ÷). Two count
+    * shuffles (token census, then the bounded freq-of-freq fold). */
+  val q319 = GQuery(
+    "q319_good_turing_unseen",
+    (s, d) => {
+      val counts = documents(s, d)
+        .select(col("lang"),
+          explode(graft.text.TextFunctions.wsTokens(col("text"))).as("w"))
+        .groupBy(col("lang"), col("w"))
+        .agg(lcount(lit(1)).as("freq"))
+      counts.groupBy(col("lang"))
+        .agg(
+          lcount(lit(1)).as("vocab"),
+          sum(col("freq")).as("n_tokens"),
+          coalesce(sum(when(col("freq") === 1, 1L)), lit(0L)).as("n1"),
+          coalesce(sum(when(col("freq") === 2, 1L)), lit(0L)).as("n2"))
+        .select(col("lang"), col("vocab"), col("n_tokens"), col("n1"),
+          col("n2"),
+          expr("(n1 * 1000000) div n_tokens").as("unseen_ppm"),
+          expr("""CASE WHEN n1 > 0 THEN
+            |(2 * n2 * 1000000) div n1 END""".stripMargin)
+            .as("turing_r1_e6"))
+        .orderBy(col("lang"))
+    },
+    Some(s"""WITH counts AS (
+      |  SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS freq
+      |  FROM (SELECT lang, unnest($wsSql) AS w FROM documents) t
+      |  GROUP BY lang, w),
+      |fof AS (
+      |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS vocab,
+      |    CAST(SUM(freq) AS BIGINT) AS n_tokens,
+      |    COALESCE(CAST(SUM(CASE WHEN freq = 1 THEN 1 END) AS BIGINT), 0) AS n1,
+      |    COALESCE(CAST(SUM(CASE WHEN freq = 2 THEN 1 END) AS BIGINT), 0) AS n2
+      |  FROM counts GROUP BY lang)
+      |SELECT lang, vocab, n_tokens, n1, n2,
+      |  (n1 * 1000000) // n_tokens AS unseen_ppm,
+      |  CASE WHEN n1 > 0 THEN
+      |  (2 * n2 * 1000000) // n1 END AS turing_r1_e6
+      |FROM fof ORDER BY lang""".stripMargin))
+
   def queries: Seq[GQuery] =
     Seq(q146, q149, q152, q169, q175, q213, q215, q220, q224, q237, q275,
-      q276, q314)
+      q276, q314, q319)
 }

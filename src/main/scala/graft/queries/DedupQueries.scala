@@ -1777,5 +1777,66 @@ object DedupQueries {
       |  CAST(SUM(err_e6) // COUNT(*) AS BIGINT) AS mae_e6
       |FROM bk GROUP BY bucket""".stripMargin))
 
-  def queries: Seq[GQuery] = Seq(q36, q37, q38, q39, q57, q61, q88, q90, q103, q108, q118, q123, q124, q125, q127, q129, q133, q138, q142, q161, q162, q167, q180, q212, q216, q221, q223, q225, q229, q230, q252, q282, q283)
+  /** q321: cross-source duplication matrix — WHICH sources copy from
+    * which (syndication networks, mirror farms): per source pair, the
+    * count of distinct word 5-shingles both carry and the overlap
+    * coefficient shared/min(|A|,|B|) as exact ppm. Where q103's KMV
+    * census SKETCHES cross-corpus overlap, this is the exact
+    * source-grain answer: shingles collapse to the (source, shingle)
+    * grain first (the fact-sized work — one distinct shuffle), a
+    * DF cap drops shingles in > 10 sources (boilerplate head — at
+    * real source counts an uncapped postings self-join is quadratic
+    * in sources-per-shingle; the cap is the q37 inverted-index
+    * discipline), and the pair join runs per shingle over the capped
+    * postings. Matrix rows are |sources|²-bounded. */
+  val q321 = GQuery(
+    "q321_cross_source_dup",
+    (s, d) => {
+      val sh = documents(s, d)
+        .select(col("source"),
+          explode(graft.text.TextFunctions.shingles(
+            graft.text.TextFunctions.wsTokens(col("text")), 5)).as("shingle"))
+        .distinct()
+        .localCheckpoint(eager = false) // sizes + capped postings
+      val sizes = sh.groupBy(col("source"))
+        .agg(lcount(lit(1)).as("n_sh"))
+      val capped = sh.groupBy(col("shingle"))
+        .agg(lcount(lit(1)).as("df"))
+        .filter(col("df") <= 10)
+      val posts = sh.join(capped.select(col("shingle")), Seq("shingle"))
+      val pairs = posts.select(col("shingle"), col("source").as("sa"))
+        .join(posts.select(col("shingle"), col("source").as("sb")),
+          Seq("shingle"))
+        .filter(col("sa") < col("sb"))
+        .groupBy(col("sa"), col("sb"))
+        .agg(lcount(lit(1)).as("shared"))
+      pairs
+        .join(broadcast(sizes.toDF("sa", "na")), Seq("sa"))
+        .join(broadcast(sizes.toDF("sb", "nb")), Seq("sb"))
+        .select(col("sa"), col("sb"), col("shared"), col("na"), col("nb"),
+          expr("(shared * 1000000) div least(na, nb)").as("overlap_ppm"))
+        .orderBy(col("sa"), col("sb"))
+    },
+    Some(s"""WITH sh AS MATERIALIZED (
+      |  SELECT DISTINCT source,
+      |    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] AS shingle
+      |  FROM (SELECT source, $wsSql AS ws FROM documents) t,
+      |    UNNEST(generate_series(1, greatest(len(ws) - 4, 0))) AS u(i)),
+      |sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sh
+      |  FROM sh GROUP BY source),
+      |capped AS (
+      |  SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 10),
+      |posts AS (
+      |  SELECT sh.source, sh.shingle FROM sh JOIN capped USING (shingle)),
+      |pairs AS (
+      |  SELECT a.source AS sa, b.source AS sb, CAST(COUNT(*) AS BIGINT) AS shared
+      |  FROM posts a JOIN posts b ON a.shingle = b.shingle AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT p.sa, p.sb, p.shared, za.n_sh AS na, zb.n_sh AS nb,
+      |  (p.shared * 1000000) // least(za.n_sh, zb.n_sh) AS overlap_ppm
+      |FROM pairs p JOIN sizes za ON p.sa = za.source
+      |JOIN sizes zb ON p.sb = zb.source
+      |ORDER BY p.sa, p.sb""".stripMargin))
+
+  def queries: Seq[GQuery] = Seq(q36, q37, q38, q39, q57, q61, q88, q90, q103, q108, q118, q123, q124, q125, q127, q129, q133, q138, q142, q161, q162, q167, q180, q212, q216, q221, q223, q225, q229, q230, q252, q282, q283, q321)
 }

@@ -1823,17 +1823,22 @@ object StatsQueries {
       val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
       val short = Map("l_quantity" -> "q", "l_extendedprice" -> "p",
         "l_discount" -> "d", "l_tax" -> "t")
+      // keep per-row elements LONG (products ≤ 10^14 fit int64; only
+      // the running SUM needs decimal) — decimal ADD per row instead
+      // of decimal MULTIPLY+ADD, measured 9.3 s → the multiply was
+      // the scan cost at sf1
       val base = lineitem(s, d).select(cols.map(c =>
-        floor(col(c) * 100 + 0.5).cast("long").cast(dec).as(short(c))): _*)
+        floor(col(c) * 100 + 0.5).cast("long").as(short(c))): _*)
       val pairs = for {
         i <- cols.indices; j <- cols.indices if i < j
       } yield (cols(i), cols(j))
       val aggs = Seq(lcount(lit(1)).as("n")) ++
-        cols.map(c => sum(col(short(c))).as(s"s_${short(c)}")) ++
-        cols.map(c => sum(col(short(c)) * col(short(c)))
+        cols.map(c => lsumSplit(col(short(c))).as(s"s_${short(c)}")) ++
+        cols.map(c => lsumSplit(col(short(c)) * col(short(c)))
           .as(s"q_${short(c)}")) ++
         pairs.map { case (a, b) =>
-          sum(col(short(a)) * col(short(b))).as(s"x_${short(a)}${short(b)}") }
+          lsumSplit(col(short(a)) * col(short(b)))
+            .as(s"x_${short(a)}${short(b)}") }
       def rExpr(a: String, b: String): String = {
         val (sa, sb) = (short(a), short(b))
         s"""CASE WHEN (n * q_$sa - s_$sa * s_$sa) > 0
@@ -1875,16 +1880,19 @@ object StatsQueries {
       }.mkString("\n|", "\n|UNION ALL\n|", "")
       s"""WITH base AS (
       |  SELECT ${cols.map(c =>
-            s"CAST(CAST(floor($c * 100 + 0.5) AS BIGINT) AS HUGEINT) AS ${short(c)}")
+            s"CAST(floor($c * 100 + 0.5) AS BIGINT) AS ${short(c)}")
             .mkString(", ")}
       |  FROM lineitem),
       |m AS (
       |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
-      |    ${cols.map(c => s"SUM(${short(c)}) AS s_${short(c)}").mkString(", ")},
-      |    ${cols.map(c => s"SUM(${short(c)} * ${short(c)}) AS q_${short(c)}")
+      |    ${cols.map(c =>
+               s"${graft.core.Exact.sqlLsumSplit(short(c))} AS s_${short(c)}")
+             .mkString(", ")},
+      |    ${cols.map(c =>
+               s"${graft.core.Exact.sqlLsumSplit(s"${short(c)} * ${short(c)}")} AS q_${short(c)}")
              .mkString(", ")},
       |    ${pairs.map { case (a, b) =>
-               s"SUM(${short(a)} * ${short(b)}) AS x_${short(a)}${short(b)}" }
+               s"${graft.core.Exact.sqlLsumSplit(s"${short(a)} * ${short(b)}")} AS x_${short(a)}${short(b)}" }
              .mkString(", ")}
       |  FROM base)$branches
       |ORDER BY col_a, col_b""".stripMargin
@@ -2093,11 +2101,12 @@ object StatsQueries {
     "q315_comoment_merge_law",
     (s, d) => {
       val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      // elements stay LONG; products (≤ 10^14) cast to decimal only at
+      // the sum — the q306 decimal-multiply lesson
       val base = lineitem(s, d).select(
         year(col("l_shipdate")).as("yr"),
-        floor(col("l_quantity") * 100 + 0.5).cast("long").cast(dec).as("x"),
-        floor(col("l_extendedprice") * 100 + 0.5).cast("long").cast(dec)
-          .as("y"))
+        floor(col("l_quantity") * 100 + 0.5).cast("long").as("x"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("y"))
         .localCheckpoint(eager = false) // bucket partials + direct pass
       def rSql(p: String) =
         s"""CASE WHEN (${p}n * ${p}qx - ${p}sx * ${p}sx) > 0
@@ -2108,18 +2117,22 @@ object StatsQueries {
            |         * CAST(${p}n * ${p}qy - ${p}sy * ${p}sy AS DOUBLE)), 6)
            |END""".stripMargin
       val partials = base.groupBy(col("yr"))
-        .agg(lcount(lit(1)).as("n"), sum(col("x")).as("sx"),
-          sum(col("y")).as("sy"), sum(col("x") * col("x")).as("qx"),
-          sum(col("y") * col("y")).as("qy"), sum(col("x") * col("y")).as("sxy"))
+        .agg(lcount(lit(1)).as("n"), lsumSplit(col("x")).as("sx"),
+          lsumSplit(col("y")).as("sy"),
+          lsumSplit(col("x") * col("x")).as("qx"),
+          lsumSplit(col("y") * col("y")).as("qy"),
+          lsumSplit(col("x") * col("y")).as("sxy"))
       val merged = partials.agg(
         lcount(lit(1)).as("n_buckets"),
         sum(col("n")).as("mn"), sum(col("sx")).as("msx"),
         sum(col("sy")).as("msy"), sum(col("qx")).as("mqx"),
         sum(col("qy")).as("mqy"), sum(col("sxy")).as("msxy"))
       val direct = base.agg(
-        lcount(lit(1)).as("dn"), sum(col("x")).as("dsx"),
-        sum(col("y")).as("dsy"), sum(col("x") * col("x")).as("dqx"),
-        sum(col("y") * col("y")).as("dqy"), sum(col("x") * col("y")).as("dsxy"))
+        lcount(lit(1)).as("dn"), lsumSplit(col("x")).as("dsx"),
+        lsumSplit(col("y")).as("dsy"),
+        lsumSplit(col("x") * col("x")).as("dqx"),
+        lsumSplit(col("y") * col("y")).as("dqy"),
+        lsumSplit(col("x") * col("y")).as("dsxy"))
       merged.crossJoin(direct) // 1-row x 1-row
         .select(col("n_buckets"), col("mn").as("n"),
           expr(rSql("m")).as("r_merged"),
@@ -2137,13 +2150,16 @@ object StatsQueries {
            |END""".stripMargin
       s"""WITH base AS MATERIALIZED (
       |  SELECT year(l_shipdate) AS yr,
-      |    CAST(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS HUGEINT) AS x,
-      |    CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS HUGEINT)
-      |      AS y
+      |    CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS x,
+      |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
       |  FROM lineitem),
       |partials AS (
-      |  SELECT yr, CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx, SUM(y) AS sy,
-      |    SUM(x * x) AS qx, SUM(y * y) AS qy, SUM(x * y) AS sxy
+      |  SELECT yr, CAST(COUNT(*) AS BIGINT) AS n,
+      |    ${graft.core.Exact.sqlLsumSplit("x")} AS sx,
+      |    ${graft.core.Exact.sqlLsumSplit("y")} AS sy,
+      |    ${graft.core.Exact.sqlLsumSplit("x * x")} AS qx,
+      |    ${graft.core.Exact.sqlLsumSplit("y * y")} AS qy,
+      |    ${graft.core.Exact.sqlLsumSplit("x * y")} AS sxy
       |  FROM base GROUP BY yr),
       |merged AS (
       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
@@ -2151,8 +2167,12 @@ object StatsQueries {
       |    SUM(qx) AS mqx, SUM(qy) AS mqy, SUM(sxy) AS msxy
       |  FROM partials),
       |direct AS (
-      |  SELECT CAST(COUNT(*) AS BIGINT) AS dn, SUM(x) AS dsx, SUM(y) AS dsy,
-      |    SUM(x * x) AS dqx, SUM(y * y) AS dqy, SUM(x * y) AS dsxy
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS dn,
+      |    ${graft.core.Exact.sqlLsumSplit("x")} AS dsx,
+      |    ${graft.core.Exact.sqlLsumSplit("y")} AS dsy,
+      |    ${graft.core.Exact.sqlLsumSplit("x * x")} AS dqx,
+      |    ${graft.core.Exact.sqlLsumSplit("y * y")} AS dqy,
+      |    ${graft.core.Exact.sqlLsumSplit("x * y")} AS dsxy
       |  FROM base)
       |SELECT n_buckets, mn AS n,
       |  ${rSql("m")} AS r_merged,

@@ -1373,7 +1373,130 @@ object TemporalQueries {
       |FROM cells ce JOIN sizes s ON ce.cohort_day = s.cohort_day
       |ORDER BY ce.cohort_day, ce.offset_w""".stripMargin))
 
+  /** q318: sequential probability ratio test (Wald's SPRT) over the
+    * daily purchase-conversion rate — the ALWAYS-VALID monitor beside
+    * q303's EWMA chart (the chart flags level exits; SPRT accumulates
+    * evidence between H₀: p = 0.04 and H₁: p = 0.05 and STOPS the
+    * experiment the day the log-likelihood ratio crosses a boundary,
+    * with error rates guaranteed at any peeking frequency). Per day
+    * the LLR increment is k·ln(p₁/p₀) + (n−k)·ln(q₁/q₀) — integer
+    * counts times two shared double constants (sub-ULP noise at e6
+    * rounding); the cumulative sum routes through the DECIMAL(38,6)
+    * window (dsumOver) so partitioning never reorders it; boundaries
+    * ln((1−β)/α), ln(β/(1−α)) at α = β = 0.05. Calendar-bounded
+    * frame, one ordered window. */
+  val q318 = GQuery(
+    "q318_sprt_monitor",
+    (s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val daily = events(s, d)
+        .select(to_date(col("ts")).as("day"),
+          (col("event_type") === "purchase").as("hit"))
+        .groupBy(col("day"))
+        .agg(lcount(lit(1)).as("n"),
+          coalesce(sum(when(col("hit"), 1L)), lit(0L)).as("k"))
+      daily
+        .withColumn("llr_day", expr(
+          """CAST(k AS DOUBLE) * ln(CAST(0.05 AS DOUBLE) / CAST(0.04 AS DOUBLE))
+            |+ CAST(n - k AS DOUBLE)
+            |  * ln(CAST(0.95 AS DOUBLE) / CAST(0.96 AS DOUBLE))""".stripMargin))
+        .withColumn("llr_cum", dsumOver(col("llr_day"),
+          W.orderBy(col("day")).rowsBetween(W.unboundedPreceding, W.currentRow)))
+        .select(col("day"), col("n"), col("k"),
+          round(col("llr_cum"), 6).as("llr_cum"),
+          expr("""CASE WHEN llr_cum >= ln(CAST(0.95 AS DOUBLE) / CAST(0.05 AS DOUBLE))
+            |THEN 'accept_h1'
+            |WHEN llr_cum <= ln(CAST(0.05 AS DOUBLE) / CAST(0.95 AS DOUBLE))
+            |THEN 'accept_h0'
+            |ELSE 'continue' END""".stripMargin).as("decision"))
+        .orderBy(col("day"))
+    },
+    Some("""WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n,
+      |    COALESCE(CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 END)
+      |      AS BIGINT), 0) AS k
+      |  FROM events GROUP BY 1),
+      |llr AS (
+      |  SELECT day, n, k,
+      |    CAST(k AS DOUBLE) * ln(CAST(0.05 AS DOUBLE) / CAST(0.04 AS DOUBLE))
+      |      + CAST(n - k AS DOUBLE)
+      |        * ln(CAST(0.95 AS DOUBLE) / CAST(0.96 AS DOUBLE)) AS llr_day
+      |  FROM daily),
+      |cum AS (
+      |  SELECT day, n, k,
+      |    CAST(SUM(CAST(llr_day AS DECIMAL(38,6)))
+      |      OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS llr_cum
+      |  FROM llr)
+      |SELECT day, n, k, round(llr_cum, 6) AS llr_cum,
+      |  CASE WHEN llr_cum >= ln(CAST(0.95 AS DOUBLE) / CAST(0.05 AS DOUBLE))
+      |  THEN 'accept_h1'
+      |  WHEN llr_cum <= ln(CAST(0.05 AS DOUBLE) / CAST(0.95 AS DOUBLE))
+      |  THEN 'accept_h0'
+      |  ELSE 'continue' END AS decision
+      |FROM cum ORDER BY day""".stripMargin))
+
+  /** q320: event-time lateness census — the watermark-tuning signal a
+    * streaming deployment reads before choosing `withWatermark`
+    * bounds: each event's lateness is how far its EVENT time sits
+    * behind the key's running event-time maximum in ARRIVAL order,
+    * and the census buckets lateness into powers-of-two seconds —
+    * the histogram's tail mass IS the fraction of state a given
+    * watermark would drop. The synthetic events table is perfectly
+    * ordered (event_id ≡ time order, zero lateness), so arrival is
+    * modeled as a DETERMINISTIC md5 transit delay of 0–599 s per
+    * event (the q290 synthetic-workload discipline — both engines
+    * replay the same arrival log); lateness is measured per user (the
+    * stream's key — per-key lateness bounds the global watermark
+    * choice). floor(log2) is taken on the INTEGER path
+    * (length(bin(n))−1) because ln-based log2 can land a last-ULP
+    * short exactly AT the power-of-two bucket edges. Exact integer
+    * seconds, one per-user ordered window + one bounded groupBy. */
+  val q320 = GQuery(
+    "q320_lateness_census",
+    (s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val lat = events(s, d)
+        .select(col("user_id"), col("event_id"),
+          unix_timestamp(col("ts")).as("sec"))
+        .withColumn("arrival",
+          col("sec") + expr(
+            "CAST(conv(substring(md5(concat('late-', CAST(event_id AS STRING))), 1, 7), 16, 10) AS BIGINT) % 600"))
+        .withColumn("late_s",
+          max(col("sec")).over(W.partitionBy(col("user_id"))
+            .orderBy(col("arrival"), col("event_id"))
+            .rowsBetween(W.unboundedPreceding, W.currentRow)) - col("sec"))
+      // floor(log2(n)) as an INTEGER path — length of the binary string
+      // minus one — because log(2, x) = ln(x)/ln(2) can land a last-ULP
+      // short of an integer exactly AT the power-of-two bucket edges
+      lat.select(
+          when(col("late_s") === 0, lit(-1L))
+            .otherwise((length(expr("bin(late_s)")) - 1).cast("long"))
+            .as("bucket_log2"))
+        .groupBy(col("bucket_log2"))
+        .agg(lcount(lit(1)).as("n_events"))
+        .orderBy(col("bucket_log2"))
+    },
+    Some("""WITH arr AS (
+      |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+      |    CAST(floor(epoch(ts)) AS BIGINT)
+      |      + CAST(('0x' || substr(md5('late-' || CAST(event_id AS VARCHAR)), 1, 7))
+      |          AS BIGINT) % 600 AS arrival
+      |  FROM events),
+      |lat AS (
+      |  SELECT
+      |    MAX(sec) OVER (PARTITION BY user_id
+      |      ORDER BY arrival, event_id ROWS UNBOUNDED PRECEDING)
+      |      - sec AS late_s
+      |  FROM arr),
+      |b AS (
+      |  SELECT CASE WHEN late_s = 0 THEN -1
+      |    ELSE CAST(length(bin(late_s)) - 1 AS BIGINT) END AS bucket_log2
+      |  FROM lat)
+      |SELECT bucket_log2, CAST(COUNT(*) AS BIGINT) AS n_events
+      |FROM b GROUP BY bucket_log2 ORDER BY bucket_log2""".stripMargin))
+
   def queries: Seq[GQuery] =
     Seq(q43, q44, q56, q70, q181, q182, q183, q196, q197, q263, q272, q278,
-      q279, q280, q281, q285, q301, q302, q303, q309, q310, q317)
+      q279, q280, q281, q285, q301, q302, q303, q309, q310, q317, q318,
+      q320)
 }
