@@ -900,7 +900,69 @@ object CorpusStatQueries {
       |  (2 * n2 * 1000000) // n1 END AS turing_r1_e6
       |FROM fof ORDER BY lang""".stripMargin))
 
+  /** q325: readability census — Flesch Reading Ease and
+    * Flesch–Kincaid grade per (lang, source), the curriculum /
+    * difficulty-mix signal a pretraining recipe reads beside the
+    * q139 Gopher gates (Gopher filters junk; readability stratifies
+    * what survives). Per document three integer counts: words
+    * (\S+ runs), sentences ([.!?]+ runs, floored at 1 so headline
+    * fragments don't divide by zero), and the classic vowel-group
+    * syllable heuristic ([aeiouy]+ runs on the lowercased text — the
+    * standard dictionary-free approximation). The group FRE/FKGL use
+    * the summed counts (mass-weighted, not per-doc-averaged), so the
+    * whole query is one map-only regex pass + one bounded groupBy;
+    * the constants are the published Flesch coefficients. Both
+    * engines run RE2-compatible patterns on identical strings, so
+    * the counts are exact; the two divisions round at e6. */
+  val q325 = GQuery(
+    "q325_readability_census",
+    (s, d) => {
+      val per = documents(s, d).select(col("lang"), col("source"),
+        size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+          .cast("long").as("n_words"),
+        greatest(lit(1L),
+          size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0)))
+            .cast("long")).as("n_sents"),
+        size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"), lit(0)))
+          .cast("long").as("n_syll"))
+      per.groupBy(col("lang"), col("source"))
+        .agg(lcount(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("words"),
+          sum(col("n_sents")).as("sents"),
+          sum(col("n_syll")).as("sylls"))
+        .withColumn("wps", col("words").cast("double") / col("sents").cast("double"))
+        .withColumn("spw", col("sylls").cast("double") / col("words").cast("double"))
+        .select(col("lang"), col("source"), col("n_docs"),
+          col("words"), col("sents"), col("sylls"),
+          round(lit(206.835) - lit(1.015) * col("wps") - lit(84.6) * col("spw"), 6)
+            .as("fre"),
+          round(lit(0.39) * col("wps") + lit(11.8) * col("spw") - lit(15.59), 6)
+            .as("fk_grade"))
+        .orderBy(col("lang"), col("source"))
+    },
+    Some("""WITH per AS (
+      |  SELECT lang, source,
+      |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_words,
+      |    GREATEST(CAST(1 AS BIGINT),
+      |      CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)) AS n_sents,
+      |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+      |      AS n_syll
+      |  FROM documents),
+      |g AS (
+      |  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(n_words) AS BIGINT) AS words,
+      |    CAST(SUM(n_sents) AS BIGINT) AS sents,
+      |    CAST(SUM(n_syll) AS BIGINT) AS sylls
+      |  FROM per GROUP BY lang, source)
+      |SELECT lang, source, n_docs, words, sents, sylls,
+      |  round(206.835 - 1.015 * (CAST(words AS DOUBLE) / CAST(sents AS DOUBLE))
+      |    - 84.6 * (CAST(sylls AS DOUBLE) / CAST(words AS DOUBLE)), 6) AS fre,
+      |  round(0.39 * (CAST(words AS DOUBLE) / CAST(sents AS DOUBLE))
+      |    + 11.8 * (CAST(sylls AS DOUBLE) / CAST(words AS DOUBLE)) - 15.59, 6)
+      |    AS fk_grade
+      |FROM g ORDER BY lang, source""".stripMargin))
+
   def queries: Seq[GQuery] =
     Seq(q146, q149, q152, q169, q175, q213, q215, q220, q224, q237, q275,
-      q276, q314, q319)
+      q276, q314, q319, q325)
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.core.Tables._
-import graft.similarity.{Bitext, Knn}
+import graft.similarity.{Bitext, GridDbscan, Knn}
 
 /** Similarity search over the `embeddings` table (array<float>):
   * brute-force cosine top-k (the exact baseline), threshold pair
@@ -1560,5 +1560,76 @@ object SimilarityQueries {
       |  END AS anisotropy
       |FROM agg ORDER BY label""".stripMargin))
 
-  def queries: Seq[GQuery] = Seq(q40, q41, q42, q48, q53, q102, q105, q114, q117, q119, q122, q131, q147, q173, q176, q186, q188, q226, q248, q251, q253, q255, q257, q261, q269, q313)
+  /** q328: grid-DBSCAN density clustering
+    * ([[graft.similarity.GridDbscan.cluster]]) over the 2-D embedding
+    * projection (dims 1–2, e6-scaled) — the density complement of the
+    * q53 centroid family: topical islands become clusters, sparse
+    * in-between points stay NOISE instead of being force-assigned.
+    * ε = 0.03, minPts = 10 (self included). Census per (cluster,
+    * role) with noise under cluster −1; cluster ids are the
+    * component-minimum core id so the output is engine-independent.
+    * The oracle replays the grid join, the integer ε-test, the
+    * core/border rules, and the components via recursive closure.
+    * Scale shape: candidate pairs come from a 9-cell equi-join (the
+    * 3×3 neighborhood exploded on ONE side), core-core linking is
+    * large-star/small-star — no all-pairs product anywhere. */
+  val q328 = GQuery(
+    "q328_grid_dbscan",
+    (s, d) => {
+      val pts = embeddings(s, d).select(col("vec_id"),
+        floor(element_at(col("embedding"), 1).cast("double") * 1e6 + lit(0.5))
+          .cast("long").as("x"),
+        floor(element_at(col("embedding"), 2).cast("double") * 1e6 + lit(0.5))
+          .cast("long").as("y"))
+      val lab = GridDbscan.cluster(pts, "vec_id", "x", "y",
+        epsScaled = 30000L, minPts = 10)
+      lab.groupBy(coalesce(col("cluster"), lit(-1L)).as("cluster"), col("role"))
+        .agg(count(lit(1)).cast("long").as("n"))
+        .orderBy(col("cluster"), col("role"))
+    },
+    Some("""WITH RECURSIVE p AS (
+      |  SELECT vec_id AS id,
+      |    CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000.0 + 0.5)
+      |      AS BIGINT) AS x,
+      |    CAST(floor(CAST(embedding[2] AS DOUBLE) * 1000000.0 + 0.5)
+      |      AS BIGINT) AS y
+      |  FROM embeddings),
+      |c AS (
+      |  SELECT id, x, y, (x + 1000000000) // 30000 AS cx,
+      |    (y + 1000000000) // 30000 AS cy FROM p),
+      |pairs AS (
+      |  SELECT a.id AS ida, b.id AS idb
+      |  FROM c a JOIN c b
+      |    ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+      |   AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+      |   AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+      |     <= 900000000),
+      |deg AS (SELECT ida, COUNT(*) AS deg FROM pairs GROUP BY ida),
+      |core AS (SELECT ida AS id FROM deg WHERE deg >= 10),
+      |ce AS (
+      |  SELECT p2.ida AS u, p2.idb AS v FROM pairs p2
+      |  JOIN core c1 ON p2.ida = c1.id JOIN core c2 ON p2.idb = c2.id
+      |  WHERE p2.ida <> p2.idb),
+      |reach(n, l) AS (
+      |  SELECT id, id FROM core
+      |  UNION
+      |  SELECT e.v, r.l FROM reach r JOIN ce e ON e.u = r.n),
+      |comp AS (SELECT n AS id, MIN(l) AS cluster FROM reach GROUP BY n),
+      |border AS (
+      |  SELECT pr.ida AS id, MIN(cm.cluster) AS cluster
+      |  FROM pairs pr JOIN comp cm ON pr.idb = cm.id
+      |  WHERE pr.ida NOT IN (SELECT id FROM core)
+      |  GROUP BY pr.ida),
+      |lab AS (
+      |  SELECT p.id,
+      |    CASE WHEN cc.id IS NOT NULL THEN 'core'
+      |         WHEN b.id IS NOT NULL THEN 'border'
+      |         ELSE 'noise' END AS role,
+      |    COALESCE(cc.cluster, b.cluster, -1) AS cluster
+      |  FROM p LEFT JOIN comp cc ON p.id = cc.id
+      |  LEFT JOIN border b ON p.id = b.id)
+      |SELECT cluster, role, CAST(COUNT(*) AS BIGINT) AS n
+      |FROM lab GROUP BY cluster, role ORDER BY cluster, role""".stripMargin))
+
+  def queries: Seq[GQuery] = Seq(q40, q41, q42, q48, q53, q102, q105, q114, q117, q119, q122, q131, q147, q173, q176, q186, q188, q226, q248, q251, q253, q255, q257, q261, q269, q313, q328)
 }

@@ -2181,8 +2181,181 @@ object StatsQueries {
       |FROM merged, direct""".stripMargin
     })
 
+  /** q324: CUPED variance reduction — the experiment-sensitivity
+    * preprocessor (Deng et al., WSDM'13) every A/B platform runs
+    * before the q296/q268 significance tests: each user's PRE-period
+    * activity X (spend before the corpus midpoint) is used as the
+    * control variate for their POST-period metric Y, with
+    * θ = cov(X,Y)/var(X) fit on ALL users and the adjusted metric
+    * Yᶜ = Y − θ·(X − mean X). Per arm (user_id parity): the raw and
+    * CUPED-adjusted means, plus the global θ and the variance-
+    * reduction factor ρ² = cov²/(var X·var Y) (CUPED removes exactly
+    * that fraction of metric variance). Shape: one shuffle to the
+    * per-user frame; every moment is a decimal-routed exact sum;
+    * θ and the means are a handful of IEEE divisions on both
+    * engines, rounded at e6. */
+  val q324 = GQuery(
+    "q324_cuped_adjustment",
+    (s, d) => {
+      val ev = events(s, d)
+        .select(col("user_id"), unix_timestamp(col("ts")).as("sec"), col("value"))
+      val bounds = ev.agg(min(col("sec")).as("smin"), max(col("sec")).as("smax"))
+        .select(expr("smin + ((smax - smin) div 2)").as("mid"))
+      val perUser = ev.crossJoin(broadcast(bounds))
+        .groupBy(col("user_id"))
+        .agg(
+          coalesce(dsum(when(col("sec") < col("mid"), col("value"))), lit(0.0)).as("x"),
+          coalesce(dsum(when(col("sec") >= col("mid"), col("value"))), lit(0.0)).as("y"))
+        .withColumn("arm", (col("user_id") % 2).cast("long"))
+      val g = perUser.agg(
+        lcount(lit(1)).as("n"), dsum(col("x")).as("sx"), dsum(col("y")).as("sy"),
+        dsum(col("x") * col("x")).as("sxx"), dsum(col("y") * col("y")).as("syy"),
+        dsum(col("x") * col("y")).as("sxy"))
+        .select(col("n"), (col("sx") / col("n")).as("mean_x_g"),
+          ((col("sxy") - col("sx") * col("sy") / col("n")) / col("n")).as("cov"),
+          ((col("sxx") - col("sx") * col("sx") / col("n")) / col("n")).as("varx"),
+          ((col("syy") - col("sy") * col("sy") / col("n")) / col("n")).as("vary"))
+        .select(col("mean_x_g"),
+          when(col("varx") > 0, col("cov") / col("varx")).as("theta"),
+          when(col("varx") > 0 && col("vary") > 0,
+            col("cov") * col("cov") / (col("varx") * col("vary"))).as("rho2"))
+      perUser.groupBy(col("arm"))
+        .agg(lcount(lit(1)).as("n_users"),
+          dsum(col("x")).as("sx_a"), dsum(col("y")).as("sy_a"))
+        .crossJoin(broadcast(g))
+        .select(col("arm"), col("n_users"),
+          round(col("sy_a") / col("n_users"), 6).as("mean_y"),
+          round(col("sy_a") / col("n_users")
+            - col("theta") * (col("sx_a") / col("n_users") - col("mean_x_g")), 6)
+            .as("mean_y_cuped"),
+          round(col("theta"), 6).as("theta"),
+          round(col("rho2"), 6).as("var_reduction"))
+        .orderBy(col("arm"))
+    },
+    Some(s"""WITH ev AS (
+      |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec, value
+      |  FROM events),
+      |mid AS (
+      |  SELECT MIN(sec) + ((MAX(sec) - MIN(sec)) // 2) AS mid FROM ev),
+      |pu AS (
+      |  SELECT user_id, user_id % 2 AS arm,
+      |    COALESCE(${sqlDsum("CASE WHEN sec < m.mid THEN value END")}, 0.0) AS x,
+      |    COALESCE(${sqlDsum("CASE WHEN sec >= m.mid THEN value END")}, 0.0) AS y
+      |  FROM ev CROSS JOIN mid m GROUP BY user_id, user_id % 2),
+      |g0 AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    ${sqlDsum("x")} AS sx, ${sqlDsum("y")} AS sy,
+      |    ${sqlDsum("x * x")} AS sxx, ${sqlDsum("y * y")} AS syy,
+      |    ${sqlDsum("x * y")} AS sxy
+      |  FROM pu),
+      |g1 AS (
+      |  SELECT sx / n AS mean_x_g,
+      |    (sxy - sx * sy / n) / n AS cov,
+      |    (sxx - sx * sx / n) / n AS varx,
+      |    (syy - sy * sy / n) / n AS vary
+      |  FROM g0),
+      |g AS (
+      |  SELECT mean_x_g,
+      |    CASE WHEN varx > 0 THEN cov / varx END AS theta,
+      |    CASE WHEN varx > 0 AND vary > 0
+      |      THEN cov * cov / (varx * vary) END AS rho2
+      |  FROM g1),
+      |a AS (
+      |  SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+      |    ${sqlDsum("x")} AS sx_a, ${sqlDsum("y")} AS sy_a
+      |  FROM pu GROUP BY arm)
+      |SELECT a.arm, a.n_users,
+      |  round(a.sy_a / a.n_users, 6) AS mean_y,
+      |  round(a.sy_a / a.n_users
+      |    - g.theta * (a.sx_a / a.n_users - g.mean_x_g), 6) AS mean_y_cuped,
+      |  round(g.theta, 6) AS theta,
+      |  round(g.rho2, 6) AS var_reduction
+      |FROM a CROSS JOIN g ORDER BY a.arm""".stripMargin))
+
+  /** q327: stratified ATE with empirical propensity — the causal
+    * counterpart of q324 (CUPED shrinks variance; this removes
+    * confounding by covariate cell): treatment = user parity,
+    * outcome = event value, strata = event_type × 6-hour band, and
+    * the average treatment effect is the support-cell-weighted mean
+    * difference Σ (n_cell/n_support)·(ȳ_t(cell) − ȳ_c(cell)) —
+    * algebraically identical to inverse-propensity weighting when
+    * p̂(cell) is the cell's empirical treated share. Cells missing
+    * either arm fall out of common support and are reported, not
+    * silently absorbed. One fact-sized groupBy; the weighting runs on
+    * the 20-cell frame with decimal-routed sums. */
+  val q327 = GQuery(
+    "q327_stratified_ate",
+    (s, d) => {
+      val ev = events(s, d)
+        .select((col("user_id") % 2 === 1).as("treated"), col("value"),
+          col("event_type").as("stratum"),
+          expr("hour(ts) div 6").cast("long").as("band"))
+      val cells = ev.groupBy(col("stratum"), col("band"))
+        .agg(lcount(lit(1)).as("n_cell"),
+          coalesce(sum(when(col("treated"), 1L)), lit(0L)).as("nt"),
+          coalesce(sum(when(!col("treated"), 1L)), lit(0L)).as("nc"),
+          coalesce(dsum(when(col("treated"), col("value"))), lit(0.0)).as("st"),
+          coalesce(dsum(when(!col("treated"), col("value"))), lit(0.0)).as("sc"))
+      val naive = ev.agg(
+        (dsum(when(col("treated"), col("value")))
+          / sum(when(col("treated"), 1L))
+          - dsum(when(!col("treated"), col("value")))
+          / sum(when(!col("treated"), 1L))).as("naive_diff"))
+      cells
+        .withColumn("supported", col("nt") > 0 && col("nc") > 0)
+        .agg(
+          sum(col("n_cell")).as("n_total"),
+          lcount(lit(1)).as("n_cells"),
+          coalesce(sum(when(col("supported"), 1L)), lit(0L)).as("n_cells_support"),
+          coalesce(sum(when(col("supported"), col("n_cell"))), lit(0L)).as("n_support"),
+          coalesce(dsum(when(col("supported"),
+            col("n_cell").cast("double")
+              * (col("st") / col("nt") - col("sc") / col("nc")))), lit(0.0))
+            .as("wsum"))
+        .crossJoin(broadcast(naive))
+        .select(col("n_total"), col("n_cells"), col("n_cells_support"),
+          col("n_support"),
+          round(col("naive_diff"), 6).as("naive_diff"),
+          round(col("wsum") / col("n_support"), 6).as("ate_strat"))
+    },
+    Some(s"""WITH ev AS (
+      |  SELECT (user_id % 2 = 1) AS treated, value,
+      |    event_type AS stratum,
+      |    CAST(date_part('hour', ts) AS BIGINT) // 6 AS band
+      |  FROM events),
+      |cells AS (
+      |  SELECT stratum, band, CAST(COUNT(*) AS BIGINT) AS n_cell,
+      |    COALESCE(CAST(SUM(CASE WHEN treated THEN 1 END) AS BIGINT), 0) AS nt,
+      |    COALESCE(CAST(SUM(CASE WHEN NOT treated THEN 1 END) AS BIGINT), 0)
+      |      AS nc,
+      |    COALESCE(${sqlDsum("CASE WHEN treated THEN value END")}, 0.0) AS st,
+      |    COALESCE(${sqlDsum("CASE WHEN NOT treated THEN value END")}, 0.0) AS sc
+      |  FROM ev GROUP BY stratum, band),
+      |naive AS (
+      |  SELECT ${sqlDsum("CASE WHEN treated THEN value END")}
+      |      / CAST(SUM(CASE WHEN treated THEN 1 END) AS BIGINT)
+      |    - ${sqlDsum("CASE WHEN NOT treated THEN value END")}
+      |      / CAST(SUM(CASE WHEN NOT treated THEN 1 END) AS BIGINT) AS naive_diff
+      |  FROM ev),
+      |agg AS (
+      |  SELECT CAST(SUM(n_cell) AS BIGINT) AS n_total,
+      |    CAST(COUNT(*) AS BIGINT) AS n_cells,
+      |    COALESCE(CAST(SUM(CASE WHEN nt > 0 AND nc > 0 THEN 1 END)
+      |      AS BIGINT), 0) AS n_cells_support,
+      |    COALESCE(CAST(SUM(CASE WHEN nt > 0 AND nc > 0 THEN n_cell END)
+      |      AS BIGINT), 0) AS n_support,
+      |    COALESCE(${sqlDsum(
+             "CASE WHEN nt > 0 AND nc > 0 THEN CAST(n_cell AS DOUBLE) * (st / nt - sc / nc) END")},
+      |      0.0) AS wsum
+      |  FROM cells)
+      |SELECT a.n_total, a.n_cells, a.n_cells_support, a.n_support,
+      |  round(n.naive_diff, 6) AS naive_diff,
+      |  round(a.wsum / a.n_support, 6) AS ate_strat
+      |FROM agg a CROSS JOIN naive n""".stripMargin))
+
   def queries: Seq[GQuery] =
     Seq(q23, q24, q25, q26, q27, q28, q29, q30, q31, q51, q58, q113, q163,
       q185, q191, q211, q217, q268, q274, q284, q291, q293, q294, q295,
-      q296, q297, q298, q299, q300, q305, q306, q308, q311, q312, q315)
+      q296, q297, q298, q299, q300, q305, q306, q308, q311, q312, q315,
+      q324, q327)
 }

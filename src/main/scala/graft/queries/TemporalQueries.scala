@@ -1495,8 +1495,223 @@ object TemporalQueries {
       |SELECT bucket_log2, CAST(COUNT(*) AS BIGINT) AS n_events
       |FROM b GROUP BY bucket_log2 ORDER BY bucket_log2""".stripMargin))
 
+  /** q322: Kaplan–Meier time-to-conversion
+    * ([[graft.stats.Survival.kaplanMeier]]) — the survival census
+    * beside q317's retention matrix: per user, the duration in whole
+    * hours from their FIRST event to their FIRST purchase, observed
+    * inside a 72-hour study window and right-CENSORED at 72 h
+    * otherwise (the administrative-censoring design every
+    * time-to-event analysis runs — censored users still count in
+    * n_risk for every earlier step, which is exactly what a naive
+    * conversion-rate-by-hour histogram gets wrong). The per-user
+    * frame is one shuffle on user_id; the KM recurrence runs on the
+    * ≤73-row distinct-duration frame. The oracle replays n_risk, the
+    * step factors, and the decimal-routed log-sum product. */
+  val q322 = GQuery(
+    "q322_kaplan_meier",
+    (s, d) => {
+      val ev = events(s, d)
+        .select(col("user_id"), unix_timestamp(col("ts")).as("sec"),
+          col("event_type"))
+      val perUser = ev.groupBy(col("user_id"))
+        .agg(min(col("sec")).as("s0"),
+          min(when(col("event_type") === "purchase", col("sec"))).as("sp"))
+      val units = perUser
+        .withColumn("h", expr("(sp - s0) div 3600"))
+        .select(
+          when(col("h").isNotNull && col("h") <= 72, col("h"))
+            .otherwise(lit(72L)).as("dur"),
+          (col("h").isNotNull && col("h") <= 72).as("observed"))
+      graft.stats.Survival.kaplanMeier(units, "dur", "observed")
+    },
+    Some("""WITH u AS (
+      |  SELECT user_id, MIN(CAST(floor(epoch(ts)) AS BIGINT)) AS s0,
+      |    MIN(CASE WHEN event_type = 'purchase'
+      |        THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS sp
+      |  FROM events GROUP BY user_id),
+      |dur AS (
+      |  SELECT CASE WHEN (sp - s0) // 3600 <= 72
+      |      THEN (sp - s0) // 3600 ELSE 72 END AS t,
+      |    (sp IS NOT NULL AND (sp - s0) // 3600 <= 72) AS observed
+      |  FROM u),
+      |byt AS (
+      |  SELECT t, CAST(COUNT(*) AS BIGINT) AS n_at,
+      |    COALESCE(CAST(SUM(CASE WHEN observed THEN 1 END) AS BIGINT), 0)
+      |      AS d_events
+      |  FROM dur GROUP BY t),
+      |w AS (
+      |  SELECT t, n_at, d_events, n_at - d_events AS n_censored,
+      |    CAST(SUM(n_at) OVER ()
+      |      - COALESCE(SUM(n_at) OVER (ORDER BY t
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS n_risk
+      |  FROM byt),
+      |f AS (
+      |  SELECT t, n_risk, d_events, n_censored,
+      |    CASE WHEN d_events = 0 THEN 0.0
+      |      WHEN d_events < n_risk
+      |      THEN ln(1.0 - CAST(d_events AS DOUBLE) / CAST(n_risk AS DOUBLE))
+      |      ELSE 0.0 END AS ln_factor,
+      |    CASE WHEN d_events >= n_risk THEN 1 ELSE 0 END AS z
+      |  FROM w),
+      |c AS (
+      |  SELECT t, n_risk, d_events, n_censored,
+      |    MAX(z) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS hit_zero,
+      |    CAST(SUM(CAST(ln_factor AS DECIMAL(38,6)))
+      |      OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS lns
+      |  FROM f)
+      |SELECT t, n_risk, d_events, n_censored,
+      |  CASE WHEN hit_zero = 1 THEN 0.0 ELSE round(exp(lns), 6) END AS survival
+      |FROM c WHERE d_events > 0 ORDER BY t""".stripMargin))
+
+  /** q323: multi-touch attribution — the marketing-analytics census
+    * behind q181's funnel: every purchase is a CONVERSION, every
+    * non-purchase event by the same user in the 7-day lookback window
+    * is a TOUCH, and each channel (event_type) is credited under
+    * three standard models at once: first-touch (1 to the earliest
+    * touch), last-touch (1 to the latest), and linear (1/n to each of
+    * the conversion's n touches, carried as exact truncating-÷ ppm so
+    * the credit ledger stays integer). Ties inside a conversion break
+    * on (ts, event_id). Scale shape: the touch↔conversion pairing is
+    * a per-user bounded range join (SMJ on user_id + residual time
+    * band); the rank windows partition by conversion id, never by a
+    * fact-wide key. */
+  val q323 = GQuery(
+    "q323_touch_attribution",
+    (s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val ev = events(s, d)
+      val conv = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("conv_id"), col("ts").as("cts"))
+      val touch = ev.filter(col("event_type") =!= "purchase")
+        .select(col("user_id"), col("event_id"), col("event_type").as("channel"),
+          col("ts"))
+      val pairs = conv.join(touch, Seq("user_id"))
+        .filter(col("ts") < col("cts") &&
+          col("ts") >= col("cts") - expr("INTERVAL 7 DAY"))
+      val r = pairs
+        .withColumn("rf", row_number().over(W.partitionBy(col("conv_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)))
+        .withColumn("rl", row_number().over(W.partitionBy(col("conv_id"))
+          .orderBy(col("ts").desc, col("event_id").desc)))
+        .withColumn("n", count(lit(1)).over(W.partitionBy(col("conv_id"))))
+      r.groupBy(col("channel"))
+        .agg(
+          coalesce(sum(when(col("rf") === 1, 1L)), lit(0L)).as("first_touch"),
+          coalesce(sum(when(col("rl") === 1, 1L)), lit(0L)).as("last_touch"),
+          sum(expr("1000000 div n")).as("linear_e6"),
+          lcount(lit(1)).as("n_touches"))
+        .orderBy(col("channel"))
+    },
+    Some("""WITH conv AS (
+      |  SELECT user_id, event_id AS conv_id, ts AS cts
+      |  FROM events WHERE event_type = 'purchase'),
+      |touch AS (
+      |  SELECT user_id, event_id, event_type AS channel, ts
+      |  FROM events WHERE event_type <> 'purchase'),
+      |pairs AS (
+      |  SELECT c.conv_id, t.event_id, t.channel, t.ts
+      |  FROM conv c JOIN touch t ON c.user_id = t.user_id
+      |   AND t.ts < c.cts AND t.ts >= c.cts - INTERVAL 7 DAY),
+      |r AS (
+      |  SELECT conv_id, channel,
+      |    row_number() OVER (PARTITION BY conv_id
+      |                       ORDER BY ts ASC, event_id ASC) AS rf,
+      |    row_number() OVER (PARTITION BY conv_id
+      |                       ORDER BY ts DESC, event_id DESC) AS rl,
+      |    COUNT(*) OVER (PARTITION BY conv_id) AS n
+      |  FROM pairs)
+      |SELECT channel,
+      |  COALESCE(CAST(SUM(CASE WHEN rf = 1 THEN 1 END) AS BIGINT), 0)
+      |    AS first_touch,
+      |  COALESCE(CAST(SUM(CASE WHEN rl = 1 THEN 1 END) AS BIGINT), 0)
+      |    AS last_touch,
+      |  CAST(SUM(1000000 // n) AS BIGINT) AS linear_e6,
+      |  CAST(COUNT(*) AS BIGINT) AS n_touches
+      |FROM r GROUP BY channel ORDER BY channel""".stripMargin))
+
+  /** q326: offline UCB1 index census — the bandit-monitoring face of
+    * the experiment family (q318 SPRT decides when to STOP; this
+    * shows what an index policy WOULD have pulled each day from the
+    * logged data): arm = event_type, reward = 1 when the event's
+    * value clears 50, and each day's UCB1 index uses only data
+    * through the PREVIOUS day (mean + sqrt(2 ln N / n)). Days before
+    * every arm has a pull are warm-up and omitted (n = 0 has no
+    * index). The daily agg is the only fact-sized pass; the spine ×
+    * cumulative windows run on the days×arms frame. Doubles are
+    * identical on both engines (one division, ln, sqrt), rounded at
+    * e6; the argmax tie-breaks on arm name. */
+  val q326 = GQuery(
+    "q326_ucb1_census",
+    (s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val daily = events(s, d)
+        .groupBy(to_date(col("ts")).as("day"), col("event_type").as("arm"))
+        .agg(lcount(lit(1)).as("n"),
+          coalesce(sum(when(col("value") > 50.0, 1L)), lit(0L)).as("w"))
+      val spine = daily.select(col("day")).distinct()
+        .crossJoin(daily.select(col("arm")).distinct())
+      val filled = spine.join(daily, Seq("day", "arm"), "left")
+        .select(col("day"), col("arm"),
+          coalesce(col("n"), lit(0L)).as("n"), coalesce(col("w"), lit(0L)).as("w"))
+      val prev = W.partitionBy(col("arm")).orderBy(col("day"))
+        .rowsBetween(W.unboundedPreceding, -1)
+      val cum = filled
+        .withColumn("n_cum", coalesce(sum(col("n")).over(prev), lit(0L)))
+        .withColumn("w_cum", coalesce(sum(col("w")).over(prev), lit(0L)))
+        .withColumn("big_n", sum(col("n_cum")).over(W.partitionBy(col("day"))))
+        .withColumn("min_n", min(col("n_cum")).over(W.partitionBy(col("day"))))
+        .filter(col("min_n") > 0)
+        .withColumn("ucb",
+          col("w_cum").cast("double") / col("n_cum").cast("double")
+            + sqrt(lit(2.0) * log(col("big_n").cast("double"))
+              / col("n_cum").cast("double")))
+      cum.withColumn("chosen",
+          row_number().over(W.partitionBy(col("day"))
+            .orderBy(col("ucb").desc, col("arm").asc)) === 1)
+        .select(col("day"), col("arm"), col("n_cum"), col("w_cum"),
+          round(col("ucb"), 6).as("ucb"), col("chosen"))
+        .orderBy(col("day"), col("arm"))
+    },
+    Some("""WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS day, event_type AS arm,
+      |    CAST(COUNT(*) AS BIGINT) AS n,
+      |    COALESCE(CAST(SUM(CASE WHEN value > 50.0 THEN 1 END) AS BIGINT), 0)
+      |      AS w
+      |  FROM events GROUP BY 1, 2),
+      |spine AS (
+      |  SELECT d.day, a.arm FROM (SELECT DISTINCT day FROM daily) d
+      |  CROSS JOIN (SELECT DISTINCT arm FROM daily) a),
+      |filled AS (
+      |  SELECT s.day, s.arm, COALESCE(dd.n, 0) AS n, COALESCE(dd.w, 0) AS w
+      |  FROM spine s LEFT JOIN daily dd ON s.day = dd.day AND s.arm = dd.arm),
+      |cum AS (
+      |  SELECT day, arm,
+      |    CAST(COALESCE(SUM(n) OVER (PARTITION BY arm ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS n_cum,
+      |    CAST(COALESCE(SUM(w) OVER (PARTITION BY arm ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS w_cum
+      |  FROM filled),
+      |tot AS (
+      |  SELECT day, arm, n_cum, w_cum,
+      |    SUM(n_cum) OVER (PARTITION BY day) AS big_n,
+      |    MIN(n_cum) OVER (PARTITION BY day) AS min_n
+      |  FROM cum),
+      |u AS (
+      |  SELECT day, arm, n_cum, w_cum,
+      |    CAST(w_cum AS DOUBLE) / CAST(n_cum AS DOUBLE)
+      |      + sqrt(2.0 * ln(CAST(big_n AS DOUBLE)) / CAST(n_cum AS DOUBLE))
+      |      AS ucb
+      |  FROM tot WHERE min_n > 0)
+      |SELECT day, arm, n_cum, w_cum, round(ucb, 6) AS ucb,
+      |  (row_number() OVER (PARTITION BY day
+      |     ORDER BY ucb DESC, arm ASC) = 1) AS chosen
+      |FROM u ORDER BY day, arm""".stripMargin))
+
   def queries: Seq[GQuery] =
     Seq(q43, q44, q56, q70, q181, q182, q183, q196, q197, q263, q272, q278,
       q279, q280, q281, q285, q301, q302, q303, q309, q310, q317, q318,
-      q320)
+      q320, q322, q323, q326)
 }
