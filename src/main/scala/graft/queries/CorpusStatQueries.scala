@@ -962,7 +962,195 @@ object CorpusStatQueries {
       |    AS fk_grade
       |FROM g ORDER BY lang, source""".stripMargin))
 
+  /** q331: RAKE keyphrase extraction (Rose et al. 2010) — the
+    * phrase-grain keyword miner beside q267's TextRank (TextRank
+    * ranks WORDS by co-occurrence centrality; RAKE scores candidate
+    * PHRASES — maximal stopword-free token runs — by member-word
+    * degree/frequency ratios, no graph iteration at all). Stopword
+    * delimiters {a, the}; word score = deg(w)/freq(w) where deg sums
+    * the lengths of every phrase containing the occurrence; phrase
+    * score sums member-word scores (decimal-routed). Top 3 phrases
+    * per language by (score, phrase). One token explode + segment
+    * window is the only fact-sized work; word scores live on the
+    * ~32-word vocabulary frame. */
+  val q331 = GQuery(
+    "q331_rake_keyphrases",
+    (s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val toks = documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+        .filter(col("word") =!= "")
+        .withColumn("is_stop", col("word").isin("a", "the"))
+        .withColumn("seg",
+          sum(when(col("is_stop"), 1L).otherwise(0L))
+            .over(W.partitionBy(col("doc_id")).orderBy(col("pos"))
+              .rowsBetween(W.unboundedPreceding, W.currentRow)))
+      val members = toks.filter(!col("is_stop"))
+        .withColumn("plen",
+          count(lit(1)).over(W.partitionBy(col("doc_id"), col("seg"))))
+      val wordScore = members.groupBy(col("word"))
+        .agg(lcount(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+        .select(col("word"),
+          (col("deg").cast("double") / col("freq").cast("double")).as("score"))
+      val phrases = members.groupBy(col("doc_id"), col("lang"), col("seg"))
+        .agg(concat_ws(" ", expr(
+          "transform(array_sort(collect_list(struct(pos, word))), x -> x.word)"))
+          .as("phrase"))
+      val occ = phrases.groupBy(col("lang"), col("phrase"))
+        .agg(lcount(lit(1)).as("n_occ"))
+      val scored = occ
+        .select(col("lang"), col("phrase"), col("n_occ"),
+          explode(split(col("phrase"), " ")).as("word"))
+        .join(broadcast(wordScore), Seq("word"))
+        .groupBy(col("lang"), col("phrase"), col("n_occ"))
+        .agg(dsum(col("score")).as("score"))
+      scored
+        .withColumn("rk", row_number().over(W.partitionBy(col("lang"))
+          .orderBy(col("score").desc, col("phrase").asc)))
+        .filter(col("rk") <= 3)
+        .select(col("lang"), col("rk").cast("long").as("rk"), col("phrase"),
+          col("n_occ"), round(col("score"), 6).as("score"))
+        .orderBy(col("lang"), col("rk"))
+    },
+    Some(s"""WITH toks AS (
+      |  SELECT doc_id, lang, generate_subscripts(ws, 1) AS pos,
+      |    unnest(ws) AS word
+      |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS ws
+      |        FROM documents)),
+      |seg AS (
+      |  SELECT doc_id, lang, pos, word, word IN ('a', 'the') AS is_stop,
+      |    SUM(CASE WHEN word IN ('a', 'the') THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY doc_id ORDER BY pos
+      |            ROWS UNBOUNDED PRECEDING) AS seg
+      |  FROM toks WHERE word <> ''),
+      |members AS (
+      |  SELECT doc_id, lang, pos, word, seg,
+      |    COUNT(*) OVER (PARTITION BY doc_id, seg) AS plen
+      |  FROM seg WHERE NOT is_stop),
+      |ws AS (
+      |  SELECT word, CAST(SUM(plen) AS DOUBLE) / COUNT(*) AS score
+      |  FROM members GROUP BY word),
+      |phrases AS (
+      |  SELECT doc_id, lang, seg,
+      |    string_agg(word, ' ' ORDER BY pos) AS phrase
+      |  FROM members GROUP BY doc_id, lang, seg),
+      |occ AS (
+      |  SELECT lang, phrase, CAST(COUNT(*) AS BIGINT) AS n_occ
+      |  FROM phrases GROUP BY lang, phrase),
+      |scored AS (
+      |  SELECT o.lang, o.phrase, o.n_occ,
+      |    CAST(SUM(CAST(w.score AS DECIMAL(38,6))) AS DOUBLE) AS score
+      |  FROM (SELECT lang, phrase, n_occ,
+      |          unnest(string_split(phrase, ' ')) AS word FROM occ) o
+      |  JOIN ws w ON o.word = w.word
+      |  GROUP BY o.lang, o.phrase, o.n_occ)
+      |SELECT lang, CAST(rk AS BIGINT) AS rk, phrase, n_occ,
+      |  round(score, 6) AS score
+      |FROM (SELECT lang, phrase, n_occ, score,
+      |        row_number() OVER (PARTITION BY lang
+      |          ORDER BY score DESC, phrase ASC) AS rk
+      |      FROM scored)
+      |WHERE rk <= 3 ORDER BY lang, rk""".stripMargin))
+
+  /** q333: Heaps'-law fit — the vocabulary-growth health check beside
+    * q149's Zipf fit (Zipf: rank-frequency within a snapshot; Heaps:
+    * V(n) = K·n^β as the corpus GROWS — the curve that predicts how
+    * much new vocabulary another 10× of crawl will bring). Cumulative
+    * growth is made distributed-exact by bucketing docs into 10
+    * corpus prefixes in doc_id order: each word contributes to the
+    * bucket of its FIRST occurrence (min doc-rank — one groupBy, no
+    * sequential scan), token mass sums per bucket, and both cumulate
+    * over the 10-row frame. OLS on (ln n_k, ln V_k) with
+    * decimal-routed moment sums gives β and K = exp(ȳ − β·x̄).
+    * Output: the 10 checkpoints with the shared fit. */
+  val q333 = GQuery(
+    "q333_heaps_law",
+    (s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val docs = documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .withColumn("rn",
+          row_number().over(W.orderBy(col("doc_id"))))
+      val nTot = docs.agg(lcount(lit(1)).as("n_docs"))
+      val withB = docs.crossJoin(broadcast(nTot))
+        .withColumn("b", expr("((rn - 1) * 10) div n_docs + 1"))
+      val tokB = withB
+        .select(col("b"),
+          size(filter(col("ws"), w => w =!= "")).cast("long").as("n_toks"))
+        .groupBy(col("b")).agg(sum(col("n_toks")).as("toks"))
+      val firstB = withB
+        .select(col("b"), explode(col("ws")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy(col("word")).agg(min(col("b")).as("fb"))
+        .groupBy(col("fb").as("b")).agg(lcount(lit(1)).as("new_words"))
+      val cum = tokB.join(firstB, Seq("b"), "left")
+        .select(col("b"), col("toks"),
+          coalesce(col("new_words"), lit(0L)).as("new_words"))
+        .withColumn("n_tokens", sum(col("toks")).over(
+          W.orderBy(col("b")).rowsBetween(W.unboundedPreceding, W.currentRow)))
+        .withColumn("vocab", sum(col("new_words")).over(
+          W.orderBy(col("b")).rowsBetween(W.unboundedPreceding, W.currentRow)))
+        .select(col("b"), col("n_tokens"), col("vocab"),
+          log(col("n_tokens").cast("double")).as("x"),
+          log(col("vocab").cast("double")).as("y"))
+      val fit = cum.agg(lcount(lit(1)).as("m"),
+          dsum(col("x")).as("sx"), dsum(col("y")).as("sy"),
+          dsum(col("x") * col("x")).as("sxx"), dsum(col("x") * col("y")).as("sxy"))
+        .select(
+          ((col("sxy") - col("sx") * col("sy") / col("m"))
+            / (col("sxx") - col("sx") * col("sx") / col("m"))).as("beta"),
+          col("sx"), col("sy"), col("m"))
+        .select(col("beta"),
+          exp(col("sy") / col("m") - col("beta") * col("sx") / col("m")).as("kc"))
+      cum.crossJoin(broadcast(fit))
+        .select(col("b"), col("n_tokens"), col("vocab"),
+          round(col("beta"), 6).as("beta"), round(col("kc"), 6).as("k_heaps"))
+        .orderBy(col("b"))
+    },
+    Some(s"""WITH docs AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws,
+      |    row_number() OVER (ORDER BY doc_id) AS rn,
+      |    COUNT(*) OVER () AS n_docs
+      |  FROM documents),
+      |wb AS (
+      |  SELECT doc_id, ws, ((rn - 1) * 10) // n_docs + 1 AS b FROM docs),
+      |tokb AS (
+      |  SELECT b, CAST(SUM(len(list_filter(ws, w -> w <> ''))) AS BIGINT)
+      |    AS toks
+      |  FROM wb GROUP BY b),
+      |firstb AS (
+      |  SELECT fb AS b, CAST(COUNT(*) AS BIGINT) AS new_words FROM (
+      |    SELECT word, MIN(b) AS fb FROM (
+      |      SELECT b, unnest(ws) AS word FROM wb) t
+      |    WHERE word <> '' GROUP BY word)
+      |  GROUP BY fb),
+      |cum AS (
+      |  SELECT t.b,
+      |    CAST(SUM(t.toks) OVER (ORDER BY t.b ROWS UNBOUNDED PRECEDING)
+      |      AS BIGINT) AS n_tokens,
+      |    CAST(SUM(COALESCE(f.new_words, 0))
+      |      OVER (ORDER BY t.b ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab
+      |  FROM tokb t LEFT JOIN firstb f ON t.b = f.b),
+      |pts AS (
+      |  SELECT b, n_tokens, vocab, ln(CAST(n_tokens AS DOUBLE)) AS x,
+      |    ln(CAST(vocab AS DOUBLE)) AS y
+      |  FROM cum),
+      |fit0 AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+      |    ${sqlDsum("x")} AS sx, ${sqlDsum("y")} AS sy,
+      |    ${sqlDsum("x * x")} AS sxx, ${sqlDsum("x * y")} AS sxy
+      |  FROM pts),
+      |fit AS (
+      |  SELECT (sxy - sx * sy / m) / (sxx - sx * sx / m) AS beta, sx, sy, m
+      |  FROM fit0),
+      |fit2 AS (
+      |  SELECT beta, exp(sy / m - beta * sx / m) AS kc FROM fit)
+      |SELECT p.b, p.n_tokens, p.vocab, round(f.beta, 6) AS beta,
+      |  round(f.kc, 6) AS k_heaps
+      |FROM pts p CROSS JOIN fit2 f ORDER BY p.b""".stripMargin))
+
   def queries: Seq[GQuery] =
     Seq(q146, q149, q152, q169, q175, q213, q215, q220, q224, q237, q275,
-      q276, q314, q319, q325)
+      q276, q314, q319, q325, q331, q333)
 }

@@ -1159,7 +1159,238 @@ object GraphQueries {
       |ORDER BY harm_e6 DESC, domain""".stripMargin
     })
 
+  /** Oracle CTE block for one q330 chain variant: counts (optionally
+    * with a channel removed), row-normalized matrix with absorbing
+    * self-loops, five decimal-routed squarings (P^32), and the
+    * start→conv absorption scalar. */
+  private def markovCtes(tag: String, removed: String): String = {
+    val cnt =
+      if (removed.isEmpty) s"cnt_$tag AS (SELECT src, dst, n FROM cnt)"
+      else
+        s"""cnt_$tag AS (
+           |  SELECT src, CASE WHEN dst = '$removed' THEN 'null' ELSE dst END
+           |    AS dst, CAST(SUM(n) AS BIGINT) AS n
+           |  FROM cnt WHERE src <> '$removed' GROUP BY 1, 2)""".stripMargin
+    val m0 =
+      s"""m_${tag}_0 AS (
+         |  SELECT src, dst, CAST(n AS DOUBLE)
+         |    / CAST(SUM(n) OVER (PARTITION BY src) AS DOUBLE) AS p
+         |  FROM cnt_$tag
+         |  UNION ALL SELECT 'conv', 'conv', 1.0
+         |  UNION ALL SELECT 'null', 'null', 1.0)""".stripMargin
+    val sq = (1 to 5).map(k =>
+      s"""m_${tag}_$k AS (
+         |  SELECT a.src, b.dst,
+         |    CAST(SUM(CAST(a.p * b.p AS DECIMAL(38,18))) AS DOUBLE) AS p
+         |  FROM m_${tag}_${k - 1} a JOIN m_${tag}_${k - 1} b ON a.dst = b.src
+         |  GROUP BY a.src, b.dst)""".stripMargin)
+    val pc =
+      s"""pc_$tag AS (
+         |  SELECT COALESCE(SUM(p), 0.0) AS p FROM m_${tag}_5
+         |  WHERE src = 'start' AND dst = 'conv')""".stripMargin
+    (Seq(cnt, m0) ++ sq :+ pc).mkString(",\n")
+  }
+
+  /** q330: Markov-chain attribution with removal effects
+    * ([[graft.graph.MarkovAttribution]], Anderl et al. 2014) — the
+    * data-driven counterpart of q323's positional rules: journeys are
+    * per-user event sequences truncated at the first purchase
+    * (absorbing `conv`; journeys without one terminate in absorbing
+    * `null`), and each channel's credit is how much the start→conv
+    * absorption probability drops when the channel is removed (its
+    * inbound traffic redirected to `null`). Absorption runs to a
+    * 32-step horizon by FIVE matrix squarings — log₂ joins on
+    * states²-bounded frames, every product-sum DECIMAL(38,18)-routed
+    * so both engines agree bit-for-bit. One fact-sized pass builds
+    * the transition counts (landed via localCheckpoint — five chain
+    * variants probe it); everything after is a ≤49-row frame. */
+  val q330 = GQuery(
+    "q330_markov_attribution",
+    (s, d) => {
+      import graft.graph.{MarkovAttribution => MA}
+      val W = org.apache.spark.sql.expressions.Window
+      val w = W.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val o = events(s, d)
+        .select(col("user_id"),
+          when(col("event_type") === "purchase", lit("conv"))
+            .otherwise(col("event_type")).as("st"),
+          row_number().over(w).as("rn"))
+      val fp = o.filter(col("st") === "conv")
+        .groupBy(col("user_id")).agg(min(col("rn")).as("prn"))
+      val j = o.join(fp, Seq("user_id"), "left")
+        .filter(col("prn").isNull || col("rn") <= col("prn"))
+      val w2 = W.partitionBy(col("user_id")).orderBy(col("rn"))
+      val tr = j.select(
+        coalesce(lag(col("st"), 1).over(w2), lit("start")).as("src"),
+        col("st").as("dst"))
+      val term = j
+        .withColumn("rr", row_number().over(
+          W.partitionBy(col("user_id")).orderBy(col("rn").desc)))
+        .filter(col("rr") === 1 && col("st") =!= "conv")
+        .select(col("st").as("src"), lit("null").as("dst"))
+      val counts = tr.unionByName(term)
+        .groupBy(col("src"), col("dst")).agg(lcount(lit(1)).as("n"))
+        .localCheckpoint(eager = false) // five chain variants probe it
+      val channels = Seq("click", "error", "signup", "view")
+      // all five chains ride ONE tagged frame: each squaring is a
+      // single job over the union instead of a job per variant
+      val taggedCounts = (counts.withColumn("chain", lit("full")) +:
+        channels.map(c =>
+          MA.removeChannel(counts, c).withColumn("chain", lit(c))))
+        .reduce(_ unionByName _)
+      val pc = MA.absorption(MA.normalize(taggedCounts, Seq("chain")),
+        squarings = 5, tagCols = Seq("chain"))
+      val pf = pc.filter(col("chain") === "full").select(col("p").as("pf"))
+      import s.implicits._
+      val prs = channels.toDF("channel")
+        .join(pc.withColumnRenamed("chain", "channel"), Seq("channel"), "left")
+        .select(col("channel"), coalesce(col("p"), lit(0.0)).as("pr"))
+      val dec18 = org.apache.spark.sql.types.DecimalType(38, 18)
+      val re1 = prs.crossJoin(broadcast(pf))
+        .select(col("channel"), col("pf"), col("pr"),
+          when(col("pf") > 0, lit(1.0) - col("pr") / col("pf")).as("re"))
+      val tot = re1.agg(sum(col("re").cast(dec18)).cast("double").as("sre"))
+      re1.crossJoin(broadcast(tot))
+        .select(col("channel"),
+          round(col("pf"), 6).as("p_conv_full"),
+          round(col("pr"), 6).as("p_conv_removed"),
+          round(col("re"), 6).as("removal_effect"),
+          when(col("sre") > 0, round(col("re") / col("sre"), 6)).as("share"))
+        .orderBy(col("channel"))
+    },
+    Some(s"""WITH o AS (
+      |  SELECT user_id,
+      |    CASE WHEN event_type = 'purchase' THEN 'conv' ELSE event_type END
+      |      AS st,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |  FROM events),
+      |fp AS (SELECT user_id, MIN(rn) AS prn FROM o WHERE st = 'conv'
+      |  GROUP BY user_id),
+      |j AS (SELECT o.user_id, o.st, o.rn FROM o
+      |  LEFT JOIN fp ON o.user_id = fp.user_id
+      |  WHERE fp.prn IS NULL OR o.rn <= fp.prn),
+      |tr AS (SELECT COALESCE(LAG(st) OVER (PARTITION BY user_id ORDER BY rn),
+      |    'start') AS src, st AS dst FROM j),
+      |term AS (SELECT st AS src, 'null' AS dst FROM (
+      |  SELECT user_id, st,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY rn DESC) AS rr
+      |  FROM j) t WHERE rr = 1 AND st <> 'conv'),
+      |cnt AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n FROM
+      |  (SELECT src, dst FROM tr UNION ALL SELECT src, dst FROM term) u
+      |  GROUP BY 1, 2),
+      |${markovCtes("full", "")},
+      |${markovCtes("click", "click")},
+      |${markovCtes("error", "error")},
+      |${markovCtes("signup", "signup")},
+      |${markovCtes("view", "view")},
+      |re0 AS (
+      |  SELECT 'click' AS channel, f.p AS pf, r.p AS pr
+      |  FROM pc_full f CROSS JOIN pc_click r
+      |  UNION ALL SELECT 'error', f.p, r.p FROM pc_full f CROSS JOIN pc_error r
+      |  UNION ALL SELECT 'signup', f.p, r.p
+      |    FROM pc_full f CROSS JOIN pc_signup r
+      |  UNION ALL SELECT 'view', f.p, r.p FROM pc_full f CROSS JOIN pc_view r),
+      |re1 AS (SELECT channel, pf, pr,
+      |  CASE WHEN pf > 0 THEN 1.0 - pr / pf END AS re FROM re0),
+      |tot AS (SELECT CAST(SUM(CAST(re AS DECIMAL(38,18))) AS DOUBLE) AS sre
+      |  FROM re1)
+      |SELECT channel, round(pf, 6) AS p_conv_full,
+      |  round(pr, 6) AS p_conv_removed, round(re, 6) AS removal_effect,
+      |  CASE WHEN t.sre > 0 THEN round(re / t.sre, 6) END AS share
+      |FROM re1 CROSS JOIN tot t ORDER BY channel""".stripMargin))
+
+  /** Oracle block for one q332 partition scheme over the symmetrized
+    * weighted adjacency `wn (nu, nv, w)`: within-community mass,
+    * degree sums, and Newman's Q with an exact integer numerator. */
+  private def modularityCte(name: String, cuExpr: String, cvExpr: String): String =
+    s"""p_$name AS (SELECT $cuExpr AS cu, $cvExpr AS cv, w FROM wn),
+       |s_$name AS (
+       |  SELECT CAST(COUNT(DISTINCT cu) AS BIGINT) AS n_comms,
+       |    CAST(SUM(CASE WHEN cu = cv THEN w ELSE 0 END) AS BIGINT) AS e_in
+       |  FROM p_$name),
+       |a_$name AS (SELECT cu, CAST(SUM(w) AS BIGINT) AS a_c FROM p_$name
+       |  GROUP BY cu),
+       |sa_$name AS (SELECT SUM(CAST(a_c AS HUGEINT) * a_c) AS sa2 FROM a_$name),
+       |q_$name AS (
+       |  SELECT '$name' AS scheme, s.n_comms,
+       |    round(CAST(CAST(m.m2 AS HUGEINT) * s.e_in - x.sa2 AS DOUBLE)
+       |      / (CAST(m.m2 AS DOUBLE) * CAST(m.m2 AS DOUBLE)), 6) AS q
+       |  FROM s_$name s, sa_$name x, m2t m)""".stripMargin
+
+  /** q332: modularity census — Newman's Q for five candidate
+    * partitions of the q153 domain link graph (the SCORING half of
+    * community detection: q174's label propagation proposes
+    * communities, this measures any proposal exactly, so recipes can
+    * compare label-prop output against cheap structural partitions
+    * before paying for refinement). The directed edge list is
+    * symmetrized once (landed — five schemes probe it); per scheme
+    * Q = (m₂·Σe_c − Σa_c²)/m₂² keeps an exact INTEGER numerator
+    * (decimal-routed past int64) and spends exactly one IEEE division.
+    * Everything after the one fact-sized edge build is M²-bounded. */
+  val q332 = GQuery(
+    "q332_modularity_census",
+    (s, d) => {
+      val dec0 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val e = linkEdges(s, d)
+      val sym = e.select(col("src").as("u"), col("dst").as("v"), col("w"))
+        .unionByName(e.select(col("dst").as("u"), col("src").as("v"), col("w")))
+        .groupBy(col("u"), col("v")).agg(sum(col("w")).as("w"))
+        .select(expr("CAST(substring(u, 2) AS BIGINT)").as("nu"),
+          expr("CAST(substring(v, 2) AS BIGINT)").as("nv"), col("w"))
+        .localCheckpoint(eager = false) // five schemes probe it
+      val m2t = sym.agg(sum(col("w")).as("m2"))
+      val schemes = Seq(
+        ("blk20", expr("nu div 20"), expr("nv div 20")),
+        ("blk34", expr("nu div 34"), expr("nv div 34")),
+        ("mod2", col("nu") % 2, col("nv") % 2),
+        ("mod3", col("nu") % 3, col("nv") % 3),
+        ("mod5", col("nu") % 5, col("nv") % 5))
+      schemes.map { case (name, cu, cv) =>
+        val g = sym.withColumn("cu", cu).withColumn("cv", cv)
+        val stats = g.agg(
+          countDistinct(col("cu")).cast("long").as("n_comms"),
+          coalesce(sum(when(col("cu") === col("cv"), col("w"))), lit(0L))
+            .as("e_in"))
+        val sa = g.groupBy(col("cu")).agg(sum(col("w")).as("a_c"))
+          .agg(sum(col("a_c").cast(dec0) * col("a_c")).as("sa2"))
+        stats.crossJoin(sa).crossJoin(m2t)
+          .select(lit(name).as("scheme"), col("n_comms"),
+            round((col("m2").cast(dec0) * col("e_in") - col("sa2"))
+              .cast("double")
+              / (col("m2").cast("double") * col("m2").cast("double")), 6)
+              .as("q"))
+      }.reduce(_ unionByName _).orderBy(col("scheme"))
+    },
+    Some(s"""WITH raw AS (
+      |  SELECT 'd' || (doc_id % $M) AS src, 'd' || ((doc_id * 7 + 13) % $M)
+      |    AS dst FROM documents
+      |  UNION ALL
+      |  SELECT 'd' || (doc_id % $M), 'd' || ((doc_id * 13 + 29) % $M)
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT 'd' || (doc_id % $M), 'd' || ((doc_id * 31 + 7) % $M)
+      |  FROM documents),
+      |e AS (SELECT src, dst, COUNT(*) AS w FROM raw WHERE src != dst
+      |  GROUP BY src, dst),
+      |sym AS (
+      |  SELECT u, v, CAST(SUM(w) AS BIGINT) AS w FROM (
+      |    SELECT src AS u, dst AS v, w FROM e
+      |    UNION ALL SELECT dst, src, w FROM e) t
+      |  GROUP BY u, v),
+      |wn AS (
+      |  SELECT CAST(substr(u, 2) AS BIGINT) AS nu,
+      |    CAST(substr(v, 2) AS BIGINT) AS nv, w FROM sym),
+      |m2t AS (SELECT CAST(SUM(w) AS BIGINT) AS m2 FROM sym),
+      |${modularityCte("blk20", "nu // 20", "nv // 20")},
+      |${modularityCte("blk34", "nu // 34", "nv // 34")},
+      |${modularityCte("mod2", "nu % 2", "nv % 2")},
+      |${modularityCte("mod3", "nu % 3", "nv % 3")},
+      |${modularityCte("mod5", "nu % 5", "nv % 5")}
+      |SELECT * FROM q_blk20 UNION ALL SELECT * FROM q_blk34
+      |UNION ALL SELECT * FROM q_mod2 UNION ALL SELECT * FROM q_mod3
+      |UNION ALL SELECT * FROM q_mod5 ORDER BY scheme""".stripMargin))
+
   def queries: Seq[GQuery] =
     Seq(q153, q157, q158, q160, q164, q174, q178, q231, q232, q241, q242,
-      q243, q259, q267, q270, q277, q286, q288)
+      q243, q259, q267, q270, q277, q286, q288, q330, q332)
 }

@@ -499,6 +499,66 @@ object SamplingQueries {
       |FROM assigned GROUP BY split ORDER BY split""".stripMargin
     })
 
+  /** q334: Neyman optimal allocation — the survey-design face of the
+    * sampling family (q97's mixing fixes rates from character budgets;
+    * Neyman asks where a FIXED annotation budget buys the most
+    * variance reduction: n_h ∝ N_h·σ_h, so volatile strata get more
+    * than their population share). Strata = document source; y =
+    * n_chars; σ_h from exact integer moments (Σy, Σy² decimal-routed
+    * past int64, one sqrt each); budget 1000 allocated by
+    * floor(B·share) beside the proportional floor(B·N_h/N) baseline.
+    * One fact-sized groupBy; the allocation math runs on the
+    * strata-bounded frame with the Σ N·σ scalar broadcast back. */
+  val q334 = GQuery(
+    "q334_neyman_allocation",
+    (s, d) => {
+      val dec0 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val strata = documents(s, d)
+        .groupBy(col("source"))
+        .agg(lcount(lit(1)).as("n_h"),
+          sum(col("n_chars").cast(dec0)).as("sy"),
+          sum(col("n_chars").cast(dec0) * col("n_chars")).as("syy"))
+        .withColumn("sd",
+          when(col("n_h") > 1, sqrt(
+            (col("n_h") * col("syy") - col("sy") * col("sy")).cast("double")
+              / col("n_h").cast("double")
+              / (col("n_h") - 1).cast("double"))).otherwise(lit(0.0)))
+        .withColumn("nsd", col("n_h").cast("double") * col("sd"))
+      val tot = strata.agg(
+        sum(col("n_h")).as("n_total"),
+        sum(col("nsd").cast(org.apache.spark.sql.types.DecimalType(38, 6)))
+          .cast("double").as("sum_nsd"))
+      strata.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_h"),
+          round(col("sd"), 6).as("sd"),
+          floor(lit(1000.0) * col("nsd") / col("sum_nsd")).cast("long")
+            .as("neyman_n"),
+          expr("(1000 * n_h) div n_total").as("prop_n"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH strata AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_h,
+      |    SUM(CAST(n_chars AS HUGEINT)) AS sy,
+      |    SUM(CAST(n_chars AS HUGEINT) * n_chars) AS syy
+      |  FROM documents GROUP BY source),
+      |sds AS (
+      |  SELECT source, n_h,
+      |    CASE WHEN n_h > 1 THEN sqrt(
+      |      CAST(n_h * syy - sy * sy AS DOUBLE)
+      |        / CAST(n_h AS DOUBLE) / CAST(n_h - 1 AS DOUBLE))
+      |      ELSE 0.0 END AS sd
+      |  FROM strata),
+      |nsds AS (
+      |  SELECT source, n_h, sd, CAST(n_h AS DOUBLE) * sd AS nsd FROM sds),
+      |tot AS (
+      |  SELECT CAST(SUM(n_h) AS BIGINT) AS n_total,
+      |    CAST(SUM(CAST(nsd AS DECIMAL(38,6))) AS DOUBLE) AS sum_nsd
+      |  FROM nsds)
+      |SELECT s.source, s.n_h, round(s.sd, 6) AS sd,
+      |  CAST(FLOOR(1000.0 * s.nsd / t.sum_nsd) AS BIGINT) AS neyman_n,
+      |  (1000 * s.n_h) // t.n_total AS prop_n
+      |FROM nsds s CROSS JOIN tot t ORDER BY s.source""".stripMargin))
+
   def queries: Seq[GQuery] =
-    Seq(q97, q100, q104, q128, q165, q166, q194, q202, q235, q307)
+    Seq(q97, q100, q104, q128, q165, q166, q194, q202, q235, q307, q334)
 }

@@ -1710,8 +1710,72 @@ object TemporalQueries {
       |     ORDER BY ucb DESC, arm ASC) = 1) AS chosen
       |FROM u ORDER BY day, arm""".stripMargin))
 
+  /** q329: gap-constrained sequential-pattern mining (PrefixSpan-style
+    * support counting, Pei et al. 2001) — the ORDER-sensitive
+    * counterpart of q278's market baskets and q280's consecutive
+    * transitions: a user supports pattern ⟨t₁,t₂,t₃⟩ when the three
+    * types occur as a SUBSEQUENCE with at most 2 intervening events
+    * between consecutive elements (gap ≤ 3 positions). Each event
+    * carries its ≤3 successors through a lead() window (LINEAR in
+    * events — a user-keyed banded self-join would enumerate n² pairs
+    * per user before the band filter bites); the second hop is one
+    * equi-join back on the (user, position) key. Support is DISTINCT
+    * users, patterns below 5 supporters are pruned.
+    * Output: pattern, n_users, n_matches (total embeddings). */
+  val q329 = GQuery(
+    "q329_sequence_patterns",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val pos = events(s, d)
+        .select(col("user_id"), col("event_type"),
+          row_number().over(w).as("rn"))
+      val w2 = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("rn"))
+      val succ = pos.withColumn("nx", array((1 to 3).map(k =>
+          struct(lead(col("event_type"), k).over(w2).as("t"),
+            (col("rn") + k).as("r"))): _*))
+      val hop1 = succ
+        .select(col("user_id"), col("event_type").as("t1"),
+          explode(col("nx")).as("x"))
+        .filter(col("x.t").isNotNull)
+        .select(col("user_id"), col("t1"), col("x.t").as("t2"),
+          col("x.r").as("r2"))
+      val emb = hop1.join(
+          succ.select(col("user_id"), col("rn").as("r2"), col("nx")),
+          Seq("user_id", "r2"))
+        .select(col("user_id"), col("t1"), col("t2"),
+          explode(col("nx")).as("y"))
+        .filter(col("y.t").isNotNull)
+        .select(col("user_id"), col("t1"), col("t2"), col("y.t").as("t3"))
+      emb.groupBy(col("t1"), col("t2"), col("t3"))
+        .agg(countDistinct(col("user_id")).cast("long").as("n_users"),
+          lcount(lit(1)).as("n_matches"))
+        .filter(col("n_users") >= 5)
+        .orderBy(col("t1"), col("t2"), col("t3"))
+    },
+    Some("""WITH pos AS (
+      |  SELECT user_id, event_type,
+      |    row_number() OVER (PARTITION BY user_id
+      |                       ORDER BY ts, event_id) AS rn
+      |  FROM events),
+      |emb AS (
+      |  SELECT a.user_id, a.event_type AS t1, b.event_type AS t2,
+      |    c.event_type AS t3
+      |  FROM pos a
+      |  JOIN pos b ON a.user_id = b.user_id
+      |   AND b.rn > a.rn AND b.rn <= a.rn + 3
+      |  JOIN pos c ON b.user_id = c.user_id
+      |   AND c.rn > b.rn AND c.rn <= b.rn + 3)
+      |SELECT t1, t2, t3,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+      |  CAST(COUNT(*) AS BIGINT) AS n_matches
+      |FROM emb GROUP BY t1, t2, t3
+      |HAVING COUNT(DISTINCT user_id) >= 5
+      |ORDER BY t1, t2, t3""".stripMargin))
+
   def queries: Seq[GQuery] =
     Seq(q43, q44, q56, q70, q181, q182, q183, q196, q197, q263, q272, q278,
       q279, q280, q281, q285, q301, q302, q303, q309, q310, q317, q318,
-      q320, q322, q323, q326)
+      q320, q322, q323, q326, q329)
 }
