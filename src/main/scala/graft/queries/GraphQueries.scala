@@ -1390,7 +1390,92 @@ object GraphQueries {
       |UNION ALL SELECT * FROM q_mod2 UNION ALL SELECT * FROM q_mod3
       |UNION ALL SELECT * FROM q_mod5 ORDER BY scheme""".stripMargin))
 
+  /** q336: graph mixing census — degree assortativity (Newman 2002)
+    * and edge reciprocity over the q153 domain graph, the structural
+    * priors a crawl planner reads beside centrality (assortative
+    * hub-to-hub linking vs disassortative hub-to-leaf; how much of
+    * the link mass is mutual). Assortativity is the Pearson r over
+    * edge-endpoint degree pairs on the symmetrized graph (each edge
+    * counted in both orientations, the standard convention) with
+    * EXACT integer moments — decimal-routed cross products, two
+    * sqrts and one division at the very end. Reciprocity counts
+    * directed edges whose reverse exists via one self-semi-join on
+    * the edge key. Everything after the fact-sized edge build is
+    * M²-bounded. */
+  val q336 = GQuery(
+    "q336_graph_mixing",
+    (s, d) => {
+      val dec0 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val e = linkEdges(s, d).localCheckpoint(eager = false)
+      val sym = e.select(col("src").as("u"), col("dst").as("v"))
+        .unionByName(e.select(col("dst").as("u"), col("src").as("v")))
+        .distinct()
+      val deg = sym.groupBy(col("u")).agg(lcount(lit(1)).as("k"))
+      val pairs = sym
+        .join(deg.select(col("u"), col("k").as("ku")), Seq("u"))
+        .join(deg.select(col("u").as("v"), col("k").as("kv")), Seq("v"))
+      val mom = pairs.agg(
+        lcount(lit(1)).as("m"),
+        sum(col("ku").cast(dec0)).as("sx"),
+        sum((col("ku").cast(dec0)) * col("kv")).as("sxy"),
+        sum((col("ku").cast(dec0)) * col("ku")).as("sxx"))
+      val assort = mom.select(
+        col("m"),
+        when((col("m") * col("sxx") - col("sx") * col("sx")).cast("double") > 0,
+          (col("m") * col("sxy") - col("sx") * col("sx")).cast("double")
+            / (col("m") * col("sxx") - col("sx") * col("sx")).cast("double"))
+          .as("assortativity"))
+      val recip = e.as("a").join(e.as("b"),
+          col("a.src") === col("b.dst") && col("a.dst") === col("b.src"), "left_semi")
+        .agg(lcount(lit(1)).as("n_mutual"))
+      val nE = e.agg(lcount(lit(1)).as("n_edges"))
+      assort.crossJoin(recip).crossJoin(nE)
+        .select(col("n_edges"), col("n_mutual"),
+          expr("m div 2").as("n_und_edges"),
+          round(col("assortativity"), 6).as("assortativity"),
+          round(col("n_mutual").cast("double") / col("n_edges").cast("double"), 6)
+            .as("reciprocity"))
+    },
+    Some(s"""WITH raw AS (
+      |  SELECT 'd' || (doc_id % $M) AS src, 'd' || ((doc_id * 7 + 13) % $M)
+      |    AS dst FROM documents
+      |  UNION ALL
+      |  SELECT 'd' || (doc_id % $M), 'd' || ((doc_id * 13 + 29) % $M)
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT 'd' || (doc_id % $M), 'd' || ((doc_id * 31 + 7) % $M)
+      |  FROM documents),
+      |e AS (SELECT src, dst, COUNT(*) AS w FROM raw WHERE src != dst
+      |  GROUP BY src, dst),
+      |sym AS (
+      |  SELECT DISTINCT u, v FROM (
+      |    SELECT src AS u, dst AS v FROM e
+      |    UNION ALL SELECT dst, src FROM e) t),
+      |deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS k FROM sym GROUP BY u),
+      |pairs AS (
+      |  SELECT du.k AS ku, dv.k AS kv FROM sym s
+      |  JOIN deg du ON s.u = du.u JOIN deg dv ON s.v = dv.u),
+      |mom AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+      |    SUM(CAST(ku AS HUGEINT)) AS sx,
+      |    SUM(CAST(ku AS HUGEINT) * kv) AS sxy,
+      |    SUM(CAST(ku AS HUGEINT) * ku) AS sxx
+      |  FROM pairs),
+      |recip AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_mutual FROM e a
+      |  WHERE EXISTS (SELECT 1 FROM e b
+      |    WHERE a.src = b.dst AND a.dst = b.src)),
+      |ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM e)
+      |SELECT ne.n_edges, r.n_mutual, m.m // 2 AS n_und_edges,
+      |  round(CASE WHEN CAST(m.m * m.sxx - m.sx * m.sx AS DOUBLE) > 0
+      |    THEN CAST(m.m * m.sxy - m.sx * m.sx AS DOUBLE)
+      |      / CAST(m.m * m.sxx - m.sx * m.sx AS DOUBLE) END, 6)
+      |    AS assortativity,
+      |  round(CAST(r.n_mutual AS DOUBLE) / CAST(ne.n_edges AS DOUBLE), 6)
+      |    AS reciprocity
+      |FROM mom m CROSS JOIN recip r CROSS JOIN ne""".stripMargin))
+
   def queries: Seq[GQuery] =
     Seq(q153, q157, q158, q160, q164, q174, q178, q231, q232, q241, q242,
-      q243, q259, q267, q270, q277, q286, q288, q330, q332)
+      q243, q259, q267, q270, q277, q286, q288, q330, q332, q336)
 }

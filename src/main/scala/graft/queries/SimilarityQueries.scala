@@ -1631,5 +1631,92 @@ object SimilarityQueries {
       |SELECT cluster, role, CAST(COUNT(*) AS BIGINT) AS n
       |FROM lab GROUP BY cluster, role ORDER BY cluster, role""".stripMargin))
 
-  def queries: Seq[GQuery] = Seq(q40, q41, q42, q48, q53, q102, q105, q114, q117, q119, q122, q131, q147, q173, q176, q186, q188, q226, q248, q251, q253, q255, q257, q261, q269, q313, q328)
+  /** q337: semi-hard triplet mining census (FaceNet, Schroff et al.
+    * 2015) — the contrastive-training-data miner over the labeled
+    * embedding table: for each anchor, positives share its label,
+    * negatives don't, and the SEMI-HARD band keeps negatives that are
+    * farther than the positive but inside the margin
+    * (d²_ap < d²_an < d²_ap + M² — the squared-distance variant, all
+    * integer on the e6-scaled 2-D projection). Candidates come from
+    * same-grid-cell pairs only (the q328 cell trick — mining stays
+    * bucket-local, never corpus²); the census reports per label the
+    * anchors with at least one semi-hard triplet and the triplet
+    * mass, beside the raw pair bill. Cell width 0.05, margin² 10⁹. */
+  val q337 = GQuery(
+    "q337_triplet_mining",
+    (s, d) => {
+      val pts = embeddings(s, d).select(col("vec_id"), col("label"),
+          floor(element_at(col("embedding"), 1).cast("double") * 1e6 + lit(0.5))
+            .cast("long").as("x"),
+          floor(element_at(col("embedding"), 2).cast("double") * 1e6 + lit(0.5))
+            .cast("long").as("y"))
+        .withColumn("cx", expr("(x + 1000000000L) div 50000L"))
+        .withColumn("cy", expr("(y + 1000000000L) div 50000L"))
+        .localCheckpoint(eager = false) // both pair arms probe it
+      val a = pts.select(col("vec_id").as("ida"), col("label").as("la"),
+        col("x").as("xa"), col("y").as("ya"), col("cx"), col("cy"))
+      val b = pts.select(col("vec_id").as("idb"), col("label").as("lb"),
+        col("x").as("xb"), col("y").as("yb"), col("cx"), col("cy"))
+      val pairs = a.join(b, Seq("cx", "cy"))
+        .filter(col("ida") =!= col("idb"))
+        .select(col("ida"), col("la"),
+          (col("lb") === col("la")).as("same"),
+          ((col("xa") - col("xb")) * (col("xa") - col("xb"))
+            + (col("ya") - col("yb")) * (col("ya") - col("yb"))).as("d2"))
+      val ap = pairs.filter(col("same"))
+        .select(col("ida"), col("la"), col("d2").as("d2_ap"))
+      val an = pairs.filter(!col("same"))
+        .select(col("ida"), col("d2").as("d2_an"))
+      val trip = ap.join(an, Seq("ida"))
+        .filter(col("d2_an") > col("d2_ap")
+          && col("d2_an") < col("d2_ap") + lit(1000000000L))
+      val censusT = trip.groupBy(col("la").as("label"))
+        .agg(countDistinct(col("ida")).cast("long").as("n_anchors"),
+          count(lit(1)).cast("long").as("n_triplets"))
+      val censusP = pairs.groupBy(col("la").as("label"))
+        .agg(coalesce(sum(when(col("same"), 1L)), lit(0L)).as("n_ap_pairs"),
+          coalesce(sum(when(!col("same"), 1L)), lit(0L)).as("n_an_pairs"))
+      censusP.join(censusT, Seq("label"), "left")
+        .select(col("label"), col("n_ap_pairs"), col("n_an_pairs"),
+          coalesce(col("n_anchors"), lit(0L)).as("n_anchors"),
+          coalesce(col("n_triplets"), lit(0L)).as("n_triplets"))
+        .orderBy(col("label"))
+    },
+    Some("""WITH pts AS (
+      |  SELECT vec_id, label,
+      |    CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000.0 + 0.5)
+      |      AS BIGINT) AS x,
+      |    CAST(floor(CAST(embedding[2] AS DOUBLE) * 1000000.0 + 0.5)
+      |      AS BIGINT) AS y
+      |  FROM embeddings),
+      |c AS (
+      |  SELECT vec_id, label, x, y, (x + 1000000000) // 50000 AS cx,
+      |    (y + 1000000000) // 50000 AS cy FROM pts),
+      |pairs AS (
+      |  SELECT a.vec_id AS ida, a.label AS la, (b.label = a.label) AS same,
+      |    (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+      |  FROM c a JOIN c b ON a.cx = b.cx AND a.cy = b.cy
+      |   AND a.vec_id <> b.vec_id),
+      |ap AS (SELECT ida, la, d2 AS d2_ap FROM pairs WHERE same),
+      |an AS (SELECT ida, d2 AS d2_an FROM pairs WHERE NOT same),
+      |trip AS (
+      |  SELECT ap.ida, ap.la FROM ap JOIN an ON ap.ida = an.ida
+      |  WHERE an.d2_an > ap.d2_ap AND an.d2_an < ap.d2_ap + 1000000000),
+      |ct AS (
+      |  SELECT la AS label, CAST(COUNT(DISTINCT ida) AS BIGINT) AS n_anchors,
+      |    CAST(COUNT(*) AS BIGINT) AS n_triplets
+      |  FROM trip GROUP BY la),
+      |cp AS (
+      |  SELECT la AS label,
+      |    COALESCE(CAST(SUM(CASE WHEN same THEN 1 END) AS BIGINT), 0)
+      |      AS n_ap_pairs,
+      |    COALESCE(CAST(SUM(CASE WHEN NOT same THEN 1 END) AS BIGINT), 0)
+      |      AS n_an_pairs
+      |  FROM pairs GROUP BY la)
+      |SELECT cp.label, cp.n_ap_pairs, cp.n_an_pairs,
+      |  COALESCE(ct.n_anchors, 0) AS n_anchors,
+      |  COALESCE(ct.n_triplets, 0) AS n_triplets
+      |FROM cp LEFT JOIN ct ON cp.label = ct.label ORDER BY cp.label""".stripMargin))
+
+  def queries: Seq[GQuery] = Seq(q40, q41, q42, q48, q53, q102, q105, q114, q117, q119, q122, q131, q147, q173, q176, q186, q188, q226, q248, q251, q253, q255, q257, q261, q269, q313, q328, q337)
 }
