@@ -1631,6 +1631,81 @@ object SimilarityQueries {
       |SELECT cluster, role, CAST(COUNT(*) AS BIGINT) AS n
       |FROM lab GROUP BY cluster, role ORDER BY cluster, role""".stripMargin))
 
+  /** q338: INCREMENTAL grid-DBSCAN ([[GridDbscan.extend]]) — the
+    * index-maintenance arm of q328, completing the pattern every
+    * index family here carries (SA q252, IVF q261, k-NN graph q255,
+    * dHash q199): the 90% base corpus lands a clustering INDEX
+    * (degrees, core–core edges, border adjacency), the 10% delta
+    * batch extends it by recomputing ONLY the delta's grid cells
+    * dilated ±2 (pair candidates from ±3 — degrees change within ±1
+    * of a new point, border adjacency within ±2 via promoted
+    * neighbors), and only the cheap edge-level component labeling
+    * reruns globally (cluster merges cascade arbitrarily far; pair
+    * work never does). The oracle REBUILDS from the full union —
+    * extend ≡ rebuild is the hash gate, promotions/merges included.
+    * Same ε/minPts as q328, so the gate is literally q328's SQL. */
+  val q338 = GQuery(
+    "q338_incremental_dbscan",
+    (s, d) => {
+      val pts = embeddings(s, d).select(col("vec_id"),
+        floor(element_at(col("embedding"), 1).cast("double") * 1e6 + lit(0.5))
+          .cast("long").as("x"),
+        floor(element_at(col("embedding"), 2).cast("double") * 1e6 + lit(0.5))
+          .cast("long").as("y"))
+      val base = pts.filter(col("vec_id") % 10 =!= 0)
+      val delta = pts.filter(col("vec_id") % 10 === 0)
+      val idx = GridDbscan.index(base, "vec_id", "x", "y",
+        epsScaled = 30000L, minPts = 10)
+      val extended = GridDbscan.extend(idx, delta, "vec_id", "x", "y")
+      GridDbscan.labels(extended)
+        .groupBy(coalesce(col("cluster"), lit(-1L)).as("cluster"), col("role"))
+        .agg(count(lit(1)).cast("long").as("n"))
+        .orderBy(col("cluster"), col("role"))
+    },
+    Some("""WITH RECURSIVE p AS (
+      |  SELECT vec_id AS id,
+      |    CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000.0 + 0.5)
+      |      AS BIGINT) AS x,
+      |    CAST(floor(CAST(embedding[2] AS DOUBLE) * 1000000.0 + 0.5)
+      |      AS BIGINT) AS y
+      |  FROM embeddings),
+      |c AS (
+      |  SELECT id, x, y, (x + 1000000000) // 30000 AS cx,
+      |    (y + 1000000000) // 30000 AS cy FROM p),
+      |pairs AS (
+      |  SELECT a.id AS ida, b.id AS idb
+      |  FROM c a JOIN c b
+      |    ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+      |   AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+      |   AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+      |     <= 900000000),
+      |deg AS (SELECT ida, COUNT(*) AS deg FROM pairs GROUP BY ida),
+      |core AS (SELECT ida AS id FROM deg WHERE deg >= 10),
+      |ce AS (
+      |  SELECT p2.ida AS u, p2.idb AS v FROM pairs p2
+      |  JOIN core c1 ON p2.ida = c1.id JOIN core c2 ON p2.idb = c2.id
+      |  WHERE p2.ida <> p2.idb),
+      |reach(n, l) AS (
+      |  SELECT id, id FROM core
+      |  UNION
+      |  SELECT e.v, r.l FROM reach r JOIN ce e ON e.u = r.n),
+      |comp AS (SELECT n AS id, MIN(l) AS cluster FROM reach GROUP BY n),
+      |border AS (
+      |  SELECT pr.ida AS id, MIN(cm.cluster) AS cluster
+      |  FROM pairs pr JOIN comp cm ON pr.idb = cm.id
+      |  WHERE pr.ida NOT IN (SELECT id FROM core)
+      |  GROUP BY pr.ida),
+      |lab AS (
+      |  SELECT p.id,
+      |    CASE WHEN cc.id IS NOT NULL THEN 'core'
+      |         WHEN b.id IS NOT NULL THEN 'border'
+      |         ELSE 'noise' END AS role,
+      |    COALESCE(cc.cluster, b.cluster, -1) AS cluster
+      |  FROM p LEFT JOIN comp cc ON p.id = cc.id
+      |  LEFT JOIN border b ON p.id = b.id)
+      |SELECT cluster, role, CAST(COUNT(*) AS BIGINT) AS n
+      |FROM lab GROUP BY cluster, role ORDER BY cluster, role""".stripMargin))
+
   /** q337: semi-hard triplet mining census (FaceNet, Schroff et al.
     * 2015) — the contrastive-training-data miner over the labeled
     * embedding table: for each anchor, positives share its label,
@@ -1718,5 +1793,5 @@ object SimilarityQueries {
       |  COALESCE(ct.n_triplets, 0) AS n_triplets
       |FROM cp LEFT JOIN ct ON cp.label = ct.label ORDER BY cp.label""".stripMargin))
 
-  def queries: Seq[GQuery] = Seq(q40, q41, q42, q48, q53, q102, q105, q114, q117, q119, q122, q131, q147, q173, q176, q186, q188, q226, q248, q251, q253, q255, q257, q261, q269, q313, q328, q337)
+  def queries: Seq[GQuery] = Seq(q40, q41, q42, q48, q53, q102, q105, q114, q117, q119, q122, q131, q147, q173, q176, q186, q188, q226, q248, q251, q253, q255, q257, q261, q269, q313, q328, q337, q338)
 }

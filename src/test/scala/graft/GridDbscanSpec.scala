@@ -59,4 +59,47 @@ class GridDbscanSpec extends SparkSpec {
     assert(out.values.forall(_._1 === "core"))
     assert(out.values.map(_._2).toSet === Set(Some(1L)))
   }
+
+  private def rebuildVsExtend(base: Seq[(Long, Long, Long)],
+                              delta: Seq[(Long, Long, Long)]): Unit = {
+    val idx = GridDbscan.index(base.toDF("id", "x", "y"), "id", "x", "y",
+      epsScaled = 100L, minPts = 3)
+    val ext = GridDbscan.labels(
+        GridDbscan.extend(idx, delta.toDF("id", "x", "y"), "id", "x", "y"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    val reb = GridDbscan.cluster((base ++ delta).toDF("id", "x", "y"),
+        "id", "x", "y", epsScaled = 100L, minPts = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(ext === reb)
+  }
+
+  test("extend ≡ rebuild: delta bridges two clusters (cascading merge)") {
+    rebuildVsExtend(
+      base = Seq((1L, 0L, 0L), (2L, 50L, 0L), (3L, 100L, 0L),
+        (10L, 400L, 0L), (11L, 450L, 0L), (12L, 500L, 0L)),
+      delta = Seq((20L, 225L, 0L), (21L, 275L, 0L), (22L, 175L, 0L),
+        (23L, 325L, 0L)))
+  }
+
+  test("extend ≡ rebuild: delta promotes a border point to core") {
+    // base: 1,2,3 core chain; 4 border off point 3
+    rebuildVsExtend(
+      base = Seq((1L, 0L, 0L), (2L, 60L, 0L), (3L, 0L, 60L), (4L, 0L, 150L)),
+      delta = Seq((30L, 0L, 210L), (31L, 60L, 150L)))
+  }
+
+  test("extend ≡ rebuild: delta lands in a fresh empty region") {
+    rebuildVsExtend(
+      base = Seq((1L, 0L, 0L), (2L, 50L, 0L), (3L, 0L, 50L)),
+      delta = Seq((40L, 90000L, 90000L), (41L, 90050L, 90000L),
+        (42L, 90000L, 90050L)))
+  }
+
+  test("extend ≡ rebuild: empty delta is the identity") {
+    rebuildVsExtend(
+      base = Seq((1L, 0L, 0L), (2L, 50L, 0L), (3L, 0L, 50L), (9L, 9999L, 9999L)),
+      delta = Seq.empty)
+  }
 }
