@@ -1150,7 +1150,103 @@ object CorpusStatQueries {
       |  round(f.kc, 6) AS k_heaps
       |FROM pts p CROSS JOIN fit2 f ORDER BY p.b""".stripMargin))
 
+  /** q342: information-gain census — the feature-selection signal a
+    * router/classifier pipeline reads before training (which cheap
+    * metadata column best predicts the label?): for each candidate
+    * feature (source; n_chars÷1000 length bucket) against the `lang`
+    * label, IG = H(label) − H(label|feature) plus Quinlan's gain
+    * ratio (IG / H(feature) — penalizes high-cardinality features
+    * that LOOK predictive by fragmentation). Every probability is a
+    * single count division; every entropy is a DECIMAL(38,6)-routed
+    * sum of p·ln p terms over label/feature-bounded frames; two
+    * fact-sized groupBys per feature. */
+  val q342 = {
+    def igSqlFor(fexpr: String, fname: String): String =
+      s"""SELECT '$fname' AS feature, hl.h_label, hf.h_feature, hc.h_cond,
+         |  hl.h_label - hc.h_cond AS ig
+         |FROM
+         |  (SELECT CAST(SUM(CAST(-(CAST(nl AS DOUBLE) / nn)
+         |      * ln(CAST(nl AS DOUBLE) / nn) AS DECIMAL(38,6))) AS DOUBLE)
+         |      AS h_label
+         |   FROM (SELECT lang, CAST(COUNT(*) AS BIGINT) AS nl,
+         |           CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS nn
+         |         FROM documents GROUP BY lang) t) hl,
+         |  (SELECT CAST(SUM(CAST(-(CAST(nf AS DOUBLE) / nn)
+         |      * ln(CAST(nf AS DOUBLE) / nn) AS DECIMAL(38,6))) AS DOUBLE)
+         |      AS h_feature
+         |   FROM (SELECT $fexpr AS f, CAST(COUNT(*) AS BIGINT) AS nf,
+         |           CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS nn
+         |         FROM documents GROUP BY 1) t) hf,
+         |  (SELECT CAST(SUM(CAST((CAST(nf AS DOUBLE) / nn) * hf_inner
+         |      AS DECIMAL(38,6))) AS DOUBLE) AS h_cond
+         |   FROM (
+         |     SELECT f, nf, nn,
+         |       CAST(SUM(CAST(-(CAST(nfl AS DOUBLE) / nf)
+         |         * ln(CAST(nfl AS DOUBLE) / nf) AS DECIMAL(38,6)))
+         |         AS DOUBLE) AS hf_inner
+         |     FROM (
+         |       SELECT $fexpr AS f, lang,
+         |         CAST(COUNT(*) AS BIGINT) AS nfl,
+         |         CAST(SUM(COUNT(*)) OVER (PARTITION BY $fexpr) AS BIGINT)
+         |           AS nf,
+         |         CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS nn
+         |       FROM documents GROUP BY 1, 2) c
+         |     GROUP BY f, nf, nn) pf) hc""".stripMargin
+
+    def igFor(docs: org.apache.spark.sql.DataFrame, f: org.apache.spark.sql.Column,
+              fname: String): org.apache.spark.sql.DataFrame = {
+      val W = org.apache.spark.sql.expressions.Window
+      val base = docs.select(f.as("f"), col("lang"))
+      val hl = base.groupBy(col("lang")).agg(lcount(lit(1)).as("nl"))
+        .withColumn("nn", sum(col("nl")).over(W.partitionBy()))
+        .agg(dsum(-(col("nl").cast("double") / col("nn"))
+          * log(col("nl").cast("double") / col("nn"))).as("h_label"))
+      val hf = base.groupBy(col("f")).agg(lcount(lit(1)).as("nf"))
+        .withColumn("nn", sum(col("nf")).over(W.partitionBy()))
+        .agg(dsum(-(col("nf").cast("double") / col("nn"))
+          * log(col("nf").cast("double") / col("nn"))).as("h_feature"))
+      val hc = base.groupBy(col("f"), col("lang")).agg(lcount(lit(1)).as("nfl"))
+        .withColumn("nf", sum(col("nfl")).over(W.partitionBy(col("f"))))
+        .withColumn("nn", sum(col("nfl")).over(W.partitionBy()))
+        .groupBy(col("f"), col("nf"), col("nn"))
+        .agg(dsum(-(col("nfl").cast("double") / col("nf"))
+          * log(col("nfl").cast("double") / col("nf"))).as("hf_inner"))
+        .agg(dsum((col("nf").cast("double") / col("nn")) * col("hf_inner"))
+          .as("h_cond"))
+      hl.crossJoin(hf).crossJoin(hc)
+        .select(lit(fname).as("feature"), col("h_label"), col("h_feature"),
+          col("h_cond"), (col("h_label") - col("h_cond")).as("ig"))
+    }
+
+    GQuery(
+      "q342_information_gain",
+      (s, d) => {
+        val docs = documents(s, d)
+        igFor(docs, col("source"), "source")
+          .unionByName(igFor(docs, expr("n_chars div 1000").cast("long")
+            .cast("string"), "len_bucket"))
+          .select(col("feature"), round(col("h_label"), 6).as("h_label"),
+            round(col("h_feature"), 6).as("h_feature"),
+            round(col("h_cond"), 6).as("h_cond"), round(col("ig"), 6).as("ig"),
+            round(when(col("h_feature") > 0, col("ig") / col("h_feature")), 6)
+              .as("gain_ratio"))
+          .orderBy(col("feature"))
+      },
+      Some(s"""WITH igs AS (
+        |${igSqlFor("source", "source")}
+        |UNION ALL
+        |${igSqlFor("CAST(CAST(n_chars // 1000 AS BIGINT) AS VARCHAR)",
+             "len_bucket")}
+        |)
+        |SELECT feature, round(h_label, 6) AS h_label,
+        |  round(h_feature, 6) AS h_feature, round(h_cond, 6) AS h_cond,
+        |  round(ig, 6) AS ig,
+        |  round(CASE WHEN h_feature > 0 THEN ig / h_feature END, 6)
+        |    AS gain_ratio
+        |FROM igs ORDER BY feature""".stripMargin))
+  }
+
   def queries: Seq[GQuery] =
     Seq(q146, q149, q152, q169, q175, q213, q215, q220, q224, q237, q275,
-      q276, q314, q319, q325, q331, q333)
+      q276, q314, q319, q325, q331, q333, q342)
 }

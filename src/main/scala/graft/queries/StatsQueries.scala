@@ -2353,9 +2353,56 @@ object StatsQueries {
       |  round(a.wsum / a.n_support, 6) AS ate_strat
       |FROM agg a CROSS JOIN naive n""".stripMargin))
 
+  /** q339: A/B power analysis — the sample-size calculator every
+    * experiment platform runs BEFORE q318's SPRT ever starts: per
+    * metric stream (event_type), the per-arm n required to detect a
+    * 5%-of-mean shift at α = 0.05 two-sided / 80% power,
+    * n = ⌈2σ²(z_{α/2}+z_β)²/δ²⌉. σ² comes from exact integer-free
+    * moments (decimal-routed Σy, Σy² with the n·Σy²−(Σy)² numerator);
+    * the z constants are fixed literals, so both engines run the
+    * identical double chain. One fact-sized groupBy. */
+  val q339 = GQuery(
+    "q339_power_analysis",
+    (s, d) => {
+      val za = 1.959963985    // z_{0.975}
+      val zb = 0.8416212336   // z_{0.80}
+      events(s, d).groupBy(col("event_type"))
+        .agg(lcount(lit(1)).as("n"),
+          dsum(col("value")).as("sy"),
+          dsum(col("value") * col("value")).as("syy"))
+        .filter(col("n") > 1)
+        .withColumn("mean", col("sy") / col("n"))
+        .withColumn("var",
+          (col("n") * col("syy") - col("sy") * col("sy"))
+            / col("n").cast("double") / (col("n") - 1).cast("double"))
+        .withColumn("delta", col("mean") * 0.05)
+        .select(col("event_type"), col("n"),
+          round(col("mean"), 6).as("mean"),
+          round(sqrt(col("var")), 6).as("sd"),
+          round(col("delta"), 6).as("mde_abs"),
+          ceil(lit(2.0) * col("var") * lit((za + zb) * (za + zb))
+            / (col("delta") * col("delta"))).cast("long").as("n_required"))
+        .orderBy(col("event_type"))
+    },
+    Some(s"""WITH g AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |    ${sqlDsum("value")} AS sy, ${sqlDsum("value * value")} AS syy
+      |  FROM events GROUP BY event_type),
+      |m AS (
+      |  SELECT event_type, n, sy / n AS mean,
+      |    (n * syy - sy * sy) / CAST(n AS DOUBLE) / CAST(n - 1 AS DOUBLE)
+      |      AS var, sy / n * 0.05 AS delta
+      |  FROM g WHERE n > 1)
+      |SELECT event_type, n, round(mean, 6) AS mean,
+      |  round(sqrt(var), 6) AS sd, round(delta, 6) AS mde_abs,
+      |  CAST(CEIL(2.0 * var * ${(1.959963985 + 0.8416212336) *
+           (1.959963985 + 0.8416212336)} / (delta * delta)) AS BIGINT)
+      |    AS n_required
+      |FROM m ORDER BY event_type""".stripMargin))
+
   def queries: Seq[GQuery] =
     Seq(q23, q24, q25, q26, q27, q28, q29, q30, q31, q51, q58, q113, q163,
       q185, q191, q211, q217, q268, q274, q284, q291, q293, q294, q295,
       q296, q297, q298, q299, q300, q305, q306, q308, q311, q312, q315,
-      q324, q327)
+      q324, q327, q339)
 }
