@@ -2400,9 +2400,164 @@ object StatsQueries {
       |    AS n_required
       |FROM m ORDER BY event_type""".stripMargin))
 
+  /** q343: two-regressor OLS via Cramer's rule — the multivariate
+    * upgrade over ST2's single-regressor fit (q25): value regressed
+    * on hour-of-day and day-of-week through the closed-form normal
+    * equations, the 3×3 system solved by determinants. The X-moment
+    * matrix is EXACT (integer regressors, decimal-routed sums); the
+    * y-moments are decimal-routed doubles; every determinant is the
+    * same explicit double chain on both engines. One fact-sized scan,
+    * everything after on a 1-row frame. R² from the closed-form
+    * regression sum of squares. */
+  val q343 = GQuery(
+    "q343_multiple_regression",
+    (s, d) => {
+      val dec0 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val ev = events(s, d).select(col("value").as("y"),
+        expr("CAST(hour(ts) AS BIGINT)").as("x1"),
+        expr("CAST(dayofweek(ts) AS BIGINT)").as("x2"))
+      val m = ev.agg(
+        lcount(lit(1)).as("n"),
+        sum(col("x1").cast(dec0)).as("s1"),
+        sum(col("x2").cast(dec0)).as("s2"),
+        sum(col("x1").cast(dec0) * col("x1")).as("s11"),
+        sum(col("x2").cast(dec0) * col("x2")).as("s22"),
+        sum(col("x1").cast(dec0) * col("x2")).as("s12"),
+        dsum(col("y")).as("sy"),
+        dsum(col("y") * col("y")).as("syy"),
+        dsum(col("x1").cast("double") * col("y")).as("s1y"),
+        dsum(col("x2").cast("double") * col("y")).as("s2y"))
+      m.select(col("n"), col("sy"), col("syy"), col("s1y"), col("s2y"),
+          col("s1").cast("double").as("a1"), col("s2").cast("double").as("a2"),
+          col("s11").cast("double").as("a11"),
+          col("s22").cast("double").as("a22"),
+          col("s12").cast("double").as("a12"),
+          col("n").cast("double").as("an"))
+        .withColumn("det",
+          col("an") * (col("a11") * col("a22") - col("a12") * col("a12"))
+            - col("a1") * (col("a1") * col("a22") - col("a12") * col("a2"))
+            + col("a2") * (col("a1") * col("a12") - col("a11") * col("a2")))
+        .withColumn("det0",
+          col("sy") * (col("a11") * col("a22") - col("a12") * col("a12"))
+            - col("a1") * (col("s1y") * col("a22") - col("a12") * col("s2y"))
+            + col("a2") * (col("s1y") * col("a12") - col("a11") * col("s2y")))
+        .withColumn("det1",
+          col("an") * (col("s1y") * col("a22") - col("s2y") * col("a12"))
+            - col("sy") * (col("a1") * col("a22") - col("a12") * col("a2"))
+            + col("a2") * (col("a1") * col("s2y") - col("s1y") * col("a2")))
+        .withColumn("det2",
+          col("an") * (col("a11") * col("s2y") - col("a12") * col("s1y"))
+            - col("a1") * (col("a1") * col("s2y") - col("s1y") * col("a2"))
+            + col("sy") * (col("a1") * col("a12") - col("a11") * col("a2")))
+        .withColumn("b0", col("det0") / col("det"))
+        .withColumn("b1", col("det1") / col("det"))
+        .withColumn("b2", col("det2") / col("det"))
+        .withColumn("sst", col("syy") - col("sy") * col("sy") / col("an"))
+        .withColumn("ssreg",
+          col("b1") * (col("s1y") - col("a1") * col("sy") / col("an"))
+            + col("b2") * (col("s2y") - col("a2") * col("sy") / col("an")))
+        .select(col("n"), round(col("b0"), 6).as("b0"),
+          round(col("b1"), 6).as("b1"), round(col("b2"), 6).as("b2"),
+          round(when(col("sst") > 0, col("ssreg") / col("sst")), 6).as("r2"))
+    },
+    Some(s"""WITH ev AS (
+      |  SELECT value AS y, CAST(date_part('hour', ts) AS BIGINT) AS x1,
+      |    CAST(dayofweek(ts) + 1 AS BIGINT) AS x2
+      |  FROM events),
+      |m AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    SUM(CAST(x1 AS HUGEINT)) AS s1, SUM(CAST(x2 AS HUGEINT)) AS s2,
+      |    SUM(CAST(x1 AS HUGEINT) * x1) AS s11,
+      |    SUM(CAST(x2 AS HUGEINT) * x2) AS s22,
+      |    SUM(CAST(x1 AS HUGEINT) * x2) AS s12,
+      |    ${sqlDsum("y")} AS sy, ${sqlDsum("y * y")} AS syy,
+      |    ${sqlDsum("CAST(x1 AS DOUBLE) * y")} AS s1y,
+      |    ${sqlDsum("CAST(x2 AS DOUBLE) * y")} AS s2y
+      |  FROM ev),
+      |c AS (
+      |  SELECT n, sy, syy, s1y, s2y,
+      |    CAST(s1 AS DOUBLE) AS a1, CAST(s2 AS DOUBLE) AS a2,
+      |    CAST(s11 AS DOUBLE) AS a11, CAST(s22 AS DOUBLE) AS a22,
+      |    CAST(s12 AS DOUBLE) AS a12, CAST(n AS DOUBLE) AS an
+      |  FROM m),
+      |dets AS (
+      |  SELECT n, sy, syy, s1y, s2y, a1, a2, a11, a22, a12, an,
+      |    an * (a11 * a22 - a12 * a12)
+      |      - a1 * (a1 * a22 - a12 * a2)
+      |      + a2 * (a1 * a12 - a11 * a2) AS det,
+      |    sy * (a11 * a22 - a12 * a12)
+      |      - a1 * (s1y * a22 - a12 * s2y)
+      |      + a2 * (s1y * a12 - a11 * s2y) AS det0,
+      |    an * (s1y * a22 - s2y * a12)
+      |      - sy * (a1 * a22 - a12 * a2)
+      |      + a2 * (a1 * s2y - s1y * a2) AS det1,
+      |    an * (a11 * s2y - a12 * s1y)
+      |      - a1 * (a1 * s2y - s1y * a2)
+      |      + sy * (a1 * a12 - a11 * a2) AS det2
+      |  FROM c),
+      |b AS (
+      |  SELECT n, det0 / det AS b0, det1 / det AS b1, det2 / det AS b2,
+      |    syy - sy * sy / an AS sst,
+      |    (det1 / det) * (s1y - a1 * sy / an)
+      |      + (det2 / det) * (s2y - a2 * sy / an) AS ssreg
+      |  FROM dets)
+      |SELECT n, round(b0, 6) AS b0, round(b1, 6) AS b1, round(b2, 6) AS b2,
+      |  round(CASE WHEN sst > 0 THEN ssreg / sst END, 6) AS r2
+      |FROM b""".stripMargin))
+
+  /** q344: histogram-binning census — the Freedman–Diaconis vs
+    * Sturges comparison a profiler face runs before drawing any
+    * histogram (FD adapts to spread via the IQR, Sturges only to n —
+    * at 100 TB Sturges is always wrong): per metric stream, the
+    * exact type-7 IQR ([[SortPercentile]] — no per-group value
+    * buffering), FD width 2·IQR·n^(−1/3), and both bin counts.
+    * Sturges' ⌈log₂ n⌉ takes the INTEGER path (length(bin(n−1)) —
+    * the q320 lesson: ln-based log2 lands a last-ULP short exactly
+    * AT powers of two). */
+  val q344 = GQuery(
+    "q344_binning_census",
+    (s, d) => {
+      val ev = events(s, d).select(col("event_type"), col("value"))
+      val qs = SortPercentile.percentiles(ev, Seq("event_type"), col("value"),
+        Seq(0.25, 0.75), Seq("p25", "p75"), countAs = Some("n"))
+      val mm = ev.groupBy(col("event_type"))
+        .agg(min(col("value")).as("vmin"), max(col("value")).as("vmax"))
+      qs.join(mm, Seq("event_type"))
+        .withColumn("iqr", col("p75") - col("p25"))
+        .withColumn("fd_width",
+          lit(2.0) * col("iqr") / cbrt(col("n").cast("double")))
+        .select(col("event_type"), col("n"),
+          round(col("iqr"), 6).as("iqr"),
+          round(col("fd_width"), 6).as("fd_width"),
+          when(col("fd_width") > 0,
+            ceil((col("vmax") - col("vmin")) / col("fd_width")).cast("long"))
+            .as("fd_bins"),
+          when(col("n") >= 2,
+            (length(expr("bin(n - 1)")) + 1).cast("long"))
+            .otherwise(lit(1L)).as("sturges_bins"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH qs AS (
+      |  SELECT event_type, quantile_cont(value, 0.25) AS p25,
+      |    quantile_cont(value, 0.75) AS p75,
+      |    CAST(COUNT(*) AS BIGINT) AS n,
+      |    MIN(value) AS vmin, MAX(value) AS vmax
+      |  FROM events GROUP BY event_type),
+      |w AS (
+      |  SELECT event_type, n, p75 - p25 AS iqr, vmin, vmax,
+      |    2.0 * (p75 - p25) / cbrt(CAST(n AS DOUBLE)) AS fd_width
+      |  FROM qs)
+      |SELECT event_type, n, round(iqr, 6) AS iqr,
+      |  round(fd_width, 6) AS fd_width,
+      |  CASE WHEN fd_width > 0
+      |    THEN CAST(CEIL((vmax - vmin) / fd_width) AS BIGINT) END AS fd_bins,
+      |  CASE WHEN n >= 2 THEN CAST(length(bin(n - 1)) + 1 AS BIGINT)
+      |    ELSE 1 END AS sturges_bins
+      |FROM w ORDER BY event_type""".stripMargin))
+
   def queries: Seq[GQuery] =
     Seq(q23, q24, q25, q26, q27, q28, q29, q30, q31, q51, q58, q113, q163,
       q185, q191, q211, q217, q268, q274, q284, q291, q293, q294, q295,
       q296, q297, q298, q299, q300, q305, q306, q308, q311, q312, q315,
-      q324, q327, q339)
+      q324, q327, q339, q343, q344)
 }
