@@ -1299,97 +1299,6 @@ object GraphQueries {
       |  CASE WHEN t.sre > 0 THEN round(re / t.sre, 6) END AS share
       |FROM re1 CROSS JOIN tot t ORDER BY channel""".stripMargin))
 
-  /** Oracle block for one q332 partition scheme over the symmetrized
-    * weighted adjacency `wn (nu, nv, w)`: within-community mass,
-    * degree sums, and Newman's Q with an exact integer numerator. */
-  private def modularityCte(name: String, cuExpr: String, cvExpr: String): String =
-    s"""p_$name AS (SELECT $cuExpr AS cu, $cvExpr AS cv, w FROM wn),
-       |s_$name AS (
-       |  SELECT CAST(COUNT(DISTINCT cu) AS BIGINT) AS n_comms,
-       |    CAST(SUM(CASE WHEN cu = cv THEN w ELSE 0 END) AS BIGINT) AS e_in
-       |  FROM p_$name),
-       |a_$name AS (SELECT cu, CAST(SUM(w) AS BIGINT) AS a_c FROM p_$name
-       |  GROUP BY cu),
-       |sa_$name AS (SELECT SUM(CAST(a_c AS HUGEINT) * a_c) AS sa2 FROM a_$name),
-       |q_$name AS (
-       |  SELECT '$name' AS scheme, s.n_comms,
-       |    round(CAST(CAST(m.m2 AS HUGEINT) * s.e_in - x.sa2 AS DOUBLE)
-       |      / (CAST(m.m2 AS DOUBLE) * CAST(m.m2 AS DOUBLE)), 6) AS q
-       |  FROM s_$name s, sa_$name x, m2t m)""".stripMargin
-
-  /** q332: modularity census — Newman's Q for five candidate
-    * partitions of the q153 domain link graph (the SCORING half of
-    * community detection: q174's label propagation proposes
-    * communities, this measures any proposal exactly, so recipes can
-    * compare label-prop output against cheap structural partitions
-    * before paying for refinement). The directed edge list is
-    * symmetrized once (landed — five schemes probe it); per scheme
-    * Q = (m₂·Σe_c − Σa_c²)/m₂² keeps an exact INTEGER numerator
-    * (decimal-routed past int64) and spends exactly one IEEE division.
-    * Everything after the one fact-sized edge build is M²-bounded. */
-  val q332 = GQuery(
-    "q332_modularity_census",
-    (s, d) => {
-      val dec0 = org.apache.spark.sql.types.DecimalType(38, 0)
-      val e = linkEdges(s, d)
-      val sym = e.select(col("src").as("u"), col("dst").as("v"), col("w"))
-        .unionByName(e.select(col("dst").as("u"), col("src").as("v"), col("w")))
-        .groupBy(col("u"), col("v")).agg(sum(col("w")).as("w"))
-        .select(expr("CAST(substring(u, 2) AS BIGINT)").as("nu"),
-          expr("CAST(substring(v, 2) AS BIGINT)").as("nv"), col("w"))
-        .localCheckpoint(eager = false) // five schemes probe it
-      val m2t = sym.agg(sum(col("w")).as("m2"))
-      val schemes = Seq(
-        ("blk20", expr("nu div 20"), expr("nv div 20")),
-        ("blk34", expr("nu div 34"), expr("nv div 34")),
-        ("mod2", col("nu") % 2, col("nv") % 2),
-        ("mod3", col("nu") % 3, col("nv") % 3),
-        ("mod5", col("nu") % 5, col("nv") % 5))
-      schemes.map { case (name, cu, cv) =>
-        val g = sym.withColumn("cu", cu).withColumn("cv", cv)
-        val stats = g.agg(
-          countDistinct(col("cu")).cast("long").as("n_comms"),
-          coalesce(sum(when(col("cu") === col("cv"), col("w"))), lit(0L))
-            .as("e_in"))
-        val sa = g.groupBy(col("cu")).agg(sum(col("w")).as("a_c"))
-          .agg(sum(col("a_c").cast(dec0) * col("a_c")).as("sa2"))
-        stats.crossJoin(sa).crossJoin(m2t)
-          .select(lit(name).as("scheme"), col("n_comms"),
-            round((col("m2").cast(dec0) * col("e_in") - col("sa2"))
-              .cast("double")
-              / (col("m2").cast("double") * col("m2").cast("double")), 6)
-              .as("q"))
-      }.reduce(_ unionByName _).orderBy(col("scheme"))
-    },
-    Some(s"""WITH raw AS (
-      |  SELECT 'd' || (doc_id % $M) AS src, 'd' || ((doc_id * 7 + 13) % $M)
-      |    AS dst FROM documents
-      |  UNION ALL
-      |  SELECT 'd' || (doc_id % $M), 'd' || ((doc_id * 13 + 29) % $M)
-      |  FROM documents
-      |  UNION ALL
-      |  SELECT 'd' || (doc_id % $M), 'd' || ((doc_id * 31 + 7) % $M)
-      |  FROM documents),
-      |e AS (SELECT src, dst, COUNT(*) AS w FROM raw WHERE src != dst
-      |  GROUP BY src, dst),
-      |sym AS (
-      |  SELECT u, v, CAST(SUM(w) AS BIGINT) AS w FROM (
-      |    SELECT src AS u, dst AS v, w FROM e
-      |    UNION ALL SELECT dst, src, w FROM e) t
-      |  GROUP BY u, v),
-      |wn AS (
-      |  SELECT CAST(substr(u, 2) AS BIGINT) AS nu,
-      |    CAST(substr(v, 2) AS BIGINT) AS nv, w FROM sym),
-      |m2t AS (SELECT CAST(SUM(w) AS BIGINT) AS m2 FROM sym),
-      |${modularityCte("blk20", "nu // 20", "nv // 20")},
-      |${modularityCte("blk34", "nu // 34", "nv // 34")},
-      |${modularityCte("mod2", "nu % 2", "nv % 2")},
-      |${modularityCte("mod3", "nu % 3", "nv % 3")},
-      |${modularityCte("mod5", "nu % 5", "nv % 5")}
-      |SELECT * FROM q_blk20 UNION ALL SELECT * FROM q_blk34
-      |UNION ALL SELECT * FROM q_mod2 UNION ALL SELECT * FROM q_mod3
-      |UNION ALL SELECT * FROM q_mod5 ORDER BY scheme""".stripMargin))
-
   /** q336: graph mixing census — degree assortativity (Newman 2002)
     * and edge reciprocity over the q153 domain graph, the structural
     * priors a crawl planner reads beside centrality (assortative
@@ -1477,5 +1386,5 @@ object GraphQueries {
 
   def queries: Seq[GQuery] =
     Seq(q153, q157, q158, q160, q164, q174, q178, q231, q232, q241, q242,
-      q243, q259, q267, q270, q277, q286, q288, q330, q332, q336)
+      q243, q259, q267, q270, q277, q286, q288, q330, q336)
 }

@@ -515,97 +515,6 @@ object PublicDataQueries {
       |GROUP BY g.segment, g.nation, g.n_c, s.n_all, s.m
       |ORDER BY emd_e6 DESC, segment, nation""".stripMargin))
 
-  /** q335: t-closeness audit (Li et al., ICDE 2007) — completing the
-    * release-governance ladder over the q159/q210 grain: a class can
-    * be k-anonymous AND l-diverse yet still leak if its sensitive
-    * DISTRIBUTION skews far from the table's (the "all ten distinct
-    * salaries in this class are the ten lowest" attack). Distance is
-    * the ordered-EMD over the numeric sensitive attribute
-    * (c_nationkey against (segment, bal_bin) quasi-identifiers):
-    * t = Σᵥ|Σ_{u≤v}(p_u − q_u)| / (m−1), computed with an EXACT
-    * integer cumulative numerator (n_cv·N − g_v·N_c — no per-cell
-    * rational rounding) and one final IEEE division per class.
-    * Per segment: classes, worst t, and the suppression bill at
-    * t > 0.2. The class×value grid is classes·m-bounded; the only
-    * fact-sized work is the two counting passes. */
-  val q335 = GQuery(
-    "q335_t_closeness",
-    (s, d) => {
-      val W = org.apache.spark.sql.expressions.Window
-      val dec0 = org.apache.spark.sql.types.DecimalType(38, 0)
-      val qi = customer(s, d).select(
-        col("c_mktsegment").as("segment"),
-        floor(col("c_acctbal") / 1000.0).cast("long").as("bal_bin"),
-        col("c_nationkey").cast("long").as("v"))
-      val cls = qi.groupBy(col("segment"), col("bal_bin"))
-        .agg(lcount(lit(1)).as("n_c"))
-      val glob = qi.groupBy(col("v")).agg(lcount(lit(1)).as("g_v"))
-      val nm = qi.agg(lcount(lit(1)).as("n_all"),
-        countDistinct(col("v")).cast("long").as("m"))
-      val cellCounts = qi.groupBy(col("segment"), col("bal_bin"), col("v"))
-        .agg(lcount(lit(1)).as("n_cv"))
-      val cells = cls.crossJoin(broadcast(glob))
-        .join(cellCounts, Seq("segment", "bal_bin", "v"), "left")
-        .withColumn("n_cv", coalesce(col("n_cv"), lit(0L)))
-        .crossJoin(broadcast(nm))
-        .withColumn("diffnum",
-          col("n_cv") * col("n_all") - col("g_v") * col("n_c"))
-        .withColumn("cum", sum(col("diffnum")).over(
-          W.partitionBy(col("segment"), col("bal_bin")).orderBy(col("v"))
-            .rowsBetween(W.unboundedPreceding, W.currentRow)))
-      val tcls = cells
-        .groupBy(col("segment"), col("bal_bin"), col("n_c"), col("n_all"),
-          col("m"))
-        .agg(sum(abs(col("cum"))).as("sabs"))
-        .withColumn("t", col("sabs").cast("double")
-          / (col("n_c").cast(dec0) * col("n_all") * (col("m") - 1))
-            .cast("double"))
-      tcls.groupBy(col("segment"))
-        .agg(lcount(lit(1)).as("n_classes"),
-          round(max(col("t")), 6).as("t_max"),
-          coalesce(sum(when(col("t") > 0.2, 1L)), lit(0L)).as("n_fail"),
-          coalesce(sum(when(col("t") > 0.2, col("n_c"))), lit(0L))
-            .as("n_suppressed"))
-        .orderBy(col("segment"))
-    },
-    Some("""WITH qi AS (
-      |  SELECT c_mktsegment AS segment,
-      |    CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_bin,
-      |    CAST(c_nationkey AS BIGINT) AS v
-      |  FROM customer),
-      |cls AS (SELECT segment, bal_bin, CAST(COUNT(*) AS BIGINT) AS n_c
-      |  FROM qi GROUP BY segment, bal_bin),
-      |gvt AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS g_v FROM qi GROUP BY v),
-      |nm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_all,
-      |  CAST(COUNT(DISTINCT v) AS BIGINT) AS m FROM qi),
-      |cellc AS (SELECT segment, bal_bin, v, CAST(COUNT(*) AS BIGINT) AS n_cv
-      |  FROM qi GROUP BY segment, bal_bin, v),
-      |cells AS (
-      |  SELECT c.segment, c.bal_bin, c.n_c, g.v, g.g_v,
-      |    COALESCE(cc.n_cv, 0) AS n_cv, n.n_all, n.m
-      |  FROM cls c CROSS JOIN gvt g
-      |  LEFT JOIN cellc cc ON c.segment = cc.segment
-      |    AND c.bal_bin = cc.bal_bin AND g.v = cc.v
-      |  CROSS JOIN nm n),
-      |cum AS (
-      |  SELECT segment, bal_bin, n_c, n_all, m,
-      |    SUM(n_cv * n_all - g_v * n_c) OVER (
-      |      PARTITION BY segment, bal_bin ORDER BY v
-      |      ROWS UNBOUNDED PRECEDING) AS cum
-      |  FROM cells),
-      |tcls AS (
-      |  SELECT segment, bal_bin, n_c,
-      |    CAST(SUM(abs(cum)) AS DOUBLE)
-      |      / CAST(CAST(n_c AS HUGEINT) * n_all * (m - 1) AS DOUBLE) AS t
-      |  FROM cum GROUP BY segment, bal_bin, n_c, n_all, m)
-      |SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_classes,
-      |  round(MAX(t), 6) AS t_max,
-      |  COALESCE(CAST(SUM(CASE WHEN t > 0.2 THEN 1 END) AS BIGINT), 0)
-      |    AS n_fail,
-      |  COALESCE(CAST(SUM(CASE WHEN t > 0.2 THEN n_c END) AS BIGINT), 0)
-      |    AS n_suppressed
-      |FROM tcls GROUP BY segment ORDER BY segment""".stripMargin))
-
   def queries: Seq[GQuery] =
-    Seq(q75, q76, q79, q80, q159, q168, q190, q210, q287, q335)
+    Seq(q75, q76, q79, q80, q159, q168, q190, q210, q287)
 }

@@ -559,86 +559,6 @@ object SamplingQueries {
       |  (1000 * s.n_h) // t.n_total AS prop_n
       |FROM nsds s CROSS JOIN tot t ORDER BY s.source""".stripMargin))
 
-  /** q345: Poisson bootstrap (Chamandy et al., Google 2012) — THE
-    * distributed bootstrap: classical resampling needs the whole
-    * dataset in one place per replicate, the Poisson variant gives
-    * every row an independent Poisson(1) weight per replicate, so 32
-    * replicates are one map-side explode + one aggregation at any
-    * scale. Weights come from the repo's seeded-md5 uniform (13 hex
-    * digits / 2⁵², the q320 spelling) through the Poisson(1) inverse
-    * CDF (capped at 6; mass beyond is < 10⁻⁴ and the cap is part of
-    * the operator's definition, replayed by the oracle). Output: the
-    * point conversion rate beside the bootstrap mean and SE over
-    * replicate rates, moments decimal-routed. */
-  val q345 = {
-    // P(Poisson(1) ≤ k) thresholds, written once and interpolated into
-    // both engines' SQL so the literals are byte-identical
-    val cdf = Seq(0.36787944117144233, 0.7357588823428847,
-      0.9196986029286058, 0.9810118431238462, 0.9963401531726563,
-      0.9994058151824183)
-    def wCase(u: String): String =
-      cdf.zipWithIndex.map { case (c, k) => s"WHEN $u < $c THEN $k" }
-        .mkString("CASE ", " ", " ELSE 6 END")
-    GQuery(
-      "q345_poisson_bootstrap",
-      (s, d) => {
-        val ev = events(s, d).select(col("event_id"),
-          (col("event_type") === "purchase").cast("long").as("conv"))
-        val reps = ev.withColumn("r",
-            explode(array((1 to 32).map(lit): _*)))
-          .withColumn("u", expr(
-            """CAST(conv(substring(md5(concat('boot-', CAST(r AS STRING), '-',
-              |CAST(event_id AS STRING))), 1, 13), 16, 10) AS BIGINT)
-              |/ 4503599627370496.0""".stripMargin.replace("\n", " ")))
-          .withColumn("w", expr(wCase("u")).cast("long"))
-        val rates = reps.groupBy(col("r"))
-          .agg(sum(col("w")).as("nw"), sum(col("w") * col("conv")).as("cw"))
-          .filter(col("nw") > 0)
-          .select((col("cw").cast("double") / col("nw").cast("double"))
-            .as("rate"))
-        val point = ev.agg((sum(col("conv")).cast("double")
-          / count(lit(1)).cast("double")).as("rate_point"))
-        rates.agg(lcount(lit(1)).as("b"),
-            dsum(col("rate")).as("sr"),
-            dsum(col("rate") * col("rate")).as("srr"))
-          .crossJoin(broadcast(point))
-          .select(col("b"), round(col("rate_point"), 6).as("rate_point"),
-            round(col("sr") / col("b"), 6).as("boot_mean"),
-            round(sqrt((col("b") * col("srr") - col("sr") * col("sr"))
-              / col("b").cast("double") / (col("b") - 1).cast("double")), 6)
-              .as("boot_se"))
-      },
-      Some(s"""WITH ev AS (
-        |  SELECT event_id,
-        |    CAST(event_type = 'purchase' AS BIGINT) AS conv
-        |  FROM events),
-        |reps AS (
-        |  SELECT r, conv,
-        |    ${wCase(
-             "(CAST(('0x' || substr(md5('boot-' || CAST(r AS VARCHAR) || '-' " +
-               "|| CAST(event_id AS VARCHAR)), 1, 13)) AS BIGINT) " +
-               "/ 4503599627370496.0)")} AS w
-        |  FROM ev CROSS JOIN
-        |    (SELECT CAST(unnest(generate_series(1, 32)) AS BIGINT) AS r) rr),
-        |rates AS (
-        |  SELECT CAST(SUM(w * conv) AS DOUBLE) / CAST(SUM(w) AS DOUBLE)
-        |    AS rate
-        |  FROM reps GROUP BY r HAVING SUM(w) > 0),
-        |pt AS (
-        |  SELECT CAST(SUM(conv) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
-        |    AS rate_point FROM ev),
-        |agg AS (
-        |  SELECT CAST(COUNT(*) AS BIGINT) AS b,
-        |    ${sqlDsum("rate")} AS sr, ${sqlDsum("rate * rate")} AS srr
-        |  FROM rates)
-        |SELECT a.b, round(p.rate_point, 6) AS rate_point,
-        |  round(a.sr / a.b, 6) AS boot_mean,
-        |  round(sqrt((a.b * a.srr - a.sr * a.sr)
-        |    / CAST(a.b AS DOUBLE) / CAST(a.b - 1 AS DOUBLE)), 6) AS boot_se
-        |FROM agg a CROSS JOIN pt p""".stripMargin))
-  }
-
   def queries: Seq[GQuery] =
-    Seq(q97, q100, q104, q128, q165, q166, q194, q202, q235, q307, q334,
-      q345)
+    Seq(q97, q100, q104, q128, q165, q166, q194, q202, q235, q307, q334)
 }

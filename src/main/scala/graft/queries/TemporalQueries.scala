@@ -1774,134 +1774,8 @@ object TemporalQueries {
       |HAVING COUNT(DISTINCT user_id) >= 5
       |ORDER BY t1, t2, t3""".stripMargin))
 
-  /** q340: Mann–Kendall trend test — the nonparametric significance
-    * companion to q281's Theil–Sen slope (Theil–Sen says HOW steep;
-    * MK says whether a monotone trend exists at all, immune to
-    * outliers and distribution shape): S = Σ_{i<j} sign(y_j − y_i)
-    * over the daily purchase-count series, tie-corrected variance
-    * Var = [n(n−1)(2n+5) − Σ t(t−1)(2t+5)]/18, continuity-corrected
-    * z = (S ∓ 1)/√Var. The pair join is calendar²-bounded (the daily
-    * frame); every quantity up to the final z is exact integer
-    * (decimal-routed cubes — the q268 overflow lesson). */
-  val q340 = GQuery(
-    "q340_mann_kendall",
-    (s, d) => {
-      val dec0 = org.apache.spark.sql.types.DecimalType(38, 0)
-      val daily = events(s, d).filter(col("event_type") === "purchase")
-        .groupBy(to_date(col("ts")).as("day"))
-        .agg(lcount(lit(1)).as("y"))
-        .localCheckpoint(eager = false) // pair join + tie census probe it
-      val pairs = daily.as("a").join(daily.as("b"), col("a.day") < col("b.day"))
-        .agg(coalesce(sum(signum((col("b.y") - col("a.y")).cast("double"))
-          .cast("long")), lit(0L)).as("s"))
-      val nF = daily.agg(lcount(lit(1)).as("n"))
-      val ties = daily.groupBy(col("y")).agg(lcount(lit(1)).as("t"))
-        .agg(coalesce(sum(col("t").cast(dec0) * (col("t") - 1)
-          * (lit(2) * col("t") + 5)), lit(java.math.BigDecimal.ZERO).cast(dec0))
-          .as("tie_sum"))
-      pairs.crossJoin(nF).crossJoin(ties)
-        .withColumn("var_num",
-          col("n").cast(dec0) * (col("n") - 1) * (lit(2) * col("n") + 5)
-            - col("tie_sum"))
-        .select(col("n"), col("s"),
-          round(when(col("var_num") > 0,
-            (col("s").cast("double") - signum(col("s").cast("double")))
-              / sqrt(col("var_num").cast("double") / 18.0)), 6).as("z"))
-    },
-    Some("""WITH daily AS (
-      |  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS y
-      |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
-      |pairs AS (
-      |  SELECT COALESCE(CAST(SUM(CAST(sign(CAST(b.y - a.y AS DOUBLE))
-      |    AS BIGINT)) AS BIGINT), 0) AS s
-      |  FROM daily a JOIN daily b ON a.day < b.day),
-      |nf AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily),
-      |ties AS (
-      |  SELECT COALESCE(SUM(CAST(t AS HUGEINT) * (t - 1) * (2 * t + 5)),
-      |    CAST(0 AS HUGEINT)) AS tie_sum
-      |  FROM (SELECT y, CAST(COUNT(*) AS BIGINT) AS t FROM daily
-      |        GROUP BY y) tt),
-      |v AS (
-      |  SELECT n.n, p.s,
-      |    CAST(n.n AS HUGEINT) * (n.n - 1) * (2 * n.n + 5) - t.tie_sum
-      |      AS var_num
-      |  FROM pairs p CROSS JOIN nf n CROSS JOIN ties t)
-      |SELECT n, s,
-      |  round(CASE WHEN var_num > 0 THEN
-      |    (CAST(s AS DOUBLE) - sign(CAST(s AS DOUBLE)))
-      |      / sqrt(CAST(var_num AS DOUBLE) / 18.0) END, 6) AS z
-      |FROM v""".stripMargin))
-
-  /** q341: cross-correlation function — the lead/lag discovery tool
-    * beside q285's same-series ACF (does today's VIEW volume predict
-    * purchases k days out?): Pearson r between the view and purchase
-    * daily counts at every lag in −7..7, each lag over its own
-    * overlap window with exact integer moments (n·Σxy − ΣxΣy
-    * numerators, decimal-routed) and one sqrt·sqrt division at the
-    * end. The lag enumeration rides a lag-offset join of the daily
-    * frame against a 15-row lag spine — calendar²-bounded, one
-    * fact-sized pass to build the dailies. */
-  val q341 = GQuery(
-    "q341_cross_correlation",
-    (s, d) => {
-      val dec0 = org.apache.spark.sql.types.DecimalType(38, 0)
-      val daily = events(s, d)
-        .filter(col("event_type").isin("view", "purchase"))
-        .groupBy(to_date(col("ts")).as("day"))
-        .agg(coalesce(sum(when(col("event_type") === "view", 1L)), lit(0L))
-          .as("x"),
-          coalesce(sum(when(col("event_type") === "purchase", 1L)), lit(0L))
-          .as("y"))
-        .localCheckpoint(eager = false) // both sides of the lag join
-      val lags = (-7 to 7).map(_.toLong)
-      val spine = daily.sparkSession.range(1).select(
-        explode(array(lags.map(lit): _*)).as("lag"))
-      val joined = spine.crossJoin(daily.select(col("day"), col("x")))
-        .withColumn("dy", expr("date_add(day, CAST(lag AS INT))"))
-        .join(daily.select(col("day").as("dy"), col("y")), Seq("dy"))
-      joined.groupBy(col("lag"))
-        .agg(lcount(lit(1)).as("n"),
-          sum(col("x").cast(dec0)).as("sx"), sum(col("y").cast(dec0)).as("sy"),
-          sum(col("x").cast(dec0) * col("x")).as("sxx"),
-          sum(col("y").cast(dec0) * col("y")).as("syy"),
-          sum(col("x").cast(dec0) * col("y")).as("sxy"))
-        .filter(col("n") > 1)
-        .select(col("lag"), col("n"),
-          round(
-            (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
-              / (sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
-                  .cast("double"))
-                * sqrt((col("n") * col("syy") - col("sy") * col("sy"))
-                  .cast("double"))), 6).as("r"))
-        .orderBy(col("lag"))
-    },
-    Some("""WITH daily AS (
-      |  SELECT CAST(ts AS DATE) AS day,
-      |    COALESCE(CAST(SUM(CASE WHEN event_type = 'view' THEN 1 END)
-      |      AS BIGINT), 0) AS x,
-      |    COALESCE(CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 END)
-      |      AS BIGINT), 0) AS y
-      |  FROM events WHERE event_type IN ('view', 'purchase') GROUP BY 1),
-      |lags AS (SELECT CAST(unnest(generate_series(-7, 7)) AS BIGINT) AS lag),
-      |j AS (
-      |  SELECT l.lag, a.x, b.y
-      |  FROM lags l CROSS JOIN daily a
-      |  JOIN daily b ON a.day + CAST(l.lag AS INT) = b.day),
-      |m AS (
-      |  SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
-      |    SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
-      |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
-      |    SUM(CAST(y AS HUGEINT) * y) AS syy,
-      |    SUM(CAST(x AS HUGEINT) * y) AS sxy
-      |  FROM j GROUP BY lag)
-      |SELECT lag, n,
-      |  round(CAST(n * sxy - sx * sy AS DOUBLE)
-      |    / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
-      |       * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS r
-      |FROM m WHERE n > 1 ORDER BY lag""".stripMargin))
-
   def queries: Seq[GQuery] =
     Seq(q43, q44, q56, q70, q181, q182, q183, q196, q197, q263, q272, q278,
       q279, q280, q281, q285, q301, q302, q303, q309, q310, q317, q318,
-      q320, q322, q323, q326, q329, q340, q341)
+      q320, q322, q323, q326, q329)
 }

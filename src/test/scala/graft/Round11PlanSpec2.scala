@@ -61,13 +61,6 @@ class Round11PlanSpec2 extends SparkSpec {
     assert(!t.exists(_.contains("CartesianProduct")))
   }
 
-  test("q332: five modularity schemes probe the landed symmetrized edges") {
-    val t = tree("q332_modularity_census")
-    assert(t.count(_.contains("Scan parquet")) == 0,
-      "the symmetrized edge frame lands once; schemes must not rebuild it")
-    assert(!t.exists(_.contains("CartesianProduct")))
-  }
-
   test("q336: mixing census probes the landed edge list") {
     val t = tree("q336_graph_mixing")
     assert(t.count(_.contains("Scan parquet")) == 0)
@@ -82,14 +75,4 @@ class Round11PlanSpec2 extends SparkSpec {
     assert(!t.exists(_.contains("BroadcastNestedLoopJoin")))
   }
 
-  test("q340/q341: trend tests probe the landed daily frame") {
-    for (q <- Seq("q340_mann_kendall", "q341_cross_correlation")) {
-      val t = tree(q)
-      assert(t.count(_.contains("Scan parquet")) == 0,
-        s"$q: the daily frame lands once — pair/lag joins probe it")
-      assert(!t.exists(_.contains("CartesianProduct")) ||
-        q == "q340_mann_kendall", // day<day pair join over the ≤31-row frame
-        s"$q: no cartesian over fact-sized frames")
-    }
-  }
 }
