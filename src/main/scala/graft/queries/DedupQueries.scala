@@ -1838,5 +1838,84 @@ object DedupQueries {
       |JOIN sizes zb ON p.sb = zb.source
       |ORDER BY p.sa, p.sb""".stripMargin))
 
-  def queries: Seq[GQuery] = Seq(q36, q37, q38, q39, q57, q61, q88, q90, q103, q108, q118, q123, q124, q125, q127, q129, q133, q138, q142, q161, q162, q167, q180, q212, q216, q221, q223, q225, q229, q230, q252, q282, q283, q321)
+  /** q348: Merkle partition fingerprints — the SCALABLE face of
+    * q125's row-level snapshot diff: instead of joining two versions
+    * row by row, each partition publishes one order-independent
+    * digest (md5 over its SORTED row hashes), and a version diff
+    * compares #partitions digests to localize every change — the
+    * structure differential sync / lakehouse manifest validation is
+    * built on. Versions here: v2 rewrites the text of doc_id % 97 = 0
+    * docs; partitions are doc_id ÷ 500 ranges. The census reports the
+    * resync amplification (rows shipped at partition grain vs rows
+    * actually changed) — the metric that sizes the partition grain.
+    * Two scans + two partition-bounded digests; sort_array inside the
+    * group keeps the digest independent of row arrival order (exactly
+    * what a 1000-executor shuffle needs). */
+  val q348 = GQuery(
+    "q348_merkle_partition_diff",
+    (s, d) => {
+      def digests(df: org.apache.spark.sql.DataFrame) = df
+        .select(expr("doc_id div 500").as("p"),
+          md5(concat_ws("|", col("doc_id"), col("text"))).as("h"),
+          lit(1L).as("one"))
+        .groupBy(col("p"))
+        .agg(md5(concat_ws("",
+          expr("array_sort(collect_list(h))"))).as("digest"),
+          sum(col("one")).as("n_rows"))
+      val v1 = documents(s, d).select(col("doc_id"), col("text"))
+      val v2 = documents(s, d).select(col("doc_id"),
+        when(col("doc_id") % 97 === 0, upper(col("text")))
+          .otherwise(col("text")).as("text"))
+      val d1 = digests(v1)
+      val d2 = digests(v2)
+      val changedRows = v1.filter(col("doc_id") % 97 === 0
+          && upper(col("text")) =!= col("text"))
+        .agg(lcount(lit(1)).as("n_rows_changed"))
+      d1.join(d2.select(col("p"), col("digest").as("digest2")), Seq("p"))
+        .agg(lcount(lit(1)).as("n_partitions"),
+          coalesce(sum(when(col("digest") =!= col("digest2"), 1L)), lit(0L))
+            .as("n_changed_partitions"),
+          coalesce(sum(when(col("digest") =!= col("digest2"), col("n_rows"))),
+            lit(0L)).as("rows_to_resync"))
+        .crossJoin(broadcast(changedRows))
+        .select(col("n_partitions"), col("n_changed_partitions"),
+          col("rows_to_resync"), col("n_rows_changed"),
+          expr("""CASE WHEN n_rows_changed > 0
+            |THEN (rows_to_resync * 1000000) div n_rows_changed
+            |END""".stripMargin).as("amplification_ppm"))
+    },
+    Some("""WITH v1 AS (
+      |  SELECT doc_id, text FROM documents),
+      |v2 AS (
+      |  SELECT doc_id, CASE WHEN doc_id % 97 = 0 THEN upper(text)
+      |    ELSE text END AS text FROM documents),
+      |d1 AS (
+      |  SELECT doc_id // 500 AS p,
+      |    md5(string_agg(md5(CAST(doc_id AS VARCHAR) || '|' || text), ''
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR) || '|' || text))) AS digest,
+      |    CAST(COUNT(*) AS BIGINT) AS n_rows
+      |  FROM v1 GROUP BY 1),
+      |d2 AS (
+      |  SELECT doc_id // 500 AS p,
+      |    md5(string_agg(md5(CAST(doc_id AS VARCHAR) || '|' || text), ''
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR) || '|' || text))) AS digest
+      |  FROM v2 GROUP BY 1),
+      |ch AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows_changed FROM v1
+      |  WHERE doc_id % 97 = 0 AND upper(text) <> text),
+      |agg AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_partitions,
+      |    COALESCE(CAST(SUM(CASE WHEN d1.digest <> d2.digest THEN 1 END)
+      |      AS BIGINT), 0) AS n_changed_partitions,
+      |    COALESCE(CAST(SUM(CASE WHEN d1.digest <> d2.digest THEN d1.n_rows
+      |      END) AS BIGINT), 0) AS rows_to_resync
+      |  FROM d1 JOIN d2 ON d1.p = d2.p)
+      |SELECT a.n_partitions, a.n_changed_partitions, a.rows_to_resync,
+      |  c.n_rows_changed,
+      |  CASE WHEN c.n_rows_changed > 0
+      |    THEN (a.rows_to_resync * 1000000) // c.n_rows_changed
+      |  END AS amplification_ppm
+      |FROM agg a CROSS JOIN ch c""".stripMargin))
+
+  def queries: Seq[GQuery] = Seq(q36, q37, q38, q39, q57, q61, q88, q90, q103, q108, q118, q123, q124, q125, q127, q129, q133, q138, q142, q161, q162, q167, q180, q212, q216, q221, q223, q225, q229, q230, q252, q282, q283, q321, q348)
 }

@@ -1706,6 +1706,125 @@ object SimilarityQueries {
       |SELECT cluster, role, CAST(COUNT(*) AS BIGINT) AS n
       |FROM lab GROUP BY cluster, role ORDER BY cluster, role""".stripMargin))
 
+  /** q345: entropic optimal transport via Sinkhorn–Knopp (Cuturi
+    * 2013, 5 unrolled iterations, ε = 1) between the label
+    * distributions of the even- and odd-id embedding halves — the
+    * GENERAL-cost upgrade over the 1-D ordered EMD the governance
+    * audits use (q287): EMD's closed form only exists for ordered
+    * scalars; Sinkhorn prices any label×label cost matrix (here
+    * c_ij = |i−j|) and is THE distribution-matching tool of the
+    * embedding era. Marginals land once (label-bounded); K = e^(−c)
+    * lives on the labels² frame; each scaling step is one
+    * matrix–vector product with DECIMAL(38,18)-routed sums
+    * (order-independent — the 1000-executor requirement), lazily
+    * checkpointed so the 10-step chain stays linear. Output: the
+    * transport cost and the worst row-marginal error after 5
+    * rounds (the convergence certificate). */
+  val q345 = {
+    val iters = 5
+    def sqlIter(k: Int): String = {
+      val pu = if (k == 1) "u0" else s"u${k - 1}"
+      s"""v$k AS (
+         |  SELECT m.l AS j, m.b / CAST(SUM(CAST(kk.k * u.u AS DECIMAL(38,18)))
+         |    AS DOUBLE) AS v
+         |  FROM kk JOIN $pu u ON kk.i = u.i JOIN marg m ON kk.j = m.l
+         |  GROUP BY m.l, m.b),
+         |u$k AS (
+         |  SELECT m.l AS i, m.a / CAST(SUM(CAST(kk.k * v.v AS DECIMAL(38,18)))
+         |    AS DOUBLE) AS u
+         |  FROM kk JOIN v$k v ON kk.j = v.j JOIN marg m ON kk.i = m.l
+         |  GROUP BY m.l, m.a)""".stripMargin
+    }
+    GQuery(
+      "q345_sinkhorn_transport",
+      (s, d) => {
+        val dec18 = org.apache.spark.sql.types.DecimalType(38, 18)
+        def dsum18(c: org.apache.spark.sql.Column) =
+          sum(c.cast(dec18)).cast("double")
+        val pts = embeddings(s, d).select(col("label").cast("long").as("l"),
+          (col("vec_id") % 2 === 0).as("isA"))
+        val counts = pts.groupBy(col("l")).agg(
+          coalesce(sum(when(col("isA"), 1L)), lit(0L)).as("na"),
+          coalesce(sum(when(!col("isA"), 1L)), lit(0L)).as("nb"))
+        val tot = counts.agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"))
+        val marg = counts.crossJoin(broadcast(tot))
+          .select(col("l"),
+            (col("na").cast("double") / col("ta").cast("double")).as("a"),
+            (col("nb").cast("double") / col("tb").cast("double")).as("b"))
+          .localCheckpoint(eager = false) // K, every step and the cost probe it
+        val kk = marg.select(col("l").as("i")).crossJoin(
+            marg.select(col("l").as("j")))
+          .select(col("i"), col("j"),
+            exp(-abs(col("i") - col("j")).cast("double")).as("k"),
+            abs(col("i") - col("j")).cast("double").as("c"))
+          .localCheckpoint(eager = false)
+        var u = marg.select(col("l").as("i"), lit(1.0).as("u"))
+        var v: org.apache.spark.sql.DataFrame = null
+        for (_ <- 1 to iters) {
+          v = kk.join(u, Seq("i"))
+            .groupBy(col("j")).agg(dsum18(col("k") * col("u")).as("s"))
+            .join(marg.select(col("l").as("j"), col("b")), Seq("j"))
+            .select(col("j"), (col("b") / col("s")).as("v"))
+            .localCheckpoint(eager = false)
+          u = kk.join(v, Seq("j"))
+            .groupBy(col("i")).agg(dsum18(col("k") * col("v")).as("s"))
+            .join(marg.select(col("l").as("i"), col("a")), Seq("i"))
+            .select(col("i"), (col("a") / col("s")).as("u"))
+            .localCheckpoint(eager = false)
+        }
+        val plan = kk.join(u, Seq("i")).join(v, Seq("j"))
+          .select(col("i"), col("j"),
+            (col("u") * col("k") * col("v")).as("p"), col("c"))
+          .localCheckpoint(eager = false) // cost + marginal check probe it
+        val cost = plan.agg(dsum18(col("p") * col("c")).as("ot_cost"))
+        val margErr = plan.groupBy(col("i")).agg(dsum18(col("p")).as("rowm"))
+          .join(marg.select(col("l").as("i"), col("a")), Seq("i"))
+          .agg(max(abs(col("rowm") - col("a"))).as("max_marg_err"))
+        val nl = marg.agg(count(lit(1)).cast("long").as("n_labels"))
+        nl.crossJoin(broadcast(cost)).crossJoin(broadcast(margErr))
+          .select(col("n_labels"), round(col("ot_cost"), 6).as("ot_cost"),
+            round(col("max_marg_err"), 6).as("max_marg_err"))
+      },
+      Some(s"""WITH pts AS (
+        |  SELECT CAST(label AS BIGINT) AS l, (vec_id % 2 = 0) AS isa
+        |  FROM embeddings),
+        |counts AS (
+        |  SELECT l,
+        |    COALESCE(CAST(SUM(CASE WHEN isa THEN 1 END) AS BIGINT), 0) AS na,
+        |    COALESCE(CAST(SUM(CASE WHEN NOT isa THEN 1 END) AS BIGINT), 0)
+        |      AS nb
+        |  FROM pts GROUP BY l),
+        |tot AS (SELECT CAST(SUM(na) AS BIGINT) AS ta,
+        |  CAST(SUM(nb) AS BIGINT) AS tb FROM counts),
+        |marg AS (
+        |  SELECT l, CAST(na AS DOUBLE) / CAST(t.ta AS DOUBLE) AS a,
+        |    CAST(nb AS DOUBLE) / CAST(t.tb AS DOUBLE) AS b
+        |  FROM counts CROSS JOIN tot t),
+        |kk AS (
+        |  SELECT mi.l AS i, mj.l AS j,
+        |    exp(-CAST(abs(mi.l - mj.l) AS DOUBLE)) AS k,
+        |    CAST(abs(mi.l - mj.l) AS DOUBLE) AS c
+        |  FROM marg mi CROSS JOIN marg mj),
+        |u0 AS (SELECT l AS i, 1.0 AS u FROM marg),
+        |${(1 to iters).map(sqlIter).mkString(",\n")},
+        |plan AS (
+        |  SELECT kk.i, kk.j, u.u * kk.k * v.v AS p, kk.c
+        |  FROM kk JOIN u$iters u ON kk.i = u.i JOIN v$iters v ON kk.j = v.j),
+        |cost AS (
+        |  SELECT CAST(SUM(CAST(p * c AS DECIMAL(38,18))) AS DOUBLE)
+        |    AS ot_cost FROM plan),
+        |merr AS (
+        |  SELECT MAX(abs(rowm - a)) AS max_marg_err FROM (
+        |    SELECT pl.i, CAST(SUM(CAST(pl.p AS DECIMAL(38,18))) AS DOUBLE)
+        |      AS rowm
+        |    FROM plan pl GROUP BY pl.i) r
+        |  JOIN marg m ON r.i = m.l),
+        |nl AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_labels FROM marg)
+        |SELECT nl.n_labels, round(c.ot_cost, 6) AS ot_cost,
+        |  round(e.max_marg_err, 6) AS max_marg_err
+        |FROM nl CROSS JOIN cost c CROSS JOIN merr e""".stripMargin))
+  }
+
   /** q337: semi-hard triplet mining census (FaceNet, Schroff et al.
     * 2015) — the contrastive-training-data miner over the labeled
     * embedding table: for each anchor, positives share its label,
@@ -1793,5 +1912,5 @@ object SimilarityQueries {
       |  COALESCE(ct.n_triplets, 0) AS n_triplets
       |FROM cp LEFT JOIN ct ON cp.label = ct.label ORDER BY cp.label""".stripMargin))
 
-  def queries: Seq[GQuery] = Seq(q40, q41, q42, q48, q53, q102, q105, q114, q117, q119, q122, q131, q147, q173, q176, q186, q188, q226, q248, q251, q253, q255, q257, q261, q269, q313, q328, q337, q338)
+  def queries: Seq[GQuery] = Seq(q40, q41, q42, q48, q53, q102, q105, q114, q117, q119, q122, q131, q147, q173, q176, q186, q188, q226, q248, q251, q253, q255, q257, q261, q269, q313, q328, q337, q338, q345)
 }

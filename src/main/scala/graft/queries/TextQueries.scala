@@ -2674,10 +2674,166 @@ object TextQueries {
       |JOIN tr ON tc.lang = tr.lang AND tc.n = tr.n
       |ORDER BY tc.lang, tc.n""".stripMargin))
 
+  /** q346: speculative-decoding acceptance census (Leviathan et al.
+    * 2023) — the serving-economics signal a deployment reads before
+    * pairing a draft model with a target: per context word w the
+    * acceptance probability is α(w) = Σᵥ min(p_draft(v|w),
+    * p_target(v|w)), and the expected tokens per γ = 4 draft round is
+    * (1 − ᾱ⁵)/(1 − ᾱ). Draft = the doc_id % 3 = 0 corpus slice
+    * (bigram MLE), target = the full corpus — the draft's bigrams are
+    * a SUBSET of the target's, so one conditional-count frame with
+    * both counts carries the whole min() exactly (a pair the draft
+    * never saw contributes min = 0 and needs no row). ᾱ is the
+    * target-context-mass-weighted mean over contexts the draft knows;
+    * the unknown-context mass is reported as coverage. Sums are
+    * DECIMAL(38,6)-routed; ᾱ⁵ is spelled as four multiplications
+    * (pow() is not correctly-rounded everywhere). Two token passes,
+    * everything else vocabulary²-bounded. */
+  val q346 = GQuery(
+    "q346_speculative_accept",
+    (s, d) => {
+      import graft.text.{LangModel, TextFunctions}
+      val docs = documents(s, d)
+      val bg = docs.select(col("lang"), col("doc_id"),
+          explode(TextFunctions.ngrams(TextFunctions.wsTokens(col("text")), 2))
+            .as("bgp"))
+        .select(col("lang"), col("doc_id"),
+          substring_index(col("bgp"), " ", 1).as("w1"),
+          substring_index(col("bgp"), " ", -1).as("w2"))
+      val pair = bg.groupBy(col("lang"), col("w1"), col("w2"))
+        .agg(lcount(lit(1)).as("c_t"),
+          coalesce(sum(when(col("doc_id") % 3 === 0, 1L)), lit(0L)).as("c_d"))
+      val ctx = pair.groupBy(col("lang"), col("w1"))
+        .agg(sum(col("c_t")).as("n_t"), sum(col("c_d")).as("n_d"))
+      val aw = pair.join(ctx, Seq("lang", "w1"))
+        .filter(col("n_d") > 0)
+        .select(col("lang"), col("w1"), col("n_t"), col("n_d"),
+          least(col("c_d").cast("double") / col("n_d").cast("double"),
+            col("c_t").cast("double") / col("n_t").cast("double")).as("m"))
+        .groupBy(col("lang"), col("w1"), col("n_t"))
+        .agg(dsum(col("m")).as("a_w"))
+      val tot = ctx.groupBy(col("lang"))
+        .agg(sum(col("n_t")).as("mass_all"),
+          coalesce(sum(when(col("n_d") > 0, col("n_t"))), lit(0L))
+            .as("mass_shared"))
+      aw.groupBy(col("lang"))
+        .agg(lcount(lit(1)).as("n_ctx_shared"),
+          dsum(col("n_t").cast("double") * col("a_w")).as("wsum"))
+        .join(tot, Seq("lang"))
+        .withColumn("alpha", col("wsum") / col("mass_shared").cast("double"))
+        .select(col("lang"), col("n_ctx_shared"),
+          expr("(mass_shared * 1000000) div mass_all").as("coverage_ppm"),
+          round(col("alpha"), 6).as("alpha"),
+          round(when(col("alpha") < 1.0,
+            (lit(1.0) - col("alpha") * col("alpha") * col("alpha")
+              * col("alpha") * col("alpha")) / (lit(1.0) - col("alpha")))
+            .otherwise(lit(5.0)), 6).as("exp_accepted"))
+        .orderBy(col("lang"))
+    },
+    Some(s"""WITH bg AS (
+      |  SELECT lang, doc_id, ws[i] AS w1, ws[i+1] AS w2
+      |  FROM (SELECT lang, doc_id, $wsSql AS ws FROM documents) t,
+      |    UNNEST(generate_series(1, greatest(len(ws) - 1, 0))) AS u(i)),
+      |pair AS (
+      |  SELECT lang, w1, w2, CAST(COUNT(*) AS BIGINT) AS c_t,
+      |    COALESCE(CAST(SUM(CASE WHEN doc_id % 3 = 0 THEN 1 END) AS BIGINT),
+      |      0) AS c_d
+      |  FROM bg GROUP BY lang, w1, w2),
+      |ctx AS (
+      |  SELECT lang, w1, CAST(SUM(c_t) AS BIGINT) AS n_t,
+      |    CAST(SUM(c_d) AS BIGINT) AS n_d
+      |  FROM pair GROUP BY lang, w1),
+      |aw AS (
+      |  SELECT p.lang, p.w1, c.n_t,
+      |    CAST(SUM(CAST(LEAST(CAST(p.c_d AS DOUBLE) / CAST(c.n_d AS DOUBLE),
+      |      CAST(p.c_t AS DOUBLE) / CAST(c.n_t AS DOUBLE))
+      |      AS DECIMAL(38,6))) AS DOUBLE) AS a_w
+      |  FROM pair p JOIN ctx c ON p.lang = c.lang AND p.w1 = c.w1
+      |  WHERE c.n_d > 0
+      |  GROUP BY p.lang, p.w1, c.n_t),
+      |tot AS (
+      |  SELECT lang, CAST(SUM(n_t) AS BIGINT) AS mass_all,
+      |    COALESCE(CAST(SUM(CASE WHEN n_d > 0 THEN n_t END) AS BIGINT), 0)
+      |      AS mass_shared
+      |  FROM ctx GROUP BY lang),
+      |agg AS (
+      |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_ctx_shared,
+      |    CAST(SUM(CAST(CAST(n_t AS DOUBLE) * a_w AS DECIMAL(38,6)))
+      |      AS DOUBLE) AS wsum
+      |  FROM aw GROUP BY lang)
+      |SELECT a.lang, a.n_ctx_shared,
+      |  (t.mass_shared * 1000000) // t.mass_all AS coverage_ppm,
+      |  round(a.wsum / CAST(t.mass_shared AS DOUBLE), 6) AS alpha,
+      |  round(CASE WHEN a.wsum / CAST(t.mass_shared AS DOUBLE) < 1.0 THEN
+      |    (1.0 - (a.wsum / CAST(t.mass_shared AS DOUBLE))
+      |         * (a.wsum / CAST(t.mass_shared AS DOUBLE))
+      |         * (a.wsum / CAST(t.mass_shared AS DOUBLE))
+      |         * (a.wsum / CAST(t.mass_shared AS DOUBLE))
+      |         * (a.wsum / CAST(t.mass_shared AS DOUBLE)))
+      |    / (1.0 - a.wsum / CAST(t.mass_shared AS DOUBLE))
+      |    ELSE 5.0 END, 6) AS exp_accepted
+      |FROM agg a JOIN tot t ON a.lang = t.lang ORDER BY a.lang""".stripMargin))
+
+  /** q347: prefix-sharing census ([[graft.text.PrefixSharing]]) — the
+    * prompt-/KV-cache planning signal beside q346's acceptance rates:
+    * how many characters of each document's 200-char head could a
+    * prefix cache reuse from SOME other document? In lexicographic
+    * order the all-pairs max LCP is attained at a sorted neighbor
+    * (prefix order is compatible with string order), so one global
+    * sort + the two-pass segmented neighbor scan answers it — never
+    * an all-pairs join. Census per source: head chars vs reusable
+    * chars and the cache-hit ppm. The oracle replays the sort, the
+    * adjacent-pair LCPs (substr-equality max), and the two-sided
+    * max. */
+  val q347 = GQuery(
+    "q347_prefix_sharing",
+    (s, d) => {
+      import graft.text.PrefixSharing
+      val docs = documents(s, d)
+        .select(col("doc_id"), col("source"),
+          substring(col("text"), 1, 200).as("k"))
+      val re = PrefixSharing.reusablePrefix(docs, "doc_id", "k")
+      docs.join(re.select(col("id").as("doc_id"), col("reusable")),
+          Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(lcount(lit(1)).as("n_docs"),
+          sum(length(col("k")).cast("long")).as("head_chars"),
+          sum(col("reusable")).as("reusable_chars"))
+        .withColumn("hit_ppm",
+          expr("(reusable_chars * 1000000) div head_chars"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH k AS (
+      |  SELECT doc_id, source, substr(text, 1, 200) AS k FROM documents),
+      |ord AS (
+      |  SELECT doc_id, source, k,
+      |    row_number() OVER (ORDER BY k, doc_id) - 1 AS idx
+      |  FROM k),
+      |pl AS (
+      |  SELECT a.idx AS hi_idx,
+      |    MAX(CASE WHEN substr(a.k, 1, t.i) = substr(b.k, 1, t.i)
+      |      THEN t.i ELSE 0 END) AS l
+      |  FROM ord a JOIN ord b ON b.idx = a.idx - 1,
+      |    UNNEST(generate_series(1,
+      |      GREATEST(LEAST(length(a.k), length(b.k)), 1))) AS t(i)
+      |  GROUP BY a.idx),
+      |re AS (
+      |  SELECT o.doc_id, o.source, CAST(length(o.k) AS BIGINT) AS ch,
+      |    GREATEST(COALESCE(p1.l, 0), COALESCE(p2.l, 0)) AS reusable
+      |  FROM ord o
+      |  LEFT JOIN pl p1 ON p1.hi_idx = o.idx
+      |  LEFT JOIN pl p2 ON p2.hi_idx = o.idx + 1)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(ch) AS BIGINT) AS head_chars,
+      |  CAST(SUM(reusable) AS BIGINT) AS reusable_chars,
+      |  (CAST(SUM(reusable) AS BIGINT) * 1000000)
+      |    // CAST(SUM(ch) AS BIGINT) AS hit_ppm
+      |FROM re GROUP BY source ORDER BY source""".stripMargin))
+
   def queries: Seq[GQuery] =
     Seq(q32, q33, q34, q35, q66, q89, q91, q94, q96, q98, q99, q101,
       q106, q107, q109, q110, q111, q112, q115, q116, q120, q121, q126,
       q130, q132, q134, q135, q136, q137, q139, q140, q141, q179, q189, q193,
       q195, q200, q201, q236, q244, q258, q262, q264, q265, q266, q271,
-      q273, q292)
+      q273, q292, q346, q347)
 }
