@@ -1246,7 +1246,175 @@ object CorpusStatQueries {
         |FROM igs ORDER BY feature""".stripMargin))
   }
 
+  /** q349: watermark-detection census (Kirchenbauer et al. 2023) —
+    * the provenance scan a crawl pipeline runs to flag LLM-generated
+    * text before it contaminates training data: a watermarking
+    * sampler biases each token toward a GREEN LIST seeded by the
+    * previous token's hash, so detection is a one-proportion z-test
+    * per document (g green among T scored tokens vs γ under H₀).
+    * Green membership replays the repo's md5-uniform (7 hex / 2²⁸)
+    * on the (prev, token) pair, γ = 0.25; docs need T ≥ 10. This
+    * corpus is NOT watermarked, so the census certifies the null
+    * (mean z ≈ 0, nothing past the z > 4 flag line) — the same
+    * numbers a watermarked source would push right. One bigram
+    * explode; everything after is per-source. */
+  val q349 = GQuery(
+    "q349_watermark_census",
+    (s, d) => {
+      import graft.text.LangModel
+      val bg = LangModel.bigramPairs(documents(s, d), "doc_id", "text")
+        .withColumn("green", expr(
+          """CAST(conv(substring(md5(concat('wm-', w1, '-', w2)), 1, 7),
+            |16, 10) AS BIGINT) / 268435456.0 < 0.25""".stripMargin
+            .replace("\n", " ")))
+      val perDoc = bg.groupBy(col("doc").as("doc_id"))
+        .agg(lcount(lit(1)).as("t"),
+          coalesce(sum(when(col("green"), 1L)), lit(0L)).as("g"))
+        .filter(col("t") >= 10)
+        .withColumn("z",
+          (col("g").cast("double") - lit(0.25) * col("t").cast("double"))
+            / sqrt(col("t").cast("double") * lit(0.25) * lit(0.75)))
+      perDoc
+        .join(documents(s, d).select(col("doc_id"), col("source")),
+          Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(lcount(lit(1)).as("n_docs"),
+          round(dsum(col("z")) / count(lit(1)), 6).as("mean_z"),
+          round(max(col("z")), 6).as("max_z"),
+          coalesce(sum(when(col("z") > 4.0, 1L)), lit(0L)).as("n_flagged"))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH bg AS (
+      |  SELECT doc_id AS doc, ws[i] AS w1, ws[i+1] AS w2
+      |  FROM (SELECT doc_id, $wsSql AS ws FROM documents) t,
+      |    UNNEST(generate_series(1, greatest(len(ws) - 1, 0))) AS u(i)),
+      |gr AS (
+      |  SELECT doc,
+      |    (CAST(('0x' || substr(md5('wm-' || w1 || '-' || w2), 1, 7))
+      |      AS BIGINT) / 268435456.0 < 0.25) AS green
+      |  FROM bg),
+      |per AS (
+      |  SELECT doc, CAST(COUNT(*) AS BIGINT) AS t,
+      |    COALESCE(CAST(SUM(CASE WHEN green THEN 1 END) AS BIGINT), 0) AS g
+      |  FROM gr GROUP BY doc),
+      |z AS (
+      |  SELECT doc,
+      |    (CAST(g AS DOUBLE) - 0.25 * CAST(t AS DOUBLE))
+      |      / sqrt(CAST(t AS DOUBLE) * 0.25 * 0.75) AS z
+      |  FROM per WHERE t >= 10)
+      |SELECT dd.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  round(${sqlDsum("z.z")} / COUNT(*), 6) AS mean_z,
+      |  round(MAX(z.z), 6) AS max_z,
+      |  COALESCE(CAST(SUM(CASE WHEN z.z > 4.0 THEN 1 END) AS BIGINT), 0)
+      |    AS n_flagged
+      |FROM z JOIN documents dd ON z.doc = dd.doc_id
+      |GROUP BY dd.source ORDER BY dd.source""".stripMargin))
+
+  /** q350: DoReMi-lite domain reweighting (Xie et al. 2023, one
+    * exponentiated-gradient step) — the loss-aware upgrade over
+    * q104's temperature mixing (temperature only looks at SIZE;
+    * DoReMi boosts domains where the proxy model's held-out loss is
+    * WORST, i.e. where more data would help most): per language, the
+    * bigram-mass-weighted held-out NLL under the q146 proxy model
+    * (trained on doc_id % 3 ≠ 0, scored on the % 3 = 0 holdout),
+    * excess over the global reference loss, and the new mixture
+    * w'_d ∝ w_d·e^(η·excess) (η = 1) against the char-mass baseline.
+    * Doc scores ride [[LangModel.score]]'s e9-quantized exact sums;
+    * the domain rollups and the normalizer are DECIMAL-routed over
+    * the 5-language frame. */
+  val q350 = GQuery(
+    "q350_doremi_reweight",
+    (s, d) => {
+      val docs = documents(s, d)
+      val model = LangModel.train(docs.filter(col("doc_id") % 3 =!= 0),
+        "doc_id", "text")
+      val scored = LangModel.score(docs.filter(col("doc_id") % 3 === 0),
+          model, "doc_id", "text")
+        .join(docs.select(col("doc_id").as("doc"), col("lang")), Seq("doc"))
+      val byLang = scored.groupBy(col("lang"))
+        .agg(sum(col("n_bigrams")).as("mass"),
+          dsum(-col("logprob") * col("n_bigrams").cast("double")).as("nllw"))
+        .withColumn("loss", col("nllw") / col("mass").cast("double"))
+        .localCheckpoint(eager = false) // reference + normalizer probe it
+      val ref = byLang.agg(
+        (sum(col("nllw").cast(org.apache.spark.sql.types.DecimalType(38, 6)))
+          .cast("double") / sum(col("mass")).cast("double")).as("l_ref"))
+      val base = docs.groupBy(col("lang"))
+        .agg(sum(col("n_chars")).as("chars"))
+      val baseTot = base.agg(sum(col("chars")).as("chars_all"))
+      val w = byLang.join(base, Seq("lang"))
+        .crossJoin(broadcast(ref)).crossJoin(broadcast(baseTot))
+        .withColumn("w0",
+          col("chars").cast("double") / col("chars_all").cast("double"))
+        .withColumn("excess", greatest(col("loss") - col("l_ref"), lit(0.0)))
+        .withColumn("wu", col("w0") * exp(col("excess")))
+        .localCheckpoint(eager = false) // normalizer + output probe it
+      val norm = w.agg(
+        sum(col("wu").cast(org.apache.spark.sql.types.DecimalType(38, 18)))
+          .cast("double").as("zsum"))
+      w.crossJoin(broadcast(norm))
+        .select(col("lang"), col("mass"),
+          round(col("loss"), 6).as("loss"),
+          round(col("excess"), 6).as("excess"),
+          round(col("w0"), 6).as("base_share"),
+          round(col("wu") / col("zsum"), 6).as("new_share"))
+        .orderBy(col("lang"))
+    },
+    Some(s"""WITH bg AS (
+      |  SELECT doc_id AS doc, ws[i] AS w1, ws[i+1] AS w2
+      |  FROM (SELECT doc_id, $wsSql AS ws FROM documents) t,
+      |    UNNEST(generate_series(1, greatest(len(ws) - 1, 0))) AS u(i)),
+      |cbg AS (
+      |  SELECT w1, w2, COUNT(*) AS c2 FROM bg WHERE doc % 3 <> 0
+      |  GROUP BY 1, 2),
+      |toks AS (
+      |  SELECT unnest($wsSql) AS w FROM documents WHERE doc_id % 3 <> 0),
+      |cuni AS (SELECT w AS w1, COUNT(*) AS c1 FROM toks GROUP BY 1),
+      |voc AS (SELECT COUNT(DISTINCT w) AS v FROM toks),
+      |scored AS (
+      |  SELECT b.doc, COUNT(*) AS n_bigrams,
+      |    (${graft.core.Exact.sqlLsumAt(
+           "ln(CAST(COALESCE(g.c2, 0) + 1 AS DOUBLE) / CAST(COALESCE(u.c1, 0) + voc.v AS DOUBLE))",
+           "1000000000.0")} / COUNT(*)) AS logprob
+      |  FROM bg b
+      |  LEFT JOIN cbg g ON b.w1 = g.w1 AND b.w2 = g.w2
+      |  LEFT JOIN cuni u ON b.w1 = u.w1
+      |  CROSS JOIN voc
+      |  WHERE b.doc % 3 = 0
+      |  GROUP BY b.doc),
+      |byl AS (
+      |  SELECT dd.lang, CAST(SUM(s.n_bigrams) AS BIGINT) AS mass,
+      |    ${sqlDsum("-s.logprob * CAST(s.n_bigrams AS DOUBLE)")} AS nllw
+      |  FROM scored s JOIN documents dd ON s.doc = dd.doc_id
+      |  GROUP BY dd.lang),
+      |byl2 AS (
+      |  SELECT lang, mass, nllw, nllw / CAST(mass AS DOUBLE) AS loss
+      |  FROM byl),
+      |ref AS (
+      |  SELECT CAST(SUM(CAST(nllw AS DECIMAL(38,6))) AS DOUBLE)
+      |    / CAST(SUM(mass) AS DOUBLE) AS l_ref
+      |  FROM byl2),
+      |base AS (
+      |  SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS chars
+      |  FROM documents GROUP BY lang),
+      |bt AS (SELECT CAST(SUM(chars) AS BIGINT) AS chars_all FROM base),
+      |w AS (
+      |  SELECT b2.lang, b2.mass, b2.loss,
+      |    GREATEST(b2.loss - r.l_ref, 0.0) AS excess,
+      |    CAST(ba.chars AS DOUBLE) / CAST(t.chars_all AS DOUBLE) AS w0,
+      |    (CAST(ba.chars AS DOUBLE) / CAST(t.chars_all AS DOUBLE))
+      |      * exp(GREATEST(b2.loss - r.l_ref, 0.0)) AS wu
+      |  FROM byl2 b2 JOIN base ba ON b2.lang = ba.lang
+      |  CROSS JOIN ref r CROSS JOIN bt t),
+      |norm AS (
+      |  SELECT CAST(SUM(CAST(wu AS DECIMAL(38,18))) AS DOUBLE) AS zsum
+      |  FROM w)
+      |SELECT w.lang, w.mass, round(w.loss, 6) AS loss,
+      |  round(w.excess, 6) AS excess, round(w.w0, 6) AS base_share,
+      |  round(w.wu / n.zsum, 6) AS new_share
+      |FROM w CROSS JOIN norm n ORDER BY w.lang""".stripMargin))
+
   def queries: Seq[GQuery] =
     Seq(q146, q149, q152, q169, q175, q213, q215, q220, q224, q237, q275,
-      q276, q314, q319, q325, q331, q333, q342)
+      q276, q314, q319, q325, q331, q333, q342, q349, q350)
 }
