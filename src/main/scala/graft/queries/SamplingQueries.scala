@@ -559,6 +559,95 @@ object SamplingQueries {
       |  (1000 * s.n_h) // t.n_total AS prop_n
       |FROM nsds s CROSS JOIN tot t ORDER BY s.source""".stripMargin))
 
+  /** q352: out-of-fold target encoding — the leakage-safe categorical
+    * encoder (the q108 split-leakage lesson applied to FEATURES: a
+    * category's target mean computed on data that includes the row
+    * itself leaks the label into the feature): 5 md5-derived folds,
+    * each row's encoding uses only the OTHER folds' (sum, count) for
+    * its category plus m = 10 pseudo-observations of the global mean
+    * (smoothing), all derived by SUBTRACTION from the category totals
+    * — one fact-sized pass builds the (category, fold) cells, the
+    * encoder table is cells-bounded and broadcasts back. The census
+    * reports, per fold, the feature↔target correlation of the OOF
+    * encoding beside the naive full-data one (the leakage gap the
+    * operator exists to remove), via decimal-routed moments. */
+  val q352 = GQuery(
+    "q352_target_encoding",
+    (s, d) => {
+      val rows = events(s, d).select(col("event_id"),
+          (col("user_id") % 100).as("cat"), col("value").as("y"))
+        .withColumn("fold", floor(expr(
+          """CAST(conv(substring(md5(concat('fold-', CAST(event_id AS STRING))),
+            |1, 7), 16, 10) AS BIGINT) / 268435456.0""".stripMargin
+            .replace("\n", " ")) * 5).cast("long"))
+        .localCheckpoint(eager = false) // cells + scoring probe it
+      val cells = rows.groupBy(col("cat"), col("fold"))
+        .agg(lcount(lit(1)).as("n_cf"), dsum(col("y")).as("s_cf"))
+        .localCheckpoint(eager = false) // totals + encoder probe it
+      val dec = org.apache.spark.sql.types.DecimalType(38, 6)
+      val catTot = cells.groupBy(col("cat"))
+        .agg(sum(col("n_cf")).as("n_c"),
+          sum(col("s_cf").cast(dec)).cast("double").as("s_c"))
+      val g = rows.agg((dsum(col("y")) / count(lit(1))).as("gmean"))
+      val enc = cells.join(catTot, Seq("cat")).crossJoin(broadcast(g))
+        .select(col("cat"), col("fold"),
+          ((col("s_c") - col("s_cf") + lit(10.0) * col("gmean"))
+            / (col("n_c") - col("n_cf") + 10).cast("double")).as("e_oof"),
+          ((col("s_c") + lit(10.0) * col("gmean"))
+            / (col("n_c") + 10).cast("double")).as("e_naive"))
+      def corr(e: org.apache.spark.sql.Column) = {
+        val n = count(lit(1)).cast("double")
+        (n * dsum(e * col("y")) - dsum(e) * dsum(col("y"))) /
+          (sqrt(n * dsum(e * e) - dsum(e) * dsum(e))
+            * sqrt(n * dsum(col("y") * col("y")) - dsum(col("y")) * dsum(col("y"))))
+      }
+      rows.join(broadcast(enc), Seq("cat", "fold"))
+        .groupBy(col("fold"))
+        .agg(lcount(lit(1)).as("n"),
+          round(corr(col("e_oof")), 6).as("corr_oof"),
+          round(corr(col("e_naive")), 6).as("corr_naive"))
+        .orderBy(col("fold"))
+    },
+    Some(s"""WITH rows_ AS (
+      |  SELECT event_id, user_id % 100 AS cat, value AS y,
+      |    CAST(FLOOR(CAST(('0x' || substr(md5('fold-' ||
+      |      CAST(event_id AS VARCHAR)), 1, 7)) AS BIGINT)
+      |      / 268435456.0 * 5) AS BIGINT) AS fold
+      |  FROM events),
+      |cells AS (
+      |  SELECT cat, fold, CAST(COUNT(*) AS BIGINT) AS n_cf,
+      |    ${dsumSql("y")} AS s_cf
+      |  FROM rows_ GROUP BY cat, fold),
+      |ct AS (
+      |  SELECT cat, CAST(SUM(n_cf) AS BIGINT) AS n_c,
+      |    CAST(SUM(CAST(s_cf AS DECIMAL(38,6))) AS DOUBLE) AS s_c
+      |  FROM cells GROUP BY cat),
+      |g AS (SELECT ${dsumSql("y")} / COUNT(*) AS gmean FROM rows_),
+      |enc AS (
+      |  SELECT c.cat, c.fold,
+      |    (t.s_c - c.s_cf + 10.0 * g.gmean)
+      |      / CAST(t.n_c - c.n_cf + 10 AS DOUBLE) AS e_oof,
+      |    (t.s_c + 10.0 * g.gmean) / CAST(t.n_c + 10 AS DOUBLE) AS e_naive
+      |  FROM cells c JOIN ct t ON c.cat = t.cat CROSS JOIN g),
+      |j AS (
+      |  SELECT r.fold, r.y, e.e_oof, e.e_naive
+      |  FROM rows_ r JOIN enc e ON r.cat = e.cat AND r.fold = e.fold)
+      |SELECT fold, CAST(COUNT(*) AS BIGINT) AS n,
+      |  round((CAST(COUNT(*) AS DOUBLE) * ${dsumSql("e_oof * y")}
+      |      - ${dsumSql("e_oof")} * ${dsumSql("y")})
+      |    / (sqrt(CAST(COUNT(*) AS DOUBLE) * ${dsumSql("e_oof * e_oof")}
+      |        - ${dsumSql("e_oof")} * ${dsumSql("e_oof")})
+      |      * sqrt(CAST(COUNT(*) AS DOUBLE) * ${dsumSql("y * y")}
+      |        - ${dsumSql("y")} * ${dsumSql("y")})), 6) AS corr_oof,
+      |  round((CAST(COUNT(*) AS DOUBLE) * ${dsumSql("e_naive * y")}
+      |      - ${dsumSql("e_naive")} * ${dsumSql("y")})
+      |    / (sqrt(CAST(COUNT(*) AS DOUBLE) * ${dsumSql("e_naive * e_naive")}
+      |        - ${dsumSql("e_naive")} * ${dsumSql("e_naive")})
+      |      * sqrt(CAST(COUNT(*) AS DOUBLE) * ${dsumSql("y * y")}
+      |        - ${dsumSql("y")} * ${dsumSql("y")})), 6) AS corr_naive
+      |FROM j GROUP BY fold ORDER BY fold""".stripMargin))
+
   def queries: Seq[GQuery] =
-    Seq(q97, q100, q104, q128, q165, q166, q194, q202, q235, q307, q334)
+    Seq(q97, q100, q104, q128, q165, q166, q194, q202, q235, q307, q334,
+      q352)
 }

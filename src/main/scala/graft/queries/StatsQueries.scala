@@ -2555,9 +2555,106 @@ object StatsQueries {
       |    ELSE 1 END AS sturges_bins
       |FROM w ORDER BY event_type""".stripMargin))
 
+  /** q351: weight-of-evidence / information-value binning — the
+    * credit-scoring feature audit beside q342's information gain (IG
+    * asks "does this feature predict the label"; WOE/IV asks it
+    * BIN-BY-BIN with a signed, additive evidence scale a scorecard
+    * can consume): users are good when their purchase spend clears
+    * the exact user-median; the feature is view count cut into
+    * quintiles at exact type-7 cuts ([[SortPercentile]], broadcast
+    * back — never an ntile over one reducer); per bin
+    * WOE = ln(goodshare/badshare) with the standard 0.5 Laplace
+    * guard, IV = Σ(Δshare)·WOE decimal-routed. Two user-keyed
+    * shuffles, everything after bin-bounded. */
+  val q351 = GQuery(
+    "q351_woe_iv_binning",
+    (s, d) => {
+      val perUser = events(s, d).groupBy(col("user_id"))
+        .agg(coalesce(sum(when(col("event_type") === "view", 1L)), lit(0L))
+          .as("views"),
+          coalesce(dsum(when(col("event_type") === "purchase", col("value"))),
+            lit(0.0)).as("spend"))
+        .localCheckpoint(eager = false) // median, cuts and binning probe it
+      val med = SortPercentile.percentiles(perUser, Seq(), col("spend"),
+        Seq(0.5), Seq("m"))
+      val cuts = SortPercentile.percentiles(perUser, Seq(),
+        col("views").cast("double"),
+        Seq(0.2, 0.4, 0.6, 0.8), Seq("c1", "c2", "c3", "c4"))
+      val binned = perUser.crossJoin(broadcast(med)).crossJoin(broadcast(cuts))
+        .select(
+          (when(col("views") > col("c1"), 1L).otherwise(0L)
+            + when(col("views") > col("c2"), 1L).otherwise(0L)
+            + when(col("views") > col("c3"), 1L).otherwise(0L)
+            + when(col("views") > col("c4"), 1L).otherwise(0L)).as("bin"),
+          (col("spend") >= col("m")).as("good"))
+      val byBin = binned.groupBy(col("bin"))
+        .agg(lcount(lit(1)).as("n"),
+          coalesce(sum(when(col("good"), 1L)), lit(0L)).as("n_good"),
+          coalesce(sum(when(!col("good"), 1L)), lit(0L)).as("n_bad"))
+      val tot = byBin.agg(sum(col("n_good")).as("tg"), sum(col("n_bad")).as("tb"))
+      val woe = byBin.crossJoin(broadcast(tot))
+        .withColumn("gs", (col("n_good").cast("double") + 0.5)
+          / (col("tg").cast("double") + 0.5))
+        .withColumn("bs", (col("n_bad").cast("double") + 0.5)
+          / (col("tb").cast("double") + 0.5))
+        .withColumn("woe", log(col("gs") / col("bs")))
+        .withColumn("ivc", (col("gs") - col("bs")) * col("woe"))
+        .localCheckpoint(eager = false) // IV total probes it
+      val iv = woe.agg(dsum(col("ivc")).as("iv"))
+      woe.crossJoin(broadcast(iv))
+        .select(col("bin"), col("n"), col("n_good"), col("n_bad"),
+          round(col("woe"), 6).as("woe"), round(col("ivc"), 6).as("iv_bin"),
+          round(col("iv"), 6).as("iv_total"))
+        .orderBy(col("bin"))
+    },
+    Some(s"""WITH pu AS (
+      |  SELECT user_id,
+      |    COALESCE(CAST(SUM(CASE WHEN event_type = 'view' THEN 1 END)
+      |      AS BIGINT), 0) AS views,
+      |    COALESCE(${sqlDsum("CASE WHEN event_type = 'purchase' THEN value END")},
+      |      0.0) AS spend
+      |  FROM events GROUP BY user_id),
+      |med AS (SELECT quantile_cont(spend, 0.5) AS m FROM pu),
+      |cuts AS (
+      |  SELECT quantile_cont(CAST(views AS DOUBLE), 0.2) AS c1,
+      |    quantile_cont(CAST(views AS DOUBLE), 0.4) AS c2,
+      |    quantile_cont(CAST(views AS DOUBLE), 0.6) AS c3,
+      |    quantile_cont(CAST(views AS DOUBLE), 0.8) AS c4
+      |  FROM pu),
+      |binned AS (
+      |  SELECT
+      |    (CASE WHEN views > c1 THEN 1 ELSE 0 END
+      |     + CASE WHEN views > c2 THEN 1 ELSE 0 END
+      |     + CASE WHEN views > c3 THEN 1 ELSE 0 END
+      |     + CASE WHEN views > c4 THEN 1 ELSE 0 END) AS bin,
+      |    (spend >= m.m) AS good
+      |  FROM pu CROSS JOIN med m CROSS JOIN cuts),
+      |byb AS (
+      |  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+      |    COALESCE(CAST(SUM(CASE WHEN good THEN 1 END) AS BIGINT), 0)
+      |      AS n_good,
+      |    COALESCE(CAST(SUM(CASE WHEN NOT good THEN 1 END) AS BIGINT), 0)
+      |      AS n_bad
+      |  FROM binned GROUP BY bin),
+      |tot AS (SELECT CAST(SUM(n_good) AS BIGINT) AS tg,
+      |  CAST(SUM(n_bad) AS BIGINT) AS tb FROM byb),
+      |woe AS (
+      |  SELECT bin, n, n_good, n_bad,
+      |    (CAST(n_good AS DOUBLE) + 0.5) / (CAST(tg AS DOUBLE) + 0.5) AS gs,
+      |    (CAST(n_bad AS DOUBLE) + 0.5) / (CAST(tb AS DOUBLE) + 0.5) AS bs
+      |  FROM byb CROSS JOIN tot),
+      |woe2 AS (
+      |  SELECT bin, n, n_good, n_bad, ln(gs / bs) AS woe,
+      |    (gs - bs) * ln(gs / bs) AS ivc
+      |  FROM woe),
+      |iv AS (SELECT ${sqlDsum("ivc")} AS iv FROM woe2)
+      |SELECT w.bin, w.n, w.n_good, w.n_bad, round(w.woe, 6) AS woe,
+      |  round(w.ivc, 6) AS iv_bin, round(i.iv, 6) AS iv_total
+      |FROM woe2 w CROSS JOIN iv i ORDER BY w.bin""".stripMargin))
+
   def queries: Seq[GQuery] =
     Seq(q23, q24, q25, q26, q27, q28, q29, q30, q31, q51, q58, q113, q163,
       q185, q191, q211, q217, q268, q274, q284, q291, q293, q294, q295,
       q296, q297, q298, q299, q300, q305, q306, q308, q311, q312, q315,
-      q324, q327, q339, q343, q344)
+      q324, q327, q339, q343, q344, q351)
 }
