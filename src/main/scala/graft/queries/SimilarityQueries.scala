@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.core.Tables._
+import graft.core.Exact.dsum
 import graft.similarity.{Bitext, GridDbscan, Knn}
 
 /** Similarity search over the `embeddings` table (array<float>):
@@ -16,6 +17,49 @@ import graft.similarity.{Bitext, GridDbscan, Knn}
   * — integer sums are associative, so the fold shape is free to differ.
   */
 object SimilarityQueries {
+
+  private val dbscanLabCtes = """p AS (
+      |  SELECT vec_id AS id,
+      |    CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000.0 + 0.5)
+      |      AS BIGINT) AS x,
+      |    CAST(floor(CAST(embedding[2] AS DOUBLE) * 1000000.0 + 0.5)
+      |      AS BIGINT) AS y
+      |  FROM embeddings),
+      |c AS (
+      |  SELECT id, x, y, (x + 1000000000) // 30000 AS cx,
+      |    (y + 1000000000) // 30000 AS cy FROM p),
+      |pairs AS (
+      |  SELECT a.id AS ida, b.id AS idb
+      |  FROM c a JOIN c b
+      |    ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+      |   AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+      |   AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+      |     <= 900000000),
+      |deg AS (SELECT ida, COUNT(*) AS deg FROM pairs GROUP BY ida),
+      |core AS (SELECT ida AS id FROM deg WHERE deg >= 10),
+      |ce AS (
+      |  SELECT p2.ida AS u, p2.idb AS v FROM pairs p2
+      |  JOIN core c1 ON p2.ida = c1.id JOIN core c2 ON p2.idb = c2.id
+      |  WHERE p2.ida <> p2.idb),
+      |reach(n, l) AS (
+      |  SELECT id, id FROM core
+      |  UNION
+      |  SELECT e.v, r.l FROM reach r JOIN ce e ON e.u = r.n),
+      |comp AS (SELECT n AS id, MIN(l) AS cluster FROM reach GROUP BY n),
+      |border AS (
+      |  SELECT pr.ida AS id, MIN(cm.cluster) AS cluster
+      |  FROM pairs pr JOIN comp cm ON pr.idb = cm.id
+      |  WHERE pr.ida NOT IN (SELECT id FROM core)
+      |  GROUP BY pr.ida),
+      |lab AS (
+      |  SELECT p.id,
+      |    CASE WHEN cc.id IS NOT NULL THEN 'core'
+      |         WHEN b.id IS NOT NULL THEN 'border'
+      |         ELSE 'noise' END AS role,
+      |    COALESCE(cc.cluster, b.cluster, -1) AS cluster
+      |  FROM p LEFT JOIN comp cc ON p.id = cc.id
+      |  LEFT JOIN border b ON p.id = b.id)""".stripMargin
+
 
   /** Shared SQL mirror of the scaled-long cosine machinery. */
   private val elSql =
@@ -1576,58 +1620,12 @@ object SimilarityQueries {
   val q328 = GQuery(
     "q328_grid_dbscan",
     (s, d) => {
-      val pts = embeddings(s, d).select(col("vec_id"),
-        floor(element_at(col("embedding"), 1).cast("double") * 1e6 + lit(0.5))
-          .cast("long").as("x"),
-        floor(element_at(col("embedding"), 2).cast("double") * 1e6 + lit(0.5))
-          .cast("long").as("y"))
-      val lab = GridDbscan.cluster(pts, "vec_id", "x", "y",
-        epsScaled = 30000L, minPts = 10)
+      val lab = dbscanLabels(s, d, probe = false)
       lab.groupBy(coalesce(col("cluster"), lit(-1L)).as("cluster"), col("role"))
         .agg(count(lit(1)).cast("long").as("n"))
         .orderBy(col("cluster"), col("role"))
     },
-    Some("""WITH RECURSIVE p AS (
-      |  SELECT vec_id AS id,
-      |    CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000.0 + 0.5)
-      |      AS BIGINT) AS x,
-      |    CAST(floor(CAST(embedding[2] AS DOUBLE) * 1000000.0 + 0.5)
-      |      AS BIGINT) AS y
-      |  FROM embeddings),
-      |c AS (
-      |  SELECT id, x, y, (x + 1000000000) // 30000 AS cx,
-      |    (y + 1000000000) // 30000 AS cy FROM p),
-      |pairs AS (
-      |  SELECT a.id AS ida, b.id AS idb
-      |  FROM c a JOIN c b
-      |    ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
-      |   AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
-      |   AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
-      |     <= 900000000),
-      |deg AS (SELECT ida, COUNT(*) AS deg FROM pairs GROUP BY ida),
-      |core AS (SELECT ida AS id FROM deg WHERE deg >= 10),
-      |ce AS (
-      |  SELECT p2.ida AS u, p2.idb AS v FROM pairs p2
-      |  JOIN core c1 ON p2.ida = c1.id JOIN core c2 ON p2.idb = c2.id
-      |  WHERE p2.ida <> p2.idb),
-      |reach(n, l) AS (
-      |  SELECT id, id FROM core
-      |  UNION
-      |  SELECT e.v, r.l FROM reach r JOIN ce e ON e.u = r.n),
-      |comp AS (SELECT n AS id, MIN(l) AS cluster FROM reach GROUP BY n),
-      |border AS (
-      |  SELECT pr.ida AS id, MIN(cm.cluster) AS cluster
-      |  FROM pairs pr JOIN comp cm ON pr.idb = cm.id
-      |  WHERE pr.ida NOT IN (SELECT id FROM core)
-      |  GROUP BY pr.ida),
-      |lab AS (
-      |  SELECT p.id,
-      |    CASE WHEN cc.id IS NOT NULL THEN 'core'
-      |         WHEN b.id IS NOT NULL THEN 'border'
-      |         ELSE 'noise' END AS role,
-      |    COALESCE(cc.cluster, b.cluster, -1) AS cluster
-      |  FROM p LEFT JOIN comp cc ON p.id = cc.id
-      |  LEFT JOIN border b ON p.id = b.id)
+    Some(s"""WITH RECURSIVE $dbscanLabCtes
       |SELECT cluster, role, CAST(COUNT(*) AS BIGINT) AS n
       |FROM lab GROUP BY cluster, role ORDER BY cluster, role""".stripMargin))
 
@@ -1662,49 +1660,155 @@ object SimilarityQueries {
         .agg(count(lit(1)).cast("long").as("n"))
         .orderBy(col("cluster"), col("role"))
     },
-    Some("""WITH RECURSIVE p AS (
-      |  SELECT vec_id AS id,
-      |    CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000.0 + 0.5)
-      |      AS BIGINT) AS x,
-      |    CAST(floor(CAST(embedding[2] AS DOUBLE) * 1000000.0 + 0.5)
-      |      AS BIGINT) AS y
-      |  FROM embeddings),
-      |c AS (
-      |  SELECT id, x, y, (x + 1000000000) // 30000 AS cx,
-      |    (y + 1000000000) // 30000 AS cy FROM p),
-      |pairs AS (
-      |  SELECT a.id AS ida, b.id AS idb
-      |  FROM c a JOIN c b
-      |    ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
-      |   AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
-      |   AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
-      |     <= 900000000),
-      |deg AS (SELECT ida, COUNT(*) AS deg FROM pairs GROUP BY ida),
-      |core AS (SELECT ida AS id FROM deg WHERE deg >= 10),
-      |ce AS (
-      |  SELECT p2.ida AS u, p2.idb AS v FROM pairs p2
-      |  JOIN core c1 ON p2.ida = c1.id JOIN core c2 ON p2.idb = c2.id
-      |  WHERE p2.ida <> p2.idb),
-      |reach(n, l) AS (
-      |  SELECT id, id FROM core
-      |  UNION
-      |  SELECT e.v, r.l FROM reach r JOIN ce e ON e.u = r.n),
-      |comp AS (SELECT n AS id, MIN(l) AS cluster FROM reach GROUP BY n),
-      |border AS (
-      |  SELECT pr.ida AS id, MIN(cm.cluster) AS cluster
-      |  FROM pairs pr JOIN comp cm ON pr.idb = cm.id
-      |  WHERE pr.ida NOT IN (SELECT id FROM core)
-      |  GROUP BY pr.ida),
-      |lab AS (
-      |  SELECT p.id,
-      |    CASE WHEN cc.id IS NOT NULL THEN 'core'
-      |         WHEN b.id IS NOT NULL THEN 'border'
-      |         ELSE 'noise' END AS role,
-      |    COALESCE(cc.cluster, b.cluster, -1) AS cluster
-      |  FROM p LEFT JOIN comp cc ON p.id = cc.id
-      |  LEFT JOIN border b ON p.id = b.id)
+    Some(s"""WITH RECURSIVE $dbscanLabCtes
       |SELECT cluster, role, CAST(COUNT(*) AS BIGINT) AS n
       |FROM lab GROUP BY cluster, role ORDER BY cluster, role""".stripMargin))
+
+  /** The ε=0.03/minPts=10 batch clustering as a LANDED artifact:
+    * q328 produces it (producer-pays — the build cost stays on the
+    * clustering query), q353's external evaluation probes it instead
+    * of reclustering. Same seam as the q72/q95 and q214/q254 pairs. */
+  private def dbscanLabels(s: org.apache.spark.sql.SparkSession, d: String,
+                           probe: Boolean): org.apache.spark.sql.DataFrame = {
+    def build = {
+      val pts = embeddings(s, d).select(col("vec_id"),
+        floor(element_at(col("embedding"), 1).cast("double") * 1e6 + lit(0.5))
+          .cast("long").as("x"),
+        floor(element_at(col("embedding"), 2).cast("double") * 1e6 + lit(0.5))
+          .cast("long").as("y"))
+      GridDbscan.cluster(pts, "vec_id", "x", "y",
+        epsScaled = 30000L, minPts = 10)
+    }
+    if (probe) graft.core.Landed.probeOrBuild(s, s"dbscan-labels:$d")(build)
+    else graft.core.Landed.land(s, s"dbscan-labels:$d")(build)
+  }
+
+  /** q353: external clustering evaluation — Adjusted Rand Index
+    * (Hubert & Arabie 1985) and normalized mutual information of the
+    * q328 DBSCAN clusters against the embedding table's ground-truth
+    * labels: the scoring half of the clustering family (q328/q338
+    * produce clusters; this says whether they MEAN anything). ARI is
+    * pure pair-counting combinatorics — every C(·,2) and the
+    * expected-index product stay exact integers (decimal-routed) with
+    * ONE double division at the end; NMI's entropies are
+    * DECIMAL(38,6)-routed p·ln p sums over the contingency frame.
+    * Noise points are excluded and reported (ARI is defined over
+    * clustered points; the noise bill is the DBSCAN-specific part of
+    * the story). Everything after the clustering is contingency-
+    * bounded (clusters × labels). */
+  val q353 = GQuery(
+    "q353_clustering_ari",
+    (s, d) => {
+      val lab = dbscanLabels(s, d, probe = true)
+      val pl = lab.filter(col("role") =!= "noise")
+        .join(embeddings(s, d).select(col("vec_id").as("id"),
+          col("label").cast("long").as("l")), Seq("id"))
+        .select(col("cluster"), col("l"))
+      val cont = pl.groupBy(col("cluster"), col("l"))
+        .agg(count(lit(1)).cast("long").as("nij"))
+        .localCheckpoint(eager = false) // rows/cols/pair sums probe it
+      val rows = cont.groupBy(col("cluster")).agg(sum(col("nij")).as("ri"))
+      val cols = cont.groupBy(col("l")).agg(sum(col("nij")).as("cj"))
+      val nEx = lab.filter(col("role") === "noise")
+        .agg(count(lit(1)).cast("long").as("n_noise"))
+      // C(x,2) on the integer path (x·(x−1) is even, so div 2 is exact);
+      // the SUM is decimal-routed past int64
+      def choose2Sum(c: String) =
+        sum(expr(s"CAST((($c) * (($c) - 1)) div 2 AS DECIMAL(38,0))"))
+      val parts = cont.agg(choose2Sum("nij").as("a"), sum(col("nij")).as("n"))
+      val sr = rows.agg(choose2Sum("ri").as("sr"),
+        count(lit(1)).cast("long").as("n_clusters"))
+      val sc = cols.agg(choose2Sum("cj").as("sc"))
+      // NMI pieces: entropies + mutual information, decimal-routed
+      val withMarg = cont
+        .join(broadcast(rows), Seq("cluster"))
+        .join(broadcast(cols), Seq("l"))
+        .crossJoin(broadcast(parts.select(col("n"))))
+      val mi = withMarg.agg(dsum(
+        (col("nij").cast("double") / col("n").cast("double"))
+          * log(col("n").cast("double") * col("nij").cast("double")
+            / (col("ri").cast("double") * col("cj").cast("double"))))
+        .as("mi"))
+      val hc = rows.crossJoin(broadcast(parts.select(col("n"))))
+        .agg(dsum(-(col("ri").cast("double") / col("n").cast("double"))
+          * log(col("ri").cast("double") / col("n").cast("double"))).as("hc"))
+      val hl = cols.crossJoin(broadcast(parts.select(col("n"))))
+        .agg(dsum(-(col("cj").cast("double") / col("n").cast("double"))
+          * log(col("cj").cast("double") / col("n").cast("double"))).as("hl"))
+      parts.crossJoin(broadcast(sr)).crossJoin(broadcast(sc))
+        .crossJoin(broadcast(nEx)).crossJoin(broadcast(mi))
+        .crossJoin(broadcast(hc)).crossJoin(broadcast(hl))
+        .withColumn("total", expr("CAST((n * (n - 1)) div 2 AS DECIMAL(38,0))"))
+        .withColumn("exp_idx",
+          col("sr").cast("double") * col("sc").cast("double")
+            / col("total").cast("double"))
+        .select(col("n").as("n_points"), col("n_noise"), col("n_clusters"),
+          round(when(
+            (col("sr").cast("double") + col("sc").cast("double")) / 2.0
+              - col("exp_idx") =!= 0.0,
+            (col("a").cast("double") - col("exp_idx"))
+              / ((col("sr").cast("double") + col("sc").cast("double")) / 2.0
+                - col("exp_idx"))), 6).as("ari"),
+          round(when(col("hc") > 0 && col("hl") > 0,
+            col("mi") / sqrt(col("hc") * col("hl"))), 6).as("nmi"))
+    },
+    Some(s"""WITH RECURSIVE $dbscanLabCtes,
+      |pl AS (
+      |  SELECT l.cluster, CAST(e.label AS BIGINT) AS lbl
+      |  FROM lab l JOIN embeddings e ON l.id = e.vec_id
+      |  WHERE l.role <> 'noise'),
+      |cont AS (
+      |  SELECT cluster, lbl, CAST(COUNT(*) AS BIGINT) AS nij
+      |  FROM pl GROUP BY cluster, lbl),
+      |rws AS (SELECT cluster, CAST(SUM(nij) AS BIGINT) AS ri
+      |  FROM cont GROUP BY cluster),
+      |cls AS (SELECT lbl, CAST(SUM(nij) AS BIGINT) AS cj
+      |  FROM cont GROUP BY lbl),
+      |nx AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_noise FROM lab
+      |  WHERE role = 'noise'),
+      |parts AS (
+      |  SELECT SUM(CAST(nij AS HUGEINT) * (nij - 1) // 2) AS a,
+      |    CAST(SUM(nij) AS BIGINT) AS n
+      |  FROM cont),
+      |srt AS (SELECT SUM(CAST(ri AS HUGEINT) * (ri - 1) // 2) AS sr,
+      |  CAST(COUNT(*) AS BIGINT) AS n_clusters FROM rws),
+      |sct AS (SELECT SUM(CAST(cj AS HUGEINT) * (cj - 1) // 2) AS sc
+      |  FROM cls),
+      |mi AS (
+      |  SELECT CAST(SUM(CAST(
+      |      (CAST(co.nij AS DOUBLE) / CAST(p2.n AS DOUBLE))
+      |      * ln(CAST(p2.n AS DOUBLE) * CAST(co.nij AS DOUBLE)
+      |        / (CAST(r.ri AS DOUBLE) * CAST(c2.cj AS DOUBLE)))
+      |    AS DECIMAL(38,6))) AS DOUBLE) AS mi
+      |  FROM cont co JOIN rws r ON co.cluster = r.cluster
+      |  JOIN cls c2 ON co.lbl = c2.lbl CROSS JOIN parts p2),
+      |hc AS (
+      |  SELECT CAST(SUM(CAST(
+      |      -(CAST(ri AS DOUBLE) / CAST(p2.n AS DOUBLE))
+      |      * ln(CAST(ri AS DOUBLE) / CAST(p2.n AS DOUBLE))
+      |    AS DECIMAL(38,6))) AS DOUBLE) AS hc
+      |  FROM rws CROSS JOIN parts p2),
+      |hl AS (
+      |  SELECT CAST(SUM(CAST(
+      |      -(CAST(cj AS DOUBLE) / CAST(p2.n AS DOUBLE))
+      |      * ln(CAST(cj AS DOUBLE) / CAST(p2.n AS DOUBLE))
+      |    AS DECIMAL(38,6))) AS DOUBLE) AS hl
+      |  FROM cls CROSS JOIN parts p2)
+      |SELECT p2.n AS n_points, nx.n_noise, srt.n_clusters,
+      |  round(CASE WHEN (CAST(srt.sr AS DOUBLE) + CAST(sct.sc AS DOUBLE))
+      |      / 2.0 - CAST(srt.sr AS DOUBLE) * CAST(sct.sc AS DOUBLE)
+      |      / CAST(CAST(p2.n AS HUGEINT) * (p2.n - 1) // 2 AS DOUBLE) <> 0.0
+      |    THEN (CAST(p2.a AS DOUBLE)
+      |      - CAST(srt.sr AS DOUBLE) * CAST(sct.sc AS DOUBLE)
+      |        / CAST(CAST(p2.n AS HUGEINT) * (p2.n - 1) // 2 AS DOUBLE))
+      |    / ((CAST(srt.sr AS DOUBLE) + CAST(sct.sc AS DOUBLE)) / 2.0
+      |      - CAST(srt.sr AS DOUBLE) * CAST(sct.sc AS DOUBLE)
+      |        / CAST(CAST(p2.n AS HUGEINT) * (p2.n - 1) // 2 AS DOUBLE))
+      |    END, 6) AS ari,
+      |  round(CASE WHEN hc.hc > 0 AND hl.hl > 0
+      |    THEN mi.mi / sqrt(hc.hc * hl.hl) END, 6) AS nmi
+      |FROM parts p2 CROSS JOIN srt CROSS JOIN sct CROSS JOIN nx
+      |CROSS JOIN mi CROSS JOIN hc CROSS JOIN hl""".stripMargin))
 
   /** q345: entropic optimal transport via Sinkhorn–Knopp (Cuturi
     * 2013, 5 unrolled iterations, ε = 1) between the label
@@ -1912,5 +2016,5 @@ object SimilarityQueries {
       |  COALESCE(ct.n_triplets, 0) AS n_triplets
       |FROM cp LEFT JOIN ct ON cp.label = ct.label ORDER BY cp.label""".stripMargin))
 
-  def queries: Seq[GQuery] = Seq(q40, q41, q42, q48, q53, q102, q105, q114, q117, q119, q122, q131, q147, q173, q176, q186, q188, q226, q248, q251, q253, q255, q257, q261, q269, q313, q328, q337, q338, q345)
+  def queries: Seq[GQuery] = Seq(q40, q41, q42, q48, q53, q102, q105, q114, q117, q119, q122, q131, q147, q173, q176, q186, q188, q226, q248, q251, q253, q255, q257, q261, q269, q313, q328, q337, q338, q345, q353)
 }

@@ -2652,9 +2652,93 @@ object StatsQueries {
       |  round(w.ivc, 6) AS iv_bin, round(i.iv, 6) AS iv_total
       |FROM woe2 w CROSS JOIN iv i ORDER BY w.bin""".stripMargin))
 
+  /** q355: Huber M-estimator of location (3 unrolled IRLS steps,
+    * k = 1.345·(1.4826·MAD)) — completing the robust-location ladder
+    * (q24 MAD bounds flag outliers, q295 winsorized/trimmed means cut
+    * them; Huber DOWNWEIGHTS them smoothly, the textbook 95%-efficient
+    * compromise): per metric stream, start at the exact type-7 median,
+    * reweight w = min(1, k/|x−m|) and recenter three times. Medians
+    * and MAD are SortPercentile-exact (no per-group buffering); each
+    * IRLS step is one decimal-routed weighted pass with the per-group
+    * constants broadcast back; a zero-MAD group falls back to its
+    * median (every weight would be 0/0). Mean reported beside it —
+    * the gap IS the outlier influence Huber removed. */
+  val q355 = GQuery(
+    "q355_huber_location",
+    (s, d) => {
+      val ev = events(s, d).select(col("event_type"), col("value"))
+        .localCheckpoint(eager = false) // median, MAD, and 3 IRLS passes
+      val med = SortPercentile.percentiles(ev, Seq("event_type"),
+        col("value"), Seq(0.5), Seq("med"), countAs = Some("n"))
+      val dev = ev.join(broadcast(med), Seq("event_type"))
+        .select(col("event_type"), abs(col("value") - col("med")).as("ad"))
+      val mad = SortPercentile.percentiles(dev, Seq("event_type"),
+        col("ad"), Seq(0.5), Seq("mad"))
+      var cur = med.join(broadcast(mad), Seq("event_type"))
+        .select(col("event_type"), col("n"), col("med"), col("mad"),
+          (lit(1.345) * lit(1.4826) * col("mad")).as("k"),
+          col("med").as("m"))
+      for (_ <- 1 to 3) {
+        val w = when(abs(col("value") - col("m")) <= col("k"), lit(1.0))
+          .otherwise(col("k") / abs(col("value") - col("m")))
+        cur = ev.join(broadcast(cur), Seq("event_type"))
+          .groupBy(col("event_type"), col("n"), col("med"), col("mad"),
+            col("k"))
+          .agg((dsum(w * col("value")) / dsum(w)).as("m_new"))
+          .select(col("event_type"), col("n"), col("med"), col("mad"),
+            col("k"),
+            when(col("mad") > 0, col("m_new")).otherwise(col("med")).as("m"))
+      }
+      val mean = ev.groupBy(col("event_type"))
+        .agg((dsum(col("value")) / count(lit(1))).as("mean"))
+      cur.join(mean, Seq("event_type"))
+        .select(col("event_type"), col("n"),
+          round(col("med"), 6).as("median"), round(col("mad"), 6).as("mad"),
+          round(col("m"), 6).as("huber_m"), round(col("mean"), 6).as("mean"))
+        .orderBy(col("event_type"))
+    },
+    Some {
+      def step(prev: String, k: Int): String =
+        s"""m$k AS (
+           |  SELECT e.event_type, b.n, b.med, b.mad, b.k,
+           |    CASE WHEN b.mad > 0 THEN
+           |      ${sqlDsum(s"""CASE WHEN abs(e.value - p.m) <= b.k THEN 1.0
+                ELSE b.k / abs(e.value - p.m) END * e.value""")}
+           |      / ${sqlDsum(s"""CASE WHEN abs(e.value - p.m) <= b.k THEN 1.0
+                ELSE b.k / abs(e.value - p.m) END""")}
+           |    ELSE b.med END AS m
+           |  FROM events e JOIN base b ON e.event_type = b.event_type
+           |  JOIN $prev p ON e.event_type = p.event_type
+           |  GROUP BY e.event_type, b.n, b.med, b.mad, b.k)""".stripMargin
+      s"""WITH med AS (
+         |  SELECT event_type, quantile_cont(value, 0.5) AS med,
+         |    CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM events GROUP BY event_type),
+         |mad AS (
+         |  SELECT e.event_type, quantile_cont(abs(e.value - m.med), 0.5)
+         |    AS mad
+         |  FROM events e JOIN med m ON e.event_type = m.event_type
+         |  GROUP BY e.event_type),
+         |base AS (
+         |  SELECT m.event_type, m.n, m.med, d.mad,
+         |    1.345 * 1.4826 * d.mad AS k, m.med AS m
+         |  FROM med m JOIN mad d ON m.event_type = d.event_type),
+         |${step("base", 1)},
+         |${step("m1", 2)},
+         |${step("m2", 3)},
+         |mean AS (
+         |  SELECT event_type, ${sqlDsum("value")} / COUNT(*) AS mean
+         |  FROM events GROUP BY event_type)
+         |SELECT m3.event_type, m3.n, round(m3.med, 6) AS median,
+         |  round(m3.mad, 6) AS mad, round(m3.m, 6) AS huber_m,
+         |  round(mn.mean, 6) AS mean
+         |FROM m3 JOIN mean mn ON m3.event_type = mn.event_type
+         |ORDER BY m3.event_type""".stripMargin
+    })
+
   def queries: Seq[GQuery] =
     Seq(q23, q24, q25, q26, q27, q28, q29, q30, q31, q51, q58, q113, q163,
       q185, q191, q211, q217, q268, q274, q284, q291, q293, q294, q295,
       q296, q297, q298, q299, q300, q305, q306, q308, q311, q312, q315,
-      q324, q327, q339, q343, q344, q351)
+      q324, q327, q339, q343, q344, q351, q355)
 }

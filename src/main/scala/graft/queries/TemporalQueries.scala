@@ -1774,8 +1774,110 @@ object TemporalQueries {
       |HAVING COUNT(DISTINCT user_id) >= 5
       |ORDER BY t1, t2, t3""".stripMargin))
 
+  /** q354: interrupted time-series analysis (segmented regression at
+    * a KNOWN breakpoint) — the effect-estimation complement of q279's
+    * CUSUM (CUSUM finds an unknown change-point; ITS quantifies the
+    * level and slope change at a designated intervention date, the
+    * standard policy/release-impact design): two independent OLS fits
+    * on the daily purchase-revenue series split at the calendar
+    * midpoint, reported with the level change AT the breakpoint and
+    * the slope change. The X-moments are exact integers
+    * (decimal-routed day indexes), the y-moments decimal-routed, and
+    * both fits come out of ONE conditional aggregate over the landed
+    * calendar-bounded daily frame. */
+  val q354 = GQuery(
+    "q354_interrupted_ts",
+    (s, d) => {
+      val dec0 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val daily0 = events(s, d).filter(col("event_type") === "purchase")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(dsum(col("value")).as("y"))
+      val mind = daily0.agg(min(col("day")).as("d0"),
+        max(col("day")).as("d1"))
+      val daily = daily0.crossJoin(broadcast(mind))
+        .select(datediff(col("day"), col("d0")).cast("long").as("t"),
+          col("y"),
+          expr("CAST(datediff(d1, d0) AS BIGINT) div 2").as("t0"))
+        .withColumn("pre", col("t") < col("t0"))
+      def seg(p: org.apache.spark.sql.Column) = Seq(
+        sum(when(p, 1L)).cast("long"),
+        sum(when(p, col("t")).cast(dec0)),
+        sum(when(p, col("t") * col("t")).cast(dec0)),
+        dsum(when(p, col("y"))),
+        dsum(when(p, col("t").cast("double") * col("y"))))
+      val m = daily.agg(
+        seg(col("pre"))(0).as("n1"), seg(col("pre"))(1).as("st1"),
+        seg(col("pre"))(2).as("stt1"), seg(col("pre"))(3).as("sy1"),
+        seg(col("pre"))(4).as("sty1"),
+        seg(!col("pre"))(0).as("n2"), seg(!col("pre"))(1).as("st2"),
+        seg(!col("pre"))(2).as("stt2"), seg(!col("pre"))(3).as("sy2"),
+        seg(!col("pre"))(4).as("sty2"),
+        max(col("t0")).as("t0"))
+      def fit(n: String, st: String, stt: String, sy: String, sty: String) = {
+        val b = (col(n).cast("double") * col(sty)
+          - col(st).cast("double") * col(sy)) /
+          (col(n).cast("double") * col(stt).cast("double")
+            - col(st).cast("double") * col(st).cast("double"))
+        val a = (col(sy) - b * col(st).cast("double")) / col(n).cast("double")
+        (a, b)
+      }
+      val (a1, b1) = fit("n1", "st1", "stt1", "sy1", "sty1")
+      val (a2, b2) = fit("n2", "st2", "stt2", "sy2", "sty2")
+      m.select(col("n1"), col("n2"), col("t0"),
+        round(a1, 6).as("a_pre"), round(b1, 6).as("b_pre"),
+        round(a2, 6).as("a_post"), round(b2, 6).as("b_post"),
+        round((a2 + b2 * col("t0").cast("double"))
+          - (a1 + b1 * col("t0").cast("double")), 6).as("level_change"),
+        round(b2 - b1, 6).as("slope_change"))
+    },
+    Some(s"""WITH daily0 AS (
+      |  SELECT CAST(ts AS DATE) AS day, ${sqlDsum("value")} AS y
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |mind AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily0),
+      |daily AS (
+      |  SELECT CAST(day - d0 AS BIGINT) AS t, y,
+      |    CAST(d1 - d0 AS BIGINT) // 2 AS t0,
+      |    (CAST(day - d0 AS BIGINT) < CAST(d1 - d0 AS BIGINT) // 2) AS pre
+      |  FROM daily0 CROSS JOIN mind),
+      |m AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN pre THEN 1 END) AS BIGINT) AS n1,
+      |    SUM(CASE WHEN pre THEN CAST(t AS HUGEINT) END) AS st1,
+      |    SUM(CASE WHEN pre THEN CAST(t AS HUGEINT) * t END) AS stt1,
+      |    ${sqlDsum("CASE WHEN pre THEN y END")} AS sy1,
+      |    ${sqlDsum("CASE WHEN pre THEN CAST(t AS DOUBLE) * y END")} AS sty1,
+      |    CAST(SUM(CASE WHEN NOT pre THEN 1 END) AS BIGINT) AS n2,
+      |    SUM(CASE WHEN NOT pre THEN CAST(t AS HUGEINT) END) AS st2,
+      |    SUM(CASE WHEN NOT pre THEN CAST(t AS HUGEINT) * t END) AS stt2,
+      |    ${sqlDsum("CASE WHEN NOT pre THEN y END")} AS sy2,
+      |    ${sqlDsum("CASE WHEN NOT pre THEN CAST(t AS DOUBLE) * y END")}
+      |      AS sty2,
+      |    MAX(t0) AS t0
+      |  FROM daily),
+      |f AS (
+      |  SELECT n1, n2, t0,
+      |    (CAST(n1 AS DOUBLE) * sty1 - CAST(st1 AS DOUBLE) * sy1)
+      |      / (CAST(n1 AS DOUBLE) * CAST(stt1 AS DOUBLE)
+      |        - CAST(st1 AS DOUBLE) * CAST(st1 AS DOUBLE)) AS b1,
+      |    (CAST(n2 AS DOUBLE) * sty2 - CAST(st2 AS DOUBLE) * sy2)
+      |      / (CAST(n2 AS DOUBLE) * CAST(stt2 AS DOUBLE)
+      |        - CAST(st2 AS DOUBLE) * CAST(st2 AS DOUBLE)) AS b2,
+      |    sy1, st1, sy2, st2
+      |  FROM m),
+      |g AS (
+      |  SELECT n1, n2, t0, b1, b2,
+      |    (sy1 - b1 * CAST(st1 AS DOUBLE)) / CAST(n1 AS DOUBLE) AS a1,
+      |    (sy2 - b2 * CAST(st2 AS DOUBLE)) / CAST(n2 AS DOUBLE) AS a2
+      |  FROM f)
+      |SELECT n1, n2, t0, round(a1, 6) AS a_pre, round(b1, 6) AS b_pre,
+      |  round(a2, 6) AS a_post, round(b2, 6) AS b_post,
+      |  round((a2 + b2 * CAST(t0 AS DOUBLE))
+      |    - (a1 + b1 * CAST(t0 AS DOUBLE)), 6) AS level_change,
+      |  round(b2 - b1, 6) AS slope_change
+      |FROM g""".stripMargin))
+
   def queries: Seq[GQuery] =
     Seq(q43, q44, q56, q70, q181, q182, q183, q196, q197, q263, q272, q278,
       q279, q280, q281, q285, q301, q302, q303, q309, q310, q317, q318,
-      q320, q322, q323, q326, q329)
+      q320, q322, q323, q326, q329, q354)
 }
