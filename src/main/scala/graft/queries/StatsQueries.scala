@@ -2736,9 +2736,169 @@ object StatsQueries {
          |ORDER BY m3.event_type""".stripMargin
     })
 
+  /** q356: quantile treatment effects — the distribution-tail
+    * complement of q327's stratified ATE (a mean effect of zero can
+    * hide "the treatment helps the bottom decile and hurts the top";
+    * QTE reports the arm difference AT each quantile): per arm (user
+    * parity) the exact type-7 ladder at the deciles 0.1–0.9 over
+    * per-user spend, differenced. Both ladders come from ONE
+    * [[SortPercentile]] pass grouped by arm (no per-group buffering),
+    * the 2×9 frame pivots map-side. */
+  val q356 = GQuery(
+    "q356_quantile_effects",
+    (s, d) => {
+      val ps = (1 to 9).map(_ / 10.0)
+      val names = (1 to 9).map(k => s"q$k")
+      val perUser = events(s, d).groupBy(col("user_id"))
+        .agg(coalesce(dsum(when(col("event_type") === "purchase",
+          col("value"))), lit(0.0)).as("spend"))
+        .withColumn("arm", (col("user_id") % 2).cast("long"))
+      val ladders = SortPercentile.percentiles(perUser, Seq("arm"),
+        col("spend"), ps, names, countAs = Some("n"))
+      val t = ladders.filter(col("arm") === 1)
+      val c = ladders.filter(col("arm") === 0)
+      val wide = t.select(col("n").as("n_treat") +:
+          names.map(q => col(q).as(s"${q}_t")): _*)
+        .crossJoin(broadcast(c.select(col("n").as("n_ctrl") +:
+          names.map(q => col(q).as(s"${q}_c")): _*)))
+      // long form: one row per decile
+      names.zip(ps).map { case (q, p) =>
+        wide.select(lit(p).as("p"), col("n_treat"), col("n_ctrl"),
+          round(col(s"${q}_t"), 6).as("q_treat"),
+          round(col(s"${q}_c"), 6).as("q_ctrl"),
+          round(col(s"${q}_t") - col(s"${q}_c"), 6).as("qte"))
+      }.reduce(_ unionByName _).orderBy(col("p"))
+    },
+    Some(s"""WITH pu AS (
+      |  SELECT user_id, user_id % 2 AS arm,
+      |    COALESCE(${sqlDsum("CASE WHEN event_type = 'purchase' THEN value END")},
+      |      0.0) AS spend
+      |  FROM events GROUP BY user_id),
+      |lad AS (
+      |  SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+      |    ${(1 to 9).map(k =>
+             s"quantile_cont(spend, 0.$k) AS q$k").mkString(",\n      |    ")}
+      |  FROM pu GROUP BY arm),
+      |t AS (SELECT * FROM lad WHERE arm = 1),
+      |c AS (SELECT * FROM lad WHERE arm = 0)
+      |${(1 to 9).map(k =>
+           s"""SELECT 0.$k AS p, t.n AS n_treat, c.n AS n_ctrl,
+              |  round(t.q$k, 6) AS q_treat, round(c.q$k, 6) AS q_ctrl,
+              |  round(t.q$k - c.q$k, 6) AS qte FROM t CROSS JOIN c"""
+             .stripMargin).mkString("\nUNION ALL\n")}
+      |ORDER BY p""".stripMargin))
+
+  /** q357: log-rank test (Mantel–Cox) — the survival family's
+    * significance arm over q322's KM design (KM draws each arm's
+    * curve; log-rank asks whether the two curves differ beyond
+    * chance): arms by user parity, duration = hours to first purchase
+    * censored at 72 h; at each distinct event time the observed arm-1
+    * events are compared to the hypergeometric expectation
+    * E = d·n₁/n with variance d·(n₁/n)(1−n₁/n)(n−d)/(n−1), and
+    * χ² = (ΣO−ΣE)²/ΣV. Risk sets come from suffix sums over the
+    * ≤73-row distinct-duration frame; every E/V term is a handful of
+    * IEEE ops on exact integers, the three sums DECIMAL(38,6)-routed. */
+  val q357 = GQuery(
+    "q357_logrank_test",
+    (s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val perUser = events(s, d)
+        .select(col("user_id"), unix_timestamp(col("ts")).as("sec"),
+          col("event_type"))
+        .groupBy(col("user_id"))
+        .agg(min(col("sec")).as("s0"),
+          min(when(col("event_type") === "purchase", col("sec"))).as("sp"))
+        .withColumn("h", expr("(sp - s0) div 3600"))
+        .select((col("user_id") % 2).cast("long").as("arm"),
+          when(col("h").isNotNull && col("h") <= 72, col("h"))
+            .otherwise(lit(72L)).as("t"),
+          (col("h").isNotNull && col("h") <= 72).as("observed"))
+      val byT = perUser.groupBy(col("t"))
+        .agg(lcount(lit(1)).as("n_at"),
+          coalesce(sum(when(col("arm") === 1, 1L)), lit(0L)).as("n_at_1"),
+          coalesce(sum(when(col("observed"), 1L)), lit(0L)).as("d"),
+          coalesce(sum(when(col("observed") && col("arm") === 1, 1L)),
+            lit(0L)).as("d1"))
+      val ord = W.orderBy(col("t"))
+      val risk = byT
+        .withColumn("n_risk", sum(col("n_at")).over(
+          ord.rowsBetween(W.currentRow, W.unboundedFollowing)))
+        .withColumn("n_risk_1", sum(col("n_at_1")).over(
+          ord.rowsBetween(W.currentRow, W.unboundedFollowing)))
+        .filter(col("d") > 0)
+      val terms = risk.select(col("d1").cast("double").as("o"),
+        (col("d").cast("double") * col("n_risk_1").cast("double")
+          / col("n_risk").cast("double")).as("e"),
+        when(col("n_risk") > 1,
+          col("d").cast("double")
+            * (col("n_risk_1").cast("double") / col("n_risk").cast("double"))
+            * (lit(1.0) - col("n_risk_1").cast("double")
+              / col("n_risk").cast("double"))
+            * (col("n_risk") - col("d")).cast("double")
+            / (col("n_risk") - 1).cast("double")).otherwise(lit(0.0)).as("v"))
+      terms.agg(lcount(lit(1)).as("n_event_times"),
+          dsum(col("o")).as("so"), dsum(col("e")).as("se"),
+          dsum(col("v")).as("sv"))
+        .select(col("n_event_times"),
+          round(col("so"), 6).as("observed_1"),
+          round(col("se"), 6).as("expected_1"),
+          round(when(col("sv") > 0,
+            (col("so") - col("se")) * (col("so") - col("se")) / col("sv")), 6)
+            .as("chi2"))
+    },
+    Some(s"""WITH u AS (
+      |  SELECT user_id, MIN(CAST(floor(epoch(ts)) AS BIGINT)) AS s0,
+      |    MIN(CASE WHEN event_type = 'purchase'
+      |        THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS sp
+      |  FROM events GROUP BY user_id),
+      |dur AS (
+      |  SELECT user_id % 2 AS arm,
+      |    CASE WHEN (sp - s0) // 3600 <= 72
+      |      THEN (sp - s0) // 3600 ELSE 72 END AS t,
+      |    (sp IS NOT NULL AND (sp - s0) // 3600 <= 72) AS observed
+      |  FROM u),
+      |byt AS (
+      |  SELECT t, CAST(COUNT(*) AS BIGINT) AS n_at,
+      |    COALESCE(CAST(SUM(CASE WHEN arm = 1 THEN 1 END) AS BIGINT), 0)
+      |      AS n_at_1,
+      |    COALESCE(CAST(SUM(CASE WHEN observed THEN 1 END) AS BIGINT), 0)
+      |      AS d,
+      |    COALESCE(CAST(SUM(CASE WHEN observed AND arm = 1 THEN 1 END)
+      |      AS BIGINT), 0) AS d1
+      |  FROM dur GROUP BY t),
+      |risk AS (
+      |  SELECT t, d, d1,
+      |    CAST(SUM(n_at) OVER (ORDER BY t
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
+      |      AS n_risk,
+      |    CAST(SUM(n_at_1) OVER (ORDER BY t
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
+      |      AS n_risk_1
+      |  FROM byt),
+      |terms AS (
+      |  SELECT CAST(d1 AS DOUBLE) AS o,
+      |    CAST(d AS DOUBLE) * CAST(n_risk_1 AS DOUBLE)
+      |      / CAST(n_risk AS DOUBLE) AS e,
+      |    CASE WHEN n_risk > 1 THEN
+      |      CAST(d AS DOUBLE)
+      |      * (CAST(n_risk_1 AS DOUBLE) / CAST(n_risk AS DOUBLE))
+      |      * (1.0 - CAST(n_risk_1 AS DOUBLE) / CAST(n_risk AS DOUBLE))
+      |      * CAST(n_risk - d AS DOUBLE) / CAST(n_risk - 1 AS DOUBLE)
+      |    ELSE 0.0 END AS v
+      |  FROM risk WHERE d > 0),
+      |agg AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_event_times,
+      |    ${sqlDsum("o")} AS so, ${sqlDsum("e")} AS se, ${sqlDsum("v")} AS sv
+      |  FROM terms)
+      |SELECT n_event_times, round(so, 6) AS observed_1,
+      |  round(se, 6) AS expected_1,
+      |  round(CASE WHEN sv > 0 THEN (so - se) * (so - se) / sv END, 6)
+      |    AS chi2
+      |FROM agg""".stripMargin))
+
   def queries: Seq[GQuery] =
     Seq(q23, q24, q25, q26, q27, q28, q29, q30, q31, q51, q58, q113, q163,
       q185, q191, q211, q217, q268, q274, q284, q291, q293, q294, q295,
       q296, q297, q298, q299, q300, q305, q306, q308, q311, q312, q315,
-      q324, q327, q339, q343, q344, q351, q355)
+      q324, q327, q339, q343, q344, q351, q355, q356, q357)
 }
