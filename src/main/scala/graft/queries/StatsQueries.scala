@@ -2896,9 +2896,243 @@ object StatsQueries {
       |    AS chi2
       |FROM agg""".stripMargin))
 
+  /** q358: doubly-robust ATE (AIPW, Robins et al. 1994) — the
+    * estimator that stays consistent if EITHER the propensity model
+    * or the outcome model is right (q327 trusts the propensity cells
+    * alone): ψ̂ = mean[ m₁(x) − m₀(x) + T·(y−m₁)/ê − (1−T)·(y−m₀)/(1−ê) ].
+    * The propensity ê(x) is the q327 cell-empirical share; the
+    * outcome models m_t(x) are per-arm LINEAR fits in the hour of day
+    * (deliberately a DIFFERENT model family than the cells, so the
+    * augmentation terms are non-trivial — with cell-mean outcome
+    * models AIPW collapses to q327 identically). Both models come
+    * from exact decimal moments; the per-row ψ contribution is a
+    * short identical double chain, decimal-summed. Cells outside
+    * common support are dropped and billed, as in q327. */
+  val q358 = GQuery(
+    "q358_aipw_ate",
+    (s, d) => {
+      val ev = events(s, d)
+        .select((col("user_id") % 2 === 1).as("treated"), col("value").as("y"),
+          col("event_type").as("stratum"),
+          expr("hour(ts) div 6").cast("long").as("band"),
+          expr("CAST(hour(ts) AS BIGINT)").as("x"))
+        .localCheckpoint(eager = false) // models and the ψ pass probe it
+      val cells = ev.groupBy(col("stratum"), col("band"))
+        .agg(lcount(lit(1)).as("n_cell"),
+          coalesce(sum(when(col("treated"), 1L)), lit(0L)).as("nt"),
+          coalesce(sum(when(!col("treated"), 1L)), lit(0L)).as("nc"))
+        .withColumn("supported", col("nt") > 0 && col("nc") > 0)
+      // per-arm OLS of y on hour: slope/intercept from exact moments
+      val dec0 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val fits = ev.groupBy(col("treated"))
+        .agg(lcount(lit(1)).as("n"),
+          sum(col("x").cast(dec0)).as("sx"),
+          sum(col("x").cast(dec0) * col("x")).as("sxx"),
+          dsum(col("y")).as("sy"),
+          dsum(col("x").cast("double") * col("y")).as("sxy"))
+        .withColumn("b",
+          (col("n").cast("double") * col("sxy")
+            - col("sx").cast("double") * col("sy"))
+            / (col("n").cast("double") * col("sxx").cast("double")
+              - col("sx").cast("double") * col("sx").cast("double")))
+        .withColumn("a", (col("sy") - col("b") * col("sx").cast("double"))
+          / col("n").cast("double"))
+        .select(col("treated"), col("a"), col("b"))
+      val a1 = fits.filter(col("treated"))
+        .select(col("a").as("a1"), col("b").as("b1"))
+      val a0 = fits.filter(!col("treated"))
+        .select(col("a").as("a0"), col("b").as("b0"))
+      val withModels = ev
+        .join(broadcast(cells), Seq("stratum", "band"))
+        .filter(col("supported"))
+        .crossJoin(broadcast(a1)).crossJoin(broadcast(a0))
+        .withColumn("e",
+          col("nt").cast("double") / col("n_cell").cast("double"))
+        .withColumn("m1", col("a1") + col("b1") * col("x").cast("double"))
+        .withColumn("m0", col("a0") + col("b0") * col("x").cast("double"))
+        .withColumn("psi",
+          col("m1") - col("m0")
+            + when(col("treated"), (col("y") - col("m1")) / col("e"))
+              .otherwise(lit(0.0))
+            - when(!col("treated"),
+              (col("y") - col("m0")) / (lit(1.0) - col("e")))
+              .otherwise(lit(0.0)))
+      withModels.agg(lcount(lit(1)).as("n_support"),
+          dsum(col("psi")).as("spsi"))
+        .select(col("n_support"),
+          round(col("spsi") / col("n_support"), 6).as("ate_aipw"))
+    },
+    Some(s"""WITH ev AS (
+      |  SELECT (user_id % 2 = 1) AS treated, value AS y,
+      |    event_type AS stratum,
+      |    CAST(date_part('hour', ts) AS BIGINT) // 6 AS band,
+      |    CAST(date_part('hour', ts) AS BIGINT) AS x
+      |  FROM events),
+      |cells AS (
+      |  SELECT stratum, band, CAST(COUNT(*) AS BIGINT) AS n_cell,
+      |    COALESCE(CAST(SUM(CASE WHEN treated THEN 1 END) AS BIGINT), 0)
+      |      AS nt,
+      |    COALESCE(CAST(SUM(CASE WHEN NOT treated THEN 1 END) AS BIGINT), 0)
+      |      AS nc
+      |  FROM ev GROUP BY stratum, band),
+      |fits AS (
+      |  SELECT treated, CAST(COUNT(*) AS BIGINT) AS n,
+      |    SUM(CAST(x AS HUGEINT)) AS sx,
+      |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+      |    ${sqlDsum("y")} AS sy, ${sqlDsum("CAST(x AS DOUBLE) * y")} AS sxy
+      |  FROM ev GROUP BY treated),
+      |ab AS (
+      |  SELECT treated,
+      |    (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+      |      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS b,
+      |    sy, sx, n
+      |  FROM fits),
+      |ab2 AS (
+      |  SELECT treated, b,
+      |    (sy - b * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS a
+      |  FROM ab),
+      |psi AS (
+      |  SELECT
+      |    (t1.a + t1.b * CAST(e.x AS DOUBLE))
+      |      - (t0.a + t0.b * CAST(e.x AS DOUBLE))
+      |      + CASE WHEN e.treated THEN
+      |          (e.y - (t1.a + t1.b * CAST(e.x AS DOUBLE)))
+      |          / (CAST(c.nt AS DOUBLE) / CAST(c.n_cell AS DOUBLE))
+      |        ELSE 0.0 END
+      |      - CASE WHEN NOT e.treated THEN
+      |          (e.y - (t0.a + t0.b * CAST(e.x AS DOUBLE)))
+      |          / (1.0 - CAST(c.nt AS DOUBLE) / CAST(c.n_cell AS DOUBLE))
+      |        ELSE 0.0 END AS psi
+      |  FROM ev e
+      |  JOIN cells c ON e.stratum = c.stratum AND e.band = c.band
+      |  CROSS JOIN (SELECT a, b FROM ab2 WHERE treated) t1
+      |  CROSS JOIN (SELECT a, b FROM ab2 WHERE NOT treated) t0
+      |  WHERE c.nt > 0 AND c.nc > 0)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_support,
+      |  round(${sqlDsum("psi")} / COUNT(*), 6) AS ate_aipw
+      |FROM psi""".stripMargin))
+
+  /** q359: covariate balance diagnostics — the QA table every causal
+    * analysis publishes before q327/q358 are believed (the "love
+    * plot" data): per covariate, the standardized mean difference
+    * between arms RAW and after stratification weighting (each
+    * support cell reweighted to its population share — the same
+    * weights q327's estimator implies). |SMD| < 0.1 is the
+    * conventional balance bar; the synthetic parity assignment should
+    * pass it, and a real confounded log would not. Means and pooled
+    * SDs from exact decimal moments; the weighted arm means reuse the
+    * cells frame. */
+  val q359 = GQuery(
+    "q359_balance_check",
+    (s, d) => {
+      val dec0 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val ev = events(s, d)
+        .select((col("user_id") % 2 === 1).as("treated"),
+          col("event_type").as("stratum"),
+          expr("hour(ts) div 6").cast("long").as("band"),
+          expr("CAST(hour(ts) AS BIGINT)").as("hour"),
+          expr("CAST(dayofweek(ts) AS BIGINT)").as("dow"),
+          col("value"))
+        .localCheckpoint(eager = false) // three covariate passes probe it
+      def smd(cov: String): org.apache.spark.sql.DataFrame = {
+        val c = col(cov).cast("double")
+        val m = ev.groupBy(col("treated"))
+          .agg(lcount(lit(1)).as("n"), dsum(c).as("s"),
+            dsum(c * c).as("ss"))
+          .withColumn("mean", col("s") / col("n"))
+          .withColumn("var",
+            (col("n") * col("ss") - col("s") * col("s"))
+              / col("n").cast("double") / (col("n") - 1).cast("double"))
+        val t = m.filter(col("treated"))
+          .select(col("mean").as("m1"), col("var").as("v1"))
+        val u = m.filter(!col("treated"))
+          .select(col("mean").as("m0"), col("var").as("v0"))
+        // weighted arm means: per support cell, arm mean × population share
+        val cell = ev.groupBy(col("stratum"), col("band"))
+          .agg(lcount(lit(1)).as("n_cell"),
+            coalesce(sum(when(col("treated"), 1L)), lit(0L)).as("nt"),
+            coalesce(sum(when(!col("treated"), 1L)), lit(0L)).as("nc"),
+            coalesce(dsum(when(col("treated"), c)), lit(0.0)).as("st"),
+            coalesce(dsum(when(!col("treated"), c)), lit(0.0)).as("sc"))
+          .filter(col("nt") > 0 && col("nc") > 0)
+        val wm = cell.agg(
+          sum(col("n_cell")).as("n_supp"),
+          dsum(col("n_cell").cast("double") * (col("st") / col("nt")))
+            .as("wt"),
+          dsum(col("n_cell").cast("double") * (col("sc") / col("nc")))
+            .as("wc"))
+          .select((col("wt") / col("n_supp")).as("wm1"),
+            (col("wc") / col("n_supp")).as("wm0"))
+        t.crossJoin(broadcast(u)).crossJoin(broadcast(wm))
+          .select(lit(cov).as("covariate"),
+            round((col("m1") - col("m0"))
+              / sqrt((col("v1") + col("v0")) / 2.0), 6).as("smd_raw"),
+            round((col("wm1") - col("wm0"))
+              / sqrt((col("v1") + col("v0")) / 2.0), 6).as("smd_weighted"))
+      }
+      Seq("hour", "dow", "value").map(smd).reduce(_ unionByName _)
+        .orderBy(col("covariate"))
+    },
+    Some {
+      def smdSql(cov: String): String =
+        s"""SELECT '$cov' AS covariate,
+           |  round((m1.mean - m0.mean)
+           |    / sqrt((m1.var + m0.var) / 2.0), 6) AS smd_raw,
+           |  round((w.wm1 - w.wm0)
+           |    / sqrt((m1.var + m0.var) / 2.0), 6) AS smd_weighted
+           |FROM
+           |  (SELECT ${sqlDsum(s"CAST($cov AS DOUBLE)")} / COUNT(*) AS mean,
+           |     (COUNT(*) * ${sqlDsum(s"CAST($cov AS DOUBLE) * CAST($cov AS DOUBLE)")}
+           |       - ${sqlDsum(s"CAST($cov AS DOUBLE)")} * ${sqlDsum(s"CAST($cov AS DOUBLE)")})
+           |       / CAST(COUNT(*) AS DOUBLE) / CAST(COUNT(*) - 1 AS DOUBLE)
+           |       AS var
+           |   FROM ev WHERE treated) m1,
+           |  (SELECT ${sqlDsum(s"CAST($cov AS DOUBLE)")} / COUNT(*) AS mean,
+           |     (COUNT(*) * ${sqlDsum(s"CAST($cov AS DOUBLE) * CAST($cov AS DOUBLE)")}
+           |       - ${sqlDsum(s"CAST($cov AS DOUBLE)")} * ${sqlDsum(s"CAST($cov AS DOUBLE)")})
+           |       / CAST(COUNT(*) AS DOUBLE) / CAST(COUNT(*) - 1 AS DOUBLE)
+           |       AS var
+           |   FROM ev WHERE NOT treated) m0,
+           |  (SELECT
+           |     ${sqlDsum("CAST(n_cell AS DOUBLE) * (st / nt)")}
+           |       / CAST(SUM(n_cell) AS BIGINT) AS wm1,
+           |     ${sqlDsum("CAST(n_cell AS DOUBLE) * (sc / nc)")}
+           |       / CAST(SUM(n_cell) AS BIGINT) AS wm0
+           |   FROM cells_$cov WHERE nt > 0 AND nc > 0) w""".stripMargin
+      def cellsSql(cov: String): String =
+        s"""cells_$cov AS (
+           |  SELECT stratum, band, CAST(COUNT(*) AS BIGINT) AS n_cell,
+           |    COALESCE(CAST(SUM(CASE WHEN treated THEN 1 END) AS BIGINT), 0)
+           |      AS nt,
+           |    COALESCE(CAST(SUM(CASE WHEN NOT treated THEN 1 END)
+           |      AS BIGINT), 0) AS nc,
+           |    COALESCE(${sqlDsum(s"CASE WHEN treated THEN CAST($cov AS DOUBLE) END")},
+           |      0.0) AS st,
+           |    COALESCE(${sqlDsum(s"CASE WHEN NOT treated THEN CAST($cov AS DOUBLE) END")},
+           |      0.0) AS sc
+           |  FROM ev GROUP BY stratum, band)""".stripMargin
+      s"""WITH ev AS (
+         |  SELECT (user_id % 2 = 1) AS treated, event_type AS stratum,
+         |    CAST(date_part('hour', ts) AS BIGINT) // 6 AS band,
+         |    CAST(date_part('hour', ts) AS BIGINT) AS hour,
+         |    CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+         |    value
+         |  FROM events),
+         |${cellsSql("hour")},
+         |${cellsSql("dow")},
+         |${cellsSql("value")}
+         |${smdSql("hour")}
+         |UNION ALL
+         |${smdSql("dow")}
+         |UNION ALL
+         |${smdSql("value")}
+         |ORDER BY covariate""".stripMargin
+    })
+
   def queries: Seq[GQuery] =
     Seq(q23, q24, q25, q26, q27, q28, q29, q30, q31, q51, q58, q113, q163,
       q185, q191, q211, q217, q268, q274, q284, q291, q293, q294, q295,
       q296, q297, q298, q299, q300, q305, q306, q308, q311, q312, q315,
-      q324, q327, q339, q343, q344, q351, q355, q356, q357)
+      q324, q327, q339, q343, q344, q351, q355, q356, q357, q358, q359)
 }
