@@ -1810,6 +1810,90 @@ object SimilarityQueries {
       |FROM parts p2 CROSS JOIN srt CROSS JOIN sct CROSS JOIN nx
       |CROSS JOIN mi CROSS JOIN hc CROSS JOIN hl""".stripMargin))
 
+  /** q361: geometric median per label (Weiszfeld 1937, 3 unrolled
+    * iterations from the exact centroid) — the 2-D robust center the
+    * Huber estimator (q355) is in 1-D: the L1-optimal point a few
+    * far-flung embeddings cannot drag the way they drag the centroid.
+    * Each iteration reweights every point by 1/distance-to-current
+    * (zero-distance points are at the optimum — their infinite weight
+    * is expressed by SKIPPING them, the standard Weiszfeld guard) and
+    * recenters with decimal-routed weighted sums; the 10-row center
+    * frame broadcasts back, three passes over the landed points.
+    * Output per label: centroid, geometric median, and the
+    * centroid→median shift (the outlier drag Weiszfeld removed). */
+  val q361 = GQuery(
+    "q361_geometric_median",
+    (s, d) => {
+      val pts = embeddings(s, d).select(col("label").cast("long").as("l"),
+          element_at(col("embedding"), 1).cast("double").as("x"),
+          element_at(col("embedding"), 2).cast("double").as("y"))
+        .localCheckpoint(eager = false) // centroid + 3 Weiszfeld passes
+      var cur = pts.groupBy(col("l"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          (dsum(col("x")) / count(lit(1))).as("mx"),
+          (dsum(col("y")) / count(lit(1))).as("my"))
+        .withColumn("cx", col("mx")).withColumn("cy", col("my"))
+      for (_ <- 1 to 3) {
+        val dist = sqrt((col("x") - col("cx")) * (col("x") - col("cx"))
+          + (col("y") - col("cy")) * (col("y") - col("cy")))
+        cur = pts.join(broadcast(cur), Seq("l"))
+          .withColumn("dist", dist)
+          .filter(col("dist") > 0)
+          .groupBy(col("l"), col("n"), col("mx"), col("my"))
+          .agg(
+            (dsum(col("x") / col("dist")) / dsum(lit(1.0) / col("dist")))
+              .as("nx"),
+            (dsum(col("y") / col("dist")) / dsum(lit(1.0) / col("dist")))
+              .as("ny"))
+          .select(col("l"), col("n"), col("mx"), col("my"),
+            col("nx").as("cx"), col("ny").as("cy"))
+      }
+      cur.select(col("l").as("label"), col("n"),
+          round(col("mx"), 6).as("centroid_x"),
+          round(col("my"), 6).as("centroid_y"),
+          round(col("cx"), 6).as("gmedian_x"),
+          round(col("cy"), 6).as("gmedian_y"),
+          round(sqrt((col("cx") - col("mx")) * (col("cx") - col("mx"))
+            + (col("cy") - col("my")) * (col("cy") - col("my"))), 6)
+            .as("shift"))
+        .orderBy(col("label"))
+    },
+    Some {
+      val dsql = (x: String) => s"CAST(SUM(CAST(($x) AS DECIMAL(38,6))) AS DOUBLE)"
+      def step(k: Int): String =
+        s"""w$k AS (
+           |  SELECT p.l, c.n, c.mx, c.my,
+           |    ${dsql(s"p.x / sqrt((p.x - c.cx) * (p.x - c.cx) + (p.y - c.cy) * (p.y - c.cy))")}
+           |      / ${dsql(s"1.0 / sqrt((p.x - c.cx) * (p.x - c.cx) + (p.y - c.cy) * (p.y - c.cy))")}
+           |      AS cx,
+           |    ${dsql(s"p.y / sqrt((p.x - c.cx) * (p.x - c.cx) + (p.y - c.cy) * (p.y - c.cy))")}
+           |      / ${dsql(s"1.0 / sqrt((p.x - c.cx) * (p.x - c.cx) + (p.y - c.cy) * (p.y - c.cy))")}
+           |      AS cy
+           |  FROM pts p JOIN w${k - 1} c ON p.l = c.l
+           |  WHERE sqrt((p.x - c.cx) * (p.x - c.cx)
+           |    + (p.y - c.cy) * (p.y - c.cy)) > 0
+           |  GROUP BY p.l, c.n, c.mx, c.my)""".stripMargin
+      s"""WITH pts AS (
+         |  SELECT CAST(label AS BIGINT) AS l,
+         |    CAST(embedding[1] AS DOUBLE) AS x,
+         |    CAST(embedding[2] AS DOUBLE) AS y
+         |  FROM embeddings),
+         |w0 AS (
+         |  SELECT l, CAST(COUNT(*) AS BIGINT) AS n,
+         |    ${dsql("x")} / COUNT(*) AS mx, ${dsql("y")} / COUNT(*) AS my,
+         |    ${dsql("x")} / COUNT(*) AS cx, ${dsql("y")} / COUNT(*) AS cy
+         |  FROM pts GROUP BY l),
+         |${step(1)},
+         |${step(2)},
+         |${step(3)}
+         |SELECT l AS label, n, round(mx, 6) AS centroid_x,
+         |  round(my, 6) AS centroid_y, round(cx, 6) AS gmedian_x,
+         |  round(cy, 6) AS gmedian_y,
+         |  round(sqrt((cx - mx) * (cx - mx) + (cy - my) * (cy - my)), 6)
+         |    AS shift
+         |FROM w3 ORDER BY label""".stripMargin
+    })
+
   /** q345: entropic optimal transport via Sinkhorn–Knopp (Cuturi
     * 2013, 5 unrolled iterations, ε = 1) between the label
     * distributions of the even- and odd-id embedding halves — the
@@ -2016,5 +2100,5 @@ object SimilarityQueries {
       |  COALESCE(ct.n_triplets, 0) AS n_triplets
       |FROM cp LEFT JOIN ct ON cp.label = ct.label ORDER BY cp.label""".stripMargin))
 
-  def queries: Seq[GQuery] = Seq(q40, q41, q42, q48, q53, q102, q105, q114, q117, q119, q122, q131, q147, q173, q176, q186, q188, q226, q248, q251, q253, q255, q257, q261, q269, q313, q328, q337, q338, q345, q353)
+  def queries: Seq[GQuery] = Seq(q40, q41, q42, q48, q53, q102, q105, q114, q117, q119, q122, q131, q147, q173, q176, q186, q188, q226, q248, q251, q253, q255, q257, q261, q269, q313, q328, q337, q338, q345, q353, q361)
 }

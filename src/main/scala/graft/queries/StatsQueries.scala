@@ -3130,9 +3130,85 @@ object StatsQueries {
          |ORDER BY covariate""".stripMargin
     })
 
+  /** q360: zero-inflation census — the model-adequacy check run
+    * before any Poisson/count assumption (q339's power formulas, rate
+    * monitors) is trusted: per event stream, the per-user count
+    * distribution's observed zeros against the Poisson(λ̂)
+    * expectation n·e^(−λ̂), plus the variance/mean dispersion index
+    * (both excess zeros AND overdispersion break Poisson, in
+    * different ways). Zeros require the COMPLETED user×stream grid
+    * (absent pairs are the zeros — the A11 complete() lesson);
+    * moments are exact integers, one exp per stream. */
+  val q360 = GQuery(
+    "q360_zero_inflation",
+    (s, d) => {
+      val dec0 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val ev = events(s, d)
+      val counts = ev.groupBy(col("user_id"), col("event_type"))
+        .agg(lcount(lit(1)).as("c"))
+      val grid = ev.select(col("user_id")).distinct()
+        .crossJoin(ev.select(col("event_type")).distinct())
+        .join(counts, Seq("user_id", "event_type"), "left")
+        .select(col("event_type"), coalesce(col("c"), lit(0L)).as("c"))
+      grid.groupBy(col("event_type"))
+        .agg(lcount(lit(1)).as("n_users"),
+          sum(col("c").cast(dec0)).as("sc"),
+          sum(col("c").cast(dec0) * col("c")).as("scc"),
+          coalesce(sum(when(col("c") === 0, 1L)), lit(0L)).as("obs_zeros"))
+        .withColumn("lambda", col("sc").cast("double") / col("n_users"))
+        .withColumn("exp_zeros",
+          col("n_users").cast("double") * exp(-col("lambda")))
+        .select(col("event_type"), col("n_users"),
+          round(col("lambda"), 6).as("lambda"),
+          col("obs_zeros"),
+          round(col("exp_zeros"), 6).as("exp_zeros"),
+          round(when(col("exp_zeros") > 0,
+            col("obs_zeros").cast("double") / col("exp_zeros")), 6)
+            .as("zero_inflation"),
+          round((col("n_users") * col("scc") - col("sc") * col("sc"))
+            .cast("double")
+            / col("n_users").cast("double")
+            / (col("n_users") - 1).cast("double")
+            / (col("sc").cast("double") / col("n_users")), 6)
+            .as("dispersion"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH counts AS (
+      |  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM events GROUP BY user_id, event_type),
+      |grid AS (
+      |  SELECT t.event_type, COALESCE(c.c, 0) AS c
+      |  FROM (SELECT DISTINCT user_id FROM events) u
+      |  CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+      |  LEFT JOIN counts c ON u.user_id = c.user_id
+      |    AND t.event_type = c.event_type),
+      |g AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users,
+      |    SUM(CAST(c AS HUGEINT)) AS sc,
+      |    SUM(CAST(c AS HUGEINT) * c) AS scc,
+      |    COALESCE(CAST(SUM(CASE WHEN c = 0 THEN 1 END) AS BIGINT), 0)
+      |      AS obs_zeros
+      |  FROM grid GROUP BY event_type),
+      |m AS (
+      |  SELECT event_type, n_users, sc, scc, obs_zeros,
+      |    CAST(sc AS DOUBLE) / n_users AS lambda,
+      |    CAST(n_users AS DOUBLE)
+      |      * exp(-(CAST(sc AS DOUBLE) / n_users)) AS exp_zeros
+      |  FROM g)
+      |SELECT event_type, n_users, round(lambda, 6) AS lambda, obs_zeros,
+      |  round(exp_zeros, 6) AS exp_zeros,
+      |  round(CASE WHEN exp_zeros > 0
+      |    THEN CAST(obs_zeros AS DOUBLE) / exp_zeros END, 6)
+      |    AS zero_inflation,
+      |  round(CAST(n_users * scc - sc * sc AS DOUBLE)
+      |    / CAST(n_users AS DOUBLE) / CAST(n_users - 1 AS DOUBLE)
+      |    / (CAST(sc AS DOUBLE) / n_users), 6) AS dispersion
+      |FROM m ORDER BY event_type""".stripMargin))
+
   def queries: Seq[GQuery] =
     Seq(q23, q24, q25, q26, q27, q28, q29, q30, q31, q51, q58, q113, q163,
       q185, q191, q211, q217, q268, q274, q284, q291, q293, q294, q295,
       q296, q297, q298, q299, q300, q305, q306, q308, q311, q312, q315,
-      q324, q327, q339, q343, q344, q351, q355, q356, q357, q358, q359)
+      q324, q327, q339, q343, q344, q351, q355, q356, q357, q358, q359,
+      q360)
 }
