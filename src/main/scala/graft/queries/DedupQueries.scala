@@ -1838,6 +1838,104 @@ object DedupQueries {
       |JOIN sizes zb ON p.sb = zb.source
       |ORDER BY p.sa, p.sb""".stripMargin))
 
+  /** q362: greedy maximum-coverage selection (the 1−1/e-approximate
+    * submodular greedy, Nemhauser et al. 1978) — coverage-based data
+    * selection: pick the 5 corpus documents that together cover the
+    * most distinct bigram shingles of a TARGET set (doc_id % 101 = 0 — an
+    * eval-set-alignment selection, the shape behind coverage-driven
+    * fine-tuning-data picks). Each round re-scores candidates against
+    * the not-yet-covered remainder (anti-join on the landed
+    * candidate→target postings) and takes the argmax with a (gain,
+    * doc) tie-break; cumulative coverage is the RUNNING SUM of gains
+    * (each gain counts only NEW shingles — submodularity does the
+    * bookkeeping). Five bounded rounds over landed postings; the
+    * oracle unrolls all five with NOT IN covered sets. */
+  val q362 = {
+    val K = 5
+    GQuery(
+      "q362_greedy_cover",
+      (s, d) => {
+        val idx = Dedup.shingleIndex(documents(s, d), "doc_id", "text",
+            k = 2, maxDocFreq = 0L)
+          .localCheckpoint(eager = true) // target + candidates derive from it
+        val target = idx.filter(col("doc") % 101 === 0)
+          .select(col("shingle")).distinct()
+        val cand = idx.filter(col("doc") % 101 =!= 0)
+          .join(target, Seq("shingle"), "left_semi")
+          .localCheckpoint(eager = true) // K rounds probe it
+        val tsize = target.agg(count(lit(1)).cast("long").as("n_target"))
+        var covered = cand.select(col("shingle")).limit(0)
+        val picks = (1 to K).map { r =>
+          val gains = cand.join(covered, Seq("shingle"), "left_anti")
+            .groupBy(col("doc")).agg(count(lit(1)).cast("long").as("gain"))
+          val pick = gains.orderBy(col("gain").desc, col("doc").asc).limit(1)
+            .localCheckpoint(eager = true) // covered + output probe it
+          covered = covered.unionByName(
+              cand.join(broadcast(pick.select(col("doc"))), Seq("doc"),
+                "left_semi").select(col("shingle")))
+            .distinct()
+            .localCheckpoint(eager = false)
+          pick.withColumn("round", lit(r.toLong))
+        }
+        val W = org.apache.spark.sql.expressions.Window
+        picks.reduce(_ unionByName _)
+          .withColumn("covered_cum", sum(col("gain")).over(
+            W.orderBy(col("round"))
+              .rowsBetween(W.unboundedPreceding, W.currentRow)))
+          .crossJoin(broadcast(tsize))
+          .select(col("round"), col("doc").as("doc_id"), col("gain"),
+            col("covered_cum"),
+            expr("(covered_cum * 1000000) div n_target").as("coverage_ppm"))
+          .orderBy(col("round"))
+      },
+      Some {
+        def round(k: Int): String = {
+          val notIn =
+            if (k == 1) ""
+            else s"WHERE shingle NOT IN (SELECT shingle FROM cov${k - 1})"
+          val cov =
+            if (k == 1)
+              s"""cov1 AS (
+                 |  SELECT shingle FROM cp
+                 |  WHERE doc = (SELECT doc FROM p1))""".stripMargin
+            else
+              s"""cov$k AS (
+                 |  SELECT shingle FROM cov${k - 1}
+                 |  UNION
+                 |  SELECT shingle FROM cp
+                 |  WHERE doc = (SELECT doc FROM p$k))""".stripMargin
+          s"""g$k AS (
+             |  SELECT doc, CAST(COUNT(*) AS BIGINT) AS gain FROM cp
+             |  $notIn GROUP BY doc),
+             |p$k AS (SELECT doc, gain FROM g$k
+             |  ORDER BY gain DESC, doc ASC LIMIT 1),
+             |$cov""".stripMargin
+        }
+        s"""WITH sh AS (
+           |  SELECT DISTINCT doc_id AS doc, ws[i] || ' ' || ws[i+1] AS shingle
+           |  FROM (SELECT doc_id, $wsSql AS ws FROM documents) t,
+           |    UNNEST(generate_series(1, greatest(len(ws) - 1, 0))) AS u(i)),
+           |tgt AS (SELECT DISTINCT shingle FROM sh WHERE doc % 101 = 0),
+           |cp AS (
+           |  SELECT s.doc, s.shingle FROM sh s
+           |  JOIN tgt t ON s.shingle = t.shingle
+           |  WHERE s.doc % 101 <> 0),
+           |ts AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_target FROM tgt),
+           |${(1 to K).map(round).mkString(",\n")},
+           |sel AS (
+           |  ${(1 to K).map(k =>
+                s"SELECT CAST($k AS BIGINT) AS round, doc, gain FROM p$k")
+                .mkString("\n  UNION ALL\n  ")})
+           |SELECT s2.round, s2.doc AS doc_id, s2.gain,
+           |  CAST(SUM(s2.gain) OVER (ORDER BY s2.round
+           |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS covered_cum,
+           |  (CAST(SUM(s2.gain) OVER (ORDER BY s2.round
+           |    ROWS UNBOUNDED PRECEDING) AS BIGINT) * 1000000)
+           |    // ts.n_target AS coverage_ppm
+           |FROM sel s2 CROSS JOIN ts ORDER BY s2.round""".stripMargin
+      })
+  }
+
   /** q348: Merkle partition fingerprints — the SCALABLE face of
     * q125's row-level snapshot diff: instead of joining two versions
     * row by row, each partition publishes one order-independent
@@ -1917,5 +2015,5 @@ object DedupQueries {
       |  END AS amplification_ppm
       |FROM agg a CROSS JOIN ch c""".stripMargin))
 
-  def queries: Seq[GQuery] = Seq(q36, q37, q38, q39, q57, q61, q88, q90, q103, q108, q118, q123, q124, q125, q127, q129, q133, q138, q142, q161, q162, q167, q180, q212, q216, q221, q223, q225, q229, q230, q252, q282, q283, q321, q348)
+  def queries: Seq[GQuery] = Seq(q36, q37, q38, q39, q57, q61, q88, q90, q103, q108, q118, q123, q124, q125, q127, q129, q133, q138, q142, q161, q162, q167, q180, q212, q216, q221, q223, q225, q229, q230, q252, q282, q283, q321, q348, q362)
 }
