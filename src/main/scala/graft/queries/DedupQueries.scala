@@ -1869,7 +1869,7 @@ object DedupQueries {
           val gains = cand.join(covered, Seq("shingle"), "left_anti")
             .groupBy(col("doc")).agg(count(lit(1)).cast("long").as("gain"))
           val pick = gains.orderBy(col("gain").desc, col("doc").asc).limit(1)
-            .localCheckpoint(eager = true) // covered + output probe it
+            .localCheckpoint(eager = false) // covered + output probe it
           covered = covered.unionByName(
               cand.join(broadcast(pick.select(col("doc"))), Seq("doc"),
                 "left_semi").select(col("shingle")))
