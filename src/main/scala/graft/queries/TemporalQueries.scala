@@ -1876,8 +1876,77 @@ object TemporalQueries {
       |  round(b2 - b1, 6) AS slope_change
       |FROM g""".stripMargin))
 
+  /** q363: data-observability census (volume anomaly detection) — the
+    * pipeline-health monitor every ingestion runs beside the
+    * contract checks (q171 gates SCHEMA; this gates ARRIVAL MASS):
+    * each day's event volume and active-user count are scored
+    * against the trailing 7-day window's exact median ± 3·MAD
+    * (median/MAD computed from the SORTED trailing array — 7 bounded
+    * elements per day, so the robust band costs one array sort, no
+    * second aggregation pass), and days outside either band are
+    * incidents. Days without a full trailing week are warm-up and
+    * unflagged. The daily rollup is the only fact-sized pass; the
+    * band logic runs on the calendar frame. */
+  val q363 = GQuery(
+    "q363_observability",
+    (s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val daily = events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(lcount(lit(1)).as("volume"),
+          countDistinct(col("user_id")).cast("long").as("n_users"))
+      val w7 = W.orderBy(col("day")).rowsBetween(-7, -1)
+      // try_element_at: warm-up days have short trailing windows (ANSI
+      // element_at errors there); DuckDB's list[4] is NULL there too
+      val withArr = daily
+        .withColumn("va", sort_array(collect_list(col("volume")).over(w7)))
+        .withColumn("ua", sort_array(collect_list(col("n_users")).over(w7)))
+        .withColumn("vmed", expr("try_element_at(va, 4)"))
+        .withColumn("umed", expr("try_element_at(ua, 4)"))
+        .withColumn("vmad", expr(
+          "try_element_at(sort_array(transform(va, v -> abs(v - try_element_at(va, 4)))), 4)"))
+        .withColumn("umad", expr(
+          "try_element_at(sort_array(transform(ua, v -> abs(v - try_element_at(ua, 4)))), 4)"))
+      withArr.select(col("day"), col("volume"), col("n_users"),
+          when(size(col("va")) === 7, col("vmed")).as("vol_med7"),
+          when(size(col("va")) === 7, col("vmad")).as("vol_mad7"),
+          when(size(col("ua")) === 7, col("umed")).as("usr_med7"),
+          (size(col("va")) === 7 &&
+            abs(col("volume") - col("vmed")) > lit(3L) * col("vmad"))
+            .as("vol_incident"),
+          (size(col("ua")) === 7 &&
+            abs(col("n_users") - col("umed")) > lit(3L) * col("umad"))
+            .as("usr_incident"))
+        .orderBy(col("day"))
+    },
+    Some("""WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS volume,
+      |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      |  FROM events GROUP BY 1),
+      |wins AS (
+      |  SELECT day, volume, n_users,
+      |    list_sort(list(volume) OVER (ORDER BY day
+      |      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)) AS va,
+      |    list_sort(list(n_users) OVER (ORDER BY day
+      |      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)) AS ua
+      |  FROM daily),
+      |bands AS (
+      |  SELECT day, volume, n_users, COALESCE(len(va), 0) AS vw,
+      |    COALESCE(len(ua), 0) AS uw,
+      |    va[4] AS vmed, ua[4] AS umed,
+      |    list_sort(list_transform(va, v -> abs(v - va[4])))[4] AS vmad,
+      |    list_sort(list_transform(ua, v -> abs(v - ua[4])))[4] AS umad
+      |  FROM wins)
+      |SELECT day, volume, n_users,
+      |  CASE WHEN vw = 7 THEN vmed END AS vol_med7,
+      |  CASE WHEN vw = 7 THEN vmad END AS vol_mad7,
+      |  CASE WHEN uw = 7 THEN umed END AS usr_med7,
+      |  (vw = 7 AND abs(volume - vmed) > 3 * vmad) AS vol_incident,
+      |  (uw = 7 AND abs(n_users - umed) > 3 * umad) AS usr_incident
+      |FROM bands ORDER BY day""".stripMargin))
+
   def queries: Seq[GQuery] =
     Seq(q43, q44, q56, q70, q181, q182, q183, q196, q197, q263, q272, q278,
       q279, q280, q281, q285, q301, q302, q303, q309, q310, q317, q318,
-      q320, q322, q323, q326, q329, q354)
+      q320, q322, q323, q326, q329, q354, q363)
 }
