@@ -1414,7 +1414,105 @@ object CorpusStatQueries {
       |  round(w.wu / n.zsum, 6) AS new_share
       |FROM w CROSS JOIN norm n ORDER BY w.lang""".stripMargin))
 
+  /** q364: multinomial naive-Bayes language classifier — the
+    * generatively-trained counterpart of the q134 discriminative
+    * (hashed-logistic) gate and the q34 heuristic langid: add-one
+    * Laplace token likelihoods and doc-count priors are COUNTED (one
+    * grouped pass over the doc_id%3≠0 train slice — training is an
+    * aggregation, no iterations), and scoring joins the bounded
+    * (lang × token) likelihood table onto test tokens with the
+    * language grid broadcast (L≈5 langs, so the grid multiplies rows
+    * by a constant, never by data). Log terms go through the
+    * e9-floored exact-sum discipline (q146) so per-doc scores are
+    * partition-independent; argmax ties break lexicographically.
+    * Census = the held-out confusion matrix plus a score checksum. */
+  val q364 = GQuery(
+    "q364_naive_bayes_langid",
+    (s, d) => {
+      import graft.core.Exact.{lcount, lsumAt}
+      val w = org.apache.spark.sql.expressions.Window
+      val docs = documents(s, d)
+      val train = docs.filter(col("doc_id") % 3 =!= 0)
+      val test = docs.filter(col("doc_id") % 3 === 0)
+      val trTok = train.select(col("lang"),
+        explode(graft.text.TextFunctions.wsTokens(col("text"))).as("w"))
+      val cnt = trTok.groupBy(col("lang"), col("w"))
+        .agg(lcount(lit(1)).as("c"))
+        .select(col("lang").as("ml"), col("w"), col("c"))
+      val tot = cnt.groupBy(col("ml")).agg(sum(col("c")).as("tot"))
+      val vocab = trTok.agg(countDistinct(col("w")).cast("long").as("v"))
+      val pri = train.groupBy(col("lang"))
+        .agg(lcount(lit(1)).as("nl")).select(col("lang").as("ml"), col("nl"))
+      val nAll = train.agg(lcount(lit(1)).as("n_all"))
+      val teTok = test.select(col("doc_id"),
+        explode(graft.text.TextFunctions.wsTokens(col("text"))).as("w"))
+      val docLang = teTok
+        .crossJoin(broadcast(tot.crossJoin(vocab)))
+        // (lang × token) likelihoods are vocabulary-sized — shuffle
+        // join on (ml, w), never a broadcast that grows with the corpus
+        .join(cnt, Seq("ml", "w"), "left")
+        .select(col("doc_id"), col("ml"),
+          log((coalesce(col("c"), lit(0L)) + 1).cast("double")
+            / (col("tot") + col("v")).cast("double")).as("lp"))
+        .groupBy(col("doc_id"), col("ml"))
+        .agg(lsumAt(col("lp"), 1e9).as("tok_lp"))
+      val pred = test.select(col("doc_id"), col("lang").as("true_lang"))
+        .crossJoin(broadcast(pri.crossJoin(nAll)))
+        .join(docLang, Seq("doc_id", "ml"), "left")
+        .withColumn("score_e6",
+          floor((coalesce(col("tok_lp"), lit(0.0))
+            + floor(log(col("nl").cast("double") / col("n_all")) * 1e9
+              + 0.5) / 1e9) * 1e6 + 0.5).cast("long"))
+        .withColumn("rn", row_number().over(
+          w.partitionBy(col("doc_id"))
+            .orderBy(col("score_e6").desc, col("ml").asc)))
+        .filter(col("rn") === 1)
+      pred.groupBy(col("true_lang"), col("ml").as("pred_lang"))
+        .agg(lcount(lit(1)).as("n_docs"),
+          sum(col("score_e6")).as("score_checksum"))
+        .orderBy(col("true_lang"), col("pred_lang"))
+    },
+    Some(s"""WITH tr AS (
+      |  SELECT doc_id, lang, text FROM documents WHERE doc_id % 3 <> 0),
+      |te AS (
+      |  SELECT doc_id, lang, text FROM documents WHERE doc_id % 3 = 0),
+      |trtok AS (SELECT lang, unnest($wsSql) AS w FROM tr),
+      |cnt AS (
+      |  SELECT lang AS ml, w, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM trtok GROUP BY 1, 2),
+      |tot AS (SELECT ml, CAST(SUM(c) AS BIGINT) AS tot FROM cnt GROUP BY ml),
+      |voc AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v FROM trtok),
+      |pri AS (
+      |  SELECT lang AS ml, CAST(COUNT(*) AS BIGINT) AS nl
+      |  FROM tr GROUP BY 1),
+      |na AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_all FROM tr),
+      |tetok AS (SELECT doc_id, unnest($wsSql) AS w FROM te),
+      |dl AS (
+      |  SELECT t.doc_id, l.ml,
+      |    ${graft.core.Exact.sqlLsumAt(
+             "ln(CAST(COALESCE(c.c, 0) + 1 AS DOUBLE)" +
+               " / CAST(l.tot + voc.v AS DOUBLE))",
+             "1000000000.0")} AS tok_lp
+      |  FROM tetok t CROSS JOIN tot l CROSS JOIN voc
+      |  LEFT JOIN cnt c ON c.ml = l.ml AND c.w = t.w
+      |  GROUP BY t.doc_id, l.ml),
+      |sc AS (
+      |  SELECT g.doc_id, g.true_lang, g.ml,
+      |    CAST(floor((COALESCE(d.tok_lp, 0.0)
+      |      + floor(ln(CAST(g.nl AS DOUBLE) / g.n_all) * 1e9 + 0.5) / 1e9)
+      |      * 1e6 + 0.5) AS BIGINT) AS score_e6
+      |  FROM (SELECT te.doc_id, te.lang AS true_lang, p.ml, p.nl, na.n_all
+      |        FROM te CROSS JOIN pri p CROSS JOIN na) g
+      |  LEFT JOIN dl d ON d.doc_id = g.doc_id AND d.ml = g.ml),
+      |pr AS (
+      |  SELECT *, row_number() OVER (PARTITION BY doc_id
+      |    ORDER BY score_e6 DESC, ml) AS rn FROM sc)
+      |SELECT true_lang, ml AS pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(score_e6) AS BIGINT) AS score_checksum
+      |FROM pr WHERE rn = 1
+      |GROUP BY true_lang, ml ORDER BY true_lang, ml""".stripMargin))
+
   def queries: Seq[GQuery] =
     Seq(q146, q149, q152, q169, q175, q213, q215, q220, q224, q237, q275,
-      q276, q314, q319, q325, q331, q333, q342, q349, q350)
+      q276, q314, q319, q325, q331, q333, q342, q349, q350, q364)
 }

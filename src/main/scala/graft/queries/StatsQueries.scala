@@ -3205,10 +3205,140 @@ object StatsQueries {
       |    / (CAST(sc AS DOUBLE) / n_users), 6) AS dispersion
       |FROM m ORDER BY event_type""".stripMargin))
 
+  /** q365: decision-stump split search (CART depth-1, Breiman 1984) —
+    * the numeric-feature counterpart of q342's categorical information
+    * gain, and the building block every boosted/forest ensemble
+    * repeats: for each candidate feature the best Gini split over 32
+    * equal-width bin edges. The distributed shape is the histogram
+    * trick (XGBoost/LightGBM): ONE grouped pass bins the facts, the
+    * per-(feature, bin) class counts (≤96 rows) carry all split
+    * statistics, and every threshold's impurity comes from a prefix
+    * sum over that bounded frame — candidate evaluation never rescans
+    * the data. Class-count products route through DECIMAL(38,0)
+    * (counts² passes int64 at ~3e9 rows — the q263 lesson), one
+    * double division per candidate; argmax ties break on (bin asc). */
+  val q365 = GQuery(
+    "q365_decision_stump",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+      val dec0 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val feats = lineitem(s, d)
+        .select((col("l_returnflag") === "R").cast("long").as("y"),
+          col("l_quantity"), col("l_discount"), col("l_extendedprice"))
+        .selectExpr("y",
+          """stack(3, 'l_discount', l_discount, 'l_extendedprice',
+            | l_extendedprice, 'l_quantity', l_quantity)
+            | AS (feature, x)""".stripMargin.replace("\n", ""))
+      val rng = feats.groupBy(col("feature"))
+        .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      val binned = feats.join(broadcast(rng), Seq("feature"))
+        .withColumn("bin",
+          when(col("mx") > col("mn"),
+            least(floor((col("x") - col("mn"))
+              / ((col("mx") - col("mn")) / 32)), lit(31L)))
+            .otherwise(lit(0L)))
+      val binStats = binned.groupBy(col("feature"), col("bin"))
+        .agg(lcount(lit(1)).as("n"), sum(col("y")).as("p"))
+      val totals = binStats.groupBy(col("feature"))
+        .agg(sum(col("n")).as("nt"), sum(col("p")).as("pt"))
+      binStats
+        .withColumn("nl", sum(col("n")).over(
+          w.partitionBy(col("feature")).orderBy(col("bin"))))
+        .withColumn("pl", sum(col("p")).over(
+          w.partitionBy(col("feature")).orderBy(col("bin"))))
+        .join(broadcast(totals), Seq("feature"))
+        .filter(col("nl") < col("nt"))
+        .withColumn("nr", col("nt") - col("nl"))
+        .withColumn("pr", col("pt") - col("pl"))
+        .withColumn("f",
+          (col("pl").cast(dec0) * col("pl")
+            + (col("nl") - col("pl")).cast(dec0) * (col("nl") - col("pl")))
+            .cast("double") / col("nl")
+            + (col("pr").cast(dec0) * col("pr")
+              + (col("nr") - col("pr")).cast(dec0) * (col("nr") - col("pr")))
+              .cast("double") / col("nr"))
+        .withColumn("rn", row_number().over(
+          w.partitionBy(col("feature"))
+            .orderBy(col("f").desc, col("bin").asc)))
+        .filter(col("rn") === 1)
+        .join(broadcast(rng), Seq("feature"))
+        .select(col("feature"), col("bin").cast("long").as("split_bin"),
+          round(col("mn") + (col("bin") + 1)
+            * ((col("mx") - col("mn")) / 32), 6).as("threshold"),
+          col("nl").cast("long").as("n_left"),
+          col("pl").cast("long").as("pos_left"),
+          round(col("f") / col("nt")
+            - (col("pt").cast(dec0) * col("pt")
+              + (col("nt") - col("pt")).cast(dec0) * (col("nt") - col("pt")))
+              .cast("double")
+              / (col("nt").cast(dec0) * col("nt")).cast("double"), 9)
+            .as("gini_gain"))
+        .orderBy(col("feature"))
+    },
+    Some("""WITH feats AS (
+      |  SELECT CAST(l_returnflag = 'R' AS BIGINT) AS y,
+      |    'l_discount' AS feature, l_discount AS x FROM lineitem
+      |  UNION ALL
+      |  SELECT CAST(l_returnflag = 'R' AS BIGINT),
+      |    'l_extendedprice', l_extendedprice FROM lineitem
+      |  UNION ALL
+      |  SELECT CAST(l_returnflag = 'R' AS BIGINT),
+      |    'l_quantity', l_quantity FROM lineitem),
+      |rng AS (
+      |  SELECT feature, MIN(x) AS mn, MAX(x) AS mx
+      |  FROM feats GROUP BY feature),
+      |binned AS (
+      |  SELECT f.y, f.feature,
+      |    CASE WHEN r.mx > r.mn
+      |      THEN LEAST(floor((f.x - r.mn) / ((r.mx - r.mn) / 32)), 31)
+      |      ELSE 0 END AS bin
+      |  FROM feats f JOIN rng r ON f.feature = r.feature),
+      |bs AS (
+      |  SELECT feature, bin, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(y) AS BIGINT) AS p
+      |  FROM binned GROUP BY feature, bin),
+      |tot AS (
+      |  SELECT feature, CAST(SUM(n) AS BIGINT) AS nt,
+      |    CAST(SUM(p) AS BIGINT) AS pt
+      |  FROM bs GROUP BY feature),
+      |cum AS (
+      |  SELECT feature, bin,
+      |    CAST(SUM(n) OVER (PARTITION BY feature ORDER BY bin) AS BIGINT)
+      |      AS nl,
+      |    CAST(SUM(p) OVER (PARTITION BY feature ORDER BY bin) AS BIGINT)
+      |      AS pl
+      |  FROM bs),
+      |cand AS (
+      |  SELECT c.feature, c.bin, c.nl, c.pl, t.nt, t.pt,
+      |    t.nt - c.nl AS nr, t.pt - c.pl AS pr,
+      |    CAST(CAST(c.pl AS HUGEINT) * c.pl
+      |        + CAST(c.nl - c.pl AS HUGEINT) * (c.nl - c.pl) AS DOUBLE)
+      |      / c.nl
+      |    + CAST(CAST(t.pt - c.pl AS HUGEINT) * (t.pt - c.pl)
+      |        + CAST((t.nt - c.nl) - (t.pt - c.pl) AS HUGEINT)
+      |          * ((t.nt - c.nl) - (t.pt - c.pl)) AS DOUBLE)
+      |      / (t.nt - c.nl) AS f
+      |  FROM cum c JOIN tot t ON c.feature = t.feature
+      |  WHERE c.nl < t.nt),
+      |best AS (
+      |  SELECT *, row_number() OVER (PARTITION BY feature
+      |    ORDER BY f DESC, bin ASC) AS rn
+      |  FROM cand)
+      |SELECT b.feature, CAST(b.bin AS BIGINT) AS split_bin,
+      |  round(r.mn + (b.bin + 1) * ((r.mx - r.mn) / 32), 6) AS threshold,
+      |  b.nl AS n_left, b.pl AS pos_left,
+      |  round(b.f / b.nt
+      |    - CAST(CAST(b.pt AS HUGEINT) * b.pt
+      |        + CAST(b.nt - b.pt AS HUGEINT) * (b.nt - b.pt) AS DOUBLE)
+      |      / CAST(CAST(b.nt AS HUGEINT) * b.nt AS DOUBLE), 9)
+      |    AS gini_gain
+      |FROM best b JOIN rng r ON b.feature = r.feature
+      |WHERE b.rn = 1 ORDER BY b.feature""".stripMargin))
+
   def queries: Seq[GQuery] =
     Seq(q23, q24, q25, q26, q27, q28, q29, q30, q31, q51, q58, q113, q163,
       q185, q191, q211, q217, q268, q274, q284, q291, q293, q294, q295,
       q296, q297, q298, q299, q300, q305, q306, q308, q311, q312, q315,
       q324, q327, q339, q343, q344, q351, q355, q356, q357, q358, q359,
-      q360)
+      q360, q365)
 }
