@@ -3335,10 +3335,184 @@ object StatsQueries {
       |FROM best b JOIN rng r ON b.feature = r.feature
       |WHERE b.rn = 1 ORDER BY b.feature""".stripMargin))
 
+  /** q366: difference-in-differences (Card & Krueger 1994) — the
+    * two-group two-period causal estimator completing the ladder
+    * beside q354 (interrupted TS: one group, known date) and q327
+    * (stratified ATE: no time axis): treated = odd users (the q327
+    * assignment), post = days past the corpus midpoint (the q354
+    * breakpoint), and the estimator is (ȳ_T,post − ȳ_T,pre) −
+    * (ȳ_C,post − ȳ_C,pre) — the control group differencing out the
+    * common time trend. ONE conditional aggregate computes all four
+    * cells (decimal-routed sums, q327 discipline); the calendar
+    * scalars broadcast. A null census (empty cell ⇒ null DiD) guards
+    * degenerate windows. */
+  val q366 = GQuery(
+    "q366_diff_in_differences",
+    (s, d) => {
+      val ev0 = events(s, d).filter(col("event_type") === "purchase")
+        .select(to_date(col("ts")).as("day"), col("user_id"), col("value"))
+      val mind = ev0.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      val ev = ev0.crossJoin(broadcast(mind))
+        .select((col("user_id") % 2 === 1).as("treated"),
+          (datediff(col("day"), col("d0")) >=
+            expr("CAST(datediff(d1, d0) AS BIGINT) div 2")).as("post"),
+          col("value"))
+      def cnt(p: org.apache.spark.sql.Column) =
+        coalesce(sum(when(p, 1L)), lit(0L))
+      def mn(p: org.apache.spark.sql.Column) =
+        dsum(when(p, col("value"))) / sum(when(p, 1L))
+      ev.agg(
+          cnt(col("treated") && !col("post")).as("n_t_pre"),
+          cnt(col("treated") && col("post")).as("n_t_post"),
+          cnt(!col("treated") && !col("post")).as("n_c_pre"),
+          cnt(!col("treated") && col("post")).as("n_c_post"),
+          mn(col("treated") && !col("post")).as("mtp"),
+          mn(col("treated") && col("post")).as("mtq"),
+          mn(!col("treated") && !col("post")).as("mcp"),
+          mn(!col("treated") && col("post")).as("mcq"))
+        .select(col("n_t_pre"), col("n_t_post"), col("n_c_pre"),
+          col("n_c_post"),
+          round(col("mtp"), 6).as("mean_t_pre"),
+          round(col("mtq"), 6).as("mean_t_post"),
+          round(col("mcp"), 6).as("mean_c_pre"),
+          round(col("mcq"), 6).as("mean_c_post"),
+          round(col("mtq") - col("mtp") - (col("mcq") - col("mcp")), 6)
+            .as("did"))
+    },
+    Some(s"""WITH ev0 AS (
+      |  SELECT CAST(ts AS DATE) AS day, user_id, value
+      |  FROM events WHERE event_type = 'purchase'),
+      |mind AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM ev0),
+      |ev AS (
+      |  SELECT (user_id % 2 = 1) AS treated,
+      |    datediff('day', m.d0, e.day) >=
+      |      CAST(datediff('day', m.d0, m.d1) AS BIGINT) // 2 AS post,
+      |    value
+      |  FROM ev0 e CROSS JOIN mind m),
+      |c AS (
+      |  SELECT
+      |    COALESCE(CAST(SUM(CASE WHEN treated AND NOT post THEN 1 END)
+      |      AS BIGINT), 0) AS n_t_pre,
+      |    COALESCE(CAST(SUM(CASE WHEN treated AND post THEN 1 END)
+      |      AS BIGINT), 0) AS n_t_post,
+      |    COALESCE(CAST(SUM(CASE WHEN NOT treated AND NOT post THEN 1 END)
+      |      AS BIGINT), 0) AS n_c_pre,
+      |    COALESCE(CAST(SUM(CASE WHEN NOT treated AND post THEN 1 END)
+      |      AS BIGINT), 0) AS n_c_post,
+      |    ${sqlDsum("CASE WHEN treated AND NOT post THEN value END")}
+      |      / SUM(CASE WHEN treated AND NOT post THEN 1 END) AS mtp,
+      |    ${sqlDsum("CASE WHEN treated AND post THEN value END")}
+      |      / SUM(CASE WHEN treated AND post THEN 1 END) AS mtq,
+      |    ${sqlDsum("CASE WHEN NOT treated AND NOT post THEN value END")}
+      |      / SUM(CASE WHEN NOT treated AND NOT post THEN 1 END) AS mcp,
+      |    ${sqlDsum("CASE WHEN NOT treated AND post THEN value END")}
+      |      / SUM(CASE WHEN NOT treated AND post THEN 1 END) AS mcq
+      |  FROM ev)
+      |SELECT n_t_pre, n_t_post, n_c_pre, n_c_post,
+      |  round(mtp, 6) AS mean_t_pre, round(mtq, 6) AS mean_t_post,
+      |  round(mcp, 6) AS mean_c_pre, round(mcq, 6) AS mean_c_post,
+      |  round(mtq - mtp - (mcq - mcp), 6) AS did
+      |FROM c""".stripMargin))
+
+  /** q367: regression-discontinuity jump estimate (Thistlethwaite &
+    * Campbell 1960) — the third causal identification beside q366's
+    * DiD and q327's stratification: units cannot control which side of
+    * a cutoff in the running variable they land on, so the outcome
+    * jump AT the cutoff identifies the effect. Running variable =
+    * order price, cutoff = midrange, bandwidth = range/8 (both pure
+    * min/max scalars — no global percentile sort at any scale);
+    * within the band, separate OLS lines of the binary outcome on
+    * (x − c) left and right (exact decimal moments, the q354 fit
+    * shape), jump = right intercept − left intercept. */
+  val q367 = GQuery(
+    "q367_regression_discontinuity",
+    (s, d) => {
+      val o0 = orders(s, d).select(col("o_totalprice").as("x"),
+        (col("o_orderstatus") === "F").cast("long").as("yb"))
+      val rng = o0.agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      val band = o0.crossJoin(broadcast(rng))
+        .select(((col("mn") + col("mx")) / 2).as("c"),
+          ((col("mx") - col("mn")) / 8).as("h"), col("x"), col("yb"))
+        .filter(col("x") >= col("c") - col("h") &&
+          col("x") <= col("c") + col("h"))
+        .select((col("x") >= col("c")).as("right"),
+          (col("x") - col("c")).as("u"), col("yb").cast("double").as("y"),
+          col("c"), col("h"))
+      def seg(p: org.apache.spark.sql.Column) = Seq(
+        sum(when(p, 1L)).cast("long"),
+        dsum(when(p, col("u"))), dsum(when(p, col("u") * col("u"))),
+        dsum(when(p, col("y"))), dsum(when(p, col("u") * col("y"))))
+      val m = band.agg(
+        seg(!col("right"))(0).as("n1"), seg(!col("right"))(1).as("su1"),
+        seg(!col("right"))(2).as("suu1"), seg(!col("right"))(3).as("sy1"),
+        seg(!col("right"))(4).as("suy1"),
+        seg(col("right"))(0).as("n2"), seg(col("right"))(1).as("su2"),
+        seg(col("right"))(2).as("suu2"), seg(col("right"))(3).as("sy2"),
+        seg(col("right"))(4).as("suy2"),
+        max(col("c")).as("c"), max(col("h")).as("h"))
+      def fit(n: String, su: String, suu: String, sy: String, suy: String) = {
+        val b = (col(n).cast("double") * col(suy) - col(su) * col(sy)) /
+          (col(n).cast("double") * col(suu) - col(su) * col(su))
+        val a = (col(sy) - b * col(su)) / col(n).cast("double")
+        (a, b)
+      }
+      val (a1, b1) = fit("n1", "su1", "suu1", "sy1", "suy1")
+      val (a2, b2) = fit("n2", "su2", "suu2", "sy2", "suy2")
+      m.select(round(col("c"), 6).as("cutoff"),
+        round(col("h"), 6).as("bandwidth"),
+        col("n1").as("n_left"), col("n2").as("n_right"),
+        round(a1, 6).as("a_left"), round(b1, 9).as("b_left"),
+        round(a2, 6).as("a_right"), round(b2, 9).as("b_right"),
+        round(a2 - a1, 6).as("jump"))
+    },
+    Some(s"""WITH o0 AS (
+      |  SELECT o_totalprice AS x,
+      |    CAST(o_orderstatus = 'F' AS BIGINT) AS yb
+      |  FROM orders),
+      |rng AS (SELECT MIN(x) AS mn, MAX(x) AS mx FROM o0),
+      |band AS (
+      |  SELECT (x >= (mn + mx) / 2) AS r,
+      |    x - (mn + mx) / 2 AS u, CAST(yb AS DOUBLE) AS y,
+      |    (mn + mx) / 2 AS c, (mx - mn) / 8 AS h
+      |  FROM o0 CROSS JOIN rng
+      |  WHERE x >= (mn + mx) / 2 - (mx - mn) / 8
+      |    AND x <= (mn + mx) / 2 + (mx - mn) / 8),
+      |m AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN NOT r THEN 1 END) AS BIGINT) AS n1,
+      |    ${sqlDsum("CASE WHEN NOT r THEN u END")} AS su1,
+      |    ${sqlDsum("CASE WHEN NOT r THEN u * u END")} AS suu1,
+      |    ${sqlDsum("CASE WHEN NOT r THEN y END")} AS sy1,
+      |    ${sqlDsum("CASE WHEN NOT r THEN u * y END")} AS suy1,
+      |    CAST(SUM(CASE WHEN r THEN 1 END) AS BIGINT) AS n2,
+      |    ${sqlDsum("CASE WHEN r THEN u END")} AS su2,
+      |    ${sqlDsum("CASE WHEN r THEN u * u END")} AS suu2,
+      |    ${sqlDsum("CASE WHEN r THEN y END")} AS sy2,
+      |    ${sqlDsum("CASE WHEN r THEN u * y END")} AS suy2,
+      |    MAX(c) AS c, MAX(h) AS h
+      |  FROM band),
+      |f AS (
+      |  SELECT *,
+      |    (CAST(n1 AS DOUBLE) * suy1 - su1 * sy1)
+      |      / (CAST(n1 AS DOUBLE) * suu1 - su1 * su1) AS b1,
+      |    (CAST(n2 AS DOUBLE) * suy2 - su2 * sy2)
+      |      / (CAST(n2 AS DOUBLE) * suu2 - su2 * su2) AS b2
+      |  FROM m),
+      |g AS (
+      |  SELECT *, (sy1 - b1 * su1) / CAST(n1 AS DOUBLE) AS a1,
+      |    (sy2 - b2 * su2) / CAST(n2 AS DOUBLE) AS a2
+      |  FROM f)
+      |SELECT round(c, 6) AS cutoff, round(h, 6) AS bandwidth,
+      |  n1 AS n_left, n2 AS n_right,
+      |  round(a1, 6) AS a_left, round(b1, 9) AS b_left,
+      |  round(a2, 6) AS a_right, round(b2, 9) AS b_right,
+      |  round(a2 - a1, 6) AS jump
+      |FROM g""".stripMargin))
+
   def queries: Seq[GQuery] =
     Seq(q23, q24, q25, q26, q27, q28, q29, q30, q31, q51, q58, q113, q163,
       q185, q191, q211, q217, q268, q274, q284, q291, q293, q294, q295,
       q296, q297, q298, q299, q300, q305, q306, q308, q311, q312, q315,
       q324, q327, q339, q343, q344, q351, q355, q356, q357, q358, q359,
-      q360, q365)
+      q360, q365, q366, q367)
 }
