@@ -3509,10 +3509,224 @@ object StatsQueries {
       |  round(a2 - a1, 6) AS jump
       |FROM g""".stripMargin))
 
+  /** q368: Gaussian kernel density estimate with the Silverman (1986)
+    * rule-of-thumb bandwidth — the smooth-density face of q344's
+    * histogram binning: per event stream, density at 17 evenly spaced
+    * grid points, h = 0.9·min(σ̂, IQR/1.34)·n^(−1/5). The distributed
+    * shape is HISTOGRAM COMPRESSION: facts collapse to a cent-grain
+    * (value, count) histogram first, so the kernel evaluation joins
+    * the bounded 17-point grid against histogram rows, never against
+    * raw facts — at 100 TB the 17× blowup applies to the compressed
+    * frame. σ̂/IQR from exact moments + [[SortPercentile]];
+    * n^(−1/5) spelled exp(ln(n)·−0.2) on both engines (pow is not
+    * correctly rounded everywhere — the q346 lesson); kernel sums
+    * decimal-routed. */
+  val q368 = GQuery(
+    "q368_kde_silverman",
+    (s, d) => {
+      val ev = events(s, d).select(col("event_type"), col("value"))
+      val hist = ev.groupBy(col("event_type"),
+          floor(col("value") * 100 + 0.5).cast("long").as("hb"))
+        .agg(lcount(lit(1)).as("c"))
+        .withColumn("xv", col("hb") / lit(100.0))
+      val qs = SortPercentile.percentiles(ev, Seq("event_type"),
+        col("value"), Seq(0.25, 0.75), Seq("p25", "p75"))
+      val mom = ev.groupBy(col("event_type")).agg(
+        lcount(lit(1)).as("n"), dsum(col("value")).as("s1"),
+        dsum(col("value") * col("value")).as("s2"),
+        min(col("value")).as("mn"), max(col("value")).as("mx"))
+      val stats = mom.join(qs, Seq("event_type"))
+        .withColumn("sd", sqrt(greatest(
+          col("s2") / col("n") - (col("s1") / col("n")) * (col("s1") / col("n")),
+          lit(0.0))))
+        .withColumn("h",
+          lit(0.9) * least(col("sd"), (col("p75") - col("p25")) / 1.34)
+            * exp(log(col("n").cast("double")) * lit(-0.2)))
+      val grid = stats
+        .select(col("event_type"), col("n"), col("mn"), col("mx"), col("h"),
+          explode(sequence(lit(0), lit(16))).as("i"))
+        .withColumn("g", col("mn") + col("i") * ((col("mx") - col("mn")) / 16))
+      hist.join(broadcast(grid), Seq("event_type"))
+        .withColumn("u", (col("g") - col("xv")) / col("h"))
+        .groupBy(col("event_type"), col("i"), col("g"), col("n"), col("h"))
+        .agg(dsum(col("c") * exp(col("u") * col("u") * lit(-0.5))).as("ks"))
+        .select(col("event_type"), col("i").cast("long").as("i"),
+          round(col("g"), 6).as("g"),
+          round(col("ks") / (col("n") * col("h") * sqrt(lit(2.0) * lit(math.Pi))),
+            9).as("density"))
+        .orderBy(col("event_type"), col("i"))
+    },
+    Some(s"""WITH ev AS (SELECT event_type, value FROM events),
+      |hist AS (
+      |  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS hb,
+      |    CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM ev GROUP BY 1, 2),
+      |h2 AS (SELECT event_type, hb / 100.0 AS xv, c FROM hist),
+      |qs AS (
+      |  SELECT event_type, quantile_cont(value, 0.25) AS p25,
+      |    quantile_cont(value, 0.75) AS p75
+      |  FROM ev GROUP BY 1),
+      |mom AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |    ${sqlDsum("value")} AS s1, ${sqlDsum("value * value")} AS s2,
+      |    MIN(value) AS mn, MAX(value) AS mx
+      |  FROM ev GROUP BY 1),
+      |st0 AS (
+      |  SELECT m.*, q.p25, q.p75,
+      |    sqrt(GREATEST(s2 / n - (s1 / n) * (s1 / n), 0.0)) AS sd
+      |  FROM mom m JOIN qs q ON m.event_type = q.event_type),
+      |stats AS (
+      |  SELECT *, 0.9 * LEAST(sd, (p75 - p25) / 1.34)
+      |    * exp(ln(CAST(n AS DOUBLE)) * (-0.2)) AS h
+      |  FROM st0),
+      |grid AS (
+      |  SELECT s.event_type, s.n, s.h, u.i,
+      |    s.mn + u.i * ((s.mx - s.mn) / 16) AS g
+      |  FROM stats s, UNNEST(generate_series(0, 16)) AS u(i))
+      |SELECT g.event_type, CAST(g.i AS BIGINT) AS i, round(g.g, 6) AS g,
+      |  round(${sqlDsum(
+             "h2.c * exp(((g.g - h2.xv) / g.h) * ((g.g - h2.xv) / g.h)" +
+               " * (-0.5))")}
+      |    / (g.n * g.h * sqrt(2.0 * pi())), 9) AS density
+      |FROM grid g JOIN h2 ON g.event_type = h2.event_type
+      |GROUP BY g.event_type, g.i, g.g, g.n, g.h
+      |ORDER BY g.event_type, g.i""".stripMargin))
+
+  /** q369: two-component 1-D Gaussian mixture via 2 unrolled EM steps
+    * (Dempster 1977) — the parametric counterpart of q368's KDE and
+    * the model behind every "is this metric bimodal?" triage:
+    * deterministic init from exact quartiles (μ = p25/p75, σ = sd/2,
+    * π = ½), then E (responsibilities over the cent-grain histogram —
+    * the same compression as q368, so EM cost tracks distinct values,
+    * not facts) and M (decimal-routed weighted moments) twice. A
+    * σ² ≥ var/100 floor and a mass guard keep the recursion defined;
+    * every float chain is spelled identically in the oracle, which
+    * unrolls both steps as CTEs. */
+  val q369 = GQuery(
+    "q369_gmm_em",
+    (s, d) => {
+      val ev = events(s, d).select(col("event_type"), col("value"))
+      val hist = ev.groupBy(col("event_type"),
+          floor(col("value") * 100 + 0.5).cast("long").as("hb"))
+        .agg(lcount(lit(1)).as("c"))
+        .withColumn("xv", col("hb") / lit(100.0))
+      val qs = SortPercentile.percentiles(ev, Seq("event_type"),
+        col("value"), Seq(0.25, 0.75), Seq("p25", "p75"))
+      val mom = ev.groupBy(col("event_type")).agg(
+        lcount(lit(1)).as("n"), dsum(col("value")).as("s1"),
+        dsum(col("value") * col("value")).as("s2"))
+      val init = mom.join(qs, Seq("event_type"))
+        .withColumn("vr", greatest(
+          col("s2") / col("n") - (col("s1") / col("n")) * (col("s1") / col("n")),
+          lit(1e-12)))
+        .select(col("event_type"), col("n"), col("vr"),
+          lit(0.5).as("pi1"), col("p25").as("mu1"), (col("vr") / 4).as("v1"),
+          col("p75").as("mu2"), (col("vr") / 4).as("v2"))
+      def emStep(params: org.apache.spark.sql.DataFrame)
+          : org.apache.spark.sql.DataFrame = {
+        val j = hist.join(broadcast(params), Seq("event_type"))
+          .withColumn("a1", col("pi1")
+            * exp((col("xv") - col("mu1")) * (col("xv") - col("mu1"))
+              * lit(-0.5) / col("v1")) / sqrt(col("v1")))
+          .withColumn("a2", (lit(1.0) - col("pi1"))
+            * exp((col("xv") - col("mu2")) * (col("xv") - col("mu2"))
+              * lit(-0.5) / col("v2")) / sqrt(col("v2")))
+          .withColumn("g1",
+            when(col("a1") + col("a2") > 0,
+              col("a1") / (col("a1") + col("a2"))).otherwise(lit(0.5)))
+        j.groupBy(col("event_type"), col("n"), col("vr"))
+          .agg(
+            dsum(col("c") * col("g1")).as("w1"),
+            dsum(col("c") * col("g1") * col("xv")).as("wx1"),
+            dsum(col("c") * col("g1") * col("xv") * col("xv")).as("wxx1"),
+            dsum(col("c") * (lit(1.0) - col("g1"))).as("w2"),
+            dsum(col("c") * (lit(1.0) - col("g1")) * col("xv")).as("wx2"),
+            dsum(col("c") * (lit(1.0) - col("g1")) * col("xv") * col("xv"))
+              .as("wxx2"))
+          .select(col("event_type"), col("n"), col("vr"),
+            (col("w1") / col("n")).as("pi1"),
+            (col("wx1") / col("w1")).as("mu1"),
+            greatest(col("wxx1") / col("w1")
+              - (col("wx1") / col("w1")) * (col("wx1") / col("w1")),
+              col("vr") / 100).as("v1"),
+            (col("wx2") / col("w2")).as("mu2"),
+            greatest(col("wxx2") / col("w2")
+              - (col("wx2") / col("w2")) * (col("wx2") / col("w2")),
+              col("vr") / 100).as("v2"))
+      }
+      emStep(emStep(init))
+        .select(col("event_type"), col("n"),
+          round(col("pi1"), 6).as("pi1"),
+          round(col("mu1"), 6).as("mu1"),
+          round(sqrt(col("v1")), 6).as("sd1"),
+          round(col("mu2"), 6).as("mu2"),
+          round(sqrt(col("v2")), 6).as("sd2"))
+        .orderBy(col("event_type"))
+    },
+    Some {
+      def em(prev: String, out: String) =
+        s"""e$out AS (
+      |  SELECT h.event_type, p.n, p.vr, h.c, h.xv,
+      |    CASE WHEN p.pi1 * exp((h.xv - p.mu1) * (h.xv - p.mu1)
+      |        * (-0.5) / p.v1) / sqrt(p.v1)
+      |      + (1.0 - p.pi1) * exp((h.xv - p.mu2) * (h.xv - p.mu2)
+      |        * (-0.5) / p.v2) / sqrt(p.v2) > 0
+      |      THEN (p.pi1 * exp((h.xv - p.mu1) * (h.xv - p.mu1)
+      |        * (-0.5) / p.v1) / sqrt(p.v1))
+      |        / (p.pi1 * exp((h.xv - p.mu1) * (h.xv - p.mu1)
+      |          * (-0.5) / p.v1) / sqrt(p.v1)
+      |          + (1.0 - p.pi1) * exp((h.xv - p.mu2) * (h.xv - p.mu2)
+      |            * (-0.5) / p.v2) / sqrt(p.v2))
+      |      ELSE 0.5 END AS g1
+      |  FROM h2 h JOIN $prev p ON h.event_type = p.event_type),
+      |m$out AS (
+      |  SELECT event_type, n, vr,
+      |    ${sqlDsum("c * g1")} AS w1, ${sqlDsum("c * g1 * xv")} AS wx1,
+      |    ${sqlDsum("c * g1 * xv * xv")} AS wxx1,
+      |    ${sqlDsum("c * (1.0 - g1)")} AS w2,
+      |    ${sqlDsum("c * (1.0 - g1) * xv")} AS wx2,
+      |    ${sqlDsum("c * (1.0 - g1) * xv * xv")} AS wxx2
+      |  FROM e$out GROUP BY event_type, n, vr),
+      |$out AS (
+      |  SELECT event_type, n, vr, w1 / n AS pi1, wx1 / w1 AS mu1,
+      |    GREATEST(wxx1 / w1 - (wx1 / w1) * (wx1 / w1), vr / 100) AS v1,
+      |    wx2 / w2 AS mu2,
+      |    GREATEST(wxx2 / w2 - (wx2 / w2) * (wx2 / w2), vr / 100) AS v2
+      |  FROM m$out)"""
+      s"""WITH ev AS (SELECT event_type, value FROM events),
+      |hist AS (
+      |  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS hb,
+      |    CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM ev GROUP BY 1, 2),
+      |h2 AS (SELECT event_type, hb / 100.0 AS xv, c FROM hist),
+      |qs AS (
+      |  SELECT event_type, quantile_cont(value, 0.25) AS p25,
+      |    quantile_cont(value, 0.75) AS p75
+      |  FROM ev GROUP BY 1),
+      |mom AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |    ${sqlDsum("value")} AS s1, ${sqlDsum("value * value")} AS s2
+      |  FROM ev GROUP BY 1),
+      |p0 AS (
+      |  SELECT m.event_type, m.n,
+      |    GREATEST(s2 / n - (s1 / n) * (s1 / n), 1e-12) AS vr,
+      |    0.5 AS pi1, q.p25 AS mu1,
+      |    GREATEST(s2 / n - (s1 / n) * (s1 / n), 1e-12) / 4 AS v1,
+      |    q.p75 AS mu2,
+      |    GREATEST(s2 / n - (s1 / n) * (s1 / n), 1e-12) / 4 AS v2
+      |  FROM mom m JOIN qs q ON m.event_type = q.event_type),
+      |${em("p0", "p1")},
+      |${em("p1", "p2")}
+      |SELECT event_type, n, round(pi1, 6) AS pi1, round(mu1, 6) AS mu1,
+      |  round(sqrt(v1), 6) AS sd1, round(mu2, 6) AS mu2,
+      |  round(sqrt(v2), 6) AS sd2
+      |FROM p2 ORDER BY event_type""".stripMargin
+    })
+
   def queries: Seq[GQuery] =
     Seq(q23, q24, q25, q26, q27, q28, q29, q30, q31, q51, q58, q113, q163,
       q185, q191, q211, q217, q268, q274, q284, q291, q293, q294, q295,
       q296, q297, q298, q299, q300, q305, q306, q308, q311, q312, q315,
       q324, q327, q339, q343, q344, q351, q355, q356, q357, q358, q359,
-      q360, q365, q366, q367)
+      q360, q365, q366, q367, q368, q369)
 }
