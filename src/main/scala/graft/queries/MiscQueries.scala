@@ -1345,7 +1345,123 @@ object MiscQueries {
       |  FROM sn GROUP BY j) c
       |LEFT JOIN newo n ON c.j = n.j""".stripMargin))
 
+  /** q370: Fellegi–Sunter (1969) m/u match-weight estimation — the
+    * probabilistic SCORING half of the record-linkage family (q214
+    * lands the JW comparison step, q254/q256 consume it for
+    * clustering/blocking; this query turns it into calibrated field
+    * weights): over all in-block candidate pairs, three field
+    * comparisons (brand equality, size equality, |Δretail| ≤ 1), with
+    * the landed q214 JW-match table as the M-set label; m = P(agree|M),
+    * u = P(agree|U) with a 0.5 Laplace guard, and the published
+    * weights are the log₂ likelihood ratios ln(m/u), ln((1−m)/(1−u))
+    * every F-S decision rule thresholds on. Candidate generation is
+    * the same bounded block equi-join (never all-pairs); the landed
+    * probe costs a pinned-block scan, not a JW re-score. */
+  val q370 = GQuery(
+    "q370_fellegi_sunter",
+    (s, d) => {
+      val p = part(s, d).select(col("p_partkey").as("k"),
+        col("p_brand").as("br"), col("p_size").as("sz"),
+        col("p_retailprice").as("rp"),
+        concat(substring(col("p_name"), 1, 6),
+          length(col("p_name")).cast("string")).as("blk"))
+      val cand = p.select(col("blk"), col("k").as("ka"), col("br").as("bra"),
+          col("sz").as("sza"), col("rp").as("rpa"))
+        .join(p.select(col("blk"), col("k").as("kb"), col("br").as("brb"),
+          col("sz").as("szb"), col("rp").as("rpb")), Seq("blk"))
+        .filter(col("ka") < col("kb"))
+      val labeled = cand.join(
+          jwBlockMatches(s, d, probe = true)
+            .select(col("ka"), col("kb"), lit(true).as("m")),
+          Seq("ka", "kb"), "left")
+        .select((col("bra") === col("brb")).as("a1"),
+          (col("sza") === col("szb")).as("a2"),
+          (abs(col("rpa") - col("rpb")) <= 1.0).as("a3"),
+          coalesce(col("m"), lit(false)).as("m"))
+      // ONE pass over the candidate pairs computes every field's
+      // agreement tallies; the 1-row result unpivots to the 3-field
+      // frame (the q365 histogram-trick discipline: candidate work
+      // never repeats per field)
+      def agrees(a: String, neg: Boolean) = coalesce(
+        sum(when((if (neg) !col("m") else col("m")) && col(a), 1L)),
+        lit(0L))
+      labeled.agg(
+          coalesce(sum(when(col("m"), 1L)), lit(0L)).as("n_m"),
+          coalesce(sum(when(!col("m"), 1L)), lit(0L)).as("n_u"),
+          agrees("a1", neg = false).as("am1"), agrees("a1", neg = true).as("au1"),
+          agrees("a2", neg = false).as("am2"), agrees("a2", neg = true).as("au2"),
+          agrees("a3", neg = false).as("am3"), agrees("a3", neg = true).as("au3"))
+        .selectExpr("n_m", "n_u",
+          """stack(3, 'brand_eq', am1, au1, 'size_eq', am2, au2,
+            | 'retail_near', am3, au3) AS (field, agree_m, agree_u)"""
+            .stripMargin.replace("\n", ""))
+        .withColumn("mm", (col("agree_m").cast("double") + 0.5)
+          / (col("n_m").cast("double") + 1.0))
+        .withColumn("uu", (col("agree_u").cast("double") + 0.5)
+          / (col("n_u").cast("double") + 1.0))
+        .select(col("field"), col("n_m"), col("n_u"), col("agree_m"),
+          col("agree_u"),
+          round(col("mm"), 6).as("m_prob"),
+          round(col("uu"), 6).as("u_prob"),
+          round(log(col("mm") / col("uu")), 6).as("w_agree"),
+          round(log((lit(1.0) - col("mm")) / (lit(1.0) - col("uu"))), 6)
+            .as("w_disagree"))
+        .orderBy(col("field"))
+    },
+    Some("""WITH p AS (
+      |  SELECT p_partkey AS k, p_brand AS br, p_size AS sz,
+      |    p_retailprice AS rp,
+      |    substr(p_name, 1, 6) || CAST(length(p_name) AS VARCHAR) AS blk,
+      |    p_name || ' ' || lower(p_type) AS nm
+      |  FROM part),
+      |mset AS (
+      |  SELECT a.k AS ka, b.k AS kb
+      |  FROM p a JOIN p b ON a.blk = b.blk AND a.k < b.k
+      |  WHERE CAST(FLOOR(jaro_winkler_similarity(a.nm, b.nm) * 1e6 + 0.5)
+      |    AS BIGINT) >= 940000),
+      |lab AS (
+      |  SELECT (a.br = b.br) AS a1, (a.sz = b.sz) AS a2,
+      |    (abs(a.rp - b.rp) <= 1.0) AS a3,
+      |    (ms.ka IS NOT NULL) AS m
+      |  FROM p a JOIN p b ON a.blk = b.blk AND a.k < b.k
+      |  LEFT JOIN mset ms ON ms.ka = a.k AND ms.kb = b.k),
+      |f AS (
+      |  SELECT 'brand_eq' AS field,
+      |    COALESCE(CAST(SUM(CASE WHEN m THEN 1 END) AS BIGINT), 0) AS n_m,
+      |    COALESCE(CAST(SUM(CASE WHEN NOT m THEN 1 END) AS BIGINT), 0) AS n_u,
+      |    COALESCE(CAST(SUM(CASE WHEN m AND a1 THEN 1 END) AS BIGINT), 0)
+      |      AS agree_m,
+      |    COALESCE(CAST(SUM(CASE WHEN NOT m AND a1 THEN 1 END) AS BIGINT), 0)
+      |      AS agree_u
+      |  FROM lab
+      |  UNION ALL
+      |  SELECT 'size_eq',
+      |    COALESCE(CAST(SUM(CASE WHEN m THEN 1 END) AS BIGINT), 0),
+      |    COALESCE(CAST(SUM(CASE WHEN NOT m THEN 1 END) AS BIGINT), 0),
+      |    COALESCE(CAST(SUM(CASE WHEN m AND a2 THEN 1 END) AS BIGINT), 0),
+      |    COALESCE(CAST(SUM(CASE WHEN NOT m AND a2 THEN 1 END) AS BIGINT), 0)
+      |  FROM lab
+      |  UNION ALL
+      |  SELECT 'retail_near',
+      |    COALESCE(CAST(SUM(CASE WHEN m THEN 1 END) AS BIGINT), 0),
+      |    COALESCE(CAST(SUM(CASE WHEN NOT m THEN 1 END) AS BIGINT), 0),
+      |    COALESCE(CAST(SUM(CASE WHEN m AND a3 THEN 1 END) AS BIGINT), 0),
+      |    COALESCE(CAST(SUM(CASE WHEN NOT m AND a3 THEN 1 END) AS BIGINT), 0)
+      |  FROM lab),
+      |w AS (
+      |  SELECT *, (CAST(agree_m AS DOUBLE) + 0.5)
+      |      / (CAST(n_m AS DOUBLE) + 1.0) AS mm,
+      |    (CAST(agree_u AS DOUBLE) + 0.5)
+      |      / (CAST(n_u AS DOUBLE) + 1.0) AS uu
+      |  FROM f)
+      |SELECT field, n_m, n_u, agree_m, agree_u,
+      |  round(mm, 6) AS m_prob, round(uu, 6) AS u_prob,
+      |  round(ln(mm / uu), 6) AS w_agree,
+      |  round(ln((1.0 - mm) / (1.0 - uu)), 6) AS w_disagree
+      |FROM w ORDER BY field""".stripMargin))
+
   def queries: Seq[GQuery] =
     Seq(q45, q46, q47, q49, q52, q59, q62, q63, q64, q67, q69, q71, q148, q155,
-      q170, q177, q187, q192, q198, q199, q214, q233, q234, q238, q254, q256)
+      q170, q177, q187, q192, q198, q199, q214, q233, q234, q238, q254, q256,
+      q370)
 }

@@ -2830,10 +2830,102 @@ object TextQueries {
       |    // CAST(SUM(ch) AS BIGINT) AS hit_ppm
       |FROM re GROUP BY source ORDER BY source""".stripMargin))
 
+  /** q371: IBM Model 1 lexical translation probabilities, 2 unrolled
+    * EM iterations (Brown et al. 1993) — the word-alignment operator
+    * under every classical bitext pipeline (and the statistical
+    * complement of q131's embedding-space mutual-NN mining): bitext is
+    * a deterministic fixture (source = first 8 whitespace tokens of
+    * each en document, target = the same tokens 'x'-prefixed), so EM
+    * must RECOVER the diagonal alignment from co-occurrence alone.
+    * Uniform init makes iteration 1's fractional count just
+    * 1/(sentence source length) — no t-table join needed; iteration 2
+    * joins the learned t(f|e) back onto the in-sentence pair frame,
+    * normalizes per (sentence, f) — the E step — and re-estimates per
+    * (e, f) — the M step. Pair work is (sentence length)² ≤ 64 per
+    * doc, count sums decimal-routed, and the published census is the
+    * top-20 source words by mass with their argmax translation. */
+  val q371 = GQuery(
+    "q371_ibm_model1",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+      val sent = documents(s, d).filter(col("lang") === "en")
+        .select(col("doc_id"), slice(wsTokens(col("text")), 1, 8).as("es"))
+        .select(col("doc_id"), col("es"), size(col("es")).as("ne"))
+      val pairs = sent
+        .select(col("doc_id"), col("ne"), explode(col("es")).as("e"), col("es"))
+        .select(col("doc_id"), col("ne"), col("e"),
+          explode(transform(col("es"), t => concat(lit("x"), t))).as("f"))
+      // iteration 1: uniform t cancels in the E-step ratio, so the
+      // fractional count is 1/ne per in-sentence pair occurrence
+      val c1 = pairs.groupBy(col("e"), col("f"))
+        .agg(dsum(lit(1.0) / col("ne")).as("c"))
+      val t1 = c1.withColumn("tot",
+          sum(col("c").cast(graft.core.Exact.Dec)).over(
+            w.partitionBy(col("e"))).cast("double"))
+        .select(col("e"), col("f"), (col("c") / col("tot")).as("t"))
+      // iteration 2: E (normalize per sentence-target), M (re-count)
+      val e2 = pairs.join(t1, Seq("e", "f"))
+        .withColumn("den",
+          sum(col("t").cast(graft.core.Exact.Dec)).over(
+            w.partitionBy(col("doc_id"), col("f"))).cast("double"))
+        .withColumn("delta", col("t") / col("den"))
+      val c2 = e2.groupBy(col("e"), col("f")).agg(dsum(col("delta")).as("c"))
+      val t2 = c2.withColumn("tot",
+          sum(col("c").cast(graft.core.Exact.Dec)).over(
+            w.partitionBy(col("e"))).cast("double"))
+        .select(col("e"), col("f"), (col("c") / col("tot")).as("t"))
+      val topE = pairs.groupBy(col("e")).agg(lcount(lit(1)).as("mass"))
+        .orderBy(col("mass").desc, col("e").asc).limit(20)
+      t2.join(broadcast(topE), Seq("e"))
+        .withColumn("rn", row_number().over(
+          w.partitionBy(col("e")).orderBy(col("t").desc, col("f").asc)))
+        .filter(col("rn") === 1)
+        .select(col("e"), col("mass"), col("f").as("best_f"),
+          round(col("t"), 6).as("t_best"))
+        .orderBy(col("mass").desc, col("e").asc)
+    },
+    Some(s"""WITH sent AS (
+      |  SELECT doc_id, ($wsSql)[1:8] AS es
+      |  FROM documents WHERE lang = 'en'),
+      |pairs AS (
+      |  SELECT s.doc_id, len(s.es) AS ne, ue.e, 'x' || uf.f AS f
+      |  FROM sent s, UNNEST(s.es) AS ue(e), UNNEST(s.es) AS uf(f)),
+      |c1 AS (
+      |  SELECT e, f, ${sqlDsum("CAST(1 AS DOUBLE) / ne")} AS c
+      |  FROM pairs GROUP BY e, f),
+      |t1 AS (
+      |  SELECT e, f, c / CAST(SUM(CAST(c AS DECIMAL(38,6)))
+      |    OVER (PARTITION BY e) AS DOUBLE) AS t
+      |  FROM c1),
+      |e2 AS (
+      |  SELECT p.doc_id, p.e, p.f, t1.t,
+      |    t1.t / CAST(SUM(CAST(t1.t AS DECIMAL(38,6)))
+      |      OVER (PARTITION BY p.doc_id, p.f ROWS BETWEEN UNBOUNDED
+      |        PRECEDING AND UNBOUNDED FOLLOWING) AS DOUBLE) AS delta
+      |  FROM pairs p JOIN t1 ON p.e = t1.e AND p.f = t1.f),
+      |c2 AS (
+      |  SELECT e, f, ${sqlDsum("delta")} AS c FROM e2 GROUP BY e, f),
+      |t2 AS (
+      |  SELECT e, f, c / CAST(SUM(CAST(c AS DECIMAL(38,6)))
+      |    OVER (PARTITION BY e) AS DOUBLE) AS t
+      |  FROM c2),
+      |tope AS (
+      |  SELECT e, CAST(COUNT(*) AS BIGINT) AS mass
+      |  FROM pairs GROUP BY e
+      |  ORDER BY mass DESC, e ASC LIMIT 20),
+      |best AS (
+      |  SELECT t2.e, tope.mass, t2.f, t2.t,
+      |    row_number() OVER (PARTITION BY t2.e
+      |      ORDER BY t2.t DESC, t2.f ASC) AS rn
+      |  FROM t2 JOIN tope ON t2.e = tope.e)
+      |SELECT e, mass, f AS best_f, round(t, 6) AS t_best
+      |FROM best WHERE rn = 1
+      |ORDER BY mass DESC, e ASC""".stripMargin))
+
   def queries: Seq[GQuery] =
     Seq(q32, q33, q34, q35, q66, q89, q91, q94, q96, q98, q99, q101,
       q106, q107, q109, q110, q111, q112, q115, q116, q120, q121, q126,
       q130, q132, q134, q135, q136, q137, q139, q140, q141, q179, q189, q193,
       q195, q200, q201, q236, q244, q258, q262, q264, q265, q266, q271,
-      q273, q292, q346, q347)
+      q273, q292, q346, q347, q371)
 }
