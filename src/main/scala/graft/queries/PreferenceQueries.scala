@@ -636,6 +636,125 @@ object PreferenceQueries {
       |FROM per p JOIN maj m ON p.task = m.task
       |ORDER BY p.task""".stripMargin))
 
+  /** q372: rank-2 ALS matrix factorization, one full alternating sweep
+    * (Koren/Hu et al. 2008 shape) — THE canonical distributed
+    * recommender workload, here in its exactly-reproducible closed
+    * form: ratings = per-(user, item) mean event value (items =
+    * event_id % 32 — a bounded catalog), item factors initialized
+    * deterministically, then (1) every user's 2×2 ridge system
+    * (λ=0.1) solved by Cramer's rule from decimal-routed factor
+    * moments — the item side BROADCASTS (bounded catalog), the
+    * user-solve is one grouped pass; (2) every item's system solved
+    * symmetrically — the user-factor side is fact-keyed, so this join
+    * SHUFFLES on user_id (the real ALS shuffle at 100 TB); (3) a
+    * residual pass reports per-item RMSE under the updated factors.
+    * Every arithmetic chain is one IEEE expression both engines spell
+    * identically. */
+  val q372 = GQuery(
+    "q372_als_factorization",
+    (s, d) => {
+      val lam = lit(0.1)
+      val ratings = events(s, d)
+        .groupBy(col("user_id").as("u"), (col("event_id") % 32).as("it"))
+        .agg((dsum(col("value")) / count(lit(1))).as("r"))
+      // ln-based init: high-entropy doubles keep every downstream
+      // product off the DECIMAL(38,6) half-boundary (dyadic-clean init
+      // times 2-decimal ratings lands exactly on cast boundaries,
+      // where the engines' double->decimal roundings can disagree)
+      val q0 = ratings.select(col("it")).distinct()
+        .select(col("it"), (lit(1.0) + log(col("it") + 2) / 10).as("q1"),
+          (lit(0.5) + log(col("it") * 2 + 3) / 10).as("q2"))
+      val userSolve = ratings.join(broadcast(q0), Seq("it"))
+        .groupBy(col("u"))
+        .agg(dsum(col("q1") * col("q1")).as("a11"),
+          dsum(col("q1") * col("q2")).as("a12"),
+          dsum(col("q2") * col("q2")).as("a22"),
+          dsum(col("r") * col("q1")).as("b1"),
+          dsum(col("r") * col("q2")).as("b2"))
+        .withColumn("det", (col("a11") + lam) * (col("a22") + lam)
+          - col("a12") * col("a12"))
+        .select(col("u"),
+          ((col("b1") * (col("a22") + lam) - col("b2") * col("a12"))
+            / col("det")).as("p1"),
+          ((col("b2") * (col("a11") + lam) - col("b1") * col("a12"))
+            / col("det")).as("p2"))
+      val itemSolve = ratings.join(userSolve, Seq("u"))
+        .groupBy(col("it"))
+        .agg(lcount(lit(1)).as("n"),
+          dsum(col("p1") * col("p1")).as("c11"),
+          dsum(col("p1") * col("p2")).as("c12"),
+          dsum(col("p2") * col("p2")).as("c22"),
+          dsum(col("r") * col("p1")).as("d1"),
+          dsum(col("r") * col("p2")).as("d2"))
+        .withColumn("det", (col("c11") + lam) * (col("c22") + lam)
+          - col("c12") * col("c12"))
+        .select(col("it"), col("n"),
+          ((col("d1") * (col("c22") + lam) - col("d2") * col("c12"))
+            / col("det")).as("nq1"),
+          ((col("d2") * (col("c11") + lam) - col("d1") * col("c12"))
+            / col("det")).as("nq2"))
+      // residuals e6-floor BEFORE squaring: sse becomes exact integer
+      // arithmetic, so last-ULP drift in the factor chains cannot move
+      // the 6th rmse decimal across a rounding boundary (the repo-wide
+      // e6-floor parity discipline)
+      ratings.join(userSolve, Seq("u"))
+        .join(broadcast(itemSolve), Seq("it"))
+        .withColumn("e_e6", floor((col("r")
+          - (col("p1") * col("nq1") + col("p2") * col("nq2"))) * 1e6 + 0.5)
+          .cast("long"))
+        .groupBy(col("it"), col("n"), col("nq1"), col("nq2"))
+        .agg(sum((col("e_e6") * col("e_e6"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("sse"))
+        .select(col("it"), col("n"),
+          round(col("nq1"), 6).as("q1"), round(col("nq2"), 6).as("q2"),
+          round(sqrt(col("sse").cast("double") / 1e12 / col("n")), 6)
+            .as("rmse"))
+        .orderBy(col("it"))
+    },
+    Some(s"""WITH ratings AS (
+      |  SELECT user_id AS u, event_id % 32 AS it,
+      |    ${sqlDsum("value")} / COUNT(*) AS r
+      |  FROM events GROUP BY 1, 2),
+      |q0 AS (
+      |  SELECT it, 1.0 + ln(it + 2) / 10 AS q1,
+      |    0.5 + ln(it * 2 + 3) / 10 AS q2
+      |  FROM (SELECT DISTINCT it FROM ratings)),
+      |us AS (
+      |  SELECT u, ${sqlDsum("q1 * q1")} AS a11, ${sqlDsum("q1 * q2")} AS a12,
+      |    ${sqlDsum("q2 * q2")} AS a22, ${sqlDsum("r * q1")} AS b1,
+      |    ${sqlDsum("r * q2")} AS b2
+      |  FROM ratings JOIN q0 USING (it) GROUP BY u),
+      |p AS (
+      |  SELECT u,
+      |    (b1 * (a22 + 0.1) - b2 * a12)
+      |      / ((a11 + 0.1) * (a22 + 0.1) - a12 * a12) AS p1,
+      |    (b2 * (a11 + 0.1) - b1 * a12)
+      |      / ((a11 + 0.1) * (a22 + 0.1) - a12 * a12) AS p2
+      |  FROM us),
+      |isv AS (
+      |  SELECT it, CAST(COUNT(*) AS BIGINT) AS n,
+      |    ${sqlDsum("p1 * p1")} AS c11, ${sqlDsum("p1 * p2")} AS c12,
+      |    ${sqlDsum("p2 * p2")} AS c22, ${sqlDsum("r * p1")} AS d1,
+      |    ${sqlDsum("r * p2")} AS d2
+      |  FROM ratings JOIN p USING (u) GROUP BY it),
+      |qn AS (
+      |  SELECT it, n,
+      |    (d1 * (c22 + 0.1) - d2 * c12)
+      |      / ((c11 + 0.1) * (c22 + 0.1) - c12 * c12) AS nq1,
+      |    (d2 * (c11 + 0.1) - d1 * c12)
+      |      / ((c11 + 0.1) * (c22 + 0.1) - c12 * c12) AS nq2
+      |  FROM isv)
+      |SELECT r.it, q.n, round(q.nq1, 6) AS q1, round(q.nq2, 6) AS q2,
+      |  round(sqrt(CAST(SUM(CAST(
+      |      CAST(floor((r.r - (p.p1 * q.nq1 + p.p2 * q.nq2)) * 1e6 + 0.5)
+      |        AS BIGINT)
+      |      * CAST(floor((r.r - (p.p1 * q.nq1 + p.p2 * q.nq2)) * 1e6 + 0.5)
+      |        AS BIGINT) AS HUGEINT)) AS DOUBLE) / 1e12 / q.n), 6)
+      |    AS rmse
+      |FROM ratings r JOIN p USING (u) JOIN qn q USING (it)
+      |GROUP BY r.it, q.n, q.nq1, q.nq2
+      |ORDER BY r.it""".stripMargin))
+
   def queries: Seq[GQuery] =
-    Seq(q203, q204, q205, q206, q207, q218, q219, q240, q290, q304)
+    Seq(q203, q204, q205, q206, q207, q218, q219, q240, q290, q304, q372)
 }

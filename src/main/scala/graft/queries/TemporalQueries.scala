@@ -1945,8 +1945,213 @@ object TemporalQueries {
       |  (uw = 7 AND abs(n_users - umed) > 3 * umad) AS usr_incident
       |FROM bands ORDER BY day""".stripMargin))
 
+  /** q373: Markov stationary distribution + entropy rate — the
+    * long-run face of the q280 transition matrix (and the information
+    * content q330's removal effects implicitly price): 5 unrolled
+    * power-iteration steps π←πP from the uniform start, each a join +
+    * grouped sum over the STATES²-bounded transition frame (the fact
+    * scan happens once, building P; iteration cost is independent of
+    * data size), then the entropy rate H = −Σ_s π_s Σ_t p_st·ln p_st.
+    * Probabilities stay continuous doubles (single IEEE division per
+    * cell); iteration sums are decimal-routed so π is
+    * partition-independent; ln terms follow the q146 parity
+    * discipline. */
+  val q373 = GQuery(
+    "q373_stationary_entropy",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val tr = events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("to_type", lead(col("event_type"), 1).over(w))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(lcount(lit(1)).as("n"))
+      val fromTot = tr.groupBy(col("from_type")).agg(sum(col("n")).as("nf"))
+      val pmat = tr.join(broadcast(fromTot), Seq("from_type"))
+        .select(col("from_type"), col("to_type"),
+          (col("n").cast("double") / col("nf")).as("p"))
+      val nStates = pmat.select(col("from_type")).distinct()
+        .agg(lcount(lit(1)).as("k"))
+      val pi0 = pmat.select(col("from_type").as("st")).distinct()
+        .crossJoin(broadcast(nStates))
+        .select(col("st"), (lit(1.0) / col("k")).as("pi"))
+      val pi5 = (1 to 5).foldLeft(pi0) { (pi, _) =>
+        pmat.join(pi.select(col("st").as("from_type"), col("pi")),
+            Seq("from_type"))
+          .groupBy(col("to_type").as("st"))
+          .agg(dsum(col("pi") * col("p")).as("pi"))
+      }
+      val rowH = pmat.groupBy(col("from_type").as("st"))
+        .agg((lit(0.0) - dsum(col("p") * log(col("p")))).as("h_row"))
+      val hRate = pi5.join(rowH, Seq("st"))
+        .agg(dsum(col("pi") * col("h_row")).as("h_rate"))
+      pi5.join(rowH, Seq("st")).crossJoin(broadcast(hRate))
+        .select(col("st"), round(col("pi"), 6).as("pi"),
+          round(col("h_row"), 6).as("h_row"),
+          round(col("h_rate"), 6).as("entropy_rate"))
+        .orderBy(col("st"))
+    },
+    Some {
+      def step(prev: String, out: String) =
+        s"""$out AS (
+      |  SELECT p.to_type AS st, ${sqlDsum("q.pi * p.p")} AS pi
+      |  FROM pmat p JOIN $prev q ON p.from_type = q.st
+      |  GROUP BY p.to_type)"""
+      s"""WITH tr AS (
+      |  SELECT event_type AS from_type,
+      |    LEAD(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS to_type
+      |  FROM events),
+      |cnt AS (
+      |  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM tr WHERE to_type IS NOT NULL GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT from_type, CAST(SUM(n) AS BIGINT) AS nf FROM cnt GROUP BY 1),
+      |pmat AS (
+      |  SELECT c.from_type, c.to_type, CAST(c.n AS DOUBLE) / t.nf AS p
+      |  FROM cnt c JOIN tot t ON c.from_type = t.from_type),
+      |ns AS (
+      |  SELECT CAST(COUNT(DISTINCT from_type) AS BIGINT) AS k FROM pmat),
+      |p0 AS (
+      |  SELECT from_type AS st, CAST(1 AS DOUBLE) / ns.k AS pi
+      |  FROM (SELECT DISTINCT from_type FROM pmat) CROSS JOIN ns),
+      |${step("p0", "p1")},
+      |${step("p1", "p2")},
+      |${step("p2", "p3")},
+      |${step("p3", "p4")},
+      |${step("p4", "p5")},
+      |rh AS (
+      |  SELECT from_type AS st,
+      |    0.0 - ${sqlDsum("p * ln(p)")} AS h_row
+      |  FROM pmat GROUP BY from_type),
+      |hr AS (
+      |  SELECT ${sqlDsum("p5.pi * rh.h_row")} AS h_rate
+      |  FROM p5 JOIN rh ON p5.st = rh.st)
+      |SELECT p5.st, round(p5.pi, 6) AS pi, round(rh.h_row, 6) AS h_row,
+      |  round(hr.h_rate, 6) AS entropy_rate
+      |FROM p5 JOIN rh ON p5.st = rh.st CROSS JOIN hr
+      |ORDER BY p5.st""".stripMargin
+    })
+
+  /** q374: exact Shapley-value channel attribution (Shapley 1953) —
+    * the axiomatic member of the attribution ladder (q323 rule-based
+    * touches, q330 Markov removal effects): each non-purchase event
+    * type is a channel, each user's touched-channel set is a bitmask,
+    * and v(S) = mean purchase spend over users with EXACTLY that
+    * mask. With the channel universe bounded (k types ⇒ 2^k masks —
+    * independent of user count), the exact marginal-contribution sum
+    * φ_c = Σ_{S∌c} |S|!(k−1−|S|)!/k!·(v(S∪c)−v(S)) runs on the
+    * mask-bounded frame; both engines spell the factorial weight and
+    * coalition lookups identically (unobserved masks contribute
+    * v = 0). The fact-scale work is ONE distinct-pass + ONE grouped
+    * sum; everything after is 2^k-bounded. */
+  val q374 = GQuery(
+    "q374_shapley_attribution",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("ch"))
+      val ev = events(s, d)
+      val chans = ev.filter(col("event_type") =!= "purchase")
+        .select(col("event_type").as("ch")).distinct()
+        .withColumn("bit", (row_number().over(w) - 1).cast("long"))
+      val k = chans.agg(lcount(lit(1)).as("k"))
+      val touched = ev.filter(col("event_type") =!= "purchase")
+        .select(col("user_id"), col("event_type").as("ch")).distinct()
+        .join(broadcast(chans), Seq("ch"))
+      val userMask = ev.select(col("user_id")).distinct()
+        .join(touched.groupBy(col("user_id"))
+            .agg(sum(expr("CAST(shiftleft(1, bit) AS BIGINT)")).as("m0")),
+          Seq("user_id"), "left")
+        .select(col("user_id"), coalesce(col("m0"), lit(0L)).as("mask"))
+      val conv = ev.groupBy(col("user_id"))
+        .agg(coalesce(dsum(when(col("event_type") === "purchase",
+          col("value"))), lit(0.0)).as("cv"))
+      val vObs = userMask.join(conv, Seq("user_id"))
+        .groupBy(col("mask"))
+        .agg(lcount(lit(1)).as("n_users"), (dsum(col("cv")) / count(lit(1)))
+          .as("v"))
+      val masks = k.select(col("k"),
+          explode(sequence(lit(0L),
+            expr("CAST(shiftleft(1, k) AS BIGINT)") - 1)).as("m"))
+      val vAll = masks.join(vObs.select(col("mask").as("m"), col("v")),
+          Seq("m"), "left")
+        .select(col("m"), col("k"), coalesce(col("v"), lit(0.0)).as("v"))
+      val terms = vAll
+        .crossJoin(broadcast(chans))
+        .filter(col("m").bitwiseAND(
+          expr("CAST(shiftleft(1, bit) AS BIGINT)")) === 0)
+        .join(vAll.select(col("m").as("mw"), col("v").as("vw")),
+          col("mw") === col("m") + expr("CAST(shiftleft(1, bit) AS BIGINT)"))
+        .withColumn("wt",
+          factorial(bit_count(col("m")).cast("int")).cast("double")
+            * factorial((col("k") - 1 - bit_count(col("m"))).cast("int"))
+              .cast("double")
+            / factorial(col("k").cast("int")).cast("double"))
+      val phi = terms.groupBy(col("ch"), col("bit"))
+        .agg(dsum(col("wt") * (col("vw") - col("v"))).as("phi"))
+      val touches = touched.groupBy(col("ch"))
+        .agg(lcount(lit(1)).as("n_users_touched"))
+      phi.join(touches, Seq("ch"))
+        .select(col("ch"), col("bit"), col("n_users_touched"),
+          round(col("phi"), 6).as("phi"))
+        .orderBy(col("ch"))
+    },
+    Some(s"""WITH chans AS (
+      |  SELECT ch, CAST(row_number() OVER (ORDER BY ch) - 1 AS BIGINT)
+      |    AS bit
+      |  FROM (SELECT DISTINCT event_type AS ch FROM events
+      |        WHERE event_type <> 'purchase')),
+      |kk AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM chans),
+      |touched AS (
+      |  SELECT DISTINCT e.user_id, e.event_type AS ch
+      |  FROM events e WHERE e.event_type <> 'purchase'),
+      |tb AS (
+      |  SELECT t.user_id, c.bit FROM touched t
+      |  JOIN chans c ON t.ch = c.ch),
+      |um AS (
+      |  SELECT u.user_id, COALESCE(mm.m0, 0) AS mask
+      |  FROM (SELECT DISTINCT user_id FROM events) u
+      |  LEFT JOIN (SELECT user_id, CAST(SUM(1 << bit) AS BIGINT) AS m0
+      |             FROM tb GROUP BY user_id) mm
+      |    ON u.user_id = mm.user_id),
+      |conv AS (
+      |  SELECT user_id, COALESCE(${sqlDsum(
+             "CASE WHEN event_type = 'purchase' THEN value END")}, 0.0)
+      |    AS cv
+      |  FROM events GROUP BY user_id),
+      |vobs AS (
+      |  SELECT um.mask, CAST(COUNT(*) AS BIGINT) AS n_users,
+      |    ${sqlDsum("conv.cv")} / COUNT(*) AS v
+      |  FROM um JOIN conv ON um.user_id = conv.user_id
+      |  GROUP BY um.mask),
+      |masks AS (
+      |  SELECT kk.k, u.m
+      |  FROM kk, UNNEST(generate_series(0, (1 << kk.k) - 1)) AS u(m)),
+      |vall AS (
+      |  SELECT m.m, m.k, COALESCE(v.v, 0.0) AS v
+      |  FROM masks m LEFT JOIN vobs v ON m.m = v.mask),
+      |terms AS (
+      |  SELECT c.ch, c.bit, a.m, a.k, a.v, b.v AS vw,
+      |    CAST(factorial(CAST(bit_count(a.m) AS INTEGER)) AS DOUBLE)
+      |      * CAST(factorial(CAST(a.k - 1 - bit_count(a.m) AS INTEGER))
+      |          AS DOUBLE)
+      |      / CAST(factorial(CAST(a.k AS INTEGER)) AS DOUBLE) AS wt
+      |  FROM vall a CROSS JOIN chans c
+      |  JOIN vall b ON b.m = a.m + (1 << c.bit)
+      |  WHERE (a.m & (1 << c.bit)) = 0),
+      |phi AS (
+      |  SELECT ch, bit, ${sqlDsum("wt * (vw - v)")} AS phi
+      |  FROM terms GROUP BY ch, bit),
+      |tc AS (
+      |  SELECT ch, CAST(COUNT(*) AS BIGINT) AS n_users_touched
+      |  FROM touched GROUP BY ch)
+      |SELECT p.ch, p.bit, t.n_users_touched, round(p.phi, 6) AS phi
+      |FROM phi p JOIN tc t ON p.ch = t.ch
+      |ORDER BY p.ch""".stripMargin))
+
   def queries: Seq[GQuery] =
     Seq(q43, q44, q56, q70, q181, q182, q183, q196, q197, q263, q272, q278,
       q279, q280, q281, q285, q301, q302, q303, q309, q310, q317, q318,
-      q320, q322, q323, q326, q329, q354, q363)
+      q320, q322, q323, q326, q329, q354, q363, q373, q374)
 }
