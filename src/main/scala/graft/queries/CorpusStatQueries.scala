@@ -1512,7 +1512,142 @@ object CorpusStatQueries {
       |FROM pr WHERE rn = 1
       |GROUP BY true_lang, ml ORDER BY true_lang, ml""".stripMargin))
 
+  /** q375: DPO implicit-reward margin census (Rafailov et al. 2023) —
+    * the direct-preference-optimization diagnostic run before any DPO
+    * training job: the implicit reward is β·(ln π(y) − ln π_ref(y)),
+    * here with the add-one bigram LM as the policy and the Kneser–Ney
+    * LM (same train slice, different smoothing) as the reference —
+    * the two proxy models this repo already maintains (q146/q224).
+    * Preference pairs are adjacent same-language docs with the longer
+    * one chosen; per language the census reports the mean margin, the
+    * implicit-reward accuracy (share of pairs the policy already
+    * orders correctly — the number DPO papers table), and the mean
+    * −ln σ(m) loss. Scores e6-floor per doc (q146 discipline), so
+    * margins are INTEGER differences — only the loss passes through
+    * transcendentals. */
+  val q375 = GQuery(
+    "q375_dpo_margin",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+      val docs = documents(s, d)
+      val train = docs.filter(col("doc_id") % 3 =!= 0)
+      val pol = LangModel.score(docs, LangModel.train(train, "doc_id", "text"),
+          "doc_id", "text")
+        .select(col("doc"), floor(col("logprob") * 1e6 + 0.5).cast("long")
+          .as("p_e6"))
+      val ref = LangModel.scoreKn(docs,
+          LangModel.trainKn(train, "doc_id", "text"), "doc_id", "text")
+        .select(col("doc"), floor(col("logprob") * 1e6 + 0.5).cast("long")
+          .as("r_e6"))
+      val scored = pol.join(ref, Seq("doc"))
+        .join(docs.select(col("doc_id").as("doc"), col("lang"),
+          col("n_chars")), Seq("doc"))
+      val lw = w.partitionBy(col("lang")).orderBy(col("doc"))
+      val pairs = scored
+        .withColumn("doc_b", lead(col("doc"), 1).over(lw))
+        .withColumn("p_b", lead(col("p_e6"), 1).over(lw))
+        .withColumn("r_b", lead(col("r_e6"), 1).over(lw))
+        .withColumn("nc_b", lead(col("n_chars"), 1).over(lw))
+        .filter(col("doc_b").isNotNull)
+        .withColumn("a_chosen", col("n_chars") >= col("nc_b"))
+        .withColumn("margin_e6",
+          when(col("a_chosen"),
+            (col("p_e6") - col("r_e6")) - (col("p_b") - col("r_b")))
+            .otherwise((col("p_b") - col("r_b"))
+              - (col("p_e6") - col("r_e6"))))
+        .withColumn("m",
+          col("margin_e6").cast("double") / 1e6 * 0.1)
+      pairs.groupBy(col("lang"))
+        .agg(lcount(lit(1)).as("n_pairs"),
+          sum(col("margin_e6")).as("sum_margin_e6"),
+          coalesce(sum(when(col("margin_e6") > 0, 1L)), lit(0L)).as("n_correct"),
+          dsum(log(lit(1.0) + exp(lit(0.0) - col("m")))).as("loss_sum"))
+        .select(col("lang"), col("n_pairs"),
+          round(col("sum_margin_e6").cast("double") / col("n_pairs") / 1e6
+            * 0.1, 6).as("mean_margin"),
+          round(col("n_correct").cast("double") / col("n_pairs"), 6)
+            .as("acc"),
+          round(col("loss_sum") / col("n_pairs"), 6).as("mean_loss"))
+        .orderBy(col("lang"))
+    },
+    Some(s"""WITH bg AS (
+      |  SELECT doc_id AS doc, ws[i] AS w1, ws[i+1] AS w2
+      |  FROM (SELECT doc_id, $wsSql AS ws FROM documents) t,
+      |    UNNEST(generate_series(1, greatest(len(ws) - 1, 0))) AS u(i)),
+      |cbg AS (
+      |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2
+      |  FROM bg WHERE doc % 3 <> 0 GROUP BY 1, 2),
+      |toks AS (
+      |  SELECT unnest($wsSql) AS w FROM documents WHERE doc_id % 3 <> 0),
+      |cuni AS (SELECT w AS w1, CAST(COUNT(*) AS BIGINT) AS c1u
+      |  FROM toks GROUP BY 1),
+      |voc AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v FROM toks),
+      |pol AS (
+      |  SELECT b.doc,
+      |    CAST(floor((${graft.core.Exact.sqlLsumAt(
+             "ln(CAST(COALESCE(g.c2, 0) + 1 AS DOUBLE)" +
+               " / CAST(COALESCE(u.c1u, 0) + voc.v AS DOUBLE))",
+             "1000000000.0")} / COUNT(*)) * 1e6 + 0.5) AS BIGINT) AS p_e6
+      |  FROM bg b
+      |  LEFT JOIN cbg g ON b.w1 = g.w1 AND b.w2 = g.w2
+      |  LEFT JOIN cuni u ON b.w1 = u.w1
+      |  CROSS JOIN voc GROUP BY b.doc),
+      |ctx AS (
+      |  SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1,
+      |    CAST(COUNT(*) AS BIGINT) AS n1p_left
+      |  FROM cbg GROUP BY 1),
+      |cont AS (
+      |  SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1p_right FROM cbg GROUP BY 1),
+      |sca AS (
+      |  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM cbg) AS b,
+      |    (SELECT v FROM voc) AS v),
+      |ref AS (
+      |  SELECT b.doc,
+      |    CAST(floor((${graft.core.Exact.sqlLsumAt(
+             "ln(CASE WHEN c.c1 IS NOT NULL AND c.c1 > 0 THEN " +
+               "(GREATEST(CAST(COALESCE(g.c2, 0) AS DOUBLE) - 0.75, 0.0) " +
+               "+ 0.75 * CAST(COALESCE(c.n1p_left, 0) AS DOUBLE) " +
+               "* (CAST(COALESCE(r.n1p_right, 0) + 1 AS DOUBLE) " +
+               "/ CAST(s.b + s.v AS DOUBLE))) / CAST(c.c1 AS DOUBLE) " +
+               "ELSE CAST(COALESCE(r.n1p_right, 0) + 1 AS DOUBLE) " +
+               "/ CAST(s.b + s.v AS DOUBLE) END)",
+             "1000000000.0")} / COUNT(*)) * 1e6 + 0.5) AS BIGINT) AS r_e6
+      |  FROM bg b
+      |  LEFT JOIN cbg g ON b.w1 = g.w1 AND b.w2 = g.w2
+      |  LEFT JOIN ctx c ON b.w1 = c.w1
+      |  LEFT JOIN cont r ON b.w2 = r.w2
+      |  CROSS JOIN sca s GROUP BY b.doc),
+      |scored AS (
+      |  SELECT p.doc, p.p_e6, r.r_e6, dd.lang, dd.n_chars
+      |  FROM pol p JOIN ref r ON p.doc = r.doc
+      |  JOIN documents dd ON p.doc = dd.doc_id),
+      |pw AS (
+      |  SELECT lang, doc, p_e6, r_e6, n_chars,
+      |    LEAD(doc) OVER (PARTITION BY lang ORDER BY doc) AS doc_b,
+      |    LEAD(p_e6) OVER (PARTITION BY lang ORDER BY doc) AS p_b,
+      |    LEAD(r_e6) OVER (PARTITION BY lang ORDER BY doc) AS r_b,
+      |    LEAD(n_chars) OVER (PARTITION BY lang ORDER BY doc) AS nc_b
+      |  FROM scored),
+      |pairs AS (
+      |  SELECT lang,
+      |    CASE WHEN n_chars >= nc_b
+      |      THEN (p_e6 - r_e6) - (p_b - r_b)
+      |      ELSE (p_b - r_b) - (p_e6 - r_e6) END AS margin_e6
+      |  FROM pw WHERE doc_b IS NOT NULL),
+      |pm AS (
+      |  SELECT lang, margin_e6,
+      |    CAST(margin_e6 AS DOUBLE) / 1e6 * 0.1 AS m
+      |  FROM pairs)
+      |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |  round(CAST(SUM(margin_e6) AS DOUBLE) / COUNT(*) / 1e6 * 0.1, 6)
+      |    AS mean_margin,
+      |  round(CAST(COALESCE(CAST(SUM(CASE WHEN margin_e6 > 0 THEN 1 END)
+      |    AS BIGINT), 0) AS DOUBLE) / COUNT(*), 6) AS acc,
+      |  round(${sqlDsum("ln(1.0 + exp(0.0 - m))")} / COUNT(*), 6)
+      |    AS mean_loss
+      |FROM pm GROUP BY lang ORDER BY lang""".stripMargin))
+
   def queries: Seq[GQuery] =
     Seq(q146, q149, q152, q169, q175, q213, q215, q220, q224, q237, q275,
-      q276, q314, q319, q325, q331, q333, q342, q349, q350, q364)
+      q276, q314, q319, q325, q331, q333, q342, q349, q350, q364, q375)
 }

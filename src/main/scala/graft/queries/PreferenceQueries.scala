@@ -755,6 +755,92 @@ object PreferenceQueries {
       |GROUP BY r.it, q.n, q.nq1, q.nq2
       |ORDER BY r.it""".stripMargin))
 
+  /** q377: best-of-n expected-reward scaling curve — the
+    * inference-compute economics behind BoN sampling / rejection
+    * sampling (and the continuous-reward generalization of q290's
+    * pass@k): for each prompt group (user) with N scored samples,
+    * E[max of a uniform n-subset] has the EXACT order-statistics form
+    * Σᵢ r₍ᵢ₎·C(i−1,n−1)/C(N,n), which reduces to
+    * (Σᵢ r₍ᵢ₎·Π_{j<n}(i−j))·n / Π_{j<n}(N−j) — pure integer
+    * combinatorics once rewards are e2-scaled, so the whole curve is
+    * computed in DECIMAL(38,0) (the rank products pass int64 at
+    * N≈1500) with ONE double cast per (prompt, n). All four n arms
+    * {1,2,4,8} ride a single ranked pass (one window + one grouped
+    * aggregation); the census is the per-n mean curve every
+    * "scaling laws for reward" plot shows. */
+  val q377 = GQuery(
+    "q377_best_of_n_curve",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("r_e2"), col("event_id"))
+      val dec0 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val ranked = events(s, d)
+        .select(col("user_id"), col("event_id"),
+          floor(col("value") * 100 + 0.5).cast("long").as("r_e2"))
+        .withColumn("i", row_number().over(w).cast("long"))
+      def prod(n: Int, base: String) =
+        (1 until n).map(j => col(base) - j)
+          .foldLeft(lit(1).cast(dec0): org.apache.spark.sql.Column)(_ * _)
+      val perUser = ranked.groupBy(col("user_id"))
+        .agg(lcount(lit(1)).as("nn"),
+          sum(col("r_e2").cast(dec0)).as("num1"),
+          sum(col("r_e2").cast(dec0) * prod(2, "i")).as("num2"),
+          sum(col("r_e2").cast(dec0) * prod(4, "i")).as("num4"),
+          sum(col("r_e2").cast(dec0) * prod(8, "i")).as("num8"))
+      def eN(n: Int) =
+        (col(s"num$n") * n).cast("double") /
+          prod(n + 1, "nn0").cast("double") / 100
+      val wide = perUser.withColumn("nn0", col("nn") + 1)
+        // nn0 = N+1 so prod(n+1, nn0) = Π_{j=1..n}(N+1−j) = Π_{j=0..n−1}(N−j)
+        .select(col("user_id"), col("nn"),
+          eN(1).as("e1"), eN(2).as("e2"), eN(4).as("e4"), eN(8).as("e8"))
+      wide.selectExpr("nn",
+          "stack(4, 1L, e1, 2L, e2, 4L, e4, 8L, e8) AS (n, e)")
+        .filter(col("nn") >= col("n"))
+        .groupBy(col("n"))
+        .agg(lcount(lit(1)).as("n_prompts"),
+          (dsum(col("e")) / count(lit(1))).as("me"))
+        .select(col("n"), col("n_prompts"), round(col("me"), 6)
+          .as("mean_best_of_n"))
+        .orderBy(col("n"))
+    },
+    Some {
+      def prodSql(n: Int, base: String) =
+        if (n <= 1) "CAST(1 AS HUGEINT)"
+        else (1 until n).map(j => s"($base - $j)")
+          .mkString("CAST(1 AS HUGEINT) * ", " * ", "")
+      def eSql(n: Int) =
+        s"""CAST(num$n * $n AS DOUBLE)
+           | / CAST(${prodSql(n + 1, "nn0")} AS DOUBLE) / 100""".stripMargin
+          .replace("\n", "")
+      s"""WITH ranked AS (
+      |  SELECT user_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS r_e2,
+      |    CAST(row_number() OVER (PARTITION BY user_id
+      |      ORDER BY CAST(floor(value * 100 + 0.5) AS BIGINT), event_id)
+      |      AS BIGINT) AS i
+      |  FROM events),
+      |pu AS (
+      |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS nn,
+      |    SUM(CAST(r_e2 AS HUGEINT)) AS num1,
+      |    SUM(CAST(r_e2 AS HUGEINT) * ${prodSql(2, "i")}) AS num2,
+      |    SUM(CAST(r_e2 AS HUGEINT) * ${prodSql(4, "i")}) AS num4,
+      |    SUM(CAST(r_e2 AS HUGEINT) * ${prodSql(8, "i")}) AS num8
+      |  FROM ranked GROUP BY user_id),
+      |wide AS (
+      |  SELECT user_id, nn, nn + 1 AS nn0, num1, num2, num4, num8
+      |  FROM pu),
+      |st AS (
+      |  SELECT nn, 1 AS n, ${eSql(1)} AS e FROM wide
+      |  UNION ALL SELECT nn, 2, ${eSql(2)} FROM wide
+      |  UNION ALL SELECT nn, 4, ${eSql(4)} FROM wide
+      |  UNION ALL SELECT nn, 8, ${eSql(8)} FROM wide)
+      |SELECT CAST(n AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS n_prompts,
+      |  round(${dsumSql("e")} / COUNT(*), 6) AS mean_best_of_n
+      |FROM st WHERE nn >= n
+      |GROUP BY n ORDER BY n""".stripMargin
+    })
+
   def queries: Seq[GQuery] =
-    Seq(q203, q204, q205, q206, q207, q218, q219, q240, q290, q304, q372)
+    Seq(q203, q204, q205, q206, q207, q218, q219, q240, q290, q304, q372,
+      q377)
 }

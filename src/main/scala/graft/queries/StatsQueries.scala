@@ -3723,10 +3723,193 @@ object StatsQueries {
       |FROM p2 ORDER BY event_type""".stripMargin
     })
 
+  /** q376: AdaBoost.M1 over decision stumps, 3 unrolled rounds
+    * (Freund & Schapire 1997) — the ensemble loop built on q365's
+    * histogram-trick stump: each round reweights rows by
+    * exp(−y·Σ αₜhₜ) under the PREVIOUS stumps (broadcast 1-row
+    * frames, lazily checkpointed so round r never recomputes round
+    * r−1's selection), recomputes the weighted per-(feature, bin)
+    * class masses in one stacked pass, and picks the
+    * minimum-weighted-error split with polarity flip when ε > ½.
+    * Weighted masses, totals and prefix sums are all decimal-routed
+    * (weights are exp outputs — high-entropy, so the casts are
+    * boundary-safe); αₜ = ½ln((1−ε)/ε) with the standard 1e-10
+    * clamp. Output: the 3 chosen stumps with their ε and α. */
+  val q376 = GQuery(
+    "q376_adaboost_stumps",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+      val li = lineitem(s, d).select(
+        when(col("l_returnflag") === "R", 1).otherwise(-1).as("y"),
+        col("l_quantity").as("xq"), col("l_discount").as("xd"),
+        col("l_extendedprice").as("xp"))
+      val rngw = li.agg(min(col("xq")).as("qmn"), max(col("xq")).as("qmx"),
+        min(col("xd")).as("dmn"), max(col("xd")).as("dmx"),
+        min(col("xp")).as("pmn"), max(col("xp")).as("pmx"))
+      def binc(x: String, mn: String, mx: String) =
+        when(col(mx) > col(mn),
+          least(floor((col(x) - col(mn)) / ((col(mx) - col(mn)) / 32)),
+            lit(31L))).otherwise(lit(0L))
+      val bw = li.crossJoin(broadcast(rngw))
+        .select(col("y"), binc("xd", "dmn", "dmx").as("bd"),
+          binc("xp", "pmn", "pmx").as("bp"), binc("xq", "qmn", "qmx").as("bq"))
+      // one stump: 1-row (feat, b, pol, epsc, alpha); prev stumps enter
+      // the weight expression via broadcast crossJoins
+      def fitRound(prev: Seq[org.apache.spark.sql.DataFrame])
+          : org.apache.spark.sql.DataFrame = {
+        val withPrev = prev.zipWithIndex.foldLeft(bw) { case (acc, (p, i)) =>
+          acc.crossJoin(broadcast(p.select(
+            col("feat").as(s"feat_$i"), col("b").as(s"b_$i"),
+            col("pol").as(s"pol_$i"), col("alpha").as(s"alpha_$i"))))
+        }
+        val score = prev.indices.map { i =>
+          val binOf = when(col(s"feat_$i") === "d", col("bd"))
+            .when(col(s"feat_$i") === "p", col("bp")).otherwise(col("bq"))
+          col(s"alpha_$i") * when(binOf > col(s"b_$i"), col(s"pol_$i"))
+            .otherwise(lit(0) - col(s"pol_$i"))
+        }.reduceOption(_ + _)
+        val weighted = score match {
+          case None => withPrev.withColumn("w", lit(1.0))
+          case Some(sc) =>
+            withPrev.withColumn("w", exp((lit(0.0) - col("y")) * sc))
+        }
+        val sstats = weighted
+          .selectExpr("y", "w",
+            "stack(3, 'd', bd, 'p', bp, 'q', bq) AS (feature, bin)")
+          .groupBy(col("feature"), col("bin"))
+          .agg(dsum(col("w")).as("sw"),
+            dsum(when(col("y") === 1, col("w")).otherwise(lit(0.0))).as("sp"))
+        val tw = w.partitionBy(col("feature"))
+        val cand = sstats
+          .withColumn("wl", dsumOver(col("sw"), tw.orderBy(col("bin"))))
+          .withColumn("pl", dsumOver(col("sp"), tw.orderBy(col("bin"))))
+          .withColumn("swt", dsumOver(col("sw"), tw))
+          .withColumn("spt", dsumOver(col("sp"), tw))
+          .withColumn("mb", max(col("bin")).over(tw))
+          .filter(col("bin") < col("mb"))
+          .withColumn("eps0",
+            (col("pl") * 2 + col("swt") - col("wl") - col("spt")) / col("swt"))
+          .withColumn("epsc", when(col("eps0") > 0.5, lit(1.0) - col("eps0"))
+            .otherwise(col("eps0")))
+          .withColumn("pol", when(col("eps0") > 0.5, lit(-1)).otherwise(lit(1)))
+        cand
+          .withColumn("rn", row_number().over(org.apache.spark.sql.expressions
+            .Window.orderBy(col("epsc").asc, col("feature").asc,
+              col("bin").asc)))
+          .filter(col("rn") === 1)
+          .withColumn("epscl",
+            greatest(least(col("epsc"), lit(1.0) - lit(1e-10)), lit(1e-10)))
+          .select(col("feature").as("feat"), col("bin").as("b"), col("pol"),
+            col("epsc"),
+            (lit(0.5) * log((lit(1.0) - col("epscl")) / col("epscl")))
+              .as("alpha"))
+          .localCheckpoint(eager = false)
+      }
+      val b1 = fitRound(Seq())
+      val b2 = fitRound(Seq(b1))
+      val b3 = fitRound(Seq(b1, b2))
+      def fmt(r: Int, b: org.apache.spark.sql.DataFrame) =
+        b.select(lit(r.toLong).as("round"), col("feat").as("feature"),
+          col("b").cast("long").as("split_bin"),
+          col("pol").cast("long").as("polarity"),
+          round(col("epsc"), 9).as("eps"), round(col("alpha"), 9).as("alpha"))
+      fmt(1, b1).unionByName(fmt(2, b2)).unionByName(fmt(3, b3))
+        .orderBy(col("round"))
+    },
+    Some {
+      val dec = (x: String) =>
+        s"CAST(SUM(CAST(($x) AS DECIMAL(38,6))) AS DOUBLE)"
+      def hSql(t: Int, src: String) =
+        s"""(CASE WHEN (CASE b$t.feat WHEN 'd' THEN $src.bd
+           | WHEN 'p' THEN $src.bp ELSE $src.bq END) > b$t.b
+           | THEN b$t.pol ELSE 0 - b$t.pol END)""".stripMargin
+          .replace("\n", "")
+      def roundCtes(r: Int): String = {
+        val wExpr =
+          if (r == 1) "CAST(1.0 AS DOUBLE)"
+          else {
+            val terms = (1 until r)
+              .map(t => s"b$t.alpha * ${hSql(t, "bw")}").mkString(" + ")
+            s"exp((0.0 - bw.y) * ($terms))"
+          }
+        val crosses = (1 until r).map(t => s" CROSS JOIN b$t").mkString
+        s"""w$r AS (SELECT bw.y, bw.bd, bw.bp, bw.bq, $wExpr AS w
+      |  FROM bw$crosses),
+      |s$r AS (
+      |  SELECT feature, bin, ${dec("w")} AS sw,
+      |    ${dec("CASE WHEN y = 1 THEN w ELSE 0.0 END")} AS sp
+      |  FROM (SELECT 'd' AS feature, bd AS bin, w, y FROM w$r
+      |        UNION ALL SELECT 'p', bp, w, y FROM w$r
+      |        UNION ALL SELECT 'q', bq, w, y FROM w$r)
+      |  GROUP BY feature, bin),
+      |c$r AS (
+      |  SELECT feature, bin,
+      |    CAST(SUM(CAST(sw AS DECIMAL(38,6)))
+      |      OVER (PARTITION BY feature ORDER BY bin) AS DOUBLE) AS wl,
+      |    CAST(SUM(CAST(sp AS DECIMAL(38,6)))
+      |      OVER (PARTITION BY feature ORDER BY bin) AS DOUBLE) AS pl,
+      |    CAST(SUM(CAST(sw AS DECIMAL(38,6)))
+      |      OVER (PARTITION BY feature) AS DOUBLE) AS swt,
+      |    CAST(SUM(CAST(sp AS DECIMAL(38,6)))
+      |      OVER (PARTITION BY feature) AS DOUBLE) AS spt,
+      |    MAX(bin) OVER (PARTITION BY feature) AS mb
+      |  FROM s$r),
+      |e$r AS (
+      |  SELECT feature, bin,
+      |    CASE WHEN (pl * 2 + swt - wl - spt) / swt > 0.5
+      |      THEN 1.0 - (pl * 2 + swt - wl - spt) / swt
+      |      ELSE (pl * 2 + swt - wl - spt) / swt END AS epsc,
+      |    CASE WHEN (pl * 2 + swt - wl - spt) / swt > 0.5
+      |      THEN -1 ELSE 1 END AS pol
+      |  FROM c$r WHERE bin < mb),
+      |r$r AS (
+      |  SELECT *, row_number() OVER (ORDER BY epsc ASC, feature ASC,
+      |    bin ASC) AS rn FROM e$r),
+      |b$r AS (
+      |  SELECT feature AS feat, bin AS b, pol, epsc,
+      |    0.5 * ln((1.0 - GREATEST(LEAST(epsc, 1.0 - 1e-10), 1e-10))
+      |      / GREATEST(LEAST(epsc, 1.0 - 1e-10), 1e-10)) AS alpha
+      |  FROM r$r WHERE rn = 1)"""
+      }
+      s"""WITH li AS (
+      |  SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE -1 END AS y,
+      |    l_quantity AS xq, l_discount AS xd, l_extendedprice AS xp
+      |  FROM lineitem),
+      |rngw AS (
+      |  SELECT MIN(xq) AS qmn, MAX(xq) AS qmx, MIN(xd) AS dmn,
+      |    MAX(xd) AS dmx, MIN(xp) AS pmn, MAX(xp) AS pmx
+      |  FROM li),
+      |bw AS (
+      |  SELECT y,
+      |    CASE WHEN dmx > dmn
+      |      THEN LEAST(floor((xd - dmn) / ((dmx - dmn) / 32)), 31)
+      |      ELSE 0 END AS bd,
+      |    CASE WHEN pmx > pmn
+      |      THEN LEAST(floor((xp - pmn) / ((pmx - pmn) / 32)), 31)
+      |      ELSE 0 END AS bp,
+      |    CASE WHEN qmx > qmn
+      |      THEN LEAST(floor((xq - qmn) / ((qmx - qmn) / 32)), 31)
+      |      ELSE 0 END AS bq
+      |  FROM li CROSS JOIN rngw),
+      |${roundCtes(1)},
+      |${roundCtes(2)},
+      |${roundCtes(3)}
+      |SELECT CAST(1 AS BIGINT) AS round, feat AS feature,
+      |  CAST(b AS BIGINT) AS split_bin, CAST(pol AS BIGINT) AS polarity,
+      |  round(epsc, 9) AS eps, round(alpha, 9) AS alpha FROM b1
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT), feat, CAST(b AS BIGINT),
+      |  CAST(pol AS BIGINT), round(epsc, 9), round(alpha, 9) FROM b2
+      |UNION ALL
+      |SELECT CAST(3 AS BIGINT), feat, CAST(b AS BIGINT),
+      |  CAST(pol AS BIGINT), round(epsc, 9), round(alpha, 9) FROM b3
+      |ORDER BY round""".stripMargin
+    })
+
   def queries: Seq[GQuery] =
     Seq(q23, q24, q25, q26, q27, q28, q29, q30, q31, q51, q58, q113, q163,
       q185, q191, q211, q217, q268, q274, q284, q291, q293, q294, q295,
       q296, q297, q298, q299, q300, q305, q306, q308, q311, q312, q315,
       q324, q327, q339, q343, q344, q351, q355, q356, q357, q358, q359,
-      q360, q365, q366, q367, q368, q369)
+      q360, q365, q366, q367, q368, q369, q376)
 }
