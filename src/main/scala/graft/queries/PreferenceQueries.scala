@@ -840,7 +840,78 @@ object PreferenceQueries {
       |GROUP BY n ORDER BY n""".stripMargin
     })
 
+  /** q380: off-policy evaluation via IPS and SNIPS (Horvitz–Thompson
+    * 1952; Swaminathan & Joachims 2015) — the counterfactual "what
+    * would THIS policy have earned on the logged traffic" estimate
+    * every bandit/RLHF deployment computes before shipping: logging
+    * propensities are the empirical action marginals p̂(a) = c_a/N,
+    * and for three candidate policies (two constants + a user-parity
+    * mix) the estimators reduce EXACTLY to sums over the
+    * (action × parity)-bounded census frame — V̂_IPS = Σ_a S_a/(100·c_a)
+    * and the self-normalized V̂_SNIPS = V̂_IPS·N / Σ_a m_a·N/c_a — so
+    * the fact-scale work is ONE grouped pass and the e2-scaled reward
+    * sums keep everything integer until the final divisions. */
+  val q380 = GQuery(
+    "q380_offpolicy_ips",
+    (s, d) => {
+      val dec0 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val base = events(s, d)
+        .select(col("event_type").as("action"), (col("user_id") % 2).as("par"),
+          floor(col("value") * 100 + 0.5).cast("long").as("r_e2"))
+        .groupBy(col("action"), col("par"))
+        .agg(lcount(lit(1)).as("m"), sum(col("r_e2").cast(dec0)).as("sr"))
+      val ca = base.groupBy(col("action")).agg(sum(col("m")).as("c_a"))
+      val tot = ca.agg(sum(col("c_a")).as("nn"))
+      val pols = tot.select(explode(array(lit("always_purchase"),
+        lit("always_view"), lit("parity_mix"))).as("policy"))
+      base.crossJoin(broadcast(pols))
+        .filter(
+          (col("policy") === "always_purchase" && col("action") === "purchase")
+            || (col("policy") === "always_view" && col("action") === "view")
+            || (col("policy") === "parity_mix" && col("action") ===
+              when(col("par") === 0, "purchase").otherwise("view")))
+        .join(broadcast(ca), Seq("action"))
+        .crossJoin(broadcast(tot))
+        .groupBy(col("policy"))
+        .agg(sum(col("m")).cast("long").as("n_matched"),
+          dsum(col("sr").cast("double") / col("c_a") / 100).as("ips"),
+          dsum(col("m").cast("double") * col("nn") / col("c_a")).as("w"),
+          max(col("nn")).as("nn"))
+        .select(col("policy"), col("n_matched"),
+          round(col("ips"), 6).as("ips"),
+          round(when(col("w") > 0,
+            col("ips") * col("nn") / col("w")), 6).as("snips"))
+        .orderBy(col("policy"))
+    },
+    Some(s"""WITH ev AS (
+      |  SELECT event_type AS action, user_id % 2 AS par,
+      |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS r_e2
+      |  FROM events),
+      |base AS (
+      |  SELECT action, par, CAST(COUNT(*) AS BIGINT) AS m,
+      |    SUM(CAST(r_e2 AS HUGEINT)) AS sr
+      |  FROM ev GROUP BY action, par),
+      |ca AS (SELECT action, CAST(SUM(m) AS BIGINT) AS c_a
+      |  FROM base GROUP BY action),
+      |tot AS (SELECT CAST(SUM(c_a) AS BIGINT) AS nn FROM ca),
+      |pols AS (SELECT unnest(['always_purchase', 'always_view',
+      |  'parity_mix']) AS policy),
+      |matched AS (
+      |  SELECT p.policy, b.m, b.sr, c.c_a, t.nn
+      |  FROM base b CROSS JOIN pols p
+      |  JOIN ca c ON b.action = c.action CROSS JOIN tot t
+      |  WHERE (p.policy = 'always_purchase' AND b.action = 'purchase')
+      |    OR (p.policy = 'always_view' AND b.action = 'view')
+      |    OR (p.policy = 'parity_mix' AND b.action =
+      |      CASE WHEN b.par = 0 THEN 'purchase' ELSE 'view' END))
+      |SELECT policy, CAST(SUM(m) AS BIGINT) AS n_matched,
+      |  round(${dsumSql("CAST(sr AS DOUBLE) / c_a / 100")}, 6) AS ips,
+      |  round(CASE WHEN ${dsumSql("CAST(m AS DOUBLE) * nn / c_a")} > 0
+      |    THEN ${dsumSql("CAST(sr AS DOUBLE) / c_a / 100")} * MAX(nn)
+      |      / ${dsumSql("CAST(m AS DOUBLE) * nn / c_a")} END, 6) AS snips
+      |FROM matched GROUP BY policy ORDER BY policy""".stripMargin))
+
   def queries: Seq[GQuery] =
     Seq(q203, q204, q205, q206, q207, q218, q219, q240, q290, q304, q372,
-      q377)
+      q377, q380)
 }

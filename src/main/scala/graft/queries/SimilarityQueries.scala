@@ -2100,5 +2100,82 @@ object SimilarityQueries {
       |  COALESCE(ct.n_triplets, 0) AS n_triplets
       |FROM cp LEFT JOIN ct ON cp.label = ct.label ORDER BY cp.label""".stripMargin))
 
-  def queries: Seq[GQuery] = Seq(q40, q41, q42, q48, q53, q102, q105, q114, q117, q119, q122, q131, q147, q173, q176, q186, q188, q226, q248, q251, q253, q255, q257, q261, q269, q313, q328, q337, q338, q345, q353, q361)
+  /** q379: MAUVE-lite divergence frontier (Pillutla et al. 2021
+    * shape) — the generative-eval metric comparing a "model" and a
+    * "human" embedding distribution: both label-parity populations
+    * quantize onto the q328 grid cells (the histogram-compression
+    * move — at 100 TB the KL runs over the bounded cell frame, never
+    * the points), and for mixture weights λ ∈ {¼, ½, ¾} the frontier
+    * point is (KL(P‖R_λ), KL(Q‖R_λ)) with R = λP+(1−λ)Q. One
+    * fact-scale grouped pass; the λ sweep is a bounded crossJoin;
+    * ln terms are high-entropy so decimal-routed sums are
+    * boundary-safe. */
+  val q379 = GQuery(
+    "q379_mauve_frontier",
+    (s, d) => {
+      val pts = embeddings(s, d).select(
+        (col("label") % 2 === 0).as("isP"),
+        floor(element_at(col("embedding"), 1).cast("double") * 1e6 + 0.5)
+          .cast("long").as("x"),
+        floor(element_at(col("embedding"), 2).cast("double") * 1e6 + 0.5)
+          .cast("long").as("y"))
+      val cells = pts
+        .select(col("isP"), expr("(x + 1000000000) div 30000").as("cx"),
+          expr("(y + 1000000000) div 30000").as("cy"))
+        .groupBy(col("cx"), col("cy"))
+        .agg(coalesce(sum(when(col("isP"), 1L)), lit(0L)).as("np"),
+          coalesce(sum(when(!col("isP"), 1L)), lit(0L)).as("nq"))
+      val tot = cells.agg(sum(col("np")).as("tp"), sum(col("nq")).as("tq"))
+      val lam = tot.select(explode(array(lit(0.25), lit(0.5), lit(0.75)))
+        .as("lambda"))
+      cells.crossJoin(broadcast(tot)).crossJoin(broadcast(lam))
+        .withColumn("p", col("np").cast("double") / col("tp"))
+        .withColumn("q", col("nq").cast("double") / col("tq"))
+        .withColumn("r", col("lambda") * col("p")
+          + (lit(1.0) - col("lambda")) * col("q"))
+        .groupBy(col("lambda"))
+        .agg(graft.core.Exact.lcount(lit(1)).as("n_cells"),
+          dsum(when(col("np") > 0, col("p") * log(col("p") / col("r")))
+            .otherwise(lit(0.0))).as("klp"),
+          dsum(when(col("nq") > 0, col("q") * log(col("q") / col("r")))
+            .otherwise(lit(0.0))).as("klq"))
+        .select(col("lambda"), col("n_cells"),
+          round(col("klp"), 6).as("kl_p"), round(col("klq"), 6).as("kl_q"))
+        .orderBy(col("lambda"))
+    },
+    Some("""WITH pts AS (
+      |  SELECT (label % 2 = 0) AS isP,
+      |    CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000.0 + 0.5)
+      |      AS BIGINT) AS x,
+      |    CAST(floor(CAST(embedding[2] AS DOUBLE) * 1000000.0 + 0.5)
+      |      AS BIGINT) AS y
+      |  FROM embeddings),
+      |cells AS (
+      |  SELECT (x + 1000000000) // 30000 AS cx,
+      |    (y + 1000000000) // 30000 AS cy,
+      |    COALESCE(CAST(SUM(CASE WHEN isP THEN 1 END) AS BIGINT), 0) AS np,
+      |    COALESCE(CAST(SUM(CASE WHEN NOT isP THEN 1 END) AS BIGINT), 0)
+      |      AS nq
+      |  FROM pts GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT CAST(SUM(np) AS BIGINT) AS tp, CAST(SUM(nq) AS BIGINT) AS tq
+      |  FROM cells),
+      |lam AS (SELECT CAST(unnest([0.25, 0.5, 0.75]) AS DOUBLE) AS lambda),
+      |j AS (
+      |  SELECT c.np, c.nq, l.lambda,
+      |    CAST(c.np AS DOUBLE) / t.tp AS p,
+      |    CAST(c.nq AS DOUBLE) / t.tq AS q
+      |  FROM cells c CROSS JOIN tot t CROSS JOIN lam l),
+      |k AS (
+      |  SELECT lambda, np, nq, p, q,
+      |    lambda * p + (1.0 - lambda) * q AS r
+      |  FROM j)
+      |SELECT lambda, CAST(COUNT(*) AS BIGINT) AS n_cells,
+      |  round(CAST(SUM(CAST((CASE WHEN np > 0 THEN p * ln(p / r)
+      |    ELSE 0.0 END) AS DECIMAL(38,6))) AS DOUBLE), 6) AS kl_p,
+      |  round(CAST(SUM(CAST((CASE WHEN nq > 0 THEN q * ln(q / r)
+      |    ELSE 0.0 END) AS DECIMAL(38,6))) AS DOUBLE), 6) AS kl_q
+      |FROM k GROUP BY lambda ORDER BY lambda""".stripMargin))
+
+  def queries: Seq[GQuery] = Seq(q40, q41, q42, q48, q53, q102, q105, q114, q117, q119, q122, q131, q147, q173, q176, q186, q188, q226, q248, q251, q253, q255, q257, q261, q269, q313, q328, q337, q338, q345, q353, q361, q379)
 }

@@ -3906,10 +3906,210 @@ object StatsQueries {
       |ORDER BY round""".stripMargin
     })
 
+  /** q378: Cox proportional-hazards score test + one-step estimator
+    * at β=0 (Cox 1972) — the CONTINUOUS-covariate member of the
+    * survival family (q322 KM curves, q357 two-arm log-rank): does a
+    * user's view count shift their time-to-purchase hazard? At β=0
+    * the partial-likelihood score and information are closed-form
+    * risk-set moments — U = Σₜ(exₜ − dₜ·S1ₜ/S0ₜ),
+    * I = Σₜ dₜ·(S2ₜ/S0ₜ − (S1ₜ/S0ₜ)²) — so no iterative fit is
+    * needed for the test (χ² = U²/I) or the first Newton step
+    * (β̂₁ = U/I). Risk-set moments S0/S1/S2 are SUFFIX SUMS over the
+    * calendar-bounded duration frame (the q357 idiom; covariates are
+    * integer view counts, so every suffix sum is exact), and the
+    * fact-scale work is one user-grain aggregation. */
+  val q378 = GQuery(
+    "q378_cox_score_test",
+    (s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val dec0 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val perUser = events(s, d)
+        .select(col("user_id"), unix_timestamp(col("ts")).as("sec"),
+          col("event_type"))
+        .groupBy(col("user_id"))
+        .agg(min(col("sec")).as("s0"),
+          min(when(col("event_type") === "purchase", col("sec"))).as("sp"),
+          coalesce(sum(when(col("event_type") === "view", 1L)), lit(0L))
+            .as("x"))
+        .withColumn("h", expr("(sp - s0) div 3600"))
+        .select(col("x"),
+          when(col("h").isNotNull && col("h") <= 72, col("h"))
+            .otherwise(lit(72L)).as("t"),
+          (col("h").isNotNull && col("h") <= 72).as("observed"))
+      val byT = perUser.groupBy(col("t"))
+        .agg(lcount(lit(1)).as("n_at"),
+          sum(col("x").cast(dec0)).as("sx_at"),
+          sum((col("x").cast(dec0) * col("x"))).as("sxx_at"),
+          coalesce(sum(when(col("observed"), 1L)), lit(0L)).as("d"),
+          coalesce(sum(when(col("observed"), col("x").cast(dec0))),
+            lit(0L).cast(dec0)).as("ex"))
+      val ord = W.orderBy(col("t"))
+      val risk = byT
+        .withColumn("s0r", sum(col("n_at")).over(
+          ord.rowsBetween(W.currentRow, W.unboundedFollowing)))
+        .withColumn("s1r", sum(col("sx_at")).over(
+          ord.rowsBetween(W.currentRow, W.unboundedFollowing)))
+        .withColumn("s2r", sum(col("sxx_at")).over(
+          ord.rowsBetween(W.currentRow, W.unboundedFollowing)))
+        .filter(col("d") > 0)
+      val terms = risk.select(
+        (col("ex").cast("double")
+          - col("d").cast("double")
+            * (col("s1r").cast("double") / col("s0r").cast("double")))
+          .as("u_t"),
+        (col("d").cast("double")
+          * (col("s2r").cast("double") / col("s0r").cast("double")
+            - (col("s1r").cast("double") / col("s0r").cast("double"))
+              * (col("s1r").cast("double") / col("s0r").cast("double"))))
+          .as("i_t"))
+      terms.agg(lcount(lit(1)).as("n_event_times"),
+          dsum(col("u_t")).as("u"), dsum(col("i_t")).as("i"))
+        .select(col("n_event_times"),
+          round(col("u"), 6).as("score_u"),
+          round(col("i"), 6).as("info_i"),
+          round(when(col("i") > 0, col("u") / col("i")), 6)
+            .as("beta_onestep"),
+          round(when(col("i") > 0, col("u") * col("u") / col("i")), 6)
+            .as("chi2"))
+    },
+    Some(s"""WITH u AS (
+      |  SELECT user_id, MIN(CAST(floor(epoch(ts)) AS BIGINT)) AS s0,
+      |    MIN(CASE WHEN event_type = 'purchase'
+      |        THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS sp,
+      |    COALESCE(CAST(SUM(CASE WHEN event_type = 'view' THEN 1 END)
+      |      AS BIGINT), 0) AS x
+      |  FROM events GROUP BY user_id),
+      |dur AS (
+      |  SELECT x,
+      |    CASE WHEN sp IS NOT NULL AND (sp - s0) // 3600 <= 72
+      |      THEN (sp - s0) // 3600 ELSE 72 END AS t,
+      |    (sp IS NOT NULL AND (sp - s0) // 3600 <= 72) AS observed
+      |  FROM u),
+      |byt AS (
+      |  SELECT t, CAST(COUNT(*) AS BIGINT) AS n_at,
+      |    SUM(CAST(x AS HUGEINT)) AS sx_at,
+      |    SUM(CAST(x AS HUGEINT) * x) AS sxx_at,
+      |    COALESCE(CAST(SUM(CASE WHEN observed THEN 1 END) AS BIGINT), 0)
+      |      AS d,
+      |    COALESCE(SUM(CASE WHEN observed THEN CAST(x AS HUGEINT) END),
+      |      CAST(0 AS HUGEINT)) AS ex
+      |  FROM dur GROUP BY t),
+      |risk AS (
+      |  SELECT *,
+      |    SUM(n_at) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW AND
+      |      UNBOUNDED FOLLOWING) AS s0r,
+      |    SUM(sx_at) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW AND
+      |      UNBOUNDED FOLLOWING) AS s1r,
+      |    SUM(sxx_at) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW AND
+      |      UNBOUNDED FOLLOWING) AS s2r
+      |  FROM byt),
+      |terms AS (
+      |  SELECT
+      |    CAST(ex AS DOUBLE) - CAST(d AS DOUBLE)
+      |      * (CAST(s1r AS DOUBLE) / CAST(s0r AS DOUBLE)) AS u_t,
+      |    CAST(d AS DOUBLE)
+      |      * (CAST(s2r AS DOUBLE) / CAST(s0r AS DOUBLE)
+      |        - (CAST(s1r AS DOUBLE) / CAST(s0r AS DOUBLE))
+      |          * (CAST(s1r AS DOUBLE) / CAST(s0r AS DOUBLE))) AS i_t
+      |  FROM risk WHERE d > 0)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_event_times,
+      |  round(${sqlDsum("u_t")}, 6) AS score_u,
+      |  round(${sqlDsum("i_t")}, 6) AS info_i,
+      |  round(CASE WHEN ${sqlDsum("i_t")} > 0
+      |    THEN ${sqlDsum("u_t")} / ${sqlDsum("i_t")} END, 6)
+      |    AS beta_onestep,
+      |  round(CASE WHEN ${sqlDsum("i_t")} > 0
+      |    THEN ${sqlDsum("u_t")} * ${sqlDsum("u_t")} / ${sqlDsum("i_t")} END,
+      |    6) AS chi2
+      |FROM terms""".stripMargin))
+
+  /** q381: nearest-neighbor caliper matching on a confounder
+    * (Rosenbaum & Rubin 1983 matching estimator of the ATT) — the
+    * matching member of the causal ladder (q327 stratifies cells,
+    * q358 models both arms; matching asks "find each treated unit its
+    * own counterfactual twin"): treated = odd users, confounder x =
+    * view count, outcome y = purchase spend; each treated user
+    * matches WITH REPLACEMENT to the control with min |Δx| ≤ 5 (ties
+    * → lower control id — with-replacement is the parallelizable
+    * variant; greedy-without is inherently sequential). The candidate
+    * join is CALIPER-BUCKETED (bucket width = caliper, each treated
+    * row probes 3 buckets) so pair work is caliper-local, never
+    * treated×control; y is 2-decimal money so the ATT sum is
+    * decimal-exact. */
+  val q381 = GQuery(
+    "q381_caliper_matching",
+    (s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val perUser = events(s, d).groupBy(col("user_id"))
+        .agg(coalesce(sum(when(col("event_type") === "view", 1L)), lit(0L))
+          .as("x"),
+          coalesce(dsum(when(col("event_type") === "purchase", col("value"))),
+            lit(0.0)).as("y"))
+        .withColumn("treated", col("user_id") % 2 === 1)
+        .withColumn("bucket", expr("x div 5"))
+      val treat = perUser.filter(col("treated"))
+        .select(col("user_id").as("ut"), col("x").as("xt"),
+          col("y").as("yt"), col("bucket"))
+      val ctrl = perUser.filter(!col("treated"))
+        .select(col("user_id").as("uc"), col("x").as("xc"),
+          col("y").as("yc"), col("bucket").as("cb"))
+      val cand = treat
+        .withColumn("cb", explode(array(col("bucket") - 1, col("bucket"),
+          col("bucket") + 1)))
+        .join(ctrl, Seq("cb"))
+        .filter(abs(col("xt") - col("xc")) <= 5)
+      val best = cand.withColumn("rn", row_number().over(
+          W.partitionBy(col("ut"))
+            .orderBy(abs(col("xt") - col("xc")).asc, col("uc").asc)))
+        .filter(col("rn") === 1)
+      val nT = treat.agg(lcount(lit(1)).as("n_treated"))
+      val nC = ctrl.agg(lcount(lit(1)).as("n_control"))
+      best.agg(lcount(lit(1)).as("n_matched"),
+          dsum(col("yt") - col("yc")).as("sdy"),
+          sum(abs(col("xt") - col("xc"))).as("sdx"))
+        .crossJoin(broadcast(nT)).crossJoin(broadcast(nC))
+        .select(col("n_treated"), col("n_control"), col("n_matched"),
+          round(col("sdy") / col("n_matched"), 6).as("att"),
+          round(col("sdx").cast("double") / col("n_matched"), 6)
+            .as("mean_abs_dx"))
+    },
+    Some(s"""WITH pu AS (
+      |  SELECT user_id,
+      |    COALESCE(CAST(SUM(CASE WHEN event_type = 'view' THEN 1 END)
+      |      AS BIGINT), 0) AS x,
+      |    COALESCE(${sqlDsum("CASE WHEN event_type = 'purchase'" +
+           " THEN value END")}, 0.0) AS y
+      |  FROM events GROUP BY user_id),
+      |treat AS (
+      |  SELECT user_id AS ut, x AS xt, y AS yt, x // 5 AS bucket
+      |  FROM pu WHERE user_id % 2 = 1),
+      |ctrl AS (
+      |  SELECT user_id AS uc, x AS xc, y AS yc, x // 5 AS cb
+      |  FROM pu WHERE user_id % 2 = 0),
+      |cand AS (
+      |  SELECT t.ut, t.xt, t.yt, c.uc, c.xc, c.yc
+      |  FROM treat t
+      |  JOIN ctrl c ON c.cb BETWEEN t.bucket - 1 AND t.bucket + 1
+      |  WHERE abs(t.xt - c.xc) <= 5),
+      |best AS (
+      |  SELECT *, row_number() OVER (PARTITION BY ut
+      |    ORDER BY abs(xt - xc) ASC, uc ASC) AS rn
+      |  FROM cand),
+      |agg AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_matched,
+      |    ${sqlDsum("yt - yc")} AS sdy,
+      |    CAST(SUM(abs(xt - xc)) AS BIGINT) AS sdx
+      |  FROM best WHERE rn = 1)
+      |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM treat) AS n_treated,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM ctrl) AS n_control,
+      |  n_matched, round(sdy / n_matched, 6) AS att,
+      |  round(CAST(sdx AS DOUBLE) / n_matched, 6) AS mean_abs_dx
+      |FROM agg""".stripMargin))
+
   def queries: Seq[GQuery] =
     Seq(q23, q24, q25, q26, q27, q28, q29, q30, q31, q51, q58, q113, q163,
       q185, q191, q211, q217, q268, q274, q284, q291, q293, q294, q295,
       q296, q297, q298, q299, q300, q305, q306, q308, q311, q312, q315,
       q324, q327, q339, q343, q344, q351, q355, q356, q357, q358, q359,
-      q360, q365, q366, q367, q368, q369, q376)
+      q360, q365, q366, q367, q368, q369, q376, q378, q381)
 }
