@@ -650,13 +650,76 @@ object PreferenceQueries {
     * residual pass reports per-item RMSE under the updated factors.
     * Every arithmetic chain is one IEEE expression both engines spell
     * identically. */
+  /** The q372 ALS chain through the item solve — factored out so the
+    * item-factor table can LAND (the q214/q231 stage-artifact seam)
+    * and the q382 fold-in arm can probe it instead of re-running the
+    * sweep. */
+  private[graft] def alsRatings(s: org.apache.spark.sql.SparkSession,
+                                d: String) =
+    events(s, d)
+      .groupBy(col("user_id").as("u"), (col("event_id") % 32).as("it"))
+      .agg((dsum(col("value")) / count(lit(1))).as("r"))
+
+  private[graft] def alsUserSolve(ratings: org.apache.spark.sql.DataFrame,
+                                  q: org.apache.spark.sql.DataFrame,
+                                  q1c: String, q2c: String) = {
+    val lam = lit(0.1)
+    ratings.join(broadcast(q), Seq("it"))
+      .groupBy(col("u"))
+      .agg(dsum(col(q1c) * col(q1c)).as("a11"),
+        dsum(col(q1c) * col(q2c)).as("a12"),
+        dsum(col(q2c) * col(q2c)).as("a22"),
+        dsum(col("r") * col(q1c)).as("b1"),
+        dsum(col("r") * col(q2c)).as("b2"))
+      .withColumn("det", (col("a11") + lam) * (col("a22") + lam)
+        - col("a12") * col("a12"))
+      .select(col("u"),
+        ((col("b1") * (col("a22") + lam) - col("b2") * col("a12"))
+          / col("det")).as("p1"),
+        ((col("b2") * (col("a11") + lam) - col("b1") * col("a12"))
+          / col("det")).as("p2"))
+  }
+
+  private[graft] def alsItemFactorsBuild(s: org.apache.spark.sql.SparkSession,
+                                         d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val lam = lit(0.1)
+    val ratings = alsRatings(s, d)
+    val q0 = ratings.select(col("it")).distinct()
+      .select(col("it"), (lit(1.0) + log(col("it") + 2) / 10).as("q1"),
+        (lit(0.5) + log(col("it") * 2 + 3) / 10).as("q2"))
+    val userSolve = alsUserSolve(ratings, q0, "q1", "q2")
+    ratings.join(userSolve, Seq("u"))
+      .groupBy(col("it"))
+      .agg(lcount(lit(1)).as("n"),
+        dsum(col("p1") * col("p1")).as("c11"),
+        dsum(col("p1") * col("p2")).as("c12"),
+        dsum(col("p2") * col("p2")).as("c22"),
+        dsum(col("r") * col("p1")).as("d1"),
+        dsum(col("r") * col("p2")).as("d2"))
+      .withColumn("det", (col("c11") + lam) * (col("c22") + lam)
+        - col("c12") * col("c12"))
+      .select(col("it"), col("n"),
+        ((col("d1") * (col("c22") + lam) - col("d2") * col("c12"))
+          / col("det")).as("nq1"),
+        ((col("d2") * (col("c11") + lam) - col("d1") * col("c12"))
+          / col("det")).as("nq2"))
+  }
+
+  /** Landed (it, n, nq1, nq2) item factors after one full sweep. */
+  private def alsItemFactors(s: org.apache.spark.sql.SparkSession, d: String,
+                             probe: Boolean) =
+    if (probe)
+      graft.core.Landed.probeOrBuild(s, s"als-item-factors:$d")(
+        alsItemFactorsBuild(s, d))
+    else
+      graft.core.Landed.land(s, s"als-item-factors:$d")(
+        alsItemFactorsBuild(s, d))
+
   val q372 = GQuery(
     "q372_als_factorization",
     (s, d) => {
-      val lam = lit(0.1)
-      val ratings = events(s, d)
-        .groupBy(col("user_id").as("u"), (col("event_id") % 32).as("it"))
-        .agg((dsum(col("value")) / count(lit(1))).as("r"))
+      val ratings = alsRatings(s, d)
       // ln-based init: high-entropy doubles keep every downstream
       // product off the DECIMAL(38,6) half-boundary (dyadic-clean init
       // times 2-decimal ratings lands exactly on cast boundaries,
@@ -664,35 +727,9 @@ object PreferenceQueries {
       val q0 = ratings.select(col("it")).distinct()
         .select(col("it"), (lit(1.0) + log(col("it") + 2) / 10).as("q1"),
           (lit(0.5) + log(col("it") * 2 + 3) / 10).as("q2"))
-      val userSolve = ratings.join(broadcast(q0), Seq("it"))
-        .groupBy(col("u"))
-        .agg(dsum(col("q1") * col("q1")).as("a11"),
-          dsum(col("q1") * col("q2")).as("a12"),
-          dsum(col("q2") * col("q2")).as("a22"),
-          dsum(col("r") * col("q1")).as("b1"),
-          dsum(col("r") * col("q2")).as("b2"))
-        .withColumn("det", (col("a11") + lam) * (col("a22") + lam)
-          - col("a12") * col("a12"))
-        .select(col("u"),
-          ((col("b1") * (col("a22") + lam) - col("b2") * col("a12"))
-            / col("det")).as("p1"),
-          ((col("b2") * (col("a11") + lam) - col("b1") * col("a12"))
-            / col("det")).as("p2"))
-      val itemSolve = ratings.join(userSolve, Seq("u"))
-        .groupBy(col("it"))
-        .agg(lcount(lit(1)).as("n"),
-          dsum(col("p1") * col("p1")).as("c11"),
-          dsum(col("p1") * col("p2")).as("c12"),
-          dsum(col("p2") * col("p2")).as("c22"),
-          dsum(col("r") * col("p1")).as("d1"),
-          dsum(col("r") * col("p2")).as("d2"))
-        .withColumn("det", (col("c11") + lam) * (col("c22") + lam)
-          - col("c12") * col("c12"))
-        .select(col("it"), col("n"),
-          ((col("d1") * (col("c22") + lam) - col("d2") * col("c12"))
-            / col("det")).as("nq1"),
-          ((col("d2") * (col("c11") + lam) - col("d1") * col("c12"))
-            / col("det")).as("nq2"))
+      val userSolve = alsUserSolve(ratings, q0, "q1", "q2")
+      // PRODUCER: lands the post-sweep item factors for q382's fold-in
+      val itemSolve = alsItemFactors(s, d, probe = false)
       // residuals e6-floor BEFORE squaring: sse becomes exact integer
       // arithmetic, so last-ULP drift in the factor chains cannot move
       // the 6th rmse decimal across a rounding boundary (the repo-wide
@@ -840,6 +877,109 @@ object PreferenceQueries {
       |GROUP BY n ORDER BY n""".stripMargin
     })
 
+  /** q382: ALS fold-in — the index-maintenance arm of q372 (the same
+    * landed-artifact symmetry as SA q252 / IVF q261 / k-NN graph
+    * q255): a serving system folds a user into a TRAINED model by
+    * solving only that user's 2×2 ridge system against the FROZEN
+    * landed item factors — no sweep re-run, items untouched. This
+    * query probes the landed q372 factor table (pinned-block scan),
+    * folds in every user, and publishes the per-bucket serving
+    * census: fold-in factor means and the e6-floored reconstruction
+    * RMSE. The oracle replays the full sweep + fold-in, so
+    * probe ≡ rebuild sits under the hash. */
+  val q382 = GQuery(
+    "q382_als_fold_in",
+    (s, d) => {
+      val dec0 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val ratings = alsRatings(s, d)
+      val qn = alsItemFactors(s, d, probe = true)
+      val pf = alsUserSolve(ratings, qn.select(col("it"),
+        col("nq1"), col("nq2")), "nq1", "nq2")
+      val userAgg = pf.withColumn("bucket", col("u") % 8)
+        .groupBy(col("bucket"))
+        .agg(lcount(lit(1)).as("n_users"),
+          dsum(col("p1")).as("sp1"), dsum(col("p2")).as("sp2"))
+      val residAgg = ratings.join(pf, Seq("u"))
+        .join(broadcast(qn), Seq("it"))
+        .withColumn("e_e6", floor((col("r")
+          - (col("p1") * col("nq1") + col("p2") * col("nq2"))) * 1e6 + 0.5)
+          .cast("long"))
+        .groupBy((col("u") % 8).as("bucket"))
+        .agg(lcount(lit(1)).as("n_ratings"),
+          sum((col("e_e6") * col("e_e6")).cast(dec0)).as("sse"))
+      userAgg.join(residAgg, Seq("bucket"))
+        .select(col("bucket"), col("n_users"), col("n_ratings"),
+          round(col("sp1") / col("n_users"), 6).as("mean_p1"),
+          round(col("sp2") / col("n_users"), 6).as("mean_p2"),
+          round(sqrt(col("sse").cast("double") / 1e12 / col("n_ratings")), 6)
+            .as("rmse"))
+        .orderBy(col("bucket"))
+    },
+    Some(s"""WITH ratings AS (
+      |  SELECT user_id AS u, event_id % 32 AS it,
+      |    ${dsumSql("value")} / COUNT(*) AS r
+      |  FROM events GROUP BY 1, 2),
+      |q0 AS (
+      |  SELECT it, 1.0 + ln(it + 2) / 10 AS q1,
+      |    0.5 + ln(it * 2 + 3) / 10 AS q2
+      |  FROM (SELECT DISTINCT it FROM ratings)),
+      |us AS (
+      |  SELECT u, ${dsumSql("q1 * q1")} AS a11, ${dsumSql("q1 * q2")} AS a12,
+      |    ${dsumSql("q2 * q2")} AS a22, ${dsumSql("r * q1")} AS b1,
+      |    ${dsumSql("r * q2")} AS b2
+      |  FROM ratings JOIN q0 USING (it) GROUP BY u),
+      |p AS (
+      |  SELECT u,
+      |    (b1 * (a22 + 0.1) - b2 * a12)
+      |      / ((a11 + 0.1) * (a22 + 0.1) - a12 * a12) AS p1,
+      |    (b2 * (a11 + 0.1) - b1 * a12)
+      |      / ((a11 + 0.1) * (a22 + 0.1) - a12 * a12) AS p2
+      |  FROM us),
+      |isv AS (
+      |  SELECT it, CAST(COUNT(*) AS BIGINT) AS n,
+      |    ${dsumSql("p1 * p1")} AS c11, ${dsumSql("p1 * p2")} AS c12,
+      |    ${dsumSql("p2 * p2")} AS c22, ${dsumSql("r * p1")} AS d1,
+      |    ${dsumSql("r * p2")} AS d2
+      |  FROM ratings JOIN p USING (u) GROUP BY it),
+      |qn AS (
+      |  SELECT it, n,
+      |    (d1 * (c22 + 0.1) - d2 * c12)
+      |      / ((c11 + 0.1) * (c22 + 0.1) - c12 * c12) AS nq1,
+      |    (d2 * (c11 + 0.1) - d1 * c12)
+      |      / ((c11 + 0.1) * (c22 + 0.1) - c12 * c12) AS nq2
+      |  FROM isv),
+      |us2 AS (
+      |  SELECT u, ${dsumSql("nq1 * nq1")} AS a11,
+      |    ${dsumSql("nq1 * nq2")} AS a12, ${dsumSql("nq2 * nq2")} AS a22,
+      |    ${dsumSql("r * nq1")} AS b1, ${dsumSql("r * nq2")} AS b2
+      |  FROM ratings JOIN qn USING (it) GROUP BY u),
+      |pf AS (
+      |  SELECT u,
+      |    (b1 * (a22 + 0.1) - b2 * a12)
+      |      / ((a11 + 0.1) * (a22 + 0.1) - a12 * a12) AS p1,
+      |    (b2 * (a11 + 0.1) - b1 * a12)
+      |      / ((a11 + 0.1) * (a22 + 0.1) - a12 * a12) AS p2
+      |  FROM us2),
+      |ua AS (
+      |  SELECT u % 8 AS bucket, CAST(COUNT(*) AS BIGINT) AS n_users,
+      |    ${dsumSql("p1")} AS sp1, ${dsumSql("p2")} AS sp2
+      |  FROM pf GROUP BY 1),
+      |ra AS (
+      |  SELECT r.u % 8 AS bucket, CAST(COUNT(*) AS BIGINT) AS n_ratings,
+      |    SUM(CAST(
+      |      CAST(floor((r.r - (f.p1 * q.nq1 + f.p2 * q.nq2)) * 1e6 + 0.5)
+      |        AS BIGINT)
+      |      * CAST(floor((r.r - (f.p1 * q.nq1 + f.p2 * q.nq2)) * 1e6 + 0.5)
+      |        AS BIGINT) AS HUGEINT)) AS sse
+      |  FROM ratings r JOIN pf f USING (u) JOIN qn q USING (it)
+      |  GROUP BY 1)
+      |SELECT ua.bucket, ua.n_users, ra.n_ratings,
+      |  round(ua.sp1 / ua.n_users, 6) AS mean_p1,
+      |  round(ua.sp2 / ua.n_users, 6) AS mean_p2,
+      |  round(sqrt(CAST(ra.sse AS DOUBLE) / 1e12 / ra.n_ratings), 6) AS rmse
+      |FROM ua JOIN ra ON ua.bucket = ra.bucket
+      |ORDER BY ua.bucket""".stripMargin))
+
   /** q380: off-policy evaluation via IPS and SNIPS (Horvitz–Thompson
     * 1952; Swaminathan & Joachims 2015) — the counterfactual "what
     * would THIS policy have earned on the logged traffic" estimate
@@ -913,5 +1053,5 @@ object PreferenceQueries {
 
   def queries: Seq[GQuery] =
     Seq(q203, q204, q205, q206, q207, q218, q219, q240, q290, q304, q372,
-      q377, q380)
+      q377, q380, q382)
 }
