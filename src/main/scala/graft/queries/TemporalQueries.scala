@@ -1968,9 +1968,15 @@ object TemporalQueries {
         .groupBy(col("event_type").as("from_type"), col("to_type"))
         .agg(lcount(lit(1)).as("n"))
       val fromTot = tr.groupBy(col("from_type")).agg(sum(col("n")).as("nf"))
+      // the fact-scale work (window lead + two groupings) happens ONCE:
+      // the states^2-bounded P lazily checkpoints, so the 5 iteration
+      // steps + the entropy pass probe a pinned 25-row frame instead of
+      // re-deriving the transition matrix per reference (the q267
+      // edge-frame lesson)
       val pmat = tr.join(broadcast(fromTot), Seq("from_type"))
         .select(col("from_type"), col("to_type"),
           (col("n").cast("double") / col("nf")).as("p"))
+        .localCheckpoint(eager = false)
       val nStates = pmat.select(col("from_type")).distinct()
         .agg(lcount(lit(1)).as("k"))
       val pi0 = pmat.select(col("from_type").as("st")).distinct()
@@ -2074,9 +2080,13 @@ object TemporalQueries {
       val masks = k.select(col("k"),
           explode(sequence(lit(0L),
             expr("CAST(shiftleft(1, k) AS BIGINT)") - 1)).as("m"))
+      // v is referenced twice in the marginal join (S and S∪{c}) — land
+      // the 2^k-bounded coalition-value frame once so the fact-scale
+      // mask/conversion aggregation doesn't run per reference
       val vAll = masks.join(vObs.select(col("mask").as("m"), col("v")),
           Seq("m"), "left")
         .select(col("m"), col("k"), coalesce(col("v"), lit(0.0)).as("v"))
+        .localCheckpoint(eager = false)
       val terms = vAll
         .crossJoin(broadcast(chans))
         .filter(col("m").bitwiseAND(
