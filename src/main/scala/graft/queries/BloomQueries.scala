@@ -1102,7 +1102,104 @@ object BloomQueries {
         |FROM arms ORDER BY arm""".stripMargin))
   }
 
+  /** q383: AMS F₂ (second frequency moment) sketch with its merge law
+    * (Alon–Matias–Szegedy 1996) — the sketch-family member beside
+    * KMV/HLL (F₀), CM (point/inner), MG (heavy hitters) and KLL
+    * (quantiles): F₂ = Σ f_k² is the self-join size, and the AMS state
+    * is 64 signed counters C_j = Σ_k s(k,j)·f_k with md5-derived ±1
+    * signs — pure INTEGER arithmetic end to end, so the sketch, the
+    * median-of-8-group-means estimator, and the exact F₂ all sit
+    * under the hash. The merge law is demonstrated, not asserted:
+    * per-source-slice states sum element-wise into exactly the
+    * direct state (linearity), so `f2_ams_merged == f2_ams` in the
+    * output. Counter updates run on the KEY frame (the f_k
+    * histogram), never on raw facts — the 64× blowup applies to
+    * distinct keys. */
+  val q383 = GQuery(
+    "q383_ams_f2_sketch",
+    (s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val dec0 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val fk = lineitem(s, d)
+        .groupBy(col("l_partkey").as("k"), (col("l_orderkey") % 3).as("src"))
+        .agg(lcount(lit(1)).as("f"))
+      val exact = fk.groupBy(col("k")).agg(sum(col("f")).as("fa"))
+        .agg(sum((col("fa").cast(dec0) * col("fa"))).as("f2_exact"))
+      val signed = fk
+        .select(col("k"), col("src"), col("f"),
+          explode(sequence(lit(0), lit(63))).as("j"))
+        .withColumn("sgn",
+          when(conv(substring(md5(concat_ws("-", lit("ams"),
+            col("k").cast("string"), col("j").cast("string"))), 1, 7),
+            16, 10).cast("long") % 2 === 0, 1L).otherwise(-1L))
+      // per-slice states, then the MERGE (element-wise sum) — and the
+      // direct state is the same sum taken without the slice grain
+      val sliceState = signed.groupBy(col("src"), col("j"))
+        .agg(sum(col("sgn") * col("f")).as("c"))
+      val merged = sliceState.groupBy(col("j")).agg(sum(col("c")).as("c"))
+      def estimate(state: org.apache.spark.sql.DataFrame) = {
+        val gm = state.groupBy((col("j") % 8).as("g"))
+          .agg((sum((col("c").cast(dec0) * col("c"))).cast("double") / 8)
+            .as("m"))
+        gm.withColumn("rn", row_number().over(W.orderBy(col("m"), col("g"))))
+          .agg((dsum(when(col("rn") === 4 || col("rn") === 5, col("m")))
+            / 2).as("est"))
+      }
+      val direct = signed.groupBy(col("j"))
+        .agg(sum(col("sgn") * col("f")).as("c"))
+      estimate(direct).select(col("est").as("f2_ams"))
+        .crossJoin(broadcast(estimate(merged)
+          .select(col("est").as("f2_ams_merged"))))
+        .crossJoin(broadcast(exact))
+        .select(col("f2_exact").cast("double").as("f2_exact"),
+          round(col("f2_ams"), 6).as("f2_ams"),
+          round(col("f2_ams_merged"), 6).as("f2_ams_merged"),
+          round(abs(col("f2_ams") - col("f2_exact").cast("double"))
+            / col("f2_exact").cast("double"), 6).as("rel_err"))
+    },
+    Some("""WITH fk AS (
+      |  SELECT l_partkey AS k, l_orderkey % 3 AS src,
+      |    CAST(COUNT(*) AS BIGINT) AS f
+      |  FROM lineitem GROUP BY 1, 2),
+      |exact AS (
+      |  SELECT SUM(CAST(fa AS HUGEINT) * fa) AS f2_exact
+      |  FROM (SELECT k, CAST(SUM(f) AS BIGINT) AS fa FROM fk GROUP BY k)),
+      |signed AS (
+      |  SELECT k, src, f, u.j,
+      |    CASE WHEN CAST(('0x' || substr(md5('ams' || '-'
+      |      || CAST(k AS VARCHAR) || '-' || CAST(u.j AS VARCHAR)), 1, 7))
+      |      AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+      |  FROM fk, UNNEST(generate_series(0, 63)) AS u(j)),
+      |slice_state AS (
+      |  SELECT src, j, CAST(SUM(sgn * f) AS BIGINT) AS c
+      |  FROM signed GROUP BY src, j),
+      |merged AS (
+      |  SELECT j, CAST(SUM(c) AS BIGINT) AS c FROM slice_state GROUP BY j),
+      |direct AS (
+      |  SELECT j, CAST(SUM(sgn * f) AS BIGINT) AS c FROM signed GROUP BY j),
+      |est_d AS (
+      |  SELECT CAST(SUM(CAST(
+      |      (CASE WHEN rn IN (4, 5) THEN m END) AS DECIMAL(38,6)))
+      |    AS DOUBLE) / 2 AS est
+      |  FROM (SELECT m, g, row_number() OVER (ORDER BY m, g) AS rn
+      |        FROM (SELECT j % 8 AS g,
+      |                CAST(SUM(CAST(c AS HUGEINT) * c) AS DOUBLE) / 8 AS m
+      |              FROM direct GROUP BY j % 8))),
+      |est_m AS (
+      |  SELECT CAST(SUM(CAST(
+      |      (CASE WHEN rn IN (4, 5) THEN m END) AS DECIMAL(38,6)))
+      |    AS DOUBLE) / 2 AS est
+      |  FROM (SELECT m, g, row_number() OVER (ORDER BY m, g) AS rn
+      |        FROM (SELECT j % 8 AS g,
+      |                CAST(SUM(CAST(c AS HUGEINT) * c) AS DOUBLE) / 8 AS m
+      |              FROM merged GROUP BY j % 8)))
+      |SELECT CAST(e.f2_exact AS DOUBLE) AS f2_exact,
+      |  round(d.est, 6) AS f2_ams, round(m.est, 6) AS f2_ams_merged,
+      |  round(abs(d.est - CAST(e.f2_exact AS DOUBLE))
+      |    / CAST(e.f2_exact AS DOUBLE), 6) AS rel_err
+      |FROM est_d d CROSS JOIN est_m m CROSS JOIN exact e""".stripMargin))
+
   def queries: Seq[GQuery] =
     Seq(q154, q156, q208, q222, q227, q228, q239, q245, q246, q247, q249,
-      q250, q260, q289, q316)
+      q250, q260, q289, q316, q383)
 }

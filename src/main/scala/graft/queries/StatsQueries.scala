@@ -4106,10 +4106,140 @@ object StatsQueries {
       |  round(CAST(sdx AS DOUBLE) / n_matched, 6) AS mean_abs_dx
       |FROM agg""".stripMargin))
 
+  /** q384: Platt scaling (Platt 1999) — the parametric member of the
+    * calibration ladder (q211/q217 isotonic, q258 conformal): fit
+    * P(y|x) = σ(a·x + b) by 3 unrolled Newton–Raphson steps, each ONE
+    * aggregate pass collecting the exact gradient/Hessian moments
+    * (Σ(p−y), Σ(p−y)x, Σw, Σwx, Σwx² with w = p(1−p)) and a Cramer
+    * 2×2 solve on the 1-row frame; init a=0, b=log-odds. x is the
+    * integer view count, y = converted — so only σ's exp is
+    * transcendental, and every chain is spelled identically in the
+    * oracle's unrolled CTEs. Params frames lazily checkpoint so step
+    * t never recomputes step t−1 (the q376 discipline). Published:
+    * the fitted (a, b) and the mean calibrated NLL. */
+  val q384 = GQuery(
+    "q384_platt_scaling",
+    (s, d) => {
+      val pu0 = events(s, d).groupBy(col("user_id"))
+        .agg(coalesce(sum(when(col("event_type") === "view", 1L)), lit(0L))
+          .as("x"),
+          coalesce(dsum(when(col("event_type") === "purchase", col("value"))),
+            lit(0.0)).as("spend"))
+      // label = spend clears the exact median (the q351 good/bad split
+      // — guaranteed two-class, unlike "ever purchased" which is
+      // degenerate on this data and zeroes the init log-odds)
+      val med = SortPercentile.percentiles(pu0, Seq(), col("spend"),
+        Seq(0.5), Seq("m"))
+      val perUser = pu0.crossJoin(broadcast(med))
+        .select(col("x"), (col("spend") >= col("m")).cast("long").as("y"))
+      val init = perUser.agg(lcount(lit(1)).as("n"),
+          sum(col("y")).as("pos"))
+        .select(col("n"), lit(0.0).as("a"),
+          log(col("pos").cast("double") / (col("n") - col("pos"))).as("b"))
+        .localCheckpoint(eager = false)
+      def newton(params: org.apache.spark.sql.DataFrame)
+          : org.apache.spark.sql.DataFrame = {
+        val p = lit(1.0) / (lit(1.0)
+          + exp(lit(0.0) - (col("a") * col("x") + col("b"))))
+        perUser.crossJoin(broadcast(params))
+          .withColumn("p", p)
+          .withColumn("w", col("p") * (lit(1.0) - col("p")))
+          .groupBy(col("n"), col("a"), col("b"))
+          .agg(dsum(col("p") - col("y")).as("gb"),
+            dsum((col("p") - col("y")) * col("x")).as("ga"),
+            dsum(col("w")).as("hbb"),
+            dsum(col("w") * col("x")).as("hba"),
+            dsum(col("w") * col("x") * col("x")).as("haa"))
+          // ridge (lambda = 1): keeps the Hessian invertible under
+          // separation (saturated sigma zeroes w) and bounds the fit
+          .withColumn("gbr", col("gb") + col("b"))
+          .withColumn("gar", col("ga") + col("a"))
+          .withColumn("hbbr", col("hbb") + lit(1.0))
+          .withColumn("haar", col("haa") + lit(1.0))
+          .withColumn("det",
+            col("hbbr") * col("haar") - col("hba") * col("hba"))
+          .select(col("n"),
+            (col("a") - (col("gar") * col("hbbr") - col("gbr") * col("hba"))
+              / col("det")).as("a"),
+            (col("b") - (col("gbr") * col("haar") - col("gar") * col("hba"))
+              / col("det")).as("b"))
+          .localCheckpoint(eager = false)
+      }
+      val fit = newton(newton(newton(init)))
+      val pFin = lit(1.0) / (lit(1.0)
+        + exp(lit(0.0) - (col("a") * col("x") + col("b"))))
+      perUser.crossJoin(broadcast(fit))
+        .withColumn("p", greatest(least(pFin, lit(1.0) - lit(1e-12)),
+          lit(1e-12)))
+        .groupBy(col("n"), col("a"), col("b"))
+        .agg(dsum(lit(0.0) - (col("y") * log(col("p"))
+          + (lit(1.0) - col("y")) * log(lit(1.0) - col("p")))).as("snll"))
+        .select(col("n"), round(col("a"), 6).as("a"),
+          round(col("b"), 6).as("b"),
+          round(col("snll") / col("n"), 6).as("mean_nll"))
+    },
+    Some {
+      def newtonCte(prev: String, out: String) =
+        s"""g$out AS (
+      |  SELECT p.n, p.a, p.b,
+      |    ${sqlDsum("(1.0 / (1.0 + exp(0.0 - (p.a * u.x + p.b)))) - u.y")}
+      |      AS gb,
+      |    ${sqlDsum("((1.0 / (1.0 + exp(0.0 - (p.a * u.x + p.b)))) - u.y)" +
+             " * u.x")} AS ga,
+      |    ${sqlDsum("(1.0 / (1.0 + exp(0.0 - (p.a * u.x + p.b))))" +
+             " * (1.0 - (1.0 / (1.0 + exp(0.0 - (p.a * u.x + p.b)))))")}
+      |      AS hbb,
+      |    ${sqlDsum("(1.0 / (1.0 + exp(0.0 - (p.a * u.x + p.b))))" +
+             " * (1.0 - (1.0 / (1.0 + exp(0.0 - (p.a * u.x + p.b)))))" +
+             " * u.x")} AS hba,
+      |    ${sqlDsum("(1.0 / (1.0 + exp(0.0 - (p.a * u.x + p.b))))" +
+             " * (1.0 - (1.0 / (1.0 + exp(0.0 - (p.a * u.x + p.b)))))" +
+             " * u.x * u.x")} AS haa
+      |  FROM pu u CROSS JOIN $prev p
+      |  GROUP BY p.n, p.a, p.b),
+      |$out AS (
+      |  SELECT n,
+      |    a - ((ga + a) * (hbb + 1.0) - (gb + b) * hba)
+      |      / ((hbb + 1.0) * (haa + 1.0) - hba * hba) AS a,
+      |    b - ((gb + b) * (haa + 1.0) - (ga + a) * hba)
+      |      / ((hbb + 1.0) * (haa + 1.0) - hba * hba) AS b
+      |  FROM g$out)"""
+      s"""WITH pu0 AS (
+      |  SELECT
+      |    COALESCE(CAST(SUM(CASE WHEN event_type = 'view' THEN 1 END)
+      |      AS BIGINT), 0) AS x,
+      |    COALESCE(${sqlDsum(
+             "CASE WHEN event_type = 'purchase' THEN value END")}, 0.0)
+      |      AS spend
+      |  FROM events GROUP BY user_id),
+      |med AS (SELECT quantile_cont(spend, 0.5) AS m FROM pu0),
+      |pu AS (
+      |  SELECT x, CAST(spend >= m AS BIGINT) AS y
+      |  FROM pu0 CROSS JOIN med),
+      |p0 AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(0.0 AS DOUBLE) AS a,
+      |    ln(CAST(SUM(y) AS DOUBLE) / (COUNT(*) - SUM(y))) AS b
+      |  FROM pu),
+      |${newtonCte("p0", "p1")},
+      |${newtonCte("p1", "p2")},
+      |${newtonCte("p2", "p3")}
+      |SELECT p.n, round(p.a, 6) AS a, round(p.b, 6) AS b,
+      |  round(${sqlDsum(
+           "0.0 - (u.y * ln(GREATEST(LEAST(" +
+             "1.0 / (1.0 + exp(0.0 - (p.a * u.x + p.b)))," +
+             " 1.0 - 1e-12), 1e-12))" +
+             " + (1.0 - u.y) * ln(1.0 - GREATEST(LEAST(" +
+             "1.0 / (1.0 + exp(0.0 - (p.a * u.x + p.b)))," +
+             " 1.0 - 1e-12), 1e-12)))")} / p.n, 6)
+      |    AS mean_nll
+      |FROM pu u CROSS JOIN p3 p
+      |GROUP BY p.n, p.a, p.b""".stripMargin
+    })
+
   def queries: Seq[GQuery] =
     Seq(q23, q24, q25, q26, q27, q28, q29, q30, q31, q51, q58, q113, q163,
       q185, q191, q211, q217, q268, q274, q284, q291, q293, q294, q295,
       q296, q297, q298, q299, q300, q305, q306, q308, q311, q312, q315,
       q324, q327, q339, q343, q344, q351, q355, q356, q357, q358, q359,
-      q360, q365, q366, q367, q368, q369, q376, q378, q381)
+      q360, q365, q366, q367, q368, q369, q376, q378, q381, q384)
 }
