@@ -4236,10 +4236,72 @@ object StatsQueries {
       |GROUP BY p.n, p.a, p.b""".stripMargin
     })
 
+  /** q386: James–Stein / empirical-Bayes shrinkage of group means
+    * (James & Stein 1961; Efron & Morris 1975) — the estimator every
+    * per-segment dashboard should use instead of raw small-n means:
+    * per-nation customer balances shrink toward the grand mean with
+    * the positive-part factor c = max(0, 1 − (k−3)·v̄/S), v̄ = mean
+    * sampling variance of the group means, S = Σ(x̄ᵢ − x̄)². Two
+    * bounded aggregates over exact decimal moments (one fact pass +
+    * one k-row pass); the shrinkage factor is a single broadcast
+    * scalar. */
+  val q386 = GQuery(
+    "q386_james_stein",
+    (s, d) => {
+      val g = customer(s, d).groupBy(col("c_nationkey").as("nation"))
+        .agg(lcount(lit(1)).as("n"), dsum(col("c_acctbal")).as("s1"),
+          dsum(col("c_acctbal") * col("c_acctbal")).as("s2"))
+        .withColumn("xbar", col("s1") / col("n"))
+        .withColumn("se2",
+          when(col("n") > 1,
+            (col("s2") - col("s1") * col("s1") / col("n"))
+              / (col("n") - 1) / col("n")).otherwise(lit(0.0)))
+      val k = g.agg(lcount(lit(1)).as("k"), dsum(col("xbar")).as("sx"),
+        dsum(col("xbar") * col("xbar")).as("sxx"),
+        dsum(col("se2")).as("sv"))
+      g.crossJoin(broadcast(k))
+        .withColumn("grand", col("sx") / col("k"))
+        .withColumn("ssb", col("sxx") - col("sx") * col("sx") / col("k"))
+        .withColumn("c", greatest(lit(0.0),
+          lit(1.0) - (col("k") - 3) * (col("sv") / col("k")) / col("ssb")))
+        .select(col("nation").cast("long").as("nation"), col("n"),
+          round(col("xbar"), 6).as("mean"),
+          round(col("grand") + col("c") * (col("xbar") - col("grand")), 6)
+            .as("shrunk"),
+          round(col("c"), 6).as("shrink_factor"))
+        .orderBy(col("nation"))
+    },
+    Some(s"""WITH g AS (
+      |  SELECT c_nationkey AS nation, CAST(COUNT(*) AS BIGINT) AS n,
+      |    ${sqlDsum("c_acctbal")} AS s1,
+      |    ${sqlDsum("c_acctbal * c_acctbal")} AS s2
+      |  FROM customer GROUP BY c_nationkey),
+      |g2 AS (
+      |  SELECT nation, n, s1 / n AS xbar,
+      |    CASE WHEN n > 1
+      |      THEN (s2 - s1 * s1 / n) / (n - 1) / n
+      |      ELSE 0.0 END AS se2
+      |  FROM g),
+      |k AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS k, ${sqlDsum("xbar")} AS sx,
+      |    ${sqlDsum("xbar * xbar")} AS sxx, ${sqlDsum("se2")} AS sv
+      |  FROM g2),
+      |j AS (
+      |  SELECT g2.*, k.k, sx / k.k AS grand,
+      |    sxx - sx * sx / k.k AS ssb, k.sv
+      |  FROM g2 CROSS JOIN k)
+      |SELECT CAST(nation AS BIGINT) AS nation, n,
+      |  round(xbar, 6) AS mean,
+      |  round(grand + GREATEST(0.0,
+      |      1.0 - (k - 3) * (sv / k) / ssb) * (xbar - grand), 6) AS shrunk,
+      |  round(GREATEST(0.0, 1.0 - (k - 3) * (sv / k) / ssb), 6)
+      |    AS shrink_factor
+      |FROM j ORDER BY nation""".stripMargin))
+
   def queries: Seq[GQuery] =
     Seq(q23, q24, q25, q26, q27, q28, q29, q30, q31, q51, q58, q113, q163,
       q185, q191, q211, q217, q268, q274, q284, q291, q293, q294, q295,
       q296, q297, q298, q299, q300, q305, q306, q308, q311, q312, q315,
       q324, q327, q339, q343, q344, q351, q355, q356, q357, q358, q359,
-      q360, q365, q366, q367, q368, q369, q376, q378, q381, q384)
+      q360, q365, q366, q367, q368, q369, q376, q378, q381, q384, q386)
 }

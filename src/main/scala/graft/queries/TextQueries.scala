@@ -2922,10 +2922,139 @@ object TextQueries {
       |FROM best WHERE rn = 1
       |ORDER BY mass DESC, e ASC""".stripMargin))
 
+  /** q385: PPMI power iteration — the count-based embedding recipe
+    * (Levy & Goldberg 2014: word2vec ≈ PPMI matrix factorization),
+    * here as the top singular direction of the truncated PPMI
+    * co-occurrence matrix: vocabulary truncates to the top-200 words
+    * (bounded heap — the standard cut), PPMI(w1,w2) =
+    * max(0, ln(c12·N/(c1·c2))) over adjacent-token pairs, then 3
+    * unrolled normalize-multiply power steps on the 200²-bounded
+    * sparse frame (iteration cost independent of corpus size; the
+    * corpus is scanned once to count). Published: the top-10 loading
+    * words and the Rayleigh quotient — the "how much structure does
+    * dimension 1 carry" number. */
+  val q385 = GQuery(
+    "q385_ppmi_power_iteration",
+    (s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val toks = documents(s, d)
+        .select(col("doc_id"), wsTokens(col("text")).as("ws"))
+      val uni = toks.select(explode(col("ws")).as("w"))
+        .groupBy(col("w")).agg(lcount(lit(1)).as("c"))
+      val vocab = uni.orderBy(col("c").desc, col("w").asc).limit(200)
+        .localCheckpoint(eager = false)
+      val pairs = toks
+        .select(explode(graft.text.TextFunctions.ngrams(col("ws"), 2))
+          .as("bg"))
+        .select(substring_index(col("bg"), " ", 1).as("w1"),
+          substring_index(col("bg"), " ", -1).as("w2"))
+        .join(broadcast(vocab.select(col("w").as("w1"))), Seq("w1"))
+        .join(broadcast(vocab.select(col("w").as("w2"))), Seq("w2"))
+        .groupBy(col("w1"), col("w2")).agg(lcount(lit(1)).as("c12"))
+      val nTot = pairs.agg(sum(col("c12")).as("nn"))
+      val c1 = pairs.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+      val c2 = pairs.groupBy(col("w2")).agg(sum(col("c12")).as("c2"))
+      val m = pairs.join(c1, Seq("w1")).join(c2, Seq("w2"))
+        .crossJoin(broadcast(nTot))
+        .select(col("w1"), col("w2"),
+          greatest(log(col("c12").cast("double") * col("nn")
+            / (col("c1").cast("double") * col("c2"))), lit(0.0)).as("m"))
+        .filter(col("m") > 0)
+        .localCheckpoint(eager = false)
+      val v0 = m.select(col("w2").as("w")).distinct()
+        .withColumn("v", lit(1.0))
+      def step(v: org.apache.spark.sql.DataFrame)
+          : org.apache.spark.sql.DataFrame = {
+        val nrm = v.agg(sqrt(dsum(col("v") * col("v"))).as("nrm"))
+        val vn = v.crossJoin(broadcast(nrm))
+          .select(col("w"), (col("v") / col("nrm")).as("v"))
+        m.join(vn.select(col("w").as("w2"), col("v")), Seq("w2"))
+          .groupBy(col("w1").as("w"))
+          .agg(dsum(col("m") * col("v")).as("v"))
+      }
+      val v3 = step(step(step(v0))).localCheckpoint(eager = false)
+      val nrm3 = v3.agg(sqrt(dsum(col("v") * col("v"))).as("nrm"))
+      val vfin = v3.crossJoin(broadcast(nrm3))
+        .select(col("w"), (col("v") / col("nrm")).as("v"))
+      // Rayleigh quotient under the final normalized vector
+      val mv = m.join(vfin.select(col("w").as("w2"), col("v")), Seq("w2"))
+        .groupBy(col("w1").as("w")).agg(dsum(col("m") * col("v")).as("mv"))
+      val ray = vfin.join(mv, Seq("w"))
+        .agg(dsum(col("v") * col("mv")).as("rayleigh"))
+      vfin.crossJoin(broadcast(ray))
+        .withColumn("rn", row_number().over(
+          W.orderBy(abs(col("v")).desc, col("w").asc)))
+        .filter(col("rn") <= 10)
+        .select(col("rn").cast("long").as("rank"), col("w"),
+          round(col("v"), 6).as("loading"),
+          round(col("rayleigh"), 6).as("rayleigh"))
+        .orderBy(col("rank"))
+    },
+    Some {
+      def stepCte(prev: String, out: String) =
+        s"""n$out AS (
+      |  SELECT sqrt(${sqlDsum("v * v")}) AS nrm FROM $prev),
+      |v$out AS (
+      |  SELECT w, v / (SELECT nrm FROM n$out) AS v FROM $prev),
+      |$out AS (
+      |  SELECT m.w1 AS w, ${sqlDsum("m.m * q.v")} AS v
+      |  FROM m JOIN v$out q ON m.w2 = q.w
+      |  GROUP BY m.w1)"""
+      s"""WITH toks AS (
+      |  SELECT doc_id, $wsSql AS ws FROM documents),
+      |uni AS (
+      |  SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM (SELECT unnest(ws) AS w FROM toks) GROUP BY w),
+      |vocab AS (
+      |  SELECT w FROM uni ORDER BY c DESC, w ASC LIMIT 200),
+      |bg AS (
+      |  SELECT ws[i] AS w1, ws[i+1] AS w2
+      |  FROM toks,
+      |    UNNEST(generate_series(1, greatest(len(ws) - 1, 0))) AS u(i)),
+      |pairs AS (
+      |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+      |  FROM bg
+      |  WHERE w1 IN (SELECT w FROM vocab) AND w2 IN (SELECT w FROM vocab)
+      |  GROUP BY w1, w2),
+      |nt AS (SELECT CAST(SUM(c12) AS BIGINT) AS nn FROM pairs),
+      |cc1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1
+      |  FROM pairs GROUP BY w1),
+      |cc2 AS (SELECT w2, CAST(SUM(c12) AS BIGINT) AS c2
+      |  FROM pairs GROUP BY w2),
+      |m AS (
+      |  SELECT p.w1, p.w2,
+      |    GREATEST(ln(CAST(p.c12 AS DOUBLE) * nt.nn
+      |      / (CAST(a.c1 AS DOUBLE) * b.c2)), 0.0) AS m
+      |  FROM pairs p JOIN cc1 a ON p.w1 = a.w1
+      |  JOIN cc2 b ON p.w2 = b.w2 CROSS JOIN nt
+      |  WHERE GREATEST(ln(CAST(p.c12 AS DOUBLE) * nt.nn
+      |      / (CAST(a.c1 AS DOUBLE) * b.c2)), 0.0) > 0),
+      |p0 AS (
+      |  SELECT DISTINCT w2 AS w, CAST(1.0 AS DOUBLE) AS v FROM m),
+      |${stepCte("p0", "p1")},
+      |${stepCte("p1", "p2")},
+      |${stepCte("p2", "p3")},
+      |nf AS (SELECT sqrt(${sqlDsum("v * v")}) AS nrm FROM p3),
+      |vf AS (SELECT w, v / (SELECT nrm FROM nf) AS v FROM p3),
+      |mv AS (
+      |  SELECT m.w1 AS w, ${sqlDsum("m.m * q.v")} AS mv
+      |  FROM m JOIN vf q ON m.w2 = q.w GROUP BY m.w1),
+      |ray AS (
+      |  SELECT ${sqlDsum("vf.v * mv.mv")} AS rayleigh
+      |  FROM vf JOIN mv ON vf.w = mv.w),
+      |rk AS (
+      |  SELECT vf.w, vf.v, row_number() OVER (ORDER BY abs(vf.v) DESC,
+      |    vf.w ASC) AS rn
+      |  FROM vf)
+      |SELECT CAST(rn AS BIGINT) AS rank, w, round(v, 6) AS loading,
+      |  round((SELECT rayleigh FROM ray), 6) AS rayleigh
+      |FROM rk WHERE rn <= 10 ORDER BY rank""".stripMargin
+    })
+
   def queries: Seq[GQuery] =
     Seq(q32, q33, q34, q35, q66, q89, q91, q94, q96, q98, q99, q101,
       q106, q107, q109, q110, q111, q112, q115, q116, q120, q121, q126,
       q130, q132, q134, q135, q136, q137, q139, q140, q141, q179, q189, q193,
       q195, q200, q201, q236, q244, q258, q262, q264, q265, q266, q271,
-      q273, q292, q346, q347, q371)
+      q273, q292, q346, q347, q371, q385)
 }
