@@ -4298,10 +4298,80 @@ object StatsQueries {
       |    AS shrink_factor
       |FROM j ORDER BY nation""".stripMargin))
 
+  /** q387: delete-1-group jackknife for a ratio metric (Quenouille
+    * 1956; the estimator behind every "revenue per session ± SE"
+    * dashboard line — ratios have no closed-form variance, and the
+    * jackknife complements the q169/q244 bootstrap arms without any
+    * resampling): users hash into 20 md5 buckets, the leave-one-out
+    * ratios θ₍ᵢ₎ = (N−nᵢ)/(D−dᵢ) come from bucket sums SUBTRACTED
+    * from broadcast totals (one fact pass, never g re-scans), and
+    * SE² = (g−1)/g·Σ(θ₍ᵢ₎−θ̄)². Numerators are e2-scaled longs so
+    * every θ is one exact division. */
+  val q387 = GQuery(
+    "q387_jackknife_ratio",
+    (s, d) => {
+      val b = events(s, d)
+        .select(
+          (conv(substring(md5(concat_ws("-", lit("jk"),
+            col("user_id").cast("string"))), 1, 7), 16, 10).cast("long")
+            % 20).as("bkt"),
+          when(col("event_type") === "purchase",
+            floor(col("value") * 100 + 0.5).cast("long")).otherwise(lit(0L))
+            .as("num_e2"),
+          when(col("event_type") === "view", 1L).otherwise(0L).as("den"))
+        .groupBy(col("bkt"))
+        .agg(sum(col("num_e2")).as("sn"), sum(col("den")).as("sd"))
+      val tot = b.agg(sum(col("sn")).as("tn"), sum(col("sd")).as("td"),
+        lcount(lit(1)).as("g"))
+      val loo = b.crossJoin(broadcast(tot))
+        .withColumn("theta_i",
+          (col("tn") - col("sn")).cast("double") / 100
+            / (col("td") - col("sd")))
+      val jk = loo.groupBy(col("g"), col("tn"), col("td"))
+        .agg(dsum(col("theta_i")).as("st"),
+          dsum(col("theta_i") * col("theta_i")).as("stt"))
+      jk.select(col("g"),
+          round(col("tn").cast("double") / 100 / col("td"), 6).as("theta"),
+          round(col("st") / col("g"), 6).as("theta_jack_mean"),
+          round(sqrt((col("g") - 1).cast("double") / col("g")
+            * (col("stt") - col("st") * col("st") / col("g"))), 6)
+            .as("se_jack"))
+    },
+    Some(s"""WITH e AS (
+      |  SELECT CAST(('0x' || substr(md5('jk' || '-'
+      |      || CAST(user_id AS VARCHAR)), 1, 7)) AS BIGINT) % 20 AS bkt,
+      |    CASE WHEN event_type = 'purchase'
+      |      THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END
+      |      AS num_e2,
+      |    CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS den
+      |  FROM events),
+      |b AS (
+      |  SELECT bkt, CAST(SUM(num_e2) AS BIGINT) AS sn,
+      |    CAST(SUM(den) AS BIGINT) AS sd
+      |  FROM e GROUP BY bkt),
+      |tot AS (
+      |  SELECT CAST(SUM(sn) AS BIGINT) AS tn, CAST(SUM(sd) AS BIGINT) AS td,
+      |    CAST(COUNT(*) AS BIGINT) AS g
+      |  FROM b),
+      |loo AS (
+      |  SELECT b.*, t.tn, t.td, t.g,
+      |    CAST(t.tn - b.sn AS DOUBLE) / 100 / (t.td - b.sd) AS theta_i
+      |  FROM b CROSS JOIN tot t),
+      |jk AS (
+      |  SELECT g, tn, td, ${sqlDsum("theta_i")} AS st,
+      |    ${sqlDsum("theta_i * theta_i")} AS stt
+      |  FROM loo GROUP BY g, tn, td)
+      |SELECT g, round(CAST(tn AS DOUBLE) / 100 / td, 6) AS theta,
+      |  round(st / g, 6) AS theta_jack_mean,
+      |  round(sqrt(CAST(g - 1 AS DOUBLE) / g
+      |    * (stt - st * st / g)), 6) AS se_jack
+      |FROM jk""".stripMargin))
+
   def queries: Seq[GQuery] =
     Seq(q23, q24, q25, q26, q27, q28, q29, q30, q31, q51, q58, q113, q163,
       q185, q191, q211, q217, q268, q274, q284, q291, q293, q294, q295,
       q296, q297, q298, q299, q300, q305, q306, q308, q311, q312, q315,
       q324, q327, q339, q343, q344, q351, q355, q356, q357, q358, q359,
-      q360, q365, q366, q367, q368, q369, q376, q378, q381, q384, q386)
+      q360, q365, q366, q367, q368, q369, q376, q378, q381, q384, q386,
+      q387)
 }

@@ -2160,8 +2160,90 @@ object TemporalQueries {
       |FROM phi p JOIN tc t ON p.ch = t.ch
       |ORDER BY p.ch""".stripMargin))
 
+  /** q388: k-step Markov absorption probabilities (k = 6) — the
+    * "will this journey convert, and from where" number completing
+    * the chain family (q280 transitions, q330 removal effects, q373
+    * stationary): with purchase absorbing, b = Σ_{t=0..5} Qᵗ·R is
+    * EXACTLY the probability of converting within 6 steps from each
+    * transient state (a truncated fundamental-matrix solve with
+    * defined semantics, not an approximation). Five unrolled
+    * vector-multiply steps over the states²-bounded transient matrix
+    * (landed once — iteration cost independent of the fact scan);
+    * sums decimal-routed. */
+  val q388 = GQuery(
+    "q388_absorption_probability",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val tr = events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("to_type", lead(col("event_type"), 1).over(w))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(lcount(lit(1)).as("n"))
+      val fromTot = tr.groupBy(col("from_type")).agg(sum(col("n")).as("nf"))
+      val pmat = tr.join(broadcast(fromTot), Seq("from_type"))
+        .filter(col("from_type") =!= "purchase")
+        .select(col("from_type"), col("to_type"),
+          (col("n").cast("double") / col("nf")).as("p"))
+        .localCheckpoint(eager = false)
+      val qMat = pmat.filter(col("to_type") =!= "purchase")
+      val r0 = pmat.filter(col("to_type") === "purchase")
+        .select(col("from_type").as("st"), col("p").as("x"))
+      val steps = (1 to 5).scanLeft(r0) { (x, _) =>
+        qMat.join(x.select(col("st").as("to_type"), col("x")),
+            Seq("to_type"))
+          .groupBy(col("from_type").as("st"))
+          .agg(dsum(col("p") * col("x")).as("x"))
+      }
+      val b = steps.map(_.select(col("st"), col("x")))
+        .reduce(_ unionByName _)
+        .groupBy(col("st"))
+        .agg(sum(col("x").cast(graft.core.Exact.Dec)).cast("double")
+          .as("b"))
+      b.select(col("st"), round(col("b"), 6).as("p_convert_6"))
+        .orderBy(col("st"))
+    },
+    Some {
+      def step(prev: String, out: String) =
+        s"""$out AS (
+      |  SELECT q.from_type AS st, ${sqlDsum("q.p * x.x")} AS x
+      |  FROM qm q JOIN $prev x ON q.to_type = x.st
+      |  GROUP BY q.from_type)"""
+      s"""WITH trr AS (
+      |  SELECT event_type AS from_type,
+      |    LEAD(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS to_type
+      |  FROM events),
+      |cnt AS (
+      |  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM trr WHERE to_type IS NOT NULL GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT from_type, CAST(SUM(n) AS BIGINT) AS nf FROM cnt GROUP BY 1),
+      |pm AS (
+      |  SELECT c.from_type, c.to_type, CAST(c.n AS DOUBLE) / t.nf AS p
+      |  FROM cnt c JOIN tot t ON c.from_type = t.from_type
+      |  WHERE c.from_type <> 'purchase'),
+      |qm AS (SELECT * FROM pm WHERE to_type <> 'purchase'),
+      |x0 AS (
+      |  SELECT from_type AS st, p AS x FROM pm WHERE to_type = 'purchase'),
+      |${step("x0", "x1")},
+      |${step("x1", "x2")},
+      |${step("x2", "x3")},
+      |${step("x3", "x4")},
+      |${step("x4", "x5")},
+      |u AS (
+      |  SELECT st, x FROM x0 UNION ALL SELECT st, x FROM x1
+      |  UNION ALL SELECT st, x FROM x2 UNION ALL SELECT st, x FROM x3
+      |  UNION ALL SELECT st, x FROM x4 UNION ALL SELECT st, x FROM x5)
+      |SELECT st,
+      |  round(CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE), 6)
+      |    AS p_convert_6
+      |FROM u GROUP BY st ORDER BY st""".stripMargin
+    })
+
   def queries: Seq[GQuery] =
     Seq(q43, q44, q56, q70, q181, q182, q183, q196, q197, q263, q272, q278,
       q279, q280, q281, q285, q301, q302, q303, q309, q310, q317, q318,
-      q320, q322, q323, q326, q329, q354, q363, q373, q374)
+      q320, q322, q323, q326, q329, q354, q363, q373, q374, q388)
 }

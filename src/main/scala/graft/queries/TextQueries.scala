@@ -2855,6 +2855,10 @@ object TextQueries {
         .select(col("doc_id"), col("ne"), explode(col("es")).as("e"), col("es"))
         .select(col("doc_id"), col("ne"), col("e"),
           explode(transform(col("es"), t => concat(lit("x"), t))).as("f"))
+        // the in-sentence pair frame feeds BOTH EM iterations and the
+        // mass ranking — land it once (sf1 measured 35.7 s -> the
+        // double-explode chain re-derived 3x per plan)
+        .localCheckpoint(eager = false)
       // iteration 1: uniform t cancels in the E-step ratio, so the
       // fractional count is 1/ne per in-sentence pair occurrence
       val c1 = pairs.groupBy(col("e"), col("f"))
