@@ -1426,43 +1426,63 @@ object CorpusStatQueries {
     * e9-floored exact-sum discipline (q146) so per-doc scores are
     * partition-independent; argmax ties break lexicographically.
     * Census = the held-out confusion matrix plus a score checksum. */
+  /** The q364 naive-Bayes (doc × lang) score grid — factored out and
+    * LANDED so the data-centric-AI consumers (q389 confident-learning
+    * label errors, q390 uncertainty acquisition) probe the scores
+    * instead of re-counting the model. Columns:
+    * (doc_id, true_lang, ml, score_e6). */
+  private[graft] def nbScoreGridBuild(s: org.apache.spark.sql.SparkSession,
+                                      d: String)
+      : org.apache.spark.sql.DataFrame = {
+    import graft.core.Exact.{lcount, lsumAt}
+    val docs = documents(s, d)
+    val train = docs.filter(col("doc_id") % 3 =!= 0)
+    val test = docs.filter(col("doc_id") % 3 === 0)
+    val trTok = train.select(col("lang"),
+      explode(graft.text.TextFunctions.wsTokens(col("text"))).as("w"))
+    val cnt = trTok.groupBy(col("lang"), col("w"))
+      .agg(lcount(lit(1)).as("c"))
+      .select(col("lang").as("ml"), col("w"), col("c"))
+    val tot = cnt.groupBy(col("ml")).agg(sum(col("c")).as("tot"))
+    val vocab = trTok.agg(countDistinct(col("w")).cast("long").as("v"))
+    val pri = train.groupBy(col("lang"))
+      .agg(lcount(lit(1)).as("nl")).select(col("lang").as("ml"), col("nl"))
+    val nAll = train.agg(lcount(lit(1)).as("n_all"))
+    val teTok = test.select(col("doc_id"),
+      explode(graft.text.TextFunctions.wsTokens(col("text"))).as("w"))
+    val docLang = teTok
+      .crossJoin(broadcast(tot.crossJoin(vocab)))
+      // (lang × token) likelihoods are vocabulary-sized — shuffle
+      // join on (ml, w), never a broadcast that grows with the corpus
+      .join(cnt, Seq("ml", "w"), "left")
+      .select(col("doc_id"), col("ml"),
+        log((coalesce(col("c"), lit(0L)) + 1).cast("double")
+          / (col("tot") + col("v")).cast("double")).as("lp"))
+      .groupBy(col("doc_id"), col("ml"))
+      .agg(lsumAt(col("lp"), 1e9).as("tok_lp"))
+    test.select(col("doc_id"), col("lang").as("true_lang"))
+      .crossJoin(broadcast(pri.crossJoin(nAll)))
+      .join(docLang, Seq("doc_id", "ml"), "left")
+      .select(col("doc_id"), col("true_lang"), col("ml"),
+        floor((coalesce(col("tok_lp"), lit(0.0))
+          + floor(log(col("nl").cast("double") / col("n_all")) * 1e9
+            + 0.5) / 1e9) * 1e6 + 0.5).cast("long").as("score_e6"))
+  }
+
+  private[graft] def nbScoreGrid(s: org.apache.spark.sql.SparkSession,
+                                 d: String, probe: Boolean) =
+    if (probe)
+      graft.core.Landed.probeOrBuild(s, s"nb-scores:$d")(nbScoreGridBuild(s, d))
+    else
+      graft.core.Landed.land(s, s"nb-scores:$d")(nbScoreGridBuild(s, d))
+
   val q364 = GQuery(
     "q364_naive_bayes_langid",
     (s, d) => {
-      import graft.core.Exact.{lcount, lsumAt}
+      import graft.core.Exact.lcount
       val w = org.apache.spark.sql.expressions.Window
-      val docs = documents(s, d)
-      val train = docs.filter(col("doc_id") % 3 =!= 0)
-      val test = docs.filter(col("doc_id") % 3 === 0)
-      val trTok = train.select(col("lang"),
-        explode(graft.text.TextFunctions.wsTokens(col("text"))).as("w"))
-      val cnt = trTok.groupBy(col("lang"), col("w"))
-        .agg(lcount(lit(1)).as("c"))
-        .select(col("lang").as("ml"), col("w"), col("c"))
-      val tot = cnt.groupBy(col("ml")).agg(sum(col("c")).as("tot"))
-      val vocab = trTok.agg(countDistinct(col("w")).cast("long").as("v"))
-      val pri = train.groupBy(col("lang"))
-        .agg(lcount(lit(1)).as("nl")).select(col("lang").as("ml"), col("nl"))
-      val nAll = train.agg(lcount(lit(1)).as("n_all"))
-      val teTok = test.select(col("doc_id"),
-        explode(graft.text.TextFunctions.wsTokens(col("text"))).as("w"))
-      val docLang = teTok
-        .crossJoin(broadcast(tot.crossJoin(vocab)))
-        // (lang × token) likelihoods are vocabulary-sized — shuffle
-        // join on (ml, w), never a broadcast that grows with the corpus
-        .join(cnt, Seq("ml", "w"), "left")
-        .select(col("doc_id"), col("ml"),
-          log((coalesce(col("c"), lit(0L)) + 1).cast("double")
-            / (col("tot") + col("v")).cast("double")).as("lp"))
-        .groupBy(col("doc_id"), col("ml"))
-        .agg(lsumAt(col("lp"), 1e9).as("tok_lp"))
-      val pred = test.select(col("doc_id"), col("lang").as("true_lang"))
-        .crossJoin(broadcast(pri.crossJoin(nAll)))
-        .join(docLang, Seq("doc_id", "ml"), "left")
-        .withColumn("score_e6",
-          floor((coalesce(col("tok_lp"), lit(0.0))
-            + floor(log(col("nl").cast("double") / col("n_all")) * 1e9
-              + 0.5) / 1e9) * 1e6 + 0.5).cast("long"))
+      // PRODUCER: lands the score grid for the q389/q390 consumers
+      val pred = nbScoreGrid(s, d, probe = false)
         .withColumn("rn", row_number().over(
           w.partitionBy(col("doc_id"))
             .orderBy(col("score_e6").desc, col("ml").asc)))
@@ -1647,7 +1667,164 @@ object CorpusStatQueries {
       |    AS mean_loss
       |FROM pm GROUP BY lang ORDER BY lang""".stripMargin))
 
+  /** Shared oracle prefix: the q364 NB (doc × lang) score grid as a
+    * `grid` CTE (the SQL twin of [[nbScoreGridBuild]]). */
+  private def nbGridSql: String = s"""WITH tr AS (
+      |  SELECT doc_id, lang, text FROM documents WHERE doc_id % 3 <> 0),
+      |te AS (
+      |  SELECT doc_id, lang, text FROM documents WHERE doc_id % 3 = 0),
+      |trtok AS (SELECT lang, unnest($wsSql) AS w FROM tr),
+      |cnt AS (
+      |  SELECT lang AS ml, w, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM trtok GROUP BY 1, 2),
+      |tot AS (SELECT ml, CAST(SUM(c) AS BIGINT) AS tot FROM cnt GROUP BY ml),
+      |voc AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v FROM trtok),
+      |pri AS (
+      |  SELECT lang AS ml, CAST(COUNT(*) AS BIGINT) AS nl
+      |  FROM tr GROUP BY 1),
+      |na AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_all FROM tr),
+      |tetok AS (SELECT doc_id, unnest($wsSql) AS w FROM te),
+      |dl AS (
+      |  SELECT t.doc_id, l.ml,
+      |    ${graft.core.Exact.sqlLsumAt(
+             "ln(CAST(COALESCE(c.c, 0) + 1 AS DOUBLE)" +
+               " / CAST(l.tot + voc.v AS DOUBLE))",
+             "1000000000.0")} AS tok_lp
+      |  FROM tetok t CROSS JOIN tot l CROSS JOIN voc
+      |  LEFT JOIN cnt c ON c.ml = l.ml AND c.w = t.w
+      |  GROUP BY t.doc_id, l.ml),
+      |grid AS (
+      |  SELECT g.doc_id, g.true_lang, g.ml,
+      |    CAST(floor((COALESCE(d.tok_lp, 0.0)
+      |      + floor(ln(CAST(g.nl AS DOUBLE) / g.n_all) * 1e9 + 0.5) / 1e9)
+      |      * 1e6 + 0.5) AS BIGINT) AS score_e6
+      |  FROM (SELECT te.doc_id, te.lang AS true_lang, p.ml, p.nl, na.n_all
+      |        FROM te CROSS JOIN pri p CROSS JOIN na) g
+      |  LEFT JOIN dl d ON d.doc_id = g.doc_id AND d.ml = g.ml)"""
+
+  /** q389: confident-learning label-error census (Northcutt et al.
+    * 2021) — the data-centric-AI sweep run before trusting labels:
+    * normalized NB posteriors (max-shifted softmax over the landed
+    * q364 score grid — e6-exact scores in, one exp per cell),
+    * per-class confidence thresholds t_j = mean posterior among docs
+    * GIVEN label j, and the confident joint counts C[given][suggested]
+    * over docs whose posterior clears some class's threshold —
+    * off-diagonal mass is the estimated label-error bill. The grid is
+    * a landed probe; everything here is L-bounded per doc. */
+  val q389 = GQuery(
+    "q389_confident_learning",
+    (s, d) => {
+      import graft.core.Exact.{lcount, dsumOver}
+      val w = org.apache.spark.sql.expressions.Window
+      val grid = nbScoreGrid(s, d, probe = true)
+      val post = grid
+        .withColumn("mx", max(col("score_e6")).over(
+          w.partitionBy(col("doc_id"))))
+        .withColumn("p", exp((col("score_e6") - col("mx")).cast("double")
+          / 1e6))
+        .withColumn("z", dsumOver(col("p"), w.partitionBy(col("doc_id"))))
+        .withColumn("pn", col("p") / col("z"))
+      val thr = post.filter(col("ml") === col("true_lang"))
+        .groupBy(col("ml"))
+        .agg((dsum(col("pn")) / count(lit(1))).as("t"))
+      val qual = post.join(broadcast(thr), Seq("ml"))
+        .filter(col("pn") >= col("t"))
+        .withColumn("rn", row_number().over(
+          w.partitionBy(col("doc_id"))
+            .orderBy(col("score_e6").desc, col("ml").asc)))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("ml").as("suggested"))
+      grid.select(col("doc_id"), col("true_lang")).distinct()
+        .join(qual, Seq("doc_id"), "left")
+        .groupBy(col("true_lang").as("given"),
+          coalesce(col("suggested"), lit("(none)")).as("suggested"))
+        .agg(lcount(lit(1)).as("n_docs"))
+        .orderBy(col("given"), col("suggested"))
+    },
+    Some(s"""$nbGridSql,
+      |post AS (
+      |  SELECT doc_id, true_lang, ml, score_e6,
+      |    exp(CAST(score_e6 - MAX(score_e6) OVER (PARTITION BY doc_id)
+      |      AS DOUBLE) / 1e6) AS p
+      |  FROM grid),
+      |post2 AS (
+      |  SELECT *, p / CAST(SUM(CAST(p AS DECIMAL(38,6)))
+      |    OVER (PARTITION BY doc_id) AS DOUBLE) AS pn
+      |  FROM post),
+      |thr AS (
+      |  SELECT ml, ${sqlDsum("pn")} / COUNT(*) AS t
+      |  FROM post2 WHERE ml = true_lang GROUP BY ml),
+      |qual AS (
+      |  SELECT doc_id, ml AS suggested,
+      |    row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY score_e6 DESC, ml ASC) AS rn
+      |  FROM (SELECT p2.*, th.t FROM post2 p2
+      |        JOIN thr th ON p2.ml = th.ml
+      |        WHERE p2.pn >= th.t)),
+      |docs1 AS (SELECT DISTINCT doc_id, true_lang FROM grid)
+      |SELECT d.true_lang AS given,
+      |  COALESCE(q.suggested, '(none)') AS suggested,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs
+      |FROM docs1 d LEFT JOIN (SELECT doc_id, suggested FROM qual
+      |  WHERE rn = 1) q ON d.doc_id = q.doc_id
+      |GROUP BY 1, 2 ORDER BY given, suggested""".stripMargin))
+
+  /** q390: uncertainty-sampling acquisition census — the active-
+    * learning batch picker over the same landed grid: per doc the
+    * EXACT e6-integer margin between the top two class scores, a
+    * 50-doc acquisition batch by (margin asc, doc asc) (bounded heap
+    * — never a global sort), and the per-language census of margin
+    * mass and batch membership every labeling round reviews. */
+  val q390 = GQuery(
+    "q390_uncertainty_sampling",
+    (s, d) => {
+      import graft.core.Exact.lcount
+      val w = org.apache.spark.sql.expressions.Window
+      val grid = nbScoreGrid(s, d, probe = true)
+      val top2 = grid
+        .withColumn("rn", row_number().over(
+          w.partitionBy(col("doc_id"))
+            .orderBy(col("score_e6").desc, col("ml").asc)))
+        .filter(col("rn") <= 2)
+        .groupBy(col("doc_id"), col("true_lang"))
+        .agg((max(when(col("rn") === 1, col("score_e6")))
+          - max(when(col("rn") === 2, col("score_e6")))).as("margin_e6"))
+      val batch = top2.orderBy(col("margin_e6").asc, col("doc_id").asc)
+        .limit(50).select(col("doc_id"), lit(1L).as("sel"))
+      top2.join(broadcast(batch), Seq("doc_id"), "left")
+        .groupBy(col("true_lang"))
+        .agg(lcount(lit(1)).as("n_docs"),
+          sum(col("margin_e6")).as("margin_sum_e6"),
+          min(col("margin_e6")).as("min_margin_e6"),
+          coalesce(sum(col("sel")), lit(0L)).as("n_selected"))
+        .select(col("true_lang"), col("n_docs"),
+          round(col("margin_sum_e6").cast("double") / col("n_docs") / 1e6, 6)
+            .as("mean_margin"),
+          col("min_margin_e6"), col("n_selected"))
+        .orderBy(col("true_lang"))
+    },
+    Some(s"""$nbGridSql,
+      |top2 AS (
+      |  SELECT doc_id, true_lang,
+      |    MAX(CASE WHEN rn = 1 THEN score_e6 END)
+      |      - MAX(CASE WHEN rn = 2 THEN score_e6 END) AS margin_e6
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+      |          ORDER BY score_e6 DESC, ml ASC) AS rn
+      |        FROM grid)
+      |  WHERE rn <= 2 GROUP BY doc_id, true_lang),
+      |batch AS (
+      |  SELECT doc_id, CAST(1 AS BIGINT) AS sel FROM top2
+      |  ORDER BY margin_e6 ASC, doc_id ASC LIMIT 50)
+      |SELECT t.true_lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  round(CAST(SUM(t.margin_e6) AS DOUBLE) / COUNT(*) / 1e6, 6)
+      |    AS mean_margin,
+      |  MIN(t.margin_e6) AS min_margin_e6,
+      |  COALESCE(CAST(SUM(b.sel) AS BIGINT), 0) AS n_selected
+      |FROM top2 t LEFT JOIN batch b ON t.doc_id = b.doc_id
+      |GROUP BY t.true_lang ORDER BY t.true_lang""".stripMargin))
+
   def queries: Seq[GQuery] =
     Seq(q146, q149, q152, q169, q175, q213, q215, q220, q224, q237, q275,
-      q276, q314, q319, q325, q331, q333, q342, q349, q350, q364, q375)
+      q276, q314, q319, q325, q331, q333, q342, q349, q350, q364, q375,
+      q389, q390)
 }
