@@ -3055,10 +3055,145 @@ object TextQueries {
       |FROM rk WHERE rn <= 10 ORDER BY rank""".stripMargin
     })
 
+  /** q391: PLSA topic model, 2 topics × 2 unrolled EM steps (Hofmann
+    * 1999 — the count-based ancestor of LDA, and the canonical
+    * "distributed EM over doc-word counts" workload): responsibilities
+    * r_z(d,w) = θ_dz·φ_zw/Σ computed WIDE (both topics as columns —
+    * no explode), M-step re-estimates φ by word and θ by doc — two
+    * grouped shuffles per step, the real topic-model dataflow.
+    * High-entropy sigmoid/ln inits keep every product off the decimal
+    * cast boundaries (the q372 lesson); the doc-word count frame
+    * lands once (it feeds every step twice). Published: top-10 words
+    * per topic with φ and the corpus topic masses. */
+  val q391 = GQuery(
+    "q391_plsa_topics",
+    (s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val counts = documents(s, d)
+        .select(col("doc_id").as("doc"),
+          explode(wsTokens(col("text"))).as("w"))
+        .groupBy(col("doc"), col("w")).agg(lcount(lit(1)).as("n"))
+        .localCheckpoint(eager = false)
+      val nd = counts.groupBy(col("doc")).agg(sum(col("n")).as("nd"))
+      val theta0 = nd.select(col("doc"), col("nd"),
+        (lit(1.0) / (lit(1.0)
+          + exp(lit(0.0) - ((col("doc") % 21) - 10).cast("double") / 5)))
+          .as("t0"))
+      val phiU = counts.select(col("w")).distinct()
+        .select(col("w"),
+          (lit(1.0) + log(lit(2.0) + (length(col("w")) % 13)) / 10).as("u0"),
+          (lit(1.0) + log(lit(2.0) + ((length(col("w")) * 2) % 13)) / 10)
+            .as("u1"))
+      val phiZ = phiU.agg(dsum(col("u0")).as("z0"), dsum(col("u1")).as("z1"))
+      val phi0 = phiU.crossJoin(broadcast(phiZ))
+        .select(col("w"), (col("u0") / col("z0")).as("f0"),
+          (col("u1") / col("z1")).as("f1"))
+      def em(theta: org.apache.spark.sql.DataFrame,
+             phi: org.apache.spark.sql.DataFrame) = {
+        val j = counts.join(theta, Seq("doc")).join(phi, Seq("w"))
+          .withColumn("a0", col("t0") * col("f0"))
+          .withColumn("a1", (lit(1.0) - col("t0")) * col("f1"))
+          .withColumn("r0", col("a0") / (col("a0") + col("a1")))
+        val phiNum = j.groupBy(col("w"))
+          .agg(dsum(col("n") * col("r0")).as("p0"),
+            dsum(col("n") * (lit(1.0) - col("r0"))).as("p1"))
+          .localCheckpoint(eager = false)
+        val phiNorm = phiNum.agg(dsum(col("p0")).as("z0"),
+          dsum(col("p1")).as("z1"))
+        val phiN = phiNum.crossJoin(broadcast(phiNorm))
+          .select(col("w"), (col("p0") / col("z0")).as("f0"),
+            (col("p1") / col("z1")).as("f1"))
+        val thetaN = j.groupBy(col("doc"), col("nd"))
+          .agg(dsum(col("n") * col("r0")).as("s0"))
+          .select(col("doc"), col("nd"),
+            (col("s0") / col("nd")).as("t0"))
+          .localCheckpoint(eager = false)
+        (thetaN, phiN)
+      }
+      val (t1, f1) = em(theta0, phi0)
+      val (t2, f2) = em(t1, f1)
+      val mass = t2.agg((dsum(col("t0")) / count(lit(1))).as("mass0"),
+        lcount(lit(1)).as("n_docs"))
+      val ranked = f2
+        .select(lit(0L).as("topic"), col("w"), col("f0").as("phi"))
+        .unionByName(f2.select(lit(1L).as("topic"), col("w"),
+          col("f1").as("phi")))
+        .withColumn("rn", row_number().over(
+          W.partitionBy(col("topic")).orderBy(col("phi").desc, col("w").asc)))
+        .filter(col("rn") <= 10)
+      ranked.crossJoin(broadcast(mass))
+        .select(col("topic"), col("rn").cast("long").as("rank"), col("w"),
+          round(col("phi"), 6).as("phi"),
+          round(when(col("topic") === 0, col("mass0"))
+            .otherwise(lit(1.0) - col("mass0")), 6).as("topic_mass"),
+          col("n_docs"))
+        .orderBy(col("topic"), col("rank"))
+    },
+    Some {
+      def emCte(tp: String, fp: String, tn: String, fn: String, i: Int) =
+        s"""j$i AS (
+      |  SELECT c.doc, c.w, c.n, t.nd, t.t0, f.f0, f.f1,
+      |    (t.t0 * f.f0) / ((t.t0 * f.f0) + ((1.0 - t.t0) * f.f1)) AS r0
+      |  FROM counts c JOIN $tp t ON c.doc = t.doc
+      |  JOIN $fp f ON c.w = f.w),
+      |pn$i AS (
+      |  SELECT w, ${sqlDsum("n * r0")} AS p0,
+      |    ${sqlDsum("n * (1.0 - r0)")} AS p1
+      |  FROM j$i GROUP BY w),
+      |pz$i AS (
+      |  SELECT ${sqlDsum("p0")} AS z0, ${sqlDsum("p1")} AS z1 FROM pn$i),
+      |$fn AS (
+      |  SELECT w, p0 / (SELECT z0 FROM pz$i) AS f0,
+      |    p1 / (SELECT z1 FROM pz$i) AS f1
+      |  FROM pn$i),
+      |$tn AS (
+      |  SELECT doc, nd, ${sqlDsum("n * r0")} / nd AS t0
+      |  FROM j$i GROUP BY doc, nd)"""
+      s"""WITH counts AS (
+      |  SELECT doc_id AS doc, w, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM (SELECT doc_id, unnest($wsSql) AS w FROM documents)
+      |  GROUP BY 1, 2),
+      |nd AS (SELECT doc, CAST(SUM(n) AS BIGINT) AS nd
+      |  FROM counts GROUP BY doc),
+      |t0f AS (
+      |  SELECT doc, nd,
+      |    1.0 / (1.0 + exp(0.0 - CAST((doc % 21) - 10 AS DOUBLE) / 5))
+      |      AS t0
+      |  FROM nd),
+      |pu AS (
+      |  SELECT w, 1.0 + ln(2.0 + (length(w) % 13)) / 10 AS u0,
+      |    1.0 + ln(2.0 + ((length(w) * 2) % 13)) / 10 AS u1
+      |  FROM (SELECT DISTINCT w FROM counts)),
+      |pz AS (SELECT ${sqlDsum("u0")} AS z0, ${sqlDsum("u1")} AS z1 FROM pu),
+      |f0f AS (
+      |  SELECT w, u0 / (SELECT z0 FROM pz) AS f0,
+      |    u1 / (SELECT z1 FROM pz) AS f1
+      |  FROM pu),
+      |${emCte("t0f", "f0f", "t1f", "f1f", 1)},
+      |${emCte("t1f", "f1f", "t2f", "f2f", 2)},
+      |mass AS (
+      |  SELECT ${sqlDsum("t0")} / COUNT(*) AS mass0,
+      |    CAST(COUNT(*) AS BIGINT) AS n_docs
+      |  FROM t2f),
+      |ranked AS (
+      |  SELECT topic, w, phi, row_number() OVER (PARTITION BY topic
+      |    ORDER BY phi DESC, w ASC) AS rn
+      |  FROM (SELECT CAST(0 AS BIGINT) AS topic, w, f0 AS phi FROM f2f
+      |        UNION ALL
+      |        SELECT CAST(1 AS BIGINT), w, f1 FROM f2f))
+      |SELECT r.topic, CAST(r.rn AS BIGINT) AS rank, r.w,
+      |  round(r.phi, 6) AS phi,
+      |  round(CASE WHEN r.topic = 0 THEN m.mass0
+      |    ELSE 1.0 - m.mass0 END, 6) AS topic_mass,
+      |  m.n_docs
+      |FROM ranked r CROSS JOIN mass m
+      |WHERE r.rn <= 10 ORDER BY r.topic, r.rn""".stripMargin
+    })
+
   def queries: Seq[GQuery] =
     Seq(q32, q33, q34, q35, q66, q89, q91, q94, q96, q98, q99, q101,
       q106, q107, q109, q110, q111, q112, q115, q116, q120, q121, q126,
       q130, q132, q134, q135, q136, q137, q139, q140, q141, q179, q189, q193,
       q195, q200, q201, q236, q244, q258, q262, q264, q265, q266, q271,
-      q273, q292, q346, q347, q371, q385)
+      q273, q292, q346, q347, q371, q385, q391)
 }
