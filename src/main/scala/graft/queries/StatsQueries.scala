@@ -4371,11 +4371,72 @@ object StatsQueries {
       |    * (stt - st * st / g)), 6) AS se_jack
       |FROM jk""".stripMargin))
 
+  /** q394: negative-binomial method-of-moments fit — the follow-up
+    * q360's adequacy check demands (q360 DETECTS overdispersion; this
+    * fits the model that accommodates it): per event stream over the
+    * completed user×stream grid, p̂ = m/v and r̂ = m²/(v−m) from the
+    * same exact integer moments, with the Poisson-adequate streams
+    * (v ≤ m) flagged instead of nulled into a broken fit. One grid
+    * aggregate; the grid is the q360 complete() construction. */
+  val q394 = GQuery(
+    "q394_negative_binomial_fit",
+    (s, d) => {
+      val dec0 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val ev = events(s, d)
+      val counts = ev.groupBy(col("user_id"), col("event_type"))
+        .agg(lcount(lit(1)).as("c"))
+      val grid = ev.select(col("user_id")).distinct()
+        .crossJoin(ev.select(col("event_type")).distinct())
+        .join(counts, Seq("user_id", "event_type"), "left")
+        .select(col("event_type"), coalesce(col("c"), lit(0L)).as("c"))
+      grid.groupBy(col("event_type"))
+        .agg(lcount(lit(1)).as("n"),
+          sum(col("c").cast(dec0)).as("sc"),
+          sum(col("c").cast(dec0) * col("c")).as("scc"))
+        .withColumn("m", col("sc").cast("double") / col("n"))
+        .withColumn("v",
+          (col("n") * col("scc") - col("sc") * col("sc")).cast("double")
+            / col("n").cast("double") / (col("n") - 1).cast("double"))
+        .select(col("event_type"), col("n"),
+          round(col("m"), 6).as("mean"),
+          round(col("v"), 6).as("var"),
+          (col("v") > col("m")).as("overdispersed"),
+          round(when(col("v") > col("m"), col("m") / col("v")), 6)
+            .as("p_hat"),
+          round(when(col("v") > col("m"),
+            col("m") * col("m") / (col("v") - col("m"))), 6).as("r_hat"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH counts AS (
+      |  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM events GROUP BY user_id, event_type),
+      |grid AS (
+      |  SELECT t.event_type, COALESCE(c.c, 0) AS c
+      |  FROM (SELECT DISTINCT user_id FROM events) u
+      |  CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+      |  LEFT JOIN counts c ON u.user_id = c.user_id
+      |    AND t.event_type = c.event_type),
+      |g AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |    SUM(CAST(c AS HUGEINT)) AS sc,
+      |    SUM(CAST(c AS HUGEINT) * c) AS scc
+      |  FROM grid GROUP BY event_type),
+      |mv AS (
+      |  SELECT event_type, n, CAST(sc AS DOUBLE) / n AS m,
+      |    CAST(n * scc - sc * sc AS DOUBLE) / CAST(n AS DOUBLE)
+      |      / CAST(n - 1 AS DOUBLE) AS v
+      |  FROM g)
+      |SELECT event_type, n, round(m, 6) AS mean, round(v, 6) AS var,
+      |  (v > m) AS overdispersed,
+      |  round(CASE WHEN v > m THEN m / v END, 6) AS p_hat,
+      |  round(CASE WHEN v > m THEN m * m / (v - m) END, 6) AS r_hat
+      |FROM mv ORDER BY event_type""".stripMargin))
+
   def queries: Seq[GQuery] =
     Seq(q23, q24, q25, q26, q27, q28, q29, q30, q31, q51, q58, q113, q163,
       q185, q191, q211, q217, q268, q274, q284, q291, q293, q294, q295,
       q296, q297, q298, q299, q300, q305, q306, q308, q311, q312, q315,
       q324, q327, q339, q343, q344, q351, q355, q356, q357, q358, q359,
       q360, q365, q366, q367, q368, q369, q376, q378, q381, q384, q386,
-      q387)
+      q387, q394)
 }

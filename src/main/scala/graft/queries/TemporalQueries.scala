@@ -2242,8 +2242,157 @@ object TemporalQueries {
       |FROM u GROUP BY st ORDER BY st""".stripMargin
     })
 
+  /** q392: periodogram — the spectral census completing the temporal
+    * diagnostics (q272 decomposes a KNOWN weekly season; the
+    * periodogram FINDS the season): daily purchase mass against
+    * frequencies k/N for k = 1..10, P_k = (Σy·cos + i·Σy·sin)²/N via
+    * two decimal-routed projection sums per frequency. The frequency
+    * sweep is a bounded crossJoin onto the calendar-bounded daily
+    * frame; trig outputs are high-entropy so the casts are safe. */
+  val q392 = GQuery(
+    "q392_periodogram",
+    (s, d) => {
+      val daily0 = events(s, d).filter(col("event_type") === "purchase")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(dsum(col("value")).as("y"))
+      val mind = daily0.agg(min(col("day")).as("d0"),
+        lcount(lit(1)).as("nn"))
+      val daily = daily0.crossJoin(broadcast(mind))
+        .select(datediff(col("day"), col("d0")).cast("long").as("t"),
+          col("y"), col("nn"))
+      val ks = mind.select(explode(sequence(lit(1L), lit(10L))).as("k"))
+      daily.crossJoin(broadcast(ks))
+        .withColumn("theta",
+          lit(2.0) * lit(math.Pi) * col("k") * col("t")
+            / col("nn").cast("double"))
+        .groupBy(col("k"), col("nn"))
+        .agg(dsum(col("y") * cos(col("theta"))).as("c"),
+          dsum(col("y") * sin(col("theta"))).as("s"))
+        .select(col("k"),
+          round(col("nn").cast("double") / col("k"), 3).as("period_days"),
+          round((col("c") * col("c") + col("s") * col("s"))
+            / col("nn"), 6).as("power"))
+        .orderBy(col("k"))
+    },
+    Some(s"""WITH daily0 AS (
+      |  SELECT CAST(ts AS DATE) AS day, ${sqlDsum("value")} AS y
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |mind AS (
+      |  SELECT MIN(day) AS d0, CAST(COUNT(*) AS BIGINT) AS nn
+      |  FROM daily0),
+      |daily AS (
+      |  SELECT CAST(datediff('day', m.d0, t.day) AS BIGINT) AS t, t.y, m.nn
+      |  FROM daily0 t CROSS JOIN mind m),
+      |ks AS (SELECT CAST(unnest(generate_series(1, 10)) AS BIGINT) AS k),
+      |proj AS (
+      |  SELECT d.k, d.nn,
+      |    ${sqlDsum("d.y * cos(d.theta)")} AS c,
+      |    ${sqlDsum("d.y * sin(d.theta)")} AS s
+      |  FROM (SELECT dd.t, dd.y, dd.nn, kk.k,
+      |          2.0 * pi() * kk.k * dd.t / CAST(dd.nn AS DOUBLE) AS theta
+      |        FROM daily dd CROSS JOIN ks kk) d
+      |  GROUP BY d.k, d.nn)
+      |SELECT k, round(CAST(nn AS DOUBLE) / k, 3) AS period_days,
+      |  round((c * c + s * s) / nn, 6) AS power
+      |FROM proj ORDER BY k""".stripMargin))
+
+  /** q393: Granger causality, one lag (Granger 1969) — does the view
+    * stream LEAD the purchase stream? Restricted (y_t ~ y_{t−1}) vs
+    * unrestricted (y_t ~ y_{t−1} + x_{t−1}) OLS on the
+    * calendar-bounded daily frame, both fits in closed form from ONE
+    * exact-moment aggregate (the q343 Cramer machinery), F = ΔRSS /
+    * (RSS_u/(n−3)). Lags are window leads — no self-join. */
+  val q393 = GQuery(
+    "q393_granger_causality",
+    (s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val daily = events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(dsum(when(col("event_type") === "purchase", col("value")))
+          .as("y"),
+          coalesce(sum(when(col("event_type") === "view", 1L)), lit(0L))
+            .cast("double").as("x"))
+        .withColumn("y", coalesce(col("y"), lit(0.0)))
+      val lagged = daily
+        .withColumn("yl", lag(col("y"), 1).over(W.orderBy(col("day"))))
+        .withColumn("xl", lag(col("x"), 1).over(W.orderBy(col("day"))))
+        .filter(col("yl").isNotNull)
+        .select(col("y"), col("yl"), col("xl"))
+      val m = lagged.agg(lcount(lit(1)).as("n"),
+        dsum(col("y")).as("sy"), dsum(col("yl")).as("s1"),
+        dsum(col("xl")).as("s2"), dsum(col("y") * col("y")).as("syy"),
+        dsum(col("yl") * col("yl")).as("s11"),
+        dsum(col("xl") * col("xl")).as("s22"),
+        dsum(col("yl") * col("xl")).as("s12"),
+        dsum(col("y") * col("yl")).as("sy1"),
+        dsum(col("y") * col("xl")).as("sy2"))
+      // centered moments -> restricted slope + unrestricted Cramer pair
+      m.withColumn("c11", col("s11") - col("s1") * col("s1") / col("n"))
+        .withColumn("c22", col("s22") - col("s2") * col("s2") / col("n"))
+        .withColumn("c12", col("s12") - col("s1") * col("s2") / col("n"))
+        .withColumn("cy1", col("sy1") - col("sy") * col("s1") / col("n"))
+        .withColumn("cy2", col("sy2") - col("sy") * col("s2") / col("n"))
+        .withColumn("cyy", col("syy") - col("sy") * col("sy") / col("n"))
+        .withColumn("br", col("cy1") / col("c11"))
+        .withColumn("rss_r", col("cyy") - col("br") * col("cy1"))
+        .withColumn("det", col("c11") * col("c22") - col("c12") * col("c12"))
+        .withColumn("b1",
+          (col("cy1") * col("c22") - col("cy2") * col("c12")) / col("det"))
+        .withColumn("b2",
+          (col("cy2") * col("c11") - col("cy1") * col("c12")) / col("det"))
+        .withColumn("rss_u", col("cyy") - col("b1") * col("cy1")
+          - col("b2") * col("cy2"))
+        .select(col("n"),
+          round(col("b2"), 6).as("beta_x_lag"),
+          round(col("rss_r"), 6).as("rss_restricted"),
+          round(col("rss_u"), 6).as("rss_unrestricted"),
+          round((col("rss_r") - col("rss_u"))
+            / (col("rss_u") / (col("n") - 3)), 6).as("f_stat"))
+    },
+    Some(s"""WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS day,
+      |    COALESCE(${sqlDsum(
+           "CASE WHEN event_type = 'purchase' THEN value END")}, 0.0) AS y,
+      |    CAST(COALESCE(CAST(SUM(CASE WHEN event_type = 'view' THEN 1 END)
+      |      AS BIGINT), 0) AS DOUBLE) AS x
+      |  FROM events GROUP BY 1),
+      |lagged AS (
+      |  SELECT y, yl, xl FROM (
+      |    SELECT y, LAG(y) OVER (ORDER BY day) AS yl,
+      |      LAG(x) OVER (ORDER BY day) AS xl
+      |    FROM daily) WHERE yl IS NOT NULL),
+      |m AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n, ${sqlDsum("y")} AS sy,
+      |    ${sqlDsum("yl")} AS s1, ${sqlDsum("xl")} AS s2,
+      |    ${sqlDsum("y * y")} AS syy, ${sqlDsum("yl * yl")} AS s11,
+      |    ${sqlDsum("xl * xl")} AS s22, ${sqlDsum("yl * xl")} AS s12,
+      |    ${sqlDsum("y * yl")} AS sy1, ${sqlDsum("y * xl")} AS sy2
+      |  FROM lagged),
+      |c AS (
+      |  SELECT n, s11 - s1 * s1 / n AS c11, s22 - s2 * s2 / n AS c22,
+      |    s12 - s1 * s2 / n AS c12, sy1 - sy * s1 / n AS cy1,
+      |    sy2 - sy * s2 / n AS cy2, syy - sy * sy / n AS cyy
+      |  FROM m),
+      |f AS (
+      |  SELECT *, cy1 / c11 AS br,
+      |    c11 * c22 - c12 * c12 AS det
+      |  FROM c),
+      |g AS (
+      |  SELECT *, cyy - br * cy1 AS rss_r,
+      |    (cy1 * c22 - cy2 * c12) / det AS b1,
+      |    (cy2 * c11 - cy1 * c12) / det AS b2
+      |  FROM f),
+      |h AS (
+      |  SELECT *, cyy - b1 * cy1 - b2 * cy2 AS rss_u FROM g)
+      |SELECT n, round(b2, 6) AS beta_x_lag,
+      |  round(rss_r, 6) AS rss_restricted,
+      |  round(rss_u, 6) AS rss_unrestricted,
+      |  round((rss_r - rss_u) / (rss_u / (n - 3)), 6) AS f_stat
+      |FROM h""".stripMargin))
+
   def queries: Seq[GQuery] =
     Seq(q43, q44, q56, q70, q181, q182, q183, q196, q197, q263, q272, q278,
       q279, q280, q281, q285, q301, q302, q303, q309, q310, q317, q318,
-      q320, q322, q323, q326, q329, q354, q363, q373, q374, q388)
+      q320, q322, q323, q326, q329, q354, q363, q373, q374, q388, q392,
+      q393)
 }
