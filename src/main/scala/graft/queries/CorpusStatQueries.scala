@@ -1823,8 +1823,106 @@ object CorpusStatQueries {
       |FROM top2 t LEFT JOIN batch b ON t.doc_id = b.doc_id
       |GROUP BY t.true_lang ORDER BY t.true_lang""".stripMargin))
 
+  /** q396: capture–recapture vocabulary estimate (Lincoln–Petersen +
+    * the bias-corrected Chapman 1951 form) — the two-sample member of
+    * the coverage-estimation family (q319 Good–Turing asks "how much
+    * unseen MASS"; this asks "how many unseen TYPES" from two
+    * overlapping samples): two deterministic doc slices are the
+    * captures, marked recaptures are the token types seen in both,
+    * N̂ = n1·n2/m, Chapman (n1+1)(n2+1)/(m+1)−1; the truth (total
+    * distinct types) sits beside the estimates. Three distinct-counts
+    * + one intersection semi-join. */
+  val q396 = GQuery(
+    "q396_capture_recapture",
+    (s, d) => {
+      val docs = documents(s, d)
+      def toks(p: org.apache.spark.sql.Column) = docs.filter(p)
+        .select(explode(graft.text.TextFunctions.wsTokens(col("text")))
+          .as("w")).distinct()
+      val s1 = toks(col("doc_id") % 2 === 0)
+      val s2 = toks(col("doc_id") % 3 === 0)
+      val n1 = s1.agg(lcount(lit(1)).as("n1"))
+      val n2 = s2.agg(lcount(lit(1)).as("n2"))
+      val m = s1.join(s2, Seq("w"), "left_semi").agg(lcount(lit(1)).as("m"))
+      val truth = toks(lit(true)).agg(lcount(lit(1)).as("true_types"))
+      n1.crossJoin(broadcast(n2)).crossJoin(broadcast(m))
+        .crossJoin(broadcast(truth))
+        .select(col("n1"), col("n2"), col("m"), col("true_types"),
+          round(col("n1").cast("double") * col("n2") / col("m"), 3)
+            .as("lincoln_petersen"),
+          round((col("n1") + 1).cast("double") * (col("n2") + 1)
+            / (col("m") + 1) - 1, 3).as("chapman"))
+    },
+    Some(s"""WITH s1 AS (
+      |  SELECT DISTINCT unnest($wsSql) AS w FROM documents
+      |  WHERE doc_id % 2 = 0),
+      |s2 AS (
+      |  SELECT DISTINCT unnest($wsSql) AS w FROM documents
+      |  WHERE doc_id % 3 = 0),
+      |truth AS (
+      |  SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS true_types
+      |  FROM (SELECT unnest($wsSql) AS w FROM documents)),
+      |c AS (
+      |  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS n1,
+      |    (SELECT CAST(COUNT(*) AS BIGINT) FROM s2) AS n2,
+      |    (SELECT CAST(COUNT(*) AS BIGINT) FROM s1
+      |     WHERE w IN (SELECT w FROM s2)) AS m)
+      |SELECT c.n1, c.n2, c.m, t.true_types,
+      |  round(CAST(c.n1 AS DOUBLE) * c.n2 / c.m, 3) AS lincoln_petersen,
+      |  round(CAST(c.n1 + 1 AS DOUBLE) * (c.n2 + 1) / (c.m + 1) - 1, 3)
+      |    AS chapman
+      |FROM c CROSS JOIN truth t""".stripMargin))
+
+  /** q397: Chao1 species-richness estimate (Chao 1984) — the
+    * abundance-based lower bound on TRUE vocabulary size from the
+    * rare-type counts alone (S + f1²/(2f2); singletons/doubletons are
+    * exactly the evidence Good–Turing q319 uses for unseen MASS —
+    * this is the unseen-TYPES face), with Good's coverage C = 1−f1/N
+    * beside it. Per language: one token count pass + one
+    * frequency-of-frequency pass. */
+  val q397 = GQuery(
+    "q397_chao1_richness",
+    (s, d) => {
+      val freq = documents(s, d)
+        .select(col("lang"),
+          explode(graft.text.TextFunctions.wsTokens(col("text"))).as("w"))
+        .groupBy(col("lang"), col("w")).agg(lcount(lit(1)).as("c"))
+      freq.groupBy(col("lang"))
+        .agg(lcount(lit(1)).as("s_obs"),
+          sum(col("c")).as("n_tokens"),
+          coalesce(sum(when(col("c") === 1, 1L)), lit(0L)).as("f1"),
+          coalesce(sum(when(col("c") === 2, 1L)), lit(0L)).as("f2"))
+        .select(col("lang"), col("s_obs"),
+          col("n_tokens").cast("long").as("n_tokens"), col("f1"), col("f2"),
+          round(col("s_obs") + when(col("f2") > 0,
+            col("f1").cast("double") * col("f1") / (lit(2) * col("f2")))
+            .otherwise(col("f1").cast("double") * (col("f1") - 1) / 2), 3)
+            .as("chao1"),
+          round(lit(1.0) - col("f1").cast("double") / col("n_tokens"), 6)
+            .as("coverage"))
+        .orderBy(col("lang"))
+    },
+    Some(s"""WITH freq AS (
+      |  SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM (SELECT lang, unnest($wsSql) AS w FROM documents)
+      |  GROUP BY lang, w),
+      |g AS (
+      |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS s_obs,
+      |    CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |    COALESCE(CAST(SUM(CASE WHEN c = 1 THEN 1 END) AS BIGINT), 0)
+      |      AS f1,
+      |    COALESCE(CAST(SUM(CASE WHEN c = 2 THEN 1 END) AS BIGINT), 0)
+      |      AS f2
+      |  FROM freq GROUP BY lang)
+      |SELECT lang, s_obs, n_tokens, f1, f2,
+      |  round(s_obs + CASE WHEN f2 > 0
+      |    THEN CAST(f1 AS DOUBLE) * f1 / (2 * f2)
+      |    ELSE CAST(f1 AS DOUBLE) * (f1 - 1) / 2 END, 3) AS chao1,
+      |  round(1.0 - CAST(f1 AS DOUBLE) / n_tokens, 6) AS coverage
+      |FROM g ORDER BY lang""".stripMargin))
+
   def queries: Seq[GQuery] =
     Seq(q146, q149, q152, q169, q175, q213, q215, q220, q224, q237, q275,
       q276, q314, q319, q325, q331, q333, q342, q349, q350, q364, q375,
-      q389, q390)
+      q389, q390, q396, q397)
 }

@@ -2390,9 +2390,90 @@ object TemporalQueries {
       |  round((rss_r - rss_u) / (rss_u / (n - 3)), 6) AS f_stat
       |FROM h""".stripMargin))
 
+  /** q398: Viterbi best-path decode over the journey chain (Viterbi
+    * 1967) — the DECODING member of the Markov family (q388 sums ALL
+    * paths into an absorption probability; Viterbi finds the single
+    * most likely one): per transient state, the max-product best path
+    * to purchase within 4 hops, with the path itself tracked as a
+    * string and ties broken on (prob desc, path asc). Four unrolled
+    * argmax steps over the states²-bounded landed matrix — the
+    * classic DP, each level one join + one row_number. */
+  val q398 = GQuery(
+    "q398_viterbi_path",
+    (s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val w = W.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val tr = events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("to_type", lead(col("event_type"), 1).over(w))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(lcount(lit(1)).as("n"))
+      val fromTot = tr.groupBy(col("from_type")).agg(sum(col("n")).as("nf"))
+      val pmat = tr.join(broadcast(fromTot), Seq("from_type"))
+        .filter(col("from_type") =!= "purchase")
+        .select(col("from_type"), col("to_type"),
+          (col("n").cast("double") / col("nf")).as("p"))
+        .localCheckpoint(eager = false)
+      // V_1: the direct hop
+      val v1 = pmat.filter(col("to_type") === "purchase")
+        .select(col("from_type").as("st"), col("p").as("v"),
+          concat(col("from_type"), lit(">purchase")).as("path"))
+      val v4 = (2 to 4).foldLeft(v1) { (vPrev, _) =>
+        val ext = pmat.filter(col("to_type") =!= "purchase")
+          .join(vPrev.select(col("st").as("to_type"), col("v"), col("path")),
+            Seq("to_type"))
+          .select(col("from_type").as("st"), (col("p") * col("v")).as("v"),
+            concat(col("from_type"), lit(">"), col("path")).as("path"))
+        val cand = v1.unionByName(ext)
+        cand.withColumn("rn", row_number().over(
+            W.partitionBy(col("st")).orderBy(col("v").desc, col("path").asc)))
+          .filter(col("rn") === 1).drop("rn")
+      }
+      v4.select(col("st"), round(col("v"), 6).as("best_prob"), col("path"))
+        .orderBy(col("st"))
+    },
+    Some {
+      def step(prev: String, out: String) =
+        s"""e$out AS (
+      |  SELECT p.from_type AS st, p.p * v.v AS v,
+      |    p.from_type || '>' || v.path AS path
+      |  FROM pm p JOIN $prev v ON p.to_type = v.st
+      |  WHERE p.to_type <> 'purchase'),
+      |$out AS (
+      |  SELECT st, v, path FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY st
+      |      ORDER BY v DESC, path ASC) AS rn
+      |    FROM (SELECT st, v, path FROM v1
+      |          UNION ALL SELECT st, v, path FROM e$out))
+      |  WHERE rn = 1)"""
+      s"""WITH trr AS (
+      |  SELECT event_type AS from_type,
+      |    LEAD(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS to_type
+      |  FROM events),
+      |cnt AS (
+      |  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM trr WHERE to_type IS NOT NULL GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT from_type, CAST(SUM(n) AS BIGINT) AS nf FROM cnt GROUP BY 1),
+      |pm AS (
+      |  SELECT c.from_type, c.to_type, CAST(c.n AS DOUBLE) / t.nf AS p
+      |  FROM cnt c JOIN tot t ON c.from_type = t.from_type
+      |  WHERE c.from_type <> 'purchase'),
+      |v1 AS (
+      |  SELECT from_type AS st, p AS v, from_type || '>purchase' AS path
+      |  FROM pm WHERE to_type = 'purchase'),
+      |${step("v1", "v2")},
+      |${step("v2", "v3")},
+      |${step("v3", "v4")}
+      |SELECT st, round(v, 6) AS best_prob, path
+      |FROM v4 ORDER BY st""".stripMargin
+    })
+
   def queries: Seq[GQuery] =
     Seq(q43, q44, q56, q70, q181, q182, q183, q196, q197, q263, q272, q278,
       q279, q280, q281, q285, q301, q302, q303, q309, q310, q317, q318,
       q320, q322, q323, q326, q329, q354, q363, q373, q374, q388, q392,
-      q393)
+      q393, q398)
 }

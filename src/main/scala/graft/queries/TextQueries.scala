@@ -3190,10 +3190,143 @@ object TextQueries {
       |WHERE r.rn <= 10 ORDER BY r.topic, r.rn""".stripMargin
     })
 
+  /** q395: extractive summarization census (LexRank-lite — Erkan &
+    * Radev 2004; the SENTENCE-graph sibling of q267's word-graph
+    * TextRank): per document, sentences become nodes, edges are
+    * distinct-token Jaccard similarities, and 3 unrolled damped
+    * power steps rank centrality — all documents' graphs advance in
+    * ONE frame per step (partitioned by doc; pair work is
+    * sentences²-per-doc, never corpus²). Published per language:
+    * sentence mass, the mean top-sentence score and an index
+    * checksum of the selected summaries. */
+  val q395 = GQuery(
+    "q395_lexrank_summary",
+    (s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val sents = documents(s, d)
+        .select(col("doc_id").as("doc"), col("lang"),
+          posexplode(regexp_extract_all(col("text"),
+            lit("[^.!?]+[.!?]*"), lit(0))).as(Seq("i0", "sent")))
+        .filter(length(trim(col("sent"))) > 0)
+        .withColumn("idx", row_number().over(
+          W.partitionBy(col("doc")).orderBy(col("i0"))))
+        .select(col("doc"), col("lang"), col("idx"),
+          array_distinct(split(trim(col("sent")), "\\s+")).as("toks"))
+        .localCheckpoint(eager = false)
+      val pairs = sents.select(col("doc"), col("idx").as("i"),
+          col("toks").as("ta"))
+        .join(sents.select(col("doc"), col("idx").as("j"),
+          col("toks").as("tb")), Seq("doc"))
+        .filter(col("i") =!= col("j"))
+        .withColumn("inter", size(array_intersect(col("ta"), col("tb")))
+          .cast("long"))
+        .filter(col("inter") > 0)
+        .select(col("doc"), col("i"), col("j"),
+          (col("inter").cast("double")
+            / (size(col("ta")) + size(col("tb")) - col("inter")))
+            .as("w"))
+        .localCheckpoint(eager = false)
+      val rowTot = pairs.groupBy(col("doc"), col("j"))
+        .agg(dsum(col("w")).as("wj"))
+      val norm = pairs.join(rowTot, Seq("doc", "j"))
+        .select(col("doc"), col("i"), col("j"), (col("w") / col("wj"))
+          .as("t"))
+      val ns = sents.groupBy(col("doc")).agg(lcount(lit(1)).as("ns"))
+      val p0 = sents.select(col("doc"), col("idx"))
+        .join(broadcast(ns), Seq("doc"))
+        .select(col("doc"), col("idx"), (lit(1.0) / col("ns")).as("p"))
+      val p3 = (1 to 3).foldLeft(p0) { (p, _) =>
+        val contrib = norm.join(p.select(col("doc"), col("idx").as("j"),
+            col("p")), Seq("doc", "j"))
+          .groupBy(col("doc"), col("i").as("idx"))
+          .agg(dsum(col("t") * col("p")).as("c"))
+        sents.select(col("doc"), col("idx"))
+          .join(broadcast(ns), Seq("doc"))
+          .join(contrib, Seq("doc", "idx"), "left")
+          .select(col("doc"), col("idx"),
+            (lit(0.15) / col("ns")
+              + lit(0.85) * coalesce(col("c"), lit(0.0))).as("p"))
+      }
+      val top = p3.withColumn("rn", row_number().over(
+          W.partitionBy(col("doc")).orderBy(col("p").desc, col("idx").asc)))
+        .filter(col("rn") === 1)
+      sents.select(col("doc"), col("lang")).distinct()
+        .join(top, Seq("doc"))
+        .groupBy(col("lang"))
+        .agg(lcount(lit(1)).as("n_docs"),
+          (dsum(col("p")) / count(lit(1))).as("mp"),
+          sum(col("idx")).cast("long").as("idx_checksum"))
+        .join(sents.groupBy(col("lang")).agg(lcount(lit(1)).as("n_sents")),
+          Seq("lang"))
+        .select(col("lang"), col("n_docs"), col("n_sents"),
+          round(col("mp"), 6).as("mean_top_score"), col("idx_checksum"))
+        .orderBy(col("lang"))
+    },
+    Some {
+      def step(prev: String, out: String) =
+        s"""c$out AS (
+      |  SELECT t.doc, t.i AS idx, ${sqlDsum("t.t * p.p")} AS c
+      |  FROM norm t JOIN $prev p ON t.doc = p.doc AND t.j = p.idx
+      |  GROUP BY t.doc, t.i),
+      |$out AS (
+      |  SELECT s.doc, s.idx,
+      |    0.15 / ns.ns + 0.85 * COALESCE(c.c, 0.0) AS p
+      |  FROM sidx s JOIN ns ON s.doc = ns.doc
+      |  LEFT JOIN c$out c ON s.doc = c.doc AND s.idx = c.idx)"""
+      s"""WITH sraw AS (
+      |  SELECT doc_id AS doc, lang,
+      |    regexp_extract_all(text, '[^.!?]+[.!?]*') AS arr
+      |  FROM documents),
+      |se AS (
+      |  SELECT doc, lang, arr[i] AS sent, i AS i0
+      |  FROM sraw, UNNEST(generate_series(1, len(arr))) u(i)
+      |  WHERE length(trim(arr[i])) > 0),
+      |sents AS (
+      |  SELECT doc, lang,
+      |    ROW_NUMBER() OVER (PARTITION BY doc ORDER BY i0) AS idx,
+      |    list_distinct(${wsSql.replace("trim(text)", "trim(sent)")})
+      |      AS toks
+      |  FROM se),
+      |sidx AS (SELECT doc, idx FROM sents),
+      |pairs AS (
+      |  SELECT a.doc, a.idx AS i, b.idx AS j,
+      |    CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+      |      / (len(a.toks) + len(b.toks)
+      |        - len(list_intersect(a.toks, b.toks))) AS w
+      |  FROM sents a JOIN sents b ON a.doc = b.doc AND a.idx <> b.idx
+      |  WHERE len(list_intersect(a.toks, b.toks)) > 0),
+      |rt AS (SELECT doc, j, ${sqlDsum("w")} AS wj
+      |  FROM pairs GROUP BY doc, j),
+      |norm AS (
+      |  SELECT p.doc, p.i, p.j, p.w / r.wj AS t
+      |  FROM pairs p JOIN rt r ON p.doc = r.doc AND p.j = r.j),
+      |ns AS (SELECT doc, CAST(COUNT(*) AS BIGINT) AS ns
+      |  FROM sents GROUP BY doc),
+      |pp0 AS (
+      |  SELECT s.doc, s.idx, 1.0 / ns.ns AS p
+      |  FROM sidx s JOIN ns ON s.doc = ns.doc),
+      |${step("pp0", "pp1")},
+      |${step("pp1", "pp2")},
+      |${step("pp2", "pp3")},
+      |top AS (
+      |  SELECT doc, idx, p FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY doc
+      |      ORDER BY p DESC, idx ASC) AS rn FROM pp3) WHERE rn = 1),
+      |dl AS (SELECT DISTINCT doc, lang FROM sents),
+      |sl AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_sents
+      |  FROM sents GROUP BY lang)
+      |SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs, sl.n_sents,
+      |  round(${sqlDsum("t.p")} / COUNT(*), 6) AS mean_top_score,
+      |  CAST(SUM(t.idx) AS BIGINT) AS idx_checksum
+      |FROM dl d JOIN top t ON d.doc = t.doc
+      |JOIN sl ON d.lang = sl.lang
+      |GROUP BY d.lang, sl.n_sents ORDER BY d.lang""".stripMargin
+    })
+
   def queries: Seq[GQuery] =
     Seq(q32, q33, q34, q35, q66, q89, q91, q94, q96, q98, q99, q101,
       q106, q107, q109, q110, q111, q112, q115, q116, q120, q121, q126,
       q130, q132, q134, q135, q136, q137, q139, q140, q141, q179, q189, q193,
       q195, q200, q201, q236, q244, q258, q262, q264, q265, q266, q271,
-      q273, q292, q346, q347, q371, q385, q391)
+      q273, q292, q346, q347, q371, q385, q391, q395)
 }

@@ -19,7 +19,11 @@ class Round11PlanSpec3 extends SparkSpec {
     plan(name).linesIterator.takeWhile(_.trim.nonEmpty).toSeq
 
   test("q364: the (lang, token) likelihood join shuffles — no corpus-growing broadcast") {
-    val t = tree("q364_naive_bayes_langid")
+    // q364's own plan probes the landed score grid; the join-shape gate
+    // belongs on the grid's BUILD plan
+    val t = graft.queries.CorpusStatQueries.nbScoreGridBuild(spark, sf)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+      .linesIterator.takeWhile(_.trim.nonEmpty).toSeq
     assert(!t.exists(_.contains("CartesianProduct")))
     // the L-bounded language grid broadcasts (BNLJ on a scalar frame is
     // fine); the vocabulary-sized cnt table must NOT be broadcast — it
@@ -27,6 +31,9 @@ class Round11PlanSpec3 extends SparkSpec {
     assert(t.exists(l => l.contains("SortMergeJoin") ||
       l.contains("ShuffledHashJoin")),
       "likelihood lookup must be a shuffle join, not a broadcast")
+    val q = tree("q364_naive_bayes_langid")
+    assert(q.exists(_.contains("Scan ExistingRDD")),
+      "q364 itself reads the landed grid it produces")
   }
 
   test("q365: stump search is one binned pass — only bounded broadcasts join") {
