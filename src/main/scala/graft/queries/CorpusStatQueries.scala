@@ -1434,10 +1434,19 @@ object CorpusStatQueries {
   private[graft] def nbScoreGridBuild(s: org.apache.spark.sql.SparkSession,
                                       d: String)
       : org.apache.spark.sql.DataFrame = {
-    import graft.core.Exact.{lcount, lsumAt}
     val docs = documents(s, d)
-    val train = docs.filter(col("doc_id") % 3 =!= 0)
-    val test = docs.filter(col("doc_id") % 3 === 0)
+    nbGridFor(docs.filter(col("doc_id") % 3 =!= 0),
+      docs.filter(col("doc_id") % 3 === 0))
+  }
+
+  /** NB (doc × lang) scores of `score` docs under a model counted from
+    * `train` docs — the parametric core behind the landed q364 grid
+    * and q400's retrain ablation. Both frames carry
+    * (doc_id, lang, text). */
+  private[graft] def nbGridFor(train: org.apache.spark.sql.DataFrame,
+                               test: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import graft.core.Exact.{lcount, lsumAt}
     val trTok = train.select(col("lang"),
       explode(graft.text.TextFunctions.wsTokens(col("text"))).as("w"))
     val cnt = trTok.groupBy(col("lang"), col("w"))
@@ -1921,8 +1930,162 @@ object CorpusStatQueries {
       |  round(1.0 - CAST(f1 AS DOUBLE) / n_tokens, 6) AS coverage
       |FROM g ORDER BY lang""".stripMargin))
 
+  /** Parametric NB oracle chain: scores `$score` docs under a model
+    * counted from `$train` (both CTE names providing
+    * doc_id/lang/text); emits `${p}grid(doc_id, true_lang, ml,
+    * score_e6)` — the SQL twin of [[nbGridFor]]. */
+  private def nbCtes(p: String, train: String, score: String): String =
+    s"""${p}trtok AS (SELECT lang, unnest($wsSql) AS w FROM $train),
+      |${p}cnt AS (
+      |  SELECT lang AS ml, w, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM ${p}trtok GROUP BY 1, 2),
+      |${p}tot AS (SELECT ml, CAST(SUM(c) AS BIGINT) AS tot
+      |  FROM ${p}cnt GROUP BY ml),
+      |${p}voc AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v
+      |  FROM ${p}trtok),
+      |${p}pri AS (
+      |  SELECT lang AS ml, CAST(COUNT(*) AS BIGINT) AS nl
+      |  FROM $train GROUP BY 1),
+      |${p}na AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_all FROM $train),
+      |${p}tetok AS (SELECT doc_id, unnest($wsSql) AS w FROM $score),
+      |${p}dl AS (
+      |  SELECT t.doc_id, l.ml,
+      |    ${graft.core.Exact.sqlLsumAt(
+             s"ln(CAST(COALESCE(c.c, 0) + 1 AS DOUBLE)" +
+               s" / CAST(l.tot + ${p}voc.v AS DOUBLE))",
+             "1000000000.0")} AS tok_lp
+      |  FROM ${p}tetok t CROSS JOIN ${p}tot l CROSS JOIN ${p}voc
+      |  LEFT JOIN ${p}cnt c ON c.ml = l.ml AND c.w = t.w
+      |  GROUP BY t.doc_id, l.ml),
+      |${p}grid AS (
+      |  SELECT g.doc_id, g.true_lang, g.ml,
+      |    CAST(floor((COALESCE(d.tok_lp, 0.0)
+      |      + floor(ln(CAST(g.nl AS DOUBLE) / g.n_all) * 1e9 + 0.5) / 1e9)
+      |      * 1e6 + 0.5) AS BIGINT) AS score_e6
+      |  FROM (SELECT sc.doc_id, sc.lang AS true_lang, p2.ml, p2.nl,
+      |          na2.n_all
+      |        FROM $score sc CROSS JOIN ${p}pri p2 CROSS JOIN ${p}na na2)
+      |        g
+      |  LEFT JOIN ${p}dl d ON d.doc_id = g.doc_id AND d.ml = g.ml)"""
+
+  /** q400: confident-learning ablation loop — the full data-centric
+    * retrain experiment, not just the error census: (1) score the
+    * TRAIN slice in-sample under its own NB model, (2) flag suspects
+    * where the q389 confident-learning rule suggests a different
+    * label, (3) RETRAIN on the cleaned slice, (4) report held-out
+    * accuracy before vs after beside the removal bill. Three
+    * parametric NB chains (model→train, model→test, cleaned→test) —
+    * training stays a grouped aggregation, so the loop is three
+    * passes, not an iterative fit; every chain is replayed by the
+    * oracle. (In-sample CL is the documented lite variant; full CL
+    * cross-validates the scores.) */
+  val q400 = GQuery(
+    "q400_label_cleaning_ablation",
+    (s, d) => {
+      import graft.core.Exact.{lcount, dsumOver}
+      val w = org.apache.spark.sql.expressions.Window
+      val docs = documents(s, d)
+      val train = docs.filter(col("doc_id") % 3 =!= 0)
+        .select(col("doc_id"), col("lang"), col("text"))
+      val test = docs.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("lang"), col("text"))
+      def suspects = {
+        val grid = nbGridFor(train, train)
+        val post = grid
+          .withColumn("mx", max(col("score_e6")).over(
+            w.partitionBy(col("doc_id"))))
+          .withColumn("p", exp((col("score_e6") - col("mx")).cast("double")
+            / 1e6))
+          .withColumn("z", dsumOver(col("p"), w.partitionBy(col("doc_id"))))
+          .withColumn("pn", col("p") / col("z"))
+        val thr = post.filter(col("ml") === col("true_lang"))
+          .groupBy(col("ml"))
+          .agg((dsum(col("pn")) / count(lit(1))).as("t"))
+        post.join(broadcast(thr), Seq("ml"))
+          .filter(col("pn") >= col("t"))
+          .withColumn("rn", row_number().over(
+            w.partitionBy(col("doc_id"))
+              .orderBy(col("score_e6").desc, col("ml").asc)))
+          .filter(col("rn") === 1 && col("ml") =!= col("true_lang"))
+          .select(col("doc_id"))
+      }
+      val susp = suspects.localCheckpoint(eager = false)
+      val cleaned = train.join(susp, Seq("doc_id"), "left_anti")
+      def acc(grid: org.apache.spark.sql.DataFrame) = grid
+        .withColumn("rn", row_number().over(
+          w.partitionBy(col("doc_id"))
+            .orderBy(col("score_e6").desc, col("ml").asc)))
+        .filter(col("rn") === 1)
+        .agg(lcount(lit(1)).as("n"),
+          coalesce(sum(when(col("ml") === col("true_lang"), 1L)), lit(0L))
+            .as("ok"))
+      val before = acc(nbGridFor(train, test))
+      val after = acc(nbGridFor(cleaned, test))
+      val nTr = train.agg(lcount(lit(1)).as("n_train"))
+      val nSu = susp.agg(lcount(lit(1)).as("n_suspects"))
+      nTr.crossJoin(broadcast(nSu))
+        .crossJoin(broadcast(before.select(col("n").as("n_test"),
+          col("ok").as("ok_before"))))
+        .crossJoin(broadcast(after.select(col("ok").as("ok_after"))))
+        .select(col("n_train"), col("n_suspects"), col("n_test"),
+          round(col("ok_before").cast("double") / col("n_test"), 6)
+            .as("acc_before"),
+          round(col("ok_after").cast("double") / col("n_test"), 6)
+            .as("acc_after"))
+    },
+    Some(s"""WITH tr1 AS (
+      |  SELECT doc_id, lang, text FROM documents WHERE doc_id % 3 <> 0),
+      |tes AS (
+      |  SELECT doc_id, lang, text FROM documents WHERE doc_id % 3 = 0),
+      |${nbCtes("a", "tr1", "tr1")},
+      |apost AS (
+      |  SELECT doc_id, true_lang, ml, score_e6,
+      |    exp(CAST(score_e6 - MAX(score_e6) OVER (PARTITION BY doc_id)
+      |      AS DOUBLE) / 1e6) AS p
+      |  FROM agrid),
+      |apost2 AS (
+      |  SELECT *, p / CAST(SUM(CAST(p AS DECIMAL(38,6)))
+      |    OVER (PARTITION BY doc_id) AS DOUBLE) AS pn
+      |  FROM apost),
+      |athr AS (
+      |  SELECT ml, ${sqlDsum("pn")} / COUNT(*) AS t
+      |  FROM apost2 WHERE ml = true_lang GROUP BY ml),
+      |asusp AS (
+      |  SELECT doc_id FROM (
+      |    SELECT p2.doc_id, p2.ml, p2.true_lang,
+      |      row_number() OVER (PARTITION BY p2.doc_id
+      |        ORDER BY p2.score_e6 DESC, p2.ml ASC) AS rn
+      |    FROM apost2 p2 JOIN athr th ON p2.ml = th.ml
+      |    WHERE p2.pn >= th.t)
+      |  WHERE rn = 1 AND ml <> true_lang),
+      |tr2 AS (
+      |  SELECT * FROM tr1
+      |  WHERE doc_id NOT IN (SELECT doc_id FROM asusp)),
+      |${nbCtes("b", "tr1", "tes")},
+      |${nbCtes("c", "tr2", "tes")},
+      |accb AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+      |    COALESCE(CAST(SUM(CASE WHEN ml = true_lang THEN 1 END)
+      |      AS BIGINT), 0) AS ok_before
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+      |          ORDER BY score_e6 DESC, ml ASC) AS rn FROM bgrid)
+      |  WHERE rn = 1),
+      |acca AS (
+      |  SELECT COALESCE(CAST(SUM(CASE WHEN ml = true_lang THEN 1 END)
+      |      AS BIGINT), 0) AS ok_after
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+      |          ORDER BY score_e6 DESC, ml ASC) AS rn FROM cgrid)
+      |  WHERE rn = 1)
+      |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM tr1) AS n_train,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM asusp) AS n_suspects,
+      |  accb.n_test,
+      |  round(CAST(accb.ok_before AS DOUBLE) / accb.n_test, 6)
+      |    AS acc_before,
+      |  round(CAST(acca.ok_after AS DOUBLE) / accb.n_test, 6) AS acc_after
+      |FROM accb CROSS JOIN acca""".stripMargin))
+
   def queries: Seq[GQuery] =
     Seq(q146, q149, q152, q169, q175, q213, q215, q220, q224, q237, q275,
       q276, q314, q319, q325, q331, q333, q342, q349, q350, q364, q375,
-      q389, q390, q396, q397)
+      q389, q390, q396, q397, q400)
 }

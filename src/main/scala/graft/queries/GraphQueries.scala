@@ -1384,7 +1384,65 @@ object GraphQueries {
       |    AS reciprocity
       |FROM mom m CROSS JOIN recip r CROSS JOIN ne""".stripMargin))
 
+  /** q399: single-source shortest paths, 5 unrolled Bellman–Ford
+    * relaxation rounds (Bellman 1958) — the distance member of the
+    * graph family (components answer "connected?", PageRank "how
+    * central?", this "how FAR?"): edge cost = 1000000 div w (strong
+    * links are short — integer costs, so every distance is exact and
+    * min-ties are value-identical), source = domain d0. Each round is
+    * one edge⋈dist equi-join + a grouped min — the scalable
+    * relax-all shape (at fact-sized graphs the same rounds shuffle on
+    * node keys); output is the ≤5-hop reachable distance table. */
+  val q399 = GQuery(
+    "q399_shortest_paths",
+    (s, d) => {
+      val e = linkEdges(s, d)
+        .select(col("src"), col("dst"),
+          expr("CAST(1000000 div w AS BIGINT)").as("cost"))
+        .localCheckpoint(eager = false)
+      val d0 = e.select(lit("d0").as("node"), lit(0L).as("dist")).limit(1)
+      val d5 = (1 to 5).foldLeft(d0) { (dist, _) =>
+        val cand = e
+          .join(dist.select(col("node").as("src"), col("dist")), Seq("src"))
+          .select(col("dst").as("node"),
+            (col("dist") + col("cost")).as("dist"))
+        dist.unionByName(cand).groupBy(col("node"))
+          .agg(min(col("dist")).as("dist"))
+      }
+      d5.select(col("node"), col("dist")).orderBy(col("node"))
+    },
+    Some {
+      def step(prev: String, out: String) =
+        s"""$out AS (
+      |  SELECT node, MIN(dist) AS dist FROM (
+      |    SELECT node, dist FROM $prev
+      |    UNION ALL
+      |    SELECT c.dst, p.dist + c.cost
+      |    FROM c JOIN $prev p ON c.src = p.node)
+      |  GROUP BY node)"""
+      s"""WITH raw AS (
+      |  SELECT 'd' || (doc_id % $M) AS src, 'd' || ((doc_id * 7 + 13) % $M) AS dst
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT 'd' || (doc_id % $M), 'd' || ((doc_id * 13 + 29) % $M)
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT 'd' || (doc_id % $M), 'd' || ((doc_id * 31 + 7) % $M)
+      |  FROM documents),
+      |e AS (SELECT src, dst, COUNT(*) AS w FROM raw
+      |      WHERE src != dst GROUP BY src, dst),
+      |c AS (SELECT src, dst, CAST(1000000 // w AS BIGINT) AS cost FROM e),
+      |dd0 AS (SELECT 'd0' AS node, CAST(0 AS BIGINT) AS dist),
+      |${step("dd0", "dd1")},
+      |${step("dd1", "dd2")},
+      |${step("dd2", "dd3")},
+      |${step("dd3", "dd4")},
+      |${step("dd4", "dd5")}
+      |SELECT node, CAST(dist AS BIGINT) AS dist
+      |FROM dd5 ORDER BY node""".stripMargin
+    })
+
   def queries: Seq[GQuery] =
     Seq(q153, q157, q158, q160, q164, q174, q178, q231, q232, q241, q242,
-      q243, q259, q267, q270, q277, q286, q288, q330, q336)
+      q243, q259, q267, q270, q277, q286, q288, q330, q336, q399)
 }
