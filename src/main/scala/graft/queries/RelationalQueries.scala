@@ -274,6 +274,50 @@ object RelationalQueries {
       |COUNT(DISTINCT version) AS n_versions
       |FROM u GROUP BY 1""".stripMargin))
 
+  /** q402: skyline / Pareto-frontier query (Börzsönyi et al. 2001) —
+    * the classic "best price-performance" operator the relational
+    * core was missing: parts minimizing retail price while maximizing
+    * size, with STRICT dominance semantics (ties on both axes are
+    * mutually non-dominating and all survive). The scalable plan is
+    * the sort-based 2-D skyline: per-price max, one running-max
+    * window over the price-ordered bounded frame, then a hash join
+    * back — never the quadratic NOT-EXISTS; the ORACLE deliberately
+    * uses the quadratic NOT-EXISTS dominance definition, so the two
+    * independent formulations must agree row-for-row under the
+    * hash. */
+  val q402 = GQuery(
+    "q402_skyline_pareto",
+    (s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val pts = part(s, d).select(col("p_partkey").as("k"),
+        col("p_retailprice").as("price"), col("p_size").as("size"))
+      val perPrice = pts.groupBy(col("price"))
+        .agg(max(col("size")).as("pmax"))
+      val frontier = perPrice
+        .withColumn("runmax", max(col("pmax")).over(
+          W.orderBy(col("price"))
+            .rowsBetween(W.unboundedPreceding, W.currentRow)))
+        .withColumn("priormax", lag(col("runmax"), 1).over(
+          W.orderBy(col("price"))))
+        .filter(col("priormax").isNull || col("pmax") > col("priormax"))
+        .select(col("price"), col("pmax"))
+      pts.join(broadcast(frontier), Seq("price"))
+        .filter(col("size") === col("pmax"))
+        .select(col("k").as("p_partkey"), col("price"),
+          col("size").cast("long").as("size"))
+        .orderBy(col("price"), col("p_partkey"))
+    },
+    Some("""WITH pts AS (
+      |  SELECT p_partkey AS k, p_retailprice AS price, p_size AS size
+      |  FROM part)
+      |SELECT p.k AS p_partkey, p.price, CAST(p.size AS BIGINT) AS size
+      |FROM pts p
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM pts q
+      |  WHERE q.price <= p.price AND q.size >= p.size
+      |    AND (q.price < p.price OR q.size > p.size))
+      |ORDER BY p.price, p.k""".stripMargin))
+
   def queries: Seq[GQuery] =
-    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q65)
+    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q65, q402)
 }

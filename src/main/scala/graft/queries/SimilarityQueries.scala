@@ -2177,5 +2177,89 @@ object SimilarityQueries {
       |    ELSE 0.0 END) AS DECIMAL(38,6))) AS DOUBLE), 6) AS kl_q
       |FROM k GROUP BY lambda ORDER BY lambda""".stripMargin))
 
-  def queries: Seq[GQuery] = Seq(q40, q41, q42, q48, q53, q102, q105, q114, q117, q119, q122, q131, q147, q173, q176, q186, q188, q226, q248, q251, q253, q255, q257, q261, q269, q313, q328, q337, q338, q345, q353, q361, q379)
+  /** q401: orthogonal Procrustes alignment of two embedding versions
+    * (Schönemann 1966) — the rotation-aware companion of q248's MMD
+    * drift: after a re-train, how much "drift" is a pure rotation the
+    * downstream consumer can undo? Version B is a deterministic 30°
+    * rotation + structured offset of A's 2-D projection; the optimal
+    * angle has the closed 2-D form θ̂ = atan2(Σ(x·y′−y·x′),
+    * Σ(x·x′+y·y′)) over CENTERED pairs (exact decimal moments, one
+    * atan2), and the census reports the recovered angle with the
+    * pre/post-alignment MSE — post ≈ the un-rotatable residual. */
+  val q401 = GQuery(
+    "q401_procrustes_drift",
+    (s, d) => {
+      val pts = embeddings(s, d).select(col("vec_id"),
+          element_at(col("embedding"), 1).cast("double").as("x"),
+          element_at(col("embedding"), 2).cast("double").as("y"))
+        .withColumn("bx",
+          cos(lit(math.Pi) / 6) * col("x") - sin(lit(math.Pi) / 6) * col("y")
+            + ((col("vec_id") % 7) - 3).cast("double") / 1000)
+        .withColumn("by",
+          sin(lit(math.Pi) / 6) * col("x") + cos(lit(math.Pi) / 6) * col("y")
+            + ((col("vec_id") % 5) - 2).cast("double") / 1000)
+      val mu = pts.agg(graft.core.Exact.lcount(lit(1)).as("n"),
+        (dsum(col("x")) / count(lit(1))).as("mx"),
+        (dsum(col("y")) / count(lit(1))).as("my"),
+        (dsum(col("bx")) / count(lit(1))).as("mbx"),
+        (dsum(col("by")) / count(lit(1))).as("mby"))
+      val c = pts.crossJoin(broadcast(mu))
+        .select(col("n"), (col("x") - col("mx")).as("cx"),
+          (col("y") - col("my")).as("cy"),
+          (col("bx") - col("mbx")).as("cbx"),
+          (col("by") - col("mby")).as("cby"))
+      val m = c.groupBy(col("n")).agg(
+        dsum(col("cx") * col("cby") - col("cy") * col("cbx")).as("snum"),
+        dsum(col("cx") * col("cbx") + col("cy") * col("cby")).as("sden"),
+        dsum((col("cx") - col("cbx")) * (col("cx") - col("cbx"))
+          + (col("cy") - col("cby")) * (col("cy") - col("cby"))).as("ssepre"),
+        dsum(col("cx") * col("cx") + col("cy") * col("cy")).as("saa"),
+        dsum(col("cbx") * col("cbx") + col("cby") * col("cby")).as("sbb"))
+      m.withColumn("theta", atan2(col("snum"), col("sden")))
+        // post-alignment SSE has the closed form Σ|a|² + Σ|b|²
+        // − 2·√(num² + den²) (rotating a by θ̂ maximizes the inner
+        // product to exactly the vector norm of (num, den))
+        .select(col("n"),
+          round(col("theta") * 180 / lit(math.Pi), 6).as("theta_deg"),
+          round(col("ssepre") / col("n"), 9).as("mse_pre"),
+          round((col("saa") + col("sbb")
+            - lit(2.0) * sqrt(col("snum") * col("snum")
+              + col("sden") * col("sden"))) / col("n"), 9).as("mse_post"))
+    },
+    Some(s"""WITH pts AS (
+      |  SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS x,
+      |    CAST(embedding[2] AS DOUBLE) AS y
+      |  FROM embeddings),
+      |b AS (
+      |  SELECT vec_id, x, y,
+      |    cos(pi() / 6) * x - sin(pi() / 6) * y
+      |      + CAST((vec_id % 7) - 3 AS DOUBLE) / 1000 AS bx,
+      |    sin(pi() / 6) * x + cos(pi() / 6) * y
+      |      + CAST((vec_id % 5) - 2 AS DOUBLE) / 1000 AS by
+      |  FROM pts),
+      |mu AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    ${graft.core.Exact.sqlDsum("x")} / COUNT(*) AS mx, ${graft.core.Exact.sqlDsum("y")} / COUNT(*) AS my,
+      |    ${graft.core.Exact.sqlDsum("bx")} / COUNT(*) AS mbx,
+      |    ${graft.core.Exact.sqlDsum("by")} / COUNT(*) AS mby
+      |  FROM b),
+      |c AS (
+      |  SELECT mu.n, b.x - mu.mx AS cx, b.y - mu.my AS cy,
+      |    b.bx - mu.mbx AS cbx, b.by - mu.mby AS cby
+      |  FROM b CROSS JOIN mu),
+      |m AS (
+      |  SELECT n, ${graft.core.Exact.sqlDsum("cx * cby - cy * cbx")} AS snum,
+      |    ${graft.core.Exact.sqlDsum("cx * cbx + cy * cby")} AS sden,
+      |    ${graft.core.Exact.sqlDsum("(cx - cbx) * (cx - cbx) + (cy - cby) * (cy - cby)")}
+      |      AS ssepre,
+      |    ${graft.core.Exact.sqlDsum("cx * cx + cy * cy")} AS saa,
+      |    ${graft.core.Exact.sqlDsum("cbx * cbx + cby * cby")} AS sbb
+      |  FROM c GROUP BY n)
+      |SELECT n, round(atan2(snum, sden) * 180 / pi(), 6) AS theta_deg,
+      |  round(ssepre / n, 9) AS mse_pre,
+      |  round((saa + sbb - 2.0 * sqrt(snum * snum + sden * sden)) / n, 9)
+      |    AS mse_post
+      |FROM m""".stripMargin))
+
+  def queries: Seq[GQuery] = Seq(q40, q41, q42, q48, q53, q102, q105, q114, q117, q119, q122, q131, q147, q173, q176, q186, q188, q226, q248, q251, q253, q255, q257, q261, q269, q313, q328, q337, q338, q345, q353, q361, q379, q401)
 }

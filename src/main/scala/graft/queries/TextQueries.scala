@@ -3323,10 +3323,124 @@ object TextQueries {
       |GROUP BY d.lang, sl.n_sents ORDER BY d.lang""".stripMargin
     })
 
+  /** q403: quality-filter ablation — the "does the gate actually help"
+    * EXPERIMENT the curation family (q139 Gopher, q140 C4) asserts by
+    * proxy: train the add-one bigram LM on (a) the full train slice
+    * and (b) only docs passing the Gopher stopword-density rule, then
+    * compare mean held-out log-probability under both models. Like
+    * q400 this runs the model TWICE — but training is a grouped
+    * aggregation, so the ablation is two counting passes, not two
+    * fits; per-doc scores e6-floor (q146 discipline) making the
+    * corpus means exact integer ratios. */
+  val q403 = GQuery(
+    "q403_filter_ablation",
+    (s, d) => {
+      val docs = documents(s, d)
+      val train = docs.filter(col("doc_id") % 3 =!= 0)
+      val heldout = docs.filter(col("doc_id") % 3 === 0)
+      // the corpus's own top-8 tokens play the stopword role (the
+      // language-agnostic form of Gopher's stopword-density rule —
+      // the synthetic corpus has no English stopwords to count)
+      val top8 = train
+        .select(explode(wsTokens(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w").asc).limit(8)
+        .select(col("w"))
+      val qualifying = train
+        .select(col("doc_id"), explode(array_distinct(wsTokens(col("text"))))
+          .as("w"))
+        .join(broadcast(top8), Seq("w"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))
+        .filter(col("ns") >= 2)
+        .select(col("doc_id"))
+      val trainFilt = train.join(qualifying, Seq("doc_id"), "left_semi")
+      def meanLp(tr: org.apache.spark.sql.DataFrame) =
+        graft.text.LangModel.score(heldout,
+            graft.text.LangModel.train(tr, "doc_id", "text"),
+            "doc_id", "text")
+          .select(floor(col("logprob") * 1e6 + 0.5).cast("long").as("lp_e6"))
+          .agg(lcount(lit(1)).as("n_ho"), sum(col("lp_e6")).as("slp"))
+      val a = meanLp(train)
+      val b = meanLp(trainFilt)
+      val nA = train.agg(lcount(lit(1)).as("n_train_all"))
+      val nF = trainFilt.agg(lcount(lit(1)).as("n_train_filt"))
+      nA.crossJoin(broadcast(nF))
+        .crossJoin(broadcast(a.select(col("n_ho"), col("slp").as("slp_all"))))
+        .crossJoin(broadcast(b.select(col("slp").as("slp_filt"))))
+        .select(col("n_train_all"), col("n_train_filt"), col("n_ho"),
+          round(col("slp_all").cast("double") / col("n_ho") / 1e6, 6)
+            .as("mean_lp_all"),
+          round(col("slp_filt").cast("double") / col("n_ho") / 1e6, 6)
+            .as("mean_lp_filt"),
+          round((col("slp_filt") - col("slp_all")).cast("double")
+            / col("n_ho") / 1e6, 6).as("delta"))
+    },
+    Some {
+      def lm(p: String, trainRel: String) =
+        s"""${p}cbg AS (
+      |  SELECT b.w1, b.w2, CAST(COUNT(*) AS BIGINT) AS c2
+      |  FROM bg b JOIN $trainRel t ON b.doc = t.doc_id
+      |  GROUP BY b.w1, b.w2),
+      |${p}toks AS (
+      |  SELECT unnest($wsSql) AS w FROM $trainRel),
+      |${p}cuni AS (SELECT w AS w1, CAST(COUNT(*) AS BIGINT) AS c1
+      |  FROM ${p}toks GROUP BY 1),
+      |${p}voc AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v
+      |  FROM ${p}toks),
+      |${p}sc AS (
+      |  SELECT b.doc,
+      |    CAST(floor((${graft.core.Exact.sqlLsumAt(
+             s"ln(CAST(COALESCE(g.c2, 0) + 1 AS DOUBLE)" +
+               s" / CAST(COALESCE(u.c1, 0) + ${p}voc.v AS DOUBLE))",
+             "1000000000.0")} / COUNT(*)) * 1e6 + 0.5) AS BIGINT) AS lp_e6
+      |  FROM bg b
+      |  JOIN ho h ON b.doc = h.doc_id
+      |  LEFT JOIN ${p}cbg g ON b.w1 = g.w1 AND b.w2 = g.w2
+      |  LEFT JOIN ${p}cuni u ON b.w1 = u.w1
+      |  CROSS JOIN ${p}voc
+      |  GROUP BY b.doc),
+      |${p}agg AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_ho,
+      |    CAST(SUM(lp_e6) AS BIGINT) AS slp
+      |  FROM ${p}sc)"""
+      s"""WITH tr AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+      |ho AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+      |top8 AS (
+      |  SELECT w FROM (
+      |    SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+      |    FROM (SELECT unnest($wsSql) AS w FROM tr) GROUP BY w)
+      |  ORDER BY c DESC, w ASC LIMIT 8),
+      |qual AS (
+      |  SELECT doc_id FROM (
+      |    SELECT t.doc_id, u.w
+      |    FROM (SELECT doc_id, list_distinct($wsSql) AS dws FROM tr) t,
+      |      UNNEST(t.dws) AS u(w)
+      |    WHERE u.w IN (SELECT w FROM top8))
+      |  GROUP BY doc_id HAVING COUNT(*) >= 2),
+      |trf AS (
+      |  SELECT doc_id, text FROM tr
+      |  WHERE doc_id IN (SELECT doc_id FROM qual)),
+      |bg AS (
+      |  SELECT doc_id AS doc, ws[i] AS w1, ws[i+1] AS w2
+      |  FROM (SELECT doc_id, $wsSql AS ws FROM documents) t,
+      |    UNNEST(generate_series(1, greatest(len(ws) - 1, 0))) AS u(i)),
+      |${lm("a1", "tr")},
+      |${lm("f1", "trf")}
+      |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM tr) AS n_train_all,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM trf) AS n_train_filt,
+      |  a.n_ho,
+      |  round(CAST(a.slp AS DOUBLE) / a.n_ho / 1e6, 6) AS mean_lp_all,
+      |  round(CAST(f.slp AS DOUBLE) / a.n_ho / 1e6, 6) AS mean_lp_filt,
+      |  round(CAST(f.slp - a.slp AS DOUBLE) / a.n_ho / 1e6, 6) AS delta
+      |FROM a1agg a CROSS JOIN f1agg f""".stripMargin
+    })
+
   def queries: Seq[GQuery] =
     Seq(q32, q33, q34, q35, q66, q89, q91, q94, q96, q98, q99, q101,
       q106, q107, q109, q110, q111, q112, q115, q116, q120, q121, q126,
       q130, q132, q134, q135, q136, q137, q139, q140, q141, q179, q189, q193,
       q195, q200, q201, q236, q244, q258, q262, q264, q265, q266, q271,
-      q273, q292, q346, q347, q371, q385, q391, q395)
+      q273, q292, q346, q347, q371, q385, q391, q395, q403)
 }
