@@ -1460,8 +1460,91 @@ object MiscQueries {
       |  round(ln((1.0 - mm) / (1.0 - uu)), 6) AS w_disagree
       |FROM w ORDER BY field""".stripMargin))
 
+  /** q405: learned-index CDF fit census (Kraska et al. 2018) — the
+    * systems-side "can a linear model replace the B-tree level"
+    * check: keys range-shard into 8 segments (a scalar max broadcast
+    * — order-preserving, so per-shard ranks parallelize; never one
+    * global sort), each shard fits rank ≈ a + b·key by exact
+    * decimal-moment OLS, and the census reports the max |rank error|
+    * — the binary-search window a learned index must pay per lookup.
+    * Key moments route through DECIMAL(38,0) (key² sums pass int64
+    * early). */
+  val q405 = GQuery(
+    "q405_learned_index",
+    (s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val dec0 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val keys = orders(s, d).select(col("o_orderkey").as("k"))
+      val mx = keys.agg(max(col("k")).as("mk"))
+      val ranked = keys.crossJoin(broadcast(mx))
+        .withColumn("shard",
+          least(floor(col("k").cast("double") / (col("mk").cast("double") / 8)),
+            lit(7.0)).cast("long"))
+        .withColumn("r", row_number().over(
+          W.partitionBy(col("shard")).orderBy(col("k"))).cast("long"))
+      val fit = ranked.groupBy(col("shard"))
+        .agg(lcount(lit(1)).as("n"),
+          sum(col("k").cast(dec0)).as("sk"),
+          sum(col("k").cast(dec0) * col("k")).as("skk"),
+          sum(col("r").cast(dec0)).as("sr"),
+          sum(col("r").cast(dec0) * col("k")).as("srk"))
+        .withColumn("b",
+          (col("n").cast("double") * col("srk").cast("double")
+            - col("sk").cast("double") * col("sr").cast("double"))
+            / (col("n").cast("double") * col("skk").cast("double")
+              - col("sk").cast("double") * col("sk").cast("double")))
+        .withColumn("a",
+          (col("sr").cast("double") - col("b") * col("sk").cast("double"))
+            / col("n").cast("double"))
+      ranked.join(broadcast(fit.select(col("shard"), col("n"), col("a"),
+          col("b"))), Seq("shard"))
+        .withColumn("err",
+          col("r").cast("double") - (col("a") + col("b") * col("k")))
+        .groupBy(col("shard"), col("n"), col("a"), col("b"))
+        .agg(max(abs(col("err"))).as("max_err"))
+        .select(col("shard"), col("n"),
+          round(col("b"), 9).as("slope"),
+          round(col("a"), 6).as("intercept"),
+          round(col("max_err"), 3).as("max_abs_err"))
+        .orderBy(col("shard"))
+    },
+    Some("""WITH keys AS (SELECT o_orderkey AS k FROM orders),
+      |mx AS (SELECT MAX(k) AS mk FROM keys),
+      |ranked AS (
+      |  SELECT k,
+      |    CAST(LEAST(floor(CAST(k AS DOUBLE) / (CAST(mk AS DOUBLE) / 8)),
+      |      7.0) AS BIGINT) AS shard
+      |  FROM keys CROSS JOIN mx),
+      |rr AS (
+      |  SELECT k, shard, CAST(row_number() OVER (PARTITION BY shard
+      |    ORDER BY k) AS BIGINT) AS r
+      |  FROM ranked),
+      |fit AS (
+      |  SELECT shard, CAST(COUNT(*) AS BIGINT) AS n,
+      |    SUM(CAST(k AS HUGEINT)) AS sk, SUM(CAST(k AS HUGEINT) * k) AS skk,
+      |    SUM(CAST(r AS HUGEINT)) AS sr, SUM(CAST(r AS HUGEINT) * k) AS srk
+      |  FROM rr GROUP BY shard),
+      |ab AS (
+      |  SELECT shard, n,
+      |    (CAST(n AS DOUBLE) * CAST(srk AS DOUBLE)
+      |      - CAST(sk AS DOUBLE) * CAST(sr AS DOUBLE))
+      |      / (CAST(n AS DOUBLE) * CAST(skk AS DOUBLE)
+      |        - CAST(sk AS DOUBLE) * CAST(sk AS DOUBLE)) AS b,
+      |    CAST(sk AS DOUBLE) AS skd, CAST(sr AS DOUBLE) AS srd
+      |  FROM fit),
+      |ab2 AS (
+      |  SELECT shard, n, b, (srd - b * skd) / CAST(n AS DOUBLE) AS a
+      |  FROM ab)
+      |SELECT f.shard, f.n, round(f.b, 9) AS slope,
+      |  round(f.a, 6) AS intercept,
+      |  round(MAX(abs(CAST(r.r AS DOUBLE) - (f.a + f.b * r.k))), 3)
+      |    AS max_abs_err
+      |FROM rr r JOIN ab2 f ON r.shard = f.shard
+      |GROUP BY f.shard, f.n, f.a, f.b
+      |ORDER BY f.shard""".stripMargin))
+
   def queries: Seq[GQuery] =
     Seq(q45, q46, q47, q49, q52, q59, q62, q63, q64, q67, q69, q71, q148, q155,
       q170, q177, q187, q192, q198, q199, q214, q233, q234, q238, q254, q256,
-      q370)
+      q370, q405)
 }

@@ -2471,9 +2471,181 @@ object TemporalQueries {
       |FROM v4 ORDER BY st""".stripMargin
     })
 
+  /** q404: cohort LTV projection — the business face of the q317
+    * retention matrix: per signup cohort, retention decays roughly
+    * geometrically, so ln(retention) regresses on week offset (exact
+    * moments, the q25 fit shape, weeks ≥ 1 only — week 0 is 100% by
+    * construction), and the projected 52-week lifetime value is
+    * ARPU·Σ_{t=0}^{51} r̂ᵗ = ARPU·(1−r̂⁵²)/(1−r̂) with the power
+    * computed by exp(52·ln r̂) (spelled identically — pow is not
+    * correctly rounded everywhere). Cohorts and offsets are
+    * calendar-bounded; the fact scan happens once. */
+  val q404 = GQuery(
+    "q404_ltv_projection",
+    (s, d) => {
+      val ev = events(s, d)
+      val firstWk = ev.groupBy(col("user_id"))
+        .agg(min(to_date(col("ts"))).as("first_day"))
+        .select(col("user_id"),
+          Dates.floorWeekSunday(col("first_day")).as("cohort"))
+      val active = ev.select(col("user_id"), to_date(col("ts")).as("day"),
+          when(col("event_type") === "purchase", col("value")) .as("spend"))
+        .join(firstWk, Seq("user_id"))
+        .withColumn("wk", (datediff(col("day"), col("cohort")) / 7)
+          .cast("long"))
+      val cohortSize = firstWk.groupBy(col("cohort"))
+        .agg(lcount(lit(1)).as("n0"))
+      val byWeek = active.groupBy(col("cohort"), col("wk"))
+        .agg(countDistinct(col("user_id")).cast("long").as("n_active"),
+          coalesce(dsum(col("spend")), lit(0.0)).as("rev"))
+      val fit = byWeek.join(broadcast(cohortSize), Seq("cohort"))
+        .filter(col("wk") >= 1)
+        .withColumn("lr", log(col("n_active").cast("double") / col("n0")))
+        .groupBy(col("cohort"), col("n0"))
+        .agg(lcount(lit(1)).as("nw"),
+          dsum(col("wk").cast("double")).as("sx"),
+          dsum(col("wk").cast("double") * col("wk")).as("sxx"),
+          dsum(col("lr")).as("sy"),
+          dsum(col("wk").cast("double") * col("lr")).as("sxy"))
+        // late cohorts with <3 observed weeks cannot support a decay
+        // fit (nw=1 zeroes the OLS denominator) — excluded, not nulled
+        .filter(col("nw") >= 3)
+        .withColumn("slope",
+          (col("nw") * col("sxy") - col("sx") * col("sy"))
+            / (col("nw") * col("sxx") - col("sx") * col("sx")))
+        .withColumn("r", exp(col("slope")))
+      val rev = byWeek.groupBy(col("cohort"))
+        .agg(dsum(col("rev")).as("rev_total"), sum(col("n_active")).as("aw"))
+      fit.join(rev, Seq("cohort"))
+        .withColumn("arpu", col("rev_total") / col("aw"))
+        .select(col("cohort"), col("n0"), col("nw"),
+          round(col("r"), 6).as("weekly_retention"),
+          round(col("arpu"), 6).as("arpu_active_week"),
+          round(when(col("r") < 1,
+            col("arpu") * (lit(1.0) - exp(lit(52.0) * log(col("r"))))
+              / (lit(1.0) - col("r"))), 6).as("ltv_52wk"))
+        .orderBy(col("cohort"))
+    },
+    Some(s"""WITH fw AS (
+      |  SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+      |  FROM events GROUP BY user_id),
+      |coh AS (
+      |  SELECT user_id,
+      |    first_day - CAST(dayofweek(first_day) AS INT) AS cohort
+      |  FROM fw),
+      |active AS (
+      |  SELECT e.user_id, c.cohort,
+      |    CAST(datediff('day', c.cohort, CAST(e.ts AS DATE)) AS BIGINT)
+      |      // 7 AS wk,
+      |    CASE WHEN e.event_type = 'purchase' THEN e.value END AS spend
+      |  FROM events e JOIN coh c ON e.user_id = c.user_id),
+      |cs AS (SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n0
+      |  FROM coh GROUP BY cohort),
+      |bw AS (
+      |  SELECT cohort, wk,
+      |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active,
+      |    COALESCE(${sqlDsum("spend")}, 0.0) AS rev
+      |  FROM active GROUP BY cohort, wk),
+      |fit AS (
+      |  SELECT b.cohort, c.n0, CAST(COUNT(*) AS BIGINT) AS nw,
+      |    ${sqlDsum("CAST(b.wk AS DOUBLE)")} AS sx,
+      |    ${sqlDsum("CAST(b.wk AS DOUBLE) * b.wk")} AS sxx,
+      |    ${sqlDsum("ln(CAST(b.n_active AS DOUBLE) / c.n0)")} AS sy,
+      |    ${sqlDsum(
+           "CAST(b.wk AS DOUBLE) * ln(CAST(b.n_active AS DOUBLE) / c.n0)")}
+      |      AS sxy
+      |  FROM bw b JOIN cs c ON b.cohort = c.cohort
+      |  WHERE b.wk >= 1 GROUP BY b.cohort, c.n0),
+      |fr AS (
+      |  SELECT cohort, n0, nw,
+      |    exp((nw * sxy - sx * sy) / (nw * sxx - sx * sx)) AS r
+      |  FROM fit WHERE nw >= 3),
+      |rev AS (
+      |  SELECT cohort, ${sqlDsum("rev")} AS rev_total,
+      |    CAST(SUM(n_active) AS BIGINT) AS aw
+      |  FROM bw GROUP BY cohort)
+      |SELECT f.cohort, f.n0, f.nw,
+      |  round(f.r, 6) AS weekly_retention,
+      |  round(v.rev_total / v.aw, 6) AS arpu_active_week,
+      |  round(CASE WHEN f.r < 1
+      |    THEN (v.rev_total / v.aw) * (1.0 - exp(52.0 * ln(f.r)))
+      |      / (1.0 - f.r) END, 6) AS ltv_52wk
+      |FROM fr f JOIN rev v ON f.cohort = v.cohort
+      |ORDER BY f.cohort""".stripMargin))
+
+  /** q406: Haar wavelet energy decomposition, 3 levels (Haar 1910; the
+    * multi-resolution complement of q392's periodogram — WHERE in time
+    * the variance lives, not just at which frequency): the e2-scaled
+    * daily series halves via t div 2 grouping per level — averages
+    * carry down, differences are the detail coefficients — and the
+    * census reports per-level coefficient count and energy. Integer
+    * e2 arithmetic would drift through odd-length halvings, so levels
+    * use exact decimal sums with one division per node; the calendar
+    * bounds every frame. */
+  val q406 = GQuery(
+    "q406_haar_energy",
+    (s, d) => {
+      val daily0 = events(s, d).filter(col("event_type") === "purchase")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(dsum(col("value")).as("y"))
+      val mind = daily0.agg(min(col("day")).as("d0"))
+      val level0 = daily0.crossJoin(broadcast(mind))
+        .select(datediff(col("day"), col("d0")).cast("long").as("t"),
+          col("y"))
+      def halve(lv: org.apache.spark.sql.DataFrame) = lv
+        .groupBy(expr("t div 2").as("t"))
+        .agg(count(lit(1)).as("m"),
+          (dsum(when(col("t") % 2 === 0, col("y"))) .as("ye")),
+          (dsum(when(col("t") % 2 === 1, col("y"))) .as("yo")))
+      def detail(h: org.apache.spark.sql.DataFrame, level: Int) = h
+        .filter(col("m") === 2)
+        .select(lit(level.toLong).as("level"),
+          ((col("ye") - col("yo")) / 2).as("dcoef"))
+        .groupBy(col("level"))
+        .agg(lcount(lit(1)).as("n_coefs"),
+          round(dsum(col("dcoef") * col("dcoef")), 6).as("energy"))
+      def approx(h: org.apache.spark.sql.DataFrame) = h.filter(col("m") === 2)
+        .select(col("t"), ((col("ye") + col("yo")) / 2).as("y"))
+      val h1 = halve(level0)
+      val a1 = approx(h1)
+      val h2 = halve(a1)
+      val a2 = approx(h2)
+      val h3 = halve(a2)
+      detail(h1, 1).unionByName(detail(h2, 2)).unionByName(detail(h3, 3))
+        .orderBy(col("level"))
+    },
+    Some {
+      def halveSql(prev: String, h: String) =
+        s"""$h AS (
+      |  SELECT t // 2 AS t, CAST(COUNT(*) AS BIGINT) AS m,
+      |    ${sqlDsum("CASE WHEN t % 2 = 0 THEN y END")} AS ye,
+      |    ${sqlDsum("CASE WHEN t % 2 = 1 THEN y END")} AS yo
+      |  FROM $prev GROUP BY t // 2)"""
+      s"""WITH daily0 AS (
+      |  SELECT CAST(ts AS DATE) AS day, ${sqlDsum("value")} AS y
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |mind AS (SELECT MIN(day) AS d0 FROM daily0),
+      |l0 AS (
+      |  SELECT CAST(datediff('day', m.d0, t.day) AS BIGINT) AS t, t.y
+      |  FROM daily0 t CROSS JOIN mind m),
+      |${halveSql("l0", "h1")},
+      |a1 AS (SELECT t, (ye + yo) / 2 AS y FROM h1 WHERE m = 2),
+      |${halveSql("a1", "h2")},
+      |a2 AS (SELECT t, (ye + yo) / 2 AS y FROM h2 WHERE m = 2),
+      |${halveSql("a2", "h3")},
+      |dd AS (
+      |  SELECT CAST(1 AS BIGINT) AS level, (ye - yo) / 2 AS dc
+      |  FROM h1 WHERE m = 2
+      |  UNION ALL SELECT 2, (ye - yo) / 2 FROM h2 WHERE m = 2
+      |  UNION ALL SELECT 3, (ye - yo) / 2 FROM h3 WHERE m = 2)
+      |SELECT level, CAST(COUNT(*) AS BIGINT) AS n_coefs,
+      |  round(${sqlDsum("dc * dc")}, 6) AS energy
+      |FROM dd GROUP BY level ORDER BY level""".stripMargin
+    })
+
   def queries: Seq[GQuery] =
     Seq(q43, q44, q56, q70, q181, q182, q183, q196, q197, q263, q272, q278,
       q279, q280, q281, q285, q301, q302, q303, q309, q310, q317, q318,
       q320, q322, q323, q326, q329, q354, q363, q373, q374, q388, q392,
-      q393, q398)
+      q393, q398, q404, q406)
 }

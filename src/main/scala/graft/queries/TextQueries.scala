@@ -3338,20 +3338,24 @@ object TextQueries {
       val docs = documents(s, d)
       val train = docs.filter(col("doc_id") % 3 =!= 0)
       val heldout = docs.filter(col("doc_id") % 3 === 0)
-      // the corpus's own top-8 tokens play the stopword role (the
-      // language-agnostic form of Gopher's stopword-density rule —
-      // the synthetic corpus has no English stopwords to count)
-      val top8 = train
+      // corpus-frequent-token density plays the stopword role (the
+      // language-agnostic form of Gopher's stopword-density rule — the
+      // synthetic corpus has no English stopwords to count). An
+      // ABSOLUTE frequency threshold, not top-k: the sf1 scale-up
+      // rotates text per replica, and a top-k cut there picks k
+      // rotations of the same token, which no single document can
+      // contain twice (measured: empty filtered slice -> 1/0)
+      val freqTok = train
         .select(explode(wsTokens(col("text"))).as("w"))
         .groupBy(col("w")).agg(count(lit(1)).as("c"))
-        .orderBy(col("c").desc, col("w").asc).limit(8)
-        .select(col("w"))
+        .filter(col("c") >= 50).select(col("w"))
       val qualifying = train
-        .select(col("doc_id"), explode(array_distinct(wsTokens(col("text"))))
-          .as("w"))
-        .join(broadcast(top8), Seq("w"))
-        .groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))
-        .filter(col("ns") >= 2)
+        .select(col("doc_id"), explode(wsTokens(col("text"))).as("w"))
+        .join(freqTok.withColumn("hit", lit(1L)), Seq("w"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("nt"),
+          coalesce(sum(col("hit")), lit(0L)).as("nf"))
+        .filter(col("nf") * 2 >= col("nt"))
         .select(col("doc_id"))
       val trainFilt = train.join(qualifying, Seq("doc_id"), "left_semi")
       def meanLp(tr: org.apache.spark.sql.DataFrame) =
@@ -3407,18 +3411,19 @@ object TextQueries {
       |  SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
       |ho AS (
       |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
-      |top8 AS (
+      |ftok AS (
       |  SELECT w FROM (
       |    SELECT w, CAST(COUNT(*) AS BIGINT) AS c
       |    FROM (SELECT unnest($wsSql) AS w FROM tr) GROUP BY w)
-      |  ORDER BY c DESC, w ASC LIMIT 8),
+      |  WHERE c >= 50),
       |qual AS (
       |  SELECT doc_id FROM (
-      |    SELECT t.doc_id, u.w
-      |    FROM (SELECT doc_id, list_distinct($wsSql) AS dws FROM tr) t,
-      |      UNNEST(t.dws) AS u(w)
-      |    WHERE u.w IN (SELECT w FROM top8))
-      |  GROUP BY doc_id HAVING COUNT(*) >= 2),
+      |    SELECT t.doc_id, u.w,
+      |      CASE WHEN u.w IN (SELECT w FROM ftok) THEN 1 ELSE 0 END AS hit
+      |    FROM (SELECT doc_id, $wsSql AS dws FROM tr) t,
+      |      UNNEST(t.dws) AS u(w))
+      |  GROUP BY doc_id
+      |  HAVING CAST(SUM(hit) AS BIGINT) * 2 >= COUNT(*)),
       |trf AS (
       |  SELECT doc_id, text FROM tr
       |  WHERE doc_id IN (SELECT doc_id FROM qual)),
