@@ -22,10 +22,24 @@ object Prof {
     names.foreach { n =>
       val q = byName(n)
       val times = (1 to passes).map { _ =>
+        // same block hygiene as Bench.materialize: without it, pinned
+        // landed/checkpoint blocks accumulate across passes and the GC
+        // tax poisons every later measurement (measured: q370 pass1
+        // 226 s in a hygiene-less session vs 4.6 s in Bench)
+        val before = spark.sparkContext.getPersistentRDDs.keySet
         val t0 = System.nanoTime()
         q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
+        val sec = (System.nanoTime() - t0) / 1e9
+        val keep = graft.core.Landed.liveRddIds(spark)
+        spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+          if (!before.contains(id) && !keep.contains(id))
+            rdd.unpersist(blocking = false)
+        }
+        sec
       }
+      graft.core.Landed.evict(spark)
+      spark.catalog.clearCache()
+      System.gc()
       println(f"PROF $n: min ${times.min}%.3f  passes ${times.map(t => f"$t%.3f").mkString(" ")}")
     }
     spark.stop()

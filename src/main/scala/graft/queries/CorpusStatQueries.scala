@@ -1445,10 +1445,28 @@ object CorpusStatQueries {
     * (doc_id, lang, text). */
   private[graft] def nbGridFor(train: org.apache.spark.sql.DataFrame,
                                test: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    nbGridTok(train,
+      train.select(col("lang"),
+        explode(graft.text.TextFunctions.wsTokens(col("text"))).as("w")),
+      test,
+      test.select(col("doc_id"),
+        explode(graft.text.TextFunctions.wsTokens(col("text"))).as("w")))
+
+  /** [[nbGridFor]] over PRE-TOKENIZED frames — `trTok` = (lang, w)
+    * with multiplicity for the model slice, `teTok` = (doc_id, w) for
+    * the scored slice. Callers that score several model variants over
+    * the same corpus (q400's retrain ablation) tokenize once, pin the
+    * token frames, and pass slices here instead of re-running the
+    * regex tokenizer per chain (guide §1.2: don't recompute what you
+    * already have). Same plan below the token frames, so results are
+    * bit-identical with [[nbGridFor]]. */
+  private[graft] def nbGridTok(train: org.apache.spark.sql.DataFrame,
+                               trTok: org.apache.spark.sql.DataFrame,
+                               test: org.apache.spark.sql.DataFrame,
+                               teTok0: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     import graft.core.Exact.{lcount, lsumAt}
-    val trTok = train.select(col("lang"),
-      explode(graft.text.TextFunctions.wsTokens(col("text"))).as("w"))
     val cnt = trTok.groupBy(col("lang"), col("w"))
       .agg(lcount(lit(1)).as("c"))
       .select(col("lang").as("ml"), col("w"), col("c"))
@@ -1457,8 +1475,7 @@ object CorpusStatQueries {
     val pri = train.groupBy(col("lang"))
       .agg(lcount(lit(1)).as("nl")).select(col("lang").as("ml"), col("nl"))
     val nAll = train.agg(lcount(lit(1)).as("n_all"))
-    val teTok = test.select(col("doc_id"),
-      explode(graft.text.TextFunctions.wsTokens(col("text"))).as("w"))
+    val teTok = teTok0
     val docLang = teTok
       .crossJoin(broadcast(tot.crossJoin(vocab)))
       // (lang × token) likelihoods are vocabulary-sized — shuffle
@@ -1989,8 +2006,20 @@ object CorpusStatQueries {
         .select(col("doc_id"), col("lang"), col("text"))
       val test = docs.filter(col("doc_id") % 3 === 0)
         .select(col("doc_id"), col("lang"), col("text"))
+      // r11: tokenize each slice ONCE and pin — the three NB chains
+      // below (model→train, model→test, cleaned→test) otherwise run
+      // the regex tokenizer 6× over the same text (guide §1.2). The
+      // cleaned model's tokens are an anti-join on the pinned frame,
+      // not a re-tokenization.
+      val trTok = train.select(col("doc_id"), col("lang"),
+          explode(graft.text.TextFunctions.wsTokens(col("text"))).as("w"))
+        .localCheckpoint(eager = false)
+      val teTok = test.select(col("doc_id"),
+          explode(graft.text.TextFunctions.wsTokens(col("text"))).as("w"))
+        .localCheckpoint(eager = false)
       def suspects = {
-        val grid = nbGridFor(train, train)
+        val grid = nbGridTok(train, trTok.select(col("lang"), col("w")),
+          train, trTok.select(col("doc_id"), col("w")))
         val post = grid
           .withColumn("mx", max(col("score_e6")).over(
             w.partitionBy(col("doc_id"))))
@@ -2011,6 +2040,7 @@ object CorpusStatQueries {
       }
       val susp = suspects.localCheckpoint(eager = false)
       val cleaned = train.join(susp, Seq("doc_id"), "left_anti")
+      val clTok = trTok.join(susp, Seq("doc_id"), "left_anti")
       def acc(grid: org.apache.spark.sql.DataFrame) = grid
         .withColumn("rn", row_number().over(
           w.partitionBy(col("doc_id"))
@@ -2019,8 +2049,10 @@ object CorpusStatQueries {
         .agg(lcount(lit(1)).as("n"),
           coalesce(sum(when(col("ml") === col("true_lang"), 1L)), lit(0L))
             .as("ok"))
-      val before = acc(nbGridFor(train, test))
-      val after = acc(nbGridFor(cleaned, test))
+      val before = acc(nbGridTok(train, trTok.select(col("lang"), col("w")),
+        test, teTok))
+      val after = acc(nbGridTok(cleaned, clTok.select(col("lang"), col("w")),
+        test, teTok))
       val nTr = train.agg(lcount(lit(1)).as("n_train"))
       val nSu = susp.agg(lcount(lit(1)).as("n_suspects"))
       nTr.crossJoin(broadcast(nSu))

@@ -3757,11 +3757,24 @@ object StatsQueries {
       val bw = li.crossJoin(broadcast(rngw))
         .select(col("y"), binc("xd", "dmn", "dmx").as("bd"),
           binc("xp", "pmn", "pmx").as("bp"), binc("xq", "qmn", "qmx").as("bq"))
+      // r11: every round's weight is a function of (y, bd, bp, bq)
+      // alone (score reads only the bins; y flips the sign), and that
+      // key has ≤ 2·32³ distinct combos — so ONE narrow long-count
+      // pre-aggregation replaces the per-round full-table stacked
+      // decimal aggregation (guide §2.3, aggregate before you
+      // shuffle). Bit-exact: n copies of the same DECIMAL(38,6) value
+      // sum to exactly n × that value, so SUM(CAST(w AS DEC(38,6)) ·
+      // cnt) over combos ≡ dsum(w) over rows, both cast to double
+      // once at the end. Measured sf0.1 isolated: 6.9 s → see
+      // OPTIMIZATION_r11.md.
+      val binned = bw.groupBy(col("y"), col("bd"), col("bp"), col("bq"))
+        .agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(eager = false)
       // one stump: 1-row (feat, b, pol, epsc, alpha); prev stumps enter
       // the weight expression via broadcast crossJoins
       def fitRound(prev: Seq[org.apache.spark.sql.DataFrame])
           : org.apache.spark.sql.DataFrame = {
-        val withPrev = prev.zipWithIndex.foldLeft(bw) { case (acc, (p, i)) =>
+        val withPrev = prev.zipWithIndex.foldLeft(binned) { case (acc, (p, i)) =>
           acc.crossJoin(broadcast(p.select(
             col("feat").as(s"feat_$i"), col("b").as(s"b_$i"),
             col("pol").as(s"pol_$i"), col("alpha").as(s"alpha_$i"))))
@@ -3777,12 +3790,15 @@ object StatsQueries {
           case Some(sc) =>
             withPrev.withColumn("w", exp((lit(0.0) - col("y")) * sc))
         }
+        val wdec = col("w").cast(graft.core.Exact.Dec)
         val sstats = weighted
-          .selectExpr("y", "w",
+          .selectExpr("y", "w", "cnt",
             "stack(3, 'd', bd, 'p', bp, 'q', bq) AS (feature, bin)")
           .groupBy(col("feature"), col("bin"))
-          .agg(dsum(col("w")).as("sw"),
-            dsum(when(col("y") === 1, col("w")).otherwise(lit(0.0))).as("sp"))
+          .agg(sum(wdec * col("cnt")).cast("double").as("sw"),
+            sum(when(col("y") === 1, wdec)
+              .otherwise(lit(0.0).cast(graft.core.Exact.Dec)) * col("cnt"))
+              .cast("double").as("sp"))
         val tw = w.partitionBy(col("feature"))
         val cand = sstats
           .withColumn("wl", dsumOver(col("sw"), tw.orderBy(col("bin"))))

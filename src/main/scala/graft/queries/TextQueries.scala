@@ -3345,29 +3345,50 @@ object TextQueries {
       // rotates text per replica, and a top-k cut there picks k
       // rotations of the same token, which no single document can
       // contain twice (measured: empty filtered slice -> 1/0)
-      val freqTok = train
-        .select(explode(wsTokens(col("text"))).as("w"))
+      // r11: tokenize/bigram each slice ONCE and pin — the two LM
+      // arms (full-train model, filtered-train model) plus the
+      // frequent-token and qualifying passes otherwise run the regex
+      // tokenizer ~6× and the 2-gram kernel 4× over the same text
+      // (guide §1.2). The filtered model's counts are semi-joins on
+      // the pinned frames, bit-identical to re-tokenizing the slice.
+      val trTok = train
+        .select(col("doc_id"), explode(wsTokens(col("text"))).as("w"))
+        .localCheckpoint(eager = false)
+      val trBg = graft.text.LangModel.bigramPairs(train, "doc_id", "text")
+        .localCheckpoint(eager = false)
+      val hoBg = graft.text.LangModel.bigramPairs(heldout, "doc_id", "text")
+        .localCheckpoint(eager = false)
+      val freqTok = trTok.select(col("w"))
         .groupBy(col("w")).agg(count(lit(1)).as("c"))
         .filter(col("c") >= 50).select(col("w"))
-      val qualifying = train
-        .select(col("doc_id"), explode(wsTokens(col("text"))).as("w"))
+      val qualifying = trTok
         .join(freqTok.withColumn("hit", lit(1L)), Seq("w"), "left")
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("nt"),
           coalesce(sum(col("hit")), lit(0L)).as("nf"))
         .filter(col("nf") * 2 >= col("nt"))
         .select(col("doc_id"))
-      val trainFilt = train.join(qualifying, Seq("doc_id"), "left_semi")
-      def meanLp(tr: org.apache.spark.sql.DataFrame) =
-        graft.text.LangModel.score(heldout,
-            graft.text.LangModel.train(tr, "doc_id", "text"),
-            "doc_id", "text")
+        .localCheckpoint(eager = false) // 3 consumers: nF + two semi-joins
+      def modelFrom(toks: org.apache.spark.sql.DataFrame,
+                    pairs: org.apache.spark.sql.DataFrame) =
+        graft.text.LangModel.BigramModel(
+          pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2")),
+          toks.groupBy(col("w")).agg(count(lit(1)).as("c1"))
+            .withColumnRenamed("w", "w1"),
+          toks.agg(countDistinct(col("w")).as("v")))
+      def meanLp(model: graft.text.LangModel.BigramModel) =
+        graft.text.LangModel.scorePairs(hoBg, model)
           .select(floor(col("logprob") * 1e6 + 0.5).cast("long").as("lp_e6"))
           .agg(lcount(lit(1)).as("n_ho"), sum(col("lp_e6")).as("slp"))
-      val a = meanLp(train)
-      val b = meanLp(trainFilt)
+      val a = meanLp(modelFrom(trTok.select(col("w")), trBg))
+      val b = meanLp(modelFrom(
+        trTok.join(qualifying, Seq("doc_id"), "left_semi").select(col("w")),
+        trBg.join(qualifying.withColumnRenamed("doc_id", "doc"),
+          Seq("doc"), "left_semi")))
       val nA = train.agg(lcount(lit(1)).as("n_train_all"))
-      val nF = trainFilt.agg(lcount(lit(1)).as("n_train_filt"))
+      // qualifying ⊆ train and is already per-doc distinct, so the
+      // filtered-slice size is its row count (no third documents scan)
+      val nF = qualifying.agg(lcount(lit(1)).as("n_train_filt"))
       nA.crossJoin(broadcast(nF))
         .crossJoin(broadcast(a.select(col("n_ho"), col("slp").as("slp_all"))))
         .crossJoin(broadcast(b.select(col("slp").as("slp_filt"))))

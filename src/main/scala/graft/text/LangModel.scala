@@ -124,11 +124,21 @@ object LangModel {
     * Documents with fewer than two tokens have no bigrams and drop.
     * Output: (doc, n_bigrams, logprob). */
   def score(docs: DataFrame, model: BigramModel,
-            idCol: String, textCol: String): DataFrame = {
+            idCol: String, textCol: String): DataFrame =
+    scorePairs(bigramPairs(docs, idCol, textCol), model)
+
+  /** [[score]] over a PRE-COMPUTED (doc, w1, w2) bigram frame —
+    * callers scoring the same documents under several models (the
+    * ablation pattern: q403 scores held-out text under the full and
+    * the filtered model) derive the pairs once, pin them, and pass
+    * the frame here instead of re-running tokenizer + n-gram kernel
+    * per model. The plan below the pair frame is identical to
+    * [[score]]'s, so results are bit-identical. */
+  def scorePairs(pairs: DataFrame, model: BigramModel): DataFrame = {
     val lp = log(
       (coalesce(col("c2"), lit(0L)) + lit(1L)).cast("double") /
         (coalesce(col("c1"), lit(0L)) + col("v")).cast("double"))
-    bigramPairs(docs, idCol, textCol)
+    pairs
       .join(model.bigrams, Seq("w1", "w2"), "left")
       .join(model.unigrams, Seq("w1"), "left")
       .crossJoin(broadcast(model.vocab))
