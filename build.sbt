@@ -35,6 +35,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // are comfortably sized for it, and a tight heap (8g) showed multi-
   // second GC pauses in full 48-query bench runs on this 128 GiB box
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // pre-size the heap: without -Xms the JVM grows 512m -> tens of GB
+  // across a 400-query suite, paying expansion-triggered GC cycles
+  // inside timed windows (guide §5); 16g covers the suite's steady
+  // live set with room, on a 128 GiB box
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM_MIN", "16g")}",
   // whole-stage codegen emits fresh classes per query; a 50-query
   // suite overflows the default 240m code cache, silently disabling
   // the JIT mid-run (queries late in the run went 3-4x slower)

@@ -1123,18 +1123,27 @@ object BloomQueries {
       val fk = lineitem(s, d)
         .groupBy(col("l_partkey").as("k"), (col("l_orderkey") % 3).as("src"))
         .agg(lcount(lit(1)).as("f"))
-      val exact = fk.groupBy(col("k")).agg(sum(col("f")).as("fa"))
-        .agg(sum((col("fa").cast(dec0) * col("fa"))).as("f2_exact"))
-      val signed = fk
-        .select(col("k"), col("src"), col("f"),
-          explode(sequence(lit(0), lit(63))).as("j"))
+        .localCheckpoint(eager = false) // per-slice + per-key consumers
+      val fa = fk.groupBy(col("k")).agg(sum(col("f")).as("fa"))
+        .localCheckpoint(eager = false) // exact F2 + the direct state
+      val exact = fa.agg(sum((col("fa").cast(dec0) * col("fa"))).as("f2_exact"))
+      // r11: the ±1 sign depends on (k, j) ONLY — build the md5 sign
+      // grid once on the distinct keys (|K|·64 rows) instead of
+      // re-hashing per (k, src, j) row in two diverged `signed`
+      // copies (was 2 × |K|·3·64 md5 evaluations; guide §1.2 /
+      // §2.3: compute per-key metadata once, attach by broadcast
+      // join — fk is key-count-bounded, so the join never shuffles
+      // the exploded grid).
+      val kj = fa.select(col("k"), explode(sequence(lit(0), lit(63))).as("j"))
         .withColumn("sgn",
           when(conv(substring(md5(concat_ws("-", lit("ams"),
             col("k").cast("string"), col("j").cast("string"))), 1, 7),
             16, 10).cast("long") % 2 === 0, 1L).otherwise(-1L))
+        .localCheckpoint(eager = false) // slice + direct states probe it
       // per-slice states, then the MERGE (element-wise sum) — and the
       // direct state is the same sum taken without the slice grain
-      val sliceState = signed.groupBy(col("src"), col("j"))
+      val sliceState = kj.join(broadcast(fk), Seq("k"))
+        .groupBy(col("src"), col("j"))
         .agg(sum(col("sgn") * col("f")).as("c"))
       val merged = sliceState.groupBy(col("j")).agg(sum(col("c")).as("c"))
       def estimate(state: org.apache.spark.sql.DataFrame) = {
@@ -1145,8 +1154,9 @@ object BloomQueries {
           .agg((dsum(when(col("rn") === 4 || col("rn") === 5, col("m")))
             / 2).as("est"))
       }
-      val direct = signed.groupBy(col("j"))
-        .agg(sum(col("sgn") * col("f")).as("c"))
+      val direct = kj.join(broadcast(fa), Seq("k"))
+        .groupBy(col("j"))
+        .agg(sum(col("sgn") * col("fa")).as("c"))
       estimate(direct).select(col("est").as("f2_ams"))
         .crossJoin(broadcast(estimate(merged)
           .select(col("est").as("f2_ams_merged"))))

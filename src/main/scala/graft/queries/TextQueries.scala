@@ -3090,7 +3090,14 @@ object TextQueries {
           (col("u1") / col("z1")).as("f1"))
       def em(theta: org.apache.spark.sql.DataFrame,
              phi: org.apache.spark.sql.DataFrame) = {
-        val j = counts.join(theta, Seq("doc")).join(phi, Seq("w"))
+        // r11: theta is doc-count-bounded and phi vocab-bounded — both
+        // broadcast, so the responsibility frame `j` (consumed twice
+        // per EM step: φ-numerator and θ-numerator, whose pushdown-
+        // diverged copies re-evaluate it) recomputes as two map-side
+        // joins over the pinned counts instead of paying two shuffle
+        // joins per consumer per step (guide §3.1).
+        val j = counts.join(broadcast(theta), Seq("doc"))
+          .join(broadcast(phi), Seq("w"))
           .withColumn("a0", col("t0") * col("f0"))
           .withColumn("a1", (lit(1.0) - col("t0")) * col("f1"))
           .withColumn("r0", col("a0") / (col("a0") + col("a1")))

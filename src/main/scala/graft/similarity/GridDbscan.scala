@@ -84,11 +84,19 @@ object GridDbscan {
   }
 
   /** Degrees, core–core edges and border adjacency from a pair set
-    * covering every probe-side point's full neighborhood. */
+    * covering every probe-side point's full neighborhood.
+    *
+    * r11: `pairs` must arrive PINNED (lazy localCheckpoint) and the
+    * degrees are pinned here, mirroring extend(): pairs has three
+    * consumers (degrees + both edge kinds) and the core set — derived
+    * from degrees — four; without the pins each pushdown-diverged
+    * copy re-ran the 9-cell explode join over the full point set
+    * (guide §2.4: share one exchange instead of recomputing it). */
   private def artifacts(pairs: DataFrame, minPts: Int)
   : (DataFrame, DataFrame, DataFrame) = {
     val deg = pairs.groupBy(col("ida").as("id"))
       .agg(count(lit(1)).cast("long").as("deg"))
+      .localCheckpoint(eager = false)
     val core = deg.filter(col("deg") >= minPts).select(col("id"))
     val coreEdges = pairs
       .join(core.select(col("id").as("ida")), Seq("ida"))
@@ -110,7 +118,8 @@ object GridDbscan {
             epsScaled: Long, minPts: Int): DbscanIndex = {
     require(epsScaled > 0, "epsScaled must be positive")
     val p = withCells(pts, idCol, xCol, yCol, epsScaled)
-    val (deg, ce, be) = artifacts(pairsOf(p, p, epsScaled), minPts)
+    val pairs = pairsOf(p, p, epsScaled).localCheckpoint(eager = false)
+    val (deg, ce, be) = artifacts(pairs, minPts)
     DbscanIndex(p, deg, ce, be, epsScaled, minPts)
   }
 
