@@ -1130,10 +1130,11 @@ object BloomQueries {
       // r11: the ±1 sign depends on (k, j) ONLY — build the md5 sign
       // grid once on the distinct keys (|K|·64 rows) instead of
       // re-hashing per (k, src, j) row in two diverged `signed`
-      // copies (was 2 × |K|·3·64 md5 evaluations; guide §1.2 /
-      // §2.3: compute per-key metadata once, attach by broadcast
-      // join — fk is key-count-bounded, so the join never shuffles
-      // the exploded grid).
+      // copies (was 2 × |K|·3·64 md5 evaluations; guide §1.2/§2.3).
+      // r12: frequencies attach by plain equi-join on k — fk/fa grow
+      // with distinct keys, so a forced broadcast would hit the 8 GB
+      // cap at scale; AQE converts to broadcast at runtime while the
+      // frames are actually small (guide §3.1).
       val kj = fa.select(col("k"), explode(sequence(lit(0), lit(63))).as("j"))
         .withColumn("sgn",
           when(conv(substring(md5(concat_ws("-", lit("ams"),
@@ -1142,7 +1143,7 @@ object BloomQueries {
         .localCheckpoint(eager = false) // slice + direct states probe it
       // per-slice states, then the MERGE (element-wise sum) — and the
       // direct state is the same sum taken without the slice grain
-      val sliceState = kj.join(broadcast(fk), Seq("k"))
+      val sliceState = kj.join(fk, Seq("k"))
         .groupBy(col("src"), col("j"))
         .agg(sum(col("sgn") * col("f")).as("c"))
       val merged = sliceState.groupBy(col("j")).agg(sum(col("c")).as("c"))
@@ -1154,7 +1155,7 @@ object BloomQueries {
           .agg((dsum(when(col("rn") === 4 || col("rn") === 5, col("m")))
             / 2).as("est"))
       }
-      val direct = kj.join(broadcast(fa), Seq("k"))
+      val direct = kj.join(fa, Seq("k"))
         .groupBy(col("j"))
         .agg(sum(col("sgn") * col("fa")).as("c"))
       estimate(direct).select(col("est").as("f2_ams"))

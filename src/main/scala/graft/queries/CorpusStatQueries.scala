@@ -1576,13 +1576,31 @@ object CorpusStatQueries {
     (s, d) => {
       val w = org.apache.spark.sql.expressions.Window
       val docs = documents(s, d)
-      val train = docs.filter(col("doc_id") % 3 =!= 0)
-      val pol = LangModel.score(docs, LangModel.train(train, "doc_id", "text"),
-          "doc_id", "text")
+      // r12: ONE tokenizer+n-gram pass over the corpus, pinned at the
+      // (doc, w1, w2) grain. Both models count the SAME train-slice
+      // bigram census (pinned once — the oracle SQL's shared `cbg`
+      // CTE, which the Spark side used to recount), and both scoring
+      // passes probe the pinned pair frame. Guide §1.2: was 6
+      // tokenizer passes (4 over train, 2 over the full corpus), now
+      // 2 (pairs over docs; unigrams over train — doc-final tokens
+      // have no bigram, so unigram counts need the raw token frame).
+      val bg = LangModel.bigramPairs(docs, "doc_id", "text")
+        .localCheckpoint(eager = false)
+      val cbg = bg.filter(col("doc") % 3 =!= 0)
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+        .localCheckpoint(eager = false)
+      val uni = docs.filter(col("doc_id") % 3 =!= 0)
+        .select(explode(graft.text.TextFunctions.wsTokens(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+        .withColumnRenamed("w", "w1")
+        .localCheckpoint(eager = false) // c1 probe + the vocab scalar
+      val vocab = uni.agg(count(lit(1)).as("v")) // == countDistinct(toks)
+      val pol = LangModel.scorePairs(bg,
+          LangModel.BigramModel(cbg, uni, vocab))
         .select(col("doc"), floor(col("logprob") * 1e6 + 0.5).cast("long")
           .as("p_e6"))
-      val ref = LangModel.scoreKn(docs,
-          LangModel.trainKn(train, "doc_id", "text"), "doc_id", "text")
+      val ref = LangModel.scoreKnPairs(bg,
+          LangModel.trainKnCounts(cbg, vocab))
         .select(col("doc"), floor(col("logprob") * 1e6 + 0.5).cast("long")
           .as("r_e6"))
       val scored = pol.join(ref, Seq("doc"))

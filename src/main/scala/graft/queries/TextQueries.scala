@@ -3090,17 +3090,22 @@ object TextQueries {
           (col("u1") / col("z1")).as("f1"))
       def em(theta: org.apache.spark.sql.DataFrame,
              phi: org.apache.spark.sql.DataFrame) = {
-        // r11: theta is doc-count-bounded and phi vocab-bounded — both
-        // broadcast, so the responsibility frame `j` (consumed twice
-        // per EM step: φ-numerator and θ-numerator, whose pushdown-
-        // diverged copies re-evaluate it) recomputes as two map-side
-        // joins over the pinned counts instead of paying two shuffle
-        // joins per consumer per step (guide §3.1).
-        val j = counts.join(broadcast(theta), Seq("doc"))
+        // r12: θ has one row per DOCUMENT — broadcasting it (r11) was a
+        // local-mode assumption that hits Spark's 8 GB broadcast cap at
+        // scale. Instead the responsibility frame `j` (consumed twice
+        // per EM step: φ-numerator and θ-numerator) is itself pinned,
+        // so the compute-once win survives without the broadcast: one
+        // equi-join on doc (AQE picks broadcast when θ is actually
+        // small, shuffle when it is not) + the vocab-bounded broadcast
+        // of φ, evaluated once, read twice (guide §2.4/§3.1). Projected
+        // to the four columns the consumers need before the pin (§2.3).
+        val j = counts.join(theta, Seq("doc"))
           .join(broadcast(phi), Seq("w"))
           .withColumn("a0", col("t0") * col("f0"))
           .withColumn("a1", (lit(1.0) - col("t0")) * col("f1"))
-          .withColumn("r0", col("a0") / (col("a0") + col("a1")))
+          .select(col("doc"), col("w"), col("n"), col("nd"),
+            (col("a0") / (col("a0") + col("a1"))).as("r0"))
+          .localCheckpoint(eager = false)
         val phiNum = j.groupBy(col("w"))
           .agg(dsum(col("n") * col("r0")).as("p0"),
             dsum(col("n") * (lit(1.0) - col("r0"))).as("p1"))

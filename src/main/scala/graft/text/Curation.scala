@@ -42,9 +42,15 @@ object Curation {
       call_function("unicode_nfc", col(textCol)).as("__norm"): _*)
     val red = Pii.scrub(base, "__norm").drop("__norm")
     val fp = red.withColumn("__fp", md5(col("redacted")))
-    val keeper = fp.groupBy(col("__fp"))
-      .agg(min(col(idCol)).as("__keep_id"), count(lit(1)).as("n_copies"))
-    fp.join(keeper, Seq("__fp"))
+    // r12: keep-min-id + group size as WINDOW functions over the
+    // fingerprint partitioning, not a groupBy + join back — the join
+    // shape evaluated the NFC + PII regex battery twice (once under
+    // the keeper aggregation, once on the join's probe side) and paid
+    // two exchanges; the window is one exchange, one evaluation
+    // (guide §2.4: operations keyed the same way share one exchange).
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__fp"))
+    fp.withColumn("__keep_id", min(col(idCol)).over(w))
+      .withColumn("n_copies", count(lit(1)).over(w))
       .withColumn("is_canonical", col(idCol) === col("__keep_id"))
       .withColumn("n_tokens",
         size(TextFunctions.wsTokens(col("redacted"))).cast("long"))

@@ -70,14 +70,22 @@ object LangModel {
       // three census consumers below — count once
       .localCheckpoint(eager = false)
     val toks = corpus.select(explode(TextFunctions.wsTokens(col(textCol))).as("w"))
+    trainKnCounts(bg, toks.agg(countDistinct(col("w")).as("v")))
+  }
+
+  /** [[trainKn]] from a PRE-COUNTED bigram frame (w1, w2, c2) and a
+    * one-row vocab frame — callers already maintaining the bigram
+    * census for another model (q375 scores the same train slice under
+    * add-one AND Kneser–Ney) reuse it instead of re-tokenizing the
+    * corpus. The censuses below the count frame are identical to
+    * [[trainKn]]'s, so results are bit-identical. */
+  def trainKnCounts(bg: DataFrame, vocab: DataFrame): KnModel =
     KnModel(
       bg,
       bg.groupBy(col("w1"))
         .agg(sum(col("c2")).as("c1"), count(lit(1)).as("n1p_left")),
       bg.groupBy(col("w2")).agg(count(lit(1)).as("n1p_right")),
-      bg.agg(count(lit(1)).as("b"))
-        .crossJoin(toks.agg(countDistinct(col("w")).as("v"))))
-  }
+      bg.agg(count(lit(1)).as("b")).crossJoin(vocab))
 
   /** Mean interpolated-KN bigram log-probability per document, with
     * absolute discount D:
@@ -98,7 +106,16 @@ object LangModel {
     * two tokens have no bigrams and drop.
     * Output: (doc, n_bigrams, logprob). */
   def scoreKn(docs: DataFrame, model: KnModel, idCol: String,
-              textCol: String, discount: Double = 0.75): DataFrame = {
+              textCol: String, discount: Double = 0.75): DataFrame =
+    scoreKnPairs(bigramPairs(docs, idCol, textCol), model, discount)
+
+  /** [[scoreKn]] over a PRE-COMPUTED (doc, w1, w2) bigram frame — the
+    * [[scorePairs]] twin for the KN model: callers scoring the same
+    * documents under several models derive the pairs once, pin them,
+    * and pass the frame here. The plan below the pair frame is
+    * identical to [[scoreKn]]'s, so results are bit-identical. */
+  def scoreKnPairs(pairs: DataFrame, model: KnModel,
+                   discount: Double = 0.75): DataFrame = {
     val pc = (coalesce(col("n1p_right"), lit(0L)) + lit(1L)).cast("double") /
       (col("b") + col("v")).cast("double")
     val seen = (greatest(coalesce(col("c2"), lit(0L)).cast("double") - lit(discount),
@@ -106,7 +123,7 @@ object LangModel {
       lit(discount) * coalesce(col("n1p_left"), lit(0L)).cast("double") * pc) /
       col("c1").cast("double")
     val p = when(col("c1").isNotNull && col("c1") > 0, seen).otherwise(pc)
-    bigramPairs(docs, idCol, textCol)
+    pairs
       .join(model.bigrams, Seq("w1", "w2"), "left")
       .join(model.contexts, Seq("w1"), "left")
       .join(model.continuations, Seq("w2"), "left")

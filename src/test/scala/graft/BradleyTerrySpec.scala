@@ -6,6 +6,7 @@ import graft.stats.BradleyTerry
 /** Bradley–Terry MM fitting: closed-form two-item case, strength
   * ordering vs win rates on a transitive tournament, normalization and
   * conservation invariants, determinism under repartitioning. */
+@org.scalatest.tags.Slow
 class BradleyTerrySpec extends SparkSpec {
   import spark.implicits._
 

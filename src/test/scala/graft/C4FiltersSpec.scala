@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 /** C4 line/document cleaning rules: hand-checked line survival, doc
   * drops, and the map-only plan shape. */
+@org.scalatest.tags.Slow
 class C4FiltersSpec extends SparkSpec {
   import spark.implicits._
 

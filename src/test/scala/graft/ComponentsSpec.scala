@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.dedup.Components
 
+@org.scalatest.tags.Slow
 class ComponentsSpec extends SparkSpec {
   import spark.implicits._
 

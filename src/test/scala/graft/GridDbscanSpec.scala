@@ -6,6 +6,7 @@ import graft.similarity.GridDbscan
   * border adoption, noise isolation, an isolated core singleton, and
   * the ε-boundary (distance exactly ε is a neighbor; one unit past is
   * not). Coordinates are already scaled longs; ε = 100, minPts = 3. */
+@org.scalatest.tags.Slow
 class GridDbscanSpec extends SparkSpec {
   import spark.implicits._
 

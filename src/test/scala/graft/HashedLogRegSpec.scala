@@ -5,6 +5,7 @@ import graft.stats.HashedLogReg
 
 /** Quality-classifier training: feature hashing invariants, learning on
   * a separable fixture, partition-independent determinism, scoring. */
+@org.scalatest.tags.Slow
 class HashedLogRegSpec extends SparkSpec {
   import spark.implicits._
 

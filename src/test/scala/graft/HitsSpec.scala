@@ -8,6 +8,7 @@ import org.apache.spark.sql.functions._
   * and bit-identical results under repartitioning (the integer-exact
   * contract the q164 oracle replays).
   */
+@org.scalatest.tags.Slow
 class HitsSpec extends SparkSpec {
   import spark.implicits._
 

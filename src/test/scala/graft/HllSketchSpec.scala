@@ -7,6 +7,7 @@ import graft.functions.HllSketch
   * compositional groupBy-max spelling, merge correctness across
   * partitionings, estimate accuracy within the theoretical error
   * bound, and the linear-counting small-range branch. */
+@org.scalatest.tags.Slow
 class HllSketchSpec extends SparkSpec {
   import spark.implicits._
 

@@ -2,6 +2,7 @@ package graft
 
 import graft.graph.KTruss
 
+@org.scalatest.tags.Slow
 class KTrussSpec extends SparkSpec {
   import spark.implicits._
 

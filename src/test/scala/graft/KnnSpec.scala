@@ -4,6 +4,7 @@ import graft.core.Tables
 import graft.similarity.Knn
 import org.apache.spark.sql.functions._
 
+@org.scalatest.tags.Slow
 class KnnSpec extends SparkSpec {
   import spark.implicits._
 

@@ -3,6 +3,7 @@ package graft
 import graft.graph.LabelProp
 import org.apache.spark.sql.functions._
 
+@org.scalatest.tags.Slow
 class LabelPropSpec extends SparkSpec {
   import spark.implicits._
 

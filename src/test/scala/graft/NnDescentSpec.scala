@@ -6,6 +6,7 @@ import graft.similarity.{Knn, NnDescent}
 /** NN-descent graph build: recall against the exact brute-force
   * baseline improves with rounds and clears a floor; results are
   * partitioning-invariant; every node keeps at most k neighbors. */
+@org.scalatest.tags.Slow
 class NnDescentSpec extends SparkSpec {
   import spark.implicits._
 

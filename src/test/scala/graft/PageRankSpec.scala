@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.graph.PageRank
 
+@org.scalatest.tags.Slow
 class PageRankSpec extends SparkSpec {
   import spark.implicits._
 

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 /** Pointer jumping ([[graft.graph.PointerJump.linearize]]): hand-traced
   * chains and trees, deep-chain convergence, all-roots identity,
   * partitioning determinism. */
+@org.scalatest.tags.Slow
 class PointerJumpSpec extends SparkSpec {
   import spark.implicits._
 

@@ -6,6 +6,7 @@ import graft.stats.Rewards
   * variance within a group), the zero-variance guard, best-of-n
   * uniqueness and tie-breaking, and bit-determinism under
   * repartitioning. */
+@org.scalatest.tags.Slow
 class RewardsSpec extends SparkSpec {
   import spark.implicits._
 

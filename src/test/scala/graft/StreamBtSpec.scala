@@ -10,6 +10,7 @@ case class CmpEvt(a: String, b: String, wins_a: Long, wins_b: Long)
   * strength state, warm-start chain across micro-batches bit-equal to
   * the batch replay of the landed log, replay idempotency, and
   * warm-start admission of unseen items. */
+@org.scalatest.tags.Slow
 class StreamBtSpec extends SparkSpec {
   import spark.implicits._
 

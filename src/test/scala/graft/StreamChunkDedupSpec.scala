@@ -8,6 +8,7 @@ case class ChunkDoc(doc_id: Long, text: String)
 /** Streaming chunk-dedup gate: near-version rejection through shared
   * chunks, cross-batch index growth, replay idempotency, and stream ≡
   * sequential batch replay. */
+@org.scalatest.tags.Slow
 class StreamChunkDedupSpec extends SparkSpec {
   import spark.implicits._
 

@@ -6,6 +6,7 @@ import graft.text.SuffixArray
   * identical-suffix ties, truncation window, and a brute-force
   * cross-check against a driver-side suffix sort on pseudo-random
   * multi-doc corpora. */
+@org.scalatest.tags.Slow
 class SuffixArraySpec extends SparkSpec {
   import spark.implicits._
 

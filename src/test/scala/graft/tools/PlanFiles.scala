@@ -6,25 +6,29 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.ExplainMode
 
 /** Dump FULL `.explain("formatted")` output of named queries to
-  * `plans/r11/<name>_<suffix>.txt` — the optimization round's
+  * `<outDir>/<name>_<suffix>.txt` — the optimization rounds'
   * before/after plan evidence. Usage:
-  *   runMain graft.tools.PlanFiles <suffix> <q1,q2,...>
+  *   runMain graft.tools.PlanFiles <outDir> <suffix> <q1,q2,...> [sfDir]
+  * sfDir defaults to $SPARK_GRAFT_SF_DIR, else /root/testdata/sf0.01.
   */
 object PlanFiles {
   def main(args: Array[String]): Unit = {
-    val (suffix, names) = (args(0), args(1).split(",").toSeq)
+    val (outDir, suffix, names) = (args(0), args(1), args(2).split(",").toSeq)
+    val sfDir =
+      if (args.length > 3) args(3)
+      else sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val spark = graft.core.GraftSession.configure(
         SparkSession.builder().master("local[4]")
           .appName("planfiles").config("spark.ui.enabled", "false"),
         parallelism = 4)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    Files.createDirectories(Paths.get("plans/r11"))
+    Files.createDirectories(Paths.get(outDir))
     names.foreach { n =>
-      val df = graft.queries.Registry.byName(n).run(spark, "/root/testdata/sf0.01")
+      val df = graft.queries.Registry.byName(n).run(spark, sfDir)
       val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
-      Files.writeString(Paths.get(s"plans/r11/${n}_$suffix.txt"), p)
-      println(s"[planfiles] wrote plans/r11/${n}_$suffix.txt")
+      Files.writeString(Paths.get(s"$outDir/${n}_$suffix.txt"), p)
+      println(s"[planfiles] wrote $outDir/${n}_$suffix.txt")
     }
     spark.stop()
   }
